@@ -1,0 +1,508 @@
+"""The engine's query/operator catalog — every entry pairs a Spark
+implementation with an ANSI-SQL oracle for DuckDB differential
+testing (the driver's correctness gate, and the generalization of the
+reference's own golden-aggregate method —
+``v_cache_for_calc_6184_4626.txt:2-4``).
+
+Cross-engine determinism rules used throughout (so value hashes match
+bit-for-bit):
+
+- money/measure sums go through ``decimal(18,2)`` (exact, order-
+  independent) and are cast to double at the end — both engines round
+  the same exact decimal to the same double;
+- ratios/averages divide two identical doubles (one deterministic op);
+- hash-dependent logic uses ``md5`` (identical hex in Spark and
+  DuckDB), never engine-native hashes;
+- embedding math quantizes floats to ints (``floor(x*10000)``) so all
+  dot products / norms are exact integer sums in any order;
+- int-typed outputs are pinned to the same width on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ora_ch_spark.io import load_table, register_views
+from ora_ch_spark.plans.calc import CalcEngine
+from ora_ch_spark.plans.scheduler import TaskScheduler
+from ora_ch_spark.specs import (
+    CalcQuery,
+    Operation,
+    ParamType,
+    QueryMeta,
+    QueryParam,
+    TableSpec,
+    TaskSpec,
+)
+from ora_ch_spark.store import TableStore
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    description: str = ""
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _tmp_store(spark: SparkSession) -> TableStore:
+    return TableStore(spark, tempfile.mkdtemp(prefix="orachspark_store_"))
+
+
+# ---------------------------------------------------------------------------
+# Core SQL surface (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style scan+agg: the groupBy/agg surface on the fact
+    table. Plan check: single parquet scan with pushed filter, partial
+    (map-side) aggregation before one shuffle on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+       cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
+       cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2))) * (1 + cast(l_tax as decimal(18,2)))) as double) AS sum_charge,
+       count(*) AS count_order,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def flagship_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship analytic query — structurally mirrors the shipped
+    production calc query (``v_cache_for_calc_6184_4626.txt``): multi-
+    way equi-joins, broadcast dimension lookups (≡ dictGet), a
+    semi-join via IN-subquery, a left join with an extra ON predicate,
+    coalesce / if / year / lpad.
+
+    Scale shape: one shuffle join lineitem⋈orders on the fact keys;
+    customer/nation/region/part are broadcast — no shuffle; the
+    semi-join reuses the lineitem scan and broadcasts the (small)
+    distinct high-qty key set under AQE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    hi_orders = li.filter(F.col("l_quantity") >= 48).select("l_orderkey").distinct()
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(hi_orders.withColumnRenamed("l_orderkey", "hi_key"),
+              orders.o_orderkey == F.col("hi_key"), "left_semi")
+        .join(F.broadcast(part),
+              (li.l_partkey == part.p_partkey) & (part.p_size > 20), "left")
+        .filter(cust.c_mktsegment == "BUILDING")
+    )
+    return (
+        joined.groupBy(
+            reg.r_name.alias("region_name"),
+            nat.n_name.alias("nation_name"),
+            F.lpad(nat.n_nationkey.cast("string"), 3, "0").alias("nation_code"),
+            F.year(orders.o_orderdate).cast("int").alias("order_year"),
+            F.coalesce(part.p_brand, F.lit("NONE")).alias("brand"),
+            F.when(orders.o_totalprice > 250000.0, "BIG").otherwise("SMALL").alias("order_size"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       lpad(cast(n_nationkey as varchar), 3, '0') AS nation_code,
+       cast(year(o_orderdate) as int) AS order_year,
+       coalesce(p_brand, 'NONE') AS brand,
+       CASE WHEN o_totalprice > 250000.0 THEN 'BIG' ELSE 'SMALL' END AS order_size,
+       count(*) AS n_items,
+       cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+LEFT JOIN part ON l_partkey = p_partkey AND p_size > 20
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+def ntile_export_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 parity demo: the reference slices exports with
+    ``cityHash64(key)`` + ``NTILE(N) OVER (ORDER BY hash)``
+    (``jdbsChSession.scala:416-450``). Here the same NTILE plan over a
+    cross-engine hash (md5) — per-slice row counts and sums verify the
+    slicing is uniform and deterministic. (The production export path
+    uses hash repartitioning instead — sinks/jdbc.py — which needs no
+    global sort.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+    return (
+        orders.withColumn("group_number", F.ntile(8).over(w))
+        .groupBy("group_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("slice_total"),
+        )
+    )
+
+
+NTILE_ORACLE = """
+SELECT group_number, count(*) AS n_rows,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS slice_total
+FROM (
+  SELECT o_totalprice,
+         ntile(8) OVER (ORDER BY md5(cast(o_orderkey as varchar)), o_orderkey) AS group_number
+  FROM orders
+)
+GROUP BY group_number
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup of the events stream table (batch form; the
+    streaming form with watermarks lives in streaming/watermark.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.count(F.when(F.col("value") > 50.0, 1)).alias("n_large"),
+        )
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) AS total_value,
+       count(CASE WHEN value > 50.0 THEN 1 END) AS n_large
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Load operations O1–O5, run through the real scheduler/store machinery
+# ---------------------------------------------------------------------------
+
+def op_recreate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 recreate with where_filter + only_columns, end-to-end
+    through TaskScheduler → TableStore."""
+    store = _tmp_store(spark)
+    spec = TableSpec(
+        schema="ch",
+        name="lineitem_recreated",
+        operation=Operation.RECREATE,
+        src_table_full_name="lineitem",
+        where_filter="l_shipdate >= timestamp'1996-01-01'",
+        only_columns=("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"),
+    )
+    sched = TaskScheduler(spark, store)
+    sched.run_task(
+        TaskSpec(tables=(spec,), degree=2),
+        sources={"lineitem": load_table(spark, sf_dir, "lineitem")},
+    )
+    return store.read("ch", "lineitem_recreated")
+
+
+OP_RECREATE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem WHERE l_shipdate >= timestamp '1996-01-01'
+"""
+
+
+def op_append_where_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 append_where: target pre-loaded with stale rows
+    (l_quantity = -1) for ⅓ of keys; the op deletes rows in the filter
+    range and re-inserts fresh source rows — stale rows survive only
+    outside the range."""
+    store = _tmp_store(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    stale = li.filter("l_orderkey % 3 = 0").withColumn("l_quantity", F.lit(-1.0))
+    store.create_database("ch")
+    store.write("ch", "lineitem_aw", stale)
+    spec = TableSpec(
+        schema="ch",
+        name="lineitem_aw",
+        operation=Operation.APPEND_WHERE,
+        src_table_full_name="lineitem",
+        where_filter="l_shipdate >= timestamp'1996-06-01'",
+    )
+    TaskScheduler(spark, store).run_task(
+        TaskSpec(tables=(spec,), degree=2), sources={"lineitem": li}
+    )
+    return store.read("ch", "lineitem_aw")
+
+
+OP_APPEND_WHERE_ORACLE = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, -1.0 AS l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+FROM lineitem WHERE l_orderkey % 3 = 0 AND NOT (l_shipdate >= timestamp '1996-06-01')
+UNION ALL
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+FROM lineitem WHERE l_shipdate >= timestamp '1996-06-01'
+"""
+
+
+def op_append_bymax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 append_bymax: target holds orders with key ≤ 5000; the op
+    probes max(o_orderkey) and appends only newer source rows (with an
+    extra where_filter, as the reference supports combining both)."""
+    store = _tmp_store(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    store.create_database("ch")
+    store.write("ch", "orders_bymax", orders.filter("o_orderkey <= 5000"))
+    spec = TableSpec(
+        schema="ch",
+        name="orders_bymax",
+        operation=Operation.APPEND_BY_MAX,
+        src_table_full_name="orders",
+        sync_by_column_max="o_orderkey",
+        where_filter="o_orderstatus = 'F'",
+    )
+    TaskScheduler(spark, store).run_task(
+        TaskSpec(tables=(spec,), degree=2), sources={"orders": orders}
+    )
+    return store.read("ch", "orders_bymax")
+
+
+OP_APPEND_BYMAX_ORACLE = """
+SELECT * FROM orders WHERE o_orderkey <= 5000
+UNION ALL
+SELECT * FROM orders WHERE o_orderkey > 5000 AND o_orderstatus = 'F'
+"""
+
+
+def op_append_notin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 append_notin as a distributed anti-join on the composite key
+    (l_orderkey, l_linenumber) — target pre-loaded with line 1 of
+    every order; op inserts only absent keys matching the source
+    filter."""
+    store = _tmp_store(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    store.create_database("ch")
+    store.write("ch", "lineitem_notin", li.filter("l_linenumber = 1"))
+    spec = TableSpec(
+        schema="ch",
+        name="lineitem_notin",
+        operation=Operation.APPEND_NOT_IN,
+        src_table_full_name="lineitem",
+        sync_by_columns=("l_orderkey", "l_linenumber"),
+        where_filter="l_quantity >= 25",
+    )
+    TaskScheduler(spark, store).run_task(
+        TaskSpec(tables=(spec,), degree=2), sources={"lineitem": li}
+    )
+    return store.read("ch", "lineitem_notin")
+
+
+OP_APPEND_NOTIN_ORACLE = """
+SELECT * FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT * FROM lineitem WHERE l_linenumber <> 1 AND l_quantity >= 25
+"""
+
+
+def op_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 update: broadcast-hash-join merge (≡ ALTER TABLE UPDATE via
+    dictGet/dictHas) — rows with l_returnflag='R' get l_quantity+100
+    and l_extendedprice zeroed; all other rows untouched."""
+    store = _tmp_store(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    store.create_database("ch")
+    store.write("ch", "lineitem_upd", li)
+    updates = (
+        li.filter("l_returnflag = 'R'")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_quantity") + 100.0).alias("l_quantity"),
+            F.lit(0.0).alias("l_extendedprice"),
+        )
+    )
+    spec = TableSpec(
+        schema="ch",
+        name="lineitem_upd",
+        operation=Operation.UPDATE,
+        update_fields=("l_quantity", "l_extendedprice"),
+    )
+    TaskScheduler(spark, store).run_task(
+        TaskSpec(tables=(spec,), degree=2),
+        sources={"lineitem_upd": updates},
+        key_columns={"lineitem_upd": ["l_orderkey", "l_linenumber"]},
+    )
+    return store.read("ch", "lineitem_upd")
+
+
+# (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
+# oracle mirrors the operator's exact contract: updates deduped by max per
+# key, then every row with a matching key gets the new field values.
+OP_UPDATE_ORACLE = """
+WITH upd AS (
+  SELECT l_orderkey, l_linenumber,
+         max(l_quantity + 100.0) AS new_qty, max(0.0) AS new_price
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey, l_linenumber
+)
+SELECT t.l_orderkey, t.l_partkey, t.l_suppkey, t.l_linenumber,
+       coalesce(u.new_qty, t.l_quantity) AS l_quantity,
+       coalesce(u.new_price, t.l_extendedprice) AS l_extendedprice,
+       t.l_discount, t.l_tax, t.l_returnflag, t.l_linestatus, t.l_shipdate
+FROM lineitem t
+LEFT JOIN upd u ON t.l_orderkey = u.l_orderkey AND t.l_linenumber = u.l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calc pipeline: typed params + CH-dialect stored query → materialize → export
+# ---------------------------------------------------------------------------
+
+_CALC_STORED_SQL = """
+select lpad(toString(c_nationkey), 3, '0') as nation_code,
+       toYear(o_orderdate) as order_year,
+       toYYYYMMDD(o_orderdate) as order_yyyymmdd,
+       if(o_totalprice > {bigthr:Decimal(38,6)}, 'BIG', 'SMALL') as size_bucket,
+       count(*) as n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_price
+from orders
+join customer on o_custkey = c_custkey
+where c_mktsegment = {seg:String}
+  and o_orderdate >= parseDateTime({from_date:String}, '%Y-%m-%d')
+  and o_orderkey % {modk:UInt32} != 0
+group by lpad(toString(c_nationkey), 3, '0'), toYear(o_orderdate),
+         toYYYYMMDD(o_orderdate),
+         if(o_totalprice > {bigthr:Decimal(38,6)}, 'BIG', 'SMALL')
+"""
+
+
+def calc_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full /calc lifecycle (C1–C4): bind typed params into a
+    stored ClickHouse-dialect query, dialect-translate, materialize
+    into the cache table, then export (hash-sliced) — returns the
+    exported 'Oracle-side' table."""
+    register_views(spark, sf_dir)
+    store = _tmp_store(spark)
+    meta = QueryMeta(
+        query_id=6184,
+        ch_table="ch_calc_orders",
+        ora_table="calc_orders",
+        query=_CALC_STORED_SQL,
+        params=(
+            QueryParam("bigthr", ParamType.DECIMAL, 1),
+            QueryParam("seg", ParamType.STRING, 2),
+            QueryParam("from_date", ParamType.STRING, 3),
+            QueryParam("modk", ParamType.UINT32, 4),
+        ),
+        ch_schema="ch",
+        ora_schema="msk_arm_lead",
+    )
+    engine = CalcEngine(spark, store, {6184: meta})
+    engine.run(
+        [
+            CalcQuery(
+                query_id=6184,
+                copy_by_parts_key="nation_code",
+                copy_by_parts_cnt=4,
+                params={
+                    "bigthr": "250000",
+                    "seg": "BUILDING",
+                    "from_date": "1995-06-01",
+                    "modk": "7",
+                },
+            )
+        ]
+    )
+    return store.read("msk_arm_lead", "calc_orders")
+
+
+CALC_PIPELINE_ORACLE = """
+SELECT lpad(cast(c_nationkey as varchar), 3, '0') AS nation_code,
+       cast(year(o_orderdate) as int) AS order_year,
+       cast(strftime(o_orderdate, '%Y%m%d') as int) AS order_yyyymmdd,
+       CASE WHEN o_totalprice > 250000 THEN 'BIG' ELSE 'SMALL' END AS size_bucket,
+       count(*) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate >= timestamp '1995-06-01'
+  AND o_orderkey % 7 != 0
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+CORE_QUERIES: list[QueryDef] = [
+    QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
+             "scan+agg surface on the fact table"),
+    QueryDef("flagship_star", flagship_star, FLAGSHIP_ORACLE,
+             "5-way join + semi-join + left join w/ ON predicate (≈ shipped calc query)"),
+    QueryDef("ntile_export_slices", ntile_export_slices, NTILE_ORACLE,
+             "S6 cityHash64+NTILE export slicing parity"),
+    QueryDef("events_hourly", events_hourly, EVENTS_HOURLY_ORACLE,
+             "hourly rollup of the events stream table"),
+    QueryDef("op_recreate", op_recreate_q, OP_RECREATE_ORACLE, "O1 via scheduler+store"),
+    QueryDef("op_append_where", op_append_where_q, OP_APPEND_WHERE_ORACLE, "O2 delete+insert range"),
+    QueryDef("op_append_bymax", op_append_bymax_q, OP_APPEND_BYMAX_ORACLE, "O3 watermark append"),
+    QueryDef("op_append_notin", op_append_notin_q, OP_APPEND_NOTIN_ORACLE, "O4 anti-join insert-if-absent"),
+    QueryDef("op_update", op_update_q, OP_UPDATE_ORACLE, "O5 broadcast merge update"),
+    QueryDef("calc_pipeline", calc_pipeline_q, CALC_PIPELINE_ORACLE,
+             "C1–C4: typed params + CH dialect + materialize + sliced export"),
+]
+
+
+def all_queries() -> list[QueryDef]:
+    from ora_ch_spark.catalog_ext import EXT_QUERIES
+
+    return CORE_QUERIES + EXT_QUERIES

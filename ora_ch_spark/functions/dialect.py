@@ -1,0 +1,164 @@
+"""ClickHouse-dialect → Spark SQL translation shim.
+
+The reference's stored calc queries are written in ClickHouse SQL
+(e.g. ``ora_ch_app/src/main/resources/v_cache_for_calc_6184_4626.txt``).
+This shim rewrites the function surface that file exercises (SURVEY.md
+§2.4) so stored CH-dialect text runs on Spark SQL unchanged:
+
+| CH construct                  | Spark SQL                             |
+|-------------------------------|---------------------------------------|
+| ``toYear(x)``                 | ``year(x)``                           |
+| ``toYYYYMMDD(x)``             | ``cast(date_format(x,'yyyyMMdd') as int)`` |
+| ``parseDateTime(s,'%Y-%m-%d')``| ``to_timestamp(s,'yyyy-MM-dd')``     |
+| ``parseDateTimeBestEffort(s)``| ``to_timestamp(s)``                   |
+| ``today()``                   | ``current_date()``                    |
+| ``toString(x)``               | ``cast(x as string)``                 |
+| ``toFixedString(x, n)``       | ``cast(x as string)`` (see note)      |
+| ``toInt32/toInt64/toUInt32…`` | ``cast(x as int/bigint/bigint)``      |
+| ``cityHash64(x…)``            | ``xxhash64(x…)`` (same role: uniform  |
+|                               | partitioning hash; not bit-identical) |
+| ``intDiv(a,b)``               | ``div`` via ``cast(a/b...)`` → ``a div b`` |
+| ``if(c,a,b)``, ``coalesce``,  | already valid Spark SQL — passthrough |
+| ``lpad``, ``concat``          |                                       |
+
+``toFixedString`` note: CH pads to N bytes; byte-exact parity would be
+``rpad(x, n, chr(0))`` — we deliberately keep plain string semantics
+(SURVEY §2.4) unless ``fixed_string_pad=True``.
+
+Nested-call safe: arguments are matched with a balanced-paren scanner,
+not a regex over the whole call.
+"""
+
+from __future__ import annotations
+
+import re
+
+# CH strftime-ish tokens → Spark datetime pattern tokens
+_FMT_TOKENS = {
+    "%Y": "yyyy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%i": "mm",
+    "%M": "mm",
+    "%S": "ss",
+    "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss",
+}
+
+
+def _convert_fmt(fmt: str) -> str:
+    out = fmt
+    for ch_tok, spark_tok in _FMT_TOKENS.items():
+        out = out.replace(ch_tok, spark_tok)
+    return out
+
+
+def _find_call(sql: str, fname: str, start: int = 0) -> tuple[int, int, list[str]] | None:
+    """Locate ``fname( ... )`` at/after ``start``; return (begin, end_exclusive,
+    [arg texts]) with balanced parens and quote awareness."""
+    pat = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(fname)}\s*\(", re.IGNORECASE)
+    m = pat.search(sql, start)
+    if not m:
+        return None
+    i = m.end()  # position after '('
+    depth, args, cur = 1, [], []
+    in_str = False
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur).strip())
+                return (m.start(), i + 1, args)
+            cur.append(c)
+        elif c == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    raise ValueError(f"unbalanced parentheses in call to {fname}")
+
+
+def _rewrite_calls(sql: str, fname: str, render) -> str:
+    """Rewrite every ``fname(...)`` call. Outermost calls are replaced
+    first; nested same-name calls survive verbatim inside the rendered
+    args and are picked up on the next loop pass (no render re-emits
+    its own name, so this terminates)."""
+    while True:
+        found = _find_call(sql, fname)
+        if not found:
+            return sql
+        begin, end, args = found
+        sql = sql[:begin] + render(args) + sql[end:]
+
+
+_CAST_FNS = {
+    "toString": "string",
+    "toInt8": "int",
+    "toInt16": "int",
+    "toInt32": "int",
+    "toInt64": "bigint",
+    "toUInt8": "int",
+    "toUInt16": "int",
+    "toUInt32": "bigint",
+    "toUInt64": "bigint",
+    "toFloat32": "float",
+    "toFloat64": "double",
+    "toDecimal128": "decimal(38,6)",
+    "toDate": "date",
+    "toDateTime": "timestamp",
+}
+
+
+def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
+    """Rewrite ClickHouse-dialect SQL into Spark SQL (function surface
+    of SURVEY.md §2.4). Idempotent on already-ANSI text."""
+    out = sql
+
+    out = _rewrite_calls(out, "toYear", lambda a: f"year({a[0]})")
+    out = _rewrite_calls(
+        out, "toYYYYMMDD", lambda a: f"cast(date_format({a[0]}, 'yyyyMMdd') as int)"
+    )
+
+    def _parse_dt(a: list[str]) -> str:
+        if len(a) == 1:
+            return f"to_timestamp({a[0]})"
+        fmt = a[1].strip()
+        if fmt.startswith("'") and fmt.endswith("'"):
+            fmt = "'" + _convert_fmt(fmt[1:-1]) + "'"
+        return f"to_timestamp({a[0]}, {fmt})"
+
+    out = _rewrite_calls(out, "parseDateTimeBestEffort", lambda a: f"to_timestamp({a[0]})")
+    out = _rewrite_calls(out, "parseDateTime", _parse_dt)
+
+    for ch_fn, spark_type in _CAST_FNS.items():
+        out = _rewrite_calls(
+            out, ch_fn, lambda a, t=spark_type: f"cast({a[0]} as {t})"
+        )
+
+    def _fixed(a: list[str]) -> str:
+        if fixed_string_pad and len(a) == 2:
+            return f"rpad(cast({a[0]} as string), {a[1]}, ' ')"
+        return f"cast({a[0]} as string)"
+
+    out = _rewrite_calls(out, "toFixedString", _fixed)
+    out = _rewrite_calls(out, "cityHash64", lambda a: f"xxhash64({', '.join(a)})")
+    out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} div {a[1]})")
+    out = re.sub(r"(?<![A-Za-z0-9_])today\s*\(\s*\)", "current_date()", out, flags=re.IGNORECASE)
+    return out

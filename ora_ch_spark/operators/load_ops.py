@@ -1,0 +1,198 @@
+"""The five load operations — the core operator set of ``POST /task``.
+
+Reference semantics (SURVEY.md §2.2; dispatch
+``task/TaskLogic.scala:285-348``; operation docs
+``request/OperType.scala:8-46``):
+
+- O1 ``recreate``    — drop + full copy (optional filter / column
+  subset / order / alternate source).
+- O2 ``append_where``— idempotent ranged append: delete target rows
+  matching ``where_filter``, then insert source rows matching it.
+- O3 ``append_bymax``— watermark append: copy source rows with
+  ``sync_by_column_max`` greater than the target's current max.
+- O4 ``append_notin``— insert-if-absent on a key tuple. The reference
+  splices literal ``NOT IN`` tuples (1..3 int columns,
+  ``table/Table.scala:59-84``); we use a **left anti join**, which
+  scales to any key arity/type and never materializes keys on the
+  driver.
+- O5 ``update``      — keyed update of non-key fields. The reference
+  builds a ClickHouse dictionary and runs ``ALTER TABLE UPDATE
+  col=dictGet(...) WHERE dictHas(...)``
+  (``clickhouse/jdbsChSession.scala:61-91``); the Spark-native
+  equivalent of a dictionary point-lookup is a **broadcast hash
+  join**, merged with ``coalesce(new, old)``.
+
+Scale notes: every operation is a single declarative plan — filters
+and projections push down to the source scan (Catalyst), the anti-join
+and merge shuffle only on their key columns, and the updates side of
+O5 is explicitly broadcast when small. Nothing ever collects data on
+the driver except the O3 watermark (a 1-row aggregate, as in the
+reference's ``MaxValAndCnt`` probe ``jdbsChSession.scala:93-121``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ora_ch_spark.specs import Operation, TableSpec
+from ora_ch_spark.store import TableStore
+
+BROADCAST_UPDATES_MAX_ROWS = 10_000_000  # ~hundreds of MB of keys; beyond → shuffle merge
+
+
+def shape_source(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Apply the spec's source-side shaping, mirroring the SELECT the
+    reference assembles in ``table/Table.scala:45-92``:
+    ``select <only_columns|*> from src [where where_filter]
+    [order by order_by_ora_data]``.
+
+    The filter/projection stay declarative so Catalyst pushes them
+    into the scan (parquet predicate pushdown / JDBC WHERE splice).
+    The order-by exists in the reference to optimize ClickHouse insert
+    locality; `sortWithinPartitions` keeps that locality benefit
+    without a global sort's extra shuffle.
+    """
+    if spec.where_filter:
+        df = df.filter(spec.where_filter)
+    if spec.only_columns:
+        df = df.select(*spec.only_columns)
+    if spec.order_by_ora_data:
+        df = df.sortWithinPartitions(*[c.strip() for c in spec.order_by_ora_data.split(",")])
+    return df
+
+
+def op_recreate(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
+    """O1 — drop + create + full copy
+    (``clickhouse/jdbsChSession.scala:257-314``)."""
+    df = shape_source(source, spec)
+    store.drop(spec.schema, spec.name)
+    store.create_database(spec.schema)
+    store.write(spec.schema, spec.name, df)
+    return store.row_count(spec.schema, spec.name)
+
+
+def op_append_where(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
+    """O2 — delete-matching + insert-matching, as ONE atomic version
+    swap (reference runs a non-atomic delete then insert,
+    ``jdbsChSession.scala:222-236`` + ``:284-298``; the version swap
+    is strictly better — same final state, no torn window)."""
+    incoming = shape_source(source, spec)
+    if store.table_exists(spec.schema, spec.name):
+        kept = store.read(spec.schema, spec.name).filter(f"NOT ({spec.where_filter})")
+        new_state = kept.unionByName(incoming)
+    else:
+        new_state = incoming
+    store.write(spec.schema, spec.name, new_state)
+    # copied-records accounting = rows inserted by this operation
+    # (reference counts post-delete inserts, ora/jdbcSession.scala:544-579)
+    return store.read(spec.schema, spec.name).filter(spec.where_filter).count()
+
+
+def op_append_bymax(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
+    """O3 — watermark append on a monotonically increasing column.
+
+    Max probe ≡ ``MaxValAndCnt`` (``jdbsChSession.scala:93-121``):
+    a 1-row aggregate on the target (cheap — parquet footer stats can
+    even answer it without a scan). The `col > max` predicate is then
+    part of the source plan, so it pushes down to the scan exactly as
+    the reference splices it into the Oracle SELECT
+    (``ora/jdbcSession.scala:360-368``).
+    """
+    col = spec.sync_by_column_max
+    df = shape_source(source, spec)
+    if store.table_exists(spec.schema, spec.name):
+        hi = store.read(spec.schema, spec.name).agg(F.max(col)).first()[0]
+        if hi is not None:
+            df = df.filter(F.col(col) > F.lit(hi))
+        store.append(spec.schema, spec.name, df)
+    else:
+        store.write(spec.schema, spec.name, df)
+    return df.count()
+
+
+def op_append_notin(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
+    """O4 — insert-if-absent via LEFT ANTI JOIN on the key columns.
+
+    Replaces the reference's driver-side `select distinct keys` +
+    literal ``NOT IN`` tuple splice (``jdbsChSession.scala:123-177``,
+    ``table/Table.scala:59-84``) with a distributed anti-join: no
+    driver key materialization, no 1..3-int-column limit, no O(keys)
+    SQL text. NULL-key semantics: the reference's keys are NOT NULL
+    integers, so anti-join (which keeps NULL-keyed source rows) is
+    equivalent on its domain — documented deviation for NULL keys.
+    """
+    keys = list(spec.sync_by_columns)
+    df = shape_source(source, spec)
+    if store.table_exists(spec.schema, spec.name):
+        existing = store.read(spec.schema, spec.name).select(*keys)
+        fresh = df.join(existing, on=keys, how="left_anti")
+        store.append(spec.schema, spec.name, fresh)
+        return fresh.count()
+    store.write(spec.schema, spec.name, df)
+    return df.count()
+
+
+def op_update(
+    store: TableStore,
+    spec: TableSpec,
+    updates: DataFrame,
+    key_columns: list[str],
+) -> int:
+    """O5 — keyed update of ``update_fields`` (upsert of non-key
+    fields; rows never added/removed, matching the reference's
+    ``ALTER TABLE UPDATE ... WHERE dictHas(...)``).
+
+    dictGet/dictHas ≡ broadcast hash join: ``updates`` (the changed
+    rows pulled from the source) is broadcast when small, and each
+    updated field becomes ``coalesce(new, old)``. One shuffle-free
+    plan when broadcast; falls back to a key-partitioned sort-merge
+    join automatically for huge update sets.
+
+    Optional changed-row pre-filter by ``sync_update_by_column_max``
+    (``jdbsChSession.scala:101-106``) is applied by the caller/
+    scheduler, which owns the watermark probe.
+    """
+    fields = list(spec.update_fields)
+    target = store.read(spec.schema, spec.name)
+    upd = updates.select(*key_columns, *fields)
+    # dedup updates on key (last-write-wins is undefined in the
+    # reference's dictionary too; enforce determinism via max)
+    upd = upd.groupBy(*key_columns).agg(*[F.max(f).alias(f) for f in fields])
+    upd_renamed = upd.select(
+        *key_columns, *[F.col(f).alias(f"__upd_{f}") for f in fields]
+    )
+    try:
+        n_upd = upd_renamed.count()
+    except Exception:
+        n_upd = None
+    if n_upd is not None and n_upd <= BROADCAST_UPDATES_MAX_ROWS:
+        upd_renamed = F.broadcast(upd_renamed)
+    merged = target.join(upd_renamed, on=key_columns, how="left")
+    for f in fields:
+        merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
+    merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
+    store.write(spec.schema, spec.name, merged)
+    return n_upd or 0
+
+
+def apply_operation(
+    store: TableStore,
+    spec: TableSpec,
+    source: DataFrame,
+    key_columns: list[str] | None = None,
+) -> int:
+    """Dispatch ≡ ``task/TaskLogic.scala:285-348``. Returns copied/affected rows."""
+    if spec.operation is Operation.RECREATE:
+        return op_recreate(store, spec, source)
+    if spec.operation is Operation.APPEND_WHERE:
+        return op_append_where(store, spec, source)
+    if spec.operation is Operation.APPEND_BY_MAX:
+        return op_append_bymax(store, spec, source)
+    if spec.operation is Operation.APPEND_NOT_IN:
+        return op_append_notin(store, spec, source)
+    if spec.operation is Operation.UPDATE:
+        if not key_columns:
+            raise ValueError("update requires key_columns (reference: table primary key)")
+        return op_update(store, spec, source, key_columns)
+    raise ValueError(f"unknown operation {spec.operation}")
