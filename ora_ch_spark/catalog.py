@@ -219,8 +219,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ts is nanos in parquet; cast the truncated hour to µs TIMESTAMP so the
+# oracle's dtype matches Spark's microsecond timestamps exactly
 EVENTS_HOURLY_ORACLE = """
-SELECT date_trunc('hour', ts) AS hour_start, event_type,
+SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_start, event_type,
        count(*) AS n_events,
        cast(sum(cast(value as decimal(18,2))) as double) AS total_value,
        count(CASE WHEN value > 50.0 THEN 1 END) AS n_large

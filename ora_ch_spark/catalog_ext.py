@@ -1,9 +1,477 @@
 """Extension catalog — LLM-data-pipeline operators beyond the
-reference surface (dedup, similarity search, text analysis,
-multimodal). Populated as the operators land."""
+reference surface: deduplication (exact / MinHash+LSH / SimHash /
+n-gram Jaccard / embedding cosine), similarity search (brute-force
+and LSH top-k), text analysis, multimodal plumbing, and the
+Structured-Streaming forms of the reference's incremental semantics.
+
+Every oracle below replays the Spark operator's exact algorithm in
+DuckDB SQL (same md5-derived hashes, same integer quantization, same
+tie-breaks), so the differential gate checks values bit-for-bit.
+"""
 
 from __future__ import annotations
 
-from ora_ch_spark.catalog import QueryDef
+import uuid
 
-EXT_QUERIES: list[QueryDef] = []
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ora_ch_spark.catalog import QueryDef
+from ora_ch_spark.functions.hashes import lsh_plane_signs
+from ora_ch_spark.io import load_table
+from ora_ch_spark.operators import dedup as D
+from ora_ch_spark.operators import similarity as S
+from ora_ch_spark.operators import text as TX
+from ora_ch_spark.operators.multimodal import media_feature_pipeline
+from ora_ch_spark.streaming.watermark import streaming_hourly_rollup
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5(shingle || '#{h}')) AS mh{h}" for h in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM tok WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT * FROM (
+  SELECT i.id_a, i.id_b,
+         cast(i.i as double) / cast(na.n + nb.n - i.i as double) AS jaccard
+  FROM inter i
+  JOIN sizes na ON i.id_a = na.doc_id
+  JOIN sizes nb ON i.id_b = nb.doc_id
+)
+WHERE jaccard >= {threshold}
+"""
+
+
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+hv AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+bits AS (SELECT doc_id, hv, unnest(range(0, 32)) AS b FROM hv),
+s AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS simhash
+FROM s GROUP BY doc_id
+"""
+
+
+def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.char_ngram_jaccard_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_NGRAM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, source, lower(text) AS t
+  FROM documents WHERE length(text) >= 4
+),
+g AS (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct([t[i:i+3] for i in range(1, length(t) - 2)])) AS gram
+  FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT i.id_a, i.id_b,
+         cast(i.i as double) / cast(na.n + nb.n - i.i as double) AS jaccard
+  FROM inter i
+  JOIN sizes na ON i.id_a = na.doc_id
+  JOIN sizes nb ON i.id_b = nb.doc_id
+)
+WHERE jaccard >= 0.6
+"""
+
+
+_NEARDUP_PLANES = 3
+_NEARDUP_THRESHOLD = 0.4
+
+
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket-blocked near-dup pairs — the 100 TB path (all-pairs
+    cross join is the brute-force fallback, kept as an operator
+    option but deliberately NOT the catalog default: at sf0.1 it is
+    already 2M pair evaluations vs ~250k blocked)."""
+    return S.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_NEARDUP_THRESHOLD,
+        use_lsh_blocking=True,
+        n_planes=_NEARDUP_PLANES,
+    )
+
+
+_QE = "list_transform(embedding::DOUBLE[], x -> cast(floor(x * 10000) as bigint))"
+
+
+def _embedding_neardup_oracle() -> str:
+    signs = lsh_plane_signs(_NEARDUP_PLANES, 64)
+    bucket = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"({signs[p][d]}) * qe[{d + 1}]" for d in range(64))
+        + f") > 0 THEN {1 << p} ELSE 0 END)::BIGINT"
+        for p in range(_NEARDUP_PLANES)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+b AS (SELECT vec_id, qe, ({bucket}) AS bucket FROM q),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+dot AS (
+  SELECT p.id_a, p.id_b, sum(ea.v * eb.v) AS d
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.id_a
+  JOIN e eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         cast(d as double) / (sqrt(cast(na.nn as double)) * sqrt(cast(nb.nn as double))) AS cosine
+  FROM dot JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id
+)
+WHERE cosine >= {_NEARDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def sim_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(emb, query_ids=emb.filter("vec_id < 10"))
+
+
+SIM_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+dot AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.v * b.v) AS d
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id != b.vec_id
+  GROUP BY 1, 2
+),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+scored AS (
+  SELECT q_id, n_id,
+         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb.nn as double))) AS cosine
+  FROM dot JOIN nrm nq ON q_id = nq.vec_id JOIN nrm nb ON n_id = nb.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) as int) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+_N_PLANES = 4
+_DIMS = 64
+
+
+def _plane_dot_sql(p: int, signs: list[list[int]]) -> str:
+    return " + ".join(f"({signs[p][d]}) * qe[{d + 1}]" for d in range(_DIMS))
+
+
+def _bucket_sql(signs: list[list[int]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_plane_dot_sql(p, signs)}) > 0 THEN {1 << p} ELSE 0 END)::BIGINT"
+        for p in range(_N_PLANES)
+    )
+
+
+def sim_lsh_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_assign(emb, n_planes=_N_PLANES, dims=_DIMS).select("vec_id", "bucket")
+
+
+def _lsh_bucket_oracle() -> str:
+    signs = lsh_plane_signs(_N_PLANES, _DIMS)
+    return f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings)
+SELECT vec_id, ({_bucket_sql(signs)}) AS bucket FROM q
+"""
+
+
+def sim_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(
+        emb, query_ids=emb.filter("vec_id < 10"), n_planes=_N_PLANES, dims=_DIMS
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    signs = lsh_plane_signs(_N_PLANES, _DIMS)
+    return f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+b AS (SELECT vec_id, qe, ({_bucket_sql(signs)}) AS bucket FROM q),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+pairs AS (
+  SELECT qa.vec_id AS q_id, qa.bucket, nb.vec_id AS n_id
+  FROM b qa JOIN b nb ON qa.bucket = nb.bucket AND qa.vec_id != nb.vec_id
+  WHERE qa.vec_id < 10
+),
+dot AS (
+  SELECT p.q_id, p.bucket, p.n_id, sum(ea.v * eb.v) AS d
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.q_id
+  JOIN e eb ON eb.vec_id = p.n_id AND eb.i = ea.i
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT q_id, bucket, n_id,
+         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb2.nn as double))) AS cosine
+  FROM dot JOIN nrm nq ON q_id = nq.vec_id JOIN nrm nb2 ON n_id = nb2.vec_id
+),
+ranked AS (
+  SELECT q_id, bucket, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) as int) AS rank
+  FROM scored
+)
+SELECT q_id, bucket, n_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(TX.LANG_LEXICON.items())
+        for w in words
+    )
+    return f"""
+WITH lex AS (SELECT * FROM (VALUES {values}) t(cand_lang, tok)),
+tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+hits AS (
+  SELECT doc_id, cand_lang, count(*) AS hits
+  FROM tok JOIN lex USING (tok) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand_lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.cand_lang, 'und') AS predicted_lang,
+       cast(coalesce(b.hits, 0) as bigint) AS lex_hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    stop_set = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_set}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(tok)) AS sum_tok_len
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         length(regexp_replace(lower(text), '[a-z]', '', 'g'))::BIGINT AS n_nonalpha
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars,
+       cast(sum_tok_len as double) / cast(n_tokens as double) AS avg_token_len,
+       cast(n_stop as double) / cast(n_tokens as double) AS stopword_ratio,
+       CASE WHEN n_chars > 0
+            THEN cast(n_chars - n_nonalpha as double) / cast(n_chars as double)
+            ELSE 0.0 END AS alpha_ratio,
+       0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+     + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+     + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) AS quality_score,
+       CASE WHEN 0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+               + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+               + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) >= 0.5 THEN 'high'
+            WHEN 0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+               + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+               + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) >= 0.3 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM base JOIN agg USING (doc_id)
+"""
+
+
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_STATS_ORACLE = """
+SELECT doc_id, count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct_tokens,
+       cast(sum(cast(ceil(length(tok) / 4.0) as bigint)) as bigint) AS n_subword_est
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+GROUP BY doc_id
+"""
+
+
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+FINGERPRINT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS n_docs_sharing
+FROM fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + streaming
+# ---------------------------------------------------------------------------
+
+def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_feature_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id, 'image' AS media_type,
+       length(text)::BIGINT AS n_bytes,
+       md5(text) AS content_hash,
+       cast(1 + (ascii(substr(text, 1, 1)) % 64) as int) AS width,
+       cast(1 + (ascii(substr(text, 2, 1)) % 64) as int) AS height,
+       cast(1 + (length(text) % 7) as int) AS n_frames
+FROM documents
+"""
+
+
+def streaming_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_hourly_rollup(
+        spark,
+        f"{sf_dir}/events.parquet",
+        query_name=f"events_rollup_{uuid.uuid4().hex[:8]}",
+    )
+
+
+STREAMING_WINDOW_ORACLE = """
+SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_start, event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+GROUP BY 1, 2
+"""
+
+
+EXT_QUERIES: list[QueryDef] = [
+    QueryDef("dedup_exact", dedup_exact_q, DEDUP_EXACT_ORACLE,
+             "exact dedup groups by content digest"),
+    QueryDef("dedup_minhash_lsh", dedup_minhash_q, _minhash_oracle(),
+             "MinHash(16)→LSH(4 bands)→exact-Jaccard near-dedup pairs"),
+    QueryDef("dedup_simhash", dedup_simhash_q, DEDUP_SIMHASH_ORACLE,
+             "32-bit SimHash signatures over tokens"),
+    QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
+             "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
+    QueryDef("dedup_embedding_cosine", dedup_embedding_q, _embedding_neardup_oracle(),
+             "LSH-blocked embedding near-dup pairs by quantized cosine"),
+    QueryDef("sim_topk_bruteforce", sim_topk_bruteforce_q, SIM_TOPK_ORACLE,
+             "exact cosine top-5 for 10 query vectors"),
+    QueryDef("sim_lsh_bucket", sim_lsh_bucket_q, _lsh_bucket_oracle(),
+             "sign-random-projection bucket assignment"),
+    QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),
+             "LSH-bucketed approximate cosine top-5"),
+    QueryDef("text_lang_id", text_lang_id_q, _lang_id_oracle(),
+             "stopword-lexicon language identification"),
+    QueryDef("text_quality", text_quality_q, _quality_oracle(),
+             "quality features + composite score + bucket"),
+    QueryDef("text_token_stats", text_token_stats_q, TOKEN_STATS_ORACLE,
+             "whitespace + BPE-ish subword token counting"),
+    QueryDef("text_fingerprint", text_fingerprint_q, FINGERPRINT_ORACLE,
+             "sorted-token-set md5 fingerprint + share counts"),
+    QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
+             "binary media column → mapInPandas feature extraction"),
+    QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,
+             "watermarked tumbling-window rollup (Structured Streaming)"),
+]

@@ -54,11 +54,26 @@ def _convert_fmt(fmt: str) -> str:
     return out
 
 
+def _inside_string(sql: str, pos: int) -> bool:
+    in_str = False
+    i = 0
+    while i < pos:
+        if sql[i] == "'":
+            if in_str and i + 1 < len(sql) and sql[i + 1] == "'":
+                i += 1  # escaped quote
+            else:
+                in_str = not in_str
+        i += 1
+    return in_str
+
+
 def _find_call(sql: str, fname: str, start: int = 0) -> tuple[int, int, list[str]] | None:
     """Locate ``fname( ... )`` at/after ``start``; return (begin, end_exclusive,
     [arg texts]) with balanced parens and quote awareness."""
     pat = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(fname)}\s*\(", re.IGNORECASE)
     m = pat.search(sql, start)
+    while m and _inside_string(sql, m.start()):
+        m = pat.search(sql, m.end())
     if not m:
         return None
     i = m.end()  # position after '('

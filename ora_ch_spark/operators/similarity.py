@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Determinism contract: embeddings are quantized to integers
+(``floor(x * 10000)``) so dot products and norms are **exact integer
+sums** — order-independent, identical on every engine — and the final
+cosine is a single double division. This makes ANN results
+bit-reproducible across Spark and the DuckDB oracle, which float
+accumulation order would not be.
+
+Scale design:
+- ``cosine_topk_bruteforce`` is the exact baseline: a broadcast join
+  of the (small) query set against the corpus — one pass, no N²
+  among corpus vectors, no shuffle beyond the top-k window.
+- ``lsh_bucket_assign`` + ``cosine_topk_lsh`` is the scale path:
+  sign-random-projection buckets (hyperplane signs derived from md5 —
+  seed-free deterministic) prune candidates to same-bucket vectors;
+  bucket assignment is embarrassingly parallel and the join key is
+  the bucket id. On 100 TB you'd additionally store bucket as a
+  partition column. The dot products run JVM-side via higher-order
+  array functions (zip_with/aggregate) — no Python in the loop.
+- ``embedding_near_dup_pairs``: all-pairs near-dup gated by LSH
+  bucket equality (never a full cross join at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ora_ch_spark.functions.hashes import lsh_plane_signs
+
+QUANT = 10000
+
+
+def quantize(df: DataFrame, emb_col: str = "embedding", out_col: str = "qe") -> DataFrame:
+    """floor(x·10⁴) per dimension → array<bigint> (exact arithmetic)."""
+    return df.withColumn(
+        out_col,
+        F.expr(f"transform({emb_col}, x -> cast(floor(cast(x as double) * {QUANT}) as bigint))"),
+    )
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def _norm2(a: str):
+    return F.expr(f"aggregate(transform({a}, x -> x * x), 0L, (acc, v) -> acc + v)")
+
+
+def with_cosine(joined: DataFrame, qa: str = "qa", qb: str = "qb") -> DataFrame:
+    """cosine = dot/(√na·√nb) — all inputs exact ints ≤ 2⁵³, so the
+    doubles (and their product/quotient) are engine-identical."""
+    return (
+        joined.withColumn("__dot", _dot(qa, qb))
+        .withColumn("__na", _norm2(qa))
+        .withColumn("__nb", _norm2(qb))
+        .withColumn(
+            "cosine",
+            F.col("__dot").cast("double")
+            / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))),
+        )
+        .drop("__dot", "__na", "__nb")
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (brute force over
+    the corpus; the query side is broadcast). Rank ties break on
+    neighbor id for determinism."""
+    q = quantize(emb, emb_col, "qe")
+    corpus = q.select(F.col(id_col).alias("n_id"), F.col("qe").alias("qb"))
+    queries = q.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa"))
+    if query_ids is not None:
+        queries = queries.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))), "q_id"
+        )
+    pairs = F.broadcast(queries).crossJoin(corpus).filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(pairs)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    )
+
+
+def lsh_bucket_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector: bit p = sign of
+    ⟨w_p, qe⟩ with w_p ∈ {±1}^dims derived from md5 (seed-free).
+    Integer dot → exact; bucket ∈ [0, 2^n_planes)."""
+    signs = lsh_plane_signs(n_planes, dims)
+    q = quantize(emb, emb_col, "qe")
+    bucket = None
+    for p in range(n_planes):
+        warr = "array(" + ",".join(str(s) for s in signs[p]) + ")"
+        dot_p = F.expr(
+            f"aggregate(zip_with({warr}, qe, (w, x) -> w * x), 0L, (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot_p > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bucket = bit if bucket is None else bucket + bit
+    return q.withColumn("bucket", bucket)
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (equi-join on bucket id — shuffle on a small uniform key
+    instead of a cross join)."""
+    b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims)
+    corpus = b.select(F.col(id_col).alias("n_id"), F.col("qe").alias("qb"), "bucket")
+    queries = b.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa"), "bucket")
+    if query_ids is not None:
+        queries = queries.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))), "q_id"
+        )
+    pairs = F.broadcast(queries).join(corpus, "bucket").filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(pairs)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "n_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.45,
+    use_lsh_blocking: bool = False,
+    n_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """All-pairs near-duplicates by cosine ≥ threshold. With
+    ``use_lsh_blocking`` the pair space is gated by bucket equality
+    (the 100 TB path); without, an ordered cross join (exact, small
+    corpora / verification)."""
+    if use_lsh_blocking:
+        b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims)
+        a = b.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"), "bucket")
+        c = b.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"), "bucket")
+        pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        q = quantize(emb, emb_col, "qe")
+        a = q.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"))
+        c = q.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"))
+        pairs = a.crossJoin(c).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators over the ``documents`` table: language ID
+(stopword-lexicon heuristic), quality scoring, token counting, and
+document fingerprinting.
+
+All pure DataFrame/SQL compositions — no UDFs, everything stays in
+whole-stage codegen. Every output is derived from exact integer
+counts plus single deterministic double expressions, so results are
+engine-exact for differential testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword language
+# heuristic. Deliberately small and inline (a production pipeline
+# would broadcast a real lexicon table — the plan shape is identical:
+# explode tokens → broadcast join lexicon → argmax per doc).
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "que", "pour"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "men5", "bu4"),
+}
+
+STOPWORDS_EN = LANG_LEXICON["en"]
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: predicted language = argmax over
+    candidate languages of lexicon token hits (ties break on language
+    code ascending — deterministic). Docs with zero hits in every
+    lexicon predict 'und' (undetermined)."""
+    lex_rows = [
+        (lang, w) for lang, words in sorted(LANG_LEXICON.items()) for w in words
+    ]
+    spark = df.sparkSession
+    lex = spark.createDataFrame(lex_rows, ["cand_lang", "tok"])
+    toks = _tokens(df, id_col, text_col)
+    hits = (
+        toks.join(F.broadcast(lex), "tok")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("cand_lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cand_lang").alias("predicted_lang"), F.col("hits").alias("lex_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("predicted_lang"), F.lit("und")).alias("predicted_lang"),
+            F.coalesce(F.col("lex_hits"), F.lit(0).cast("bigint")).alias("lex_hits"),
+        )
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+
+    - n_tokens, n_chars, avg_token_len, stopword_ratio, alpha_ratio
+    - score = 0.4·stop_ratio + 0.3·min(avg_len/10, 1) + 0.3·min(n_tokens/100, 1)
+    - bucket: high ≥ 0.5 > medium ≥ 0.3 > low
+
+    Integer counts + one fixed double formula → engine-exact.
+    """
+    toks = _tokens(df, id_col, text_col)
+    stop_set = ",".join(f"'{w}'" for w in STOPWORDS_EN)
+    per_tok = toks.withColumn("is_stop", F.expr(f"tok in ({stop_set})").cast("int")).withColumn(
+        "tok_len", F.length("tok")
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_stop").alias("n_stop"),
+        F.sum("tok_len").alias("sum_tok_len"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        (
+            F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z]", ""))
+        ).cast("bigint").alias("n_nonalpha"),
+    )
+    out = base.join(agg, id_col)
+    # n_tokens ≥ 1 always (split of "" yields [""]), but n_chars can be 0
+    # for empty docs — guard the ratio (ANSI mode makes /0 an error)
+    avg_len = F.col("sum_tok_len").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    alpha_ratio = F.when(
+        F.col("n_chars") > 0,
+        (F.col("n_chars") - F.col("n_nonalpha")).cast("double") / F.col("n_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * F.least(avg_len / F.lit(10.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_chars",
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.5, "high").when(score >= 0.3, "medium").otherwise("low").alias("quality_bucket"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword
+    estimate (⌈len/4⌉ per token — the standard ~4-chars-per-token
+    heuristic), and distinct-token count. All integers."""
+    toks = _tokens(df, id_col, text_col)
+    return toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
+        F.sum(F.expr("cast(ceil(length(tok) / 4.0) as bigint)")).alias("n_subword_est"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    token set (word-order- and duplication-insensitive — catches
+    shuffled/near-identical docs that exact hashing misses). Returns
+    the fingerprint plus how many docs share it."""
+    canon = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))), " ")
+    )
+    fp = df.select(F.col(id_col), canon.alias("fingerprint"))
+    counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_docs_sharing"))
+    return fp.join(counts, "fingerprint").select(id_col, "fingerprint", "n_docs_sharing")

@@ -1,0 +1,208 @@
+"""Unit tests for engine internals — the test pyramid layer the
+reference lacks entirely (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ora_ch_spark.functions.dialect import translate_ch_sql
+from ora_ch_spark.functions.params import UNKNOWN_PARAM_SENTINEL, ParamBindError, bind_params
+from ora_ch_spark.io import load_table
+from ora_ch_spark.runlog import RunLog, State
+from ora_ch_spark.specs import (
+    Operation,
+    ParamType,
+    QueryParam,
+    SpecError,
+    TableSpec,
+    TaskSpec,
+)
+from ora_ch_spark.store import TableNotFound, TableStore
+from ora_ch_spark.typemap import (
+    clamp_ch_datetime,
+    column_nullable,
+    oracle_to_spark_type,
+)
+
+
+# ---- specs (validation parity: request/ReqNewTask.scala:28-61) ----
+
+def test_spec_validation_rules():
+    with pytest.raises(SpecError):
+        TableSpec("s", "t", Operation.APPEND_WHERE)
+    with pytest.raises(SpecError):
+        TableSpec("s", "t", Operation.APPEND_BY_MAX)
+    with pytest.raises(SpecError):
+        TableSpec("s", "t", Operation.APPEND_NOT_IN)
+    with pytest.raises(SpecError):
+        TableSpec("s", "t", Operation.UPDATE)
+    with pytest.raises(SpecError):
+        TableSpec(
+            "s", "t", Operation.APPEND_BY_MAX,
+            sync_by_column_max="a", sync_by_columns=("b",),
+        )
+    with pytest.raises(SpecError):
+        TaskSpec(tables=(TableSpec("s", "t", Operation.RECREATE),), degree=13)
+    with pytest.raises(SpecError):
+        TaskSpec(tables=(TableSpec("s", "t", Operation.RECREATE),), degree=1)
+    # degree semantics: sequential ≤ 3, else degree-1 (TaskLogic.scala:350-363)
+    t = TableSpec("s", "t", Operation.RECREATE)
+    assert TaskSpec(tables=(t,), degree=3).effective_parallelism == 1
+    assert TaskSpec(tables=(t,), degree=8).effective_parallelism == 7
+
+
+# ---- typemap (OraChColumn.scala:47-58, 35-45) ----
+
+def test_oracle_type_mapping():
+    assert oracle_to_spark_type("NUMBER", 0) == T.LongType()
+    assert oracle_to_spark_type("NUMBER", None) == T.LongType()
+    assert oracle_to_spark_type("NUMBER", 2) == T.DecimalType(38, 6)
+    assert oracle_to_spark_type("VARCHAR2") == T.StringType()
+    assert oracle_to_spark_type("CLOB") == T.StringType()
+    assert oracle_to_spark_type("DATE") == T.TimestampType()
+    with pytest.raises(TypeError, match="UNDEFINED_COL_TYPE"):
+        oracle_to_spark_type("SDO_GEOMETRY")
+
+
+def test_nullability_rules():
+    assert column_nullable(True, "x") is True
+    assert column_nullable(False, "x") is False
+    assert column_nullable(True, "rn") is False  # 'rn' forced NOT NULL
+    assert column_nullable(True, "k", notnull_columns=("K",)) is False
+
+
+def test_ch_datetime_clamp(spark):
+    df = spark.createDataFrame(
+        [("1960-01-01 00:00:00",), ("2000-06-15 12:00:00",), ("2200-01-01 00:00:00",)],
+        ["s"],
+    ).select(F.to_timestamp("s").alias("ts"))
+    out = [str(r[0]) for r in df.select(clamp_ch_datetime(F.col("ts"))).collect()]
+    assert out == [
+        "1971-01-01 00:00:00",
+        "2000-06-15 12:00:00",
+        "2106-01-01 00:00:00",
+    ]
+
+
+# ---- param binding (jdbsChSession.scala:712-743) ----
+
+_PARAMS = (
+    QueryParam("thr", ParamType.DECIMAL, 1),
+    QueryParam("seg", ParamType.STRING, 2),
+    QueryParam("n", ParamType.UINT32, 3),
+)
+
+
+def test_bind_params_typed_splice():
+    sql = "select * from t where a > {thr:Decimal(38,6)} and b = {seg:String} and c % {n:UInt32} = 0"
+    out = bind_params(sql, _PARAMS, {"thr": "12.5", "seg": "it's", "n": "7"})
+    assert out == "select * from t where a > 12.5 and b = 'it''s' and c % 7 = 0"
+
+
+def test_bind_params_unknown_name_sentinel():
+    out = bind_params("where x = {ghost:String}", _PARAMS, {})
+    assert UNKNOWN_PARAM_SENTINEL in out
+
+
+def test_bind_params_rejects_injection_in_numeric():
+    with pytest.raises(ParamBindError):
+        bind_params("where a > {thr:Decimal(38,6)}", _PARAMS, {"thr": "1; drop table t"})
+
+
+# ---- dialect shim (SURVEY.md §2.4) ----
+
+def test_dialect_translation():
+    assert translate_ch_sql("toYear(d)") == "year(d)"
+    assert translate_ch_sql("toYYYYMMDD(d)") == "cast(date_format(d, 'yyyyMMdd') as int)"
+    assert (
+        translate_ch_sql("parseDateTime(s, '%Y-%m-%d')")
+        == "to_timestamp(s, 'yyyy-MM-dd')"
+    )
+    assert translate_ch_sql("today()") == "current_date()"
+    assert translate_ch_sql("toString(x)") == "cast(x as string)"
+    assert translate_ch_sql("toFixedString(x, 1000)") == "cast(x as string)"
+    assert translate_ch_sql("cityHash64(a, b)") == "xxhash64(a, b)"
+    assert translate_ch_sql("intDiv(a, 100)") == "(a div 100)"
+    # nested + string-literal safety
+    assert (
+        translate_ch_sql("toYear(parseDateTime(x, '%Y-%m-%d'))")
+        == "year(to_timestamp(x, 'yyyy-MM-dd'))"
+    )
+    assert translate_ch_sql("concat('toYear(', x)") == "concat('toYear(', x)"
+
+
+def test_dialect_runs_on_spark(spark):
+    out = spark.sql(
+        translate_ch_sql(
+            "select toYear(parseDateTime('2024-03-05', '%Y-%m-%d')) as y, "
+            "toYYYYMMDD(parseDateTime('2024-03-05', '%Y-%m-%d')) as ymd, "
+            "if(1 > 0, lpad(toString(42), 5, '0'), 'x') as padded"
+        )
+    ).first()
+    assert (out.y, out.ymd, out.padded) == (2024, 20240305, "00042")
+
+
+# ---- store (atomic versioned swap) ----
+
+def test_store_version_swap_and_probes(spark):
+    store = TableStore(spark, tempfile.mkdtemp(prefix="store_test_"))
+    df = spark.range(10).withColumnRenamed("id", "k")
+    store.create_database("s")
+    assert store.table_exists("s", "t") is False
+    with pytest.raises(TableNotFound):
+        store.read("s", "t")
+    store.write("s", "t", df)
+    assert store.table_exists("s", "t")
+    assert store.row_count("s", "t") == 10
+    assert store.columns("s", "t") == ["k"]
+    assert store.list_tables("s") == ["t"]
+    store.append("s", "t", spark.range(5).withColumnRenamed("id", "k"))
+    assert store.row_count("s", "t") == 15
+    store.truncate("s", "t")
+    assert store.row_count("s", "t") == 0
+    store.drop("s", "t")
+    assert store.table_exists("s", "t") is False
+
+
+# ---- runlog (state machine parity: §1.4) ----
+
+def test_runlog_lifecycle():
+    log = RunLog()
+    tid = log.create_task()
+    log.set_task_state(tid, State.EXECUTING)
+    run = log.begin_table(tid, "ch", "t1", "recreate")
+    assert run.state == "copying"
+    log.finish_table(run, copied=1000)
+    assert run.state == "finished_recreate"  # table/Table.scala:94-95
+    assert run.speed_rows_sec is not None and run.speed_rows_sec > 0
+    log.finish_task(tid)
+    assert log.tasks[tid].state == State.FINISHED
+    # error truncation to 4000 chars (ora/jdbcSession.scala:472)
+    run2 = log.begin_table(tid, "ch", "t2", "update")
+    log.table_error(run2, "x" * 9000)
+    assert len(run2.error_msg) == 4000
+
+
+# ---- streaming O3 (incremental append via foreachBatch) ----
+
+def test_streaming_append_bymax(spark, sf_smoke):
+    from ora_ch_spark.streaming.watermark import streaming_append_bymax
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="stream_store_"))
+    orders = load_table(spark, sf_smoke, "orders")
+    store.create_database("ch")
+    store.write("ch", "orders_s", orders.filter("o_orderkey <= 500"))
+    import os
+    import tempfile as tf
+
+    d = tf.mkdtemp(prefix="stream_src_orders_")
+    os.symlink(f"{sf_smoke}/orders.parquet", os.path.join(d, "orders.parquet"))
+    streaming_append_bymax(
+        spark, d, store, "ch", "orders_s", "o_orderkey",
+        checkpoint_dir=tf.mkdtemp(prefix="ckpt_"),
+    )
+    assert store.row_count("ch", "orders_s") == orders.count()
