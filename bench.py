@@ -31,6 +31,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
     spark = get_spark(app_name="ora_ch_spark_bench")
+    # warm up the JVM + parquet reader so startup cost isn't billed to
+    # the first query
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for q in all_queries():

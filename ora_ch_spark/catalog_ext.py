@@ -44,14 +44,19 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    from ora_ch_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
     rows = num_hashes // bands
     mins = ",\n         ".join(
-        f"min(md5(shingle || '#{h}')) AS mh{h}" for h in range(num_hashes)
+        f"min(({a} * hv + {b}) % {MINHASH_PRIME}) AS mh{h}"
+        for h, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+        "  SELECT doc_id, {b} AS band, {expr} AS bucket FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+            expr=" || '|' || ".join(
+                f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
@@ -65,10 +70,13 @@ sh AS (
          )) AS shingle
   FROM tok WHERE len(w) >= 3
 ),
+shh AS (
+  SELECT doc_id, shingle, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -127,10 +135,15 @@ WITH d AS (
   SELECT doc_id, lang, source, lower(text) AS t
   FROM documents WHERE length(text) >= 4
 ),
+graw AS (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct([t[i:i+3] for i in range(1, length(t) - 2)])) AS gram_s
+  FROM d
+),
 g AS (
   SELECT doc_id, lang, source,
-         unnest(list_distinct([t[i:i+3] for i in range(1, length(t) - 2)])) AS gram
-  FROM d
+         ('0x' || substr(md5(gram_s), 1, 15))::BIGINT AS gram
+  FROM graw
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
 inter AS (

@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,28 +51,47 @@ def word_shingles(
     )
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
-    """MinHash signature: for hash function *h*, the minimum of
-    ``md5(shingle || '#h')`` over the doc's shingle set. Min over
-    fixed-length hex strings ≡ min over the underlying 128-bit
-    integers, and is exactly reproducible on any engine."""
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{h}")))).alias(f"mh{h}")
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime; products stay < 2^63
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Universal-hash coefficients (aᵢ, bᵢ), md5-derived (seed-free,
+    deterministic): hᵢ(x) = (aᵢ·x + bᵢ) mod P over the 32-bit base
+    hash. aᵢ < 2³⁰ keeps aᵢ·x < 2⁶² (no int64 overflow)."""
+    from ora_ch_spark.functions.hashes import py_md5_long
+
+    return [
+        (py_md5_long(f"mh_a{h}", 7) | 1, py_md5_long(f"mh_b{h}", 7))
         for h in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
+    """MinHash signature via universal hashing over ONE md5 per
+    shingle (instead of ``num_hashes`` md5s): base = first 8 md5 hex
+    chars as int, then hᵢ = (aᵢ·base + bᵢ) mod P. Pure int64
+    arithmetic — exactly reproducible on any engine, and ~an order of
+    magnitude less hashing work at scale."""
+    hv = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    base = shingles.withColumn("__hv", hv)
+    aggs = [
+        F.min((F.lit(a) * F.col("__hv") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{h}")
+        for h, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(
     sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Band the signature: bucket key = md5 of the band's hash slice.
+    """Band the signature: bucket key = the band's hash slice joined
+    as a string (no re-hash needed — the slice itself is the key).
     Docs sharing any (band, bucket) become candidate pairs."""
     rows = num_hashes // bands
     entries = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[f"mh{b * rows + r}" for r in range(rows)])).alias("bucket"),
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]).alias("bucket"),
         )
         for b in range(bands)
     ]
@@ -134,8 +153,13 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dedup: returns (id_a, id_b,
-    jaccard) pairs above the threshold."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    jaccard) pairs above the threshold.
+
+    The exploded shingle set feeds three plan branches (signatures +
+    both sides of the verify join); it is persisted so the explode
+    runs once. At 100 TB the same role is played by materializing the
+    shingle table to storage (MEMORY_AND_DISK spills gracefully)."""
+    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
     cands = candidate_pairs(lsh_band_buckets(sig, id_col, num_hashes, bands), id_col)
     return jaccard_verify(cands, sh, id_col, threshold)
@@ -182,26 +206,40 @@ def char_ngram_jaccard_dedup(
     d = df.select(F.col(id_col), *block_cols, t.alias("__t")).filter(
         F.length("__t") >= n
     )
+    # One compact array of distinct hashed grams per doc — NO gram
+    # explode: the verify is a map-side array_intersect over the
+    # blocked pair join, which shuffles only on the block key. Within
+    # a block the pair space is quadratic BY DESIGN (the block is the
+    # pruning unit); for unblocked corpora use minhash_lsh_dedup, the
+    # sub-quadratic general path. Grams are hashed to 60-bit ints so
+    # the arrays are fixed-width and engine-reproducible (md5).
     grams = F.expr(
-        f"array_distinct(transform(sequence(1, length(__t) - {n} + 1),"
-        f" i -> substring(__t, i, {n})))"
+        f"transform(array_distinct(transform(sequence(1, length(__t) - {n} + 1),"
+        f" i -> substring(__t, i, {n}))),"
+        f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
     )
-    g = d.select(F.col(id_col), *block_cols, F.explode(grams).alias("gram"))
-    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = g.select(F.col(id_col).alias("id_a"), *[F.col(c) for c in block_cols], "gram")
-    b = g.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in block_cols], "gram")
+    arrays = d.select(
+        F.col(id_col), *block_cols, grams.alias("grams"), F.size(grams).alias("n")
+    ).persist()  # materialize once — otherwise Catalyst inlines the
+    # md5-transform into the join projection and recomputes the gram
+    # arrays PER PAIR instead of per doc
+    a = arrays.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c) for c in block_cols],
+        F.col("grams").alias("ga"),
+        F.col("n").alias("na"),
+    )
+    b = arrays.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("grams").alias("gb"),
+        F.col("n").alias("nb"),
+    )
     cond = [a[c] == b[f"{c}_b"] for c in block_cols]
-    inter = (
-        a.join(b, cond + [a.gram == b.gram])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")

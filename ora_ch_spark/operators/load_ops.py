@@ -161,19 +161,24 @@ def op_update(
     upd = upd.groupBy(*key_columns).agg(*[F.max(f).alias(f) for f in fields])
     upd_renamed = upd.select(
         *key_columns, *[F.col(f).alias(f"__upd_{f}") for f in fields]
-    )
+    ).persist()
     try:
+        # one job materializes the (small) update set; the count both
+        # feeds the run log and tells us whether broadcasting is safe
         n_upd = upd_renamed.count()
-    except Exception:
-        n_upd = None
-    if n_upd is not None and n_upd <= BROADCAST_UPDATES_MAX_ROWS:
-        upd_renamed = F.broadcast(upd_renamed)
-    merged = target.join(upd_renamed, on=key_columns, how="left")
-    for f in fields:
-        merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
-    merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
-    store.write(spec.schema, spec.name, merged)
-    return n_upd or 0
+        join_side = (
+            F.broadcast(upd_renamed)
+            if n_upd <= BROADCAST_UPDATES_MAX_ROWS
+            else upd_renamed
+        )
+        merged = target.join(join_side, on=key_columns, how="left")
+        for f in fields:
+            merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
+        merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
+        store.write(spec.schema, spec.name, merged)
+    finally:
+        upd_renamed.unpersist()
+    return n_upd
 
 
 def apply_operation(
