@@ -129,6 +129,7 @@ class CalcEngine:
                     copied[q.query_id] = futs[0].result()
                     for f in futs[1:]:
                         f.result()
+                run.copied_rows = copied[q.query_id]
                 self.runlog.query_stage(run, "finished")
             except Exception as e:  # error capture parity (P6)
                 self.runlog.query_error(run, repr(e))

@@ -44,11 +44,18 @@ class TaskScheduler:
         store: TableStore,
         runlog: RunLog | None = None,
         source_loader: Callable[[TableSpec], DataFrame] | None = None,
+        staging_cleanup: Callable[[TableSpec], None] | None = None,
     ):
+        """``staging_cleanup`` implements S11
+        (``clr_ora_table_aft_upd`` — ``ora/jdbcSession.scala:581-590``,
+        gated ``task/TaskLogic.scala:88-91``): called after a
+        successful update for specs with the flag set, to clear the
+        source-side staging table (a JDBC DELETE in production)."""
         self.spark = spark
         self.store = store
         self.runlog = runlog or RunLog()
         self.source_loader = source_loader
+        self.staging_cleanup = staging_cleanup
         self._busy = threading.Lock()
 
     def run_task(
@@ -88,6 +95,14 @@ class TaskScheduler:
                         self.store, spec, load_source(spec),
                         key_columns=(key_columns or {}).get(spec.name),
                     )
+                    if (
+                        spec.operation is Operation.UPDATE
+                        and spec.clr_ora_table_aft_upd
+                        and self.staging_cleanup is not None
+                    ):
+                        # S11: clear the source staging table after a
+                        # successful keyed update
+                        self.staging_cleanup(spec)
                     self.runlog.finish_table(run, n)
                     return spec.full_name, n
                 except Exception as e:

@@ -1,0 +1,138 @@
+"""End-to-end service tests: real HTTP requests against the live
+server driving real Spark jobs (the reference's §3.1/§3.2 lifecycle)."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import tempfile
+import threading
+import time
+
+import pytest
+
+from ora_ch_spark.api import OraChSparkService, make_server
+from ora_ch_spark.plans.calc import CalcEngine
+from ora_ch_spark.plans.scheduler import TaskScheduler
+from ora_ch_spark.sources.parquet import parquet_source
+from ora_ch_spark.specs import ParamType, QueryMeta, QueryParam
+from ora_ch_spark.store import TableStore
+
+
+@pytest.fixture(scope="module")
+def service(spark, sf_smoke):
+    store = TableStore(spark, tempfile.mkdtemp(prefix="api_store_"))
+    sched = TaskScheduler(
+        spark, store, source_loader=parquet_source(spark, sf_smoke)
+    )
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_smoke)
+    meta = QueryMeta(
+        query_id=1,
+        ch_table="ch_rev",
+        ora_table="rev",
+        query=(
+            "select o_orderstatus, count(*) as n, "
+            "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total "
+            "from orders where o_totalprice > {thr:Decimal(38,6)} "
+            "group by o_orderstatus"
+        ),
+        params=(QueryParam("thr", ParamType.DECIMAL, 1),),
+        ch_schema="ch",
+        ora_schema="ora",
+    )
+    calc = CalcEngine(spark, store, {1: meta}, runlog=sched.runlog)
+    svc = OraChSparkService(sched, calc, key_columns={"lineitem": ["l_orderkey", "l_linenumber"]})
+    server = make_server(svc, port=0)  # ephemeral port
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield svc, server, store
+    server.shutdown()
+
+
+def _req(server, method: str, path: str, body: dict | None = None) -> tuple[int, dict]:
+    host, port = server.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request(
+        method, path, body=json.dumps(body) if body is not None else None,
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+def _wait_tasks_done(svc, timeout: float = 120.0) -> None:
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        states = {t.state.value for t in svc.runlog.tasks.values()}
+        if states <= {"Finished", "Error"}:
+            return
+        time.sleep(0.2)
+    raise TimeoutError("tasks did not finish")
+
+
+def test_post_task_end_to_end(service):
+    svc, server, store = service
+    status, out = _req(server, "POST", "/task", {
+        "parallel": {"degree": 4},
+        "schemas": [{
+            "schema": "ch",
+            "tables": [
+                {"name": "region", "operation": "recreate"},
+                {"name": "nation", "operation": "recreate"},
+                {"name": "orders", "operation": "recreate",
+                 "where_filter": "o_totalprice > 100000",
+                 "only_columns": "o_orderkey,o_custkey,o_totalprice"},
+            ],
+        }],
+    })
+    assert status == 200 and "taskid" in out, out
+    _wait_tasks_done(svc)
+    assert store.table_exists("ch", "region")
+    assert store.row_count("ch", "region") == 5
+    assert store.columns("ch", "orders") == ["o_orderkey", "o_custkey", "o_totalprice"]
+    status, state = _req(server, "GET", "/state")
+    assert status == 200
+    by_table = {t["table"]: t for t in state["tables"]}
+    assert by_table["ch.region"]["state"] == "finished_recreate"
+    assert by_table["ch.orders"]["copied_records_count"] > 0
+
+
+def test_post_task_validation_error(service):
+    svc, server, _ = service
+    status, out = _req(server, "POST", "/task", {
+        "schemas": [{"schema": "ch", "tables": [
+            {"name": "region", "operation": "append_where"},  # missing where_filter
+        ]}],
+    })
+    assert status == 400 and "where_filter" in out["error"]
+
+
+def test_post_calc_end_to_end(service):
+    svc, server, store = service
+    status, out = _req(server, "POST", "/calc", {
+        "queries": [{
+            "query_id": 1,
+            "params": [{"name": "thr", "value": "50000"}],
+        }],
+    })
+    assert status == 200 and out["queries"] == [1]
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        q = svc.runlog.queries.get(1)
+        if q and q.state in ("finished", "error"):
+            break
+        time.sleep(0.2)
+    assert svc.runlog.queries[1].state == "finished"
+    assert store.table_exists("ch", "ch_rev")
+    assert store.table_exists("ora", "rev")
+    assert store.row_count("ora", "rev") == store.row_count("ch", "ch_rev")
+
+
+def test_unknown_endpoint_404(service):
+    _, server, _ = service
+    status, _ = _req(server, "GET", "/nope")
+    assert status == 404

@@ -1,0 +1,120 @@
+"""Calc pipeline tests: local-cache promotion (C3), query ordering
+(C5), staging cleanup (S11), and the changed-row watermark variant of
+O5."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ora_ch_spark.io import load_table, register_views
+from ora_ch_spark.plans.calc import CalcEngine
+from ora_ch_spark.plans.scheduler import TaskScheduler
+from ora_ch_spark.specs import (
+    CalcQuery,
+    Operation,
+    ParamType,
+    QueryMeta,
+    QueryParam,
+    TableSpec,
+    TaskSpec,
+)
+from ora_ch_spark.store import TableStore
+
+
+def _store(spark) -> TableStore:
+    return TableStore(spark, tempfile.mkdtemp(prefix="calc_test_"))
+
+
+def test_promote_local_cache_key_replacement(spark):
+    """C3: ch_X → X — delete target rows whose key appears in the
+    source, insert column-aligned (jdbsChSession.scala:452-510)."""
+    store = _store(spark)
+    store.create_database("ch")
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "v"]
+    )
+    store.write("ch", "cache", old)
+    fresh = spark.createDataFrame([(2, "B2", 22.0), (4, "d", 40.0)], ["k", "name", "v"])
+    store.write("ch", "ch_cache", fresh)
+    meta = QueryMeta(query_id=9, ch_table="ch_cache", ora_table="x", query="select 1",
+                     ch_schema="ch")
+    engine = CalcEngine(spark, store, {9: meta})
+    dst = engine.promote_local_cache(meta, key_columns=["k"])
+    assert dst == "cache"
+    rows = {r.k: (r.name, r.v) for r in store.read("ch", "cache").collect()}
+    assert rows == {1: ("a", 10.0), 3: ("c", 30.0), 2: ("B2", 22.0), 4: ("d", 40.0)}
+
+
+def test_calc_queries_run_in_order(spark, sf_smoke):
+    """C5: queries execute sorted by order_by (CalcLogic.scala:132)."""
+    register_views(spark, sf_smoke)
+    store = _store(spark)
+    m1 = QueryMeta(query_id=1, ch_table="ch_a", ora_table="a",
+                   query="select count(*) as n from orders", ch_schema="ch", ora_schema="ora")
+    # query 2 reads query 1's output — only works if ordering holds
+    m2 = QueryMeta(query_id=2, ch_table="ch_b", ora_table="b",
+                   query="select n + 1 as n2 from {prev:String}", ch_schema="ch", ora_schema="ora")
+    engine = CalcEngine(spark, store, {1: m1, 2: m2})
+
+    # patch: materialize m2 from the store table written by m1
+    orig_materialize = engine.materialize
+
+    def materialize(meta, q):
+        if meta.query_id == 2:
+            store.read("ch", "ch_a").createOrReplaceTempView("prev_result")
+            meta = QueryMeta(query_id=2, ch_table="ch_b", ora_table="b",
+                             query="select n + 1 as n2 from prev_result",
+                             ch_schema="ch", ora_schema="ora")
+        return orig_materialize(meta, q)
+
+    engine.materialize = materialize
+    engine.run([CalcQuery(query_id=2, order_by=5), CalcQuery(query_id=1, order_by=1)])
+    n = store.read("ch", "ch_a").first().n
+    n2 = store.read("ch", "ch_b").first().n2
+    assert n2 == n + 1
+    assert store.row_count("ora", "a") == 1 and store.row_count("ora", "b") == 1
+
+
+def test_update_with_staging_cleanup_and_watermark(spark, sf_smoke):
+    """O5 + S11: changed-row detection by sync_update_by_column_max
+    (caller-side watermark) and staging cleared after the update."""
+    store = _store(spark)
+    store.create_database("ch")
+    li = load_table(spark, sf_smoke, "lineitem")
+    store.write("ch", "li", li)
+    # staging table holds the changed rows
+    staging = (
+        li.filter("l_returnflag = 'R'")
+        .select("l_orderkey", "l_linenumber", (F.col("l_quantity") * 0 + 999.0).alias("l_quantity"))
+    )
+    store.write("ch", "li_staging", staging)
+    cleaned: list[str] = []
+
+    def cleanup(spec):
+        store.truncate("ch", "li_staging")
+        cleaned.append(spec.name)
+
+    sched = TaskScheduler(
+        spark, store,
+        source_loader=lambda spec: store.read("ch", "li_staging"),
+        staging_cleanup=cleanup,
+    )
+    spec = TableSpec(
+        schema="ch", name="li", operation=Operation.UPDATE,
+        update_fields=("l_quantity",),
+        sync_update_by_column_max="l_orderkey",
+        clr_ora_table_aft_upd=True,
+    )
+    sched.run_task(
+        TaskSpec(tables=(spec,), degree=2),
+        key_columns={"li": ["l_orderkey", "l_linenumber"]},
+    )
+    assert cleaned == ["li"]
+    assert store.row_count("ch", "li_staging") == 0
+    updated = store.read("ch", "li")
+    n999 = updated.filter("l_quantity = 999.0").count()
+    assert n999 > 0
+    # non-R rows that share no key with an R row keep original quantity
+    assert updated.count() == li.count()
