@@ -91,14 +91,28 @@ class TableStore:
         return self.spark.read.parquet(self.current_version_dir(schema, table))
 
     # ---- write (atomic version swap) -------------------------------
-    def write(self, schema: str, table: str, df: DataFrame) -> str:
+    def write(
+        self,
+        schema: str,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> str:
         """Materialize ``df`` as the next version and swap the pointer
-        atomically. Returns the new version directory."""
+        atomically. Returns the new version directory.
+
+        ``partition_by`` writes hive-style partition directories —
+        at scale this is what makes O2's ranged delete+insert a
+        partition-pruned rewrite instead of a full-table one, and
+        gives readers partition pruning for free."""
         tdir = self._tdir(schema, table)
         os.makedirs(tdir, exist_ok=True)
         version = f"v{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(tdir, version)
-        df.write.mode("overwrite").parquet(vdir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(vdir)
         tmp = self._pointer(schema, table) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump({"version": version, "ts": time.time()}, f)
@@ -129,6 +143,15 @@ class TableStore:
         tdir = self._tdir(schema, table)
         if os.path.isdir(tdir):
             shutil.rmtree(tdir)
+
+    def compact(self, schema: str, table: str, target_partitions: int | None = None) -> str:
+        """``OPTIMIZE TABLE … FINAL`` analogue
+        (jdbsChSession.scala:387-398): rewrite the current snapshot
+        into fewer, larger files (coalesce — no shuffle). Sizing rule
+        of thumb at scale: total_bytes / 128 MiB."""
+        df = self.read(schema, table)
+        n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+        return self.write(schema, table, df.coalesce(n))
 
     def _prune(self, schema: str, table: str, keep: str) -> None:
         tdir = self._tdir(schema, table)

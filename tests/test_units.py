@@ -206,3 +206,27 @@ def test_streaming_append_bymax(spark, sf_smoke):
         checkpoint_dir=tf.mkdtemp(prefix="ckpt_"),
     )
     assert store.row_count("ch", "orders_s") == orders.count()
+
+
+def test_store_partitioned_write_and_compact(spark, sf_smoke):
+    import tempfile
+
+    from ora_ch_spark.io import load_table
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="store_part_"))
+    store.create_database("s")
+    li = load_table(spark, sf_smoke, "lineitem")
+    store.write("s", "li", li, partition_by=["l_returnflag"])
+    import os
+
+    vdir = store.current_version_dir("s", "li")
+    # hive-style partition dirs exist
+    assert any(d.startswith("l_returnflag=") for d in os.listdir(vdir))
+    # read back round-trips (partition col restored)
+    got = store.read("s", "li")
+    assert got.count() == li.count()
+    assert set(got.columns) == set(li.columns)
+    # compact rewrites into fewer files, same data
+    before = store.row_count("s", "li")
+    store.compact("s", "li", target_partitions=1)
+    assert store.row_count("s", "li") == before
