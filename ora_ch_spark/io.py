@@ -30,6 +30,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin UTC on whatever session runs us (the driver brings its own):
+    # year()/date_trunc()/timestamp literals must match the UTC-naive
+    # semantics of the DuckDB oracle regardless of host TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

@@ -44,6 +44,7 @@ def streaming_hourly_rollup(
     (max(ts) − delay) are emitted — deterministic for a static input.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if os.path.isfile(events_path):
         # the file stream source requires a directory — expose the
         # single parquet file through a temp dir symlink
