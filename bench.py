@@ -43,6 +43,18 @@ def main() -> None:
         timings[q.name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # the reference's own throughput metric (speed_rows_sec =
+    # rows/elapsed, ora/jdbcSession.scala:556-560): total fact-table
+    # rows pushed through the five load operations / their wall time
+    op_names = [
+        "op_recreate", "op_append_where", "op_append_bymax",
+        "op_append_notin", "op_update",
+    ]
+    op_secs = sum(timings.get(n, 0.0) for n in op_names)
+    fact_rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * 4
+        + spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    )
     print(
         json.dumps(
             {
@@ -51,6 +63,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "speed_rows_sec": round(fact_rows / op_secs) if op_secs else None,
             }
         )
     )

@@ -230,3 +230,26 @@ def test_store_partitioned_write_and_compact(spark, sf_smoke):
     before = store.row_count("s", "li")
     store.compact("s", "li", target_partitions=1)
     assert store.row_count("s", "li") == before
+
+
+def test_salted_join_matches_plain_join(spark, sf_smoke):
+    from ora_ch_spark.operators.skew import key_histogram, salted_join
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_orderstatus")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus").count()
+    )
+    salted = (
+        salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            orders, on=["o_orderkey"], buckets=8,
+        )
+        .groupBy("o_orderstatus").count()
+    )
+    assert {(r.o_orderstatus, r["count"]) for r in plain.collect()} == {
+        (r.o_orderstatus, r["count"]) for r in salted.collect()
+    }
+    hist = key_histogram(li, ["l_orderkey"], top=3).collect()
+    assert len(hist) == 3 and hist[0].rows >= hist[-1].rows
