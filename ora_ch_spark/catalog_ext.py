@@ -458,7 +458,125 @@ GROUP BY 1, 2
 """
 
 
+def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_ids=emb.filter("vec_id < 10"))
+
+
+SIM_IVF_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+se AS (SELECT vec_id AS c_id, v, i FROM e WHERE vec_id < 16),
+snrm AS (SELECT c_id, sum(v * v) AS nn FROM se GROUP BY 1),
+cdot AS (
+  SELECT e.vec_id, se.c_id, sum(e.v * se.v) AS d
+  FROM e JOIN se ON e.i = se.i GROUP BY 1, 2
+),
+ccos AS (
+  SELECT cdot.vec_id, cdot.c_id,
+         cast(d as double) / (sqrt(cast(n1.nn as double)) * sqrt(cast(n2.nn as double))) AS cos
+  FROM cdot JOIN nrm n1 ON cdot.vec_id = n1.vec_id JOIN snrm n2 ON cdot.c_id = n2.c_id
+),
+assign AS (
+  SELECT vec_id, c_id AS centroid FROM (
+    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS r
+    FROM ccos
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS centroid FROM (
+    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS r
+    FROM ccos WHERE vec_id < 10
+  ) WHERE r <= 2
+),
+cands AS (
+  SELECT p.q_id, a.vec_id AS n_id
+  FROM probes p JOIN assign a ON p.centroid = a.centroid
+  WHERE a.vec_id != p.q_id
+),
+dot2 AS (
+  SELECT c.q_id, c.n_id, sum(ea.v * eb.v) AS d
+  FROM cands c
+  JOIN e ea ON ea.vec_id = c.q_id
+  JOIN e eb ON eb.vec_id = c.n_id AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_id, n_id,
+         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb.nn as double))) AS cosine
+  FROM dot2 JOIN nrm nq ON q_id = nq.vec_id JOIN nrm nb ON n_id = nb.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) as int) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.streaming.sessions import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+# gap arithmetic on floor-epoch-seconds on BOTH sides (Spark's
+# cast-to-long floors; DuckDB floor(epoch()) matches)
+SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, value, ts::TIMESTAMP AS ts FROM events
+),
+f AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR cast(floor(epoch(ts)) as bigint)
+                   - cast(floor(epoch(lag(ts) OVER w)) as bigint) > 1800
+              THEN 1 ELSE 0 END AS nf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, value, ts,
+         cast(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
+  FROM f
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed the events file TWICE (two files, same content) through
+    the stateful dedup stream — output must collapse back to the
+    distinct event set."""
+    import os
+    import tempfile
+
+    from ora_ch_spark.streaming.sessions import streaming_stateful_dedup
+
+    d = tempfile.mkdtemp(prefix="dupsrc_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "a.parquet"))
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "b.parquet"))
+    return streaming_stateful_dedup(
+        spark, d, query_name=f"dedup_out_{uuid.uuid4().hex[:8]}"
+    )
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT user_id, event_id, event_type, value FROM events
+"""
+
+
 EXT_QUERIES: list[QueryDef] = [
+    QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
+             "gap-based sessionization (lag → flag → cumsum → rollup)"),
+    QueryDef("streaming_stateful_dedup", streaming_dedup_q, STREAMING_DEDUP_ORACLE,
+             "applyInPandasWithState cross-batch dedup (doubled input collapses)"),
     QueryDef("dedup_exact", dedup_exact_q, DEDUP_EXACT_ORACLE,
              "exact dedup groups by content digest"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_q, _minhash_oracle(),
@@ -475,6 +593,8 @@ EXT_QUERIES: list[QueryDef] = [
              "sign-random-projection bucket assignment"),
     QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),
              "LSH-bucketed approximate cosine top-5"),
+    QueryDef("sim_topk_ivf", sim_topk_ivf_q, SIM_IVF_ORACLE,
+             "IVF inverted-list approximate top-5 (2-probe)"),
     QueryDef("text_lang_id", text_lang_id_q, _lang_id_oracle(),
              "stopword-lexicon language identification"),
     QueryDef("text_quality", text_quality_q, _quality_oracle(),

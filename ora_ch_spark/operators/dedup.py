@@ -41,7 +41,12 @@ def word_shingles(
     """Distinct word n-gram shingles per document (docs with fewer
     than ``n`` tokens yield no shingles — excluded from near-dedup)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
-    d = df.select(F.col(id_col), toks.alias("__toks")).filter(F.size("__toks") >= n)
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .repartition(par)  # small corpora arrive as one parquet split
+    )
     arr = F.expr(
         f"transform(sequence(1, size(__toks) - {n} + 1),"
         f" i -> concat_ws(' ', slice(__toks, i, {n})))"
@@ -171,7 +176,8 @@ def simhash_signatures(
     """SimHash over whitespace tokens (with multiplicity): bit *b* of
     the signature is the sign of Σ_tokens (2·bit_b(h(token)) − 1).
     All-integer arithmetic; ties (sum = 0) resolve to 0."""
-    toks = df.select(
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = df.repartition(par).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     )
@@ -203,8 +209,14 @@ def char_ngram_jaccard_dedup(
     classic scalable alternative to LSH when a natural partition key
     exists. Returns (id_a, id_b, jaccard) ≥ threshold."""
     t = F.lower(F.col(text_col))
-    d = df.select(F.col(id_col), *block_cols, t.alias("__t")).filter(
-        F.length("__t") >= n
+    # spread the docs across the executor pool up front: a small
+    # corpus arrives as one parquet split, which would serialize both
+    # the gram-array build and the intersect work onto a single task
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        df.select(F.col(id_col), *block_cols, t.alias("__t"))
+        .filter(F.length("__t") >= n)
+        .repartition(par)
     )
     # One compact array of distinct hashed grams per doc — NO gram
     # explode: the verify is a map-side array_intersect over the

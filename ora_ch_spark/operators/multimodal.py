@@ -62,6 +62,8 @@ def fake_decode_features(data: bytes) -> tuple[int, int, int]:
 def attach_media(df: DataFrame, text_col: str = "text", media_type: str = "image") -> DataFrame:
     """Build the multimodal frame: binary payload (here derived from
     text — stand-in for real blobs) + typed metadata columns."""
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = df.repartition(par)  # parallelize the downstream mapInPandas
     return df.select(
         "doc_id",
         F.encode(F.col(text_col), "UTF-8").alias("media"),

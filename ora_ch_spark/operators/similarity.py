@@ -173,3 +173,78 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_lists: int = 16,
+) -> DataFrame:
+    """IVF (inverted-file) list assignment: each vector joins the
+    list of its nearest centroid. Centroids here are the first
+    ``n_lists`` vectors by id — a deterministic, engine-replayable
+    seeding (production would plug in offline k-means centroids; the
+    plan shape is identical: broadcast centroids, one narrow pass
+    over the corpus, argmax cosine with id tie-break)."""
+    q = quantize(emb, emb_col, "qe")
+    seeds = F.broadcast(
+        q.filter(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
+        )
+    )
+    scored = with_cosine(
+        q.select(F.col(id_col), F.col("qe")).crossJoin(seeds), qa="qe", qb="qc"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(id_col, F.col("c_id").alias("centroid"), "qe")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest inverted
+    lists per query, rank candidates within them. At scale the
+    corpus is stored partitioned by ``centroid`` so a probe reads
+    only its lists (partition pruning); the candidate join shuffles
+    on the small uniform centroid key."""
+    q = quantize(emb, emb_col, "qe")
+    seeds = F.broadcast(
+        q.filter(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
+        )
+    )
+    assign = ivf_assign(emb, id_col, emb_col, n_lists)
+    queries = q.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa"))
+    if query_ids is not None:
+        queries = queries.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))), "q_id"
+        )
+    qprobe = with_cosine(queries.crossJoin(seeds), qa="qa", qb="qc")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    probes = (
+        qprobe.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("q_id", F.col("qa"), F.col("c_id").alias("centroid"))
+    )
+    corpus = assign.select(
+        F.col(id_col).alias("n_id"), "centroid", F.col("qe").alias("qb")
+    )
+    cands = probes.join(corpus, "centroid").filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(cands, qa="qa", qb="qb")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    )

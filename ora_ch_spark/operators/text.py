@@ -29,7 +29,9 @@ STOPWORDS_EN = LANG_LEXICON["en"]
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+    # spread across the pool — small corpora arrive as one parquet split
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(par).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     )

@@ -54,7 +54,7 @@ def streaming_hourly_rollup(
     static = spark.read.parquet(events_path)
     stream = spark.readStream.schema(static.schema).parquet(events_path)
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     agg = (
         stream.withWatermark("ts", watermark_delay)
