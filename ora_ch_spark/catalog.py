@@ -195,7 +195,7 @@ SELECT group_number, count(*) AS n_rows,
        cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS slice_total
 FROM (
   SELECT o_totalprice,
-         ntile(8) OVER (ORDER BY md5(cast(o_orderkey as varchar)), o_orderkey) AS group_number
+         cast(ntile(8) OVER (ORDER BY md5(cast(o_orderkey as varchar)), o_orderkey) as int) AS group_number
   FROM orders
 )
 GROUP BY group_number
@@ -222,7 +222,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ts is nanos in parquet; cast the truncated hour to µs TIMESTAMP so the
 # oracle's dtype matches Spark's microsecond timestamps exactly
 EVENTS_HOURLY_ORACLE = """
-SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_start, event_type,
+SELECT cast(date_trunc('hour', ts) as timestamp_ns) AS hour_start, event_type,
        count(*) AS n_events,
        cast(sum(cast(value as decimal(18,2))) as double) AS total_value,
        count(CASE WHEN value > 50.0 THEN 1 END) AS n_large
@@ -256,7 +256,8 @@ def op_recreate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OP_RECREATE_ORACLE = """
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       l_shipdate::TIMESTAMP_NS AS l_shipdate
 FROM lineitem WHERE l_shipdate >= timestamp '1996-01-01'
 """
 
@@ -286,11 +287,13 @@ def op_append_where_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OP_APPEND_WHERE_ORACLE = """
 SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, -1.0 AS l_quantity,
-       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       l_shipdate::TIMESTAMP_NS AS l_shipdate
 FROM lineitem WHERE l_orderkey % 3 = 0 AND NOT (l_shipdate >= timestamp '1996-06-01')
 UNION ALL
 SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
-       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       l_shipdate::TIMESTAMP_NS AS l_shipdate
 FROM lineitem WHERE l_shipdate >= timestamp '1996-06-01'
 """
 
@@ -318,9 +321,13 @@ def op_append_bymax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OP_APPEND_BYMAX_ORACLE = """
-SELECT * FROM orders WHERE o_orderkey <= 5000
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate::TIMESTAMP_NS AS o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey <= 5000
 UNION ALL
-SELECT * FROM orders WHERE o_orderkey > 5000 AND o_orderstatus = 'F'
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate::TIMESTAMP_NS AS o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey > 5000 AND o_orderstatus = 'F'
 """
 
 
@@ -348,9 +355,15 @@ def op_append_notin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OP_APPEND_NOTIN_ORACLE = """
-SELECT * FROM lineitem WHERE l_linenumber = 1
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       l_shipdate::TIMESTAMP_NS AS l_shipdate
+FROM lineitem WHERE l_linenumber = 1
 UNION ALL
-SELECT * FROM lineitem WHERE l_linenumber <> 1 AND l_quantity >= 25
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       l_shipdate::TIMESTAMP_NS AS l_shipdate
+FROM lineitem WHERE l_linenumber <> 1 AND l_quantity >= 25
 """
 
 
@@ -398,7 +411,8 @@ WITH upd AS (
 SELECT t.l_orderkey, t.l_partkey, t.l_suppkey, t.l_linenumber,
        coalesce(u.new_qty, t.l_quantity) AS l_quantity,
        coalesce(u.new_price, t.l_extendedprice) AS l_extendedprice,
-       t.l_discount, t.l_tax, t.l_returnflag, t.l_linestatus, t.l_shipdate
+       t.l_discount, t.l_tax, t.l_returnflag, t.l_linestatus,
+       t.l_shipdate::TIMESTAMP_NS AS l_shipdate
 FROM lineitem t
 LEFT JOIN upd u ON t.l_orderkey = u.l_orderkey AND t.l_linenumber = u.l_linenumber
 """
@@ -482,6 +496,102 @@ GROUP BY 1, 2, 3, 4
 
 
 # ---------------------------------------------------------------------------
+# Structural replica of the shipped production calc query
+# (v_cache_for_calc_6184_4626.txt) — same construct inventory, our tables
+# ---------------------------------------------------------------------------
+
+# Mirrors, construct-for-construct (reference line cites):
+#  - join on derived subquery               (:97-108)
+#  - left join with rn=1 dedup in ON        (:140-146)
+#  - disjunctive filter w/ semi-join branch (:109-120)
+#  - coalesce (:32,46..), if (:37,121), lpad (:126,130),
+#    toFixedString (:134), toYYYYMMDD (:104-105), parseDateTime (:104-107),
+#    concat+toString (:121), {name:Type} params (:99-100,...)
+_CALC_REPLICA_SQL = """
+select nation, is_big, code,
+       count(*) as cnt,
+       cast(sum(cast(total as decimal(18,2))) as double) as summa
+from (
+  select coalesce(n.n_name, concat('NONE_', toString(c.c_nationkey))) as nation,
+         if(o.o_totalprice > {thr:Decimal(38,6)}, 'BIG', 'SMALL') as is_big,
+         lpad(toString(c.c_nationkey), 3, '0') as code,
+         toFixedString(c.c_mktsegment, 10) as seg_fixed,
+         toYYYYMMDD(o.o_orderdate) as ymd,
+         o.o_totalprice as total
+  from orders o
+  join (select * from customer where c_acctbal > 0) c
+    on o.o_custkey = c.c_custkey
+  left join (
+    select n_nationkey, n_name,
+           row_number() over (partition by n_regionkey order by n_nationkey) as rn
+    from nation
+  ) n on c.c_nationkey = n.n_nationkey and n.rn <= {maxrn:UInt32}
+  where (o.o_orderstatus = 'F'
+         or o.o_orderkey in (select l_orderkey from lineitem
+                             where l_quantity >= {minq:UInt32}))
+    and o.o_orderdate >= parseDateTime({d0:String}, '%Y-%m-%d')
+) t1
+group by nation, is_big, code
+"""
+
+
+def calc_replica_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production calc query's structure end-to-end through the
+    calc engine (bind → dialect-translate → materialize → export)."""
+    register_views(spark, sf_dir)
+    store = _tmp_store(spark)
+    meta = QueryMeta(
+        query_id=4626,
+        ch_table="ch_replica",
+        ora_table="replica",
+        query=_CALC_REPLICA_SQL,
+        params=(
+            QueryParam("thr", ParamType.DECIMAL, 1),
+            QueryParam("maxrn", ParamType.UINT32, 2),
+            QueryParam("minq", ParamType.UINT32, 3),
+            QueryParam("d0", ParamType.STRING, 4),
+        ),
+        ch_schema="ch",
+        ora_schema="msk_arm_lead",
+    )
+    engine = CalcEngine(spark, store, {4626: meta})
+    engine.run(
+        [
+            CalcQuery(
+                query_id=4626,
+                params={"thr": "200000", "maxrn": "3", "minq": "47", "d0": "1993-06-01"},
+            )
+        ]
+    )
+    return store.read("msk_arm_lead", "replica")
+
+
+CALC_REPLICA_ORACLE = """
+SELECT nation, is_big, code,
+       count(*) AS cnt,
+       cast(sum(cast(total as decimal(18,2))) as double) AS summa
+FROM (
+  SELECT coalesce(n.n_name, 'NONE_' || cast(c.c_nationkey as varchar)) AS nation,
+         CASE WHEN o.o_totalprice > 200000 THEN 'BIG' ELSE 'SMALL' END AS is_big,
+         lpad(cast(c.c_nationkey as varchar), 3, '0') AS code,
+         o.o_totalprice AS total
+  FROM orders o
+  JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+    ON o.o_custkey = c.c_custkey
+  LEFT JOIN (
+    SELECT n_nationkey, n_name,
+           row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+    FROM nation
+  ) n ON c.c_nationkey = n.n_nationkey AND n.rn <= 3
+  WHERE (o.o_orderstatus = 'F'
+         OR o.o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 47))
+    AND o.o_orderdate >= timestamp '1993-06-01'
+) t1
+GROUP BY nation, is_big, code
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -501,6 +611,8 @@ CORE_QUERIES: list[QueryDef] = [
     QueryDef("op_update", op_update_q, OP_UPDATE_ORACLE, "O5 broadcast merge update"),
     QueryDef("calc_pipeline", calc_pipeline_q, CALC_PIPELINE_ORACLE,
              "C1–C4: typed params + CH dialect + materialize + sliced export"),
+    QueryDef("calc_replica_6184", calc_replica_q, CALC_REPLICA_ORACLE,
+             "structural replica of v_cache_for_calc_6184_4626.txt through the calc engine"),
 ]
 
 

@@ -448,7 +448,7 @@ def streaming_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_WINDOW_ORACLE = """
-SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_start, event_type,
+SELECT cast(date_trunc('hour', ts) as timestamp_ns) AS hour_start, event_type,
        count(*) AS n_events,
        cast(sum(cast(value as decimal(18,2))) as double) AS total_value
 FROM events
@@ -543,7 +543,7 @@ s AS (
   FROM f
 )
 SELECT user_id, session_id,
-       min(ts) AS session_start, max(ts) AS session_end,
+       min(ts)::TIMESTAMP_NS AS session_start, max(ts)::TIMESTAMP_NS AS session_end,
        count(*) AS n_events,
        cast(sum(cast(value as decimal(18,2))) as double) AS total_value
 FROM s GROUP BY user_id, session_id
