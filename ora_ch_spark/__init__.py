@@ -17,8 +17,30 @@ multimodal plumbing) the reference lacks.
 """
 
 from ora_ch_spark.session import get_spark
-from ora_ch_spark.io import TABLES, load_tables, register_views
+from ora_ch_spark.io import TABLES, load_table, load_tables, register_views
+from ora_ch_spark.specs import (
+    CalcQuery,
+    Operation,
+    QueryMeta,
+    QueryParam,
+    TableSpec,
+    TaskSpec,
+)
+from ora_ch_spark.store import TableStore
 
-__all__ = ["get_spark", "load_tables", "register_views", "TABLES"]
+__all__ = [
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "TABLES",
+    "TableSpec",
+    "TaskSpec",
+    "Operation",
+    "CalcQuery",
+    "QueryMeta",
+    "QueryParam",
+    "TableStore",
+]
 
 __version__ = "0.1.0"

@@ -64,6 +64,7 @@ class TaskScheduler:
         sources: dict[str, DataFrame] | None = None,
         key_columns: dict[str, list[str]] | None = None,
         use_fair_pools: bool = True,
+        validate_golden: bool = False,
     ) -> dict[str, int]:
         """Execute a task; returns {table_full_name: copied_rows}."""
         if not self._busy.acquire(blocking=False):
@@ -95,6 +96,18 @@ class TaskScheduler:
                         self.store, spec, load_source(spec),
                         key_columns=(key_columns or {}).get(spec.name),
                     )
+                    if validate_golden and spec.operation is Operation.RECREATE:
+                        # golden count/sum reconciliation after full
+                        # copies — the reference's own validation method
+                        # (v_cache_for_calc_6184_4626.txt:2-4)
+                        from ora_ch_spark.operators.load_ops import shape_source
+                        from ora_ch_spark.validate import reconcile
+
+                        reconcile(
+                            shape_source(load_source(spec), spec),
+                            self.store.read(spec.schema, spec.name),
+                            label=spec.full_name,
+                        )
                     if (
                         spec.operation is Operation.UPDATE
                         and spec.clr_ora_table_aft_upd

@@ -118,3 +118,35 @@ def test_update_with_staging_cleanup_and_watermark(spark, sf_smoke):
     assert n999 > 0
     # non-R rows that share no key with an R row keep original quantity
     assert updated.count() == li.count()
+
+
+def test_golden_reconciliation(spark, sf_smoke):
+    """validate.py: exact decimal count/sum reconciliation passes on a
+    faithful copy and fails loudly on corruption."""
+    import pytest as _pytest
+
+    from ora_ch_spark.specs import Operation, TableSpec, TaskSpec
+    from ora_ch_spark.validate import ReconciliationError, golden_aggregates, reconcile
+
+    store = _store(spark)
+    li = load_table(spark, sf_smoke, "lineitem")
+    spec = TableSpec(
+        schema="ch", name="li_gold", operation=Operation.RECREATE,
+        src_table_full_name="lineitem",
+        where_filter="l_quantity > 10",
+    )
+    sched = TaskScheduler(spark, store, source_loader=lambda s: li)
+    # golden validation wired through the scheduler
+    sched.run_task(
+        TaskSpec(tables=(spec,), degree=2), validate_golden=True
+    )
+    # direct check: corrupt copy detected
+    good = store.read("ch", "li_gold")
+    corrupted = good.withColumn(
+        "l_quantity", F.when(F.col("l_orderkey") == good.first().l_orderkey,
+                             F.col("l_quantity") + 0.01).otherwise(F.col("l_quantity"))
+    )
+    with _pytest.raises(ReconciliationError, match="l_quantity"):
+        reconcile(good, corrupted, label="corruption-probe")
+    g = golden_aggregates(good)
+    assert g.count == good.count() and "l_quantity" in g.sums
