@@ -439,6 +439,33 @@ FROM documents
 """
 
 
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing, projected to oracle-comparable
+    features (chunk length + md5 of the chunk bytes)."""
+    from ora_ch_spark.operators.multimodal import attach_media, sample_frames
+
+    frames = sample_frames(attach_media(load_table(spark, sf_dir, "documents")), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", "n_bytes", F.md5("frame").alias("frame_md5")
+    )
+
+
+MULTIMODAL_FRAMES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, greatest(1, length(text) // 4) AS step FROM documents
+),
+f AS (
+  SELECT doc_id, i AS frame_idx,
+         substr(text, i * step + 1, step) AS chunk
+  FROM d, unnest(range(0, 4)) t(i)
+)
+SELECT doc_id, cast(frame_idx as int) AS frame_idx,
+       length(chunk)::BIGINT AS n_bytes,
+       md5(chunk) AS frame_md5
+FROM f
+"""
+
+
 def streaming_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_hourly_rollup(
         spark,
@@ -605,6 +632,8 @@ EXT_QUERIES: list[QueryDef] = [
              "sorted-token-set md5 fingerprint + share counts"),
     QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
              "binary media column → mapInPandas feature extraction"),
+    QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,
+             "frame-sampling stage (1:N mapInPandas) with md5-verified chunks"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,
              "watermarked tumbling-window rollup (Structured Streaming)"),
 ]

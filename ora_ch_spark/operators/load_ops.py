@@ -57,6 +57,12 @@ def shape_source(df: DataFrame, spec: TableSpec) -> DataFrame:
         df = df.filter(spec.where_filter)
     if spec.only_columns:
         df = df.select(*spec.only_columns)
+    if spec.ch_datetime_clamp:
+        from ora_ch_spark.typemap import clamp_ch_datetime
+
+        for name, dtype in df.dtypes:
+            if dtype.startswith("timestamp"):
+                df = df.withColumn(name, clamp_ch_datetime(F.col(name)))
     if spec.order_by_ora_data:
         df = df.sortWithinPartitions(*[c.strip() for c in spec.order_by_ora_data.split(",")])
     return df

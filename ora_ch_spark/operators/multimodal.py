@@ -95,6 +95,63 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, media binary, media_type string, width int, height int"
+)
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary, n_bytes bigint"
+
+
+def resize_media(media_df: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Resize stage (stubbed decode): deterministic byte-subsampling
+    stands in for pixel resampling — output blob is byte length
+    ``target_w*target_h`` derived by striding the source bytes. The
+    Spark shape (binary in/out mapInPandas, bounded Arrow batches) is
+    exactly a real resize stage's."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in it:
+            resized = []
+            for b in pdf["media"]:
+                if len(b) == 0:
+                    resized.append(b"")
+                    continue
+                stride = max(1, len(b) // n_out)
+                resized.append(bytes(b[::stride][:n_out]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": resized,
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage (stubbed decode): split the blob into
+    ``n_frames`` contiguous chunks — one output row per frame, the
+    1:N row shape a real video frame sampler produces."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                step = max(1, len(b) // n_frames) if len(b) else 1
+                for i in range(n_frames):
+                    chunk = bytes(b[i * step : (i + 1) * step])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(chunk)
+                    rows["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
 def media_feature_pipeline(docs: DataFrame) -> DataFrame:
     """documents → binary media column → mapInPandas features →
     metadata-only projection (blob column pruned away)."""

@@ -70,6 +70,9 @@ class TableSpec:
     clr_ora_table_aft_upd: bool = False
     # columns forced NOT NULL in the target schema
     notnull_columns: tuple[str, ...] = ()
+    # ClickHouse-parity mode: clamp timestamps to the CH DateTime
+    # UInt32 range on copy (jdbsChSession.scala:630-644)
+    ch_datetime_clamp: bool = False
 
     def __post_init__(self) -> None:
         op = self.operation

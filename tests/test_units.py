@@ -253,3 +253,49 @@ def test_salted_join_matches_plain_join(spark, sf_smoke):
     }
     hist = key_histogram(li, ["l_orderkey"], top=3).collect()
     assert len(hist) == 3 and hist[0].rows >= hist[-1].rows
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_smoke):
+    from ora_ch_spark.operators.multimodal import (
+        attach_media,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    media = attach_media(docs)
+    resized = resize_media(media, target_w=8, target_h=8).collect()
+    assert len(resized) == 50
+    assert all(r.width == 8 and r.height == 8 for r in resized)
+    assert all(len(r.media) <= 64 for r in resized)
+    frames = sample_frames(media, n_frames=4)
+    assert frames.count() == 200  # 4 rows per doc
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    # deterministic: same input -> same bytes
+    a = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in frames.collect()}
+    b = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in sample_frames(media, 4).collect()}
+    assert a == b
+
+
+def test_shape_source_ch_datetime_clamp(spark):
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F
+
+    from ora_ch_spark.operators.load_ops import op_recreate
+    from ora_ch_spark.specs import Operation, TableSpec
+
+    src = spark.createDataFrame(
+        [("1960-01-01 00:00:00",), ("2000-06-15 12:00:00",), ("2200-01-01 00:00:00",)],
+        ["s"],
+    ).select(_F.to_timestamp("s").alias("ts"))
+    store = TableStore(spark, _tf.mkdtemp(prefix="clamp_store_"))
+    spec = TableSpec("ch", "clamped", Operation.RECREATE, ch_datetime_clamp=True)
+    op_recreate(store, spec, src)
+    vals = sorted(str(r.ts) for r in store.read("ch", "clamped").collect())
+    assert vals == [
+        "1971-01-01 00:00:00",
+        "2000-06-15 12:00:00",
+        "2106-01-01 00:00:00",
+    ]
