@@ -1,0 +1,67 @@
+"""Physical-plan regression tests — the plans PLANS.md documents are
+contractual: pushdown must reach the scans, dimension joins must
+broadcast, aggregation must be partial-before-exchange. A regression
+here is a scale regression even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from ora_ch_spark.catalog import flagship_star, q1_pricing_summary
+from ora_ch_spark.io import load_table
+from ora_ch_spark.operators import dedup as D
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_minimal_plan(spark, sf_correct):
+    p = _plan(q1_pricing_summary(spark, sf_correct))
+    assert p.count("Exchange") == 1, "q1 must shuffle exactly once (on the group keys)"
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "partial_sum" in p, "map-side partial aggregation missing"
+    # filter pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: unused wide columns never read
+    assert "l_comment" not in p and "ReadSchema" in p
+
+
+def test_flagship_broadcasts_all_dimensions(spark, sf_correct):
+    p = _plan(flagship_star(spark, sf_correct))
+    assert p.count("BroadcastHashJoin") >= 5, "dimension joins must broadcast"
+    assert p.count("SortMergeJoin") == 0, "no sort-merge at this scale"
+    assert "LeftSemi" in p, "IN-subquery must compile to a semi join"
+    assert "LeftOuter" in p, "left join with extra ON predicate"
+    # segment filter pushed to the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_append_notin_is_anti_join(spark, sf_correct):
+    import tempfile
+
+    from ora_ch_spark.operators.load_ops import shape_source
+    from ora_ch_spark.specs import Operation, TableSpec
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="plan_notin_"))
+    li = load_table(spark, sf_correct, "lineitem")
+    store.create_database("ch")
+    store.write("ch", "t", li.filter("l_linenumber = 1"))
+    spec = TableSpec(
+        schema="ch", name="t", operation=Operation.APPEND_NOT_IN,
+        sync_by_columns=("l_orderkey", "l_linenumber"),
+    )
+    existing = store.read("ch", "t").select("l_orderkey", "l_linenumber")
+    fresh = shape_source(li, spec).join(
+        existing, on=["l_orderkey", "l_linenumber"], how="left_anti"
+    )
+    assert "LeftAnti" in _plan(fresh)
+
+
+def test_minhash_no_cartesian(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    p = _plan(D.minhash_lsh_dedup(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        "near-dedup must never degenerate to an all-pairs join"
+    )
