@@ -150,3 +150,53 @@ def test_golden_reconciliation(spark, sf_smoke):
         reconcile(good, corrupted, label="corruption-probe")
     g = golden_aggregates(good)
     assert g.count == good.count() and "l_quantity" in g.sums
+
+
+def test_scheduler_error_capture_and_guard_release(spark, sf_smoke):
+    """P6: a failing table op marks task+table Error (message
+    truncated), raises to the caller, and releases the single-flight
+    guard so the next task can run."""
+    import pytest as _pytest
+
+    from ora_ch_spark.sources.parquet import parquet_source
+
+    store = _store(spark)
+    sched = TaskScheduler(spark, store, source_loader=parquet_source(spark, sf_smoke))
+    bad = TableSpec(
+        schema="ch", name="orders_bad", operation=Operation.RECREATE,
+        src_table_full_name="orders",
+        where_filter="no_such_column > 1",
+    )
+    with _pytest.raises(Exception):
+        sched.run_task(TaskSpec(tables=(bad,), degree=2))
+    assert any(t.state.value == "Error" for t in sched.runlog.tasks.values())
+    assert any(r.state == "error" and r.error_msg for r in sched.runlog.tables)
+    # guard released: a following task succeeds
+    ok = TableSpec(schema="ch", name="region_ok", operation=Operation.RECREATE,
+                   src_table_full_name="region")
+    res = sched.run_task(TaskSpec(tables=(ok,), degree=2))
+    assert res["ch.region_ok"] == 5
+
+
+def test_runlog_jsonl_sink(spark, tmp_path):
+    """§1.4 audit trail: every lifecycle transition lands in the JSONL
+    sink with the reference's state strings."""
+    import json as _json
+
+    from ora_ch_spark.runlog import RunLog, State
+
+    path = str(tmp_path / "runlog.jsonl")
+    log = RunLog(path=path)
+    tid = log.create_task()
+    log.set_task_state(tid, State.EXECUTING)
+    run = log.begin_table(tid, "ch", "t", "append_bymax")
+    log.finish_table(run, copied=42)
+    log.finish_task(tid)
+    rows = [_json.loads(l) for l in open(path)]
+    states = [(r["kind"], r.get("state")) for r in rows]
+    assert ("task", "Ready") in states and ("task", "Executing") in states
+    assert ("table", "copying") in states
+    assert ("table", "finished_append_bymax") in states
+    assert ("task", "Finished") in states
+    done = [r for r in rows if r.get("state") == "finished_append_bymax"][0]
+    assert done["copied_records_count"] == 42 and "speed_rows_sec" in done
