@@ -75,6 +75,7 @@ def table_spec_from_json(schema: str, d: dict) -> TableSpec:
         only_columns=_split(d.get("only_columns")),
         clr_ora_table_aft_upd=bool(d.get("clr_ora_table_aft_upd", 0)),
         notnull_columns=_split(d.get("notnull_columns")) or (),
+        ch_datetime_clamp=bool(d.get("ch_datetime_clamp", 0)),
     )
 
 
@@ -122,7 +123,7 @@ class OraChSparkService:
     # ---- POST /task ------------------------------------------------
     def start_task(self, body: dict) -> dict:
         task = task_spec_from_json(body)  # SpecError → 400 upstream
-        before_ids = set(self.runlog.tasks)
+        before_ids = self.runlog.task_ids()
         result_holder: dict = {}
 
         def run() -> None:
@@ -143,7 +144,7 @@ class OraChSparkService:
         while time.monotonic() < deadline:
             if result_holder.get("busy"):
                 raise TaskAlreadyRunning(BUSY_MSG)
-            new_ids = set(self.runlog.tasks) - before_ids
+            new_ids = self.runlog.task_ids() - before_ids
             if new_ids:
                 return {"taskid": min(new_ids)}
             if result_holder.get("error"):
@@ -172,10 +173,11 @@ class OraChSparkService:
 
     # ---- GET /state ------------------------------------------------
     def state(self) -> dict:
+        tasks, tables, queries = self.runlog.snapshot()
         return {
             "tasks": {
                 tid: {"state": t.state.value, "error": t.error_msg}
-                for tid, t in self.runlog.tasks.items()
+                for tid, t in tasks.items()
             },
             "tables": [
                 {
@@ -186,11 +188,11 @@ class OraChSparkService:
                     "copied_records_count": r.copied_records_count,
                     "speed_rows_sec": r.speed_rows_sec,
                 }
-                for r in self.runlog.tables
+                for r in tables
             ],
             "queries": {
                 qid: {"state": q.state, "copied_rows": q.copied_rows}
-                for qid, q in self.runlog.queries.items()
+                for qid, q in queries.items()
             },
         }
 

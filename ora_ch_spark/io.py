@@ -30,9 +30,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # pin UTC on whatever session runs us (the driver brings its own):
-    # year()/date_trunc()/timestamp literals must match the UTC-naive
-    # semantics of the DuckDB oracle regardless of host TZ
+    """Load one test table.
+
+    DELIBERATE session-conf side effects (documented contract): pins
+    ``spark.sql.session.timeZone=UTC`` (year()/date_trunc()/timestamp
+    literals must match the UTC-naive DuckDB oracle on whatever
+    session the driver brings), and — for ``events`` — leaves
+    ``nanosAsLong`` enabled session-wide (any later nanos-timestamp
+    parquet reads in the same session surface as bigint; acceptable
+    here because the engine funnels every read through this loader)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

@@ -70,9 +70,14 @@ def shape_source(df: DataFrame, spec: TableSpec) -> DataFrame:
 
 def op_recreate(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
     """O1 — drop + create + full copy
-    (``clickhouse/jdbsChSession.scala:257-314``)."""
+    (``clickhouse/jdbsChSession.scala:257-314``).
+
+    The reference literally drops then re-creates; here the version
+    swap IS the recreate — no pre-drop, so a failed copy leaves the
+    previous version live (strictly safer than the reference's
+    non-atomic drop window) and concurrent readers never observe a
+    missing table."""
     df = shape_source(source, spec)
-    store.drop(spec.schema, spec.name)
     store.create_database(spec.schema)
     store.write(spec.schema, spec.name, df)
     return store.row_count(spec.schema, spec.name)
@@ -108,13 +113,17 @@ def op_append_bymax(store: TableStore, spec: TableSpec, source: DataFrame) -> in
     col = spec.sync_by_column_max
     df = shape_source(source, spec)
     if store.table_exists(spec.schema, spec.name):
+        before = store.row_count(spec.schema, spec.name)
         hi = store.read(spec.schema, spec.name).agg(F.max(col)).first()[0]
         if hi is not None:
             df = df.filter(F.col(col) > F.lit(hi))
         store.append(spec.schema, spec.name, df)
-    else:
-        store.write(spec.schema, spec.name, df)
-    return df.count()
+        # inserted-rows accounting from cheap footer counts — never
+        # re-execute the source plan (whose snapshot dir may already
+        # be pruned) after the write
+        return store.row_count(spec.schema, spec.name) - before
+    store.write(spec.schema, spec.name, df)
+    return store.row_count(spec.schema, spec.name)
 
 
 def op_append_notin(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
@@ -131,12 +140,13 @@ def op_append_notin(store: TableStore, spec: TableSpec, source: DataFrame) -> in
     keys = list(spec.sync_by_columns)
     df = shape_source(source, spec)
     if store.table_exists(spec.schema, spec.name):
+        before = store.row_count(spec.schema, spec.name)
         existing = store.read(spec.schema, spec.name).select(*keys)
         fresh = df.join(existing, on=keys, how="left_anti")
         store.append(spec.schema, spec.name, fresh)
-        return fresh.count()
+        return store.row_count(spec.schema, spec.name) - before
     store.write(spec.schema, spec.name, df)
-    return df.count()
+    return store.row_count(spec.schema, spec.name)
 
 
 def op_update(
@@ -155,12 +165,39 @@ def op_update(
     plan when broadcast; falls back to a key-partitioned sort-merge
     join automatically for huge update sets.
 
-    Optional changed-row pre-filter by ``sync_update_by_column_max``
-    (``jdbsChSession.scala:101-106``) is applied by the caller/
-    scheduler, which owns the watermark probe.
+    Changed-row detection by ``sync_update_by_column_max``
+    (``jdbsChSession.scala:101-106``): only staging rows with the
+    watermark column above the last successfully-applied high-water
+    mark are merged; the mark persists in the store's SyncState and
+    advances only after the write succeeds (at-least-once, idempotent
+    because the merge is a keyed overwrite).
+
+    The spec's ``where_filter`` and ``ch_datetime_clamp`` apply to the
+    staging rows; ``only_columns``/``order_by_ora_data`` do not (the
+    update projects keys+fields itself).
     """
+    from ora_ch_spark.syncstate import SyncState
+
     fields = list(spec.update_fields)
     target = store.read(spec.schema, spec.name)
+    if spec.where_filter:
+        updates = updates.filter(spec.where_filter)
+    if spec.ch_datetime_clamp:
+        from ora_ch_spark.typemap import clamp_ch_datetime
+
+        for name, dtype in updates.dtypes:
+            if dtype.startswith("timestamp"):
+                updates = updates.withColumn(name, clamp_ch_datetime(F.col(name)))
+    sync_state = SyncState(store.root)
+    wm_col = spec.sync_update_by_column_max
+    new_mark = None
+    if wm_col:
+        last = sync_state.get_watermark(spec.schema, spec.name, wm_col)
+        if last is not None:
+            updates = updates.filter(F.col(wm_col) > F.lit(last))
+        new_mark = updates.agg(F.max(wm_col)).first()[0]
+        if new_mark is None:
+            return 0  # nothing newer than the high-water mark
     upd = updates.select(*key_columns, *fields)
     # dedup updates on key (last-write-wins is undefined in the
     # reference's dictionary too; enforce determinism via max)
@@ -182,6 +219,9 @@ def op_update(
             merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
         merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
         store.write(spec.schema, spec.name, merged)
+        if wm_col and new_mark is not None:
+            # advance the high-water mark only after a successful write
+            sync_state.set_watermark(spec.schema, spec.name, wm_col, new_mark)
     finally:
         upd_renamed.unpersist()
     return n_upd

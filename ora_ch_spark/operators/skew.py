@@ -35,7 +35,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with salted keys. ``salt_source``: a column of
     ``large`` used to derive the salt (defaults to the concatenation
-    of the join keys + a per-row hash of all columns)."""
+    of the join keys + a per-row hash of all columns).
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` (large side
+    preserved) are supported: the small side is replicated per salt
+    bucket, so right/full-outer would emit ``buckets`` duplicates of
+    every unmatched small-side row."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports only large-side-preserving joins {sorted(allowed)}; got {how!r}"
+        )
     if salt_source is not None:
         salt_expr = F.conv(F.substring(F.md5(F.col(salt_source).cast("string")), 1, 8), 16, 10)
     else:

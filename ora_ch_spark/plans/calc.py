@@ -71,7 +71,11 @@ class CalcEngine:
         ``jdbsChSession.scala:452-510``): delete target rows whose key
         tuple appears in the source (reference: ``delete where (k1,k2)
         in (select distinct …)`` — here a distributed anti-join), then
-        insert column-aligned."""
+        insert column-aligned. ``key_columns`` defaults to the
+        meta's ``local_cache_keys`` so the HTTP path gets keyed
+        deletes too."""
+        if key_columns is None and meta.local_cache_keys:
+            key_columns = list(meta.local_cache_keys)
         src_name = meta.ch_table
         dst_name = src_name[3:] if src_name.startswith("ch_") else f"{src_name}_local"
         src = self.store.read(meta.ch_schema, src_name)
@@ -115,9 +119,14 @@ class CalcEngine:
         (reference fork/join ``calc/CalcLogic.scala:109-122,132``)."""
         copied: dict[int, int] = {}
         for q in sorted(queries, key=lambda x: x.order_by):
-            meta = self.catalog[q.query_id]
             run = self.runlog.begin_query(q.query_id, par_degree=q.copy_by_parts_cnt)
             try:
+                meta = self.catalog.get(q.query_id)
+                if meta is None:
+                    raise KeyError(
+                        f"unknown query_id {q.query_id} (not in the query catalog — "
+                        f"reference: ora_to_ch_query has no such row)"
+                    )
                 self.materialize(meta, q)
                 self.runlog.query_stage(run, "copying")
                 with ThreadPoolExecutor(max_workers=2) as pool:

@@ -87,6 +87,11 @@ class TaskScheduler:
 
             def run_one(spec: TableSpec) -> tuple[str, int]:
                 run = self.runlog.begin_table(task_id, spec.schema, spec.name, spec.operation.value)
+                try:
+                    if self.store.table_exists(spec.schema, spec.name):
+                        run.base_count = self.store.row_count(spec.schema, spec.name)
+                except Exception:
+                    pass
                 if use_fair_pools:
                     self.spark.sparkContext.setLocalProperty(
                         "spark.scheduler.pool", f"table-{spec.name}"
@@ -131,7 +136,9 @@ class TaskScheduler:
             workers = task.effective_parallelism
             stop_monitor = threading.Event()
             monitor = threading.Thread(
-                target=self._progress_monitor, args=(stop_monitor, phase1), daemon=True
+                target=self._progress_monitor,
+                args=(stop_monitor, phase1 + phase2),
+                daemon=True,
             )
             monitor.start()
             try:
@@ -169,8 +176,9 @@ class TaskScheduler:
                 try:
                     if self.store.table_exists(spec.schema, spec.name):
                         n = self.store.row_count(spec.schema, spec.name)
-                        for run in self.runlog.tables:
+                        for run in list(self.runlog.tables):
                             if (run.schema, run.table) == (spec.schema, spec.name) and run.end_ts is None:
-                                self.runlog.table_progress(run, n)
+                                # progress = rows beyond the pre-op count
+                                self.runlog.table_progress(run, max(0, n - run.base_count))
                 except Exception:
                     pass  # progress is best-effort, like the reference's fiber

@@ -51,6 +51,10 @@ class TableRun:
     begin_ts: float | None = None
     end_ts: float | None = None
     copied_records_count: int = 0
+    # target row count before the operation — progress deltas are
+    # measured against this (reference pre-copy counts,
+    # jdbsChSession.scala:299-308)
+    base_count: int = 0
     speed_rows_sec: float | None = None
     error_msg: str | None = None
 
@@ -97,6 +101,15 @@ class RunLog:
             return
         with open(self.path, "a") as f:
             f.write(json.dumps({"kind": kind, "ts": time.time(), **row}) + "\n")
+
+    # ---- thread-safe snapshots (for concurrent HTTP readers) -------
+    def task_ids(self) -> set[int]:
+        with self._lock:
+            return set(self.tasks.keys())
+
+    def snapshot(self) -> tuple[dict[int, TaskRun], list[TableRun], dict[int, QueryRun]]:
+        with self._lock:
+            return dict(self.tasks), list(self.tables), dict(self.queries)
 
     # ---- task lifecycle (ora_to_ch_tasks) --------------------------
     def create_task(self) -> int:

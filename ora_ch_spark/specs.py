@@ -154,6 +154,10 @@ class QueryMeta:
     ora_schema: str = "default"
     # explicit column list for the CH→Oracle copy (copyChOraColumns)
     copy_ch_ora_columns: tuple[str, ...] | None = None
+    # key columns for the local-cache promotion's keyed delete
+    # (reference: the (datecalc_cache, date_cache) pair,
+    # jdbsChSession.scala:452-464); None → whole-table replace
+    local_cache_keys: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)

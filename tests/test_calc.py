@@ -200,3 +200,120 @@ def test_runlog_jsonl_sink(spark, tmp_path):
     assert ("task", "Finished") in states
     done = [r for r in rows if r.get("state") == "finished_append_bymax"][0]
     assert done["copied_records_count"] == 42 and "speed_rows_sec" in done
+
+
+def test_recreate_keeps_previous_version_on_failure(spark, sf_smoke):
+    """review fix: a failed recreate must leave the previous table
+    version readable (no pre-drop)."""
+    import pytest as _pytest
+
+    from ora_ch_spark.operators.load_ops import op_recreate
+
+    store = _store(spark)
+    store.create_database("ch")
+    orders = load_table(spark, sf_smoke, "orders")
+    spec = TableSpec("ch", "o", Operation.RECREATE)
+    op_recreate(store, spec, orders)
+    before = store.row_count("ch", "o")
+    bad_spec = TableSpec("ch", "o", Operation.RECREATE, where_filter="no_such_col > 1")
+    with _pytest.raises(Exception):
+        op_recreate(store, bad_spec, orders)
+    assert store.table_exists("ch", "o")
+    assert store.row_count("ch", "o") == before
+
+
+def test_update_watermark_is_incremental(spark, sf_smoke):
+    """review fix: sync_update_by_column_max persists a high-water
+    mark — a second run over the same staging applies nothing."""
+    from ora_ch_spark.operators.load_ops import op_update
+
+    store = _store(spark)
+    store.create_database("ch")
+    li = load_table(spark, sf_smoke, "lineitem")
+    store.write("ch", "li_wm", li)
+    staging = li.filter("l_returnflag = 'R'").select(
+        "l_orderkey", "l_linenumber", (F.lit(777.0)).alias("l_quantity")
+    )
+    spec = TableSpec(
+        schema="ch", name="li_wm", operation=Operation.UPDATE,
+        update_fields=("l_quantity",), sync_update_by_column_max="l_orderkey",
+    )
+    n1 = op_update(store, spec, staging, ["l_orderkey", "l_linenumber"])
+    assert n1 > 0
+    n2 = op_update(store, spec, staging, ["l_orderkey", "l_linenumber"])
+    assert n2 == 0  # watermark excludes already-applied rows
+    # but strictly newer staging rows still apply
+    newer = staging.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+    n3 = op_update(
+        store,
+        TableSpec(schema="ch", name="li_wm", operation=Operation.UPDATE,
+                  update_fields=("l_quantity",), sync_update_by_column_max="l_orderkey"),
+        newer, ["l_orderkey", "l_linenumber"],
+    )
+    assert n3 > 0
+
+
+def test_update_applies_where_filter(spark, sf_smoke):
+    """review fix: an update spec's where_filter restricts which
+    staging rows merge."""
+    from ora_ch_spark.operators.load_ops import op_update
+
+    store = _store(spark)
+    store.create_database("ch")
+    li = load_table(spark, sf_smoke, "lineitem")
+    store.write("ch", "li_f", li)
+    staging = li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                        F.lit(555.0).alias("l_quantity"))
+    spec = TableSpec(
+        schema="ch", name="li_f", operation=Operation.UPDATE,
+        update_fields=("l_quantity",), where_filter="l_returnflag = 'R'",
+    )
+    op_update(store, spec, staging, ["l_orderkey", "l_linenumber"])
+    out = store.read("ch", "li_f")
+    # rows whose key has no R-flagged staging row keep their quantity
+    keys_r = li.filter("l_returnflag = 'R'").select("l_orderkey", "l_linenumber").distinct()
+    untouched = out.join(keys_r, ["l_orderkey", "l_linenumber"], "left_anti")
+    assert untouched.filter("l_quantity = 555.0").count() == 0
+    assert out.filter("l_quantity = 555.0").count() > 0
+
+
+def test_calc_unknown_query_id_lands_in_runlog(spark):
+    """review fix: POST /calc with an unknown query_id must leave an
+    error trail, not vanish."""
+    import pytest as _pytest
+
+    store = _store(spark)
+    engine = CalcEngine(spark, store, {})
+    with _pytest.raises(KeyError):
+        engine.run([CalcQuery(query_id=9999)])
+    assert engine.runlog.queries[9999].state == "error"
+    assert "unknown query_id" in engine.runlog.queries[9999].error_msg
+
+
+def test_promote_local_cache_uses_meta_keys(spark):
+    """review fix: local_cache_keys on QueryMeta drive the keyed
+    delete when no explicit key_columns are passed (the HTTP path)."""
+    store = _store(spark)
+    store.create_database("ch")
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    store.write("ch", "cachex", old)
+    fresh = spark.createDataFrame([(2, 22.0)], ["k", "v"])
+    store.write("ch", "ch_cachex", fresh)
+    meta = QueryMeta(query_id=7, ch_table="ch_cachex", ora_table="x",
+                     query="select 1", ch_schema="ch", local_cache_keys=("k",))
+    CalcEngine(spark, store, {7: meta}).promote_local_cache(meta)
+    rows = {r.k: r.v for r in store.read("ch", "cachex").collect()}
+    assert rows == {1: 10.0, 2: 22.0}
+
+
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    import pytest as _pytest
+
+    from ora_ch_spark.operators.skew import salted_join
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="large-side-preserving"):
+        salted_join(a, b, on=["k"], how="full")
+    with _pytest.raises(ValueError):
+        salted_join(a, b, on=["k"], how="right")
