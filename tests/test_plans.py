@@ -65,3 +65,32 @@ def test_minhash_no_cartesian(spark, sf_correct):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
         "near-dedup must never degenerate to an all-pairs join"
     )
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_correct, tmp_path):
+    """bucketing.py: same-bucketed tables join without any Exchange —
+    the co-located join the reference can't express at all."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.bucketing import colocated_join, write_bucketed
+
+    # (spark.sql.warehouse.dir is static — managed tables land in the
+    # session's default warehouse; DROP TABLE below cleans them up)
+    li = load_table(spark, sf_correct, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_correct, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8)
+    write_bucketed(orders, "b_orders", ["l_orderkey"], n_buckets=8)
+    # disable broadcast so the join strategy question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_lineitem", "b_orders", on=["l_orderkey"])
+        p = _plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
