@@ -495,6 +495,92 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface beyond the reference's NTILE: per-status
+    top-5 orders with rank / dense_rank / lag / running sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wsum = w.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.sum(_dec("o_totalprice")).over(wsum).cast("double").alias("running_total"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+WINDOW_FUNCTIONS_ORACLE = """
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         cast(row_number() OVER w as int) AS rn,
+         cast(rank() OVER w as int) AS rnk,
+         cast(dense_rank() OVER w as int) AS drnk,
+         lag(o_totalprice) OVER w AS prev_price,
+         cast(sum(cast(o_totalprice as decimal(18,2)))
+              OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) as double) AS running_total
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 5
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets (beyond the
+    reference surface; table-stakes for a complete SQL engine)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    big_buyers = (
+        orders.filter("o_totalprice > 250000").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    both = building.intersect(big_buyers).withColumn("set_kind", F.lit("both"))
+    only_building = building.exceptAll(big_buyers).distinct().withColumn(
+        "set_kind", F.lit("building_only")
+    )
+    any_of = building.union(big_buyers).distinct().withColumn("set_kind", F.lit("any"))
+    return both.unionByName(only_building).unionByName(any_of)
+
+
+SET_OPS_ORACLE = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000)
+SELECT c_custkey, 'both' AS set_kind FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+UNION ALL
+SELECT c_custkey, 'building_only' AS set_kind FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+UNION ALL
+SELECT c_custkey, 'any' AS set_kind FROM (SELECT * FROM building UNION SELECT * FROM big)
+"""
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — subtotal/grand-total rows (beyond the
+    reference surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structural replica of the shipped production calc query
 # (v_cache_for_calc_6184_4626.txt) — same construct inventory, our tables
@@ -613,6 +699,12 @@ CORE_QUERIES: list[QueryDef] = [
              "C1–C4: typed params + CH dialect + materialize + sliced export"),
     QueryDef("calc_replica_6184", calc_replica_q, CALC_REPLICA_ORACLE,
              "structural replica of v_cache_for_calc_6184_4626.txt through the calc engine"),
+    QueryDef("window_functions", window_functions, WINDOW_FUNCTIONS_ORACLE,
+             "rank/dense_rank/lag/running-sum window surface"),
+    QueryDef("set_ops", set_ops, SET_OPS_ORACLE,
+             "UNION/INTERSECT/EXCEPT over key sets"),
+    QueryDef("rollup_agg", rollup_agg, ROLLUP_ORACLE,
+             "GROUP BY ROLLUP subtotals"),
 ]
 
 
