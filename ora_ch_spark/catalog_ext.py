@@ -43,7 +43,12 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    relation: str = "documents",
+) -> str:
     from ora_ch_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
 
     rows = num_hashes // bands
@@ -62,7 +67,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM {relation}
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -599,6 +604,77 @@ SELECT user_id, event_id, event_type, value FROM events
 """
 
 
+def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.pipeline import clean_corpus_stats
+
+    return clean_corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _pipeline_oracle() -> str:
+    """Compose the verified stage oracles into one WITH chain: lang-id
+    → quality filter → exact dedup → minhash near-dedup → stats."""
+    stop_set = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    lex_values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(TX.LANG_LEXICON.items())
+        for w in words
+    )
+    # the minhash fragment runs over the post-filter corpus `kept2`
+    minhash_pairs = _minhash_oracle(relation="kept2")
+    # strip its WITH and reuse as chained CTEs
+    minhash_body = minhash_pairs.strip()
+    assert minhash_body.startswith("WITH ")
+    minhash_ctes, minhash_select = minhash_body[5:].rsplit(")\nSELECT", 1)
+    return f"""
+WITH lex AS (SELECT * FROM (VALUES {lex_values}) t(cand_lang, tok)),
+ltok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+hits AS (
+  SELECT doc_id, cand_lang, count(*) AS hits FROM ltok JOIN lex USING (tok) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS predicted_lang
+  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+),
+qagg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_set}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(tok)) AS sum_tok_len
+  FROM ltok GROUP BY doc_id
+),
+qual AS (
+  SELECT doc_id,
+         0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+       + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+       + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) AS quality_score
+  FROM qagg
+),
+kept AS (
+  SELECT d.* FROM documents d
+  JOIN pred USING (doc_id) JOIN qual USING (doc_id)
+  WHERE pred.predicted_lang = 'en' AND qual.quality_score >= 0.3
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+kept2 AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+{minhash_ctes})
+, pairs AS (SELECT{minhash_select}
+),
+dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+final AS (
+  SELECT k.* FROM kept2 k LEFT JOIN dropped dr ON k.doc_id = dr.doc_id
+  WHERE dr.doc_id IS NULL
+)
+SELECT source, count(*) AS n_docs,
+       cast(sum(len(string_split(lower(text), ' '))) as bigint) AS n_tokens,
+       cast(sum(n_chars) as bigint) AS n_chars_total
+FROM final GROUP BY source
+"""
+
+
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
@@ -636,4 +712,6 @@ EXT_QUERIES: list[QueryDef] = [
              "frame-sampling stage (1:N mapInPandas) with md5-verified chunks"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,
              "watermarked tumbling-window rollup (Structured Streaming)"),
+    QueryDef("pipeline_clean_corpus", pipeline_clean_corpus_q, _pipeline_oracle(),
+             "composite corpus-cleaning pipeline: lang-id → quality → exact dedup → minhash near-dedup → stats"),
 ]
