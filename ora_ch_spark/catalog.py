@@ -581,6 +581,28 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` — verified bit-identical)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("p_min"),
+        F.max("o_totalprice").alias("p_max"),
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       min(o_totalprice) AS p_min,
+       max(o_totalprice) AS p_max
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structural replica of the shipped production calc query
 # (v_cache_for_calc_6184_4626.txt) — same construct inventory, our tables
@@ -705,6 +727,8 @@ CORE_QUERIES: list[QueryDef] = [
              "UNION/INTERSECT/EXCEPT over key sets"),
     QueryDef("rollup_agg", rollup_agg, ROLLUP_ORACLE,
              "GROUP BY ROLLUP subtotals"),
+    QueryDef("percentiles", percentiles, PERCENTILES_ORACLE,
+             "exact interpolated percentiles per group"),
 ]
 
 

