@@ -35,12 +35,19 @@ def main() -> None:
     # the first query
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # min of 2 passes per query: single-pass numbers on a shared box
+    # swing ±30%, which is noise against the 2x regression bar — the
+    # min is the steady-state cost of the plan
     timings: dict[str, float] = {}
     for q in all_queries():
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[q.name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[q.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # the reference's own throughput metric (speed_rows_sec =
