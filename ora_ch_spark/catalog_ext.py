@@ -402,11 +402,19 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOKEN_STATS_ORACLE = """
-SELECT doc_id, count(*) AS n_tokens,
-       count(DISTINCT tok) AS n_distinct_tokens,
-       cast(sum(cast(ceil(length(tok) / 4.0) as bigint)) as bigint) AS n_subword_est
-FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
-GROUP BY doc_id
+WITH agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(DISTINCT tok) AS n_distinct_tokens,
+         cast(sum(cast(ceil(length(tok) / 4.0) as bigint)) as bigint) AS n_subword_est
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  GROUP BY doc_id
+),
+re AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))::BIGINT AS n_bpe_tokens
+  FROM documents
+)
+SELECT agg.*, re.n_bpe_tokens FROM agg JOIN re USING (doc_id)
 """
 
 
@@ -417,10 +425,16 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 FINGERPRINT_ORACLE = """
 WITH fp AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(lower(text), ' '),
+                            t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+           (a, x) -> (a * 31 + x % 2147483647) % 2147483647) AS rolling_hash
   FROM documents
 )
-SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS n_docs_sharing
+SELECT doc_id, fingerprint, rolling_hash,
+       count(*) OVER (PARTITION BY fingerprint) AS n_docs_sharing
 FROM fp
 """
 

@@ -122,26 +122,56 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct splits,
+# restricted to constructs with identical semantics in Java regex and
+# RE2 so the differential oracle replays it)
+BPE_REGEX = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens plus a BPE-ish subword
-    estimate (⌈len/4⌉ per token — the standard ~4-chars-per-token
-    heuristic), and distinct-token count. All integers."""
+    """Token counting: whitespace tokens, a BPE-ish regex
+    pre-tokenizer count (word/number/punct runs with leading-space
+    merge, à la GPT-2), a ⌈len/4⌉ subword estimate, and
+    distinct-token count. All integers."""
     toks = _tokens(df, id_col, text_col)
-    return toks.groupBy(id_col).agg(
+    agg = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
         F.sum(F.expr("cast(ceil(length(tok) / 4.0) as bigint)")).alias("n_subword_est"),
     )
+    regex_cnt = df.select(
+        F.col(id_col),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_REGEX}', 0)")
+        ).cast("bigint").alias("n_bpe_tokens"),
+    )
+    return agg.join(regex_cnt, id_col)
+
+
+ROLLING_PRIME = 2147483647  # 2^31 - 1; keeps acc*31 + x inside int64
+ROLLING_BASE = 31
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Canonical document fingerprint: md5 over the sorted distinct
-    token set (word-order- and duplication-insensitive — catches
-    shuffled/near-identical docs that exact hashing misses). Returns
-    the fingerprint plus how many docs share it."""
+    """Document fingerprints, two flavors:
+
+    - ``fingerprint``: md5 over the sorted distinct token set
+      (order/duplication-insensitive — catches shuffled docs);
+    - ``rolling_hash``: polynomial rolling hash over the token stream
+      (order-SENSITIVE — left fold acc·B + h(tok) mod P, exact int64
+      arithmetic, sequential and engine-reproducible).
+
+    Returns both plus how many docs share the set-fingerprint."""
     canon = F.md5(
         F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))), " ")
     )
-    fp = df.select(F.col(id_col), canon.alias("fingerprint"))
+    rolling = F.expr(
+        f"aggregate(transform(split(lower({text_col}), ' '),"
+        f" t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),"
+        f" 0L, (a, x) -> (a * {ROLLING_BASE} + x % {ROLLING_PRIME}) % {ROLLING_PRIME})"
+    )
+    fp = df.select(F.col(id_col), canon.alias("fingerprint"), rolling.alias("rolling_hash"))
     counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_docs_sharing"))
-    return fp.join(counts, "fingerprint").select(id_col, "fingerprint", "n_docs_sharing")
+    return fp.join(counts, "fingerprint").select(
+        id_col, "fingerprint", "rolling_hash", "n_docs_sharing"
+    )
