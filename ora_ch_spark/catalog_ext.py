@@ -596,6 +596,54 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (vs the manual lag/cumsum in
+    events_sessionize): semantics verified — a new session starts
+    strictly when the gap exceeds 30 min (exact µs); window end =
+    last event + gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, value, ts::TIMESTAMP AS ts FROM events
+),
+f AS (
+  SELECT user_id, value, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS nf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, value, ts,
+         cast(sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) as bigint) AS sid
+  FROM f
+)
+SELECT user_id,
+       min(ts)::TIMESTAMP_NS AS session_start,
+       (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP_NS AS session_end,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed the events file TWICE (two files, same content) through
     the stateful dedup stream — output must collapse back to the
@@ -692,6 +740,8 @@ FROM final GROUP BY source
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
+    QueryDef("session_window_agg", session_window_q, SESSION_WINDOW_ORACLE,
+             "native session_window aggregation (semantics-pinned oracle)"),
     QueryDef("streaming_stateful_dedup", streaming_dedup_q, STREAMING_DEDUP_ORACLE,
              "applyInPandasWithState cross-batch dedup (doubled input collapses)"),
     QueryDef("dedup_exact", dedup_exact_q, DEDUP_EXACT_ORACLE,
