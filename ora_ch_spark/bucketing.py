@@ -34,10 +34,31 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, tuple[str, ...]] | None:
+    """(num_buckets, bucket_columns) from the catalog, or None if the
+    table isn't bucketed."""
+    rows = {r.col_name: r.data_type for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()}
+    if "Num Buckets" not in rows:
+        return None
+    cols = tuple(
+        c.strip().strip("`")
+        for c in rows.get("Bucket Columns", "").strip("[]").split(",")
+        if c.strip()
+    )
+    return int(rows["Num Buckets"]), cols
+
+
 def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:
     """Join two same-bucketed tables on the bucket key — Catalyst
     plans a SortMergeJoin with zero Exchange when the bucket specs
-    line up."""
+    line up. Fails fast on a spec mismatch instead of silently
+    regressing to a shuffled join."""
+    ls, rs = bucket_spec(spark, left_table), bucket_spec(spark, right_table)
+    if ls is None or rs is None or ls != rs or set(ls[1]) != set(on):
+        raise ValueError(
+            f"co-located join requires identical bucket specs on the join key: "
+            f"{left_table}={ls}, {right_table}={rs}, on={on}"
+        )
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

@@ -163,7 +163,11 @@ def minhash_lsh_dedup(
     The exploded shingle set feeds three plan branches (signatures +
     both sides of the verify join); it is persisted so the explode
     runs once. At 100 TB the same role is played by materializing the
-    shingle table to storage (MEMORY_AND_DISK spills gracefully)."""
+    shingle table to storage (MEMORY_AND_DISK spills gracefully).
+    Cache lifetime: Spark's ContextCleaner unpersists the shingle
+    cache once the returned plan is garbage-collected; long-lived
+    sessions running many dedups can force it earlier via
+    ``spark.catalog.clearCache()``."""
     sh = word_shingles(df, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
     cands = candidate_pairs(lsh_band_buckets(sig, id_col, num_hashes, bands), id_col)

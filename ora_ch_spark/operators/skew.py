@@ -47,14 +47,22 @@ def salted_join(
             f"salted_join supports only large-side-preserving joins {sorted(allowed)}; got {how!r}"
         )
     if salt_source is not None:
-        salt_expr = F.conv(F.substring(F.md5(F.col(salt_source).cast("string")), 1, 8), 16, 10)
-    else:
+        # NULL-safe: a NULL salt_source must still land in a bucket
+        # (md5(NULL) is NULL and would silently unmatch the row)
         salt_expr = F.conv(
-            F.substring(F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in large.columns])), 1, 8),
+            F.substring(
+                F.md5(F.coalesce(F.col(salt_source).cast("string"), F.lit("\x00"))), 1, 8
+            ),
             16,
             10,
-        )
-    lg = large.withColumn("__salt", (salt_expr.cast("bigint") % buckets).cast("int"))
+        ).cast("bigint")
+    else:
+        # row-position salt: correctness holds for ANY per-row salt
+        # (the small side is replicated for every bucket), and position
+        # spreads even fully-identical duplicate rows of a hot key —
+        # which content hashing would funnel into one bucket
+        salt_expr = F.monotonically_increasing_id()
+    lg = large.withColumn("__salt", F.pmod(salt_expr, F.lit(buckets)).cast("int"))
     sm = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )

@@ -32,11 +32,13 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Gap-based sessionization. Returns one row per session:
     (user_id, session_id, session_start, session_end, n_events,
-    total_value)."""
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    total_value). All referenced columns are parameters."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
     with_flag = events.withColumn(
         "__new_session",
@@ -54,7 +56,7 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
 
@@ -95,7 +97,9 @@ def streaming_stateful_dedup(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if os.path.isfile(events_path):
         d = tempfile.mkdtemp(prefix="stream_dedup_src_")
-        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        src = os.path.abspath(events_path)  # relative targets would
+        # resolve against the tmpdir and dangle
+        os.symlink(src, os.path.join(d, os.path.basename(src)))
         events_path = d
     static = spark.read.parquet(events_path)
     stream = (

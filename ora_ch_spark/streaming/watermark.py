@@ -47,9 +47,11 @@ def streaming_hourly_rollup(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if os.path.isfile(events_path):
         # the file stream source requires a directory — expose the
-        # single parquet file through a temp dir symlink
+        # single parquet file through a temp dir symlink (absolute
+        # target; a relative one would dangle from the tmpdir)
         d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        src = os.path.abspath(events_path)
+        os.symlink(src, os.path.join(d, os.path.basename(src)))
         events_path = d
     static = spark.read.parquet(events_path)
     stream = spark.readStream.schema(static.schema).parquet(events_path)

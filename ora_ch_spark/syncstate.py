@@ -22,8 +22,14 @@ class SyncState:
         self.root = os.path.join(root, "_sync_state")
         os.makedirs(self.root, exist_ok=True)
 
+    @staticmethod
+    def _safe(name: str) -> str:
+        # dots/slashes in identifiers must not alias state files or
+        # escape the state root
+        return "".join(c if c.isalnum() or c in "_-" else f"_{ord(c):02x}_" for c in name)
+
     def _path(self, schema: str, table: str) -> str:
-        return os.path.join(self.root, f"{schema}.{table}.json")
+        return os.path.join(self.root, f"{self._safe(schema)}__{self._safe(table)}.json")
 
     def get_watermark(self, schema: str, table: str, column: str):
         p = self._path(schema, table)
@@ -41,5 +47,11 @@ class SyncState:
         state[column] = value
         tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
+            # ints/floats round-trip natively; timestamps/decimals
+            # become their str() form, which Spark coerces back in the
+            # `col > lit(mark)` comparison (decimals with >15
+            # significant digits lose sub-double precision at the
+            # boundary — documented limit; prefer integer/timestamp
+            # watermark columns)
             json.dump(state, f, default=str)
         os.replace(tmp, p)  # atomic

@@ -22,7 +22,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long", "short", "byte"}
 
 
 @dataclass(frozen=True)
@@ -33,14 +33,20 @@ class GoldenAggregates:
 
 def golden_aggregates(df: DataFrame, columns: list[str] | None = None) -> GoldenAggregates:
     """count(*) + exact decimal sums of the numeric columns."""
+    # exact base-type match (prefix matching would also catch
+    # "interval day to second" etc.)
     num_cols = [
         name
         for name, dtype in df.dtypes
         if (columns is None or name in columns)
-        and any(dtype.startswith(t) for t in NUMERIC_TYPES)
+        and dtype.split("(")[0] in NUMERIC_TYPES
     ]
+    # try_cast: values beyond decimal(38,6)'s 32 integer digits become
+    # NULL instead of an ANSI-mode crash — reconciliation still
+    # compares like-for-like because both sides go through the same
+    # cast (documented magnitude limit: |x| < 1e32)
     aggs = [F.count(F.lit(1)).alias("__cnt")] + [
-        F.sum(F.col(c).cast("decimal(38,6)")).alias(c) for c in num_cols
+        F.sum(F.expr(f"try_cast({c} as decimal(38,6))")).alias(c) for c in num_cols
     ]
     row = df.agg(*aggs).first()
     return GoldenAggregates(

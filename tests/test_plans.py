@@ -94,3 +94,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_correct, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_colocated_join_rejects_mismatched_buckets(spark, sf_correct):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.bucketing import colocated_join, write_bucketed
+
+    li = load_table(spark, sf_correct, "lineitem").select("l_orderkey", "l_quantity").limit(100)
+    o = load_table(spark, sf_correct, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    ).limit(100)
+    write_bucketed(li, "mb_li", ["l_orderkey"], n_buckets=8)
+    write_bucketed(o, "mb_o", ["l_orderkey"], n_buckets=4)
+    try:
+        with _pytest.raises(ValueError, match="identical bucket specs"):
+            colocated_join(spark, "mb_li", "mb_o", on=["l_orderkey"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mb_li")
+        spark.sql("DROP TABLE IF EXISTS mb_o")
