@@ -581,6 +581,51 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface: parse the events ``props`` JSON payload
+    and aggregate an extracted field (semi-structured data support
+    beyond the reference's flat-scalar model)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+JSON_EXTRACT_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       cast(sum((props->>'k')::BIGINT) as bigint) AS sum_k,
+       min((props->>'k')::BIGINT) AS min_k,
+       max((props->>'k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: line-status columns per return flag (wide-format
+    reshaping; oracle expresses the same via conditional aggregation
+    so the output columns match exactly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(18,2)) END) as double) AS qty_open,
+       cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(18,2)) END) as double) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     ≡ DuckDB ``quantile_cont`` — verified bit-identical)."""
@@ -729,6 +774,10 @@ CORE_QUERIES: list[QueryDef] = [
              "GROUP BY ROLLUP subtotals"),
     QueryDef("percentiles", percentiles, PERCENTILES_ORACLE,
              "exact interpolated percentiles per group"),
+    QueryDef("json_extract_agg", json_extract_agg, JSON_EXTRACT_ORACLE,
+             "JSON payload parsing + aggregation (events.props)"),
+    QueryDef("pivot_agg", pivot_agg, PIVOT_ORACLE,
+             "pivot to wide format (≡ conditional aggregation)"),
 ]
 
 
