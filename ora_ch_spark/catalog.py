@@ -626,6 +626,74 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — no per-row re-execution): each order compared
+    to its customer's average order value."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               (SELECT cast(sum(cast(o2.o_totalprice as decimal(18,2))) as double)
+                       / count(*)
+                FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg,
+               CASE WHEN o_totalprice >
+                    (SELECT cast(sum(cast(o3.o_totalprice as decimal(18,2))) as double)
+                            / count(*)
+                     FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+                    THEN 1 ELSE 0 END AS above_avg
+        FROM orders o
+        WHERE o_orderkey < 2000
+    """)
+
+
+CORRELATED_SUBQUERY_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       (SELECT cast(sum(cast(o2.o_totalprice as decimal(18,2))) as double)
+               / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg,
+       CASE WHEN o_totalprice >
+            (SELECT cast(sum(cast(o3.o_totalprice as decimal(18,2))) as double)
+                    / count(*)
+             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+            THEN 1 ELSE 0 END AS above_avg
+FROM orders o
+WHERE o_orderkey < 2000
+"""
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery over part names (upper/lower/trim/
+    replace/substring/length/reverse/concat/split indexing)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("trimmed"),
+        F.regexp_replace("p_name", "a", "@").alias("replaced"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.length("p_name").cast("bigint").alias("len"),
+        F.reverse(F.col("p_brand")).alias("rev"),
+        F.concat_ws("/", "p_brand", "p_type").alias("joined"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("first_word"),
+    )
+
+
+STRING_FUNCTIONS_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS up,
+       lower(p_brand) AS lo,
+       trim('  ' || p_type || '  ') AS trimmed,
+       regexp_replace(p_name, 'a', '@', 'g') AS replaced,
+       substring(p_name, 2, 5) AS sub,
+       length(p_name)::BIGINT AS len,
+       reverse(p_brand) AS rev,
+       concat_ws('/', p_brand, p_type) AS joined,
+       string_split(p_type, ' ')[1] AS first_word
+FROM part
+"""
+
+
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     ≡ DuckDB ``quantile_cont`` — verified bit-identical)."""
@@ -778,6 +846,10 @@ CORE_QUERIES: list[QueryDef] = [
              "JSON payload parsing + aggregation (events.props)"),
     QueryDef("pivot_agg", pivot_agg, PIVOT_ORACLE,
              "pivot to wide format (≡ conditional aggregation)"),
+    QueryDef("correlated_subquery", correlated_subquery, CORRELATED_SUBQUERY_ORACLE,
+             "correlated scalar subqueries (Catalyst decorrelation)"),
+    QueryDef("string_functions", string_functions, STRING_FUNCTIONS_ORACLE,
+             "string-function battery"),
 ]
 
 
