@@ -169,6 +169,31 @@ WHERE jaccard >= 0.6
 """
 
 
+def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_SUBSTRING_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 60
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+           [('0x' || substr(md5(t[i:i+59]), 1, 15))::BIGINT
+            for i in range(1, length(t) - 60 + 2)])) AS h
+  FROM d
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_windows
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+WHERE n_shared_windows >= 5
+"""
+
+
 _NEARDUP_PLANES = 3
 _NEARDUP_THRESHOLD = 0.4
 
@@ -455,6 +480,32 @@ SELECT doc_id, 'image' AS media_type,
        cast(1 + (ascii(substr(text, 2, 1)) % 64) as int) AS height,
        cast(1 + (length(text) % 7) as int) AS n_frames
 FROM documents
+"""
+
+
+def grouped_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.text import grouped_zscore
+
+    return grouped_zscore(load_table(spark, sf_dir, "events"))
+
+
+# the pandas function computes mean/var from exact decimal sums with
+# this exact double formula — the oracle replays it operation-for-
+# operation, so the z-scores match bitwise
+GROUPED_ZSCORE_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         cast(sum(cast(value as decimal(18,2))) as double) AS s,
+         cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as double) AS sq,
+         count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN g.n > 1 AND (g.sq - (g.s * g.s) / g.n) / (g.n - 1) > 0
+            THEN (e.value - g.s / g.n)
+                 / sqrt((g.sq - (g.s * g.s) / g.n) / (g.n - 1))
+            ELSE 0.0 END AS zscore
+FROM events e JOIN g USING (event_type)
 """
 
 
@@ -752,6 +803,8 @@ EXT_QUERIES: list[QueryDef] = [
              "32-bit SimHash signatures over tokens"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
+    QueryDef("dedup_substring", dedup_substring_q, DEDUP_SUBSTRING_ORACLE,
+             "exact shared-substring detection (sliding-window fingerprints)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_q, _embedding_neardup_oracle(),
              "LSH-blocked embedding near-dup pairs by quantized cosine"),
     QueryDef("sim_topk_bruteforce", sim_topk_bruteforce_q, SIM_TOPK_ORACLE,
@@ -774,6 +827,8 @@ EXT_QUERIES: list[QueryDef] = [
              "binary media column → mapInPandas feature extraction"),
     QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,
              "frame-sampling stage (1:N mapInPandas) with md5-verified chunks"),
+    QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
+             "applyInPandas grouped-map z-score normalization (exact-decimal moments)"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,
              "watermarked tumbling-window rollup (Structured Streaming)"),
     QueryDef("pipeline_clean_corpus", pipeline_clean_corpus_q, _pipeline_oracle(),

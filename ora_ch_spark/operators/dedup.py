@@ -264,3 +264,46 @@ def char_ngram_jaccard_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 60,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the training-data dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", simplified from suffix arrays to window fingerprints):
+    hash EVERY ``window``-char sliding window per doc; any pair of
+    docs sharing a substring of length ≥ window necessarily shares
+    aligned window hashes, so pairs with ≥ ``min_shared`` common
+    window hashes share a substring of length ≥ window+min_shared−1.
+
+    Returns (id_a, id_b, n_shared_windows). Scale shape: one explode,
+    one self-equi-join on the 60-bit window hash (uniform key — no
+    skew), one count aggregate; the window-hash table is the only
+    wide intermediate and is persisted once.
+    """
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    t = F.lower(F.col(text_col))
+    d = (
+        df.select(F.col(id_col), t.alias("__t"))
+        .filter(F.length("__t") >= window)
+        .repartition(par)
+    )
+    hashes = F.expr(
+        f"array_distinct(transform(sequence(1, length(__t) - {window} + 1),"
+        f" i -> cast(conv(substring(md5(substring(__t, i, {window})), 1, 15), 16, 10) as bigint)))"
+    )
+    g = d.select(F.col(id_col), F.explode(hashes).alias("h")).persist()
+    a = g.select(F.col(id_col).alias("id_a"), "h")
+    b = g.select(F.col(id_col).alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= min_shared)
+    )

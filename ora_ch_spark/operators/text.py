@@ -175,3 +175,53 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return fp.join(counts, "fingerprint").select(
         id_col, "fingerprint", "rolling_hash", "n_docs_sharing"
     )
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Grouped-map ``applyInPandas`` operator: per-group z-score
+    normalization. Completes the pandas-API triple (mapInPandas in
+    multimodal, applyInPandasWithState in streaming, grouped map
+    here).
+
+    Determinism contract: mean/variance are computed from EXACT
+    decimal sums inside the pandas function (Decimal over the 2-dp
+    values — order-independent), then one fixed double formula:
+    var = (sumsq − sum²/n)/(n−1), z = (v − sum/n)/sqrt(var) — so an
+    engine replaying the same formula gets identical doubles.
+    """
+    import math
+    from decimal import Decimal
+
+    import pandas as pd
+
+    schema = f"{id_col} long, {group_col} string, {value_col} double, zscore double"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [Decimal(str(v)).quantize(Decimal("0.0001")) for v in pdf[value_col]]
+        n = len(vals)
+        s = float(sum(vals))
+        sq = float(sum(v * v for v in vals))
+        mean = s / n
+        if n > 1:
+            var = (sq - (s * s) / n) / (n - 1)
+            std = math.sqrt(var) if var > 0 else 0.0
+        else:
+            std = 0.0
+        z = [(float(v) - mean) / std if std > 0 else 0.0 for v in vals]
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                value_col: pdf[value_col],
+                "zscore": z,
+            }
+        )
+
+    return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
+        per_group, schema=schema
+    )
