@@ -123,3 +123,122 @@ def streaming_stateful_dedup(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, total double"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+
+
+def make_session_fn(gap_minutes: int = 30):
+    """Stateful sessionizer body for ``applyInPandasWithState`` with
+    EventTimeTimeout: events accumulate per-user session state; when
+    the watermark passes last_event + gap, the state times out and the
+    closed session is emitted — the continuous form of gap
+    sessionization (late events beyond the watermark are dropped by
+    the watermark itself)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        start_us = last_us = None
+        n, total = 0, 0.0
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        closed = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None and ts_us - last_us > gap_us:
+                    closed.append((start_us, last_us, n, total))
+                    start_us, n, total = ts_us, 0, 0.0
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us
+                n += 1
+                total += float(v)
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    gap_minutes: int = 30,
+    watermark_delay: str = "10 minutes",
+    query_name: str = "sessions_out",
+) -> DataFrame:
+    """Run the stateful sessionizer over the currently-available files
+    (availableNow); emitted sessions append durably to ``output_dir``
+    via foreachBatch (the memory sink cannot recover from a
+    checkpoint). Re-running with the same checkpoint after adding
+    newer files advances the watermark and flushes timed-out sessions
+    — incremental, exactly-once per the checkpoint. Returns the
+    sessions emitted so far."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(source_dir)
+    stream = spark.readStream.schema(static.schema).parquet(source_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = (
+        stream.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_minutes),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.take(1):
+            batch_df.write.mode("append").parquet(output_dir)
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(output_dir)
+    except Exception:  # no sessions emitted yet
+        return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA)

@@ -318,3 +318,51 @@ def test_dialect_statement_level_constructs(spark):
     )
     assert "GLOBAL" not in sql2.upper() and " ANY " not in f" {sql2.upper()} "
     assert spark.sql(sql2).first().n > 0
+
+
+def test_streaming_sessionize_timeout_flush(spark, sf_smoke):
+    """Stateful sessionization with EventTimeTimeout: batch 1 builds
+    session state (nothing emitted — watermark hasn't passed any
+    timeout); adding a later batch advances the watermark and flushes
+    the closed sessions, matching the batch sessionizer on batch-1
+    data for users with no batch-2 events."""
+    import os
+    import tempfile as tf
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.streaming.sessions import sessionize, streaming_sessionize
+
+    src = tf.mkdtemp(prefix="sess_src_")
+    ckpt = tf.mkdtemp(prefix="sess_ckpt_")
+    outd = os.path.join(tf.mkdtemp(prefix="sess_out_"), "sessions")
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "ts", "value", "event_id")
+    batch1 = ev  # day-spread events
+    # plain parquet FILES (not directories) — the file stream source
+    # globs files in the dir
+    batch1.toPandas().to_parquet(os.path.join(src, "b1.parquet"))
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    out1 = streaming_sessionize(spark, src, ckpt, outd, query_name=name)
+    n1 = out1.count()
+    # batch 2: events far in the future -> watermark passes all batch-1
+    # session timeouts
+    batch2 = batch1.limit(50).withColumn("ts", F.expr("ts + interval 365 days"))
+    batch2.toPandas().to_parquet(os.path.join(src, "b2.parquet"))
+    name2 = f"sess_{_uuid.uuid4().hex[:8]}"
+    out2 = streaming_sessionize(spark, src, ckpt, outd, query_name=name2)
+    emitted = out2.count()
+    assert emitted > 0, "advancing the watermark must flush closed sessions"
+    # every batch-1 session for users WITHOUT batch-2 events must match
+    # the batch sessionizer exactly
+    batch_sessions = sessionize(batch1)
+    b2_users = {r.user_id for r in batch2.select("user_id").distinct().collect()}
+    expect = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in batch_sessions.collect() if r.user_id not in b2_users
+    }
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in out2.collect() if r.user_id not in b2_users
+    }
+    assert expect == got, f"missing {len(expect - got)}, extra {len(got - expect)}"
