@@ -366,3 +366,23 @@ def test_streaming_sessionize_timeout_flush(spark, sf_smoke):
         for r in out2.collect() if r.user_id not in b2_users
     }
     assert expect == got, f"missing {len(expect - got)}, extra {len(got - expect)}"
+
+
+def test_store_survives_reopen(spark, sf_smoke):
+    """Durability: a new TableStore instance over an existing root
+    sees all tables, data, and sync-state (restart semantics)."""
+    import tempfile as tf
+
+    from ora_ch_spark.syncstate import SyncState
+
+    root = tf.mkdtemp(prefix="reopen_")
+    s1 = TableStore(spark, root)
+    s1.create_database("ch")
+    s1.write("ch", "t", load_table(spark, sf_smoke, "region"))
+    SyncState(root).set_watermark("ch", "t", "k", 42)
+    # "restart"
+    s2 = TableStore(spark, root)
+    assert s2.table_exists("ch", "t")
+    assert s2.row_count("ch", "t") == 5
+    assert s2.list_tables("ch") == ["t"]
+    assert SyncState(root).get_watermark("ch", "t", "k") == 42
