@@ -136,3 +136,57 @@ def test_unknown_endpoint_404(service):
     _, server, _ = service
     status, _ = _req(server, "GET", "/nope")
     assert status == 404
+
+
+def test_post_calc_with_local_cache_and_parts(service, spark):
+    """/calc with copy_to_local_cache + hash-sliced export through the
+    live server: keyed local-cache promotion via QueryMeta.local_cache_keys."""
+    svc, server, store = service
+    from ora_ch_spark.specs import ParamType, QueryMeta, QueryParam
+
+    meta = QueryMeta(
+        query_id=2,
+        ch_table="ch_seg",
+        ora_table="seg",
+        query=(
+            "select c_mktsegment as seg, count(*) as n, "
+            "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total "
+            "from orders join customer on o_custkey = c_custkey "
+            "where o_totalprice > {thr:Decimal(38,6)} group by c_mktsegment"
+        ),
+        params=(QueryParam("thr", ParamType.DECIMAL, 1),),
+        ch_schema="ch",
+        ora_schema="ora",
+        local_cache_keys=("seg",),
+    )
+    svc.calc.catalog[2] = meta
+    # pre-seed the local cache with a stale row that must be replaced
+    # (key overlap) and one that must survive (no overlap)
+    stale = spark.createDataFrame(
+        [("BUILDING", -1, -1.0), ("GHOST_SEGMENT", 7, 7.0)], ["seg", "n", "total"]
+    )
+    store.create_database("ch")
+    store.write("ch", "seg", stale)
+
+    status, out = _req(server, "POST", "/calc", {
+        "queries": [{
+            "query_id": 2,
+            "copy_to_local_cache": 1,
+            "copy_by_parts_key": "seg",
+            "copy_by_parts_cnt": 3,
+            "params": [{"name": "thr", "value": "100000"}],
+        }],
+    })
+    assert status == 200
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        q = svc.runlog.queries.get(2)
+        if q and q.state in ("finished", "error"):
+            break
+        time.sleep(0.2)
+    assert svc.runlog.queries[2].state == "finished"
+    local = {r.seg: (r.n, r.total) for r in spark.createDataFrame(
+        store.read("ch", "seg").collect(), store.read("ch", "seg").schema).collect()}
+    assert local["GHOST_SEGMENT"] == (7, 7.0), "non-overlapping cached row must survive"
+    assert local["BUILDING"][0] > 0, "overlapping key must be replaced with fresh data"
+    assert store.row_count("ora", "seg") == store.row_count("ch", "ch_seg")
