@@ -128,7 +128,9 @@ def cosine_topk_lsh(
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (equi-join on bucket id — shuffle on a small uniform key
     instead of a cross join)."""
-    b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims)
+    # one bucket-assignment pass feeds both join sides — persist so
+    # the plane dot-products aren't recomputed per branch
+    b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims).persist()
     corpus = b.select(F.col(id_col).alias("n_id"), F.col("qe").alias("qb"), "bucket")
     queries = b.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa"), "bucket")
     if query_ids is not None:
@@ -159,7 +161,7 @@ def embedding_near_dup_pairs(
     (the 100 TB path); without, an ordered cross join (exact, small
     corpora / verification)."""
     if use_lsh_blocking:
-        b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims)
+        b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims).persist()
         a = b.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"), "bucket")
         c = b.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"), "bucket")
         pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -218,7 +220,7 @@ def ivf_topk(
     corpus is stored partitioned by ``centroid`` so a probe reads
     only its lists (partition pruning); the candidate join shuffles
     on the small uniform centroid key."""
-    q = quantize(emb, emb_col, "qe")
+    q = quantize(emb, emb_col, "qe").persist()  # feeds seeds, assign, queries
     seeds = F.broadcast(
         q.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
