@@ -21,7 +21,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ora_ch_spark.operators.dedup import exact_dedup_groups, minhash_lsh_dedup
-from ora_ch_spark.operators.text import lang_id, quality_score
+
+
+def _fused_lang_quality(docs: DataFrame) -> DataFrame:
+    """lang_id + quality_score over ONE shared token explode (each
+    operator alone re-explodes; the pipeline fuses them — identical
+    values, half the token work)."""
+    from ora_ch_spark.operators.text import LANG_LEXICON, STOPWORDS_EN
+
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .persist()
+    )
+    # lang: lexicon hits → argmax (exact lang_id algorithm)
+    lex_rows = [(lang, w) for lang, words in sorted(LANG_LEXICON.items()) for w in words]
+    lex = docs.sparkSession.createDataFrame(lex_rows, ["cand_lang", "tok"])
+    hits = (
+        toks.join(F.broadcast(lex), "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    )
+    # quality: exact quality_score formula over the same tokens
+    stop_set = ",".join(f"'{s}'" for s in STOPWORDS_EN)
+    agg = (
+        toks.withColumn("is_stop", F.expr(f"tok in ({stop_set})").cast("int"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("is_stop").alias("n_stop"),
+            F.sum(F.length("tok")).alias("sum_tok_len"),
+        )
+    )
+    score = (
+        F.lit(0.4) * (F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"))
+        + F.lit(0.3)
+        * F.least(
+            F.col("sum_tok_len").cast("double") / F.col("n_tokens").cast("double") / F.lit(10.0),
+            F.lit(1.0),
+        )
+        + F.lit(0.3) * F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .join(agg.select("doc_id", score.alias("quality_score")), "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"),
+            "quality_score",
+        )
+    )
 
 
 def clean_corpus(
@@ -31,11 +90,9 @@ def clean_corpus(
     near_dup_threshold: float = 0.8,
 ) -> DataFrame:
     """Returns the cleaned corpus (doc rows that survive all stages)."""
-    langs = lang_id(docs).select("doc_id", "predicted_lang")
-    qual = quality_score(docs).select("doc_id", "quality_score")
+    lq = _fused_lang_quality(docs)
     kept = (
-        docs.join(langs, "doc_id")
-        .join(qual, "doc_id")
+        docs.join(lq, "doc_id")
         .filter(
             (F.col("predicted_lang") == keep_lang)
             & (F.col("quality_score") >= min_quality)
