@@ -483,6 +483,48 @@ FROM documents
 """
 
 
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest 'purchase'
+    event at-or-before it. Verified against DuckDB's NATIVE ASOF JOIN
+    — a composed Spark operator cross-validated by an engine that has
+    the primitive built in. Outputs the gap in floor-epoch µs (no raw
+    ns timestamps)."""
+    from ora_ch_spark.operators.asof import asof_join, dedup_right_per_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = dedup_right_per_ts(
+        ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id"),
+        ["user_id"], "ts", "event_id",
+    ).withColumnRenamed("event_id", "p_id")
+    joined = asof_join(
+        ev.select("user_id", "ts", "event_id"),
+        purchases,
+        key_cols=["user_id"],
+        right_value_cols=["p_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_id").alias("purchase_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    )
+
+
+def _asof_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events
+),
+praw AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+p AS (
+  SELECT user_id, ts, max(event_id) AS p_id FROM praw GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, p.p_id AS purchase_id,
+       epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 def grouped_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.text import grouped_zscore
 
@@ -829,6 +871,8 @@ EXT_QUERIES: list[QueryDef] = [
              "frame-sampling stage (1:N mapInPandas) with md5-verified chunks"),
     QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
              "applyInPandas grouped-map z-score normalization (exact-decimal moments)"),
+    QueryDef("asof_join", asof_join_q, _asof_oracle(),
+             "as-of join (composed) vs DuckDB native ASOF JOIN"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,
              "watermarked tumbling-window rollup (Structured Streaming)"),
     QueryDef("pipeline_clean_corpus", pipeline_clean_corpus_q, _pipeline_oracle(),
