@@ -84,20 +84,26 @@ def op_recreate(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
 
 
 def op_append_where(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
-    """O2 — delete-matching + insert-matching, as ONE atomic version
-    swap (reference runs a non-atomic delete then insert,
-    ``jdbsChSession.scala:222-236`` + ``:284-298``; the version swap
-    is strictly better — same final state, no torn window)."""
+    """O2 — idempotent ranged append, exactly the reference's two
+    steps (``jdbsChSession.scala:222-236`` delete + ``:284-298``
+    insert), each an atomic snapshot commit:
+
+    1. ``delete_where(where_filter)`` — FILE-PRUNED: only data files
+       that actually contain matching rows are rewritten; at scale the
+       usual case (refreshing one date range of a huge table) touches
+       only that range's files.
+    2. ``append(incoming)`` — pure file adds, O(delta).
+
+    Copied-records accounting (``ora/jdbcSession.scala:544-579``) is
+    derived from manifest row counts — no post-write re-scan."""
     incoming = shape_source(source, spec)
-    if store.table_exists(spec.schema, spec.name):
-        kept = store.read(spec.schema, spec.name).filter(f"NOT ({spec.where_filter})")
-        new_state = kept.unionByName(incoming)
-    else:
-        new_state = incoming
-    store.write(spec.schema, spec.name, new_state)
-    # copied-records accounting = rows inserted by this operation
-    # (reference counts post-delete inserts, ora/jdbcSession.scala:544-579)
-    return store.read(spec.schema, spec.name).filter(spec.where_filter).count()
+    if not store.table_exists(spec.schema, spec.name):
+        store.write(spec.schema, spec.name, incoming)
+        return store.row_count(spec.schema, spec.name)
+    store.delete_where(spec.schema, spec.name, spec.where_filter)
+    after_delete = store.row_count(spec.schema, spec.name)  # manifest read, no job
+    store.append(spec.schema, spec.name, incoming)
+    return store.row_count(spec.schema, spec.name) - after_delete
 
 
 def op_append_bymax(store: TableStore, spec: TableSpec, source: DataFrame) -> int:
@@ -113,14 +119,12 @@ def op_append_bymax(store: TableStore, spec: TableSpec, source: DataFrame) -> in
     col = spec.sync_by_column_max
     df = shape_source(source, spec)
     if store.table_exists(spec.schema, spec.name):
-        before = store.row_count(spec.schema, spec.name)
-        hi = store.read(spec.schema, spec.name).agg(F.max(col)).first()[0]
+        before = store.row_count(spec.schema, spec.name)  # manifest, no job
+        # footer-stat watermark probe — zero Spark jobs (MaxValAndCnt)
+        hi = store.max_value(spec.schema, spec.name, col)
         if hi is not None:
             df = df.filter(F.col(col) > F.lit(hi))
-        store.append(spec.schema, spec.name, df)
-        # inserted-rows accounting from cheap footer counts — never
-        # re-execute the source plan (whose snapshot dir may already
-        # be pruned) after the write
+        store.append(spec.schema, spec.name, df)  # pure file adds
         return store.row_count(spec.schema, spec.name) - before
     store.write(spec.schema, spec.name, df)
     return store.row_count(spec.schema, spec.name)
@@ -214,11 +218,34 @@ def op_update(
             if n_upd <= BROADCAST_UPDATES_MAX_ROWS
             else upd_renamed
         )
-        merged = target.join(join_side, on=key_columns, how="left")
-        for f in fields:
-            merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
-        merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
-        store.write(spec.schema, spec.name, merged)
+        partitioned = bool(store.partitioning(spec.schema, spec.name))
+        if not partitioned:
+            # FILE-PRUNED update: a key-pruned semi-join probe finds
+            # the data files holding matching keys; only those are
+            # rewritten (ALTER UPDATE touches only affected parts in
+            # the reference's MergeTree, jdbsChSession.scala:61-91)
+            tagged = store.read_with_file(spec.schema, spec.name)
+            affected = [
+                r["_src_file"]
+                for r in tagged.join(join_side, on=key_columns, how="left_semi")
+                .select("_src_file")
+                .distinct()
+                .collect()
+            ]
+            if not affected:
+                return n_upd  # no target rows match — nothing to rewrite
+            subset = store.read_files(spec.schema, spec.name, affected)
+            merged = subset.join(join_side, on=key_columns, how="left")
+            for f in fields:
+                merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
+            merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*subset.columns)
+            store.replace_files(spec.schema, spec.name, affected, merged)
+        else:
+            merged = target.join(join_side, on=key_columns, how="left")
+            for f in fields:
+                merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
+            merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
+            store.write(spec.schema, spec.name, merged)
         if wm_col and new_mark is not None:
             # advance the high-water mark only after a successful write
             sync_state.set_watermark(spec.schema, spec.name, wm_col, new_mark)

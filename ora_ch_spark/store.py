@@ -1,49 +1,184 @@
 """Versioned parquet table store — the engine's mutable-table substrate.
 
 The reference's target engine (ClickHouse MergeTree) supports DROP /
-TRUNCATE / DELETE WHERE / ALTER UPDATE. Spark's parquet tables are
-immutable, and Delta/Iceberg jars are not in this image, so the store
-implements the minimal transactional surface the five load operations
-need with *versioned directory swap*:
+TRUNCATE / DELETE WHERE / ALTER UPDATE, and — crucially — its parts
+model makes an INSERT cost O(inserted), never O(table)
+(``clickhouse/jdbsChSession.scala:284-298`` relies on exactly that for
+the incremental load ops). Spark parquet files are immutable and
+Delta/Iceberg jars are not in this image, so the store implements the
+same parts idea directly: a table snapshot is a **manifest of
+immutable data files**, and every mutation commits a new manifest plus
+only the *delta* files:
 
-    <root>/<schema>/<table>/v<N>/part-*.parquet
-    <root>/<schema>/<table>/_current        (atomic pointer file)
+    <root>/<schema>/<table>/data/g-<id>/part-*.parquet   (file groups)
+    <root>/<schema>/<table>/manifests/m-<id>.json        (snapshots)
+    <root>/<schema>/<table>/_current                     (atomic pointer)
 
-Every mutation writes a NEW version directory and then atomically
-renames the pointer — readers never observe a half-written table, and
-a failed write leaves the previous version live. This is the same
-snapshot-pointer idea Delta/Iceberg use, scaled down; at 100 TB the
-per-version data is still written fully parallel by executors, and the
-only driver-side work is the pointer swap. Old versions are pruned
-keeping the last ``keep_versions``.
+- ``append``       = write delta group + manifest listing old∪new files
+                     (pure file adds — an append never rewrites or even
+                     reads pre-existing data files).
+- ``delete_where`` = rewrite ONLY the files that contain matching rows
+                     (file pruning via a pushed-down probe scan).
+- ``replace_files``= targeted rewrite primitive used by keyed updates.
+- ``write``        = fresh single-group snapshot (recreate/overwrite).
+
+Each manifest carries per-file row counts and column min/max taken
+from the parquet footers (pyarrow, driver-side — at cluster scale this
+is a tiny metadata job exactly like Iceberg's manifest scan), so
+``row_count`` and the O3 watermark probe ``max_value`` are pure
+metadata reads: **zero Spark jobs**, matching the role of
+``system.tables.total_rows`` / ``MaxValAndCnt`` in the reference
+(``jdbsChSession.scala:206-220``, ``:93-121``).
+
+Readers never observe a half-written table: data files land first,
+the manifest file lands next, and a single ``os.replace`` of the
+pointer publishes the snapshot. Garbage collection is *retention
+based* (keep the last ``keep_versions`` manifests AND everything
+younger than ``retention_sec``), so a concurrent lazy plan still
+executing against a recent snapshot cannot have its files deleted
+from under it by a quick pair of writes. All commits to one store
+root serialize on a process-wide per-root lock shared across
+endpoints (/task and /calc hold separate busy-flags but one store).
 
 Reference operations mapped here:
-- drop/create (``clickhouse/jdbsChSession.scala:238-263``) → new v0
-- truncate (``:693-700``) → empty version
-- delete where (``:222-236``) → filtered rewrite into a new version
-- ALTER UPDATE via dict (``:61-91``) → join-merge rewrite (operators/)
+- drop/create (``clickhouse/jdbsChSession.scala:238-263``) → new snapshot
+- truncate (``:693-700``) → empty manifest (schema retained)
+- delete where (``:222-236``) → file-pruned rewrite
+- ALTER UPDATE via dict (``:61-91``) → ``replace_files`` merge (operators/)
+- OPTIMIZE FINAL (``:387-398``) → ``compact``
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class TableNotFound(KeyError):
     pass
 
 
+# one commit lock per store root, shared by every TableStore instance in
+# the process (the /task scheduler and /calc service each construct their
+# own TableStore over the same root)
+_ROOT_LOCKS: dict[str, threading.RLock] = {}
+_ROOT_LOCKS_GUARD = threading.Lock()
+
+
+def _root_lock(root: str) -> threading.RLock:
+    key = os.path.abspath(root)
+    with _ROOT_LOCKS_GUARD:
+        if key not in _ROOT_LOCKS:
+            _ROOT_LOCKS[key] = threading.RLock()
+        return _ROOT_LOCKS[key]
+
+
+# ---- footer-stat encoding (JSON-safe min/max per column) ------------
+
+def _enc_stat(v):
+    """Encode a pyarrow statistics value as (json_value, type_tag).
+    Strings are skipped: parquet string min/max may be truncated, so
+    they are not trustworthy for exact probes."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v, "int"
+    if isinstance(v, float):
+        return v, "float"
+    if isinstance(v, decimal.Decimal):
+        return str(v), "dec"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(), "ts"
+    if isinstance(v, datetime.date):
+        return v.isoformat(), "date"
+    return None
+
+
+def _dec_stat(v, tag):
+    if tag in ("int", "float"):
+        return v
+    if tag == "dec":
+        return decimal.Decimal(v)
+    if tag == "ts":
+        return datetime.datetime.fromisoformat(v)
+    if tag == "date":
+        return datetime.date.fromisoformat(v)
+    raise ValueError(tag)
+
+
+def _file_entry(abs_path: str, rel_path: str) -> dict:
+    """One manifest entry: row count + per-column min/max from the
+    parquet footer (the same metadata Iceberg manifests carry)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict[str, tuple] = {}
+    maxs: dict[str, tuple] = {}
+    complete: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                complete.discard(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            try:
+                lo, hi = _enc_stat(st.min), _enc_stat(st.max)
+            except Exception:
+                lo = hi = None
+            if lo is None or hi is None:
+                complete.discard(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            if rg == 0:
+                complete.add(name)
+            if name not in complete:
+                continue
+            if name not in mins or _dec_stat(*lo) < _dec_stat(*mins[name]):
+                mins[name] = lo
+            if name not in maxs or _dec_stat(*hi) > _dec_stat(*maxs[name]):
+                maxs[name] = hi
+    stats = {
+        c: {"min": list(mins[c]), "max": list(maxs[c])}
+        for c in complete
+        if c in mins and c in maxs
+    }
+    return {
+        "path": rel_path,
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(abs_path),
+        "stats": stats,
+    }
+
+
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 2):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keep_versions: int = 2,
+        retention_sec: float = 300.0,
+    ):
         self.spark = spark
         self.root = root
         self.keep_versions = keep_versions
+        self.retention_sec = retention_sec
+        self._lock = _root_lock(root)
         os.makedirs(root, exist_ok=True)
 
     # ---- paths -----------------------------------------------------
@@ -53,13 +188,22 @@ class TableStore:
     def _pointer(self, schema: str, table: str) -> str:
         return os.path.join(self._tdir(schema, table), "_current")
 
-    def current_version_dir(self, schema: str, table: str) -> str:
+    def _manifest(self, schema: str, table: str) -> dict:
         ptr = self._pointer(schema, table)
         if not os.path.exists(ptr):
             raise TableNotFound(f"{schema}.{table}")
         with open(ptr) as f:
-            meta = json.load(f)
-        return os.path.join(self._tdir(schema, table), meta["version"])
+            name = json.load(f)["manifest"]
+        with open(os.path.join(self._tdir(schema, table), "manifests", name)) as f:
+            return json.load(f)
+
+    def current_version_dir(self, schema: str, table: str) -> str:
+        """Directory of the table's newest data group (the analogue of
+        the old single-version directory; used for introspection)."""
+        m = self._manifest(schema, table)
+        if not m["groups"]:
+            raise TableNotFound(f"{schema}.{table} has no data groups")
+        return os.path.join(self._tdir(schema, table), m["groups"][-1])
 
     # ---- catalog ---------------------------------------------------
     def create_database(self, schema: str) -> None:
@@ -78,19 +222,170 @@ class TableStore:
             t for t in os.listdir(sdir) if os.path.exists(self._pointer(schema, t))
         )
 
+    def schema(self, schema: str, table: str) -> StructType:
+        return StructType.fromJson(json.loads(self._manifest(schema, table)["schema"]))
+
     def columns(self, schema: str, table: str) -> list[str]:
-        """system.columns probe (jdbsChSession.scala:466-485)."""
-        return self.read(schema, table).schema.fieldNames()
+        """system.columns probe (jdbsChSession.scala:466-485) — read
+        from the manifest, no Spark job."""
+        return self.schema(schema, table).fieldNames()
 
     def row_count(self, schema: str, table: str) -> int:
-        """Row-count probe (jdbsChSession.scala:206-220, 299-308)."""
-        return self.read(schema, table).count()
+        """Row-count probe (jdbsChSession.scala:206-220, 299-308) —
+        sum of manifest file rows, zero Spark jobs (the exact role of
+        ``system.tables.total_rows`` in the reference)."""
+        return self._manifest(schema, table)["rows"]
+
+    def max_value(self, schema: str, table: str, column: str):
+        """O3 watermark probe ≡ ``MaxValAndCnt``
+        (jdbsChSession.scala:93-121): max over per-file footer maxima —
+        zero Spark jobs when every file carries stats for ``column``;
+        falls back to a 1-row Spark aggregate otherwise."""
+        m = self._manifest(schema, table)
+        if not m["files"]:
+            return None
+        vals = []
+        for fe in m["files"]:
+            if fe["rows"] == 0:
+                continue
+            s = fe["stats"].get(column)
+            if s is None:
+                # some file lacks stats → authoritative fallback
+                return self.read(schema, table).agg(F.max(column)).first()[0]
+            vals.append(_dec_stat(*s["max"]))
+        return max(vals) if vals else None
 
     # ---- read ------------------------------------------------------
     def read(self, schema: str, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.current_version_dir(schema, table))
+        m = self._manifest(schema, table)
+        st = StructType.fromJson(json.loads(m["schema"]))
+        tdir = self._tdir(schema, table)
+        if m.get("partition_by"):
+            # hive-partitioned groups: read each group dir (its own
+            # partition-discovery base) and union — one read per group,
+            # partition columns restored from the hive dirs
+            dfs = [
+                self.spark.read.parquet(os.path.join(tdir, g)) for g in m["groups"]
+            ]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+        if not m["files"]:
+            return self.spark.createDataFrame([], st)
+        # pinned schema: no footer sampling, stable column order
+        return self.spark.read.schema(st).parquet(
+            *[os.path.join(tdir, fe["path"]) for fe in m["files"]]
+        )
 
-    # ---- write (atomic version swap) -------------------------------
+    def read_with_file(self, schema: str, table: str) -> DataFrame:
+        """Current snapshot plus ``_src_file`` = manifest-relative path
+        of the file each row came from (drives file pruning)."""
+        tdir = os.path.abspath(self._tdir(schema, table))
+        absf = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        return self.read(schema, table).withColumn(
+            "_src_file", F.substring(absf, len(tdir) + 2, 1 << 20)
+        )
+
+    # kept as the internal spelling used by delete_where
+    _read_with_file = read_with_file
+
+    def read_files(self, schema: str, table: str, rel_paths: list[str]) -> DataFrame:
+        """Read only the named manifest-relative files of the current
+        snapshot (the targeted half of a file-pruned rewrite)."""
+        m = self._manifest(schema, table)
+        st = StructType.fromJson(json.loads(m["schema"]))
+        tdir = self._tdir(schema, table)
+        return self.spark.read.schema(st).parquet(
+            *[os.path.join(tdir, p) for p in rel_paths]
+        )
+
+    def partitioning(self, schema: str, table: str) -> list[str]:
+        return list(self._manifest(schema, table).get("partition_by") or [])
+
+    # ---- commit machinery ------------------------------------------
+    def _write_group(
+        self, schema: str, table: str, df: DataFrame, partition_by: list[str] | None
+    ) -> tuple[str, list[dict]]:
+        """Materialize ``df`` as a new immutable file group; returns
+        (relative group path, manifest file entries). Data lands fully
+        before any manifest references it."""
+        tdir = self._tdir(schema, table)
+        rel = os.path.join("data", f"g-{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}")
+        gdir = os.path.join(tdir, rel)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(gdir)
+        entries = []
+        for dirpath, _dirs, files in os.walk(gdir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                ap = os.path.join(dirpath, fn)
+                entries.append(_file_entry(ap, os.path.relpath(ap, tdir)))
+        return rel, entries
+
+    def _commit(self, schema: str, table: str, manifest: dict) -> None:
+        """Publish a snapshot: manifest file, then atomic pointer swap,
+        then retention-based GC — all under the per-root lock."""
+        tdir = self._tdir(schema, table)
+        mdir = os.path.join(tdir, "manifests")
+        os.makedirs(mdir, exist_ok=True)
+        manifest["rows"] = sum(fe["rows"] for fe in manifest["files"])
+        manifest["created"] = time.time()
+        name = f"m-{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(mdir, name), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._pointer(schema, table) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"manifest": name, "ts": time.time()}, f)
+        os.replace(tmp, self._pointer(schema, table))  # atomic publish
+        self._gc(schema, table, current=name)
+
+    def _gc(self, schema: str, table: str, current: str) -> None:
+        """Retention-based GC: keep the newest ``keep_versions``
+        manifests plus anything younger than ``retention_sec`` (so
+        in-flight readers of recent snapshots stay valid); delete data
+        groups referenced by no retained manifest."""
+        tdir = self._tdir(schema, table)
+        mdir = os.path.join(tdir, "manifests")
+        entries = []
+        for fn in os.listdir(mdir):
+            p = os.path.join(mdir, fn)
+            try:
+                with open(p) as f:
+                    entries.append((json.load(f).get("created", 0), fn))
+            except Exception:
+                continue
+        entries.sort(reverse=True)
+        now = time.time()
+        keep = set()
+        for i, (created, fn) in enumerate(entries):
+            if fn == current or i < self.keep_versions or now - created < self.retention_sec:
+                keep.add(fn)
+        live_groups: set[str] = set()
+        for fn in keep:
+            try:
+                with open(os.path.join(mdir, fn)) as f:
+                    m = json.load(f)
+            except Exception:
+                continue
+            live_groups.update(m["groups"])
+            live_groups.update(os.path.dirname(fe["path"]) for fe in m["files"])
+        for _created, fn in entries:
+            if fn not in keep:
+                try:
+                    os.remove(os.path.join(mdir, fn))
+                except OSError:
+                    pass
+        ddir = os.path.join(tdir, "data")
+        if os.path.isdir(ddir):
+            for g in os.listdir(ddir):
+                if os.path.join("data", g) not in live_groups:
+                    shutil.rmtree(os.path.join(ddir, g), ignore_errors=True)
+
+    # ---- write operations ------------------------------------------
     def write(
         self,
         schema: str,
@@ -98,65 +393,144 @@ class TableStore:
         df: DataFrame,
         partition_by: list[str] | None = None,
     ) -> str:
-        """Materialize ``df`` as the next version and swap the pointer
-        atomically. Returns the new version directory.
+        """Full snapshot (recreate/overwrite): one new group holding
+        all data; previous snapshot stays readable until GC retention
+        lapses. Returns the new group directory.
 
-        ``partition_by`` writes hive-style partition directories —
-        at scale this is what makes O2's ranged delete+insert a
-        partition-pruned rewrite instead of a full-table one, and
-        gives readers partition pruning for free."""
+        The (possibly long) Spark data write runs OUTSIDE the commit
+        lock — parallel table loads don't serialize on each other;
+        only the metadata commit (manifest + pointer + GC) locks."""
         tdir = self._tdir(schema, table)
         os.makedirs(tdir, exist_ok=True)
-        version = f"v{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
-        vdir = os.path.join(tdir, version)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(vdir)
-        tmp = self._pointer(schema, table) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "ts": time.time()}, f)
-        os.replace(tmp, self._pointer(schema, table))  # atomic
-        self._prune(schema, table, keep=version)
-        return vdir
+        rel, entries = self._write_group(schema, table, df, partition_by)
+        with self._lock:
+            self._commit(
+                schema,
+                table,
+                {
+                    "schema": df.schema.json(),
+                    "partition_by": partition_by or [],
+                    "groups": [rel],
+                    "files": entries,
+                },
+            )
+        return os.path.join(tdir, rel)
 
     def append(self, schema: str, table: str, df: DataFrame) -> str:
-        """Append = union with the current snapshot into a new version.
+        """Append = write ONLY the delta files and commit a manifest
+        listing old∪new — O(delta), never O(table). Pre-existing data
+        files are neither read nor rewritten (the MergeTree-parts
+        property the reference's incremental ops assume)."""
+        if not self.table_exists(schema, table):
+            return self.write(schema, table, df)
+        m = self._manifest(schema, table)
+        cols = StructType.fromJson(json.loads(m["schema"])).fieldNames()
+        df = df.select(*cols)  # align by name, keep table column order
+        rel, entries = self._write_group(
+            schema, table, df, m.get("partition_by") or None
+        )
+        with self._lock:
+            # re-read under the lock: another commit may have advanced
+            # the snapshot while our delta files were being written
+            m = self._manifest(schema, table)
+            m["groups"] = m["groups"] + [rel]
+            m["files"] = m["files"] + entries
+            self._commit(schema, table, m)
+        return os.path.join(self._tdir(schema, table), rel)
 
-        Note for scale: this rewrites the table. A production deploy
-        would use Delta/Iceberg appends (pure file adds); the
-        versioned rewrite keeps exactly the same operator semantics
-        and swaps in transparently.
-        """
-        if self.table_exists(schema, table):
-            cur = self.read(schema, table)
-            df = cur.unionByName(df)
-        return self.write(schema, table, df)
+    def replace_files(
+        self,
+        schema: str,
+        table: str,
+        remove_files: list[str],
+        replacement: DataFrame | None,
+    ) -> None:
+        """Targeted rewrite: drop ``remove_files`` (manifest-relative
+        paths) from the snapshot and add ``replacement`` as a new
+        group. The primitive behind file-pruned DELETE and keyed
+        UPDATE — untouched files carry over by reference."""
+        m = self._manifest(schema, table)
+        rel, entries = None, []
+        if replacement is not None:
+            cols = StructType.fromJson(json.loads(m["schema"])).fieldNames()
+            rel, entries = self._write_group(
+                schema, table, replacement.select(*cols), None
+            )
+        with self._lock:
+            m = self._manifest(schema, table)
+            remove = set(remove_files)
+            kept = [fe for fe in m["files"] if fe["path"] not in remove]
+            groups = sorted({os.path.dirname(fe["path"]) for fe in kept})
+            if rel is not None:
+                groups.append(rel)
+                kept = kept + entries
+            m["groups"] = groups
+            m["files"] = kept
+            self._commit(schema, table, m)
+
+    def delete_where(self, schema: str, table: str, predicate: str) -> None:
+        """``delete from t where …`` (jdbsChSession.scala:222-236) with
+        file pruning: a pushed-down probe scan finds the files that
+        contain matching rows; only those are rewritten. Partitioned
+        tables fall back to a full filtered rewrite (their rows'
+        file-identity spans hive dirs)."""
+        m = self._manifest(schema, table)
+        if not m["files"] and not m.get("partition_by"):
+            return
+        if m.get("partition_by"):
+            self.write(
+                schema,
+                table,
+                self.read(schema, table).filter(f"NOT ({predicate})"),
+                partition_by=m["partition_by"],
+            )
+            return
+        tagged = self._read_with_file(schema, table)
+        affected = [
+            r["_src_file"]
+            for r in tagged.filter(predicate).select("_src_file").distinct().collect()
+        ]
+        if not affected:
+            return
+        tdir = self._tdir(schema, table)
+        st = StructType.fromJson(json.loads(m["schema"]))
+        survivors = (
+            self.spark.read.schema(st)
+            .parquet(*[os.path.join(tdir, p) for p in affected])
+            .filter(f"NOT ({predicate})")
+        )
+        self.replace_files(schema, table, affected, survivors)
 
     def truncate(self, schema: str, table: str) -> None:
-        """truncate table (jdbsChSession.scala:693-700)."""
-        cur = self.read(schema, table)
-        self.write(schema, table, cur.limit(0))
+        """truncate table (jdbsChSession.scala:693-700) — empty
+        manifest, schema retained, no data written at all."""
+        with self._lock:
+            m = self._manifest(schema, table)
+            m["groups"] = []
+            m["files"] = []
+            self._commit(schema, table, m)
 
     def drop(self, schema: str, table: str) -> None:
         """drop table if exists (jdbsChSession.scala:238-263)."""
-        tdir = self._tdir(schema, table)
-        if os.path.isdir(tdir):
-            shutil.rmtree(tdir)
+        with self._lock:
+            tdir = self._tdir(schema, table)
+            if os.path.isdir(tdir):
+                shutil.rmtree(tdir)
 
     def compact(self, schema: str, table: str, target_partitions: int | None = None) -> str:
         """``OPTIMIZE TABLE … FINAL`` analogue
         (jdbsChSession.scala:387-398): rewrite the current snapshot
-        into fewer, larger files (coalesce — no shuffle). Sizing rule
-        of thumb at scale: total_bytes / 128 MiB."""
+        into fewer, larger files (coalesce — no shuffle), folding
+        accumulated append groups back into one. Sizing rule of thumb
+        at scale: total_bytes / 128 MiB."""
+        m = self._manifest(schema, table)
         df = self.read(schema, table)
-        n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
-        return self.write(schema, table, df.coalesce(n))
-
-    def _prune(self, schema: str, table: str, keep: str) -> None:
-        tdir = self._tdir(schema, table)
-        versions = sorted(
-            d for d in os.listdir(tdir) if d.startswith("v") and d != keep
+        if target_partitions is None:
+            total = sum(fe["bytes"] for fe in m["files"])
+            target_partitions = max(1, total // (128 << 20))
+        return self.write(
+            schema,
+            table,
+            df.coalesce(int(target_partitions)),
+            partition_by=m.get("partition_by") or None,
         )
-        for d in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
-            shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
