@@ -531,6 +531,12 @@ def grouped_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_zscore(load_table(spark, sf_dir, "events"))
 
 
+def grouped_zscore_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.text import grouped_zscore_pandas
+
+    return grouped_zscore_pandas(load_table(spark, sf_dir, "events"))
+
+
 # the pandas function computes mean/var from exact decimal sums with
 # this exact double formula — the oracle replays it operation-for-
 # operation, so the z-scores match bitwise
@@ -870,7 +876,9 @@ EXT_QUERIES: list[QueryDef] = [
     QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,
              "frame-sampling stage (1:N mapInPandas) with md5-verified chunks"),
     QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
-             "applyInPandas grouped-map z-score normalization (exact-decimal moments)"),
+             "pure-JVM grouped z-score: exact-decimal moments agg + broadcast join"),
+    QueryDef("grouped_zscore_pandas", grouped_zscore_pandas_q, GROUPED_ZSCORE_ORACLE,
+             "applyInPandas grouped-map exemplar of the same z-score (bitwise-equal)"),
     QueryDef("asof_join", asof_join_q, _asof_oracle(),
              "as-of join (composed) vs DuckDB native ASOF JOIN"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,

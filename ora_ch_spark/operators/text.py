@@ -183,16 +183,55 @@ def grouped_zscore(
     value_col: str = "value",
     id_col: str = "event_id",
 ) -> DataFrame:
-    """Grouped-map ``applyInPandas`` operator: per-group z-score
-    normalization. Completes the pandas-API triple (mapInPandas in
-    multimodal, applyInPandasWithState in streaming, grouped map
-    here).
+    """Per-group z-score normalization — the DEFAULT, pure-JVM form:
+    one partial-aggregated group pass for exact decimal moments, then
+    a broadcast join applying one fixed double formula
+    var = (sumsq − sum²/n)/(n−1), z = (v − sum/n)/sqrt(var).
+
+    Everything stays inside whole-stage codegen: the only shuffle is
+    the tiny per-group aggregate, and no group ever has to fit in one
+    task's memory (the ``applyInPandas`` variant below concentrates
+    each group into a single pandas partition — a hot group OOMs at
+    scale, which is why it is the exemplar, not the default).
+
+    Determinism contract: moments come from EXACT decimal(18,2) sums
+    (order-independent), so an engine replaying the same formula gets
+    identical doubles — the DuckDB oracle does exactly that.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    g = df.groupBy(group_col).agg(
+        F.sum(dec).cast("double").alias("_s"),
+        F.sum(dec * dec).cast("double").alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    s, sq, n = F.col("_s"), F.col("_sq"), F.col("_n")
+    var = (sq - s * s / n) / (n - 1)
+    z = (
+        F.when((n > 1) & (var > 0), (F.col(value_col) - s / n) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        df.select(id_col, group_col, value_col)
+        .join(F.broadcast(g), group_col)
+        .select(id_col, group_col, value_col, z.alias("zscore"))
+    )
+
+
+def grouped_zscore_pandas(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Grouped-map ``applyInPandas`` exemplar of the same operator —
+    completes the pandas-API triple (mapInPandas in multimodal,
+    applyInPandasWithState in streaming, grouped map here). Produces
+    bitwise-identical z-scores to :func:`grouped_zscore`; prefer the
+    default for production (no one-group-one-partition constraint).
 
     Determinism contract: mean/variance are computed from EXACT
     decimal sums inside the pandas function (Decimal over the 2-dp
-    values — order-independent), then one fixed double formula:
-    var = (sumsq − sum²/n)/(n−1), z = (v − sum/n)/sqrt(var) — so an
-    engine replaying the same formula gets identical doubles.
+    values — order-independent), then the same fixed double formula.
     """
     import math
     from decimal import Decimal
