@@ -194,20 +194,25 @@ WHERE n_shared_windows >= 5
 """
 
 
-_NEARDUP_PLANES = 3
+_NEARDUP_PLANES = 6   # bits per table → buckets ≈ N/2⁶ per table
+_NEARDUP_TABLES = 4   # OR-of-tables recall (banded, like MinHash bands)
 _NEARDUP_THRESHOLD = 0.4
 
 
 def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucket-blocked near-dup pairs — the 100 TB path (all-pairs
-    cross join is the brute-force fallback, kept as an operator
-    option but deliberately NOT the catalog default: at sf0.1 it is
-    already 2M pair evaluations vs ~250k blocked)."""
+    """Banded multi-table LSH-blocked near-dup pairs — the 100 TB
+    path: candidates must share a full 6-bit bucket in one of 4
+    tables (pair space ≈ 4·N²/2⁶ worst case, vs N²/8 for the old
+    single 3-plane table), then exact quantized cosine verifies
+    candidates only. The all-pairs cross join stays available as the
+    operator's verification fallback, deliberately NOT the catalog
+    default."""
     return S.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=_NEARDUP_THRESHOLD,
         use_lsh_blocking=True,
         n_planes=_NEARDUP_PLANES,
+        n_tables=_NEARDUP_TABLES,
     )
 
 
@@ -215,21 +220,31 @@ _QE = "list_transform(embedding::DOUBLE[], x -> cast(floor(x * 10000) as bigint)
 
 
 def _embedding_neardup_oracle() -> str:
-    signs = lsh_plane_signs(_NEARDUP_PLANES, 64)
-    bucket = " + ".join(
-        "(CASE WHEN ("
-        + " + ".join(f"({signs[p][d]}) * qe[{d + 1}]" for d in range(64))
-        + f") > 0 THEN {1 << p} ELSE 0 END)::BIGINT"
-        for p in range(_NEARDUP_PLANES)
+    signs = lsh_plane_signs(_NEARDUP_TABLES * _NEARDUP_PLANES, 64)
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN ("
+            + " + ".join(
+                f"({signs[t * _NEARDUP_PLANES + p][d]}) * qe[{d + 1}]" for d in range(64)
+            )
+            + f") > 0 THEN {1 << p} ELSE 0 END)::BIGINT"
+            for p in range(_NEARDUP_PLANES)
+        )
+
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, qe, {t} AS tbl, ({bucket_expr(t)}) AS bucket FROM q"
+        for t in range(_NEARDUP_TABLES)
     )
     return f"""
 WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
-b AS (SELECT vec_id, qe, ({bucket}) AS bucket FROM q),
+b AS ({tables}),
 e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
 nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
 pairs AS (
-  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2
+    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 ),
 dot AS (
   SELECT p.id_a, p.id_b, sum(ea.v * eb.v) AS d

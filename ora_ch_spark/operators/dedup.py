@@ -200,18 +200,35 @@ def simhash_signatures(
     )
 
 
-def char_ngram_jaccard_dedup(
+def rowwise_minhash_cols(
+    arr_col: str, num_hashes: int = 16
+) -> list:
+    """Per-ROW MinHash signature columns over an ``array<bigint>`` of
+    hashed grams/shingles — pure expressions, NO explode and NO
+    shuffle (the single-pass form of :func:`minhash_signatures`).
+    Elements are folded mod 2³² before the universal hash so
+    aᵢ·x stays < 2⁶² (no int64 overflow)."""
+    cols = []
+    for h, (a, b) in enumerate(minhash_coeffs(num_hashes)):
+        cols.append(
+            F.expr(
+                f"array_min(transform({arr_col},"
+                f" g -> ({a} * pmod(g, 4294967296) + {b}) % {MINHASH_PRIME}))"
+            ).alias(f"mh{h}")
+        )
+    return cols
+
+
+def _gram_arrays(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    block_cols: tuple[str, ...] = ("lang", "source"),
-    n: int = 4,
-    threshold: float = 0.6,
+    id_col: str,
+    text_col: str,
+    block_cols: tuple[str, ...],
+    n: int,
 ) -> DataFrame:
-    """Character n-gram Jaccard near-dedup with blocking: pairs are
-    compared only inside a block (e.g. same lang+source) — the
-    classic scalable alternative to LSH when a natural partition key
-    exists. Returns (id_a, id_b, jaccard) ≥ threshold."""
+    """One compact array of distinct hashed char n-grams per doc — NO
+    gram explode. Grams are hashed to 60-bit ints so the arrays are
+    fixed-width and engine-reproducible (md5)."""
     t = F.lower(F.col(text_col))
     # spread the docs across the executor pool up front: a small
     # corpus arrives as one parquet split, which would serialize both
@@ -222,39 +239,30 @@ def char_ngram_jaccard_dedup(
         .filter(F.length("__t") >= n)
         .repartition(par)
     )
-    # One compact array of distinct hashed grams per doc — NO gram
-    # explode: the verify is a map-side array_intersect over the
-    # blocked pair join, which shuffles only on the block key. Within
-    # a block the pair space is quadratic BY DESIGN (the block is the
-    # pruning unit); for unblocked corpora use minhash_lsh_dedup, the
-    # sub-quadratic general path. Grams are hashed to 60-bit ints so
-    # the arrays are fixed-width and engine-reproducible (md5).
     grams = F.expr(
         f"transform(array_distinct(transform(sequence(1, length(__t) - {n} + 1),"
         f" i -> substring(__t, i, {n}))),"
         f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
     )
-    arrays = d.select(
+    return d.select(
         F.col(id_col), *block_cols, grams.alias("grams"), F.size(grams).alias("n")
-    ).persist()  # materialize once — otherwise Catalyst inlines the
-    # md5-transform into the join projection and recomputes the gram
-    # arrays PER PAIR instead of per doc
+    )
+
+
+def _jaccard_on_pairs(
+    pairs: DataFrame, arrays: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard via map-side array_intersect over given (id_a,
+    id_b) pairs."""
     a = arrays.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c) for c in block_cols],
-        F.col("grams").alias("ga"),
-        F.col("n").alias("na"),
+        F.col(id_col).alias("id_a"), F.col("grams").alias("ga"), F.col("n").alias("na")
     )
     b = arrays.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col("grams").alias("gb"),
-        F.col("n").alias("nb"),
+        F.col(id_col).alias("id_b"), F.col("grams").alias("gb"), F.col("n").alias("nb")
     )
-    cond = [a[c] == b[f"{c}_b"] for c in block_cols]
     return (
-        a.join(b, cond)
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard",
@@ -264,6 +272,105 @@ def char_ngram_jaccard_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    n: int = 4,
+    max_block: int = 10_000,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, persisted gram arrays) for
+    :func:`char_ngram_jaccard_dedup` with
+    **block-size routing** (the 100 TB guard): blocks up to
+    ``max_block`` docs use the exact all-pairs-within-block join;
+    oversized blocks (at web scale, (en, web) ≈ the whole corpus)
+    route through banded MinHash-LSH *within the block*, whose
+    candidate count grows ~linearly in block size instead of
+    quadratically. Exposed separately so the linear-growth property
+    is testable."""
+    arrays = _gram_arrays(df, id_col, text_col, block_cols, n).persist()
+    sizes = arrays.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    tagged = arrays.join(F.broadcast(sizes), list(block_cols))
+    small = tagged.filter(F.col("__bn") <= max_block)
+    big = tagged.filter(F.col("__bn") > max_block)
+
+    sa = small.select(F.col(id_col).alias("id_a"), *block_cols)
+    sb = small.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in block_cols]
+    )
+    cond = [sa[c] == sb[f"{c}_b"] for c in block_cols]
+    small_pairs = (
+        sa.join(sb, cond).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+
+    # oversized blocks: per-row (no-shuffle) MinHash over the gram
+    # array, banded buckets, candidates = same (block, band, bucket)
+    rows = num_hashes // bands
+    sig = big.select(id_col, *block_cols, *rowwise_minhash_cols("grams", num_hashes))
+    entries = [
+        F.struct(
+            F.lit(bd).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{bd * rows + r}").cast("string") for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for bd in range(bands)
+    ]
+    bb = sig.select(
+        F.col(id_col), *block_cols, F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, *block_cols, "e.band", "e.bucket")
+    ba = bb.select(F.col(id_col).alias("id_a"), *block_cols, "band", "bucket")
+    bbb = bb.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    # distinct names on the two sides — a same-lineage self-join on
+    # identically-named columns resolves to a trivially-true predicate
+    bcond = [ba[c] == bbb[f"{c}_b"] for c in block_cols] + [
+        ba["band"] == bbb["band_b"],
+        ba["bucket"] == bbb["bucket_b"],
+    ]
+    big_pairs = (
+        ba.join(bbb, bcond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return small_pairs.unionByName(big_pairs), arrays
+
+
+def char_ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    n: int = 4,
+    threshold: float = 0.6,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Character n-gram Jaccard near-dedup with blocking: pairs are
+    compared only inside a block (e.g. same lang+source) — the
+    classic scalable alternative to LSH when a natural partition key
+    exists. Returns (id_a, id_b, jaccard) ≥ threshold.
+
+    Blocks larger than ``max_block`` are NOT cross-joined: they route
+    through banded MinHash-LSH within the block (see
+    :func:`ngram_candidate_pairs`), bounding the pair space to
+    ~linear in block size. Recall on the routed blocks follows the
+    LSH S-curve (1−(1−s^r)^b with r=4, b=4: ≥97% at s=0.9, ~43% at
+    the 0.6 decision boundary) — the standard trade the exact path
+    doesn't make; raise ``bands`` for higher recall."""
+    pairs, arrays = ngram_candidate_pairs(
+        df, id_col, text_col, block_cols, n, max_block
+    )
+    return _jaccard_on_pairs(pairs, arrays, id_col, threshold)
 
 
 def substring_dedup(

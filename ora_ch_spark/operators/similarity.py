@@ -147,6 +147,44 @@ def cosine_topk_lsh(
     )
 
 
+def banded_lsh_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 4,
+    planes_per_table: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Banded multi-table sign-LSH (the OR-of-ANDs structure the
+    MinHash path uses): table *t* buckets on ``planes_per_table``
+    hyperplane sign bits (its own slice of the deterministic plane
+    matrix). More planes per table → exponentially smaller buckets
+    (pair space ~N²/2^r per table); OR over ``n_tables`` tables
+    restores recall. Returns one row per (vector, table):
+    ``(id, qe, tbl, bucket)``."""
+    signs = lsh_plane_signs(n_tables * planes_per_table, dims)
+    q = quantize(emb, emb_col, "qe")
+    entries = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(planes_per_table):
+            row = signs[t * planes_per_table + p]
+            warr = "array(" + ",".join(str(s) for s in row) + ")"
+            dot_p = F.expr(
+                f"aggregate(zip_with({warr}, qe, (w, x) -> w * x), 0L, (acc, v) -> acc + v)"
+            )
+            bit = F.when(dot_p > 0, F.lit(1 << p).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            bucket = bit if bucket is None else bucket + bit
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+        )
+    return q.select(
+        F.col(id_col), F.col("qe"), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, "qe", "e.tbl", "e.bucket")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -155,16 +193,33 @@ def embedding_near_dup_pairs(
     use_lsh_blocking: bool = False,
     n_planes: int = 4,
     dims: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """All-pairs near-duplicates by cosine ≥ threshold. With
-    ``use_lsh_blocking`` the pair space is gated by bucket equality
-    (the 100 TB path); without, an ordered cross join (exact, small
-    corpora / verification)."""
+    ``use_lsh_blocking`` the pair space is gated by banded LSH:
+    candidates share a full ``n_planes``-bit bucket in ANY of
+    ``n_tables`` tables, then exact (quantized-integer) cosine
+    verifies candidates only. Per-table pair space ≈ N²/2^n_planes —
+    raise ``n_planes`` to bound the blow-up and ``n_tables`` to buy
+    recall back (1−(1−s^r)^b S-curve), never an unbounded
+    within-bucket quadratic. Without blocking: an ordered cross join
+    (exact; small corpora / verification only)."""
     if use_lsh_blocking:
-        b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims).persist()
-        a = b.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"), "bucket")
-        c = b.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"), "bucket")
-        pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        bb = banded_lsh_buckets(
+            emb, id_col, emb_col, n_tables, n_planes, dims
+        ).persist()
+        a = bb.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+        c = bb.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+        cand = (
+            a.join(c, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        vecs = bb.select(id_col, "qe").distinct()
+        va = vecs.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"))
+        vb = vecs.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     else:
         q = quantize(emb, emb_col, "qe")
         a = q.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"))
@@ -182,14 +237,19 @@ def ivf_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     n_lists: int = 16,
+    q: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) list assignment: each vector joins the
     list of its nearest centroid. Centroids here are the first
     ``n_lists`` vectors by id — a deterministic, engine-replayable
     seeding (production would plug in offline k-means centroids; the
     plan shape is identical: broadcast centroids, one narrow pass
-    over the corpus, argmax cosine with id tie-break)."""
-    q = quantize(emb, emb_col, "qe")
+    over the corpus, argmax cosine with id tie-break).
+
+    ``q`` lets a caller pass an already-quantized (persisted) frame so
+    the corpus-wide quantization isn't recomputed."""
+    if q is None:
+        q = quantize(emb, emb_col, "qe")
     seeds = F.broadcast(
         q.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
@@ -226,7 +286,7 @@ def ivf_topk(
             F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
         )
     )
-    assign = ivf_assign(emb, id_col, emb_col, n_lists)
+    assign = ivf_assign(emb, id_col, emb_col, n_lists, q=q)
     queries = q.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa"))
     if query_ids is not None:
         queries = queries.join(
