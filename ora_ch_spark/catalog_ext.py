@@ -49,22 +49,33 @@ def _minhash_oracle(
     threshold: float = 0.8,
     relation: str = "documents",
 ) -> str:
+    """Replays the single-pass MinHash pipeline: 60-bit shingle
+    hashes, universal hash over the mod-2³² fold, packed int64 band
+    keys, exact-intersection verify on candidates."""
     from ora_ch_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
 
     rows = num_hashes // bands
     mins = ",\n         ".join(
-        f"min(({a} * hv + {b}) % {MINHASH_PRIME}) AS mh{h}"
+        f"min(({a} * (hv % 4294967296) + {b}) % {MINHASH_PRIME}) AS mh{h}"
         for h, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, {expr} AS bucket FROM sig".format(
-            b=b,
-            expr=" || '|' || ".join(
-                f"mh{b * rows + r}::VARCHAR" for r in range(rows)
-            ),
-        )
-        for b in range(bands)
-    )
+    pack = 1 << 31
+
+    def band_select(b: int) -> str:
+        idx = [b * rows + r for r in range(rows)]
+        keys = []
+        for j, i in enumerate(range(0, len(idx), 2)):
+            if i + 1 < len(idx):
+                keys.append(
+                    f"(mh{idx[i]} % {pack}) * {pack} + (mh{idx[i + 1]} % {pack}) AS k{j}"
+                )
+            else:
+                keys.append(f"mh{idx[i]} AS k{j}")
+        return f"  SELECT doc_id, {b} AS band, " + ", ".join(keys) + " FROM sig"
+
+    band_selects = "\n  UNION ALL\n".join(band_select(b) for b in range(bands))
+    n_keys = (rows + 1) // 2
+    key_eq = " AND ".join(f"a.k{j} = b.k{j}" for j in range(n_keys))
     return f"""
 WITH tok AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM {relation}
@@ -76,7 +87,7 @@ sh AS (
   FROM tok WHERE len(w) >= 3
 ),
 shh AS (
-  SELECT doc_id, shingle, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh
+  SELECT doc_id, shingle, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv FROM sh
 ),
 sig AS (
   SELECT doc_id,
@@ -89,14 +100,14 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ON a.band = b.band AND {key_eq} AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS i
+  SELECT c.id_a, c.id_b, count(DISTINCT sa.hv) AS i
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  JOIN shh sa ON sa.doc_id = c.id_a
+  JOIN shh sb ON sb.doc_id = c.id_b AND sb.hv = sa.hv
   GROUP BY c.id_a, c.id_b
 )
 SELECT * FROM (

@@ -148,6 +148,64 @@ def jaccard_verify(
     )
 
 
+def shingle_hash_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One compact ``array<bigint>`` of distinct 60-bit-hashed word
+    n-gram shingles per document — the single-pass substrate for
+    MinHash: no shingle explode, no signature groupBy. 60-bit md5
+    hashes make intersections collision-safe; the universal hash
+    folds them mod 2³² internally (see :func:`rowwise_minhash_cols`)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .repartition(par)  # small corpora arrive as one parquet split
+    )
+    arr = F.expr(
+        f"transform(array_distinct(transform(sequence(1, size(__toks) - {n} + 1),"
+        f" i -> concat_ws(' ', slice(__toks, i, {n})))),"
+        f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+    )
+    return d.select(
+        F.col(id_col), arr.alias("sharr"), F.size(arr).alias("n")
+    )
+
+
+_PACK31 = 1 << 31  # two 31-bit folds pack exactly into one int64
+
+
+def packed_band_keys(num_hashes: int, bands: int) -> list:
+    """Band bucket keys as packed int64s instead of string concat:
+    each pair of signature slots folds mod 2³¹ and packs into one
+    bigint ((mh_i mod 2³¹)·2³¹ + (mh_j mod 2³¹)) — a band of r rows
+    becomes ceil(r/2) fixed-width integer join keys. No string
+    building/compares in the widest shuffle of the pipeline."""
+    rows = num_hashes // bands
+    out = []
+    for b in range(bands):
+        keys = []
+        idx = [b * rows + r for r in range(rows)]
+        for i in range(0, len(idx), 2):
+            if i + 1 < len(idx):
+                keys.append(
+                    F.expr(
+                        f"pmod(mh{idx[i]}, {_PACK31}) * {_PACK31}"
+                        f" + pmod(mh{idx[i + 1]}, {_PACK31})"
+                    )
+                )
+            else:
+                keys.append(F.col(f"mh{idx[i]}"))
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                *[k.cast("bigint").alias(f"k{j}") for j, k in enumerate(keys)],
+            )
+        )
+    return out
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -160,18 +218,50 @@ def minhash_lsh_dedup(
     """Full MinHash→LSH→verify near-dedup: returns (id_a, id_b,
     jaccard) pairs above the threshold.
 
-    The exploded shingle set feeds three plan branches (signatures +
-    both sides of the verify join); it is persisted so the explode
-    runs once. At 100 TB the same role is played by materializing the
-    shingle table to storage (MEMORY_AND_DISK spills gracefully).
-    Cache lifetime: Spark's ContextCleaner unpersists the shingle
-    cache once the returned plan is garbage-collected; long-lived
-    sessions running many dedups can force it earlier via
-    ``spark.catalog.clearCache()``."""
-    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    cands = candidate_pairs(lsh_band_buckets(sig, id_col, num_hashes, bands), id_col)
-    return jaccard_verify(cands, sh, id_col, threshold)
+    Single-pass architecture (round 2): signatures are per-row
+    ``array_min`` folds over the persisted shingle-hash arrays — no
+    shingle explode and NO signature shuffle at all; band keys are
+    packed int64 pairs (:func:`packed_band_keys`), so the only wide
+    shuffles left are the band self-join on uniform integer keys and
+    the candidate-pair distinct. Verification is a map-side
+    ``array_intersect`` over the same persisted arrays, touching
+    candidates only — never N². At 100 TB the arrays table is the one
+    intermediate worth materializing to storage; everything else is
+    narrow or candidate-sized."""
+    arr = shingle_hash_arrays(df, id_col, text_col, shingle_n).persist()
+    sig = arr.select(F.col(id_col), *rowwise_minhash_cols("sharr", num_hashes))
+    rows = num_hashes // bands
+    n_keys = (rows + 1) // 2
+    bb = sig.select(
+        F.col(id_col), F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e")
+    ).select(id_col, "e.band", *[f"e.k{j}" for j in range(n_keys)])
+    key_cols = ["band"] + [f"k{j}" for j in range(n_keys)]
+    a = bb.select(F.col(id_col).alias("id_a"), *key_cols)
+    b = bb.select(F.col(id_col).alias("id_b"), *key_cols)
+    cands = (
+        a.join(b, on=key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = arr.select(
+        F.col(id_col).alias("id_a"), F.col("sharr").alias("ga"), F.col("n").alias("na")
+    )
+    gb = arr.select(
+        F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"), F.col("n").alias("nb")
+    )
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_signatures(
@@ -179,25 +269,34 @@ def simhash_signatures(
 ) -> DataFrame:
     """SimHash over whitespace tokens (with multiplicity): bit *b* of
     the signature is the sign of Σ_tokens (2·bit_b(h(token)) − 1).
-    All-integer arithmetic; ties (sum = 0) resolve to 0."""
+    All-integer arithmetic; ties (sum = 0) resolve to 0.
+
+    Round-2 shape: ZERO shuffles and zero explodes. Tokens are hashed
+    once into an ``array<bigint>`` per row, then each signature bit is
+    one ``aggregate`` fold over that array — the whole operator is a
+    single narrow projection inside whole-stage codegen (the previous
+    form exploded 32 bit-rows per token and ran two groupBys)."""
     par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    toks = df.repartition(par).select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    hvs = F.expr(
+        f"transform(split(lower({text_col}), ' '),"
+        f" t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
     )
-    hv = toks.withColumn(
-        "hv", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    d = (
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(par)
+        .select(F.col(id_col), hvs.alias("__hvs"))
     )
-    bitrows = hv.select(
-        id_col, "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    )
-    contrib = F.when(F.expr("(hv div shiftleft(1L, b)) % 2 = 1"), 1).otherwise(-1)
-    bitsums = bitrows.groupBy(id_col, "b").agg(F.sum(contrib).alias("s"))
-    return bitsums.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+    sig = None
+    for b in range(bits):
+        s_b = F.expr(
+            f"aggregate(__hvs, 0L,"
+            f" (acc, h) -> acc + (case when (h div {1 << b}) % 2 = 1 then 1 else -1 end))"
+        )
+        term = F.when(s_b > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return d.select(F.col(id_col), sig.alias("simhash"))
 
 
 def rowwise_minhash_cols(
