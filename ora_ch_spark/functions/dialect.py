@@ -141,6 +141,81 @@ _CAST_FNS = {
 }
 
 
+_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+_MASK = re.compile("\x00(\\d+)\x00")
+
+
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace every quoted literal with an opaque placeholder so the
+    statement-level regex passes can never rewrite text INSIDE a
+    string (param values are spliced before translation runs, so a
+    literal may well contain 'any join', 'final,' or 'today()')."""
+    parts: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        parts.append(m.group(0))
+        return f"\x00{len(parts) - 1}\x00"
+
+    return _STR_LIT.sub(repl, sql), parts
+
+
+def _unmask_strings(masked: str, parts: list[str]) -> str:
+    return _MASK.sub(lambda m: parts[int(m.group(1))], masked)
+
+
+_CLAUSE_END = re.compile(
+    r"(?i)\b(where|group\s+by|order\s+by|limit|having|union|settings)\b|[()]"
+)
+
+
+def _clause_span(masked: str, start: int) -> tuple[int, str | None]:
+    """Scan from ``start`` (paren-depth-aware; strings are masked) to
+    the end of the current clause: the next same-depth clause keyword,
+    a depth-closing ')' or end of string. Returns (end_pos, keyword
+    lower-cased or None)."""
+    depth = 0
+    for m in _CLAUSE_END.finditer(masked, start):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+            if depth < 0:
+                return m.start(), None
+        elif depth == 0:
+            return m.start(), m.group(1).lower()
+    return len(masked), None
+
+
+_PREWHERE = re.compile(r"(?i)(?<![A-Za-z0-9_])prewhere(?![A-Za-z0-9_])")
+
+
+def _rewrite_prewhere(masked: str) -> str:
+    """PREWHERE is a ClickHouse storage-level filter hint. Alone it is
+    semantically WHERE; when the same SELECT also has a WHERE (legal
+    in CH) the two merge into one conjunction — 'PREWHERE a … WHERE b'
+    → 'WHERE (a) AND (b)', never the invalid 'WHERE a WHERE b'."""
+    while True:
+        m = _PREWHERE.search(masked)
+        if not m:
+            return masked
+        cond1_start = m.end()
+        cond1_end, kw = _clause_span(masked, cond1_start)
+        cond1 = masked[cond1_start:cond1_end].strip()
+        if kw == "where":
+            where_m = re.compile(r"(?i)\bwhere\b").search(masked, cond1_end)
+            cond2_start = where_m.end()
+            cond2_end, _ = _clause_span(masked, cond2_start)
+            cond2 = masked[cond2_start:cond2_end].strip()
+            masked = (
+                masked[: m.start()]
+                + f"WHERE ({cond1}) AND ({cond2}) "
+                + masked[cond2_end:]
+            )
+        else:
+            masked = masked[: m.start()] + "WHERE" + masked[m.end():]
+
+
 def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     """Rewrite ClickHouse-dialect SQL into Spark SQL (function surface
     of SURVEY.md §2.4). Idempotent on already-ANSI text."""
@@ -175,23 +250,30 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "toFixedString", _fixed)
     out = _rewrite_calls(out, "cityHash64", lambda a: f"xxhash64({', '.join(a)})")
     out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} div {a[1]})")
-    out = re.sub(r"(?<![A-Za-z0-9_])today\s*\(\s*\)", "current_date()", out, flags=re.IGNORECASE)
 
     # ---- statement-level CH constructs ----
-    # PREWHERE is a storage-level filter hint; semantically WHERE
-    out = re.sub(r"(?i)(?<![A-Za-z0-9_])prewhere(?![A-Za-z0-9_])", "WHERE", out)
+    # String literals are masked for ALL statement-level passes: bound
+    # param values are spliced into the SQL before translation, so a
+    # literal may contain 'today()', 'final,' or 'any join' — none of
+    # which may be rewritten (ADVICE r01).
+    masked, lits = _mask_strings(out)
+    masked = re.sub(
+        r"(?<![A-Za-z0-9_])today\s*\(\s*\)", "current_date()", masked, flags=re.IGNORECASE
+    )
+    # PREWHERE: merge with a same-SELECT WHERE, else plain WHERE
+    masked = _rewrite_prewhere(masked)
     # GLOBAL join / IN distribution modifier and ANY/ALL join
     # strictness: Spark's optimizer owns distribution; ANY JOIN's
     # first-match semantics ≈ plain join on unique keys (documented).
     # These run BEFORE the FINAL strip so `t FINAL GLOBAL ANY JOIN`
     # reduces step-by-step.
-    out = re.sub(r"(?i)\bglobal\s+(any\s+|all\s+)?(?=(left|right|inner|full|cross|semi|anti|join|in))", "", out)
-    out = re.sub(r"(?i)\b(any|all)\s+(?=(left|right|inner|full)?\s*join)", "", out)
+    masked = re.sub(r"(?i)\bglobal\s+(any\s+|all\s+)?(?=(left|right|inner|full|cross|semi|anti|join|in))", "", masked)
+    masked = re.sub(r"(?i)\b(any|all)\s+(?=(left|right|inner|full)?\s*join)", "", masked)
     # FROM t FINAL — merge-on-read finalization; our snapshots are
     # already final (store versions), so drop the modifier
-    out = re.sub(
+    masked = re.sub(
         r"(?i)\bfinal\b(?=\s*($|\)|,|where|group|order|limit|join|left|right|inner|full|cross|on|having|union))",
         "",
-        out,
+        masked,
     )
-    return out
+    return _unmask_strings(masked, lits)

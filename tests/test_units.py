@@ -386,3 +386,50 @@ def test_store_survives_reopen(spark, sf_smoke):
     assert s2.row_count("ch", "t") == 5
     assert s2.list_tables("ch") == ["t"]
     assert SyncState(root).get_watermark("ch", "t", "k") == 42
+
+
+# ---- dialect statement-level quote-awareness (ADVICE r01) ----
+
+def test_dialect_statement_rewrites_never_touch_string_literals():
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    sql = (
+        "select 'use any join or today()' as a, 'x FINAL, y' as b, "
+        "'PREWHERE nothing' as c from t FINAL where k = 'GLOBAL ANY JOIN'"
+    )
+    out = translate_ch_sql(sql)
+    # literals intact, statement-level FINAL stripped
+    assert "'use any join or today()'" in out
+    assert "'x FINAL, y'" in out
+    assert "'PREWHERE nothing'" in out
+    assert "'GLOBAL ANY JOIN'" in out
+    assert " FINAL " not in out.replace("FINAL,", "")  # the real modifier is gone
+
+
+def test_dialect_prewhere_alone_becomes_where():
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    out = translate_ch_sql("select * from t PREWHERE a > 1 group by a")
+    assert "WHERE a > 1" in out and "prewhere" not in out.lower().replace("where", "")
+
+
+def test_dialect_prewhere_merges_with_where():
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    out = translate_ch_sql("select * from t PREWHERE a > 1 WHERE b < 2 group by c")
+    assert "WHERE (a > 1) AND (b < 2)" in out
+    # exactly one WHERE — never the invalid 'WHERE a WHERE b'
+    assert out.upper().count("WHERE") == 1
+    assert "group by c" in out
+
+
+def test_dialect_prewhere_subquery_scoped():
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    out = translate_ch_sql(
+        "select * from (select * from t PREWHERE a = 1) s WHERE b = 2"
+    )
+    # inner PREWHERE must NOT swallow the outer WHERE
+    assert "PREWHERE" not in out.upper().replace("WHERE", "WHERE")
+    assert "WHERE a = 1" in out
+    assert "WHERE b = 2" in out
