@@ -190,3 +190,60 @@ def test_post_calc_with_local_cache_and_parts(service, spark):
     assert local["GHOST_SEGMENT"] == (7, 7.0), "non-overlapping cached row must survive"
     assert local["BUILDING"][0] > 0, "overlapping key must be replaced with fresh data"
     assert store.row_count("ora", "seg") == store.row_count("ch", "ch_seg")
+
+
+def test_runlog_restores_from_wal_and_serves_state(spark, sf_smoke):
+    """§1.4 parity (VERDICT r01 #5): the run log persists every
+    transition; a restarted process rebuilds the registry from the
+    sink and serves GET /state from persisted rows; flush_to_store
+    materializes the reference's three queryable log tables."""
+    import os
+
+    from ora_ch_spark.runlog import RunLog, State
+    from ora_ch_spark.specs import Operation, TableSpec, TaskSpec
+
+    wal = os.path.join(tempfile.mkdtemp(prefix="runlog_wal_"), "runlog.jsonl")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="runlog_store_"))
+    sched = TaskScheduler(
+        spark, store, source_loader=parquet_source(spark, sf_smoke),
+        runlog=RunLog(path=wal),
+    )
+    task = TaskSpec(tables=(
+        TableSpec(schema="ch", name="region", operation=Operation.RECREATE),
+        TableSpec(schema="ch", name="nation", operation=Operation.RECREATE),
+    ), degree=2)
+    sched.run_task(task)
+
+    # ---- "restart": rebuild purely from the WAL file ----
+    restored = RunLog.restore(wal)
+    assert {t.state for t in restored.tasks.values()} == {State.FINISHED}
+    by_table = {r.table: r for r in restored.tables}
+    assert by_table["region"].state == "finished_recreate"
+    assert by_table["region"].copied_records_count == 5
+    assert by_table["nation"].copied_records_count == 25
+    assert by_table["nation"].speed_rows_sec is not None
+
+    # GET /state serves from the restored registry
+    restored_sched = TaskScheduler(
+        spark, store, source_loader=parquet_source(spark, sf_smoke), runlog=restored
+    )
+    svc = OraChSparkService(restored_sched)
+    state = svc.state()
+    assert state["tables"] and all(
+        t["state"].startswith("finished_") for t in state["tables"]
+    )
+
+    # ---- queryable log tables with the reference's names ----
+    restored.flush_to_store(store)
+    tasks_df = store.read("orach", "ora_to_ch_tasks")
+    tt_df = store.read("orach", "ora_to_ch_tasks_tables")
+    assert tasks_df.filter("state = 'Finished'").count() == len(restored.tasks)
+    got = {
+        (r["table_name"], r["state"], r["copied_records_count"])
+        for r in tt_df.collect()
+    }
+    assert ("region", "finished_recreate", 5) in got
+    assert ("nation", "finished_recreate", 25) in got
+    # restored log keeps appending to the same WAL
+    restored.create_task()
+    assert RunLog.restore(wal).tasks  # replay still parses
