@@ -168,9 +168,12 @@ class TaskScheduler:
             self._busy.release()
 
     def _progress_monitor(self, stop: threading.Event, specs: list[TableSpec]) -> None:
-        """5-second progress poll (P2). Reads store row counts the way
-        the reference polls ``system.tables.total_rows`` — cheap
-        footer-stat counts on parquet, no full scans."""
+        """5-second progress poll (P2). ``store.row_count`` is a pure
+        manifest read (per-file footer counts summed at commit time) —
+        the poll schedules ZERO Spark jobs, exactly the role of the
+        reference's ``system.tables.total_rows`` probe
+        (``jdbsChSession.scala:206-220``); a count() per table per
+        tick would be a job storm at cluster scale."""
         while not stop.wait(self.PROGRESS_POLL_SEC):
             for spec in specs:
                 try:

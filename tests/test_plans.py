@@ -114,3 +114,40 @@ def test_colocated_join_rejects_mismatched_buckets(spark, sf_correct):
     finally:
         spark.sql("DROP TABLE IF EXISTS mb_li")
         spark.sql("DROP TABLE IF EXISTS mb_o")
+
+
+def test_progress_monitor_schedules_zero_spark_jobs(spark, sf_smoke, monkeypatch):
+    """P2 at cluster scale (VERDICT r01 #5): the 5 s progress poll
+    must read manifest metadata only — no count()/collect() jobs."""
+    import tempfile
+    import threading
+    import time as _time
+
+    from pyspark.sql import DataFrame
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.plans.scheduler import TaskScheduler
+    from ora_ch_spark.specs import Operation, TableSpec
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="progress_"))
+    store.create_database("ch")
+    store.write("ch", "t", load_table(spark, sf_smoke, "region"))
+    sched = TaskScheduler(spark, store)
+    tid = sched.runlog.create_task()
+    run = sched.runlog.begin_table(tid, "ch", "t", "recreate")
+    run.base_count = 2
+
+    actions = []
+    monkeypatch.setattr(DataFrame, "count", lambda self: actions.append("count"))
+    monkeypatch.setattr(DataFrame, "collect", lambda self: actions.append("collect"))
+    monkeypatch.setattr(TaskScheduler, "PROGRESS_POLL_SEC", 0.05)
+    stop = threading.Event()
+    spec = TableSpec(schema="ch", name="t", operation=Operation.RECREATE)
+    t = threading.Thread(target=sched._progress_monitor, args=(stop, [spec]), daemon=True)
+    t.start()
+    _time.sleep(0.5)
+    stop.set()
+    t.join(timeout=5)
+    assert run.copied_records_count == 3  # 5 rows - base 2: progress DID update
+    assert actions == []  # and no Spark action ever ran
