@@ -483,9 +483,18 @@ def substring_dedup(
     Lee et al., "Deduplicating Training Data Makes Language Models
     Better", simplified from suffix arrays to window fingerprints):
     hash EVERY ``window``-char sliding window per doc; any pair of
-    docs sharing a substring of length ≥ window necessarily shares
-    aligned window hashes, so pairs with ≥ ``min_shared`` common
-    window hashes share a substring of length ≥ window+min_shared−1.
+    docs sharing a contiguous substring of length ≥ window necessarily
+    shares aligned window hashes, so no true long duplication is
+    missed (recall = 1 for runs ≥ window + min_shared − 1).
+
+    Precision contract (deliberately weaker than suffix arrays): a
+    reported pair is only guaranteed to share ≥ ``min_shared``
+    DISTINCT ``window``-char substrings — five scattered repeated
+    snippets (shared boilerplate) satisfy the filter without a single
+    window+min_shared−1 run. That is usually the desired behavior for
+    training-data dedup (boilerplate is exactly what you want
+    flagged); callers needing the strict contiguous guarantee should
+    verify the survivors' window-hash positions form a run.
 
     Returns (id_a, id_b, n_shared_windows). Scale shape: one explode,
     one self-equi-join on the 60-bit window hash (uniform key — no

@@ -16,9 +16,12 @@ source (SURVEY.md §2.1 S1/S2, §2.5 P3/P7):
   numPartitions`` (S2) — at 100 TB this is the difference between one
   cursor and N concurrent range scans.
 
-No Oracle driver jar ships in this image, so ``jdbc_reader`` builds
-the full reader (testable: URL, options, pushdown-ready ``query``) and
-only ``.load()`` requires the jar.
+No Oracle driver jar ships in this image, but Spark's classpath
+bundles the embedded Apache Derby engine (shipped for the Hive
+metastore) — ``url``/``driver`` overrides on the config let the SAME
+reader/writer path run a live end-to-end JDBC round-trip against
+Derby in tests (S1 read → O1 load → S5 export), so only the
+Oracle-specific URL scheme is untested here, not the JDBC data path.
 """
 
 from __future__ import annotations
@@ -46,9 +49,19 @@ class JdbcSourceConfig:
     lower_bound: int | None = None
     upper_bound: int | None = None
     num_partitions: int | None = None
+    # overrides for non-Oracle endpoints (e.g. embedded Derby e2e)
+    url: str | None = None
+    driver: str | None = None
+    # dbtable mode: let Catalyst push filters/projections into the
+    # engine with correct identifier quoting instead of splicing a
+    # raw SELECT (preferred for case-sensitive engines; the spliced
+    # form mirrors the reference's hand-assembled SQL)
+    use_dbtable: bool = False
 
 
 def oracle_url(cfg: JdbcSourceConfig) -> str:
+    if cfg.url:
+        return cfg.url
     return f"jdbc:oracle:thin:@//{cfg.ip}:{cfg.port}/{cfg.service}"
 
 
@@ -92,7 +105,7 @@ def jdbc_reader(
         .option("user", cfg.user)
         .option("password", cfg.password)
         .option("fetchsize", str(cfg.fetch_size))
-        .option("driver", "oracle.jdbc.OracleDriver")
+        .option("driver", cfg.driver or "oracle.jdbc.OracleDriver")
     )
     init = session_init_sql(cfg)
     if init:
@@ -107,6 +120,11 @@ def jdbc_reader(
             .option("upperBound", str(cfg.upper_bound))
             .option("numPartitions", str(cfg.num_partitions or 8))
         )
+    elif cfg.use_dbtable:
+        # declarative form: the operator's filter/select push down via
+        # Catalyst (PushedFilters in the scan) with engine-correct
+        # identifier quoting
+        reader = reader.option("dbtable", spec.source_name)
     else:
         reader = reader.option("query", source_query(spec))
     return reader
