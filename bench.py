@@ -40,6 +40,11 @@ def main() -> None:
     # min is the steady-state cost of the plan
     timings: dict[str, float] = {}
     for q in all_queries():
+        # operators persist intermediates internally; drop the PREVIOUS
+        # entry's leftovers so 40+ queries' caches don't evict each
+        # other mid-measurement (each entry measured on its own plan,
+        # warm within its two passes)
+        spark.catalog.clearCache()
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
