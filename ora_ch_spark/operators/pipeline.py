@@ -91,16 +91,21 @@ def clean_corpus(
 ) -> DataFrame:
     """Returns the cleaned corpus (doc rows that survive all stages)."""
     lq = _fused_lang_quality(docs)
+    # persist the filtered corpus: it feeds three downstream consumers
+    # (exact-dedup digest scan, the survivor join, and the MinHash
+    # shingle build) — without it Catalyst re-runs the lang/quality
+    # window + aggregations once per consumer
     kept = (
         docs.join(lq, "doc_id")
         .filter(
             (F.col("predicted_lang") == keep_lang)
             & (F.col("quality_score") >= min_quality)
         )
+        .persist()
     )
     # exact dedup: survivor = min doc_id per content digest
     survivors = exact_dedup_groups(kept).select(F.col("keep_id").alias("doc_id"))
-    kept = kept.join(survivors, "doc_id")
+    kept = kept.join(survivors, "doc_id").persist()
     # near-dedup: drop the HIGHER id of every verified near-dup pair
     # (pairs computed on the post-filter corpus)
     pairs = minhash_lsh_dedup(kept, threshold=near_dup_threshold)
