@@ -173,11 +173,19 @@ class TableStore:
         root: str,
         keep_versions: int = 2,
         retention_sec: float = 300.0,
+        auto_compact_small_files: int = 128,
+        auto_compact_min_bytes: int = 32 << 20,
     ):
         self.spark = spark
         self.root = root
         self.keep_versions = keep_versions
         self.retention_sec = retention_sec
+        # background-merge policy: once a table accumulates this many
+        # sub-``auto_compact_min_bytes`` data files, the next append
+        # folds them (and only them) into one right-sized group.
+        # ``None``/0 disables the trigger.
+        self.auto_compact_small_files = auto_compact_small_files
+        self.auto_compact_min_bytes = auto_compact_min_bytes
         self._lock = _root_lock(root)
         os.makedirs(root, exist_ok=True)
 
@@ -436,6 +444,7 @@ class TableStore:
             m["groups"] = m["groups"] + [rel]
             m["files"] = m["files"] + entries
             self._commit(schema, table, m)
+        self._maybe_compact_small(schema, table)
         return os.path.join(self._tdir(schema, table), rel)
 
     def replace_files(
@@ -516,6 +525,42 @@ class TableStore:
             tdir = self._tdir(schema, table)
             if os.path.isdir(tdir):
                 shutil.rmtree(tdir)
+
+    def _maybe_compact_small(self, schema: str, table: str) -> None:
+        """Append-path trigger for :meth:`compact_small` — the
+        background-merge policy MergeTree applies to small parts.
+        Bounded work: only the small files are read, so an append's
+        amortized cost stays O(delta), never O(table)."""
+        thr = self.auto_compact_small_files
+        if not thr:
+            return
+        m = self._manifest(schema, table)
+        if m.get("partition_by"):
+            return  # hive-partitioned groups keep their dirs; use compact()
+        small = [fe for fe in m["files"] if fe["bytes"] < self.auto_compact_min_bytes]
+        if len(small) >= thr:
+            self.compact_small(schema, table)
+
+    def compact_small(self, schema: str, table: str) -> int:
+        """Incremental compaction: fold ONLY the files smaller than
+        ``auto_compact_min_bytes`` into one right-sized group; files
+        already at target size carry over by reference (ClickHouse
+        merges small parts the same way — big parts are left alone,
+        ``jdbsChSession.scala:387-398`` only forces the final merge).
+        Returns the number of files folded."""
+        m = self._manifest(schema, table)
+        if m.get("partition_by"):
+            return 0
+        small = [fe for fe in m["files"] if fe["bytes"] < self.auto_compact_min_bytes]
+        if len(small) < 2:
+            return 0
+        paths = [fe["path"] for fe in small]
+        total = sum(fe["bytes"] for fe in small)
+        df = self.read_files(schema, table, paths).coalesce(
+            int(max(1, total // (128 << 20) + 1))
+        )
+        self.replace_files(schema, table, paths, df)
+        return len(paths)
 
     def compact(self, schema: str, table: str, target_partitions: int | None = None) -> str:
         """``OPTIMIZE TABLE … FINAL`` analogue

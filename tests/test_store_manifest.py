@@ -175,3 +175,53 @@ def test_max_value_falls_back_without_stats(spark):
     assert store.max_value("s", "t", "w") is None
     with pytest.raises(KeyError):
         store.row_count("s", "missing")
+
+
+def test_auto_compact_folds_small_files_leaves_big_ones(spark, sf_smoke):
+    """Background-merge policy: once small files accumulate past the
+    threshold, the next append folds them (and ONLY them) into one
+    right-sized group — files already at target size carry over by
+    reference (same inode), so amortized append cost stays O(delta)."""
+    store = TableStore(
+        spark,
+        tempfile.mkdtemp(prefix="manifest_ac_"),
+        auto_compact_small_files=4,
+        auto_compact_min_bytes=20_000,
+    )
+    store.create_database("s")
+    orders = load_table(spark, sf_smoke, "orders")
+    store.write("s", "t", orders.coalesce(1))  # one "big" file
+    big = {
+        p: ident
+        for p, ident in _data_files(store, "s", "t").items()
+        if ident[2] >= 20_000
+    }
+    assert big, "fixture assumption: the full write produces a >=20k file"
+    total = orders.count()
+    # five 1-row appends, each a tiny file → crosses the threshold
+    for i in range(5):
+        store.append("s", "t", spark.sql(
+            f"select {10_000_000 + i} as o_orderkey, 1 as o_custkey,"
+            " 'O' as o_orderstatus, cast(1.0 as double) as o_totalprice,"
+            " timestamp'2020-01-01' as o_orderdate, 'x' as o_orderpriority"
+        ))
+    files = _data_files(store, "s", "t")
+    small_n = sum(1 for ident in files.values() if ident[2] < 20_000)
+    assert small_n <= 2, f"small files were not folded: {small_n}"
+    # the big file was carried over by reference, not rewritten
+    for p, ident in big.items():
+        assert files.get(p) == ident, f"compaction touched big file {p}"
+    assert store.row_count("s", "t") == total + 5
+    assert store.read("s", "t").count() == total + 5
+
+
+def test_compact_small_noop_cases(spark, sf_smoke):
+    """compact_small is a no-op for <2 small files and for partitioned
+    tables (their file identity spans hive dirs)."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_ac2_"))
+    store.create_database("s")
+    region = load_table(spark, sf_smoke, "region")
+    store.write("s", "t", region.coalesce(1))
+    assert store.compact_small("s", "t") == 0
+    store.write("s", "p", region, partition_by=["r_regionkey"])
+    assert store.compact_small("s", "p") == 0
