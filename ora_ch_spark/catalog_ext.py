@@ -862,6 +862,253 @@ FROM final GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus selection + PII + incremental dedup (round 2 additions)
+# ---------------------------------------------------------------------------
+
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic docs carry no natural PII, so deterministic PII
+    (email/phone/IP derived from doc_id) is injected into every third
+    doc — in the oracle too — and the scrub is exercised for real."""
+    docs = load_table(spark, sf_dir, "documents")
+    inj = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".1"),
+        ),
+    ).otherwise(F.col("text"))
+    return TX.pii_scrub(docs.withColumn("text", inj))
+
+
+def _pii_scrub_oracle() -> str:
+    em, ip, ph = (TX.PII_PATTERNS[i][1] for i in range(3))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact u' || doc_id || '@example.com or 555-' ||
+           lpad(cast(doc_id % 10000 as varchar), 4, '0') ||
+           ' at 10.0.' || cast(doc_id % 256 as varchar) || '.1'
+         ELSE text END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{em}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text, '{ip}'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(text, '{ph}'))::BIGINT AS n_phones,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{ph}', '<PHONE>', 'g') AS scrubbed
+  FROM d
+)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       n_emails + n_ipv4 + n_phones AS n_pii,
+       md5(scrubbed) AS scrubbed_md5,
+       length(scrubbed)::BIGINT AS scrubbed_len
+FROM s
+"""
+
+
+_STRAT_RATES = {"en": 0.5, "es": 0.25, "fr": 0.1, "de": 0.75}  # zh → default 0
+
+
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _STRAT_RATES).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _sample_stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(round(r * 10000))}"
+        for g, r in sorted(_STRAT_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ('0x' || substr(md5('strat:' || cast(doc_id as varchar)), 1, 8))::BIGINT % 10000
+      < CASE lang {cases} ELSE 0 END
+"""
+
+
+def quality_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.sampling import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(docs).select("doc_id", "quality_score")
+    joined = docs.select("doc_id", "lang").join(q, "doc_id")
+    return topk_per_group(joined, 10).select(
+        "doc_id", "lang", "quality_score", "rank_in_group"
+    )
+
+
+def _quality_topk_oracle() -> str:
+    stop_set = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_set}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(tok)) AS sum_tok_len
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+       + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+       + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) AS quality_score
+  FROM agg
+),
+r AS (
+  SELECT d.doc_id, d.lang, q.quality_score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY q.quality_score DESC, d.doc_id) AS rank_in_group
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT doc_id, lang, quality_score, cast(rank_in_group as int) AS rank_in_group
+FROM r WHERE rank_in_group <= 10
+"""
+
+
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus = even doc_ids (already-ingested); batch = odd doc_ids
+    (new crawl) plus exact re-crawls of every 10th corpus doc under
+    fresh ids — the operator screens the batch against the corpus only
+    (no corpus×corpus pairs) and must flag the re-crawls 'exact'."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    recrawl = corpus.filter("doc_id % 10 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    out = D.incremental_minhash_dedup(
+        corpus, docs.filter("doc_id % 2 = 1").unionByName(recrawl)
+    )
+    # null-free projection for the value-hash gate
+    return out.select(
+        "doc_id",
+        F.col("dup_exact").cast("int").alias("dup_exact"),
+        F.coalesce("near_dup_of", F.lit(-1)).alias("near_dup_of"),
+        F.coalesce("max_jaccard", F.lit(-1.0)).alias("max_jaccard"),
+        "verdict",
+    )
+
+
+def _incremental_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
+) -> str:
+    """Replays incremental_minhash_dedup: per-side single-pass MinHash
+    signatures, packed band keys, corpus×batch-only candidates, exact
+    intersection verify, then the exact/near/keep verdict."""
+    from ora_ch_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    rows = num_hashes // bands
+    pack = 1 << 31
+    mins = ",\n         ".join(
+        f"min(({a} * (hv % 4294967296) + {b}) % {MINHASH_PRIME}) AS mh{h}"
+        for h, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+
+    def band_select(side: str, b: int) -> str:
+        idx = [b * rows + r for r in range(rows)]
+        keys = []
+        for j, i in enumerate(range(0, len(idx), 2)):
+            if i + 1 < len(idx):
+                keys.append(
+                    f"(mh{idx[i]} % {pack}) * {pack} + (mh{idx[i + 1]} % {pack}) AS k{j}"
+                )
+            else:
+                keys.append(f"mh{idx[i]} AS k{j}")
+        return f"  SELECT doc_id, {b} AS band, " + ", ".join(keys) + f" FROM sig_{side}"
+
+    n_keys = (rows + 1) // 2
+    key_eq = " AND ".join(f"c.k{j} = b.k{j}" for j in range(n_keys))
+
+    def side_ctes(side: str, rel: str) -> str:
+        bands_sql = "\n  UNION ALL\n".join(band_select(side, b) for b in range(bands))
+        return f"""
+tok_{side} AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM {rel}
+),
+sh_{side} AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM tok_{side} WHERE len(w) >= 3
+),
+shh_{side} AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv FROM sh_{side}
+),
+sig_{side} AS (
+  SELECT doc_id,
+         {mins}
+  FROM shh_{side} GROUP BY doc_id
+),
+bands_{side} AS (
+{bands_sql}
+),
+sizes_{side} AS (SELECT doc_id, count(*) AS n FROM sh_{side} GROUP BY doc_id)"""
+
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+),
+{side_ctes("c", "corpus")},
+{side_ctes("b", "batch")},
+exact AS (
+  SELECT DISTINCT b.doc_id
+  FROM batch b JOIN (SELECT DISTINCT md5(text) AS dig FROM corpus) d
+    ON md5(b.text) = d.dig
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS id_c, b.doc_id AS id_b
+  FROM bands_c c JOIN bands_b b ON c.band = b.band AND {key_eq}
+),
+inter AS (
+  SELECT p.id_c, p.id_b, count(DISTINCT sa.hv) AS i
+  FROM cand p
+  JOIN shh_c sa ON sa.doc_id = p.id_c
+  JOIN shh_b sb ON sb.doc_id = p.id_b AND sb.hv = sa.hv
+  GROUP BY p.id_c, p.id_b
+),
+near AS (
+  SELECT id_b AS doc_id, min(id_c) AS near_dup_of, max(jac) AS max_jaccard
+  FROM (
+    SELECT i.id_c, i.id_b,
+           cast(i.i as double) / cast(nc.n + nb.n - i.i as double) AS jac
+    FROM inter i
+    JOIN sizes_c nc ON i.id_c = nc.doc_id
+    JOIN sizes_b nb ON i.id_b = nb.doc_id
+  ) WHERE jac >= {threshold}
+  GROUP BY id_b
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_exact,
+       coalesce(n.near_dup_of, -1) AS near_dup_of,
+       coalesce(n.max_jaccard, -1.0) AS max_jaccard,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.near_dup_of IS NOT NULL THEN 'near'
+            ELSE 'keep' END AS verdict
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near n ON b.doc_id = n.doc_id
+"""
+
+
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
@@ -897,6 +1144,14 @@ EXT_QUERIES: list[QueryDef] = [
              "whitespace + BPE-ish subword token counting"),
     QueryDef("text_fingerprint", text_fingerprint_q, FINGERPRINT_ORACLE,
              "sorted-token-set md5 fingerprint + share counts"),
+    QueryDef("text_pii_scrub", text_pii_scrub_q, _pii_scrub_oracle(),
+             "email/IP/phone redaction + per-category counts (md5-verified scrub)"),
+    QueryDef("sample_stratified", sample_stratified_q, _sample_stratified_oracle(),
+             "deterministic hash-bucket stratified sampling per lang"),
+    QueryDef("quality_topk_per_group", quality_topk_q, _quality_topk_oracle(),
+             "top-10 docs per lang by quality score (window select)"),
+    QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
+             "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
     QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
              "binary media column → mapInPandas feature extraction"),
     QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,

@@ -264,6 +264,107 @@ def minhash_lsh_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: screen a NEW batch of documents against an
+    EXISTING corpus without re-pairing the corpus with itself — the
+    shape every recurring crawl-ingestion pipeline needs (the corpus
+    is deduped once; each new batch only probes it).
+
+    Two screens, both probe-sided:
+
+    - exact:  md5 digest left-semi against the corpus digest set;
+    - near:   banded MinHash band keys, corpus side as the index,
+      batch side as the probe — the band equi-join emits only
+      corpus×batch candidates (corpus×corpus pairs never form), then
+      exact Jaccard verifies candidates via ``array_intersect``.
+
+    At 100 TB the corpus band index and digest set are precomputed
+    once and stored (they are pure columns of the corpus table); each
+    batch run then shuffles only O(batch) band keys against it —
+    incremental cost is O(batch), never O(corpus).
+
+    Returns one row per batch doc: ``(doc_id, dup_exact,
+    near_dup_of, max_jaccard, verdict)`` where ``near_dup_of`` is the
+    smallest corpus id among verified near-dups (NULL if none) and
+    verdict is 'exact' > 'near' > 'keep'.
+    """
+    dig_c = corpus.select(F.md5(F.col(text_col)).alias("__dig")).distinct()
+    dig_b = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__dig"))
+    exact = (
+        dig_b.join(dig_c, "__dig", "left_semi")
+        .select(id_col)
+        .withColumn("dup_exact", F.lit(True))
+    )
+
+    arr_c = shingle_hash_arrays(corpus, id_col, text_col, shingle_n).persist()
+    arr_b = shingle_hash_arrays(batch, id_col, text_col, shingle_n).persist()
+    rows = num_hashes // bands
+    n_keys = (rows + 1) // 2
+    key_cols = ["band"] + [f"k{j}" for j in range(n_keys)]
+
+    def band_frame(arr: DataFrame, out_id: str) -> DataFrame:
+        sig = arr.select(F.col(id_col), *rowwise_minhash_cols("sharr", num_hashes))
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e"),
+        ).select(out_id, "e.band", *[F.col(f"e.k{j}").alias(f"k{j}") for j in range(n_keys)])
+
+    cands = (
+        band_frame(arr_c, "id_c")
+        .join(band_frame(arr_b, "id_b"), on=key_cols)
+        .select("id_c", "id_b")
+        .distinct()
+    )
+    gc = arr_c.select(
+        F.col(id_col).alias("id_c"), F.col("sharr").alias("gc"), F.col("n").alias("nc")
+    )
+    gb = arr_b.select(
+        F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"), F.col("n").alias("nb")
+    )
+    near = (
+        cands.join(gc, "id_c")
+        .join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("gc", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("nc") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("id_b")
+        .agg(
+            F.min("id_c").alias("near_dup_of"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumnRenamed("id_b", id_col)
+    )
+    out = (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+            "near_dup_of",
+            "max_jaccard",
+            F.when(F.coalesce("dup_exact", F.lit(False)), "exact")
+            .when(F.col("near_dup_of").isNotNull(), "near")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+    return out
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -1,0 +1,85 @@
+"""Corpus-selection operators: deterministic stratified sampling and
+per-group top-k — the two selection primitives a training-data
+pipeline applies after cleaning/dedup (down-sample over-represented
+strata; keep the best documents per stratum).
+
+Both are pure DataFrame compositions. Sampling is a narrow,
+shuffle-free filter (the decision is a hash of the row's own id —
+no global ordering, no count pass, reproducible across runs and
+engines); top-k shuffles once on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_DENOM = 10_000  # rate resolution: 1/10000
+
+
+def _hash_bucket(id_col: str, salt: str) -> F.Column:
+    """Deterministic per-row bucket in [0, SAMPLE_DENOM): first 8 md5
+    hex chars of 'salt:id' as an int. Engine-exact (md5 on both sides
+    of the differential gate) and independent of partitioning/order —
+    the property Spark's ``df.sample`` does NOT have."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(SAMPLE_DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with a DETERMINISTIC hash
+    decision: row kept iff md5-bucket(id) < rate(group)·10000.
+
+    The per-group rates arrive as a literal map (broadcast-joined as a
+    tiny frame) — the plan is scan → broadcast join → filter, fully
+    pushdown-friendly and shuffle-free, so it costs one pass at any
+    scale. Groups absent from ``rates`` use ``default_rate``.
+
+    Unlike ``df.sampleBy`` (seeded pseudo-random per partition, not
+    stable under repartitioning), the hash decision is a pure function
+    of the row id: re-runs, retries, and engine replays select the
+    SAME rows — which is what makes sampled corpora reproducible.
+    """
+    spark = df.sparkSession
+    rate_rows = [(g, int(round(r * SAMPLE_DENOM))) for g, r in sorted(rates.items())]
+    rates_df = spark.createDataFrame(rate_rows, [group_col, "__thr"])
+    thr = F.coalesce(F.col("__thr"), F.lit(int(round(default_rate * SAMPLE_DENOM))))
+    return (
+        df.join(F.broadcast(rates_df), group_col, "left")
+        .withColumn("__bucket", _hash_bucket(id_col, salt))
+        .filter(F.col("__bucket") < thr)
+        .drop("__thr", "__bucket")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    order_col: str = "quality_score",
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (ties break on id
+    ascending — deterministic). One shuffle on the group key; the
+    rank never materializes more than each partition's sort. For
+    heavily skewed groups at extreme scale, pre-filter with an
+    approximate per-group threshold (percentile_approx) before the
+    exact window — the window itself is already partial-agg-free."""
+    ordering = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "rank_in_group")
+    )

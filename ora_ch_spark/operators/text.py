@@ -177,6 +177,50 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# PII patterns restricted to constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB) so the differential oracle can
+# replay the scrub bit-for-bit. Scrub order matters: emails first
+# (their local part may contain digits), then IPs (dotted digit runs),
+# then phones (digit runs with one separator).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: replace emails / IPv4
+    addresses / phone-shaped digit runs with typed placeholder tokens
+    and report per-category match counts.
+
+    Pure ``regexp_replace``/``regexp_count`` projections — one narrow
+    pass inside whole-stage codegen, no shuffle at all; the scan
+    pushes down to the source. Counts are taken on the ORIGINAL text
+    (before any replacement) so categories count independently.
+
+    Returns (id, n_emails, n_ipv4, n_phones, n_pii, scrubbed_md5,
+    scrubbed_len). The scrubbed text itself stays an internal column —
+    callers wanting it use :data:`PII_PATTERNS` directly; the md5 keeps
+    differential verification exact without shipping megabytes."""
+    t = F.col(text_col)
+    scrubbed = t
+    for _name, pat, tok in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    n_emails = F.regexp_count(t, F.lit(PII_PATTERNS[0][1])).cast("bigint")
+    n_ipv4 = F.regexp_count(t, F.lit(PII_PATTERNS[1][1])).cast("bigint")
+    n_phones = F.regexp_count(t, F.lit(PII_PATTERNS[2][1])).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_ipv4 + n_phones).alias("n_pii"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
+
+
 def grouped_zscore(
     df: DataFrame,
     group_col: str = "event_type",

@@ -433,3 +433,58 @@ def test_dialect_prewhere_subquery_scoped():
     assert "PREWHERE" not in out.upper().replace("WHERE", "WHERE")
     assert "WHERE a = 1" in out
     assert "WHERE b = 2" in out
+
+
+def test_stratified_sample_stable_under_repartition(spark, sf_smoke):
+    """The hash decision is a pure function of the row id: the SAME
+    rows are selected regardless of partitioning (the property
+    df.sample/sampleBy lacks, and why sampled corpora reproduce)."""
+    from ora_ch_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rates = {"en": 0.4, "de": 0.9}
+    a = {r.doc_id for r in stratified_sample(docs, rates).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(17), rates).select("doc_id").collect()
+    }
+    assert a == b and a
+    # unlisted strata default to rate 0 — nothing sampled from them
+    langs = {
+        r.lang for r in stratified_sample(docs, rates).select("lang").distinct().collect()
+    }
+    assert langs <= {"en", "de"}
+
+
+def test_topk_per_group_rank_contract(spark, sf_smoke):
+    from ora_ch_spark.operators.sampling import topk_per_group
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = topk_per_group(docs, 3, group_col="lang", order_col="n_chars").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append((r.rank_in_group, r.n_chars))
+    for lang, rows in per.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        chars = [c for _, c in rows]
+        assert chars == sorted(chars, reverse=True)
+
+
+def test_incremental_dedup_probes_only_the_batch(spark, sf_smoke):
+    """Every output row is a batch doc; corpus-internal duplicates are
+    never reported (the operator's O(batch) contract); an exact copy
+    in the batch is flagged 'exact'."""
+    from ora_ch_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    copy = corpus.limit(1).withColumn("doc_id", F.col("doc_id") + 999_999)
+    batch = docs.filter("doc_id % 2 = 1").unionByName(copy)
+    out = incremental_minhash_dedup(corpus, batch).collect()
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert {r.doc_id for r in out} == batch_ids
+    copied_id = copy.first().doc_id
+    verdicts = {r.doc_id: r.verdict for r in out}
+    assert verdicts[copied_id] == "exact"
