@@ -154,6 +154,7 @@ def banded_lsh_buckets(
     n_tables: int = 4,
     planes_per_table: int = 8,
     dims: int = 64,
+    q: DataFrame | None = None,
 ) -> DataFrame:
     """Banded multi-table sign-LSH (the OR-of-ANDs structure the
     MinHash path uses): table *t* buckets on ``planes_per_table``
@@ -161,9 +162,13 @@ def banded_lsh_buckets(
     matrix). More planes per table → exponentially smaller buckets
     (pair space ~N²/2^r per table); OR over ``n_tables`` tables
     restores recall. Returns one row per (vector, table):
-    ``(id, qe, tbl, bucket)``."""
+    ``(id, qe, tbl, bucket)``.
+
+    ``q`` lets a caller pass an already-quantized (persisted,
+    well-partitioned) frame so the corpus pass isn't recomputed."""
     signs = lsh_plane_signs(n_tables * planes_per_table, dims)
-    q = quantize(emb, emb_col, "qe")
+    if q is None:
+        q = quantize(emb, emb_col, "qe")
     entries = []
     for t in range(n_tables):
         bucket = None
@@ -205,8 +210,14 @@ def embedding_near_dup_pairs(
     within-bucket quadratic. Without blocking: an ordered cross join
     (exact; small corpora / verification only)."""
     if use_lsh_blocking:
+        # one quantization pass, spread across the pool (a small corpus
+        # arrives as one parquet split, which would serialize the plane
+        # dot-products AND the candidate verify onto a single task),
+        # persisted so it feeds bucket build + both verify sides
+        par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        q = quantize(emb.repartition(par), emb_col, "qe").persist()
         bb = banded_lsh_buckets(
-            emb, id_col, emb_col, n_tables, n_planes, dims
+            emb, id_col, emb_col, n_tables, n_planes, dims, q=q
         ).persist()
         a = bb.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
         c = bb.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
@@ -216,9 +227,8 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        vecs = bb.select(id_col, "qe").distinct()
-        va = vecs.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"))
-        vb = vecs.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"))
+        va = q.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"))
+        vb = q.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"))
         pairs = cand.join(va, "id_a").join(vb, "id_b")
     else:
         q = quantize(emb, emb_col, "qe")
