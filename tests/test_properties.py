@@ -193,3 +193,36 @@ def test_banded_embedding_lsh_bounds_pair_space(spark, sf_correct):
     # 4 tables x 64 buckets: worst-case bound; real data is spread
     assert cand <= 4 * all_pairs // (1 << 6) * 4  # generous constant
     assert cand < all_pairs / 3  # far below quadratic all-pairs
+
+
+def test_incremental_dedup_cost_scales_with_batch_not_corpus(spark):
+    """The incremental screen's pair space is O(batch): holding the
+    batch fixed and doubling the CORPUS must not blow up the
+    candidate count the way corpus-self-dedup would (corpus-internal
+    pairs never form), and every planted batch near-dup of a corpus
+    doc is found."""
+    from ora_ch_spark.operators.dedup import incremental_minhash_dedup
+
+    def corpus_batch(n_corpus: int):
+        corpus = _synthetic_one_block_corpus(spark, n_corpus).filter("doc_id % 2 = 0")
+        # batch: near-copies of the first 10 even docs, under new ids
+        batch = (
+            _synthetic_one_block_corpus(spark, 20)
+            .filter("doc_id % 2 = 1")
+            .selectExpr("doc_id + 100000 as doc_id", "lang", "source", "text")
+        )
+        return corpus, batch
+
+    c1, b1 = corpus_batch(100)
+    out1 = incremental_minhash_dedup(c1, b1).collect()
+    near1 = [r for r in out1 if r.verdict == "near"]
+    assert len(near1) >= 9  # 10 planted (LSH recall at s≈0.98 → allow one miss)
+
+    c2, b2 = corpus_batch(200)
+    out2 = incremental_minhash_dedup(c2, b2).collect()
+    # same batch → same output cardinality regardless of corpus size
+    assert len(out2) == len(out1) == 10
+    near2 = [r for r in out2 if r.verdict == "near"]
+    assert len(near2) >= 9
+    # near_dup_of points into the corpus, batch ids never appear there
+    assert all(r.near_dup_of is None or r.near_dup_of < 100000 for r in out2)
