@@ -52,6 +52,9 @@ class JdbcSourceConfig:
     # overrides for non-Oracle endpoints (e.g. embedded Derby e2e)
     url: str | None = None
     driver: str | None = None
+    # raw session-init override: when set, used verbatim instead of the
+    # Oracle PL/SQL block (lets the P7 mechanism run e2e on any engine)
+    session_init_override: str | None = None
     # dbtable mode: let Catalyst push filters/projections into the
     # engine with correct identifier quoting instead of splicing a
     # raw SELECT (preferred for case-sensitive engines; the spliced
@@ -67,6 +70,8 @@ def oracle_url(cfg: JdbcSourceConfig) -> str:
 
 def session_init_sql(cfg: JdbcSourceConfig) -> str | None:
     """Oracle session-context init (ora/jdbcSession.scala:271-286)."""
+    if cfg.session_init_override:
+        return cfg.session_init_override
     stmts = []
     if cfg.curr_date_context:
         stmts.append(

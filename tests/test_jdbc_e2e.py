@@ -142,3 +142,69 @@ def test_s6_live_sliced_export(spark, sf_smoke, derby_url):
         .load()
     )
     assert back.count() == orders.count()
+
+
+def test_s2_live_partitioned_parallel_read(spark, sf_smoke, derby_url):
+    """S2: per-split parallel JDBC read (partitionColumn/bounds/
+    numPartitions) against the live endpoint — 4 concurrent range
+    cursors, one per split, union == full table."""
+    from dataclasses import replace
+
+    orders = load_table(spark, sf_smoke, "orders")
+    hi = orders.agg({"o_orderkey": "max"}).first()[0]
+    cfg = replace(
+        _cfg(derby_url),
+        partition_column='"o_orderkey"',
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    # the partitioned path splices raw SQL (the reference's
+    # hand-assembled SELECT); the seeded columns are quoted lowercase,
+    # so the filter quotes its identifier for the case-sensitive engine
+    spec = TableSpec(
+        schema="ch", name="orders_par", operation=Operation.RECREATE,
+        src_table_full_name="ORDERS_SRC",
+        where_filter='"o_totalprice" > 0',
+    )
+    df = jdbc_reader(spark, cfg, spec).load()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == orders.count()
+    # every split contributed (bounds stride covers the key range)
+    sizes = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert sum(1 for s in sizes if s > 0) >= 2
+
+
+def test_p7_live_session_init_statement(spark, sf_smoke, derby_url):
+    """P7: the per-connection session-init mechanism runs e2e — the
+    init statement leaves an observable side effect (an INSERT into a
+    log table), mirroring the Oracle deployment's context-setting
+    side effect (``ora/jdbcSession.scala:271-286``). Spark executes
+    it on each read connection before the scan; note it does NOT run
+    on the driver's schema-resolution connection, so inits must not
+    be required for name resolution."""
+    from dataclasses import replace
+
+    spark.createDataFrame([(0,)], "marker int").coalesce(1).write.format(
+        "jdbc"
+    ).mode("overwrite").option("url", derby_url).option(
+        "dbtable", "INIT_LOG"
+    ).option("driver", DERBY_DRIVER).save()
+
+    cfg = replace(
+        _cfg(derby_url), session_init_override="INSERT INTO INIT_LOG VALUES (7)"
+    )
+    spec = TableSpec(
+        schema="ch", name="orders_init", operation=Operation.RECREATE,
+        src_table_full_name="ORDERS_SRC",
+    )
+    assert jdbc_reader(spark, cfg, spec).load().count() > 0
+
+    log = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "INIT_LOG")
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+    assert log.filter("marker = 7").count() >= 1  # init ran on the read connection
