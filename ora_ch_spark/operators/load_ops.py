@@ -218,8 +218,16 @@ def op_update(
             if n_upd <= BROADCAST_UPDATES_MAX_ROWS
             else upd_renamed
         )
-        partitioned = bool(store.partitioning(spec.schema, spec.name))
-        if not partitioned:
+        part_cols = store.partitioning(spec.schema, spec.name)
+        total_rows = store.row_count(spec.schema, spec.name)  # manifest, no job
+        # file pruning pays off when the update set is a small slice of
+        # the table (the common incremental case: the probe finds few
+        # affected files). A large scattered update set touches ~every
+        # file, making the probe scan pure overhead — route it straight
+        # to the single-pass full merge instead (same result, one fewer
+        # table scan). Threshold: updates ≥ ¼ of table rows.
+        large_update = total_rows > 0 and n_upd * 4 >= total_rows
+        if not part_cols and not large_update:
             # FILE-PRUNED update: a key-pruned semi-join probe finds
             # the data files holding matching keys; only those are
             # rewritten (ALTER UPDATE touches only affected parts in
@@ -245,7 +253,7 @@ def op_update(
             for f in fields:
                 merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
             merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
-            store.write(spec.schema, spec.name, merged)
+            store.write(spec.schema, spec.name, merged, partition_by=part_cols or None)
         if wm_col and new_mark is not None:
             # advance the high-water mark only after a successful write
             sync_state.set_watermark(spec.schema, spec.name, wm_col, new_mark)
