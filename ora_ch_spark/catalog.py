@@ -271,7 +271,11 @@ def op_append_where_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     stale = li.filter("l_orderkey % 3 = 0").withColumn("l_quantity", F.lit(-1.0))
     store.create_database("ch")
-    store.write("ch", "lineitem_aw", stale)
+    # time-clustered target layout (what the reference's
+    # order_by_ora_data produces on insert): the range delete then
+    # resolves most files from manifest min/max alone — fully-covered
+    # files drop manifest-only, only the boundary file is probed
+    store.write("ch", "lineitem_aw", stale.repartitionByRange(8, "l_shipdate"))
     spec = TableSpec(
         schema="ch",
         name="lineitem_aw",

@@ -54,6 +54,7 @@ import datetime
 import decimal
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -164,6 +165,83 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
         "bytes": os.path.getsize(abs_path),
         "stats": stats,
     }
+
+
+# ---- zone-map predicate classification ------------------------------
+# Conservative parser for the conjunctive range predicates the load
+# ops actually splice (`col >= timestamp'...' AND col < 42`): enough
+# to classify a data file as all-match / no-match / boundary from its
+# manifest min/max WITHOUT reading it. Anything it can't parse simply
+# falls back to the probe scan — never wrong, only less pruned.
+
+_LITERAL_RE = (
+    r"(?:timestamp\s*'(?P<ts>[^']+)'|date\s*'(?P<date>[^']+)'|"
+    r"(?P<num>-?\d+(?:\.\d+)?))"
+)
+_COND_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>>=|<=|=|<|>)\s*" + _LITERAL_RE + r"\s*$"
+)
+
+
+def _parse_simple_conjunction(predicate: str):
+    """``[(col, op, value), ...]`` for a bare AND-conjunction of
+    single-column comparisons against literals; None when the
+    predicate is anything richer (OR, functions, parens, strings)."""
+    if re.search(r"(?i)\bor\b|\(|\)", predicate):
+        return None
+    conds = []
+    for part in re.split(r"(?i)\band\b", predicate):
+        m = _COND_RE.match(part)
+        if not m:
+            return None
+        if m.group("ts") is not None:
+            try:
+                v = datetime.datetime.fromisoformat(m.group("ts"))
+            except ValueError:
+                return None
+        elif m.group("date") is not None:
+            try:
+                v = datetime.date.fromisoformat(m.group("date"))
+            except ValueError:
+                return None
+        else:
+            n = m.group("num")
+            v = float(n) if "." in n else int(n)
+        conds.append((m.group("col"), m.group("op"), v))
+    return conds or None
+
+
+def _classify_file(fe: dict, conds) -> str:
+    """'all' (every row matches), 'none', or 'maybe' from the file's
+    per-column min/max. Missing stats for a referenced column →
+    'maybe' (the probe decides)."""
+    verdicts = []
+    for col, op, v in conds:
+        s = fe["stats"].get(col)
+        if s is None:
+            verdicts.append("maybe")
+            continue
+        try:
+            lo, hi = _dec_stat(*s["min"]), _dec_stat(*s["max"])
+            if op == ">=":
+                verdicts.append("all" if lo >= v else ("none" if hi < v else "maybe"))
+            elif op == ">":
+                verdicts.append("all" if lo > v else ("none" if hi <= v else "maybe"))
+            elif op == "<=":
+                verdicts.append("all" if hi <= v else ("none" if lo > v else "maybe"))
+            elif op == "<":
+                verdicts.append("all" if hi < v else ("none" if lo >= v else "maybe"))
+            else:  # "="
+                verdicts.append(
+                    "all" if lo == v and hi == v else ("none" if v < lo or v > hi else "maybe")
+                )
+        except TypeError:
+            verdicts.append("maybe")  # incomparable literal/stat types
+    if any(x == "none" for x in verdicts):
+        return "none"
+    if all(x == "all" for x in verdicts):
+        return "all"
+    return "maybe"
 
 
 class TableStore:
@@ -494,21 +572,49 @@ class TableStore:
                 partition_by=m["partition_by"],
             )
             return
-        tagged = self._read_with_file(schema, table)
-        affected = [
-            r["_src_file"]
-            for r in tagged.filter(predicate).select("_src_file").distinct().collect()
-        ]
-        if not affected:
-            return
+        # zone-map pruning: classify files against the predicate using
+        # manifest min/max BEFORE any scan — fully-matching files are
+        # dropped manifest-only (no read, no rewrite), fully-outside
+        # files are untouched, and only boundary files are probed.
+        # Time-clustered tables (the reference's order_by_ora_data
+        # exists to create exactly that layout) delete a date range
+        # with close to zero data scanned.
+        conds = _parse_simple_conjunction(predicate)
+        drop_whole: list[str] = []
+        probe: list[dict] = []
+        if conds is not None:
+            for fe in m["files"]:
+                verdict = _classify_file(fe, conds)
+                if verdict == "all":
+                    drop_whole.append(fe["path"])
+                elif verdict == "maybe":
+                    probe.append(fe)
+        else:
+            probe = list(m["files"])
         tdir = self._tdir(schema, table)
         st = StructType.fromJson(json.loads(m["schema"]))
-        survivors = (
-            self.spark.read.schema(st)
-            .parquet(*[os.path.join(tdir, p) for p in affected])
-            .filter(f"NOT ({predicate})")
-        )
-        self.replace_files(schema, table, affected, survivors)
+        affected: list[str] = []
+        if probe:
+            absf = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+            tagged = (
+                self.spark.read.schema(st)
+                .parquet(*[os.path.join(tdir, fe["path"]) for fe in probe])
+                .withColumn("_src_file", F.substring(absf, len(os.path.abspath(tdir)) + 2, 1 << 20))
+            )
+            affected = [
+                r["_src_file"]
+                for r in tagged.filter(predicate).select("_src_file").distinct().collect()
+            ]
+        if not affected and not drop_whole:
+            return
+        survivors = None
+        if affected:
+            survivors = (
+                self.spark.read.schema(st)
+                .parquet(*[os.path.join(tdir, p) for p in affected])
+                .filter(f"NOT ({predicate})")
+            )
+        self.replace_files(schema, table, drop_whole + affected, survivors)
 
     def truncate(self, schema: str, table: str) -> None:
         """truncate table (jdbsChSession.scala:693-700) — empty

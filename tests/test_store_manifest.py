@@ -225,3 +225,67 @@ def test_compact_small_noop_cases(spark, sf_smoke):
     assert store.compact_small("s", "t") == 0
     store.write("s", "p", region, partition_by=["r_regionkey"])
     assert store.compact_small("s", "p") == 0
+
+
+def test_zone_map_predicate_classification():
+    """Pure classification: all / none / maybe from file min/max."""
+    from ora_ch_spark.store import _classify_file, _parse_simple_conjunction
+
+    conds = _parse_simple_conjunction("k >= 100 AND k < 200")
+    assert conds == [("k", ">=", 100), ("k", "<", 200)]
+
+    def fe(lo, hi):
+        return {"stats": {"k": {"min": [lo, "int"], "max": [hi, "int"]}}}
+
+    assert _classify_file(fe(100, 199), conds) == "all"
+    assert _classify_file(fe(0, 99), conds) == "none"
+    assert _classify_file(fe(200, 300), conds) == "none"
+    assert _classify_file(fe(50, 150), conds) == "maybe"
+    assert _classify_file({"stats": {}}, conds) == "maybe"
+    # richer predicates refuse (→ probe fallback), never misparse
+    assert _parse_simple_conjunction("k >= 100 OR j = 2") is None
+    assert _parse_simple_conjunction("substr(s,1,2) = 'ab'") is None
+    assert _parse_simple_conjunction("k in (1,2)") is None
+    # timestamp literals (the O2 splice form)
+    c = _parse_simple_conjunction("l_shipdate >= timestamp'1996-06-01'")
+    assert c[0][0] == "l_shipdate" and c[0][2].year == 1996
+
+
+def test_delete_where_boundary_aligned_range_is_metadata_only(spark, monkeypatch):
+    """A range delete aligned to file boundaries on a time-clustered
+    table decides every file from manifest min/max: fully-covered
+    files drop manifest-only, others carry over — ZERO Spark jobs,
+    zero files read."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_zm_"))
+    store.create_database("s")
+    df = spark.range(300).selectExpr("id as k", "id * 2 as v")
+    # range-clustered layout: 3 files with disjoint k-ranges
+    store.write("s", "t", df.repartitionByRange(3, "k"))
+    assert len(store._manifest("s", "t")["files"]) == 3
+    before = _data_files(store, "s", "t")
+
+    def _boom(*a, **k):
+        raise AssertionError("boundary-aligned delete executed a Spark job")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    store.delete_where("s", "t", "k >= 100 AND k < 200")
+    monkeypatch.undo()
+    assert store.row_count("s", "t") == 200
+    assert store.read("s", "t").filter("k >= 100 AND k < 200").count() == 0
+    # surviving files carried over by reference, not rewritten
+    after = _data_files(store, "s", "t")
+    for p, ident in after.items():
+        assert before[p] == ident
+
+
+def test_delete_where_unclustered_still_exact(spark, sf_smoke):
+    """Files spanning the predicate range (no clustering) go through
+    the probe path and the result is exact."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_zm2_"))
+    store.create_database("s")
+    df = spark.range(1000).selectExpr("id as k", "id % 7 as v")
+    store.write("s", "t", df.repartition(4))  # every file spans [0,1000)
+    store.delete_where("s", "t", "k >= 250 AND k < 750")
+    assert store.row_count("s", "t") == 500
+    assert store.read("s", "t").filter("k >= 250 AND k < 750").count() == 0
