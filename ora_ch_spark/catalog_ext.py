@@ -309,6 +309,68 @@ _N_PLANES = 4
 _DIMS = 64
 
 
+def sim_topk_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh_multiprobe(
+        emb, query_ids=emb.filter("vec_id < 10"), n_planes=_N_PLANES, dims=_DIMS
+    )
+
+
+def _lsh_multiprobe_oracle() -> str:
+    signs = lsh_plane_signs(_N_PLANES, _DIMS)
+    dots = ",\n       ".join(
+        f"({_plane_dot_sql(p, signs)}) AS d{p}" for p in range(_N_PLANES)
+    )
+    # first-true-wins CASE == ties resolve to the lowest plane index
+    flip_cases = " ".join(
+        "WHEN "
+        + " AND ".join(
+            f"abs(d{p}) <= abs(d{p2})" for p2 in range(_N_PLANES) if p2 != p
+        )
+        + f" THEN {p}"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+d AS (
+  SELECT vec_id, qe,
+       {dots},
+       ({_bucket_sql(signs)}) AS bucket
+  FROM q
+),
+fl AS (SELECT *, CASE {flip_cases} END AS flip FROM d),
+probes AS (
+  SELECT vec_id AS q_id, bucket AS pbucket FROM fl WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id AS q_id, xor(bucket, 1 << flip) AS pbucket FROM fl WHERE vec_id < 10
+),
+pairs AS (
+  SELECT p.q_id, nb.vec_id AS n_id
+  FROM probes p JOIN d nb ON p.pbucket = nb.bucket AND p.q_id != nb.vec_id
+),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+dot AS (
+  SELECT p.q_id, p.n_id, sum(ea.v * eb.v) AS d
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.q_id
+  JOIN e eb ON eb.vec_id = p.n_id AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_id, n_id,
+         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb2.nn as double))) AS cosine
+  FROM dot JOIN nrm nq ON q_id = nq.vec_id JOIN nrm nb2 ON n_id = nb2.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) as int) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def _plane_dot_sql(p: int, signs: list[list[int]]) -> str:
     return " + ".join(f"({signs[p][d]}) * qe[{d + 1}]" for d in range(_DIMS))
 
@@ -863,6 +925,39 @@ FROM final GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Skew-salted join through the correctness gate
+# ---------------------------------------------------------------------------
+
+def skew_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathological hot keys by construction (600k lineitem rows over
+    10 derived keys) joined against an unbroadcast small side through
+    ``salted_join`` — the differential gate proves the salt/replicate/
+    join/unsalt choreography changes NOTHING about the result."""
+    from ora_ch_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "k", F.pmod(F.col("l_orderkey"), F.lit(10))
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id").cast("double") * 1.5).alias("w")
+    )
+    j = salted_join(li, dim, on=["k"], buckets=8)
+    return j.groupBy("k", "w").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+SKEW_SALTED_ORACLE = """
+SELECT l_orderkey % 10 AS k,
+       cast(l_orderkey % 10 as double) * 1.5 AS w,
+       count(*) AS n_rows,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus selection + PII + incremental dedup (round 2 additions)
 # ---------------------------------------------------------------------------
 
@@ -1134,6 +1229,8 @@ EXT_QUERIES: list[QueryDef] = [
              "sign-random-projection bucket assignment"),
     QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),
              "LSH-bucketed approximate cosine top-5"),
+    QueryDef("sim_topk_lsh_multiprobe", sim_topk_lsh_multiprobe_q, _lsh_multiprobe_oracle(),
+             "multi-probe LSH top-5 (least-confident-bit flip, 2 probes)"),
     QueryDef("sim_topk_ivf", sim_topk_ivf_q, SIM_IVF_ORACLE,
              "IVF inverted-list approximate top-5 (2-probe)"),
     QueryDef("text_lang_id", text_lang_id_q, _lang_id_oracle(),
@@ -1152,6 +1249,8 @@ EXT_QUERIES: list[QueryDef] = [
              "top-10 docs per lang by quality score (window select)"),
     QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
+    QueryDef("skew_salted_join", skew_salted_join_q, SKEW_SALTED_ORACLE,
+             "hot-key salted join (salt/replicate/unsalt ≡ plain join)"),
     QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
              "binary media column → mapInPandas feature extraction"),
     QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,

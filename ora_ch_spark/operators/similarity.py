@@ -147,6 +147,88 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_lsh_multiprobe(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., "Multi-Probe LSH"): each
+    query probes its own bucket AND the bucket with its
+    least-confident hyperplane bit flipped (smallest |⟨w_p, qe⟩| —
+    the plane the vector sits closest to, hence the most likely
+    boundary miss). Buys back most of the recall a second hash table
+    would, at zero extra index cost: the corpus is still hashed ONCE
+    into one bucket; only the (tiny, broadcast) query side fans out
+    2×. Tie-break: lowest plane index — deterministic, replayed
+    bit-for-bit by the oracle's CASE chain."""
+    signs = lsh_plane_signs(n_planes, dims)
+    q = quantize(emb, emb_col, "qe")
+    dot_cols = []
+    for p in range(n_planes):
+        warr = "array(" + ",".join(str(s) for s in signs[p]) + ")"
+        dot_cols.append(
+            F.expr(
+                f"aggregate(zip_with({warr}, qe, (w, x) -> w * x), 0L, (acc, v) -> acc + v)"
+            ).alias(f"__d{p}")
+        )
+    base = q.select(F.col(id_col), F.col("qe"), *dot_cols)
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(F.col(f"__d{p}") > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    base = base.withColumn("bucket", bucket).persist()
+    corpus = base.select(
+        F.col(id_col).alias("n_id"), F.col("qe").alias("qb"), "bucket"
+    )
+    # least-|dot| plane via a CASE chain (ties → lowest index), the
+    # form the oracle replays exactly
+    least = None
+    for p in range(n_planes):
+        cond = None
+        for p2 in range(n_planes):
+            if p2 == p:
+                continue
+            c = F.abs(F.col(f"__d{p}")) <= F.abs(F.col(f"__d{p2}")) if p < p2 else F.abs(
+                F.col(f"__d{p}")
+            ) < F.abs(F.col(f"__d{p2}"))
+            cond = c if cond is None else (cond & c)
+        least = F.when(cond, F.lit(p)) if least is None else least.when(cond, F.lit(p))
+    queries = base.withColumn("__flip", least)
+    if query_ids is not None:
+        queries = queries.join(
+            F.broadcast(
+                query_ids.select(F.col(id_col).alias("__qid")).withColumnRenamed(
+                    "__qid", id_col
+                )
+            ),
+            id_col,
+        )
+    probe = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col("qe").alias("qa"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                F.expr(f"cast(bucket as bigint) ^ shiftleft(1L, __flip)"),
+            )
+        ).alias("bucket"),
+    )
+    pairs = F.broadcast(probe).join(corpus, "bucket").filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(pairs)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    )
+
+
 def banded_lsh_buckets(
     emb: DataFrame,
     id_col: str = "vec_id",
