@@ -364,6 +364,41 @@ class TableStore:
             *[os.path.join(tdir, fe["path"]) for fe in m["files"]]
         )
 
+    def snapshots(self, schema: str, table: str) -> list[dict]:
+        """Retained snapshots, oldest first: ``{name, created, rows}``.
+        Retention (keep_versions + retention_sec) bounds how far back
+        this reaches — the same knob that protects in-flight readers."""
+        mdir = os.path.join(self._tdir(schema, table), "manifests")
+        if not os.path.isdir(mdir):
+            raise TableNotFound(f"{schema}.{table}")
+        out = []
+        for fn in os.listdir(mdir):
+            try:
+                with open(os.path.join(mdir, fn)) as f:
+                    m = json.load(f)
+                out.append({"name": fn, "created": m.get("created", 0), "rows": m["rows"]})
+            except Exception:
+                continue
+        return sorted(out, key=lambda s: s["created"])
+
+    def read_snapshot(self, schema: str, table: str, name: str) -> DataFrame:
+        """Time travel: read the table as of a retained snapshot (an
+        Iceberg ``VERSION AS OF``). Snapshot names come from
+        :meth:`snapshots`; data files are immutable, so the read is
+        exactly the historical table."""
+        path = os.path.join(self._tdir(schema, table), "manifests", name)
+        if not os.path.exists(path):
+            raise TableNotFound(f"{schema}.{table} snapshot {name}")
+        with open(path) as f:
+            m = json.load(f)
+        st = StructType.fromJson(json.loads(m["schema"]))
+        tdir = self._tdir(schema, table)
+        if not m["files"]:
+            return self.spark.createDataFrame([], st)
+        return self.spark.read.schema(st).parquet(
+            *[os.path.join(tdir, fe["path"]) for fe in m["files"]]
+        )
+
     def read_with_file(self, schema: str, table: str) -> DataFrame:
         """Current snapshot plus ``_src_file`` = manifest-relative path
         of the file each row came from (drives file pruning)."""
