@@ -1100,11 +1100,24 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    corpus_sql: str = "SELECT * FROM documents WHERE doc_id % 2 = 0",
+    batch_sql: str = (
+        "SELECT * FROM documents WHERE doc_id % 2 = 1\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars\n"
+        "  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0"
+    ),
+    final_select: str | None = None,
 ) -> str:
     """Replays incremental_minhash_dedup: per-side single-pass MinHash
     signatures, packed band keys, corpus×batch-only candidates, exact
-    intersection verify, then the exact/near/keep verdict."""
+    intersection verify, then the exact/near/keep verdict.
+    ``corpus_sql``/``batch_sql`` parameterize the two relations so
+    composites (e.g. the ingest pipeline) reuse the replay;
+    ``final_select`` overrides the per-doc verdict projection."""
     from ora_ch_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
 
     rows = num_hashes // bands
@@ -1154,13 +1167,22 @@ bands_{side} AS (
 ),
 sizes_{side} AS (SELECT doc_id, count(*) AS n FROM sh_{side} GROUP BY doc_id)"""
 
+    default_final = """
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_exact,
+       coalesce(n.near_dup_of, -1) AS near_dup_of,
+       coalesce(n.max_jaccard, -1.0) AS max_jaccard,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.near_dup_of IS NOT NULL THEN 'near'
+            ELSE 'keep' END AS verdict
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near n ON b.doc_id = n.doc_id
+"""
     return f"""
-WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+WITH corpus AS ({corpus_sql}),
 batch AS (
-  SELECT * FROM documents WHERE doc_id % 2 = 1
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+  {batch_sql}
 ),
 {side_ctes("c", "corpus")},
 {side_ctes("b", "batch")},
@@ -1191,17 +1213,96 @@ near AS (
   ) WHERE jac >= {threshold}
   GROUP BY id_b
 )
-SELECT b.doc_id,
-       CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_exact,
-       coalesce(n.near_dup_of, -1) AS near_dup_of,
-       coalesce(n.max_jaccard, -1.0) AS max_jaccard,
-       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
-            WHEN n.near_dup_of IS NOT NULL THEN 'near'
-            ELSE 'keep' END AS verdict
+{final_select or default_final}
+"""
+
+
+def pipeline_ingest_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl composite: quality/language-screen a new
+    batch (odd doc_ids), then screen the survivors against the
+    existing corpus (even doc_ids) with the incremental dedup, and
+    report per-source acceptance stats — the nightly-ingest shape of
+    `clean_corpus` (which is the bootstrap shape)."""
+    from ora_ch_spark.operators.pipeline import _fused_lang_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    lq = _fused_lang_quality(batch)
+    kept = (
+        batch.join(lq, "doc_id")
+        .filter("predicted_lang = 'en' AND quality_score >= 0.3")
+        .select(*docs.columns)
+    )
+    out = D.incremental_minhash_dedup(corpus, kept)
+    ex = (F.col("verdict") == "exact").cast("long")
+    nr = (F.col("verdict") == "near").cast("long")
+    kp = (F.col("verdict") == "keep").cast("long")
+    return (
+        out.join(batch.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_screened"),
+            F.sum(ex).alias("n_exact"),
+            F.sum(nr).alias("n_near"),
+            F.sum(kp).alias("n_keep"),
+        )
+    )
+
+
+def _ingest_batch_oracle() -> str:
+    stop_set = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    lex_values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(TX.LANG_LEXICON.items())
+        for w in words
+    )
+    batch_sql = f"""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d
+  JOIN (
+    SELECT tq.doc_id
+    FROM (
+      SELECT doc_id,
+             0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+           + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+           + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) AS quality_score
+      FROM (
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN tok IN ({stop_set}) THEN 1 ELSE 0 END) AS n_stop,
+               sum(length(tok)) AS sum_tok_len
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents WHERE doc_id % 2 = 1)
+        GROUP BY doc_id
+      )
+    ) tq
+    JOIN (
+      SELECT doc_id FROM (
+        SELECT doc_id, cand_lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+        FROM (
+          SELECT doc_id, cand_lang, count(*) AS hits
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents WHERE doc_id % 2 = 1) t
+          JOIN (SELECT * FROM (VALUES {lex_values}) lx(cand_lang, tok)) lex USING (tok)
+          GROUP BY 1, 2
+        )
+      ) WHERE rn = 1 AND cand_lang = 'en'
+    ) pl ON tq.doc_id = pl.doc_id
+    WHERE tq.quality_score >= 0.3
+  ) keepb ON d.doc_id = keepb.doc_id
+  WHERE d.doc_id % 2 = 1"""
+    final = """
+SELECT b.source,
+       count(*) AS n_screened,
+       cast(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_exact,
+       cast(sum(CASE WHEN e.doc_id IS NULL AND n.near_dup_of IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_near,
+       cast(sum(CASE WHEN e.doc_id IS NULL AND n.near_dup_of IS NULL THEN 1 ELSE 0 END) as bigint) AS n_keep
 FROM batch b
 LEFT JOIN exact e ON b.doc_id = e.doc_id
 LEFT JOIN near n ON b.doc_id = n.doc_id
+GROUP BY b.source
 """
+    return _incremental_oracle(batch_sql=batch_sql, final_select=final)
 
 
 EXT_QUERIES: list[QueryDef] = [
@@ -1251,6 +1352,8 @@ EXT_QUERIES: list[QueryDef] = [
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
     QueryDef("skew_salted_join", skew_salted_join_q, SKEW_SALTED_ORACLE,
              "hot-key salted join (salt/replicate/unsalt ≡ plain join)"),
+    QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
+             "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
              "binary media column → mapInPandas feature extraction"),
     QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,
