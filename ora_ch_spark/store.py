@@ -211,6 +211,57 @@ def _parse_simple_conjunction(predicate: str):
     return conds or None
 
 
+def _hive_values(rel_path: str) -> dict[str, str]:
+    """``{col: raw_value}`` from the hive-style segments of a file's
+    manifest-relative path (``data/g-x/k=3/part-0.parquet`` → k=3)."""
+    out = {}
+    for seg in rel_path.split(os.sep):
+        if "=" in seg and not seg.endswith(".parquet"):
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+def _eval_point(op: str, x, v) -> bool:
+    if op == ">=":
+        return x >= v
+    if op == ">":
+        return x > v
+    if op == "<=":
+        return x <= v
+    if op == "<":
+        return x < v
+    return x == v
+
+
+def _classify_partition_file(fe: dict, conds) -> str | None:
+    """'all'/'none' for a hive-partitioned file whose predicate
+    touches only partition columns — the value is a point, so the
+    decision is exact. None when a value can't be parsed/compared
+    (→ caller falls back to the rewrite path)."""
+    vals = _hive_values(fe["path"])
+    for col, op, v in conds:
+        raw = vals.get(col)
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        try:
+            if isinstance(v, int):
+                x = int(raw)
+            elif isinstance(v, float):
+                x = float(raw)
+            elif isinstance(v, datetime.datetime):
+                x = datetime.datetime.fromisoformat(raw)
+            elif isinstance(v, datetime.date):
+                x = datetime.date.fromisoformat(raw)
+            else:
+                return None
+        except ValueError:
+            return None
+        if not _eval_point(op, x, v):
+            return "none"
+    return "all"
+
+
 def _classify_file(fe: dict, conds) -> str:
     """'all' (every row matches), 'none', or 'maybe' from the file's
     per-column min/max. Missing stats for a referenced column →
@@ -347,12 +398,28 @@ class TableStore:
         st = StructType.fromJson(json.loads(m["schema"]))
         tdir = self._tdir(schema, table)
         if m.get("partition_by"):
-            # hive-partitioned groups: read each group dir (its own
-            # partition-discovery base) and union — one read per group,
-            # partition columns restored from the hive dirs
-            dfs = [
-                self.spark.read.parquet(os.path.join(tdir, g)) for g in m["groups"]
-            ]
+            # hive-partitioned groups: read each group's MANIFEST file
+            # list with the group dir as basePath (partition columns
+            # restored from the hive dirs) and union. File lists, not
+            # directory scans — so manifest-only drops (partition
+            # pruning / DROP PARTITION deletes) are authoritative even
+            # while dead files await GC/compaction on disk.
+            dfs = []
+            for g in m["groups"]:
+                paths = [
+                    os.path.join(tdir, fe["path"])
+                    for fe in m["files"]
+                    if fe["path"].startswith(g + os.sep)
+                ]
+                if not paths:
+                    continue
+                dfs.append(
+                    self.spark.read.option(
+                        "basePath", os.path.join(tdir, g)
+                    ).parquet(*paths)
+                )
+            if not dfs:
+                return self.spark.createDataFrame([], st)
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d)
@@ -600,6 +667,23 @@ class TableStore:
         if not m["files"] and not m.get("partition_by"):
             return
         if m.get("partition_by"):
+            # partition pruning: a predicate over partition columns
+            # only is exactly decidable per file from its hive path
+            # (the value is a point) → the delete is manifest-only,
+            # zero data read or written (DROP PARTITION semantics)
+            conds = _parse_simple_conjunction(predicate)
+            if conds is not None and {c for c, _, _ in conds} <= set(m["partition_by"]):
+                verdicts = [(_classify_partition_file(fe, conds), fe["path"]) for fe in m["files"]]
+                if all(v is not None for v, _ in verdicts):
+                    drop = {p for v, p in verdicts if v == "all"}
+                    if drop:
+                        with self._lock:
+                            m2 = self._manifest(schema, table)
+                            m2["files"] = [
+                                fe for fe in m2["files"] if fe["path"] not in drop
+                            ]
+                            self._commit(schema, table, m2)
+                    return
             self.write(
                 schema,
                 table,

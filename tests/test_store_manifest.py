@@ -313,3 +313,32 @@ def test_snapshot_time_travel(spark, sf_smoke):
     assert store.read("s", "t").count() == 6
     with pytest.raises(KeyError):
         store.read_snapshot("s", "t", "m-nope.json")
+
+
+def test_partition_pruned_delete_is_metadata_only(spark, sf_smoke, monkeypatch):
+    """DROP-PARTITION semantics: a delete whose predicate touches only
+    partition columns is decided per file from the hive path (the
+    value is a point) — zero Spark jobs, and reads honor the manifest
+    (dead files awaiting GC are not resurrected)."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_pp_"))
+    store.create_database("s")
+    df = spark.range(300).selectExpr("id as k", "id % 3 as p", "id * 2 as v")
+    store.write("s", "t", df, partition_by=["p"])
+    before_rows = store.row_count("s", "t")
+    assert before_rows == 300
+
+    def _boom(*a, **k):
+        raise AssertionError("partition-pruned delete executed a Spark job")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    store.delete_where("s", "t", "p = 1")
+    monkeypatch.undo()
+    assert store.row_count("s", "t") == 200
+    out = store.read("s", "t")
+    assert out.count() == 200
+    assert out.filter("p = 1").count() == 0
+    assert set(out.columns) == {"k", "p", "v"}
+    # non-partition-column predicate still works (rewrite fallback)
+    store.delete_where("s", "t", "v >= 400")
+    assert store.read("s", "t").filter("v >= 400").count() == 0
