@@ -226,3 +226,16 @@ def test_incremental_dedup_cost_scales_with_batch_not_corpus(spark):
     assert len(near2) >= 9
     # near_dup_of points into the corpus, batch ids never appear there
     assert all(r.near_dup_of is None or r.near_dup_of < 100000 for r in out2)
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_zone_map_parser_total_on_arbitrary_text(pred):
+    """The zone-map predicate parser runs on every user-supplied
+    delete filter: it must never raise — only parse (list) or refuse
+    (None), and anything it parses must be a clean conjunction."""
+    from ora_ch_spark.store import _parse_simple_conjunction
+
+    out = _parse_simple_conjunction(pred)
+    if out is not None:
+        assert all(len(c) == 3 and c[1] in (">=", "<=", "=", "<", ">") for c in out)
