@@ -509,33 +509,31 @@ def ngram_candidate_pairs(
     )
 
     # oversized blocks: per-row (no-shuffle) MinHash over the gram
-    # array, banded buckets, candidates = same (block, band, bucket)
+    # array, banded buckets; band keys are packed int64 pairs
+    # (packed_band_keys — no string build/compare in the widest
+    # shuffle; residue-fold collisions only ADD candidates, which the
+    # exact verify removes)
     rows = num_hashes // bands
+    n_keys = (rows + 1) // 2
     sig = big.select(id_col, *block_cols, *rowwise_minhash_cols("grams", num_hashes))
-    entries = [
-        F.struct(
-            F.lit(bd).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{bd * rows + r}").cast("string") for r in range(rows)]
-            ).alias("bucket"),
-        )
-        for bd in range(bands)
-    ]
     bb = sig.select(
-        F.col(id_col), *block_cols, F.explode(F.array(*entries)).alias("e")
-    ).select(id_col, *block_cols, "e.band", "e.bucket")
-    ba = bb.select(F.col(id_col).alias("id_a"), *block_cols, "band", "bucket")
+        F.col(id_col), *block_cols,
+        F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e"),
+    ).select(
+        id_col, *block_cols, "e.band",
+        *[F.col(f"e.k{j}").alias(f"k{j}") for j in range(n_keys)],
+    )
+    kcols = ["band"] + [f"k{j}" for j in range(n_keys)]
+    ba = bb.select(F.col(id_col).alias("id_a"), *block_cols, *kcols)
     bbb = bb.select(
         F.col(id_col).alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
+        *[F.col(k).alias(f"{k}_b") for k in kcols],
     )
     # distinct names on the two sides — a same-lineage self-join on
     # identically-named columns resolves to a trivially-true predicate
     bcond = [ba[c] == bbb[f"{c}_b"] for c in block_cols] + [
-        ba["band"] == bbb["band_b"],
-        ba["bucket"] == bbb["bucket_b"],
+        ba[k] == bbb[f"{k}_b"] for k in kcols
     ]
     big_pairs = (
         ba.join(bbb, bcond)

@@ -49,7 +49,12 @@ def stratified_sample(
     """
     spark = df.sparkSession
     rate_rows = [(g, int(round(r * SAMPLE_DENOM))) for g, r in sorted(rates.items())]
-    rates_df = spark.createDataFrame(rate_rows, [group_col, "__thr"])
+    # explicit schema: an empty rates dict (default_rate-only sampling)
+    # must build an empty frame, not fail schema inference
+    group_type = dict(df.dtypes).get(group_col, "string")
+    rates_df = spark.createDataFrame(
+        rate_rows, f"{group_col} {group_type}, __thr int"
+    )
     thr = F.coalesce(F.col("__thr"), F.lit(int(round(default_rate * SAMPLE_DENOM))))
     return (
         df.join(F.broadcast(rates_df), group_col, "left")

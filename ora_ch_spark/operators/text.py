@@ -250,9 +250,12 @@ def grouped_zscore(
     )
     s, sq, n = F.col("_s"), F.col("_sq"), F.col("_n")
     var = (sq - s * s / n) / (n - 1)
+    # var NULL (decimal-sum overflow in a non-ANSI session; ANSI — the
+    # engine default — raises instead) propagates as NULL, never as a
+    # silent fake z=0.0; 0.0 is reserved for genuine var<=0 / n==1
     z = (
         F.when((n > 1) & (var > 0), (F.col(value_col) - s / n) / F.sqrt(var))
-        .otherwise(F.lit(0.0))
+        .when((n == 1) | (var <= 0), F.lit(0.0))
     )
     return (
         df.select(id_col, group_col, value_col)

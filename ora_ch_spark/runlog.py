@@ -124,16 +124,19 @@ class RunLog:
                         continue  # torn tail write — ignore
                     kind = ev.pop("kind", None)
                     ev.pop("ts", None)
-                    if kind == "task":
-                        ev["state"] = State(ev["state"])
-                        run = TaskRun(**ev)
-                        log.tasks[run.task_id] = run
-                    elif kind == "table":
-                        run = TableRun(**ev)
-                        tables[run.row_id] = run
-                    elif kind == "query":
-                        run = QueryRun(**ev)
-                        log.queries[run.query_id] = run
+                    try:
+                        if kind == "task":
+                            ev["state"] = State(ev["state"])
+                            run = TaskRun(**ev)
+                            log.tasks[run.task_id] = run
+                        elif kind == "table":
+                            run = TableRun(**ev)
+                            tables[run.row_id] = run
+                        elif kind == "query":
+                            run = QueryRun(**ev)
+                            log.queries[run.query_id] = run
+                    except (TypeError, ValueError, KeyError):
+                        continue  # foreign/older event shape — skip, like torn JSON
         log.tables = [tables[k] for k in sorted(tables)]
         log._next_id = max(log.tasks, default=0) + 1
         log._next_row_id = max((t.row_id for t in log.tables), default=0) + 1
@@ -205,7 +208,11 @@ class RunLog:
         file replayable)."""
         if not self.path:
             return
-        d = asdict(row)
+        # snapshot under the registry lock: a concurrent transition on
+        # the same row must not be observed half-applied (a torn event
+        # would replay as the row's final state on restore)
+        with self._lock:
+            d = asdict(row)
         if isinstance(d.get("state"), State):
             d["state"] = d["state"].value
         with self._sink_lock, open(self.path, "a") as f:

@@ -75,6 +75,12 @@ class TableNotFound(KeyError):
 _ROOT_LOCKS: dict[str, threading.RLock] = {}
 _ROOT_LOCKS_GUARD = threading.Lock()
 
+# group dirs being written but not yet referenced by any manifest —
+# GC must not treat them as orphans (data writes deliberately run
+# OUTSIDE the commit lock so parallel loads don't serialize)
+_INFLIGHT_GROUPS: set[str] = set()
+_INFLIGHT_GUARD = threading.Lock()
+
 
 def _root_lock(root: str) -> threading.RLock:
     key = os.path.abspath(root)
@@ -125,6 +131,7 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
     md = pq.ParquetFile(abs_path).metadata
     mins: dict[str, tuple] = {}
     maxs: dict[str, tuple] = {}
+    nulls: dict[str, int] = {}
     complete: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -137,6 +144,14 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 continue
+            # parquet min/max EXCLUDE nulls — a correct "every row
+            # matches" verdict needs the null count too
+            if st.null_count is not None and name in nulls:
+                nulls[name] += st.null_count
+            elif st.null_count is not None:
+                nulls[name] = st.null_count
+            else:
+                nulls[name] = -1  # unknown → never claim "all match"
             try:
                 lo, hi = _enc_stat(st.min), _enc_stat(st.max)
             except Exception:
@@ -155,7 +170,7 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
             if name not in maxs or _dec_stat(*hi) > _dec_stat(*maxs[name]):
                 maxs[name] = hi
     stats = {
-        c: {"min": list(mins[c]), "max": list(maxs[c])}
+        c: {"min": list(mins[c]), "max": list(maxs[c]), "nulls": nulls.get(c, -1)}
         for c in complete
         if c in mins and c in maxs
     }
@@ -275,17 +290,24 @@ def _classify_file(fe: dict, conds) -> str:
         try:
             lo, hi = _dec_stat(*s["min"]), _dec_stat(*s["max"])
             if op == ">=":
-                verdicts.append("all" if lo >= v else ("none" if hi < v else "maybe"))
+                verdict = "all" if lo >= v else ("none" if hi < v else "maybe")
             elif op == ">":
-                verdicts.append("all" if lo > v else ("none" if hi <= v else "maybe"))
+                verdict = "all" if lo > v else ("none" if hi <= v else "maybe")
             elif op == "<=":
-                verdicts.append("all" if hi <= v else ("none" if lo > v else "maybe"))
+                verdict = "all" if hi <= v else ("none" if lo > v else "maybe")
             elif op == "<":
-                verdicts.append("all" if hi < v else ("none" if lo >= v else "maybe"))
+                verdict = "all" if hi < v else ("none" if lo >= v else "maybe")
             else:  # "="
-                verdicts.append(
+                verdict = (
                     "all" if lo == v and hi == v else ("none" if v < lo or v > hi else "maybe")
                 )
+            # min/max exclude NULLs: NULL rows never satisfy the
+            # predicate, so 'none' stands, but 'all' additionally
+            # requires a known zero null count (else a NULL row would
+            # be wrongly deleted with the file)
+            if verdict == "all" and s.get("nulls", -1) != 0:
+                verdict = "maybe"
+            verdicts.append(verdict)
         except TypeError:
             verdicts.append("maybe")  # incomparable literal/stat types
     if any(x == "none" for x in verdicts):
@@ -394,9 +416,12 @@ class TableStore:
 
     # ---- read ------------------------------------------------------
     def read(self, schema: str, table: str) -> DataFrame:
-        m = self._manifest(schema, table)
+        return self._df_for_manifest(self._manifest(schema, table), self._tdir(schema, table))
+
+    def _df_for_manifest(self, m: dict, tdir: str) -> DataFrame:
+        """DataFrame over exactly the manifest's file list — shared by
+        current reads and snapshot time travel."""
         st = StructType.fromJson(json.loads(m["schema"]))
-        tdir = self._tdir(schema, table)
         if m.get("partition_by"):
             # hive-partitioned groups: read each group's MANIFEST file
             # list with the group dir as basePath (partition columns
@@ -458,20 +483,22 @@ class TableStore:
             raise TableNotFound(f"{schema}.{table} snapshot {name}")
         with open(path) as f:
             m = json.load(f)
-        st = StructType.fromJson(json.loads(m["schema"]))
-        tdir = self._tdir(schema, table)
-        if not m["files"]:
-            return self.spark.createDataFrame([], st)
-        return self.spark.read.schema(st).parquet(
-            *[os.path.join(tdir, fe["path"]) for fe in m["files"]]
-        )
+        return self._df_for_manifest(m, self._tdir(schema, table))
 
-    def read_with_file(self, schema: str, table: str) -> DataFrame:
-        """Current snapshot plus ``_src_file`` = manifest-relative path
-        of the file each row came from (drives file pruning)."""
+    def read_with_file(
+        self, schema: str, table: str, rel_paths: list[str] | None = None
+    ) -> DataFrame:
+        """Current snapshot (or just ``rel_paths`` of it) plus
+        ``_src_file`` = manifest-relative path of the file each row
+        came from (drives file pruning)."""
         tdir = os.path.abspath(self._tdir(schema, table))
         absf = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-        return self.read(schema, table).withColumn(
+        base = (
+            self.read(schema, table)
+            if rel_paths is None
+            else self.read_files(schema, table, rel_paths)
+        )
+        return base.withColumn(
             "_src_file", F.substring(absf, len(tdir) + 2, 1 << 20)
         )
 
@@ -501,6 +528,8 @@ class TableStore:
         tdir = self._tdir(schema, table)
         rel = os.path.join("data", f"g-{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}")
         gdir = os.path.join(tdir, rel)
+        with _INFLIGHT_GUARD:
+            _INFLIGHT_GROUPS.add(os.path.abspath(gdir))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -513,6 +542,11 @@ class TableStore:
                 ap = os.path.join(dirpath, fn)
                 entries.append(_file_entry(ap, os.path.relpath(ap, tdir)))
         return rel, entries
+
+    @staticmethod
+    def _release_inflight(tdir: str, rel: str) -> None:
+        with _INFLIGHT_GUARD:
+            _INFLIGHT_GROUPS.discard(os.path.abspath(os.path.join(tdir, rel)))
 
     def _commit(self, schema: str, table: str, manifest: dict) -> None:
         """Publish a snapshot: manifest file, then atomic pointer swap,
@@ -569,9 +603,24 @@ class TableStore:
                     pass
         ddir = os.path.join(tdir, "data")
         if os.path.isdir(ddir):
+            with _INFLIGHT_GUARD:
+                inflight = set(_INFLIGHT_GROUPS)
+            now = time.time()
             for g in os.listdir(ddir):
-                if os.path.join("data", g) not in live_groups:
-                    shutil.rmtree(os.path.join(ddir, g), ignore_errors=True)
+                gpath = os.path.join(ddir, g)
+                if os.path.join("data", g) in live_groups:
+                    continue
+                # in-flight writes aren't referenced by any manifest
+                # yet — never collect them (registry covers this
+                # process; the mtime guard covers other processes)
+                if os.path.abspath(gpath) in inflight:
+                    continue
+                try:
+                    if now - os.path.getmtime(gpath) < self.retention_sec:
+                        continue
+                except OSError:
+                    pass
+                shutil.rmtree(gpath, ignore_errors=True)
 
     # ---- write operations ------------------------------------------
     def write(
@@ -591,17 +640,20 @@ class TableStore:
         tdir = self._tdir(schema, table)
         os.makedirs(tdir, exist_ok=True)
         rel, entries = self._write_group(schema, table, df, partition_by)
-        with self._lock:
-            self._commit(
-                schema,
-                table,
-                {
-                    "schema": df.schema.json(),
-                    "partition_by": partition_by or [],
-                    "groups": [rel],
-                    "files": entries,
-                },
-            )
+        try:
+            with self._lock:
+                self._commit(
+                    schema,
+                    table,
+                    {
+                        "schema": df.schema.json(),
+                        "partition_by": partition_by or [],
+                        "groups": [rel],
+                        "files": entries,
+                    },
+                )
+        finally:
+            self._release_inflight(tdir, rel)
         return os.path.join(tdir, rel)
 
     def append(self, schema: str, table: str, df: DataFrame) -> str:
@@ -617,13 +669,17 @@ class TableStore:
         rel, entries = self._write_group(
             schema, table, df, m.get("partition_by") or None
         )
-        with self._lock:
-            # re-read under the lock: another commit may have advanced
-            # the snapshot while our delta files were being written
-            m = self._manifest(schema, table)
-            m["groups"] = m["groups"] + [rel]
-            m["files"] = m["files"] + entries
-            self._commit(schema, table, m)
+        try:
+            with self._lock:
+                # re-read under the lock: another commit may have
+                # advanced the snapshot while our delta files were
+                # being written
+                m = self._manifest(schema, table)
+                m["groups"] = m["groups"] + [rel]
+                m["files"] = m["files"] + entries
+                self._commit(schema, table, m)
+        finally:
+            self._release_inflight(self._tdir(schema, table), rel)
         self._maybe_compact_small(schema, table)
         return os.path.join(self._tdir(schema, table), rel)
 
@@ -645,17 +701,21 @@ class TableStore:
             rel, entries = self._write_group(
                 schema, table, replacement.select(*cols), None
             )
-        with self._lock:
-            m = self._manifest(schema, table)
-            remove = set(remove_files)
-            kept = [fe for fe in m["files"] if fe["path"] not in remove]
-            groups = sorted({os.path.dirname(fe["path"]) for fe in kept})
+        try:
+            with self._lock:
+                m = self._manifest(schema, table)
+                remove = set(remove_files)
+                kept = [fe for fe in m["files"] if fe["path"] not in remove]
+                groups = sorted({os.path.dirname(fe["path"]) for fe in kept})
+                if rel is not None:
+                    groups.append(rel)
+                    kept = kept + entries
+                m["groups"] = groups
+                m["files"] = kept
+                self._commit(schema, table, m)
+        finally:
             if rel is not None:
-                groups.append(rel)
-                kept = kept + entries
-            m["groups"] = groups
-            m["files"] = kept
-            self._commit(schema, table, m)
+                self._release_inflight(self._tdir(schema, table), rel)
 
     def delete_where(self, schema: str, table: str, predicate: str) -> None:
         """``delete from t where …`` (jdbsChSession.scala:222-236) with
@@ -687,7 +747,11 @@ class TableStore:
             self.write(
                 schema,
                 table,
-                self.read(schema, table).filter(f"NOT ({predicate})"),
+                # DELETE keeps rows where the predicate is NULL, not
+                # just false — survivors are "predicate IS NOT TRUE"
+                self.read(schema, table).filter(
+                    f"NOT coalesce(({predicate}), false)"
+                ),
                 partition_by=m["partition_by"],
             )
             return
@@ -714,11 +778,8 @@ class TableStore:
         st = StructType.fromJson(json.loads(m["schema"]))
         affected: list[str] = []
         if probe:
-            absf = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-            tagged = (
-                self.spark.read.schema(st)
-                .parquet(*[os.path.join(tdir, fe["path"]) for fe in probe])
-                .withColumn("_src_file", F.substring(absf, len(os.path.abspath(tdir)) + 2, 1 << 20))
+            tagged = self.read_with_file(
+                schema, table, rel_paths=[fe["path"] for fe in probe]
             )
             affected = [
                 r["_src_file"]
@@ -731,7 +792,9 @@ class TableStore:
             survivors = (
                 self.spark.read.schema(st)
                 .parquet(*[os.path.join(tdir, p) for p in affected])
-                .filter(f"NOT ({predicate})")
+                # "predicate IS NOT TRUE": rows where the predicate is
+                # NULL survive a DELETE (plain NOT would drop them)
+                .filter(f"NOT coalesce(({predicate}), false)")
             )
         self.replace_files(schema, table, drop_whole + affected, survivors)
 

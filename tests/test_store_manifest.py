@@ -234,14 +234,21 @@ def test_zone_map_predicate_classification():
     conds = _parse_simple_conjunction("k >= 100 AND k < 200")
     assert conds == [("k", ">=", 100), ("k", "<", 200)]
 
-    def fe(lo, hi):
-        return {"stats": {"k": {"min": [lo, "int"], "max": [hi, "int"]}}}
+    def fe(lo, hi, nulls=0):
+        return {"stats": {"k": {"min": [lo, "int"], "max": [hi, "int"], "nulls": nulls}}}
 
     assert _classify_file(fe(100, 199), conds) == "all"
     assert _classify_file(fe(0, 99), conds) == "none"
     assert _classify_file(fe(200, 300), conds) == "none"
     assert _classify_file(fe(50, 150), conds) == "maybe"
     assert _classify_file({"stats": {}}, conds) == "maybe"
+    # parquet min/max exclude NULLs: a file with NULL rows (or an
+    # unknown null count) must never classify 'all' — the NULL rows
+    # don't satisfy the predicate and a whole-file drop would delete
+    # them; 'none' is unaffected (NULL rows never match either)
+    assert _classify_file(fe(100, 199, nulls=3), conds) == "maybe"
+    assert _classify_file(fe(100, 199, nulls=-1), conds) == "maybe"
+    assert _classify_file(fe(0, 99, nulls=3), conds) == "none"
     # richer predicates refuse (→ probe fallback), never misparse
     assert _parse_simple_conjunction("k >= 100 OR j = 2") is None
     assert _parse_simple_conjunction("substr(s,1,2) = 'ab'") is None
@@ -342,3 +349,20 @@ def test_partition_pruned_delete_is_metadata_only(spark, sf_smoke, monkeypatch):
     # non-partition-column predicate still works (rewrite fallback)
     store.delete_where("s", "t", "v >= 400")
     assert store.read("s", "t").filter("v >= 400").count() == 0
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    are KEPT (predicate is not true) — both on the probed-rewrite
+    path and under zone-map classification (a file with NULL rows
+    never classifies 'all')."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_null_"))
+    store.create_database("s")
+    df = spark.sql(
+        "select * from values (1, 10), (2, cast(null as int)), (3, 200)"
+        " as t(id, k)"
+    )
+    store.write("s", "t", df.coalesce(1))
+    store.delete_where("s", "t", "k >= 0")  # matches ids 1,3; NULL for id 2
+    rows = {r.id for r in store.read("s", "t").collect()}
+    assert rows == {2}

@@ -488,3 +488,40 @@ def test_incremental_dedup_probes_only_the_batch(spark, sf_smoke):
     copied_id = copy.first().doc_id
     verdicts = {r.doc_id: r.verdict for r in out}
     assert verdicts[copied_id] == "exact"
+
+
+def test_dialect_function_rewrites_skip_string_literals():
+    """Function-call rewrites are quote-aware like the statement-level
+    passes: CH function names inside string literals (e.g. spliced
+    param values) survive verbatim while real calls translate."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    out = translate_ch_sql(
+        "select 'uses intDiv(a,b) and toYear(d)' as note, intDiv(x, 2) as h from t"
+    )
+    assert "'uses intDiv(a,b) and toYear(d)'" in out
+    assert "(x div 2)" in out
+
+
+def test_runlog_restore_skips_foreign_event_shapes(tmp_path):
+    """Rows from an older/foreign WAL format are skipped like torn
+    JSON — restore never aborts on them."""
+    p = str(tmp_path / "runlog.jsonl")
+    log = RunLog(path=p)
+    tid = log.create_task()
+    log.finish_task(tid)
+    with open(p, "a") as f:
+        f.write('{"kind": "table", "task_id": 1, "state": "copying"}\n')  # old shape
+        f.write('{"kind": "task", "bogus": true}\n')
+        f.write('not json at all\n')
+    restored = RunLog.restore(p)
+    assert tid in restored.tasks
+
+
+def test_stratified_sample_empty_rates_uses_default(spark, sf_smoke):
+    from ora_ch_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = stratified_sample(docs, {}, default_rate=0.5)
+    n = out.count()
+    assert 0 < n < docs.count()  # ~half sampled, deterministic
