@@ -1035,6 +1035,25 @@ WHERE ('0x' || substr(md5('strat:' || cast(doc_id as varchar)), 1, 8))::BIGINT %
 """
 
 
+def sample_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.sampling import sample_fixed_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_fixed_per_group(docs, 20).select("doc_id", "lang", "source")
+
+
+SAMPLE_FIXED_ORACLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('resv:' || cast(doc_id as varchar)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def quality_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.sampling import topk_per_group
 
@@ -1348,6 +1367,8 @@ EXT_QUERIES: list[QueryDef] = [
              "deterministic hash-bucket stratified sampling per lang"),
     QueryDef("quality_topk_per_group", quality_topk_q, _quality_topk_oracle(),
              "top-10 docs per lang by quality score (window select)"),
+    QueryDef("sample_fixed_per_group", sample_fixed_q, SAMPLE_FIXED_ORACLE,
+             "exactly-20-per-lang deterministic reservoir (md5-rank)"),
     QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
     QueryDef("skew_salted_join", skew_salted_join_q, SKEW_SALTED_ORACLE,

@@ -64,6 +64,30 @@ def stratified_sample(
     )
 
 
+def sample_fixed_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "resv",
+) -> DataFrame:
+    """Exactly-n-per-group sampling (a deterministic reservoir): rank
+    rows inside each group by md5-hash of their id and keep the first
+    ``n``. Hash-ordering makes the selection uniform-ish AND a pure
+    function of row ids — re-runs and engine replays pick the same
+    rows, and growing a group only ever swaps members at the boundary
+    (hash order is stable, unlike random reservoirs). One shuffle on
+    the group key. The standard tool for building fixed-size per-slice
+    eval sets."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,

@@ -797,6 +797,9 @@ class TableStore:
                 .filter(f"NOT coalesce(({predicate}), false)")
             )
         self.replace_files(schema, table, drop_whole + affected, survivors)
+        # survivor files can be small slivers — same merge policy as
+        # the append path once enough of them accumulate
+        self._maybe_compact_small(schema, table)
 
     def truncate(self, schema: str, table: str) -> None:
         """truncate table (jdbsChSession.scala:693-700) — empty

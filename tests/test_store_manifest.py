@@ -366,3 +366,26 @@ def test_delete_where_keeps_null_predicate_rows(spark):
     store.delete_where("s", "t", "k >= 0")  # matches ids 1,3; NULL for id 2
     rows = {r.id for r in store.read("s", "t").collect()}
     assert rows == {2}
+
+
+def test_gc_spares_young_orphan_groups(spark, sf_smoke):
+    """An unreferenced group directory younger than the retention
+    window is NOT collected (it may be a concurrent writer's
+    in-flight data — cross-process safety net; same-process writes
+    are additionally protected by the in-flight registry); with
+    retention 0 it is collected."""
+    import shutil
+
+    region = load_table(spark, sf_smoke, "region")
+    for retention, survives in ((300.0, True), (0.0, False)):
+        store = TableStore(
+            spark, tempfile.mkdtemp(prefix="manifest_gc_"), retention_sec=retention
+        )
+        store.create_database("s")
+        store.write("s", "t", region)
+        orphan = os.path.join(store._tdir("s", "t"), "data", "g-orphan")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "part-x.parquet"), "w") as f:
+            f.write("x")
+        store.write("s", "t", region.limit(2))  # commit triggers GC
+        assert os.path.isdir(orphan) == survives, f"retention={retention}"
