@@ -251,6 +251,41 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "cityHash64", lambda a: f"xxhash64({', '.join(a)})")
     out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} div {a[1]})")
 
+    # ---- common CH functions beyond the §2.4 inventory (a reference
+    # user's other stored queries use these constantly) ----
+    out = _rewrite_calls(out, "toDate", lambda a: f"to_date({a[0]})")
+    out = _rewrite_calls(out, "toMonth", lambda a: f"month({a[0]})")
+    out = _rewrite_calls(out, "toDayOfMonth", lambda a: f"dayofmonth({a[0]})")
+    out = _rewrite_calls(out, "toHour", lambda a: f"hour({a[0]})")
+    out = _rewrite_calls(out, "toStartOfMonth", lambda a: f"trunc({a[0]}, 'MM')")
+    out = _rewrite_calls(out, "toStartOfYear", lambda a: f"trunc({a[0]}, 'YYYY')")
+    out = _rewrite_calls(out, "toStartOfDay", lambda a: f"date_trunc('DAY', {a[0]})")
+    out = _rewrite_calls(out, "ifNull", lambda a: f"coalesce({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "empty", lambda a: f"({a[0]} = '')")
+    out = _rewrite_calls(out, "notEmpty", lambda a: f"({a[0]} != '')")
+    out = _rewrite_calls(out, "lengthUTF8", lambda a: f"length({a[0]})")
+    # CH position(haystack, needle) ≡ Spark instr(str, substr), 1-based
+    out = _rewrite_calls(out, "position", lambda a: f"instr({a[0]}, {a[1]})")
+    # CH splitByChar(sep, s) — note the reversed argument order
+    out = _rewrite_calls(out, "splitByChar", lambda a: f"split({a[1]}, {a[0]})")
+
+    def _multi_if(a: list[str]) -> str:
+        # multiIf(c1, v1, c2, v2, ..., else) → CASE chain
+        whens = "".join(
+            f" WHEN {a[i]} THEN {a[i + 1]}" for i in range(0, len(a) - 1, 2)
+        )
+        return f"(CASE{whens} ELSE {a[-1]} END)"
+
+    out = _rewrite_calls(out, "multiIf", _multi_if)
+
+    def _format_dt(a: list[str]) -> str:
+        fmt = a[1].strip()
+        if fmt.startswith("'") and fmt.endswith("'"):
+            fmt = "'" + _convert_fmt(fmt[1:-1]) + "'"
+        return f"date_format({a[0]}, {fmt})"
+
+    out = _rewrite_calls(out, "formatDateTime", _format_dt)
+
     # ---- statement-level CH constructs ----
     # String literals are masked for ALL statement-level passes: bound
     # param values are spliced into the SQL before translation, so a

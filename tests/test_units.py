@@ -525,3 +525,32 @@ def test_stratified_sample_empty_rates_uses_default(spark, sf_smoke):
     out = stratified_sample(docs, {}, default_rate=0.5)
     n = out.count()
     assert 0 < n < docs.count()  # ~half sampled, deterministic
+
+
+def test_dialect_extended_ch_functions(spark):
+    """Common CH functions beyond the §2.4 inventory translate and
+    EXECUTE on Spark with the right values (incl. splitByChar's
+    reversed argument order and multiIf's CASE chain)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    sql = translate_ch_sql(
+        "select toDate('2024-03-15') as d,"
+        " toMonth(timestamp'2024-03-15 10:00:00') as m,"
+        " toStartOfMonth(timestamp'2024-03-15 10:00:00') as som,"
+        " multiIf(1 = 2, 'a', 3 = 3, 'b', 'z') as mi,"
+        " splitByChar(',', 'x,y,z') as parts,"
+        " ifNull(cast(null as string), 'fb') as fn,"
+        " position('hello', 'll') as pos,"
+        " formatDateTime(timestamp'2024-03-15 10:00:00', '%Y/%m') as fdt,"
+        " notEmpty('a') as ne"
+    )
+    r = spark.sql(sql).first()
+    assert str(r.d) == "2024-03-15"
+    assert r.m == 3
+    assert str(r.som) == "2024-03-01"
+    assert r.mi == "b"
+    assert list(r.parts) == ["x", "y", "z"]
+    assert r.fn == "fb"
+    assert r.pos == 3
+    assert r.fdt == "2024/03"
+    assert r.ne is True
