@@ -264,8 +264,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "empty", lambda a: f"({a[0]} = '')")
     out = _rewrite_calls(out, "notEmpty", lambda a: f"({a[0]} != '')")
     out = _rewrite_calls(out, "lengthUTF8", lambda a: f"length({a[0]})")
-    # CH position(haystack, needle) ≡ Spark instr(str, substr), 1-based
-    out = _rewrite_calls(out, "position", lambda a: f"instr({a[0]}, {a[1]})")
+    # NOTE: CH position(haystack, needle) is NOT rewritten — `position`
+    # is also valid Spark SQL with the OPPOSITE argument order, so a
+    # rewrite would corrupt already-ANSI text (the shim's idempotence
+    # contract). CH users port it to instr() by hand.
     # CH splitByChar(sep, s) — note the reversed argument order
     out = _rewrite_calls(out, "splitByChar", lambda a: f"split({a[1]}, {a[0]})")
 

@@ -540,7 +540,6 @@ def test_dialect_extended_ch_functions(spark):
         " multiIf(1 = 2, 'a', 3 = 3, 'b', 'z') as mi,"
         " splitByChar(',', 'x,y,z') as parts,"
         " ifNull(cast(null as string), 'fb') as fn,"
-        " position('hello', 'll') as pos,"
         " formatDateTime(timestamp'2024-03-15 10:00:00', '%Y/%m') as fdt,"
         " notEmpty('a') as ne"
     )
@@ -551,6 +550,5 @@ def test_dialect_extended_ch_functions(spark):
     assert r.mi == "b"
     assert list(r.parts) == ["x", "y", "z"]
     assert r.fn == "fb"
-    assert r.pos == 3
     assert r.fdt == "2024/03"
     assert r.ne is True
