@@ -268,8 +268,17 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # is also valid Spark SQL with the OPPOSITE argument order, so a
     # rewrite would corrupt already-ANSI text (the shim's idempotence
     # contract). CH users port it to instr() by hand.
-    # CH splitByChar(sep, s) — note the reversed argument order
-    out = _rewrite_calls(out, "splitByChar", lambda a: f"split({a[1]}, {a[0]})")
+    # CH splitByChar(sep, s) — reversed argument order, and Spark
+    # split()'s separator is a REGEX: a literal single-char sep like
+    # '.' or '|' must be escaped or it matches everything
+    def _split_by_char(a: list[str]) -> str:
+        sep = a[0].strip()
+        if len(sep) == 3 and sep[0] == sep[-1] == "'":
+            esc = re.escape(sep[1]).replace("\\", "\\\\")
+            return f"split({a[1]}, '{esc}')"
+        return f"split({a[1]}, {a[0]})"
+
+    out = _rewrite_calls(out, "splitByChar", _split_by_char)
 
     def _multi_if(a: list[str]) -> str:
         # multiIf(c1, v1, c2, v2, ..., else) → CASE chain

@@ -539,6 +539,7 @@ def test_dialect_extended_ch_functions(spark):
         " toStartOfMonth(timestamp'2024-03-15 10:00:00') as som,"
         " multiIf(1 = 2, 'a', 3 = 3, 'b', 'z') as mi,"
         " splitByChar(',', 'x,y,z') as parts,"
+        " splitByChar('.', 'a.b.c') as dots,"
         " ifNull(cast(null as string), 'fb') as fn,"
         " formatDateTime(timestamp'2024-03-15 10:00:00', '%Y/%m') as fdt,"
         " notEmpty('a') as ne"
@@ -549,6 +550,7 @@ def test_dialect_extended_ch_functions(spark):
     assert str(r.som) == "2024-03-01"
     assert r.mi == "b"
     assert list(r.parts) == ["x", "y", "z"]
+    assert list(r.dots) == ["a", "b", "c"]  # '.' escaped, not regex-any
     assert r.fn == "fb"
     assert r.fdt == "2024/03"
     assert r.ne is True
