@@ -389,3 +389,50 @@ def test_gc_spares_young_orphan_groups(spark, sf_smoke):
             f.write("x")
         store.write("s", "t", region.limit(2))  # commit triggers GC
         assert os.path.isdir(orphan) == survives, f"retention={retention}"
+
+
+def test_concurrent_writers_and_readers_no_lost_files(spark, sf_smoke):
+    """The documented /task + /calc scenario: two threads mutate the
+    same table while a third reads — no FileNotFoundException, no
+    torn snapshot, and the final state is consistent. Pins the GC
+    in-flight guard (an uncommitted group must never be collected by
+    the other thread's commit)."""
+    import threading
+
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="manifest_cc_"), retention_sec=300
+    )
+    store.create_database("s")
+    region = load_table(spark, sf_smoke, "region")
+    store.write("s", "t", region)
+    errors = []
+
+    def writer(which):
+        try:
+            for i in range(6):
+                if which == 0:
+                    store.append("s", "t", region.limit(1))
+                else:
+                    store.write("s", "w2", region.limit(2 + i % 3))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(10):
+                store.read("s", "t").count()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(0,)),
+        threading.Thread(target=writer, args=(1,)),
+        threading.Thread(target=reader),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert store.row_count("s", "t") == 5 + 6
+    assert store.read("s", "t").count() == 11
