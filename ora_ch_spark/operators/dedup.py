@@ -365,6 +365,116 @@ def incremental_minhash_dedup(
     return out
 
 
+def build_dedup_index(
+    store,
+    schema: str,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Materialize the corpus side of :func:`incremental_minhash_dedup`
+    into store tables, so recurring batch screens never recompute the
+    corpus pass (the "precomputed once and stored" half of the
+    incremental contract):
+
+    - ``<schema>.dedup_digests``  — distinct md5 content digests;
+    - ``<schema>.dedup_arrays``   — per-doc shingle-hash arrays + size;
+    - ``<schema>.dedup_bands``    — packed band keys per doc.
+
+    Appending NEW accepted docs to the index is itself incremental
+    (store.append of their digests/arrays/bands — pure file adds)."""
+    store.create_database(schema)
+    digests = corpus.select(F.md5(F.col(text_col)).alias("dig")).distinct()
+    store.write(schema, "dedup_digests", digests)
+    arr = shingle_hash_arrays(corpus, id_col, text_col, shingle_n)
+    store.write(schema, "dedup_arrays", arr)
+    sig = store.read(schema, "dedup_arrays").select(
+        F.col(id_col), *rowwise_minhash_cols("sharr", num_hashes)
+    )
+    rows = num_hashes // bands
+    n_keys = (rows + 1) // 2
+    bandsdf = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e"),
+    ).select(id_col, "e.band", *[F.col(f"e.k{j}").alias(f"k{j}") for j in range(n_keys)])
+    store.write(schema, "dedup_bands", bandsdf)
+
+
+def incremental_dedup_against_index(
+    store,
+    schema: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Screen a batch against a :func:`build_dedup_index` index —
+    identical output contract to :func:`incremental_minhash_dedup`,
+    but the only corpus-side work is reading the (pruned) index
+    tables: per-run cost is O(batch) + an index equi-join."""
+    dig_c = store.read(schema, "dedup_digests")
+    dig_b = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("dig"))
+    exact = (
+        dig_b.join(dig_c, "dig", "left_semi")
+        .select(id_col)
+        .withColumn("dup_exact", F.lit(True))
+    )
+    arr_b = shingle_hash_arrays(batch, id_col, text_col, shingle_n).persist()
+    rows = num_hashes // bands
+    n_keys = (rows + 1) // 2
+    key_cols = ["band"] + [f"k{j}" for j in range(n_keys)]
+    sig_b = arr_b.select(F.col(id_col), *rowwise_minhash_cols("sharr", num_hashes))
+    bands_b = sig_b.select(
+        F.col(id_col).alias("id_b"),
+        F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e"),
+    ).select("id_b", "e.band", *[F.col(f"e.k{j}").alias(f"k{j}") for j in range(n_keys)])
+    bands_c = store.read(schema, "dedup_bands").select(
+        F.col(id_col).alias("id_c"), *key_cols
+    )
+    cands = bands_c.join(bands_b, on=key_cols).select("id_c", "id_b").distinct()
+    gc = store.read(schema, "dedup_arrays").select(
+        F.col(id_col).alias("id_c"), F.col("sharr").alias("gc"), F.col("n").alias("nc")
+    )
+    gb = arr_b.select(
+        F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"), F.col("n").alias("nb")
+    )
+    near = (
+        cands.join(gc, "id_c")
+        .join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("gc", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("nc") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_c").alias("near_dup_of"), F.max("jaccard").alias("max_jaccard"))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+            "near_dup_of",
+            "max_jaccard",
+            F.when(F.coalesce("dup_exact", F.lit(False)), "exact")
+            .when(F.col("near_dup_of").isNotNull(), "near")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -554,3 +554,30 @@ def test_dialect_extended_ch_functions(spark):
     assert r.fn == "fb"
     assert r.fdt == "2024/03"
     assert r.ne is True
+
+
+def test_persisted_dedup_index_matches_direct_incremental(spark, sf_smoke):
+    """build_dedup_index + incremental_dedup_against_index must return
+    the exact same verdicts as the direct corpus-frame form — and an
+    index append (new accepted docs) is a pure store append."""
+    from ora_ch_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_against_index,
+        incremental_minhash_dedup,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1").limit(50)
+    store = TableStore(spark, tempfile.mkdtemp(prefix="dedup_idx_"))
+    build_dedup_index(store, "idx", corpus)
+
+    direct = {
+        (r.doc_id, r.dup_exact, r.near_dup_of, r.verdict)
+        for r in incremental_minhash_dedup(corpus, batch).collect()
+    }
+    via_index = {
+        (r.doc_id, r.dup_exact, r.near_dup_of, r.verdict)
+        for r in incremental_dedup_against_index(store, "idx", batch).collect()
+    }
+    assert via_index == direct and direct
