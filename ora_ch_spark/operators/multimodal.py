@@ -59,6 +59,66 @@ def fake_decode_features(data: bytes) -> tuple[int, int, int]:
     return 1 + (b0 % 64), 1 + (b1 % 64), 1 + (len(data) % 7)
 
 
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_channels int, sample_rate int, n_samples bigint, "
+    "duration_sec double, rms double, peak double"
+)
+
+
+def decode_audio_wav(data: bytes) -> tuple[int, int, int, float, float]:
+    """REAL audio decode — WAV via the stdlib ``wave`` module (no
+    external codec needed): returns (channels, sample_rate, frames,
+    rms, peak) with samples normalized to [-1, 1]. PCM 8/16-bit."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        sr = w.getframerate()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sw} (PCM 8/16-bit only)")
+    if arr.size == 0:
+        return nch, sr, nf, 0.0, 0.0
+    rms = float(np.sqrt(np.mean(arr * arr)))
+    peak = float(np.max(np.abs(arr)))
+    return nch, sr, nf, rms, peak
+
+
+def extract_audio_features(media_df: DataFrame) -> DataFrame:
+    """mapInPandas over WAV ``binary`` blobs using the REAL decoder —
+    the fully-working form of the decode stage (images stay gated on
+    PIL; audio needs only the stdlib). Same Arrow-batched,
+    partition-parallel shape as :func:`extract_media_features`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "n_channels": [], "sample_rate": [],
+                "n_samples": [], "duration_sec": [], "rms": [], "peak": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                nch, sr, nf, rms, peak = decode_audio_wav(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(nch)
+                rows["sample_rate"].append(sr)
+                rows["n_samples"].append(nf)
+                rows["duration_sec"].append(nf / sr if sr else 0.0)
+                rows["rms"].append(rms)
+                rows["peak"].append(peak)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 def attach_media(df: DataFrame, text_col: str = "text", media_type: str = "image") -> DataFrame:
     """Build the multimodal frame: binary payload (here derived from
     text — stand-in for real blobs) + typed metadata columns."""

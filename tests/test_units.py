@@ -581,3 +581,39 @@ def test_persisted_dedup_index_matches_direct_incremental(spark, sf_smoke):
         for r in incremental_dedup_against_index(store, "idx", batch).collect()
     }
     assert via_index == direct and direct
+
+
+def test_real_wav_decode_via_mapinpandas(spark):
+    """extract_audio_features performs a REAL decode (stdlib wave):
+    synthesized 16-bit PCM sine blobs come back with exact sample
+    counts/rates and the analytic RMS (A/sqrt(2)) within float
+    tolerance — no stub in the loop."""
+    import io
+    import math
+    import wave
+
+    from ora_ch_spark.operators.multimodal import extract_audio_features
+
+    def wav_bytes(freq, sr=8000, n=4000, amp=0.5):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            frames = b"".join(
+                int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr)).to_bytes(
+                    2, "little", signed=True
+                )
+                for i in range(n)
+            )
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    rows = [(1, wav_bytes(440.0)), (2, wav_bytes(220.0, amp=0.25))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r.doc_id: r for r in extract_audio_features(df).collect()}
+    assert out[1].n_samples == 4000 and out[1].sample_rate == 8000
+    assert abs(out[1].duration_sec - 0.5) < 1e-9
+    assert abs(out[1].rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(out[2].rms - 0.25 / math.sqrt(2)) < 0.01
+    assert out[1].peak <= 0.5 + 1e-6
