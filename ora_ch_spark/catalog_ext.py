@@ -1236,6 +1236,35 @@ near AS (
 """
 
 
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via iterative min-label
+    propagation (the survivor-per-component step). Oracle = the same
+    fixpoint from a DuckDB recursive CTE over the same pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs)
+    return D.connected_components(pairs)
+
+
+def _components_oracle() -> str:
+    minhash = _minhash_oracle()
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a, id_b FROM ({minhash})
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b AS a, id_a AS b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+"""
+
+
 def pipeline_ingest_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-crawl composite: quality/language-screen a new
     batch (odd doc_ids), then screen the survivors against the
@@ -1375,6 +1404,8 @@ EXT_QUERIES: list[QueryDef] = [
              "hot-key salted join (salt/replicate/unsalt ≡ plain join)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
+    QueryDef("dedup_components", dedup_components_q, _components_oracle(),
+             "near-dup clusters: iterative min-label propagation vs recursive-CTE oracle"),
     QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
              "binary media column → mapInPandas feature extraction"),
     QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,

@@ -365,6 +365,73 @@ def incremental_minhash_dedup(
     return out
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components of the near-dup PAIR graph — the step that
+    turns pairwise verdicts into clusters so survivor selection keeps
+    exactly one doc per duplicate GROUP (pair-wise "drop id_b" over-
+    drops on chains a–b, b–c).
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round takes the min of its own and its neighbors'
+    labels; fixpoint = min node id reachable = component id.
+    Converges in O(component diameter) rounds — near-dup clusters are
+    dense (LSH pairs approximate cliques), so a handful. Each round is
+    one small equi-join + aggregate on the label frame (persisted,
+    previous round unpersisted); the convergence probe is a count on
+    the changed rows only. Deterministic, engine-replayable (the
+    DuckDB oracle computes the same fixpoint with a recursive CTE).
+
+    Returns (doc_id, component) for every node that appears in a pair.
+    """
+    e = pairs.select("id_a", "id_b").unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).distinct().persist()
+    labels = (
+        e.select(F.col("id_a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("id_b"), F.col("label").alias("nl")
+                ),
+                "id_b",
+            )
+            .groupBy("id_a")
+            .agg(F.min("nl").alias("min_nbr"))
+            .withColumnRenamed("id_a", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("min_nbr", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .filter("label != old")
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 def build_dedup_index(
     store,
     schema: str,

@@ -617,3 +617,17 @@ def test_real_wav_decode_via_mapinpandas(spark):
     assert abs(out[1].rms - 0.5 / math.sqrt(2)) < 0.01
     assert abs(out[2].rms - 0.25 / math.sqrt(2)) < 0.01
     assert out[1].peak <= 0.5 + 1e-6
+
+
+def test_connected_components_collapses_chains(spark):
+    """Chain a–b, b–c, plus isolated pair d–e: components must be
+    {a,b,c}→a and {d,e}→d even though no a–c pair exists (the case
+    pairwise drop-id_b logic over-drops)."""
+    from ora_ch_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (4, 5), (5, 6)],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
