@@ -107,7 +107,10 @@ def clean_corpus(
     survivors = exact_dedup_groups(kept).select(F.col("keep_id").alias("doc_id"))
     kept = kept.join(survivors, "doc_id").persist()
     # near-dedup: drop the HIGHER id of every verified near-dup pair
-    # (pairs computed on the post-filter corpus)
+    # (pairs computed on the post-filter corpus). Policy note: on
+    # chains a–b, b–c this drops both b and c (conservative — more
+    # dropped than one-survivor-per-cluster); use
+    # dedup.connected_components(pairs) for exact cluster survivors.
     pairs = minhash_lsh_dedup(kept, threshold=near_dup_threshold)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return kept.join(drop, "doc_id", "left_anti")
