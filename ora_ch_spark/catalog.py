@@ -585,6 +585,36 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id — the general form of
+    rollup/cube, with a marker distinguishing which set produced each
+    row (NULL-vs-subtotal disambiguation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               cast(grouping_id(o_orderstatus, o_orderpriority) as int) AS gid,
+               count(*) AS n_orders,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) as int) AS gid,
+       count(*) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column surface: parse the events ``props`` JSON payload
     and aggregate an extracted field (semi-structured data support
@@ -842,6 +872,8 @@ CORE_QUERIES: list[QueryDef] = [
              "rank/dense_rank/lag/running-sum window surface"),
     QueryDef("set_ops", set_ops, SET_OPS_ORACLE,
              "UNION/INTERSECT/EXCEPT over key sets"),
+    QueryDef("grouping_sets_agg", grouping_sets_agg, GROUPING_SETS_ORACLE,
+             "explicit GROUPING SETS + grouping_id disambiguation"),
     QueryDef("rollup_agg", rollup_agg, ROLLUP_ORACLE,
              "GROUP BY ROLLUP subtotals"),
     QueryDef("percentiles", percentiles, PERCENTILES_ORACLE,
