@@ -589,15 +589,14 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS + grouping_id — the general form of
     rollup/cube, with a marker distinguishing which set produced each
     row (NULL-vs-subtotal disambiguation)."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__gs_orders")
+    register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                cast(grouping_id(o_orderstatus, o_orderpriority) as int) AS gid,
                count(*) AS n_orders,
                cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
-        FROM __gs_orders
+        FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
         """

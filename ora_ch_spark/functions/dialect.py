@@ -253,7 +253,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     # ---- common CH functions beyond the §2.4 inventory (a reference
     # user's other stored queries use these constantly) ----
-    out = _rewrite_calls(out, "toDate", lambda a: f"to_date({a[0]})")
+    # (toDate is handled by the _CAST_FNS loop above: cast(x as date))
     out = _rewrite_calls(out, "toMonth", lambda a: f"month({a[0]})")
     out = _rewrite_calls(out, "toDayOfMonth", lambda a: f"dayofmonth({a[0]})")
     out = _rewrite_calls(out, "toHour", lambda a: f"hour({a[0]})")
@@ -275,8 +275,11 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         sep = a[0].strip()
         if len(sep) == 3 and sep[0] == sep[-1] == "'":
             esc = re.escape(sep[1]).replace("\\", "\\\\")
-            return f"split({a[1]}, '{esc}')"
-        return f"split({a[1]}, {a[0]})"
+            sep = f"'{esc}'"
+        # CH's optional max_substrings ≡ Spark's limit (both keep the
+        # unsplit remainder in the last element)
+        limit = f", {a[2]}" if len(a) > 2 else ""
+        return f"split({a[1]}, {sep}{limit})"
 
     out = _rewrite_calls(out, "splitByChar", _split_by_char)
 
@@ -293,7 +296,12 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         fmt = a[1].strip()
         if fmt.startswith("'") and fmt.endswith("'"):
             fmt = "'" + _convert_fmt(fmt[1:-1]) + "'"
-        return f"date_format({a[0]}, {fmt})"
+        ts = a[0]
+        if len(a) > 2:
+            # CH's optional timezone: format the instant in that zone
+            # (session-tz-naive source, like CH's server-tz timestamps)
+            ts = f"convert_timezone({a[2]}, {ts})"
+        return f"date_format({ts}, {fmt})"
 
     out = _rewrite_calls(out, "formatDateTime", _format_dt)
 

@@ -366,7 +366,7 @@ def incremental_minhash_dedup(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """Connected components of the near-dup PAIR graph — the step that
     turns pairwise verdicts into clusters so survivor selection keeps
@@ -428,7 +428,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silent non-fixpoint would split clusters (and diverge from
+        # the recursive-CTE oracle) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter — raise it)"
+        )
     e.unpersist()
+    # NOTE: the returned frame is backed by the final labels cache;
+    # long-running callers should unpersist it (or clearCache) when done
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -454,6 +463,14 @@ def build_dedup_index(
     Appending NEW accepted docs to the index is itself incremental
     (store.append of their digests/arrays/bands — pure file adds)."""
     store.create_database(schema)
+    # record the hash parameters: a probe with mismatched parameters
+    # computes band keys from different hash slots and silently
+    # matches nothing — the probe asserts against this row
+    meta = corpus.sparkSession.createDataFrame(
+        [(shingle_n, num_hashes, bands)],
+        "shingle_n int, num_hashes int, bands int",
+    )
+    store.write(schema, "dedup_meta", meta)
     digests = corpus.select(F.md5(F.col(text_col)).alias("dig")).distinct()
     store.write(schema, "dedup_digests", digests)
     arr = shingle_hash_arrays(corpus, id_col, text_col, shingle_n)
@@ -484,7 +501,18 @@ def incremental_dedup_against_index(
     """Screen a batch against a :func:`build_dedup_index` index —
     identical output contract to :func:`incremental_minhash_dedup`,
     but the only corpus-side work is reading the (pruned) index
-    tables: per-run cost is O(batch) + an index equi-join."""
+    tables: per-run cost is O(batch) + an index equi-join. Raises if
+    the hash parameters don't match the ones the index was built with
+    (a mismatch would silently match nothing)."""
+    meta = store.read(schema, "dedup_meta").first()
+    if (meta["shingle_n"], meta["num_hashes"], meta["bands"]) != (
+        shingle_n, num_hashes, bands,
+    ):
+        raise ValueError(
+            f"index {schema} built with shingle_n={meta['shingle_n']}, "
+            f"num_hashes={meta['num_hashes']}, bands={meta['bands']}; "
+            f"probe called with ({shingle_n}, {num_hashes}, {bands})"
+        )
     dig_c = store.read(schema, "dedup_digests")
     dig_b = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("dig"))
     exact = (
@@ -492,6 +520,8 @@ def incremental_dedup_against_index(
         .select(id_col)
         .withColumn("dup_exact", F.lit(True))
     )
+    # the returned frame is backed by this cache (bands + verify both
+    # read it); long-running callers unpersist/clearCache between runs
     arr_b = shingle_hash_arrays(batch, id_col, text_col, shingle_n).persist()
     rows = num_hashes // bands
     n_keys = (rows + 1) // 2

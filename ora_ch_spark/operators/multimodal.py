@@ -2,12 +2,13 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The decode layer is STUBBED (no image/audio libraries in this
-container): ``fake_decode_features`` derives deterministic features
-from the raw bytes, and ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` behind an import-try for PIL/soundfile. The
-Spark-side plumbing — binary schema, metadata struct, Arrow batch
-shape, partition-parallel mapInPandas — is real and tested.
+Decode status: **audio decode is REAL** (``decode_audio_wav`` /
+``extract_audio_features`` — PCM WAV via the stdlib ``wave`` module,
+numpy RMS/peak, no external codec). Image decode remains gated on PIL
+(absent in this container): ``fake_decode_features`` derives
+deterministic stand-in features from the raw bytes so the image
+plumbing — binary schema, metadata struct, Arrow batch shape,
+partition-parallel mapInPandas — is still real and tested.
 
 Scale notes: media blobs ride in parquet binary columns;
 ``mapInPandas`` processes them per Arrow batch

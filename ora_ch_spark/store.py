@@ -69,6 +69,12 @@ class TableNotFound(KeyError):
     pass
 
 
+class StoreConflict(RuntimeError):
+    """A targeted rewrite raced a concurrent commit: some file it
+    meant to replace is no longer in the manifest, so its replacement
+    data was computed from a stale snapshot."""
+
+
 # one commit lock per store root, shared by every TableStore instance in
 # the process (the /task scheduler and /calc service each construct their
 # own TableStore over the same root)
@@ -704,6 +710,16 @@ class TableStore:
         try:
             with self._lock:
                 m = self._manifest(schema, table)
+                present = {fe["path"] for fe in m["files"]}
+                missing = set(remove_files) - present
+                if missing:
+                    # a concurrent commit already replaced these files:
+                    # our replacement was computed from a stale snapshot
+                    # — committing it would duplicate/resurrect rows
+                    raise StoreConflict(
+                        f"{schema}.{table}: {len(missing)} files to replace "
+                        f"are gone (concurrent commit), e.g. {sorted(missing)[:2]}"
+                    )
                 remove = set(remove_files)
                 kept = [fe for fe in m["files"] if fe["path"] not in remove]
                 groups = sorted({os.path.dirname(fe["path"]) for fe in kept})
@@ -830,7 +846,10 @@ class TableStore:
             return  # hive-partitioned groups keep their dirs; use compact()
         small = [fe for fe in m["files"] if fe["bytes"] < self.auto_compact_min_bytes]
         if len(small) >= thr:
-            self.compact_small(schema, table)
+            try:
+                self.compact_small(schema, table)
+            except StoreConflict:
+                pass  # best-effort maintenance: a racing mutation won; retry next append
 
     def compact_small(self, schema: str, table: str) -> int:
         """Incremental compaction: fold ONLY the files smaller than

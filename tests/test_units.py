@@ -631,3 +631,46 @@ def test_connected_components_collapses_chains(spark):
     )
     out = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_dialect_three_arg_forms(spark):
+    """splitByChar's max_substrings and formatDateTime's timezone pass
+    through instead of being silently dropped."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    sql = translate_ch_sql(
+        "select splitByChar(',', 'a,b,c', 2) as parts,"
+        " formatDateTime(timestamp'2024-01-01 23:30:00', '%Y-%m-%d', 'Asia/Tokyo') as tok"
+    )
+    r = spark.sql(sql).first()
+    assert list(r.parts) == ["a", "b,c"]  # limit keeps remainder in last
+    assert r.tok == "2024-01-02"  # UTC 23:30 is next day in Tokyo
+
+
+def test_index_probe_rejects_mismatched_parameters(spark, sf_smoke):
+    from ora_ch_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_against_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="dedup_idx_mm_"))
+    build_dedup_index(store, "idx", docs.filter("doc_id % 2 = 0"), num_hashes=16)
+    with pytest.raises(ValueError, match="built with"):
+        incremental_dedup_against_index(
+            store, "idx", docs.filter("doc_id % 2 = 1"), num_hashes=8, bands=2
+        )
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from ora_ch_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    # converges fine with enough rounds…
+    out = connected_components(chain, max_iter=50).collect()
+    assert {r.component for r in out} == {0}
+    # …and fails LOUDLY when capped below the diameter
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
