@@ -241,7 +241,17 @@ def op_update(
                 .collect()
             ]
             if not affected:
-                return n_upd  # no target rows match — nothing to rewrite
+                # no target rows match — nothing to rewrite, but the
+                # no-match contract must not depend on routing: the
+                # full-merge path below advances the watermark in the
+                # same situation (its left join simply updates zero
+                # rows), so advance here too. Updates whose keys are
+                # absent from the target are consumed, not retried —
+                # matching the reference's ALTER UPDATE, which is a
+                # no-op for keys failing dictHas().
+                if wm_col and new_mark is not None:
+                    sync_state.set_watermark(spec.schema, spec.name, wm_col, new_mark)
+                return n_upd
             subset = store.read_files(spec.schema, spec.name, affected)
             merged = subset.join(join_side, on=key_columns, how="left")
             for f in fields:

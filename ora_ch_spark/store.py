@@ -152,12 +152,16 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
                 continue
             # parquet min/max EXCLUDE nulls — a correct "every row
             # matches" verdict needs the null count too
-            if st.null_count is not None and name in nulls:
-                nulls[name] += st.null_count
-            elif st.null_count is not None:
-                nulls[name] = st.null_count
-            else:
+            if st.null_count is None:
                 nulls[name] = -1  # unknown → never claim "all match"
+            elif name in nulls:
+                # once unknown (-1), stay unknown: summing onto the
+                # sentinel would fabricate a small "known" null count
+                # and let delete_where's 'all' verdict drop NULL rows
+                if nulls[name] >= 0:
+                    nulls[name] += st.null_count
+            else:
+                nulls[name] = st.null_count
             try:
                 lo, hi = _enc_stat(st.min), _enc_stat(st.max)
             except Exception:
@@ -444,10 +448,16 @@ class TableStore:
                 ]
                 if not paths:
                     continue
+                # schema pinned like the non-partitioned branch: the
+                # manifest schema includes the partition columns, and
+                # Spark honors a user schema covering them — without it
+                # partition-column types are re-inferred from dir names
+                # on every read (string '01' silently becomes int 1,
+                # drifting from what append's column alignment assumes)
                 dfs.append(
-                    self.spark.read.option(
-                        "basePath", os.path.join(tdir, g)
-                    ).parquet(*paths)
+                    self.spark.read.schema(st)
+                    .option("basePath", os.path.join(tdir, g))
+                    .parquet(*paths)
                 )
             if not dfs:
                 return self.spark.createDataFrame([], st)
