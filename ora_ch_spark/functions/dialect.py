@@ -141,15 +141,18 @@ _CAST_FNS = {
 }
 
 
-_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+# both CH and Spark accept backslash escapes ('it\'s') as well as
+# doubled quotes ('it''s') inside literals
+_STR_LIT = re.compile(r"'(?:[^'\\]|\\.|'')*'")
 _MASK = re.compile("\x00(\\d+)\x00")
 
 
 def _mask_strings(sql: str) -> tuple[str, list[str]]:
-    """Replace every quoted literal with an opaque placeholder so the
-    statement-level regex passes can never rewrite text INSIDE a
-    string (param values are spliced before translation runs, so a
-    literal may well contain 'any join', 'final,' or 'today()')."""
+    """Replace every quoted literal with an opaque placeholder so NO
+    translation pass — call-level rewrites included — can touch text
+    INSIDE a string (param values are spliced before translation runs,
+    so a literal may well contain 'any join', 'multiIf(' or 'today()';
+    ADVICE r01/r02)."""
     parts: list[str] = []
 
     def repl(m: re.Match) -> str:
@@ -161,6 +164,20 @@ def _mask_strings(sql: str) -> tuple[str, list[str]]:
 
 def _unmask_strings(masked: str, parts: list[str]) -> str:
     return _MASK.sub(lambda m: parts[int(m.group(1))], masked)
+
+
+def _lit_text(arg: str, lits: list[str]) -> str | None:
+    """If a (masked) call argument is exactly one string literal,
+    return its raw text (with quotes); else None."""
+    m = _MASK.fullmatch(arg.strip())
+    return lits[int(m.group(1))] if m else None
+
+
+def _emit_lit(text: str, lits: list[str]) -> str:
+    """Register a literal produced BY a rewrite and return its mask —
+    rewritten literals must be as opaque as original ones."""
+    lits.append(text)
+    return f"\x00{len(lits) - 1}\x00"
 
 
 _CLAUSE_END = re.compile(

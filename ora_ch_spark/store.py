@@ -732,7 +732,7 @@ class TableStore:
                     )
                 remove = set(remove_files)
                 kept = [fe for fe in m["files"] if fe["path"] not in remove]
-                groups = sorted({os.path.dirname(fe["path"]) for fe in kept})
+                groups = sorted({self._group_of(fe["path"]) for fe in kept})
                 if rel is not None:
                     groups.append(rel)
                     kept = kept + entries
@@ -742,6 +742,14 @@ class TableStore:
         finally:
             if rel is not None:
                 self._release_inflight(self._tdir(schema, table), rel)
+
+    @staticmethod
+    def _group_of(rel_path: str) -> str:
+        """Manifest-relative file path → its data group (``data/g-…``).
+        ``dirname`` is NOT equivalent for hive-partitioned files
+        (``data/g-x/k=v/f.parquet`` → ``data/g-x/k=v``)."""
+        parts = rel_path.split(os.sep)
+        return os.sep.join(parts[:2])
 
     def delete_where(self, schema: str, table: str, predicate: str) -> None:
         """``delete from t where …`` (jdbsChSession.scala:222-236) with
@@ -768,6 +776,15 @@ class TableStore:
                             m2["files"] = [
                                 fe for fe in m2["files"] if fe["path"] not in drop
                             ]
+                            # groups must shrink with the files: append
+                            # carries groups forward verbatim, so a
+                            # group left here after its last file is
+                            # dropped stays "live" to GC forever (the
+                            # dropped partition's data files would
+                            # never be collected)
+                            m2["groups"] = sorted(
+                                {self._group_of(fe["path"]) for fe in m2["files"]}
+                            )
                             self._commit(schema, table, m2)
                     return
             self.write(

@@ -436,3 +436,38 @@ def test_concurrent_writers_and_readers_no_lost_files(spark, sf_smoke):
     assert not errors, errors
     assert store.row_count("s", "t") == 5 + 6
     assert store.read("s", "t").count() == 11
+
+
+def test_partition_drop_shrinks_groups_and_gc_collects(spark):
+    """ADVICE r02: the manifest-only partition drop must also drop the
+    partition's now-empty data groups from m['groups'] — append carries
+    groups forward verbatim, so a stale group entry keeps the deleted
+    partition's files alive to GC forever (disk leak unbounded by
+    retention)."""
+    store = TableStore(
+        spark,
+        tempfile.mkdtemp(prefix="manifest_pdrop_"),
+        keep_versions=0,
+        retention_sec=0.0,
+    )
+    store.create_database("s")
+    df1 = spark.sql("select id, 1 as k from range(5)")
+    df2 = spark.sql("select id, 2 as k from range(5)")
+    store.write("s", "t", df1, partition_by=["k"])
+    store.append("s", "t", df2)  # its own group, holding only k=2 files
+    m = store._manifest("s", "t")
+    assert len(m["groups"]) == 2
+    doomed = {
+        store._group_of(fe["path"]) for fe in m["files"] if "k=2" in fe["path"]
+    }
+    assert len(doomed) == 1
+    store.delete_where("s", "t", "k = 2")  # manifest-only DROP PARTITION
+    m2 = store._manifest("s", "t")
+    assert doomed.isdisjoint(m2["groups"]), "dropped group still in manifest"
+    # with zero retention the delete's own commit GCs the orphan group
+    tdir = store._tdir("s", "t")
+    gone = next(iter(doomed))
+    assert not os.path.isdir(os.path.join(tdir, gone)), "group dir leaked"
+    # survivors untouched
+    assert {r.k for r in store.read("s", "t").collect()} == {1}
+    assert store.row_count("s", "t") == 5
