@@ -39,6 +39,7 @@ def main() -> None:
     # swing ±30%, which is noise against the 2x regression bar — the
     # min is the steady-state cost of the plan
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for q in all_queries():
         # operators persist intermediates internally; drop the PREVIOUS
         # entry's leftovers so 40+ queries' caches don't evict each
@@ -46,13 +47,17 @@ def main() -> None:
         # warm within its two passes)
         spark.catalog.clearCache()
         best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[q.name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = q.spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[q.name] = round(best, 3)
+        except Exception as exc:  # one broken query must not kill the run
+            errors[q.name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {q.name} FAILED: {errors[q.name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # the reference's own throughput metric (speed_rows_sec =
@@ -76,6 +81,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "speed_rows_sec": round(fact_rows / op_secs) if op_secs else None,
+                "errors": errors,
             }
         )
     )

@@ -1353,9 +1353,21 @@ GROUP BY b.source
     return _incremental_oracle(batch_sql=batch_sql, final_select=final)
 
 
+# Ordering note: the driver's correctness gate checks the first 50
+# catalog entries (20 core + first 30 here). Entries that have never
+# received a CORRECTNESS row are kept inside that window; variants
+# already hash-proven across multiple rounds (sim_lsh_bucket subsumed
+# by sim_topk_lsh, multiprobe a variant of it, grouped_zscore_pandas
+# bitwise-equal to grouped_zscore) sit at the tail.
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
+    QueryDef("asof_join", asof_join_q, _asof_oracle(),
+             "as-of join (composed) vs DuckDB native ASOF JOIN"),
+    QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,
+             "watermarked tumbling-window rollup (Structured Streaming)"),
+    QueryDef("pipeline_clean_corpus", pipeline_clean_corpus_q, _pipeline_oracle(),
+             "composite corpus-cleaning pipeline: lang-id → quality → exact dedup → minhash near-dedup → stats"),
     QueryDef("session_window_agg", session_window_q, SESSION_WINDOW_ORACLE,
              "native session_window aggregation (semantics-pinned oracle)"),
     QueryDef("streaming_stateful_dedup", streaming_dedup_q, STREAMING_DEDUP_ORACLE,
@@ -1374,12 +1386,8 @@ EXT_QUERIES: list[QueryDef] = [
              "LSH-blocked embedding near-dup pairs by quantized cosine"),
     QueryDef("sim_topk_bruteforce", sim_topk_bruteforce_q, SIM_TOPK_ORACLE,
              "exact cosine top-5 for 10 query vectors"),
-    QueryDef("sim_lsh_bucket", sim_lsh_bucket_q, _lsh_bucket_oracle(),
-             "sign-random-projection bucket assignment"),
     QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),
              "LSH-bucketed approximate cosine top-5"),
-    QueryDef("sim_topk_lsh_multiprobe", sim_topk_lsh_multiprobe_q, _lsh_multiprobe_oracle(),
-             "multi-probe LSH top-5 (least-confident-bit flip, 2 probes)"),
     QueryDef("sim_topk_ivf", sim_topk_ivf_q, SIM_IVF_ORACLE,
              "IVF inverted-list approximate top-5 (2-probe)"),
     QueryDef("text_lang_id", text_lang_id_q, _lang_id_oracle(),
@@ -1412,12 +1420,11 @@ EXT_QUERIES: list[QueryDef] = [
              "frame-sampling stage (1:N mapInPandas) with md5-verified chunks"),
     QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
              "pure-JVM grouped z-score: exact-decimal moments agg + broadcast join"),
+    # --- tail: hash-proven in rounds 1-3; outside the 50-row gate ---
+    QueryDef("sim_lsh_bucket", sim_lsh_bucket_q, _lsh_bucket_oracle(),
+             "sign-random-projection bucket assignment"),
+    QueryDef("sim_topk_lsh_multiprobe", sim_topk_lsh_multiprobe_q, _lsh_multiprobe_oracle(),
+             "multi-probe LSH top-5 (least-confident-bit flip, 2 probes)"),
     QueryDef("grouped_zscore_pandas", grouped_zscore_pandas_q, GROUPED_ZSCORE_ORACLE,
              "applyInPandas grouped-map exemplar of the same z-score (bitwise-equal)"),
-    QueryDef("asof_join", asof_join_q, _asof_oracle(),
-             "as-of join (composed) vs DuckDB native ASOF JOIN"),
-    QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,
-             "watermarked tumbling-window rollup (Structured Streaming)"),
-    QueryDef("pipeline_clean_corpus", pipeline_clean_corpus_q, _pipeline_oracle(),
-             "composite corpus-cleaning pipeline: lang-id → quality → exact dedup → minhash near-dedup → stats"),
 ]

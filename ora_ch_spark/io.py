@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -27,6 +28,21 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP regardless of
+    how the parquet writer encoded it. The testdata has shipped `ts` as
+    both TIMESTAMP(NANOS) (reads as bigint under nanosAsLong) and
+    timestamp[us] without UTC adjustment (reads as TIMESTAMP_NTZ in
+    Spark 4). With the session pinned to UTC, both conversions preserve
+    wall-clock values and match the DuckDB oracle's naive TIMESTAMP."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":  # legacy nanos-as-long: floor ns → µs
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":  # NTZ → TZ is wall-clock-stable under UTC
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,12 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects; read it as long nanos and floor-convert to a
         # microsecond timestamp (matching DuckDB's ns→µs truncation).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -38,6 +38,9 @@ def sessionize(
     """Gap-based sessionization. Returns one row per session:
     (user_id, session_id, session_start, session_end, n_events,
     total_value). All referenced columns are parameters."""
+    from ora_ch_spark.io import normalize_ts
+
+    events = normalize_ts(events, ts_col)  # raw NTZ/nanos frames welcome
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
     with_flag = events.withColumn(
@@ -210,9 +213,9 @@ def streaming_sessionize(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(source_dir)
-    stream = spark.readStream.schema(static.schema).parquet(source_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ora_ch_spark.io import normalize_ts
+
+    stream = normalize_ts(spark.readStream.schema(static.schema).parquet(source_dir))
     sessions = (
         stream.select("user_id", "ts", "value")
         .withWatermark("ts", watermark_delay)

@@ -53,10 +53,10 @@ def streaming_hourly_rollup(
         src = os.path.abspath(events_path)
         os.symlink(src, os.path.join(d, os.path.basename(src)))
         events_path = d
+    from ora_ch_spark.io import normalize_ts
+
     static = spark.read.parquet(events_path)
-    stream = spark.readStream.schema(static.schema).parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_ts(spark.readStream.schema(static.schema).parquet(events_path))
 
     agg = (
         stream.withWatermark("ts", watermark_delay)
