@@ -186,15 +186,25 @@ def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(load_table(spark, sf_dir, "documents"))
 
 
+# algorithm replay of substring_dedup(window=60, winnow=8,
+# min_shared=5): positional window hashes, min-per-8 winnowed
+# fingerprints (list slice clamps at the end exactly like Spark's
+# slice()), distinct, self-join, count filter
 DEDUP_SUBSTRING_ORACLE = """
 WITH d AS (
   SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 60
 ),
+hs AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(t[i:i+59]), 1, 15))::BIGINT
+          for i in range(1, length(t) - 60 + 2)] AS h
+  FROM d
+),
 g AS (
   SELECT doc_id, unnest(list_distinct(
-           [('0x' || substr(md5(t[i:i+59]), 1, 15))::BIGINT
-            for i in range(1, length(t) - 60 + 2)])) AS h
-  FROM d
+           [list_min(h[j:j+7])
+            for j in range(1, greatest(1, len(h) - 8 + 1) + 1)])) AS h
+  FROM hs
 )
 SELECT * FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_windows

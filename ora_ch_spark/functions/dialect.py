@@ -235,8 +235,16 @@ def _rewrite_prewhere(masked: str) -> str:
 
 def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     """Rewrite ClickHouse-dialect SQL into Spark SQL (function surface
-    of SURVEY.md §2.4). Idempotent on already-ANSI text."""
-    out = sql
+    of SURVEY.md §2.4). Idempotent on already-ANSI text.
+
+    String literals are masked FIRST, so every pass — call-level
+    rewrites included — operates on text with no quotes in it: a bound
+    param value spliced before translation may contain 'multiIf(',
+    'any join' or a backslash-escaped quote, none of which may affect
+    parsing (ADVICE r01/r03). Renders that need a literal's contents
+    (format strings, split separators) go through ``_lit_text`` /
+    ``_emit_lit``."""
+    out, lits = _mask_strings(sql)
 
     out = _rewrite_calls(out, "toYear", lambda a: f"year({a[0]})")
     out = _rewrite_calls(
@@ -247,8 +255,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         if len(a) == 1:
             return f"to_timestamp({a[0]})"
         fmt = a[1].strip()
-        if fmt.startswith("'") and fmt.endswith("'"):
-            fmt = "'" + _convert_fmt(fmt[1:-1]) + "'"
+        lt = _lit_text(fmt, lits)
+        if lt is not None:
+            fmt = _emit_lit("'" + _convert_fmt(lt[1:-1]) + "'", lits)
         return f"to_timestamp({a[0]}, {fmt})"
 
     out = _rewrite_calls(out, "parseDateTimeBestEffort", lambda a: f"to_timestamp({a[0]})")
@@ -290,9 +299,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # '.' or '|' must be escaped or it matches everything
     def _split_by_char(a: list[str]) -> str:
         sep = a[0].strip()
-        if len(sep) == 3 and sep[0] == sep[-1] == "'":
-            esc = re.escape(sep[1]).replace("\\", "\\\\")
-            sep = f"'{esc}'"
+        lt = _lit_text(sep, lits)
+        if lt is not None and len(lt) == 3:
+            esc = re.escape(lt[1]).replace("\\", "\\\\")
+            sep = _emit_lit(f"'{esc}'", lits)
         # CH's optional max_substrings ≡ Spark's limit (both keep the
         # unsplit remainder in the last element)
         limit = f", {a[2]}" if len(a) > 2 else ""
@@ -311,8 +321,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     def _format_dt(a: list[str]) -> str:
         fmt = a[1].strip()
-        if fmt.startswith("'") and fmt.endswith("'"):
-            fmt = "'" + _convert_fmt(fmt[1:-1]) + "'"
+        lt = _lit_text(fmt, lits)
+        if lt is not None:
+            fmt = _emit_lit("'" + _convert_fmt(lt[1:-1]) + "'", lits)
         ts = a[0]
         if len(a) > 2:
             # CH's optional timezone: format the instant in that zone
@@ -322,12 +333,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     out = _rewrite_calls(out, "formatDateTime", _format_dt)
 
-    # ---- statement-level CH constructs ----
-    # String literals are masked for ALL statement-level passes: bound
-    # param values are spliced into the SQL before translation, so a
-    # literal may contain 'today()', 'final,' or 'any join' — none of
-    # which may be rewritten (ADVICE r01).
-    masked, lits = _mask_strings(out)
+    # ---- statement-level CH constructs (still on masked text) ----
+    masked = out
     masked = re.sub(
         r"(?<![A-Za-z0-9_])today\s*\(\s*\)", "current_date()", masked, flags=re.IGNORECASE
     )

@@ -380,8 +380,13 @@ def connected_components(
     dense (LSH pairs approximate cliques), so a handful. Each round is
     one small equi-join + aggregate on the label frame (persisted,
     previous round unpersisted); the convergence probe is a count on
-    the changed rows only. Deterministic, engine-replayable (the
-    DuckDB oracle computes the same fixpoint with a recursive CTE).
+    the changed rows only. Every 5 rounds the label frame is
+    ``localCheckpoint``-ed: the logical plan otherwise grows by one
+    join per round, and on a long-diameter graph (or at 100× data,
+    where optimizer time scales with plan size) the planning cost of
+    round N is O(N) without truncation. Deterministic,
+    engine-replayable (the DuckDB oracle computes the same fixpoint
+    with a recursive CTE).
 
     Returns (doc_id, component) for every node that appears in a pair.
     """
@@ -395,7 +400,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr = (
             e.join(
                 labels.select(
@@ -428,6 +433,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        if rnd % 5 == 4:  # truncate lineage: plan grows 1 join/round
+            ck = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            labels = ck
     else:
         # a silent non-fixpoint would split clusters (and diverge from
         # the recursive-CTE oracle) — fail loudly instead
@@ -784,27 +793,37 @@ def substring_dedup(
     text_col: str = "text",
     window: int = 60,
     min_shared: int = 5,
+    winnow: int = 8,
 ) -> DataFrame:
     """Exact-substring duplicate detection (the training-data dedup of
     Lee et al., "Deduplicating Training Data Makes Language Models
-    Better", simplified from suffix arrays to window fingerprints):
-    hash EVERY ``window``-char sliding window per doc; any pair of
-    docs sharing a contiguous substring of length ≥ window necessarily
-    shares aligned window hashes, so no true long duplication is
-    missed (recall = 1 for runs ≥ window + min_shared − 1).
+    Better", simplified from suffix arrays to window fingerprints)
+    with robust winnowing (Schleimer et al., MOSS): hash every
+    ``window``-char sliding window per doc, then keep only the MINIMUM
+    hash in each run of ``winnow`` consecutive positions. Winnowing is
+    position-local and content-defined, so two docs sharing a
+    contiguous run select the same minima inside it: recall = 1 for
+    shared runs ≥ window + winnow·min_shared − 1 chars (each aligned
+    block of ``winnow`` positions inside the run contributes one
+    guaranteed-shared fingerprint). ``winnow=1`` recovers the
+    every-position form (recall = 1 at window + min_shared − 1) at
+    ~``winnow``× the shuffle volume — the fingerprint table shrinks
+    from one row per character to ~2/(winnow+1) rows per character,
+    which at 100 TB is the difference between shuffling the corpus
+    and shuffling ~a quarter of it.
 
     Precision contract (deliberately weaker than suffix arrays): a
     reported pair is only guaranteed to share ≥ ``min_shared``
-    DISTINCT ``window``-char substrings — five scattered repeated
-    snippets (shared boilerplate) satisfy the filter without a single
-    window+min_shared−1 run. That is usually the desired behavior for
-    training-data dedup (boilerplate is exactly what you want
-    flagged); callers needing the strict contiguous guarantee should
-    verify the survivors' window-hash positions form a run.
+    DISTINCT ``window``-char substrings — scattered repeated snippets
+    (shared boilerplate) satisfy the filter without a single long
+    run. That is usually the desired behavior for training-data dedup
+    (boilerplate is exactly what you want flagged); callers needing
+    the strict contiguous guarantee should verify the survivors'
+    window-hash positions form a run.
 
     Returns (id_a, id_b, n_shared_windows). Scale shape: one explode,
-    one self-equi-join on the 60-bit window hash (uniform key — no
-    skew), one count aggregate; the window-hash table is the only
+    one self-equi-join on the 60-bit fingerprint (uniform key — no
+    skew), one count aggregate; the fingerprint table is the only
     wide intermediate and is persisted once.
     """
     par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -814,11 +833,20 @@ def substring_dedup(
         .filter(F.length("__t") >= window)
         .repartition(par)
     )
-    hashes = F.expr(
-        f"array_distinct(transform(sequence(1, length(__t) - {window} + 1),"
-        f" i -> cast(conv(substring(md5(substring(__t, i, {window})), 1, 15), 16, 10) as bigint)))"
+    # positional window-hash sequence (NOT distinct — winnowing is
+    # positional), then min-per-winnow-window fingerprint selection
+    d = d.withColumn(
+        "__hs",
+        F.expr(
+            f"transform(sequence(1, length(__t) - {window} + 1),"
+            f" i -> cast(conv(substring(md5(substring(__t, i, {window})), 1, 15), 16, 10) as bigint))"
+        ),
     )
-    g = d.select(F.col(id_col), F.explode(hashes).alias("h")).persist()
+    fingerprints = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(1, size(__hs) - {winnow} + 1)),"
+        f" j -> array_min(slice(__hs, j, {winnow}))))"
+    )
+    g = d.select(F.col(id_col), F.explode(fingerprints).alias("h")).persist()
     a = g.select(F.col(id_col).alias("id_a"), "h")
     b = g.select(F.col(id_col).alias("id_b"), "h")
     return (

@@ -135,6 +135,27 @@ def test_dialect_translation():
     assert translate_ch_sql("concat('toYear(', x)") == "concat('toYear(', x)"
 
 
+def test_dialect_backslash_escaped_quote_in_rewritten_call():
+    # ADVICE r03: a backslash-escaped quote inside an argument of a
+    # rewritable call must not desync the arg scanner (literals are
+    # masked before call-level rewrites run)
+    assert (
+        translate_ch_sql(r"select multiIf(x = 'a\'b', 1, 0), toYear(d) from t")
+        == r"select (CASE WHEN x = 'a\'b' THEN 1 ELSE 0 END), year(d) from t"
+    )
+    # a rewritable name inside a literal after a backslash-escaped
+    # quote stays verbatim
+    assert (
+        translate_ch_sql(r"select 'it\'s toYear(x)' as s, toYear(d) from t")
+        == r"select 'it\'s toYear(x)' as s, year(d) from t"
+    )
+    # comma hidden inside a backslash-escaped literal must not split args
+    assert (
+        translate_ch_sql(r"ifNull(concat('a\',', y), 'z')")
+        == r"coalesce(concat('a\',', y), 'z')"
+    )
+
+
 def test_dialect_runs_on_spark(spark):
     out = spark.sql(
         translate_ch_sql(
