@@ -1021,6 +1021,103 @@ FROM s
 """
 
 
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# algorithm replay of repetition_stats: token + bigram frequency
+# tables, argmax per doc with (count desc, term asc) tie-break, double
+# fractions from exact integer counts
+TEXT_REPETITION_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+tcc AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1, 2
+),
+tok AS (
+  SELECT doc_id,
+         cast(sum(c) as bigint) AS n_tokens,
+         count(*) AS n_distinct_tokens,
+         max(CASE WHEN rn = 1 THEN term END) AS top_token,
+         max(CASE WHEN rn = 1 THEN c END) AS top_token_c
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, term ASC) AS rn FROM tcc)
+  GROUP BY 1
+),
+bgc AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS term
+        FROM d WHERE len(t) >= 2)
+  GROUP BY 1, 2
+),
+bgt AS (
+  SELECT doc_id,
+         cast(sum(c) as bigint) AS n_bigrams,
+         max(CASE WHEN rn = 1 THEN term END) AS top_bigram,
+         max(CASE WHEN rn = 1 THEN c END) AS top_bigram_c
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, term ASC) AS rn FROM bgc)
+  GROUP BY 1
+)
+SELECT tok.doc_id, n_tokens, n_distinct_tokens,
+       cast(n_distinct_tokens as double) / cast(n_tokens as double) AS distinct_frac,
+       top_token,
+       cast(top_token_c as double) / cast(n_tokens as double) AS top_token_frac,
+       top_bigram,
+       CASE WHEN n_bigrams IS NOT NULL
+            THEN cast(top_bigram_c as double) / cast(n_bigrams as double)
+            ELSE 0.0 END AS top_bigram_frac,
+       (CASE WHEN n_bigrams IS NOT NULL
+             THEN cast(top_bigram_c as double) / cast(n_bigrams as double)
+             ELSE 0.0 END > 0.10
+        OR cast(n_distinct_tokens as double) / cast(n_tokens as double) < 0.30
+       ) AS repetitive
+FROM tok LEFT JOIN bgt ON tok.doc_id = bgt.doc_id
+"""
+
+
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 10th doc plays the benchmark
+    corpus; the rest are scanned for shared word 4-grams (the planted
+    near-dup structure guarantees real hits)."""
+    from ora_ch_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"), n=4
+    )
+
+
+DECONTAMINATE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+b AS (
+  SELECT DISTINCT unnest([array_to_string(t[i:i+3], ' ')
+                          for i in range(1, len(t) - 4 + 2)]) AS shingle
+  FROM d WHERE doc_id % 10 = 0 AND len(t) >= 4
+),
+s AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+                                       for i in range(1, len(t) - 4 + 2)])) AS shingle
+  FROM d WHERE doc_id % 10 <> 0 AND len(t) >= 4
+),
+h AS (
+  SELECT doc_id, count(*) AS n FROM s JOIN b USING (shingle) GROUP BY 1
+)
+SELECT d2.doc_id,
+       cast(coalesce(h.n, 0) as bigint) AS n_contaminated_ngrams,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d2
+LEFT JOIN h ON d2.doc_id = h.doc_id
+"""
+
+
 _STRAT_RATES = {"en": 0.5, "es": 0.25, "fr": 0.1, "de": 0.75}  # zh → default 0
 
 
@@ -1410,12 +1507,14 @@ EXT_QUERIES: list[QueryDef] = [
              "sorted-token-set md5 fingerprint + share counts"),
     QueryDef("text_pii_scrub", text_pii_scrub_q, _pii_scrub_oracle(),
              "email/IP/phone redaction + per-category counts (md5-verified scrub)"),
+    QueryDef("text_repetition", text_repetition_q, TEXT_REPETITION_ORACLE,
+             "Gopher-style repetition filters (top token/bigram share, distinct frac)"),
+    QueryDef("decontaminate", decontaminate_q, DECONTAMINATE_ORACLE,
+             "benchmark decontamination: shared word-5-gram flagging vs broadcast eval set"),
     QueryDef("sample_stratified", sample_stratified_q, _sample_stratified_oracle(),
              "deterministic hash-bucket stratified sampling per lang"),
     QueryDef("quality_topk_per_group", quality_topk_q, _quality_topk_oracle(),
              "top-10 docs per lang by quality score (window select)"),
-    QueryDef("sample_fixed_per_group", sample_fixed_q, SAMPLE_FIXED_ORACLE,
-             "exactly-20-per-lang deterministic reservoir (md5-rank)"),
     QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
     QueryDef("skew_salted_join", skew_salted_join_q, SKEW_SALTED_ORACLE,
@@ -1426,11 +1525,13 @@ EXT_QUERIES: list[QueryDef] = [
              "near-dup clusters: iterative min-label propagation vs recursive-CTE oracle"),
     QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
              "binary media column → mapInPandas feature extraction"),
-    QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,
-             "frame-sampling stage (1:N mapInPandas) with md5-verified chunks"),
     QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
              "pure-JVM grouped z-score: exact-decimal moments agg + broadcast join"),
     # --- tail: hash-proven in rounds 1-3; outside the 50-row gate ---
+    QueryDef("sample_fixed_per_group", sample_fixed_q, SAMPLE_FIXED_ORACLE,
+             "exactly-20-per-lang deterministic reservoir (md5-rank)"),
+    QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,
+             "frame-sampling stage (1:N mapInPandas) with md5-verified chunks"),
     QueryDef("sim_lsh_bucket", sim_lsh_bucket_q, _lsh_bucket_oracle(),
              "sign-random-projection bucket assignment"),
     QueryDef("sim_topk_lsh_multiprobe", sim_topk_lsh_multiprobe_q, _lsh_multiprobe_oracle(),

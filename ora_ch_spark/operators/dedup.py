@@ -787,6 +787,53 @@ def char_ngram_jaccard_dedup(
     return _jaccard_on_pairs(pairs, arrays, id_col, threshold)
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene step that
+    keeps eval sets out of the corpus: flag every document sharing at
+    least ``min_hits`` distinct word ``n``-grams with the benchmark
+    corpus (the n-gram-overlap rule used for corpus decontamination in
+    LM training pipelines).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval sets are MBs against TBs), so its distinct n-gram set is
+    BROADCAST — the corpus-side scan is one narrow explode + map-side
+    broadcast-hash probe + per-doc count, no wide shuffle at all. If a
+    benchmark ever outgrows broadcast, drop the hint: the same plan
+    becomes a plain shuffled equi-join on the n-gram key.
+
+    Returns one row per scanned doc: (id, n_contaminated_ngrams,
+    contaminated). Docs with fewer than ``n`` tokens have no n-grams
+    and report 0 / false.
+    """
+    bench_sh = word_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    doc_sh = word_shingles(docs, id_col, text_col, n)  # distinct per doc
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0).cast("bigint")).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

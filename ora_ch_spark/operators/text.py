@@ -221,6 +221,97 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.10,
+    min_distinct_frac: float = 0.30,
+) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/MassiveText
+    repetition rules, adapted to unstructured token streams): flag
+    documents dominated by a repeated token or bigram — boilerplate,
+    keyword stuffing, and generation loops all surface here before any
+    model ever sees them.
+
+    Per document:
+    - ``n_tokens``, ``n_distinct_tokens``, ``distinct_frac``
+    - ``top_token`` + ``top_token_frac`` — most frequent token's share
+      (ties break lexicographically ascending — deterministic)
+    - ``top_bigram`` + ``top_bigram_frac`` — most frequent adjacent
+      word pair's share of all bigrams (single-token docs have no
+      bigrams: null / 0.0)
+    - ``repetitive`` — top_bigram_frac > ``max_top_bigram_frac`` OR
+      distinct_frac < ``min_distinct_frac``
+
+    Scale shape: two explode→groupBy passes (tokens, bigrams), each
+    map-side combinable on (doc, term) then reduced per doc by one
+    window — all integer counts plus final double divisions, engine-
+    exact. No UDFs; both explodes stay in whole-stage codegen.
+    """
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = df.repartition(par).select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__toks")
+    )
+    tok_counts = (
+        d.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("term"))
+    tok_top = (
+        tok_counts.withColumn("rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max(F.when(F.col("rn") == 1, F.col("term"))).alias("top_token"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_token_c"),
+        )
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(__toks) - 1), i -> concat_ws(' ', slice(__toks, i, 2)))"
+    )
+    bg_counts = (
+        d.filter(F.size("__toks") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_top = (
+        bg_counts.withColumn("rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max(F.when(F.col("rn") == 1, F.col("term"))).alias("top_bigram"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_bigram_c"),
+        )
+    )
+    out = tok_top.join(bg_top, id_col, "left")
+    distinct_frac = (
+        F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
+    )
+    top_token_frac = F.col("top_token_c").cast("double") / F.col("n_tokens").cast("double")
+    top_bigram_frac = F.when(
+        F.col("n_bigrams").isNotNull(),
+        F.col("top_bigram_c").cast("double") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct_tokens",
+        distinct_frac.alias("distinct_frac"),
+        "top_token",
+        top_token_frac.alias("top_token_frac"),
+        "top_bigram",
+        top_bigram_frac.alias("top_bigram_frac"),
+        (
+            (top_bigram_frac > F.lit(max_top_bigram_frac))
+            | (distinct_frac < F.lit(min_distinct_frac))
+        ).alias("repetitive"),
+    )
+
+
 def grouped_zscore(
     df: DataFrame,
     group_col: str = "event_type",

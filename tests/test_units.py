@@ -683,6 +683,50 @@ def test_index_probe_rejects_mismatched_parameters(spark, sf_smoke):
         )
 
 
+def test_repetition_stats_flags_loops(spark):
+    """A generation-loop doc is flagged; a diverse doc is not; a
+    single-token doc gets 0.0 bigram share and no crash."""
+    from ora_ch_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now"),
+            (2, "each word within this rather long sentence appears "
+                "exactly once so no adjacent pair can ever dominate"),
+            (3, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].repetitive and out[1].top_bigram == "buy now"
+    assert out[1].top_bigram_frac == 5 / 9  # 5 of 9 adjacent pairs
+    assert not out[2].repetitive and out[2].distinct_frac == 1.0
+    assert out[3].top_bigram is None and out[3].top_bigram_frac == 0.0
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Docs sharing a 4-gram with the benchmark are flagged; short and
+    clean docs are not; counts are distinct-ngram counts."""
+    from ora_ch_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix text the quick brown fox suffix text"),
+            (2, "completely unrelated words in every position here"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(docs, bench, n=4).collect()}
+    assert out[1].contaminated and out[1].n_contaminated_ngrams == 1
+    assert not out[2].contaminated and out[2].n_contaminated_ngrams == 0
+    assert not out[3].contaminated  # < n tokens → no n-grams
+
+
 def test_connected_components_raises_without_convergence(spark):
     from ora_ch_spark.operators.dedup import connected_components
 
