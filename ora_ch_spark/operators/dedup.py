@@ -73,11 +73,21 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
     """MinHash signature via universal hashing over ONE md5 per
-    shingle (instead of ``num_hashes`` md5s): base = first 8 md5 hex
-    chars as int, then hᵢ = (aᵢ·base + bᵢ) mod P. Pure int64
-    arithmetic — exactly reproducible on any engine, and ~an order of
-    magnitude less hashing work at scale."""
-    hv = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    shingle (instead of ``num_hashes`` md5s): base = the 60-bit md5
+    shingle hash folded mod 2³², then hᵢ = (aᵢ·base + bᵢ) mod P. Pure
+    int64 arithmetic — exactly reproducible on any engine.
+
+    This is the naive EXPLODE-shaped form (one row per (doc, shingle),
+    one groupBy shuffle for the signature); the production path is the
+    shuffle-free per-row fold :func:`rowwise_minhash_cols` over
+    :func:`shingle_hash_arrays`. Both use the same base hash and
+    coefficients, so their signatures are BIT-IDENTICAL — pinned by
+    ``test_single_pass_minhash_equals_explode_form``, which is what
+    keeps this form around as a differential reference."""
+    hv = F.pmod(
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(4294967296),
+    )
     base = shingles.withColumn("__hv", hv)
     aggs = [
         F.min((F.lit(a) * F.col("__hv") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{h}")
@@ -669,15 +679,27 @@ def _jaccard_on_pairs(
     pairs: DataFrame, arrays: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact Jaccard via map-side array_intersect over given (id_a,
-    id_b) pairs."""
-    a = arrays.select(
-        F.col(id_col).alias("id_a"), F.col("grams").alias("ga"), F.col("n").alias("na")
+    id_b) pairs, with the set-similarity-join LENGTH FILTER applied
+    first: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so any
+    pair with a size ratio below the threshold cannot qualify and is
+    pruned on the (narrow) size columns BEFORE the gram arrays are
+    ever joined — pruned pairs never shuffle a single array byte.
+    Provably lossless for the ≥ threshold output."""
+    sizes = arrays.select(F.col(id_col), F.col("n"))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    survivors = (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+        )
     )
-    b = arrays.select(
-        F.col(id_col).alias("id_b"), F.col("grams").alias("gb"), F.col("n").alias("nb")
-    )
+    a = arrays.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    b = arrays.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
     return (
-        pairs.join(a, "id_a")
+        survivors.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(

@@ -640,6 +640,61 @@ def test_real_wav_decode_via_mapinpandas(spark):
     assert out[1].peak <= 0.5 + 1e-6
 
 
+def test_single_pass_minhash_equals_explode_form(spark, sf_smoke):
+    """The shuffle-free per-row MinHash (production path) and the
+    naive explode+groupBy form must produce BIT-IDENTICAL signatures
+    — same base hash, same universal-hash coefficients. This is the
+    differential check that licenses the optimized plan."""
+    from ora_ch_spark.operators.dedup import (
+        minhash_signatures,
+        rowwise_minhash_cols,
+        shingle_hash_arrays,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    naive = {
+        r["doc_id"]: tuple(r[f"mh{h}"] for h in range(16))
+        for r in minhash_signatures(word_shingles(docs)).collect()
+    }
+    fast = {
+        r["doc_id"]: tuple(r[f"mh{h}"] for h in range(16))
+        for r in shingle_hash_arrays(docs)
+        .select("doc_id", *rowwise_minhash_cols("sharr"))
+        .collect()
+    }
+    assert naive and naive == fast
+
+
+def test_naive_minhash_pipeline_subset_of_production(spark, sf_smoke):
+    """End-to-end cross-check of the two MinHash pipelines: the naive
+    form (string band buckets, explode-join Jaccard) must never find a
+    pair the production form (packed int64 band keys, array_intersect)
+    misses — packing folds mod 2^31, so its candidate set is a strict
+    superset and exact verification filters both to J >= threshold."""
+    from ora_ch_spark.operators.dedup import (
+        candidate_pairs,
+        jaccard_verify,
+        lsh_band_buckets,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    sh = word_shingles(docs).persist()
+    naive = {
+        (r.id_a, r.id_b)
+        for r in jaccard_verify(
+            candidate_pairs(lsh_band_buckets(minhash_signatures(sh))), sh,
+            threshold=0.8,
+        ).collect()
+    }
+    prod = {(r.id_a, r.id_b) for r in minhash_lsh_dedup(docs, threshold=0.8).collect()}
+    assert naive, "naive pipeline found no pairs — test data lost its planted dups"
+    assert naive <= prod
+
+
 def test_connected_components_collapses_chains(spark):
     """Chain a–b, b–c, plus isolated pair d–e: components must be
     {a,b,c}→a and {d,e}→d even though no a–c pair exists (the case
