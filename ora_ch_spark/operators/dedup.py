@@ -254,14 +254,22 @@ def minhash_lsh_dedup(
         .select("id_a", "id_b")
         .distinct()
     )
-    ga = arr.select(
-        F.col(id_col).alias("id_a"), F.col("sharr").alias("ga"), F.col("n").alias("na")
+    # length filter (lossless, see _jaccard_on_pairs): prune on narrow
+    # size columns before any shingle array is joined/shuffled
+    sa = arr.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = arr.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    pruned = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+        )
     )
-    gb = arr.select(
-        F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"), F.col("n").alias("nb")
-    )
+    ga = arr.select(F.col(id_col).alias("id_a"), F.col("sharr").alias("ga"))
+    gb = arr.select(F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"))
     return (
-        cands.join(ga, "id_a")
+        pruned.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
@@ -334,14 +342,22 @@ def incremental_minhash_dedup(
         .select("id_c", "id_b")
         .distinct()
     )
-    gc = arr_c.select(
-        F.col(id_col).alias("id_c"), F.col("sharr").alias("gc"), F.col("n").alias("nc")
+    # length filter (lossless, see _jaccard_on_pairs): prune on narrow
+    # size columns so rejected candidates never shuffle shingle arrays
+    sc = arr_c.select(F.col(id_col).alias("id_c"), F.col("n").alias("nc"))
+    sb = arr_b.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    pruned = (
+        cands.join(sc, "id_c")
+        .join(sb, "id_b")
+        .filter(
+            F.least("nc", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("nc", "nb").cast("double")
+        )
     )
-    gb = arr_b.select(
-        F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"), F.col("n").alias("nb")
-    )
+    gc = arr_c.select(F.col(id_col).alias("id_c"), F.col("sharr").alias("gc"))
+    gb = arr_b.select(F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"))
     near = (
-        cands.join(gc, "id_c")
+        pruned.join(gc, "id_c")
         .join(gb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("gc", "gb")))
         .withColumn(
@@ -554,14 +570,23 @@ def incremental_dedup_against_index(
         F.col(id_col).alias("id_c"), *key_cols
     )
     cands = bands_c.join(bands_b, on=key_cols).select("id_c", "id_b").distinct()
-    gc = store.read(schema, "dedup_arrays").select(
-        F.col(id_col).alias("id_c"), F.col("sharr").alias("gc"), F.col("n").alias("nc")
+    arrs_c = store.read(schema, "dedup_arrays")
+    # length filter (lossless, see _jaccard_on_pairs): prune on narrow
+    # size columns so rejected candidates never read the index arrays
+    sc = arrs_c.select(F.col(id_col).alias("id_c"), F.col("n").alias("nc"))
+    sb = arr_b.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    pruned = (
+        cands.join(sc, "id_c")
+        .join(sb, "id_b")
+        .filter(
+            F.least("nc", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("nc", "nb").cast("double")
+        )
     )
-    gb = arr_b.select(
-        F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"), F.col("n").alias("nb")
-    )
+    gc = arrs_c.select(F.col(id_col).alias("id_c"), F.col("sharr").alias("gc"))
+    gb = arr_b.select(F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"))
     near = (
-        cands.join(gc, "id_c")
+        pruned.join(gc, "id_c")
         .join(gb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("gc", "gb")))
         .withColumn(
