@@ -1118,6 +1118,36 @@ LEFT JOIN h ON d2.doc_id = h.doc_id
 """
 
 
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=256)
+
+
+# algorithm replay of pack_sequences(budget=256, shards=8): md5 shard
+# bucket, doc-id-ordered cumsum per shard, floor-division sequence
+# spans (double division exact below 2^53)
+PACK_SEQUENCES_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('pack:' || cast(doc_id as varchar)), 1, 8))::BIGINT % 8 AS shard,
+         cast(len(string_split(lower(text), ' ')) as bigint) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, shard, n_tokens,
+       cast(cum - n_tokens as bigint) AS tok_offset,
+       cast(floor((cum - n_tokens) / 256.0) as bigint) AS start_seq,
+       cast(floor((cum - 1) / 256.0) as bigint) AS end_seq
+FROM c
+"""
+
+
 _STRAT_RATES = {"en": 0.5, "es": 0.25, "fr": 0.1, "de": 0.75}  # zh → default 0
 
 
@@ -1503,14 +1533,14 @@ EXT_QUERIES: list[QueryDef] = [
              "quality features + composite score + bucket"),
     QueryDef("text_token_stats", text_token_stats_q, TOKEN_STATS_ORACLE,
              "whitespace + BPE-ish subword token counting"),
-    QueryDef("text_fingerprint", text_fingerprint_q, FINGERPRINT_ORACLE,
-             "sorted-token-set md5 fingerprint + share counts"),
     QueryDef("text_pii_scrub", text_pii_scrub_q, _pii_scrub_oracle(),
              "email/IP/phone redaction + per-category counts (md5-verified scrub)"),
     QueryDef("text_repetition", text_repetition_q, TEXT_REPETITION_ORACLE,
              "Gopher-style repetition filters (top token/bigram share, distinct frac)"),
     QueryDef("decontaminate", decontaminate_q, DECONTAMINATE_ORACLE,
-             "benchmark decontamination: shared word-5-gram flagging vs broadcast eval set"),
+             "benchmark decontamination: shared word-4-gram flagging vs broadcast eval set"),
+    QueryDef("pack_sequences", pack_sequences_q, PACK_SEQUENCES_ORACLE,
+             "concat-and-chunk sequence-packing manifest (shard, offset, seq span)"),
     QueryDef("sample_stratified", sample_stratified_q, _sample_stratified_oracle(),
              "deterministic hash-bucket stratified sampling per lang"),
     QueryDef("quality_topk_per_group", quality_topk_q, _quality_topk_oracle(),
@@ -1528,6 +1558,8 @@ EXT_QUERIES: list[QueryDef] = [
     QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
              "pure-JVM grouped z-score: exact-decimal moments agg + broadcast join"),
     # --- tail: hash-proven in rounds 1-3; outside the 50-row gate ---
+    QueryDef("text_fingerprint", text_fingerprint_q, FINGERPRINT_ORACLE,
+             "sorted-token-set md5 fingerprint + share counts"),
     QueryDef("sample_fixed_per_group", sample_fixed_q, SAMPLE_FIXED_ORACLE,
              "exactly-20-per-lang deterministic reservoir (md5-rank)"),
     QueryDef("multimodal_frames", multimodal_frames_q, MULTIMODAL_FRAMES_ORACLE,

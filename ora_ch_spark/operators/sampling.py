@@ -88,6 +88,50 @@ def sample_fixed_per_group(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence-packing manifest for LLM training (the concat-and-chunk
+    scheme: shard docs, concatenate each shard's token stream, cut it
+    into fixed-``budget``-token training sequences). Emits per doc its
+    shard, token offset within the shard stream, and the [start_seq,
+    end_seq] span of training sequences its tokens land in — the
+    bookkeeping a data loader needs to materialize packed batches
+    without ever building the concatenated text on the driver.
+
+    Deterministic by construction: shard = md5-bucket of the doc id
+    (stable under repartitioning, like all sampling decisions here),
+    stream order = doc id ascending within shard. Scale shape: one
+    shuffle on the shard key, one within-partition window cumsum —
+    shard count is the write parallelism knob, and no shard ever needs
+    more than its own token stream in memory.
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(shards))
+    toks = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("bigint")
+    d = df.select(F.col(id_col), shard.alias("shard"), toks.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    offset = cum - F.col("n_tokens")
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        offset.alias("tok_offset"),
+        F.floor(offset / budget).cast("bigint").alias("start_seq"),
+        F.floor((cum - 1) / budget).cast("bigint").alias("end_seq"),
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,

@@ -640,6 +640,30 @@ def test_real_wav_decode_via_mapinpandas(spark):
     assert out[1].peak <= 0.5 + 1e-6
 
 
+def test_pack_sequences_manifest_invariants(spark, sf_smoke):
+    """The packing manifest must describe a gapless concatenation:
+    within each shard (doc-id order) every doc's tok_offset equals the
+    previous doc's tok_offset + n_tokens, and the sequence spans are
+    exactly the floor-division of the offsets by the budget."""
+    from ora_ch_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = pack_sequences(docs, budget=100).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1  # md5 bucketing actually spreads shards
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        expect_offset = 0
+        for r in shard_rows:
+            assert r.tok_offset == expect_offset
+            assert r.start_seq == r.tok_offset // 100
+            assert r.end_seq == (r.tok_offset + r.n_tokens - 1) // 100
+            assert r.start_seq <= r.end_seq
+            expect_offset += r.n_tokens
+
+
 def test_single_pass_minhash_equals_explode_form(spark, sf_smoke):
     """The shuffle-free per-row MinHash (production path) and the
     naive explode+groupBy form must produce BIT-IDENTICAL signatures
