@@ -151,3 +151,30 @@ def test_progress_monitor_schedules_zero_spark_jobs(spark, sf_smoke, monkeypatch
     t.join(timeout=5)
     assert run.copied_records_count == 3  # 5 rows - base 2: progress DID update
     assert actions == []  # and no Spark action ever ran
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_correct):
+    """The benchmark n-gram set must be the broadcast (build) side —
+    eval sets are MBs against a TB corpus; a shuffled join here would
+    move the whole corpus' n-grams."""
+    docs = load_table(spark, sf_correct, "documents")
+    df = D.decontaminate(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"), n=4
+    )
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, "benchmark side must broadcast"
+    # doc-id benchmark/scan split pushed into both parquet scans
+    assert p.count("PushedFilters") >= 2
+
+
+def test_jaccard_length_filter_prunes_before_array_join(spark, sf_correct):
+    """The set-similarity length filter must sit BELOW the gram-array
+    joins in the plan (pruned pairs never shuffle arrays): the
+    least/greatest size predicate appears in a Filter whose subtree
+    contains no 'grams'/'sharr' column."""
+    docs = load_table(spark, sf_correct, "documents")
+    p = _plan(D.char_ngram_jaccard_dedup(docs))
+    assert "least(" in p and "greatest(" in p, "length filter missing from plan"
+    # the jaccard threshold filter still guards the final output
+    assert "array_intersect" in p

@@ -239,3 +239,34 @@ def test_zone_map_parser_total_on_arbitrary_text(pred):
     out = _parse_simple_conjunction(pred)
     if out is not None:
         assert all(len(c) == 3 and c[1] in (">=", "<=", "=", "<", ">") for c in out)
+
+
+def test_winnowed_substring_pairs_subset_of_every_position(spark):
+    """Winnowed fingerprints are a per-doc subset of the full window-
+    hash set, so shared counts can only shrink: every winnowed pair
+    must also be found by the exhaustive (winnow=1) form, and planted
+    long duplications survive winnowing (the recall contract)."""
+    import hashlib
+
+    from ora_ch_spark.operators.dedup import substring_dedup
+
+    shared = " ".join(
+        hashlib.md5(f"s{j}".encode()).hexdigest()[:6] for j in range(40)
+    )  # ~280 chars — far above window + winnow*min_shared - 1
+    rows = []
+    for i in range(30):
+        own = " ".join(
+            hashlib.md5(f"d{i}_{j}".encode()).hexdigest()[:6] for j in range(40)
+        )
+        text = own + (" " + shared if i < 6 else "")
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    winnowed = {
+        (r.id_a, r.id_b) for r in substring_dedup(df, winnow=8).collect()
+    }
+    full = {(r.id_a, r.id_b) for r in substring_dedup(df, winnow=1).collect()}
+    planted = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert winnowed <= full, "winnowing must never invent a pair"
+    assert planted <= winnowed, "long planted duplication lost by winnowing"
+    assert planted <= full
