@@ -62,12 +62,17 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # the reference's own throughput metric (speed_rows_sec =
     # rows/elapsed, ora/jdbcSession.scala:556-560): total fact-table
-    # rows pushed through the five load operations / their wall time
+    # rows pushed through the five load operations / their wall time.
+    # Honesty rules for partial runs: a failed query removes its cost
+    # from the total, so `partial` marks the total as a lower bound,
+    # and speed_rows_sec is NULLED if any load op failed (a shrunken
+    # op_secs would otherwise INFLATE the throughput number).
     op_names = [
         "op_recreate", "op_append_where", "op_append_bymax",
         "op_append_notin", "op_update",
     ]
     op_secs = sum(timings.get(n, 0.0) for n in op_names)
+    ops_complete = all(n in timings for n in op_names)
     fact_rows = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * 4
         + spark.read.parquet(f"{sf_dir}/orders.parquet").count()
@@ -80,8 +85,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "speed_rows_sec": round(fact_rows / op_secs) if op_secs else None,
+                "speed_rows_sec": (
+                    round(fact_rows / op_secs) if op_secs and ops_complete else None
+                ),
                 "errors": errors,
+                "partial": bool(errors),
             }
         )
     )

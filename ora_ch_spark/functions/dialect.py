@@ -246,9 +246,16 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     ``_emit_lit``."""
     out, lits = _mask_strings(sql)
 
+    def lit(text: str) -> str:
+        # every literal a rewrite EMITS is registered as a mask too —
+        # the masked text stays quote-free for all later passes
+        return _emit_lit(f"'{text}'", lits)
+
     out = _rewrite_calls(out, "toYear", lambda a: f"year({a[0]})")
     out = _rewrite_calls(
-        out, "toYYYYMMDD", lambda a: f"cast(date_format({a[0]}, 'yyyyMMdd') as int)"
+        out,
+        "toYYYYMMDD",
+        lambda a: f"cast(date_format({a[0]}, {lit('yyyyMMdd')}) as int)",
     )
 
     def _parse_dt(a: list[str]) -> str:
@@ -270,7 +277,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     def _fixed(a: list[str]) -> str:
         if fixed_string_pad and len(a) == 2:
-            return f"rpad(cast({a[0]} as string), {a[1]}, ' ')"
+            return f"rpad(cast({a[0]} as string), {a[1]}, {lit(' ')})"
         return f"cast({a[0]} as string)"
 
     out = _rewrite_calls(out, "toFixedString", _fixed)
@@ -283,12 +290,12 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "toMonth", lambda a: f"month({a[0]})")
     out = _rewrite_calls(out, "toDayOfMonth", lambda a: f"dayofmonth({a[0]})")
     out = _rewrite_calls(out, "toHour", lambda a: f"hour({a[0]})")
-    out = _rewrite_calls(out, "toStartOfMonth", lambda a: f"trunc({a[0]}, 'MM')")
-    out = _rewrite_calls(out, "toStartOfYear", lambda a: f"trunc({a[0]}, 'YYYY')")
-    out = _rewrite_calls(out, "toStartOfDay", lambda a: f"date_trunc('DAY', {a[0]})")
+    out = _rewrite_calls(out, "toStartOfMonth", lambda a: f"trunc({a[0]}, {lit('MM')})")
+    out = _rewrite_calls(out, "toStartOfYear", lambda a: f"trunc({a[0]}, {lit('YYYY')})")
+    out = _rewrite_calls(out, "toStartOfDay", lambda a: f"date_trunc({lit('DAY')}, {a[0]})")
     out = _rewrite_calls(out, "ifNull", lambda a: f"coalesce({a[0]}, {a[1]})")
-    out = _rewrite_calls(out, "empty", lambda a: f"({a[0]} = '')")
-    out = _rewrite_calls(out, "notEmpty", lambda a: f"({a[0]} != '')")
+    out = _rewrite_calls(out, "empty", lambda a: f"({a[0]} = {lit('')})")
+    out = _rewrite_calls(out, "notEmpty", lambda a: f"({a[0]} != {lit('')})")
     out = _rewrite_calls(out, "lengthUTF8", lambda a: f"length({a[0]})")
     # NOTE: CH position(haystack, needle) is NOT rewritten — `position`
     # is also valid Spark SQL with the OPPOSITE argument order, so a

@@ -40,7 +40,12 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":  # legacy nanos-as-long: floor ns → µs
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    elif dt == "timestamp_ntz":  # NTZ → TZ is wall-clock-stable under UTC
+    elif dt == "timestamp_ntz":
+        # NTZ → TZ interprets the wall clock in the SESSION timezone —
+        # pin UTC here (same documented side effect as load_table) so
+        # the conversion is wall-clock-stable even when a caller feeds
+        # a raw frame into an operator without going through load_table
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -59,6 +59,37 @@ def word_shingles(
 MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime; products stay < 2^63
 
 
+def _length_prune(
+    cands: DataFrame,
+    arrays_a: DataFrame,
+    arrays_b: DataFrame,
+    id_col: str,
+    a_id: str,
+    b_id: str,
+    a_n: str,
+    b_n: str,
+    threshold: float,
+) -> DataFrame:
+    """Set-similarity-join LENGTH FILTER: J(A,B) = |A∩B|/|A∪B| ≤
+    min(|A|,|B|)/max(|A|,|B|), so any candidate pair whose set-size
+    ratio is below the Jaccard threshold cannot qualify. Joins ONLY
+    the narrow (id, n) projections of the two array frames and filters
+    on them — pruned pairs never shuffle an array byte. Provably
+    lossless for a ≥ threshold output. Returns ``cands`` with the two
+    size columns (``a_n``, ``b_n``) attached for the downstream
+    Jaccard denominator."""
+    sa = arrays_a.select(F.col(id_col).alias(a_id), F.col("n").alias(a_n))
+    sb = arrays_b.select(F.col(id_col).alias(b_id), F.col("n").alias(b_n))
+    return (
+        cands.join(sa, a_id)
+        .join(sb, b_id)
+        .filter(
+            F.least(a_n, b_n).cast("double")
+            >= F.lit(threshold) * F.greatest(a_n, b_n).cast("double")
+        )
+    )
+
+
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Universal-hash coefficients (aᵢ, bᵢ), md5-derived (seed-free,
     deterministic): hᵢ(x) = (aᵢ·x + bᵢ) mod P over the 32-bit base
@@ -254,18 +285,7 @@ def minhash_lsh_dedup(
         .select("id_a", "id_b")
         .distinct()
     )
-    # length filter (lossless, see _jaccard_on_pairs): prune on narrow
-    # size columns before any shingle array is joined/shuffled
-    sa = arr.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = arr.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    pruned = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
-        )
-    )
+    pruned = _length_prune(cands, arr, arr, id_col, "id_a", "id_b", "na", "nb", threshold)
     ga = arr.select(F.col(id_col).alias("id_a"), F.col("sharr").alias("ga"))
     gb = arr.select(F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"))
     return (
@@ -342,17 +362,8 @@ def incremental_minhash_dedup(
         .select("id_c", "id_b")
         .distinct()
     )
-    # length filter (lossless, see _jaccard_on_pairs): prune on narrow
-    # size columns so rejected candidates never shuffle shingle arrays
-    sc = arr_c.select(F.col(id_col).alias("id_c"), F.col("n").alias("nc"))
-    sb = arr_b.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    pruned = (
-        cands.join(sc, "id_c")
-        .join(sb, "id_b")
-        .filter(
-            F.least("nc", "nb").cast("double")
-            >= F.lit(threshold) * F.greatest("nc", "nb").cast("double")
-        )
+    pruned = _length_prune(
+        cands, arr_c, arr_b, id_col, "id_c", "id_b", "nc", "nb", threshold
     )
     gc = arr_c.select(F.col(id_col).alias("id_c"), F.col("sharr").alias("gc"))
     gb = arr_b.select(F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"))
@@ -460,6 +471,13 @@ def connected_components(
         if changed == 0:
             break
         if rnd % 5 == 4:  # truncate lineage: plan grows 1 join/round
+            # NOTE: checkpoint blocks live at the RDD level, outside
+            # the cacheManager — they are reclaimed by the
+            # ContextCleaner when the superseded frame's reference
+            # drops (next rebind of `labels`), not by unpersist(). At
+            # most ~max_iter/5 label-frame copies can be pending GC;
+            # the label frame is two int64 columns, orders of
+            # magnitude smaller than the pair graph it came from.
             ck = new_labels.localCheckpoint(eager=True)
             new_labels.unpersist()
             labels = ck
@@ -571,17 +589,8 @@ def incremental_dedup_against_index(
     )
     cands = bands_c.join(bands_b, on=key_cols).select("id_c", "id_b").distinct()
     arrs_c = store.read(schema, "dedup_arrays")
-    # length filter (lossless, see _jaccard_on_pairs): prune on narrow
-    # size columns so rejected candidates never read the index arrays
-    sc = arrs_c.select(F.col(id_col).alias("id_c"), F.col("n").alias("nc"))
-    sb = arr_b.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    pruned = (
-        cands.join(sc, "id_c")
-        .join(sb, "id_b")
-        .filter(
-            F.least("nc", "nb").cast("double")
-            >= F.lit(threshold) * F.greatest("nc", "nb").cast("double")
-        )
+    pruned = _length_prune(
+        cands, arrs_c, arr_b, id_col, "id_c", "id_b", "nc", "nb", threshold
     )
     gc = arrs_c.select(F.col(id_col).alias("id_c"), F.col("sharr").alias("gc"))
     gb = arr_b.select(F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"))
@@ -704,22 +713,10 @@ def _jaccard_on_pairs(
     pairs: DataFrame, arrays: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact Jaccard via map-side array_intersect over given (id_a,
-    id_b) pairs, with the set-similarity-join LENGTH FILTER applied
-    first: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so any
-    pair with a size ratio below the threshold cannot qualify and is
-    pruned on the (narrow) size columns BEFORE the gram arrays are
-    ever joined — pruned pairs never shuffle a single array byte.
-    Provably lossless for the ≥ threshold output."""
-    sizes = arrays.select(F.col(id_col), F.col("n"))
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    survivors = (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
-        )
+    id_b) pairs, after the :func:`_length_prune` length filter —
+    pruned pairs never shuffle a single array byte."""
+    survivors = _length_prune(
+        pairs, arrays, arrays, id_col, "id_a", "id_b", "na", "nb", threshold
     )
     a = arrays.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
     b = arrays.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
