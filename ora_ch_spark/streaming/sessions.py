@@ -128,6 +128,106 @@ def streaming_stateful_dedup(
     return spark.table(query_name)
 
 
+def tws_available() -> bool:
+    """Spark's state-v2 Python runner (transformWithState*) speaks
+    protobuf to the JVM; this image ships a broken google.protobuf
+    (`cannot import name 'descriptor'`), which crashes the TWS driver
+    worker at init. Gate, per the no-pip-install environment rule."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_dedup_tws(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "dedup_tws_out",
+) -> DataFrame:
+    """The same cross-batch exactly-once dedup as
+    :func:`streaming_stateful_dedup`, on Spark 4's arbitrary-stateful
+    API v2 (``transformWithStateInPandas`` + typed ``ValueState``) —
+    the successor to ``applyInPandasWithState``. The operator contract
+    is identical (each (user, event) emitted exactly once regardless
+    of how the input is micro-batched), so both implementations are
+    checked against the same doubled-input oracle. State API
+    differences worth the exemplar: named typed state handles created
+    in ``init`` (vs one tuple schema), per-state TTL support, timers
+    as first-class (unused here).
+
+    GATED: requires a working google.protobuf (see
+    :func:`tws_available`); raises NotImplementedError otherwise so
+    callers fall back to :func:`streaming_stateful_dedup`."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "broken in this image — use streaming_stateful_dedup "
+            "(applyInPandasWithState), which has identical semantics"
+        )
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen array<bigint>")
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen = set(self._seen.get()[0]) if self._seen.exists() else set()
+            for pdf in rows:
+                pdf = pdf.sort_values("event_id")
+                fresh = pdf[~pdf["event_id"].isin(seen)]
+                fresh = fresh.drop_duplicates(subset=["event_id"])
+                seen.update(fresh["event_id"].tolist())
+                if len(fresh):
+                    yield fresh[["user_id", "event_id", "event_type", "value"]]
+            self._seen.update((sorted(seen),))
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the state-v2 operator requires the RocksDB state store (the
+    # HDFS-backed default does not implement its column families)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="stream_tws_src_")
+        os.symlink(
+            os.path.abspath(events_path),
+            os.path.join(d, os.path.basename(events_path)),
+        )
+        events_path = d
+    static = spark.read.parquet(events_path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(events_path)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+    deduped = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_DedupProcessor(),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, total double"
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "

@@ -640,6 +640,45 @@ def test_real_wav_decode_via_mapinpandas(spark):
     assert out[1].peak <= 0.5 + 1e-6
 
 
+def test_streaming_dedup_tws_matches_v1_or_gates(spark, sf_smoke):
+    """State-API-v2 dedup (transformWithStateInPandas) must produce
+    the same exactly-once output as the applyInPandasWithState form on
+    a doubled input — or, where the image's protobuf is broken, raise
+    the documented NotImplementedError gate instead of crashing the
+    streaming query at init."""
+    import os
+    import tempfile
+    import uuid
+
+    from ora_ch_spark.streaming.sessions import (
+        streaming_dedup_tws,
+        streaming_stateful_dedup,
+        tws_available,
+    )
+
+    d = tempfile.mkdtemp(prefix="twssrc_")
+    src = f"{sf_smoke}/events.parquet"
+    os.symlink(os.path.abspath(src), os.path.join(d, "a.parquet"))
+    os.symlink(os.path.abspath(src), os.path.join(d, "b.parquet"))
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming_dedup_tws(spark, d, query_name=f"t_{uuid.uuid4().hex[:8]}")
+        return
+    v2 = {
+        (r.user_id, r.event_id)
+        for r in streaming_dedup_tws(
+            spark, d, query_name=f"t_{uuid.uuid4().hex[:8]}"
+        ).collect()
+    }
+    v1 = {
+        (r.user_id, r.event_id)
+        for r in streaming_stateful_dedup(
+            spark, d, query_name=f"t_{uuid.uuid4().hex[:8]}"
+        ).collect()
+    }
+    assert v2 == v1
+
+
 def test_pack_sequences_manifest_invariants(spark, sf_smoke):
     """The packing manifest must describe a gapless concatenation:
     within each shard (doc-id order) every doc's tok_offset equals the
