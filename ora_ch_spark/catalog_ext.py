@@ -1490,12 +1490,200 @@ GROUP BY b.source
     return _incremental_oracle(batch_sql=batch_sql, final_select=final)
 
 
+# ---------------------------------------------------------------------------
+# Line-level corpus hygiene (C4 line dedup / boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_LD_TPL = 12  # tokens per synthetic line for the line-dedup entry
+_BP_TPL = 4   # shorter lines for boilerplate so cross-doc repeats exist
+_BP_MIN_DOCS = 5  # ~1% of lines flagged at sf0.01, ~2% at sf0.1 — measured
+
+
+def _chunk_lines_sql(tpl: int) -> str:
+    """DuckDB replay of chunk_lines: 0-based line_no, fixed-size token
+    windows (two positionally-zipped unnests)."""
+    return f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+l AS (
+  SELECT doc_id, unnest(range(0, nl)) AS line_no,
+         unnest([array_to_string(t[j * {tpl} + 1 : j * {tpl} + {tpl}], ' ')
+                 for j in range(0, nl)]) AS line
+  FROM (SELECT doc_id, t, cast(ceil(len(t) / {tpl}.0) as bigint) AS nl FROM d)
+)"""
+
+
+_REASSEMBLE_SQL = """
+r AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY line_no) AS txt
+  FROM kept GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1)
+SELECT tot.doc_id, n_lines,
+       cast(coalesce(n_kept, 0) as bigint) AS n_kept,
+       md5(coalesce(txt, '')) AS kept_md5,
+       length(coalesce(txt, ''))::BIGINT AS kept_len
+FROM tot LEFT JOIN r USING (doc_id)"""
+
+
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.lines import chunk_lines, line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(chunk_lines(docs, tokens_per_line=_LD_TPL))
+
+
+# keep-first == row_number over (doc, line_no) per line == min(struct)
+LINE_DEDUP_ORACLE = f"""
+WITH {_chunk_lines_sql(_LD_TPL)},
+kept AS (
+  SELECT doc_id, line_no, line FROM (
+    SELECT *, row_number() OVER (PARTITION BY line
+                                 ORDER BY doc_id, line_no) AS rn FROM l
+  ) WHERE rn = 1
+),
+{_REASSEMBLE_SQL}
+"""
+
+
+def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.lines import chunk_lines, strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(
+        chunk_lines(docs, tokens_per_line=_BP_TPL), min_docs=_BP_MIN_DOCS
+    )
+
+
+BOILERPLATE_ORACLE = f"""
+WITH {_chunk_lines_sql(_BP_TPL)},
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY 1
+  ) WHERE nd >= {_BP_MIN_DOCS}
+),
+kept AS (SELECT doc_id, line_no, line FROM l WHERE line NOT IN (SELECT line FROM boiler)),
+{_REASSEMBLE_SQL}
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (inverted-index ranking)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["table", "scan"]),
+    (2, ["window", "agg", "join"]),
+    (3, ["customer", "stream"]),
+]
+
+
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES)
+
+
+def _bm25_oracle() -> str:
+    """Replays rational-idf BM25 (k1=1.25, b=0.75 — all derived
+    constants exact binary fractions) with the same evaluation order
+    as the Spark expressions; per-term contributions rounded to 9dp
+    and summed as DECIMAL so addition order can't matter."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH qt AS (SELECT * FROM (VALUES {qvals}) v(query_id, term)),
+tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs,
+               cast(sum(dl) as double) / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+c AS (
+  SELECT tf.doc_id, tf.term,
+         round(
+           ((cast(n_docs - df as double) + 0.5) / (cast(df as double) + 0.5))
+           * (cast(tf as double) * 2.25
+              / (cast(tf as double)
+                 + 1.25 * (0.25 + 0.75 * cast(dl as double) / avgdl))),
+           9)::DECIMAL(28,9) AS c
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN tot
+),
+s AS (
+  SELECT query_id, doc_id, round(cast(sum(c) as double), 6) AS score
+  FROM c JOIN qt USING (term) GROUP BY 1, 2
+)
+SELECT query_id, doc_id,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) as int) AS rank,
+       score
+FROM s
+QUALIFY rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# K-means over embeddings (Lloyd, quantized-integer trajectory)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+
+
+def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.cluster import kmeans_assign
+
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=2
+    )
+
+
+# full 2-iteration trajectory replay: init = k lowest vec_ids,
+# assign (tie → lowest cluster), integer-grid centroid update
+# (floor of exact-double mean), final assign
+KMEANS_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+c0 AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS cluster, vec_id
+  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {_KM_K})
+),
+ce0 AS (SELECT c0.cluster, e.i, e.v FROM c0 JOIN e USING (vec_id)),
+d1 AS (
+  SELECT e.vec_id, ce0.cluster, sum((e.v - ce0.v) * (e.v - ce0.v)) AS dist
+  FROM e JOIN ce0 ON e.i = ce0.i GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rn FROM d1
+  ) WHERE rn = 1
+),
+ce1 AS (
+  SELECT a1.cluster, e.i,
+         cast(floor(cast(sum(e.v) as double) / count(*)) as bigint) AS v
+  FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2
+),
+d2 AS (
+  SELECT e.vec_id, ce1.cluster, sum((e.v - ce1.v) * (e.v - ce1.v)) AS dist
+  FROM e JOIN ce1 ON e.i = ce1.i GROUP BY 1, 2
+)
+SELECT vec_id, cluster, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cluster) AS rn FROM d2
+) WHERE rn = 1
+"""
+
+
 # Ordering note: the driver's correctness gate checks the first 50
 # catalog entries (20 core + first 30 here). Entries that have never
-# received a CORRECTNESS row are kept inside that window; variants
-# already hash-proven across multiple rounds (sim_lsh_bucket subsumed
-# by sim_topk_lsh, multiprobe a variant of it, grouped_zscore_pandas
-# bitwise-equal to grouped_zscore) sit at the tail.
+# received a CORRECTNESS row are kept inside that window; the tail is
+# exclusively entries hash-proven in earlier rounds (variants like
+# grouped_zscore_pandas / sim_lsh_bucket / multiprobe, plus rotated
+# singletons: grouped_zscore, dedup_simhash, sample_stratified,
+# skew_salted_join — all green in CORRECTNESS_r01–r03).
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
@@ -1513,8 +1701,14 @@ EXT_QUERIES: list[QueryDef] = [
              "exact dedup groups by content digest"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_q, _minhash_oracle(),
              "MinHash(16)→LSH(4 bands)→exact-Jaccard near-dedup pairs"),
-    QueryDef("dedup_simhash", dedup_simhash_q, DEDUP_SIMHASH_ORACLE,
-             "32-bit SimHash signatures over tokens"),
+    QueryDef("line_dedup", line_dedup_q, LINE_DEDUP_ORACLE,
+             "C4 corpus-wide exact line dedup, keep-first (md5-verified reassembly)"),
+    QueryDef("boilerplate_strip", boilerplate_strip_q, BOILERPLATE_ORACLE,
+             "boilerplate-line removal (lines shared by >=5 docs dropped everywhere)"),
+    QueryDef("bm25_search", bm25_search_q, _bm25_oracle(),
+             "BM25 top-10 keyword search (rational idf, broadcast query set)"),
+    QueryDef("kmeans_embeddings", kmeans_embeddings_q, KMEANS_ORACLE,
+             "k-means (2 Lloyd iterations) over quantized embeddings, broadcast centroids"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
     QueryDef("dedup_substring", dedup_substring_q, DEDUP_SUBSTRING_ORACLE,
@@ -1541,14 +1735,10 @@ EXT_QUERIES: list[QueryDef] = [
              "benchmark decontamination: shared word-4-gram flagging vs broadcast eval set"),
     QueryDef("pack_sequences", pack_sequences_q, PACK_SEQUENCES_ORACLE,
              "concat-and-chunk sequence-packing manifest (shard, offset, seq span)"),
-    QueryDef("sample_stratified", sample_stratified_q, _sample_stratified_oracle(),
-             "deterministic hash-bucket stratified sampling per lang"),
     QueryDef("quality_topk_per_group", quality_topk_q, _quality_topk_oracle(),
              "top-10 docs per lang by quality score (window select)"),
     QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
-    QueryDef("skew_salted_join", skew_salted_join_q, SKEW_SALTED_ORACLE,
-             "hot-key salted join (salt/replicate/unsalt ≡ plain join)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),
@@ -1570,4 +1760,10 @@ EXT_QUERIES: list[QueryDef] = [
              "multi-probe LSH top-5 (least-confident-bit flip, 2 probes)"),
     QueryDef("grouped_zscore_pandas", grouped_zscore_pandas_q, GROUPED_ZSCORE_ORACLE,
              "applyInPandas grouped-map exemplar of the same z-score (bitwise-equal)"),
+    QueryDef("dedup_simhash", dedup_simhash_q, DEDUP_SIMHASH_ORACLE,
+             "32-bit SimHash signatures over tokens"),
+    QueryDef("sample_stratified", sample_stratified_q, _sample_stratified_oracle(),
+             "deterministic hash-bucket stratified sampling per lang"),
+    QueryDef("skew_salted_join", skew_salted_join_q, SKEW_SALTED_ORACLE,
+             "hot-key salted join (salt/replicate/unsalt ≡ plain join)"),
 ]

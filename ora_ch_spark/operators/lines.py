@@ -1,0 +1,145 @@
+"""Line-level corpus hygiene: exact line deduplication (keep first
+occurrence corpus-wide, the C4/CCNet rule) and boilerplate-line
+removal (drop lines shared by many documents — nav bars, footers,
+cookie banners).
+
+Scale design:
+- ``to_lines``/``chunk_lines`` are linear explodes (no shuffle).
+- ``line_dedup`` picks each line's first occurrence with a
+  ``groupBy(line).agg(min(struct(doc, line_no)))`` — partial (map-side)
+  aggregation, so a line repeated a million times combines locally
+  instead of sorting a million rows through one window partition (the
+  windowed formulation has no partial agg and dies on exactly the hot
+  lines this operator exists to catch). The winner set (one row per
+  distinct line) joins back on the line key; AQE's skew-join handles
+  residual hot-key imbalance.
+- ``strip_boilerplate`` counts distinct docs per line the same
+  partial-agg way, then removes flagged lines with a left-anti join.
+- Reassembly is one ``groupBy(doc)`` of the kept lines with an
+  in-memory ``sort_array`` per doc — bounded by document size, not
+  corpus size.
+
+Everything is built-in functions (whole-stage codegen); outputs are
+md5-verified reassembled text, so the differential oracle checks the
+full reconstruction, not just counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    # small corpora arrive as one parquet split — spread before explode
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(par)
+
+
+def to_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Explode documents into (id, line_no, line) on a delimiter —
+    the production path for real newline-structured text."""
+    return _spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    )
+
+
+def chunk_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 12,
+) -> DataFrame:
+    """Synthesize lines by chunking the token stream into fixed-size
+    windows — the stand-in for corpora without newline structure (the
+    testdata's documents are single-line token streams). Same output
+    shape as :func:`to_lines`."""
+    n = tokens_per_line
+    return _spread(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) / {n}.0) as int) - 1),"
+                f" i -> array_join(slice(split({text_col}, ' '), i * {n} + 1, {n}), ' '))"
+            )
+        ).alias("line_no", "line"),
+    )
+
+
+def _reassemble(
+    all_lines: DataFrame, kept: DataFrame, id_col: str, join_delim: str
+) -> DataFrame:
+    """Per-doc rollup: total line count from ``all_lines``, kept count
+    + md5(reassembled text in original line order) from ``kept``. Docs
+    that lose every line reassemble to ''."""
+    totals = all_lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            join_delim,
+        ).alias("__text"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.md5(F.coalesce(F.col("__text"), F.lit(""))).alias("kept_md5"),
+            F.length(F.coalesce(F.col("__text"), F.lit(""))).cast("bigint").alias("kept_len"),
+        )
+    )
+
+
+def line_dedup(
+    lines: DataFrame, id_col: str = "doc_id", join_delim: str = " "
+) -> DataFrame:
+    """Corpus-wide exact line dedup, keep-first (C4 rule): a line's
+    first occurrence — minimum (doc, line_no) — survives; every other
+    copy anywhere in the corpus is dropped. Returns one row per doc:
+    (id, n_lines, n_kept, kept_md5, kept_len).
+
+    The kept set IS the winner set — ``min(struct(doc, line_no))`` per
+    line carries the surviving coordinates, so no join-back is needed:
+    one partial-agg shuffle on the line key, then the per-doc rollup."""
+    kept = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("__first"))
+        .select(
+            F.col(f"__first.{id_col}").alias(id_col),
+            F.col("__first.line_no").alias("line_no"),
+            "line",
+        )
+    )
+    return _reassemble(lines, kept, id_col, join_delim)
+
+
+def strip_boilerplate(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    join_delim: str = " ",
+) -> DataFrame:
+    """Boilerplate removal: any line appearing in ≥ ``min_docs``
+    distinct documents is removed from ALL of them. Returns one row
+    per doc: (id, n_lines, n_kept, kept_md5, kept_len)."""
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti").select(
+        id_col, "line_no", "line"
+    )
+    return _reassemble(lines, kept, id_col, join_delim)

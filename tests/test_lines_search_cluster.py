@@ -1,0 +1,135 @@
+"""Unit + plan-shape tests for the line-hygiene, BM25 search, and
+k-means operators (round-4 additions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ora_ch_spark.operators.cluster import kmeans_assign
+from ora_ch_spark.operators.lines import (
+    chunk_lines,
+    line_dedup,
+    strip_boilerplate,
+    to_lines,
+)
+from ora_ch_spark.operators.search import bm25_topk
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_line_dedup_keep_first_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa\nbb\ncc"),
+            (2, "bb\ndd"),   # bb is a dup of doc1's → dropped here
+            (3, "cc\ncc"),   # both copies lose to doc1's cc
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(to_lines(docs), join_delim="\n").collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1  # only dd
+    assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 0
+    # doc2 reassembles to exactly "dd"
+    import hashlib
+
+    assert out[2]["kept_md5"] == hashlib.md5(b"dd").hexdigest()
+    assert out[3]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_strip_boilerplate_removes_from_all_docs(spark):
+    docs = spark.createDataFrame(
+        [(i, "footer\nbody%d" % i) for i in range(1, 5)],
+        ["doc_id", "text"],
+    )
+    out = strip_boilerplate(to_lines(docs), min_docs=3, join_delim="\n")
+    rows = out.collect()
+    assert all(r["n_lines"] == 2 and r["n_kept"] == 1 for r in rows)
+
+
+def test_chunk_lines_covers_every_token(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25)))], ["doc_id", "text"]
+    )
+    lines = chunk_lines(docs, tokens_per_line=12).collect()
+    assert len(lines) == 3  # 12 + 12 + 1
+    rejoined = " ".join(l["line"] for l in sorted(lines, key=lambda r: r["line_no"]))
+    assert rejoined == " ".join(f"t{i}" for i in range(25))
+
+
+def test_line_dedup_plan_is_partial_agg_no_join(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    p = _plan(line_dedup(chunk_lines(docs, tokens_per_line=2)))
+    # winner selection must partial-aggregate (map-side combine on the
+    # hot line key) and reassembly is the only join (the left outer
+    # totals⋈rebuilt rollup)
+    assert "partial_min" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join"),
+            (2, "spark spark spark shuffle shuffle join"),
+            (3, "cats and dogs"),
+            (4, "spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, [(1, ["spark", "shuffle"])], topk=3).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 2
+    ids = {r["doc_id"] for r in out}
+    assert 3 not in ids  # no query term → no row
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[2] > scores[1] > scores[4]
+
+
+def test_bm25_plan_broadcasts_query_side(spark, sf_smoke):
+    from ora_ch_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    p = _plan(bm25_topk(docs, [(1, ["table", "scan"])]))
+    assert "BroadcastHashJoin" in p, "query terms must broadcast"
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p, "tf/df aggregation must map-side combine"
+
+
+def test_kmeans_separable_clusters_and_determinism(spark):
+    # two tight blobs in 2-D; k=2 must separate them whatever the init
+    pts = [(i, [0.01 * i, 1.0]) for i in range(5)] + [
+        (10 + i, [5.0 + 0.01 * i, -4.0]) for i in range(5)
+    ]
+    emb = spark.createDataFrame(pts, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = kmeans_assign(emb, k=2, iters=3)
+    rows = out.collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert sorted(len(v) for v in by_cluster.values()) == [5, 5]
+    assert {frozenset(v) for v in by_cluster.values()} == {
+        frozenset(range(5)),
+        frozenset(range(10, 15)),
+    }
+    # deterministic: identical run → identical assignment
+    again = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=2, iters=3).collect()}
+    assert again == {r["vec_id"]: r["cluster"] for r in rows}
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_smoke):
+    from ora_ch_spark.io import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    p = _plan(kmeans_assign(emb, k=4, iters=1))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, (
+        "centroid side must broadcast — a shuffled centroid join would "
+        "repartition the corpus per iteration"
+    )
+    assert "SortMergeJoin" not in p
