@@ -156,3 +156,49 @@ def topk_per_group(
         .filter(F.col("__rn") <= k)
         .withColumnRenamed("__rn", "rank_in_group")
     )
+
+
+def quantile_threshold_filter(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    p: float = 0.5,
+) -> DataFrame:
+    """Keep each group's top (1-p) fraction by score: threshold = the
+    group's DISCRETE p-quantile (type-1: the value at position
+    ``ceil(p·n)`` in (score, id) order). Discrete — not interpolated —
+    on purpose: interpolation formulas differ in last-ulp evaluation
+    order between engines, while "an actual value from the data,
+    picked by integer position" is engine-exact and reproducible.
+
+    Returns one row per group: (group, n_docs, threshold, n_kept)
+    where n_kept counts docs with score >= threshold (ties at the
+    threshold are kept — docs, not positions, define the contract).
+
+    Scale: one shuffle on the group key for the rank window (groups
+    are the unit of skew — quality filtering groups by language/source
+    whose cardinality is tiny next to the corpus, and each group's
+    sort is distributed by the window exec), then a broadcast join of
+    per-group thresholds back onto the scored frame.
+    """
+    # three consumers (rank window, sizes, kept-count) — persist the
+    # narrow projection so the upstream scoring plan runs once
+    scored = scored.select(group_col, score_col, id_col).persist()
+    w = Window.partitionBy(group_col).orderBy(F.asc(score_col), F.asc(id_col))
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    sizes = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    thresholds = (
+        ranked.join(F.broadcast(sizes), group_col)
+        .filter(F.col("__rn") == F.ceil(F.lit(p) * F.col("n_docs")).cast("int"))
+        .select(group_col, "n_docs", F.col(score_col).alias("threshold"))
+    )
+    kept = (
+        scored.join(F.broadcast(thresholds.select(group_col, "threshold")), group_col)
+        .filter(F.col(score_col) >= F.col("threshold"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return thresholds.join(kept, group_col).select(
+        group_col, "n_docs", "threshold", "n_kept"
+    )

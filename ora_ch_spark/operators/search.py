@@ -111,3 +111,120 @@ def bm25_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", id_col, "rank", "score")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    topk: int = 5,
+) -> DataFrame:
+    """Characteristic-term extraction: top-k terms per document group
+    (e.g. per source/domain) by tf-idf, where each GROUP plays the
+    "document" role: tf = term count within the group, idf = the
+    rational (n_groups + 1)/(df_groups + 1) — integer-derived, so the
+    score is a single exact double division (no ln, engine-exact).
+    Ties break on term ascending.
+
+    Scale: one partial-agg shuffle on (group, term); group counts are
+    a broadcast scalar frame; df-per-term is a second partial agg of
+    the first's output (already term-keyed — reuses the shuffle
+    partitioning); final top-k is a window over group cardinality.
+    """
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = docs.repartition(par).select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_groups = docs.select(group_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n_groups") + F.lit(1)).cast("double")
+            / (F.col("df") + F.lit(1)).cast("double"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(group_col, "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score — the
+    perplexity-style quality signal, made engine-exact by staying
+    log-free: each bigram (w1, w2) in a document contributes the
+    corpus-wide conditional probability P(w2 | w1) =
+    count(w1 w2) / count(w1 ·), and the document's score is the MEAN
+    contribution, computed as an exact DECIMAL sum of 9-dp-rounded
+    probabilities divided by the bigram count. Low mean ⇒ improbable
+    word transitions ⇒ disfluent/garbled text. Docs with fewer than
+    one bigram score NULL.
+
+    Scale: bigram/prefix counts are two partial-agg shuffles over the
+    exploded bigram stream; per-doc scoring joins each document bigram
+    against the (term-keyed) count tables — the LM "model" never
+    leaves the cluster, and nothing is collected to the driver.
+    """
+    from pyspark.sql.types import DecimalType
+
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = docs.repartition(par).select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("t")
+    )
+    # the size >= 2 guard matters: Spark's sequence(1, 0) is DESCENDING
+    # ([1, 0]), so an unguarded single-token doc would emit two bogus
+    # null-padded bigrams instead of zero
+    bigrams = (
+        toks.filter(F.expr("size(t) >= 2"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] as w1, t[i] as w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    prefix_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    probs = pair_counts.join(prefix_counts, "w1").withColumn(
+        "p",
+        F.round(F.col("c12").cast("double") / F.col("c1").cast("double"), 9).cast(
+            DecimalType(28, 9)
+        ),
+    )
+    scored = (
+        bigrams.join(probs.select("w1", "w2", "p"), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("p").alias("__sp"))
+        .withColumn(
+            "lm_score",
+            F.round(
+                F.col("__sp").cast("double") / F.col("n_bigrams").cast("double"), 6
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "lm_score",
+        )
+    )

@@ -70,7 +70,12 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + composite score:
 
     - n_tokens, n_chars, avg_token_len, stopword_ratio, alpha_ratio
@@ -78,6 +83,9 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     - bucket: high ≥ 0.5 > medium ≥ 0.3 > low
 
     Integer counts + one fixed double formula → engine-exact.
+    ``carry_cols`` ride along on the narrow (per-doc) side of the
+    plan — downstream group-wise consumers (e.g. the per-language
+    quantile filter) get their key without a second corpus join.
     """
     toks = _tokens(df, id_col, text_col)
     stop_set = ",".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -91,6 +99,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
         (
             F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z]", ""))
@@ -112,6 +121,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     return out.select(
         id_col,
+        *carry_cols,
         "n_tokens",
         "n_chars",
         avg_len.alias("avg_token_len"),

@@ -133,3 +133,62 @@ def test_kmeans_assign_broadcasts_centroids(spark, sf_smoke):
         "repartition the corpus per iteration"
     )
     assert "SortMergeJoin" not in p
+
+
+def test_quantile_filter_median_semantics(spark):
+    from ora_ch_spark.operators.sampling import quantile_threshold_filter
+
+    rows = [(i, "g", float(i)) for i in range(1, 11)]  # scores 1..10
+    scored = spark.createDataFrame(rows, ["doc_id", "lang", "quality_score"])
+    out = quantile_threshold_filter(scored, group_col="lang").collect()
+    assert len(out) == 1
+    r = out[0]
+    # discrete median of 1..10 at ceil(0.5*10)=5th value = 5.0;
+    # kept = scores >= 5.0 → 6 docs
+    assert r["n_docs"] == 10 and r["threshold"] == 5.0 and r["n_kept"] == 6
+
+
+def test_quantile_filter_keeps_threshold_ties(spark):
+    from ora_ch_spark.operators.sampling import quantile_threshold_filter
+
+    rows = [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 2.0), (4, "g", 3.0)]
+    scored = spark.createDataFrame(rows, ["doc_id", "lang", "quality_score"])
+    r = quantile_threshold_filter(scored, group_col="lang").collect()[0]
+    # ceil(0.5*4)=2nd value in (score, id) order = 2.0; ties kept → 3
+    assert r["threshold"] == 2.0 and r["n_kept"] == 3
+
+
+def test_tfidf_surfaces_group_specific_terms(spark):
+    from ora_ch_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "common zebra zebra zebra"),
+            (2, "b", "common yak"),
+            (3, "c", "common yak"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = tfidf_top_terms(docs, topk=1).collect()
+    best = {r["source"]: r["term"] for r in out}
+    # zebra is unique to a (df=1) and frequent; common (df=3) loses
+    assert best["a"] == "zebra"
+    assert best["b"] == "yak" and best["c"] == "yak"
+
+
+def test_bigram_lm_scores_fluency(spark):
+    from ora_ch_spark.operators.search import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "the cat sat"),
+            (4, "cat the sat"),  # improbable transitions
+            (5, "solo"),         # no bigrams → NULL score
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert out[1]["lm_score"] == out[2]["lm_score"] > out[4]["lm_score"]
+    assert out[5]["n_bigrams"] == 0 and out[5]["lm_score"] is None
