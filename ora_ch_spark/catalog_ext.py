@@ -1642,8 +1642,9 @@ def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # full 2-iteration trajectory replay: init = k lowest vec_ids,
 # assign (tie → lowest cluster), integer-grid centroid update
-# (floor of exact-double mean), final assign
-KMEANS_ORACLE = f"""
+# (floor of exact-double mean), final assign. CTE block shared with
+# the diversity-sample oracle, which continues the pipeline.
+_KMEANS_CTES = f"""
 WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
 e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
 c0 AS (
@@ -1669,12 +1670,15 @@ ce1 AS (
 d2 AS (
   SELECT e.vec_id, ce1.cluster, sum((e.v - ce1.v) * (e.v - ce1.v)) AS dist
   FROM e JOIN ce1 ON e.i = ce1.i GROUP BY 1, 2
-)
-SELECT vec_id, cluster, dist FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY dist, cluster) AS rn FROM d2
-) WHERE rn = 1
-"""
+),
+a2 AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rn FROM d2
+  ) WHERE rn = 1
+)"""
+
+KMEANS_ORACLE = _KMEANS_CTES + "\nSELECT vec_id, cluster, dist FROM a2\n"
 
 
 # ---------------------------------------------------------------------------
@@ -1788,6 +1792,105 @@ FROM (SELECT doc_id FROM documents) dd LEFT JOIN sc USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Binned interval join + table profiling
+# ---------------------------------------------------------------------------
+
+
+def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily 08:00–10:30 maintenance windows (derived from the event
+    days) range-joined to events via time binning; per-window rollup.
+    Empty windows survive with zero counts (left join)."""
+    from ora_ch_spark.operators.asof import interval_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .select(
+            (F.col("day") + F.expr("INTERVAL 8 HOURS")).alias("window_start"),
+            (F.col("day") + F.expr("INTERVAL 630 MINUTES")).alias("window_end"),
+        )
+    )
+    joined = interval_join_binned(ev, iv)
+    agg = joined.groupBy("window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return iv.join(agg, ["window_start", "window_end"], "left").select(
+        "window_start",
+        "window_end",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias("n_events"),
+        "total_value",
+    )
+
+
+# the oracle uses DuckDB's native range join — a genuinely different
+# algorithm (IEJoin) than the binned equi-join, so this differentially
+# proves the binning transformation itself
+INTERVAL_JOIN_ORACLE = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+iv AS (
+  SELECT day + INTERVAL 8 HOUR AS window_start,
+         day + INTERVAL 630 MINUTE AS window_end
+  FROM days
+)
+SELECT window_start, window_end,
+       cast(count(e.ts) as bigint) AS n_events,
+       cast(sum(cast(e.value as decimal(18,2))) as double) AS total_value
+FROM iv LEFT JOIN events e
+  ON e.ts >= window_start AND e.ts <= window_end
+GROUP BY 1, 2
+"""
+
+
+def profile_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "events"))
+
+
+def _profile_oracle() -> str:
+    cols = {
+        "event_id": "num", "ts": "us", "user_id": "num",
+        "event_type": "str", "value": "num", "props": "str",
+    }
+    parts = []
+    for c, kind in cols.items():
+        if kind == "num":
+            mn, mx = f"cast(min({c}) as double)", f"cast(max({c}) as double)"
+            mns = mxs = "cast(null as varchar)"
+        elif kind == "us":
+            mn, mx = f"epoch_us(min({c}))::DOUBLE", f"epoch_us(max({c}))::DOUBLE"
+            mns = mxs = "cast(null as varchar)"
+        else:
+            mn = mx = "cast(null as double)"
+            mns, mxs = f"min({c})", f"max({c})"
+        parts.append(f"""
+SELECT '{c}' AS col_name, (SELECT count(*) FROM events) AS n_rows,
+       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num, {mns} AS min_str, {mxs} AS max_str
+FROM events""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def diversity_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.cluster import diversity_sample
+
+    return diversity_sample(load_table(spark, sf_dir, "embeddings"))
+
+
+# kmeans trajectory replay + md5-rank fixed-per-cluster reservoir
+DIVERSITY_SAMPLE_ORACLE = _KMEANS_CTES + """
+SELECT vec_id, cluster, dist FROM (
+  SELECT a2.*, row_number() OVER (
+    PARTITION BY cluster
+    ORDER BY md5('div:' || cast(vec_id as varchar)), vec_id) AS rr
+  FROM a2
+) WHERE rr <= 10
+"""
+
+
 # Ordering note: the driver's correctness gate checks the first 50
 # catalog entries (20 core + first 30 here). Entries that have never
 # received a CORRECTNESS row are kept inside that window; the tail is
@@ -1804,10 +1907,6 @@ EXT_QUERIES: list[QueryDef] = [
              "watermarked tumbling-window rollup (Structured Streaming)"),
     QueryDef("pipeline_clean_corpus", pipeline_clean_corpus_q, _pipeline_oracle(),
              "composite corpus-cleaning pipeline: lang-id → quality → exact dedup → minhash near-dedup → stats"),
-    QueryDef("session_window_agg", session_window_q, SESSION_WINDOW_ORACLE,
-             "native session_window aggregation (semantics-pinned oracle)"),
-    QueryDef("streaming_stateful_dedup", streaming_dedup_q, STREAMING_DEDUP_ORACLE,
-             "applyInPandasWithState cross-batch dedup (doubled input collapses)"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_q, _minhash_oracle(),
              "MinHash(16)→LSH(4 bands)→exact-Jaccard near-dedup pairs"),
     QueryDef("line_dedup", line_dedup_q, LINE_DEDUP_ORACLE,
@@ -1824,6 +1923,12 @@ EXT_QUERIES: list[QueryDef] = [
              "top-5 characteristic terms per source by rational tf-idf"),
     QueryDef("bigram_lm_score", bigram_lm_q, BIGRAM_LM_ORACLE,
              "corpus-trained bigram LM fluency score (log-free, decimal-mean)"),
+    QueryDef("diversity_sample", diversity_sample_q, DIVERSITY_SAMPLE_ORACLE,
+             "cluster-balanced diversity sampling (kmeans + md5-rank reservoir)"),
+    QueryDef("interval_join_rollup", interval_join_q, INTERVAL_JOIN_ORACLE,
+             "binned point-in-interval join + rollup vs DuckDB native range join"),
+    QueryDef("profile_events", profile_events_q, _profile_oracle(),
+             "single-pass ANALYZE-style column profiling (counts/distincts/min/max)"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
     QueryDef("dedup_substring", dedup_substring_q, DEDUP_SUBSTRING_ORACLE,
@@ -1836,8 +1941,6 @@ EXT_QUERIES: list[QueryDef] = [
              "IVF inverted-list approximate top-5 (2-probe)"),
     QueryDef("text_quality", text_quality_q, _quality_oracle(),
              "quality features + composite score + bucket"),
-    QueryDef("text_token_stats", text_token_stats_q, TOKEN_STATS_ORACLE,
-             "whitespace + BPE-ish subword token counting"),
     QueryDef("text_pii_scrub", text_pii_scrub_q, _pii_scrub_oracle(),
              "email/IP/phone redaction + per-category counts (md5-verified scrub)"),
     QueryDef("text_repetition", text_repetition_q, TEXT_REPETITION_ORACLE,
@@ -1883,4 +1986,10 @@ EXT_QUERIES: list[QueryDef] = [
              "exact cosine top-5 for 10 query vectors"),
     QueryDef("text_lang_id", text_lang_id_q, _lang_id_oracle(),
              "stopword-lexicon language identification"),
+    QueryDef("text_token_stats", text_token_stats_q, TOKEN_STATS_ORACLE,
+             "whitespace + BPE-ish subword token counting"),
+    QueryDef("session_window_agg", session_window_q, SESSION_WINDOW_ORACLE,
+             "native session_window aggregation (semantics-pinned oracle)"),
+    QueryDef("streaming_stateful_dedup", streaming_dedup_q, STREAMING_DEDUP_ORACLE,
+             "applyInPandasWithState cross-batch dedup (doubled input collapses)"),
 ]

@@ -97,3 +97,28 @@ def kmeans_assign(
     out = assigned.select(id_col, "cluster", "dist")
     q.unpersist()
     return out
+
+
+def diversity_sample(
+    emb: DataFrame,
+    per_cluster: int = 10,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    salt: str = "div",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: k-means partitions the
+    embedding space, then a deterministic md5-rank reservoir keeps
+    exactly ``per_cluster`` members of each cluster — the standard
+    recipe for a diverse subset that plain uniform sampling (which
+    mirrors the corpus's density skew) does not give. Composition of
+    :func:`kmeans_assign` + the fixed-per-group selection rule, so it
+    inherits both scale arguments (broadcast centroids; one window
+    shuffle on the cluster key)."""
+    from ora_ch_spark.operators.sampling import sample_fixed_per_group
+
+    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    return sample_fixed_per_group(
+        assigned, n=per_cluster, group_col="cluster", id_col=id_col, salt=salt
+    )

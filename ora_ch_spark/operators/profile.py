@@ -1,0 +1,84 @@
+"""Table profiling (ANALYZE-style data-quality probe): per-column
+row/null/distinct counts and min/max, computed in a SINGLE aggregation
+pass over the table — the statistics a pipeline checks before and
+after every load (and the engine-side generalization of the
+reference's row-count / column-list probes, SURVEY §2.1 S13/S14).
+
+Typing contract for the differential gate: numeric and timestamp
+columns report min/max as doubles (timestamps as microsecond epochs —
+exact integers, engine-identical); string columns report them as
+strings (binary collation on both engines). Each side of the long
+output carries typed nulls for the other family, so one schema covers
+every column.
+
+Scale: one job, one partial-aggregable pass. Multiple exact
+count-distincts compile to Spark's Expand (one input pass, k streams)
+— exact by choice; at 100 TB you'd flip ``approx=True`` to HLL
+(approx_count_distinct) and drop the Expand, at the cost of losing
+the exact differential oracle (which is why approx is not the
+default here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def profile_table(
+    df: DataFrame, columns: tuple[str, ...] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row per profiled column:
+    (col_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
+    min_str, max_str)."""
+    cols = list(columns or df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__nr")]
+    for c in cols:
+        dt = dtypes[c]
+        nd = (
+            F.approx_count_distinct(F.col(c)) if approx else F.countDistinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            nd.alias(f"{c}__nd"),
+        ]
+        if dt in _NUMERIC or dt.startswith("decimal"):
+            lo, hi = F.min(F.col(c)).cast("double"), F.max(F.col(c)).cast("double")
+            aggs += [lo.alias(f"{c}__lo"), hi.alias(f"{c}__hi")]
+        elif dt.startswith("timestamp"):
+            us = F.unix_micros(F.col(c).cast("timestamp"))
+            aggs += [
+                F.min(us).cast("double").alias(f"{c}__lo"),
+                F.max(us).cast("double").alias(f"{c}__hi"),
+            ]
+        else:  # string-family: lexicographic (binary collation)
+            aggs += [
+                F.min(F.col(c).cast("string")).alias(f"{c}__los"),
+                F.max(F.col(c).cast("string")).alias(f"{c}__his"),
+            ]
+    wide = df.agg(*aggs)
+    branches = []
+    for c in cols:
+        dt = dtypes[c]
+        if dt in _NUMERIC or dt.startswith("decimal") or dt.startswith("timestamp"):
+            mn, mx = f"`{c}__lo`", f"`{c}__hi`"
+            mns = mxs = "cast(null as string)"
+        else:
+            mn = mx = "cast(null as double)"
+            mns, mxs = f"`{c}__los`", f"`{c}__his`"
+        branches.append(
+            f"'{c}', `{c}__nn`, `{c}__nd`, {mn}, {mx}, {mns}, {mxs}"
+        )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(branches)}) AS "
+            "(col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"
+        ),
+        F.col("__nr").alias("n_rows"),
+    ).select(
+        "col_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )

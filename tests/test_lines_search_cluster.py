@@ -192,3 +192,66 @@ def test_bigram_lm_scores_fluency(spark):
     out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
     assert out[1]["lm_score"] == out[2]["lm_score"] > out[4]["lm_score"]
     assert out[5]["n_bigrams"] == 0 and out[5]["lm_score"] is None
+
+
+def test_diversity_sample_balances_clusters(spark, sf_smoke):
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.cluster import diversity_sample, kmeans_assign
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    sizes = {
+        r["cluster"]: r["count"]
+        for r in kmeans_assign(emb, k=8, iters=2).groupBy("cluster").count().collect()
+    }
+    picked = diversity_sample(emb, per_cluster=10).groupBy("cluster").count().collect()
+    for r in picked:
+        assert r["count"] == min(10, sizes[r["cluster"]])
+
+
+def test_interval_join_binned_semantics_and_plan(spark):
+    from datetime import datetime
+
+    from ora_ch_spark.operators.asof import interval_join_binned
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 8, 30)),
+            (2, datetime(2024, 1, 1, 11, 0)),   # outside both windows
+            (3, datetime(2024, 1, 1, 9, 59)),
+        ],
+        ["event_id", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [
+            ("w1", datetime(2024, 1, 1, 8, 0), datetime(2024, 1, 1, 10, 0)),
+            ("w2", datetime(2024, 1, 1, 8, 15), datetime(2024, 1, 1, 8, 45)),
+        ],
+        ["wid", "window_start", "window_end"],
+    )
+    out = interval_join_binned(ev, iv)
+    got = sorted((r["event_id"], r["wid"]) for r in out.collect())
+    # event 1 overlaps BOTH windows (range-join duplication); event 3
+    # only w1; event 2 is in w1's 11:00 bin-adjacent zone → excluded
+    # by the exact BETWEEN re-check
+    assert got == [(1, "w1"), (1, "w2"), (3, "w1")]
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        "binned range join must compile to an equi-join, not a loop join"
+    )
+
+
+def test_profile_table_metrics(spark):
+    from ora_ch_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)],
+        ["k", "s", "v"],
+    )
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nonnull"] == 3
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_num"] == 1.0 and out["k"]["max_num"] == 2.0
+    assert out["k"]["min_str"] is None
+    assert out["s"]["n_nonnull"] == 2 and out["s"]["min_str"] == "a"
+    assert out["s"]["min_num"] is None
+    assert out["v"]["n_nonnull"] == 2 and out["v"]["max_num"] == 3.5
