@@ -49,7 +49,16 @@ def kmeans_assign(
     return the final assignment: (id, cluster int, dist bigint).
 
     Init: the k lowest-id vectors seed clusters 0..k-1 (seed-free
-    deterministic — same convention as IVF's seed pick)."""
+    deterministic — same convention as IVF's seed pick).
+
+    Persist contract: ``q`` (the quantized corpus) is referenced by
+    every iteration's assign AND join-back, so it persists and stays
+    cached through the caller's action (engine convention: operators
+    persist internally, the session owner clears between workloads —
+    an eager unpersist before the action would silently disable the
+    cache and recompute the quantization ~2·iters times)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     q = quantize(emb.repartition(par), emb_col, "qe").select(id_col, "qe").persist()
     w = Window.orderBy(id_col)
@@ -61,7 +70,6 @@ def kmeans_assign(
     )
     assigned = None
     for it in range(iters):
-        prev = assigned
         assigned = (
             q.crossJoin(F.broadcast(cents))
             .withColumn("dist", _sqdist("qe", "cq"))
@@ -74,10 +82,7 @@ def kmeans_assign(
                 F.col("__best.dist").alias("dist"),
                 "qe",
             )
-            .persist()
         )
-        if prev is not None:
-            prev.unpersist()
         if it < iters - 1:
             sums = (
                 assigned.select("cluster", F.posexplode("qe").alias("i", "v"))
@@ -94,9 +99,7 @@ def kmeans_assign(
                     lambda s: s["cv"],
                 ).alias("cq")
             )
-    out = assigned.select(id_col, "cluster", "dist")
-    q.unpersist()
-    return out
+    return assigned.select(id_col, "cluster", "dist")
 
 
 def diversity_sample(

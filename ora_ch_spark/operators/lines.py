@@ -42,11 +42,16 @@ def to_lines(
     text_col: str = "text",
     delim: str = "\n",
 ) -> DataFrame:
-    """Explode documents into (id, line_no, line) on a delimiter —
-    the production path for real newline-structured text."""
+    """Explode documents into (id, line_no, line) on a LITERAL
+    delimiter — the production path for real newline-structured text.
+    (``split`` takes a Java regex, so the delimiter is \\Q…\\E-quoted;
+    ``to_lines(df, delim="|")`` splits on the pipe character, not on
+    the empty-string alternation the raw regex would mean.)"""
     return _spread(df).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delim + "\\E")
+        ).alias("line_no", "line"),
     )
 
 

@@ -34,6 +34,11 @@ def profile_table(
     (col_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
     min_str, max_str)."""
     cols = list(columns or df.columns)
+    for c in cols:
+        # names are interpolated into stack() SQL below; quotes or
+        # backticks would break out of the literal/identifier
+        if "`" in c or "'" in c or "\\" in c:
+            raise ValueError(f"unsupported characters in column name: {c!r}")
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__nr")]
     for c in cols:

@@ -180,17 +180,24 @@ def quantile_threshold_filter(
     are the unit of skew — quality filtering groups by language/source
     whose cardinality is tiny next to the corpus, and each group's
     sort is distributed by the window exec), then a broadcast join of
-    per-group thresholds back onto the scored frame.
+    per-group thresholds back onto the scored frame. Per-group
+    cardinality is bounded by row_number's int32 (a Spark window
+    limit); beyond ~2.1B rows per group the threshold pick needs a
+    two-pass count-bucket select instead.
     """
     # three consumers (rank window, sizes, kept-count) — persist the
-    # narrow projection so the upstream scoring plan runs once
+    # narrow projection so the upstream scoring plan runs once (engine
+    # convention: operators persist internally, session owner clears)
     scored = scored.select(group_col, score_col, id_col).persist()
     w = Window.partitionBy(group_col).orderBy(F.asc(score_col), F.asc(id_col))
     ranked = scored.withColumn("__rn", F.row_number().over(w))
     sizes = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     thresholds = (
         ranked.join(F.broadcast(sizes), group_col)
-        .filter(F.col("__rn") == F.ceil(F.lit(p) * F.col("n_docs")).cast("int"))
+        .filter(
+            F.col("__rn").cast("bigint")
+            == F.ceil(F.lit(p) * F.col("n_docs")).cast("bigint")
+        )
         .select(group_col, "n_docs", F.col(score_col).alias("threshold"))
     )
     kept = (

@@ -7,12 +7,18 @@ small query set").
 Determinism contract (cross-engine exactness, same spirit as
 ``similarity.py``): the classic BM25 idf is ``ln((N-df+0.5)/(df+0.5))``
 — but ``ln`` is the one step whose last-ulp behavior differs between
-libm implementations, so the differential oracle could flake. We use
-the **rational idf** ``(N-df+0.5)/(df+0.5)`` (a strictly monotone
-transform of the classic idf, always positive): every remaining
-operation is IEEE +,-,*,/ on exact-integer-derived doubles, which is
-bit-identical on every engine. Per-term contributions are rounded to
-9 decimals and summed as DECIMAL (order-independent exact sum), so
+libm implementations, so the differential oracle could flake. The
+default here is the **rational idf** ``(N-df+0.5)/(df+0.5)``: every
+remaining operation is IEEE +,-,*,/ on exact-integer-derived doubles,
+bit-identical on every engine. NOTE the honest trade-off: per-term
+this is a monotone transform of the classic idf, but summed over a
+multi-term query it is NOT rank-equivalent to BM25 — rare terms weigh
+polynomially rather than logarithmically more than common ones (a
+retrieval-quality choice, deliberately exchanged for an exact
+differential oracle). Production retrieval that wants the classic
+weighting passes ``idf_log=True`` (same plan, ln idf) and forgoes the
+exact cross-engine hash. Per-term contributions are rounded to 9
+decimals and summed as DECIMAL (order-independent exact sum), so
 multi-term scores don't depend on float addition order. The default
 ``k1=1.25``/``b=0.75`` are exact binary fractions, so every derived
 constant (k1+1 = 2.25, 1-b = 0.25) is literal-parse-exact in any
@@ -49,13 +55,16 @@ def bm25_topk(
     k1: float = 1.25,
     b: float = 0.75,
     topk: int = 10,
+    idf_log: bool = False,
 ) -> DataFrame:
     """Score every document against each query (bag of terms) with
-    rational-idf BM25; return the top ``topk`` docs per query as
+    BM25-style ranking; return the top ``topk`` docs per query as
     (query_id, doc_id, rank, score). Ties break on doc_id ascending.
 
     score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
-    with idf(t) = (N - df + 0.5) / (df + 0.5).
+    with idf(t) = (N - df + 0.5) / (df + 0.5) by default (rational —
+    engine-exact, see module docstring for the rank trade-off), or the
+    classic ln of that ratio when ``idf_log=True``.
     """
     spark = docs.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -84,9 +93,10 @@ def bm25_topk(
         .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(totals))
         .withColumn(
-            "idf",
+            "__ridf",
             (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)),
         )
+        .withColumn("idf", F.log("__ridf") if idf_log else F.col("__ridf"))
         .withColumn(
             "tfn",
             F.col("tf") * F.lit(k1 + 1.0)
@@ -138,9 +148,10 @@ def tfidf_top_terms(
     )
     tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_groups = docs.select(group_col).distinct().agg(
-        F.count(F.lit(1)).alias("n_groups")
-    )
+    # countDistinct (NOT distinct().count()) so a NULL group is
+    # excluded exactly as SQL's count(DISTINCT ...) excludes it — the
+    # differential oracle and any downstream SQL consumer agree
+    n_groups = docs.agg(F.countDistinct(F.col(group_col)).alias("n_groups"))
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_groups))

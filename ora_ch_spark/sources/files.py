@@ -41,8 +41,12 @@ def ddl_of(df: DataFrame) -> str:
 
 
 def _with_corrupt(schema: str | StructType) -> StructType:
+    # copy the fields list — StructType(other.fields) would SHARE it,
+    # and .add() would then mutate the caller's schema in place
     st = (
-        StructType.fromDDL(schema) if isinstance(schema, str) else StructType(schema.fields)
+        StructType.fromDDL(schema)
+        if isinstance(schema, str)
+        else StructType(list(schema.fields))
     )
     if CORRUPT_COL not in st.fieldNames():
         from pyspark.sql.types import StringType, StructField
@@ -95,7 +99,12 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows_without_quarantine_col, corrupt_rows). Spark
     requires a cache/materialization boundary before filtering on the
     corrupt column (SPARK-21610) — the filter references a column the
-    parser only fills during the same scan."""
+    parser only fills during the same scan. The cache is held by both
+    returned frames' lineage and follows the engine-wide convention
+    (operators persist internally; the session owner releases with
+    ``spark.catalog.clearCache()`` between workloads) — text-source
+    loads are one-shot landings into the columnar store, so the cache
+    lives only until the load op's write completes."""
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
     df = df.cache()

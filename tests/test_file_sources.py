@@ -93,3 +93,70 @@ def test_jsonl_quarantine_read(spark, sf_smoke):
     clean, bad = split_quarantine(raw)
     assert clean.count() == region.count()
     assert bad.count() == 1
+
+
+def test_stream_ingest_exactly_once(spark, sf_smoke, tmp_path):
+    """Streaming ingestion into the TableStore: availableNow run lands
+    all files; re-run with the same checkpoint is a no-op; a new file
+    appends only its rows; a replayed epoch is skipped by the guard."""
+    import shutil
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.streaming.ingest import EPOCH_COL, stream_ingest_files
+    from ora_ch_spark.syncstate import SyncState
+
+    src = tmp_path / "src"
+    src.mkdir()
+    region = load_table(spark, sf_smoke, "region")
+    region_cols = region.columns
+    nation = load_table(spark, sf_smoke, "nation").selectExpr(
+        "n_regionkey as r_regionkey", "n_name as r_name"
+    )
+    for c in region_cols:
+        if c not in nation.columns:
+            from pyspark.sql import functions as F
+
+            nation = nation.withColumn(c, F.lit("x"))
+    nation = nation.select(*region_cols)
+    region.coalesce(1).write.parquet(str(tmp_path / "a"))
+    part = next((tmp_path / "a").glob("*.parquet"))
+    shutil.copy(part, src / "f1.parquet")
+
+    store_root = str(tmp_path / "store")
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, store_root)
+    store.create_database("ch")
+    ckpt = str(tmp_path / "ckpt")
+
+    out = stream_ingest_files(spark, str(src), store, "ch", "r_stream", ckpt)
+    assert out.count() == region.count()
+
+    # same checkpoint, no new files → no change
+    out = stream_ingest_files(spark, str(src), store, "ch", "r_stream", ckpt)
+    assert out.count() == region.count()
+
+    # new file → only its rows append
+    nation.coalesce(1).write.parquet(str(tmp_path / "b"))
+    part2 = next((tmp_path / "b").glob("*.parquet"))
+    shutil.copy(part2, src / "f2.parquet")
+    out = stream_ingest_files(spark, str(src), store, "ch", "r_stream", ckpt)
+    assert out.count() == region.count() + nation.count()
+
+    # epoch replay: re-deliver the last committed epoch by hand —
+    # the guard must skip the append
+    state = SyncState(store.root)
+    before = store.row_count("ch", "r_stream")
+    last = int(state.get_watermark("ch", "r_stream", EPOCH_COL))
+    from ora_ch_spark.streaming.ingest import stream_ingest_files as _  # noqa: F401
+
+    # simulate what a crashed-after-append retry does
+    def replay(batch_df, epoch_id):
+        lastw = state.get_watermark("ch", "r_stream", EPOCH_COL)
+        if lastw is not None and int(lastw) >= epoch_id:
+            return
+        store.append("ch", "r_stream", batch_df)
+        state.set_watermark("ch", "r_stream", EPOCH_COL, epoch_id)
+
+    replay(region, last)  # same epoch id → must be skipped
+    assert store.row_count("ch", "r_stream") == before

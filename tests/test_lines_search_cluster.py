@@ -255,3 +255,74 @@ def test_profile_table_metrics(spark):
     assert out["s"]["n_nonnull"] == 2 and out["s"]["min_str"] == "a"
     assert out["s"]["min_num"] is None
     assert out["v"]["n_nonnull"] == 2 and out["v"]["max_num"] == 3.5
+
+
+# --- regression tests for the round-4 code-review findings ---
+
+
+def test_to_lines_delim_is_literal_not_regex(spark):
+    from ora_ch_spark.operators.lines import to_lines
+
+    docs = spark.createDataFrame([(1, "a|b|c")], ["doc_id", "text"])
+    lines = to_lines(docs, delim="|").collect()
+    assert sorted(l["line"] for l in lines) == ["a", "b", "c"]
+
+
+def test_tfidf_null_group_excluded_from_n_groups(spark):
+    from ora_ch_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a", "zebra"), (2, "b", "yak"), (3, None, "emu")],
+        ["doc_id", "source", "text"],
+    )
+    out = {r["source"]: r for r in tfidf_top_terms(docs, topk=1).collect()}
+    # n_groups must be 2 (NULL excluded, matching SQL count(DISTINCT));
+    # zebra: tf=1, df=1 → 1 * (2+1)/(1+1) = 1.5
+    assert out["a"]["tfidf"] == 1.5
+
+
+def test_kmeans_rejects_nonpositive_iters(spark):
+    import pytest as _pytest
+
+    from ora_ch_spark.operators.cluster import kmeans_assign
+
+    emb = spark.createDataFrame([(1, [0.1, 0.2])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="iters"):
+        kmeans_assign(emb, k=1, iters=0)
+
+
+def test_profile_rejects_sql_metachar_column(spark):
+    import pytest as _pytest
+
+    from ora_ch_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1,)], ["ok"]).withColumnRenamed("ok", "a`b")
+    with _pytest.raises(ValueError, match="column name"):
+        profile_table(df)
+
+
+def test_with_corrupt_does_not_mutate_caller_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ora_ch_spark.sources.files import CORRUPT_COL, _with_corrupt
+
+    caller = StructType([StructField("k", LongType(), True)])
+    out = _with_corrupt(caller)
+    assert CORRUPT_COL in out.fieldNames()
+    assert caller.fieldNames() == ["k"]
+    assert len(caller.fields) == 1  # the shared-list mutation bug
+
+
+def test_bm25_log_idf_mode_downweights_common_terms(spark):
+    from ora_ch_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 1 else "filler")) for i in range(1, 6)],
+        ["doc_id", "text"],
+    )
+    q = [(1, ["common", "rare"])]
+    log_out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, q, idf_log=True).collect()}
+    # with ln idf the doc holding the rare term dominates; common-only
+    # docs score near ln(~1) ≈ small
+    assert log_out[1] == max(log_out.values())
+    assert log_out[1] > 3 * max(v for k, v in log_out.items() if k != 1)
