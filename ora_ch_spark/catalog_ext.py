@@ -1891,6 +1891,74 @@ SELECT vec_id, cluster, dist FROM (
 """
 
 
+def pipeline_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.pipeline import curate_corpus
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def _curate_oracle() -> str:
+    """Full replay of curate_corpus: boilerplate strip (4-token lines,
+    ≥5 docs) → quality score over the REBUILT text → per-lang discrete
+    median cut → exact dedup by rebuilt-text digest → funnel summary."""
+    stop_set = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+l AS (
+  SELECT doc_id, unnest(range(0, nl)) AS line_no,
+         unnest([array_to_string(t[j * 4 + 1 : j * 4 + 4], ' ')
+                 for j in range(0, nl)]) AS line
+  FROM (SELECT doc_id, t, cast(ceil(len(t) / 4.0) as bigint) AS nl FROM d)
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY 1
+  ) WHERE nd >= 5
+),
+reb AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS txt
+  FROM l WHERE line NOT IN (SELECT line FROM boiler) GROUP BY 1
+),
+ct AS (
+  SELECT dd.doc_id, dd.lang, coalesce(reb.txt, '') AS text
+  FROM documents dd LEFT JOIN reb USING (doc_id)
+),
+tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM ct),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_set}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(tok)) AS sum_tok_len
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT ct.doc_id, ct.lang, md5(ct.text) AS digest,
+         0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+       + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+       + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) AS score
+  FROM agg JOIN ct USING (doc_id)
+),
+sz AS (SELECT lang, count(*) AS n_docs FROM q GROUP BY 1),
+thr AS (
+  SELECT lang, score AS t FROM (
+    SELECT q.*, sz.n_docs,
+           row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn
+    FROM q JOIN sz USING (lang)
+  ) WHERE rn = cast(ceil(0.5 * n_docs) as bigint)
+),
+kq AS (SELECT q.* FROM q JOIN thr USING (lang) WHERE score >= t),
+win AS (
+  SELECT digest, min(doc_id) AS keep_id FROM kq GROUP BY 1
+),
+nf AS (
+  SELECT kq.lang, count(*) AS n_final
+  FROM win JOIN kq ON win.keep_id = kq.doc_id GROUP BY 1
+),
+nq AS (SELECT lang, count(*) AS n_quality FROM kq GROUP BY 1)
+SELECT lang, n_docs, n_quality, n_final
+FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
+"""
+
+
 # Ordering note: the driver's correctness gate checks the first 50
 # catalog entries (20 core + first 30 here). Entries that have never
 # received a CORRECTNESS row are kept inside that window; the tail is
@@ -1929,6 +1997,8 @@ EXT_QUERIES: list[QueryDef] = [
              "binned point-in-interval join + rollup vs DuckDB native range join"),
     QueryDef("profile_events", profile_events_q, _profile_oracle(),
              "single-pass ANALYZE-style column profiling (counts/distincts/min/max)"),
+    QueryDef("pipeline_curate_corpus", pipeline_curate_q, _curate_oracle(),
+             "round-4 curation composite: boilerplate strip -> clean-text quality median cut -> exact dedup funnel"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
     QueryDef("dedup_substring", dedup_substring_q, DEDUP_SUBSTRING_ORACLE,
@@ -1949,8 +2019,6 @@ EXT_QUERIES: list[QueryDef] = [
              "benchmark decontamination: shared word-4-gram flagging vs broadcast eval set"),
     QueryDef("pack_sequences", pack_sequences_q, PACK_SEQUENCES_ORACLE,
              "concat-and-chunk sequence-packing manifest (shard, offset, seq span)"),
-    QueryDef("quality_topk_per_group", quality_topk_q, _quality_topk_oracle(),
-             "top-10 docs per lang by quality score (window select)"),
     QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
@@ -1992,4 +2060,6 @@ EXT_QUERIES: list[QueryDef] = [
              "native session_window aggregation (semantics-pinned oracle)"),
     QueryDef("streaming_stateful_dedup", streaming_dedup_q, STREAMING_DEDUP_ORACLE,
              "applyInPandasWithState cross-batch dedup (doubled input collapses)"),
+    QueryDef("quality_topk_per_group", quality_topk_q, _quality_topk_oracle(),
+             "top-10 docs per lang by quality score (window select)"),
 ]

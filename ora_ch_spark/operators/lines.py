@@ -78,11 +78,17 @@ def chunk_lines(
 
 
 def _reassemble(
-    all_lines: DataFrame, kept: DataFrame, id_col: str, join_delim: str
+    all_lines: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    join_delim: str,
+    include_text: bool = False,
 ) -> DataFrame:
     """Per-doc rollup: total line count from ``all_lines``, kept count
     + md5(reassembled text in original line order) from ``kept``. Docs
-    that lose every line reassemble to ''."""
+    that lose every line reassemble to ''. ``include_text`` adds the
+    rebuilt text itself (``kept_text``) for downstream pipeline stages
+    that re-score the cleaned document."""
     totals = all_lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -94,16 +100,15 @@ def _reassemble(
             join_delim,
         ).alias("__text"),
     )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
-            F.md5(F.coalesce(F.col("__text"), F.lit(""))).alias("kept_md5"),
-            F.length(F.coalesce(F.col("__text"), F.lit(""))).cast("bigint").alias("kept_len"),
-        )
+    out = totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.md5(F.coalesce(F.col("__text"), F.lit(""))).alias("kept_md5"),
+        F.length(F.coalesce(F.col("__text"), F.lit(""))).cast("bigint").alias("kept_len"),
+        F.coalesce(F.col("__text"), F.lit("")).alias("kept_text"),
     )
+    return out if include_text else out.drop("kept_text")
 
 
 def line_dedup(
@@ -134,10 +139,11 @@ def strip_boilerplate(
     id_col: str = "doc_id",
     min_docs: int = 3,
     join_delim: str = " ",
+    include_text: bool = False,
 ) -> DataFrame:
     """Boilerplate removal: any line appearing in ≥ ``min_docs``
     distinct documents is removed from ALL of them. Returns one row
-    per doc: (id, n_lines, n_kept, kept_md5, kept_len)."""
+    per doc: (id, n_lines, n_kept, kept_md5, kept_len[, kept_text])."""
     boiler = (
         lines.groupBy("line")
         .agg(F.countDistinct(F.col(id_col)).alias("__nd"))
@@ -147,4 +153,4 @@ def strip_boilerplate(
     kept = lines.join(boiler, "line", "left_anti").select(
         id_col, "line_no", "line"
     )
-    return _reassemble(lines, kept, id_col, join_delim)
+    return _reassemble(lines, kept, id_col, join_delim, include_text)

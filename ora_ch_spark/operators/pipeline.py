@@ -131,3 +131,66 @@ def corpus_stats(cleaned: DataFrame) -> DataFrame:
 
 def clean_corpus_stats(docs: DataFrame, **kwargs) -> DataFrame:
     return corpus_stats(clean_corpus(docs, **kwargs))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    tokens_per_line: int = 4,
+    min_docs: int = 5,
+    p: float = 0.5,
+) -> DataFrame:
+    """Round-4 curation composite — the NEW operators chained the way
+    a corpus-prep job runs them:
+
+        documents
+          → boilerplate-line removal   (lines shared by ≥ min_docs docs)
+          → quality re-score           (over the CLEANED text)
+          → per-lang median cut        (discrete p-quantile threshold)
+          → exact dedup                (survivor = min doc_id per digest)
+          → per-lang funnel summary    (n_docs, n_quality, n_final)
+
+    Scoring happens AFTER cleaning on purpose: boilerplate inflates
+    quality features (length, stopword hits), so filtering on pre-clean
+    scores keeps exactly the documents cleaning hollowed out. One lazy
+    plan; the scored projection persists once for the
+    threshold/filter/dedup consumers."""
+    from pyspark.sql import Window
+
+    from ora_ch_spark.operators.lines import chunk_lines, strip_boilerplate
+    from ora_ch_spark.operators.text import quality_score
+
+    lines = chunk_lines(docs, tokens_per_line=tokens_per_line)
+    cleaned = strip_boilerplate(
+        lines, min_docs=min_docs, include_text=True
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    scored = quality_score(
+        cleaned, text_col="kept_text", carry_cols=("lang", "kept_md5")
+    ).select("doc_id", "lang", "kept_md5", "quality_score").persist()
+    sizes = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("quality_score"), F.asc("doc_id")
+    )
+    thr = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "lang")
+        .filter(
+            F.col("__rn").cast("bigint")
+            == F.ceil(F.lit(p) * F.col("n_docs")).cast("bigint")
+        )
+        .select("lang", F.col("quality_score").alias("__thr"))
+    )
+    kept_q = scored.join(F.broadcast(thr), "lang").filter(
+        F.col("quality_score") >= F.col("__thr")
+    )
+    winners = kept_q.groupBy("kept_md5").agg(
+        F.min(F.struct("doc_id", "lang")).alias("__w")
+    )
+    n_final = winners.groupBy(F.col("__w.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_final")
+    )
+    n_quality = kept_q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    return (
+        sizes.join(n_quality, "lang")
+        .join(n_final, "lang")
+        .select("lang", "n_docs", "n_quality", "n_final")
+    )

@@ -326,3 +326,18 @@ def test_bm25_log_idf_mode_downweights_common_terms(spark):
     # docs score near ln(~1) ≈ small
     assert log_out[1] == max(log_out.values())
     assert log_out[1] > 3 * max(v for k, v in log_out.items() if k != 1)
+
+
+def test_curate_corpus_funnel_invariants(spark, sf_smoke):
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pipeline import curate_corpus
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = curate_corpus(docs).collect()
+    assert rows, "every lang keeps at least its median-and-above half"
+    total = sum(r["n_docs"] for r in rows)
+    assert total == docs.count()
+    for r in rows:
+        # the funnel can only narrow, and the median cut keeps >= half
+        assert r["n_docs"] >= r["n_quality"] >= r["n_final"] >= 1
+        assert 2 * r["n_quality"] >= r["n_docs"]
