@@ -1643,13 +1643,15 @@ def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full 2-iteration trajectory replay: init = k lowest vec_ids,
 # assign (tie → lowest cluster), integer-grid centroid update
 # (floor of exact-double mean), final assign. CTE block shared with
-# the diversity-sample oracle, which continues the pipeline.
-_KMEANS_CTES = f"""
+# the diversity-sample and kmeans-IVF oracles, which continue the
+# pipeline (ce1 = the trained centroids, per-dimension).
+def _kmeans_ctes(k: int) -> str:
+    return f"""
 WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
 e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
 c0 AS (
   SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS cluster, vec_id
-  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {_KM_K})
+  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k})
 ),
 ce0 AS (SELECT c0.cluster, e.i, e.v FROM c0 JOIN e USING (vec_id)),
 d1 AS (
@@ -1678,7 +1680,74 @@ a2 AS (
   ) WHERE rn = 1
 )"""
 
+_KMEANS_CTES = _kmeans_ctes(_KM_K)
+
 KMEANS_ORACLE = _KMEANS_CTES + "\nSELECT vec_id, cluster, dist FROM a2\n"
+
+
+def sim_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a LEARNED coarse quantizer: the k-means
+    centroids (k=16, 2 Lloyd iterations) replace the first-16-by-id
+    seed pick — same index plan, better list geometry."""
+    from ora_ch_spark.operators.cluster import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = kmeans_centroids(emb, k=16, iters=2).select(
+        F.col("cluster").alias("c_id"), F.col("cq").alias("qc")
+    )
+    return S.ivf_topk(emb, query_ids=emb.filter("vec_id < 10"), seeds=seeds)
+
+
+# kmeans training replay (k=16) up to ce1 = trained per-dim centroids,
+# then the IVF probe/assign/rank replay against those centroids
+SIM_IVF_KMEANS_ORACLE = _kmeans_ctes(16) + """,
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+snrm AS (SELECT cluster AS c_id, sum(v * v) AS nn FROM ce1 GROUP BY 1),
+cdot AS (
+  SELECT e.vec_id, ce1.cluster AS c_id, sum(e.v * ce1.v) AS d
+  FROM e JOIN ce1 ON e.i = ce1.i GROUP BY 1, 2
+),
+ccos AS (
+  SELECT cdot.vec_id, cdot.c_id,
+         cast(d as double) / (sqrt(cast(n1.nn as double)) * sqrt(cast(n2.nn as double))) AS cos
+  FROM cdot JOIN nrm n1 ON cdot.vec_id = n1.vec_id JOIN snrm n2 ON cdot.c_id = n2.c_id
+),
+iassign AS (
+  SELECT vec_id, c_id AS centroid FROM (
+    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS r
+    FROM ccos
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS centroid FROM (
+    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS r
+    FROM ccos WHERE vec_id < 10
+  ) WHERE r <= 2
+),
+cands AS (
+  SELECT p.q_id, a.vec_id AS n_id
+  FROM probes p JOIN iassign a ON p.centroid = a.centroid
+  WHERE a.vec_id != p.q_id
+),
+dot2 AS (
+  SELECT c.q_id, c.n_id, sum(ea.v * eb.v) AS d
+  FROM cands c
+  JOIN e ea ON ea.vec_id = c.q_id
+  JOIN e eb ON eb.vec_id = c.n_id AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+iscored AS (
+  SELECT q_id, n_id,
+         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb.nn as double))) AS cosine
+  FROM dot2 JOIN nrm nq ON q_id = nq.vec_id JOIN nrm nb ON n_id = nb.vec_id
+),
+iranked AS (
+  SELECT q_id, n_id, cosine,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) as int) AS rank
+  FROM iscored
+)
+SELECT q_id, n_id, rank, cosine FROM iranked WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1999,6 +2068,8 @@ EXT_QUERIES: list[QueryDef] = [
              "single-pass ANALYZE-style column profiling (counts/distincts/min/max)"),
     QueryDef("pipeline_curate_corpus", pipeline_curate_q, _curate_oracle(),
              "round-4 curation composite: boilerplate strip -> clean-text quality median cut -> exact dedup funnel"),
+    QueryDef("sim_topk_ivf_kmeans", sim_topk_ivf_kmeans_q, SIM_IVF_KMEANS_ORACLE,
+             "IVF top-5 with kmeans-trained coarse quantizer (full training replay)"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
     QueryDef("dedup_substring", dedup_substring_q, DEDUP_SUBSTRING_ORACLE,
@@ -2025,8 +2096,6 @@ EXT_QUERIES: list[QueryDef] = [
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),
              "near-dup clusters: iterative min-label propagation vs recursive-CTE oracle"),
-    QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
-             "binary media column → mapInPandas feature extraction"),
     QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
              "pure-JVM grouped z-score: exact-decimal moments agg + broadcast join"),
     # --- tail: hash-proven in rounds 1-3; outside the 50-row gate ---
@@ -2062,4 +2131,6 @@ EXT_QUERIES: list[QueryDef] = [
              "applyInPandasWithState cross-batch dedup (doubled input collapses)"),
     QueryDef("quality_topk_per_group", quality_topk_q, _quality_topk_oracle(),
              "top-10 docs per lang by quality score (window select)"),
+    QueryDef("multimodal_features", multimodal_q, MULTIMODAL_ORACLE,
+             "binary media column → mapInPandas feature extraction"),
 ]

@@ -37,6 +37,74 @@ def _sqdist(a: str, b: str):
     )
 
 
+def _assign(q: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sqdist("qe", "cq"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cluster")).alias("__best"))
+        .join(q, id_col)
+        .select(
+            id_col,
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
+            "qe",
+        )
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    sums = (
+        assigned.select("cluster", F.posexplode("qe").alias("i", "v"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "cv", F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint")
+        )
+    )
+    return sums.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))),
+            lambda s: s["cv"],
+        ).alias("cq")
+    )
+
+
+def _fit(
+    emb: DataFrame, k: int, iters: int, id_col: str, emb_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(persisted quantized corpus, centroids after iters-1 Lloyd
+    updates) — the centroids the final assignment runs against."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    q = quantize(emb.repartition(par), emb_col, "qe").select(id_col, "qe").persist()
+    w = Window.orderBy(id_col)
+    cents = (
+        q.orderBy(id_col)
+        .limit(k)
+        .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
+        .select("cluster", F.col("qe").alias("cq"))
+    )
+    for _ in range(iters - 1):
+        cents = _update(_assign(q, cents, id_col))
+    return q, cents
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The trained (integer-grid) centroids: (cluster int, cq
+    array<bigint>) after ``iters-1`` Lloyd updates — the coarse
+    quantizer an IVF index plugs in as its seed set."""
+    _, cents = _fit(emb, k, iters, id_col, emb_col)
+    return cents
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
@@ -57,49 +125,8 @@ def kmeans_assign(
     persist internally, the session owner clears between workloads —
     an eager unpersist before the action would silently disable the
     cache and recompute the quantization ~2·iters times)."""
-    if iters < 1:
-        raise ValueError(f"iters must be >= 1, got {iters}")
-    par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    q = quantize(emb.repartition(par), emb_col, "qe").select(id_col, "qe").persist()
-    w = Window.orderBy(id_col)
-    cents = (
-        q.orderBy(id_col)
-        .limit(k)
-        .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
-        .select("cluster", F.col("qe").alias("cq"))
-    )
-    assigned = None
-    for it in range(iters):
-        assigned = (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn("dist", _sqdist("qe", "cq"))
-            .groupBy(id_col)
-            .agg(F.min(F.struct("dist", "cluster")).alias("__best"))
-            .join(q, id_col)
-            .select(
-                id_col,
-                F.col("__best.cluster").alias("cluster"),
-                F.col("__best.dist").alias("dist"),
-                "qe",
-            )
-        )
-        if it < iters - 1:
-            sums = (
-                assigned.select("cluster", F.posexplode("qe").alias("i", "v"))
-                .groupBy("cluster", "i")
-                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-                .withColumn(
-                    "cv",
-                    F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint"),
-                )
-            )
-            cents = sums.groupBy("cluster").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("cq")
-            )
-    return assigned.select(id_col, "cluster", "dist")
+    q, cents = _fit(emb, k, iters, id_col, emb_col)
+    return _assign(q, cents, id_col).select(id_col, "cluster", "dist")
 
 
 def diversity_sample(

@@ -366,19 +366,33 @@ def ivf_topk(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int = 2,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest inverted
     lists per query, rank candidates within them. At scale the
     corpus is stored partitioned by ``centroid`` so a probe reads
     only its lists (partition pruning); the candidate join shuffles
-    on the small uniform centroid key."""
+    on the small uniform centroid key.
+
+    ``seeds`` plugs in an externally-trained coarse quantizer as
+    (c_id int, qc array<bigint>) — e.g. ``cluster.kmeans_centroids``
+    renamed — in place of the default first-``n_lists``-by-id pick;
+    the index plan is identical, only the list geometry improves."""
     q = quantize(emb, emb_col, "qe").persist()  # feeds seeds, assign, queries
-    seeds = F.broadcast(
-        q.filter(F.col(id_col) < n_lists).select(
+    if seeds is None:
+        seeds = q.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
         )
+    seeds = F.broadcast(seeds)
+    centroid_assign = with_cosine(
+        q.select(F.col(id_col), F.col("qe")).crossJoin(seeds), qa="qe", qb="qc"
     )
-    assign = ivf_assign(emb, id_col, emb_col, n_lists, q=q)
+    wa = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("c_id"))
+    assign = (
+        centroid_assign.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select(id_col, F.col("c_id").alias("centroid"), "qe")
+    )
     queries = q.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa"))
     if query_ids is not None:
         queries = queries.join(

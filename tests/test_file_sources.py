@@ -160,3 +160,31 @@ def test_stream_ingest_exactly_once(spark, sf_smoke, tmp_path):
 
     replay(region, last)  # same epoch id → must be skipped
     assert store.row_count("ch", "r_stream") == before
+
+
+def test_csv_sink_roundtrip(spark, sf_smoke, tmp_path):
+    """S5-shaped file export: write orders to CSV, read back through
+    the matching source with ddl_of — values survive byte-exactly."""
+    from ora_ch_spark.sinks.files import write_csv, write_jsonl
+
+    orders = load_table(spark, sf_smoke, "orders")
+    out = str(tmp_path / "orders_csv")
+    write_csv(orders, out, num_files=1)
+    back, bad = split_quarantine(
+        read_csv(spark, out, ddl_of(orders))
+    )
+    assert bad.count() == 0
+    assert back.count() == orders.count()
+    a = {r["o_orderkey"]: r for r in orders.filter("o_orderkey <= 5").collect()}
+    b = {r["o_orderkey"]: r for r in back.filter("o_orderkey <= 5").collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k]["o_orderdate"] == b[k]["o_orderdate"]
+        assert a[k]["o_totalprice"] == b[k]["o_totalprice"]
+
+    outj = str(tmp_path / "orders_jsonl")
+    write_jsonl(orders, outj, num_files=2)
+    import os
+
+    files = [f for f in os.listdir(outj) if f.endswith(".json")]
+    assert len(files) == 2  # num_files controls write parallelism

@@ -341,3 +341,31 @@ def test_curate_corpus_funnel_invariants(spark, sf_smoke):
         # the funnel can only narrow, and the median cut keeps >= half
         assert r["n_docs"] >= r["n_quality"] >= r["n_final"] >= 1
         assert 2 * r["n_quality"] >= r["n_docs"]
+
+
+def test_ivf_kmeans_seeds_recall_floor(spark, sf_smoke):
+    """IVF with the learned (k-means) coarse quantizer: same index
+    plan as the naive-seeded IVF, recall vs brute force stays high.
+    (At smoke scale both quantizers saturate — 46-47/50 — so this
+    pins a floor, not superiority; the learned quantizer's win is
+    list-balance at scale.)"""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+    from ora_ch_spark.operators.cluster import kmeans_centroids
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in S.cosine_topk_bruteforce(emb, query_ids=qids).collect()
+    }
+    seeds = kmeans_centroids(emb, k=16, iters=2).select(
+        F.col("cluster").alias("c_id"), F.col("cq").alias("qc")
+    )
+    km = {
+        (r["q_id"], r["n_id"])
+        for r in S.ivf_topk(emb, query_ids=qids, seeds=seeds).collect()
+    }
+    assert len(km & truth) >= int(0.8 * len(truth))
