@@ -1685,6 +1685,46 @@ _KMEANS_CTES = _kmeans_ctes(_KM_K)
 KMEANS_ORACLE = _KMEANS_CTES + "\nSELECT vec_id, cluster, dist FROM a2\n"
 
 
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: kmeans-blocked within-cluster cosine dedup — the
+    centroid-aware counterpart of the LSH-blocked embedding dedup."""
+    from ora_ch_spark.operators.cluster import semdedup
+
+    return semdedup(load_table(spark, sf_dir, "embeddings"), threshold=0.45, k=_KM_K)
+
+
+# continues the kmeans trajectory replay: within-cluster pairs from
+# the final assignment a2, integer dots/norms from the exploded table
+# e, lowest-id witness per dropped vector
+SEMDEDUP_ORACLE = _KMEANS_CTES + """,
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+pdot AS (
+  SELECT pr.id_a, pr.id_b, pr.cluster, sum(ea.v * eb.v) AS d
+  FROM pr JOIN e ea ON ea.vec_id = pr.id_a
+          JOIN e eb ON eb.vec_id = pr.id_b AND eb.i = ea.i
+  GROUP BY 1, 2, 3
+),
+pcos AS (
+  SELECT id_a, id_b, cluster,
+         cast(d as double)
+         / (sqrt(cast(na.nn as double)) * sqrt(cast(nb.nn as double))) AS cosine
+  FROM pdot JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id
+),
+hits AS (SELECT * FROM pcos WHERE cosine >= 0.45),
+w AS (
+  SELECT id_b, cluster, id_a, cosine,
+         row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+  FROM hits
+)
+SELECT id_b AS vec_id, cluster, id_a AS witness_id, cosine
+FROM w WHERE rn = 1
+"""
+
+
 def sim_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a LEARNED coarse quantizer: the k-means
     centroids (k=16, 2 Lloyd iterations) replace the first-16-by-id
@@ -2054,6 +2094,8 @@ EXT_QUERIES: list[QueryDef] = [
              "BM25 top-10 keyword search (rational idf, broadcast query set)"),
     QueryDef("kmeans_embeddings", kmeans_embeddings_q, KMEANS_ORACLE,
              "k-means (2 Lloyd iterations) over quantized embeddings, broadcast centroids"),
+    QueryDef("semdedup", semdedup_q, SEMDEDUP_ORACLE,
+             "SemDeDup: kmeans-blocked within-cluster cosine dedup (lowest-id witness)"),
     QueryDef("quality_quantile_filter", quality_quantile_filter_q, _quality_quantile_oracle(),
              "per-lang discrete-median quality cut (threshold + kept counts)"),
     QueryDef("tfidf_top_terms", tfidf_top_terms_q, TFIDF_TERMS_ORACLE,

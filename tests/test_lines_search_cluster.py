@@ -369,3 +369,34 @@ def test_ivf_kmeans_seeds_recall_floor(spark, sf_smoke):
         for r in S.ivf_topk(emb, query_ids=qids, seeds=seeds).collect()
     }
     assert len(km & truth) >= int(0.8 * len(truth))
+
+
+def test_semdedup_contract(spark, sf_smoke):
+    """Every dropped row's witness has a LOWER id, sits in the same
+    k-means cluster, and the pair's exact cosine clears the
+    threshold; nothing below the threshold is ever dropped."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+    from ora_ch_spark.operators.cluster import kmeans_assign, semdedup
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    tau = 0.45
+    dropped = semdedup(emb, threshold=tau, k=8).collect()
+    assert dropped, "smoke corpus should contain semantic near-dups"
+    clusters = {
+        r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=8).collect()
+    }
+    q = S.quantize(emb).select("vec_id", "qe")
+    pairs = S.with_cosine(
+        q.selectExpr("vec_id as id_a", "qe as qa").join(
+            q.selectExpr("vec_id as id_b", "qe as qb"), F.expr("id_a < id_b")
+        )
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in pairs.filter(F.col("cosine") >= tau).collect()
+    }
+    for r in dropped:
+        assert r["witness_id"] < r["vec_id"]
+        assert clusters[r["witness_id"]] == clusters[r["vec_id"]] == r["cluster"]
+        assert exact[(r["witness_id"], r["vec_id"])] == r["cosine"]
