@@ -1725,6 +1725,94 @@ FROM w WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension merge
+# ---------------------------------------------------------------------------
+
+_SCD_INIT = "1992-01-01"
+_SCD_BATCH = "1995-06-01"
+
+
+def _scd2_updates(cust: DataFrame) -> DataFrame:
+    """Deterministic snapshot batch derived from the customer table:
+    every 7th key arrives in the batch (some with changed balance,
+    every 14th with a changed segment, every 21st-but-not-14th fully
+    unchanged — exercising the no-spurious-version rule), plus 15
+    brand-new keys. +100.0 on a double is a single exact IEEE op, so
+    change detection is engine-identical."""
+    upd = cust.filter("c_custkey % 7 = 0").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 21 == 0, F.col("c_acctbal"))
+        .otherwise(F.col("c_acctbal") + F.lit(100.0))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 14 == 0, F.lit("SHIFTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    new = cust.filter("c_custkey % 100 = 0").select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWKEY").alias("c_mktsegment"),
+    )
+    return upd.unionByName(new)
+
+
+def scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history merge: bootstrap customer as the open history,
+    apply one snapshot batch (changes + no-ops + new keys)."""
+    from ora_ch_spark.operators.scd import as_scd2_base, scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = as_scd2_base(
+        cust, "c_custkey", ["c_acctbal", "c_mktsegment"], _SCD_INIT
+    )
+    return scd2_merge(
+        base,
+        _scd2_updates(cust),
+        key_col="c_custkey",
+        tracked_cols=["c_acctbal", "c_mktsegment"],
+        batch_date=_SCD_BATCH,
+    )
+
+
+SCD2_ORACLE = f"""
+WITH upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 21 = 0 THEN c_acctbal
+              ELSE c_acctbal + 100.0 END AS c_acctbal,
+         CASE WHEN c_custkey % 14 = 0 THEN 'SHIFTED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 0.0, 'NEWKEY'
+  FROM customer WHERE c_custkey % 100 = 0
+),
+cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '{_SCD_INIT}'::TIMESTAMP_NS AS eff_from,
+         CAST(NULL AS TIMESTAMP_NS) AS eff_to, TRUE AS is_current
+  FROM customer
+),
+chg AS (
+  SELECT c.c_custkey
+  FROM cur c JOIN upd u USING (c_custkey)
+  WHERE c.c_acctbal IS DISTINCT FROM u.c_acctbal
+     OR c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+)
+SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.eff_from,
+       TIMESTAMP '{_SCD_BATCH}'::TIMESTAMP_NS AS eff_to, FALSE AS is_current
+FROM cur c JOIN chg USING (c_custkey)
+UNION ALL
+SELECT * FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+UNION ALL
+SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+       TIMESTAMP '{_SCD_BATCH}'::TIMESTAMP_NS, CAST(NULL AS TIMESTAMP_NS), TRUE
+FROM upd u
+WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
+   OR u.c_custkey NOT IN (SELECT c_custkey FROM cur)
+"""
+
+
 def sim_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a LEARNED coarse quantizer: the k-means
     centroids (k=16, 2 Lloyd iterations) replace the first-16-by-id
@@ -2096,6 +2184,8 @@ EXT_QUERIES: list[QueryDef] = [
              "k-means (2 Lloyd iterations) over quantized embeddings, broadcast centroids"),
     QueryDef("semdedup", semdedup_q, SEMDEDUP_ORACLE,
              "SemDeDup: kmeans-blocked within-cluster cosine dedup (lowest-id witness)"),
+    QueryDef("scd2_merge", scd2_merge_q, SCD2_ORACLE,
+             "SCD type-2 dimension merge: close-out + insert + null-safe no-op passthrough"),
     QueryDef("quality_quantile_filter", quality_quantile_filter_q, _quality_quantile_oracle(),
              "per-lang discrete-median quality cut (threshold + kept counts)"),
     QueryDef("tfidf_top_terms", tfidf_top_terms_q, TFIDF_TERMS_ORACLE,
