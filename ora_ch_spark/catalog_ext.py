@@ -1191,6 +1191,72 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+_MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "zh": 1}
+
+
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5:2:2:1 en/de/fr/zh mixture (es excluded) — the data-mixing
+    step; returns the selected docs."""
+    from ora_ch_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mixture_sample(docs, _MIX_WEIGHTS, group_col="lang")
+
+
+def _mixture_oracle() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    wrows = " UNION ALL ".join(
+        f"SELECT '{g}' AS lang, {w} AS w" for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH wt AS ({wrows}),
+cnt AS (
+  SELECT d.lang, w, count(*) AS n
+  FROM documents d JOIN wt USING (lang) GROUP BY 1, 2
+),
+feas AS (SELECT min(n * {total_w} // w) AS T FROM cnt),
+tgt AS (SELECT lang, (T * w) // {total_w} AS t FROM cnt CROSS JOIN feas),
+rk AS (
+  SELECT d.doc_id, d.lang, d.source, t,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('mix:' || cast(d.doc_id as varchar)) ASC, d.doc_id ASC
+         ) AS rn
+  FROM documents d JOIN tgt USING (lang)
+)
+SELECT doc_id, lang, source FROM rk WHERE rn <= t
+"""
+
+
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 weighted draw: weight = 1 + min(n_chars div 200, 3) —
+    longer docs proportionally likelier, tiers not raw lengths."""
+    from ora_ch_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + F.least(F.expr("n_chars div 200"), F.lit(3))).alias("weight"),
+    )
+    return weighted_sample(docs, n=100)
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, 1 + least(n_chars // 200, 3) AS weight FROM documents
+),
+reps AS (
+  SELECT doc_id, weight, unnest(range(weight)) AS i FROM w
+),
+keys AS (
+  SELECT doc_id, weight,
+         max(md5('wt:' || cast(doc_id as varchar) || ':' || cast(i as varchar))) AS sel_key
+  FROM reps GROUP BY 1, 2
+)
+SELECT doc_id, weight, sel_key FROM keys
+ORDER BY sel_key DESC, doc_id ASC LIMIT 100
+"""
+
+
 def quality_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.sampling import topk_per_group
 
@@ -2186,6 +2252,10 @@ EXT_QUERIES: list[QueryDef] = [
              "SemDeDup: kmeans-blocked within-cluster cosine dedup (lowest-id witness)"),
     QueryDef("scd2_merge", scd2_merge_q, SCD2_ORACLE,
              "SCD type-2 dimension merge: close-out + insert + null-safe no-op passthrough"),
+    QueryDef("mixture_sample", mixture_sample_q, _mixture_oracle(),
+             "domain-mixture resampling to integer weights (exact feasible-max sizing)"),
+    QueryDef("weighted_sample", weighted_sample_q, WEIGHTED_SAMPLE_ORACLE,
+             "weighted sampling w/o replacement (max-of-w-replica-hash reservoir keys)"),
     QueryDef("quality_quantile_filter", quality_quantile_filter_q, _quality_quantile_oracle(),
              "per-lang discrete-median quality cut (threshold + kept counts)"),
     QueryDef("tfidf_top_terms", tfidf_top_terms_q, TFIDF_TERMS_ORACLE,

@@ -132,6 +132,93 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture resampling: build the LARGEST subsample whose
+    group proportions hit integer target ``weights`` (e.g. {"en": 5,
+    "de": 2, "fr": 2, "zh": 1} → a 5:2:2:1 corpus), selecting members
+    deterministically by md5-rank. The core data-mixing step of LLM
+    corpus assembly (fix the domain/language mixture before token
+    budgeting).
+
+    All sizing arithmetic is INTEGER (exact, engine-replayable):
+    with W = Σw, the feasible total is T = min_g ⌊n_g·W / w_g⌋ and
+    each group's take is t_g = ⌊T·w_g / W⌋ ≤ n_g. Groups absent from
+    ``weights`` are excluded.
+
+    Scale shape: one partial-agg count per group (tiny result), the
+    1-row total broadcast-crossed back, then the same md5-rank window
+    as :func:`sample_fixed_per_group` — one shuffle on the group key.
+    """
+    spark = df.sparkSession
+    total_w = sum(weights.values())
+    group_type = dict(df.dtypes).get(group_col, "string")
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{group_col} {group_type}, __w bigint"
+    )
+    in_mix = df.join(F.broadcast(wdf), group_col)
+    counts = in_mix.groupBy(group_col, "__w").agg(F.count(F.lit(1)).alias("__n"))
+    feasible = counts.agg(
+        F.min(F.expr(f"__n * {total_w} div __w")).alias("__T")
+    )
+    targets = counts.crossJoin(F.broadcast(feasible)).select(
+        group_col, F.expr(f"__T * __w div {total_w}").alias("__t")
+    )
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        in_mix.drop("__w")
+        .join(F.broadcast(targets), group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__t"))
+        .drop("__rn", "__t")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    salt: str = "wt",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (integer
+    weights ≥ 1): replicate each row ``weight`` times, hash every
+    replica, key the row by its MAX replica hash, keep the global
+    top-``n`` keys. Max-of-w-uniforms is the integer-weight form of
+    the Efraimidis–Spirakis u^(1/w) reservoir key — selection
+    probability grows with weight, and the whole draw is a pure
+    function of ids (re-runs and engine replays pick the same rows —
+    no transcendentals, so no cross-engine last-ulp risk).
+
+    Scale shape: the explode blows rows up by the MEAN weight (keep
+    weights small ints — quality tiers, not raw token counts), the
+    max-key reduction is a partial agg, and the top-n is
+    TakeOrdered (per-partition heads + driver merge of n) — no global
+    sort materializes.
+    """
+    reps = df.select(id_col, weight_col).withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.col(weight_col).cast("int") - 1))
+    )
+    rep_h = F.md5(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("__i").cast("string"),
+        )
+    )
+    keys = reps.withColumn("__h", rep_h).groupBy(id_col, weight_col).agg(
+        F.max("__h").alias("sel_key")
+    )
+    return keys.orderBy(F.desc("sel_key"), F.asc(id_col)).limit(n)
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,

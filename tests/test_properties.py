@@ -270,3 +270,39 @@ def test_winnowed_substring_pairs_subset_of_every_position(spark):
     assert winnowed <= full, "winnowing must never invent a pair"
     assert planted <= winnowed, "long planted duplication lost by winnowing"
     assert planted <= full
+
+
+def test_mixture_sample_hits_exact_ratio_and_is_maximal(spark):
+    """The sample's per-group counts follow t_g = floor(T*w_g/W) with
+    T the feasible max — and growing T by one group-unit would
+    overdraw some group."""
+    from ora_ch_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 60 else ("b" if i < 160 else "c")) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    weights = {"a": 3, "b": 1, "c": 4}  # a is the binding group: T=160
+    out = mixture_sample(df, weights, group_col="grp").groupBy("grp").count()
+    got = {r["grp"]: r["count"] for r in out.collect()}
+    W = sum(weights.values())
+    n = {"a": 60, "b": 100, "c": 240}
+    T = min(n[g] * W // w for g, w in weights.items())
+    assert got == {g: T * w // W for g, w in weights.items()}
+    assert any(
+        (T + W) * w // W > n[g] for g, w in weights.items()
+    ), "T must be maximal"
+
+
+def test_weighted_sample_overrepresents_heavy_rows_and_is_deterministic(spark):
+    from ora_ch_spark.operators.sampling import weighted_sample
+
+    # 500 rows, half weight 1, half weight 5 → heavy rows should take
+    # well over half of a 100-row draw (expected ~83%)
+    df = spark.createDataFrame(
+        [(i, 5 if i % 2 == 0 else 1) for i in range(500)],
+        "doc_id bigint, weight int",
+    )
+    a = weighted_sample(df, n=100).collect()
+    b = weighted_sample(df, n=100).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    heavy = sum(1 for r in a if r["weight"] == 5)
+    assert heavy > 65
