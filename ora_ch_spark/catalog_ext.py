@@ -1191,6 +1191,42 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def resample_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly regularization of the event stream for a bounded entity
+    slice (users < 50): gaps materialized, sums forward-filled."""
+    from ora_ch_spark.operators.timeseries import resample_gapfill
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 50")
+    return resample_gapfill(ev, freq="hour")
+
+
+RESAMPLE_GAPFILL_ORACLE = """
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value
+  FROM events WHERE user_id < 50
+),
+agg AS (
+  SELECT user_id, bucket, count(*) AS n_events,
+         cast(sum(cast(value as decimal(18,2))) as double) AS val_sum
+  FROM e GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM agg GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+),
+j AS (
+  SELECT s.user_id, s.bucket, a.n_events, a.val_sum
+  FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.bucket = a.bucket
+)
+SELECT user_id, bucket, coalesce(n_events, 0) AS n_events, val_sum,
+       last_value(val_sum IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_filled
+FROM j
+"""
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "zh": 1}
 
 
@@ -2252,6 +2288,8 @@ EXT_QUERIES: list[QueryDef] = [
              "SemDeDup: kmeans-blocked within-cluster cosine dedup (lowest-id witness)"),
     QueryDef("scd2_merge", scd2_merge_q, SCD2_ORACLE,
              "SCD type-2 dimension merge: close-out + insert + null-safe no-op passthrough"),
+    QueryDef("resample_gapfill", resample_gapfill_q, RESAMPLE_GAPFILL_ORACLE,
+             "hourly resample + gap materialization + forward fill (per-entity spine)"),
     QueryDef("mixture_sample", mixture_sample_q, _mixture_oracle(),
              "domain-mixture resampling to integer weights (exact feasible-max sizing)"),
     QueryDef("weighted_sample", weighted_sample_q, WEIGHTED_SAMPLE_ORACLE,

@@ -857,3 +857,42 @@ def test_connected_components_raises_without_convergence(spark):
     # …and fails LOUDLY when capped below the diameter
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_resample_gapfill_materializes_gaps_and_ffills(spark):
+    from datetime import datetime
+
+    from ora_ch_spark.operators.timeseries import resample_gapfill
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 5.0),
+            (1, datetime(2024, 1, 1, 0, 50), 7.0),
+            # hours 01 and 02 are gaps
+            (1, datetime(2024, 1, 1, 3, 5), 2.0),
+            (2, datetime(2024, 1, 1, 9, 0), 1.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {
+        (r["user_id"], r["bucket"].hour): r
+        for r in resample_gapfill(ev, freq="hour").collect()
+    }
+    assert len(out) == 5  # user1 hours 0-3, user2 hour 9
+    assert out[(1, 0)]["n_events"] == 2 and out[(1, 0)]["val_sum"] == 12.0
+    for gap_h in (1, 2):
+        r = out[(1, gap_h)]
+        assert r["n_events"] == 0 and r["val_sum"] is None
+        assert r["val_filled"] == 12.0  # carried forward
+    assert out[(1, 3)]["val_filled"] == 2.0
+    assert out[(2, 9)]["n_events"] == 1
+
+
+def test_resample_gapfill_rejects_unknown_freq(spark):
+    import pytest as _pytest
+
+    from ora_ch_spark.operators.timeseries import resample_gapfill
+
+    ev = spark.createDataFrame([], "user_id bigint, ts timestamp, value double")
+    with _pytest.raises(ValueError):
+        resample_gapfill(ev, freq="minute")
