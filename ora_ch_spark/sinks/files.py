@@ -55,3 +55,22 @@ def write_jsonl(
         .write.mode("overwrite" if overwrite else "error")
         .json(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    num_files: int | None = None,
+    overwrite: bool = True,
+    compression: str = "zstd",
+) -> None:
+    """Columnar interchange export: keeps types exactly (no text
+    round-trip loss), stripe-level stats enable pushdown on re-read.
+    zstd default — the modern size/speed point for cold landing
+    zones."""
+    (
+        _shape(df, num_files)
+        .write.mode("overwrite" if overwrite else "error")
+        .option("compression", compression)
+        .orc(path)
+    )

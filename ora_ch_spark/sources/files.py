@@ -135,6 +135,28 @@ def csv_source(
     return load
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader. Unlike the text formats above, ORC is columnar and
+    self-describing: no explicit schema needed, no quarantine column
+    (malformed files fail fast, per-row corruption cannot exist), and
+    — the scale property — predicate pushdown + column pruning reach
+    the stripe/row-group level exactly as with parquet, so ORC landing
+    zones do NOT pay the text formats' full-parse tax."""
+    return spark.read.orc(path)
+
+
+def orc_source(spark: SparkSession, base_dir: str):
+    """``source_loader`` for TaskScheduler over ``<table>.orc``
+    file/directory layouts — the second columnar interchange format
+    next to the engine's native parquet."""
+
+    def load(spec: TableSpec) -> DataFrame:
+        name = (spec.src_table_full_name or spec.name).split(".")[-1]
+        return read_orc(spark, f"{base_dir}/{name}.orc")
+
+    return load
+
+
 def jsonl_source(
     spark: SparkSession, base_dir: str, schemas: dict[str, str | StructType]
 ):

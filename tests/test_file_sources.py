@@ -188,3 +188,56 @@ def test_csv_sink_roundtrip(spark, sf_smoke, tmp_path):
 
     files = [f for f in os.listdir(outj) if f.endswith(".json")]
     assert len(files) == 2  # num_files controls write parallelism
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_smoke, tmp_path):
+    """ORC export → read back: exact schema and values (columnar, no
+    text-loss), and filters reach the ORC scan as PushedFilters."""
+    from ora_ch_spark.sinks.files import write_orc
+    from ora_ch_spark.sources.files import read_orc
+
+    orders = load_table(spark, sf_smoke, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, num_files=2)
+    back = read_orc(spark, out)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    a = sorted(map(tuple, orders.filter("o_orderkey <= 5").collect()))
+    b = sorted(map(tuple, back.filter("o_orderkey <= 5").collect()))
+    assert a == b
+    plan = (
+        back.filter("o_orderkey <= 5")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey,5)" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_load_ops_run_from_orc_source(spark, sf_smoke, tmp_path):
+    """O1 recreate + O3 watermark append over an ORC landing zone via
+    the source_loader contract — same path the CSV source proves."""
+    from ora_ch_spark.sinks.files import write_orc
+    from ora_ch_spark.sources.files import orc_source
+
+    orders = load_table(spark, sf_smoke, "orders")
+    d = str(tmp_path / "zone")
+    os.makedirs(d)
+    write_orc(orders, os.path.join(d, "orders.orc"))
+    loader = orc_source(spark, d)
+    store = TableStore(spark, str(tmp_path / "store"))
+    store.create_database("ch")
+    spec1 = TableSpec(
+        schema="ch", name="orders_o", operation=Operation.RECREATE,
+        src_table_full_name="orders", where_filter="o_orderkey <= 1000",
+    )
+    n1 = apply_operation(store, spec1, loader(spec1))
+    assert n1 == orders.filter("o_orderkey <= 1000").count()
+    spec3 = TableSpec(
+        schema="ch", name="orders_o", operation=Operation.APPEND_BY_MAX,
+        src_table_full_name="orders", sync_by_column_max="o_orderkey",
+    )
+    apply_operation(store, spec3, loader(spec3))
+    assert store.row_count("ch", "orders_o") == orders.count()
