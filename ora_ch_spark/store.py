@@ -472,6 +472,50 @@ class TableStore:
             *[os.path.join(tdir, fe["path"]) for fe in m["files"]]
         )
 
+    def prune_files(
+        self, schema: str, table: str, predicate: str
+    ) -> tuple[list[str], int]:
+        """Zone-map file skipping: ``(candidate rel_paths, total file
+        count)`` for a predicate. Files whose per-column min/max prove
+        'none' are dropped WITHOUT any Spark job — the manifest-level
+        scan elimination that makes clustered layouts (sort /
+        Z-order, see ``operators/layout.py``) pay off: I/O scales
+        with the selected key range, not table size. Predicates
+        richer than an AND-of-comparisons keep every file (correct,
+        just unpruned). Skipping on min/max is NULL-safe here because
+        a comparison predicate is never satisfied by NULL."""
+        m = self._manifest(schema, table)
+        total = len(m["files"])
+        conds = _parse_simple_conjunction(predicate)
+        if conds is None:
+            return [fe["path"] for fe in m["files"]], total
+        keep = []
+        for fe in m["files"]:
+            if m.get("partition_by"):
+                pconds = [c for c in conds if c[0] in m["partition_by"]]
+                if pconds and _classify_partition_file(fe, pconds) == "none":
+                    continue
+            if _classify_file(fe, conds) == "none":
+                continue
+            keep.append(fe["path"])
+        return keep, total
+
+    def read_pruned(self, schema: str, table: str, predicate: str) -> DataFrame:
+        """Filtered read with manifest-level file skipping on top of
+        parquet's own row-group skipping. Result is identical to
+        ``read(...).filter(predicate)`` — pruning only removes files
+        the zone maps PROVE empty for the predicate."""
+        if self._manifest(schema, table).get("partition_by"):
+            # hive layouts need basePath handling — Spark prunes their
+            # partition dirs natively from the filter
+            return self.read(schema, table).filter(predicate)
+        keep, _ = self.prune_files(schema, table, predicate)
+        m = self._manifest(schema, table)
+        st = StructType.fromJson(json.loads(m["schema"]))
+        if not keep:
+            return self.spark.createDataFrame([], st)
+        return self.read_files(schema, table, keep).filter(predicate)
+
     def snapshots(self, schema: str, table: str) -> list[dict]:
         """Retained snapshots, oldest first: ``{name, created, rows}``.
         Retention (keep_versions + retention_sec) bounds how far back

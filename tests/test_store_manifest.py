@@ -471,3 +471,74 @@ def test_partition_drop_shrinks_groups_and_gc_collects(spark):
     # survivors untouched
     assert {r.k for r in store.read("s", "t").collect()} == {1}
     assert store.row_count("s", "t") == 5
+
+
+# ---------------------------------------------------------------------------
+# Layout clustering (Z-order) + zone-map pruned reads
+# ---------------------------------------------------------------------------
+
+def _mk_zorder_table(spark, root):
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, root, keep_versions=1)
+    store.create_database("ch")
+    df = spark.range(40000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).cast("double").alias("value"),
+    )
+    nulls = spark.range(40000, 40100).select(
+        F.col("id").alias("event_id"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    # unclustered baseline: hash layout on event_id → every file spans
+    # the full (user_id, value) range, zone maps can prove nothing
+    store.write("ch", "ev", df.unionByName(nulls).repartition(16, "event_id"))
+    return store
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    from ora_ch_spark.operators.layout import cluster_table
+
+    store = _mk_zorder_table(spark, str(tmp_path / "zs"))
+    pred = "user_id >= 10 and user_id < 20 and value >= 100 and value < 200"
+    expected = sorted(
+        map(tuple, store.read("ch", "ev").filter(pred).collect())
+    )
+    keep0, total0 = store.prune_files("ch", "ev", pred)
+    assert total0 == 16 and len(keep0) == total0  # hash layout: no skip
+
+    cluster_table(store, "ch", "ev", ["user_id", "value"], bits=10)
+    keep1, total1 = store.prune_files("ch", "ev", pred)
+    assert total1 == 16
+    assert len(keep1) <= total1 // 3  # 1% rectangle → few curve tiles
+    # pruning on EACH dimension alone (the z-order property a linear
+    # sort on user_id would not give for value)
+    for one_dim in ("user_id >= 90", "value >= 900.0"):
+        kept, tot = store.prune_files("ch", "ev", one_dim)
+        assert len(kept) < tot, one_dim
+    # results identical to the unpruned filter (NULL rows stay out)
+    got = sorted(map(tuple, store.read_pruned("ch", "ev", pred).collect()))
+    assert got == expected
+
+
+def test_read_pruned_falls_back_on_rich_predicates(spark, tmp_path):
+    store = _mk_zorder_table(spark, str(tmp_path / "zs2"))
+    pred = "user_id = 5 or user_id = 95"  # OR → unprunable, must still be exact
+    keep, total = store.prune_files("ch", "ev", pred)
+    assert len(keep) == total
+    a = store.read_pruned("ch", "ev", pred).count()
+    b = store.read("ch", "ev").filter(pred).count()
+    assert a == b > 0
+
+
+def test_linear_sort_is_zorder_k1_and_prunes_sort_key(spark, tmp_path):
+    from ora_ch_spark.operators.layout import cluster_table
+
+    store = _mk_zorder_table(spark, str(tmp_path / "zs3"))
+    cluster_table(store, "ch", "ev", ["user_id"], bits=10)
+    kept, tot = store.prune_files("ch", "ev", "user_id >= 90")
+    assert len(kept) <= max(2, tot // 4)
+    assert store.read_pruned("ch", "ev", "user_id >= 90").count() == \
+        store.read("ch", "ev").filter("user_id >= 90").count()
