@@ -1191,6 +1191,38 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def incremental_agg_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-customer order rollup built in TWO refreshes
+    (initial ⅔ load, then the appended remainder) — the gate hashes
+    that the incremental path equals one full aggregation."""
+    from ora_ch_spark.catalog import _tmp_store
+    from ora_ch_spark.operators.incremental import refresh_agg_view
+
+    store = _tmp_store(spark)
+    store.create_database("ch")
+    orders = load_table(spark, sf_dir, "orders")
+    store.write("ch", "orders_src", orders.filter("o_orderkey % 3 != 0"))
+    refresh_agg_view(
+        store, ("ch", "orders_src"), ("ch", "orders_by_cust"),
+        ["o_custkey"], "o_totalprice",
+    )
+    store.append("ch", "orders_src", orders.filter("o_orderkey % 3 = 0"))
+    v = refresh_agg_view(
+        store, ("ch", "orders_src"), ("ch", "orders_by_cust"),
+        ["o_custkey"], "o_totalprice",
+    )
+    return v.select(
+        "o_custkey", "n_rows", F.col("val_sum").cast("double").alias("total_price")
+    )
+
+
+INCREMENTAL_AGG_ORACLE = """
+SELECT o_custkey, count(*) AS n_rows,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
 _ZPRED = "user_id >= 30 and user_id < 60 and value >= 25.0 and value < 50.0"
 
 
@@ -2319,6 +2351,8 @@ EXT_QUERIES: list[QueryDef] = [
              "SCD type-2 dimension merge: close-out + insert + null-safe no-op passthrough"),
     QueryDef("zorder_pruned_scan", zorder_pruned_scan_q, ZORDER_PRUNED_ORACLE,
              "Z-order clustering + zone-map pruned 2-D range scan (result-identical)"),
+    QueryDef("incremental_agg_view", incremental_agg_view_q, INCREMENTAL_AGG_ORACLE,
+             "manifest-delta incremental view maintenance ≡ full recompute"),
     QueryDef("resample_gapfill", resample_gapfill_q, RESAMPLE_GAPFILL_ORACLE,
              "hourly resample + gap materialization + forward fill (per-entity spine)"),
     QueryDef("mixture_sample", mixture_sample_q, _mixture_oracle(),
@@ -2353,11 +2387,13 @@ EXT_QUERIES: list[QueryDef] = [
              "concat-and-chunk sequence-packing manifest (shard, offset, seq span)"),
     QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
-    QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
-             "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
-    # pinned by the chain-collapse unit test); outside the 50-row gate ---
+    # pinned by the chain-collapse unit test; pipeline_ingest_batch's
+    # screened components dedup_incremental + text_quality are gated /
+    # proven individually); outside the 50-row gate ---
+    QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
+             "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),
              "near-dup clusters: iterative min-label propagation vs recursive-CTE oracle"),
     QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
