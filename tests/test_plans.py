@@ -178,3 +178,51 @@ def test_jaccard_length_filter_prunes_before_array_join(spark, sf_correct):
     assert "least(" in p and "greatest(" in p, "length filter missing from plan"
     # the jaccard threshold filter still guards the final output
     assert "array_intersect" in p
+
+
+def test_topk_per_group_gets_window_group_limit(spark, sf_correct):
+    """Catalyst's WindowGroupLimit must appear in BOTH Partial (map
+    side, before the shuffle) and Final mode for the rank-filter
+    pattern — at scale the partial limit is what keeps the shuffle at
+    k rows per group per partition instead of the whole input."""
+    from ora_ch_spark.operators.sampling import topk_per_group
+
+    docs = load_table(spark, sf_correct, "documents")
+    p = _plan(topk_per_group(docs.select("doc_id", "lang", "n_chars"), 5,
+                             order_col="n_chars"))
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p and "Final" in p
+
+
+def test_semdedup_shuffles_on_cluster_key_only(spark, sf_correct):
+    """The pair join must be an equi-join on the cluster id (shuffle
+    or broadcast), never a cartesian product, and the kmeans centroids
+    must broadcast into the assignment step."""
+    from ora_ch_spark.io import load_table as lt
+    from ora_ch_spark.operators.cluster import semdedup
+
+    emb = lt(spark, sf_correct, "embeddings")
+    p = _plan(semdedup(emb, k=8))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_scd2_single_join_and_history_passthrough(spark, sf_correct):
+    """One join on the dimension key; closed history unions through
+    without joining (its branch contains no join operator)."""
+    from ora_ch_spark.catalog_ext import scd2_merge_q
+
+    spark.catalog.clearCache()
+    p = _plan(scd2_merge_q(spark, sf_correct))
+    assert "CartesianProduct" not in p
+    # the persisted full-outer join feeds all three branches (closed /
+    # carried / inserted) through InMemoryTableScan — it executes once;
+    # every FullOuter string sits inside a cached-relation description
+    assert p.count("InMemoryTableScan") == 3
+    lines = p.splitlines()
+    live_joins = [
+        l for i, l in enumerate(lines)
+        if "FullOuter" in l
+        and not any("InMemoryRelation" in x for x in lines[max(0, i - 12):i])
+    ]
+    assert not live_joins
