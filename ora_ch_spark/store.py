@@ -69,6 +69,10 @@ class TableNotFound(KeyError):
     pass
 
 
+class SchemaMismatch(TypeError):
+    """Additive schema evolution refused a column type change."""
+
+
 class StoreConflict(RuntimeError):
     """A targeted rewrite raced a concurrent commit: some file it
     meant to replace is no longer in the manifest, so its replacement
@@ -716,16 +720,50 @@ class TableStore:
             self._release_inflight(tdir, rel)
         return os.path.join(tdir, rel)
 
-    def append(self, schema: str, table: str, df: DataFrame) -> str:
+    def append(
+        self, schema: str, table: str, df: DataFrame, evolve: bool = False
+    ) -> str:
         """Append = write ONLY the delta files and commit a manifest
         listing old∪new — O(delta), never O(table). Pre-existing data
         files are neither read nor rewritten (the MergeTree-parts
-        property the reference's incremental ops assume)."""
+        property the reference's incremental ops assume).
+
+        ``evolve=True`` enables additive schema evolution: columns in
+        ``df`` that the table lacks are ADDED to the table schema
+        (forced nullable) — a metadata-only change; existing files are
+        never touched, and reads fill the new column with NULL for old
+        rows because every read pins the manifest schema over the
+        parquet scan. Columns the table has but ``df`` lacks are
+        filled with NULL in the delta. Without ``evolve`` the historic
+        contract holds: extra df columns are dropped, missing ones
+        raise. Type CHANGES are refused either way — only adds."""
         if not self.table_exists(schema, table):
             return self.write(schema, table, df)
         m = self._manifest(schema, table)
-        cols = StructType.fromJson(json.loads(m["schema"])).fieldNames()
-        df = df.select(*cols)  # align by name, keep table column order
+        st = StructType.fromJson(json.loads(m["schema"]))
+        if evolve:
+            by_name = {f.name: f for f in st.fields}
+            for f in df.schema.fields:
+                have = by_name.get(f.name)
+                if have is None:
+                    from pyspark.sql.types import StructField
+
+                    st = st.add(StructField(f.name, f.dataType, True))
+                elif have.dataType != f.dataType:
+                    raise SchemaMismatch(
+                        f"{schema}.{table}.{f.name}: evolution only adds "
+                        f"columns; cannot change {have.dataType.simpleString()}"
+                        f" to {f.dataType.simpleString()}"
+                    )
+            df = df.select(
+                *[
+                    F.col(f.name) if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in st.fields
+                ]
+            )
+        else:
+            df = df.select(*st.fieldNames())  # align by name, keep order
         rel, entries = self._write_group(
             schema, table, df, m.get("partition_by") or None
         )
@@ -737,6 +775,15 @@ class TableStore:
                 m = self._manifest(schema, table)
                 m["groups"] = m["groups"] + [rel]
                 m["files"] = m["files"] + entries
+                if evolve:
+                    # merge again against the under-lock manifest (a
+                    # concurrent evolve may have added other columns)
+                    cur = StructType.fromJson(json.loads(m["schema"]))
+                    names = set(cur.fieldNames())
+                    for f in st.fields:
+                        if f.name not in names:
+                            cur = cur.add(f)
+                    m["schema"] = cur.json()
                 self._commit(schema, table, m)
         finally:
             self._release_inflight(self._tdir(schema, table), rel)

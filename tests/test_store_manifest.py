@@ -542,3 +542,54 @@ def test_linear_sort_is_zorder_k1_and_prunes_sort_key(spark, tmp_path):
     assert len(kept) <= max(2, tot // 4)
     assert store.read_pruned("ch", "ev", "user_id >= 90").count() == \
         store.read("ch", "ev").filter("user_id >= 90").count()
+
+
+# ---------------------------------------------------------------------------
+# Additive schema evolution on append
+# ---------------------------------------------------------------------------
+
+def test_evolve_append_adds_column_nulls_for_old_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.store import SchemaMismatch
+
+    store = TableStore(spark, str(tmp_path / "ev"), keep_versions=2)
+    store.create_database("ch")
+    store.write("ch", "t", spark.range(100).select("id", (F.col("id") * 2).alias("a")))
+    # delta carries a NEW column b and DROPS a
+    delta = spark.range(100, 150).select("id", F.lit("x").alias("b"))
+    store.append("ch", "t", delta, evolve=True)
+    got = store.read("ch", "t")
+    assert got.columns == ["id", "a", "b"]
+    rows = {r["id"]: r for r in got.collect()}
+    assert len(rows) == 150
+    assert rows[0]["a"] == 0 and rows[0]["b"] is None       # old file: b NULL
+    assert rows[120]["a"] is None and rows[120]["b"] == "x"  # delta: a NULL
+    # metadata probes unaffected; stats-less old files fall back cleanly
+    assert store.row_count("ch", "t") == 150
+    assert store.max_value("ch", "t", "id") == 149
+    # zone-map pruning on the new column stays correct: old files have
+    # no stats for b → 'maybe', never wrongly skipped
+    keep, total = store.prune_files("ch", "t", "id >= 120")
+    assert len(keep) < total
+    assert store.read_pruned("ch", "t", "id >= 120").count() == 30
+
+
+def test_evolve_refuses_type_change_and_default_drops_extras(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.store import SchemaMismatch
+
+    store = TableStore(spark, str(tmp_path / "ev2"), keep_versions=2)
+    store.create_database("ch")
+    store.write("ch", "t", spark.range(10).select("id", (F.col("id") * 2).alias("a")))
+    bad = spark.range(5).select("id", F.col("id").cast("string").alias("a"))
+    with _pytest.raises(SchemaMismatch):
+        store.append("ch", "t", bad, evolve=True)
+    # non-evolve append silently drops unknown columns (historic contract)
+    extra = spark.range(10, 15).select("id", (F.col("id") * 2).alias("a"),
+                                       F.lit(1).alias("zzz"))
+    store.append("ch", "t", extra)
+    assert store.read("ch", "t").columns == ["id", "a"]
+    assert store.row_count("ch", "t") == 15
