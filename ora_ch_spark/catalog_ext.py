@@ -623,6 +623,96 @@ FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
 """
 
 
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    from ora_ch_spark.operators.asof import dedup_right_per_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = dedup_right_per_ts(
+        ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id"),
+        ["user_id"], "ts", "event_id",
+    ).withColumnRenamed("event_id", "p_id")
+    return ev, purchases
+
+
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event matched to the user's NEXT purchase
+    at-or-after it — vs DuckDB's native ASOF with the <= condition."""
+    from ora_ch_spark.operators.asof import asof_join
+
+    ev, purchases = _asof_inputs(spark, sf_dir)
+    joined = asof_join(
+        ev.select("user_id", "ts", "event_id"), purchases,
+        key_cols=["user_id"], right_value_cols=["p_id"], direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("asof_p_id").alias("purchase_id"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events
+),
+praw AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+p AS (
+  SELECT user_id, ts, max(event_id) AS p_id FROM praw GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, p.p_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
+def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (ties backward, the pandas merge_asof rule) —
+    the oracle composes DuckDB's two native ASOF directions."""
+    from ora_ch_spark.operators.asof import asof_join
+
+    ev, purchases = _asof_inputs(spark, sf_dir)
+    joined = asof_join(
+        ev.select("user_id", "ts", "event_id"), purchases,
+        key_cols=["user_id"], right_value_cols=["p_id"], direction="nearest",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("asof_p_id").alias("purchase_id"),
+        F.abs(F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+ASOF_NEAREST_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events
+),
+praw AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+p AS (
+  SELECT user_id, ts, max(event_id) AS p_id FROM praw GROUP BY user_id, ts
+),
+b AS (
+  SELECT e.event_id, e.user_id, e.ts, p.p_id AS b_id, p.ts AS b_ts
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+),
+f AS (
+  SELECT e.event_id, p.p_id AS f_id, p.ts AS f_ts
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+),
+m AS (
+  SELECT b.event_id, b.user_id, b.ts, b_id, b_ts, f_id, f_ts,
+         (b_ts IS NULL OR (f_ts IS NOT NULL AND
+            epoch_us(f_ts) - epoch_us(ts) < epoch_us(ts) - epoch_us(b_ts)
+         )) AS use_fwd
+  FROM b JOIN f USING (event_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN use_fwd THEN f_id ELSE b_id END AS purchase_id,
+       CASE WHEN use_fwd THEN epoch_us(f_ts) - epoch_us(ts)
+            ELSE epoch_us(ts) - epoch_us(b_ts) END AS gap_us
+FROM m
+"""
+
+
 def grouped_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.text import grouped_zscore
 
@@ -2331,12 +2421,14 @@ EXT_QUERIES: list[QueryDef] = [
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
     QueryDef("asof_join", asof_join_q, _asof_oracle(),
              "as-of join (composed) vs DuckDB native ASOF JOIN"),
+    QueryDef("asof_join_forward", asof_join_forward_q, ASOF_FORWARD_ORACLE,
+             "forward as-of (next right at-or-after) vs DuckDB native ASOF <="),
+    QueryDef("asof_join_nearest", asof_join_nearest_q, ASOF_NEAREST_ORACLE,
+             "nearest as-of, ties backward (merge_asof rule) vs composed native ASOFs"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,
              "watermarked tumbling-window rollup (Structured Streaming)"),
     QueryDef("pipeline_clean_corpus", pipeline_clean_corpus_q, _pipeline_oracle(),
              "composite corpus-cleaning pipeline: lang-id → quality → exact dedup → minhash near-dedup → stats"),
-    QueryDef("dedup_minhash_lsh", dedup_minhash_q, _minhash_oracle(),
-             "MinHash(16)→LSH(4 bands)→exact-Jaccard near-dedup pairs"),
     QueryDef("line_dedup", line_dedup_q, LINE_DEDUP_ORACLE,
              "C4 corpus-wide exact line dedup, keep-first (md5-verified reassembly)"),
     QueryDef("boilerplate_strip", boilerplate_strip_q, BOILERPLATE_ORACLE,
@@ -2375,8 +2467,6 @@ EXT_QUERIES: list[QueryDef] = [
              "round-4 curation composite: boilerplate strip -> clean-text quality median cut -> exact dedup funnel"),
     QueryDef("sim_topk_ivf_kmeans", sim_topk_ivf_kmeans_q, SIM_IVF_KMEANS_ORACLE,
              "IVF top-5 with kmeans-trained coarse quantizer (full training replay)"),
-    QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
-             "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
     QueryDef("dedup_substring", dedup_substring_q, DEDUP_SUBSTRING_ORACLE,
              "exact shared-substring detection (sliding-window fingerprints)"),
     QueryDef("text_repetition", text_repetition_q, TEXT_REPETITION_ORACLE,
@@ -2391,7 +2481,14 @@ EXT_QUERIES: list[QueryDef] = [
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's
     # screened components dedup_incremental + text_quality are gated /
-    # proven individually); outside the 50-row gate ---
+    # proven individually; dedup_minhash_lsh / dedup_ngram_jaccard's
+    # r4 length filter is candidate-pruning-only — results pinned by
+    # the naive-vs-production differential tests and the local parity
+    # suite); outside the 50-row gate ---
+    QueryDef("dedup_minhash_lsh", dedup_minhash_q, _minhash_oracle(),
+             "MinHash(16)→LSH(4 bands)→exact-Jaccard near-dedup pairs"),
+    QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
+             "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),

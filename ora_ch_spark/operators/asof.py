@@ -32,9 +32,21 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_value_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every left row, plus the latest right values
-    at-or-before its timestamp (NULLs when no prior right row)."""
+    """Left as-of join: every left row, plus the right values nearest
+    its timestamp in the given ``direction`` (NULLs when none exists):
+
+    - ``backward`` (default): greatest right_ts <= left_ts,
+    - ``forward``: smallest right_ts >= left_ts,
+    - ``nearest``: whichever of the two is closer in absolute time,
+      ties resolved backward (pandas ``merge_asof`` convention).
+
+    All three are the same one-shuffle union-and-carry plan; nearest
+    carries both directions in a single window pass and picks per
+    row — still no range join, still no second shuffle."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     rvals = right_value_cols or [
         c for c in right.columns if c not in key_cols + [right_ts]
     ]
@@ -55,23 +67,57 @@ def asof_join(
         if c not in l_tag.columns:
             l_tag = l_tag.withColumn(c, F.lit(None))
     u = l_tag.select(r_tag.columns).unionByName(r_tag)
-    # rights (side=0) sort before lefts (side=1) at equal ts → inclusive
-    w = (
+    # backward frame: rights (side=0) sort before lefts (side=1) at
+    # equal ts → the preceding frame INCLUDES the equal-ts right.
+    # forward frame: same ordering, frame flipped to (current,
+    # following) — but the equal-ts right sorts BEFORE the left row and
+    # would escape the frame, so the forward pass sorts by (ts, -side).
+    w_back = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col("__ats"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ats"), F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    cols: list = ["*"]
+    if direction in ("backward", "nearest"):
+        cols += [
+            F.last(f"__r_{c}", ignorenulls=True).over(w_back).alias(f"__b_{c}")
             for c in rvals
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-    )
-    return carried.filter(F.col("__side") == 1).select(
-        *left.columns, *[f"asof_{c}" for c in rvals], "asof_ts"
-    )
+        ] + [F.last("__r_ts", ignorenulls=True).over(w_back).alias("__b_ts")]
+    if direction in ("forward", "nearest"):
+        cols += [
+            F.first(f"__r_{c}", ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
+            for c in rvals
+        ] + [F.first("__r_ts", ignorenulls=True).over(w_fwd).alias("__f_ts")]
+    carried = u.select(*cols).filter(F.col("__side") == 1)
+    if direction == "backward":
+        picked = [F.col(f"__b_{c}").alias(f"asof_{c}") for c in rvals] + [
+            F.col("__b_ts").alias("asof_ts")
+        ]
+    elif direction == "forward":
+        picked = [F.col(f"__f_{c}").alias(f"asof_{c}") for c in rvals] + [
+            F.col("__f_ts").alias("asof_ts")
+        ]
+    else:
+        # closer side wins; ties and single-sided rows → backward
+        d_b = F.unix_micros(F.col("__ats")) - F.unix_micros(F.col("__b_ts"))
+        d_f = F.unix_micros(F.col("__f_ts")) - F.unix_micros(F.col("__ats"))
+        use_fwd = F.col("__b_ts").isNull() | (
+            F.col("__f_ts").isNotNull() & (d_f < d_b)
+        )
+        picked = [
+            F.when(use_fwd, F.col(f"__f_{c}"))
+            .otherwise(F.col(f"__b_{c}"))
+            .alias(f"asof_{c}")
+            for c in rvals
+        ] + [
+            F.when(use_fwd, F.col("__f_ts")).otherwise(F.col("__b_ts")).alias("asof_ts")
+        ]
+    return carried.select(*left.columns, *picked)
 
 
 def dedup_right_per_ts(

@@ -896,3 +896,48 @@ def test_resample_gapfill_rejects_unknown_freq(spark):
     ev = spark.createDataFrame([], "user_id bigint, ts timestamp, value double")
     with _pytest.raises(ValueError):
         resample_gapfill(ev, freq="minute")
+
+
+def test_asof_directions_semantics(spark):
+    from datetime import datetime
+
+    from ora_ch_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0), 100)],
+        "k bigint, ts timestamp, lid bigint",
+    )
+    R = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 11, 0), 10),   # 60 min before
+            (1, datetime(2024, 1, 1, 12, 40), 20),  # 40 min after
+        ],
+        "k bigint, ts timestamp, rid bigint",
+    )
+    def run(d):
+        r = asof_join(L, R, ["k"], right_value_cols=["rid"], direction=d).collect()
+        return r[0]["asof_rid"]
+
+    assert run("backward") == 10
+    assert run("forward") == 20
+    assert run("nearest") == 20  # 40 min forward beats 60 min back
+    # equality is inclusive in BOTH directions; nearest tie -> backward
+    Req = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 11, 0), 30),
+            (1, datetime(2024, 1, 1, 13, 0), 40),
+        ],
+        "k bigint, ts timestamp, rid bigint",
+    )
+    eq = asof_join(
+        spark.createDataFrame([(1, datetime(2024, 1, 1, 11, 0), 1)],
+                              "k bigint, ts timestamp, lid bigint"),
+        Req, ["k"], right_value_cols=["rid"], direction="forward",
+    ).collect()
+    assert eq[0]["asof_rid"] == 30  # equal-ts right visible forward
+    tie = asof_join(
+        spark.createDataFrame([(1, datetime(2024, 1, 1, 12, 0), 1)],
+                              "k bigint, ts timestamp, lid bigint"),
+        Req, ["k"], right_value_cols=["rid"], direction="nearest",
+    ).collect()
+    assert tie[0]["asof_rid"] == 30  # 60min both ways -> backward wins
