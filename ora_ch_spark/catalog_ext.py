@@ -1313,6 +1313,61 @@ FROM orders GROUP BY 1
 """
 
 
+def pipeline_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembly composite: exact dedup → 5:2:2:1 mixture → packing
+    manifest → per-(lang, shard) rollup."""
+    from ora_ch_spark.operators.pipeline import assemble_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assemble_corpus(docs, _MIX_WEIGHTS, budget=256, shards=4)
+
+
+def _assemble_oracle() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    wrows = " UNION ALL ".join(
+        f"SELECT '{g}' AS lang, {w} AS w" for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH win AS (
+  SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN win USING (doc_id)
+),
+wt AS ({wrows}),
+cnt AS (
+  SELECT k.lang, w, count(*) AS n FROM kept k JOIN wt USING (lang) GROUP BY 1, 2
+),
+feas AS (SELECT min(n * {total_w} // w) AS T FROM cnt),
+tgt AS (SELECT lang, (T * w) // {total_w} AS t FROM cnt CROSS JOIN feas),
+rk AS (
+  SELECT k.doc_id, k.lang, k.text, t,
+         row_number() OVER (
+           PARTITION BY k.lang
+           ORDER BY md5('mix:' || cast(k.doc_id as varchar)) ASC, k.doc_id ASC
+         ) AS rn
+  FROM kept k JOIN tgt USING (lang)
+),
+mixed AS (SELECT doc_id, lang, text FROM rk WHERE rn <= t),
+d AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('pack:' || cast(doc_id as varchar)), 1, 8))::BIGINT % 4 AS shard,
+         cast(len(string_split(lower(text), ' ')) as bigint) AS n_tokens
+  FROM mixed
+),
+c AS (
+  SELECT doc_id, lang, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT lang, shard, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       sum(cast(floor((cum - 1) / 256.0) as bigint)
+           - cast(floor((cum - n_tokens) / 256.0) as bigint) + 1) AS seq_slots
+FROM c GROUP BY 1, 2
+"""
+
+
 _ZPRED = "user_id >= 30 and user_id < 60 and value >= 25.0 and value < 50.0"
 
 
@@ -2489,6 +2544,8 @@ EXT_QUERIES: list[QueryDef] = [
              "MinHash(16)→LSH(4 bands)→exact-Jaccard near-dedup pairs"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
+    QueryDef("pipeline_assemble_corpus", pipeline_assemble_q, _assemble_oracle(),
+             "assembly composite: exact dedup -> mixture -> packing manifest rollup"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),

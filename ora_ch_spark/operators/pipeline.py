@@ -194,3 +194,41 @@ def curate_corpus(
         .join(n_final, "lang")
         .select("lang", "n_docs", "n_quality", "n_final")
     )
+
+
+def assemble_corpus(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget: int = 256,
+    shards: int = 4,
+) -> DataFrame:
+    """Training-corpus ASSEMBLY composite — the selection/packing back
+    half of the prep funnel (curate_corpus is the cleaning front
+    half):
+
+        documents
+          → exact dedup         (survivor = min doc_id per digest)
+          → mixture_sample      (largest subsample at target lang weights)
+          → pack_sequences      (concat-and-chunk manifest)
+          → per-(lang, shard) rollup: docs, tokens, packed-seq slots
+
+    One lazy plan: the dedup winner set joins back broadcast-sized,
+    the mixture's md5-rank window shuffles on lang, the packer on its
+    shard key — no stage rereads the corpus. ``seq_slots`` sums each
+    doc's [start_seq, end_seq] span width — the loader-visible cost of
+    the shard's packed batches."""
+    from ora_ch_spark.operators.sampling import mixture_sample, pack_sequences
+
+    winners = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(winners, "doc_id")
+    mixed = mixture_sample(kept, weights, group_col="lang").persist()
+    packed = pack_sequences(mixed, budget=budget, shards=shards)
+    return (
+        packed.join(mixed.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.col("end_seq") - F.col("start_seq") + 1).alias("seq_slots"),
+        )
+    )
