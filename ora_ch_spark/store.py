@@ -990,20 +990,46 @@ class TableStore:
         self.replace_files(schema, table, paths, df)
         return len(paths)
 
-    def compact(self, schema: str, table: str, target_partitions: int | None = None) -> str:
+    def compact(
+        self,
+        schema: str,
+        table: str,
+        target_partitions: int | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_bits: int = 12,
+    ) -> str:
         """``OPTIMIZE TABLE … FINAL`` analogue
         (jdbsChSession.scala:387-398): rewrite the current snapshot
         into fewer, larger files (coalesce — no shuffle), folding
         accumulated append groups back into one. Sizing rule of thumb
-        at scale: total_bytes / 128 MiB."""
+        at scale: total_bytes / 128 MiB.
+
+        ``cluster_by`` makes the rewrite LAYOUT-PRESERVING for
+        clustered tables (``operators/layout.py``): a plain coalesce
+        would interleave appended groups and destroy the tight
+        per-file min/max that ``read_pruned`` skips on, so clustered
+        tables re-sort on their Morton value during the fold —
+        OPTIMIZE and ZORDER in one pass, exactly how lakehouse
+        engines ship it."""
         m = self._manifest(schema, table)
         df = self.read(schema, table)
         if target_partitions is None:
             total = sum(fe["bytes"] for fe in m["files"])
             target_partitions = max(1, total // (128 << 20))
+        if cluster_by:
+            from ora_ch_spark.operators.layout import zorder_value
+
+            df = (
+                zorder_value(df, cluster_by, cluster_bits)
+                .repartitionByRange(int(target_partitions), F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(int(target_partitions))
         return self.write(
             schema,
             table,
-            df.coalesce(int(target_partitions)),
+            df,
             partition_by=m.get("partition_by") or None,
         )

@@ -593,3 +593,33 @@ def test_evolve_refuses_type_change_and_default_drops_extras(spark, tmp_path):
     store.append("ch", "t", extra)
     assert store.read("ch", "t").columns == ["id", "a"]
     assert store.row_count("ch", "t") == 15
+
+
+def test_compact_with_cluster_by_preserves_pruning(spark, tmp_path):
+    """Appends on a clustered table degrade pruning (new groups span
+    the full key range); compact(cluster_by=...) restores it, while a
+    plain compact would interleave groups."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.operators.layout import cluster_table
+
+    store = _mk_zorder_table(spark, str(tmp_path / "zc"))
+    cluster_table(store, "ch", "ev", ["user_id", "value"], bits=10)
+    # unclustered append: spans the whole key space
+    delta = spark.range(50000, 54000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).cast("double").alias("value"),
+    )
+    store.append("ch", "ev", delta.repartition(4, "event_id"))
+    pred = "user_id >= 10 and user_id < 20 and value >= 100 and value < 200"
+    expected = store.read("ch", "ev").filter(pred).count()
+    kept_dirty, tot_dirty = store.prune_files("ch", "ev", pred)
+    store.compact("ch", "ev", target_partitions=16,
+                  cluster_by=["user_id", "value"], cluster_bits=10)
+    kept_clean, tot_clean = store.prune_files("ch", "ev", pred)
+    assert tot_clean == 16
+    assert len(kept_clean) <= tot_clean // 3
+    # the dirty layout scanned strictly more of its files
+    assert len(kept_dirty) / tot_dirty > len(kept_clean) / tot_clean
+    assert store.read_pruned("ch", "ev", pred).count() == expected
