@@ -1313,6 +1313,29 @@ FROM orders GROUP BY 1
 """
 
 
+def streaming_dedup_wm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native bounded-state dedup over the event stream. The testdata
+    ships one parquet file per table, so availableNow runs a single
+    micro-batch and the emitted key set is exactly DISTINCT(keys) —
+    the differential form of the operator (value columns of 'first
+    row per key' are partition-order-dependent and excluded)."""
+    import os as _os
+    import uuid as _uuid
+
+    from ora_ch_spark.streaming.watermark import streaming_dedup_within_watermark
+
+    return streaming_dedup_within_watermark(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        query_name=f"dwm_{_uuid.uuid4().hex[:8]}",
+    )
+
+
+STREAMING_DEDUP_WM_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def pipeline_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assembly composite: exact dedup → 5:2:2:1 mixture → packing
     manifest → per-(lang, shard) rollup."""
@@ -2546,6 +2569,8 @@ EXT_QUERIES: list[QueryDef] = [
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
     QueryDef("pipeline_assemble_corpus", pipeline_assemble_q, _assemble_oracle(),
              "assembly composite: exact dedup -> mixture -> packing manifest rollup"),
+    QueryDef("streaming_dedup_within_wm", streaming_dedup_wm_q, STREAMING_DEDUP_WM_ORACLE,
+             "native bounded-state streaming dedup (dropDuplicatesWithinWatermark)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),

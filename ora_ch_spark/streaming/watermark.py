@@ -116,3 +116,51 @@ def streaming_append_bymax(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+    query_name: str = "events_dedup_wm",
+) -> DataFrame:
+    """Native bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    EVICTS key state once the watermark passes its event time plus
+    the delay — the 100 TB-stream answer to the unbounded seen-set
+    the custom ``applyInPandasWithState`` dedup carries (that form
+    dedups exactly-once FOREVER; this one guarantees it only within
+    the watermark horizon, in exchange for O(horizon) state).
+
+    Returns the deduplicated KEY projection (value columns of "the
+    first row" are partition-order-dependent; the key set is what is
+    deterministic and differential-testable).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    keys = keys or ["user_id", "event_type"]
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="stream_dwm_src_")
+        src = os.path.abspath(events_path)
+        os.symlink(src, os.path.join(d, os.path.basename(src)))
+        events_path = d
+    from ora_ch_spark.io import normalize_ts
+
+    static = spark.read.parquet(events_path)
+    stream = normalize_ts(spark.readStream.schema(static.schema).parquet(events_path))
+    deduped = (
+        stream.select(*keys, "ts")
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
