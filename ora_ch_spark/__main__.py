@@ -7,6 +7,12 @@ Commands:
 - ``run-task SPEC.json [--data DIR] [--warehouse DIR]`` — run one
   task spec (same JSON shape as POST /task) and print the results.
 - ``bench`` — run the benchmark (same as ``python bench.py``).
+- ``optimize SCHEMA.TABLE [--cluster-by a,b] [--files N]`` — OPTIMIZE
+  FINAL: fold append groups into few large files; with
+  ``--cluster-by``, Z-order the rewrite so zone-map pruning holds.
+- ``refresh-view SCHEMA.TABLE --view SCHEMA.TABLE --group-by k
+  --value v`` — incremental materialized-aggregate refresh
+  (manifest-delta IVM).
 """
 
 from __future__ import annotations
@@ -34,6 +40,22 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the benchmark")
 
+    p_opt = sub.add_parser("optimize", help="compact a store table (OPTIMIZE FINAL)")
+    p_opt.add_argument("table", help="SCHEMA.TABLE")
+    p_opt.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
+    p_opt.add_argument("--cluster-by", default=None,
+                       help="comma-separated columns: Z-order the rewrite")
+    p_opt.add_argument("--files", type=int, default=None)
+
+    p_ivm = sub.add_parser("refresh-view",
+                           help="incremental materialized-aggregate refresh")
+    p_ivm.add_argument("table", help="source SCHEMA.TABLE")
+    p_ivm.add_argument("--view", required=True, help="view SCHEMA.TABLE")
+    p_ivm.add_argument("--group-by", required=True,
+                       help="comma-separated group columns")
+    p_ivm.add_argument("--value", required=True, help="summed value column")
+    p_ivm.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "bench":
@@ -42,13 +64,35 @@ def main(argv: list[str] | None = None) -> int:
         bench.main()
         return 0
 
-    from ora_ch_spark.plans.scheduler import TaskScheduler
     from ora_ch_spark.session import get_spark
-    from ora_ch_spark.sources.parquet import parquet_source
     from ora_ch_spark.store import TableStore
 
     spark = get_spark(app_name=f"ora_ch_spark_{args.cmd}")
     store = TableStore(spark, args.warehouse)
+
+    if args.cmd == "optimize":
+        schema, table = args.table.split(".", 1)
+        cluster = args.cluster_by.split(",") if args.cluster_by else None
+        store.compact(schema, table, target_partitions=args.files,
+                      cluster_by=cluster)
+        m = store._manifest(schema, table)
+        print(json.dumps({"table": args.table, "files": len(m["files"]),
+                          "rows": m["rows"], "clustered_by": cluster}))
+        return 0
+
+    if args.cmd == "refresh-view":
+        from ora_ch_spark.operators.incremental import refresh_agg_view
+
+        schema, table = args.table.split(".", 1)
+        vschema, vtable = args.view.split(".", 1)
+        v = refresh_agg_view(store, (schema, table), (vschema, vtable),
+                             args.group_by.split(","), args.value)
+        print(json.dumps({"view": args.view, "rows": v.count()}))
+        return 0
+
+    from ora_ch_spark.plans.scheduler import TaskScheduler
+    from ora_ch_spark.sources.parquet import parquet_source
+
     sched = TaskScheduler(spark, store, source_loader=parquet_source(spark, args.data))
 
     if args.cmd == "run-task":
