@@ -64,7 +64,11 @@ def refresh_agg_view(
         )
 
     view_exists = store.table_exists(view_schema, view_table)
-    if (done_set - cur_set) or not view_exists:
+    # hive-partitioned sources always full-recompute: read_files does
+    # not restore partition columns from the dir layout, so a delta
+    # read would lose them (and partition drops already mean shrink)
+    partitioned = bool(m.get("partition_by"))
+    if partitioned or (done_set - cur_set) or not view_exists:
         # shrunk file set (delete/update/compaction) or first build →
         # the safe full recompute
         view_df = _agg(store.read(src_schema, src_table))

@@ -155,6 +155,8 @@ def mixture_sample(
     1-row total broadcast-crossed back, then the same md5-rank window
     as :func:`sample_fixed_per_group` — one shuffle on the group key.
     """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"mixture weights must be positive integers, got {weights}")
     spark = df.sparkSession
     total_w = sum(weights.values())
     group_type = dict(df.dtypes).get(group_col, "string")
@@ -202,8 +204,15 @@ def weighted_sample(
     TakeOrdered (per-partition heads + driver merge of n) — no global
     sort materializes.
     """
-    reps = df.select(id_col, weight_col).withColumn(
-        "__i", F.explode(F.sequence(F.lit(0), F.col(weight_col).cast("int") - 1))
+    # weight < 1 means "never draw" — filter BEFORE the sequence:
+    # sequence(0, w-1) with w <= 0 silently infers a NEGATIVE step and
+    # yields [0, -1, ...] replicas, which would resurrect the row
+    reps = (
+        df.select(id_col, weight_col)
+        .filter(F.col(weight_col) >= 1)
+        .withColumn(
+            "__i", F.explode(F.sequence(F.lit(0), F.col(weight_col).cast("int") - 1))
+        )
     )
     rep_h = F.md5(
         F.concat(

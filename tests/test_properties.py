@@ -306,3 +306,48 @@ def test_weighted_sample_overrepresents_heavy_rows_and_is_deterministic(spark):
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     heavy = sum(1 for r in a if r["weight"] == 5)
     assert heavy > 65
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """weight < 1 = never draw — and must not trip Spark's
+    negative-step sequence inference into replicating the row."""
+    from ora_ch_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 2)], "doc_id bigint, weight int"
+    )
+    got = weighted_sample(df, n=10).collect()
+    assert [r["doc_id"] for r in got] == [3]
+
+
+def test_mixture_sample_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from ora_ch_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, grp string")
+    for bad in ({}, {"a": 0}, {"a": -1}):
+        with _pytest.raises(ValueError):
+            mixture_sample(df, bad, group_col="grp")
+
+
+def test_incremental_view_partitioned_source_full_recomputes(spark, tmp_path):
+    """Hive-partitioned sources must take the full-recompute path —
+    a delta read via read_files would lose the partition column."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.operators.incremental import refresh_agg_view
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "p"), keep_versions=2)
+    store.create_database("ch")
+    df = spark.range(200).select(
+        "id", F.pmod("id", F.lit(3)).alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    store.write("ch", "src", df, partition_by=["k"])
+    refresh_agg_view(store, ("ch", "src"), ("ch", "agg"), ["k"], "v")
+    store.append("ch", "src", spark.range(200, 260).select(
+        "id", F.pmod("id", F.lit(3)).alias("k"), (F.col("id") * 1.0).alias("v")))
+    out = refresh_agg_view(store, ("ch", "src"), ("ch", "agg"), ["k"], "v")
+    got = {r["k"]: r["n_rows"] for r in out.collect()}
+    assert got == {0: 87, 1: 87, 2: 86}
