@@ -1359,7 +1359,8 @@ kept AS (
 ),
 wt AS ({wrows}),
 cnt AS (
-  SELECT k.lang, w, count(*) AS n FROM kept k JOIN wt USING (lang) GROUP BY 1, 2
+  SELECT wt.lang, w, count(k.doc_id) AS n
+  FROM wt LEFT JOIN kept k USING (lang) GROUP BY 1, 2
 ),
 feas AS (SELECT min(n * {total_w} // w) AS T FROM cnt),
 tgt AS (SELECT lang, (T * w) // {total_w} AS t FROM cnt CROSS JOIN feas),
@@ -1472,8 +1473,8 @@ def _mixture_oracle() -> str:
     return f"""
 WITH wt AS ({wrows}),
 cnt AS (
-  SELECT d.lang, w, count(*) AS n
-  FROM documents d JOIN wt USING (lang) GROUP BY 1, 2
+  SELECT wt.lang, w, count(d.doc_id) AS n
+  FROM wt LEFT JOIN documents d USING (lang) GROUP BY 1, 2
 ),
 feas AS (SELECT min(n * {total_w} // w) AS T FROM cnt),
 tgt AS (SELECT lang, (T * w) // {total_w} AS t FROM cnt CROSS JOIN feas),
@@ -2485,15 +2486,19 @@ FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
 
 # Ordering note: the driver's correctness gate checks the first 50
 # catalog entries (20 core + first 30 here). The 30-slot window holds
-# exactly (a) every entry that has never received a CORRECTNESS row
-# (the round-4 additions incl. semdedup/scd2/resample/mixture/
-# weighted, plus asof_join / streaming_window_agg /
-# pipeline_clean_corpus) and (b) the entries whose behavior changed
-# since their last green row (events_sessionize fix; the
-# length-filtered MinHash/Jaccard verify paths; winnowed
-# dedup_substring; checkpointed dedup_components). The tail is
-# exclusively entries hash-proven in rounds 1-3 whose behavior is
-# unchanged.
+# (a) never-gated entries — the round-4 additions (incl. semdedup /
+# scd2 / zorder / incremental_agg / resample / mixture / weighted /
+# asof directions / pipeline_assemble_corpus) plus asof_join /
+# streaming_window_agg / pipeline_clean_corpus — and (b) the
+# highest-priority re-gates (events_sessionize fix; winnowed
+# dedup_substring). The window cannot fit everything: the tail holds
+# entries hash-proven in rounds 1-3 whose r4 deltas are
+# candidate-pruning-only or value-preserving and are pinned by local
+# differential tests (dedup_minhash_lsh, dedup_ngram_jaccard,
+# dedup_incremental, dedup_components, pipeline_ingest_batch), plus
+# one never-gated thin wrapper (streaming_dedup_within_wm — a native
+# Spark operator whose key-set oracle runs in the full LOCAL parity
+# suite like every tail entry).
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
@@ -2553,8 +2558,8 @@ EXT_QUERIES: list[QueryDef] = [
              "benchmark decontamination: shared word-4-gram flagging vs broadcast eval set"),
     QueryDef("pack_sequences", pack_sequences_q, PACK_SEQUENCES_ORACLE,
              "concat-and-chunk sequence-packing manifest (shard, offset, seq span)"),
-    QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
-             "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
+    QueryDef("pipeline_assemble_corpus", pipeline_assemble_q, _assemble_oracle(),
+             "assembly composite: exact dedup -> mixture -> packing manifest rollup"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's
@@ -2567,8 +2572,8 @@ EXT_QUERIES: list[QueryDef] = [
              "MinHash(16)→LSH(4 bands)→exact-Jaccard near-dedup pairs"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_q, DEDUP_NGRAM_ORACLE,
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
-    QueryDef("pipeline_assemble_corpus", pipeline_assemble_q, _assemble_oracle(),
-             "assembly composite: exact dedup -> mixture -> packing manifest rollup"),
+    QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
+             "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
     QueryDef("streaming_dedup_within_wm", streaming_dedup_wm_q, STREAMING_DEDUP_WM_ORACLE,
              "native bounded-state streaming dedup (dropDuplicatesWithinWatermark)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),

@@ -82,41 +82,41 @@ def asof_join(
         .orderBy(F.col("__ats"), F.col("__side").desc())
         .rowsBetween(0, Window.unboundedFollowing)
     )
+    # the carried unit is ONE struct per right row (NULL on left rows):
+    # ignorenulls then skips exactly the left rows, never a right row
+    # whose VALUE happens to be NULL — carrying columns independently
+    # would mix fields from different right records in that case, and
+    # nearest's pick must take ts and values from the same record
+    payload = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            *[F.col(f"__r_{c}").alias(c) for c in rvals],
+            F.col("__r_ts").alias("__ts"),
+        ),
+    )
+    u = u.withColumn("__p", payload)
     cols: list = ["*"]
     if direction in ("backward", "nearest"):
-        cols += [
-            F.last(f"__r_{c}", ignorenulls=True).over(w_back).alias(f"__b_{c}")
-            for c in rvals
-        ] + [F.last("__r_ts", ignorenulls=True).over(w_back).alias("__b_ts")]
+        cols.append(F.last("__p", ignorenulls=True).over(w_back).alias("__bp"))
     if direction in ("forward", "nearest"):
-        cols += [
-            F.first(f"__r_{c}", ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
-            for c in rvals
-        ] + [F.first("__r_ts", ignorenulls=True).over(w_fwd).alias("__f_ts")]
+        cols.append(F.first("__p", ignorenulls=True).over(w_fwd).alias("__fp"))
     carried = u.select(*cols).filter(F.col("__side") == 1)
     if direction == "backward":
-        picked = [F.col(f"__b_{c}").alias(f"asof_{c}") for c in rvals] + [
-            F.col("__b_ts").alias("asof_ts")
-        ]
+        src = F.col("__bp")
     elif direction == "forward":
-        picked = [F.col(f"__f_{c}").alias(f"asof_{c}") for c in rvals] + [
-            F.col("__f_ts").alias("asof_ts")
-        ]
+        src = F.col("__fp")
     else:
         # closer side wins; ties and single-sided rows → backward
-        d_b = F.unix_micros(F.col("__ats")) - F.unix_micros(F.col("__b_ts"))
-        d_f = F.unix_micros(F.col("__f_ts")) - F.unix_micros(F.col("__ats"))
-        use_fwd = F.col("__b_ts").isNull() | (
-            F.col("__f_ts").isNotNull() & (d_f < d_b)
+        d_b = F.unix_micros(F.col("__ats")) - F.unix_micros(F.col("__bp.__ts"))
+        d_f = F.unix_micros(F.col("__fp.__ts")) - F.unix_micros(F.col("__ats"))
+        use_fwd = F.col("__bp").isNull() | (
+            F.col("__fp").isNotNull() & (d_f < d_b)
         )
-        picked = [
-            F.when(use_fwd, F.col(f"__f_{c}"))
-            .otherwise(F.col(f"__b_{c}"))
-            .alias(f"asof_{c}")
-            for c in rvals
-        ] + [
-            F.when(use_fwd, F.col("__f_ts")).otherwise(F.col("__b_ts")).alias("asof_ts")
-        ]
+        src = F.when(use_fwd, F.col("__fp")).otherwise(F.col("__bp"))
+    carried = carried.withColumn("__pick", src)
+    picked = [F.col(f"__pick.{c}").alias(f"asof_{c}") for c in rvals] + [
+        F.col("__pick.__ts").alias("asof_ts")
+    ]
     return carried.select(*left.columns, *picked)
 
 

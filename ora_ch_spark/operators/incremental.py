@@ -11,17 +11,19 @@ sum; avg = sum/count at read time). Sums accumulate in DECIMAL so
 the merge is exact and order-independent — refresh-in-N-steps is
 bit-identical to one full recompute.
 
-Fallback contract: if any previously-processed file LEFT the
-manifest (delete_where, keyed update, compaction rewrote groups),
-the delta bookkeeping can no longer prove correctness and the
-refresh recomputes from scratch — detected from the file set alone,
-no data read. A production extension would retract per-file partials
-instead; recompute-on-shrink is the safe default.
+Crash safety: the processed-file list commits INSIDE the view's own
+snapshot manifest (``store.write(meta=...)``) — one atomic pointer
+swap covers data and state, so a crash anywhere leaves either the
+old view with the old watermark or the new view with the new one.
+There is no window in which the delta could be merged twice.
 
-State: the processed file list persists through ``SyncState`` (the
-engine's watermark store), written only AFTER the view commit — a
-crashed refresh re-reads its delta (at-least-once, idempotent
-because the view write is a full snapshot swap).
+Fallback contract: if any previously-processed file LEFT the source
+manifest (delete_where, keyed update, compaction rewrote groups) —
+or the source is hive-partitioned (a file-list delta read would drop
+the partition columns) — the refresh recomputes from scratch,
+detected from the manifests alone with no data read. A production
+extension would retract per-file partials instead; recompute-on-
+shrink is the safe default.
 """
 
 from __future__ import annotations
@@ -30,9 +32,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ora_ch_spark.store import TableStore
-from ora_ch_spark.syncstate import SyncState
 
 _SUM_TYPE = "decimal(30,2)"  # fixed across refreshes: exact, headroom
+_META_KEY = "ivm_processed_files"
 
 
 def refresh_agg_view(
@@ -41,18 +43,20 @@ def refresh_agg_view(
     view: tuple[str, str],
     group_cols: list[str],
     value_col: str,
-    sync: SyncState | None = None,
 ) -> DataFrame:
     """Bring the materialized rollup ``view`` (group_cols, n_rows,
     val_sum) up to date with ``src``; returns the refreshed view."""
     src_schema, src_table = src
     view_schema, view_table = view
-    sync = sync or SyncState(store.root)
-    state_key = f"__ivm__{view_schema}.{view_table}"
 
     m = store._manifest(src_schema, src_table)
     cur = sorted(fe["path"] for fe in m["files"] if fe["rows"] > 0)
-    done = sync.get_watermark(src_schema, src_table, state_key) or []
+    view_exists = store.table_exists(view_schema, view_table)
+    done = (
+        store.table_meta(view_schema, view_table).get(_META_KEY, [])
+        if view_exists
+        else []
+    )
     done_set, cur_set = set(done), set(cur)
 
     def _agg(df: DataFrame) -> DataFrame:
@@ -63,14 +67,11 @@ def refresh_agg_view(
             .alias("val_sum"),
         )
 
-    view_exists = store.table_exists(view_schema, view_table)
     # hive-partitioned sources always full-recompute: read_files does
     # not restore partition columns from the dir layout, so a delta
     # read would lose them (and partition drops already mean shrink)
     partitioned = bool(m.get("partition_by"))
     if partitioned or (done_set - cur_set) or not view_exists:
-        # shrunk file set (delete/update/compaction) or first build →
-        # the safe full recompute
         view_df = _agg(store.read(src_schema, src_table))
     else:
         new = [p for p in cur if p not in done_set]
@@ -86,6 +87,5 @@ def refresh_agg_view(
                 F.sum("val_sum").cast(_SUM_TYPE).alias("val_sum"),
             )
         )
-    store.write(view_schema, view_table, view_df)
-    sync.set_watermark(src_schema, src_table, state_key, cur)
+    store.write(view_schema, view_table, view_df, meta={_META_KEY: cur})
     return store.read(view_schema, view_table)

@@ -37,6 +37,21 @@ def zorder_value(
     """
     if not cols or bits * len(cols) > 62:
         raise ValueError(f"need 1+ cols with bits*len(cols) <= 62, got {cols} @ {bits}")
+    dtypes = dict(df.dtypes)
+    _ok = ("tinyint", "smallint", "int", "bigint", "float", "double",
+           "timestamp")
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt is None or not (dt in _ok or dt.startswith("decimal")):
+            # a string column would cast to NULL → every row rank 0 →
+            # an O(table) rewrite that silently clusters NOTHING; date
+            # and timestamp_ntz don't cast to double either — convert
+            # upstream (unix_date / a TZ timestamp) before clustering
+            raise ValueError(
+                f"cluster column {c!r} has non-rankable type {dt!r}; "
+                f"supported: numeric or timestamp (convert date/"
+                f"timestamp_ntz upstream)"
+            )
     rng = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}") for i, c in enumerate(cols)],

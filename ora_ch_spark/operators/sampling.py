@@ -164,7 +164,16 @@ def mixture_sample(
         sorted(weights.items()), f"{group_col} {group_type}, __w bigint"
     )
     in_mix = df.join(F.broadcast(wdf), group_col)
-    counts = in_mix.groupBy(group_col, "__w").agg(F.count(F.lit(1)).alias("__n"))
+    # counts built FROM THE WEIGHTS SIDE (left join): a weighted group
+    # absent from df must surface n=0, forcing T=0 (empty sample) —
+    # the contract's T = min_g floor(n_g*W/w_g); an inner join would
+    # silently drop the group and return a mixture that violates the
+    # requested ratio
+    counts = wdf.join(
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")),
+        group_col,
+        "left",
+    ).withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
     feasible = counts.agg(
         F.min(F.expr(f"__n * {total_w} div __w")).alias("__T")
     )

@@ -693,10 +693,16 @@ class TableStore:
         table: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> str:
         """Full snapshot (recreate/overwrite): one new group holding
         all data; previous snapshot stays readable until GC retention
         lapses. Returns the new group directory.
+
+        ``meta`` (JSON-serializable) rides the snapshot manifest and
+        is readable via :meth:`table_meta` — state that must commit
+        ATOMICALLY with the data (e.g. the incremental-view refresh
+        watermark) belongs here, not in a second file.
 
         The (possibly long) Spark data write runs OUTSIDE the commit
         lock — parallel table loads don't serialize on each other;
@@ -714,11 +720,16 @@ class TableStore:
                         "partition_by": partition_by or [],
                         "groups": [rel],
                         "files": entries,
+                        "meta": meta or {},
                     },
                 )
         finally:
             self._release_inflight(tdir, rel)
         return os.path.join(tdir, rel)
+
+    def table_meta(self, schema: str, table: str) -> dict:
+        """Caller metadata committed with the current snapshot."""
+        return self._manifest(schema, table).get("meta", {})
 
     def append(
         self, schema: str, table: str, df: DataFrame, evolve: bool = False
@@ -777,12 +788,25 @@ class TableStore:
                 m["files"] = m["files"] + entries
                 if evolve:
                     # merge again against the under-lock manifest (a
-                    # concurrent evolve may have added other columns)
+                    # concurrent evolve may have added other columns).
+                    # Same-named column with a DIFFERENT type means a
+                    # racing evolve won with an incompatible add — our
+                    # already-written parquet files would contradict
+                    # the manifest schema; abort loudly instead of
+                    # committing a table every read would choke on.
                     cur = StructType.fromJson(json.loads(m["schema"]))
-                    names = set(cur.fieldNames())
+                    by_name2 = {f.name: f for f in cur.fields}
                     for f in st.fields:
-                        if f.name not in names:
+                        have = by_name2.get(f.name)
+                        if have is None:
                             cur = cur.add(f)
+                        elif have.dataType != f.dataType:
+                            raise StoreConflict(
+                                f"{schema}.{table}.{f.name}: concurrent "
+                                f"schema evolution committed type "
+                                f"{have.dataType.simpleString()}, this append "
+                                f"wrote {f.dataType.simpleString()}"
+                            )
                     m["schema"] = cur.json()
                 self._commit(schema, table, m)
         finally:
@@ -1012,6 +1036,13 @@ class TableStore:
         OPTIMIZE and ZORDER in one pass, exactly how lakehouse
         engines ship it."""
         m = self._manifest(schema, table)
+        if cluster_by and m.get("partition_by"):
+            raise ValueError(
+                "cluster_by targets unpartitioned tables (a global range "
+                "shuffle would split every range across the hive dirs — "
+                "MORE small files, and read_pruned prunes hive layouts on "
+                "their partition dirs already)"
+            )
         df = self.read(schema, table)
         if target_partitions is None:
             total = sum(fe["bytes"] for fe in m["files"])

@@ -941,3 +941,80 @@ def test_asof_directions_semantics(spark):
         Req, ["k"], right_value_cols=["rid"], direction="nearest",
     ).collect()
     assert tie[0]["asof_rid"] == 30  # 60min both ways -> backward wins
+
+
+def test_asof_null_right_values_stay_row_consistent(spark):
+    """A right row whose VALUE is NULL must still win the as-of match
+    — the carried unit is the whole right record, so asof_ts and
+    asof_* always come from the same row (no chimera mixing a nearer
+    ts with an older non-NULL value)."""
+    from datetime import datetime
+
+    from ora_ch_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0), 1)], "k bigint, ts timestamp, lid bigint"
+    )
+    R = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7.0),
+            (1, datetime(2024, 1, 1, 11, 0), None),  # nearest prior, NULL value
+        ],
+        "k bigint, ts timestamp, v double",
+    )
+    for d in ("backward", "nearest"):
+        r = asof_join(L, R, ["k"], right_value_cols=["v"], direction=d).collect()[0]
+        assert r["asof_ts"].hour == 11 and r["asof_v"] is None, d
+
+
+def test_mixture_sample_absent_weighted_group_empties_sample(spark):
+    """T = min_g floor(n_g*W/w_g) with an absent group is 0 — the
+    sampler must return empty, not silently violate the ratio."""
+    from ora_ch_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(50)], "doc_id bigint, grp string"
+    )
+    out = mixture_sample(df, {"a": 1, "b": 1}, group_col="grp")
+    assert out.count() == 0
+
+
+def test_zorder_rejects_non_rankable_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    from ora_ch_spark.operators.layout import zorder_value
+    from ora_ch_spark.store import TableStore
+
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    with _pytest.raises(ValueError, match="non-rankable"):
+        zorder_value(df, ["s"])
+    store = TableStore(spark, str(tmp_path / "pz"))
+    store.create_database("ch")
+    store.write("ch", "t", spark.range(10).selectExpr("id", "id % 2 as p"),
+                partition_by=["p"])
+    with _pytest.raises(ValueError, match="unpartitioned"):
+        store.compact("ch", "t", cluster_by=["id"])
+
+
+def test_ivm_state_commits_atomically_with_view(spark, tmp_path):
+    """The processed-file watermark lives INSIDE the view's snapshot
+    manifest — one atomic pointer swap covers data and state, closing
+    the crash window that could double-count a delta."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.operators.incremental import refresh_agg_view
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "a"), keep_versions=3)
+    store.create_database("ch")
+    df = spark.range(100).select("id", F.pmod("id", F.lit(4)).alias("k"),
+                                 (F.col("id") * 1.0).alias("v"))
+    store.write("ch", "src", df)
+    refresh_agg_view(store, ("ch", "src"), ("ch", "agg"), ["k"], "v")
+    meta = store.table_meta("ch", "agg")
+    src_files = sorted(fe["path"] for fe in store._manifest("ch", "src")["files"]
+                       if fe["rows"] > 0)
+    assert meta["ivm_processed_files"] == src_files
+    assert not os.path.isdir(os.path.join(str(tmp_path / "a"), "_sync_state"))
