@@ -1018,3 +1018,52 @@ def test_ivm_state_commits_atomically_with_view(spark, tmp_path):
                        if fe["rows"] > 0)
     assert meta["ivm_processed_files"] == src_files
     assert not os.path.isdir(os.path.join(str(tmp_path / "a"), "_sync_state"))
+
+
+def _make_bmp(width, height, rgb_rows):
+    """Minimal uncompressed 24-bit BMP: rgb_rows is top-down
+    [[(r,g,b), ...], ...]; BMP wants bottom-up BGR with 4-byte row
+    padding."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    img = b""
+    for row in reversed(rgb_rows):
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        img += line + b"\x00" * (stride - len(line))
+    pixel_off = 54
+    size = pixel_off + len(img)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(img), 2835, 2835, 0, 0)
+    return hdr + info + img
+
+
+def test_bmp_decode_exact_dims_and_means(spark):
+    from ora_ch_spark.operators.multimodal import (
+        decode_image_bmp,
+        extract_image_features_bmp,
+    )
+
+    # 3x2 image with known channel means (padding exercised: 3*3=9 -> 12)
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    data = _make_bmp(3, 2, rows)
+    w, h, r, g, b = decode_image_bmp(data)
+    assert (w, h) == (3, 2)
+    flat = [px for row in rows for px in row]
+    assert r == sum(p[0] for p in flat) / 6
+    assert g == sum(p[1] for p in flat) / 6
+    assert b == sum(p[2] for p in flat) / 6
+    # distributed path matches the direct decode
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id bigint, media binary")
+    got = extract_image_features_bmp(df).collect()[0]
+    assert (got["width"], got["height"]) == (3, 2)
+    assert (got["mean_r"], got["mean_g"], got["mean_b"]) == (r, g, b)
+    # non-BMP rejected loudly, not mis-parsed
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_image_bmp(b"PNG not really")
