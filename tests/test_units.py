@@ -1067,3 +1067,49 @@ def test_bmp_decode_exact_dims_and_means(spark):
 
     with _pytest.raises(Exception):
         decode_image_bmp(b"PNG not really")
+
+
+def test_token_budget_select_semantics(spark):
+    """Bucket-prefix greedy: full high buckets all in, threshold
+    bucket takes its (score desc, id) prefix, budget never exceeded,
+    and higher-scored docs are never skipped for lower ones across
+    buckets."""
+    from ora_ch_spark.operators.sampling import token_budget_select
+
+    rows = [
+        # (doc_id, score, tokens) — bucket width 10 → buckets 9, 8, 7
+        (1, 95.0, 40), (2, 93.0, 40),      # bucket 9: 80 tokens
+        (3, 85.0, 30), (4, 83.0, 30),      # bucket 8: 60
+        (5, 75.0, 50), (6, 73.0, 50),      # bucket 7: 100
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double, n_tokens bigint")
+    sel = token_budget_select(df, budget=170, score_col="score",
+                              bucket_width=10.0).collect()
+    ids = sorted(r["doc_id"] for r in sel)
+    # buckets 9+8 fully in (140); threshold bucket 7 has remain=30 →
+    # doc 5 (50 tokens) overflows the prefix → nothing from bucket 7
+    assert ids == [1, 2, 3, 4]
+    assert sum(r["n_tokens"] for r in sel) <= 170
+    # budget covering part of bucket 7 exactly: remain 190-140=50 → doc 5
+    sel2 = token_budget_select(df, budget=190, score_col="score",
+                               bucket_width=10.0).collect()
+    assert sorted(r["doc_id"] for r in sel2) == [1, 2, 3, 4, 5]
+    # budget larger than corpus → everything
+    sel3 = token_budget_select(df, budget=10_000, score_col="score",
+                               bucket_width=10.0).collect()
+    assert len(sel3) == 6
+
+
+def test_ivf_assign_pandas_equals_jvm(spark, sf_smoke):
+    """The BLAS (Arrow-batched numpy) centroid assignment and the
+    pure-JVM aggregate form must pick IDENTICAL centroids — same
+    exact-int dots, same IEEE cosine, same lowest-id tie rule."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    a = {r["vec_id"]: r["centroid"]
+         for r in ivf_assign(emb, assign_impl="pandas").collect()}
+    b = {r["vec_id"]: r["centroid"]
+         for r in ivf_assign(emb, assign_impl="jvm").collect()}
+    assert a == b and len(a) > 0
