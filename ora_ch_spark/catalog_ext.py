@@ -1313,6 +1313,58 @@ FROM orders GROUP BY 1
 """
 
 
+_BUDGET_TOKENS = 20000
+
+
+def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection over documents, best (length)
+    score first — bucket-prefix contract (width 50)."""
+    from ora_ch_spark.operators.sampling import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score"),
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_select(
+        d, budget=_BUDGET_TOKENS, score_col="score", bucket_width=50.0
+    )
+
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, cast(n_chars as double) AS score,
+         cast(len(string_split(lower(text), ' ')) as bigint) AS n_tokens,
+         cast(floor(n_chars / 50.0) as bigint) AS bkt
+  FROM documents
+),
+pb AS (SELECT bkt, sum(n_tokens) AS btoks FROM d GROUP BY 1),
+run AS (
+  SELECT bkt, btoks,
+         sum(btoks) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pb
+),
+fullb AS (SELECT bkt FROM run WHERE cum <= {_BUDGET_TOKENS}),
+thr AS (
+  SELECT bkt, {_BUDGET_TOKENS} - (cum - btoks) AS remain
+  FROM run WHERE cum > {_BUDGET_TOKENS} AND cum - btoks < {_BUDGET_TOKENS}
+),
+selthr AS (
+  SELECT doc_id, score, n_tokens FROM (
+    SELECT d.doc_id, d.score, d.n_tokens, thr.remain,
+           sum(d.n_tokens) OVER (PARTITION BY d.bkt
+             ORDER BY d.score DESC, d.doc_id
+             ROWS UNBOUNDED PRECEDING) AS c
+    FROM d JOIN thr USING (bkt)
+  ) WHERE c <= remain
+)
+SELECT d.doc_id, d.score, d.n_tokens FROM d JOIN fullb USING (bkt)
+UNION ALL
+SELECT * FROM selthr
+"""
+
+
 def streaming_dedup_wm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native bounded-state dedup over the event stream. The testdata
     ships one parquet file per table, so availableNow runs a single
@@ -2576,6 +2628,8 @@ EXT_QUERIES: list[QueryDef] = [
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
     QueryDef("streaming_dedup_within_wm", streaming_dedup_wm_q, STREAMING_DEDUP_WM_ORACLE,
              "native bounded-state streaming dedup (dropDuplicatesWithinWatermark)"),
+    QueryDef("token_budget_select", token_budget_select_q, TOKEN_BUDGET_ORACLE,
+             "greedy token-budget corpus sizing (bucketed two-phase, no global sort)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),

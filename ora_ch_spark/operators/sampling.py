@@ -237,6 +237,58 @@ def weighted_sample(
     return keys.orderBy(F.desc("sel_key"), F.asc(id_col)).limit(n)
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_width: float = 0.001,
+) -> DataFrame:
+    """Greedy token-budget selection: take documents best-score-first
+    until ``budget`` tokens are spent — the final sizing step of
+    corpus assembly (fix total training tokens, keep the best docs).
+
+    Scale-correct by construction: a naive global sort + running sum
+    is a single-partition window. Instead the selection is two-phase:
+    (1) score buckets (width ``bucket_width``) aggregate to a TINY
+    per-bucket token-total frame whose descending running sum finds
+    the threshold bucket; (2) buckets strictly inside the budget take
+    ALL their docs (a broadcast-join filter — no ordering needed),
+    and only the single threshold bucket runs an exact
+    (score desc, id) prefix window, partitioned by the bucket —
+    bounded work however large the corpus. The contract is
+    bucket-prefix greedy: deterministic and engine-replayable.
+    """
+    d = df.select(id_col, score_col, tokens_col).withColumn(
+        "__bkt", F.floor(F.col(score_col) / F.lit(bucket_width)).cast("bigint")
+    )
+    per_bucket = d.groupBy("__bkt").agg(F.sum(tokens_col).alias("__btoks"))
+    wb = Window.orderBy(F.desc("__bkt")).rowsBetween(Window.unboundedPreceding, 0)
+    running = per_bucket.withColumn("__cum", F.sum("__btoks").over(wb))
+    full_buckets = running.filter(F.col("__cum") <= budget).select("__bkt")
+    thr = running.filter(
+        (F.col("__cum") > budget) & (F.col("__cum") - F.col("__btoks") < budget)
+    ).select(
+        "__bkt",
+        (F.lit(budget) - (F.col("__cum") - F.col("__btoks"))).alias("__remain"),
+    )
+    base_cols = [id_col, score_col, tokens_col]
+    sel_full = d.join(F.broadcast(full_buckets), "__bkt").select(*base_cols)
+    wt = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sel_thr = (
+        d.join(F.broadcast(thr), "__bkt")
+        .withColumn("__c", F.sum(tokens_col).over(wt))
+        .filter(F.col("__c") <= F.col("__remain"))
+        .select(*base_cols)
+    )
+    return sel_full.unionByName(sel_thr)
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,
