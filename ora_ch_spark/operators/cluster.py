@@ -37,7 +37,48 @@ def _sqdist(a: str, b: str):
     )
 
 
-def _assign(q: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+def _assign(
+    q: DataFrame, cents: DataFrame, id_col: str, impl: str = "pandas"
+) -> DataFrame:
+    """Nearest-centroid assignment (argmin squared distance, tie →
+    lowest cluster id). Same dual form as
+    ``similarity._argmax_centroid`` (bit-equality asserted by tests):
+
+    - ``pandas`` (default): Arrow-batched numpy — d² expands to
+      |m|² + |c|² − 2·m·c with ONE int64 matmul per batch against the
+      driver-collected centroid matrix (k×dims ints). All-integer →
+      exact; argmin first-min = lowest cluster. No shuffle.
+    - ``jvm``: the corpus×centroids product through interpreted
+      higher-order functions + a struct-min agg — correct everywhere
+      numpy isn't, but the product cost dominates at scale (see
+      PLANS.md scale-stress table for the IVF twin of this plan).
+    """
+    if impl == "pandas":
+        import numpy as np
+        import pandas as pdl
+
+        crows = sorted(cents.collect(), key=lambda r: r["cluster"])
+        c_ids = np.array([r["cluster"] for r in crows], dtype=np.int64)
+        C = np.array([r["cq"] for r in crows], dtype=np.int64)
+        c_sq = (C * C).sum(axis=1)
+
+        def batches(it):
+            for pdf in it:
+                M = np.array(pdf["qe"].tolist(), dtype=np.int64)
+                d = (M * M).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (M @ C.T)
+                best = d.argmin(axis=1)  # first min = lowest cluster
+                yield pdl.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cluster": c_ids[best],
+                        "dist": d[np.arange(len(best)), best],
+                    }
+                )
+
+        assigned = q.select(id_col, "qe").mapInPandas(
+            batches, schema=f"{id_col} bigint, cluster bigint, dist bigint"
+        ).withColumn("cluster", F.col("cluster").cast("int"))
+        return assigned.join(q, id_col).select(id_col, "cluster", "dist", "qe")
     return (
         q.crossJoin(F.broadcast(cents))
         .withColumn("dist", _sqdist("qe", "cq"))

@@ -400,3 +400,20 @@ def test_semdedup_contract(spark, sf_smoke):
         assert r["witness_id"] < r["vec_id"]
         assert clusters[r["witness_id"]] == clusters[r["vec_id"]] == r["cluster"]
         assert exact[(r["witness_id"], r["vec_id"])] == r["cosine"]
+
+
+def test_kmeans_assign_pandas_equals_jvm(spark, sf_smoke):
+    """The BLAS and JVM nearest-centroid forms pick identical
+    (cluster, dist) for every vector — exact-int distances, same
+    lowest-id tie rule."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.cluster import _assign, _fit
+    from ora_ch_spark.operators.similarity import quantize
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q, cents = _fit(emb, k=8, iters=2, id_col="vec_id", emb_col="embedding")
+    a = {r["vec_id"]: (r["cluster"], r["dist"])
+         for r in _assign(q, cents, "vec_id", impl="pandas").collect()}
+    b = {r["vec_id"]: (r["cluster"], r["dist"])
+         for r in _assign(q, cents, "vec_id", impl="jvm").collect()}
+    assert a == b and len(a) > 0
