@@ -1313,6 +1313,31 @@ FROM orders GROUP BY 1
 """
 
 
+def streaming_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase ⋈ click
+    within the prior hour, per user)."""
+    import os as _os
+    import uuid as _uuid
+
+    from ora_ch_spark.streaming.watermark import streaming_stream_join
+
+    return streaming_stream_join(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        query_name=f"ssj_{_uuid.uuid4().hex[:8]}",
+    )
+
+
+STREAMING_STREAM_JOIN_ORACLE = """
+SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+       epoch_us(l.ts::TIMESTAMP) - epoch_us(r.ts::TIMESTAMP) AS gap_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'click'
+ AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 60 MINUTE
+"""
+
+
 _BUDGET_TOKENS = 20000
 
 
@@ -2548,9 +2573,10 @@ FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
 # candidate-pruning-only or value-preserving and are pinned by local
 # differential tests (dedup_minhash_lsh, dedup_ngram_jaccard,
 # dedup_incremental, dedup_components, pipeline_ingest_batch), plus
-# one never-gated thin wrapper (streaming_dedup_within_wm — a native
-# Spark operator whose key-set oracle runs in the full LOCAL parity
-# suite like every tail entry).
+# three late-session never-gated entries that no longer fit
+# (streaming_dedup_within_wm, token_budget_select,
+# streaming_stream_join) — their oracles run in the full LOCAL parity
+# suite (tests/test_parity.py covers every entry, window or tail).
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
@@ -2630,6 +2656,8 @@ EXT_QUERIES: list[QueryDef] = [
              "native bounded-state streaming dedup (dropDuplicatesWithinWatermark)"),
     QueryDef("token_budget_select", token_budget_select_q, TOKEN_BUDGET_ORACLE,
              "greedy token-budget corpus sizing (bucketed two-phase, no global sort)"),
+    QueryDef("streaming_stream_join", streaming_stream_join_q, STREAMING_STREAM_JOIN_ORACLE,
+             "watermarked stream-stream interval join (stateful join, bounded state)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),

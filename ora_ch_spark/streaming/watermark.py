@@ -164,3 +164,79 @@ def streaming_dedup_within_watermark(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    within_minutes: int = 60,
+    watermark_delay: str = "10 minutes",
+    query_name: str = "stream_join_out",
+) -> DataFrame:
+    """STREAM-STREAM inner join — the stateful join class of
+    Structured Streaming: two watermarked event streams join per user
+    with a time-bound condition (right event lands within
+    ``within_minutes`` BEFORE the left event). Both sides buffer
+    state; the watermarks + the time-range predicate are what let
+    Spark EVICT buffered rows (an unbounded stream-stream join
+    without them grows state forever — the 100 TB design point).
+
+    Single-batch availableNow over the one-file testdata makes the
+    emitted set exactly the batch join's — differential-testable; the
+    same query on a live multi-batch stream emits incrementally with
+    identical total results within the watermark horizon."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="stream_ssj_src_")
+        src = os.path.abspath(events_path)
+        os.symlink(src, os.path.join(d, os.path.basename(src)))
+        events_path = d
+    from ora_ch_spark.io import normalize_ts
+
+    static = spark.read.parquet(events_path)
+    stream = normalize_ts(
+        spark.readStream.schema(static.schema).parquet(events_path)
+    )
+    left = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark_delay)
+    )
+    right = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark_delay)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"""l_user = r_user AND
+                r_ts <= l_ts AND
+                r_ts >= l_ts - INTERVAL {within_minutes} MINUTES"""
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_id",
+        "r_id",
+        (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
