@@ -2218,6 +2218,78 @@ WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
 """
 
 
+def sim_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-5 by ADC distance: 4 subspaces × 16 codes,
+    full integer-kmeans training replayed by the oracle."""
+    from ora_ch_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, query_ids=emb.filter("vec_id < 10"))
+
+
+def _pq_oracle(m: int = 4, k: int = 16, sub: int = 16, topk: int = 5) -> str:
+    """Replays PQ end-to-end: per-subspace Lloyd (init = first k ids,
+    one floor-of-mean update), encode via the final codebooks, ADC
+    table from the query rows of the same distance relation, summed
+    lookups ranked ascending."""
+    blocks = []
+    for s in range(m):
+        lo = s * sub
+        blocks.append(f"""
+sub{s} AS (SELECT vec_id, v, i - {lo} AS j FROM e WHERE i > {lo} AND i <= {lo + sub}),
+c0_{s} AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS code, vec_id
+  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k})
+),
+ce0_{s} AS (SELECT c0_{s}.code, s.j, s.v FROM c0_{s} JOIN sub{s} s USING (vec_id)),
+d1_{s} AS (
+  SELECT s.vec_id, ce.code, sum((s.v - ce.v) * (s.v - ce.v)) AS dist
+  FROM sub{s} s JOIN ce0_{s} ce ON s.j = ce.j GROUP BY 1, 2
+),
+a1_{s} AS (
+  SELECT vec_id, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+    FROM d1_{s}) WHERE rn = 1
+),
+ce1_{s} AS (
+  SELECT a1.code, s.j,
+         cast(floor(cast(sum(s.v) as double) / count(*)) as bigint) AS v
+  FROM a1_{s} a1 JOIN sub{s} s USING (vec_id) GROUP BY 1, 2
+),
+d2_{s} AS (
+  SELECT s.vec_id, ce.code, sum((s.v - ce.v) * (s.v - ce.v)) AS dist
+  FROM sub{s} s JOIN ce1_{s} ce ON s.j = ce.j GROUP BY 1, 2
+),
+enc_{s} AS (
+  SELECT vec_id, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+    FROM d2_{s}) WHERE rn = 1
+),
+dt_{s} AS (SELECT vec_id AS q_id, code, dist FROM d2_{s} WHERE vec_id < 10)""")
+    parts = "\n  UNION ALL\n".join(
+        f"  SELECT dt_{s}.q_id, e{s}.vec_id AS n_id, dt_{s}.dist"
+        f" FROM enc_{s} e{s} JOIN dt_{s} ON e{s}.code = dt_{s}.code"
+        for s in range(m)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+{",".join(blocks)},
+parts AS (
+{parts}
+),
+adc AS (
+  SELECT q_id, n_id, sum(dist) AS adc_dist
+  FROM parts WHERE q_id != n_id GROUP BY 1, 2
+)
+SELECT q_id, n_id,
+       cast(row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist, n_id) as int) AS rank,
+       adc_dist
+FROM adc QUALIFY rank <= {topk}
+"""
+
+
 def sim_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a LEARNED coarse quantizer: the k-means
     centroids (k=16, 2 Lloyd iterations) replace the first-16-by-id
@@ -2658,6 +2730,8 @@ EXT_QUERIES: list[QueryDef] = [
              "greedy token-budget corpus sizing (bucketed two-phase, no global sort)"),
     QueryDef("streaming_stream_join", streaming_stream_join_q, STREAMING_STREAM_JOIN_ORACLE,
              "watermarked stream-stream interval join (stateful join, bounded state)"),
+    QueryDef("sim_topk_pq", sim_topk_pq_q, _pq_oracle(),
+             "product-quantization top-5 by ADC (4x16 codebooks, full training replay)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),

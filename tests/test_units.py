@@ -1113,3 +1113,48 @@ def test_ivf_assign_pandas_equals_jvm(spark, sf_smoke):
     b = {r["vec_id"]: r["centroid"]
          for r in ivf_assign(emb, assign_impl="jvm").collect()}
     assert a == b and len(a) > 0
+
+
+def test_pq_adc_recall_floor_vs_exact_l2(spark, sf_smoke):
+    """PQ ADC top-5 must retrieve a reasonable share of the exact
+    squared-L2 top-5 (ADC approximates L2, not cosine) — pins that
+    the codebooks actually quantize the space, not just run."""
+    from pyspark.sql import Window
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import pq_topk
+    from ora_ch_spark.operators.similarity import quantize
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    got = {
+        (r["q_id"], r["n_id"])
+        for r in pq_topk(emb, query_ids=qids).collect()
+    }
+    q = quantize(emb).select("vec_id", "qe")
+    pairs = (
+        q.selectExpr("vec_id as q_id", "qe as qa")
+        .filter("q_id < 10")
+        .crossJoin(q.selectExpr("vec_id as n_id", "qe as qb"))
+        .filter("q_id != n_id")
+        .selectExpr(
+            "q_id", "n_id",
+            "aggregate(zip_with(qa, qb, (x, y) -> (x-y)*(x-y)), 0L,"
+            " (acc, v) -> acc + v) as d",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("n_id"))
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5").collect()
+    }
+    # Uniform-random synthetic vectors are PQ's adversarial case:
+    # neighbors are near-equidistant, so coarse codebooks can't
+    # separate them (measured 24-36% across m/k here, vs ~1% for
+    # random retrieval — structured real embeddings do far better).
+    # The floor pins "far better than chance", the hash-matched
+    # oracle pins algorithmic correctness.
+    assert len(got & truth) >= int(0.2 * len(truth)), (
+        f"PQ recall {len(got & truth)}/{len(truth)}"
+    )
