@@ -2645,10 +2645,11 @@ FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
 # candidate-pruning-only or value-preserving and are pinned by local
 # differential tests (dedup_minhash_lsh, dedup_ngram_jaccard,
 # dedup_incremental, dedup_components, pipeline_ingest_batch), plus
-# three late-session never-gated entries that no longer fit
+# four late-session never-gated entries that no longer fit
 # (streaming_dedup_within_wm, token_budget_select,
-# streaming_stream_join) — their oracles run in the full LOCAL parity
-# suite (tests/test_parity.py covers every entry, window or tail).
+# streaming_stream_join, sim_topk_pq) — their oracles run in the full
+# LOCAL parity suite (tests/test_parity.py covers every entry,
+# window or tail).
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),

@@ -72,13 +72,18 @@ def _assign(
                         id_col: pdf[id_col],
                         "cluster": c_ids[best],
                         "dist": d[np.arange(len(best)), best],
+                        "qe": pdf["qe"],
                     }
                 )
 
-        assigned = q.select(id_col, "qe").mapInPandas(
-            batches, schema=f"{id_col} bigint, cluster bigint, dist bigint"
+        # id type from the frame; qe echoes through the batch — no
+        # corpus join-back (see similarity._argmax_centroid)
+        id_type = dict(q.dtypes)[id_col]
+        return q.select(id_col, "qe").mapInPandas(
+            batches,
+            schema=f"{id_col} {id_type}, cluster bigint, dist bigint, "
+                   f"qe array<bigint>",
         ).withColumn("cluster", F.col("cluster").cast("int"))
-        return assigned.join(q, id_col).select(id_col, "cluster", "dist", "qe")
     return (
         q.crossJoin(F.broadcast(cents))
         .withColumn("dist", _sqdist("qe", "cq"))
@@ -111,6 +116,19 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def seed_centroids(q: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Deterministic seeding shared by k-means and PQ training (the
+    rule every trajectory-replay oracle encodes): the k lowest-id
+    vectors become clusters 0..k-1."""
+    w = Window.orderBy(id_col)
+    return (
+        q.orderBy(id_col)
+        .limit(k)
+        .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
+        .select("cluster", F.col("qe").alias("cq"))
+    )
+
+
 def _fit(
     emb: DataFrame, k: int, iters: int, id_col: str, emb_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -120,13 +138,7 @@ def _fit(
         raise ValueError(f"iters must be >= 1, got {iters}")
     par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     q = quantize(emb.repartition(par), emb_col, "qe").select(id_col, "qe").persist()
-    w = Window.orderBy(id_col)
-    cents = (
-        q.orderBy(id_col)
-        .limit(k)
-        .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
-        .select("cluster", F.col("qe").alias("cq"))
-    )
+    cents = seed_centroids(q, k, id_col)
     for _ in range(iters - 1):
         cents = _update(_assign(q, cents, id_col))
     return q, cents

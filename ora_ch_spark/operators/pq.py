@@ -27,18 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ora_ch_spark.operators.cluster import _assign, _update
+from ora_ch_spark.operators.cluster import _assign, _update, seed_centroids
 from ora_ch_spark.operators.similarity import quantize
-
-
-def _init_centroids(qs: DataFrame, k: int, id_col: str) -> DataFrame:
-    w = Window.orderBy(id_col)
-    return (
-        qs.orderBy(id_col)
-        .limit(k)
-        .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
-        .select("cluster", F.col("qe").alias("cq"))
-    )
 
 
 def pq_topk(
@@ -47,13 +37,18 @@ def pq_topk(
     m: int = 4,
     k_codes: int = 16,
     k: int = 5,
-    dims: int = 64,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
     """PQ-compressed approximate top-k by ADC distance (ascending,
     ties → lowest neighbor id). Returns (q_id, n_id, rank, adc_dist
-    bigint)."""
+    bigint). Dimensionality is DERIVED from the data — trusting a
+    parameter would let a mismatched corpus train half-empty
+    subspaces and rank on a truncated vector without any error."""
+    first = emb.select(F.size(emb_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding frame")
+    dims = first["d"]
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub = dims // m
@@ -68,7 +63,7 @@ def pq_topk(
         qs = q.select(
             id_col, F.expr(f"slice(qe, {s * sub + 1}, {sub})").alias("qe")
         ).persist()
-        cents = _update(_assign(qs, _init_centroids(qs, k_codes, id_col), id_col))
+        cents = _update(_assign(qs, seed_centroids(qs, k_codes, id_col), id_col))
         enc = _assign(qs, cents, id_col).select(
             F.col(id_col).alias("n_id"), F.col("cluster").alias("code")
         )

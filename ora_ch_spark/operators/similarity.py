@@ -393,13 +393,22 @@ def _argmax_centroid(
                 cos = dots / (qn[:, None] * s_norm[None, :])
                 best = cos.argmax(axis=1)  # first max = lowest c_id
                 yield pdl.DataFrame(
-                    {id_col: pdf[id_col], "centroid": c_ids[best]}
+                    {
+                        id_col: pdf[id_col],
+                        "centroid": c_ids[best],
+                        "qe": pdf["qe"],
+                    }
                 )
 
-        assigned = q.select(id_col, "qe").mapInPandas(
-            batches, schema=f"{id_col} bigint, centroid bigint"
+        # id type taken from the frame (ids are not always bigint),
+        # and qe ECHOES through the batch — re-attaching it with a
+        # corpus join would be exactly the array-carrying shuffle
+        # this path exists to avoid
+        id_type = dict(q.dtypes)[id_col]
+        return q.select(id_col, "qe").mapInPandas(
+            batches,
+            schema=f"{id_col} {id_type}, centroid bigint, qe array<bigint>",
         )
-        return assigned.join(q, id_col).select(id_col, "centroid", "qe")
     scored = with_cosine(
         q.select(F.col(id_col), F.col("qe")).crossJoin(seeds), qa="qe", qb="qc"
     ).select(id_col, "c_id", "cosine").persist()

@@ -124,15 +124,22 @@ def test_kmeans_separable_clusters_and_determinism(spark):
 
 
 def test_kmeans_assign_broadcasts_centroids(spark, sf_smoke):
+    """The centroid side must never shuffle the corpus: the default
+    (pandas) assignment is a join-free narrow map (MapInPandas); the
+    jvm fallback broadcasts the centroids. Neither may sort-merge."""
     from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.cluster import _assign, _fit
 
     emb = load_table(spark, sf_smoke, "embeddings")
     p = _plan(kmeans_assign(emb, k=4, iters=1))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, (
-        "centroid side must broadcast — a shuffled centroid join would "
-        "repartition the corpus per iteration"
-    )
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
     assert "SortMergeJoin" not in p
+    q, cents = _fit(emb, k=4, iters=1, id_col="vec_id", emb_col="embedding")
+    pj = _plan(_assign(q, cents, "vec_id", impl="jvm"))
+    assert "BroadcastNestedLoopJoin" in pj or "BroadcastExchange" in pj, (
+        "jvm fallback: centroid side must broadcast — a shuffled "
+        "centroid join would repartition the corpus per iteration"
+    )
 
 
 def test_quantile_filter_median_semantics(spark):
