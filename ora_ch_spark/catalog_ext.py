@@ -2548,6 +2548,155 @@ FROM events""")
     return "\nUNION ALL\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py) — distinct counts and
+# quantiles as per-group summaries merged WITHOUT re-scanning the
+# base table; the `__all__` row in each result is computed purely
+# from the per-group sketch rows (register max / count sum).
+# ---------------------------------------------------------------------------
+
+_HLL_KEY_SPARK = None  # built inline below (user-day string)
+_HLL_KEY_SQL = (
+    "cast(user_id as varchar) || ':' || cast(cast(ts as date) as varchar)"
+)
+
+
+def hll_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct user-days (~DAU) per event_type via md5-HLL registers,
+    plus a global '__all__' row obtained by MERGING the per-type
+    registers (max per bucket) — no second scan of events. Exact
+    distincts ride along to expose the sketch error in the output."""
+    from ora_ch_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws(
+        ":", F.col("user_id"), F.col("ts").cast("date").cast("string")
+    )
+    base = ev.select(F.col("event_type").alias("grp"), key.alias("k"))
+    reg = SK.hll_registers(base, F.col("k"), ["grp"]).persist()
+    merged = (
+        SK.hll_merge(reg.drop("grp"), [])
+        .withColumn("grp", F.lit("__all__"))
+        .select("grp", "bucket", "M")
+    )
+    est = SK.hll_estimate(reg.unionByName(merged), ["grp"])
+    exact = base.groupBy("grp").agg(
+        F.countDistinct("k").alias("exact_distinct")
+    )
+    exact_all = base.agg(
+        F.lit("__all__").alias("grp"),
+        F.countDistinct("k").alias("exact_distinct"),
+    )
+    out = est.join(
+        exact.unionByName(exact_all), "grp", "inner"
+    ).select("grp", "n_buckets", "est_distinct", "exact_distinct")
+    reg.unpersist()
+    return out
+
+
+def _hll_rollup_oracle() -> str:
+    from ora_ch_spark.operators.sketches import ALPHA_M2, HLL_M, W
+
+    return f"""
+WITH h AS (
+  SELECT event_type AS grp,
+         {_HLL_KEY_SQL} AS k,
+         ('0x' || substr(md5({_HLL_KEY_SQL}), 1, 15))::BIGINT AS hv
+  FROM events
+),
+reg AS (
+  SELECT grp, hv % {HLL_M} AS bucket,
+         max(CASE WHEN hv // {HLL_M} = 0 THEN {W + 1}
+                  ELSE {W + 1} - length(bin(hv // {HLL_M})) END) AS M
+  FROM h GROUP BY 1, 2
+),
+regall AS (
+  SELECT grp, bucket, M FROM reg
+  UNION ALL
+  SELECT '__all__' AS grp, bucket, max(M) AS M FROM reg GROUP BY 2
+),
+pg AS (SELECT grp, max(M) AS maxM, count(*) AS V FROM regall GROUP BY 1),
+zs AS (
+  SELECT r.grp, pg.maxM, pg.V,
+         sum(1::BIGINT << cast(pg.maxM - r.M as int))::BIGINT AS Zobs
+  FROM regall r JOIN pg USING (grp) GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT grp, cast(V as bigint) AS n_buckets,
+         {ALPHA_M2!r} * power(2.0, maxM)
+           / cast(Zobs + ({HLL_M} - V) * (1::BIGINT << cast(maxM as int)) as double)
+           AS est_distinct
+  FROM zs
+),
+ex AS (
+  SELECT grp, count(DISTINCT k) AS exact_distinct FROM h GROUP BY 1
+  UNION ALL
+  SELECT '__all__' AS grp, count(DISTINCT k) AS exact_distinct FROM h
+)
+SELECT grp, n_buckets, est_distinct, exact_distinct
+FROM est JOIN ex USING (grp)
+"""
+
+
+HIST_WIDTH = 5.0
+
+
+def hist_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value per event_type from a fixed-width
+    histogram sketch; the '__all__' row merges the per-type histograms
+    (count sum per bin) — again no base-table re-scan."""
+    from ora_ch_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed(
+        "event_type", "grp"
+    )
+    hist = SK.histogram_sketch(ev, "value", ["grp"], HIST_WIDTH).persist()
+    merged = (
+        hist.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("grp", F.lit("__all__"))
+        .select("grp", "bin", "cnt")
+    )
+    out = SK.histogram_quantiles(
+        hist.unionByName(merged), ["grp"], HIST_WIDTH
+    )
+    hist.unpersist()
+    return out
+
+
+def _hist_quantile_oracle() -> str:
+    # bespoke replay (operators/sketches.py histogram_oracle_sql is the
+    # single-level form) with the merged '__all__' histogram unioned in
+    return f"""
+WITH hist0 AS (
+  SELECT event_type AS grp,
+         cast(floor(value / {HIST_WIDTH!r}) as bigint) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+hist AS (
+  SELECT grp, bin, cnt FROM hist0
+  UNION ALL
+  SELECT '__all__' AS grp, bin, sum(cnt) AS cnt FROM hist0 GROUP BY 2
+),
+cum AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS total
+  FROM hist
+)
+SELECT grp, cast(sum(cnt) as bigint) AS n,
+       cast(min(CASE WHEN cast(cum as double) >= 0.5 * cast(total as double)
+                THEN bin END) + 1 as double) * {HIST_WIDTH!r} AS p50,
+       cast(min(CASE WHEN cast(cum as double) >= 0.9 * cast(total as double)
+                THEN bin END) + 1 as double) * {HIST_WIDTH!r} AS p90,
+       cast(min(CASE WHEN cast(cum as double) >= 0.99 * cast(total as double)
+                THEN bin END) + 1 as double) * {HIST_WIDTH!r} AS p99
+FROM cum GROUP BY grp
+"""
+
+
 def diversity_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.cluster import diversity_sample
 
@@ -2634,22 +2783,20 @@ FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
 
 
 # Ordering note: the driver's correctness gate checks the first 50
-# catalog entries (20 core + first 30 here). The 30-slot window holds
-# (a) never-gated entries — the round-4 additions (incl. semdedup /
-# scd2 / zorder / incremental_agg / resample / mixture / weighted /
-# asof directions / pipeline_assemble_corpus) plus asof_join /
-# streaming_window_agg / pipeline_clean_corpus — and (b) the
-# highest-priority re-gates (events_sessionize fix; winnowed
-# dedup_substring). The window cannot fit everything: the tail holds
-# entries hash-proven in rounds 1-3 whose r4 deltas are
+# catalog entries (14 core after catalog.py's _ROTATED_TO_TAIL
+# rotation + the first 36 here). The window holds every entry that
+# has never received a CORRECTNESS row — the round-4 additions (incl.
+# semdedup / scd2 / zorder / incremental_agg / resample / mixture /
+# weighted / asof directions / pipeline_assemble_corpus / the sketch
+# rollups / streaming_dedup_within_wm / token_budget_select /
+# streaming_stream_join / sim_topk_pq) — plus the highest-priority
+# re-gates (events_sessionize fix; winnowed dedup_substring). The
+# tail holds entries hash-proven in rounds 1-3 whose later deltas are
 # candidate-pruning-only or value-preserving and are pinned by local
 # differential tests (dedup_minhash_lsh, dedup_ngram_jaccard,
-# dedup_incremental, dedup_components, pipeline_ingest_batch), plus
-# four late-session never-gated entries that no longer fit
-# (streaming_dedup_within_wm, token_budget_select,
-# streaming_stream_join, sim_topk_pq) — their oracles run in the full
-# LOCAL parity suite (tests/test_parity.py covers every entry,
-# window or tail).
+# dedup_incremental, dedup_components, pipeline_ingest_batch, the
+# rotated core SQL battery) — the full LOCAL parity suite
+# (tests/test_parity.py) still runs every entry, window or tail.
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
@@ -2711,6 +2858,18 @@ EXT_QUERIES: list[QueryDef] = [
              "concat-and-chunk sequence-packing manifest (shard, offset, seq span)"),
     QueryDef("pipeline_assemble_corpus", pipeline_assemble_q, _assemble_oracle(),
              "assembly composite: exact dedup -> mixture -> packing manifest rollup"),
+    QueryDef("hll_distinct_rollup", hll_distinct_rollup_q, _hll_rollup_oracle(),
+             "mergeable md5-HLL distinct user-days per type + register-merged global"),
+    QueryDef("hist_quantile_sketch", hist_quantile_sketch_q, _hist_quantile_oracle(),
+             "mergeable fixed-width histogram p50/p90/p99 + count-sum-merged global"),
+    QueryDef("streaming_dedup_within_wm", streaming_dedup_wm_q, STREAMING_DEDUP_WM_ORACLE,
+             "native bounded-state streaming dedup (dropDuplicatesWithinWatermark)"),
+    QueryDef("token_budget_select", token_budget_select_q, TOKEN_BUDGET_ORACLE,
+             "greedy token-budget corpus sizing (bucketed two-phase, no global sort)"),
+    QueryDef("streaming_stream_join", streaming_stream_join_q, STREAMING_STREAM_JOIN_ORACLE,
+             "watermarked stream-stream interval join (stateful join, bounded state)"),
+    QueryDef("sim_topk_pq", sim_topk_pq_q, _pq_oracle(),
+             "product-quantization top-5 by ADC (4x16 codebooks, full training replay)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's
@@ -2725,14 +2884,6 @@ EXT_QUERIES: list[QueryDef] = [
              "char-4-gram Jaccard near-dedup with (lang,source) blocking"),
     QueryDef("dedup_incremental", dedup_incremental_q, _incremental_oracle(),
              "batch-vs-corpus incremental dedup (exact digest + banded MinHash probe)"),
-    QueryDef("streaming_dedup_within_wm", streaming_dedup_wm_q, STREAMING_DEDUP_WM_ORACLE,
-             "native bounded-state streaming dedup (dropDuplicatesWithinWatermark)"),
-    QueryDef("token_budget_select", token_budget_select_q, TOKEN_BUDGET_ORACLE,
-             "greedy token-budget corpus sizing (bucketed two-phase, no global sort)"),
-    QueryDef("streaming_stream_join", streaming_stream_join_q, STREAMING_STREAM_JOIN_ORACLE,
-             "watermarked stream-stream interval join (stateful join, bounded state)"),
-    QueryDef("sim_topk_pq", sim_topk_pq_q, _pq_oracle(),
-             "product-quantization top-5 by ADC (4x16 codebooks, full training replay)"),
     QueryDef("pipeline_ingest_batch", pipeline_ingest_batch_q, _ingest_batch_oracle(),
              "continuous-crawl composite: screen batch, dedup vs corpus, per-source stats"),
     QueryDef("dedup_components", dedup_components_q, _components_oracle(),

@@ -1,0 +1,98 @@
+"""Mergeable-sketch operator properties (operators/sketches.py).
+
+Value parity vs DuckDB is covered by test_parity (hll_distinct_rollup /
+hist_quantile_sketch); these tests pin the SKETCH contracts the parity
+hash can't see: bounded size, merge associativity/idempotence, and
+accuracy bounds of the estimators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ora_ch_spark.io import load_table
+from ora_ch_spark.operators import sketches as SK
+
+
+def _reg(spark, sf):
+    ev = load_table(spark, sf, "events")
+    key = F.concat_ws(
+        ":", F.col("user_id"), F.col("ts").cast("date").cast("string")
+    )
+    base = ev.select(F.col("event_type").alias("grp"), key.alias("k"))
+    return base, SK.hll_registers(base, F.col("k"), ["grp"])
+
+
+def test_hll_register_table_bounded(spark, sf_correct):
+    _, reg = _reg(spark, sf_correct)
+    sizes = reg.groupBy("grp").count().collect()
+    assert sizes and all(r["count"] <= SK.HLL_M for r in sizes)
+
+
+def test_hll_merge_equals_direct_global_sketch(spark, sf_correct):
+    """Merging per-group registers must equal the sketch computed on
+    the ungrouped data — the property that lets a 100 TB rollup merge
+    per-day sketches instead of re-scanning."""
+    base, reg = _reg(spark, sf_correct)
+    merged = SK.hll_merge(reg.drop("grp"), [])
+    direct = SK.hll_registers(
+        base.withColumn("g", F.lit(1)), F.col("k"), ["g"]
+    ).drop("g")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # idempotence: merging the merged sketch with itself is a no-op
+    twice = SK.hll_merge(merged.unionByName(merged), [])
+    assert twice.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_accuracy(spark, sf_correct):
+    """Raw HLL with m=64 has σ ≈ 1.04/√64 ≈ 13%; assert every
+    per-group estimate lands within 3σ of the exact distinct."""
+    base, reg = _reg(spark, sf_correct)
+    est = {r["grp"]: r["est_distinct"] for r in SK.hll_estimate(reg, ["grp"]).collect()}
+    exact = {
+        r["grp"]: r["n"]
+        for r in base.groupBy("grp").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.40, (g, est[g], n)
+
+
+def test_histogram_merge_and_quantile_bound(spark, sf_correct):
+    ev = load_table(spark, sf_correct, "events").withColumnRenamed(
+        "event_type", "grp"
+    )
+    width = 5.0
+    hist = SK.histogram_sketch(ev, "value", ["grp"], width)
+    # merge = count sum: global histogram from per-group histograms
+    merged = (
+        hist.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+        .withColumn("grp", F.lit("__all__"))
+        .select("grp", "bin", "cnt")
+    )
+    direct = (
+        SK.histogram_sketch(
+            ev.withColumn("grp", F.lit("__all__")), "value", ["grp"], width
+        )
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # quantile error ≤ bin width vs the exact percentile
+    q = SK.histogram_quantiles(merged, ["grp"], width).collect()[0]
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    ).collect()[0]
+    assert abs(q["p50"] - exact["p50"]) <= width
+    assert abs(q["p99"] - exact["p99"]) <= width
+
+
+def test_histogram_sketch_rows_bounded(spark, sf_correct):
+    ev = load_table(spark, sf_correct, "events").withColumnRenamed(
+        "event_type", "grp"
+    )
+    hist = SK.histogram_sketch(ev, "value", ["grp"], 5.0)
+    n_bins = hist.groupBy("grp").count().collect()
+    # value range ~[0, 500) / width 5 → ≤ ~100 bins per group
+    assert all(r["count"] <= 120 for r in n_bins)
