@@ -902,6 +902,8 @@ _ROTATED_TO_TAIL = frozenset(
         "rollup_agg",
         "percentiles",
         "json_extract_agg",
+        "pivot_agg",
+        "correlated_subquery",
     }
 )
 

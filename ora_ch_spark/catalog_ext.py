@@ -2587,11 +2587,9 @@ def hll_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("grp"),
         F.countDistinct("k").alias("exact_distinct"),
     )
-    out = est.join(
+    return est.join(
         exact.unionByName(exact_all), "grp", "inner"
     ).select("grp", "n_buckets", "est_distinct", "exact_distinct")
-    reg.unpersist()
-    return out
 
 
 def _hll_rollup_oracle() -> str:
@@ -2657,11 +2655,9 @@ def hist_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("grp", F.lit("__all__"))
         .select("grp", "bin", "cnt")
     )
-    out = SK.histogram_quantiles(
+    return SK.histogram_quantiles(
         hist.unionByName(merged), ["grp"], HIST_WIDTH
     )
-    hist.unpersist()
-    return out
 
 
 def _hist_quantile_oracle() -> str:
@@ -2694,6 +2690,112 @@ SELECT grp, cast(sum(cnt) as bigint) AS n,
        cast(min(CASE WHEN cast(cum as double) >= 0.99 * cast(total as double)
                 THEN bin END) + 1 as double) * {HIST_WIDTH!r} AS p99
 FROM cum GROUP BY grp
+"""
+
+
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the top-20 users by
+    exact event count: (user_id, exact_cnt, est_cnt) with
+    est_cnt ≥ exact_cnt (CMS one-sided error). The sketch is 4×256
+    counters regardless of input size; per-slice sketches merge by
+    counter sum (operators/sketches.py cms_merge)."""
+    from ora_ch_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(F.col("user_id").cast("string").alias("k"))
+    cms = SK.cms_build(base, F.col("k")).persist()
+    exact = base.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = SK.cms_estimate(cms, exact.select("k"), "k")
+    top = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("k").cast("bigint")
+    ).limit(20)
+    return top.join(est, "k", "inner").select(
+        F.col("k").cast("bigint").alias("user_id"), "exact_cnt", "est_cnt"
+    )
+
+
+def _cms_oracle() -> str:
+    from ora_ch_spark.operators.sketches import cms_oracle_sql
+
+    est = cms_oracle_sql("cast(user_id as varchar)", "events")
+    return f"""
+WITH est AS ({est}),
+ex AS (
+  SELECT cast(user_id as varchar) AS k, cast(count(*) as bigint) AS exact_cnt
+  FROM events GROUP BY 1
+),
+top AS (SELECT * FROM ex ORDER BY exact_cnt DESC, cast(k as bigint) LIMIT 20)
+SELECT cast(t.k as bigint) AS user_id, t.exact_cnt, e.est_cnt
+FROM top t JOIN est e USING (k)
+"""
+
+
+BLOOM_THR = 400000.0
+
+
+def bloom_prune_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter in front of a fact⋈dim semi-join: build the
+    filter over high-value order keys, prune lineitem with k
+    broadcast position probes, exact-join the survivors. One row:
+    (n_fact, n_bloom_pass, n_exact, n_false_pos) — quantifying the
+    shuffle rows the filter saves and the FP overhead it costs."""
+    from ora_ch_spark.operators import bloomjoin as BJ
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > BLOOM_THR
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bloom = BJ.bloom_build(orders, "o_orderkey").persist()
+    pruned = BJ.bloom_prune(li, "l_orderkey", bloom).persist()
+    exact = pruned.join(
+        F.broadcast(orders.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        li.agg(F.count(F.lit(1)).alias("n_fact"))
+        .crossJoin(pruned.agg(F.count(F.lit(1)).alias("n_bloom_pass")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            "n_fact",
+            "n_bloom_pass",
+            "n_exact",
+            (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pos"),
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    from ora_ch_spark.operators.bloomjoin import BLOOM_K, BLOOM_M
+
+    def pos(i: str) -> str:
+        return (
+            f"('0x' || substr(md5('bf{i}' || ':' || k), 1, 15))::BIGINT % {BLOOM_M}"
+        )
+
+    builds = "\nUNION ALL\n".join(
+        f"SELECT {pos(i)} AS pos FROM keys" for i in range(BLOOM_K)
+    )
+    probes = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bloom b WHERE b.pos = {pos(i)})"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH keys AS (
+  SELECT o_orderkey, cast(o_orderkey as varchar) AS k
+  FROM orders WHERE o_totalprice > {BLOOM_THR!r}
+),
+bloom AS (SELECT DISTINCT pos FROM ({builds})),
+fact AS (SELECT l_orderkey, cast(l_orderkey as varchar) AS k FROM lineitem),
+passed AS (SELECT * FROM fact WHERE {probes})
+SELECT
+  (SELECT cast(count(*) as bigint) FROM lineitem) AS n_fact,
+  (SELECT cast(count(*) as bigint) FROM passed) AS n_bloom_pass,
+  (SELECT cast(count(*) as bigint) FROM passed p
+    WHERE EXISTS (SELECT 1 FROM keys kk WHERE kk.o_orderkey = p.l_orderkey)) AS n_exact,
+  (SELECT cast(count(*) as bigint) FROM passed) -
+  (SELECT cast(count(*) as bigint) FROM passed p
+    WHERE EXISTS (SELECT 1 FROM keys kk WHERE kk.o_orderkey = p.l_orderkey)) AS n_false_pos
 """
 
 
@@ -2862,6 +2964,10 @@ EXT_QUERIES: list[QueryDef] = [
              "mergeable md5-HLL distinct user-days per type + register-merged global"),
     QueryDef("hist_quantile_sketch", hist_quantile_sketch_q, _hist_quantile_oracle(),
              "mergeable fixed-width histogram p50/p90/p99 + count-sum-merged global"),
+    QueryDef("cms_heavy_hitters", cms_heavy_hitters_q, _cms_oracle(),
+             "count-min-sketch top-20 frequency estimates (4x256, counter-sum merge)"),
+    QueryDef("bloom_prune_join", bloom_prune_join_q, _bloom_oracle(),
+             "Bloom semi-join pre-filter: k broadcast position probes before exact join"),
     QueryDef("streaming_dedup_within_wm", streaming_dedup_wm_q, STREAMING_DEDUP_WM_ORACLE,
              "native bounded-state streaming dedup (dropDuplicatesWithinWatermark)"),
     QueryDef("token_budget_select", token_budget_select_q, TOKEN_BUDGET_ORACLE,

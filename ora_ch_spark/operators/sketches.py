@@ -164,6 +164,90 @@ FROM zs
 """
 
 
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+
+
+def cms_build(df: DataFrame, key: Column, weight: Column | None = None) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): d×w counter
+    table ``(row, col, c)`` — each input item increments counter
+    (i, md5(i:key) mod w) for every hash row i. Built here from one
+    scan via a union of d cheap projections (Catalyst collapses them
+    into one Expand over the scan); merge = counter SUM, so per-slice
+    sketches roll up without re-scanning. d·w = 1024 cells regardless
+    of input size."""
+    w = weight if weight is not None else F.lit(1).cast("bigint")
+    parts = [
+        df.select(
+            F.lit(i).alias("row"),
+            (md5_long(F.concat_ws(":", F.lit(str(i)), key)) % CMS_W).alias("col"),
+            w.alias("w"),
+        )
+        for i in range(CMS_D)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("row", "col").agg(F.sum("w").alias("c"))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge unioned CMS counter tables: counter sum per cell."""
+    return sketches.groupBy("row", "col").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-frequency estimates for ``keys``: min over the d rows of
+    the addressed counters (classic CMS upper-bound estimate — exact
+    count ≤ estimate, overestimate only from collisions). Implemented
+    as d chained broadcast joins of the ≤ w-row per-hash counter
+    slices onto the keys frame — one pass over keys, the sketch never
+    shuffles, and no key-side join is needed to recombine rows (which
+    would plan as sort-merge joins on unstatted frames)."""
+    out = keys
+    for i in range(CMS_D):
+        cms_i = cms.filter(F.col("row") == i).select(
+            F.col("col").alias(f"__col{i}"), F.col("c").alias(f"__c{i}")
+        )
+        out = (
+            out.withColumn(
+                f"__col{i}",
+                md5_long(F.concat_ws(":", F.lit(str(i)), F.col(key_col))) % CMS_W,
+            )
+            .join(F.broadcast(cms_i), f"__col{i}", "inner")
+            .drop(f"__col{i}")
+        )
+    return out.select(
+        key_col,
+        F.least(*[F.col(f"__c{i}") for i in range(CMS_D)]).alias("est_cnt"),
+    )
+
+
+def cms_oracle_sql(
+    key_sql: str, relation: str, key_alias: str = "k", where: str = "TRUE"
+) -> str:
+    """DuckDB replay: build + estimate for every distinct key."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, ('0x' || substr(md5('{i}' || ':' || {key_sql}), 1, 15))::BIGINT % {CMS_W} AS col, 1 AS w\n"
+        f"FROM {relation} WHERE {where}"
+        for i in range(CMS_D)
+    )
+    probes = "\nUNION ALL\n".join(
+        f"SELECT {key_alias}, {i} AS row, ('0x' || substr(md5('{i}' || ':' || cast({key_alias} as varchar)), 1, 15))::BIGINT % {CMS_W} AS col FROM keys"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH cms AS (
+  SELECT row, col, cast(sum(w) as bigint) AS c FROM ({unions}) GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT {key_sql} AS {key_alias} FROM {relation} WHERE {where}),
+probe AS ({probes})
+SELECT p.{key_alias}, cast(min(c.c) as bigint) AS est_cnt
+FROM probe p JOIN cms c ON c.row = p.row AND c.col = p.col
+GROUP BY 1
+"""
+
+
 def histogram_sketch(
     df: DataFrame, value_col: str, group_cols: list[str], width: float
 ) -> DataFrame:

@@ -96,3 +96,55 @@ def test_histogram_sketch_rows_bounded(spark, sf_correct):
     n_bins = hist.groupBy("grp").count().collect()
     # value range ~[0, 500) / width 5 → ≤ ~100 bins per group
     assert all(r["count"] <= 120 for r in n_bins)
+
+
+def test_cms_one_sided_error_and_merge(spark, sf_correct):
+    """CMS estimates are upper bounds (est ≥ exact for EVERY key), and
+    merging two half-sketches by counter sum equals the sketch of the
+    whole input."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_correct, "events")
+    base = ev.select(F.col("user_id").cast("string").alias("k")).persist()
+    cms = SK.cms_build(base, F.col("k"))
+    exact = base.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    est = SK.cms_estimate(cms, exact.select("k"), "k")
+    j = exact.join(est, "k", "inner")
+    assert j.filter(F.col("est_cnt") < F.col("exact")).count() == 0
+    assert j.count() == exact.count()
+    # merge: split on a deterministic predicate, sketch halves, sum
+    h1 = SK.cms_build(base.filter(F.md5(F.col("k")).startswith("a") == False), F.col("k"))  # noqa: E712
+    h2 = SK.cms_build(base.filter(F.md5(F.col("k")).startswith("a")), F.col("k"))
+    merged = SK.cms_merge(h1.unionByName(h2))
+    assert merged.exceptAll(cms).count() == 0
+    assert cms.exceptAll(merged).count() == 0
+    base.unpersist()
+
+
+def test_bloom_prune_superset_and_fp_bound(spark, sf_correct):
+    """Bloom pruning never drops a true match (exact ⊆ pruned ⊆ fact)
+    and the false-positive rate stays within ~2x the analytic bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.operators import bloomjoin as BJ
+
+    orders = load_table(spark, sf_correct, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    )
+    li = load_table(spark, sf_correct, "lineitem")
+    bloom = BJ.bloom_build(orders, "o_orderkey").persist()
+    pruned = BJ.bloom_prune(li, "l_orderkey", bloom).persist()
+    dim = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+    exact = li.join(F.broadcast(dim), "l_orderkey", "left_semi")
+    # no true match lost
+    assert exact.join(pruned, ["l_orderkey", "l_linenumber"], "left_anti").count() == 0
+    n_keys = orders.count()
+    n_fact, n_pass, n_exact = li.count(), pruned.count(), exact.count()
+    assert n_exact <= n_pass <= n_fact
+    p_fp = (1 - math.exp(-BJ.BLOOM_K * n_keys / BJ.BLOOM_M)) ** BJ.BLOOM_K
+    observed = (n_pass - n_exact) / max(1, n_fact - n_exact)
+    assert observed <= 2 * p_fp + 0.01, (observed, p_fp)
+    bloom.unpersist()
+    pruned.unpersist()
