@@ -50,8 +50,10 @@ Reference operations mapped here:
 
 from __future__ import annotations
 
+import base64
 import datetime
 import decimal
+import hashlib
 import json
 import os
 import re
@@ -133,9 +135,56 @@ def _dec_stat(v, tag):
     raise ValueError(tag)
 
 
-def _file_entry(abs_path: str, rel_path: str) -> dict:
+# ---- per-file Bloom value index (string-equality skipping) ----------
+# Parquet string min/max are untrusted (truncation), so string
+# predicates get NO zone-map skipping. The scale fix is the one
+# Iceberg (puffin blobs), Delta (bloom index) and parquet itself
+# (column bloom filters) use: a small per-file Bloom filter over the
+# column's distinct values, consulted at planning time — `col = 'x'`
+# drops every file whose filter proves absence, with zero Spark jobs.
+# md5-derived hashes keep the probe engine-agnostic and deterministic.
+
+_BLOOM_MAX_BITS = 1 << 17  # 16 KiB per column per file, hard cap
+_BLOOM_K = 6  # with ~10 bits/value → ~1% false positives
+
+
+def _bloom_hashes(value: str, m: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"bfidx{i}:{value}".encode()).hexdigest()[:15], 16) % m
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(values: set[str]) -> dict:
+    bits = 1024
+    while bits < 10 * len(values) and bits < _BLOOM_MAX_BITS:
+        bits <<= 1
+    buf = bytearray(bits // 8)
+    for v in values:
+        for p in _bloom_hashes(v, bits):
+            buf[p >> 3] |= 1 << (p & 7)
+    return {
+        "m": bits,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+    }
+
+
+def _bloom_might_contain(bloom: dict, value: str) -> bool:
+    buf = base64.b64decode(bloom["b64"])
+    return all(
+        buf[p >> 3] & (1 << (p & 7)) for p in _bloom_hashes(value, bloom["m"])
+    )
+
+
+def _file_entry(
+    abs_path: str, rel_path: str, bloom_columns: list[str] | None = None
+) -> dict:
     """One manifest entry: row count + per-column min/max from the
-    parquet footer (the same metadata Iceberg manifests carry)."""
+    parquet footer (the same metadata Iceberg manifests carry), plus
+    optional per-column Bloom filters over distinct string values
+    (built from a single-column read of the just-written file — the
+    write-time cost that buys planning-time file skipping)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -188,12 +237,21 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
         for c in complete
         if c in mins and c in maxs
     }
-    return {
+    entry = {
         "path": rel_path,
         "rows": md.num_rows,
         "bytes": os.path.getsize(abs_path),
         "stats": stats,
     }
+    want = [c for c in (bloom_columns or []) if c in md.schema.names]
+    if want:
+        tbl = pq.read_table(abs_path, columns=want)
+        blooms = {}
+        for c in want:
+            vals = {v for v in tbl.column(c).to_pylist() if v is not None}
+            blooms[c] = _bloom_build({str(v) for v in vals})
+        entry["bloom"] = blooms
+    return entry
 
 
 # ---- zone-map predicate classification ------------------------------
@@ -205,7 +263,7 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
 
 _LITERAL_RE = (
     r"(?:timestamp\s*'(?P<ts>[^']+)'|date\s*'(?P<date>[^']+)'|"
-    r"(?P<num>-?\d+(?:\.\d+)?))"
+    r"(?P<num>-?\d+(?:\.\d+)?)|'(?P<str>[^']*)')"
 )
 _COND_RE = re.compile(
     r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>>=|<=|=|<|>)\s*" + _LITERAL_RE + r"\s*$"
@@ -233,6 +291,8 @@ def _parse_simple_conjunction(predicate: str):
                 v = datetime.date.fromisoformat(m.group("date"))
             except ValueError:
                 return None
+        elif m.group("str") is not None:
+            v = m.group("str")  # binary-collation point comparisons
         else:
             n = m.group("num")
             v = float(n) if "." in n else int(n)
@@ -282,6 +342,8 @@ def _classify_partition_file(fe: dict, conds) -> str | None:
                 x = datetime.datetime.fromisoformat(raw)
             elif isinstance(v, datetime.date):
                 x = datetime.date.fromisoformat(raw)
+            elif isinstance(v, str):
+                x = raw
             else:
                 return None
         except ValueError:
@@ -299,7 +361,14 @@ def _classify_file(fe: dict, conds) -> str:
     for col, op, v in conds:
         s = fe["stats"].get(col)
         if s is None:
-            verdicts.append("maybe")
+            # strings carry no zone map, but an equality against a
+            # Bloom-indexed column can still prove absence ('none');
+            # presence is only ever probabilistic → 'maybe', never 'all'
+            bl = fe.get("bloom", {}).get(col) if isinstance(v, str) else None
+            if bl is not None and op == "=" and not _bloom_might_contain(bl, v):
+                verdicts.append("none")
+            else:
+                verdicts.append("maybe")
             continue
         try:
             lo, hi = _dec_stat(*s["min"]), _dec_stat(*s["max"])
@@ -584,11 +653,20 @@ class TableStore:
 
     # ---- commit machinery ------------------------------------------
     def _write_group(
-        self, schema: str, table: str, df: DataFrame, partition_by: list[str] | None
+        self,
+        schema: str,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        bloom_columns: list[str] | None = None,
     ) -> tuple[str, list[dict]]:
         """Materialize ``df`` as a new immutable file group; returns
         (relative group path, manifest file entries). Data lands fully
-        before any manifest references it."""
+        before any manifest references it. ``bloom_columns`` defaults
+        to the table's current manifest setting, so append / rewrite /
+        compaction keep the file index without knowing about it."""
+        if bloom_columns is None and self.table_exists(schema, table):
+            bloom_columns = self._manifest(schema, table).get("bloom_columns") or None
         tdir = self._tdir(schema, table)
         rel = os.path.join("data", f"g-{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}")
         gdir = os.path.join(tdir, rel)
@@ -604,7 +682,9 @@ class TableStore:
                 if not fn.endswith(".parquet"):
                     continue
                 ap = os.path.join(dirpath, fn)
-                entries.append(_file_entry(ap, os.path.relpath(ap, tdir)))
+                entries.append(
+                    _file_entry(ap, os.path.relpath(ap, tdir), bloom_columns)
+                )
         return rel, entries
 
     @staticmethod
@@ -694,6 +774,7 @@ class TableStore:
         df: DataFrame,
         partition_by: list[str] | None = None,
         meta: dict | None = None,
+        bloom_columns: list[str] | None = None,
     ) -> str:
         """Full snapshot (recreate/overwrite): one new group holding
         all data; previous snapshot stays readable until GC retention
@@ -709,7 +790,11 @@ class TableStore:
         only the metadata commit (manifest + pointer + GC) locks."""
         tdir = self._tdir(schema, table)
         os.makedirs(tdir, exist_ok=True)
-        rel, entries = self._write_group(schema, table, df, partition_by)
+        # write() is authoritative for the Bloom-index setting: passing
+        # None on a recreate drops the index (like any other DDL reset)
+        rel, entries = self._write_group(
+            schema, table, df, partition_by, bloom_columns or []
+        )
         try:
             with self._lock:
                 self._commit(
@@ -718,6 +803,7 @@ class TableStore:
                     {
                         "schema": df.schema.json(),
                         "partition_by": partition_by or [],
+                        "bloom_columns": bloom_columns or [],
                         "groups": [rel],
                         "files": entries,
                         "meta": meta or {},

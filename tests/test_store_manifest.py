@@ -623,3 +623,65 @@ def test_compact_with_cluster_by_preserves_pruning(spark, tmp_path):
     # the dirty layout scanned strictly more of its files
     assert len(kept_dirty) / tot_dirty > len(kept_clean) / tot_clean
     assert store.read_pruned("ch", "ev", pred).count() == expected
+
+
+def test_bloom_index_prunes_string_equality(spark, tmp_path):
+    """Per-file Bloom value index: `col = 'x'` skips files whose
+    filter proves absence (zero Spark jobs), never changes results,
+    and appends inherit the index setting from the manifest."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "bl"))
+    store.create_database("ch")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # value-cluster files by source so equality has files to skip
+    store.write(
+        "ch", "docs", docs.repartitionByRange(4, "source"),
+        bloom_columns=["source", "lang"],
+    )
+    val = docs.select("source").distinct().orderBy("source").first()[0]
+    keep, total = store.prune_files("ch", "docs", f"source = '{val}'")
+    assert total == 4 and len(keep) < total
+    # absent value → every file provably empty, no scan at all
+    keep0, _ = store.prune_files("ch", "docs", "source = '___absent___'")
+    assert keep0 == []
+    # result identical to the unpruned filter
+    a = sorted(r["doc_id"] for r in store.read_pruned("ch", "docs", f"source = '{val}'").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in store.read("ch", "docs").filter(f"source = '{val}'").collect()
+    )
+    assert a == b and a
+    # conjunction with a numeric zone-map cond composes
+    keep2, _ = store.prune_files(
+        "ch", "docs", f"source = '{val}' and doc_id >= 0"
+    )
+    assert len(keep2) <= len(keep)
+    # append without bloom args inherits the index
+    store.append("ch", "docs", docs.limit(7))
+    fe = store._manifest("ch", "docs")["files"][-1]
+    assert set(fe["bloom"]) == {"source", "lang"}
+    # recreate WITHOUT bloom_columns drops it (write is authoritative)
+    store.write("ch", "docs", docs)
+    assert "bloom" not in store._manifest("ch", "docs")["files"][0]
+
+
+def test_bloom_index_probe_runs_zero_spark_jobs(spark, tmp_path, monkeypatch):
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "bl0"))
+    store.create_database("ch")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store.write(
+        "ch", "docs", docs.repartitionByRange(4, "source"),
+        bloom_columns=["source"],
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("prune_files must not launch Spark jobs")
+
+    monkeypatch.setattr(spark.sparkContext, "runJob", _boom)
+    keep, total = store.prune_files("ch", "docs", "source = 'src0'")
+    assert total == 4 and len(keep) <= total
