@@ -904,6 +904,8 @@ _ROTATED_TO_TAIL = frozenset(
         "json_extract_agg",
         "pivot_agg",
         "correlated_subquery",
+        "string_functions",
+        "events_hourly",
     }
 )
 

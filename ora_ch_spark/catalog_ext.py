@@ -2799,6 +2799,91 @@ SELECT
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 72 * 3600  # spreads the sf0.01 cohort 35/50/65 across levels
+
+
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH windowFunnel-style conversion depth (first-anchor rule):
+    view → click → purchase within 72 h of each user's first view;
+    rolled up to (level, n_users)."""
+    from ora_ch_spark.operators.funnel import funnel_counts, window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        window_funnel(ev, list(FUNNEL_STEPS), FUNNEL_WINDOW_S)
+    )
+
+
+def _funnel_oracle() -> str:
+    w = FUNNEL_WINDOW_S * 1_000_000
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS et FROM events),
+f1 AS (SELECT u, min(us) AS t1 FROM b WHERE et = '{s1}' GROUP BY 1),
+f2 AS (
+  SELECT f1.u, f1.t1,
+         min(CASE WHEN b.us > f1.t1 AND b.us <= f1.t1 + {w} THEN b.us END) AS t2
+  FROM f1 LEFT JOIN b ON b.u = f1.u AND b.et = '{s2}'
+  GROUP BY 1, 2
+),
+f3 AS (
+  SELECT f2.u, f2.t1, f2.t2,
+         min(CASE WHEN b.us > f2.t2 AND b.us <= f2.t1 + {w} THEN b.us END) AS t3
+  FROM f2 LEFT JOIN b ON b.u = f2.u AND b.et = '{s3}'
+  GROUP BY 1, 2, 3
+),
+lv AS (
+  SELECT u, cast(1 + (t2 IS NOT NULL)::int + (t3 IS NOT NULL)::int as int) AS level
+  FROM f3
+)
+SELECT level, cast(count(*) as bigint) AS n_users FROM lv GROUP BY 1
+"""
+
+
+RETENTION_CONDS = (
+    "event_type = 'signup' AND ts < timestamp'2024-01-08 00:00:00'",
+    "event_type = 'purchase' AND ts >= timestamp'2024-01-08 00:00:00'"
+    " AND ts < timestamp'2024-01-15 00:00:00'",
+    "event_type = 'purchase' AND ts >= timestamp'2024-01-15 00:00:00'"
+    " AND ts < timestamp'2024-01-22 00:00:00'",
+    "event_type = 'purchase' AND ts >= timestamp'2024-01-22 00:00:00'"
+    " AND ts < timestamp'2024-01-29 00:00:00'",
+)
+
+
+def retention_cohort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH retention()-style weekly cohort: users who signed up in the
+    first week, seen PURCHASING in each of the next three weeks."""
+    from ora_ch_spark.operators.funnel import retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention(ev, list(RETENTION_CONDS))
+
+
+def _retention_oracle() -> str:
+    flags = ",\n         ".join(
+        f"max(CASE WHEN {c} THEN 1 ELSE 0 END) AS f{i}"
+        for i, c in enumerate(RETENTION_CONDS)
+    )
+    sums = ", ".join(
+        f"sum(f0 * f{i}) AS r{i}" for i in range(len(RETENTION_CONDS))
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT cast({i} as int) AS cond_index, cast(r{i} as bigint) AS n_users FROM s"
+        for i in range(len(RETENTION_CONDS))
+    )
+    return f"""
+WITH f AS (
+  SELECT user_id,
+         {flags}
+  FROM events GROUP BY 1
+),
+s AS (SELECT {sums} FROM f)
+{rows}
+"""
+
+
 def diversity_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.cluster import diversity_sample
 
@@ -2966,6 +3051,10 @@ EXT_QUERIES: list[QueryDef] = [
              "mergeable fixed-width histogram p50/p90/p99 + count-sum-merged global"),
     QueryDef("cms_heavy_hitters", cms_heavy_hitters_q, _cms_oracle(),
              "count-min-sketch top-20 frequency estimates (4x256, counter-sum merge)"),
+    QueryDef("funnel_conversion", funnel_conversion_q, _funnel_oracle(),
+             "CH windowFunnel-style view->click->purchase depth (first-anchor, 1h)"),
+    QueryDef("retention_cohort", retention_cohort_q, _retention_oracle(),
+             "CH retention()-style weekly cohort flags (one-pass conditional aggs)"),
     QueryDef("bloom_prune_join", bloom_prune_join_q, _bloom_oracle(),
              "Bloom semi-join pre-filter: k broadcast position probes before exact join"),
     QueryDef("streaming_dedup_within_wm", streaming_dedup_wm_q, STREAMING_DEDUP_WM_ORACLE,

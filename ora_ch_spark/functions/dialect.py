@@ -340,6 +340,55 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     out = _rewrite_calls(out, "formatDateTime", _format_dt)
 
+    # ---- aggregate-function surface (CH combinators and named aggs
+    # with direct Spark equivalents; the -If combinator family maps to
+    # conditional aggregation, CH's arg-extrema to max_by/min_by) ----
+    out = _rewrite_calls(
+        out, "countIf", lambda a: f"count_if({a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "sumIf", lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)"
+    )
+    out = _rewrite_calls(
+        out, "avgIf", lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)"
+    )
+    out = _rewrite_calls(
+        out, "minIf", lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)"
+    )
+    out = _rewrite_calls(
+        out, "maxIf", lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)"
+    )
+    out = _rewrite_calls(out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
+    # NOTE: CH `uniq()` is approximate; Spark's approx_count_distinct
+    # is the same ROLE but a different sketch — values drift, so the
+    # rewrite is still emitted (it is what a CH user means) and the
+    # deviation is documented here rather than silently exact.
+    out = _rewrite_calls(out, "uniq", lambda a: f"approx_count_distinct({', '.join(a)})")
+    out = _rewrite_calls(out, "argMax", lambda a: f"max_by({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "argMin", lambda a: f"min_by({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "groupArray", lambda a: f"collect_list({a[0]})")
+    out = _rewrite_calls(out, "groupUniqArray", lambda a: f"collect_set({a[0]})")
+    out = _rewrite_calls(out, "anyLast", lambda a: f"last({a[0]})")
+    # NOTE: CH `any(x)` (first value) is NOT rewritten — `any` is also
+    # valid Spark SQL with DIFFERENT semantics (boolean-OR aggregate),
+    # so a rewrite would corrupt already-ANSI text (same idempotence
+    # rule as `position` above). CH users port it to first() by hand.
+
+    # ---- array surface ----
+    # arrayJoin(arr) unrolls the array into rows ≡ Spark's explode in
+    # a SELECT list (CH allows it anywhere; Spark restricts generator
+    # placement — same restriction CH users hit porting by hand)
+    out = _rewrite_calls(out, "arrayJoin", lambda a: f"explode({a[0]})")
+    out = _rewrite_calls(out, "has", lambda a: f"array_contains({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "indexOf", lambda a: f"array_position({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "arrayDistinct", lambda a: f"array_distinct({a[0]})")
+    out = _rewrite_calls(out, "arraySort", lambda a: f"array_sort({a[0]})")
+    out = _rewrite_calls(out, "arrayConcat", lambda a: f"concat({', '.join(a)})")
+    out = _rewrite_calls(out, "toStartOfHour", lambda a: f"date_trunc({lit('HOUR')}, {a[0]})")
+    out = _rewrite_calls(out, "toStartOfQuarter", lambda a: f"trunc({a[0]}, {lit('QUARTER')})")
+    out = _rewrite_calls(out, "toQuarter", lambda a: f"quarter({a[0]})")
+    out = _rewrite_calls(out, "toDayOfWeek", lambda a: f"weekday({a[0]}) + 1")
+
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out
     masked = re.sub(

@@ -1,0 +1,118 @@
+"""Event-funnel and retention analytics — the ClickHouse
+``windowFunnel()`` / ``retention()`` aggregate surface re-expressed as
+Spark operators.
+
+The reference's target dialect ships these as parameterized aggregate
+functions (a CH user's event-analytics queries lean on them heavily);
+Spark has no direct equivalent, so they are operators here:
+
+- :func:`window_funnel` — per-user conversion depth through an ordered
+  step sequence within a time window, anchored at the user's EARLIEST
+  step-1 event (the standard first-conversion funnel). CH's
+  ``windowFunnel`` additionally retries chains from every step-1
+  event; the first-anchor rule is the common product-analytics
+  definition and — unlike the retry form — replays exactly in ANSI
+  SQL for the differential gate. Deviation documented here.
+
+- :func:`retention` — CH ``retention(cond0, cond1, …)``: of the users
+  satisfying cond0, how many also satisfy each later condition. Same
+  flag algebra as CH (r_i = f_0 AND f_i), aggregated in one pass.
+
+Scale posture: both are one shuffle on ``user_col``. The funnel's
+per-step refinements are conditional-min aggregations over the
+already-grouped frame (each step joins the step events once and
+re-groups on the user — partial aggregation applies, no windows over
+hot keys); retention is a single groupBy with conditional-max flags,
+the cheapest possible shape. Timestamps compare as integer
+microseconds (``unix_micros``) so the window arithmetic is
+engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel depth: ``(user, level)`` where level k means
+    steps[0..k-1] occurred in strict time order, all within
+    ``window_seconds`` of the user's earliest step-1 event. Nulls
+    cascade: a missing step i leaves every later step null, so
+    ``level = 1 + #non-null later steps`` is the chain length."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    us = F.unix_micros(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("u"), us.alias("us"), F.col(type_col).alias("et")
+    )
+    out = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("us").alias("t1"))
+    )
+    w_us = window_seconds * 1_000_000
+    for i, step in enumerate(steps[1:], start=2):
+        si = base.filter(F.col("et") == step).select("u", F.col("us").alias("si"))
+        prev = F.col(f"t{i - 1}")
+        keep = [f"t{j}" for j in range(1, i)]
+        out = (
+            out.join(si, "u", "left")
+            .withColumn(
+                "__q",
+                F.when(
+                    (F.col("si") > prev) & (F.col("si") <= F.col("t1") + w_us),
+                    F.col("si"),
+                ),
+            )
+            .groupBy("u", *keep)
+            .agg(F.min("__q").alias(f"t{i}"))
+        )
+    level = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        level = level + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return out.select(F.col("u").alias(user_col), level.cast("int").alias("level"))
+
+
+def funnel_counts(per_user: DataFrame) -> DataFrame:
+    """Roll the per-user levels up to ``(level, n_users)``."""
+    return per_user.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def retention(
+    events: DataFrame,
+    conds: list[str],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """CH ``retention()``: one row per condition index with the count
+    of users satisfying cond0 AND cond_i (index 0 = the cond0 cohort
+    itself). ``conds`` are SQL boolean expressions over the event
+    row. One groupBy, conditional-max flags — a single pass."""
+    if not conds:
+        raise ValueError("retention needs at least one condition")
+    n = len(conds)
+    flags = [
+        F.max(F.when(F.expr(c), 1).otherwise(0)).alias(f"f{i}")
+        for i, c in enumerate(conds)
+    ]
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(*flags)
+    sums = per_user.agg(
+        *[
+            F.sum((F.col("f0") * F.col(f"f{i}")).cast("bigint")).alias(f"r{i}")
+            for i in range(n)
+        ]
+    )
+    # unpivot the single summary row — one aggregation pass total
+    stack = ", ".join(f"{i}, r{i}" for i in range(n))
+    return sums.selectExpr(
+        f"stack({n}, {stack}) as (cond_index, n_users)"
+    ).select(F.col("cond_index").cast("int"), F.col("n_users").cast("bigint"))

@@ -1158,3 +1158,36 @@ def test_pq_adc_recall_floor_vs_exact_l2(spark, sf_smoke):
     assert len(got & truth) >= int(0.2 * len(truth)), (
         f"PQ recall {len(got & truth)}/{len(truth)}"
     )
+
+
+def test_dialect_aggregate_and_array_surface(spark):
+    """Round-4 dialect additions: -If combinators, arg-extrema,
+    group arrays, arrayJoin/has, calendar starts — translated text
+    must be valid Spark SQL AND compute CH semantics."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.createDataFrame(
+        [(1, "a", 10.0, ["x", "y"]), (1, "b", 30.0, ["y"]), (2, "c", 20.0, [])],
+        "k int, name string, v double, tags array<string>",
+    ).createOrReplaceTempView("dlx")
+    rows = spark.sql(
+        T("""select k, countIf(v > 15.0) AS big, sumIf(v, v > 15.0) AS bigsum,
+                    argMax(name, v) AS topname, uniqExact(name) AS n,
+                    groupUniqArray(name) AS names
+             from dlx group by k order by k""")
+    ).collect()
+    assert rows[0]["big"] == 1 and rows[0]["bigsum"] == 30.0
+    assert rows[0]["topname"] == "b" and rows[0]["n"] == 2
+    assert rows[1]["big"] == 1 and rows[1]["topname"] == "c"
+    tags = spark.sql(
+        T("select arrayJoin(tags) AS tag from dlx where has(tags, 'x')")
+    ).collect()
+    assert sorted(r["tag"] for r in tags) == ["x", "y"]
+    # idempotence: Spark's OWN any() boolean aggregate must survive
+    assert T("select any(v > 1) from t") == "select any(v > 1) from t"
+    dow = spark.sql(
+        T("select toDayOfWeek(timestamp'2024-01-01 10:00:00') AS d, "
+          "toStartOfHour(timestamp'2024-01-01 10:30:00') AS h")
+    ).collect()[0]
+    assert dow["d"] == 1  # 2024-01-01 is a Monday; CH counts Mon=1
+    assert str(dow["h"]) == "2024-01-01 10:00:00"
