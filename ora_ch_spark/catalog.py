@@ -906,6 +906,7 @@ _ROTATED_TO_TAIL = frozenset(
         "correlated_subquery",
         "string_functions",
         "events_hourly",
+        "ntile_export_slices",
     }
 )
 

@@ -2884,6 +2884,34 @@ s AS (SELECT {sums} FROM f)
 """
 
 
+CHUNK_CHARS, CHUNK_OVERLAP = 300, 60
+
+
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), CHUNK_CHARS, CHUNK_OVERLAP
+    )
+
+
+def _chunk_oracle() -> str:
+    stride = CHUNK_CHARS - CHUNK_OVERLAP
+    return f"""
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(1, cast(ceil((length(text) - {CHUNK_OVERLAP}) / {stride}.0) as int)) AS n_chunks
+  FROM documents
+),
+i AS (SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS cid FROM n)
+SELECT doc_id, cast(cid as int) AS chunk_id,
+       cast(cid * {stride} + 1 as int) AS chunk_start,
+       substr(text, cast(cid * {stride} + 1 as int), {CHUNK_CHARS}) AS chunk_text,
+       n_chunks
+FROM i
+"""
+
+
 def diversity_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.cluster import diversity_sample
 
@@ -3055,6 +3083,8 @@ EXT_QUERIES: list[QueryDef] = [
              "CH windowFunnel-style view->click->purchase depth (first-anchor, 1h)"),
     QueryDef("retention_cohort", retention_cohort_q, _retention_oracle(),
              "CH retention()-style weekly cohort flags (one-pass conditional aggs)"),
+    QueryDef("chunk_documents", chunk_documents_q, _chunk_oracle(),
+             "sliding-window document chunking with overlap (sequence->explode->substr)"),
     QueryDef("bloom_prune_join", bloom_prune_join_q, _bloom_oracle(),
              "Bloom semi-join pre-filter: k broadcast position probes before exact join"),
     QueryDef("streaming_dedup_within_wm", streaming_dedup_wm_q, STREAMING_DEDUP_WM_ORACLE,

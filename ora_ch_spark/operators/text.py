@@ -412,3 +412,48 @@ def grouped_zscore_pandas(
     return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
         per_group, schema=schema
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 500,
+    overlap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window prep
+    staple): fixed-size character chunks with ``overlap`` characters
+    shared between neighbors. One row per chunk:
+    (id, chunk_id, chunk_start, chunk_text, n_chunks).
+
+    stride = chunk_chars − overlap; n_chunks = ceil((len − overlap) /
+    stride), minimum 1, so the final chunk always reaches the end of
+    the document (it may be shorter than chunk_chars; no padding).
+    Pure JVM: sequence → explode → substring — the explode fan-out is
+    len/stride rows per doc, the same linear blow-up a tokenizer
+    produces, and chunks flow straight into the dedup / packing /
+    embedding stages without re-reading the source."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(stride)),
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_id"),
+            n.alias("n_chunks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride + 1).alias("chunk_start"),
+            F.substring(
+                F.col(text_col), F.col("chunk_id") * stride + 1, chunk_chars
+            ).alias("chunk_text"),
+            "n_chunks",
+        )
+    )

@@ -81,3 +81,31 @@ def test_retention_flag_algebra(spark):
     }
     # cond0 cohort = {1,2}; of those, only u1 satisfies cond1
     assert out == {0: 2, 1: 1}
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from ora_ch_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "tiny"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_chars=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # stride 6: ceil((26-4)/6) = 4 chunks
+    assert [r["chunk_text"] for r in c1] == [
+        "abcdefghij", "ghijklmnop", "mnopqrstuv", "stuvwxyz",
+    ]
+    assert all(r["n_chunks"] == 4 for r in c1)
+    # neighbors share exactly `overlap` characters
+    for a, b in zip(c1, c1[1:]):
+        assert a["chunk_text"][-4:] == b["chunk_text"][:4]
+    # reassembly: stitching de-overlapped chunks recovers the doc
+    stitched = c1[0]["chunk_text"] + "".join(r["chunk_text"][4:] for r in c1[1:])
+    assert stitched == "abcdefghijklmnopqrstuvwxyz"
+    # short and empty docs still yield exactly one chunk
+    assert [r["chunk_text"] for r in by_doc[2]] == ["tiny"]
+    assert [r["chunk_text"] for r in by_doc[3]] == [""]
