@@ -2555,7 +2555,9 @@ FROM events""")
 # from the per-group sketch rows (register max / count sum).
 # ---------------------------------------------------------------------------
 
-_HLL_KEY_SPARK = None  # built inline below (user-day string)
+# the Spark-side key (concat_ws in hll_distinct_rollup_q) must build
+# the exact string this SQL expression builds — that pairing IS the
+# cross-engine contract
 _HLL_KEY_SQL = (
     "cast(user_id as varchar) || ':' || cast(cast(ts as date) as varchar)"
 )
@@ -2668,7 +2670,7 @@ WITH hist0 AS (
   SELECT event_type AS grp,
          cast(floor(value / {HIST_WIDTH!r}) as bigint) AS bin,
          count(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 hist AS (
   SELECT grp, bin, cnt FROM hist0
@@ -2998,8 +3000,9 @@ FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
 
 
 # Ordering note: the driver's correctness gate checks the first 50
-# catalog entries (14 core after catalog.py's _ROTATED_TO_TAIL
-# rotation + the first 36 here). The window holds every entry that
+# catalog entries (9 core after catalog.py's _ROTATED_TO_TAIL
+# rotation + the first 41 here — recount BOTH sides when adding
+# entries or rotating). The window holds every entry that
 # has never received a CORRECTNESS row — the round-4 additions (incl.
 # semdedup / scd2 / zorder / incremental_agg / resample / mixture /
 # weighted / asof directions / pipeline_assemble_corpus / the sketch
@@ -3080,7 +3083,7 @@ EXT_QUERIES: list[QueryDef] = [
     QueryDef("cms_heavy_hitters", cms_heavy_hitters_q, _cms_oracle(),
              "count-min-sketch top-20 frequency estimates (4x256, counter-sum merge)"),
     QueryDef("funnel_conversion", funnel_conversion_q, _funnel_oracle(),
-             "CH windowFunnel-style view->click->purchase depth (first-anchor, 1h)"),
+             "CH windowFunnel-style view->click->purchase depth (first-anchor, 72h)"),
     QueryDef("retention_cohort", retention_cohort_q, _retention_oracle(),
              "CH retention()-style weekly cohort flags (one-pass conditional aggs)"),
     QueryDef("chunk_documents", chunk_documents_q, _chunk_oracle(),

@@ -343,9 +343,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # ---- aggregate-function surface (CH combinators and named aggs
     # with direct Spark equivalents; the -If combinator family maps to
     # conditional aggregation, CH's arg-extrema to max_by/min_by) ----
-    out = _rewrite_calls(
-        out, "countIf", lambda a: f"count_if({a[0]})"
-    )
+    def _count_if(a: list[str]) -> str:
+        # CH combinator form countIf(x, cond) counts non-null x where
+        # cond; the common 1-arg form counts where the condition holds
+        if len(a) == 2:
+            return f"count(CASE WHEN {a[1]} THEN {a[0]} END)"
+        return f"count_if({a[0]})"
+
+    out = _rewrite_calls(out, "countIf", _count_if)
     out = _rewrite_calls(
         out, "sumIf", lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)"
     )
@@ -363,7 +368,17 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # is the same ROLE but a different sketch — values drift, so the
     # rewrite is still emitted (it is what a CH user means) and the
     # deviation is documented here rather than silently exact.
-    out = _rewrite_calls(out, "uniq", lambda a: f"approx_count_distinct({', '.join(a)})")
+    # Spark's approx_count_distinct is unary (2nd arg = rsd literal);
+    # CH's multi-expression uniq(a, b) folds through a struct
+    out = _rewrite_calls(
+        out,
+        "uniq",
+        lambda a: (
+            f"approx_count_distinct({a[0]})"
+            if len(a) == 1
+            else f"approx_count_distinct(struct({', '.join(a)}))"
+        ),
+    )
     out = _rewrite_calls(out, "argMax", lambda a: f"max_by({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "argMin", lambda a: f"min_by({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "groupArray", lambda a: f"collect_list({a[0]})")
@@ -387,7 +402,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "toStartOfHour", lambda a: f"date_trunc({lit('HOUR')}, {a[0]})")
     out = _rewrite_calls(out, "toStartOfQuarter", lambda a: f"trunc({a[0]}, {lit('QUARTER')})")
     out = _rewrite_calls(out, "toQuarter", lambda a: f"quarter({a[0]})")
-    out = _rewrite_calls(out, "toDayOfWeek", lambda a: f"weekday({a[0]}) + 1")
+    out = _rewrite_calls(out, "toDayOfWeek", lambda a: f"(weekday({a[0]}) + 1)")
 
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out

@@ -65,7 +65,9 @@ def hll_registers(
     maps to W+1, the convention for an all-zero value). ≤ 64 rows per
     group, independent of input size — THE sketch property."""
     h = md5_long(key)
-    r = (h / F.lit(HLL_M)).cast("bigint")  # h div m: high W bits
+    # high W bits via bit shift — integer-exact (h/64 in double would
+    # round above 2^53 and is not contractually bit-equal to `//`)
+    r = F.shiftrightunsigned(h, HLL_P)
     # bitlen(r) = length(bin(r)) for r>0; rho = W - bitlen + 1
     rho = F.when(r == 0, F.lit(W + 1)).otherwise(
         F.lit(W + 1) - F.length(F.bin(r))
@@ -214,12 +216,16 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
                 f"__col{i}",
                 md5_long(F.concat_ws(":", F.lit(str(i)), F.col(key_col))) % CMS_W,
             )
-            .join(F.broadcast(cms_i), f"__col{i}", "inner")
+            .join(F.broadcast(cms_i), f"__col{i}", "left")
             .drop(f"__col{i}")
         )
+    # a key whose cell was never incremented reads counter 0 (left
+    # join + coalesce) — unseen keys get estimate 0, not a dropped row
     return out.select(
         key_col,
-        F.least(*[F.col(f"__c{i}") for i in range(CMS_D)]).alias("est_cnt"),
+        F.least(
+            *[F.coalesce(F.col(f"__c{i}"), F.lit(0).cast("bigint")) for i in range(CMS_D)]
+        ).alias("est_cnt"),
     )
 
 
@@ -252,10 +258,13 @@ def histogram_sketch(
     df: DataFrame, value_col: str, group_cols: list[str], width: float
 ) -> DataFrame:
     """Fixed-width histogram: (group..., bin, cnt). Mergeable by
-    summing cnt; one scan, one small shuffle on (group, bin)."""
+    summing cnt; one scan, one small shuffle on (group, bin). NULL
+    values are excluded (aggregate semantics) — they would otherwise
+    form a NULL bin whose sort position differs between engines."""
     b = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
     return (
-        df.select(*group_cols, b.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -312,7 +321,7 @@ WITH hist AS (
   SELECT {group_sql} AS {group_alias},
          cast(floor(({value_sql}) / {width!r}) as bigint) AS bin,
          count(*) AS cnt
-  FROM {relation} GROUP BY 1, 2
+  FROM {relation} WHERE ({value_sql}) IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT {group_alias}, bin, cnt,

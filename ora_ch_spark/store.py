@@ -60,6 +60,7 @@ import re
 import shutil
 import threading
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -343,7 +344,14 @@ def _classify_partition_file(fe: dict, conds) -> str | None:
             elif isinstance(v, datetime.date):
                 x = datetime.date.fromisoformat(raw)
             elif isinstance(v, str):
-                x = raw
+                # hive dirs percent-escape special chars; only exact
+                # equality is decidable from the unescaped text — any
+                # other operator (or a string literal against a non-
+                # string partition, where Spark would coerce types)
+                # falls back to the rewrite path
+                if op != "=":
+                    return None
+                x = urllib.parse.unquote(raw)
             else:
                 return None
         except ValueError:

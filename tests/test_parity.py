@@ -73,6 +73,10 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None
     "qdef", [q for q in all_queries() if q.oracle], ids=lambda q: q.name
 )
 def test_query_matches_duckdb_oracle(spark, sf_correct, qdef):
+    # entries persist intermediates internally (bench.py does the same
+    # between entries): drop the previous entry's leftovers so ~90
+    # queries' caches don't accumulate across the session
+    spark.catalog.clearCache()
     sdf = qdef.spark(spark, sf_correct)
     spark_pdf = sdf.toPandas()
     con = _duck(sf_correct)

@@ -148,3 +148,32 @@ def test_bloom_prune_superset_and_fp_bound(spark, sf_correct):
     assert observed <= 2 * p_fp + 0.01, (observed, p_fp)
     bloom.unpersist()
     pruned.unpersist()
+
+
+def test_cms_estimate_unseen_key_is_zero_or_collision(spark):
+    """A probe key absent from the build input must yield a row (not
+    be dropped) with the min-counter estimate — 0 when its cells are
+    all empty."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    cms = SK.cms_build(base, F.col("k"))
+    keys = spark.createDataFrame([("a",), ("zzz_unseen",)], "k string")
+    est = {r["k"]: r["est_cnt"] for r in SK.cms_estimate(cms, keys, "k").collect()}
+    assert set(est) == {"a", "zzz_unseen"}
+    assert est["a"] >= 2
+    assert 0 <= est["zzz_unseen"] <= 3  # 0 unless all 4 cells collide
+
+
+def test_histogram_sketch_excludes_nulls(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 9.0)], "grp string, v double"
+    )
+    hist = SK.histogram_sketch(df, "v", ["grp"], 5.0).collect()
+    assert sorted((r["bin"], r["cnt"]) for r in hist) == [(0, 1), (1, 1)]
+    q = SK.histogram_quantiles(
+        SK.histogram_sketch(df, "v", ["grp"], 5.0), ["grp"], 5.0
+    ).collect()[0]
+    assert q["n"] == 2  # the NULL row is not counted

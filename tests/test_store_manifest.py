@@ -685,3 +685,27 @@ def test_bloom_index_probe_runs_zero_spark_jobs(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(spark.sparkContext, "runJob", _boom)
     keep, total = store.prune_files("ch", "docs", "source = 'src0'")
     assert total == 4 and len(keep) <= total
+
+
+def test_partition_string_predicates_escape_and_op_safety(spark, tmp_path):
+    """Hive-escaped partition values must compare unescaped, and
+    non-equality string ops must fall back to the rewrite path (no
+    silent misclassification)."""
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "ps"))
+    store.create_database("ch")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain")], "id bigint, src string"
+    )
+    store.write("ch", "t", df, partition_by=["src"])
+    # equality against the escaped dir value ('a%3Ab') must match rows
+    store.delete_where("ch", "t", "src = 'a:b'")
+    left = sorted(r["src"] for r in store.read("ch", "t").collect())
+    assert left == ["plain"]
+    # range op on a string partition: falls back, still exact
+    store2 = TableStore(spark, str(tmp_path / "ps2"))
+    store2.create_database("ch")
+    store2.write("ch", "t", df, partition_by=["src"])
+    store2.delete_where("ch", "t", "src >= 'b'")
+    assert sorted(r["src"] for r in store2.read("ch", "t").collect()) == ["a:b", "a:b"]

@@ -1191,3 +1191,22 @@ def test_dialect_aggregate_and_array_surface(spark):
     ).collect()[0]
     assert dow["d"] == 1  # 2024-01-01 is a Monday; CH counts Mon=1
     assert str(dow["h"]) == "2024-01-01 10:00:00"
+
+
+def test_dialect_review_fixes(spark):
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    # toDayOfWeek keeps precedence inside larger expressions
+    assert T("select toDayOfWeek(ts) * 2 from t") == "select (weekday(ts) + 1) * 2 from t"
+    # multi-arg uniq folds through struct (Spark's 2nd arg is rsd)
+    assert T("select uniq(a, b) from t") == "select approx_count_distinct(struct(a, b)) from t"
+    # CH combinator form countIf(x, cond) counts non-null x where cond
+    assert (
+        T("select countIf(x, y > 1) from t")
+        == "select count(CASE WHEN y > 1 THEN x END) from t"
+    )
+    spark.createDataFrame([(1, None), (2, 5)], "y int, x int") \
+        .createOrReplaceTempView("dlr")
+    r = spark.sql(T("select countIf(x, y >= 1) AS c, uniq(y, x) AS u from dlr")).collect()[0]
+    assert r["c"] == 1  # null x not counted
+    assert r["u"] == 2
