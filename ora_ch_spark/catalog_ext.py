@@ -796,6 +796,23 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, query_ids=emb.filter("vec_id < 10"))
 
 
+def sim_topk_ivf_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index form of sim_topk_ivf: build the IVF index
+    into a TableStore (centroids table + centroid-partitioned
+    assignments), then answer the SAME query batch from the index —
+    hash-gated against the SAME oracle, proving index round-tripping
+    changes nothing."""
+    from ora_ch_spark.catalog import _tmp_store
+
+    store = _tmp_store(spark)
+    store.create_database("ch")
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.build_ivf_index(store, "ch", emb)
+    return S.ivf_topk_from_index(
+        store, "ch", emb.filter("vec_id < 10")
+    )
+
+
 SIM_IVF_ORACLE = f"""
 WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
 e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
@@ -3013,8 +3030,11 @@ FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
 # candidate-pruning-only or value-preserving and are pinned by local
 # differential tests (dedup_minhash_lsh, dedup_ngram_jaccard,
 # dedup_incremental, dedup_components, pipeline_ingest_batch, the
-# rotated core SQL battery) — the full LOCAL parity suite
-# (tests/test_parity.py) still runs every entry, window or tail.
+# rotated core SQL battery) — plus post-window additions like
+# sim_topk_ivf_index (tail-born: hash-proven by the LOCAL parity
+# suite and slated to rotate into the window next round). The full
+# LOCAL parity suite (tests/test_parity.py) runs every entry,
+# window or tail.
 EXT_QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize_q, SESSIONIZE_ORACLE,
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
@@ -3118,6 +3138,8 @@ EXT_QUERIES: list[QueryDef] = [
              "near-dup clusters: iterative min-label propagation vs recursive-CTE oracle"),
     QueryDef("grouped_zscore", grouped_zscore_q, GROUPED_ZSCORE_ORACLE,
              "pure-JVM grouped z-score: exact-decimal moments agg + broadcast join"),
+    QueryDef("sim_topk_ivf_index", sim_topk_ivf_index_q, SIM_IVF_ORACLE,
+             "IVF top-5 answered from a PERSISTED store index (partition-pruned lists)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_q, _embedding_neardup_oracle(),
              "LSH-blocked embedding near-dup pairs by quantized cosine"),
     QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),

@@ -110,6 +110,65 @@ def _find_call(sql: str, fname: str, start: int = 0) -> tuple[int, int, list[str
     raise ValueError(f"unbalanced parentheses in call to {fname}")
 
 
+def _parse_group(sql: str, i: int) -> tuple[int, list[str]]:
+    """Parse a balanced ``( ... )`` group starting at ``sql[i] == '('``;
+    returns (end_exclusive, [arg texts]). Same quote/paren rules as
+    :func:`_find_call`."""
+    assert sql[i] == "("
+    i += 1
+    depth, args, cur = 1, [], []
+    in_str = False
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur).strip())
+                return i + 1, args
+            cur.append(c)
+        elif c == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    raise ValueError("unbalanced parentheses in parameterized call")
+
+
+def _rewrite_param_calls(sql: str, fname: str, render) -> str:
+    """Rewrite ClickHouse *parameterized aggregate* syntax
+    ``fname(params)(args)`` — e.g. ``quantile(0.9)(x)``. ``render``
+    receives (params, args); the parameterless form ``fname(args)``
+    calls render([], args) (CH's defaults apply)."""
+    while True:
+        found = _find_call(sql, fname)
+        if not found:
+            return sql
+        begin, end, first = found
+        j = end
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == "(":
+            end2, args = _parse_group(sql, j)
+            sql = sql[:begin] + render(first, args) + sql[end2:]
+        else:
+            sql = sql[:begin] + render([], first) + sql[end:]
+
+
 def _rewrite_calls(sql: str, fname: str, render) -> str:
     """Rewrite every ``fname(...)`` call. Outermost calls are replaced
     first; nested same-name calls survive verbatim inside the rendered
@@ -384,6 +443,32 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "groupArray", lambda a: f"collect_list({a[0]})")
     out = _rewrite_calls(out, "groupUniqArray", lambda a: f"collect_set({a[0]})")
     out = _rewrite_calls(out, "anyLast", lambda a: f"last({a[0]})")
+
+    # ---- parameterized aggregates: quantile family. CH's
+    # `quantile(q)(x)` syntax has no Spark analog — the rewrite moves
+    # the parameter into the argument list. Exact forms map to exact
+    # percentile(); the default-sketch forms map to approx_percentile
+    # (same ROLE, different sketch — documented drift like `uniq`).
+    # Order matters: the longer names must rewrite before their
+    # prefixes (quantilesExact before quantiles before quantile). ----
+    def _q_exact(ps: list[str], a: list[str]) -> str:
+        return f"percentile({a[0]}, {ps[0] if ps else '0.5'})"
+
+    def _qs_exact(ps: list[str], a: list[str]) -> str:
+        return f"percentile({a[0]}, array({', '.join(ps)}))"
+
+    def _q_approx(ps: list[str], a: list[str]) -> str:
+        return f"approx_percentile({a[0]}, {ps[0] if ps else '0.5'})"
+
+    def _qs_approx(ps: list[str], a: list[str]) -> str:
+        return f"approx_percentile({a[0]}, array({', '.join(ps)}))"
+
+    out = _rewrite_param_calls(out, "quantilesExact", _qs_exact)
+    out = _rewrite_param_calls(out, "quantileExact", _q_exact)
+    out = _rewrite_param_calls(out, "quantiles", _qs_approx)
+    out = _rewrite_param_calls(out, "quantile", _q_approx)
+    # CH median(x) ≈ quantile(0.5)(x); Spark's own median() is exact —
+    # passthrough (valid in both, exactness is an upgrade)
     # NOTE: CH `any(x)` (first value) is NOT rewritten — `any` is also
     # valid Spark SQL with DIFFERENT semantics (boolean-OR aggregate),
     # so a rewrite would corrupt already-ANSI text (same idempotence

@@ -474,3 +474,87 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cosine")
     )
+
+
+def build_ivf_index(
+    store,
+    schema: str,
+    emb: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_lists: int = 16,
+    seeds: DataFrame | None = None,
+    assign_impl: str = "pandas",
+) -> None:
+    """Materialize an IVF index into store tables so recurring query
+    batches never re-quantize or re-assign the corpus (same lifecycle
+    as ``dedup.build_dedup_index``):
+
+    - ``{name}_centroids``: (c_id, qc) — the coarse quantizer.
+    - ``{name}_assign``: (id, centroid, qe), written hive-PARTITIONED
+      BY centroid, so a probe of ``n_probe`` lists reads only those
+      partition directories (Spark prunes them from the filter) — at
+      100 TB a query touches n_probe/n_lists of the index bytes.
+
+    ``seeds`` plugs in trained centroids (``cluster.kmeans_centroids``
+    renamed to (c_id, qc)); default is the deterministic
+    first-``n_lists``-by-id pick that :func:`ivf_topk` uses."""
+    q = quantize(emb, emb_col, "qe").persist()
+    if seeds is None:
+        seeds = q.filter(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
+        )
+    assign = _argmax_centroid(q, F.broadcast(seeds), id_col, impl=assign_impl)
+    store.write(schema, f"{name}_centroids", seeds)
+    store.write(
+        schema, f"{name}_assign", assign, partition_by=["centroid"]
+    )
+    q.unpersist()
+
+
+def ivf_topk_from_index(
+    store,
+    schema: str,
+    queries_emb: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivf_index` index —
+    output contract identical to :func:`ivf_topk` with the same
+    seeds (asserted by the equivalence test). Per query batch the
+    corpus-side work is gone: centroids broadcast from the store,
+    candidate lists load partition-pruned via the IN-filter on
+    ``centroid``, and only the probed lists are scored."""
+    cents = F.broadcast(
+        store.read(schema, f"{name}_centroids").select("c_id", "qc")
+    )
+    queries = quantize(queries_emb, emb_col, "qe").select(
+        F.col(id_col).alias("q_id"), F.col("qe").alias("qa")
+    )
+    qprobe = with_cosine(queries.crossJoin(cents), qa="qa", qb="qc")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    probes = (
+        qprobe.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("q_id", "qa", F.col("c_id").alias("centroid"))
+    ).persist()
+    probe_lists = [r["centroid"] for r in probes.select("centroid").distinct().collect()]
+    corpus = (
+        store.read(schema, f"{name}_assign")
+        # IN-filter over the hive partition column: Spark prunes the
+        # unprobed list directories from the scan
+        .filter(F.col("centroid").isin(probe_lists))
+        .select(F.col(id_col).alias("n_id"), "centroid", F.col("qe").alias("qb"))
+    )
+    cands = probes.join(corpus, "centroid").filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(cands, qa="qa", qb="qb").select("q_id", "n_id", "cosine")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    )

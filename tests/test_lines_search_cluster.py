@@ -424,3 +424,33 @@ def test_kmeans_assign_pandas_equals_jvm(spark, sf_smoke):
     b = {r["vec_id"]: (r["cluster"], r["dist"])
          for r in _assign(q, cents, "vec_id", impl="jvm").collect()}
     assert a == b and len(a) > 0
+
+
+def test_ivf_index_equivalence_and_partition_pruning(spark, sf_correct, tmp_path):
+    """ivf_topk_from_index must return exactly what the live ivf_topk
+    returns with the same seeds, and the probe scan must read only the
+    probed centroid partitions (hive dir pruning)."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+    from ora_ch_spark.store import TableStore
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    store = TableStore(spark, str(tmp_path / "ivfidx"))
+    store.create_database("ch")
+    S.build_ivf_index(store, "ch", emb)
+    queries = emb.filter("vec_id < 10")
+    live = S.ivf_topk(emb, query_ids=queries).collect()
+    idx = S.ivf_topk_from_index(store, "ch", queries).collect()
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, live)) == sorted(map(tuple, idx))
+    # the assignment table is hive-partitioned by centroid
+    m = store._manifest("ch", "ivf_assign")
+    assert m["partition_by"] == ["centroid"]
+    assert any("centroid=" in fe["path"] for fe in m["files"])
+    # a single-list filter plans a scan with partition-pruned input
+    one = store.read("ch", "ivf_assign").filter(F.col("centroid") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(centroid" in plan or "centroid#" in plan
+    assert one.count() > 0

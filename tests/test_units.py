@@ -1210,3 +1210,21 @@ def test_dialect_review_fixes(spark):
     r = spark.sql(T("select countIf(x, y >= 1) AS c, uniq(y, x) AS u from dlr")).collect()[0]
     assert r["c"] == 1  # null x not counted
     assert r["u"] == 2
+
+
+def test_dialect_parameterized_quantiles(spark):
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert T("select quantileExact(0.9)(v) from t") == "select percentile(v, 0.9) from t"
+    assert (
+        T("select quantiles(0.25, 0.75)(v) from t")
+        == "select approx_percentile(v, array(0.25, 0.75)) from t"
+    )
+    assert T("select quantile(v) from t") == "select approx_percentile(v, 0.5) from t"
+    # runs on Spark and computes the exact percentile
+    spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double") \
+        .createOrReplaceTempView("dq")
+    r = spark.sql(
+        T("select quantileExact(0.5)(v) AS m, quantilesExact(0.0, 1.0)(v) AS mm from dq")
+    ).collect()[0]
+    assert r["m"] == 50.5 and list(r["mm"]) == [1.0, 100.0]
