@@ -796,6 +796,41 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, query_ids=emb.filter("vec_id < 10"))
 
 
+def streaming_hll_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming register maintenance: the HLL bucket-max aggregate
+    runs as a Structured Streaming complete-mode query over the events
+    file source; the emitted register table must equal the batch
+    sketch of the same data (the oracle replays the batch form)."""
+    from ora_ch_spark.streaming.sketch import streaming_hll_registers
+
+    return streaming_hll_registers(
+        spark,
+        f"{sf_dir}/events.parquet",
+        key_expr=(
+            "concat(cast(user_id as string), ':', "
+            "cast(cast(ts as date) as string))"
+        ),
+        group_expr="event_type",
+        query_name=f"hll_stream_{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _streaming_hll_oracle() -> str:
+    from ora_ch_spark.operators.sketches import HLL_M, W
+
+    return f"""
+WITH h AS (
+  SELECT event_type AS grp,
+         ('0x' || substr(md5({_HLL_KEY_SQL}), 1, 15))::BIGINT AS hv
+  FROM events
+)
+SELECT grp, hv % {HLL_M} AS bucket,
+       cast(max(CASE WHEN hv // {HLL_M} = 0 THEN {W + 1}
+                ELSE {W + 1} - length(bin(hv // {HLL_M})) END) as int) AS M
+FROM h GROUP BY 1, 2
+"""
+
+
 def sim_topk_ivf_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index form of sim_topk_ivf: build the IVF index
     into a TableStore (centroids table + centroid-partitioned
@@ -3140,6 +3175,8 @@ EXT_QUERIES: list[QueryDef] = [
              "pure-JVM grouped z-score: exact-decimal moments agg + broadcast join"),
     QueryDef("sim_topk_ivf_index", sim_topk_ivf_index_q, SIM_IVF_ORACLE,
              "IVF top-5 answered from a PERSISTED store index (partition-pruned lists)"),
+    QueryDef("streaming_hll_agg", streaming_hll_agg_q, _streaming_hll_oracle(),
+             "streaming HLL register maintenance == batch sketch (complete-mode max agg)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_q, _embedding_neardup_oracle(),
              "LSH-blocked embedding near-dup pairs by quantized cosine"),
     QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),

@@ -1,0 +1,61 @@
+"""Streaming sketch maintenance — the incremental form of
+``operators/sketches.py``.
+
+Because an HLL register table is a pure max-aggregate, Structured
+Streaming maintains it directly: each micro-batch folds its rows into
+the per-(group, bucket) running max, state is bounded at
+groups × 2^p rows no matter how much data streams through, and the
+register table at any point equals the batch sketch of everything
+seen so far (asserted by the equivalence test). This is the pattern a
+continuously-ingesting 100 TB pipeline uses for always-current
+distinct counts: no re-scan, no unbounded state, merge-on-read with
+historical sketches if older epochs live in the store.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ora_ch_spark.operators.sketches import hll_registers
+
+
+def streaming_hll_registers(
+    spark: SparkSession,
+    source_dir: str,
+    key_expr: str,
+    group_expr: str,
+    query_name: str = "hll_stream_out",
+) -> DataFrame:
+    """Run the register max-aggregate over the currently-available
+    files of a streaming parquet source (availableNow) and return the
+    materialized register table (grp, bucket, M). ``key_expr`` /
+    ``group_expr`` are SQL expressions over the source rows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if os.path.isfile(source_dir):
+        # the file stream source requires a directory (same symlink
+        # shim as streaming/watermark.py)
+        d = tempfile.mkdtemp(prefix="stream_hll_src_")
+        os.symlink(
+            os.path.abspath(source_dir), os.path.join(d, os.path.basename(source_dir))
+        )
+        source_dir = d
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(source_dir)
+        .selectExpr(f"{group_expr} AS grp", f"{key_expr} AS k")
+    )
+    reg = hll_registers(stream, F.col("k"), ["grp"])
+    q = (
+        reg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

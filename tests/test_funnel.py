@@ -109,3 +109,82 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # short and empty docs still yield exactly one chunk
     assert [r["chunk_text"] for r in by_doc[2]] == ["tiny"]
     assert [r["chunk_text"] for r in by_doc[3]] == [""]
+
+
+def _make_png(px, filters):
+    """Reference PNG encoder for tests: px = HxWx3 uint8 array,
+    filters = per-row filter type (applied per spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(3, np.int64), line[:-3]])
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        else:
+            enc = np.zeros(w * 3, np.int64)
+            for x in range(w * 3):
+                a = line[x - 3] if x >= 3 else 0
+                b = prev[x]
+                if f == 3:
+                    enc[x] = (line[x] - (a + b) // 2) % 256
+                else:
+                    c = prev[x - 3] if x >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (line[x] - pred) % 256
+        raw.extend(int(v) for v in enc)
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters(spark):
+    import numpy as np
+
+    from ora_ch_spark.operators.multimodal import (
+        decode_image_png,
+        extract_image_features_raster,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(8, 5, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _make_png(px, filters)
+        w, h, r, g, b = decode_image_png(data)
+        assert (w, h) == (5, 8)
+        exp = px.astype(np.float64).mean(axis=(0, 1))
+        assert abs(r - exp[0]) < 1e-9 and abs(g - exp[1]) < 1e-9 and abs(b - exp[2]) < 1e-9
+    # distributed dispatcher handles PNG blobs end-to-end
+    media = spark.createDataFrame(
+        [(1, bytearray(_make_png(px, [0, 1, 2, 3, 4])))],
+        "doc_id bigint, media binary",
+    )
+    row = extract_image_features_raster(media).collect()[0]
+    exp = px.astype(np.float64).mean(axis=(0, 1))
+    assert row["width"] == 5 and abs(row["mean_r"] - exp[0]) < 1e-9
