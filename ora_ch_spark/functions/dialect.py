@@ -444,6 +444,60 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "groupUniqArray", lambda a: f"collect_set({a[0]})")
     out = _rewrite_calls(out, "anyLast", lambda a: f"last({a[0]})")
 
+    # ---- JSON extraction (CH JSONExtract* / visitParam* → Spark
+    # get_json_object with a $-path; key argument must be a literal
+    # for the path splice — non-literal keys pass through unrewritten
+    # rather than emit wrong paths) ----
+    def _json_path(a: list[str]) -> str | None:
+        lt = _lit_text(a[1], lits) if len(a) >= 2 else None
+        if lt is None:
+            return None
+        return _emit_lit("'$." + lt[1:-1] + "'", lits)
+
+    def _json_extract(cast_to: str | None):
+        def render(a: list[str]) -> str:
+            p = _json_path(a)
+            if p is None:  # dynamic key: leave semantics to the caller
+                return f"get_json_object({', '.join(a)})"
+            g = f"get_json_object({a[0]}, {p})"
+            return f"cast({g} as {cast_to})" if cast_to else g
+
+        return render
+
+    for ch_fn, t in (
+        ("JSONExtractString", None),
+        ("visitParamExtractString", None),
+        ("JSONExtractInt", "bigint"),
+        ("visitParamExtractInt", "bigint"),
+        ("JSONExtractFloat", "double"),
+        ("visitParamExtractFloat", "double"),
+        ("JSONExtractBool", "boolean"),
+    ):
+        out = _rewrite_calls(out, ch_fn, _json_extract(t))
+    out = _rewrite_calls(
+        out, "JSONHas",
+        lambda a: f"(get_json_object({a[0]}, {_json_path(a) or a[1]}) IS NOT NULL)",
+    )
+
+    # ---- datetime arithmetic ----
+    out = _rewrite_calls(out, "addDays", lambda a: f"date_add({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "subtractDays", lambda a: f"date_sub({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "addHours", lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))")
+    out = _rewrite_calls(out, "addMinutes", lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))")
+    out = _rewrite_calls(out, "toUnixTimestamp", lambda a: f"unix_timestamp({', '.join(a)})")
+    out = _rewrite_calls(out, "fromUnixTimestamp", lambda a: f"from_unixtime({', '.join(a)})")
+
+    def _date_diff(a: list[str]) -> str:
+        # CH dateDiff('unit', start, end) → Spark timestampdiff(UNIT,
+        # start, end); the unit must be a literal to splice as a
+        # keyword (Spark's first arg is an identifier, not a string)
+        lt = _lit_text(a[0], lits)
+        if lt is None or len(a) != 3:
+            return f"dateDiff({', '.join(a)})"  # leave unrewritten
+        return f"timestampdiff({lt[1:-1].upper()}, {a[1]}, {a[2]})"
+
+    out = _rewrite_calls(out, "dateDiff", _date_diff)
+
     # ---- parameterized aggregates: quantile family. CH's
     # `quantile(q)(x)` syntax has no Spark analog — the rewrite moves
     # the parameter into the argument list. Exact forms map to exact

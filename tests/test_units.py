@@ -1228,3 +1228,27 @@ def test_dialect_parameterized_quantiles(spark):
         T("select quantileExact(0.5)(v) AS m, quantilesExact(0.0, 1.0)(v) AS mm from dq")
     ).collect()[0]
     assert r["m"] == 50.5 and list(r["mm"]) == [1.0, 100.0]
+
+
+def test_dialect_json_and_datetime_surface(spark, sf_smoke):
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+    from ora_ch_spark.io import register_views
+
+    assert (
+        T("select JSONExtractString(props, 'device') from t")
+        == "select get_json_object(props, '$.device') from t"
+    )
+    assert (
+        T("select JSONExtractInt(props, 'n') + 1 from t")
+        == "select cast(get_json_object(props, '$.n') as bigint) + 1 from t"
+    )
+    assert T("select dateDiff('day', a, b) from t") == "select timestampdiff(DAY, a, b) from t"
+    assert T("select addDays(d, 3) from t") == "select date_add(d, 3) from t"
+    register_views(spark, sf_smoke)
+    r = spark.sql(
+        T("""select countIf(JSONHas(props, 'k')) AS has_k,
+                    maxIf(JSONExtractInt(props, 'k'), JSONHas(props, 'k')) AS max_k,
+                    dateDiff('day', min(ts), max(ts)) AS span_days
+             from events""")
+    ).collect()[0]
+    assert r["has_k"] > 0 and r["max_k"] is not None and r["span_days"] > 0
