@@ -444,6 +444,45 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "groupUniqArray", lambda a: f"collect_set({a[0]})")
     out = _rewrite_calls(out, "anyLast", lambda a: f"last({a[0]})")
 
+    # ---- string surface ----
+    def _split_by_string(a: list[str]) -> str:
+        # CH splitByString(sep, s): sep is a PLAIN string; Spark
+        # split()'s separator is a regex, so literal seps are escaped
+        sep = a[0].strip()
+        lt = _lit_text(sep, lits)
+        if lt is not None:
+            esc = re.escape(lt[1:-1]).replace("\\", "\\\\")
+            sep = _emit_lit(f"'{esc}'", lits)
+        limit = f", {a[2]}" if len(a) > 2 else ""
+        return f"split({a[1]}, {sep}{limit})"
+
+    out = _rewrite_calls(out, "splitByString", _split_by_string)
+    out = _rewrite_calls(
+        out, "arrayStringConcat",
+        lambda a: f"array_join({a[0]}, {a[1] if len(a) > 1 else lit('')})",
+    )
+    out = _rewrite_calls(out, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})")
+    out = _rewrite_calls(out, "replaceOne", lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]}, 1)")
+    # CH uses re2, Spark uses Java regex — common patterns agree, the
+    # exotic ones (\\p classes, lookaround behavior) may drift
+    out = _rewrite_calls(
+        out, "replaceRegexpAll", lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})"
+    )
+    def _extract_all(a: list[str]) -> str:
+        # CH extractAll: first capture group if the pattern has one,
+        # else the whole match — decidable only for literal patterns
+        # (capture = unescaped '(' not followed by '?'); non-literal
+        # patterns use the whole match
+        idx = 0
+        lt = _lit_text(a[1], lits)
+        if lt is not None and re.search(r"(?<!\\)\((?!\?)", lt[1:-1]):
+            idx = 1
+        return f"regexp_extract_all({a[0]}, {a[1]}, {idx})"
+
+    out = _rewrite_calls(out, "extractAll", _extract_all)
+    out = _rewrite_calls(out, "trimBoth", lambda a: f"trim({a[0]})")
+    out = _rewrite_calls(out, "caseWithExpression", _multi_if)
+
     # ---- JSON extraction (CH JSONExtract* / visitParam* → Spark
     # get_json_object with a $-path; key argument must be a literal
     # for the path splice — non-literal keys pass through unrewritten

@@ -1252,3 +1252,35 @@ def test_dialect_json_and_datetime_surface(spark, sf_smoke):
              from events""")
     ).collect()[0]
     assert r["has_k"] > 0 and r["max_k"] is not None and r["span_days"] > 0
+
+
+def test_dialect_string_surface(spark):
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert T("select splitByString('::', s) from t") == "select split(s, '::') from t"
+    assert T("select arrayStringConcat(a, '-') from t") == "select array_join(a, '-') from t"
+    assert T("select replaceAll(s, 'a', 'b') from t") == "select replace(s, 'a', 'b') from t"
+    # group detection: no capture group -> whole match (idx 0)
+    assert (
+        T(r"select extractAll(s, '\\d+') from t")
+        == r"select regexp_extract_all(s, '\\d+', 0) from t"
+    )
+    assert (
+        T(r"select extractAll(s, 'x(\\d+)') from t")
+        == r"select regexp_extract_all(s, 'x(\\d+)', 1) from t"
+    )
+    spark.createDataFrame(
+        [("a::b::c", ["x", "y"], "id 12 and 34")],
+        "s string, a array<string>, t string",
+    ).createOrReplaceTempView("dls")
+    r = spark.sql(
+        T(r"""select splitByString('::', s) AS parts,
+                     arrayStringConcat(a, '-') AS j,
+                     extractAll(t, '\\d+') AS nums,
+                     replaceRegexpAll(t, '\\d+', 'N') AS rr
+              from dls""")
+    ).collect()[0]
+    assert list(r["parts"]) == ["a", "b", "c"]
+    assert r["j"] == "x-y"
+    assert list(r["nums"]) == ["12", "34"]
+    assert r["rr"] == "id N and N"
