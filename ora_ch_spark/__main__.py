@@ -47,6 +47,19 @@ def main(argv: list[str] | None = None) -> int:
                        help="comma-separated columns: Z-order the rewrite")
     p_opt.add_argument("--files", type=int, default=None)
 
+    p_ttl = sub.add_parser("ttl", help="expire rows older than a cutoff (TTL DELETE)")
+    p_ttl.add_argument("table", help="SCHEMA.TABLE")
+    p_ttl.add_argument("--ts-col", required=True)
+    p_ttl.add_argument("--older-than", required=True,
+                       help="ISO timestamp cutoff, e.g. 2024-01-11T00:00:00")
+    p_ttl.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
+
+    p_dd = sub.add_parser("deduplicate",
+                          help="OPTIMIZE DEDUPLICATE: drop duplicate rows")
+    p_dd.add_argument("table", help="SCHEMA.TABLE")
+    p_dd.add_argument("--by", default=None, help="comma-separated key columns")
+    p_dd.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
+
     p_ivm = sub.add_parser("refresh-view",
                            help="incremental materialized-aggregate refresh")
     p_ivm.add_argument("table", help="source SCHEMA.TABLE")
@@ -78,6 +91,24 @@ def main(argv: list[str] | None = None) -> int:
         m = store._manifest(schema, table)
         print(json.dumps({"table": args.table, "files": len(m["files"]),
                           "rows": m["rows"], "clustered_by": cluster}))
+        return 0
+
+    if args.cmd == "ttl":
+        import datetime as _dt
+
+        schema, table = args.table.split(".", 1)
+        store.apply_ttl(schema, table, args.ts_col,
+                        _dt.datetime.fromisoformat(args.older_than))
+        m = store._manifest(schema, table)
+        print(json.dumps({"table": args.table, "rows": m["rows"]}))
+        return 0
+
+    if args.cmd == "deduplicate":
+        schema, table = args.table.split(".", 1)
+        store.deduplicate(schema, table,
+                          by=args.by.split(",") if args.by else None)
+        m = store._manifest(schema, table)
+        print(json.dumps({"table": args.table, "rows": m["rows"]}))
         return 0
 
     if args.cmd == "refresh-view":

@@ -1158,3 +1158,40 @@ class TableStore:
             df,
             partition_by=m.get("partition_by") or None,
         )
+
+    def apply_ttl(
+        self, schema: str, table: str, ts_col: str, older_than
+    ) -> None:
+        """MergeTree ``TTL <ts> + INTERVAL`` analogue: expire rows
+        whose ``ts_col`` is before ``older_than`` (a
+        ``datetime.datetime``). Routed through :meth:`delete_where`,
+        so a time-clustered table (the layout the reference's
+        ``order_by_ora_data`` exists to produce) expires whole files
+        from manifest zone maps with close to zero data scanned."""
+        cutoff = older_than.isoformat(sep=" ")
+        self.delete_where(schema, table, f"{ts_col} < timestamp'{cutoff}'")
+
+    def deduplicate(
+        self, schema: str, table: str, by: list[str] | None = None
+    ) -> str:
+        """``OPTIMIZE TABLE … DEDUPLICATE [BY col, …]`` analogue:
+        rewrite the snapshot keeping one row per full-row value (or
+        per ``by`` key, keeping an arbitrary-but-deterministic
+        winner: min of the remaining columns). Like CH, this is an
+        O(table) rewrite — routine dedup belongs at ingest
+        (``operators/dedup.py``); this is the repair tool."""
+        df = self.read(schema, table)
+        if by:
+            others = [c for c in df.columns if c not in by]
+            # deterministic winner: min(struct(others)) per key group
+            agg = df.groupBy(*by).agg(
+                F.min(F.struct(*[F.col(c) for c in others])).alias("__w")
+            )
+            df = agg.select(*by, *[F.col(f"__w.{c}").alias(c) for c in others]) \
+                .select(*df.columns)
+        else:
+            df = df.dropDuplicates()
+        m = self._manifest(schema, table)
+        return self.write(
+            schema, table, df, partition_by=m.get("partition_by") or None
+        )

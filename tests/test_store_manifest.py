@@ -709,3 +709,36 @@ def test_partition_string_predicates_escape_and_op_safety(spark, tmp_path):
     store2.write("ch", "t", df, partition_by=["src"])
     store2.delete_where("ch", "t", "src >= 'b'")
     assert sorted(r["src"] for r in store2.read("ch", "t").collect()) == ["a:b", "a:b"]
+
+
+def test_apply_ttl_and_deduplicate(spark, tmp_path):
+    """TTL expiry routes through zone-map delete; DEDUPLICATE keeps
+    one row per full value / per key with a deterministic winner."""
+    import datetime
+
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "ttl"))
+    store.create_database("ch")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 20)), float(i % 3))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, v double")
+    store.write("ch", "t", df.repartitionByRange(4, "ts"))
+    store.apply_ttl("ch", "t", "ts", datetime.datetime(2024, 1, 11))
+    left = store.read("ch", "t")
+    assert left.count() == sum(1 for _, ts, _ in rows if ts >= datetime.datetime(2024, 1, 11))
+    assert left.filter("ts < timestamp'2024-01-11 00:00:00'").count() == 0
+
+    # full-row dedup
+    store.write("ch", "d", spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k bigint, s string"))
+    store.deduplicate("ch", "d")
+    assert store.read("ch", "d").count() == 2
+    # keyed dedup keeps the deterministic min-struct winner
+    store.write("ch", "d2", spark.createDataFrame(
+        [(1, "z"), (1, "a"), (2, "m")], "k bigint, s string"))
+    store.deduplicate("ch", "d2", by=["k"])
+    got = {r["k"]: r["s"] for r in store.read("ch", "d2").collect()}
+    assert got == {1: "a", 2: "m"}
