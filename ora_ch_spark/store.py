@@ -1159,6 +1159,35 @@ class TableStore:
             partition_by=m.get("partition_by") or None,
         )
 
+    def delete_by_keys(
+        self, schema: str, table: str, keys: DataFrame, key_cols: list[str]
+    ) -> int:
+        """Keyed hard delete — the right-to-be-forgotten primitive a
+        training-data pipeline must run at table scale: remove every
+        row whose ``key_cols`` tuple appears in ``keys``. A broadcast
+        semi-join probe over the file-tagged read finds the data files
+        holding matching keys; ONLY those files are rewritten (with a
+        broadcast anti-join), everything else carries over by
+        reference — O(affected files), the same pruning contract as
+        the keyed update path (operators/load_ops.py). Returns the
+        number of files rewritten."""
+        keys = keys.select(*key_cols).dropDuplicates()
+        tagged = self.read_with_file(schema, table)
+        affected = [
+            r["_src_file"]
+            for r in tagged.join(F.broadcast(keys), on=key_cols, how="left_semi")
+            .select("_src_file")
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return 0
+        survivors = self.read_files(schema, table, affected).join(
+            F.broadcast(keys), on=key_cols, how="left_anti"
+        )
+        self.replace_files(schema, table, affected, survivors)
+        return len(affected)
+
     def apply_ttl(
         self, schema: str, table: str, ts_col: str, older_than
     ) -> None:

@@ -742,3 +742,42 @@ def test_apply_ttl_and_deduplicate(spark, tmp_path):
     store.deduplicate("ch", "d2", by=["k"])
     got = {r["k"]: r["s"] for r in store.read("ch", "d2").collect()}
     assert got == {1: "a", 2: "m"}
+
+
+def test_delete_by_keys_rewrites_only_affected_files(spark, tmp_path):
+    """GDPR-style keyed delete: files without matching keys carry over
+    by reference (same inode), matching rows vanish everywhere."""
+    import os
+
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "gdpr"))
+    store.create_database("ch")
+    df = spark.createDataFrame(
+        [(i, i % 10, f"u{i % 50}") for i in range(1000)],
+        "id bigint, bucket bigint, user string",
+    )
+    # user-clustered layout: each user's rows land in few files
+    store.write("ch", "t", df.repartitionByRange(8, "user"))
+    before = {
+        fe["path"]: os.stat(os.path.join(store._tdir("ch", "t"), fe["path"])).st_ino
+        for fe in store._manifest("ch", "t")["files"]
+    }
+    # forget two users whose ids live in a subset of the range files
+    keys = spark.createDataFrame([("u3",), ("u7",)], "user string")
+    n = store.delete_by_keys("ch", "t", keys, ["user"])
+    assert n > 0
+    after = store.read("ch", "t")
+    assert after.filter("user in ('u3','u7')").count() == 0
+    assert after.count() == 1000 - sum(1 for i in range(1000) if i % 50 in (3, 7))
+    # at least the carried-over files kept their inodes (no rewrite)
+    now = {
+        fe["path"]: os.stat(os.path.join(store._tdir("ch", "t"), fe["path"])).st_ino
+        for fe in store._manifest("ch", "t")["files"]
+    }
+    carried = set(before) & set(now)
+    assert carried and all(before[p] == now[p] for p in carried)
+    # no-match delete is a no-op (0 files rewritten)
+    assert store.delete_by_keys(
+        "ch", "t", spark.createDataFrame([("nobody",)], "user string"), ["user"]
+    ) == 0
