@@ -831,6 +831,37 @@ FROM h GROUP BY 1, 2
 """
 
 
+def text_flagged_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.text import flagged_term_score
+
+    return flagged_term_score(load_table(spark, sf_dir, "documents"))
+
+
+def _flagged_terms_oracle() -> str:
+    from ora_ch_spark.operators.text import FLAGGED_TERMS
+
+    lex = ", ".join(f"'{t}'" for t in FLAGGED_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         cast(len(list_filter(toks, t -> list_contains([{lex}], t))) as bigint) AS n_flagged,
+         cast(len(toks) as bigint) AS n_tokens
+  FROM tok
+)
+SELECT doc_id, n_flagged, n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN cast(n_flagged as double) / cast(n_tokens as double)
+            ELSE 0.0 END AS flagged_share,
+       (CASE WHEN n_tokens > 0
+             THEN cast(n_flagged as double) / cast(n_tokens as double)
+             ELSE 0.0 END) > 0.01 AS flagged
+FROM sc
+"""
+
+
 def sim_topk_ivf_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index form of sim_topk_ivf: build the IVF index
     into a TableStore (centroids table + centroid-partitioned
@@ -3177,6 +3208,8 @@ EXT_QUERIES: list[QueryDef] = [
              "IVF top-5 answered from a PERSISTED store index (partition-pruned lists)"),
     QueryDef("streaming_hll_agg", streaming_hll_agg_q, _streaming_hll_oracle(),
              "streaming HLL register maintenance == batch sketch (complete-mode max agg)"),
+    QueryDef("text_flagged_terms", text_flagged_terms_q, _flagged_terms_oracle(),
+             "lexicon safety screen: flagged-term share + threshold flag (no UDF/join)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_q, _embedding_neardup_oracle(),
              "LSH-blocked embedding near-dup pairs by quantized cosine"),
     QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),

@@ -334,3 +334,41 @@ SELECT {group_alias}, cast(sum(cnt) as bigint) AS n,
        {q_cols}
 FROM cum GROUP BY {group_alias}
 """
+
+
+def hll_intersect_estimate(
+    reg_a: DataFrame, reg_b: DataFrame
+) -> DataFrame:
+    """Distinct-count estimates for two sketches AND their set
+    algebra, from registers alone: |A|, |B|, |A∪B| (bucket-max
+    merge), and |A∩B| by inclusion–exclusion — the standard HLL
+    answer to "how many users did BOTH things" without touching the
+    base data. Inclusion–exclusion inherits the raw estimator's
+    error, amplified for small intersections (documented; theta
+    sketches are the exact-trade-off alternative). Single row:
+    (est_a, est_b, est_union, est_intersect)."""
+    a = hll_estimate(reg_a.withColumn("g", F.lit("a")), ["g"]).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    b = hll_estimate(reg_b.withColumn("g", F.lit("b")), ["g"]).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    u = hll_estimate(
+        hll_merge(
+            reg_a.select("bucket", "M").unionByName(reg_b.select("bucket", "M")),
+            [],
+        ).withColumn("g", F.lit("u")),
+        ["g"],
+    ).select(F.col("est_distinct").alias("est_union"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+        )
+    )

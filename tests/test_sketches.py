@@ -177,3 +177,31 @@ def test_histogram_sketch_excludes_nulls(spark):
         SK.histogram_sketch(df, "v", ["grp"], 5.0), ["grp"], 5.0
     ).collect()[0]
     assert q["n"] == 2  # the NULL row is not counted
+
+
+def test_hll_intersect_estimate(spark, sf_correct):
+    """Inclusion-exclusion over registers approximates the true
+    intersection: users doing 'click' vs 'purchase' overlap almost
+    completely in the dense testdata."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_correct, "events")
+    key = F.col("user_id").cast("string")
+
+    def reg(et):
+        return SK.hll_registers(
+            ev.filter(F.col("event_type") == et).select(key.alias("k")),
+            F.col("k"),
+            [],
+        )
+
+    out = SK.hll_intersect_estimate(reg("click"), reg("purchase")).collect()[0]
+    a = ev.filter("event_type = 'click'").select("user_id").distinct()
+    b = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    true_i = a.intersect(b).count()
+    true_u = a.union(b).distinct().count()
+    assert abs(out["est_union"] - true_u) / true_u < 0.40
+    # intersection error amplifies; allow a loose band but demand the
+    # estimate lands in the right order of magnitude
+    assert out["est_intersect"] > 0.3 * true_i
+    assert out["est_intersect"] < 3.0 * true_i
