@@ -556,6 +556,17 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     def _qs_approx(ps: list[str], a: list[str]) -> str:
         return f"approx_percentile({a[0]}, array({', '.join(ps)}))"
 
+    # uniqUpTo(N)(x): exact distinct when ≤ N, else N+1 — the capped
+    # form maps exactly (least of exact distinct and N+1)
+    out = _rewrite_param_calls(
+        out,
+        "uniqUpTo",
+        lambda ps, a: (
+            f"least(count(DISTINCT {', '.join(a)}), {ps[0]} + 1)"
+            if ps
+            else f"least(count(DISTINCT {', '.join(a)}), 6)"  # CH default N=5
+        ),
+    )
     out = _rewrite_param_calls(out, "quantilesExact", _qs_exact)
     out = _rewrite_param_calls(out, "quantileExact", _q_exact)
     out = _rewrite_param_calls(out, "quantiles", _qs_approx)

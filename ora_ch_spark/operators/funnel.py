@@ -41,26 +41,34 @@ def window_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    step_conds: list[str] | None = None,
 ) -> DataFrame:
     """Per-user funnel depth: ``(user, level)`` where level k means
     steps[0..k-1] occurred in strict time order, all within
     ``window_seconds`` of the user's earliest step-1 event. Nulls
     cascade: a missing step i leaves every later step null, so
-    ``level = 1 + #non-null later steps`` is the chain length."""
-    if len(steps) < 2:
+    ``level = 1 + #non-null later steps`` is the chain length.
+
+    ``step_conds`` generalizes the steps to arbitrary SQL boolean
+    expressions over the event row (CH windowFunnel's cond list);
+    without it each step matches ``type_col == steps[i]``."""
+    n_steps = len(step_conds) if step_conds is not None else len(steps)
+    if n_steps < 2:
         raise ValueError("funnel needs at least 2 steps")
     us = F.unix_micros(F.col(ts_col))
-    base = events.select(
-        F.col(user_col).alias("u"), us.alias("us"), F.col(type_col).alias("et")
-    )
-    out = (
-        base.filter(F.col("et") == steps[0])
-        .groupBy("u")
-        .agg(F.min("us").alias("t1"))
-    )
+    base = events.withColumn("__us", us)
+
+    def matches(i: int) -> DataFrame:
+        if step_conds is not None:
+            m = base.filter(F.expr(step_conds[i]))
+        else:
+            m = base.filter(F.col(type_col) == steps[i])
+        return m.select(F.col(user_col).alias("u"), F.col("__us").alias("us"))
+
+    out = matches(0).groupBy("u").agg(F.min("us").alias("t1"))
     w_us = window_seconds * 1_000_000
-    for i, step in enumerate(steps[1:], start=2):
-        si = base.filter(F.col("et") == step).select("u", F.col("us").alias("si"))
+    for i in range(2, n_steps + 1):
+        si = matches(i - 1).select("u", F.col("us").alias("si"))
         prev = F.col(f"t{i - 1}")
         keep = [f"t{j}" for j in range(1, i)]
         out = (
@@ -76,9 +84,35 @@ def window_funnel(
             .agg(F.min("__q").alias(f"t{i}"))
         )
     level = F.lit(1)
-    for i in range(2, len(steps) + 1):
+    for i in range(2, n_steps + 1):
         level = level + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
     return out.select(F.col("u").alias(user_col), level.cast("int").alias("level"))
+
+
+def sequence_match(
+    events: DataFrame,
+    conds: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CH ``sequenceMatch('(?1).*(?2)…')`` for the ordered-conditions
+    pattern family: one row per user with ``matched`` = whether events
+    satisfying cond1 → cond2 → … occur in strict time order (no time
+    bound — the funnel with an unbounded window, anchored at the
+    earliest cond1 event; level == n ⇔ match). Patterns with
+    time-gap operators map to :func:`window_funnel` directly."""
+    horizon = 200 * 365 * 24 * 3600  # effectively unbounded
+    per_user = window_funnel(
+        events,
+        steps=[],
+        window_seconds=horizon,
+        user_col=user_col,
+        ts_col=ts_col,
+        step_conds=conds,
+    )
+    return per_user.select(
+        user_col, (F.col("level") == len(conds)).alias("matched")
+    )
 
 
 def funnel_counts(per_user: DataFrame) -> DataFrame:

@@ -188,3 +188,43 @@ def test_png_decode_all_filters(spark):
     row = extract_image_features_raster(media).collect()[0]
     exp = px.astype(np.float64).mean(axis=(0, 1))
     assert row["width"] == 5 and abs(row["mean_r"] - exp[0]) < 1e-9
+
+
+def test_sequence_match_ordered_conditions(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "view"), (1, 10, "purchase"),      # view then purchase
+            (2, 0, "purchase"), (2, 10, "view"),      # wrong order
+            (3, 0, "view"),                            # second cond never
+        ],
+    )
+    from ora_ch_spark.operators.funnel import sequence_match
+
+    got = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(
+            ev, ["event_type = 'view'", "event_type = 'purchase'"]
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_window_funnel_step_conds(spark):
+    # conditions over arbitrary columns, not just event_type
+    import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 0), "view", 5.0),
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 10), "view", 50.0),
+        ],
+        "user_id bigint, ts timestamp, event_type string, value double",
+    )
+    from ora_ch_spark.operators.funnel import window_funnel
+
+    got = window_funnel(
+        ev, steps=[], window_seconds=60,
+        step_conds=["value < 10", "value > 40"],
+    ).collect()
+    assert got[0]["level"] == 2

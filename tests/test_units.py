@@ -1284,3 +1284,16 @@ def test_dialect_string_surface(spark):
     assert r["j"] == "x-y"
     assert list(r["nums"]) == ["12", "34"]
     assert r["rr"] == "id N and N"
+
+
+def test_dialect_uniq_up_to(spark):
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert (
+        T("select uniqUpTo(3)(x) from t")
+        == "select least(count(DISTINCT x), 3 + 1) from t"
+    )
+    spark.createDataFrame([(i % 7,) for i in range(50)], "x int") \
+        .createOrReplaceTempView("duu")
+    r = spark.sql(T("select uniqUpTo(3)(x) AS c3, uniqUpTo(10)(x) AS c10 from duu")).collect()[0]
+    assert r["c3"] == 4 and r["c10"] == 7  # capped at N+1 / exact below N
