@@ -1159,6 +1159,42 @@ class TableStore:
             partition_by=m.get("partition_by") or None,
         )
 
+    def clone(
+        self, schema: str, table: str, dst_schema: str, dst_table: str
+    ) -> None:
+        """Zero-copy table clone (Delta ``CLONE`` / Iceberg snapshot
+        branch analogue): hardlink every current data file into the
+        destination's tree and commit a manifest pointing at the
+        links — O(files) metadata, no data bytes copied or read.
+        Divergence is free and safe: both tables mutate through their
+        own manifests, hardlinked inodes survive either side's GC
+        (unlink is per-directory-entry), and a post-clone rewrite on
+        one side never disturbs the other."""
+        m = self._manifest(schema, table)
+        src_tdir = self._tdir(schema, table)
+        dst_tdir = self._tdir(dst_schema, dst_table)
+        entries = []
+        for fe in m["files"]:
+            src_p = os.path.join(src_tdir, fe["path"])
+            dst_p = os.path.join(dst_tdir, fe["path"])
+            os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+            if not os.path.exists(dst_p):
+                os.link(src_p, dst_p)
+            entries.append(dict(fe))
+        with self._lock:
+            self._commit(
+                dst_schema,
+                dst_table,
+                {
+                    "schema": m["schema"],
+                    "partition_by": m.get("partition_by", []),
+                    "bloom_columns": m.get("bloom_columns", []),
+                    "groups": sorted({self._group_of(fe["path"]) for fe in entries}),
+                    "files": entries,
+                    "meta": dict(m.get("meta", {})),
+                },
+            )
+
     def delete_by_keys(
         self, schema: str, table: str, keys: DataFrame, key_cols: list[str]
     ) -> int:

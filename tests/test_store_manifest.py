@@ -781,3 +781,34 @@ def test_delete_by_keys_rewrites_only_affected_files(spark, tmp_path):
     assert store.delete_by_keys(
         "ch", "t", spark.createDataFrame([("nobody",)], "user string"), ["user"]
     ) == 0
+
+
+def test_zero_copy_clone_divergence_and_gc_safety(spark, tmp_path):
+    """clone() hardlinks data files (no bytes copied); both sides then
+    diverge independently and neither side's GC breaks the other."""
+    import os
+
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "cl"), keep_versions=1,
+                       retention_sec=0.0)
+    store.create_database("ch")
+    df = spark.createDataFrame([(i, float(i)) for i in range(500)], "id bigint, v double")
+    store.write("ch", "src", df.repartition(4))
+    store.clone("ch", "src", "ch", "dst")
+    src_files = {fe["path"]: fe for fe in store._manifest("ch", "src")["files"]}
+    dst_files = {fe["path"]: fe for fe in store._manifest("ch", "dst")["files"]}
+    assert src_files.keys() == dst_files.keys()
+    for p in src_files:
+        a = os.stat(os.path.join(store._tdir("ch", "src"), p))
+        b = os.stat(os.path.join(store._tdir("ch", "dst"), p))
+        assert a.st_ino == b.st_ino  # same bytes on disk, once
+    assert store.read("ch", "dst").count() == 500
+    # diverge: delete on the clone; source untouched
+    store.delete_where("ch", "dst", "id < 100")
+    assert store.read("ch", "dst").count() == 400
+    assert store.read("ch", "src").count() == 500
+    # source-side full rewrite + GC: clone still reads its snapshot
+    store.write("ch", "src", df.filter("id >= 250").repartition(2))
+    assert store.read("ch", "src").count() == 250
+    assert store.read("ch", "dst").count() == 400
