@@ -40,6 +40,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the benchmark")
 
+    sub.add_parser("catalog", help="list catalog queries (name + description)")
+
+    p_exp = sub.add_parser("explain", help="print a catalog query's physical plan")
+    p_exp.add_argument("query", help="catalog entry name (see `catalog`)")
+    p_exp.add_argument("--data", default="/root/testdata/sf0.01")
+    p_exp.add_argument("--mode", default="formatted",
+                       choices=["simple", "extended", "formatted", "cost"])
+
     p_opt = sub.add_parser("optimize", help="compact a store table (OPTIMIZE FINAL)")
     p_opt.add_argument("table", help="SCHEMA.TABLE")
     p_opt.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
@@ -70,6 +78,26 @@ def main(argv: list[str] | None = None) -> int:
     p_ivm.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "catalog":
+        from ora_ch_spark.catalog import all_queries
+
+        for i, q in enumerate(all_queries()):
+            gate = "gate" if i < 50 else "tail"
+            print(f"{i:3d} [{gate}] {q.name:28s} {q.description}")
+        return 0
+
+    if args.cmd == "explain":
+        from ora_ch_spark.catalog import all_queries
+        from ora_ch_spark.session import get_spark as _gs
+
+        qd = {q.name: q for q in all_queries()}.get(args.query)
+        if qd is None:
+            print(f"unknown catalog query: {args.query}", file=sys.stderr)
+            return 2
+        spark = _gs(app_name="ora_ch_spark_explain")
+        qd.spark(spark, args.data).explain(args.mode)
+        return 0
 
     if args.cmd == "bench":
         import bench

@@ -831,6 +831,63 @@ FROM h GROUP BY 1, 2
 """
 
 
+def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-monitoring composite: hourly event counts per type,
+    z-scored against the type's own hourly distribution (exact
+    integer moments → one fixed double formula, the grouped_zscore
+    determinism recipe), anomalies flagged at |z| ≥ 3."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    g = hourly.groupBy("grp").agg(
+        F.sum("n_events").cast("double").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    s, sq, n = F.col("_s"), F.col("_sq"), F.col("_n")
+    var = (sq - s * s / n) / (n - 1)
+    z = (
+        F.when((n > 1) & (var > 0), (F.col("n_events") - s / n) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        hourly.join(F.broadcast(g), "grp")
+        .select(
+            "grp", "hour", "n_events",
+            z.alias("zscore"),
+            (F.abs(z) >= 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+EVENTS_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS hour,
+         cast(count(*) as bigint) AS n_events
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT grp, cast(sum(n_events) as double) AS s,
+         cast(sum(n_events * n_events) as double) AS sq,
+         cast(count(*) as bigint) AS n
+  FROM hourly GROUP BY 1
+)
+SELECT grp, hour, n_events,
+       CASE WHEN n > 1 AND (sq - s * s / n) / (n - 1) > 0
+            THEN (n_events - s / n) / sqrt((sq - s * s / n) / (n - 1))
+            ELSE 0.0 END AS zscore,
+       abs(CASE WHEN n > 1 AND (sq - s * s / n) / (n - 1) > 0
+            THEN (n_events - s / n) / sqrt((sq - s * s / n) / (n - 1))
+            ELSE 0.0 END) >= 3.0 AS is_anomaly
+FROM hourly JOIN g USING (grp)
+"""
+
+
 def text_flagged_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.text import flagged_term_score
 
@@ -3210,6 +3267,8 @@ EXT_QUERIES: list[QueryDef] = [
              "streaming HLL register maintenance == batch sketch (complete-mode max agg)"),
     QueryDef("text_flagged_terms", text_flagged_terms_q, _flagged_terms_oracle(),
              "lexicon safety screen: flagged-term share + threshold flag (no UDF/join)"),
+    QueryDef("events_anomaly", events_anomaly_q, EVENTS_ANOMALY_ORACLE,
+             "hourly-count anomaly flags: per-type z-score, exact integer moments"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_q, _embedding_neardup_oracle(),
              "LSH-blocked embedding near-dup pairs by quantized cosine"),
     QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),
