@@ -831,6 +831,43 @@ FROM h GROUP BY 1, 2
 """
 
 
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.profile import corr_matrix
+
+    return corr_matrix(
+        load_table(spark, sf_dir, "lineitem"), list(_CORR_COLS)
+    )
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    sels = ["cast(count(*) as double) AS n"]
+    for c in cols:
+        sels.append(f"cast(sum(cast({c} as decimal(18,4))) as double) AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            sels.append(
+                f"cast(sum(cast({a} as decimal(18,4)) * cast({b} as decimal(19,4))) as double) AS p_{a}_{b}"
+            )
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"(n * p_{a}_{b} - s_{a} * s_{b}) / "
+                f"sqrt((n * p_{a}_{a} - s_{a} * s_{a}) * (n * p_{b}_{b} - s_{b} * s_{b})) AS corr "
+                f"FROM w"
+            )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH w AS (SELECT {", ".join(sels)} FROM lineitem)
+{body}
+"""
+
+
 def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops-monitoring composite: hourly event counts per type,
     z-scored against the type's own hourly distribution (exact
@@ -3269,6 +3306,8 @@ EXT_QUERIES: list[QueryDef] = [
              "lexicon safety screen: flagged-term share + threshold flag (no UDF/join)"),
     QueryDef("events_anomaly", events_anomaly_q, EVENTS_ANOMALY_ORACLE,
              "hourly-count anomaly flags: per-type z-score, exact integer moments"),
+    QueryDef("corr_matrix", corr_matrix_q, _corr_oracle(),
+             "one-pass pairwise Pearson matrix (exact decimal(18,4) moments, k^2 accumulators)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_q, _embedding_neardup_oracle(),
              "LSH-blocked embedding near-dup pairs by quantized cosine"),
     QueryDef("sim_topk_lsh", sim_topk_lsh_q, _lsh_topk_oracle(),

@@ -87,3 +87,45 @@ def profile_table(
         "col_name", "n_rows", "n_nonnull", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     )
+
+
+def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over k numeric columns in ONE
+    aggregation pass (k² accumulators: sums, squares, cross-products —
+    all partial-aggregable, so the pass is a map-side combine plus one
+    tiny shuffle; never k² table scans). Long output:
+    (col_a, col_b, corr double), upper triangle including diagonal.
+
+    Determinism contract: moments accumulate as exact decimal sums
+    (order-independent), the correlation is one fixed double formula —
+    replayable bit-for-bit by the DuckDB oracle. Product casts are
+    asymmetric decimal(18,4) × decimal(19,4): the result is precision
+    38 scale 8 — exactly at both engines' cap, so products stay exact
+    (symmetric 18s overflow DuckDB's int64-backed multiply; anything
+    wider overflows Spark's cap and rounds)."""
+    dec = {c: F.col(c).cast("decimal(18,4)") for c in columns}
+    dec_w = {c: F.col(c).cast("decimal(19,4)") for c in columns}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs.append(F.sum(dec[c]).cast("double").alias(f"_s_{c}"))
+    for i, a in enumerate(columns):
+        for b in columns[i:]:
+            aggs.append(
+                F.sum(dec[a] * dec_w[b]).cast("double").alias(f"_p_{a}_{b}")
+            )
+    wide = df.agg(*aggs)
+    branches = []
+    for i, a in enumerate(columns):
+        for b in columns[i:]:
+            # corr = (n*Sab - Sa*Sb) / sqrt((n*Saa - Sa^2)(n*Sbb - Sb^2))
+            branches.append(
+                f"'{a}', '{b}', "
+                f"(_n * `_p_{a}_{b}` - `_s_{a}` * `_s_{b}`) / "
+                f"sqrt((_n * `_p_{a}_{a}` - `_s_{a}` * `_s_{a}`) * "
+                f"(_n * `_p_{b}_{b}` - `_s_{b}` * `_s_{b}`))"
+            )
+    n_pairs = len(branches)
+    stack = ", ".join(branches)
+    return wide.selectExpr(
+        f"stack({n_pairs}, {stack}) as (col_a, col_b, corr)"
+    )
