@@ -868,6 +868,40 @@ WITH w AS (SELECT {", ".join(sels)} FROM lineitem)
 """
 
 
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_keep_best(docs, TX.quality_score(docs))
+
+
+def _keep_best_oracle() -> str:
+    stop_set = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_set}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(tok)) AS sum_tok_len
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id, md5(d.text) AS text_hash,
+         0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+       + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+       + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) AS s
+  FROM documents d JOIN agg USING (doc_id)
+),
+w AS (
+  SELECT text_hash, max({{'s': s, 'negid': -doc_id}}) AS w,
+         cast(count(*) as bigint) AS dup_count
+  FROM q GROUP BY 1
+)
+SELECT text_hash, cast(-(w.negid) as bigint) AS keep_id,
+       w.s AS best_score, dup_count FROM w
+"""
+
+
 def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops-monitoring composite: hourly event counts per type,
     z-scored against the type's own hourly distribution (exact
@@ -3306,6 +3340,8 @@ EXT_QUERIES: list[QueryDef] = [
              "lexicon safety screen: flagged-term share + threshold flag (no UDF/join)"),
     QueryDef("events_anomaly", events_anomaly_q, EVENTS_ANOMALY_ORACLE,
              "hourly-count anomaly flags: per-type z-score, exact integer moments"),
+    QueryDef("dedup_keep_best", dedup_keep_best_q, _keep_best_oracle(),
+             "quality-aware exact dedup: keep the BEST duplicate (max-struct, no window)"),
     QueryDef("corr_matrix", corr_matrix_q, _corr_oracle(),
              "one-pass pairwise Pearson matrix (exact decimal(18,4) moments, k^2 accumulators)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_q, _embedding_neardup_oracle(),

@@ -947,3 +947,40 @@ def substring_dedup(
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
         .filter(F.col("n_shared_windows") >= min_shared)
     )
+
+
+def exact_dedup_keep_best(
+    docs: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Exact dedup with QUALITY-AWARE winner selection — real corpus
+    pipelines keep the best duplicate, not the first: per md5(text)
+    group, the winner maximizes (score, then LOWEST id as the
+    deterministic tie-break). One row per distinct text:
+    (text_hash, keep_id, best_score, dup_count).
+
+    Implemented as ``max(struct(score, -id))`` — a partial-aggregable
+    single pass, no window over potentially-hot digest groups (the
+    same no-window rule as line_dedup)."""
+    j = docs.select(
+        F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col)
+    ).join(
+        scored.select(F.col(id_col), F.col(score_col)), id_col, "inner"
+    )
+    w = j.groupBy("text_hash").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+            )
+        ).alias("__w"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return w.select(
+        "text_hash",
+        (-F.col("__w.negid")).cast("bigint").alias("keep_id"),
+        F.col("__w.s").alias("best_score"),
+        "dup_count",
+    )
