@@ -50,12 +50,15 @@ def streaming_hll_registers(
         .selectExpr(f"{group_expr} AS grp", f"{key_expr} AS k")
     )
     reg = hll_registers(stream, F.col("k"), ["grp"])
-    q = (
-        reg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from ora_ch_spark.streaming.watermark import state_partitions
+
+    with state_partitions(spark):
+        q = (
+            reg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)

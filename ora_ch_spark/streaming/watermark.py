@@ -21,9 +21,28 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int = 8):
+    """Size stateful-streaming state stores to the STATE, not the
+    batch shuffle default: Spark creates one state-store instance per
+    shuffle partition, and the per-partition setup/commit overhead
+    dominates small-state queries (measured on local[32]: the
+    one-batch stream-stream join runs 5.9 s at 32 partitions vs
+    2.3 s at 8 — same 371 output rows). On a cluster the same knob is
+    how you match state parallelism to state volume. The conf is read
+    at query START, so the context only needs to span .start()."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _dec(c: str):
@@ -72,13 +91,14 @@ def streaming_hourly_rollup(
             "total_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)
 
@@ -155,13 +175,14 @@ def streaming_dedup_within_watermark(
         .dropDuplicatesWithinWatermark(keys)
         .select(*keys)
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)
 
@@ -231,12 +252,13 @@ def streaming_stream_join(
         "r_id",
         (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)
