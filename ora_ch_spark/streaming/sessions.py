@@ -117,13 +117,16 @@ def streaming_stateful_dedup(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from ora_ch_spark.streaming.watermark import state_partitions
+
+    with state_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)
 
@@ -332,14 +335,17 @@ def streaming_sessionize(
         if batch_df.take(1):
             batch_df.write.mode("append").parquet(output_dir)
 
-    q = (
-        sessions.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from ora_ch_spark.streaming.watermark import state_partitions
+
+    with state_partitions(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     try:
         return spark.read.parquet(output_dir)
