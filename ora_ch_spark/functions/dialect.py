@@ -173,13 +173,20 @@ def _rewrite_calls(sql: str, fname: str, render) -> str:
     """Rewrite every ``fname(...)`` call. Outermost calls are replaced
     first; nested same-name calls survive verbatim inside the rendered
     args and are picked up on the next loop pass (no render re-emits
-    its own name, so this terminates)."""
+    its own name, so this terminates). A render may return ``None``
+    to leave THAT call untouched (e.g. an arity the target dialect
+    cannot express) — the scan continues after it."""
+    start = 0
     while True:
-        found = _find_call(sql, fname)
+        found = _find_call(sql, fname, start)
         if not found:
             return sql
         begin, end, args = found
-        sql = sql[:begin] + render(args) + sql[end:]
+        rendered = render(args)
+        if rendered is None:
+            start = end  # skip this call, keep scanning
+        else:
+            sql = sql[:begin] + rendered + sql[end:]
 
 
 _CAST_FNS = {
@@ -582,6 +589,29 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # arrayJoin(arr) unrolls the array into rows ≡ Spark's explode in
     # a SELECT list (CH allows it anywhere; Spark restricts generator
     # placement — same restriction CH users hit porting by hand)
+    # CH higher-order array functions put the LAMBDA first, Spark
+    # puts the array first; the lambda syntax itself (`x -> expr`) is
+    # identical, so the rewrite is an argument swap. Multi-array
+    # forms (arrayMap(f, a, b)) zip in CH; Spark's transform is
+    # unary — only the unary forms rewrite, others pass through.
+    for ch_fn, spark_fn in (
+        ("arrayMap", "transform"),
+        ("arrayFilter", "filter"),
+        ("arrayExists", "exists"),
+        ("arrayAll", "forall"),
+    ):
+        out = _rewrite_calls(
+            out,
+            ch_fn,
+            lambda a, f=spark_fn: (
+                f"{f}({a[1]}, {a[0]})" if len(a) == 2 else None
+            ),
+        )
+    out = _rewrite_calls(
+        out,
+        "arrayCount",
+        lambda a: f"size(filter({a[1]}, {a[0]}))" if len(a) == 2 else None,
+    )
     out = _rewrite_calls(out, "arrayJoin", lambda a: f"explode({a[0]})")
     out = _rewrite_calls(out, "has", lambda a: f"array_contains({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "indexOf", lambda a: f"array_position({a[0]}, {a[1]})")

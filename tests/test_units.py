@@ -1297,3 +1297,26 @@ def test_dialect_uniq_up_to(spark):
         .createOrReplaceTempView("duu")
     r = spark.sql(T("select uniqUpTo(3)(x) AS c3, uniqUpTo(10)(x) AS c10 from duu")).collect()[0]
     assert r["c3"] == 4 and r["c10"] == 7  # capped at N+1 / exact below N
+
+
+def test_dialect_lambda_array_functions(spark):
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert (
+        T("select arrayMap(x -> x + 1, a) from t")
+        == "select transform(a, x -> x + 1) from t"
+    )
+    assert (
+        T("select arrayCount(x -> x > 1, a) from t")
+        == "select size(filter(a, x -> x > 1)) from t"
+    )
+    # zip arity has no unary Spark equivalent: untouched AND terminates
+    src = "select arrayMap((x, y) -> x + y, a, b) from t"
+    assert T(src) == src
+    spark.createDataFrame([([1, 2, 3],)], "a array<int>") \
+        .createOrReplaceTempView("dla")
+    r = spark.sql(
+        T("select arrayMap(x -> x * 2, a) AS m, arrayExists(x -> x = 2, a) AS e,"
+          " arrayAll(x -> x > 0, a) AS f, arrayCount(x -> x > 1, a) AS c from dla")
+    ).collect()[0]
+    assert list(r["m"]) == [2, 4, 6] and r["e"] and r["f"] and r["c"] == 2
