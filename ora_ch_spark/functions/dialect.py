@@ -353,6 +353,13 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # ---- common CH functions beyond the §2.4 inventory (a reference
     # user's other stored queries use these constantly) ----
     # (toDate is handled by the _CAST_FNS loop above: cast(x as date))
+    out = _rewrite_calls(
+        out, "toYYYYMM", lambda a: f"cast(date_format({a[0]}, {lit('yyyyMM')}) as int)"
+    )
+    out = _rewrite_calls(out, "toStartOfWeek", lambda a: f"date_trunc({lit('WEEK')}, {a[0]})")
+    # CH's explicit in-frame window forms are Spark's plain lag/lead
+    out = _rewrite_calls(out, "lagInFrame", lambda a: f"lag({', '.join(a)})")
+    out = _rewrite_calls(out, "leadInFrame", lambda a: f"lead({', '.join(a)})")
     out = _rewrite_calls(out, "toMonth", lambda a: f"month({a[0]})")
     out = _rewrite_calls(out, "toDayOfMonth", lambda a: f"dayofmonth({a[0]})")
     out = _rewrite_calls(out, "toHour", lambda a: f"hour({a[0]})")

@@ -1320,3 +1320,21 @@ def test_dialect_lambda_array_functions(spark):
           " arrayAll(x -> x > 0, a) AS f, arrayCount(x -> x > 1, a) AS c from dla")
     ).collect()[0]
     assert list(r["m"]) == [2, 4, 6] and r["e"] and r["f"] and r["c"] == 2
+
+
+def test_dialect_window_and_date_siblings(spark):
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert (
+        T("select toYYYYMM(d) from t")
+        == "select cast(date_format(d, 'yyyyMM') as int) from t"
+    )
+    assert (
+        T("select lagInFrame(v, 1) OVER (ORDER BY ts) from t")
+        == "select lag(v, 1) OVER (ORDER BY ts) from t"
+    )
+    r = spark.sql(
+        T("select toYYYYMM(date'2024-03-05') AS ym, "
+          "toStartOfWeek(date'2024-03-07') AS w")
+    ).collect()[0]
+    assert r["ym"] == 202403 and str(r["w"]).startswith("2024-03-04")
