@@ -1,0 +1,54 @@
+"""CLI surface tests — drive __main__.main(argv) in-process (the same
+session-scoped Spark fixture backs the store commands)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from ora_ch_spark.__main__ import main
+
+
+def test_cli_catalog_lists_all_entries(capsys):
+    assert main(["catalog"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    from ora_ch_spark.catalog import all_queries
+
+    assert len(out) == len(all_queries())
+    assert "[gate]" in out[0] and "[tail]" in out[-1]
+    assert sum("[gate]" in ln for ln in out) == 50
+
+
+def test_cli_explain_prints_plan(capsys, sf_smoke):
+    assert main(["explain", "q1_pricing_summary", "--data", sf_smoke]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_cli_explain_unknown_query(capsys):
+    assert main(["explain", "no_such_query"]) == 2
+
+
+def test_cli_ttl_and_deduplicate(tmp_path, capsys, spark):
+    from ora_ch_spark.store import TableStore
+
+    wh = str(tmp_path / "cliwh")
+    store = TableStore(spark, wh)
+    store.create_database("ch")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 10)), float(i % 3))
+        for i in range(60)
+    ] + [(0, datetime.datetime(2024, 1, 1), 0.0)]  # duplicate row
+    store.write(
+        "ch", "t",
+        spark.createDataFrame(rows, "id bigint, ts timestamp, v double"),
+    )
+    assert main([
+        "ttl", "ch.t", "--ts-col", "ts",
+        "--older-than", "2024-01-06T00:00:00", "--warehouse", wh,
+    ]) == 0
+    n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert n1 == sum(1 for _, ts, _ in rows if ts >= datetime.datetime(2024, 1, 6))
+    assert main(["deduplicate", "ch.t", "--warehouse", wh]) == 0
+    n2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert n2 == n1  # the duplicate row was already expired by TTL
