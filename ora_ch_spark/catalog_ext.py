@@ -1990,12 +1990,14 @@ near AS (
 
 
 def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate CLUSTERS via iterative min-label
-    propagation (the survivor-per-component step). Oracle = the same
-    fixpoint from a DuckDB recursive CTE over the same pairs."""
+    """Near-dup pairs → duplicate CLUSTERS via alternating large-star/
+    small-star (O(log n) rounds — survives chain-shaped clusters that
+    exceed min-label propagation's diameter bound; both forms are
+    differential-tested equal). Oracle = the same fixpoint from a
+    DuckDB recursive CTE over the same pairs."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(docs)
-    return D.connected_components(pairs)
+    return D.connected_components_star(pairs)
 
 
 def _components_oracle() -> str:

@@ -494,6 +494,95 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the O(log n)-round form of :func:`connected_components`:
+
+    - large-star (on the symmetric adjacency): every node attaches
+      its strictly-larger neighbors to min(N(u) ∪ {u});
+    - small-star (on the resulting child→parent edges): every child
+      re-points all its parents (and itself) at its min parent.
+
+    Both steps preserve connectivity and only ever lower labels; the
+    fixpoint is a star forest where every node points at its
+    component's min id — the SAME output contract (and DuckDB
+    oracle) as min-label propagation, reached in O(log n) rounds
+    instead of O(component diameter). Per round: two join+aggregate
+    passes over the (shrinking) edge frame; convergence = the edge
+    set repeats, checked with two anti-join counts on the star
+    frame. Use this form when clusters can be long chains (corpus
+    near-dup graphs from pair verdicts CAN chain: a-b, b-c, ...);
+    the dense-clique case converges in 2-3 rounds either way."""
+    nodes = (
+        pairs.select(F.col("id_a").alias("n"))
+        .unionByName(pairs.select(F.col("id_b").alias("n")))
+        .distinct()
+        .persist()
+    )
+    e = (
+        pairs.select(F.col("id_a").alias("c"), F.col("id_b").alias("p"))
+        .filter(F.col("c") != F.col("p"))
+        .distinct()
+        .persist()
+    )
+    for _rnd in range(max_iter):
+        # symmetric adjacency for the large-star step
+        sym = e.unionByName(
+            e.select(F.col("p").alias("c"), F.col("c").alias("p"))
+        )
+        mins = (
+            sym.groupBy("c").agg(F.min("p").alias("mv"))
+            .select("c", F.least(F.col("c"), F.col("mv")).alias("m"))
+        )
+        # large-star: (v, m(u)) for every neighbor v > u
+        ls = (
+            sym.join(mins, "c")
+            .filter(F.col("p") > F.col("c"))
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .distinct()
+            .persist()
+        )
+        # small-star over child→parent edges (p < c by construction)
+        g = ls.groupBy("c").agg(F.min("p").alias("m"))
+        ss = (
+            ls.join(g, "c")
+            .filter(F.col("p") != F.col("m"))
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .unionByName(g.select("c", F.col("m").alias("p")))
+            .filter(F.col("c") != F.col("p"))
+            .distinct()
+        )
+        # truncate lineage EVERY round: each round references the
+        # previous edge frame ~4x (sym twice, mins once, the except
+        # checks twice), so an un-truncated plan grows EXPONENTIALLY —
+        # measured: a 2 GiB plan string by round ~8 on a 120-chain
+        ss = ss.localCheckpoint(eager=True)
+        ls.unpersist()
+        converged = (
+            ss.exceptAll(e).count() == 0 and e.exceptAll(ss).count() == 0
+        )
+        e.unpersist()
+        e = ss
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds"
+        )
+    labels = (
+        nodes.join(e.select(F.col("c").alias("n"), "p"), "n", "left")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.coalesce("p", F.col("n")).alias("component"),
+        )
+    )
+    return labels
+
+
 def build_dedup_index(
     store,
     schema: str,

@@ -205,3 +205,33 @@ def test_hll_intersect_estimate(spark, sf_correct):
     # estimate lands in the right order of magnitude
     assert out["est_intersect"] > 0.3 * true_i
     assert out["est_intersect"] < 3.0 * true_i
+
+
+def test_connected_components_star_equals_label_and_beats_cap(spark):
+    """Star CC must (a) match min-label propagation wherever the
+    latter converges, and (b) solve chain graphs whose diameter
+    exceeds label propagation's round cap."""
+    import random
+
+    from ora_ch_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def run(fn, rows):
+        pairs = spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+        return {(r["doc_id"], r["component"]) for r in fn(pairs).collect()}
+
+    # (b) 120-link chain: diameter 120 > the label form's max_iter=50
+    star = run(connected_components_star, [(i, i + 1) for i in range(120)])
+    assert star == {(i, 0) for i in range(121)}
+    # (a) equality on random multi-component graphs + a mixed shape
+    random.seed(7)
+    rows = []
+    for comp in range(8):
+        base = comp * 1000
+        ids = [base + i for i in range(random.randint(2, 25))]
+        rows += [(ids[i], ids[random.randrange(i)]) for i in range(1, len(ids))]
+    assert run(connected_components, rows) == run(connected_components_star, rows)
+    mixed = [(5, 1), (5, 9), (5, 7), (2, 3), (3, 4), (4, 2), (100, 50)]
+    assert run(connected_components, mixed) == run(connected_components_star, mixed)
