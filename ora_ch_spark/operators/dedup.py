@@ -583,6 +583,37 @@ def connected_components_star(
     return labels
 
 
+def update_components(
+    labels: DataFrame, new_pairs: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Incremental connected components: fold a NEW batch of duplicate
+    pairs into an existing (doc_id, component) labeling without
+    re-deriving the original pair graph. Because a labeling IS a star
+    forest (node→component edges carry exactly the connectivity of
+    the solved graph), re-running star CC on labels-as-edges ∪
+    new_pairs yields the same result as a full recompute over
+    all-pairs-ever (asserted by the equivalence test) — at
+    O(nodes + new pairs) input size, never O(history of pairs).
+    Components merge when a new pair bridges them; the surviving
+    component id is the min across the merged set, so ids remain
+    stable unless a smaller-id component absorbs them."""
+    as_pairs = labels.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("id_a"), F.col("component").alias("id_b")
+    )
+    singletons = labels.filter(F.col("doc_id") == F.col("component")).select(
+        "doc_id", "component"
+    )
+    merged = connected_components_star(
+        as_pairs.unionByName(new_pairs.select("id_a", "id_b")),
+        max_iter=max_iter,
+    )
+    # singletons untouched by any new pair keep their identity row
+    untouched = singletons.join(
+        merged.select("doc_id"), "doc_id", "left_anti"
+    )
+    return merged.unionByName(untouched)
+
+
 def build_dedup_index(
     store,
     schema: str,

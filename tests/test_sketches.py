@@ -235,3 +235,33 @@ def test_connected_components_star_equals_label_and_beats_cap(spark):
     assert run(connected_components, rows) == run(connected_components_star, rows)
     mixed = [(5, 1), (5, 9), (5, 7), (2, 3), (3, 4), (4, 2), (100, 50)]
     assert run(connected_components, mixed) == run(connected_components_star, mixed)
+
+
+def test_update_components_equals_full_recompute(spark):
+    """Folding new pairs into an existing labeling must equal solving
+    the union of all pairs from scratch — including cross-component
+    merges and previously-singleton nodes."""
+    from ora_ch_spark.operators.dedup import (
+        connected_components_star,
+        update_components,
+    )
+
+    old = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    new = [(3, 10), (30, 31), (21, 22)]  # bridge, brand-new, extension
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+    labels = connected_components_star(df(old))
+    inc = {
+        (r["doc_id"], r["component"])
+        for r in update_components(labels, df(new)).collect()
+    }
+    full = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_star(df(old + new)).collect()
+    }
+    assert inc == full
+    # the bridged cluster collapsed to one min id
+    comp = {d: c for d, c in inc}
+    assert comp[11] == comp[1] == 1
