@@ -868,6 +868,69 @@ WITH w AS (SELECT {", ".join(sels)} FROM lineitem)
 """
 
 
+def chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity inter-document duplication (the C4/
+    RefinedWeb-style overlap metric): chunk every doc, hash chunks,
+    mark a chunk SHARED when its hash appears in more than one
+    distinct doc, report per-doc (n_chunks, n_shared, shared_frac).
+    Composes chunk_documents with the exact-dedup machinery — one
+    explode pass + one hash groupBy + one broadcast-size join back."""
+    from ora_ch_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), CHUNK_CHARS, CHUNK_OVERLAP
+    ).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("h")
+    )
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    flagged = chunks.join(
+        F.broadcast(shared.withColumn("__shared", F.lit(1))), "h", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("__shared"), F.lit(0))).cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / F.col("n_chunks").cast("double")
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def _chunk_overlap_oracle() -> str:
+    stride = CHUNK_CHARS - CHUNK_OVERLAP
+    return f"""
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(1, cast(ceil((length(text) - {CHUNK_OVERLAP}) / {stride}.0) as int)) AS n_chunks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         md5(substr(text, cast(cid * {stride} + 1 as int), {CHUNK_CHARS})) AS h
+  FROM (SELECT doc_id, text, unnest(range(0, n_chunks)) AS cid FROM n)
+),
+sh AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+SELECT doc_id, cast(count(*) as bigint) AS n_chunks,
+       cast(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_shared,
+       cast(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) as double)
+         / cast(count(*) as double) AS shared_frac
+FROM ch LEFT JOIN sh ON ch.h = sh.h
+GROUP BY doc_id
+"""
+
+
 def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.exact_dedup_keep_best(docs, TX.quality_score(docs))
@@ -3342,6 +3405,8 @@ EXT_QUERIES: list[QueryDef] = [
              "lexicon safety screen: flagged-term share + threshold flag (no UDF/join)"),
     QueryDef("events_anomaly", events_anomaly_q, EVENTS_ANOMALY_ORACLE,
              "hourly-count anomaly flags: per-type z-score, exact integer moments"),
+    QueryDef("chunk_overlap", chunk_overlap_q, _chunk_overlap_oracle(),
+             "chunk-granularity inter-doc duplication fraction (chunk + hash + share)"),
     QueryDef("dedup_keep_best", dedup_keep_best_q, _keep_best_oracle(),
              "quality-aware exact dedup: keep the BEST duplicate (max-struct, no window)"),
     QueryDef("corr_matrix", corr_matrix_q, _corr_oracle(),
