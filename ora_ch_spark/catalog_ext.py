@@ -315,6 +315,38 @@ SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def sim_maxsim_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.maxsim_topk_groups(emb, query_ids=emb.filter("vec_id < 10"))
+
+
+SIM_MAXSIM_ORACLE = f"""
+WITH q AS (SELECT vec_id, label, {_QE} AS qe FROM embeddings),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+dot AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.v * b.v) AS d
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id != b.vec_id
+  GROUP BY 1, 2
+),
+nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+scored AS (
+  SELECT q_id, qv.label AS grp,
+         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb.nn as double))) AS cosine
+  FROM dot
+  JOIN nrm nq ON q_id = nq.vec_id
+  JOIN nrm nb ON n_id = nb.vec_id
+  JOIN q qv ON n_id = qv.vec_id
+),
+g AS (SELECT q_id, grp, max(cosine) AS maxsim FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT q_id, grp AS label, maxsim,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY maxsim DESC, grp) as int) AS rank
+  FROM g
+)
+SELECT q_id, label, rank, maxsim FROM ranked WHERE rank <= 3
+"""
+
+
 _N_PLANES = 4
 _DIMS = 64
 
@@ -3405,6 +3437,8 @@ EXT_QUERIES: list[QueryDef] = [
              "lexicon safety screen: flagged-term share + threshold flag (no UDF/join)"),
     QueryDef("events_anomaly", events_anomaly_q, EVENTS_ANOMALY_ORACLE,
              "hourly-count anomaly flags: per-type z-score, exact integer moments"),
+    QueryDef("sim_maxsim_groups", sim_maxsim_groups_q, SIM_MAXSIM_ORACLE,
+             "ColBERT-style MaxSim group retrieval (partial-agg max before the rank window)"),
     QueryDef("chunk_overlap", chunk_overlap_q, _chunk_overlap_oracle(),
              "chunk-granularity inter-doc duplication fraction (chunk + hash + share)"),
     QueryDef("dedup_keep_best", dedup_keep_best_q, _keep_best_oracle(),

@@ -558,3 +558,43 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cosine")
     )
+
+
+def maxsim_topk_groups(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    group_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) group retrieval: score
+    a GROUP of vectors by the maximum cosine any of its members
+    reaches against the query, and rank groups per query. This is the
+    retrieval shape for multi-vector documents (chunk/token
+    embeddings): a doc matches as well as its best-matching piece.
+
+    Plan: broadcast query side, one scan of the corpus, and — the
+    part that matters at scale — the per-group max is a
+    PARTIAL-AGGREGABLE reduction, so the (q, group) frame that
+    reaches the rank window holds one row per group, not per vector
+    (a window straight over the scored pairs would shuffle the full
+    query×vector product). Ties rank by group id."""
+    q = quantize(emb, emb_col, "qe")  # keeps source columns incl. the group
+    corpus = q.select(
+        F.col(id_col).alias("n_id"), F.col(group_col).alias("grp"), F.col("qe").alias("qb")
+    )
+    queries = q.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa"))
+    if query_ids is not None:
+        queries = queries.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))), "q_id"
+        )
+    pairs = F.broadcast(queries).crossJoin(corpus).filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(pairs).select("q_id", "grp", "cosine")
+    g = scored.groupBy("q_id", "grp").agg(F.max("cosine").alias("maxsim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("grp"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("grp").alias(group_col), "rank", "maxsim")
+    )
