@@ -900,6 +900,37 @@ WITH w AS (SELECT {", ".join(sels)} FROM lineitem)
 """
 
 
+def split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split labels for every document plus the
+    per-(lang, split) count rollup in one output (split is a pure
+    function of doc_id — stable under corpus growth)."""
+    from ora_ch_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = assign_splits(docs)
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+SPLIT_ASSIGN_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split:' || cast(doc_id as varchar)), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       cast(count(*) as bigint) AS n_docs,
+       min(doc_id) AS min_id
+FROM s GROUP BY 1, 2
+"""
+
+
 def chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granularity inter-document duplication (the C4/
     RefinedWeb-style overlap metric): chunk every doc, hash chunks,
@@ -3437,6 +3468,8 @@ EXT_QUERIES: list[QueryDef] = [
              "lexicon safety screen: flagged-term share + threshold flag (no UDF/join)"),
     QueryDef("events_anomaly", events_anomaly_q, EVENTS_ANOMALY_ORACLE,
              "hourly-count anomaly flags: per-type z-score, exact integer moments"),
+    QueryDef("split_assign", split_assign_q, SPLIT_ASSIGN_ORACLE,
+             "deterministic train/val/test assignment (md5 bucket, growth-stable)"),
     QueryDef("sim_maxsim_groups", sim_maxsim_groups_q, SIM_MAXSIM_ORACLE,
              "ColBERT-style MaxSim group retrieval (partial-agg max before the rank window)"),
     QueryDef("chunk_overlap", chunk_overlap_q, _chunk_overlap_oracle(),

@@ -366,3 +366,42 @@ def quantile_threshold_filter(
     return thresholds.join(kept, group_col).select(
         group_col, "n_docs", "threshold", "n_kept"
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05),
+    ),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of its id (md5 bucket against cumulative weight
+    thresholds over 10^6 buckets) — stable across reruns, engines,
+    partitionings, and corpus growth (a doc never changes split when
+    other docs are added/removed: the property random shuffles lack
+    and every training pipeline needs for decontamination audits).
+    Map-side only; expected split sizes are weights·n with
+    hypergeometric-free independence per doc."""
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    from ora_ch_spark.functions.hashes import md5_long
+
+    bucket = md5_long(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    expr = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        thr = int(round(acc * 1_000_000))
+        cond = bucket < thr
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        expr.otherwise(weights[-1][0])
+        if expr is not None
+        else F.lit(weights[-1][0])
+    )
+    return df.withColumn("split", expr)

@@ -265,3 +265,28 @@ def test_update_components_equals_full_recompute(spark):
     # the bridged cluster collapsed to one min id
     comp = {d: c for d, c in inc}
     assert comp[11] == comp[1] == 1
+
+
+def test_assign_splits_stability_under_growth(spark):
+    """A document's split never changes when the corpus grows — the
+    decontamination-audit property hash splits have and shuffles lack."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.operators.sampling import assign_splits
+
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in assign_splits(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in assign_splits(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # proportions roughly honored at n=2000
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert c["train"] + c["val"] + c["test"] == 2000
+    # weights must sum to 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        assign_splits(small, weights=(("a", 0.5), ("b", 0.2)))
