@@ -351,3 +351,61 @@ def test_incremental_view_partitioned_source_full_recomputes(spark, tmp_path):
     out = refresh_agg_view(store, ("ch", "src"), ("ch", "agg"), ["k"], "v")
     got = {r["k"]: r["n_rows"] for r in out.collect()}
     assert got == {0: 87, 1: 87, 2: 86}
+
+
+# ---- pure-python properties of the round-4 primitives ----
+
+from ora_ch_spark.store import (  # noqa: E402
+    _bloom_build,
+    _bloom_might_contain,
+)
+
+
+@given(
+    st.sets(st.text(min_size=0, max_size=30), max_size=200),
+    st.text(min_size=1, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_no_false_negatives(values, probe):
+    """A Bloom filter may lie about presence, NEVER about absence:
+    every inserted value must test positive."""
+    bloom = _bloom_build(values)
+    for v in values:
+        assert _bloom_might_contain(bloom, v)
+    # absent values are ALLOWED to collide; just exercise the probe
+    _bloom_might_contain(bloom, probe)
+
+
+@given(st.sets(st.text(min_size=1, max_size=20), min_size=50, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_bloom_false_positive_rate_sane(values):
+    """With ~10 bits/value the FP rate stays far from saturation."""
+    bloom = _bloom_build(values)
+    fp = sum(
+        _bloom_might_contain(bloom, f"__absent_{i}__###") for i in range(200)
+    )
+    assert fp <= 40  # ≤20% even at the worst draw; design point ~1%
+
+
+@given(
+    st.text(alphabet=st.characters(codec="ascii"), min_size=0, max_size=400),
+    st.integers(2, 50),
+    st.integers(0, 30),
+)
+@settings(max_examples=100, deadline=None)
+def test_chunk_arithmetic_covers_every_position(text, chunk, overlap):
+    """The chunk-count formula must tile the whole document: python
+    replay of the SQL arithmetic shows full coverage and correct
+    overlap for every (len, chunk, overlap) combination."""
+    from hypothesis import assume
+
+    assume(overlap < chunk)
+    stride = chunk - overlap
+    import math
+
+    n = max(1, math.ceil((len(text) - overlap) / stride))
+    spans = [(i * stride, min(i * stride + chunk, len(text))) for i in range(n)]
+    # full coverage: last chunk reaches the end; no gaps between spans
+    assert spans[-1][1] == len(text) or len(text) == 0
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 <= e1  # no gap (overlap ≥ 0 by construction)
