@@ -356,8 +356,22 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out, "toYYYYMM", lambda a: f"cast(date_format({a[0]}, {lit('yyyyMM')}) as int)"
     )
-    out = _rewrite_calls(out, "toStartOfWeek", lambda a: f"date_trunc({lit('WEEK')}, {a[0]})")
-    # CH's explicit in-frame window forms are Spark's plain lag/lead
+    # CH toStartOfWeek default mode 0 starts weeks on SUNDAY (Spark's
+    # date_trunc(WEEK) is Monday); explicit-mode forms pass through
+    out = _rewrite_calls(
+        out,
+        "toStartOfWeek",
+        lambda a: (
+            f"date_sub(cast({a[0]} as date), dayofweek({a[0]}) - 1)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # CH's in-frame window forms map to plain lag/lead — exact when
+    # the query spells out its frame (the reason these functions get
+    # used); under CH's DEFAULT frame, *InFrame returns type defaults
+    # for out-of-frame rows while lag/lead look beyond it — that
+    # frameless corner is a documented deviation
     out = _rewrite_calls(out, "lagInFrame", lambda a: f"lag({', '.join(a)})")
     out = _rewrite_calls(out, "leadInFrame", lambda a: f"lead({', '.join(a)})")
     out = _rewrite_calls(out, "toMonth", lambda a: f"month({a[0]})")
@@ -476,7 +490,18 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         lambda a: f"array_join({a[0]}, {a[1] if len(a) > 1 else lit('')})",
     )
     out = _rewrite_calls(out, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})")
-    out = _rewrite_calls(out, "replaceOne", lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]}, 1)")
+    def _replace_one(a: list[str]) -> str:
+        # first occurrence of a PLAIN (non-regex) needle; locate()
+        # repeats but stays deterministic and codegen-friendly
+        s, pat, rep = a
+        return (
+            f"(CASE WHEN locate({pat}, {s}) > 0 THEN "
+            f"concat(substr({s}, 1, locate({pat}, {s}) - 1), {rep}, "
+            f"substr({s}, locate({pat}, {s}) + length({pat}))) "
+            f"ELSE {s} END)"
+        )
+
+    out = _rewrite_calls(out, "replaceOne", _replace_one)
     # CH uses re2, Spark uses Java regex — common patterns agree, the
     # exotic ones (\\p classes, lookaround behavior) may drift
     out = _rewrite_calls(
@@ -495,7 +520,16 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     out = _rewrite_calls(out, "extractAll", _extract_all)
     out = _rewrite_calls(out, "trimBoth", lambda a: f"trim({a[0]})")
-    out = _rewrite_calls(out, "caseWithExpression", _multi_if)
+
+    def _case_with_expr(a: list[str]) -> str:
+        # caseWithExpression(expr, v1, r1, v2, r2, ..., else):
+        # CASE expr WHEN v THEN r ... — NOT multiIf's cond/result pairs
+        whens = "".join(
+            f" WHEN {a[i]} THEN {a[i + 1]}" for i in range(1, len(a) - 1, 2)
+        )
+        return f"(CASE {a[0]}{whens} ELSE {a[-1]} END)"
+
+    out = _rewrite_calls(out, "caseWithExpression", _case_with_expr)
 
     # ---- JSON extraction (CH JSONExtract* / visitParam* → Spark
     # get_json_object with a $-path; key argument must be a literal
@@ -508,10 +542,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         return _emit_lit("'$." + lt[1:-1] + "'", lits)
 
     def _json_extract(cast_to: str | None):
-        def render(a: list[str]) -> str:
+        def render(a: list[str]) -> str | None:
             p = _json_path(a)
-            if p is None:  # dynamic key: leave semantics to the caller
-                return f"get_json_object({', '.join(a)})"
+            if p is None:  # dynamic key: leave the call unrewritten
+                return None
             g = f"get_json_object({a[0]}, {p})"
             return f"cast({g} as {cast_to})" if cast_to else g
 
@@ -527,14 +561,24 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         ("JSONExtractBool", "boolean"),
     ):
         out = _rewrite_calls(out, ch_fn, _json_extract(t))
-    out = _rewrite_calls(
-        out, "JSONHas",
-        lambda a: f"(get_json_object({a[0]}, {_json_path(a) or a[1]}) IS NOT NULL)",
-    )
+    def _json_has(a: list[str]) -> str | None:
+        p = _json_path(a)
+        if p is None:
+            return None  # dynamic key: unrewritten
+        return f"(get_json_object({a[0]}, {p}) IS NOT NULL)"
+
+    out = _rewrite_calls(out, "JSONHas", _json_has)
 
     # ---- datetime arithmetic ----
-    out = _rewrite_calls(out, "addDays", lambda a: f"date_add({a[0]}, {a[1]})")
-    out = _rewrite_calls(out, "subtractDays", lambda a: f"date_sub({a[0]}, {a[1]})")
+    # interval add keeps DateTime time components (CH semantics);
+    # Date inputs widen to midnight timestamps — value-correct, the
+    # type difference is the documented deviation
+    out = _rewrite_calls(
+        out, "addDays", lambda a: f"({a[0]} + make_interval(0, 0, 0, {a[1]}, 0, 0, 0))"
+    )
+    out = _rewrite_calls(
+        out, "subtractDays", lambda a: f"({a[0]} - make_interval(0, 0, 0, {a[1]}, 0, 0, 0))"
+    )
     out = _rewrite_calls(out, "addHours", lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))")
     out = _rewrite_calls(out, "addMinutes", lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))")
     out = _rewrite_calls(out, "toUnixTimestamp", lambda a: f"unix_timestamp({', '.join(a)})")

@@ -520,8 +520,7 @@ def connected_components_star(
         pairs.select(F.col("id_a").alias("n"))
         .unionByName(pairs.select(F.col("id_b").alias("n")))
         .distinct()
-        .persist()
-    )
+    )  # consumed once (final label join) — no persist to leak
     e = (
         pairs.select(F.col("id_a").alias("c"), F.col("id_b").alias("p"))
         .filter(F.col("c") != F.col("p"))

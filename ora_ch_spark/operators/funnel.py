@@ -110,8 +110,12 @@ def sequence_match(
         ts_col=ts_col,
         step_conds=conds,
     )
-    return per_user.select(
-        user_col, (F.col("level") == len(conds)).alias("matched")
+    # CH sequenceMatch returns 0 (not no-row) for users whose events
+    # never satisfy cond1 — left-join the full user set back in
+    all_users = events.select(F.col(user_col)).distinct()
+    return all_users.join(per_user, user_col, "left").select(
+        user_col,
+        F.coalesce(F.col("level") == len(conds), F.lit(False)).alias("matched"),
     )
 
 

@@ -363,11 +363,17 @@ def extract_image_features_raster(media_df: DataFrame) -> DataFrame:
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                data = bytes(blob)
-                if data[:2] == b"BM":
-                    w, h, r, g, bl = decode_image_bmp(data)
-                else:
-                    w, h, r, g, bl = decode_image_png(data)
+                # one undecodable blob (unknown format, truncated,
+                # NULL) must not kill the job — emit a null-feature
+                # row and keep going, the corpus-screening contract
+                try:
+                    data = bytes(blob)
+                    if data[:2] == b"BM":
+                        w, h, r, g, bl = decode_image_bmp(data)
+                    else:
+                        w, h, r, g, bl = decode_image_png(data)
+                except (ValueError, TypeError):
+                    w = h = r = g = bl = None
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -537,11 +537,15 @@ def ivf_topk_from_index(
     )
     qprobe = with_cosine(queries.crossJoin(cents), qa="qa", qb="qc")
     wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    # localCheckpoint (not persist): materialized once for the list
+    # collect + the candidate join, and the blocks are reclaimed by
+    # the ContextCleaner when the result's reference drops — a
+    # recurring-query service doesn't accumulate pinned cache
     probes = (
         qprobe.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= n_probe)
         .select("q_id", "qa", F.col("c_id").alias("centroid"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     probe_lists = [r["centroid"] for r in probes.select("centroid").distinct().collect()]
     corpus = (
         store.read(schema, f"{name}_assign")

@@ -1208,6 +1208,19 @@ class TableStore:
         the keyed update path (operators/load_ops.py). Returns the
         number of files rewritten."""
         keys = keys.select(*key_cols).dropDuplicates()
+        m = self._manifest(schema, table)
+        if m.get("partition_by"):
+            # hive layouts: per-file rewrite would read bare parquet
+            # (partition columns live in the DIRECTORY names, not the
+            # files) and lose those values — full filtered rewrite
+            # instead, same guard as the keyed-update path
+            survivors = self.read(schema, table).join(
+                F.broadcast(keys), on=key_cols, how="left_anti"
+            )
+            self.write(
+                schema, table, survivors, partition_by=m["partition_by"]
+            )
+            return len(m["files"])
         tagged = self.read_with_file(schema, table)
         affected = [
             r["_src_file"]

@@ -812,3 +812,25 @@ def test_zero_copy_clone_divergence_and_gc_safety(spark, tmp_path):
     store.write("ch", "src", df.filter("id >= 250").repartition(2))
     assert store.read("ch", "src").count() == 250
     assert store.read("ch", "dst").count() == 400
+
+
+def test_delete_by_keys_partitioned_table_keeps_partition_values(spark, tmp_path):
+    """Keyed delete on a hive-partitioned table must not NULL the
+    partition column (per-file rewrite reads bare parquet where the
+    value lives in the dir name — the path must fall back)."""
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "gdprp"))
+    store.create_database("ch")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"u{i % 5}") for i in range(100)],
+        "id bigint, part bigint, user string",
+    )
+    store.write("ch", "t", df, partition_by=["part"])
+    keys = spark.createDataFrame([("u1",)], "user string")
+    store.delete_by_keys("ch", "t", keys, ["user"])
+    left = store.read("ch", "t")
+    assert left.filter("user = 'u1'").count() == 0
+    assert left.filter("part IS NULL").count() == 0
+    assert left.count() == 80
+    assert store._manifest("ch", "t")["partition_by"] == ["part"]

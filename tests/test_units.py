@@ -1337,4 +1337,58 @@ def test_dialect_window_and_date_siblings(spark):
         T("select toYYYYMM(date'2024-03-05') AS ym, "
           "toStartOfWeek(date'2024-03-07') AS w")
     ).collect()[0]
-    assert r["ym"] == 202403 and str(r["w"]).startswith("2024-03-04")
+    # CH default mode 0: weeks start SUNDAY — 2024-03-07 (Thu) -> 03-03
+    assert r["ym"] == 202403 and str(r["w"]).startswith("2024-03-03")
+
+
+def test_dialect_second_review_fixes(spark):
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.createDataFrame(
+        [(1, "a.a.a", '{"n": 7}')], "s int, t string, j string"
+    ).createOrReplaceTempView("drf")
+    r = spark.sql(
+        T("select caseWithExpression(s, 1, 'one', 2, 'two', 'other') AS c, "
+          "replaceOne(t, '.', '-') AS r1, "
+          "addDays(timestamp'2024-01-01 10:30:00', 1) AS ad from drf")
+    ).collect()[0]
+    assert r["c"] == "one"
+    assert r["r1"] == "a-a.a"  # FIRST literal occurrence only
+    assert str(r["ad"]) == "2024-01-02 10:30:00"  # time preserved
+    # dynamic JSON key stays unrewritten (no wrong bare-key path)
+    src = "select JSONExtractInt(j, key_col) from t"
+    assert T(src) == src
+
+
+def test_sequence_match_emits_false_for_uncovered_users(spark):
+    import datetime
+
+    from ora_ch_spark.operators.funnel import sequence_match
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 0), "view"),
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 5), "purchase"),
+            (5, datetime.datetime(2024, 1, 1, 0, 0, 0), "purchase"),  # no cond1
+        ],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(
+            ev, ["event_type = 'view'", "event_type = 'purchase'"]
+        ).collect()
+    }
+    assert got == {1: True, 5: False}  # u5 present with matched=false
+
+
+def test_raster_dispatcher_tolerates_bad_blobs(spark):
+    from ora_ch_spark.operators.multimodal import extract_image_features_raster
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8not-an-image")), (2, bytearray(b""))],
+        "doc_id bigint, media binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_image_features_raster(media).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["width"] is None and rows[2]["mean_r"] is None
