@@ -1243,7 +1243,10 @@ def test_dialect_json_and_datetime_surface(spark, sf_smoke):
         == "select cast(get_json_object(props, '$.n') as bigint) + 1 from t"
     )
     assert T("select dateDiff('day', a, b) from t") == "select timestampdiff(DAY, a, b) from t"
-    assert T("select addDays(d, 3) from t") == "select date_add(d, 3) from t"
+    assert (
+        T("select addDays(d, 3) from t")
+        == "select (d + make_interval(0, 0, 0, 3, 0, 0, 0)) from t"
+    )  # interval form: preserves DateTime time components (CH semantics)
     register_views(spark, sf_smoke)
     r = spark.sql(
         T("""select countIf(JSONHas(props, 'k')) AS has_k,
