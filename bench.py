@@ -77,22 +77,32 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * 4
         + spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     )
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "speed_rows_sec": (
-                    round(fact_rows / op_secs) if op_secs and ops_complete else None
-                ),
-                "errors": errors,
-                "partial": bool(errors),
-            }
-        )
-    )
+    result = {
+        # the long per-query dict goes FIRST: the driver artifact
+        # truncates long lines head-first (r4's line lost its head),
+        # so the scalar summary fields must sit at the TAIL to survive
+        "queries": timings,
+        "errors": errors,
+        "partial": bool(errors),
+        "sf": sf,
+        "speed_rows_sec": (
+            round(fact_rows / op_secs) if op_secs and ops_complete else None
+        ),
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+    }
+    # durable copy: per-query history must survive even if the stdout
+    # line is truncated in the driver artifact
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+            "w",
+        ) as fh:
+            json.dump(result, fh, indent=1)
+    except OSError as exc:
+        print(f"bench: BENCH.json not written: {exc}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -975,8 +975,8 @@ def _chunk_overlap_oracle() -> str:
     stride = CHUNK_CHARS - CHUNK_OVERLAP
     return f"""
 WITH n AS (
-  SELECT doc_id, text,
-         greatest(1, cast(ceil((length(text) - {CHUNK_OVERLAP}) / {stride}.0) as int)) AS n_chunks
+  SELECT doc_id, coalesce(text, '') AS text,
+         greatest(1, cast(ceil((length(coalesce(text, '')) - {CHUNK_OVERLAP}) / {stride}.0) as int)) AS n_chunks
   FROM documents
 ),
 ch AS (
@@ -1756,7 +1756,9 @@ def pipeline_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.pipeline import assemble_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    return assemble_corpus(docs, _MIX_WEIGHTS, budget=256, shards=4)
+    return assemble_corpus(docs, _MIX_WEIGHTS, budget=256, shards=4).orderBy(
+        "lang", "shard"
+    )
 
 
 def _assemble_oracle() -> str:
@@ -1799,10 +1801,12 @@ c AS (
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM d
 )
-SELECT lang, shard, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
-       sum(cast(floor((cum - 1) / 256.0) as bigint)
-           - cast(floor((cum - n_tokens) / 256.0) as bigint) + 1) AS seq_slots
+SELECT lang, shard, count(*) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS n_tokens,
+       cast(sum(cast(floor((cum - 1) / 256.0) as bigint)
+           - cast(floor((cum - n_tokens) / 256.0) as bigint) + 1) as bigint) AS seq_slots
 FROM c GROUP BY 1, 2
+ORDER BY lang, shard
 """
 
 
@@ -2379,9 +2383,11 @@ _KM_K = 8
 def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.cluster import kmeans_assign
 
+    # canonical output order (gate entries end in a defined total
+    # order; mapInPandas emission order is partition-dependent)
     return kmeans_assign(
         load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=2
-    )
+    ).orderBy("vec_id")
 
 
 # full 2-iteration trajectory replay: init = k lowest vec_ids,
@@ -2426,7 +2432,15 @@ a2 AS (
 
 _KMEANS_CTES = _kmeans_ctes(_KM_K)
 
-KMEANS_ORACLE = _KMEANS_CTES + "\nSELECT vec_id, cluster, dist FROM a2\n"
+# cast(dist as bigint): DuckDB sum(BIGINT) is HUGEINT, which lands in
+# pandas as float64 while Spark's bigint sum is int64 — same values,
+# different dtype, and a dtype-sensitive hash calls that a mismatch
+# (the r4 gate did exactly that for every un-cast HUGEINT sum; the
+# ORDER BY additionally pins a total output order)
+KMEANS_ORACLE = _KMEANS_CTES + (
+    "\nSELECT vec_id, cluster, cast(dist as bigint) AS dist FROM a2"
+    "\nORDER BY vec_id\n"
+)
 
 
 def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2563,7 +2577,9 @@ def sim_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.pq import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(emb, query_ids=emb.filter("vec_id < 10"))
+    return pq_topk(emb, query_ids=emb.filter("vec_id < 10")).orderBy(
+        "q_id", "rank"
+    )
 
 
 def _pq_oracle(m: int = 4, k: int = 16, sub: int = 16, topk: int = 5) -> str:
@@ -2624,8 +2640,9 @@ adc AS (
 SELECT q_id, n_id,
        cast(row_number() OVER (PARTITION BY q_id
                                ORDER BY adc_dist, n_id) as int) AS rank,
-       adc_dist
+       cast(adc_dist as bigint) AS adc_dist
 FROM adc QUALIFY rank <= {topk}
+ORDER BY q_id, rank
 """
 
 
@@ -3240,8 +3257,8 @@ def _chunk_oracle() -> str:
     stride = CHUNK_CHARS - CHUNK_OVERLAP
     return f"""
 WITH n AS (
-  SELECT doc_id, text,
-         greatest(1, cast(ceil((length(text) - {CHUNK_OVERLAP}) / {stride}.0) as int)) AS n_chunks
+  SELECT doc_id, coalesce(text, '') AS text,
+         greatest(1, cast(ceil((length(coalesce(text, '')) - {CHUNK_OVERLAP}) / {stride}.0) as int)) AS n_chunks
   FROM documents
 ),
 i AS (SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS cid FROM n)
@@ -3256,17 +3273,20 @@ FROM i
 def diversity_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.cluster import diversity_sample
 
-    return diversity_sample(load_table(spark, sf_dir, "embeddings"))
+    return diversity_sample(load_table(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id"
+    )
 
 
 # kmeans trajectory replay + md5-rank fixed-per-cluster reservoir
 DIVERSITY_SAMPLE_ORACLE = _KMEANS_CTES + """
-SELECT vec_id, cluster, dist FROM (
+SELECT vec_id, cluster, cast(dist as bigint) AS dist FROM (
   SELECT a2.*, row_number() OVER (
     PARTITION BY cluster
     ORDER BY md5('div:' || cast(vec_id as varchar)), vec_id) AS rr
   FROM a2
 ) WHERE rr <= 10
+ORDER BY vec_id
 """
 
 

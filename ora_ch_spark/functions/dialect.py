@@ -590,7 +590,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         # keyword (Spark's first arg is an identifier, not a string)
         lt = _lit_text(a[0], lits)
         if lt is None or len(a) != 3:
-            return f"dateDiff({', '.join(a)})"  # leave unrewritten
+            # leave unrewritten — MUST return None (not re-emit the
+            # call text) so the scanner advances past it; re-emitting
+            # 'dateDiff(...)' would loop forever (ADVICE r04)
+            return None
         return f"timestampdiff({lt[1:-1].upper()}, {a[1]}, {a[2]})"
 
     out = _rewrite_calls(out, "dateDiff", _date_diff)

@@ -101,6 +101,27 @@ def sequence_match(
     bound — the funnel with an unbounded window, anchored at the
     earliest cond1 event; level == n ⇔ match). Patterns with
     time-gap operators map to :func:`window_funnel` directly."""
+    if not conds:
+        raise ValueError("sequence_match needs at least one condition")
+    if len(conds) == 1:
+        # CH accepts one-condition patterns ('(?1)'); the 2+-step
+        # funnel would reject them — matched ⇔ any event satisfies
+        # cond1 (ADVICE r04)
+        hits = (
+            events.filter(F.expr(conds[0]))
+            .select(F.col(user_col))
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        return (
+            events.select(F.col(user_col))
+            .distinct()
+            .join(hits, user_col, "left")
+            .select(
+                user_col,
+                F.coalesce(F.col("__hit"), F.lit(False)).alias("matched"),
+            )
+        )
     horizon = 200 * 365 * 24 * 3600  # effectively unbounded
     per_user = window_funnel(
         events,

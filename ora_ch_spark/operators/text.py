@@ -436,14 +436,18 @@ def chunk_documents(
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     stride = chunk_chars - overlap
+    # NULL text → one empty chunk (not zero rows): length(NULL) would
+    # NULL the sequence bound and explode would silently DROP the doc,
+    # diverging from engines whose greatest() skips NULLs (ADVICE r04)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     n = F.greatest(
         F.lit(1),
-        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(stride)),
+        F.ceil((F.length(txt) - F.lit(overlap)) / F.lit(stride)),
     ).cast("int")
     return (
         df.select(
             F.col(id_col),
-            F.col(text_col),
+            txt.alias(text_col),
             F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_id"),
             n.alias("n_chunks"),
         )

@@ -1005,6 +1005,10 @@ class TableStore:
                     f"NOT coalesce(({predicate}), false)"
                 ),
                 partition_by=m["partition_by"],
+                # maintenance rewrite: carry the Bloom index setting
+                # (write(None) means "drop index" — a DDL reset this
+                # path must not imply; ADVICE r04)
+                bloom_columns=m.get("bloom_columns") or [],
             )
             return
         # zone-map pruning: classify files against the predicate using
@@ -1157,6 +1161,8 @@ class TableStore:
             table,
             df,
             partition_by=m.get("partition_by") or None,
+            # compaction preserves the per-file Bloom value index
+            bloom_columns=m.get("bloom_columns") or [],
         )
 
     def clone(
@@ -1218,7 +1224,11 @@ class TableStore:
                 F.broadcast(keys), on=key_cols, how="left_anti"
             )
             self.write(
-                schema, table, survivors, partition_by=m["partition_by"]
+                schema,
+                table,
+                survivors,
+                partition_by=m["partition_by"],
+                bloom_columns=m.get("bloom_columns") or [],
             )
             return len(m["files"])
         tagged = self.read_with_file(schema, table)
@@ -1271,5 +1281,9 @@ class TableStore:
             df = df.dropDuplicates()
         m = self._manifest(schema, table)
         return self.write(
-            schema, table, df, partition_by=m.get("partition_by") or None
+            schema,
+            table,
+            df,
+            partition_by=m.get("partition_by") or None,
+            bloom_columns=m.get("bloom_columns") or [],
         )

@@ -48,6 +48,21 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )
+    # dtype-KIND parity before any normalization: the driver's value
+    # hash is dtype-sensitive, so an oracle column arriving as float64
+    # where Spark emits int64 hash-mismatches even when every value is
+    # equal. Root cause seen in r4: DuckDB sum(BIGINT) returns HUGEINT
+    # → pandas float64 — always cast such sums in oracle SQL.
+    for c in spark_pdf.columns:
+        ka = spark_pdf[c].dtype.kind
+        kb = duck_pdf[c].dtype.kind
+        ka = "i" if ka == "u" else ka
+        kb = "i" if kb == "u" else kb
+        assert ka == kb, (
+            f"{name}.{c}: dtype kind {spark_pdf[c].dtype} (spark) vs "
+            f"{duck_pdf[c].dtype} (oracle) — cast both sides to the same "
+            f"type (HUGEINT sums need cast(... as bigint))"
+        )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in a.columns:
         col_a, col_b = a[c], b[c]

@@ -834,3 +834,38 @@ def test_delete_by_keys_partitioned_table_keeps_partition_values(spark, tmp_path
     assert left.filter("part IS NULL").count() == 0
     assert left.count() == 80
     assert store._manifest("ch", "t")["partition_by"] == ["part"]
+
+
+def test_maintenance_preserves_bloom_index(spark, tmp_path):
+    """deduplicate / compact / delete_where-fallback / delete_by_keys
+    (partitioned) are maintenance, not DDL: they must carry the
+    manifest's bloom_columns through their internal write() instead of
+    silently dropping the per-file value index (ADVICE r04)."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.store import TableStore
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def blooms(store, tbl):
+        m = store._manifest("ch", tbl)
+        assert m.get("bloom_columns") == ["source"], m.get("bloom_columns")
+        assert all(set(fe.get("bloom", [])) == {"source"} for fe in m["files"])
+
+    store = TableStore(spark, str(tmp_path / "mb"))
+    store.create_database("ch")
+    store.write("ch", "d1", docs, bloom_columns=["source"])
+    store.deduplicate("ch", "d1")
+    blooms(store, "d1")
+    store.compact("ch", "d1")
+    blooms(store, "d1")
+    store.delete_where("ch", "d1", "length(text) < -1 or doc_id % 97 = 0")
+    blooms(store, "d1")
+
+    # partitioned table: delete_by_keys takes the full-rewrite path
+    store.write(
+        "ch", "d2", docs, partition_by=["lang"], bloom_columns=["source"]
+    )
+    keys = docs.select("doc_id").limit(5)
+    store.delete_by_keys("ch", "d2", keys, ["doc_id"])
+    m = store._manifest("ch", "d2")
+    assert m.get("bloom_columns") == ["source"]

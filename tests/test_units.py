@@ -1395,3 +1395,75 @@ def test_raster_dispatcher_tolerates_bad_blobs(spark):
     rows = {r["doc_id"]: r for r in extract_image_features_raster(media).collect()}
     assert set(rows) == {1, 2}
     assert rows[1]["width"] is None and rows[2]["mean_r"] is None
+
+
+def test_gate_window_covers_unproven():
+    """Gate honesty (ADVICE r04 / VERDICT r04 item 8): the driver
+    verifies only the first 50 catalog entries, so every entry must
+    either sit inside that window now or hold a historical green
+    CORRECTNESS row — no entry may accumulate unproven behind it."""
+    from ora_ch_spark.catalog import _gate_history, all_queries
+
+    qs = all_queries()
+    hist = _gate_history()
+    unproven = [q.name for q in qs if q.name not in hist]
+    # computed ordering puts every unproven entry inside the window
+    assert unproven == [q.name for q in qs[: len(unproven)]]
+    assert len(unproven) <= 50, (
+        f"{len(unproven)} never-proven entries exceed the 50-slot gate "
+        f"window — split the additions across rounds"
+    )
+    behind = [q.name for q in qs[50:] if q.name not in hist]
+    assert behind == [], f"unproven entries hidden behind the gate: {behind}"
+    # ordering is deterministic (same history → same order)
+    assert [q.name for q in all_queries()] == [q.name for q in qs]
+
+
+def test_sequence_match_single_condition(spark):
+    """CH sequenceMatch accepts one-condition patterns; the funnel's
+    2-step minimum must not leak through (ADVICE r04)."""
+    import datetime
+
+    from ora_ch_spark.operators.funnel import sequence_match
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 0), "view"),
+            (5, datetime.datetime(2024, 1, 1, 0, 0, 0), "purchase"),
+        ],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(ev, ["event_type = 'view'"]).collect()
+    }
+    assert got == {1: True, 5: False}
+
+
+def test_translate_ch_sql_datediff_nonliteral_unit_terminates():
+    """dateDiff with a non-literal unit or extra timezone arg must be
+    left unrewritten WITHOUT looping (ADVICE r04: re-emitting the
+    call's own name made the rewrite scanner spin forever)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    src4 = "SELECT dateDiff('day', a, b, 'UTC') FROM t"
+    assert translate_ch_sql(src4) == src4
+    srcv = "SELECT dateDiff(u, a, b) FROM t"
+    assert translate_ch_sql(srcv) == srcv
+    assert (
+        translate_ch_sql("SELECT dateDiff('day', a, b) FROM t")
+        == "SELECT timestampdiff(DAY, a, b) FROM t"
+    )
+
+
+def test_chunk_documents_null_text_one_empty_chunk(spark):
+    """NULL text chunks to exactly one empty-text chunk row (not zero
+    rows) — cross-engine agreement pinned (ADVICE r04)."""
+    from ora_ch_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "ab")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in chunk_documents(docs, 10, 2).collect()}
+    assert rows[1]["n_chunks"] == 1 and rows[1]["chunk_text"] == ""
+    assert rows[2]["n_chunks"] == 1 and rows[2]["chunk_text"] == "ab"
