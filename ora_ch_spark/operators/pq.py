@@ -96,3 +96,138 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "adc_dist")
     )
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF + ADC composition (the FAISS ``IVFADC`` shape, Jégou et
+    al. §IV): a coarse quantizer routes each query to its ``n_probe``
+    nearest inverted lists, and ONLY the vectors in those lists are
+    scored — by summed per-subspace ADC lookups against the PQ codes,
+    never the full vectors. :func:`pq_topk` solves memory (codes
+    instead of vectors) but still scores every corpus row per query;
+    this composition also bounds compute and I/O to
+    n_probe/n_lists of the corpus, which is what makes compressed
+    search viable at 100 TB (store the code table partitioned by
+    list and the probe is partition-pruned like
+    ``similarity.build_ivf_index``).
+
+    Codebooks are GLOBAL (no per-list residual encoding): encoding
+    replays :func:`pq_topk` exactly, so the oracle shares its
+    training trajectory; the residual refinement is a quality knob on
+    the same plan shape. Coarse assignment is argmin squared distance
+    (tie → lowest list id) — the L2 world PQ distances live in.
+
+    Returns (q_id, n_id, rank, adc_dist bigint), rank ascending by
+    ADC distance, ties → lowest neighbor id."""
+    first = emb.select(F.size(emb_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding frame")
+    dims = first["d"]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    sub = dims // m
+    q = quantize(emb, emb_col, "qe").select(id_col, "qe").persist()
+    qids = (
+        F.broadcast(query_ids.select(F.col(id_col).alias("__qid")))
+        if query_ids is not None
+        else None
+    )
+    # ---- coarse quantizer: route vectors and queries to lists ----
+    coarse = seed_centroids(q, n_lists, id_col)
+    lists = _assign(q, coarse, id_col).select(
+        F.col(id_col).alias("n_id"), F.col("cluster").alias("list")
+    )
+    queries = q
+    if qids is not None:
+        queries = q.join(qids, F.col(id_col) == F.col("__qid")).drop("__qid")
+    qdist = (
+        queries.crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(qe, cq, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .select(F.col(id_col).alias("q_id"), F.col("cluster").alias("list"), "dist")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("list"))
+    probes = (
+        qdist.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= n_probe)
+        .select("q_id", "list")
+    )
+    # candidate pairs: only vectors in the probed lists — the join
+    # key is the small uniform list id, and at scale the code table
+    # is stored partitioned by list so this is a pruned read
+    cands = (
+        probes.join(lists, "list")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+    )
+    # ---- PQ training + encoding (identical trajectory to pq_topk) --
+    enc_parts = []
+    dt_parts = []
+    for s in range(m):
+        qs = q.select(
+            id_col, F.expr(f"slice(qe, {s * sub + 1}, {sub})").alias("qe")
+        ).persist()
+        cents = _update(_assign(qs, seed_centroids(qs, k_codes, id_col), id_col))
+        enc_parts.append(
+            _assign(qs, cents, id_col).select(
+                F.col(id_col).alias("n_id"),
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("code"),
+            )
+        )
+        queries_s = qs
+        if qids is not None:
+            queries_s = qs.join(qids, F.col(id_col) == F.col("__qid")).drop("__qid")
+        dt_parts.append(
+            queries_s.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "dist",
+                F.expr(
+                    "aggregate(zip_with(qe, cq, (x, y) -> (x - y) * (x - y)),"
+                    " 0L, (acc, v) -> acc + v)"
+                ),
+            )
+            .select(
+                F.col(id_col).alias("q_id"),
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("code"),
+                "dist",
+            )
+        )
+    enc_all = enc_parts[0]
+    for p in enc_parts[1:]:
+        enc_all = enc_all.unionByName(p)
+    dt_all = dt_parts[0]
+    for p in dt_parts[1:]:
+        dt_all = dt_all.unionByName(p)
+    # ---- ADC over candidates only: (q,n) → m code rows → broadcast
+    # lookup → partial-agg sum. pq_topk instead expands dt against
+    # the FULL code table — correct, but O(|Q|·N·m); here the
+    # expansion is O(|cands|·m).
+    scored = (
+        cands.join(enc_all, "n_id")
+        .join(F.broadcast(dt_all), ["q_id", "s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "adc_dist")
+    )

@@ -353,7 +353,11 @@ def ivf_assign(
 
 
 def _argmax_centroid(
-    q: DataFrame, seeds, id_col: str, impl: str = "pandas"
+    q: DataFrame,
+    seeds,
+    id_col: str,
+    impl: str = "pandas",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Nearest-centroid assignment (argmax cosine, tie → lowest
     c_id). Two value-identical implementations (asserted equal by
@@ -392,22 +396,22 @@ def _argmax_centroid(
                 qn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
                 cos = dots / (qn[:, None] * s_norm[None, :])
                 best = cos.argmax(axis=1)  # first max = lowest c_id
-                yield pdl.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "centroid": c_ids[best],
-                        "qe": pdf["qe"],
-                    }
-                )
+                out = {id_col: pdf[id_col], "centroid": c_ids[best]}
+                for cc in carry_cols:
+                    out[cc] = pdf[cc]
+                out["qe"] = pdf["qe"]
+                yield pdl.DataFrame(out)
 
         # id type taken from the frame (ids are not always bigint),
-        # and qe ECHOES through the batch — re-attaching it with a
-        # corpus join would be exactly the array-carrying shuffle
-        # this path exists to avoid
-        id_type = dict(q.dtypes)[id_col]
-        return q.select(id_col, "qe").mapInPandas(
+        # and qe + carry_cols ECHO through the batch — re-attaching
+        # them with a corpus join would be exactly the array-carrying
+        # shuffle this path exists to avoid
+        dtypes = dict(q.dtypes)
+        carry_schema = "".join(f", {cc} {dtypes[cc]}" for cc in carry_cols)
+        return q.select(id_col, *carry_cols, "qe").mapInPandas(
             batches,
-            schema=f"{id_col} {id_type}, centroid bigint, qe array<bigint>",
+            schema=f"{id_col} {dtypes[id_col]}, centroid bigint"
+                   f"{carry_schema}, qe array<bigint>",
         )
     scored = with_cosine(
         q.select(F.col(id_col), F.col("qe")).crossJoin(seeds), qa="qe", qb="qc"
@@ -418,7 +422,9 @@ def _argmax_centroid(
         .groupBy(id_col)
         .agg(F.min("c_id").alias("centroid"))
     )
-    return resolved.join(q, id_col).select(id_col, "centroid", "qe")
+    return resolved.join(q, id_col).select(
+        id_col, "centroid", *carry_cols, "qe"
+    )
 
 
 def ivf_topk(
@@ -486,6 +492,7 @@ def build_ivf_index(
     n_lists: int = 16,
     seeds: DataFrame | None = None,
     assign_impl: str = "pandas",
+    keep_cols: tuple[str, ...] = (),
 ) -> None:
     """Materialize an IVF index into store tables so recurring query
     batches never re-quantize or re-assign the corpus (same lifecycle
@@ -499,13 +506,20 @@ def build_ivf_index(
 
     ``seeds`` plugs in trained centroids (``cluster.kmeans_centroids``
     renamed to (c_id, qc)); default is the deterministic
-    first-``n_lists``-by-id pick that :func:`ivf_topk` uses."""
+    first-``n_lists``-by-id pick that :func:`ivf_topk` uses.
+
+    ``keep_cols`` rides extra source columns into the assign table
+    (e.g. the group/label column :func:`maxsim_topk_groups_ivf`
+    ranks on) — carried through the assignment batch, never a
+    corpus join-back."""
     q = quantize(emb, emb_col, "qe").persist()
     if seeds is None:
         seeds = q.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
         )
-    assign = _argmax_centroid(q, F.broadcast(seeds), id_col, impl=assign_impl)
+    assign = _argmax_centroid(
+        q, F.broadcast(seeds), id_col, impl=assign_impl, carry_cols=keep_cols
+    )
     store.write(schema, f"{name}_centroids", seeds)
     store.write(
         schema, f"{name}_assign", assign, partition_by=["centroid"]
@@ -595,6 +609,71 @@ def maxsim_topk_groups(
         )
     pairs = F.broadcast(queries).crossJoin(corpus).filter(F.col("q_id") != F.col("n_id"))
     scored = with_cosine(pairs).select("q_id", "grp", "cosine")
+    g = scored.groupBy("q_id", "grp").agg(F.max("cosine").alias("maxsim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("grp"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("grp").alias(group_col), "rank", "maxsim")
+    )
+
+
+def maxsim_topk_groups_ivf(
+    store,
+    schema: str,
+    queries_emb: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    group_col: str = "label",
+    k: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-routed MaxSim group retrieval — the index-accelerated
+    counterpart of :func:`maxsim_topk_groups` (which scores the FULL
+    corpus per query, exact but O(|Q|·N)). Routing reuses a
+    :func:`build_ivf_index` index built with
+    ``keep_cols=(group_col,)``: each query probes its ``n_probe``
+    nearest inverted lists and only the vectors in those lists are
+    scored, so a group's maxsim is the max over its members *within
+    the probed lists* — the standard IVF recall trade (a group whose
+    best member lives outside the probed lists ranks lower or drops;
+    the recall floor is pinned by tests/test_lines_search_cluster.py).
+
+    Scale shape: centroids broadcast; candidate lists load
+    partition-pruned via the IN-filter on the hive ``centroid``
+    column (n_probe/n_lists of the index bytes per batch); the
+    per-(query, group) max is partial-aggregable BEFORE the rank
+    window, so the window input is one row per group, not per
+    vector."""
+    cents = F.broadcast(
+        store.read(schema, f"{name}_centroids").select("c_id", "qc")
+    )
+    queries = quantize(queries_emb, emb_col, "qe").select(
+        F.col(id_col).alias("q_id"), F.col("qe").alias("qa")
+    )
+    qprobe = with_cosine(queries.crossJoin(cents), qa="qa", qb="qc")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    probes = (
+        qprobe.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("q_id", "qa", F.col("c_id").alias("centroid"))
+    ).localCheckpoint(eager=True)
+    probe_lists = [
+        r["centroid"] for r in probes.select("centroid").distinct().collect()
+    ]
+    corpus = (
+        store.read(schema, f"{name}_assign")
+        .filter(F.col("centroid").isin(probe_lists))
+        .select(
+            F.col(id_col).alias("n_id"),
+            "centroid",
+            F.col(group_col).alias("grp"),
+            F.col("qe").alias("qb"),
+        )
+    )
+    cands = probes.join(corpus, "centroid").filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(cands, qa="qa", qb="qb").select("q_id", "grp", "cosine")
     g = scored.groupBy("q_id", "grp").agg(F.max("cosine").alias("maxsim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("grp"))
     return (

