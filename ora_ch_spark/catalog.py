@@ -846,6 +846,305 @@ GROUP BY nation, is_big, code
 
 
 # ---------------------------------------------------------------------------
+# VERBATIM shipped calc query through the dialect translator
+# ---------------------------------------------------------------------------
+
+# The reference's production stored query, UNMODIFIED
+# (ora_ch_app/src/main/resources/v_cache_for_calc_6184_4626.txt:9-157)
+# read from the reference checkout at runtime — the text is reference
+# content and is deliberately NOT copied into this repo; the entry
+# proves translate_ch_sql + bind_params handle the real 156-line text
+# end-to-end (calc_replica_6184 covers the construct inventory with a
+# hand replica; this covers the TRANSLATOR on the original).
+_V6184_PATH = (
+    "/root/reference/ora_ch_app/src/main/resources/"
+    "v_cache_for_calc_6184_4626.txt"
+)
+
+# synthetic fixture tables with the production schemas, derived
+# deterministically from the TPC-H-ish parquet so the DuckDB oracle
+# can rebuild byte-identical inputs. Common SQL subset only (runs
+# verbatim in Spark AND DuckDB): concat/lpad/CASE/%/year/INTERVAL.
+# {L}/{O} are replaced with each engine's lineitem/orders relation.
+_V6184_FIXTURES: dict[tuple[str, str], str] = {
+    ("msk_arm_v2", "eaist_v_financeplan"): """
+        SELECT l_orderkey * 10 + l_linenumber AS id,
+               l_orderkey AS contract_id,
+               cast(l_extendedprice as double) AS summa,
+               concat('P', l_partkey % 5) AS purpose,
+               l_suppkey % 7 AS grbs,
+               concat('F', l_partkey % 4) AS functional,
+               concat('E', l_suppkey % 6) AS expense,
+               concat('K', l_partkey % 3) AS economic,
+               l_shipdate AS budget_year
+        FROM {L} WHERE l_linenumber <= 2""",
+    ("msk_analytics_caches", "cache_for_calc_12904_11487"): """
+        SELECT o_orderkey AS id_contract,
+               concat('D', o_orderkey % 100) AS doc_num,
+               cast(o_orderkey % 3 + 1 as int) AS version,
+               cast(CASE WHEN o_orderkey % 7 = 0 THEN 5 ELSE 1 END as int) AS type_info,
+               o_orderdate AS sign_date,
+               cast(o_orderkey % 97 as int) AS sign_number,
+               cast(CASE WHEN o_orderkey % 5 = 0 THEN 20230101
+                         ELSE 20240101 END as double) AS date_cache,
+               cast(20240117 as double) AS datecalc_cache
+        FROM {O}""",
+    ("msk_arm_v2", "eaist_v_contract"): """
+        SELECT o_orderkey AS id, o_orderdate AS date_start,
+               o_orderdate + INTERVAL 2 YEAR AS date_end
+        FROM {O}""",
+    ("msk_arm_v2", "v_ref_financeplan_data_depfi_v"): """
+        SELECT o_orderkey AS id_contract, o_orderdate AS data_bo,
+               cast(year(o_orderdate) as int) AS year_bo,
+               cast(o_totalprice as double) AS payment_bo,
+               cast(o_orderkey % 2 + 1 as int) AS id_pbo_type
+        FROM {O}""",
+    ("msk_analytics", "v_gp_kbk_un"): """
+        SELECT DISTINCT
+               concat('E', l_suppkey % 6) AS vr_code,
+               concat('P', l_partkey % 5) AS cr_code,
+               lpad(concat('', l_suppkey % 7), 3, '0') AS gr_code,
+               concat('F', l_partkey % 4) AS fk_code,
+               concat('K', l_partkey % 3) AS kg_code,
+               cast(1 as int) AS id_budget_type,
+               cast(1 as int) AS is_budget_type,
+               CASE WHEN l_partkey % 4 = 0 THEN NULL
+                    ELSE cast(l_partkey % 4 as int) END AS ra_id,
+               CASE WHEN l_partkey % 3 = 0 THEN NULL
+                    ELSE cast(l_partkey % 3 * 1000 as int) END AS id_classifier_kbk,
+               CASE WHEN l_partkey % 5 = 0 THEN NULL
+                    ELSE concat('G', l_partkey % 5) END AS gp_code,
+               concat('S', l_suppkey % 6) AS gsp_code,
+               cast(l_partkey % 3 % 2 as int) AS is_modern,
+               cast(l_suppkey % 6 + l_partkey % 5 as int) AS id_meropr_group,
+               cast(CASE WHEN (l_suppkey % 6 + l_suppkey % 7) % 2 = 0
+                         THEN 1997 ELSE 1996 END as int) AS n_year,
+               cast(CASE WHEN (l_suppkey % 6 + l_suppkey % 7) % 2 = 0
+                         THEN 1997 ELSE 1996 END as int) AS cur_year
+        FROM {L}""",
+    ("msk_nsi", "d_expense_article"): """
+        SELECT DISTINCT cast(100 + l_partkey % 5 as int) AS id,
+               concat('P', l_partkey % 5) AS s_code
+        FROM {L} WHERE l_partkey % 5 <= 3""",
+    ("msk_nsi", "d_oiv"): """
+        SELECT DISTINCT cast(200 + l_suppkey % 7 as int) AS id,
+               lpad(concat('', l_suppkey % 7), 3, '0') AS grbs
+        FROM {L} WHERE l_suppkey % 7 <= 5""",
+    ("msk_nsi", "d_expense_section"): """
+        SELECT DISTINCT cast(300 + l_partkey % 4 as int) AS id,
+               concat('F', l_partkey % 4) AS s_code
+        FROM {L}""",
+    ("msk_nsi", "d_expense_kind"): """
+        SELECT DISTINCT cast(400 + l_suppkey % 6 as int) AS id,
+               concat('E', l_suppkey % 6) AS s_code
+        FROM {L} WHERE l_suppkey % 6 <= 4""",
+    ("msk_nsi", "d_expense_kosgu"): """
+        SELECT DISTINCT cast(500 + l_partkey % 3 as int) AS id,
+               concat('K', l_partkey % 3) AS s_code
+        FROM {L}""",
+    ("msk_arm_v2", "mv_spr_w_vr_contr"): """
+        SELECT DISTINCT concat('E', l_suppkey % 6) AS code
+        FROM {L} WHERE l_suppkey % 6 <= 3""",
+    ("msk_analytics_caches", "cache_for_calc_12044_10407"): """
+        SELECT l_orderkey * 10 + l_linenumber AS id_finplan,
+               cast(l_linenumber as int) AS rn_pbo,
+               cast(l_extendedprice * 0.5 as double) AS payment_bo,
+               cast(CASE WHEN l_orderkey % 3 = 0 THEN 20230101
+                         ELSE 20240101 END as double) AS date_cache,
+               cast(20240117 as double) AS datecalc_cache
+        FROM {L} WHERE l_linenumber <= 2""",
+    ("msk_arm_v2", "mv_restriction_pd"): """
+        SELECT DISTINCT cast(200 + l_suppkey % 7 as int) AS id_oiv,
+               cast(100 + l_partkey % 5 as int) AS id_expense,
+               cast(300 + l_partkey % 4 as int) AS id_section,
+               cast(400 + l_suppkey % 6 as int) AS id_exp_kind,
+               cast(500 + l_partkey % 3 as int) AS id_kosgu_ext,
+               cast(1997 as int) AS year,
+               cast(1 as int) AS id_budget_type
+        FROM {L} WHERE (l_partkey + l_suppkey) % 3 = 0""",
+}
+
+_V6184_PARAMS = (
+    QueryParam("date_cache_1", ParamType.DECIMAL, 1),
+    QueryParam("datecalc_cache_1", ParamType.DECIMAL, 2),
+    QueryParam("date_calc_ctr", ParamType.STRING, 3),
+    QueryParam("year_bo", ParamType.UINT32, 4),
+    QueryParam("c_year", ParamType.UINT32, 5),
+)
+# dates shifted into the synthetic orders range (1995-2001); the {name:Type}
+# binding machinery is exercised for all three reference param types
+_V6184_VALUES = {
+    "date_cache_1": "20240101",
+    "datecalc_cache_1": "20240117",
+    "date_calc_ctr": "1998-02-15",
+    "year_bo": "1997",
+    "c_year": "1997",
+}
+
+
+def _v6184_view_body() -> str:
+    import re as _re
+
+    with open(_V6184_PATH, encoding="utf-8") as fh:
+        txt = fh.read()
+    m = _re.search(r"CREATE VIEW[^\n]*AS\n", txt)
+    if m is None:
+        raise ValueError(f"no CREATE VIEW body in {_V6184_PATH}")
+    return txt[m.end():].rstrip().rstrip(";")
+
+
+def calc_verbatim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 156-line production query, verbatim, through
+    ``bind_params`` + ``translate_ch_sql`` against the synthetic
+    fixture schemas — the translator (not a hand replica) must handle
+    the original text end-to-end. Fixtures are metadata-only views
+    over the parquet files (no data copied), created under the
+    production database names so the verbatim qualified references
+    resolve. Known documented deviation exercised here:
+    ``toFixedString(x, 1000)`` translates to a plain string cast, so
+    the ``dk.s_code IN (…)`` membership test compares unpadded
+    strings (CH FixedString NUL-padding has no Spark analogue)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.functions.params import bind_params
+
+    for (db, tbl), sel in _V6184_FIXTURES.items():
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        body = sel.format(
+            L=f"parquet.`{sf_dir}/lineitem.parquet`",
+            O=f"parquet.`{sf_dir}/orders.parquet`",
+        )
+        spark.sql(f"CREATE OR REPLACE VIEW {db}.{tbl} AS {body}")
+    bound = bind_params(_v6184_view_body(), _V6184_PARAMS, _V6184_VALUES)
+    return spark.sql(translate_ch_sql(bound)).orderBy("fp_id")
+
+
+def _v6184_oracle() -> str:
+    """Hand ANSI replay of the verbatim query over the same fixture
+    definitions (the fixtures themselves are common-subset SQL and
+    inline verbatim as CTEs)."""
+    fx = {
+        tbl: sel.format(L="lineitem", O="orders")
+        for (_db, tbl), sel in _V6184_FIXTURES.items()
+    }
+    return f"""
+WITH fp AS ({fx["eaist_v_financeplan"]}),
+t3c AS ({fx["cache_for_calc_12904_11487"]}),
+ctr AS ({fx["eaist_v_contract"]}),
+depfi AS ({fx["v_ref_financeplan_data_depfi_v"]}),
+gp_un AS ({fx["v_gp_kbk_un"]}),
+d_art AS ({fx["d_expense_article"]}),
+d_oiv AS ({fx["d_oiv"]}),
+d_sec AS ({fx["d_expense_section"]}),
+d_kind AS ({fx["d_expense_kind"]}),
+d_kosgu AS ({fx["d_expense_kosgu"]}),
+spr AS ({fx["mv_spr_w_vr_contr"]}),
+d2c AS ({fx["cache_for_calc_12044_10407"]}),
+restr AS ({fx["mv_restriction_pd"]}),
+t4 AS (
+  SELECT tt.summa, tt.purpose, tt.grbs, tt.functional, tt.expense,
+         tt.economic, tt.budget_year, tt.id,
+         t3.doc_num, t3.version, t3.type_info, t3.sign_date,
+         t3.id_contract, t3_.date_start, t3_.date_end, t3.sign_number,
+         t3.date_cache, t3.datecalc_cache
+  FROM fp tt
+  JOIN (SELECT * FROM t3c
+        WHERE date_cache = 20240101 AND datecalc_cache = 20240117) t3
+    ON t3.id_contract = tt.contract_id
+  JOIN (SELECT * FROM ctr t3_
+        WHERE year(t3_.date_start) < year(timestamp '1998-02-15')
+          AND year(t3_.date_end) >= year(timestamp '1998-02-15')
+          AND t3_.date_start < timestamp '1998-02-15'
+          AND t3_.date_end >= timestamp '1998-02-15') t3_
+    ON t3_.id = t3.id_contract
+  WHERE (t3.type_info <> 5 OR
+         (t3.type_info = 5 AND
+          t3.id_contract IN (SELECT a.id_contract FROM depfi a
+                             WHERE a.data_bo < timestamp '1998-02-15'
+                               AND a.year_bo = 1997
+                               AND a.payment_bo > 0
+                               AND a.id_pbo_type = 1)))
+    AND t3.sign_date <
+        (CASE WHEN year(tt.budget_year) < year(current_date)
+              THEN strptime(concat(cast(year(tt.budget_year) + 1 as varchar),
+                                   '-01-01'), '%Y-%m-%d')
+              ELSE cast(current_date as timestamp) END)
+),
+dd AS (
+  SELECT t4.summa, t4.type_info,
+         coalesce(d_art.id, 0) AS id_expense,
+         coalesce(d_sec.id, 0) AS id_section,
+         coalesce(d_oiv.id, 0) AS id_oiv,
+         coalesce(d_kind.id, 0) AS id_exp_kind,
+         coalesce(d_kosgu.id, 0) AS id_kosgu,
+         cast(year(t4.date_start) as int) AS year,
+         t4.doc_num, t4.version, t4.id AS fp_id, t4.id_contract,
+         coalesce(cast(strftime(t4.date_start, '%Y%m%d') as int),
+                  99990000) AS ddate,
+         gp.ra_id, gp.id_classifier_kbk,
+         coalesce(gp.gp_code, '0') AS gp_code,
+         gp.gsp_code, gp.is_modern, gp.id_meropr_group,
+         gp.is_budget_type, t4.sign_number,
+         coalesce(gp.n_year, 0) AS gp_kbk_nyear,
+         t4.date_cache, t4.datecalc_cache
+  FROM t4
+  JOIN gp_un gp ON gp.id_budget_type = 1
+               AND t4.expense = gp.vr_code
+               AND t4.purpose = gp.cr_code
+               AND lpad(concat('', t4.grbs), 3, '0') = gp.gr_code
+               AND t4.functional = gp.fk_code
+               AND t4.economic = gp.kg_code
+  LEFT JOIN d_art ON t4.purpose = d_art.s_code
+  LEFT JOIN d_oiv ON d_oiv.grbs = lpad(concat('', t4.grbs), 3, '0')
+  LEFT JOIN d_sec ON t4.functional = d_sec.s_code
+  LEFT JOIN d_kind ON t4.expense = d_kind.s_code
+  LEFT JOIN d_kosgu ON t4.economic = d_kosgu.s_code
+  WHERE d_kind.s_code IN (SELECT code FROM spr)
+    AND coalesce(d_oiv.id, 0) <> 0
+    AND coalesce(d_kosgu.id, 0) <> 0
+    AND gp.n_year = 1997 AND gp.cur_year = 1997
+),
+av AS (
+  SELECT cast(1 as int) AS id_datasource,
+         CASE WHEN dd.type_info <> 5 THEN dd.summa
+              ELSE d2.payment_bo END AS summa,
+         dd.id_expense, dd.id_section, dd.id_oiv, dd.id_exp_kind,
+         dd.id_kosgu, dd.year, dd.doc_num, dd.version,
+         coalesce(dd.ra_id, 0) AS ra_id,
+         coalesce(dd.id_classifier_kbk, 0) AS id_classifier_kbk,
+         dd.gp_code, dd.gsp_code, dd.is_modern, dd.id_meropr_group,
+         dd.id_contract, dd.fp_id, dd.ddate, dd.is_budget_type,
+         dd.sign_number, dd.gp_kbk_nyear, dd.date_cache,
+         dd.datecalc_cache
+  FROM dd
+  LEFT JOIN (SELECT * FROM d2c
+             WHERE date_cache = 20240101
+               AND datecalc_cache = 20240117) d2
+    ON dd.fp_id = d2.id_finplan AND d2.rn_pbo = 1 AND dd.type_info = 5
+)
+SELECT av.id_datasource, av.summa, av.id_expense, av.id_section,
+       av.id_oiv, av.id_exp_kind, av.id_kosgu, av.year, av.doc_num,
+       av.version, av.ra_id, av.id_classifier_kbk, av.gp_code,
+       av.gsp_code, av.is_modern, av.id_meropr_group, av.id_contract,
+       av.fp_id, av.ddate, av.is_budget_type, av.sign_number,
+       av.gp_kbk_nyear, av.date_cache,
+       coalesce(b.id_oiv, NULL, 0, 1) AS is_restr,
+       av.datecalc_cache
+FROM av
+LEFT JOIN (SELECT id_oiv, id_expense, id_section, id_exp_kind,
+                  id_kosgu_ext, year AS n_year_restr, id_budget_type
+           FROM restr WHERE year = 1997) b
+  ON b.id_budget_type = 1
+ AND b.id_oiv = av.id_oiv
+ AND b.id_expense = av.id_expense
+ AND b.id_section = av.id_section
+ AND b.id_exp_kind = av.id_exp_kind
+ AND b.id_kosgu_ext = av.id_kosgu
+WHERE av.ddate < 20240101 AND av.year = 1997
+ORDER BY av.fp_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -867,6 +1166,8 @@ CORE_QUERIES: list[QueryDef] = [
              "C1–C4: typed params + CH dialect + materialize + sliced export"),
     QueryDef("calc_replica_6184", calc_replica_q, CALC_REPLICA_ORACLE,
              "structural replica of v_cache_for_calc_6184_4626.txt through the calc engine"),
+    QueryDef("calc_verbatim_6184", calc_verbatim_q, _v6184_oracle(),
+             "the VERBATIM 156-line production query text through bind_params + translate_ch_sql"),
     QueryDef("window_functions", window_functions, WINDOW_FUNCTIONS_ORACLE,
              "rank/dense_rank/lag/running-sum window surface"),
     QueryDef("set_ops", set_ops, SET_OPS_ORACLE,

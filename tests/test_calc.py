@@ -317,3 +317,33 @@ def test_salted_join_rejects_small_side_preserving_modes(spark):
         salted_join(a, b, on=["k"], how="full")
     with _pytest.raises(ValueError):
         salted_join(a, b, on=["k"], how="right")
+
+
+def test_verbatim_6184_translates_clean():
+    """The verbatim production text (reference resource, read at run
+    time) must come out of bind_params + translate_ch_sql with every
+    placeholder bound and every CH-only function rewritten."""
+    import os
+
+    import pytest
+
+    from ora_ch_spark.catalog import (
+        _V6184_PARAMS,
+        _V6184_PATH,
+        _V6184_VALUES,
+        _v6184_view_body,
+    )
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.functions.params import bind_params
+
+    if not os.path.exists(_V6184_PATH):
+        pytest.skip("reference checkout not present")
+    body = _v6184_view_body()
+    assert "CREATE VIEW" not in body and body.lstrip().startswith("select")
+    out = translate_ch_sql(bind_params(body, _V6184_PARAMS, _V6184_VALUES))
+    assert "{" not in out and "}" not in out
+    for ch_only in ("toYear(", "toYYYYMMDD(", "parseDateTime(",
+                    "toFixedString(", "toString(", "today()"):
+        assert ch_only not in out, ch_only
+    # binding is typed: the String param arrives quoted, numerics bare
+    assert "'1998-02-15'" in out and "20240101" in out and "= 1997" in out
