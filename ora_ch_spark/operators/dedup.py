@@ -247,6 +247,67 @@ def packed_band_keys(num_hashes: int, bands: int) -> list:
     return out
 
 
+def _banded_self_pairs(
+    bb: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the band-key self-join.
+
+    Default: plain equi-self-join on the band keys — one shuffle on
+    uniform integer keys, the right plan when band populations are
+    healthy (AQE's skew splitting mops up moderate imbalance).
+
+    ``salt_buckets=B`` switches to TRIANGLE BLOCKING for pathological
+    hot bands (boilerplate-heavy corpora where thousands of docs share
+    a band signature and one reducer would otherwise materialize that
+    band's n² pairs): each row gets a deterministic block in [0, B)
+    (xxhash64 of the id — routing only, never in the output), the left
+    side replicates to block-pairs (blk, j≥blk), the right side to
+    (i≤blk, blk), and the join key grows to (band key, __bi, __bj) —
+    every within-band pair is emitted exactly once (same-block pairs
+    twice, collapsed by the least/greatest normalization + distinct)
+    while the hot band's work spreads over B(B+1)/2 reducers.
+    Replication cost ≈ (B+1)/2 per row, so salt only when a band
+    histogram (``skew.key_histogram``) shows a hot band; the output
+    pair set is IDENTICAL either way (property-tested)."""
+    if not salt_buckets:
+        a = bb.select(F.col(id_col).alias("id_a"), *key_cols)
+        b = bb.select(F.col(id_col).alias("id_b"), *key_cols)
+        return (
+            a.join(b, on=key_cols)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    B = int(salt_buckets)
+    base = bb.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    )
+    left = base.select(
+        F.col(id_col).alias("id_a"),
+        *key_cols,
+        F.col("__blk").alias("__bi"),
+        F.explode(F.sequence(F.col("__blk"), F.lit(B - 1))).alias("__bj"),
+    )
+    right = base.select(
+        F.col(id_col).alias("id_b"),
+        *key_cols,
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__bi"),
+        F.col("__blk").alias("__bj"),
+    )
+    return (
+        left.join(right, on=key_cols + ["__bi", "__bj"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -255,6 +316,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dedup: returns (id_a, id_b,
     jaccard) pairs above the threshold.
@@ -277,14 +339,7 @@ def minhash_lsh_dedup(
         F.col(id_col), F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e")
     ).select(id_col, "e.band", *[f"e.k{j}" for j in range(n_keys)])
     key_cols = ["band"] + [f"k{j}" for j in range(n_keys)]
-    a = bb.select(F.col(id_col).alias("id_a"), *key_cols)
-    b = bb.select(F.col(id_col).alias("id_b"), *key_cols)
-    cands = (
-        a.join(b, on=key_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = _banded_self_pairs(bb, key_cols, id_col, salt_buckets)
     pruned = _length_prune(cands, arr, arr, id_col, "id_a", "id_b", "na", "nb", threshold)
     ga = arr.select(F.col(id_col).alias("id_a"), F.col("sharr").alias("ga"))
     gb = arr.select(F.col(id_col).alias("id_b"), F.col("sharr").alias("gb"))

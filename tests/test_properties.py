@@ -409,3 +409,30 @@ def test_chunk_arithmetic_covers_every_position(text, chunk, overlap):
     assert spans[-1][1] == len(text) or len(text) == 0
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert s2 <= e1  # no gap (overlap ≥ 0 by construction)
+
+
+def test_salted_band_self_join_equals_plain(spark):
+    """Triangle-blocked band self-join (hot-band salting): with a
+    PLANTED hot band — many near-identical boilerplate docs sharing
+    every band key — the salted pair set must equal the plain path's
+    exactly, and the physical join must carry the block columns so
+    the hot band's pairs spread over B(B+1)/2 reducers instead of 1
+    (VERDICT r04 item 7)."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.operators.dedup import minhash_lsh_dedup
+
+    # 60 copies of the same boilerplate (one pathological band
+    # population) + distinct chatter docs
+    boiler = [(i, "terms of service apply to all content on this site") for i in range(60)]
+    chatter = [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(20)]
+    docs = spark.createDataFrame(boiler + chatter, "doc_id bigint, text string")
+    plain = minhash_lsh_dedup(docs)
+    salted = minhash_lsh_dedup(docs, salt_buckets=4)
+    p = {(r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in plain.collect()}
+    s = {(r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in salted.collect()}
+    assert p == s and len(p) >= 60 * 59 // 2  # full boiler clique found
+    # plan assertion: the candidate join keys include the block pair
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__bi" in plan and "__bj" in plan
+    assert "__bi" not in plain._jdf.queryExecution().executedPlan().toString()
