@@ -44,6 +44,13 @@ class JdbcSourceConfig:
     # optional business-date context applied per connection (P7)
     curr_date_context: str | None = None
     analyt_datecalc: str | None = None
+    # Oracle session tagging (ora/jdbcSession.scala:58-59,336-337 sets
+    # OCSID.MODULE='ORATOCH' / OCSID.ACTION per task via JDBC client
+    # info; the sessionInitStatement analogue is
+    # DBMS_APPLICATION_INFO.SET_MODULE, which surfaces in
+    # V$SESSION.module/action the same way) — observability parity
+    module_tag: str | None = None
+    action_tag: str | None = None
     # per-split parallel read (S2 — upgrade over reference)
     partition_column: str | None = None
     lower_bound: int | None = None
@@ -73,6 +80,12 @@ def session_init_sql(cfg: JdbcSourceConfig) -> str | None:
     if cfg.session_init_override:
         return cfg.session_init_override
     stmts = []
+    if cfg.module_tag or cfg.action_tag:
+        mod = (cfg.module_tag or "ORATOCH").replace("'", "''")
+        act = (cfg.action_tag or "").replace("'", "''")
+        stmts.append(
+            f"DBMS_APPLICATION_INFO.SET_MODULE('{mod}','{act}')"
+        )
     if cfg.curr_date_context:
         stmts.append(
             f"msk_analytics.set_curr_date_context(to_date('{cfg.curr_date_context}','dd.mm.yyyy'))"

@@ -208,3 +208,34 @@ def test_p7_live_session_init_statement(spark, sf_smoke, derby_url):
         .load()
     )
     assert log.filter("marker = 7").count() >= 1  # init ran on the read connection
+
+
+def test_session_tagging_in_init_statement():
+    """Oracle MODULE/ACTION session tagging (the reference sets
+    OCSID.MODULE='ORATOCH' / OCSID.ACTION per task via client info;
+    jdbcSession.scala:58-59,336-337) rides the sessionInitStatement as
+    DBMS_APPLICATION_INFO.SET_MODULE, composed with the P7 context
+    init, and quotes embedded apostrophes."""
+    import dataclasses
+
+    from ora_ch_spark.sources.jdbc import JdbcSourceConfig, session_init_sql
+
+    cfg = JdbcSourceConfig(
+        ip="127.0.0.1",
+        module_tag="ORATOCH",
+        action_tag="SLAVE_42",
+        curr_date_context="17.01.2024",
+    )
+    sql = session_init_sql(cfg)
+    assert sql.startswith("BEGIN ") and sql.endswith("; END;")
+    assert "DBMS_APPLICATION_INFO.SET_MODULE('ORATOCH','SLAVE_42')" in sql
+    assert "set_curr_date_context" in sql
+    # module defaults to the reference's tag; quoting is safe
+    cfg2 = JdbcSourceConfig(ip="127.0.0.1", action_tag="calc_6184'x")
+    assert (
+        "DBMS_APPLICATION_INFO.SET_MODULE('ORATOCH','calc_6184''x')"
+        in session_init_sql(cfg2)
+    )
+    # no tags → unchanged behavior (None when nothing else configured)
+    assert session_init_sql(JdbcSourceConfig(ip="127.0.0.1")) is None
+    assert dataclasses.fields(JdbcSourceConfig)  # dataclass intact
