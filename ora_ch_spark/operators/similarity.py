@@ -521,8 +521,17 @@ def build_ivf_index(
         q, F.broadcast(seeds), id_col, impl=assign_impl, carry_cols=keep_cols
     )
     store.write(schema, f"{name}_centroids", seeds)
+    # cluster rows by list BEFORE the hive write: without this every
+    # upstream partition writes a sliver into every centroid dir
+    # (P×n_lists files — measured 512 files / 512-task probe scans at
+    # 32×16); one shuffle on the list id gives ~one contiguous file
+    # per list, which is the inverted-list layout the probe wants at
+    # any scale (split further by maxRecordsPerFile when lists grow)
     store.write(
-        schema, f"{name}_assign", assign, partition_by=["centroid"]
+        schema,
+        f"{name}_assign",
+        assign.repartition(n_lists, "centroid"),
+        partition_by=["centroid"],
     )
     q.unpersist()
 
