@@ -1015,7 +1015,12 @@ def calc_verbatim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         spark.sql(f"CREATE OR REPLACE VIEW {db}.{tbl} AS {body}")
     bound = bind_params(_v6184_view_body(), _V6184_PARAMS, _V6184_VALUES)
-    return spark.sql(translate_ch_sql(bound)).orderBy("fp_id")
+    out = spark.sql(translate_ch_sql(bound))
+    # total output order: fp_id is NOT unique ((l_orderkey,
+    # l_linenumber) has duplicate pairs in the synthetic data — see
+    # the verify-skill gotcha), so order over EVERY column;
+    # nulls-last matches DuckDB's ASC default
+    return out.orderBy(*[F.asc_nulls_last(c) for c in out.columns])
 
 
 def _v6184_oracle() -> str:
@@ -1140,7 +1145,13 @@ LEFT JOIN (SELECT id_oiv, id_expense, id_section, id_exp_kind,
  AND b.id_exp_kind = av.id_exp_kind
  AND b.id_kosgu_ext = av.id_kosgu
 WHERE av.ddate < 20240101 AND av.year = 1997
-ORDER BY av.fp_id
+ORDER BY av.id_datasource, av.summa, av.id_expense, av.id_section,
+         av.id_oiv, av.id_exp_kind, av.id_kosgu, av.year, av.doc_num,
+         av.version, av.ra_id, av.id_classifier_kbk, av.gp_code,
+         av.gsp_code, av.is_modern, av.id_meropr_group,
+         av.id_contract, av.fp_id, av.ddate, av.is_budget_type,
+         av.sign_number, av.gp_kbk_nyear, av.date_cache, is_restr,
+         av.datecalc_cache
 """
 
 
@@ -1202,11 +1213,19 @@ CORE_QUERIES: list[QueryDef] = [
 # tests/test_units.py::test_gate_window_covers_unproven).
 
 
+_GATE_HISTORY_CACHE: dict[str, int] | None = None
+
+
 def _gate_history() -> dict[str, int]:
     """name → latest round with a passing gate row (hash_match, or
     rows_match for the weaker rows-only entries). Reads the committed
     CORRECTNESS_r{N}.json artifacts; missing/corrupt files are simply
-    skipped, so a fresh checkout degrades to declaration order."""
+    skipped, so a fresh checkout degrades to declaration order.
+    Memoized per process — the artifacts are committed files that
+    never change mid-run, and all_queries() is called repeatedly."""
+    global _GATE_HISTORY_CACHE
+    if _GATE_HISTORY_CACHE is not None:
+        return _GATE_HISTORY_CACHE
     import glob
     import json
     import re
@@ -1233,6 +1252,7 @@ def _gate_history() -> dict[str, int]:
                 ok = bool(row.get("rows_match")) and row.get("err") is None
             if ok:
                 hist[name] = max(rnd, hist.get(name, 0))
+    _GATE_HISTORY_CACHE = hist
     return hist
 
 

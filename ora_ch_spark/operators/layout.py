@@ -100,4 +100,8 @@ def cluster_table(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    store.write(schema, table, clustered)
+    # layout-only rewrite: carry the Bloom index setting through
+    store.write(
+        schema, table, clustered,
+        bloom_columns=m.get("bloom_columns") or [],
+    )

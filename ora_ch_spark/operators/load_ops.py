@@ -263,7 +263,17 @@ def op_update(
             for f in fields:
                 merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
             merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
-            store.write(spec.schema, spec.name, merged, partition_by=part_cols or None)
+            store.write(
+                spec.schema,
+                spec.name,
+                merged,
+                partition_by=part_cols or None,
+                # maintenance rewrite, not DDL: keep the Bloom index
+                bloom_columns=store._manifest(spec.schema, spec.name).get(
+                    "bloom_columns"
+                )
+                or [],
+            )
         if wm_col and new_mark is not None:
             # advance the high-water mark only after a successful write
             sync_state.set_watermark(spec.schema, spec.name, wm_col, new_mark)

@@ -869,3 +869,41 @@ def test_maintenance_preserves_bloom_index(spark, tmp_path):
     store.delete_by_keys("ch", "d2", keys, ["doc_id"])
     m = store._manifest("ch", "d2")
     assert m.get("bloom_columns") == ["source"]
+
+
+def test_update_and_cluster_preserve_bloom_index(spark, tmp_path):
+    """The two remaining maintenance rewrites outside store.py —
+    op_update's full-merge branch and layout.cluster_table — must also
+    carry bloom_columns through their write() (round-5 review)."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.layout import cluster_table
+    from ora_ch_spark.operators.load_ops import op_update
+    from ora_ch_spark.specs import Operation, TableSpec
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "ub"))
+    store.create_database("ch")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    # partitioned table => op_update takes the full-merge write branch
+    store.write(
+        "ch", "ev", ev, partition_by=["event_type"],
+        bloom_columns=["user_id"],
+    )
+    upd = ev.limit(10).withColumn("value", F.col("value") + 1.0)
+    spec = TableSpec(
+        schema="ch", name="ev", operation=Operation.UPDATE,
+        update_fields=["value"],
+    )
+    op_update(store, spec, upd, key_columns=["event_id"])
+    assert store._manifest("ch", "ev").get("bloom_columns") == ["user_id"]
+
+    # unpartitioned clustered rewrite
+    store.write("ch", "ev2", ev, bloom_columns=["event_type"])
+    cluster_table(store, "ch", "ev2", ["user_id", "value"], bits=8)
+    m = store._manifest("ch", "ev2")
+    assert m.get("bloom_columns") == ["event_type"]
+    assert all(set(fe.get("bloom", [])) == {"event_type"} for fe in m["files"])
