@@ -201,7 +201,6 @@ _CAST_FNS = {
     "toUInt64": "bigint",
     "toFloat32": "float",
     "toFloat64": "double",
-    "toDecimal128": "decimal(38,6)",
     "toDate": "date",
     "toDateTime": "timestamp",
 }
@@ -270,6 +269,62 @@ def _clause_span(masked: str, start: int) -> tuple[int, str | None]:
     return len(masked), None
 
 
+# words after which a '[' opens a CH ARRAY LITERAL (not postfix
+# indexing): clause keywords and operators — an identifier, ')' or
+# ']' immediately before '[' means indexing instead
+_ARRAY_LIT_KEYWORDS = frozenset(
+    {
+        "in", "then", "else", "when", "select", "and", "or", "not",
+        "where", "having", "on", "by", "union", "all", "distinct",
+        "values", "limit", "between", "case", "array", "return",
+    }
+)
+
+
+def _rewrite_array_literals(masked: str) -> str:
+    """CH array literals ``[x, y]`` → ``array(x, y)`` (Spark has no
+    bracket literal syntax, so the rewrite is unambiguous). A ``[``
+    that directly follows an identifier / ``)`` / ``]`` is postfix
+    INDEXING and is left alone — note CH indexes 1-based while Spark's
+    ``arr[i]`` is 0-based; indexing is deliberately NOT rewritten
+    (same idempotence rule as ``position``: the syntax is valid Spark
+    with different semantics, so a rewrite would corrupt already-ANSI
+    text). Nesting is tracked so inner literals rewrite too."""
+    out: list[str] = []
+    # stack entry: "array" (→ array(...)), "paren" (IN-list → (...)),
+    # or "index" (left alone)
+    stack: list[str] = []
+    for c in masked:
+        if c == "[":
+            j = len(out) - 1
+            while j >= 0 and out[j].isspace():
+                j -= 1
+            kind = "array"
+            if j >= 0:
+                pc = out[j]
+                if pc in ")]" or pc == "\x00":
+                    kind = "index"
+                elif pc.isalnum() or pc == "_":
+                    k = j
+                    while k >= 0 and (out[k].isalnum() or out[k] == "_"):
+                        k -= 1
+                    word = "".join(out[k + 1 : j + 1]).lower()
+                    if word == "in":
+                        # `x IN [..]` is list membership: Spark's IN
+                        # takes a paren list, not an array value
+                        kind = "paren"
+                    elif word not in _ARRAY_LIT_KEYWORDS:
+                        kind = "index"
+            stack.append(kind)
+            out.append({"array": "array(", "paren": "(", "index": "["}[kind])
+        elif c == "]":
+            kind = stack.pop() if stack else "index"
+            out.append("]" if kind == "index" else ")")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 _PREWHERE = re.compile(r"(?i)(?<![A-Za-z0-9_])prewhere(?![A-Za-z0-9_])")
 
 
@@ -317,6 +372,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         # the masked text stays quote-free for all later passes
         return _emit_lit(f"'{text}'", lits)
 
+    # array literals first: call-arg splitting must never see a bare
+    # '[1, 2]' (the comma would split it into two args)
+    out = _rewrite_array_literals(out)
+
     out = _rewrite_calls(out, "toYear", lambda a: f"year({a[0]})")
     out = _rewrite_calls(
         out,
@@ -335,6 +394,20 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     out = _rewrite_calls(out, "parseDateTimeBestEffort", lambda a: f"to_timestamp({a[0]})")
     out = _rewrite_calls(out, "parseDateTime", _parse_dt)
+
+    # toDecimal{32,64,128}(x[, scale]) — the CH scale argument picks
+    # the Spark decimal scale; arity-1 keeps the reference's
+    # Decimal(38,6) convention for 128 and scale 6 elsewhere
+    for fn, prec in (("toDecimal128", 38), ("toDecimal64", 18), ("toDecimal32", 9)):
+        out = _rewrite_calls(
+            out,
+            fn,
+            lambda a, p=prec: (
+                f"cast({a[0]} as decimal({p},{a[1].strip()}))"
+                if len(a) == 2
+                else f"cast({a[0]} as decimal({p},6))"
+            ),
+        )
 
     for ch_fn, spark_type in _CAST_FNS.items():
         out = _rewrite_calls(
@@ -468,6 +541,116 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
     out = _rewrite_calls(out, "argMax", lambda a: f"max_by({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "argMin", lambda a: f"min_by({a[0]}, {a[1]})")
+    # uniq's sketch-family aliases: same ROLE drift note as uniq —
+    # approx_count_distinct is a different sketch, values may differ
+    for fn in ("uniqCombined64", "uniqCombined", "uniqHLL12", "uniqTheta"):
+        out = _rewrite_calls(
+            out,
+            fn,
+            lambda a: (
+                f"approx_count_distinct({a[0]})"
+                if len(a) == 1
+                else f"approx_count_distinct(struct({', '.join(a)}))"
+            ),
+        )
+    # NOTE: CH `any(x)` (arbitrary value) is NOT rewritten — `any` is
+    # also Spark's boolean aggregate, so the rewrite would corrupt
+    # already-ANSI text (same idempotence rule as `position`); CH
+    # users port it to any_value() by hand.
+
+    # ---- CH functional arithmetic / misc scalar names (none of
+    # these exist in Spark, so the rewrites are unambiguous) ----
+    out = _rewrite_calls(out, "modulo", lambda a: f"({a[0]} % {a[1]})")
+    out = _rewrite_calls(out, "plus", lambda a: f"({a[0]} + {a[1]})")
+    out = _rewrite_calls(out, "minus", lambda a: f"({a[0]} - {a[1]})")
+    out = _rewrite_calls(out, "multiply", lambda a: f"({a[0]} * {a[1]})")
+    out = _rewrite_calls(out, "divide", lambda a: f"({a[0]} / {a[1]})")
+    out = _rewrite_calls(
+        out, "intDivOrZero",
+        lambda a: f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]} div {a[1]}) END)",
+    )
+    out = _rewrite_calls(out, "leftPad", lambda a: f"lpad({', '.join(a)})")
+    out = _rewrite_calls(out, "rightPad", lambda a: f"rpad({', '.join(a)})")
+    out = _rewrite_calls(out, "assumeNotNull", lambda a: f"({a[0]})")
+    out = _rewrite_calls(out, "match", lambda a: f"({a[0]} rlike {a[1]})")
+    # same documented role-drift as cityHash64: a 64-bit hash of the
+    # same ROLE (sharding/sampling), different function family
+    out = _rewrite_calls(out, "sipHash64", lambda a: f"xxhash64({', '.join(a)})")
+    out = _rewrite_calls(
+        out,
+        "toMonday",
+        lambda a: f"cast(date_trunc({lit('WEEK')}, {a[0]}) as date)",
+    )
+    out = _rewrite_calls(
+        out, "toStartOfMinute", lambda a: f"date_trunc({lit('MINUTE')}, {a[0]})"
+    )
+    # toIntervalX(n) → make_interval slot (CH interval constructors)
+    for fn, slot in (
+        ("toIntervalYear", 0), ("toIntervalMonth", 1), ("toIntervalWeek", 2),
+        ("toIntervalDay", 3), ("toIntervalHour", 4), ("toIntervalMinute", 5),
+        ("toIntervalSecond", 6),
+    ):
+        def _mk(a: list[str], s=slot) -> str:
+            parts = ["0"] * 7
+            parts[s] = a[0]
+            return f"make_interval({', '.join(parts)})"
+        out = _rewrite_calls(out, fn, _mk)
+
+    def _date_addsub(sign: str):
+        def render(a: list[str]) -> str | None:
+            # CH dateAdd(UNIT, n, ts) — the arity-3 keyword-unit form;
+            # other arities are not CH's and are left alone
+            if len(a) != 3:
+                return None
+            n = a[1] if sign == "+" else f"-({a[1]})"
+            return f"timestampadd({a[0].strip().upper()}, {n}, {a[2]})"
+        return render
+
+    out = _rewrite_calls(out, "dateAdd", _date_addsub("+"))
+    out = _rewrite_calls(out, "dateSub", _date_addsub("-"))
+
+    # ---- CH higher-order array functions (lambda-first argument
+    # order flips to Spark's array-first) + array aggregates ----
+    out = _rewrite_calls(out, "arrayExists", lambda a: f"exists({a[1]}, {a[0]})")
+    out = _rewrite_calls(out, "arrayAll", lambda a: f"forall({a[1]}, {a[0]})")
+    out = _rewrite_calls(
+        out,
+        "arrayCount",
+        lambda a: f"size(filter({a[1]}, {a[0]}))" if len(a) == 2 else None,
+    )
+    out = _rewrite_calls(out, "arrayMin", lambda a: f"array_min({a[0]})")
+    out = _rewrite_calls(out, "arrayMax", lambda a: f"array_max({a[0]})")
+    # NOTE: arraySum/arrayAvg fold in DOUBLE (Spark's aggregate needs
+    # one accumulator type; CH keeps integer sums integer) — documented
+    # numeric-widening drift
+    out = _rewrite_calls(
+        out,
+        "arraySum",
+        lambda a: (
+            f"aggregate({a[0]}, cast(0 as double), (__as, __av) -> __as + __av)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayAvg",
+        lambda a: (
+            f"(aggregate({a[0]}, cast(0 as double), (__as, __av) -> __as + __av)"
+            f" / size({a[0]}))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "hasAny", lambda a: f"arrays_overlap({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "hasAll",
+        lambda a: f"forall({a[1]}, __he -> array_contains({a[0]}, __he))",
+    )
+    out = _rewrite_calls(
+        out,
+        "multiSearchAny",
+        lambda a: f"exists({a[1]}, __ms -> instr({a[0]}, __ms) > 0)",
+    )
     out = _rewrite_calls(out, "groupArray", lambda a: f"collect_list({a[0]})")
     out = _rewrite_calls(out, "groupUniqArray", lambda a: f"collect_set({a[0]})")
     out = _rewrite_calls(out, "anyLast", lambda a: f"last({a[0]})")

@@ -1467,3 +1467,69 @@ def test_chunk_documents_null_text_one_empty_chunk(spark):
     rows = {r["doc_id"]: r for r in chunk_documents(docs, 10, 2).collect()}
     assert rows[1]["n_chunks"] == 1 and rows[1]["chunk_text"] == ""
     assert rows[2]["n_chunks"] == 1 and rows[2]["chunk_text"] == "ab"
+
+
+def test_dialect_array_literals_and_round5_functions():
+    """Round-5 dialect batch: CH array literals (`[..]` → array(..),
+    `IN [..]` → paren list, postfix indexing untouched), functional
+    arithmetic names, interval constructors, keyword-unit dateAdd,
+    decimal scale args, the uniq sketch family, and the lambda-first
+    higher-order array functions. All idempotent."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert T("select [1, 2] as a") == "select array(1, 2) as a"
+    assert (
+        T("select x from t where s in ['a', 'b'] and q not in [1, 2]")
+        == "select x from t where s in ('a', 'b') and q not in (1, 2)"
+    )
+    assert T("select [[1],[2]] x") == "select array(array(1),array(2)) x"
+    # postfix indexing is left alone (documented 0/1-based divergence)
+    assert T("select arr[1] from t") == "select arr[1] from t"
+    # a masked literal before '[' is indexing ('str'[1]), not a literal
+    assert T("select 'ab'[1] x") == "select 'ab'[1] x"
+    assert T("select modulo(a, 3) from t") == "select (a % 3) from t"
+    assert T("select divide(a, b) from t") == "select (a / b) from t"
+    assert (
+        T("select intDivOrZero(a, b) from t")
+        == "select (CASE WHEN (b) = 0 THEN 0 ELSE (a div b) END) from t"
+    )
+    assert T("select leftPad(s, 3, '0') from t") == "select lpad(s, 3, '0') from t"
+    assert (
+        T("select d + toIntervalDay(3) from t")
+        == "select d + make_interval(0, 0, 0, 3, 0, 0, 0) from t"
+    )
+    assert (
+        T("select dateAdd(DAY, 3, d), dateSub(HOUR, 2, d) from t")
+        == "select timestampadd(DAY, 3, d), timestampadd(HOUR, -(2), d) from t"
+    )
+    # non-CH arities pass through untouched (idempotence contract)
+    assert T("select dateAdd(d, 3) from t") == "select dateAdd(d, 3) from t"
+    assert (
+        T("select toDecimal64(x, 2), toDecimal128(y) from t")
+        == "select cast(x as decimal(18,2)), cast(y as decimal(38,6)) from t"
+    )
+    assert (
+        T("select uniqCombined(x), uniqHLL12(a, b) from t")
+        == "select approx_count_distinct(x), approx_count_distinct(struct(a, b)) from t"
+    )
+    assert (
+        T("select arrayExists(x -> x > 0, arr) from t")
+        == "select exists(arr, x -> x > 0) from t"
+    )
+    assert (
+        T("select multiSearchAny(s, ['a', 'b']) from t")
+        == "select exists(array('a', 'b'), __ms -> instr(s, __ms) > 0) from t"
+    )
+    assert T("select match(s, '^a') from t") == "select (s rlike '^a') from t"
+    # `any` stays untouched (valid Spark boolean aggregate — same
+    # idempotence rule as position)
+    assert T("select any(x) from t") == "select any(x) from t"
+    # everything above is idempotent
+    for src in (
+        "select [1, 2] as a",
+        "select x from t where s in ['a', 'b']",
+        "select multiSearchAny(s, ['a', 'b']) from t",
+        "select dateAdd(DAY, 3, d) from t",
+    ):
+        once = T(src)
+        assert T(once) == once
