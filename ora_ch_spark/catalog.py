@@ -846,6 +846,75 @@ GROUP BY nation, is_big, code
 
 
 # ---------------------------------------------------------------------------
+# Dialect battery #2 — the round-5 translator surface, value-gated
+# ---------------------------------------------------------------------------
+
+# ClickHouse-dialect text exercising the r5 additions (array literals,
+# IN-list brackets, interval constructors, keyword-unit dateAdd,
+# functional arithmetic, leftPad, toMonday, lambda-first higher-order
+# array fns, -If combinators, uniqExact, argMax, multiIf, decimal
+# scale args) — translated at runtime, never hand-ported
+_DIALECT2_CH_SQL = """
+select o_orderstatus, bucket,
+       countIf(o_orderkey, is_urgent) as n_urgent,
+       toFloat64(sumIf(toDecimal64(o_totalprice, 2),
+                       o_orderpriority in ['1-URGENT', '2-HIGH'])) as urgent_total,
+       uniqExact(pad_key) as n_padkeys,
+       toDateTime(min(wk)) as first_week,
+       max(d3) as last_d3,
+       argMax(o_orderpriority, o_orderkey) as latest_prio
+from (
+  select o_orderstatus, o_totalprice, o_custkey, o_orderkey, o_orderpriority,
+         multiIf(o_totalprice > 200000, 'B', o_totalprice > 100000, 'M', 'S') as bucket,
+         toMonday(o_orderdate) as wk,
+         dateAdd(DAY, 3, o_orderdate) as d3,
+         leftPad(toString(modulo(o_orderkey, 97)), 4, '0') as pad_key,
+         arrayExists(x -> x = substring(o_orderpriority, 1, 1), ['1', '2']) as is_urgent
+  from orders
+  where o_orderdate + toIntervalDay(30) >= parseDateTime('1995-06-01', '%Y-%m-%d')
+)
+group by o_orderstatus, bucket
+"""
+
+
+def calc_dialect2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 dialect surface, value-gated: the CH text above runs
+    through ``translate_ch_sql`` (no params this time) and must match
+    the hand-ANSI DuckDB replay."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT2_CH_SQL)).orderBy(
+        "o_orderstatus", "bucket"
+    )
+
+
+DIALECT2_ORACLE = """
+SELECT o_orderstatus, bucket,
+       count(CASE WHEN is_urgent THEN o_orderkey END) AS n_urgent,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN cast(o_totalprice as decimal(18,2)) END) as double) AS urgent_total,
+       count(DISTINCT pad_key) AS n_padkeys,
+       cast(min(wk) as timestamp) AS first_week,
+       max(d3) AS last_d3,
+       max_by(o_orderpriority, o_orderkey) AS latest_prio
+FROM (
+  SELECT o_orderstatus, o_totalprice, o_custkey, o_orderkey, o_orderpriority,
+         CASE WHEN o_totalprice > 200000 THEN 'B'
+              WHEN o_totalprice > 100000 THEN 'M' ELSE 'S' END AS bucket,
+         cast(date_trunc('week', o_orderdate) as date) AS wk,
+         o_orderdate + INTERVAL 3 DAY AS d3,
+         lpad(cast(o_orderkey % 97 as varchar), 4, '0') AS pad_key,
+         substring(o_orderpriority, 1, 1) IN ('1', '2') AS is_urgent
+  FROM orders
+  WHERE o_orderdate + INTERVAL 30 DAY >= strptime('1995-06-01', '%Y-%m-%d')
+)
+GROUP BY o_orderstatus, bucket
+ORDER BY o_orderstatus, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # VERBATIM shipped calc query through the dialect translator
 # ---------------------------------------------------------------------------
 
@@ -1179,6 +1248,8 @@ CORE_QUERIES: list[QueryDef] = [
              "structural replica of v_cache_for_calc_6184_4626.txt through the calc engine"),
     QueryDef("calc_verbatim_6184", calc_verbatim_q, _v6184_oracle(),
              "the VERBATIM 156-line production query text through bind_params + translate_ch_sql"),
+    QueryDef("calc_dialect_battery2", calc_dialect2_q, DIALECT2_ORACLE,
+             "round-5 dialect surface (array literals, -If, intervals, dateAdd, multiIf, argMax) value-gated"),
     QueryDef("window_functions", window_functions, WINDOW_FUNCTIONS_ORACLE,
              "rank/dense_rank/lag/running-sum window surface"),
     QueryDef("set_ops", set_ops, SET_OPS_ORACLE,
