@@ -3358,6 +3358,95 @@ FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
 """
 
 
+def pipeline_rag_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.pipeline import rag_chunk_topk
+
+    return rag_chunk_topk(load_table(spark, sf_dir, "documents")).orderBy(
+        "q_id", "rank"
+    )
+
+
+def _rag_oracle(
+    chunk_chars: int = 240,
+    overlap: int = 40,
+    dims: int = 8,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    """Full replay of rag_chunk_topk: chunking, md5 feature-hash
+    embedding, IVF seed/assign/probe routing, exact cosine top-k."""
+    stride = chunk_chars - overlap
+    lane_rows = "\n  UNION ALL\n".join(
+        f"  SELECT cid, {i + 1} AS i,"
+        f" ('0x' || substr(md5(chunk_text), {i * 4 + 1}, 4))::BIGINT - 32768 AS v"
+        f" FROM ch"
+        for i in range(dims)
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         greatest(1, cast(ceil((length(coalesce(text, '')) - {overlap}) / {stride}.0) as int)) AS n_chunks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id * 1000 + cid AS cid, doc_id,
+         substr(text, cast(cid * {stride} + 1 as int), {chunk_chars}) AS chunk_text
+  FROM (SELECT doc_id, text, unnest(range(0, n_chunks)) AS cid FROM n)
+),
+e AS (
+{lane_rows}
+),
+nrm AS (SELECT cid, sum(v * v) AS nn FROM e GROUP BY 1),
+s0 AS (
+  SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS c_id
+  FROM (SELECT cid FROM ch ORDER BY cid LIMIT {n_lists})
+),
+se AS (SELECT s0.c_id, e.i, e.v FROM s0 JOIN e USING (cid)),
+snrm AS (SELECT c_id, sum(v * v) AS nn FROM se GROUP BY 1),
+cdot AS (
+  SELECT e.cid, se.c_id, sum(e.v * se.v) AS d
+  FROM e JOIN se ON e.i = se.i GROUP BY 1, 2
+),
+ccos AS (
+  SELECT cdot.cid, cdot.c_id,
+         cast(d as double) / (sqrt(cast(n1.nn as double)) * sqrt(cast(n2.nn as double))) AS cos
+  FROM cdot JOIN nrm n1 ON cdot.cid = n1.cid JOIN snrm n2 ON cdot.c_id = n2.c_id
+),
+assign AS (
+  SELECT cid AS n_id, c_id AS centroid FROM (
+    SELECT cid, c_id, row_number() OVER (PARTITION BY cid ORDER BY cos DESC, c_id) AS r
+    FROM ccos) WHERE r = 1
+),
+probes AS (
+  SELECT cid AS q_id, c_id AS centroid FROM (
+    SELECT cid, c_id, row_number() OVER (PARTITION BY cid ORDER BY cos DESC, c_id) AS r
+    FROM ccos WHERE cid IN (SELECT cid FROM ch WHERE doc_id < 3)) WHERE r <= {n_probe}
+),
+cands AS (
+  SELECT p.q_id, a.n_id FROM probes p JOIN assign a USING (centroid)
+  WHERE a.n_id != p.q_id
+),
+dot2 AS (
+  SELECT c.q_id, c.n_id, sum(ea.v * eb.v) AS d
+  FROM cands c
+  JOIN e ea ON ea.cid = c.q_id
+  JOIN e eb ON eb.cid = c.n_id AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_id, n_id,
+         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb.nn as double))) AS cosine
+  FROM dot2 JOIN nrm nq ON q_id = nq.cid JOIN nrm nb ON n_id = nb.cid
+)
+SELECT q_id, n_id,
+       cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) as int) AS rank,
+       cosine
+FROM scored QUALIFY rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
 def sim_maxsim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed MaxSim (VERDICT r04 item 3): the persisted IVF
     index — built with the label column riding the assign table —
@@ -3632,6 +3721,8 @@ EXT_QUERIES: list[QueryDef] = [
              "watermarked stream-stream interval join (stateful join, bounded state)"),
     QueryDef("sim_topk_pq", sim_topk_pq_q, _pq_oracle(),
              "product-quantization top-5 by ADC (4x16 codebooks, full training replay)"),
+    QueryDef("pipeline_rag_topk", pipeline_rag_topk_q, _rag_oracle(),
+             "RAG composite: chunk -> hash-embed -> IVF route -> exact top-k, full pipeline replay"),
     QueryDef("sim_maxsim_ivf", sim_maxsim_ivf_q, SIM_MAXSIM_IVF_ORACLE,
              "IVF-routed MaxSim group retrieval from the persisted index (probed lists only)"),
     QueryDef("sim_topk_ivfadc", sim_topk_ivfadc_q, _ivfadc_oracle(),

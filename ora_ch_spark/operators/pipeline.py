@@ -232,3 +232,93 @@ def assemble_corpus(
             F.sum(F.col("end_seq") - F.col("start_seq") + 1).alias("seq_slots"),
         )
     )
+
+
+def rag_chunk_topk(
+    docs: DataFrame,
+    chunk_chars: int = 240,
+    overlap: int = 40,
+    dims: int = 8,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    query_pred: str = "doc_id < 3",
+) -> DataFrame:
+    """End-to-end RAG indexing composite: chunk the corpus, embed
+    each chunk, route queries through an IVF index, return exact
+    cosine top-k chunk neighbors per query chunk — the
+    chunk→embed→index→retrieve shape a retrieval corpus build runs at
+    scale, as ONE declarative plan.
+
+    The embedder is a deterministic md5 feature hasher (``dims``
+    16-bit integer lanes from the chunk digest, centered at zero) —
+    the stand-in for a model encoder this container can't ship; it
+    is cross-engine replayable, so the DuckDB oracle re-runs the
+    ENTIRE pipeline including index routing, and swapping in a real
+    encoder changes one projection, not the plan. Routing mirrors
+    :func:`similarity.ivf_topk` (broadcast seed centroids, argmax
+    cosine tie→lowest list, ``n_probe`` lists per query, narrow
+    candidate projection before the rank window); chunk key is
+    ``doc_id·1000 + chunk_id``.
+
+    Scale: chunking is a narrow explode; embedding is per-row JVM
+    (md5 + conv — no Python); the index join shuffles on the small
+    uniform list id. At 100 TB the chunk/embedding table persists via
+    ``similarity.build_ivf_index`` (list-clustered files) and query
+    batches reuse it — this composite IS that plan, inlined."""
+    from pyspark.sql import Window
+    from ora_ch_spark.operators.similarity import with_cosine
+    from ora_ch_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_chars, overlap).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        "doc_id",
+        "chunk_text",
+    )
+    lanes = [
+        (
+            F.conv(F.substring(F.md5("chunk_text"), i * 4 + 1, 4), 16, 10)
+            .cast("bigint")
+            - F.lit(32768)
+        )
+        for i in range(dims)
+    ]
+    emb = chunks.select("cid", "doc_id", F.array(*lanes).alias("qe")).persist()
+    seeds = F.broadcast(
+        emb.orderBy("cid")
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(Window.orderBy("cid")) - 1).alias("c_id"),
+            F.col("qe").alias("qc"),
+        )
+    )
+    assign = with_cosine(
+        emb.select("cid", "qe").crossJoin(seeds), qa="qe", qb="qc"
+    ).select("cid", "c_id", "cosine")
+    wa = Window.partitionBy("cid").orderBy(F.desc("cosine"), F.asc("c_id"))
+    lists = (
+        assign.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select(F.col("cid").alias("n_id"), F.col("c_id").alias("centroid"))
+    )
+    queries = emb.filter(query_pred).select(
+        F.col("cid").alias("q_id"), F.col("qe").alias("qa")
+    )
+    qprobe = with_cosine(queries.crossJoin(seeds), qa="qa", qb="qc")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    probes = (
+        qprobe.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("q_id", "qa", F.col("c_id").alias("centroid"))
+    )
+    corpus = lists.join(
+        emb.select(F.col("cid").alias("n_id"), F.col("qe").alias("qb")), "n_id"
+    )
+    cands = probes.join(corpus, "centroid").filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(cands, qa="qa", qb="qb").select("q_id", "n_id", "cosine")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    )
