@@ -1908,6 +1908,46 @@ SELECT doc_id, lang, source FROM rk WHERE rn <= t
 """
 
 
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=2 temperature rebalancing over languages: low-resource
+    groups up-weighted to sqrt-proportional shares."""
+    from ora_ch_spark.operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return temperature_mixture_sample(docs, temperature=2.0).orderBy("doc_id")
+
+
+# replays the whole recipe in SQL: per-group counts → integer weights
+# w = max(1, floor(1e6·sqrt(n))) → mixture_sample's exact sizing
+TEMPERATURE_MIXTURE_ORACLE = """
+WITH cnt0 AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+wt AS (
+  SELECT lang, n,
+         greatest(1, cast(floor(1000000 * sqrt(n)) as bigint)) AS w
+  FROM cnt0
+),
+tw AS (SELECT sum(w) AS tot FROM wt),
+feas AS (SELECT min(n * tot // w) AS T FROM wt CROSS JOIN tw),
+tgt AS (
+  SELECT lang, (T * w) // tot AS t
+  FROM wt CROSS JOIN tw CROSS JOIN feas
+),
+rk AS (
+  SELECT d.doc_id, d.lang, d.source, t,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('tmix:' || cast(d.doc_id as varchar)) ASC, d.doc_id ASC
+         ) AS rn
+  FROM documents d JOIN tgt USING (lang)
+)
+SELECT doc_id, lang, source FROM rk WHERE rn <= t
+ORDER BY doc_id
+"""
+
+
 def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 weighted draw: weight = 1 + min(n_chars div 200, 3) —
     longer docs proportionally likelier, tiers not raw lengths."""
@@ -3669,6 +3709,8 @@ EXT_QUERIES: list[QueryDef] = [
              "manifest-delta incremental view maintenance ≡ full recompute"),
     QueryDef("resample_gapfill", resample_gapfill_q, RESAMPLE_GAPFILL_ORACLE,
              "hourly resample + gap materialization + forward fill (per-entity spine)"),
+    QueryDef("temperature_mixture", temperature_mixture_q, TEMPERATURE_MIXTURE_ORACLE,
+             "T=2 temperature-scaled language rebalancing (sqrt-proportional shares)"),
     QueryDef("mixture_sample", mixture_sample_q, _mixture_oracle(),
              "domain-mixture resampling to integer weights (exact feasible-max sizing)"),
     QueryDef("weighted_sample", weighted_sample_q, WEIGHTED_SAMPLE_ORACLE,

@@ -405,3 +405,54 @@ def assign_splits(
         else F.lit(weights[-1][0])
     )
     return df.withColumn("split", expr)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    temperature: float = 2.0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual
+    corpus-balancing recipe (XLM/mT5 style): target proportions
+    p_g ∝ n_g^(1/T) flatten the natural group distribution (T=1
+    keeps it, T→∞ approaches uniform), boosting low-resource groups
+    without fully discarding the head.
+
+    Weights quantize to integers — ``w_g = max(1, ⌊scale·n_g^(1/T)⌋)``
+    — and feed :func:`mixture_sample`'s exact integer sizing, so the
+    selection stays engine-replayable. Determinism note: T=2 uses
+    IEEE sqrt (correctly rounded — bit-identical on every engine);
+    arbitrary T goes through pow, which may differ in the last ulp
+    across engines, so gate entries pin T=2.
+
+    The group-count collect is metadata-sized (one row per group)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["g"] is not None
+    }
+    if not counts:
+        return df.limit(0)
+    import math
+
+    # T=2 routes through math.sqrt explicitly: IEEE sqrt is correctly
+    # rounded everywhere, while pow(n, 0.5) is only equal to it on
+    # correctly-rounded libm builds
+    root = (
+        (lambda n: math.sqrt(n))
+        if temperature == 2.0
+        else (lambda n: n ** (1.0 / temperature))
+    )
+    weights = {
+        g: max(1, math.floor(scale * root(n))) for g, n in counts.items()
+    }
+    return mixture_sample(
+        df, weights, group_col=group_col, id_col=id_col, salt=salt
+    )

@@ -436,3 +436,25 @@ def test_salted_band_self_join_equals_plain(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__bi" in plan and "__bj" in plan
     assert "__bi" not in plain._jdf.queryExecution().executedPlan().toString()
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    """T=2 rebalancing: the minority group's share of the sample
+    strictly exceeds its natural share (sqrt-proportional targets),
+    selection is deterministic, and T<=0 is rejected."""
+    import pytest
+
+    from ora_ch_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "en" if i < 900 else "sw", "web") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, source string")
+    got = temperature_mixture_sample(docs, temperature=2.0).collect()
+    n_sw = sum(1 for r in got if r["lang"] == "sw")
+    assert len(got) > 0
+    # natural share of sw is 10%; sqrt weights give 900^.5 : 100^.5 = 3:1 → 25%
+    assert n_sw / len(got) > 0.2
+    # deterministic across runs
+    again = temperature_mixture_sample(docs, temperature=2.0).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(docs, temperature=0)
