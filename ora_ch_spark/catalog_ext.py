@@ -3398,6 +3398,59 @@ FROM sz JOIN nq USING (lang) JOIN nf USING (lang)
 """
 
 
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the customer→supplier trade graph
+    (3 iterations, top-100 by rank) — the iterative score-propagation
+    family beside the star connected components."""
+    from ora_ch_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return (
+        pagerank(edges, iters=3)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(100)
+    )
+
+
+# unrolled 3-iteration replay; HUGEINT sums cast per the r5 lesson
+def _pagerank_oracle(iters: int = 3) -> str:
+    body = [
+        """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+r0 AS (SELECT node, cast(1000000000 as bigint) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        body.append(f""",
+c{i} AS (
+  SELECT e.dst, cast(sum(r.rank // od.odeg) as bigint) AS s
+  FROM e JOIN od USING (src) JOIN r{i - 1} r ON r.node = e.src
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n.node,
+         cast(150000000 + (85 * coalesce(c{i}.s, 0)) // 100 as bigint) AS rank
+  FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.dst
+)""")
+    body.append(f"""
+SELECT node, rank FROM r{iters}
+ORDER BY rank DESC, node ASC LIMIT 100
+""")
+    return "".join(body)
+
+
 def pipeline_rag_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.operators.pipeline import rag_chunk_topk
 
@@ -3763,6 +3816,8 @@ EXT_QUERIES: list[QueryDef] = [
              "watermarked stream-stream interval join (stateful join, bounded state)"),
     QueryDef("sim_topk_pq", sim_topk_pq_q, _pq_oracle(),
              "product-quantization top-5 by ADC (4x16 codebooks, full training replay)"),
+    QueryDef("graph_pagerank", graph_pagerank_q, _pagerank_oracle(),
+             "integer-exact 3-iteration PageRank on the customer->supplier graph (top-100)"),
     QueryDef("pipeline_rag_topk", pipeline_rag_topk_q, _rag_oracle(),
              "RAG composite: chunk -> hash-embed -> IVF route -> exact top-k, full pipeline replay"),
     QueryDef("sim_maxsim_ivf", sim_maxsim_ivf_q, SIM_MAXSIM_IVF_ORACLE,

@@ -1533,3 +1533,28 @@ def test_dialect_array_literals_and_round5_functions():
     ):
         once = T(src)
         assert T(once) == once
+
+
+def test_pagerank_integer_trajectory(spark):
+    """Hand-computed 1-iteration check on a 3-node graph plus
+    structural invariants: teleport floor for in-degree-0 nodes,
+    determinism across runs, iters>=1 enforced."""
+    import pytest
+
+    from ora_ch_spark.operators.graph import SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src bigint, dst bigint"
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    # node2 receives all of node1's mass: 0.15 + 0.85*1.0
+    assert r1[2] == 150_000_000 + 85 * SCALE // 100
+    # node1 receives node2 + node3: 0.15 + 0.85*2.0
+    assert r1[1] == 150_000_000 + 85 * 2 * SCALE // 100
+    # node3 has no in-edges: teleport floor only
+    assert r1[3] == 150_000_000
+    r3a = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    r3b = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert r3a == r3b
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=0)
