@@ -325,6 +325,28 @@ def _rewrite_array_literals(masked: str) -> str:
     return "".join(out)
 
 
+# CH `FROM t SAMPLE k` (k in (0,1) = fraction, integer = approx row
+# count) → Spark TABLESAMPLE. Only matched directly after a table
+# reference (identifier or closing paren), so a column named/aliased
+# `sample` is never touched. NOTE: sampling is nondeterministic on
+# both engines — translated queries with SAMPLE can't be value-gated.
+_SAMPLE_CLAUSE = re.compile(
+    r"(?i)(?<=[A-Za-z0-9_`)])\s+sample\s+(\d+\.?\d*|0?\.\d+)(?![A-Za-z0-9_.])"
+)
+
+
+def _rewrite_sample_clause(masked: str) -> str:
+    def repl(m: re.Match) -> str:
+        k = m.group(1)
+        if "." in k and float(k) < 1:
+            pct = float(k) * 100
+            pct_s = f"{pct:g}"
+            return f" TABLESAMPLE ({pct_s} PERCENT)"
+        return f" TABLESAMPLE ({int(float(k))} ROWS)"
+
+    return _SAMPLE_CLAUSE.sub(repl, masked)
+
+
 _PREWHERE = re.compile(r"(?i)(?<![A-Za-z0-9_])prewhere(?![A-Za-z0-9_])")
 
 
@@ -867,6 +889,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
     # PREWHERE: merge with a same-SELECT WHERE, else plain WHERE
     masked = _rewrite_prewhere(masked)
+    # SAMPLE clause → TABLESAMPLE (documented nondeterminism)
+    masked = _rewrite_sample_clause(masked)
     # GLOBAL join / IN distribution modifier and ANY/ALL join
     # strictness: Spark's optimizer owns distribution; ANY JOIN's
     # first-match semantics ≈ plain join on unique keys (documented).

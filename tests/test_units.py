@@ -1558,3 +1558,18 @@ def test_pagerank_integer_trajectory(spark):
     assert r3a == r3b
     with pytest.raises(ValueError):
         pagerank(edges, iters=0)
+
+
+def test_dialect_sample_clause():
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert (
+        T("select x from big_t sample 0.1 where y > 0")
+        == "select x from big_t TABLESAMPLE (10 PERCENT) where y > 0"
+    )
+    assert T("select x from t sample 1000") == "select x from t TABLESAMPLE (1000 ROWS)"
+    # not a clause: columns/aliases named sample are untouched
+    assert T("select sample from t") == "select sample from t"
+    assert T("select x as sample from t") == "select x as sample from t"
+    once = T("select x from t sample 0.25")
+    assert T(once) == once
