@@ -1224,6 +1224,29 @@ ORDER BY av.id_datasource, av.summa, av.id_expense, av.id_section,
 """
 
 
+def calc_verbatim_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN validation method applied to the verbatim
+    view: ``select sum(1) as cnt, sum(summa) as summa from v_cache…``
+    (``v_cache_for_calc_6184_4626.txt:2-4`` records cnt=12687 /
+    summa=411956508925.1 from production Oracle). Here the same
+    golden aggregate runs over the translated verbatim view on the
+    synthetic fixtures, gated against DuckDB — money sum through
+    decimal(18,2) per the determinism rules."""
+    df = calc_verbatim_q(spark, sf_dir)
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("summa").cast("decimal(18,2)")).cast("double").alias("summa"),
+    )
+
+
+def _v6184_golden_oracle() -> str:
+    return (
+        "SELECT count(*) AS cnt,"
+        " cast(sum(cast(summa as decimal(18,2))) as double) AS summa"
+        f" FROM ({_v6184_oracle()})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1248,6 +1271,8 @@ CORE_QUERIES: list[QueryDef] = [
              "structural replica of v_cache_for_calc_6184_4626.txt through the calc engine"),
     QueryDef("calc_verbatim_6184", calc_verbatim_q, _v6184_oracle(),
              "the VERBATIM 156-line production query text through bind_params + translate_ch_sql"),
+    QueryDef("calc_verbatim_golden", calc_verbatim_golden_q, _v6184_golden_oracle(),
+             "the reference's own sum(1)/sum(summa) golden check over the verbatim view"),
     QueryDef("calc_dialect_battery2", calc_dialect2_q, DIALECT2_ORACLE,
              "round-5 dialect surface (array literals, -If, intervals, dateAdd, multiIf, argMax) value-gated"),
     QueryDef("window_functions", window_functions, WINDOW_FUNCTIONS_ORACLE,
