@@ -56,6 +56,10 @@ def test_dialect_idempotent_on_arbitrary_text_without_ch_calls(sql):
         # statement-level CH keywords are rewritten too — exclude them
         # from the identity property
         return
+    if "[" in sql or "]" in sql or re.search(r"(?i)\bsample\s", sql):
+        # r5: array-literal brackets and the SAMPLE clause are CH
+        # constructs with translations of their own
+        return
     # unbalanced parens inside actual calls can legitimately raise —
     # but with no CH call present, output must equal input
     assert translate_ch_sql(sql) == sql
