@@ -3483,7 +3483,7 @@ WITH n AS (
   FROM documents
 ),
 ch AS (
-  SELECT doc_id * 1000 + cid AS cid, doc_id,
+  SELECT doc_id * 1000000 + cid AS cid, doc_id,
          substr(text, cast(cid * {stride} + 1 as int), {chunk_chars}) AS chunk_text
   FROM (SELECT doc_id, text, unnest(range(0, n_chunks)) AS cid FROM n)
 ),
@@ -3515,6 +3515,7 @@ probes AS (
   SELECT cid AS q_id, c_id AS centroid FROM (
     SELECT cid, c_id, row_number() OVER (PARTITION BY cid ORDER BY cos DESC, c_id) AS r
     FROM ccos WHERE cid IN (SELECT cid FROM ch WHERE doc_id < 3)) WHERE r <= {n_probe}
+
 ),
 cands AS (
   SELECT p.q_id, a.n_id FROM probes p JOIN assign a USING (centroid)

@@ -302,7 +302,9 @@ def _rewrite_array_literals(masked: str) -> str:
             kind = "array"
             if j >= 0:
                 pc = out[j]
-                if pc in ")]" or pc == "\x00":
+                if pc in ")]`" or pc == "\x00":
+                    # after ')' / ']' / a backtick-quoted identifier /
+                    # a masked literal: postfix indexing
                     kind = "index"
                 elif pc.isalnum() or pc == "_":
                     k = j
@@ -325,24 +327,38 @@ def _rewrite_array_literals(masked: str) -> str:
     return "".join(out)
 
 
-# CH `FROM t SAMPLE k` (k in (0,1) = fraction, integer = approx row
-# count) → Spark TABLESAMPLE. Only matched directly after a table
-# reference (identifier or closing paren), so a column named/aliased
-# `sample` is never touched. NOTE: sampling is nondeterministic on
-# both engines — translated queries with SAMPLE can't be value-gated.
+# CH `FROM t SAMPLE k`: k in (0,1) or a rational n/m = fraction,
+# k = 1 = whole table (clause dropped), integer > 1 = approx row
+# count → Spark TABLESAMPLE. Only matched directly after a table
+# reference or its `AS alias` (Spark's grammar puts TABLESAMPLE
+# BEFORE the alias, so the AS form swaps the two), so a column
+# named/aliased `sample` is never touched. NOTE: sampling is
+# nondeterministic on both engines — translated queries with SAMPLE
+# can't be value-gated. A bare (AS-less) alias before SAMPLE is NOT
+# recognized — it is indistinguishable from the table name itself.
 _SAMPLE_CLAUSE = re.compile(
-    r"(?i)(?<=[A-Za-z0-9_`)])\s+sample\s+(\d+\.?\d*|0?\.\d+)(?![A-Za-z0-9_.])"
+    r"(?i)(?<=[A-Za-z0-9_`)])"
+    r"(?P<alias>\s+as\s+[A-Za-z_][A-Za-z0-9_]*)?"
+    r"\s+sample\s+(?P<k>\d+\s*/\s*\d+|\d+\.?\d*|0?\.\d+)(?![A-Za-z0-9_./])"
 )
 
 
 def _rewrite_sample_clause(masked: str) -> str:
     def repl(m: re.Match) -> str:
-        k = m.group(1)
-        if "." in k and float(k) < 1:
-            pct = float(k) * 100
-            pct_s = f"{pct:g}"
-            return f" TABLESAMPLE ({pct_s} PERCENT)"
-        return f" TABLESAMPLE ({int(float(k))} ROWS)"
+        k = m.group("k")
+        alias = m.group("alias") or ""
+        if "/" in k:
+            num, den = (int(p) for p in k.split("/"))
+            frac = num / den
+            clause = f" TABLESAMPLE ({frac * 100:g} PERCENT)"
+        elif "." in k and float(k) < 1:
+            clause = f" TABLESAMPLE ({float(k) * 100:g} PERCENT)"
+        elif float(k) == 1:
+            clause = ""  # CH SAMPLE 1 reads the whole table
+        else:
+            clause = f" TABLESAMPLE ({int(float(k))} ROWS)"
+        # Spark: FROM t TABLESAMPLE (...) [AS alias]
+        return f"{clause}{alias}"
 
     return _SAMPLE_CLAUSE.sub(repl, masked)
 
@@ -620,28 +636,39 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     def _date_addsub(sign: str):
         def render(a: list[str]) -> str | None:
-            # CH dateAdd(UNIT, n, ts) — the arity-3 keyword-unit form;
-            # other arities are not CH's and are left alone
+            # CH dateAdd(UNIT, n, ts) / dateAdd('unit', n, ts) — the
+            # arity-3 form; Spark's timestampadd unit must be a bare
+            # KEYWORD, so a quoted unit is spliced via _lit_text (same
+            # pattern as _date_diff). Other arities pass through.
             if len(a) != 3:
                 return None
+            unit = a[0].strip()
+            lt = _lit_text(unit, lits)
+            if lt is not None:
+                unit = lt[1:-1]
+            if unit.lower() not in (
+                "year", "quarter", "month", "week",
+                "day", "hour", "minute", "second",
+            ):
+                return None  # not a CH unit keyword: leave untouched
             n = a[1] if sign == "+" else f"-({a[1]})"
-            return f"timestampadd({a[0].strip().upper()}, {n}, {a[2]})"
+            return f"timestampadd({unit.upper()}, {n}, {a[2]})"
         return render
 
     out = _rewrite_calls(out, "dateAdd", _date_addsub("+"))
     out = _rewrite_calls(out, "dateSub", _date_addsub("-"))
 
-    # ---- CH higher-order array functions (lambda-first argument
-    # order flips to Spark's array-first) + array aggregates ----
-    out = _rewrite_calls(out, "arrayExists", lambda a: f"exists({a[1]}, {a[0]})")
-    out = _rewrite_calls(out, "arrayAll", lambda a: f"forall({a[1]}, {a[0]})")
+    # ---- array aggregates (the lambda-first higher-order family —
+    # arrayExists/arrayAll/arrayCount/arrayMap/arrayFilter — is
+    # handled further down by the pre-existing arity-guarded block).
+    # CH's optional-lambda forms (arrayMin(f, arr) etc.) pass through
+    # untouched: only the plain unary aggregate rewrites. ----
     out = _rewrite_calls(
-        out,
-        "arrayCount",
-        lambda a: f"size(filter({a[1]}, {a[0]}))" if len(a) == 2 else None,
+        out, "arrayMin", lambda a: f"array_min({a[0]})" if len(a) == 1 else None
     )
-    out = _rewrite_calls(out, "arrayMin", lambda a: f"array_min({a[0]})")
-    out = _rewrite_calls(out, "arrayMax", lambda a: f"array_max({a[0]})")
+    out = _rewrite_calls(
+        out, "arrayMax", lambda a: f"array_max({a[0]})" if len(a) == 1 else None
+    )
     # NOTE: arraySum/arrayAvg fold in DOUBLE (Spark's aggregate needs
     # one accumulator type; CH keeps integer sums integer) — documented
     # numeric-widening drift
@@ -650,6 +677,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         "arraySum",
         lambda a: (
             f"aggregate({a[0]}, cast(0 as double), (__as, __av) -> __as + __av)"
+            if len(a) == 1
+            else None
         ),
     )
     out = _rewrite_calls(
@@ -658,6 +687,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         lambda a: (
             f"(aggregate({a[0]}, cast(0 as double), (__as, __av) -> __as + __av)"
             f" / size({a[0]}))"
+            if len(a) == 1
+            else None
         ),
     )
     out = _rewrite_calls(

@@ -71,6 +71,12 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # EAGER checkpoint: materializes this round (so the persisted
+        # edge/node frames actually populate on round 1 and every
+        # round reuses them) and truncates lineage — with lazy
+        # checkpoints nothing would run inside the loop and the
+        # persists would be dead weight recomputed at the caller's
+        # first action
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
@@ -80,8 +86,11 @@ def pagerank(
                     + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+    # the final ranks are materialized checkpoint blocks — they no
+    # longer reference the persisted inputs, so release all three
     e.unpersist()
     ew.unpersist()
+    nodes.unpersist()
     return ranks

@@ -270,8 +270,11 @@ def rag_chunk_topk(
     from ora_ch_spark.operators.similarity import with_cosine
     from ora_ch_spark.operators.text import chunk_documents
 
+    # chunk key: doc_id·10⁶ + chunk_id — collision-free up to a
+    # million chunks per doc (~200 MB of text at the default stride;
+    # anything bigger should be split upstream)
     chunks = chunk_documents(docs, chunk_chars, overlap).select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("cid"),
         "doc_id",
         "chunk_text",
     )

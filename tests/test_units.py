@@ -1573,3 +1573,36 @@ def test_dialect_sample_clause():
     assert T("select x as sample from t") == "select x as sample from t"
     once = T("select x from t sample 0.25")
     assert T(once) == once
+
+
+def test_dialect_round5_review_regressions():
+    """r5 review findings pinned: optional-lambda array forms pass
+    through, backtick indexing untouched, rational/whole-table/
+    aliased SAMPLE forms, quoted + non-keyword dateAdd units."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    passthrough = (
+        "select arrayExists(arr) from t",
+        "select arrayExists((x,y) -> x > y, a, b) from t",
+        "select arrayMin(x -> -x, arr) from t",
+        "select arraySum(x -> x*2, arr) from t",
+        "select `arr`[1] from t",
+        "select dateAdd(u, 3, d) from t",
+    )
+    for src in passthrough:
+        assert T(src) == src, src
+    assert (
+        T("select x from t sample 1/10")
+        == "select x from t TABLESAMPLE (10 PERCENT)"
+    )
+    assert T("select x from t sample 1") == "select x from t"
+    assert (
+        T("select x from t as x sample 0.1")
+        == "select x from t TABLESAMPLE (10 PERCENT) as x"
+    )
+    assert (
+        T("select dateAdd('day', 3, d) from t")
+        == "select timestampadd(DAY, 3, d) from t"
+    )
+    for src in passthrough:
+        assert T(T(src)) == T(src)
