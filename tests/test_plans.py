@@ -226,3 +226,31 @@ def test_scd2_single_join_and_history_passthrough(spark, sf_correct):
         and not any("InMemoryRelation" in x for x in lines[max(0, i - 12):i])
     ]
     assert not live_joins
+
+
+def test_rag_composite_no_cartesian_and_broadcast_routing(spark, sf_correct):
+    """rag_chunk_topk: the query×seed probes are broadcast nested
+    loops over a 16-row side (never a CartesianProduct), the
+    candidate join is an equi-join on the list key, and the scored
+    frame reaching the rank window is the narrow (no-array)
+    projection."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pipeline import rag_chunk_topk
+
+    p = _plan(rag_chunk_topk(load_table(spark, sf_correct, "documents")))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "centroid" in p  # candidate equi-join key
+
+
+def test_ivfadc_candidates_before_adc_lookup(spark, sf_correct):
+    """ivfadc_topk: no cartesian anywhere; the per-query distance
+    tables join broadcast; the window input carries no embedding
+    arrays."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import ivfadc_topk
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    p = _plan(ivfadc_topk(emb, query_ids=emb.filter("vec_id < 10")))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # dt lookup + routing joins
