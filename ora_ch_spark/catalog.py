@@ -874,6 +874,8 @@ from (
   where o_orderdate + toIntervalDay(30) >= parseDateTime('1995-06-01', '%Y-%m-%d')
 )
 group by o_orderstatus, bucket
+order by o_orderstatus, bucket
+limit 2 by o_orderstatus
 """
 
 
@@ -910,6 +912,8 @@ FROM (
   WHERE o_orderdate + INTERVAL 30 DAY >= strptime('1995-06-01', '%Y-%m-%d')
 )
 GROUP BY o_orderstatus, bucket
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_orderstatus, bucket) <= 2
 ORDER BY o_orderstatus, bucket
 """
 

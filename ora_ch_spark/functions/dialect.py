@@ -327,6 +327,73 @@ def _rewrite_array_literals(masked: str) -> str:
     return "".join(out)
 
 
+_LIMIT_BY = re.compile(r"(?i)\blimit\s+(\d+)\s+by\b")
+_ORDER_BY = re.compile(r"(?i)\border\s+by\b")
+_TRAILING_LIMIT = re.compile(r"(?is)^\s*limit\s+\d+(\s+offset\s+\d+)?")
+
+
+def _rewrite_limit_by(masked: str) -> str:
+    """CH ``LIMIT n BY cols`` — first n rows per distinct ``cols``
+    tuple, applied after the SELECT's ORDER BY — becomes a
+    row_number window over the de-clause'd select:
+
+    ``SELECT … ORDER BY o LIMIT n BY c [LIMIT m]`` →
+    ``SELECT * EXCEPT(__lb) FROM (SELECT *, row_number() OVER
+    (PARTITION BY c ORDER BY o) AS __lb FROM (…) __lbsrc)
+    WHERE __lb <= n [ORDER BY o] [LIMIT m]``.
+
+    Without an ORDER BY the within-group pick is arbitrary — exactly
+    CH's behavior (not gate-able; documented). Handles nesting: each
+    occurrence rewrites inside its own enclosing paren group,
+    innermost-first by scan order."""
+    while True:
+        m = _LIMIT_BY.search(masked)
+        if not m:
+            return masked
+        n = m.group(1)
+        # enclosing paren group → the select this clause belongs to
+        depth = 0
+        sel_start = 0
+        for i in range(m.start() - 1, -1, -1):
+            c = masked[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    sel_start = i + 1
+                    break
+                depth -= 1
+        cols_end, kw = _clause_span(masked, m.end())
+        cols = masked[m.end():cols_end].strip()
+        trailing = ""
+        region_end = cols_end
+        if kw == "limit":
+            tm = _TRAILING_LIMIT.match(masked[cols_end:])
+            if tm:
+                trailing = " " + tm.group(0).strip()
+                region_end = cols_end + tm.end()
+        # the select's own ORDER BY (depth-0 within the region)
+        ord_txt = None
+        body_end = m.start()
+        for om in _ORDER_BY.finditer(masked, sel_start, m.start()):
+            seg = masked[sel_start:om.start()]
+            if seg.count("(") == seg.count(")"):
+                o_end, _okw = _clause_span(masked, om.end())
+                ord_txt = masked[om.end():o_end].strip()
+                body_end = om.start()
+                break
+        body = masked[sel_start:body_end].strip()
+        win_order = ord_txt if ord_txt else cols
+        wrapped = (
+            f"SELECT * EXCEPT(__lb) FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {cols} ORDER BY {win_order}) AS __lb "
+            f"FROM ({body}) __lbsrc) WHERE __lb <= {n}"
+            + (f" ORDER BY {ord_txt}" if ord_txt else "")
+            + trailing
+        )
+        masked = masked[:sel_start] + wrapped + masked[region_end:]
+
+
 # CH `FROM t SAMPLE k`: k in (0,1) or a rational n/m = fraction,
 # k = 1 = whole table (clause dropped), integer > 1 = approx row
 # count → Spark TABLESAMPLE. Only matched directly after a table
@@ -922,6 +989,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_prewhere(masked)
     # SAMPLE clause → TABLESAMPLE (documented nondeterminism)
     masked = _rewrite_sample_clause(masked)
+    # LIMIT n BY cols → row_number window wrapper
+    masked = _rewrite_limit_by(masked)
     # GLOBAL join / IN distribution modifier and ANY/ALL join
     # strictness: Spark's optimizer owns distribution; ANY JOIN's
     # first-match semantics ≈ plain join on unique keys (documented).

@@ -1606,3 +1606,21 @@ def test_dialect_round5_review_regressions():
     )
     for src in passthrough:
         assert T(T(src)) == T(src)
+
+
+def test_dialect_limit_by():
+    """CH LIMIT n BY cols → row_number window wrapper; applied after
+    the select's ORDER BY, trailing global LIMIT preserved, nested
+    subquery form handled, plain LIMIT untouched."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    out = T("select g, v from t order by v desc limit 2 by g")
+    assert "row_number() OVER (PARTITION BY g ORDER BY v desc)" in out
+    assert out.endswith("ORDER BY v desc")
+    out2 = T("select g, v from t order by v desc limit 2 by g limit 10")
+    assert out2.endswith("limit 10")
+    inner = T("select * from (select g, v from u order by v limit 1 by g) q")
+    assert inner.startswith("select * from (SELECT * EXCEPT(__lb)")
+    assert T("select x from t limit 5") == "select x from t limit 5"
+    for src in ("select g, v from t order by v desc limit 2 by g",):
+        assert T(T(src)) == T(src)
