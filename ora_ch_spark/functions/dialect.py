@@ -628,6 +628,18 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out, "maxIf", lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)"
     )
+    # anyIf(x, cond): some x among rows passing cond — any_value with
+    # ignoreNulls=true over the conditional projection (rows failing
+    # cond yield NULL and are skipped)
+    out = _rewrite_calls(
+        out,
+        "anyIf",
+        lambda a: (
+            f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)"
+            if len(a) == 2
+            else None
+        ),
+    )
     out = _rewrite_calls(out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
     # NOTE: CH `uniq()` is approximate; Spark's approx_count_distinct
     # is the same ROLE but a different sketch — values drift, so the
