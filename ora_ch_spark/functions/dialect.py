@@ -327,8 +327,13 @@ def _rewrite_array_literals(masked: str) -> str:
     return "".join(out)
 
 
-_LIMIT_BY = re.compile(r"(?i)\blimit\s+(\d+)\s+by\b")
+# all three CH forms: LIMIT n BY, LIMIT off, n BY, LIMIT n OFFSET off BY
+_LIMIT_BY = re.compile(
+    r"(?i)\blimit\s+(?:(?P<off1>\d+)\s*,\s*)?(?P<n>\d+)"
+    r"(?:\s+offset\s+(?P<off2>\d+))?\s+by\b"
+)
 _ORDER_BY = re.compile(r"(?i)\border\s+by\b")
+_UNION_SEP = re.compile(r"(?i)\bunion(\s+all|\s+distinct)?\b|\bexcept\b|\bintersect\b")
 _TRAILING_LIMIT = re.compile(r"(?is)^\s*limit\s+\d+(\s+offset\s+\d+)?")
 
 
@@ -342,15 +347,22 @@ def _rewrite_limit_by(masked: str) -> str:
     (PARTITION BY c ORDER BY o) AS __lb FROM (…) __lbsrc)
     WHERE __lb <= n [ORDER BY o] [LIMIT m]``.
 
-    Without an ORDER BY the within-group pick is arbitrary — exactly
-    CH's behavior (not gate-able; documented). Handles nesting: each
-    occurrence rewrites inside its own enclosing paren group,
-    innermost-first by scan order."""
+    Offset forms translate too: ``LIMIT off, n BY`` / ``LIMIT n
+    OFFSET off BY`` → ``__lb > off AND __lb <= off + n``. Without an
+    ORDER BY the within-group pick is arbitrary — exactly CH's
+    behavior (not gate-able; documented). Handles nesting (each
+    occurrence rewrites inside its own enclosing paren group) and set
+    operations (the wrapped region starts after the nearest depth-0
+    UNION/EXCEPT/INTERSECT boundary). Known limitation: the ORDER BY
+    / BY expressions must be in the select's projection — CH can
+    order by unprojected source columns, the wrapper cannot (Spark
+    raises UNRESOLVED_COLUMN rather than returning wrong data)."""
     while True:
         m = _LIMIT_BY.search(masked)
         if not m:
             return masked
-        n = m.group(1)
+        n = int(m.group("n"))
+        off = int(m.group("off1") or m.group("off2") or 0)
         # enclosing paren group → the select this clause belongs to
         depth = 0
         sel_start = 0
@@ -363,6 +375,11 @@ def _rewrite_limit_by(masked: str) -> str:
                     sel_start = i + 1
                     break
                 depth -= 1
+        # a set operation scopes the clause to its LAST branch
+        for um in _UNION_SEP.finditer(masked, sel_start, m.start()):
+            seg = masked[sel_start:um.start()]
+            if seg.count("(") == seg.count(")"):
+                sel_start = um.end()
         cols_end, kw = _clause_span(masked, m.end())
         cols = masked[m.end():cols_end].strip()
         trailing = ""
@@ -384,14 +401,27 @@ def _rewrite_limit_by(masked: str) -> str:
                 break
         body = masked[sel_start:body_end].strip()
         win_order = ord_txt if ord_txt else cols
+        cond = (
+            f"__lb > {off} AND __lb <= {off + n}" if off else f"__lb <= {n}"
+        )
         wrapped = (
             f"SELECT * EXCEPT(__lb) FROM (SELECT *, row_number() OVER "
             f"(PARTITION BY {cols} ORDER BY {win_order}) AS __lb "
-            f"FROM ({body}) __lbsrc) WHERE __lb <= {n}"
+            f"FROM ({body}) __lbsrc) WHERE {cond}"
             + (f" ORDER BY {ord_txt}" if ord_txt else "")
             + trailing
         )
-        masked = masked[:sel_start] + wrapped + masked[region_end:]
+        rest = masked[region_end:]
+        # keep token separation: the clause span ends exactly AT the
+        # next keyword, so gluing without a space would fuse tokens
+        if rest and not rest[0].isspace() and rest[0] not in "),":
+            rest = " " + rest
+        head = masked[:sel_start]
+        # same at the start boundary: a set-operation keyword ends
+        # exactly where the wrapped region begins
+        if head and not head[-1].isspace() and head[-1] != "(":
+            head = head + " "
+        masked = head + wrapped + rest
 
 
 # CH `FROM t SAMPLE k`: k in (0,1) or a rational n/m = fraction,

@@ -1624,3 +1624,24 @@ def test_dialect_limit_by():
     assert T("select x from t limit 5") == "select x from t limit 5"
     for src in ("select g, v from t order by v desc limit 2 by g",):
         assert T(T(src)) == T(src)
+
+
+def test_dialect_limit_by_offset_and_union():
+    """CH offset forms (`LIMIT off, n BY` / `LIMIT n OFFSET off BY`)
+    become `__lb > off AND __lb <= off+n`; in a set operation the
+    clause binds to the LAST branch (CH scoping) and keyword spacing
+    survives the splice."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    a = T("select g, v from t order by v desc limit 2, 3 by g")
+    b = T("select g, v from t order by v desc limit 3 offset 2 by g")
+    assert a == b
+    assert "WHERE __lb > 2 AND __lb <= 5" in a
+    u = T(
+        "select g, v from u1 union all "
+        "select g, v from t order by v limit 1 by g"
+    )
+    assert u.startswith("select g, v from u1 union all SELECT * EXCEPT")
+    assert "union allSELECT" not in u
+    for src in (a, b, u):
+        assert T(src) == src  # idempotent
