@@ -975,6 +975,19 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
     out = _rewrite_param_calls(out, "quantilesExact", _qs_exact)
     out = _rewrite_param_calls(out, "quantileExact", _q_exact)
+    # sketch-family aliases: same ROLE as quantile() — a different
+    # sketch than approx_percentile, values may drift (uniq rule).
+    # quantileDeterministic's 2nd arg (the determinism seed) has no
+    # Spark analog and is dropped.
+    for fn in ("quantilesTDigest", "quantilesTiming"):
+        out = _rewrite_param_calls(out, fn, _qs_approx)
+    for fn in ("quantileTDigest", "quantileTiming"):
+        out = _rewrite_param_calls(out, fn, _q_approx)
+    out = _rewrite_param_calls(
+        out,
+        "quantileDeterministic",
+        lambda ps, a: f"approx_percentile({a[0]}, {ps[0] if ps else '0.5'})",
+    )
     out = _rewrite_param_calls(out, "quantiles", _qs_approx)
     out = _rewrite_param_calls(out, "quantile", _q_approx)
     # CH median(x) ≈ quantile(0.5)(x); Spark's own median() is exact —
@@ -1022,10 +1035,200 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "toQuarter", lambda a: f"quarter({a[0]})")
     out = _rewrite_calls(out, "toDayOfWeek", lambda a: f"(weekday({a[0]}) + 1)")
 
+    # ---- round-5 batch #3: array / string / bit / cast-variant /
+    # datetime-completion surface. Every name here is a CH-only
+    # identifier (no Spark collision), so the rewrites keep the shim's
+    # idempotence contract without arity guards unless noted. ----
+    # arraySlice(arr, off[, len]): Spark slice() is the same 1-based /
+    # negative-offset contract; CH's omitted-length form means
+    # "to the end" ≡ length size(arr) (slice clamps past the end)
+    out = _rewrite_calls(
+        out,
+        "arraySlice",
+        lambda a: (
+            f"slice({a[0]}, {a[1]}, {a[2]})"
+            if len(a) == 3
+            else f"slice({a[0]}, {a[1]}, size({a[0]}))"
+        ),
+    )
+    out = _rewrite_calls(out, "arrayReverse", lambda a: f"reverse({a[0]})")
+    out = _rewrite_calls(out, "arrayFlatten", lambda a: f"flatten({a[0]})")
+    # sequence(1, 0) runs DOWNWARD in Spark — guard the empty array
+    out = _rewrite_calls(
+        out,
+        "arrayEnumerate",
+        lambda a: (
+            f"(CASE WHEN size({a[0]}) = 0 THEN array() "
+            f"ELSE sequence(1, size({a[0]})) END)"
+        ),
+    )
+    # CH returns an array of tuples, Spark an array of structs — same
+    # shape, different element type name (documented drift)
+    out = _rewrite_calls(out, "arrayZip", lambda a: f"arrays_zip({', '.join(a)})")
+    # CH arrayElement returns the type's DEFAULT value out of bounds;
+    # try_element_at returns NULL (documented drift). Index 0 errors
+    # in Spark even under try_ — guard it to CH-like non-error
+    out = _rewrite_calls(
+        out,
+        "arrayElement",
+        lambda a: (
+            f"(CASE WHEN ({a[1]}) = 0 THEN NULL "
+            f"ELSE try_element_at({a[0]}, {a[1]}) END)"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "arrayPushBack", lambda a: f"concat({a[0]}, array({a[1]}))"
+    )
+    out = _rewrite_calls(
+        out, "arrayPushFront", lambda a: f"concat(array({a[1]}), {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPopBack",
+        lambda a: f"slice({a[0]}, 1, greatest(0, size({a[0]}) - 1))",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPopFront",
+        lambda a: f"slice({a[0]}, 2, greatest(0, size({a[0]}) - 1))",
+    )
+    # unary form only (multi-arg arrayUniq counts distinct TUPLES)
+    out = _rewrite_calls(
+        out,
+        "arrayUniq",
+        lambda a: f"size(array_distinct({a[0]}))" if len(a) == 1 else None,
+    )
+
+    # ---- string batch ----
+    out = _rewrite_calls(
+        out, "concatWithSeparator", lambda a: f"concat_ws({', '.join(a)})"
+    )
+    out = _rewrite_calls(out, "substringUTF8", lambda a: f"substring({', '.join(a)})")
+    out = _rewrite_calls(out, "lowerUTF8", lambda a: f"lower({a[0]})")
+    out = _rewrite_calls(out, "upperUTF8", lambda a: f"upper({a[0]})")
+    out = _rewrite_calls(out, "leftUTF8", lambda a: f"left({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "rightUTF8", lambda a: f"right({a[0]}, {a[1]})")
+    # unary forms trim whitespace in both dialects; CH's custom-char
+    # variants use non-call syntax (TRIM(LEADING 'x' FROM s)) — ANSI
+    # in both engines, passes through untouched
+    out = _rewrite_calls(
+        out, "trimLeft", lambda a: f"ltrim({a[0]})" if len(a) == 1 else None
+    )
+    out = _rewrite_calls(
+        out, "trimRight", lambda a: f"rtrim({a[0]})" if len(a) == 1 else None
+    )
+    # positionUTF8 has CH's (haystack, needle) order and no Spark
+    # name-collision (unlike bare `position` — see note above)
+    out = _rewrite_calls(out, "positionUTF8", lambda a: f"instr({a[0]}, {a[1]})")
+    out = _rewrite_calls(
+        out,
+        "positionCaseInsensitive",
+        lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+    )
+    out = _rewrite_calls(out, "base64Encode", lambda a: f"base64({a[0]})")
+    out = _rewrite_calls(
+        out, "base64Decode", lambda a: f"cast(unbase64({a[0]}) as string)"
+    )
+    out = _rewrite_calls(
+        out,
+        "countSubstrings",
+        lambda a: (
+            f"(CASE WHEN length({a[1]}) = 0 THEN 0 "
+            f"ELSE ((length({a[0]}) - length(replace({a[0]}, {a[1]}, {lit('')})))"
+            f" div length({a[1]})) END)"
+        ),
+    )
+
+    # ---- bit operations (CH functional names → Spark operators;
+    # CH's UInt shifts are LOGICAL — on Spark's signed longs
+    # shiftright is arithmetic, a documented drift for the sign bit) ----
+    out = _rewrite_calls(out, "bitAnd", lambda a: f"({a[0]} & {a[1]})")
+    out = _rewrite_calls(out, "bitOr", lambda a: f"({a[0]} | {a[1]})")
+    out = _rewrite_calls(out, "bitXor", lambda a: f"({a[0]} ^ {a[1]})")
+    out = _rewrite_calls(out, "bitNot", lambda a: f"(~ {a[0]})")
+    out = _rewrite_calls(out, "bitShiftLeft", lambda a: f"shiftleft({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "bitShiftRight", lambda a: f"shiftright({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "bitCount", lambda a: f"bit_count({a[0]})")
+
+    # ---- cast variants: OrNull ≡ try_cast, OrZero ≡ try_cast
+    # defaulted to the type's zero (CH's epoch for dates) ----
+    for base, t in _CAST_FNS.items():
+        if base == "toString":
+            continue
+        out = _rewrite_calls(
+            out, base + "OrNull", lambda a, ty=t: f"try_cast({a[0]} as {ty})"
+        )
+        if t == "date":
+            zero = f"cast({lit('1970-01-01')} as date)"
+        elif t == "timestamp":
+            zero = f"cast({lit('1970-01-01 00:00:00')} as timestamp)"
+        else:
+            zero = "0"
+        out = _rewrite_calls(
+            out,
+            base + "OrZero",
+            lambda a, ty=t, z=zero: f"coalesce(try_cast({a[0]} as {ty}), {z})",
+        )
+
+    # ---- statistics aggregate names (camelCase CH → snake_case
+    # Spark; identical math, population/sample split preserved) ----
+    for ch_fn, spark_fn in (
+        ("stddevPop", "stddev_pop"),
+        ("stddevSamp", "stddev_samp"),
+        ("varPop", "var_pop"),
+        ("varSamp", "var_samp"),
+        ("covarPop", "covar_pop"),
+        ("covarSamp", "covar_samp"),
+    ):
+        out = _rewrite_calls(
+            out, ch_fn, lambda a, f=spark_fn: f"{f}({', '.join(a)})"
+        )
+    out = _rewrite_calls(out, "roundBankers", lambda a: f"bround({', '.join(a)})")
+
+    # ---- datetime completion ----
+    out = _rewrite_calls(out, "toMinute", lambda a: f"minute({a[0]})")
+    out = _rewrite_calls(out, "toSecond", lambda a: f"second({a[0]})")
+    out = _rewrite_calls(out, "toDayOfYear", lambda a: f"dayofyear({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "toYYYYMMDDhhmmss",
+        lambda a: f"cast(date_format({a[0]}, {lit('yyyyMMddHHmmss')}) as bigint)",
+    )
+    # 30-minute slot floor (CH's fixed 1800 s grid)
+    out = _rewrite_calls(
+        out,
+        "timeSlot",
+        lambda a: f"timestamp_seconds((unix_timestamp({a[0]}) div 1800) * 1800)",
+    )
+    # same instant re-expressed in the zone (formatDateTime's tz rule)
+    out = _rewrite_calls(
+        out, "toTimeZone", lambda a: f"convert_timezone({a[1]}, {a[0]})"
+    )
+    # interval add/sub family completion (addDays/addHours/addMinutes
+    # and subtractDays ship above)
+    for fn, slot, sign in (
+        ("addYears", 0, "+"), ("subtractYears", 0, "-"),
+        ("addMonths", 1, "+"), ("subtractMonths", 1, "-"),
+        ("addWeeks", 2, "+"), ("subtractWeeks", 2, "-"),
+        ("addSeconds", 6, "+"), ("subtractSeconds", 6, "-"),
+        ("subtractHours", 4, "-"), ("subtractMinutes", 5, "-"),
+    ):
+        def _iv(a: list[str], s=slot, sg=sign) -> str:
+            parts = ["0"] * 7
+            parts[s] = a[1]
+            return f"({a[0]} {sg} make_interval({', '.join(parts)}))"
+        out = _rewrite_calls(out, fn, _iv)
+
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out
     masked = re.sub(
         r"(?<![A-Za-z0-9_])today\s*\(\s*\)", "current_date()", masked, flags=re.IGNORECASE
+    )
+    masked = re.sub(
+        r"(?<![A-Za-z0-9_])yesterday\s*\(\s*\)",
+        "date_sub(current_date(), 1)",
+        masked,
+        flags=re.IGNORECASE,
     )
     # PREWHERE: merge with a same-SELECT WHERE, else plain WHERE
     masked = _rewrite_prewhere(masked)

@@ -1608,6 +1608,96 @@ def test_dialect_round5_review_regressions():
         assert T(T(src)) == T(src)
 
 
+def test_dialect_batch3_arrays_strings_bits(spark):
+    """Round-5 batch #3: array mutators/slicing, UTF8-suffixed string
+    names, bit ops, OrZero/OrNull cast variants, stat-agg renames,
+    datetime completion — live-executed, value-checked, idempotent."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    import datetime
+
+    cases = [
+        ("arraySlice([1,2,3,4], 2, 2)", [2, 3]),
+        ("arraySlice([1,2,3,4], -2)", [3, 4]),
+        ("arrayReverse([1,2,3])", [3, 2, 1]),
+        ("arrayFlatten([[1],[2,3]])", [1, 2, 3]),
+        ("arrayEnumerate([7,8,9])", [1, 2, 3]),
+        ("arrayEnumerate(arrayPopBack([1]))", []),
+        ("arrayElement([1,2,3], -1)", 3),
+        ("arrayElement([1,2,3], 0)", None),  # CH default-value OOB → NULL
+        ("arrayPushBack([1,2], 9)", [1, 2, 9]),
+        ("arrayPushFront([1,2], 9)", [9, 1, 2]),
+        ("arrayPopFront([1,2,3])", [2, 3]),
+        ("arrayUniq([1,1,2])", 2),
+        ("concatWithSeparator('-', 'a', 'b')", "a-b"),
+        ("substringUTF8('hello', 2, 3)", "ell"),
+        ("lowerUTF8('AbC')", "abc"),
+        ("leftUTF8('hello', 2)", "he"),
+        ("rightUTF8('hello', 2)", "lo"),
+        ("trimLeft('  x ')", "x "),
+        ("trimRight('  x ')", "  x"),
+        ("positionUTF8('hello', 'll')", 3),
+        ("positionCaseInsensitive('Hello', 'hE')", 1),
+        ("base64Decode(base64Encode('hi'))", "hi"),
+        ("countSubstrings('ababab', 'ab')", 3),
+        ("countSubstrings('ababab', '')", 0),
+        ("bitAnd(5, 3)", 1),
+        ("bitOr(5, 3)", 7),
+        ("bitXor(5, 3)", 6),
+        ("bitNot(5)", -6),
+        ("bitShiftLeft(1, 3)", 8),
+        ("bitShiftRight(16, 2)", 4),
+        ("bitCount(7)", 3),
+        ("toInt32OrNull('x')", None),
+        ("toInt32OrZero('x')", 0),
+        ("toInt64OrZero('42')", 42),
+        ("toFloat64OrNull('1.5')", 1.5),
+        ("toDateOrZero('bad')", datetime.date(1970, 1, 1)),
+        ("roundBankers(2.5)", 2.0),
+        ("toMinute(toDateTime('2020-01-01 10:37:11'))", 37),
+        ("toSecond(toDateTime('2020-01-01 10:37:11'))", 11),
+        ("toDayOfYear(toDate('2020-02-01'))", 32),
+        ("toYYYYMMDDhhmmss(toDateTime('2020-01-02 03:04:05'))",
+         20200102030405),
+        ("timeSlot(toDateTime('2020-01-01 10:44:00'))",
+         datetime.datetime(2020, 1, 1, 10, 30)),
+        # year/month interval adds keep DATE type (CH does too)
+        ("addYears(toDate('2020-02-29'), 1)", datetime.date(2021, 2, 28)),
+        ("subtractMonths(toDate('2020-03-31'), 1)",
+         datetime.date(2020, 2, 29)),
+        ("addSeconds(toDateTime('2020-01-01 00:00:00'), 90)",
+         datetime.datetime(2020, 1, 1, 0, 1, 30)),
+    ]
+    # one round-trip per statement is slow on a shared session — pack
+    # the whole battery into a single SELECT
+    sql = T(
+        "SELECT " + ", ".join(
+            f"{src} AS c{i}" for i, (src, _) in enumerate(cases)
+        )
+    )
+    assert T(sql) == sql  # idempotent
+    row = spark.sql(sql).collect()[0]
+    for i, (src, want) in enumerate(cases):
+        got = row[f"c{i}"]
+        got = list(got) if isinstance(got, (list, tuple)) else got
+        assert got == want, f"{src}: {got!r} != {want!r}"
+
+    agg = T(
+        "SELECT stddevPop(x) AS s, varSamp(x) AS v, covarPop(x, x) AS c,"
+        " quantileTDigest(0.5)(x) AS q,"
+        " quantileDeterministic(0.5)(x, x) AS qd"
+        " FROM (SELECT 1 x UNION ALL SELECT 3 x)"
+    )
+    assert T(agg) == agg
+    r = spark.sql(agg).collect()[0]
+    assert (r["s"], r["v"], r["c"], r["q"], r["qd"]) == (1.0, 2.0, 1.0, 1, 1)
+    y = T("SELECT yesterday() AS v")
+    assert "date_sub(current_date(), 1)" in y and T(y) == y
+    # multi-arg arrayUniq (distinct tuples) has no unary mapping: pass
+    src = "select arrayUniq(a, b) from t"
+    assert T(src) == src
+
+
 def test_dialect_limit_by():
     """CH LIMIT n BY cols → row_number window wrapper; applied after
     the select's ORDER BY, trailing global LIMIT preserved, nested
