@@ -919,6 +919,83 @@ ORDER BY o_orderstatus, bucket
 
 
 # ---------------------------------------------------------------------------
+# Dialect battery #3 — the batch-3 translator surface, value-gated
+# ---------------------------------------------------------------------------
+
+# CH-dialect text exercising the round-5 batch-3 additions (array
+# slicing/mutators, bit ops, UTF8-suffixed string names, OrZero
+# casts, countSubstrings, positionUTF8, base64, timeSlot,
+# addSeconds, concatWithSeparator) — translated at runtime
+_DIALECT3_CH_SQL = """
+select flag,
+       toInt64(count(*)) as n,
+       toInt64(sum(bitAnd(p_partkey, 255))) as and_sum,
+       toInt64(sum(bitXor(p_size, bitShiftRight(p_partkey, 2)))) as xor_sum,
+       toInt64(sum(bitCount(p_size))) as bits,
+       toInt64(sum(arrayUniq(words))) as uniq_words,
+       max(arrayElement(words, -1)) as last_word,
+       toInt64(sum(positionUTF8(p_type, 'E'))) as pos_sum,
+       toInt64(sum(countSubstrings(p_name, 'an'))) as n_an,
+       toInt64(sum(toInt32OrZero(leftUTF8(toString(p_partkey), 1)))) as digit_sum,
+       toInt64(min(toUnixTimestamp(timeSlot(ship_ts)))) as first_slot,
+       max(base64Encode(concatWithSeparator('-', p_brand, upperUTF8(p_type)))) as b64
+from (
+  select p_partkey, p_size, p_name, p_type, p_brand,
+         multiIf(p_size > 25, 'H', 'L') as flag,
+         arrayPushBack(arraySlice(splitByChar(' ', p_name), 1, 2),
+                       toString(p_partkey)) as words,
+         addSeconds(toDateTime(toDateOrZero('1995-01-01')),
+                    modulo(p_partkey, 86399)) as ship_ts
+  from part
+  where p_retailprice > toFloat64OrZero('900')
+)
+group by flag
+order by flag
+"""
+
+
+def calc_dialect3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-3 dialect surface, value-gated: the CH text above runs
+    through ``translate_ch_sql`` and must match the hand-ANSI DuckDB
+    replay (UTC session: toUnixTimestamp ≡ DuckDB epoch)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT3_CH_SQL)).orderBy("flag")
+
+
+DIALECT3_ORACLE = """
+SELECT flag,
+       cast(count(*) as bigint) AS n,
+       cast(sum(p_partkey & 255) as bigint) AS and_sum,
+       cast(sum(xor(p_size, p_partkey >> 2)) as bigint) AS xor_sum,
+       cast(sum(bit_count(cast(p_size as bigint))) as bigint) AS bits,
+       cast(sum(len(list_distinct(words))) as bigint) AS uniq_words,
+       max(words[-1]) AS last_word,
+       cast(sum(strpos(p_type, 'E')) as bigint) AS pos_sum,
+       cast(sum((len(p_name) - len(replace(p_name, 'an', ''))) // 2)
+            as bigint) AS n_an,
+       cast(sum(coalesce(try_cast(left(cast(p_partkey as varchar), 1) as int), 0))
+            as bigint) AS digit_sum,
+       cast(min((cast(epoch(ship_ts) as bigint) // 1800) * 1800) as bigint)
+            AS first_slot,
+       max(to_base64(encode(p_brand || '-' || upper(p_type)))) AS b64
+FROM (
+  SELECT p_partkey, p_size, p_name, p_type, p_brand,
+         CASE WHEN p_size > 25 THEN 'H' ELSE 'L' END AS flag,
+         list_append(list_slice(string_split(p_name, ' '), 1, 2),
+                     cast(p_partkey as varchar)) AS words,
+         cast(date '1995-01-01' as timestamp)
+           + (p_partkey % 86399) * INTERVAL 1 SECOND AS ship_ts
+  FROM part
+  WHERE p_retailprice > 900
+)
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+# ---------------------------------------------------------------------------
 # VERBATIM shipped calc query through the dialect translator
 # ---------------------------------------------------------------------------
 
@@ -1279,6 +1356,8 @@ CORE_QUERIES: list[QueryDef] = [
              "the reference's own sum(1)/sum(summa) golden check over the verbatim view"),
     QueryDef("calc_dialect_battery2", calc_dialect2_q, DIALECT2_ORACLE,
              "round-5 dialect surface (array literals, -If, intervals, dateAdd, multiIf, argMax) value-gated"),
+    QueryDef("calc_dialect_battery3", calc_dialect3_q, DIALECT3_ORACLE,
+             "batch-3 dialect surface (array mutators, bit ops, UTF8 strings, OrZero casts, timeSlot) value-gated"),
     QueryDef("window_functions", window_functions, WINDOW_FUNCTIONS_ORACLE,
              "rank/dense_rank/lag/running-sum window surface"),
     QueryDef("set_ops", set_ops, SET_OPS_ORACLE,
