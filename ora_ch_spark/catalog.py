@@ -995,6 +995,46 @@ ORDER BY flag
 """
 
 
+# CH WITH FILL over a sparse numeric grid — the translator emits the
+# sequence-spine full join; the oracle replays it with
+# generate_series. trunc-before-div avoids the DuckDB round-on-cast
+# vs Spark truncate-on-cast divergence.
+_WITH_FILL_CH_SQL = """
+select bucket, toInt64(count(*)) as n
+from (
+  select intDiv(toInt32(o_totalprice), 50000) as bucket
+  from orders
+  where o_orderstatus = 'P'
+)
+group by bucket
+order by bucket with fill from 0 to 12
+"""
+
+
+def calc_with_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY … WITH FILL`` through ``translate_ch_sql``: grid
+    rows 0..11 added with NULL counts, observed buckets kept."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_WITH_FILL_CH_SQL)).orderBy("bucket")
+
+
+WITH_FILL_ORACLE = """
+WITH agg AS (
+  SELECT cast(trunc(o_totalprice) as int) // 50000 AS bucket,
+         cast(count(*) as bigint) AS n
+  FROM orders
+  WHERE o_orderstatus = 'P'
+  GROUP BY 1
+)
+SELECT coalesce(a.bucket, s.g) AS bucket, a.n AS n
+FROM (SELECT unnest(generate_series(0, 11)) AS g) s
+FULL OUTER JOIN agg a ON a.bucket = s.g
+ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # VERBATIM shipped calc query through the dialect translator
 # ---------------------------------------------------------------------------
@@ -1358,6 +1398,8 @@ CORE_QUERIES: list[QueryDef] = [
              "round-5 dialect surface (array literals, -If, intervals, dateAdd, multiIf, argMax) value-gated"),
     QueryDef("calc_dialect_battery3", calc_dialect3_q, DIALECT3_ORACLE,
              "batch-3 dialect surface (array mutators, bit ops, UTF8 strings, OrZero casts, timeSlot) value-gated"),
+    QueryDef("calc_with_fill", calc_with_fill_q, WITH_FILL_ORACLE,
+             "CH ORDER BY … WITH FILL → sequence-spine full join, value-gated"),
     QueryDef("window_functions", window_functions, WINDOW_FUNCTIONS_ORACLE,
              "rank/dense_rank/lag/running-sum window surface"),
     QueryDef("set_ops", set_ops, SET_OPS_ORACLE,

@@ -424,6 +424,68 @@ def _rewrite_limit_by(masked: str) -> str:
         masked = head + wrapped + rest
 
 
+# CH `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` — gap-fill the
+# ordered output on an arithmetic grid. Supported shape: TOP-level
+# clause, single simple-identifier fill column (must be in the
+# projection), integer bounds/step, optionally followed by a global
+# LIMIT. DESC / INTERPOLATE / expression keys / date-interval steps
+# pass through untranslated.
+_WITH_FILL = re.compile(
+    r"(?is)\border\s+by\s+([A-Za-z_][A-Za-z0-9_]*)\s+with\s+fill"
+    r"(?:\s+from\s+(-?\d+))?(?:\s+to\s+(-?\d+))?(?:\s+step\s+(\d+))?"
+)
+
+
+def _rewrite_with_fill(masked: str) -> str:
+    """Translate ``ORDER BY c WITH FILL …`` into a full-outer join
+    against an explicit ``sequence()`` spine::
+
+        WITH __wf_src AS (<body>)
+        SELECT * FROM (SELECT explode(sequence(F, STOP, S)) AS c)
+        __wf_spine FULL OUTER JOIN __wf_src USING (c) ORDER BY c
+
+    CH's TO bound is exclusive — STOP is the last grid point below
+    it; omitted FROM/TO fall back to the data min/max (scalar
+    subqueries over the CTE), matching CH. Original rows OFF the
+    grid survive (full join), exactly CH's behavior. Filled rows
+    carry NULL in the other columns — CH fills type defaults (0,
+    '') there; documented deviation (Spark SQL cannot know column
+    types at text-rewrite time). INTERPOLATE is unsupported."""
+    m = _WITH_FILL.search(masked)
+    if not m:
+        return masked
+    pre = masked[: m.start()]
+    if pre.count("(") != pre.count(")"):
+        return masked  # nested in a subquery: unsupported, untouched
+    tail = masked[m.end():].strip()
+    if tail and not _TRAILING_LIMIT.match(tail):
+        return masked  # more ORDER BY keys / INTERPOLATE: untouched
+    col = m.group(1)
+    frm, to, step = m.group(2), m.group(3), m.group(4)
+    s = int(step) if step else 1
+    if frm is not None and to is not None:
+        f_i, t_i = int(frm), int(to)
+        if t_i <= f_i:
+            return masked  # empty CH fill grid: nothing to add
+        f_expr = str(f_i)
+        stop_expr = str(f_i + ((t_i - f_i - 1) // s) * s)
+    else:
+        f_expr = frm if frm is not None else f"(SELECT min({col}) FROM __wf_src)"
+        # TO omitted → fill up to the data max (inclusive grid end)
+        stop_expr = f"(SELECT max({col}) FROM __wf_src)" if to is None else None
+        if stop_expr is None:
+            t_i = int(to)
+            stop_expr = f"(({t_i} - 1 - ({f_expr})) div {s}) * {s} + ({f_expr})"
+    body = masked[: m.start()].strip()
+    return (
+        f"WITH __wf_src AS ({body}) "
+        f"SELECT * FROM (SELECT explode(sequence({f_expr}, {stop_expr}, {s})) "
+        f"AS {col}) __wf_spine "
+        f"FULL OUTER JOIN __wf_src USING ({col}) ORDER BY {col}"
+        + (f" {tail}" if tail else "")
+    )
+
+
 # CH `FROM t SAMPLE k`: k in (0,1) or a rational n/m = fraction,
 # k = 1 = whole table (clause dropped), integer > 1 = approx row
 # count → Spark TABLESAMPLE. Only matched directly after a table
@@ -620,6 +682,33 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         return f"(CASE{whens} ELSE {a[-1]} END)"
 
     out = _rewrite_calls(out, "multiIf", _multi_if)
+
+    def _transform_map(a: list[str]) -> str | None:
+        # CH transform(x, [from...], [to...][, default]) — a value
+        # remap ≡ CASE x WHEN f THEN t ... . The NAME collides with
+        # Spark's higher-order transform(arr, lambda), but arity
+        # disambiguates: Spark's form has exactly 2 args, CH's 3–4
+        # (and its array args have already become array(...) by the
+        # literal pass). Anything not matching that shape passes
+        # through untouched (idempotence contract).
+        if len(a) not in (3, 4):
+            return None
+        pair_lists = []
+        for arg in (a[1], a[2]):
+            found = _find_call(arg.strip(), "array")
+            if found is None or found[0] != 0:
+                return None
+            pair_lists.append(found[2])
+        frm, to = pair_lists
+        if len(frm) != len(to) or not frm:
+            return None
+        whens = "".join(
+            f" WHEN {f} THEN {t}" for f, t in zip(frm, to)
+        )
+        default = a[3] if len(a) == 4 else a[0]
+        return f"(CASE {a[0]}{whens} ELSE {default} END)"
+
+    out = _rewrite_calls(out, "transform", _transform_map)
 
     def _format_dt(a: list[str]) -> str:
         fmt = a[1].strip()
@@ -1236,6 +1325,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_sample_clause(masked)
     # LIMIT n BY cols → row_number window wrapper
     masked = _rewrite_limit_by(masked)
+    # ORDER BY c WITH FILL → sequence-spine full join
+    masked = _rewrite_with_fill(masked)
     # GLOBAL join / IN distribution modifier and ANY/ALL join
     # strictness: Spark's optimizer owns distribution; ANY JOIN's
     # first-match semantics ≈ plain join on unique keys (documented).

@@ -1698,6 +1698,56 @@ def test_dialect_batch3_arrays_strings_bits(spark):
     assert T(src) == src
 
 
+def test_dialect_transform_remap(spark):
+    """CH transform(x, [from], [to][, def]) value remap → CASE chain;
+    Spark's 2-arg lambda transform and malformed shapes untouched."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    s = T("SELECT transform(x, ['a','b'], ['A','B'], 'other') AS v"
+          " FROM (SELECT 'b' x)")
+    assert "CASE x WHEN 'a' THEN 'A' WHEN 'b' THEN 'B' ELSE 'other' END" in s
+    assert T(s) == s
+    assert spark.sql(s).collect()[0][0] == "B"
+    s3 = T("SELECT transform(x, [1,2], [10,20]) AS v FROM (SELECT 3 x)")
+    assert "ELSE x END" in s3 and spark.sql(s3).collect()[0][0] == 3
+    src = "SELECT transform(a, e -> e + 1) FROM t"
+    assert T(src) == src
+    # unequal from/to lengths: call left untouched
+    assert "transform(" in T("SELECT transform(x, [1,2], [10]) FROM t")
+
+
+def test_dialect_with_fill(spark):
+    """ORDER BY c WITH FILL [FROM/TO/STEP] → sequence-spine full
+    join: grid rows added (NULL other columns — CH uses type
+    defaults, documented), off-grid source rows kept, TO exclusive,
+    omitted bounds from data min/max, trailing LIMIT preserved."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.sql("SELECT * FROM (VALUES (1, 'a'), (3, 'c'), (10, 'z'))"
+              " AS t(k, v)").createOrReplaceTempView("wf_t")
+    cases = [
+        ("SELECT k, v FROM wf_t ORDER BY k WITH FILL FROM 1 TO 6",
+         [(1, 'a'), (2, None), (3, 'c'), (4, None), (5, None), (10, 'z')]),
+        ("SELECT k, v FROM wf_t ORDER BY k WITH FILL FROM 0 TO 9 STEP 4",
+         [(0, None), (1, 'a'), (3, 'c'), (4, None), (8, None), (10, 'z')]),
+        ("SELECT k, v FROM wf_t WHERE k < 5 ORDER BY k WITH FILL TO 7 STEP 2",
+         [(1, 'a'), (3, 'c'), (5, None)]),
+        ("SELECT k, v FROM wf_t ORDER BY k WITH FILL FROM 1 TO 4 LIMIT 2",
+         [(1, 'a'), (2, None)]),
+    ]
+    for src, want in cases:
+        sql = T(src)
+        assert T(sql) == sql, sql
+        assert [tuple(r) for r in spark.sql(sql).collect()] == want, src
+    full = T("SELECT k, v FROM wf_t ORDER BY k WITH FILL")
+    assert len(spark.sql(full).collect()) == 10  # data min..max inclusive
+    # unsupported shapes pass through
+    for src in ("SELECT k FROM wf_t ORDER BY k DESC WITH FILL",
+                "SELECT k, v FROM wf_t ORDER BY k WITH FILL, v",
+                "SELECT k FROM wf_t ORDER BY k WITH FILL FROM 5 TO 5"):
+        assert T(src) == src
+
+
 def test_dialect_limit_by():
     """CH LIMIT n BY cols → row_number window wrapper; applied after
     the select's ORDER BY, trailing global LIMIT preserved, nested
