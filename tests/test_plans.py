@@ -228,6 +228,20 @@ def test_scd2_single_join_and_history_passthrough(spark, sf_correct):
     assert not live_joins
 
 
+def test_sq8_broadcast_scan_shape(spark, sf_correct):
+    """sq8_topk is ONE corpus scan against broadcast queries: the
+    query side must broadcast (never a CartesianProduct against a
+    shuffled side), and the only wide exchange is the final per-query
+    rank window — encode/decode are map-side projections."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import sq8_topk
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    p = _plan(sq8_topk(emb, query_ids=emb.filter("vec_id < 10")))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_rag_composite_no_cartesian_and_broadcast_routing(spark, sf_correct):
     """rag_chunk_topk: the query×seed probes are broadcast nested
     loops over a 16-row side (never a CartesianProduct), the
