@@ -863,6 +863,39 @@ FROM h GROUP BY 1, 2
 """
 
 
+def streaming_cms_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS maintenance: the counter-sum aggregate runs as a
+    complete-mode streaming query over the events file source; the
+    emitted (row, col, c) table must equal the batch sketch of the
+    same data (the oracle replays cms_build)."""
+    from ora_ch_spark.streaming.sketch import streaming_cms_counters
+
+    return streaming_cms_counters(
+        spark,
+        f"{sf_dir}/events.parquet",
+        key_expr="cast(user_id as string)",
+        query_name=f"cms_stream_{uuid.uuid4().hex[:8]}",
+    ).orderBy("row", "col")
+
+
+def _streaming_cms_oracle() -> str:
+    from ora_ch_spark.operators.sketches import CMS_D, CMS_W
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, ('0x' || substr(md5('{i}' || ':' ||"
+        f" cast(user_id as varchar)), 1, 15))::BIGINT % {CMS_W} AS col,"
+        f" 1 AS w FROM events"
+        for i in range(CMS_D)
+    )
+    return f"""
+SELECT cast(row as int) AS row, cast(col as bigint) AS col,
+       cast(sum(w) as bigint) AS c
+FROM ({unions})
+GROUP BY 1, 2
+ORDER BY row, col
+"""
+
+
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -3870,6 +3903,8 @@ EXT_QUERIES: list[QueryDef] = [
              "IVFADC: coarse-routed compressed search (PQ codes scored in probed lists only)"),
     QueryDef("sim_topk_sq8", sim_topk_sq8_q, SIM_SQ8_ORACLE,
              "SQ8 scalar-quantized top-5 (per-dim 8-bit codes, asymmetric integer L2)"),
+    QueryDef("streaming_cms_agg", streaming_cms_agg_q, _streaming_cms_oracle(),
+             "streaming CMS counter maintenance (complete-mode sum, state = 1024 cells)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ora_ch_spark.operators.sketches import hll_registers
+from ora_ch_spark.operators.sketches import cms_build, hll_registers
 
 
 def streaming_hll_registers(
@@ -55,6 +55,48 @@ def streaming_hll_registers(
     with state_partitions(spark):
         q = (
             reg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def streaming_cms_counters(
+    spark: SparkSession,
+    source_dir: str,
+    key_expr: str,
+    query_name: str = "cms_stream_out",
+) -> DataFrame:
+    """Always-current count-min frequency sketch over a stream: the
+    CMS counter table is a pure SUM-aggregate, so complete-mode
+    streaming maintains it the same way :func:`streaming_hll_registers`
+    maintains the HLL maxima — state bounded at d·w = 1024 cells no
+    matter the throughput, and at every trigger the counters equal
+    the batch sketch of everything seen (equivalence is the gate
+    oracle). Heavy-hitter queries probe the emitted table with
+    ``cms_estimate`` without touching the stream."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if os.path.isfile(source_dir):
+        d = tempfile.mkdtemp(prefix="stream_cms_src_")
+        os.symlink(
+            os.path.abspath(source_dir), os.path.join(d, os.path.basename(source_dir))
+        )
+        source_dir = d
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(source_dir)
+        .selectExpr(f"{key_expr} AS k")
+    )
+    cms = cms_build(stream, F.col("k"))
+    from ora_ch_spark.streaming.watermark import state_partitions
+
+    with state_partitions(spark):
+        q = (
+            cms.writeStream.outputMode("complete")
             .format("memory")
             .queryName(query_name)
             .trigger(availableNow=True)
