@@ -1011,6 +1011,40 @@ order by bucket with fill from 0 to 12
 """
 
 
+# CH WITH TOTALS over the orders table — GROUPING SETS rewrite,
+# replayed verbatim by DuckDB (same GROUPING SETS semantics)
+_WITH_TOTALS_CH_SQL = """
+select o_orderstatus, o_orderpriority,
+       toInt64(count(*)) as n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) as total
+from orders
+where o_orderdate >= toDate('1996-01-01')
+group by o_orderstatus, o_orderpriority with totals
+"""
+
+
+def calc_with_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY … WITH TOTALS`` through ``translate_ch_sql``: group
+    rows plus the grand-total row in one GROUPING SETS pass."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_WITH_TOTALS_CH_SQL)).orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+WITH_TOTALS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+FROM orders
+WHERE o_orderdate >= date '1996-01-01'
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def calc_with_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ORDER BY … WITH FILL`` through ``translate_ch_sql``: grid
     rows 0..11 added with NULL counts, observed buckets kept."""
@@ -1400,6 +1434,8 @@ CORE_QUERIES: list[QueryDef] = [
              "batch-3 dialect surface (array mutators, bit ops, UTF8 strings, OrZero casts, timeSlot) value-gated"),
     QueryDef("calc_with_fill", calc_with_fill_q, WITH_FILL_ORACLE,
              "CH ORDER BY … WITH FILL → sequence-spine full join, value-gated"),
+    QueryDef("calc_with_totals", calc_with_totals_q, WITH_TOTALS_ORACLE,
+             "CH GROUP BY … WITH TOTALS → GROUPING SETS grand-total row, value-gated"),
     QueryDef("window_functions", window_functions, WINDOW_FUNCTIONS_ORACLE,
              "rank/dense_rank/lag/running-sum window surface"),
     QueryDef("set_ops", set_ops, SET_OPS_ORACLE,

@@ -424,6 +424,36 @@ def _rewrite_limit_by(masked: str) -> str:
         masked = head + wrapped + rest
 
 
+# CH `GROUP BY cols WITH TOTALS` — append one all-data totals row.
+# Spark expresses the same aggregate union as GROUPING SETS
+# ((cols), ()): per-group rows plus the grand total, computed in one
+# pass (Expand), no second scan. Deviation note: CH fills the totals
+# row's group columns with type defaults (0, ''), the GROUPING SETS
+# total carries NULLs — same documented drift as WITH FILL.
+_WITH_TOTALS = re.compile(r"(?i)\bwith\s+totals\b")
+_GROUP_BY = re.compile(r"(?i)\bgroup\s+by\b")
+
+
+def _rewrite_with_totals(masked: str) -> str:
+    while True:
+        m = _WITH_TOTALS.search(masked)
+        if not m:
+            return masked
+        gb = None
+        for gm in _GROUP_BY.finditer(masked, 0, m.start()):
+            seg = masked[gm.end():m.start()]
+            if seg.count("(") == seg.count(")"):
+                gb = gm  # the nearest same-depth GROUP BY wins
+        if gb is None:
+            return masked  # WITH TOTALS without a GROUP BY: untouched
+        cols = masked[gb.end():m.start()].strip()
+        masked = (
+            masked[: gb.start()]
+            + f"GROUP BY GROUPING SETS (({cols}), ())"
+            + masked[m.end():]
+        )
+
+
 # CH `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` — gap-fill the
 # ordered output on an arithmetic grid. Supported shape: TOP-level
 # clause, single simple-identifier fill column (must be in the
@@ -1325,6 +1355,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_sample_clause(masked)
     # LIMIT n BY cols → row_number window wrapper
     masked = _rewrite_limit_by(masked)
+    # GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ())
+    masked = _rewrite_with_totals(masked)
     # ORDER BY c WITH FILL → sequence-spine full join
     masked = _rewrite_with_fill(masked)
     # GLOBAL join / IN distribution modifier and ANY/ALL join

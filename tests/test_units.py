@@ -1813,6 +1813,25 @@ def test_dialect_with_fill(spark):
         assert T(src) == src
 
 
+def test_dialect_with_totals(spark):
+    """GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ()): per-group
+    rows plus one grand-total row (NULL keys — CH uses type defaults,
+    documented), HAVING/ORDER BY positions preserved."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.sql("SELECT * FROM (VALUES ('a',1),('a',2),('b',5)) t(g, v)"
+              ).createOrReplaceTempView("wt_t")
+    s = T("select g, sum(v) as s from wt_t group by g with totals order by g")
+    assert "GROUPING SETS ((g), ())" in s and T(s) == s
+    assert [tuple(r) for r in spark.sql(s).collect()] == [
+        (None, 8), ('a', 3), ('b', 5)]
+    s2 = T("select g, sum(v) as s from wt_t group by g with totals"
+           " having sum(v) > 3")
+    assert [tuple(r) for r in spark.sql(T(s2)).collect()] == [(None, 8), ('b', 5)]
+    src = "select sum(v) with totals from wt_t"  # no GROUP BY: untouched
+    assert T(src) == src
+
+
 def test_dialect_limit_by():
     """CH LIMIT n BY cols → row_number window wrapper; applied after
     the select's ORDER BY, trailing global LIMIT preserved, nested
