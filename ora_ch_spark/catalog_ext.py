@@ -863,6 +863,43 @@ FROM h GROUP BY 1, 2
 """
 
 
+def dedup_editdistance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-class near-dup pairs over 24-char document prefixes:
+    deletion-neighborhood blocking (complete for d = 1), exact
+    levenshtein verification."""
+    from ora_ch_spark.operators.dedup import editdistance_pairs
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title", F.expr("substring(text, 1, 24)")
+    )
+    return editdistance_pairs(docs, id_col="doc_id", text_col="title").orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_EDITDISTANCE_ORACLE = """
+WITH s AS (
+  SELECT doc_id AS id, substr(text, 1, 24) AS s
+  FROM documents WHERE text IS NOT NULL
+),
+dels AS (
+  SELECT id, s, unnest(range(1, len(s) + 1)) AS i FROM s WHERE len(s) > 0
+),
+keys AS (
+  SELECT id, s, s AS k FROM s
+  UNION
+  SELECT id, s, substr(s, 1, i - 1) || substr(s, i + 1) AS k FROM dels
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b
+  FROM keys a JOIN keys b USING (k) WHERE a.id < b.id
+)
+SELECT id_a, id_b, cast(levenshtein(s_a, s_b) as int) AS dist
+FROM cand WHERE levenshtein(s_a, s_b) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def streaming_cms_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS maintenance: the counter-sum aggregate runs as a
     complete-mode streaming query over the events file source; the
@@ -3905,6 +3942,8 @@ EXT_QUERIES: list[QueryDef] = [
              "SQ8 scalar-quantized top-5 (per-dim 8-bit codes, asymmetric integer L2)"),
     QueryDef("streaming_cms_agg", streaming_cms_agg_q, _streaming_cms_oracle(),
              "streaming CMS counter maintenance (complete-mode sum, state = 1024 cells)"),
+    QueryDef("dedup_editdistance", dedup_editdistance_q, DEDUP_EDITDISTANCE_ORACLE,
+             "edit-distance<=1 near-dup pairs (deletion-neighborhood blocking, complete for d=1)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

@@ -1158,3 +1158,64 @@ def exact_dedup_keep_best(
         F.col("__w.s").alias("best_score"),
         "dup_count",
     )
+
+
+def editdistance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level near-duplicate pairs at edit distance ≤ 1 via
+    DELETION-NEIGHBORHOOD blocking (the FastSS / SymSpell shape):
+    each string emits itself plus its |s| single-character-deletion
+    variants as block keys; any two strings within one edit
+    (substitution, insertion, or deletion) provably share a key —
+    the blocking is sound AND complete for d = 1, unlike n-gram or
+    minhash candidates. Candidates are verified with exact
+    ``levenshtein`` (identical definition both engines), so there
+    are no false positives either. Returns (id_a, id_b, dist) with
+    id_a < id_b, one row per pair.
+
+    Complements the token-level family (minhash/simhash/Jaccard):
+    those catch rearranged documents, this catches typo-class
+    variants of SHORT strings (titles, names, codes) where one
+    character is the entire difference.
+
+    Scale shape: key fan-out is O(N·L) small rows (L = string
+    length — use on short columns); the candidate join is an
+    equi-join on the key (shuffle or broadcast, never all-pairs);
+    a boilerplate-heavy hot key salts the same way as
+    ``_banded_self_pairs``. Verification touches candidates only."""
+    s = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__s")
+    ).filter(F.col("__s").isNotNull())
+    # the string itself + every single-deletion variant (guard the
+    # empty string: sequence(1, 0) would run DOWNWARD)
+    keys = s.select(
+        "__id",
+        "__s",
+        F.explode(
+            F.expr(
+                "concat(array(__s), CASE WHEN length(__s) = 0 THEN array() "
+                "ELSE transform(sequence(1, length(__s)), i -> "
+                "concat(substring(__s, 1, i - 1), substring(__s, i + 1))) END)"
+            )
+        ).alias("__k"),
+    ).distinct()
+    a = keys.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("s_a"), "__k"
+    )
+    b = keys.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("s_b"), "__k"
+    )
+    cand = (
+        a.join(b, "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "s_a", "id_b", "s_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

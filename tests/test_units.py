@@ -1160,6 +1160,31 @@ def test_pq_adc_recall_floor_vs_exact_l2(spark, sf_smoke):
     )
 
 
+def test_editdistance_pairs_complete_for_d1(spark):
+    """Deletion-neighborhood blocking must find EVERY pair within one
+    edit (sub / ins / del / exact) and never report a pair beyond it;
+    empty strings and NULLs are safe."""
+    from ora_ch_spark.operators.dedup import editdistance_pairs
+
+    rows = [
+        (1, "hello world"), (2, "hellp world"),   # substitution
+        (3, "hello worlds"),                       # insertion
+        (4, "hello"), (5, "xyz"),                  # far away
+        (6, "hello world"),                        # exact dup of 1
+        (7, "hxllo wxrld"),                        # distance 2 — excluded
+        (8, ""), (9, None), (10, "a"),             # degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdistance_pairs(df).collect()
+    }
+    assert got == {
+        (1, 2): 1, (1, 3): 1, (1, 6): 0, (2, 6): 1, (3, 6): 1,
+        (8, 10): 1,  # '' -> 'a' is one insertion
+    }
+
+
 def test_sq8_recall_floor_and_code_bounds(spark, sf_smoke):
     """SQ8's 255-level per-dimension grid is a much finer quantizer
     than PQ's 16 codebook entries, so its asymmetric-L2 top-5 must
