@@ -1304,7 +1304,64 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         )
     out = _rewrite_calls(out, "roundBankers", lambda a: f"bround({', '.join(a)})")
 
+    # ---- URL functions (CH's parser names → Spark parse_url parts;
+    # CH's domain() strips the port and protocol() returns lowercase
+    # without '://' — parse_url HOST/PROTOCOL behave the same) ----
+    out = _rewrite_calls(
+        out, "domain", lambda a: f"parse_url({a[0]}, {lit('HOST')})"
+    )
+    out = _rewrite_calls(
+        out, "protocol", lambda a: f"parse_url({a[0]}, {lit('PROTOCOL')})"
+    )
+    # CH path() keeps the query string OFF; parse_url PATH matches
+    out = _rewrite_calls(
+        out, "path", lambda a: f"parse_url({a[0]}, {lit('PATH')})"
+    )
+    # CH queryString has no leading '?', parse_url QUERY agrees
+    out = _rewrite_calls(
+        out, "queryString", lambda a: f"parse_url({a[0]}, {lit('QUERY')})"
+    )
+    out = _rewrite_calls(
+        out,
+        "extractURLParameter",
+        lambda a: f"parse_url({a[0]}, {lit('QUERY')}, {a[1]})",
+    )
+    # CH cutQueryString drops '?query' entirely
+    out = _rewrite_calls(
+        out,
+        "cutQueryString",
+        lambda a: (
+            f"(CASE WHEN instr({a[0]}, {lit('?')}) > 0 THEN "
+            f"substring({a[0]}, 1, instr({a[0]}, {lit('?')}) - 1) "
+            f"ELSE {a[0]} END)"
+        ),
+    )
+    # splitByRegexp(re, s[, limit]) — both engines treat the
+    # separator as a regex, only the argument order differs
+    out = _rewrite_calls(
+        out,
+        "splitByRegexp",
+        lambda a: f"split({a[1]}, {a[0]}{', ' + a[2] if len(a) > 2 else ''})",
+    )
+    # arrayDifference: [0, a2-a1, …] — zip against the 1-shifted
+    # array (first slot pairs with itself → 0); empty-array guard
+    # because element_at(.., 1) raises under ANSI mode
+    out = _rewrite_calls(
+        out,
+        "arrayDifference",
+        lambda a: (
+            f"(CASE WHEN size({a[0]}) = 0 THEN slice({a[0]}, 1, 0) "
+            f"ELSE zip_with({a[0]}, concat(array(element_at({a[0]}, 1)), "
+            f"slice({a[0]}, 1, size({a[0]}) - 1)), (x, y) -> x - y) END)"
+        ),
+    )
+
     # ---- datetime completion ----
+    # now64([precision]) → now(); Spark timestamps are µs regardless
+    # of CH's precision argument (documented)
+    out = _rewrite_calls(
+        out, "now64", lambda a: "now()" if len(a) == 1 else None
+    )
     out = _rewrite_calls(out, "toMinute", lambda a: f"minute({a[0]})")
     out = _rewrite_calls(out, "toSecond", lambda a: f"second({a[0]})")
     out = _rewrite_calls(out, "toDayOfYear", lambda a: f"dayofyear({a[0]})")
@@ -1319,6 +1376,40 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         "timeSlot",
         lambda a: f"timestamp_seconds((unix_timestamp({a[0]}) div 1800) * 1800)",
     )
+
+    def _start_of_interval(a: list[str]) -> str | None:
+        # toStartOfInterval(ts, INTERVAL n unit) → epoch-grid floor.
+        # UNIFORM units only (second…week); month/year grids are
+        # calendar-irregular and pass through. Accepts both the raw
+        # INTERVAL literal and the already-rewritten toIntervalX form
+        # (make_interval with a single non-calendar slot).
+        if len(a) != 2:
+            return None
+        iv = a[1].strip()
+        secs = None
+        m2 = re.match(
+            r"(?is)^interval\s+(\d+)\s+(second|minute|hour|day|week)s?$", iv
+        )
+        if m2:
+            n = int(m2.group(1))
+            secs = n * {
+                "second": 1, "minute": 60, "hour": 3600,
+                "day": 86400, "week": 604800,
+            }[m2.group(2).lower()]
+        else:
+            m3 = re.match(
+                r"(?is)^make_interval\(\s*0\s*,\s*0\s*,\s*(\d+)\s*,\s*(\d+)"
+                r"\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)$",
+                iv,
+            )
+            if m3:
+                w, d, h, mi, s = (int(g) for g in m3.groups())
+                secs = w * 604800 + d * 86400 + h * 3600 + mi * 60 + s
+        if not secs:
+            return None
+        return f"timestamp_seconds((unix_timestamp({a[0]}) div {secs}) * {secs})"
+
+    out = _rewrite_calls(out, "toStartOfInterval", _start_of_interval)
     # same instant re-expressed in the zone (formatDateTime's tz rule)
     out = _rewrite_calls(
         out, "toTimeZone", lambda a: f"convert_timezone({a[1]}, {a[0]})"

@@ -1788,6 +1788,44 @@ def test_dialect_batch3_arrays_strings_bits(spark):
     assert T(src) == src
 
 
+def test_dialect_url_and_interval_batch(spark):
+    """URL parser family → parse_url parts, splitByRegexp arg swap,
+    arrayDifference shift-zip, now64 → now, toStartOfInterval
+    epoch-grid floor (both INTERVAL-literal and toIntervalX forms);
+    calendar-unit toStartOfInterval passes through."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    import datetime
+    cases = [
+        ("domain('https://ex.com:8080/a/b?x=1')", "ex.com"),
+        ("protocol('https://ex.com/a')", "https"),
+        ("path('https://ex.com/a/b?x=1')", "/a/b"),
+        ("queryString('https://ex.com/a?x=1&y=2')", "x=1&y=2"),
+        ("extractURLParameter('https://ex.com/a?x=1&y=2', 'y')", "2"),
+        ("cutQueryString('https://ex.com/a?x=1')", "https://ex.com/a"),
+        ("splitByRegexp('[\\\\s,]+', 'a b,c')", ["a", "b", "c"]),
+        ("arrayDifference([10, 14, 13])", [0, 4, -1]),
+        ("arrayDifference(arrayPopBack([1]))", []),
+        ("toStartOfInterval(toDateTime('2020-01-01 10:44:33'),"
+         " INTERVAL 15 minute)", datetime.datetime(2020, 1, 1, 10, 30)),
+        ("toStartOfInterval(toDateTime('2020-01-03 10:44:33'),"
+         " toIntervalDay(2))", datetime.datetime(2020, 1, 3, 0, 0)),
+    ]
+    sql = T("SELECT " + ", ".join(
+        f"{s} AS c{i}" for i, (s, _) in enumerate(cases)))
+    assert T(sql) == sql
+    row = spark.sql(sql).collect()[0]
+    for i, (s, want) in enumerate(cases):
+        got = row[f"c{i}"]
+        got = list(got) if isinstance(got, list) else got
+        assert got == want, f"{s}: {got!r} != {want!r}"
+    n = T("SELECT now64() AS a, now64(3) AS b")
+    assert "now()" in n and "now64" not in n and T(n) == n
+    # month grid is calendar-irregular: untouched
+    src = "SELECT toStartOfInterval(ts, INTERVAL 2 month) FROM t"
+    assert T(src) == src
+
+
 def test_dialect_transform_remap(spark):
     """CH transform(x, [from], [to][, def]) value remap → CASE chain;
     Spark's 2-arg lambda transform and malformed shapes untouched."""
