@@ -863,6 +863,46 @@ FROM h GROUP BY 1, 2
 """
 
 
+def summap_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH sumMap analogue: per ship-year, merge each row's
+    (flag-keys[], counts[]) arrays by key — quantity totals per
+    returnflag/linestatus key in one (group, key) shuffle."""
+    from ora_ch_spark.operators.maps import map_merge_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("y"),
+        F.expr(
+            "array(concat('R:', l_returnflag), concat('S:', l_linestatus))"
+        ).alias("ks"),
+        F.expr(
+            "array(cast(l_quantity as bigint), 1L)"
+        ).alias("vs"),
+    )
+    merged = map_merge_agg(li, "ks", "vs", ["y"])
+    # arrays CSV-serialized: the gate's value hash needs scalar cells
+    return merged.select(
+        "y",
+        F.array_join("keys", ",").alias("keys_csv"),
+        F.expr("array_join(transform(vals, v -> cast(v as string)), ',')")
+        .alias("vals_csv"),
+    ).orderBy("y")
+
+
+SUMMAP_ORACLE = """
+WITH base AS (
+  SELECT cast(year(l_shipdate) as int) AS y,
+         unnest(['R:' || l_returnflag, 'S:' || l_linestatus]) AS k,
+         unnest([cast(l_quantity as bigint), cast(1 as bigint)]) AS v
+  FROM lineitem
+),
+per AS (SELECT y, k, cast(sum(v) as bigint) AS v FROM base GROUP BY 1, 2)
+SELECT y,
+       array_to_string(array_agg(k ORDER BY k), ',') AS keys_csv,
+       array_to_string(array_agg(cast(v as varchar) ORDER BY k), ',') AS vals_csv
+FROM per GROUP BY y ORDER BY y
+"""
+
+
 def dedup_editdistance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-class near-dup pairs over 24-char document prefixes:
     deletion-neighborhood blocking (complete for d = 1), exact
@@ -3944,6 +3984,8 @@ EXT_QUERIES: list[QueryDef] = [
              "streaming CMS counter maintenance (complete-mode sum, state = 1024 cells)"),
     QueryDef("dedup_editdistance", dedup_editdistance_q, DEDUP_EDITDISTANCE_ORACLE,
              "edit-distance<=1 near-dup pairs (deletion-neighborhood blocking, complete for d=1)"),
+    QueryDef("summap_rollup", summap_rollup_q, SUMMAP_ORACLE,
+             "CH sumMap family: keyed merge of parallel arrays per group (one (group,key) shuffle)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

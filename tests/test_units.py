@@ -1160,6 +1160,38 @@ def test_pq_adc_recall_floor_vs_exact_l2(spark, sf_smoke):
     )
 
 
+def test_map_merge_agg_sum_min_max(spark):
+    """CH sumMap/minMap/maxMap semantics: merge parallel arrays BY
+    KEY across rows; ragged rows drop unpaired positions; keys come
+    back sorted with vals aligned."""
+    from ora_ch_spark.operators.maps import map_merge_agg
+
+    rows = [
+        (1, ["a", "b"], [10, 1]),
+        (1, ["b", "c"], [2, 5]),
+        (1, ["a"], [3, 99]),      # ragged: 99 has no key — dropped
+        (2, ["z"], [7]),
+    ]
+    df = spark.createDataFrame(
+        rows, "g int, ks array<string>, vs array<bigint>"
+    )
+    out = {
+        r["g"]: (list(r["keys"]), list(r["vals"]))
+        for r in map_merge_agg(df, "ks", "vs", ["g"]).collect()
+    }
+    assert out == {1: (["a", "b", "c"], [13, 3, 5]), 2: (["z"], [7])}
+    mn = {
+        r["g"]: list(r["vals"])
+        for r in map_merge_agg(df, "ks", "vs", ["g"], merge="min").collect()
+    }
+    assert mn[1] == [3, 1, 5]
+    mx = {
+        r["g"]: list(r["vals"])
+        for r in map_merge_agg(df, "ks", "vs", ["g"], merge="max").collect()
+    }
+    assert mx[1] == [10, 2, 5]
+
+
 def test_editdistance_pairs_complete_for_d1(spark):
     """Deletion-neighborhood blocking must find EVERY pair within one
     edit (sub / ins / del / exact) and never report a pair beyond it;
