@@ -863,6 +863,64 @@ FROM h GROUP BY 1, 2
 """
 
 
+def store_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog between two store snapshots: write customer, snapshot,
+    apply delete / change / insert mutations, snapshot, diff. The
+    oracle replays the LOGICAL mutations — the file-delta mechanics
+    (only touched files read) are pinned by the store unit tests."""
+    import tempfile
+
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="orachspark_diff_"))
+    store.create_database("ch")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    store.write("ch", "cust", cust.repartition(4))
+    v1 = store.snapshots("ch", "cust")[-1]["name"]
+    store.delete_where("ch", "cust", "c_custkey % 10 = 0")
+    # change: delete + re-append with shifted balance
+    store.delete_where(
+        "ch", "cust", "c_custkey % 7 = 1 AND c_custkey % 10 != 0"
+    )
+    changed = cust.filter("c_custkey % 7 = 1 AND c_custkey % 10 != 0").select(
+        "c_custkey", (F.col("c_acctbal") + 5).alias("c_acctbal")
+    )
+    inserted = cust.filter("c_custkey % 100 = 3").select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+    )
+    store.append("ch", "cust", changed.unionByName(inserted))
+    v2 = store.snapshots("ch", "cust")[-1]["name"]
+    return store.snapshot_diff("ch", "cust", v1, v2, ["c_custkey"]).orderBy(
+        "c_custkey"
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
+v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 1 THEN c_acctbal + 5
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 10 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal
+  FROM customer WHERE c_custkey % 100 = 3
+)
+SELECT c_custkey, change FROM (
+  SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+         CASE WHEN a.c_custkey IS NULL THEN 'added'
+              WHEN b.c_custkey IS NULL THEN 'removed'
+              WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal THEN 'changed'
+         END AS change
+  FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+)
+WHERE change IS NOT NULL
+ORDER BY c_custkey
+"""
+
+
 def summap_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CH sumMap analogue: per ship-year, merge each row's
     (flag-keys[], counts[]) arrays by key — quantity totals per
@@ -3986,6 +4044,8 @@ EXT_QUERIES: list[QueryDef] = [
              "edit-distance<=1 near-dup pairs (deletion-neighborhood blocking, complete for d=1)"),
     QueryDef("summap_rollup", summap_rollup_q, SUMMAP_ORACLE,
              "CH sumMap family: keyed merge of parallel arrays per group (one (group,key) shuffle)"),
+    QueryDef("store_snapshot_diff", store_snapshot_diff_q, SNAPSHOT_DIFF_ORACLE,
+             "snapshot changelog (Iceberg incremental-read analogue: file-delta only)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

@@ -322,6 +322,44 @@ def test_snapshot_time_travel(spark, sf_smoke):
         store.read_snapshot("s", "t", "m-nope.json")
 
 
+def test_snapshot_diff_changelog(spark, sf_smoke):
+    """snapshot_diff emits the row-level changelog between two
+    retained snapshots (added / removed / changed by key), reads only
+    the FILE delta (shared immutable files are skipped), and
+    compaction-style verbatim rewrites cancel out."""
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="manifest_diff_"), retention_sec=300
+    )
+    store.create_database("s")
+    df = spark.range(6).selectExpr("id as k", "id * 2 as v")
+    store.write("s", "t", df)
+    v1 = store.snapshots("s", "t")[-1]["name"]
+    # mutate: delete k=0, change k=1 (delete+append), add k=10
+    store.delete_where("s", "t", "k = 0")
+    store.delete_where("s", "t", "k = 1")
+    store.append(
+        "s", "t", spark.sql("SELECT 1 k, 999 v UNION ALL SELECT 10 k, 20 v")
+    )
+    v2 = store.snapshots("s", "t")[-1]["name"]
+    got = {
+        r["k"]: r["change"]
+        for r in store.snapshot_diff("s", "t", v1, v2, ["k"]).collect()
+    }
+    assert got == {0: "removed", 1: "changed", 10: "added"}
+    # identical snapshots diff to nothing
+    assert store.snapshot_diff("s", "t", v2, v2, ["k"]).count() == 0
+    # compaction rewrites every row into new files — but values are
+    # untouched, so the changelog vs the pre-compaction snapshot is
+    # still ONLY the real mutations
+    store.compact("s", "t")
+    v3 = store.snapshots("s", "t")[-1]["name"]
+    assert store.snapshot_diff("s", "t", v2, v3, ["k"]).count() == 0
+    assert {
+        r["k"]: r["change"]
+        for r in store.snapshot_diff("s", "t", v1, v3, ["k"]).collect()
+    } == got
+
+
 def test_partition_pruned_delete_is_metadata_only(spark, sf_smoke, monkeypatch):
     """DROP-PARTITION semantics: a delete whose predicate touches only
     partition columns is decided per file from the hive path (the
