@@ -863,6 +863,51 @@ FROM h GROUP BY 1, 2
 """
 
 
+def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: LSH-verified near-dup
+    positives + deterministic md5-draw negatives (existence-joined,
+    positive-excluded)."""
+    from ora_ch_spark.operators.mining import mine_contrastive_pairs
+
+    return mine_contrastive_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_NEARDUP_THRESHOLD,
+        k_neg=3,
+        n_planes=_NEARDUP_PLANES,
+        n_tables=_NEARDUP_TABLES,
+    ).orderBy("label", "id_a", "id_b")
+
+
+def _contrastive_oracle() -> str:
+    pos_sql = _embedding_neardup_oracle().strip()
+    return f"""
+WITH pos AS ({pos_sql}),
+q2 AS (SELECT vec_id FROM embeddings),
+draws AS (
+  SELECT vec_id AS id_a,
+         ('0x' || substr(md5('neg:' || cast(vec_id as varchar) || ':' ||
+          cast(i as varchar)), 1, 15))::BIGINT
+           % (SELECT max(vec_id) + 1 FROM q2) AS id_b
+  FROM q2, (SELECT unnest(range(1, 4)) AS i)
+),
+neg AS (
+  SELECT DISTINCT d.id_a, d.id_b
+  FROM draws d
+  JOIN q2 e ON e.vec_id = d.id_b
+  WHERE d.id_a != d.id_b
+    AND NOT EXISTS (
+      SELECT 1 FROM pos p
+      WHERE p.id_a = least(d.id_a, d.id_b)
+        AND p.id_b = greatest(d.id_a, d.id_b)
+    )
+)
+SELECT id_a, id_b, cast(1 as int) AS label FROM pos
+UNION ALL
+SELECT id_a, id_b, cast(0 as int) AS label FROM neg
+ORDER BY label, id_a, id_b
+"""
+
+
 def store_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog between two store snapshots: write customer, snapshot,
     apply delete / change / insert mutations, snapshot, diff. The
@@ -4046,6 +4091,8 @@ EXT_QUERIES: list[QueryDef] = [
              "CH sumMap family: keyed merge of parallel arrays per group (one (group,key) shuffle)"),
     QueryDef("store_snapshot_diff", store_snapshot_diff_q, SNAPSHOT_DIFF_ORACLE,
              "snapshot changelog (Iceberg incremental-read analogue: file-delta only)"),
+    QueryDef("contrastive_pairs", contrastive_pairs_q, _contrastive_oracle(),
+             "contrastive pair mining: LSH positives + deterministic md5-draw negatives"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

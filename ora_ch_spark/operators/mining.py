@@ -1,0 +1,91 @@
+"""Training-pair mining — turning a curated corpus into supervision
+for retriever / embedding training (the standard contrastive setup:
+anchor + positive + in-batch or mined negatives).
+
+Positives come from the LSH-blocked near-duplicate pass
+(``similarity.embedding_near_dup_pairs`` — banded buckets, candidates
+verified by exact quantized cosine, never all-pairs). Negatives are
+DETERMINISTIC pseudo-random draws: partner id = md5(anchor, draw) mod
+(max_id + 1), joined against the corpus for existence — no RNG state,
+so the mined dataset is reproducible run-to-run and replayable by the
+DuckDB oracle, and no global index structure (dense-rank windows or
+zipWithIndex) is needed at 100 TB: the draw is a projection and one
+equi-join on the drawn id. Draws that miss (sparse id space), hit the
+anchor itself, or collide with a true positive are dropped rather than
+re-drawn — per-anchor negative counts are "up to k", deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ora_ch_spark.functions.hashes import md5_long
+from ora_ch_spark.operators.similarity import embedding_near_dup_pairs
+
+
+def mine_contrastive_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, label) rows: label 1 = near-duplicate positive
+    (cosine ≥ threshold, id_a < id_b), label 0 = mined negative
+    (id_a = anchor, id_b = deterministic draw). Every corpus id is an
+    anchor for negatives — anchors without any positive still yield
+    training pairs."""
+    pos = embedding_near_dup_pairs(
+        emb,
+        id_col=id_col,
+        emb_col=emb_col,
+        threshold=threshold,
+        use_lsh_blocking=True,
+        n_planes=n_planes,
+        n_tables=n_tables,
+    ).select("id_a", "id_b").persist()
+    ids = emb.select(F.col(id_col).alias("id")).persist()
+    max_id = ids.agg(F.max("id")).first()[0]
+    if max_id is None:
+        raise ValueError("empty embedding frame")
+    span = int(max_id) + 1
+    draws = ids.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, k_neg + 1)])
+        ).alias("__i"),
+    ).select(
+        "id_a",
+        (
+            md5_long(
+                F.concat_ws(
+                    ":", F.lit("neg"), F.col("id_a").cast("string"),
+                    F.col("__i").cast("string"),
+                )
+            )
+            % span
+        ).alias("id_b"),
+    )
+    neg = (
+        draws.filter(F.col("id_a") != F.col("id_b"))
+        # existence: the drawn id must be a real corpus id
+        .join(ids.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+        # never contradict a true positive (either orientation)
+        .withColumn("__lo", F.least("id_a", "id_b"))
+        .withColumn("__hi", F.greatest("id_a", "id_b"))
+        .join(
+            pos.select(
+                F.col("id_a").alias("__lo"), F.col("id_b").alias("__hi")
+            ),
+            ["__lo", "__hi"],
+            "left_anti",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )

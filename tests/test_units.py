@@ -1160,6 +1160,28 @@ def test_pq_adc_recall_floor_vs_exact_l2(spark, sf_smoke):
     )
 
 
+def test_contrastive_pairs_invariants(spark, sf_smoke):
+    """Mined negatives: ≤ k per anchor, never equal to a positive
+    pair or a self-pair, all ids real, and the whole output is
+    reproducible (no RNG state)."""
+    from ora_ch_spark.operators.mining import mine_contrastive_pairs
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = mine_contrastive_pairs(emb, k_neg=3).collect()
+    pos = {(r["id_a"], r["id_b"]) for r in out if r["label"] == 1}
+    neg = [(r["id_a"], r["id_b"]) for r in out if r["label"] == 0]
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    from collections import Counter
+    per_anchor = Counter(a for a, _ in neg)
+    assert max(per_anchor.values()) <= 3
+    for a, b in neg:
+        assert a != b and b in ids
+        assert (min(a, b), max(a, b)) not in pos
+    # reproducible end-to-end
+    again = mine_contrastive_pairs(emb, k_neg=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_map_merge_agg_sum_min_max(spark):
     """CH sumMap/minMap/maxMap semantics: merge parallel arrays BY
     KEY across rows; ragged rows drop unpaired positions; keys come
