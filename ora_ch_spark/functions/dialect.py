@@ -1092,6 +1092,17 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             else f"least(count(DISTINCT {', '.join(a)}), 6)"  # CH default N=5
         ),
     )
+    # quantileExactWeighted(q)(x, w) → percentile's frequency arg —
+    # the same exact weighted-median math
+    out = _rewrite_param_calls(
+        out,
+        "quantileExactWeighted",
+        lambda ps, a: (
+            f"percentile({a[0]}, {ps[0] if ps else '0.5'}, {a[1]})"
+            if len(a) == 2
+            else f"percentile({a[0]}, {ps[0] if ps else '0.5'})"
+        ),
+    )
     out = _rewrite_param_calls(out, "quantilesExact", _qs_exact)
     out = _rewrite_param_calls(out, "quantileExact", _q_exact)
     # sketch-family aliases: same ROLE as quantile() — a different
@@ -1303,6 +1314,94 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             out, ch_fn, lambda a, f=spark_fn: f"{f}({', '.join(a)})"
         )
     out = _rewrite_calls(out, "roundBankers", lambda a: f"bround({', '.join(a)})")
+
+    # ---- round-5 batch #4: weighted aggregates, map functions,
+    # array utilities, float predicates (all CH-only names) ----
+    out = _rewrite_calls(
+        out,
+        "avgWeighted",
+        lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "countEqual",
+        lambda a: f"size(filter({a[0]}, __ce -> __ce = {a[1]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "countMatches",
+        lambda a: f"size(regexp_extract_all({a[0]}, {a[1]}, 0))",
+    )
+    out = _rewrite_calls(out, "mapKeys", lambda a: f"map_keys({a[0]})")
+    out = _rewrite_calls(out, "mapValues", lambda a: f"map_values({a[0]})")
+    out = _rewrite_calls(
+        out, "mapContains", lambda a: f"map_contains_key({a[0]}, {a[1]})"
+    )
+
+    def _array_intersect(a: list[str]) -> str:
+        # CH arrayIntersect is n-ary; Spark's is binary — fold left
+        acc = a[0]
+        for nxt in a[1:]:
+            acc = f"array_intersect({acc}, {nxt})"
+        return acc
+
+    out = _rewrite_calls(out, "arrayIntersect", _array_intersect)
+    out = _rewrite_calls(
+        out,
+        "arrayResize",
+        lambda a: (
+            # no-fill form pads NULL (CH pads the type default —
+            # same documented drift as the other default-vs-NULL
+            # corners; the translator cannot know element types)
+            f"(CASE WHEN ({a[1]}) <= size({a[0]}) "
+            f"THEN slice({a[0]}, 1, {a[1]}) "
+            f"ELSE concat({a[0]}, array_repeat("
+            + (a[2] if len(a) == 3 else "NULL")
+            + f", ({a[1]}) - size({a[0]}))) END)"
+            if len(a) in (2, 3)
+            else None
+        ),
+    )
+    # lambda-first like the arrayMap family; CH returns the element
+    # type's DEFAULT when nothing matches — NULL here (documented)
+    out = _rewrite_calls(
+        out,
+        "arrayFirst",
+        lambda a: (
+            f"try_element_at(filter({a[1]}, {a[0]}), 1)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayLast",
+        lambda a: (
+            f"try_element_at(filter({a[1]}, {a[0]}), -1)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "isFinite",
+        lambda a: (
+            f"(NOT isnan({a[0]}) AND abs({a[0]}) != cast({lit('Infinity')} as double))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "isInfinite",
+        lambda a: f"(abs({a[0]}) = cast({lit('Infinity')} as double))",
+    )
+    out = _rewrite_calls(
+        out,
+        "ifNotFinite",
+        lambda a: (
+            f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = "
+            f"cast({lit('Infinity')} as double) THEN {a[1]} ELSE {a[0]} END)"
+        ),
+    )
 
     # ---- URL functions (CH's parser names → Spark parse_url parts;
     # CH's domain() strips the port and protocol() returns lowercase

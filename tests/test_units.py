@@ -1842,6 +1842,48 @@ def test_dialect_batch3_arrays_strings_bits(spark):
     assert T(src) == src
 
 
+def test_dialect_batch4_weighted_maps_arrays(spark):
+    """Round-5 batch #4: avgWeighted/quantileExactWeighted, map
+    functions, n-ary arrayIntersect fold, arrayResize (NULL pad on
+    the no-fill form, documented), lambda-first arrayFirst/Last,
+    float finiteness predicates."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    cases = [
+        ("countEqual([1,2,1,3], 1)", 2),
+        ("countMatches('a1b22c', '\\\\d+')", 2),
+        ("mapKeys(map('a', 1))", ["a"]),
+        ("mapValues(map('a', 1))", [1]),
+        ("mapContains(map('a', 1), 'a')", True),
+        ("arrayIntersect([1,2,3], [2,3,4], [3])", [3]),
+        ("arrayResize([1,2,3], 2)", [1, 2]),
+        ("arrayResize([1,2], 4, 9)", [1, 2, 9, 9]),
+        ("arrayResize([1,2], 4)", [1, 2, None, None]),
+        ("arrayFirst(x -> x > 1, [1,2,3])", 2),
+        ("arrayFirst(x -> x > 9, [1,2,3])", None),  # CH default → NULL
+        ("arrayLast(x -> x > 1, [1,2,3])", 3),
+        ("isFinite(1.5)", True),
+        ("isFinite(toFloat64('Infinity'))", False),
+        ("isInfinite(toFloat64('-Infinity'))", True),
+        ("ifNotFinite(toFloat64('NaN'), 42.0)", 42.0),
+        ("ifNotFinite(2.0, 42.0)", 2.0),
+    ]
+    sql = T("SELECT " + ", ".join(
+        f"{s} AS c{i}" for i, (s, _) in enumerate(cases)))
+    assert T(sql) == sql
+    row = spark.sql(sql).collect()[0]
+    for i, (s, want) in enumerate(cases):
+        got = row[f"c{i}"]
+        got = list(got) if isinstance(got, list) else got
+        assert got == want, f"{s}: {got!r} != {want!r}"
+    agg = T("SELECT avgWeighted(x, w) AS aw,"
+            " quantileExactWeighted(0.5)(x, w) AS qw"
+            " FROM (SELECT 1 x, 1 w UNION ALL SELECT 10 x, 3 w)")
+    assert T(agg) == agg
+    r = spark.sql(agg).collect()[0]
+    assert (r["aw"], r["qw"]) == (7.75, 10.0)
+
+
 def test_dialect_url_and_interval_batch(spark):
     """URL parser family → parse_url parts, splitByRegexp arg swap,
     arrayDifference shift-zip, now64 → now, toStartOfInterval
