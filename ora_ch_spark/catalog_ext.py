@@ -1006,6 +1006,43 @@ FROM per GROUP BY y ORDER BY y
 """
 
 
+def streaming_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the events stream upserts into a store
+    table keyed by user_id (latest ts wins, max-struct tie-break) —
+    the final table is one row per user, replayed by the oracle as a
+    per-user rank-1 pick."""
+    import tempfile
+
+    from ora_ch_spark.store import TableStore
+    from ora_ch_spark.streaming.ingest import stream_upsert_files
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="orachspark_ups_"))
+    store.create_database("ch")
+    return stream_upsert_files(
+        spark,
+        f"{sf_dir}/events.parquet",
+        store,
+        "ch",
+        "user_latest",
+        tempfile.mkdtemp(prefix="ups_ckpt_"),
+        key_cols=["user_id"],
+        seq_col="ts",
+        query_name=f"ups_{uuid.uuid4().hex[:8]}",
+    ).orderBy("user_id")
+
+
+STREAMING_UPSERT_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC, event_type DESC, value DESC, props DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def dedup_editdistance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-class near-dup pairs over 24-char document prefixes:
     deletion-neighborhood blocking (complete for d = 1), exact
@@ -4093,6 +4130,8 @@ EXT_QUERIES: list[QueryDef] = [
              "snapshot changelog (Iceberg incremental-read analogue: file-delta only)"),
     QueryDef("contrastive_pairs", contrastive_pairs_q, _contrastive_oracle(),
              "contrastive pair mining: LSH positives + deterministic md5-draw negatives"),
+    QueryDef("streaming_upsert", streaming_upsert_q, STREAMING_UPSERT_ORACLE,
+             "streaming CDC upsert into the store (foreachBatch merge, epoch-guarded exactly-once)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

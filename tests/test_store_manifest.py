@@ -322,6 +322,52 @@ def test_snapshot_time_travel(spark, sf_smoke):
         store.read_snapshot("s", "t", "m-nope.json")
 
 
+def test_stream_upsert_merges_by_key(spark, sf_smoke):
+    """stream_upsert_files: first run lands the initial keys, a
+    second run with the same checkpoint applies ONLY the new file and
+    replaces matched keys (latest seq wins); a third run with no new
+    files is a no-op."""
+    import os
+
+    from ora_ch_spark.store import TableStore
+    from ora_ch_spark.streaming.ingest import stream_upsert_files
+
+    src = tempfile.mkdtemp(prefix="ups_src_")
+    ckpt = tempfile.mkdtemp(prefix="ups_ck_")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="ups_store_"))
+    store.create_database("s")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def land(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.int32()),
+                    "v": pa.array([r[1] for r in rows], pa.string()),
+                    "seq": pa.array([r[2] for r in rows], pa.int32()),
+                }
+            ),
+            os.path.join(src, name),
+        )
+
+    land("a.parquet", [(1, "old", 1), (2, "x", 1)])
+
+    def run(name):
+        return {
+            r["k"]: r["v"]
+            for r in stream_upsert_files(
+                spark, src, store, "s", "t", ckpt,
+                key_cols=["k"], seq_col="seq", query_name=name,
+            ).collect()
+        }
+
+    assert run("u1") == {1: "old", 2: "x"}
+    land("b.parquet", [(1, "new", 2), (3, "y", 1)])
+    assert run("u2") == {1: "new", 2: "x", 3: "y"}
+    assert run("u3") == {1: "new", 2: "x", 3: "y"}  # no-op replay
+
+
 def test_snapshot_diff_changelog(spark, sf_smoke):
     """snapshot_diff emits the row-level changelog between two
     retained snapshots (added / removed / changed by key), reads only
