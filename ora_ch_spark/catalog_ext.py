@@ -1278,6 +1278,69 @@ SELECT text_hash, cast(-(w.negid) as bigint) AS keep_id,
 """
 
 
+def dedup_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end near-dup workflow as one composite: MinHash-LSH
+    pairs → connected components (duplicate clusters) → quality-aware
+    canonical pick per cluster (argmax score, lowest-id tie). Returns
+    one row per multi-member cluster: (component, keep_id,
+    best_score, n_members). Every stage is individually gated
+    (dedup_minhash_lsh / dedup_components / dedup_keep_best); this
+    pins their composition."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs)
+    comps = D.connected_components_star(pairs)
+    q = TX.quality_score(docs).select("doc_id", "quality_score")
+    j = comps.join(q, "doc_id")
+    w = j.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("s"),
+                (-F.col("doc_id")).alias("negid"),
+            )
+        ).alias("__w"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return w.select(
+        "component",
+        (-F.col("__w.negid")).cast("bigint").alias("keep_id"),
+        F.col("__w.s").alias("best_score"),
+        "n_members",
+    ).orderBy("component")
+
+
+def _canonicalize_oracle() -> str:
+    stop_set = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    comp = _components_oracle().strip()
+    return f"""
+WITH comp AS ({comp}),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_set}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(tok)) AS sum_tok_len
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id,
+         0.4 * (cast(n_stop as double) / cast(n_tokens as double))
+       + 0.3 * least(cast(sum_tok_len as double) / cast(n_tokens as double) / 10.0, 1.0)
+       + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0) AS s
+  FROM documents d JOIN agg USING (doc_id)
+),
+w AS (
+  SELECT c.component, max({{'s': q.s, 'negid': -q.doc_id}}) AS w,
+         cast(count(*) as bigint) AS n_members
+  FROM comp c JOIN q ON c.doc_id = q.doc_id
+  GROUP BY 1
+)
+SELECT component, cast(-(w.negid) as bigint) AS keep_id,
+       w.s AS best_score, n_members
+FROM w ORDER BY component
+"""
+
+
 def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops-monitoring composite: hourly event counts per type,
     z-scored against the type's own hourly distribution (exact
@@ -4132,6 +4195,8 @@ EXT_QUERIES: list[QueryDef] = [
              "contrastive pair mining: LSH positives + deterministic md5-draw negatives"),
     QueryDef("streaming_upsert", streaming_upsert_q, STREAMING_UPSERT_ORACLE,
              "streaming CDC upsert into the store (foreachBatch merge, epoch-guarded exactly-once)"),
+    QueryDef("dedup_canonicalize", dedup_canonicalize_q, _canonicalize_oracle(),
+             "end-to-end dedup workflow: LSH pairs -> clusters -> quality-aware canonical pick"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's
