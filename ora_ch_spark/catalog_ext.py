@@ -4080,6 +4080,73 @@ ORDER BY q_id, rank
 """
 
 
+def sim_topk_ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × SQ8: coarse-routed scalar-quantized search — probed
+    lists only, candidates scored by the decoded-corpus asymmetric
+    distance."""
+    from ora_ch_spark.operators.pq import ivf_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_sq8_topk(emb, query_ids=emb.filter("vec_id < 10")).orderBy(
+        "q_id", "rank"
+    )
+
+
+def _ivf_sq8_oracle(topk: int = 5, n_lists: int = 16, n_probe: int = 2) -> str:
+    """IVFADC's coarse-routing replay + SQ8's stats/decode replay,
+    distance summed over candidate pairs only."""
+    return f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+g0 AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS gl, vec_id
+  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_lists})
+),
+ge AS (SELECT g0.gl, e.i, e.v FROM g0 JOIN e USING (vec_id)),
+gd AS (
+  SELECT e.vec_id, ge.gl, sum((e.v - ge.v) * (e.v - ge.v)) AS dist
+  FROM e JOIN ge ON e.i = ge.i GROUP BY 1, 2
+),
+glists AS (
+  SELECT vec_id AS n_id, gl AS list FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, gl) AS rn
+    FROM gd) WHERE rn = 1
+),
+gprobes AS (
+  SELECT vec_id AS q_id, gl AS list FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, gl) AS rn
+    FROM gd WHERE vec_id < 10) WHERE rn <= {n_probe}
+),
+gcands AS (
+  SELECT p.q_id, l.n_id FROM gprobes p JOIN glists l USING (list)
+  WHERE l.n_id != p.q_id
+),
+st AS (
+  SELECT i, min(v) AS mn, greatest(1, max(v) - min(v)) AS rng
+  FROM e GROUP BY 1
+),
+recon AS (
+  SELECT e.vec_id, e.i,
+         st.mn + ((((e.v - st.mn) * 255) // st.rng) * st.rng) // 255 AS rv
+  FROM e JOIN st USING (i)
+),
+qq AS (SELECT vec_id AS q_id, i, v FROM e WHERE vec_id < 10),
+dist AS (
+  SELECT c.q_id, c.n_id, sum((qq.v - r.rv) * (qq.v - r.rv)) AS sq_dist
+  FROM gcands c
+  JOIN qq ON qq.q_id = c.q_id
+  JOIN recon r ON r.vec_id = c.n_id AND r.i = qq.i
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id,
+       cast(row_number() OVER (PARTITION BY q_id
+                               ORDER BY sq_dist, n_id) as int) AS rank,
+       cast(sq_dist as bigint) AS sq_dist
+FROM dist QUALIFY rank <= {topk}
+ORDER BY q_id, rank
+"""
+
+
 # Ordering note: the driver's correctness gate checks the first 50
 # entries of catalog.all_queries(). Since round 5 the order is
 # COMPUTED from the committed CORRECTNESS_r*.json history (see
@@ -4197,6 +4264,8 @@ EXT_QUERIES: list[QueryDef] = [
              "streaming CDC upsert into the store (foreachBatch merge, epoch-guarded exactly-once)"),
     QueryDef("dedup_canonicalize", dedup_canonicalize_q, _canonicalize_oracle(),
              "end-to-end dedup workflow: LSH pairs -> clusters -> quality-aware canonical pick"),
+    QueryDef("sim_topk_ivf_sq8", sim_topk_ivf_sq8_q, _ivf_sq8_oracle(),
+             "IVF x SQ8: coarse-routed scalar-quantized search (probed lists only)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

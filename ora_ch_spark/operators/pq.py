@@ -180,6 +180,109 @@ def sq8_topk(
     )
 
 
+def ivf_sq8_topk(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    k: int = 5,
+    levels: int = 255,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF × SQ8 — coarse routing over the scalar-quantized code
+    table (the FAISS ``IVF…,SQ8`` index family): queries visit only
+    their ``n_probe`` nearest inverted lists, and candidates are
+    scored by the SQ8 asymmetric distance (full-precision query vs
+    per-dimension-decoded candidate). Completes the compression ×
+    routing matrix next to :func:`ivfadc_topk` (IVF × PQ):
+    SQ8 trades PQ's higher compression for training-free indexing
+    and finer distances, with the SAME partition-pruned list-probe
+    plan at scale. Coarse assignment replays
+    :func:`ivfadc_topk`'s argmin-sqdist trajectory, encoding
+    replays :func:`sq8_topk`'s — the oracle shares both.
+
+    Returns (q_id, n_id, rank, sq_dist bigint), ascending distance,
+    ties → lowest neighbor id."""
+    q = quantize(emb, emb_col, "qe").select(id_col, "qe").persist()
+    qids = (
+        F.broadcast(query_ids.select(F.col(id_col).alias("__qid")))
+        if query_ids is not None
+        else None
+    )
+    # ---- coarse quantizer (identical trajectory to ivfadc_topk) ----
+    coarse = seed_centroids(q, n_lists, id_col)
+    lists = _assign(q, coarse, id_col).select(
+        F.col(id_col).alias("n_id"), F.col("cluster").alias("list")
+    )
+    queries = q
+    if qids is not None:
+        queries = q.join(qids, F.col(id_col) == F.col("__qid")).drop("__qid")
+    qdist = (
+        queries.crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(qe, cq, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .select(F.col(id_col).alias("q_id"), F.col("cluster").alias("list"), "dist")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("list"))
+    probes = (
+        qdist.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= n_probe)
+        .select("q_id", "list")
+    )
+    # ---- SQ8 stats + decode (identical trajectory to sq8_topk) ----
+    stats = (
+        q.select(F.posexplode("qe").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mins = [int(r["mn"]) for r in stats]
+    rngs = [max(1, int(r["mx"]) - int(r["mn"])) for r in stats]
+    mins_sql = "array(" + ", ".join(f"{v}L" for v in mins) + ")"
+    rngs_sql = "array(" + ", ".join(f"{v}L" for v in rngs) + ")"
+    recon = q.withColumn(
+        "recon",
+        F.expr(
+            f"transform(qe, (x, i) -> "
+            f"element_at({mins_sql}, i + 1) + "
+            f"(((x - element_at({mins_sql}, i + 1)) * {levels}) "
+            f"div element_at({rngs_sql}, i + 1)) "
+            f"* element_at({rngs_sql}, i + 1) div {levels})"
+        ),
+    ).select(F.col(id_col).alias("n_id"), "recon")
+    # ---- candidates: probed lists only; score SQ8 distance ----
+    cands = (
+        probes.join(lists, "list")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+    )
+    qq = queries.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qq"))
+    scored = (
+        cands.join(recon, "n_id")
+        .join(F.broadcast(qq), "q_id")
+        .withColumn(
+            "sq_dist",
+            F.expr(
+                "aggregate(zip_with(qq, recon, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("sq_dist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "sq_dist")
+    )
+
+
 def ivfadc_topk(
     emb: DataFrame,
     query_ids: DataFrame | None = None,

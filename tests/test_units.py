@@ -1160,6 +1160,30 @@ def test_pq_adc_recall_floor_vs_exact_l2(spark, sf_smoke):
     )
 
 
+def test_ivf_sq8_distance_equality_and_recall(spark, sf_smoke):
+    """Routing must not change arithmetic: every pair IVF×SQ8 reports
+    carries EXACTLY the sq_dist the full SQ8 scan computes for it,
+    and the routed top-k keeps most of the unrouted top-k."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import ivf_sq8_topk, sq8_topk
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    routed = ivf_sq8_topk(emb, query_ids=qids).collect()
+    full = {
+        (r["q_id"], r["n_id"]): r["sq_dist"]
+        for r in sq8_topk(emb, query_ids=qids, k=10 ** 9).collect()
+    }
+    for r in routed:
+        assert full[(r["q_id"], r["n_id"])] == r["sq_dist"]
+    routed_pairs = {(r["q_id"], r["n_id"]) for r in routed}
+    full_top5 = {
+        (r["q_id"], r["n_id"])
+        for r in sq8_topk(emb, query_ids=qids, k=5).collect()
+    }
+    assert len(routed_pairs & full_top5) >= int(0.5 * len(full_top5))
+
+
 def test_contrastive_pairs_invariants(spark, sf_smoke):
     """Mined negatives: ≤ k per anchor, never equal to a positive
     pair or a self-pair, all ids real, and the whole output is
