@@ -1545,6 +1545,21 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_sample_clause(masked)
     # LIMIT n BY cols → row_number window wrapper
     masked = _rewrite_limit_by(masked)
+    # trailing CH output/settings clauses: `FORMAT <name>` picks a
+    # client wire format and `SETTINGS k = v, …` tunes the server —
+    # neither has meaning in Spark; stripped only at the very END of
+    # the statement (identifier-shaped operands), so column names
+    # like `format` survive
+    masked = re.sub(
+        r"(?is)\bformat\s+[A-Za-z][A-Za-z0-9]*\s*(;?\s*)$", r"\1", masked
+    )
+    # FORMAT stripped first — CH's clause order is SETTINGS … FORMAT …
+    masked = re.sub(
+        r"(?is)\bsettings\s+[A-Za-z_][A-Za-z0-9_]*\s*=\s*[^\s,;]+"
+        r"(\s*,\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*[^\s,;]+)*\s*(;?\s*)$",
+        r"\2",
+        masked,
+    )
     # GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ())
     masked = _rewrite_with_totals(masked)
     # ORDER BY c WITH FILL → sequence-spine full join

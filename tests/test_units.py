@@ -1996,6 +1996,29 @@ def test_dialect_with_fill(spark):
         assert T(src) == src
 
 
+def test_dialect_strips_format_and_settings():
+    """Trailing CH `FORMAT <name>` / `SETTINGS k=v, …` clauses are
+    stripped (no Spark meaning); `format` as an identifier or
+    function and mid-query text survive."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    cases = [
+        ("select x from t FORMAT JSONEachRow", "select x from t"),
+        ("select x from t format TabSeparated;", "select x from t ;"),
+        ("select x from t SETTINGS max_threads = 4", "select x from t"),
+        ("select x from t SETTINGS max_threads=4, join_use_nulls = 1"
+         " FORMAT CSV", "select x from t"),
+        ("select format('{}', x) from t", "select format('{}', x) from t"),
+        ("select format from t", "select format from t"),
+        ("select x from t where settings = 2",
+         "select x from t where settings = 2"),
+    ]
+    for src, want in cases:
+        got = T(src)
+        assert got.strip() == want.strip(), (src, got)
+        assert T(got) == got
+
+
 def test_dialect_with_totals(spark):
     """GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ()): per-group
     rows plus one grand-total row (NULL keys — CH uses type defaults,
