@@ -789,6 +789,52 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             else None
         ),
     )
+    # -If combinator completion: the conditional projection pattern
+    # extends to distinct counts, arg-extrema (max_by/min_by skip
+    # NULL ordering keys, exactly CH's rows-failing-cond behavior)
+    # and group arrays (collect_list skips NULLs)
+    out = _rewrite_calls(
+        out,
+        "uniqExactIf",
+        lambda a: (
+            f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "argMaxIf",
+        lambda a: (
+            f"max_by(CASE WHEN {a[2]} THEN {a[0]} END,"
+            f" CASE WHEN {a[2]} THEN {a[1]} END)"
+            if len(a) == 3
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "argMinIf",
+        lambda a: (
+            f"min_by(CASE WHEN {a[2]} THEN {a[0]} END,"
+            f" CASE WHEN {a[2]} THEN {a[1]} END)"
+            if len(a) == 3
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "groupArrayIf",
+        lambda a: (
+            f"collect_list(CASE WHEN {a[1]} THEN {a[0]} END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # bitwise aggregates (same math, snake_case names)
+    out = _rewrite_calls(out, "groupBitAnd", lambda a: f"bit_and({a[0]})")
+    out = _rewrite_calls(out, "groupBitOr", lambda a: f"bit_or({a[0]})")
+    out = _rewrite_calls(out, "groupBitXor", lambda a: f"bit_xor({a[0]})")
     out = _rewrite_calls(out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
     # NOTE: CH `uniq()` is approximate; Spark's approx_count_distinct
     # is the same ROLE but a different sketch — values drift, so the

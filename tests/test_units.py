@@ -1996,6 +1996,25 @@ def test_dialect_with_fill(spark):
         assert T(src) == src
 
 
+def test_dialect_if_combinator_completion(spark):
+    """uniqExactIf / argMaxIf / argMinIf / groupArrayIf via the
+    conditional-projection pattern (max_by and collect_list skip
+    NULLs, matching CH's rows-failing-cond behavior); groupBit*
+    aggregate renames."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    sql = T("SELECT uniqExactIf(x, x > 1) AS u, argMaxIf(x, y, x < 3) AS am,"
+            " argMinIf(x, y, x > 1) AS an, groupArrayIf(x, x != 2) AS g,"
+            " groupBitAnd(x) AS ba, groupBitOr(x) AS bo, groupBitXor(x) AS bx"
+            " FROM (SELECT 1 x, 30 y UNION ALL SELECT 2, 20"
+            " UNION ALL SELECT 3, 10)")
+    assert T(sql) == sql
+    r = spark.sql(sql).collect()[0]
+    assert r["u"] == 2 and r["am"] == 1 and r["an"] == 3
+    assert sorted(r["g"]) == [1, 3]
+    assert (r["ba"], r["bo"], r["bx"]) == (0, 3, 0)
+
+
 def test_dialect_strips_format_and_settings():
     """Trailing CH `FORMAT <name>` / `SETTINGS k=v, …` clauses are
     stripped (no Spark meaning); `format` as an identifier or
