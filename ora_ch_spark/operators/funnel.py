@@ -42,6 +42,7 @@ def window_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     step_conds: list[str] | None = None,
+    mode: str = "strict_increase",
 ) -> DataFrame:
     """Per-user funnel depth: ``(user, level)`` where level k means
     steps[0..k-1] occurred in strict time order, all within
@@ -51,7 +52,17 @@ def window_funnel(
 
     ``step_conds`` generalizes the steps to arbitrary SQL boolean
     expressions over the event row (CH windowFunnel's cond list);
-    without it each step matches ``type_col == steps[i]``."""
+    without it each step matches ``type_col == steps[i]``.
+
+    ``mode``: ``'strict_increase'`` (historical default here —
+    CH's ``strict_increase`` modifier: each step's timestamp must be
+    STRICTLY greater than the previous step's) or ``'default'``
+    (CH's unmodified windowFunnel: equal timestamps may chain).
+    CH's ``strict_dedup``/``strict_order`` modifiers (chain broken
+    by interleaved events) are not expressible in this
+    conditional-min shape and are not offered."""
+    if mode not in ("strict_increase", "default"):
+        raise ValueError("mode must be 'strict_increase' or 'default'")
     n_steps = len(step_conds) if step_conds is not None else len(steps)
     if n_steps < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -76,7 +87,12 @@ def window_funnel(
             .withColumn(
                 "__q",
                 F.when(
-                    (F.col("si") > prev) & (F.col("si") <= F.col("t1") + w_us),
+                    (
+                        (F.col("si") > prev)
+                        if mode == "strict_increase"
+                        else (F.col("si") >= prev)
+                    )
+                    & (F.col("si") <= F.col("t1") + w_us),
                     F.col("si"),
                 ),
             )

@@ -48,6 +48,30 @@ def test_funnel_levels_and_ordering(spark):
     assert counts == {3: 1, 2: 1, 1: 1}
 
 
+def test_funnel_mode_equal_timestamps(spark):
+    """CH's unmodified windowFunnel lets equal timestamps chain
+    (mode='default'); the historical strict_increase default demands
+    strictly greater — a same-instant view+click chains only under
+    'default'."""
+    ev = _ev(spark, [(1, 0, "view"), (1, 0, "click"), (2, 0, "view"),
+                     (2, 1, "click")])
+    strict = {
+        r["user_id"]: r["level"]
+        for r in window_funnel(ev, ["view", "click"], 3600).collect()
+    }
+    loose = {
+        r["user_id"]: r["level"]
+        for r in window_funnel(
+            ev, ["view", "click"], 3600, mode="default"
+        ).collect()
+    }
+    assert strict == {1: 1, 2: 2}
+    assert loose == {1: 2, 2: 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        window_funnel(ev, ["view", "click"], 3600, mode="bogus")
+
+
 def test_funnel_window_anchors_at_first_step1(spark):
     # first view at t=0; click lands at t=50 — outside a 30 s window
     # even though a SECOND view at t=40 would have caught it (the
