@@ -1278,6 +1278,30 @@ SELECT text_hash, cast(-(w.negid) as bigint) AS keep_id,
 """
 
 
+def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis over the events user key: the 20 heaviest
+    user_ids with row share and skew ratio vs the mean key weight."""
+    from ora_ch_spark.operators.profile import key_skew_report
+
+    return key_skew_report(
+        load_table(spark, sf_dir, "events"), "user_id", top=20
+    )
+
+
+KEY_SKEW_ORACLE = """
+WITH per AS (
+  SELECT user_id, cast(count(*) as bigint) AS cnt FROM events GROUP BY 1
+),
+st AS (SELECT sum(cnt) AS total, cast(count(*) as bigint) AS ndv FROM per)
+SELECT user_id, cnt,
+       cast(cnt as double) / total AS share,
+       cast(cnt * ndv as double) / total AS skew_ratio
+FROM per, st
+ORDER BY cnt DESC, user_id
+LIMIT 20
+"""
+
+
 def dedup_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end near-dup workflow as one composite: MinHash-LSH
     pairs → connected components (duplicate clusters) → quality-aware
@@ -4266,6 +4290,8 @@ EXT_QUERIES: list[QueryDef] = [
              "end-to-end dedup workflow: LSH pairs -> clusters -> quality-aware canonical pick"),
     QueryDef("sim_topk_ivf_sq8", sim_topk_ivf_sq8_q, _ivf_sq8_oracle(),
              "IVF x SQ8: coarse-routed scalar-quantized search (probed lists only)"),
+    QueryDef("key_skew_report", key_skew_report_q, KEY_SKEW_ORACLE,
+             "shuffle-skew diagnosis: heaviest keys, share, skew ratio vs mean key weight"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

@@ -129,3 +129,38 @@ def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({n_pairs}, {stack}) as (col_a, col_b, corr)"
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top: int = 20
+) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/agg key: the
+    ``top`` heaviest keys with their share of all rows and their
+    skew ratio (weight vs the mean per-distinct-key weight). A
+    skew_ratio ≫ 1 on the hottest key is the signal to salt
+    (``operators/skew.py`` / ``dedup._banded_self_pairs``) or rely
+    on AQE's skew-join split — this report is how you find out
+    BEFORE the 100 TB shuffle stalls on one reducer.
+
+    One partial-aggregable count pass (the same shuffle the real
+    query would do, on pre-aggregated rows), one scalar aggregate
+    over the per-key counts, and a top-k — all bounded by key
+    cardinality, not table size. Deterministic: ties break on the
+    key value; doubles are exact-int ratios (engine-identical).
+    Returns (key value under the original column name, cnt, share,
+    skew_ratio), heaviest first."""
+    per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__ndv")
+    )
+    ranked = (
+        per.orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(top)
+        .crossJoin(F.broadcast(stats))
+    )
+    return ranked.select(
+        key_col,
+        "cnt",
+        (F.col("cnt") / F.col("__total")).alias("share"),
+        (F.col("cnt") * F.col("__ndv") / F.col("__total")).alias("skew_ratio"),
+    ).orderBy(F.desc("cnt"), F.asc(key_col))
