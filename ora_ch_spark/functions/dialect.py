@@ -375,11 +375,21 @@ def _rewrite_limit_by(masked: str) -> str:
                     sel_start = i + 1
                     break
                 depth -= 1
-        # a set operation scopes the clause to its LAST branch
+        # a set operation scopes the clause to its LAST branch.
+        # `EXCEPT`/`INTERSECT` only count as set ops when a SELECT
+        # follows — `SELECT * EXCEPT(col)` is the column-exclusion
+        # modifier (ours or CH's), not a boundary
         for um in _UNION_SEP.finditer(masked, sel_start, m.start()):
             seg = masked[sel_start:um.start()]
-            if seg.count("(") == seg.count(")"):
-                sel_start = um.end()
+            if seg.count("(") != seg.count(")"):
+                continue
+            if not um.group(0).lower().startswith("union"):
+                after = masked[um.end():m.start()].lstrip()
+                if after.startswith("("):
+                    after = after[1:].lstrip()
+                if not re.match(r"(?i)(select|with)\b", after):
+                    continue
+            sel_start = um.end()
         cols_end, kw = _clause_span(masked, m.end())
         cols = masked[m.end():cols_end].strip()
         trailing = ""
@@ -447,10 +457,32 @@ def _rewrite_with_totals(masked: str) -> str:
         if gb is None:
             return masked  # WITH TOTALS without a GROUP BY: untouched
         cols = masked[gb.end():m.start()].strip()
+        rest = masked[m.end():]
+        # CH never drops the totals row via HAVING (totals_mode
+        # semantics); the GROUPING SETS total would be filtered like
+        # any row — exempt it: grouping(col) = 1 only on the totals row
+        hm = re.match(r"(?is)^\s*having\b", rest)
+        if hm:
+            h_end, _ = _clause_span(rest, hm.end())
+            cond = rest[hm.end():h_end].strip()
+            depth = 0
+            first_col = cols
+            for ci, ch in enumerate(cols):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    first_col = cols[:ci].strip()
+                    break
+            rest = (
+                f" HAVING (({cond}) OR grouping({first_col}) = 1)"
+                + rest[h_end:]
+            )
         masked = (
             masked[: gb.start()]
             + f"GROUP BY GROUPING SETS (({cols}), ())"
-            + masked[m.end():]
+            + rest
         )
 
 
@@ -507,9 +539,15 @@ def _rewrite_with_fill(masked: str) -> str:
             t_i = int(to)
             stop_expr = f"(({t_i} - 1 - ({f_expr})) div {s}) * {s} + ({f_expr})"
     body = masked[: m.start()].strip()
+    # inverted bounds (e.g. `TO 5` when min(col)=10) fill NOTHING in
+    # CH; an unguarded sequence(10, 4) would throw at runtime
+    spine = (
+        f"CASE WHEN ({f_expr}) <= ({stop_expr}) "
+        f"THEN sequence({f_expr}, {stop_expr}, {s}) ELSE array() END"
+    )
     return (
         f"WITH __wf_src AS ({body}) "
-        f"SELECT * FROM (SELECT explode(sequence({f_expr}, {stop_expr}, {s})) "
+        f"SELECT * FROM (SELECT explode({spine}) "
         f"AS {col}) __wf_spine "
         f"FULL OUTER JOIN __wf_src USING ({col}) ORDER BY {col}"
         + (f" {tail}" if tail else "")
@@ -1597,7 +1635,12 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # the statement (identifier-shaped operands), so column names
     # like `format` survive
     masked = re.sub(
-        r"(?is)\bformat\s+[A-Za-z][A-Za-z0-9]*\s*(;?\s*)$", r"\1", masked
+        r"(?is)\bformat\s+"
+        r"(?!(?:asc|desc|nulls|first|last|by|from|where|and|or|not|in|is"
+        r"|null|as|on|limit|offset|end|then|else|when)\b)"
+        r"[A-Za-z][A-Za-z0-9]*\s*(;?\s*)$",
+        r"\1",
+        masked,
     )
     # FORMAT stripped first — CH's clause order is SETTINGS … FORMAT …
     masked = re.sub(

@@ -33,10 +33,11 @@ def map_merge_agg(
 ) -> DataFrame:
     """CH ``sumMap(keys, vals)`` (``merge='sum'``; ``'min'``/``'max'``
     give minMap/maxMap): per group, positionally zip each row's
-    arrays, then merge values BY KEY across rows. Rows where the
-    arrays differ in length follow zip semantics (missing positions
-    are NULL and are ignored by the merge aggregate, matching CH's
-    dropped-position behavior for ragged input).
+    arrays, then merge values BY KEY across rows. Ragged rows (arrays
+    of different lengths — an ERROR in CH) drop the unpaired
+    positions entirely: a key with no value contributes nothing (it
+    does NOT surface as a NULL-valued key), and an explicit NULL
+    value behaves the same.
 
     Returns group_cols + ``keys`` (sorted ascending) + ``vals``
     (aligned with keys)."""
@@ -50,7 +51,7 @@ def map_merge_agg(
         *group_cols,
         F.col(f"__kv.{keys_col}").alias("__k"),
         F.col(f"__kv.{vals_col}").alias("__v"),
-    ).filter(F.col("__k").isNotNull())
+    ).filter(F.col("__k").isNotNull() & F.col("__v").isNotNull())
     per_key = pairs.groupBy(*group_cols, "__k").agg(fn("__v").alias("__m"))
     rolled = per_key.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list(F.struct("__k", "__m"))).alias("__kv")

@@ -98,6 +98,41 @@ def pq_topk(
     )
 
 
+_SQDIST = (
+    "aggregate(zip_with(qq, recon, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (acc, v) -> acc + v)"
+)
+
+
+def _sq8_recon(q: DataFrame, levels: int, id_col: str) -> DataFrame:
+    """Shared SQ8 stats + encode + decode: per-dimension [min, max]
+    over the quantized corpus ``q`` (one partial-aggregable pass, a
+    dims-sized collect), then the code/reconstruction projection —
+    the single definition both :func:`sq8_topk` and
+    :func:`ivf_sq8_topk` score against."""
+    stats = (
+        q.select(F.posexplode("qe").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mins = [int(r["mn"]) for r in stats]
+    rngs = [max(1, int(r["mx"]) - int(r["mn"])) for r in stats]
+    mins_sql = "array(" + ", ".join(f"{v}L" for v in mins) + ")"
+    rngs_sql = "array(" + ", ".join(f"{v}L" for v in rngs) + ")"
+    return q.withColumn(
+        "recon",
+        F.expr(
+            f"transform(qe, (x, i) -> "
+            f"element_at({mins_sql}, i + 1) + "
+            f"(((x - element_at({mins_sql}, i + 1)) * {levels}) "
+            f"div element_at({rngs_sql}, i + 1)) "
+            f"* element_at({rngs_sql}, i + 1) div {levels})"
+        ),
+    ).select(F.col(id_col).alias("n_id"), "recon")
+
+
 def sq8_topk(
     emb: DataFrame,
     query_ids: DataFrame | None = None,
@@ -132,30 +167,9 @@ def sq8_topk(
     reduced to |Q|·N pairs → |Q|·k. Returns (q_id, n_id, rank,
     sq_dist bigint), ascending distance, ties → lowest n_id."""
     q = quantize(emb, emb_col, "qe").select(id_col, "qe").persist()
-    # per-dimension min / range — 1 row per dim, metadata-sized
-    stats = (
-        q.select(F.posexplode("qe").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .orderBy("i")
-        .collect()
-    )
-    mins = [int(r["mn"]) for r in stats]
-    rngs = [max(1, int(r["mx"]) - int(r["mn"])) for r in stats]
-    mins_sql = "array(" + ", ".join(f"{v}L" for v in mins) + ")"
-    rngs_sql = "array(" + ", ".join(f"{v}L" for v in rngs) + ")"
-    # encode then decode in one projection — at rest only the int8
-    # codes would be stored; recon is recomputed at scan time
-    recon = q.withColumn(
-        "recon",
-        F.expr(
-            f"transform(qe, (x, i) -> "
-            f"element_at({mins_sql}, i + 1) + "
-            f"(((x - element_at({mins_sql}, i + 1)) * {levels}) "
-            f"div element_at({rngs_sql}, i + 1)) "
-            f"* element_at({rngs_sql}, i + 1) div {levels})"
-        ),
-    ).select(F.col(id_col).alias("n_id"), "recon")
+    # at rest only the int8 codes would be stored; recon is
+    # recomputed at scan time
+    recon = _sq8_recon(q, levels, id_col)
     queries = q
     if query_ids is not None:
         qids = F.broadcast(query_ids.select(F.col(id_col).alias("__qid")))
@@ -164,13 +178,7 @@ def sq8_topk(
     scored = (
         recon.crossJoin(F.broadcast(queries))
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "sq_dist",
-            F.expr(
-                "aggregate(zip_with(qq, recon, (x, y) -> (x - y) * (x - y)),"
-                " 0L, (acc, v) -> acc + v)"
-            ),
-        )
+        .withColumn("sq_dist", F.expr(_SQDIST))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("sq_dist"), F.asc("n_id"))
     return (
@@ -235,28 +243,8 @@ def ivf_sq8_topk(
         .filter(F.col("r") <= n_probe)
         .select("q_id", "list")
     )
-    # ---- SQ8 stats + decode (identical trajectory to sq8_topk) ----
-    stats = (
-        q.select(F.posexplode("qe").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .orderBy("i")
-        .collect()
-    )
-    mins = [int(r["mn"]) for r in stats]
-    rngs = [max(1, int(r["mx"]) - int(r["mn"])) for r in stats]
-    mins_sql = "array(" + ", ".join(f"{v}L" for v in mins) + ")"
-    rngs_sql = "array(" + ", ".join(f"{v}L" for v in rngs) + ")"
-    recon = q.withColumn(
-        "recon",
-        F.expr(
-            f"transform(qe, (x, i) -> "
-            f"element_at({mins_sql}, i + 1) + "
-            f"(((x - element_at({mins_sql}, i + 1)) * {levels}) "
-            f"div element_at({rngs_sql}, i + 1)) "
-            f"* element_at({rngs_sql}, i + 1) div {levels})"
-        ),
-    ).select(F.col(id_col).alias("n_id"), "recon")
+    # ---- SQ8 stats + decode (the SAME projection sq8_topk scores) --
+    recon = _sq8_recon(q, levels, id_col)
     # ---- candidates: probed lists only; score SQ8 distance ----
     cands = (
         probes.join(lists, "list")
@@ -267,13 +255,7 @@ def ivf_sq8_topk(
     scored = (
         cands.join(recon, "n_id")
         .join(F.broadcast(qq), "q_id")
-        .withColumn(
-            "sq_dist",
-            F.expr(
-                "aggregate(zip_with(qq, recon, (x, y) -> (x - y) * (x - y)),"
-                " 0L, (acc, v) -> acc + v)"
-            ),
-        )
+        .withColumn("sq_dist", F.expr(_SQDIST))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("sq_dist"), F.asc("n_id"))
     return (

@@ -77,10 +77,10 @@ def stream_upsert_files(
     query_name: str = "stream_upsert",
 ) -> DataFrame:
     """Streaming keyed UPSERT (CDC apply): each micro-batch MERGES
-    into ``schema.table`` by ``key_cols`` — existing rows with
-    batch keys are replaced, new keys append. Within a batch,
-    duplicates of a key resolve deterministically to the row with
-    the greatest ``seq_col`` (ties: the greatest full row — a stable
+    into ``schema.table`` by ``key_cols`` — the row with the
+    greatest ``seq_col`` wins ACROSS batches (the stored row joins
+    the comparison, so a late-arriving older seq never clobbers a
+    newer stored row; ties: the greatest full row — a stable
     max-struct, no RNG). Idempotence: the same epoch guard as
     :func:`stream_ingest_files` — a replayed epoch is skipped before
     any mutation, so delete+append never double-applies. This is the
@@ -88,20 +88,11 @@ def stream_upsert_files(
     delete rewrites ONLY files holding matched keys (broadcast
     probe), so a small CDC batch against a 100 TB table touches
     O(affected files)."""
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    if os.path.isfile(source_dir):
-        # the file stream source requires a directory (same symlink
-        # shim as streaming/sketch.py)
-        d = tempfile.mkdtemp(prefix="stream_ups_src_")
-        os.symlink(
-            os.path.abspath(source_dir),
-            os.path.join(d, os.path.basename(source_dir)),
-        )
-        source_dir = d
+    from ora_ch_spark.streaming.util import as_stream_dir
+
+    source_dir = as_stream_dir(source_dir, "stream_ups_src_")
     static = spark.read.parquet(source_dir)
     stream = spark.readStream.schema(static.schema).parquet(source_dir)
     state = SyncState(store.root)
@@ -112,15 +103,30 @@ def stream_upsert_files(
             return
         other = [c for c in batch_df.columns if c not in key_cols]
         ordered = [seq_col] + [c for c in other if c != seq_col]
-        latest = (
-            batch_df.groupBy(*key_cols)
-            .agg(F.max(F.struct(*ordered)).alias("__w"))
-            .select(*key_cols, *[F.col(f"__w.{c}").alias(c) for c in ordered])
-            .select(*batch_df.columns)
-        )
+
+        def pick_latest(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy(*key_cols)
+                .agg(F.max(F.struct(*ordered)).alias("__w"))
+                .select(
+                    *key_cols, *[F.col(f"__w.{c}").alias(c) for c in ordered]
+                )
+                .select(*batch_df.columns)
+            )
+
+        latest = pick_latest(batch_df)
         if store.table_exists(schema, table):
-            store.delete_by_keys(schema, table, latest, key_cols)
-            store.append(schema, table, latest)
+            # the seq comparison must span BATCHES, not just rows
+            # within one batch — a late-arriving older seq for an
+            # already-stored key must lose. Pull the stored rows for
+            # the touched keys (broadcast semi — O(batch)) into the
+            # same max-struct pick.
+            existing = store.read(schema, table).join(
+                F.broadcast(latest.select(*key_cols)), key_cols, "left_semi"
+            ).select(*batch_df.columns)
+            winners = pick_latest(latest.unionByName(existing))
+            store.delete_by_keys(schema, table, winners, key_cols)
+            store.append(schema, table, winners)
         else:
             store.write(schema, table, latest)
         state.set_watermark(schema, table, EPOCH_COL, epoch_id)

@@ -14,13 +14,11 @@ historical sketches if older epochs live in the store.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ora_ch_spark.operators.sketches import cms_build, hll_registers
+from ora_ch_spark.streaming.util import as_stream_dir
 
 
 def streaming_hll_registers(
@@ -35,14 +33,7 @@ def streaming_hll_registers(
     materialized register table (grp, bucket, M). ``key_expr`` /
     ``group_expr`` are SQL expressions over the source rows."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if os.path.isfile(source_dir):
-        # the file stream source requires a directory (same symlink
-        # shim as streaming/watermark.py)
-        d = tempfile.mkdtemp(prefix="stream_hll_src_")
-        os.symlink(
-            os.path.abspath(source_dir), os.path.join(d, os.path.basename(source_dir))
-        )
-        source_dir = d
+    source_dir = as_stream_dir(source_dir, "stream_hll_src_")
     static = spark.read.parquet(source_dir)
     stream = (
         spark.readStream.schema(static.schema)
@@ -79,12 +70,7 @@ def streaming_cms_counters(
     oracle). Heavy-hitter queries probe the emitted table with
     ``cms_estimate`` without touching the stream."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if os.path.isfile(source_dir):
-        d = tempfile.mkdtemp(prefix="stream_cms_src_")
-        os.symlink(
-            os.path.abspath(source_dir), os.path.join(d, os.path.basename(source_dir))
-        )
-        source_dir = d
+    source_dir = as_stream_dir(source_dir, "stream_cms_src_")
     static = spark.read.parquet(source_dir)
     stream = (
         spark.readStream.schema(static.schema)

@@ -366,6 +366,10 @@ def test_stream_upsert_merges_by_key(spark, sf_smoke):
     land("b.parquet", [(1, "new", 2), (3, "y", 1)])
     assert run("u2") == {1: "new", 2: "x", 3: "y"}
     assert run("u3") == {1: "new", 2: "x", 3: "y"}  # no-op replay
+    # a LATE batch carrying an OLDER seq for key 1 must lose to the
+    # stored seq=2 row (cross-batch comparison, not just in-batch)
+    land("c.parquet", [(1, "stale", 1), (4, "z", 1)])
+    assert run("u4") == {1: "new", 2: "x", 3: "y", 4: "z"}
 
 
 def test_snapshot_diff_changelog(spark, sf_smoke):

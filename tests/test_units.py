@@ -1236,6 +1236,13 @@ def test_map_merge_agg_sum_min_max(spark):
         for r in map_merge_agg(df, "ks", "vs", ["g"], merge="max").collect()
     }
     assert mx[1] == [10, 2, 5]
+    # ragged the OTHER way: a key with no paired value contributes
+    # nothing — no phantom NULL-valued key in the output
+    df2 = spark.createDataFrame(
+        [(1, ["a", "b"], [10])], "g int, ks array<string>, vs array<bigint>"
+    )
+    out2 = map_merge_agg(df2, "ks", "vs", ["g"]).collect()[0]
+    assert (list(out2["keys"]), list(out2["vals"])) == (["a"], [10])
 
 
 def test_editdistance_pairs_complete_for_d1(spark):
@@ -1994,6 +2001,40 @@ def test_dialect_with_fill(spark):
                 "SELECT k, v FROM wf_t ORDER BY k WITH FILL, v",
                 "SELECT k FROM wf_t ORDER BY k WITH FILL FROM 5 TO 5"):
         assert T(src) == src
+
+
+def test_dialect_review_fixes_round5_session3(spark):
+    """Third-session review regressions: (1) `* EXCEPT(col)` is not a
+    set-op boundary for LIMIT BY; (2) WITH TOTALS exempts the totals
+    row from HAVING (CH never drops it); (3) WITH FILL with an
+    inverted single bound fills nothing instead of crashing; (4) the
+    FORMAT strip leaves `ORDER BY format DESC` alone."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    # (1) EXCEPT(col) column-exclusion survives inside a LIMIT BY query
+    spark.sql("SELECT * FROM (VALUES ('a', 1, 9), ('a', 2, 9), ('b', 3, 9))"
+              " t(g, v, junk)").createOrReplaceTempView("rf_t")
+    s = T("SELECT * EXCEPT(junk) FROM rf_t ORDER BY v DESC LIMIT 1 BY g")
+    assert [tuple(r) for r in spark.sql(s).collect()] == [
+        ('a', 2), ('b', 3)] or [tuple(r) for r in spark.sql(s).collect()] == [
+        ('b', 3), ('a', 2)]
+    # a REAL set op before LIMIT BY still scopes to the last branch
+    u = T("SELECT g, v FROM rf_t EXCEPT (SELECT g, v FROM rf_t WHERE v = 9)"
+          " ORDER BY v LIMIT 1 BY g")
+    assert u.startswith("SELECT g, v FROM rf_t EXCEPT ")
+    # (2) HAVING keeps the totals row
+    s2 = T("SELECT g, sum(v) AS s FROM rf_t GROUP BY g WITH TOTALS"
+           " HAVING sum(v) < 4 ORDER BY g")
+    rows = [tuple(r) for r in spark.sql(s2).collect()]
+    assert rows == [(None, 6), ('a', 3), ('b', 3)]
+    # (3) inverted single-bound fill grids are empty, not a crash
+    s3 = T("SELECT v FROM rf_t WHERE v >= 2 ORDER BY v WITH FILL TO 1")
+    assert [r["v"] for r in spark.sql(s3).collect()] == [2, 3]
+    s4 = T("SELECT v FROM rf_t WHERE v <= 2 ORDER BY v WITH FILL FROM 100")
+    assert [r["v"] for r in spark.sql(s4).collect()] == [1, 2]
+    # (4) a trailing sort direction after a column named format survives
+    src = "SELECT v FROM rf_t ORDER BY format DESC"
+    assert T(src) == src
 
 
 def test_dialect_if_combinator_completion(spark):
