@@ -228,6 +228,26 @@ def test_scd2_single_join_and_history_passthrough(spark, sf_correct):
     assert not live_joins
 
 
+def test_editdistance_and_contrastive_no_cartesian(spark, sf_correct):
+    """editdistance_pairs joins on the deletion-neighborhood key and
+    mine_contrastive_pairs on bucket/id keys — equi-joins throughout,
+    never an all-pairs product."""
+    from pyspark.sql import functions as SF
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.dedup import editdistance_pairs
+    from ora_ch_spark.operators.mining import mine_contrastive_pairs
+
+    docs = load_table(spark, sf_correct, "documents").withColumn(
+        "title", SF.expr("substring(text, 1, 24)")
+    )
+    p = _plan(editdistance_pairs(docs, "doc_id", "title"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    emb = load_table(spark, sf_correct, "embeddings")
+    p2 = _plan(mine_contrastive_pairs(emb, k_neg=2))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+
+
 def test_sq8_broadcast_scan_shape(spark, sf_correct):
     """sq8_topk is ONE corpus scan against broadcast queries: the
     query side must broadcast (never a CartesianProduct against a
