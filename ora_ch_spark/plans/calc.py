@@ -113,34 +113,69 @@ class CalcEngine:
         return self.store.row_count(meta.ora_schema, meta.ora_table)
 
     # ---- full lifecycle for a query set (C5 scheduling) -----------
-    def run(self, queries: list[CalcQuery], key_columns: list[str] | None = None) -> dict[int, int]:
+    def run(
+        self,
+        queries: list[CalcQuery],
+        key_columns: list[str] | None = None,
+        interleave: bool = False,
+    ) -> dict[int, int]:
         """Queries sorted by ``order_by`` run sequentially; per query
         the local-cache copy and export run as two concurrent futures
-        (reference fork/join ``calc/CalcLogic.scala:109-122,132``)."""
+        (reference fork/join ``calc/CalcLogic.scala:109-122,132``).
+
+        ``interleave=True`` schedules via the C6 pairwise divider
+        (``plans/interleave.py`` ≙ ``calc/QueryParDivider.scala`` —
+        dead code in the reference, an opt-in strategy here): batches
+        of two queries with DIFFERENT query_ids run concurrently,
+        the tail of the last remaining id drains sequentially."""
         copied: dict[int, int] = {}
-        for q in sorted(queries, key=lambda x: x.order_by):
-            run = self.runlog.begin_query(q.query_id, par_degree=q.copy_by_parts_cnt)
-            try:
-                meta = self.catalog.get(q.query_id)
-                if meta is None:
-                    raise KeyError(
-                        f"unknown query_id {q.query_id} (not in the query catalog — "
-                        f"reference: ora_to_ch_query has no such row)"
-                    )
-                self.materialize(meta, q)
-                self.runlog.query_stage(run, "copying")
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    futs = [pool.submit(self.export, meta, q)]
-                    if q.copy_to_local_cache:
-                        futs.append(
-                            pool.submit(self.promote_local_cache, meta, key_columns)
-                        )
-                    copied[q.query_id] = futs[0].result()
-                    for f in futs[1:]:
-                        f.result()
-                run.copied_rows = copied[q.query_id]
-                self.runlog.query_stage(run, "finished")
-            except Exception as e:  # error capture parity (P6)
-                self.runlog.query_error(run, repr(e))
-                raise
+        ordered = sorted(queries, key=lambda x: x.order_by)
+        if interleave:
+            from ora_ch_spark.plans.interleave import pairwise_batches
+
+            for batch in pairwise_batches(ordered):
+                if len(batch) == 1:
+                    self._run_one(batch[0], key_columns, copied)
+                else:
+                    with ThreadPoolExecutor(max_workers=len(batch)) as pool:
+                        futs = [
+                            pool.submit(self._run_one, q, key_columns, copied)
+                            for q in batch
+                        ]
+                        for f in futs:
+                            f.result()
+            return copied
+        for q in ordered:
+            self._run_one(q, key_columns, copied)
         return copied
+
+    def _run_one(
+        self,
+        q: CalcQuery,
+        key_columns: list[str] | None,
+        copied: dict[int, int],
+    ) -> None:
+        run = self.runlog.begin_query(q.query_id, par_degree=q.copy_by_parts_cnt)
+        try:
+            meta = self.catalog.get(q.query_id)
+            if meta is None:
+                raise KeyError(
+                    f"unknown query_id {q.query_id} (not in the query catalog — "
+                    f"reference: ora_to_ch_query has no such row)"
+                )
+            self.materialize(meta, q)
+            self.runlog.query_stage(run, "copying")
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(self.export, meta, q)]
+                if q.copy_to_local_cache:
+                    futs.append(
+                        pool.submit(self.promote_local_cache, meta, key_columns)
+                    )
+                copied[q.query_id] = futs[0].result()
+                for f in futs[1:]:
+                    f.result()
+            run.copied_rows = copied[q.query_id]
+            self.runlog.query_stage(run, "finished")
+        except Exception as e:  # error capture parity (P6)
+            self.runlog.query_error(run, repr(e))
+            raise
