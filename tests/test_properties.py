@@ -52,9 +52,14 @@ def test_dialect_idempotent_on_arbitrary_text_without_ch_calls(sql):
         r"(?i)(toYear|toYYYYMMDD|parseDateTime|today|toString|toFixedString|"
         r"toInt|toUInt|toFloat|toDecimal|toDate|cityHash64|intDiv)\s*\(",
         sql,
-    ) or re.search(r"(?i)\b(final|prewhere|global|any|all)\b", sql):
+    ) or re.search(
+        r"(?i)\b(final|prewhere|global|any|all|format|settings|totals"
+        r"|fill|yesterday|limit)\b",
+        sql,
+    ):
         # statement-level CH keywords are rewritten too — exclude them
-        # from the identity property
+        # from the identity property (r5 session 3 added FORMAT/
+        # SETTINGS tail strips, WITH TOTALS/FILL, yesterday())
         return
     if "[" in sql or "]" in sql or re.search(r"(?i)\bsample\s", sql):
         # r5: array-literal brackets and the SAMPLE clause are CH
