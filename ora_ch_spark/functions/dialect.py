@@ -383,13 +383,19 @@ def _rewrite_limit_by(masked: str) -> str:
             seg = masked[sel_start:um.start()]
             if seg.count("(") != seg.count(")"):
                 continue
+            boundary_end = um.end()
             if not um.group(0).lower().startswith("union"):
-                after = masked[um.end():m.start()].lstrip()
-                if after.startswith("("):
+                am = re.match(
+                    r"(?is)\s*(all|distinct)\b", masked[um.end():m.start()]
+                )
+                if am:  # EXCEPT ALL / INTERSECT DISTINCT forms
+                    boundary_end = um.end() + am.end()
+                after = masked[boundary_end:m.start()].lstrip()
+                while after.startswith("("):  # nested branch parens
                     after = after[1:].lstrip()
                 if not re.match(r"(?i)(select|with)\b", after):
                     continue
-            sel_start = um.end()
+            sel_start = boundary_end
         cols_end, kw = _clause_span(masked, m.end())
         cols = masked[m.end():cols_end].strip()
         trailing = ""
@@ -528,7 +534,11 @@ def _rewrite_with_fill(masked: str) -> str:
     if frm is not None and to is not None:
         f_i, t_i = int(frm), int(to)
         if t_i <= f_i:
-            return masked  # empty CH fill grid: nothing to add
+            # inverted bounds: CH runs the query with an EMPTY fill
+            # grid — translate to the plain ordered query (leaving
+            # WITH FILL in place would be unparseable Spark)
+            body = masked[: m.start()].strip()
+            return f"{body} ORDER BY {col}" + (f" {tail}" if tail else "")
         f_expr = str(f_i)
         stop_expr = str(f_i + ((t_i - f_i - 1) // s) * s)
     else:
@@ -1635,9 +1645,11 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # the statement (identifier-shaped operands), so column names
     # like `format` survive
     masked = re.sub(
+        # NOTE: 'null' must stay OUT of this denylist — `FORMAT Null`
+        # is a real CH wire format (discard output)
         r"(?is)\bformat\s+"
         r"(?!(?:asc|desc|nulls|first|last|by|from|where|and|or|not|in|is"
-        r"|null|as|on|limit|offset|end|then|else|when)\b)"
+        r"|as|on|limit|offset|end|then|else|when)\b)"
         r"[A-Za-z][A-Za-z0-9]*\s*(;?\s*)$",
         r"\1",
         masked,

@@ -124,9 +124,14 @@ def stream_upsert_files(
             existing = store.read(schema, table).join(
                 F.broadcast(latest.select(*key_cols)), key_cols, "left_semi"
             ).select(*batch_df.columns)
-            winners = pick_latest(latest.unionByName(existing))
+            # materialize winners ONCE, before any mutation: the
+            # delete probe, the file rewrite, and the append would
+            # otherwise each re-run the stored-table scan + merge
+            winners = pick_latest(latest.unionByName(existing)).persist()
+            winners.count()
             store.delete_by_keys(schema, table, winners, key_cols)
             store.append(schema, table, winners)
+            winners.unpersist()
         else:
             store.write(schema, table, latest)
         state.set_watermark(schema, table, EPOCH_COL, epoch_id)

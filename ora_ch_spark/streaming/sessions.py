@@ -17,12 +17,11 @@ streaming form.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
 
+from ora_ch_spark.streaming.util import as_stream_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -98,12 +97,7 @@ def streaming_stateful_dedup(
     to completion and returns the materialized output."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if os.path.isfile(events_path):
-        d = tempfile.mkdtemp(prefix="stream_dedup_src_")
-        src = os.path.abspath(events_path)  # relative targets would
-        # resolve against the tmpdir and dangle
-        os.symlink(src, os.path.join(d, os.path.basename(src)))
-        events_path = d
+    events_path = as_stream_dir(events_path, "stream_dedup_src_")
     static = spark.read.parquet(events_path)
     stream = (
         spark.readStream.schema(static.schema)
@@ -201,13 +195,7 @@ def streaming_dedup_tws(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    if os.path.isfile(events_path):
-        d = tempfile.mkdtemp(prefix="stream_tws_src_")
-        os.symlink(
-            os.path.abspath(events_path),
-            os.path.join(d, os.path.basename(events_path)),
-        )
-        events_path = d
+    events_path = as_stream_dir(events_path, "stream_tws_src_")
     static = spark.read.parquet(events_path)
     stream = (
         spark.readStream.schema(static.schema)

@@ -19,10 +19,9 @@ max-probe state.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from contextlib import contextmanager
 
+from ora_ch_spark.streaming.util import as_stream_dir
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,14 +63,7 @@ def streaming_hourly_rollup(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if os.path.isfile(events_path):
-        # the file stream source requires a directory — expose the
-        # single parquet file through a temp dir symlink (absolute
-        # target; a relative one would dangle from the tmpdir)
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        src = os.path.abspath(events_path)
-        os.symlink(src, os.path.join(d, os.path.basename(src)))
-        events_path = d
+    events_path = as_stream_dir(events_path, "stream_src_")
     from ora_ch_spark.io import normalize_ts
 
     static = spark.read.parquet(events_path)
@@ -160,11 +152,7 @@ def streaming_dedup_within_watermark(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     keys = keys or ["user_id", "event_type"]
-    if os.path.isfile(events_path):
-        d = tempfile.mkdtemp(prefix="stream_dwm_src_")
-        src = os.path.abspath(events_path)
-        os.symlink(src, os.path.join(d, os.path.basename(src)))
-        events_path = d
+    events_path = as_stream_dir(events_path, "stream_dwm_src_")
     from ora_ch_spark.io import normalize_ts
 
     static = spark.read.parquet(events_path)
@@ -210,11 +198,7 @@ def streaming_stream_join(
     identical total results within the watermark horizon."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if os.path.isfile(events_path):
-        d = tempfile.mkdtemp(prefix="stream_ssj_src_")
-        src = os.path.abspath(events_path)
-        os.symlink(src, os.path.join(d, os.path.basename(src)))
-        events_path = d
+    events_path = as_stream_dir(events_path, "stream_ssj_src_")
     from ora_ch_spark.io import normalize_ts
 
     static = spark.read.parquet(events_path)

@@ -52,14 +52,17 @@ def test_dialect_idempotent_on_arbitrary_text_without_ch_calls(sql):
         r"(?i)(toYear|toYYYYMMDD|parseDateTime|today|toString|toFixedString|"
         r"toInt|toUInt|toFloat|toDecimal|toDate|cityHash64|intDiv)\s*\(",
         sql,
-    ) or re.search(
-        r"(?i)\b(final|prewhere|global|any|all|format|settings|totals"
-        r"|fill|yesterday|limit)\b",
+    ) or re.search(r"(?i)\b(final|prewhere|global|any|all)\b", sql) or re.search(
+        # r5 session-3 statement rewrites — excluded by their ACTUAL
+        # shapes, not bare words, so ordinary LIMIT/format text keeps
+        # exercising the identity property
+        r"(?is)\blimit\s+\d+.*\bby\b"
+        r"|\bwith\s+(fill|totals)\b"
+        r"|\bformat\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$"
+        r"|\bsettings\s+[A-Za-z_][A-Za-z0-9_]*\s*="
+        r"|\byesterday\s*\(",
         sql,
     ):
-        # statement-level CH keywords are rewritten too — exclude them
-        # from the identity property (r5 session 3 added FORMAT/
-        # SETTINGS tail strips, WITH TOTALS/FILL, yesterday())
         return
     if "[" in sql or "]" in sql or re.search(r"(?i)\bsample\s", sql):
         # r5: array-literal brackets and the SAMPLE clause are CH

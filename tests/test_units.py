@@ -1998,9 +1998,13 @@ def test_dialect_with_fill(spark):
     assert len(spark.sql(full).collect()) == 10  # data min..max inclusive
     # unsupported shapes pass through
     for src in ("SELECT k FROM wf_t ORDER BY k DESC WITH FILL",
-                "SELECT k, v FROM wf_t ORDER BY k WITH FILL, v",
-                "SELECT k FROM wf_t ORDER BY k WITH FILL FROM 5 TO 5"):
+                "SELECT k, v FROM wf_t ORDER BY k WITH FILL, v"):
         assert T(src) == src
+    # inverted LITERAL bounds: CH fills nothing but still runs —
+    # translate to the plain ordered query (review fix)
+    inv = T("SELECT k FROM wf_t ORDER BY k WITH FILL FROM 5 TO 5")
+    assert inv == "SELECT k FROM wf_t ORDER BY k"
+    assert [r["k"] for r in spark.sql(inv).collect()] == [1, 3, 10]
 
 
 def test_dialect_review_fixes_round5_session3(spark):
@@ -2035,6 +2039,20 @@ def test_dialect_review_fixes_round5_session3(spark):
     # (4) a trailing sort direction after a column named format survives
     src = "SELECT v FROM rf_t ORDER BY format DESC"
     assert T(src) == src
+    # second-review regressions:
+    # (5) FORMAT Null is a real CH wire format — stripped
+    assert T("SELECT v FROM rf_t FORMAT Null").strip() == "SELECT v FROM rf_t"
+    # (6) EXCEPT ALL / parenthesized branches still count as set ops:
+    # the wrapper scopes to the LAST branch and the result executes
+    for mid in ("EXCEPT ALL SELECT g, v FROM rf_t WHERE v = 1",
+                "EXCEPT (SELECT g, v FROM rf_t WHERE v = 1)",
+                "EXCEPT ((SELECT g, v FROM rf_t WHERE v = 1))"):
+        u = T(f"SELECT g, v FROM rf_t {mid} ORDER BY v LIMIT 1 BY g")
+        assert u.startswith("SELECT g, v FROM rf_t EXCEPT"), u
+        assert "row_number() OVER (PARTITION BY g" in u
+        assert sorted(tuple(r) for r in spark.sql(u).collect()) == [
+            ('a', 2), ('b', 3)]
+        assert T(u) == u
 
 
 def test_dialect_if_combinator_completion(spark):
