@@ -1603,6 +1603,42 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         return f"timestamp_seconds((unix_timestamp({a[0]}) div {secs}) * {secs})"
 
     out = _rewrite_calls(out, "toStartOfInterval", _start_of_interval)
+
+    def _age(a: list[str]) -> str | None:
+        # CH age('unit', a, b) counts FULL elapsed units (truncating),
+        # unlike dateDiff's boundary crossings. Exact for the uniform
+        # units via epoch-second division; month/quarter/year grids
+        # are calendar-irregular and pass through.
+        if len(a) != 3:
+            return None
+        lt = _lit_text(a[0].strip(), lits)
+        if lt is None:
+            return None
+        unit = lt[1:-1].lower()
+        secs = {
+            "second": 1, "minute": 60, "hour": 3600,
+            "day": 86400, "week": 604800,
+        }.get(unit)
+        if secs is None:
+            return None
+        return (
+            f"((unix_timestamp({a[2]}) - unix_timestamp({a[1]})) div {secs})"
+        )
+
+    out = _rewrite_calls(out, "age", _age)
+    # arrayCumSum: O(n²) prefix re-aggregation — fine for the bounded
+    # arrays CH uses it on; integer accumulator (CH keeps int sums int)
+    out = _rewrite_calls(
+        out,
+        "arrayCumSum",
+        lambda a: (
+            f"transform({a[0]}, (__cx, __ci) -> "
+            f"aggregate(slice({a[0]}, 1, __ci + 1), 0L, "
+            f"(__ca, __cv) -> __ca + __cv))"
+            if len(a) == 1
+            else None
+        ),
+    )
     # same instant re-expressed in the zone (formatDateTime's tz rule)
     out = _rewrite_calls(
         out, "toTimeZone", lambda a: f"convert_timezone({a[1]}, {a[0]})"

@@ -1951,6 +1951,15 @@ def test_dialect_url_and_interval_batch(spark):
     # month grid is calendar-irregular: untouched
     src = "SELECT toStartOfInterval(ts, INTERVAL 2 month) FROM t"
     assert T(src) == src
+    # age() full-elapsed-unit counting (uniform units only) + cumsum
+    s2 = T("SELECT age('day', toDateTime('2020-01-01 12:00:00'),"
+           " toDateTime('2020-01-03 11:59:59')) AS d,"
+           " arrayCumSum([1, 2, 3]) AS cs")
+    assert T(s2) == s2
+    r2 = spark.sql(s2).collect()[0]
+    assert r2["d"] == 1 and list(r2["cs"]) == [1, 3, 6]
+    src2 = "SELECT age('month', a, b) FROM t"  # calendar unit: untouched
+    assert T(src2) == src2
 
 
 def test_dialect_transform_remap(spark):
