@@ -655,6 +655,59 @@ FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
 """
 
 
+_ASOF_TOL_S = 3600  # 1 hour
+
+
+def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas/polars
+    ``tolerance``): purchases farther than 1 h before the event do
+    not match — the asof columns come back NULL."""
+    from ora_ch_spark.operators.asof import asof_join, dedup_right_per_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = dedup_right_per_ts(
+        ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id"),
+        ["user_id"], "ts", "event_id",
+    ).withColumnRenamed("event_id", "p_id")
+    joined = asof_join(
+        ev.select("user_id", "ts", "event_id"),
+        purchases,
+        key_cols=["user_id"],
+        right_value_cols=["p_id"],
+        tolerance_seconds=_ASOF_TOL_S,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_id").alias("purchase_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+def _asof_tolerance_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events
+),
+praw AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+p AS (
+  SELECT user_id, ts, max(event_id) AS p_id FROM praw GROUP BY user_id, ts
+),
+j AS (
+  SELECT e.event_id, e.user_id, p.p_id,
+         epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+)
+SELECT event_id, user_id,
+       CASE WHEN gap_us <= cast({_ASOF_TOL_S} as bigint) * 1000000 THEN p_id END
+         AS purchase_id,
+       CASE WHEN gap_us <= cast({_ASOF_TOL_S} as bigint) * 1000000 THEN gap_us END
+         AS gap_us
+FROM j
+ORDER BY event_id
+"""
+
+
 def _asof_inputs(spark: SparkSession, sf_dir: str):
     from ora_ch_spark.operators.asof import dedup_right_per_ts
 
@@ -4184,6 +4237,8 @@ EXT_QUERIES: list[QueryDef] = [
              "gap-based sessionization (lag → flag → cumsum → rollup)"),
     QueryDef("asof_join", asof_join_q, _asof_oracle(),
              "as-of join (composed) vs DuckDB native ASOF JOIN"),
+    QueryDef("asof_join_tolerance", asof_join_tolerance_q, _asof_tolerance_oracle(),
+             "as-of join with match tolerance (too-distant matches NULL out)"),
     QueryDef("asof_join_forward", asof_join_forward_q, ASOF_FORWARD_ORACLE,
              "forward as-of (next right at-or-after) vs DuckDB native ASOF <="),
     QueryDef("asof_join_nearest", asof_join_nearest_q, ASOF_NEAREST_ORACLE,

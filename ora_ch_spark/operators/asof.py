@@ -33,6 +33,7 @@ def asof_join(
     right_ts: str = "ts",
     right_value_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the right values nearest
     its timestamp in the given ``direction`` (NULLs when none exists):
@@ -41,6 +42,12 @@ def asof_join(
     - ``forward``: smallest right_ts >= left_ts,
     - ``nearest``: whichever of the two is closer in absolute time,
       ties resolved backward (pandas ``merge_asof`` convention).
+
+    ``tolerance_seconds`` (pandas/polars ``tolerance``): a match
+    farther than this from the left timestamp is rejected — the
+    asof_* columns come back NULL, exactly as if no right row
+    existed. Applied AFTER the pick (a post-filter on the carried
+    struct), so the plan is unchanged.
 
     All three are the same one-shuffle union-and-carry plan; nearest
     carries both directions in a single window pass and picks per
@@ -114,6 +121,14 @@ def asof_join(
         )
         src = F.when(use_fwd, F.col("__fp")).otherwise(F.col("__bp"))
     carried = carried.withColumn("__pick", src)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__ats")) - F.unix_micros(F.col("__pick.__ts"))
+        )
+        carried = carried.withColumn(
+            "__pick",
+            F.when(gap <= tolerance_seconds * 1_000_000, F.col("__pick")),
+        )
     picked = [F.col(f"__pick.{c}").alias(f"asof_{c}") for c in rvals] + [
         F.col("__pick.__ts").alias("asof_ts")
     ]

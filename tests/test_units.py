@@ -943,6 +943,33 @@ def test_asof_directions_semantics(spark):
     assert tie[0]["asof_rid"] == 30  # 60min both ways -> backward wins
 
 
+def test_asof_tolerance(spark):
+    """tolerance_seconds rejects matches farther than the bound —
+    asof columns NULL out exactly as if no right row existed; within
+    the bound nothing changes. Works for every direction."""
+    from datetime import datetime
+
+    from ora_ch_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0), 100)],
+        "k bigint, ts timestamp, lid bigint",
+    )
+    R = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 11, 0), 10)],  # 60 min before
+        "k bigint, ts timestamp, rid bigint",
+    )
+
+    def run(tol, d="backward"):
+        r = asof_join(L, R, ["k"], right_value_cols=["rid"],
+                      direction=d, tolerance_seconds=tol).collect()[0]
+        return (r["asof_rid"], r["asof_ts"])
+
+    assert run(3600)[0] == 10           # exactly at the bound: kept
+    assert run(3599) == (None, None)    # beyond: fully NULLed
+    assert run(3599, "nearest") == (None, None)
+
+
 def test_asof_null_right_values_stay_row_consistent(spark):
     """A right row whose VALUE is NULL must still win the as-of match
     — the carried unit is the whole right record, so asof_ts and
