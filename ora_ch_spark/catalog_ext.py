@@ -3467,6 +3467,107 @@ FROM est JOIN ex USING (grp)
 """
 
 
+def hll_sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-day distinct users per event_type — the sliding-
+    window form of the HLL rollup: per-day registers are built ONCE,
+    each day's window estimate merges the 3 relevant register sets
+    (explode day → covered target days, bucket-max) — the base table
+    is never re-scanned per window, which is the entire point of
+    mergeable sketches for windowed metrics at 100 TB. Exact trailing
+    distincts ride along to expose the sketch error."""
+    from ora_ch_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("grp"),
+        F.col("ts").cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    reg = SK.hll_registers(base, F.col("k"), ["grp", "day"]).persist()
+    days = base.select("grp", "day").distinct()
+    # a day's registers serve the windows ending on day..day+2
+    spread = reg.withColumn(
+        "t", F.explode(F.expr("sequence(day, date_add(day, 2))"))
+    )
+    win = (
+        spread.groupBy("grp", F.col("t").alias("day"), "bucket")
+        .agg(F.max("M").alias("M"))
+        .join(days, ["grp", "day"], "left_semi")  # only days with data
+    )
+    est = SK.hll_estimate(win, ["grp", "day"])
+    exact = (
+        base.select("grp", "day").distinct()
+        .withColumn("src", F.explode(F.expr("sequence(date_sub(day, 2), day)")))
+        .join(
+            base.select(F.col("grp"), F.col("day").alias("src"), "k"),
+            ["grp", "src"],
+        )
+        .groupBy("grp", "day")
+        .agg(F.countDistinct("k").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, ["grp", "day"])
+        .select(
+            "grp",
+            F.col("day").cast("string").alias("day"),
+            "n_buckets", "est_distinct", "exact_distinct",
+        )
+        .orderBy("grp", "day")
+    )
+
+
+def _hll_sliding_oracle() -> str:
+    from ora_ch_spark.operators.sketches import ALPHA_M2, HLL_M, W
+
+    return f"""
+WITH h AS (
+  SELECT event_type AS grp, ts::DATE AS day,
+         cast(user_id as varchar) AS k,
+         ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+reg AS (
+  SELECT grp, day, hv % {HLL_M} AS bucket,
+         max(CASE WHEN hv // {HLL_M} = 0 THEN {W + 1}
+                  ELSE {W + 1} - length(bin(hv // {HLL_M})) END) AS M
+  FROM h GROUP BY 1, 2, 3
+),
+days AS (SELECT DISTINCT grp, day FROM h),
+spread AS (
+  SELECT r.grp, r.day + cast(off as int) AS day, r.bucket, r.M
+  FROM reg r, (SELECT unnest(range(0, 3)) AS off)
+),
+win AS (
+  SELECT s.grp, s.day, s.bucket, max(s.M) AS M
+  FROM spread s SEMI JOIN days d ON s.grp = d.grp AND s.day = d.day
+  GROUP BY 1, 2, 3
+),
+pg AS (SELECT grp, day, max(M) AS maxM, count(*) AS V FROM win GROUP BY 1, 2),
+zs AS (
+  SELECT w.grp, w.day, pg.maxM, pg.V,
+         sum(1::BIGINT << cast(pg.maxM - w.M as int))::BIGINT AS Zobs
+  FROM win w JOIN pg USING (grp, day) GROUP BY 1, 2, 3, 4
+),
+est AS (
+  SELECT grp, day, cast(V as bigint) AS n_buckets,
+         {ALPHA_M2!r} * power(2.0, maxM)
+           / cast(Zobs + ({HLL_M} - V) * (1::BIGINT << cast(maxM as int)) as double)
+           AS est_distinct
+  FROM zs
+),
+ex AS (
+  SELECT d.grp, d.day, count(DISTINCT h2.k) AS exact_distinct
+  FROM days d JOIN h h2
+    ON h2.grp = d.grp AND h2.day BETWEEN d.day - 2 AND d.day
+  GROUP BY 1, 2
+)
+SELECT grp, cast(day as varchar) AS day, n_buckets, est_distinct,
+       exact_distinct
+FROM est JOIN ex USING (grp, day)
+ORDER BY grp, day
+"""
+
+
 HIST_WIDTH = 5.0
 
 
@@ -4297,6 +4398,8 @@ EXT_QUERIES: list[QueryDef] = [
              "concat-and-chunk sequence-packing manifest (shard, offset, seq span)"),
     QueryDef("pipeline_assemble_corpus", pipeline_assemble_q, _assemble_oracle(),
              "assembly composite: exact dedup -> mixture -> packing manifest rollup"),
+    QueryDef("hll_sliding_window", hll_sliding_window_q, _hll_sliding_oracle(),
+             "trailing 3-day HLL distinct counts (per-day registers merged per window, no re-scan)"),
     QueryDef("hll_distinct_rollup", hll_distinct_rollup_q, _hll_rollup_oracle(),
              "mergeable md5-HLL distinct user-days per type + register-merged global"),
     QueryDef("hist_quantile_sketch", hist_quantile_sketch_q, _hist_quantile_oracle(),
