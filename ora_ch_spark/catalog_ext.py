@@ -1364,7 +1364,10 @@ def dedup_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_minhash_lsh / dedup_components / dedup_keep_best); this
     pins their composition."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup(docs)
+    # persist: connected_components_star consumes the pair frame
+    # twice (edge persist + node set) — without this the whole
+    # shingle->minhash->band pipeline re-runs per consumer
+    pairs = D.minhash_lsh_dedup(docs).persist()
     comps = D.connected_components_star(pairs)
     q = TX.quality_score(docs).select("doc_id", "quality_score")
     j = comps.join(q, "doc_id")
@@ -2556,7 +2559,10 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential-tested equal). Oracle = the same fixpoint from a
     DuckDB recursive CTE over the same pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup(docs)
+    # persist: connected_components_star consumes the pair frame
+    # twice (edge persist + node set) — without this the whole
+    # shingle->minhash->band pipeline re-runs per consumer
+    pairs = D.minhash_lsh_dedup(docs).persist()
     return D.connected_components_star(pairs)
 
 
