@@ -536,6 +536,37 @@ def build_ivf_index(
     q.unpersist()
 
 
+def ivf_index_append(
+    store,
+    schema: str,
+    new_emb: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    assign_impl: str = "pandas",
+    keep_cols: tuple[str, ...] = (),
+) -> None:
+    """Incrementally add a batch to a persisted IVF index: the FROZEN
+    coarse quantizer (``{name}_centroids``) assigns only the new
+    vectors, and their rows append into the hive-partitioned assign
+    table — O(batch), never a corpus re-assign. This is how a
+    continuously-ingesting corpus keeps its ANN index current; with
+    fixed centroids the result is IDENTICAL to rebuilding over the
+    union (equivalence-tested), and list-geometry drift under heavy
+    growth is the signal to re-train seeds and rebuild."""
+    cents = store.read(schema, f"{name}_centroids")
+    q = quantize(new_emb, emb_col, "qe")
+    assign = _argmax_centroid(
+        q, F.broadcast(cents), id_col, impl=assign_impl, carry_cols=keep_cols
+    )
+    n_lists = cents.count()
+    store.append(
+        schema,
+        f"{name}_assign",
+        assign.repartition(int(n_lists), "centroid"),
+    )
+
+
 def ivf_topk_from_index(
     store,
     schema: str,

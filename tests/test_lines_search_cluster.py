@@ -350,6 +350,47 @@ def test_curate_corpus_funnel_invariants(spark, sf_smoke):
         assert 2 * r["n_quality"] >= r["n_docs"]
 
 
+def test_ivf_index_append_equals_rebuild(spark, sf_smoke, tmp_path):
+    """Appending a batch to a persisted IVF index (frozen centroids)
+    must give EXACTLY the same query results as rebuilding the index
+    over the union corpus with the same seeds — and only O(batch)
+    rows are assigned."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_from_index,
+    )
+    from ora_ch_spark.store import TableStore
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    first = emb.filter("vec_id < 250")   # contains the seed ids (<16)
+    rest = emb.filter("vec_id >= 250")
+    queries = emb.filter("vec_id < 5")
+
+    s1 = TableStore(spark, str(tmp_path / "inc"))
+    s1.create_database("ix")
+    build_ivf_index(s1, "ix", first)
+    ivf_index_append(s1, "ix", rest)
+    got = [
+        tuple(r)
+        for r in ivf_topk_from_index(s1, "ix", queries)
+        .orderBy("q_id", "rank").collect()
+    ]
+
+    s2 = TableStore(spark, str(tmp_path / "full"))
+    s2.create_database("ix")
+    build_ivf_index(s2, "ix", emb)
+    want = [
+        tuple(r)
+        for r in ivf_topk_from_index(s2, "ix", queries)
+        .orderBy("q_id", "rank").collect()
+    ]
+    assert got == want and len(got) > 0
+    # the append landed rows for every batch vector
+    assert s1.row_count("ix", "ivf_assign") == emb.count()
+
+
 def test_ivf_kmeans_seeds_recall_floor(spark, sf_smoke):
     """IVF with the learned (k-means) coarse quantizer: same index
     plan as the naive-seeded IVF, recall vs brute force stays high.
