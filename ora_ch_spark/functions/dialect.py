@@ -1197,6 +1197,19 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             else f"percentile({a[0]}, {ps[0] if ps else '0.5'})"
         ),
     )
+    # topK(N)(x) → approx_top_k items (CH SpaceSaving vs Spark's
+    # sketch: same ROLE, counts may drift — the uniq rule). CH's
+    # optional load-factor / counts params beyond N are dropped.
+    out = _rewrite_param_calls(
+        out,
+        "topK",
+        lambda ps, a: (
+            f"transform(approx_top_k({a[0]}, {ps[0] if ps else '10'}),"
+            f" __tk -> __tk.item)"
+            if len(a) == 1
+            else None
+        ),
+    )
     out = _rewrite_param_calls(out, "quantilesExact", _qs_exact)
     out = _rewrite_param_calls(out, "quantileExact", _q_exact)
     # sketch-family aliases: same ROLE as quantile() — a different

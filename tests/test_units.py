@@ -1940,6 +1940,14 @@ def test_dialect_batch4_weighted_maps_arrays(spark):
     assert T(agg) == agg
     r = spark.sql(agg).collect()[0]
     assert (r["aw"], r["qw"]) == (7.75, 10.0)
+    # topK → approx_top_k items (parameterized and default-N forms)
+    tk = T("SELECT topK(2)(x) AS t2, topK(x) AS t10 FROM"
+           " (SELECT 1 x UNION ALL SELECT 1 UNION ALL SELECT 2)")
+    assert T(tk) == tk
+    rt = spark.sql(tk).collect()[0]
+    assert list(rt["t2"]) == [1, 2] and list(rt["t10"]) == [1, 2]
+    src = "SELECT topKWeighted(3)(x, w) FROM t"  # no weighted analog
+    assert T(src) == src
 
 
 def test_dialect_url_and_interval_batch(spark):
