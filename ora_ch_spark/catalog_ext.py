@@ -1331,6 +1331,56 @@ SELECT text_hash, cast(-(w.negid) as bigint) AS keep_id,
 """
 
 
+def spearman_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH rankCorr analogue: exact-fractional-rank Spearman between
+    quantity and discount (corr_matrix determinism recipe on the
+    rank domain)."""
+    from ora_ch_spark.operators.profile import spearman_corr
+
+    return spearman_corr(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_discount"
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH ra AS (
+  SELECT v AS l_quantity, 2 * before + c + 1 AS ra2 FROM (
+    SELECT l_quantity AS v, count(*) AS c,
+           coalesce(sum(count(*)) OVER (ORDER BY l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM lineitem GROUP BY 1)
+),
+rb AS (
+  SELECT v AS l_discount, 2 * before + c + 1 AS rb2 FROM (
+    SELECT l_discount AS v, count(*) AS c,
+           coalesce(sum(count(*)) OVER (ORDER BY l_discount
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM lineitem GROUP BY 1)
+),
+j AS (
+  SELECT ra2, rb2 FROM lineitem
+  JOIN ra USING (l_quantity) JOIN rb USING (l_discount)
+),
+m AS (
+  SELECT cast(count(*) as double) AS n,
+         cast(sum(cast(ra2 as decimal(18,4))) as double) AS sa,
+         cast(sum(cast(rb2 as decimal(18,4))) as double) AS sb,
+         cast(sum(cast(ra2 as decimal(18,4)) * cast(rb2 as decimal(19,4)))
+              as double) AS sab,
+         cast(sum(cast(ra2 as decimal(18,4)) * cast(ra2 as decimal(19,4)))
+              as double) AS saa,
+         cast(sum(cast(rb2 as decimal(18,4)) * cast(rb2 as decimal(19,4)))
+              as double) AS sbb
+  FROM j
+)
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+       cast(n as bigint) AS n,
+       (n * sab - sa * sb)
+         / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS rho
+FROM m
+"""
+
+
 def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis over the events user key: the 20 heaviest
     user_ids with row share and skew ratio vs the mean key weight."""
@@ -4456,6 +4506,8 @@ EXT_QUERIES: list[QueryDef] = [
              "IVF x SQ8: coarse-routed scalar-quantized search (probed lists only)"),
     QueryDef("key_skew_report", key_skew_report_q, KEY_SKEW_ORACLE,
              "shuffle-skew diagnosis: heaviest keys, share, skew ratio vs mean key weight"),
+    QueryDef("spearman_corr", spearman_corr_q, SPEARMAN_ORACLE,
+             "CH rankCorr: exact fractional-rank Spearman (decimal-moment determinism)"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

@@ -164,3 +164,64 @@ def key_skew_report(
         (F.col("cnt") / F.col("__total")).alias("share"),
         (F.col("cnt") * F.col("__ndv") / F.col("__total")).alias("skew_ratio"),
     ).orderBy(F.desc("cnt"), F.asc(key_col))
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman rank correlation (CH ``rankCorr``): Pearson over
+    FRACTIONAL ranks (ties get the average rank — the textbook
+    definition both engines can replay exactly). Determinism recipe:
+    ranks are half-integers, carried ×2 as exact bigints; the moment
+    sums use the asymmetric decimal(18,4)×decimal(19,4) trick from
+    :func:`corr_matrix`; the final formula is one fixed double
+    expression over exact inputs (+,-,*,/ and sqrt are correctly
+    rounded — engine-identical).
+
+    Scale shape: the rank map is one aggregate per DISTINCT value +
+    a cumulative sum over the (cardinality-bounded) distinct-value
+    table, then an equi-join back — never a global row sort. Use on
+    columns whose cardinality fits a broadcast (measurement-style
+    numerics); continuous high-cardinality columns rank via their
+    value order statistics the same way at higher join cost.
+
+    Returns one row: (col_a, col_b, n, rho)."""
+    from pyspark.sql import Window
+
+    def rank2(col: str, alias: str) -> DataFrame:
+        per = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # avg rank of a tie group = before + (c+1)/2; ×2 keeps it int
+        return per.withColumn(
+            "__before", F.coalesce(F.sum("__c").over(w), F.lit(0))
+        ).select(
+            F.col("__v").alias(col),
+            (F.lit(2) * F.col("__before") + F.col("__c") + 1).alias(alias),
+        )
+    ranked = (
+        df.select(col_a, col_b)
+        .join(rank2(col_a, "__ra2"), col_a)
+        .join(rank2(col_b, "__rb2"), col_b)
+    )
+    a = F.col("__ra2").cast("decimal(18,4)")
+    b = F.col("__rb2").cast("decimal(19,4)")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(a).cast("double").alias("sa"),
+        F.sum(F.col("__rb2").cast("decimal(18,4)")).cast("double").alias("sb"),
+        F.sum(a * b).cast("double").alias("sab"),
+        F.sum(a * a.cast("decimal(19,4)")).cast("double").alias("saa"),
+        F.sum(F.col("__rb2").cast("decimal(18,4)") * b).cast("double").alias("sbb"),
+    )
+    rho = (m["n"] * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(
+        (m["n"] * F.col("saa") - F.col("sa") * F.col("sa"))
+        * (m["n"] * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return m.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.col("n").cast("bigint").alias("n"),
+        rho.alias("rho"),
+    )

@@ -1211,6 +1211,28 @@ def test_ivf_sq8_distance_equality_and_recall(spark, sf_smoke):
     assert len(routed_pairs & full_top5) >= int(0.5 * len(full_top5))
 
 
+def test_spearman_matches_pandas(spark):
+    """Exact fractional-rank Spearman agrees with pandas' reference
+    implementation, including tie handling and the sign."""
+    import pandas as pd
+
+    from ora_ch_spark.operators.profile import spearman_corr
+
+    rows = [(1, 1), (2, 1), (3, 2), (4, 3), (5, 2), (6, 9)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = spearman_corr(df, "a", "b").collect()[0]
+    want = pd.DataFrame(rows, columns=["a", "b"]).corr(
+        method="spearman"
+    ).iloc[0, 1]
+    assert got["n"] == len(rows)
+    assert abs(got["rho"] - want) < 1e-12
+    anti = spearman_corr(
+        spark.createDataFrame([(i, -i) for i in range(5)], "a int, b int"),
+        "a", "b",
+    ).collect()[0]["rho"]
+    assert anti == -1.0
+
+
 def test_contrastive_pairs_invariants(spark, sf_smoke):
     """Mined negatives: ≤ k per anchor, never equal to a positive
     pair or a self-pair, all ids real, and the whole output is
