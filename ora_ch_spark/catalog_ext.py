@@ -1381,6 +1381,42 @@ FROM m
 """
 
 
+def auc_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of 'does price predict returnflag R' — a
+    deterministic eval-metric replay (Mann-Whitney ranks, ½ tie
+    credit)."""
+    from ora_ch_spark.operators.profile import auc_exact
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "is_r", F.col("l_returnflag") == "R"
+    )
+    return auc_exact(li, "l_extendedprice", "is_r")
+
+
+AUC_ORACLE = """
+WITH per AS (
+  SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1
+),
+ranks AS (
+  SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + c + 1 AS r2
+  FROM per
+),
+j AS (
+  SELECT r.r2, (l.l_returnflag = 'R') AS y
+  FROM lineitem l JOIN ranks r ON l.l_extendedprice = r.v
+)
+SELECT cast(count(*) FILTER (y) as bigint) AS n_pos,
+       cast(count(*) FILTER (NOT y) as bigint) AS n_neg,
+       (cast(sum(r2) FILTER (y) as double)
+         - cast(count(*) FILTER (y) as double)
+           * (count(*) FILTER (y) + 1))
+         / (2.0 * count(*) FILTER (y) * count(*) FILTER (NOT y)) AS auc
+FROM j
+"""
+
+
 def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis over the events user key: the 20 heaviest
     user_ids with row share and skew ratio vs the mean key weight."""
@@ -4508,6 +4544,8 @@ EXT_QUERIES: list[QueryDef] = [
              "shuffle-skew diagnosis: heaviest keys, share, skew ratio vs mean key weight"),
     QueryDef("spearman_corr", spearman_corr_q, SPEARMAN_ORACLE,
              "CH rankCorr: exact fractional-rank Spearman (decimal-moment determinism)"),
+    QueryDef("auc_exact", auc_exact_q, AUC_ORACLE,
+             "exact ROC AUC (Mann-Whitney ranks, half tie credit) as a deterministic eval metric"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

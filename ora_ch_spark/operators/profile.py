@@ -225,3 +225,46 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         rho.alias("rho"),
     )
+
+
+def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney form with ½ tie credit) — the
+    eval-side companion of the quality classifiers: AUC =
+    (Σ rank(positives) − P(P+1)/2) / (P·N) with fractional
+    average ranks over ``score_col``. Same determinism machinery as
+    :func:`spearman_corr`: ranks ×2 as exact bigints, one double
+    division at the end — engine-identical including ties.
+
+    ``label_col`` must be boolean (or a boolean SQL expression
+    pre-computed by the caller). Returns one row:
+    (n_pos, n_neg, auc). Scale: one distinct-score aggregate +
+    cumulative sum bounded by score cardinality, one equi-join back,
+    one global aggregate — no global row sort."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(score_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = per.withColumn(
+        "__before", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).select(
+        F.col("__v").alias(score_col),
+        (F.lit(2) * F.col("__before") + F.col("__c") + 1).alias("__r2"),
+    )
+    j = df.select(score_col, F.col(label_col).alias("__y")).join(
+        ranks, score_col
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("__y"), F.col("__r2"))).alias("s_pos2"),
+        F.count_if(F.col("__y")).alias("p"),
+        F.count_if(~F.col("__y")).alias("n"),
+    )
+    auc = (
+        F.col("s_pos2").cast("double")
+        - F.col("p").cast("double") * (F.col("p") + 1)
+    ) / (F.lit(2.0) * F.col("p") * F.col("n"))
+    return agg.select(
+        F.col("p").alias("n_pos"), F.col("n").alias("n_neg"),
+        auc.alias("auc"),
+    )

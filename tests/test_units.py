@@ -1211,6 +1211,22 @@ def test_ivf_sq8_distance_equality_and_recall(spark, sf_smoke):
     assert len(routed_pairs & full_top5) >= int(0.5 * len(full_top5))
 
 
+def test_auc_exact_hand_cases(spark):
+    """Exact AUC: perfect separation → 1.0, full tie → 0.5, mixed
+    case matches the hand-computed pairwise Mann-Whitney value."""
+    from ora_ch_spark.operators.profile import auc_exact
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        return auc_exact(df, "s", "y").collect()[0]["auc"]
+
+    assert run([(0.9, True), (0.8, True), (0.3, False), (0.1, False)]) == 1.0
+    assert run([(0.5, True), (0.5, False)]) == 0.5
+    # pairs: 1 + 1 + 0.5 + 1 of 4 → 0.875
+    assert run([(0.9, True), (0.4, False), (0.4, True), (0.2, False)]) == 0.875
+    assert run([(0.1, True), (0.9, False)]) == 0.0  # inverted ranking
+
+
 def test_spearman_matches_pandas(spark):
     """Exact fractional-rank Spearman agrees with pandas' reference
     implementation, including tie handling and the sign."""
