@@ -3211,6 +3211,80 @@ ORDER BY q_id, rank
 """
 
 
+def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated index-quality metrics: the SQ8 run scored against the
+    exact-L2 truth ranking — recall@5 / precision@5 / MRR@5 per
+    query, every number replayed by the oracle."""
+    from pyspark.sql import Window
+
+    from ora_ch_spark.operators.mining import retrieval_eval
+    from ora_ch_spark.operators.pq import sq8_topk
+    from ora_ch_spark.operators.similarity import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = sq8_topk(emb, query_ids=emb.filter("vec_id < 10"))
+    q = quantize(emb).select("vec_id", "qe")
+    pairs = (
+        q.selectExpr("vec_id as n_id", "qe as qn")
+        .crossJoin(
+            F.broadcast(
+                q.filter("vec_id < 10").selectExpr("vec_id as q_id", "qe as qq")
+            )
+        )
+        .filter("q_id != n_id")
+        .selectExpr(
+            "q_id", "n_id",
+            "aggregate(zip_with(qq, qn, (x, y) -> (x-y)*(x-y)), 0L,"
+            " (acc, v) -> acc + v) as d",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("n_id"))
+    truth = (
+        pairs.withColumn("rank", F.row_number().over(w)).filter("rank <= 5")
+        .select("q_id", "n_id", "rank")
+    )
+    return retrieval_eval(run, truth, 5).orderBy("q_id")
+
+
+def _retrieval_eval_oracle() -> str:
+    return f"""
+WITH runq AS ({SIM_SQ8_ORACLE}),
+q2 AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+e2 AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q2),
+qq2 AS (SELECT vec_id AS q_id, i, v FROM e2 WHERE vec_id < 10),
+dist2 AS (
+  SELECT qq2.q_id, e2.vec_id AS n_id,
+         sum((qq2.v - e2.v) * (qq2.v - e2.v)) AS d
+  FROM qq2 JOIN e2 ON qq2.i = e2.i AND e2.vec_id != qq2.q_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rank
+  FROM dist2 QUALIFY rank <= 5
+),
+sizes AS (
+  SELECT t.q_id, t.n_truth, r.n_run FROM
+    (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY 1) t
+  FULL OUTER JOIN
+    (SELECT q_id, count(*) AS n_run FROM runq GROUP BY 1) r
+  USING (q_id)
+),
+hits AS (
+  SELECT r.q_id, count(*) AS n_hits, min(r.rank) AS first_hit
+  FROM runq r JOIN truth t ON r.q_id = t.q_id AND r.n_id = t.n_id
+  GROUP BY 1
+)
+SELECT s.q_id,
+       cast(coalesce(h.n_hits, 0) as bigint) AS n_hits,
+       cast(coalesce(h.n_hits, 0) as double) / s.n_truth AS recall_at_k,
+       cast(coalesce(h.n_hits, 0) as double) / s.n_run AS precision_at_k,
+       coalesce(1.0 / h.first_hit, 0.0) AS mrr_at_k
+FROM sizes s LEFT JOIN hits h USING (q_id)
+ORDER BY q_id
+"""
+
+
 def sim_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a LEARNED coarse quantizer: the k-means
     centroids (k=16, 2 Lloyd iterations) replace the first-16-by-id
@@ -4546,6 +4620,8 @@ EXT_QUERIES: list[QueryDef] = [
              "CH rankCorr: exact fractional-rank Spearman (decimal-moment determinism)"),
     QueryDef("auc_exact", auc_exact_q, AUC_ORACLE,
              "exact ROC AUC (Mann-Whitney ranks, half tie credit) as a deterministic eval metric"),
+    QueryDef("retrieval_eval", retrieval_eval_q, _retrieval_eval_oracle(),
+             "gated index-quality metrics: SQ8 vs exact-L2 recall/precision/MRR@5"),
     # --- tail: hash-proven in rounds 1-3, behavior unchanged since
     # (dedup_components' r4 localCheckpoint is value-preserving and
     # pinned by the chain-collapse unit test; pipeline_ingest_batch's

@@ -24,6 +24,48 @@ from ora_ch_spark.functions.hashes import md5_long
 from ora_ch_spark.operators.similarity import embedding_near_dup_pairs
 
 
+def retrieval_eval(
+    run: DataFrame,
+    truth: DataFrame,
+    k: int,
+    q_col: str = "q_id",
+    d_col: str = "n_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval metrics of a ``run`` against a ``truth``
+    ranking (both (query, doc, rank) frames — e.g. an ANN index vs
+    the exact scan): recall@k, precision@k, and MRR@k (reciprocal
+    rank of the first relevant hit, 0 when none). Division-only
+    arithmetic over exact counts — engine-identical, so index
+    quality is a GATED metric, not a vibe. One equi-join on
+    (query, doc) + two small aggregates; no per-query collect."""
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(q_col).alias("q"), F.col(d_col).alias("d"),
+        F.col(rank_col).alias("rr"),
+    )
+    t = truth.filter(F.col(rank_col) <= k).select(
+        F.col(q_col).alias("q"), F.col(d_col).alias("d")
+    )
+    sizes = t.groupBy("q").agg(F.count(F.lit(1)).alias("n_truth")).join(
+        r.groupBy("q").agg(F.count(F.lit(1)).alias("n_run")), "q", "full_outer"
+    )
+    hits = r.join(t, ["q", "d"]).groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rr").alias("first_hit"),
+    )
+    out = sizes.join(hits, "q", "left")
+    z = F.coalesce(F.col("n_hits"), F.lit(0))
+    return out.select(
+        F.col("q").alias(q_col),
+        z.alias("n_hits"),
+        (z / F.coalesce(F.col("n_truth"), F.lit(0))).alias("recall_at_k"),
+        (z / F.coalesce(F.col("n_run"), F.lit(0))).alias("precision_at_k"),
+        F.coalesce(
+            F.lit(1.0) / F.col("first_hit"), F.lit(0.0)
+        ).alias("mrr_at_k"),
+    )
+
+
 def mine_contrastive_pairs(
     emb: DataFrame,
     threshold: float = 0.45,

@@ -1211,6 +1211,28 @@ def test_ivf_sq8_distance_equality_and_recall(spark, sf_smoke):
     assert len(routed_pairs & full_top5) >= int(0.5 * len(full_top5))
 
 
+def test_retrieval_eval_hand_case(spark):
+    """recall/precision/MRR@k from a tiny hand-checkable run: q1
+    hits 2 of 3 with first hit at rank 2; q2 misses everything."""
+    from ora_ch_spark.operators.mining import retrieval_eval
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 30, 1)],
+        "q_id int, n_id int, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (1, 13, 3), (2, 40, 1)],
+        "q_id int, n_id int, rank int",
+    )
+    got = {
+        r["q_id"]: (r["n_hits"], r["recall_at_k"], r["precision_at_k"],
+                    r["mrr_at_k"])
+        for r in retrieval_eval(run, truth, 3).collect()
+    }
+    assert got[1] == (2, 2 / 3, 2 / 3, 0.5)
+    assert got[2] == (0, 0.0, 0.0, 0.0)
+
+
 def test_auc_exact_hand_cases(spark):
     """Exact AUC: perfect separation → 1.0, full tie → 0.5, mixed
     case matches the hand-computed pairwise Mann-Whitney value."""
