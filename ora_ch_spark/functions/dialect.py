@@ -153,9 +153,12 @@ def _rewrite_param_calls(sql: str, fname: str, render) -> str:
     """Rewrite ClickHouse *parameterized aggregate* syntax
     ``fname(params)(args)`` — e.g. ``quantile(0.9)(x)``. ``render``
     receives (params, args); the parameterless form ``fname(args)``
-    calls render([], args) (CH's defaults apply)."""
+    calls render([], args) (CH's defaults apply). A render may
+    return ``None`` to leave THAT call untouched (same contract as
+    :func:`_rewrite_calls`) — the scan continues after it."""
+    start = 0
     while True:
-        found = _find_call(sql, fname)
+        found = _find_call(sql, fname, start)
         if not found:
             return sql
         begin, end, first = found
@@ -164,9 +167,17 @@ def _rewrite_param_calls(sql: str, fname: str, render) -> str:
             j += 1
         if j < len(sql) and sql[j] == "(":
             end2, args = _parse_group(sql, j)
-            sql = sql[:begin] + render(first, args) + sql[end2:]
+            rendered = render(first, args)
+            if rendered is None:
+                start = end2
+            else:
+                sql = sql[:begin] + rendered + sql[end2:]
         else:
-            sql = sql[:begin] + render([], first) + sql[end:]
+            rendered = render([], first)
+            if rendered is None:
+                start = end
+            else:
+                sql = sql[:begin] + rendered + sql[end:]
 
 
 def _rewrite_calls(sql: str, fname: str, render) -> str:
@@ -1634,20 +1645,27 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         }.get(unit)
         if secs is None:
             return None
+        # unix_micros, not unix_timestamp: second-truncation before
+        # the subtraction would overcount sub-second gaps (dates get
+        # an explicit timestamp cast — unix_micros is timestamp-only)
         return (
-            f"((unix_timestamp({a[2]}) - unix_timestamp({a[1]})) div {secs})"
+            f"((unix_micros(cast({a[2]} as timestamp))"
+            f" - unix_micros(cast({a[1]} as timestamp)))"
+            f" div {secs * 1_000_000})"
         )
 
     out = _rewrite_calls(out, "age", _age)
     # arrayCumSum: O(n²) prefix re-aggregation — fine for the bounded
-    # arrays CH uses it on; integer accumulator (CH keeps int sums int)
+    # arrays CH uses it on. Folds in DOUBLE like arraySum above
+    # (aggregate() pins one accumulator type; int/decimal element
+    # types all coerce into it — same documented widening drift)
     out = _rewrite_calls(
         out,
         "arrayCumSum",
         lambda a: (
             f"transform({a[0]}, (__cx, __ci) -> "
-            f"aggregate(slice({a[0]}, 1, __ci + 1), 0L, "
-            f"(__ca, __cv) -> __ca + __cv))"
+            f"aggregate(slice({a[0]}, 1, __ci + 1), "
+            f"cast(0 as double), (__ca, __cv) -> __ca + __cv))"
             if len(a) == 1
             else None
         ),

@@ -55,11 +55,15 @@ def retrieval_eval(
     )
     out = sizes.join(hits, "q", "left")
     z = F.coalesce(F.col("n_hits"), F.lit(0))
+    # denominators stay NULL when a side lacks the query entirely
+    # (run-only / truth-only) — coalescing to 0 would be a
+    # DIVIDE_BY_ZERO abort under ANSI mode, and NULL is the honest
+    # value for an undefined ratio
     return out.select(
         F.col("q").alias(q_col),
         z.alias("n_hits"),
-        (z / F.coalesce(F.col("n_truth"), F.lit(0))).alias("recall_at_k"),
-        (z / F.coalesce(F.col("n_run"), F.lit(0))).alias("precision_at_k"),
+        (z / F.col("n_truth")).alias("recall_at_k"),
+        (z / F.col("n_run")).alias("precision_at_k"),
         F.coalesce(
             F.lit(1.0) / F.col("first_hit"), F.lit(0.0)
         ).alias("mrr_at_k"),

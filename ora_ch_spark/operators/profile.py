@@ -166,6 +166,27 @@ def key_skew_report(
     ).orderBy(F.desc("cnt"), F.asc(key_col))
 
 
+def _frac_ranks2(df: DataFrame, col: str, alias: str) -> DataFrame:
+    """Doubled fractional (tie-averaged) ranks of ``col``'s non-null
+    values: (value, 2·rank) — ×2 keeps half-integer average ranks as
+    exact bigints. Shared by :func:`spearman_corr` and
+    :func:`auc_exact`; one distinct-value aggregate + a cumulative
+    sum bounded by the column's cardinality."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    # avg rank of a tie group = before + (c+1)/2; ×2 keeps it int
+    return per.withColumn(
+        "__before", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).select(
+        F.col("__v").alias(col),
+        (F.lit(2) * F.col("__before") + F.col("__c") + 1).alias(alias),
+    )
+
+
 def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Spearman rank correlation (CH ``rankCorr``): Pearson over
     FRACTIONAL ranks (ties get the average rank — the textbook
@@ -183,27 +204,18 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     numerics); continuous high-cardinality columns rank via their
     value order statistics the same way at higher join cost.
 
-    Returns one row: (col_a, col_b, n, rho)."""
-    from pyspark.sql import Window
+    NULL handling: rows where EITHER column is NULL are dropped
+    before ranking (pandas' pairwise-complete convention — ranking
+    over one column's full domain and joining after would skew rho).
+    A constant column has zero rank variance → rho is NULL, not a
+    divide-by-zero abort (ANSI mode).
 
-    def rank2(col: str, alias: str) -> DataFrame:
-        per = df.groupBy(F.col(col).alias("__v")).agg(
-            F.count(F.lit(1)).alias("__c")
-        )
-        w = Window.orderBy("__v").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        # avg rank of a tie group = before + (c+1)/2; ×2 keeps it int
-        return per.withColumn(
-            "__before", F.coalesce(F.sum("__c").over(w), F.lit(0))
-        ).select(
-            F.col("__v").alias(col),
-            (F.lit(2) * F.col("__before") + F.col("__c") + 1).alias(alias),
-        )
+    Returns one row: (col_a, col_b, n, rho)."""
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     ranked = (
         df.select(col_a, col_b)
-        .join(rank2(col_a, "__ra2"), col_a)
-        .join(rank2(col_b, "__rb2"), col_b)
+        .join(_frac_ranks2(df, col_a, "__ra2"), col_a)
+        .join(_frac_ranks2(df, col_b, "__rb2"), col_b)
     )
     a = F.col("__ra2").cast("decimal(18,4)")
     b = F.col("__rb2").cast("decimal(19,4)")
@@ -215,9 +227,13 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.sum(a * a.cast("decimal(19,4)")).cast("double").alias("saa"),
         F.sum(F.col("__rb2").cast("decimal(18,4)") * b).cast("double").alias("sbb"),
     )
-    rho = (m["n"] * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(
-        (m["n"] * F.col("saa") - F.col("sa") * F.col("sa"))
-        * (m["n"] * F.col("sbb") - F.col("sb") * F.col("sb"))
+    var_prod = (m["n"] * F.col("saa") - F.col("sa") * F.col("sa")) * (
+        m["n"] * F.col("sbb") - F.col("sb") * F.col("sb")
+    )
+    rho = F.when(
+        var_prod > 0,
+        (m["n"] * F.col("sab") - F.col("sa") * F.col("sb"))
+        / F.sqrt(var_prod),
     )
     return m.select(
         F.lit(col_a).alias("col_a"),
@@ -236,34 +252,31 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     division at the end — engine-identical including ties.
 
     ``label_col`` must be boolean (or a boolean SQL expression
-    pre-computed by the caller). Returns one row:
-    (n_pos, n_neg, auc). Scale: one distinct-score aggregate +
-    cumulative sum bounded by score cardinality, one equi-join back,
-    one global aggregate — no global row sort."""
-    from pyspark.sql import Window
-
-    per = df.groupBy(F.col(score_col).alias("__v")).agg(
-        F.count(F.lit(1)).alias("__c")
+    pre-computed by the caller). Rows with a NULL score OR NULL
+    label are dropped BEFORE ranking — otherwise they would inflate
+    the rank positions while escaping the P/N counts and silently
+    corrupt the formula. A single-class frame (P = 0 or N = 0) has
+    no defined AUC → NULL, not a divide-by-zero abort (ANSI mode).
+    Returns one row: (n_pos, n_neg, auc). Scale: one distinct-score
+    aggregate + cumulative sum bounded by score cardinality, one
+    equi-join back, one global aggregate — no global row sort."""
+    df = df.select(score_col, F.col(label_col).alias("__y")).filter(
+        F.col(score_col).isNotNull() & F.col("__y").isNotNull()
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    ranks = per.withColumn(
-        "__before", F.coalesce(F.sum("__c").over(w), F.lit(0))
-    ).select(
-        F.col("__v").alias(score_col),
-        (F.lit(2) * F.col("__before") + F.col("__c") + 1).alias("__r2"),
-    )
-    j = df.select(score_col, F.col(label_col).alias("__y")).join(
-        ranks, score_col
-    )
+    j = df.join(_frac_ranks2(df, score_col, "__r2"), score_col)
     agg = j.agg(
         F.sum(F.when(F.col("__y"), F.col("__r2"))).alias("s_pos2"),
         F.count_if(F.col("__y")).alias("p"),
         F.count_if(~F.col("__y")).alias("n"),
     )
-    auc = (
-        F.col("s_pos2").cast("double")
-        - F.col("p").cast("double") * (F.col("p") + 1)
-    ) / (F.lit(2.0) * F.col("p") * F.col("n"))
+    auc = F.when(
+        (F.col("p") > 0) & (F.col("n") > 0),
+        (
+            F.col("s_pos2").cast("double")
+            - F.col("p").cast("double") * (F.col("p") + 1)
+        )
+        / (F.lit(2.0) * F.col("p") * F.col("n")),
+    )
     return agg.select(
         F.col("p").alias("n_pos"), F.col("n").alias("n_neg"),
         auc.alias("auc"),

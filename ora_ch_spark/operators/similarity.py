@@ -559,7 +559,8 @@ def ivf_index_append(
     assign = _argmax_centroid(
         q, F.broadcast(cents), id_col, impl=assign_impl, carry_cols=keep_cols
     )
-    n_lists = cents.count()
+    # manifest row count — zero Spark jobs (vs cents.count())
+    n_lists = store.row_count(schema, f"{name}_centroids")
     store.append(
         schema,
         f"{name}_assign",

@@ -1211,6 +1211,59 @@ def test_ivf_sq8_distance_equality_and_recall(spark, sf_smoke):
     assert len(routed_pairs & full_top5) >= int(0.5 * len(full_top5))
 
 
+def test_eval_metrics_review_regressions(spark):
+    """Third review pass: NULL/degenerate inputs must yield NULL
+    metrics (never ANSI divide-by-zero aborts), NULL rows are
+    pairwise-dropped BEFORE ranking, and the non-unary topK /
+    float arrayCumSum / sub-second age dialect cases behave."""
+    import pandas as pd
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+    from ora_ch_spark.operators.mining import retrieval_eval
+    from ora_ch_spark.operators.profile import auc_exact, spearman_corr
+
+    # retrieval_eval: run-only / truth-only queries → NULL ratios
+    run = spark.createDataFrame([(1, 10, 1), (3, 30, 1)],
+                                "q_id int, n_id int, rank int")
+    truth = spark.createDataFrame([(1, 10, 1), (2, 20, 1)],
+                                  "q_id int, n_id int, rank int")
+    got = {r["q_id"]: r for r in retrieval_eval(run, truth, 3).collect()}
+    assert got[1]["recall_at_k"] == 1.0
+    assert got[2]["recall_at_k"] == 0.0 and got[2]["precision_at_k"] is None
+    assert got[3]["recall_at_k"] is None and got[3]["precision_at_k"] == 0.0
+    # auc: single-class and NULL rows
+    one_class = spark.createDataFrame(
+        [(0.9, True), (0.1, True)], "s double, y boolean")
+    assert auc_exact(one_class, "s", "y").collect()[0]["auc"] is None
+    with_nulls = spark.createDataFrame(
+        [(0.9, True), (0.5, None), (None, False), (0.1, False)],
+        "s double, y boolean")
+    r = auc_exact(with_nulls, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (1, 1, 1.0)
+    # spearman: pairwise-complete ranking + constant column → NULL
+    rows = [(None, 5), (1, 1), (2, 6), (3, 4)]
+    sp = spearman_corr(
+        spark.createDataFrame(rows, "a int, b int"), "a", "b"
+    ).collect()[0]
+    want = pd.DataFrame(rows, columns=["a", "b"]).corr(
+        method="spearman").iloc[0, 1]
+    assert abs(sp["rho"] - want) < 1e-12 and sp["n"] == 3
+    const = spearman_corr(
+        spark.createDataFrame([(1, 7), (2, 7)], "a int, b int"), "a", "b"
+    ).collect()[0]
+    assert const["rho"] is None
+    # dialect: non-unary topK passes through (no TypeError)
+    for src in ("SELECT topK(2)(x, y) FROM t", "SELECT topK(x, y) FROM t"):
+        assert T(src) == src
+    # float arrayCumSum type-checks and is correct
+    s = T("SELECT arrayCumSum([1.5, 2.5]) AS cs")
+    assert [float(v) for v in spark.sql(s).collect()[0]["cs"]] == [1.5, 4.0]
+    # sub-second age: 0.2 s elapsed is ZERO whole seconds
+    s2 = T("SELECT age('second', timestamp'2020-01-01 12:00:00.9',"
+           " timestamp'2020-01-01 12:00:01.1') AS a")
+    assert spark.sql(s2).collect()[0]["a"] == 0
+
+
 def test_retrieval_eval_hand_case(spark):
     """recall/precision/MRR@k from a tiny hand-checkable run: q1
     hits 2 of 3 with first hit at rank 2; q2 misses everything."""
