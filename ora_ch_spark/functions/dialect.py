@@ -1397,6 +1397,12 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "bitShiftLeft", lambda a: f"shiftleft({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "bitShiftRight", lambda a: f"shiftright({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "bitCount", lambda a: f"bit_count({a[0]})")
+    out = _rewrite_calls(
+        out, "bitTest", lambda a: f"((shiftright({a[0]}, {a[1]})) & 1)"
+    )
+    out = _rewrite_calls(
+        out, "intExp2", lambda a: f"shiftleft(cast(1 as bigint), {a[0]})"
+    )
 
     # ---- cast variants: OrNull ≡ try_cast, OrZero ≡ try_cast
     # defaulted to the type's zero (CH's epoch for dates) ----

@@ -1963,6 +1963,9 @@ def test_dialect_batch3_arrays_strings_bits(spark):
         ("bitShiftLeft(1, 3)", 8),
         ("bitShiftRight(16, 2)", 4),
         ("bitCount(7)", 3),
+        ("bitTest(5, 2)", 1),
+        ("bitTest(5, 1)", 0),
+        ("intExp2(40)", 1099511627776),
         ("toInt32OrNull('x')", None),
         ("toInt32OrZero('x')", 0),
         ("toInt64OrZero('42')", 42),
