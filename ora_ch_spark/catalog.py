@@ -1069,6 +1069,100 @@ ORDER BY bucket
 """
 
 
+# Statement-construct COMBINATIONS from the round-5 review fixes:
+# EXCEPT ALL as a set-op boundary for LIMIT BY, WITH TOTALS with a
+# HAVING that must NOT drop the totals row, and a FORMAT tail —
+# locked under the external gate, not just unit tests
+_DIALECT4_CH_SQL = """
+select o_orderstatus, o_orderpriority,
+       toInt64(count(*)) as n,
+       toInt64(sum(intDiv(toInt32(o_totalprice), 1000))) as ktotal
+from orders
+where o_orderdate < toDate('1997-01-01')
+group by o_orderstatus, o_orderpriority with totals
+having count(*) > 100
+order by o_orderstatus, o_orderpriority
+FORMAT TabSeparated
+"""
+
+# LIMIT BY binds to the LAST set-op branch (CH scoping): B = the
+# per-status top-1 of even-keyed orders; result = expensive orders
+# EXCEPT ALL B — small, deterministic, and only correct if the
+# boundary fix routes the wrapper around branch 2 alone
+_DIALECT4_CH_SQL2 = """
+select o_orderstatus, o_orderkey, o_totalprice
+from orders where o_totalprice > 495000
+except all
+select o_orderstatus, o_orderkey, o_totalprice
+from orders where modulo(o_orderkey, 2) = 0
+order by o_totalprice desc, o_orderkey
+limit 1 by o_orderstatus
+"""
+
+
+def calc_dialect4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review-fix construct combos end-to-end: (a) WITH TOTALS +
+    HAVING (totals row exempt) + FORMAT tail; (b) EXCEPT ALL
+    scoping a LIMIT BY to the last branch. Both rewritten text,
+    unioned into one gated result."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+
+    register_views(spark, sf_dir)
+    a = spark.sql(translate_ch_sql(_DIALECT4_CH_SQL)).select(
+        F.lit("totals").alias("part"),
+        F.coalesce("o_orderstatus", F.lit("__T__")).alias("k1"),
+        F.coalesce("o_orderpriority", F.lit("__T__")).alias("k2"),
+        F.col("n").alias("v1"),
+        F.col("ktotal").alias("v2"),
+    )
+    b = spark.sql(translate_ch_sql(_DIALECT4_CH_SQL2)).select(
+        F.lit("limitby").alias("part"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderkey").cast("string").alias("k2"),
+        F.col("o_totalprice").cast("bigint").alias("v1"),
+        F.lit(0).cast("bigint").alias("v2"),
+    )
+    return a.unionByName(b).orderBy("part", "k1", "k2")
+
+
+DIALECT4_ORACLE = """
+WITH a AS (
+  SELECT 'totals' AS part,
+         coalesce(o_orderstatus, '__T__') AS k1,
+         coalesce(o_orderpriority, '__T__') AS k2,
+         cast(count(*) as bigint) AS v1,
+         cast(sum(cast(trunc(o_totalprice) as int) // 1000) as bigint) AS v2,
+         grouping(o_orderstatus) AS g
+  FROM orders
+  WHERE o_orderdate < date '1997-01-01'
+  GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), ())
+  HAVING count(*) > 100 OR grouping(o_orderstatus) = 1
+),
+src AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+  WHERE o_totalprice > 495000
+  EXCEPT ALL
+  SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders WHERE o_orderkey % 2 = 0
+  ) WHERE rn <= 1
+),
+b AS (
+  SELECT 'limitby' AS part, o_orderstatus AS k1,
+         cast(o_orderkey as varchar) AS k2,
+         cast(trunc(o_totalprice) as bigint) AS v1,
+         cast(0 as bigint) AS v2
+  FROM src
+)
+SELECT part, k1, k2, v1, v2 FROM a
+UNION ALL
+SELECT part, k1, k2, v1, v2 FROM b
+ORDER BY part, k1, k2
+"""
+
+
 # ---------------------------------------------------------------------------
 # VERBATIM shipped calc query through the dialect translator
 # ---------------------------------------------------------------------------
@@ -1432,6 +1526,8 @@ CORE_QUERIES: list[QueryDef] = [
              "round-5 dialect surface (array literals, -If, intervals, dateAdd, multiIf, argMax) value-gated"),
     QueryDef("calc_dialect_battery3", calc_dialect3_q, DIALECT3_ORACLE,
              "batch-3 dialect surface (array mutators, bit ops, UTF8 strings, OrZero casts, timeSlot) value-gated"),
+    QueryDef("calc_dialect_battery4", calc_dialect4_q, DIALECT4_ORACLE,
+             "review-fix construct combos: WITH TOTALS+HAVING, EXCEPT ALL+LIMIT BY, FORMAT tail"),
     QueryDef("calc_with_fill", calc_with_fill_q, WITH_FILL_ORACLE,
              "CH ORDER BY … WITH FILL → sequence-spine full join, value-gated"),
     QueryDef("calc_with_totals", calc_with_totals_q, WITH_TOTALS_ORACLE,
