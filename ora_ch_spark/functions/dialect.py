@@ -297,23 +297,39 @@ def _rewrite_array_literals(masked: str) -> str:
     bracket literal syntax, so the rewrite is unambiguous). A ``[``
     that directly follows an identifier / ``)`` / ``]`` is postfix
     INDEXING and is left alone — note CH indexes 1-based while Spark's
-    ``arr[i]`` is 0-based; indexing is deliberately NOT rewritten
-    (same idempotence rule as ``position``: the syntax is valid Spark
-    with different semantics, so a rewrite would corrupt already-ANSI
-    text). Nesting is tracked so inner literals rewrite too."""
+    ``arr[i]`` is 0-based; indexing on an IDENTIFIER is deliberately
+    NOT rewritten (same idempotence rule as ``position``: the syntax
+    is valid Spark with different semantics, so a rewrite would
+    corrupt already-ANSI text). The ONE provably-CH case IS rewritten
+    (ADVICE r05): a subscript directly on an array literal this pass
+    just rewrote — ``['a','b'][i]`` → ``try_element_at(array('a','b'),
+    i)`` — because the base ``[...]`` cannot be pre-existing Spark
+    text. Chained subscripts (``[[1],[2]][i][j]``) rewrite too.
+    Nesting is tracked so inner literals rewrite too."""
     out: list[str] = []
-    # stack entry: "array" (→ array(...)), "paren" (IN-list → (...)),
-    # or "index" (left alone)
-    stack: list[str] = []
+    # stack entry: (kind, insert_pos) — kind "array" (→ array(...)),
+    # "paren" (IN-list → (...)), "index" (left alone), or "chindex"
+    # (subscript on a just-rewritten literal → try_element_at(base, i))
+    stack: list[tuple[str, int]] = []
+    # set when an "array"/"chindex" group closes: (pos after the
+    # emitted ')', pos where try_element_at( would be inserted)
+    last_close: tuple[int, int] | None = None
     for c in masked:
         if c == "[":
             j = len(out) - 1
             while j >= 0 and out[j].isspace():
                 j -= 1
             kind = "array"
+            insert_pos = len(out)
             if j >= 0:
                 pc = out[j]
-                if pc in ")]`" or pc == "\x00":
+                if last_close is not None and j == last_close[0] - 1:
+                    # subscript on an array literal we just emitted:
+                    # provably CH text → 1-based try_element_at
+                    kind = "chindex"
+                    insert_pos = last_close[1]
+                    out.insert(insert_pos, "try_element_at(")
+                elif pc in ")]`" or pc == "\x00":
                     # after ')' / ']' / a backtick-quoted identifier /
                     # a masked literal: postfix indexing
                     kind = "index"
@@ -328,13 +344,21 @@ def _rewrite_array_literals(masked: str) -> str:
                         kind = "paren"
                     elif word not in _ARRAY_LIT_KEYWORDS:
                         kind = "index"
-            stack.append(kind)
-            out.append({"array": "array(", "paren": "(", "index": "["}[kind])
+            stack.append((kind, insert_pos))
+            out.append(
+                {"array": "array(", "paren": "(", "index": "[", "chindex": ", "}[kind]
+            )
         elif c == "]":
-            kind = stack.pop() if stack else "index"
+            kind, insert_pos = stack.pop() if stack else ("index", 0)
             out.append("]" if kind == "index" else ")")
+            if kind in ("array", "chindex"):
+                last_close = (len(out), insert_pos)
+            else:
+                last_close = None
         else:
             out.append(c)
+            if not c.isspace():
+                last_close = None
     return "".join(out)
 
 
@@ -584,10 +608,15 @@ def _rewrite_with_fill(masked: str) -> str:
 # nondeterministic on both engines — translated queries with SAMPLE
 # can't be value-gated. A bare (AS-less) alias before SAMPLE is NOT
 # recognized — it is indistinguishable from the table name itself.
+# `SAMPLE k OFFSET m` is consumed too (ADVICE r05: the OFFSET tail
+# used to survive as unparseable residue) — the offset only shifts
+# WHICH part of the sample space is read, a distinction without
+# meaning for Spark's TABLESAMPLE, so it is dropped.
 _SAMPLE_CLAUSE = re.compile(
     r"(?i)(?<=[A-Za-z0-9_`)])"
     r"(?P<alias>\s+as\s+[A-Za-z_][A-Za-z0-9_]*)?"
     r"\s+sample\s+(?P<k>\d+\s*/\s*\d+|\d+\.?\d*|0?\.\d+)(?![A-Za-z0-9_./])"
+    r"(?:\s+offset\s+(?:\d+\s*/\s*\d+|\d+\.?\d*|0?\.\d+)(?![A-Za-z0-9_./]))?"
 )
 
 
@@ -683,17 +712,23 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     # toDecimal{32,64,128}(x[, scale]) — the CH scale argument picks
     # the Spark decimal scale; arity-1 keeps the reference's
-    # Decimal(38,6) convention for 128 and scale 6 elsewhere
+    # Decimal(38,6) convention for 128 and scale 6 elsewhere. The
+    # scale is spliced into a type, so only an integer literal within
+    # the precision is accepted — a column ref or out-of-range scale
+    # passes through untouched (ADVICE r05: was emitting unparseable
+    # `decimal(18,<expr>)`)
+    def _to_decimal(a: list[str], p: int) -> str | None:
+        if len(a) == 1:
+            return f"cast({a[0]} as decimal({p},6))"
+        if len(a) != 2:
+            return None
+        scale = a[1].strip()
+        if not re.fullmatch(r"\d+", scale) or int(scale) > p:
+            return None
+        return f"cast({a[0]} as decimal({p},{scale}))"
+
     for fn, prec in (("toDecimal128", 38), ("toDecimal64", 18), ("toDecimal32", 9)):
-        out = _rewrite_calls(
-            out,
-            fn,
-            lambda a, p=prec: (
-                f"cast({a[0]} as decimal({p},{a[1].strip()}))"
-                if len(a) == 2
-                else f"cast({a[0]} as decimal({p},6))"
-            ),
-        )
+        out = _rewrite_calls(out, fn, lambda a, p=prec: _to_decimal(a, p))
 
     for ch_fn, spark_type in _CAST_FNS.items():
         out = _rewrite_calls(

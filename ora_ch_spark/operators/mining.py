@@ -84,6 +84,12 @@ def mine_contrastive_pairs(
     (id_a = anchor, id_b = deterministic draw). Every corpus id is an
     anchor for negatives — anchors without any positive still yield
     training pairs."""
+    # localCheckpoint, not persist: both frames are consumed 2-3×
+    # (pos also rides in the RETURNED plan), so a plain persist would
+    # leak cached blocks for the session lifetime — an eager
+    # checkpoint materializes once and its blocks are released with
+    # the returned frame, no caller-owned unpersist contract needed
+    # (ADVICE r05)
     pos = embedding_near_dup_pairs(
         emb,
         id_col=id_col,
@@ -92,8 +98,8 @@ def mine_contrastive_pairs(
         use_lsh_blocking=True,
         n_planes=n_planes,
         n_tables=n_tables,
-    ).select("id_a", "id_b").persist()
-    ids = emb.select(F.col(id_col).alias("id")).persist()
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    ids = emb.select(F.col(id_col).alias("id")).localCheckpoint(eager=True)
     max_id = ids.agg(F.max("id")).first()[0]
     if max_id is None:
         raise ValueError("empty embedding frame")

@@ -124,14 +124,18 @@ def stream_upsert_files(
             existing = store.read(schema, table).join(
                 F.broadcast(latest.select(*key_cols)), key_cols, "left_semi"
             ).select(*batch_df.columns)
-            # materialize winners ONCE, before any mutation: the
-            # delete probe, the file rewrite, and the append would
-            # otherwise each re-run the stored-table scan + merge
-            winners = pick_latest(latest.unionByName(existing)).persist()
-            winners.count()
+            # materialize winners ONCE, before any mutation — and as
+            # a BARRIER, not a cache: persist() partitions can be
+            # evicted / lost and would then recompute against the
+            # post-delete table (losing `existing` rows — a stored
+            # newer row clobbered by an older batch row, ADVICE r05).
+            # localCheckpoint truncates lineage so the merged rows
+            # can never be recomputed from the mutated source.
+            winners = pick_latest(latest.unionByName(existing)).localCheckpoint(
+                eager=True
+            )
             store.delete_by_keys(schema, table, winners, key_cols)
             store.append(schema, table, winners)
-            winners.unpersist()
         else:
             store.write(schema, table, latest)
         state.set_watermark(schema, table, EPOCH_COL, epoch_id)

@@ -1890,6 +1890,72 @@ def test_dialect_sample_clause():
     assert T(once) == once
 
 
+def test_dialect_round5_advice_regressions():
+    """ADVICE r05 pinned: (1) a subscript directly on a CH array
+    literal is provably CH text and rewrites 1-based via
+    try_element_at (identifier indexing stays untouched); (2) `SAMPLE
+    k OFFSET m` consumes the OFFSET instead of leaving unparseable
+    residue; (3) toDecimalN's scale argument must be an integer
+    literal within precision or the call passes through whole."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    # (1) literal subscript → 1-based try_element_at
+    assert (
+        T("select ['a', 'b'][i] from t")
+        == "select try_element_at(array('a', 'b'), i) from t"
+    )
+    assert (
+        T("select [10, 20][2] x") == "select try_element_at(array(10, 20), 2) x"
+    )
+    # chained subscripts wrap outward
+    assert (
+        T("select [[1,2],[3,4]][1][2] x")
+        == "select try_element_at(try_element_at("
+        "array(array(1,2),array(3,4)), 1), 2) x"
+    )
+    # identifier / backtick indexing still untouched (idempotence)
+    assert T("select arr[1] from t") == "select arr[1] from t"
+    assert T("select `arr`[1] from t") == "select `arr`[1] from t"
+    # IN-list close is not a subscript base
+    assert (
+        T("select x in [1, 2] from t") == "select x in (1, 2) from t"
+    )
+    # (2) SAMPLE ... OFFSET consumed, fraction still translated
+    assert (
+        T("select x from t sample 1/10 offset 1/2")
+        == "select x from t TABLESAMPLE (10 PERCENT)"
+    )
+    assert (
+        T("select x from t sample 0.2 offset 0.5 where y > 0")
+        == "select x from t TABLESAMPLE (20 PERCENT) where y > 0"
+    )
+    # a real column named offset after a non-SAMPLE context: untouched
+    assert T("select offset from t") == "select offset from t"
+    # (3) toDecimal scale guards: non-literal or out-of-range scale
+    # passes through whole instead of emitting an invalid type
+    passthrough = (
+        "select toDecimal32(x, c) from t",
+        "select toDecimal64(x, 20) from t",
+        "select toDecimal32(x, 10) from t",
+        "select toDecimal128(x, 40) from t",
+    )
+    for src in passthrough:
+        assert T(src) == src, src
+    # boundary: scale == precision is legal
+    assert (
+        T("select toDecimal32(x, 9) from t")
+        == "select cast(x as decimal(9,9)) from t"
+    )
+    # everything above is idempotent
+    for src in (
+        "select ['a', 'b'][i] from t",
+        "select [[1,2],[3,4]][1][2] x",
+        "select x from t sample 1/10 offset 1/2",
+    ):
+        once = T(src)
+        assert T(once) == once, src
+
+
 def test_dialect_round5_review_regressions():
     """r5 review findings pinned: optional-lambda array forms pass
     through, backtick indexing untouched, rational/whole-table/
