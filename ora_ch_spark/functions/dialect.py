@@ -288,6 +288,9 @@ _ARRAY_LIT_KEYWORDS = frozenset(
         "in", "then", "else", "when", "select", "and", "or", "not",
         "where", "having", "on", "by", "union", "all", "distinct",
         "values", "limit", "between", "case", "array", "return",
+        # `ARRAY JOIN [1,2,3] AS x` — a '[' directly after JOIN can
+        # only be a CH array literal (ANSI has no such position)
+        "join",
     }
 )
 
@@ -345,12 +348,24 @@ def _rewrite_array_literals(masked: str) -> str:
                     elif word not in _ARRAY_LIT_KEYWORDS:
                         kind = "index"
             stack.append((kind, insert_pos))
+            # chindex wraps the index in nullif(i, 0): CH subscript
+            # returns the type default at index 0, Spark raises
+            # INVALID_INDEX_OF_ZERO even under try_ — NULL index makes
+            # try_element_at yield NULL, matching the arrayElement()
+            # rewrite's CASE guard (ADVICE r06)
             out.append(
-                {"array": "array(", "paren": "(", "index": "[", "chindex": ", "}[kind]
+                {
+                    "array": "array(",
+                    "paren": "(",
+                    "index": "[",
+                    "chindex": ", nullif(",
+                }[kind]
             )
         elif c == "]":
             kind, insert_pos = stack.pop() if stack else ("index", 0)
-            out.append("]" if kind == "index" else ")")
+            out.append(
+                {"index": "]", "chindex": ", 0))"}.get(kind, ")")
+            )
             if kind in ("array", "chindex"):
                 last_close = (len(out), insert_pos)
             else:
@@ -667,6 +682,287 @@ def _rewrite_prewhere(masked: str) -> str:
             )
         else:
             masked = masked[: m.start()] + "WHERE" + masked[m.end():]
+
+
+def _split_top(text: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0 (strings are masked)."""
+    parts, depth, cur = [], 0, []
+    for c in text:
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+_ARRAY_JOIN = re.compile(r"(?i)\b(?:(left)\s+|inner\s+)?array\s+join\b")
+_FROM_OR_PAREN = re.compile(r"(?i)\bfrom\b|[()]")
+_AJ_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+_AJ_AS = re.compile(r"(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$")
+
+
+def _rewrite_array_join(masked: str) -> str:
+    """CH ``[LEFT|INNER] ARRAY JOIN e1 [AS a1], e2 [AS a2], …`` →
+    a position-exploded LATERAL VIEW subquery (ref usage:
+    ClickHouse ARRAY JOIN clause semantics — multiple arrays are
+    ZIPPED element-wise, never crossed):
+
+    ``FROM src ARRAY JOIN arr AS a`` becomes::
+
+        FROM (SELECT __aj_l.*, try_element_at(arr, __aj_n) AS a
+              FROM (SELECT * FROM src) __aj_l
+              LATERAL VIEW explode(<1..size positions>) __aj_v AS __aj_n)
+
+    - plain/INNER drops rows whose arrays are all empty (explode of
+      an empty position array); LEFT keeps them via LATERAL VIEW
+      OUTER with NULL elements (CH emits the type's default value —
+      documented drift to NULL, same family as try_element_at).
+    - multi-array form zips on positions 1..greatest(sizes); where
+      one array is shorter its elements come back NULL (CH errors on
+      unequal sizes — documented non-error drift).
+    - an UNALIASED bare-identifier item replaces the source column of
+      that name in scope (CH semantics) — emitted as a qualified-star
+      ``EXCEPT`` plus a same-name element alias. Unaliased
+      *expressions* are rejected exactly like CH rejects them.
+    """
+    while True:
+        m = _ARRAY_JOIN.search(masked)
+        if m is None:
+            return masked
+        left = bool(m.group(1))
+        # the owning FROM: last FROM at the clause's paren depth whose
+        # group is still open at the clause (entries reset on close)
+        depth = 0
+        last_from: dict[int, tuple[int, int] | None] = {}
+        for t in _FROM_OR_PAREN.finditer(masked, 0, m.start()):
+            tok = t.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                last_from[depth] = None
+                depth -= 1
+            else:
+                last_from[depth] = (t.start(), t.end())
+        span = last_from.get(depth)
+        if span is None:
+            raise ValueError("ARRAY JOIN without an owning FROM clause")
+        from_start, from_end = span
+        src = masked[from_end : m.start()].strip()
+        items_end, _kw = _clause_span(masked, m.end())
+        items = _split_top(masked[m.end() : items_end])
+        if not items:
+            raise ValueError("ARRAY JOIN with no array expressions")
+        projs: list[tuple[str, str]] = []
+        excepts: list[str] = []
+        for it in items:
+            am = _AJ_AS.match(it)
+            if am and am.group(1).count("(") == am.group(1).count(")"):
+                projs.append((am.group(1).strip(), am.group(2)))
+            elif _AJ_IDENT.match(it):
+                alias = it.split(".")[-1]
+                projs.append((it, alias))
+                excepts.append(alias)
+            else:
+                raise ValueError(
+                    f"ARRAY JOIN expression requires AS alias: {it!r}"
+                )
+        sizes = [f"size({e})" for e, _ in projs]
+        n = sizes[0] if len(sizes) == 1 else f"greatest({', '.join(sizes)})"
+        pos = (
+            f"(CASE WHEN coalesce({n}, 0) <= 0 THEN array() "
+            f"ELSE sequence(1, {n}) END)"
+        )
+        proj_sql = ", ".join(
+            f"try_element_at({e}, __aj_n) AS {a}" for e, a in projs
+        )
+        exc = f" EXCEPT ({', '.join(excepts)})" if excepts else ""
+        outer = "OUTER " if left else ""
+        masked = (
+            masked[:from_start]
+            + f"FROM (SELECT __aj_l.*{exc}, {proj_sql} "
+            + f"FROM (SELECT * FROM {src}) __aj_l "
+            + f"LATERAL VIEW {outer}explode({pos}) __aj_v AS __aj_n) "
+            + masked[items_end:]
+        )
+
+
+_ASOF_JOIN = re.compile(r"(?i)\basof\s+(left\s+)?join\b")
+_ON_END = re.compile(
+    r"(?i)\b(where|group\s+by|order\s+by|limit|having|union|settings"
+    r"|join|left|right|inner|full|cross|asof|window)\b|[()]"
+)
+_AND_SPLIT = re.compile(r"(?i)\band\b")
+_INEQ = re.compile(r"(?<![<>!=])(>=|<=|>|<)(?![=>])")
+
+
+def _on_span(masked: str, start: int) -> int:
+    """End of an ON condition: next same-depth clause/join keyword,
+    a depth-closing ')' or end of string."""
+    depth = 0
+    for t in _ON_END.finditer(masked, start):
+        tok = t.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+            if depth < 0:
+                return t.start()
+        elif depth == 0:
+            return t.start()
+    return len(masked)
+
+
+def _split_top_and(text: str) -> list[str]:
+    """Split a conjunction on AND at paren depth 0 (strings masked)."""
+    parts, depth, last = [], 0, 0
+    for t in re.finditer(r"(?i)\band\b|[()\[\]]", text):
+        tok = t.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0:
+            parts.append(text[last : t.start()])
+            last = t.end()
+    parts.append(text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _rewrite_asof_join(masked: str) -> str:
+    """CH ``ASOF [LEFT] JOIN r [alias] ON eq-keys AND ts-ineq`` →
+    the interval-join window rewrite of ``operators/asof.py:28``'s
+    union-and-carry semantics, emitted as pure SQL: the right side
+    gains an adjacent-timestamp window column and the ON clause an
+    interval bound, so exactly ONE right row (the as-of match)
+    survives per left row:
+
+    - ``l.ts >= r.ts`` (backward, inclusive):  right interval is
+      ``[r.ts, lead(r.ts))``  → ``AND (lead IS NULL OR l.ts < lead)``
+    - ``l.ts >  r.ts``: ``AND (lead IS NULL OR l.ts <= lead)``
+    - ``l.ts <= r.ts`` (forward): lag — ``AND (lag IS NULL OR l.ts > lag)``
+    - ``l.ts <  r.ts``: ``AND (lag IS NULL OR l.ts >= lag)``
+
+    ASOF JOIN → INNER (unmatched lefts drop, CH semantics); ASOF LEFT
+    JOIN → LEFT with NULL right columns. The window partitions by the
+    right side of every equality conjunct, ordered by the right
+    timestamp — one shuffle on the right, then a plain equi+range
+    hash join; no per-left-row window over the union, and at scale
+    the join stays AQE-skew-splittable. Rights must be unique per
+    (keys, ts) — same precondition as ``asof.py`` and every engine's
+    ASOF. The helper column ``__asof_adj`` is visible to a bare
+    ``SELECT *`` (documented drift; select explicit columns)."""
+    while True:
+        m = _ASOF_JOIN.search(masked)
+        if m is None:
+            return masked
+        left = bool(m.group(1))
+        i = m.end()
+        while i < len(masked) and masked[i].isspace():
+            i += 1
+        # relation: parenthesized subquery or identifier chain
+        if i < len(masked) and masked[i] == "(":
+            depth, j = 0, i
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            rtxt = masked[i:j]
+            base = None
+        else:
+            rm = re.match(r"[A-Za-z_][A-Za-z0-9_.]*", masked[i:])
+            if rm is None:
+                raise ValueError("ASOF JOIN: cannot parse right relation")
+            rtxt = rm.group(0)
+            base = rtxt.split(".")[-1]
+            j = i + rm.end()
+        am = re.match(
+            r"(?is)\s+(?:as\s+)?(?!on\b)([A-Za-z_][A-Za-z0-9_]*)", masked[j:]
+        )
+        ralias = base
+        if am:
+            ralias = am.group(1)
+            j += am.end()
+        if ralias is None:
+            raise ValueError("ASOF JOIN: subquery right side needs an alias")
+        onm = re.match(r"(?is)\s+on\b", masked[j:])
+        if onm is None:
+            raise ValueError("ASOF JOIN requires an ON clause")
+        on_start = j + onm.end()
+        on_end = _on_span(masked, on_start)
+        conjs = _split_top_and(masked[on_start:on_end])
+        rdot = re.compile(rf"(?i)\b{re.escape(ralias)}\.([A-Za-z_][A-Za-z0-9_]*)")
+        ineq = None
+        rkeys: list[str] = []
+        for c in conjs:
+            im = _INEQ.search(c)
+            if im and not re.search(r"(?<![<>!=])=(?!=)", c[: im.start()]):
+                if ineq is not None:
+                    raise ValueError("ASOF JOIN: more than one inequality in ON")
+                lhs, op, rhs = c[: im.start()], im.group(1), c[im.end() :]
+                ineq = (lhs.strip(), op, rhs.strip())
+            else:
+                sm = rdot.search(c)
+                if sm and re.fullmatch(
+                    rf"(?is)\s*{re.escape(ralias)}\.[A-Za-z_][A-Za-z0-9_]*\s*",
+                    c.split("=")[0],
+                ):
+                    rkeys.append(c.split("=")[0].strip().split(".")[-1])
+                elif sm and re.fullmatch(
+                    rf"(?is)\s*{re.escape(ralias)}\.[A-Za-z_][A-Za-z0-9_]*\s*",
+                    c.split("=")[-1],
+                ):
+                    rkeys.append(c.split("=")[-1].strip().split(".")[-1])
+        if ineq is None:
+            raise ValueError("ASOF JOIN: ON clause has no timestamp inequality")
+        lhs, op, rhs = ineq
+        flip = {">": "<", "<": ">", ">=": "<=", "<=": ">="}
+        lhs_r = bool(rdot.search(lhs))
+        rhs_r = bool(rdot.search(rhs))
+        if lhs_r == rhs_r:
+            raise ValueError(
+                "ASOF JOIN: inequality must reference the right relation "
+                "on exactly one side (qualify the columns)"
+            )
+        if lhs_r:  # canonicalize to <left-expr> <op> <ralias>.<ts>
+            lhs, rhs, op = rhs, lhs, flip[op]
+        tm = re.fullmatch(
+            rf"(?is){re.escape(ralias)}\.([A-Za-z_][A-Za-z0-9_]*)", rhs
+        )
+        if tm is None:
+            raise ValueError(
+                "ASOF JOIN: right side of the inequality must be a plain "
+                f"column of {ralias!r}, got {rhs!r}"
+            )
+        ts_col = tm.group(1)
+        fn = "lead" if op in (">", ">=") else "lag"
+        bound = {">=": "<", ">": "<=", "<=": ">", "<": ">="}[op]
+        part = f"PARTITION BY {', '.join(rkeys)} " if rkeys else ""
+        win = f"{fn}({ts_col}) OVER ({part}ORDER BY {ts_col})"
+        adj = f"{ralias}.__asof_adj"
+        newrel = (
+            f"(SELECT *, {win} AS __asof_adj FROM {rtxt} __asof_r) {ralias}"
+        )
+        extra = f" AND ({adj} IS NULL OR ({lhs}) {bound} {adj})"
+        masked = (
+            masked[: m.start()]
+            + ("LEFT " if left else "")
+            + f"JOIN {newrel} ON "
+            + masked[on_start:on_end].strip()
+            + extra
+            + " "
+            + masked[on_end:]
+        )
 
 
 def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
@@ -1185,6 +1481,21 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
     out = _rewrite_calls(out, "addHours", lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))")
     out = _rewrite_calls(out, "addMinutes", lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))")
+    # 64-bit epoch family FIRST (longest-name-first ordering so the
+    # plain toUnixTimestamp rewrite below never clips the 64 names)
+    out = _rewrite_calls(
+        out, "toUnixTimestamp64Milli", lambda a: f"unix_millis({a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "toUnixTimestamp64Micro", lambda a: f"unix_micros({a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "toUnixTimestamp64Nano",
+        # Spark timestamps are µs-resolution; CH DateTime64(9) extra
+        # digits are zeros after a cast, so ×1000 is exact
+        lambda a: f"(unix_micros({a[0]}) * 1000)",
+    )
     out = _rewrite_calls(out, "toUnixTimestamp", lambda a: f"unix_timestamp({', '.join(a)})")
     out = _rewrite_calls(out, "fromUnixTimestamp", lambda a: f"from_unixtime({', '.join(a)})")
 
@@ -1745,6 +2056,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_prewhere(masked)
     # SAMPLE clause → TABLESAMPLE (documented nondeterminism)
     masked = _rewrite_sample_clause(masked)
+    # [LEFT] ARRAY JOIN clause → position-exploded LATERAL VIEW
+    masked = _rewrite_array_join(masked)
+    # ASOF [LEFT] JOIN → adjacent-ts window + interval-bounded join
+    masked = _rewrite_asof_join(masked)
     # LIMIT n BY cols → row_number window wrapper
     masked = _rewrite_limit_by(masked)
     # trailing CH output/settings clauses: `FORMAT <name>` picks a
@@ -1783,7 +2098,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # FROM t FINAL — merge-on-read finalization; our snapshots are
     # already final (store versions), so drop the modifier
     masked = re.sub(
-        r"(?i)\bfinal\b(?=\s*($|\)|,|where|group|order|limit|join|left|right|inner|full|cross|on|having|union))",
+        r"(?i)\bfinal\b(?=\s*($|\)|,|where|group|order|limit|join|left|right|inner|full|cross|on|having|union|asof|array))",
         "",
         masked,
     )

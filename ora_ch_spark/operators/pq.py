@@ -27,8 +27,232 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ora_ch_spark.operators.cluster import _assign, _update, seed_centroids
+from ora_ch_spark.operators.cluster import _assign, seed_centroids
 from ora_ch_spark.operators.similarity import quantize
+
+
+def _explode_subspaces(q: DataFrame, m: int, sub: int, id_col: str) -> DataFrame:
+    """(id, qe) → (id, s, qe): every vector split into its m
+    subvectors under a ``s`` (subspace) column — the shape that lets
+    ALL m trainings run as ONE grouped job instead of m sequential
+    driver-serialized ones (r6 verdict item 3)."""
+    return q.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" t -> slice(qe, t * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "qe"),
+    )
+
+
+def _seed_grouped(
+    q: DataFrame, k_codes: int, m: int, sub: int, id_col: str
+) -> DataFrame:
+    """Grouped twin of ``cluster.seed_centroids``: the k lowest-id
+    vectors seed codes 0..k-1 in EVERY subspace (the per-subspace
+    seed sets are identical by construction — same ids, sliced)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    seeds = (
+        q.orderBy(id_col)
+        .limit(k_codes)
+        .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
+    )
+    return seeds.select(
+        "cluster",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" t -> slice(qe, t * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "cq"),
+    ).select("s", "cluster", "cq")
+
+
+def _assign_grouped(
+    qsub: DataFrame, cents, id_col: str
+) -> DataFrame:
+    """Per-subspace nearest-centroid assignment in ONE Arrow-batched
+    pass (grouped twin of ``cluster._assign``'s pandas path, same
+    argmin/first-min/lowest-cluster trajectory within each subspace).
+    ``cents`` is a (s, cluster, cq) DataFrame or a pre-collected row
+    list — passing rows avoids recomputing the training lineage when
+    the caller already collected it."""
+    import numpy as np
+    import pandas as pdl
+
+    crows = cents if isinstance(cents, list) else cents.collect()
+    by_s: dict[int, tuple] = {}
+    for s in sorted({int(r["s"]) for r in crows}):
+        rows = sorted(
+            (r for r in crows if int(r["s"]) == s), key=lambda r: r["cluster"]
+        )
+        c_ids = np.array([r["cluster"] for r in rows], dtype=np.int64)
+        C = np.array([list(r["cq"]) for r in rows], dtype=np.int64)
+        by_s[s] = (c_ids, C, (C * C).sum(axis=1))
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            out_cluster = np.empty(n, dtype=np.int64)
+            out_dist = np.empty(n, dtype=np.int64)
+            svals = pdf["s"].to_numpy()
+            for s in np.unique(svals):
+                msk = svals == s
+                c_ids, C, c_sq = by_s[int(s)]
+                M = np.array(pdf.loc[msk, "qe"].tolist(), dtype=np.int64)
+                d = (M * M).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (M @ C.T)
+                best = d.argmin(axis=1)  # first min = lowest cluster
+                out_cluster[msk] = c_ids[best]
+                out_dist[msk] = d[np.arange(len(best)), best]
+            yield pdl.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "s": pdf["s"],
+                    "cluster": out_cluster,
+                    "dist": out_dist,
+                    "qe": pdf["qe"],
+                }
+            )
+
+    id_type = dict(qsub.dtypes)[id_col]
+    return (
+        qsub.select(id_col, "s", "qe")
+        .mapInPandas(
+            batches,
+            schema=f"{id_col} {id_type}, s int, cluster bigint, dist bigint, "
+            f"qe array<bigint>",
+        )
+        .withColumn("cluster", F.col("cluster").cast("int"))
+    )
+
+
+def _train_centroids_grouped(
+    qsub: DataFrame, seeds: DataFrame, id_col: str
+) -> list[dict]:
+    """One-job grouped Lloyd update: the assignment kernel itself
+    accumulates per-(subspace, cluster) partial sums (count +
+    element-wise sum vector) across its partition, so the update
+    needs NO posexplode and NO shuffle — one mapInPandas pass emits
+    ~partitions × m × k tiny rows and the floor-of-mean finishes on
+    the driver. Integer partials are exact and order-independent, and
+    the final ``floor(sum / n)`` uses the same double division the
+    relational ``_update`` used, so the trajectory (and every DuckDB
+    replay oracle) is bit-identical. Empty clusters drop, like a
+    groupBy over assigned rows. Returns [{s, cluster, cq}, …]."""
+    import math
+
+    import numpy as np
+    import pandas as pdl
+
+    crows = seeds.collect()
+    by_s: dict[int, tuple] = {}
+    for s in sorted({int(r["s"]) for r in crows}):
+        rows = sorted(
+            (r for r in crows if int(r["s"]) == s), key=lambda r: r["cluster"]
+        )
+        c_ids = np.array([r["cluster"] for r in rows], dtype=np.int64)
+        C = np.array([list(r["cq"]) for r in rows], dtype=np.int64)
+        by_s[s] = (c_ids, C, (C * C).sum(axis=1))
+
+    def partials(it):
+        acc: dict[tuple[int, int], list] = {}
+        for pdf in it:
+            svals = pdf["s"].to_numpy()
+            for s in np.unique(svals):
+                msk = svals == s
+                c_ids, C, c_sq = by_s[int(s)]
+                M = np.array(pdf.loc[msk, "qe"].tolist(), dtype=np.int64)
+                d = (M * M).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (M @ C.T)
+                best = d.argmin(axis=1)
+                for bi in np.unique(best):
+                    key = (int(s), int(c_ids[bi]))
+                    sel = M[best == bi]
+                    ent = acc.get(key)
+                    if ent is None:
+                        acc[key] = [len(sel), sel.sum(axis=0)]
+                    else:
+                        ent[0] += len(sel)
+                        ent[1] = ent[1] + sel.sum(axis=0)
+        if acc:
+            yield pdl.DataFrame(
+                {
+                    "s": [k[0] for k in acc],
+                    "cluster": [k[1] for k in acc],
+                    "n": [v[0] for v in acc.values()],
+                    "sv": [v[1].tolist() for v in acc.values()],
+                }
+            )
+
+    parts = qsub.select("s", "qe").mapInPandas(
+        partials, schema="s int, cluster int, n bigint, sv array<bigint>"
+    ).collect()
+    agg: dict[tuple[int, int], list] = {}
+    for r in parts:
+        key = (r["s"], r["cluster"])
+        ent = agg.get(key)
+        if ent is None:
+            agg[key] = [r["n"], list(r["sv"])]
+        else:
+            ent[0] += r["n"]
+            ent[1] = [a + b for a, b in zip(ent[1], r["sv"])]
+    return [
+        {
+            "s": s,
+            "cluster": c,
+            "cq": [int(math.floor(v / n)) for v in sv],
+        }
+        for (s, c), (n, sv) in sorted(agg.items())
+    ]
+
+
+def _train_encode_grouped(
+    q: DataFrame,
+    qids,
+    m: int,
+    sub: int,
+    k_codes: int,
+    id_col: str,
+):
+    """The folded PQ codebook pipeline shared by :func:`pq_topk` and
+    :func:`ivfadc_topk`: ONE grouped training job (seed → assign →
+    update across all m subspaces), collected ONCE, then encoding and
+    the per-query ADC distance table built from the collected
+    codebook (a literal frame — the training lineage never recomputes).
+    Returns (enc, dt): (n_id, s, code) and (q_id, s, code, dist)."""
+    qsub = _explode_subspaces(q, m, sub, id_col)
+    seeds = _seed_grouped(q, k_codes, m, sub, id_col)
+    crows = _train_centroids_grouped(qsub, seeds, id_col)
+    cents = q.sparkSession.createDataFrame(
+        [(int(r["s"]), int(r["cluster"]), list(r["cq"])) for r in crows],
+        "s int, cluster int, cq array<bigint>",
+    )
+    enc = _assign_grouped(qsub, crows, id_col).select(
+        F.col(id_col).alias("n_id"), "s", F.col("cluster").alias("code")
+    )
+    queries_sub = qsub
+    if qids is not None:
+        queries_sub = qsub.join(qids, F.col(id_col) == F.col("__qid")).drop("__qid")
+    dt = (
+        queries_sub.join(F.broadcast(cents), "s")
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(qe, cq, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .select(
+            F.col(id_col).alias("q_id"),
+            "s",
+            F.col("cluster").alias("code"),
+            "dist",
+        )
+    )
+    return enc, dt
 
 
 def pq_topk(
@@ -58,33 +282,8 @@ def pq_topk(
         if query_ids is not None
         else None
     )
-    parts = []
-    for s in range(m):
-        qs = q.select(
-            id_col, F.expr(f"slice(qe, {s * sub + 1}, {sub})").alias("qe")
-        ).persist()
-        cents = _update(_assign(qs, seed_centroids(qs, k_codes, id_col), id_col))
-        enc = _assign(qs, cents, id_col).select(
-            F.col(id_col).alias("n_id"), F.col("cluster").alias("code")
-        )
-        queries_s = qs
-        if qids is not None:
-            queries_s = qs.join(qids, F.col(id_col) == F.col("__qid")).drop("__qid")
-        dt = (
-            queries_s.crossJoin(F.broadcast(cents))
-            .withColumn(
-                "dist",
-                F.expr(
-                    "aggregate(zip_with(qe, cq, (x, y) -> (x - y) * (x - y)),"
-                    " 0L, (acc, v) -> acc + v)"
-                ),
-            )
-            .select(F.col(id_col).alias("q_id"), F.col("cluster").alias("code"), "dist")
-        )
-        parts.append(enc.join(F.broadcast(dt), "code").select("q_id", "n_id", "dist"))
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
+    enc, dt = _train_encode_grouped(q, qids, m, sub, k_codes, id_col)
+    allp = enc.join(F.broadcast(dt), ["s", "code"]).select("q_id", "n_id", "dist")
     adc = (
         allp.filter(F.col("q_id") != F.col("n_id"))
         .groupBy("q_id", "n_id")
@@ -342,46 +541,9 @@ def ivfadc_topk(
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
     )
-    # ---- PQ training + encoding (identical trajectory to pq_topk) --
-    enc_parts = []
-    dt_parts = []
-    for s in range(m):
-        qs = q.select(
-            id_col, F.expr(f"slice(qe, {s * sub + 1}, {sub})").alias("qe")
-        ).persist()
-        cents = _update(_assign(qs, seed_centroids(qs, k_codes, id_col), id_col))
-        enc_parts.append(
-            _assign(qs, cents, id_col).select(
-                F.col(id_col).alias("n_id"),
-                F.lit(s).alias("s"),
-                F.col("cluster").alias("code"),
-            )
-        )
-        queries_s = qs
-        if qids is not None:
-            queries_s = qs.join(qids, F.col(id_col) == F.col("__qid")).drop("__qid")
-        dt_parts.append(
-            queries_s.crossJoin(F.broadcast(cents))
-            .withColumn(
-                "dist",
-                F.expr(
-                    "aggregate(zip_with(qe, cq, (x, y) -> (x - y) * (x - y)),"
-                    " 0L, (acc, v) -> acc + v)"
-                ),
-            )
-            .select(
-                F.col(id_col).alias("q_id"),
-                F.lit(s).alias("s"),
-                F.col("cluster").alias("code"),
-                "dist",
-            )
-        )
-    enc_all = enc_parts[0]
-    for p in enc_parts[1:]:
-        enc_all = enc_all.unionByName(p)
-    dt_all = dt_parts[0]
-    for p in dt_parts[1:]:
-        dt_all = dt_all.unionByName(p)
+    # ---- PQ training + encoding (identical trajectory to pq_topk,
+    # folded into ONE grouped job — r6 verdict item 3) --
+    enc_all, dt_all = _train_encode_grouped(q, qids, m, sub, k_codes, id_col)
     # ---- ADC over candidates only: (q,n) → m code rows → broadcast
     # lookup → partial-agg sum. pq_topk instead expands dt against
     # the FULL code table — correct, but O(|Q|·N·m); here the

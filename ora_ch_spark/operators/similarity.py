@@ -296,9 +296,16 @@ def embedding_near_dup_pairs(
         # one quantization pass, spread across the pool (a small corpus
         # arrives as one parquet split, which would serialize the plane
         # dot-products AND the candidate verify onto a single task),
-        # persisted so it feeds bucket build + both verify sides
+        # persisted so it feeds bucket build + both verify sides.
+        # Norms ride along per VECTOR (N values), so the pair-verify
+        # computes only the dot per candidate — the two norm folds
+        # would otherwise re-run per PAIR (~2^planes × more rows).
         par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        q = quantize(emb.repartition(par), emb_col, "qe").persist()
+        q = (
+            quantize(emb.repartition(par), emb_col, "qe")
+            .withColumn("__n2", _norm2("qe"))
+            .persist()
+        )
         bb = banded_lsh_buckets(
             emb, id_col, emb_col, n_tables, n_planes, dims, q=q
         ).persist()
@@ -310,14 +317,33 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        va = q.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"))
-        vb = q.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"))
+        va = q.select(
+            F.col(id_col).alias("id_a"),
+            F.col("qe").alias("qa"),
+            F.col("__n2").alias("__na"),
+        )
+        vb = q.select(
+            F.col(id_col).alias("id_b"),
+            F.col("qe").alias("qb"),
+            F.col("__n2").alias("__nb"),
+        )
         pairs = cand.join(va, "id_a").join(vb, "id_b")
-    else:
-        q = quantize(emb, emb_col, "qe")
-        a = q.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"))
-        c = q.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"))
-        pairs = a.crossJoin(c).filter(F.col("id_a") < F.col("id_b"))
+        # same double ops in the same order as with_cosine — values
+        # bit-identical, the norms are just computed once per vector
+        cos = F.col("__dot").cast("double") / (
+            F.sqrt(F.col("__na").cast("double"))
+            * F.sqrt(F.col("__nb").cast("double"))
+        )
+        return (
+            pairs.withColumn("__dot", _dot("qa", "qb"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    q = quantize(emb, emb_col, "qe")
+    a = q.select(F.col(id_col).alias("id_a"), F.col("qe").alias("qa"))
+    c = q.select(F.col(id_col).alias("id_b"), F.col("qe").alias("qb"))
+    pairs = a.crossJoin(c).filter(F.col("id_a") < F.col("id_b"))
     return (
         with_cosine(pairs)
         .filter(F.col("cosine") >= threshold)

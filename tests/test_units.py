@@ -1899,19 +1899,22 @@ def test_dialect_round5_advice_regressions():
     literal within precision or the call passes through whole."""
     from ora_ch_spark.functions.dialect import translate_ch_sql as T
 
-    # (1) literal subscript → 1-based try_element_at
+    # (1) literal subscript → 1-based try_element_at; the index is
+    # nullif-guarded so index 0 yields NULL instead of Spark's
+    # INVALID_INDEX_OF_ZERO (ADVICE r06 — same drift as arrayElement)
     assert (
         T("select ['a', 'b'][i] from t")
-        == "select try_element_at(array('a', 'b'), i) from t"
+        == "select try_element_at(array('a', 'b'), nullif(i, 0)) from t"
     )
     assert (
-        T("select [10, 20][2] x") == "select try_element_at(array(10, 20), 2) x"
+        T("select [10, 20][2] x")
+        == "select try_element_at(array(10, 20), nullif(2, 0)) x"
     )
     # chained subscripts wrap outward
     assert (
         T("select [[1,2],[3,4]][1][2] x")
         == "select try_element_at(try_element_at("
-        "array(array(1,2),array(3,4)), 1), 2) x"
+        "array(array(1,2),array(3,4)), nullif(1, 0)), nullif(2, 0)) x"
     )
     # identifier / backtick indexing still untouched (idempotence)
     assert T("select arr[1] from t") == "select arr[1] from t"
@@ -2379,3 +2382,82 @@ def test_dialect_limit_by_offset_and_union():
     assert "union allSELECT" not in u
     for src in (a, b, u):
         assert T(src) == src  # idempotent
+
+
+def test_dialect_array_join_clause():
+    """[LEFT] ARRAY JOIN clause → position-exploded LATERAL VIEW
+    (r6 verdict item 1): aliased, unaliased-shadow (qualified-star
+    EXCEPT), multi-array zip, and LEFT (OUTER explode) forms."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    out = T("SELECT k, a FROM t ARRAY JOIN arr AS a WHERE a > 1")
+    assert "LATERAL VIEW explode(" in out
+    assert "try_element_at(arr, __aj_n) AS a" in out
+    assert out.endswith("WHERE a > 1")
+    # LEFT → OUTER, unaliased bare identifier shadows the column
+    out = T("SELECT k, arr FROM t LEFT ARRAY JOIN arr")
+    assert "LATERAL VIEW OUTER explode(" in out
+    assert "__aj_l.* EXCEPT (arr)" in out
+    assert "AS arr" in out
+    # multi-array zip: positions over greatest(sizes)
+    out = T("SELECT a, b FROM t ARRAY JOIN x AS a, y AS b")
+    assert "greatest(size(x), size(y))" in out
+    assert "try_element_at(x, __aj_n) AS a" in out
+    assert "try_element_at(y, __aj_n) AS b" in out
+    # array-literal item (the '[' after JOIN is provably CH)
+    out = T("SELECT x FROM t ARRAY JOIN [1,2,3] AS x")
+    assert "try_element_at(array(1,2,3), __aj_n) AS x" in out
+    # expression items need an alias, like CH
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires AS alias"):
+        T("SELECT 1 FROM t ARRAY JOIN arrayConcat(a, b)")
+    # idempotent on already-ANSI text (no ARRAY JOIN tokens emitted)
+    once = T("SELECT k, a FROM t ARRAY JOIN arr AS a")
+    assert T(once) == once
+
+
+def test_dialect_asof_join_clause():
+    """ASOF [LEFT] JOIN clause → adjacent-ts window + interval-bound
+    rewrite (r6 verdict item 2): all four inequality directions,
+    flipped operand order, inner vs left, and the error paths."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+    import pytest as _pytest
+
+    out = T("SELECT l.id, r.v FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts")
+    assert "lead(ts) OVER (PARTITION BY k ORDER BY ts)" in out
+    assert "AND (r.__asof_adj IS NULL OR (l.ts) < r.__asof_adj)" in out
+    assert " JOIN (" in out and "LEFT JOIN" not in out
+    # LEFT form + flipped operands canonicalize to the same bound
+    out2 = T(
+        "SELECT l.id, r.v FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts <= l.ts"
+    )
+    assert "LEFT JOIN (" in out2
+    assert "(l.ts) < r.__asof_adj" in out2
+    # strict backward / forward / strict forward bounds
+    assert "(l.ts) <= r.__asof_adj" in T(
+        "SELECT 1 FROM l ASOF JOIN r ON l.k = r.k AND l.ts > r.ts"
+    )
+    fwd = T("SELECT 1 FROM l ASOF JOIN r ON l.k = r.k AND l.ts <= r.ts")
+    assert "lag(ts) OVER" in fwd and "(l.ts) > r.__asof_adj" in fwd
+    assert "(l.ts) >= r.__asof_adj" in T(
+        "SELECT 1 FROM l ASOF JOIN r ON l.k = r.k AND l.ts < r.ts"
+    )
+    # multiple equality keys all partition the window
+    out3 = T(
+        "SELECT 1 FROM l ASOF JOIN r ON l.a = r.a AND l.b = r.b AND l.ts >= r.ts"
+    )
+    assert "PARTITION BY a, b ORDER BY ts" in out3
+    # subquery right side keeps its alias
+    out4 = T(
+        "SELECT 1 FROM l ASOF LEFT JOIN (SELECT k, ts FROM q) AS p "
+        "ON l.k = p.k AND l.ts >= p.ts"
+    )
+    assert "FROM (SELECT k, ts FROM q) __asof_r) p" in out4
+    with _pytest.raises(ValueError, match="no timestamp inequality"):
+        T("SELECT 1 FROM l ASOF JOIN r ON l.k = r.k")
+    with _pytest.raises(ValueError, match="exactly one side"):
+        T("SELECT 1 FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= l.ts2")
+    # idempotent: the rewrite leaves no ASOF tokens behind
+    once = T("SELECT l.id FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts")
+    assert T(once) == once
