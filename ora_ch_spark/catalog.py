@@ -1178,6 +1178,17 @@ _V6184_PATH = (
     "/root/reference/ora_ch_app/src/main/resources/"
     "v_cache_for_calc_6184_4626.txt"
 )
+# vendored byte-identical fixture (tests/fixtures/, provenance header
+# stripped by the loader) so the verbatim gate and the CalcEngine e2e
+# never skip on a checkout without the reference tree
+_V6184_VENDORED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "v_cache_for_calc_6184_4626.txt",
+)
+
+
+def _v6184_path() -> str:
+    return _V6184_PATH if os.path.exists(_V6184_PATH) else _V6184_VENDORED
 
 # synthetic fixture tables with the production schemas, derived
 # deterministically from the TPC-H-ish parquet so the DuckDB oracle
@@ -1303,12 +1314,26 @@ _V6184_VALUES = {
 def _v6184_view_body() -> str:
     import re as _re
 
-    with open(_V6184_PATH, encoding="utf-8") as fh:
+    path = _v6184_path()
+    with open(path, encoding="utf-8") as fh:
         txt = fh.read()
     m = _re.search(r"CREATE VIEW[^\n]*AS\n", txt)
     if m is None:
-        raise ValueError(f"no CREATE VIEW body in {_V6184_PATH}")
+        raise ValueError(f"no CREATE VIEW body in {path}")
     return txt[m.end():].rstrip().rstrip(";")
+
+
+def _v6184_create_fixture_views(spark: SparkSession, sf_dir: str) -> None:
+    """Create the production-named fixture views (metadata only, no
+    data copied) so the verbatim text's qualified references resolve.
+    Shared by the gated entry and the CalcEngine e2e test."""
+    for (db, tbl), sel in _V6184_FIXTURES.items():
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        body = sel.format(
+            L=f"parquet.`{sf_dir}/lineitem.parquet`",
+            O=f"parquet.`{sf_dir}/orders.parquet`",
+        )
+        spark.sql(f"CREATE OR REPLACE VIEW {db}.{tbl} AS {body}")
 
 
 def calc_verbatim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1325,13 +1350,7 @@ def calc_verbatim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.functions.dialect import translate_ch_sql
     from ora_ch_spark.functions.params import bind_params
 
-    for (db, tbl), sel in _V6184_FIXTURES.items():
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        body = sel.format(
-            L=f"parquet.`{sf_dir}/lineitem.parquet`",
-            O=f"parquet.`{sf_dir}/orders.parquet`",
-        )
-        spark.sql(f"CREATE OR REPLACE VIEW {db}.{tbl} AS {body}")
+    _v6184_create_fixture_views(spark, sf_dir)
     bound = bind_params(_v6184_view_body(), _V6184_PARAMS, _V6184_VALUES)
     out = spark.sql(translate_ch_sql(bound))
     # total output order: fp_id is NOT unique ((l_orderkey,

@@ -4469,6 +4469,27 @@ ORDER BY q_id, rank
 """
 
 
+def sim_maxsim_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-adaptive MaxSim dispatch (r6 verdict item 6), pinned to
+    the ROUTED branch: crossover thresholds of 0 classify any corpus
+    as large, so ``maxsim_topk_groups_auto`` must hand off to the
+    IVF-routed probe — hash-gated against the routed oracle (picking
+    exact instead would hash-mismatch wherever probed-list recall
+    differs from the full scan). The dispatch decision itself reads
+    only the index manifest (zero Spark jobs; unit-pinned by
+    tests/test_lines_search_cluster.py::test_maxsim_size_adaptive_dispatch)."""
+    from ora_ch_spark.catalog import _tmp_store
+
+    store = _tmp_store(spark)
+    store.create_database("ch")
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.build_ivf_index(store, "ch", emb, keep_cols=("label",))
+    return S.maxsim_topk_groups_auto(
+        store, "ch", emb.filter("vec_id < 10"),
+        exact_max_rows=0, exact_max_bytes=0,
+    ).orderBy("q_id", "rank")
+
+
 def sim_topk_ivfadc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (VERDICT r04 item 4): coarse-quantizer routing over the
     PQ code table — compressed ADC scoring restricted to the probed
@@ -4750,6 +4771,8 @@ EXT_QUERIES: list[QueryDef] = [
              "RAG composite: chunk -> hash-embed -> IVF route -> exact top-k, full pipeline replay"),
     QueryDef("sim_maxsim_ivf", sim_maxsim_ivf_q, SIM_MAXSIM_IVF_ORACLE,
              "IVF-routed MaxSim group retrieval from the persisted index (probed lists only)"),
+    QueryDef("sim_maxsim_auto", sim_maxsim_auto_q, SIM_MAXSIM_IVF_ORACLE,
+             "size-adaptive MaxSim dispatch (manifest-driven) pinned to the routed branch"),
     QueryDef("sim_topk_ivfadc", sim_topk_ivfadc_q, _ivfadc_oracle(),
              "IVFADC: coarse-routed compressed search (PQ codes scored in probed lists only)"),
     QueryDef("sim_topk_sq8", sim_topk_sq8_q, SIM_SQ8_ORACLE,

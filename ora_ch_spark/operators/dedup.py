@@ -308,6 +308,39 @@ def _banded_self_pairs(
     )
 
 
+# auto-salting trigger (r6 verdict item 7): salt only when the band
+# histogram shows a band BOTH relatively skewed (hottest band ≫ the
+# mean band population) and absolutely hot (enough rows that its n²
+# pair blow-up matters); block size targets ~512 rows per triangle
+# block so the hot band's reducers stay bounded
+_SALT_SKEW_RATIO = 8.0
+_SALT_MIN_BAND_ROWS = 256
+_SALT_TARGET_BLOCK_ROWS = 512
+
+
+def auto_salt_buckets(bb: DataFrame, key_cols: list[str]) -> int | None:
+    """Decide triangle-blocking from ``profile.key_skew_report`` over
+    the composite band key: None (no salting) unless the hottest band
+    crosses BOTH the relative-skew and absolute-size thresholds, else
+    a bucket count sized so each block holds ~``_SALT_TARGET_BLOCK_
+    ROWS`` of the hot band (capped at 16 — replication cost is
+    (B+1)/2 per row). One partial-aggregable count pass over the band
+    table — the same shuffle key the self-join would use, paid once
+    to avoid a stalled reducer at scale."""
+    import math
+
+    from ora_ch_spark.operators.profile import key_skew_report
+
+    rep = key_skew_report(
+        bb.select(F.struct(*key_cols).alias("__bk")), "__bk", top=1
+    ).first()
+    if rep is None:
+        return None
+    if rep["skew_ratio"] <= _SALT_SKEW_RATIO or rep["cnt"] < _SALT_MIN_BAND_ROWS:
+        return None
+    return max(2, min(16, math.ceil(rep["cnt"] / _SALT_TARGET_BLOCK_ROWS)))
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -316,7 +349,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
-    salt_buckets: int | None = None,
+    salt_buckets: int | None | str = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dedup: returns (id_a, id_b,
     jaccard) pairs above the threshold.
@@ -339,6 +372,12 @@ def minhash_lsh_dedup(
         F.col(id_col), F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e")
     ).select(id_col, "e.band", *[f"e.k{j}" for j in range(n_keys)])
     key_cols = ["band"] + [f"k{j}" for j in range(n_keys)]
+    if salt_buckets == "auto":
+        # skew-driven trigger (r6 verdict item 7): one count pass over
+        # the band table decides; the band table feeds both the report
+        # and the self-join, so persist it for the double consumption
+        bb = bb.persist()
+        salt_buckets = auto_salt_buckets(bb, key_cols)
     cands = _banded_self_pairs(bb, key_cols, id_col, salt_buckets)
     pruned = _length_prune(cands, arr, arr, id_col, "id_a", "id_b", "na", "nb", threshold)
     ga = arr.select(F.col(id_col).alias("id_a"), F.col("sharr").alias("ga"))

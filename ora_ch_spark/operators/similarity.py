@@ -594,6 +594,31 @@ def ivf_index_append(
     )
 
 
+_FANOUT_MAX_BYTES = 512 << 20  # redistribute only sub-512 MiB slices
+
+
+def _fan_out_probed(store, schema, name, corpus, probe_lists):
+    """Right-size the parallelism of a partition-pruned list probe:
+    a small probed slice arrives as ~one task per (single) list file,
+    which serializes the candidate scoring onto 1-2 cores while the
+    rest of the pool idles (measured 1.6× end-to-end on a 512k-row
+    index, PLANS.md "MaxSim dispatch crossover"). When the manifest
+    says the probed files number fewer than the shuffle width AND the
+    slice is small (< 512 MiB — a cheap shuffle), redistribute before
+    scoring. At 100 TB a probed list spans many files, the file count
+    alone exceeds the pool, and this is a no-op — the gate reads only
+    the manifest, zero Spark jobs."""
+    par = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    files, _rows, nbytes = store.partition_stats(
+        schema, f"{name}_assign", "centroid", probe_lists
+    )
+    if 0 < files < par and nbytes < _FANOUT_MAX_BYTES:
+        return corpus.repartition(par)
+    return corpus
+
+
 def ivf_topk_from_index(
     store,
     schema: str,
@@ -635,6 +660,7 @@ def ivf_topk_from_index(
         .filter(F.col("centroid").isin(probe_lists))
         .select(F.col(id_col).alias("n_id"), "centroid", F.col("qe").alias("qb"))
     )
+    corpus = _fan_out_probed(store, schema, name, corpus, probe_lists)
     cands = probes.join(corpus, "centroid").filter(F.col("q_id") != F.col("n_id"))
     scored = with_cosine(cands, qa="qa", qb="qb").select("q_id", "n_id", "cosine")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -739,8 +765,115 @@ def maxsim_topk_groups_ivf(
             F.col("qe").alias("qb"),
         )
     )
+    corpus = _fan_out_probed(store, schema, name, corpus, probe_lists)
     cands = probes.join(corpus, "centroid").filter(F.col("q_id") != F.col("n_id"))
     scored = with_cosine(cands, qa="qa", qb="qb").select("q_id", "grp", "cosine")
+    g = scored.groupBy("q_id", "grp").agg(F.max("cosine").alias("maxsim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("grp"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("grp").alias(group_col), "rank", "maxsim")
+    )
+
+
+# Crossover for the MaxSim dispatcher, measured on local[32] at 64-dim
+# quantized vectors (PLANS.md "MaxSim dispatch crossover"): below this
+# the exact one-scan broadcast product beats the routed probe's extra
+# fixed stages (probe window + checkpoint + pruned read); above it the
+# probe's n_probe/n_lists scan fraction wins and keeps winning —
+# the exact path's |Q|·N product grows linearly in N while the routed
+# path scans only the probed lists. Byte bound guards the same
+# decision against wide rows (many keep_cols) at a low row count.
+MAXSIM_EXACT_MAX_ROWS = 16_000
+MAXSIM_EXACT_MAX_BYTES = 64 << 20  # 64 MiB of index bytes
+
+
+def maxsim_dispatch_choice(
+    store,
+    schema: str,
+    name: str = "ivf",
+    exact_max_rows: int = MAXSIM_EXACT_MAX_ROWS,
+    exact_max_bytes: int = MAXSIM_EXACT_MAX_BYTES,
+    n_queries: int | None = None,
+    n_probe: int = 2,
+) -> str:
+    """The dispatch decision alone (r6 verdict item 6): 'exact' when
+    the index manifest's row AND byte counts sit under the measured
+    crossover, OR when the query batch's probes would cover the whole
+    index anyway (``n_queries × n_probe ≥ n_lists`` — measured on a
+    16-list index: 10 queries probed 14 distinct lists, the "pruned"
+    read loaded 86% of the rows and routed lost to exact at EVERY
+    size; PLANS.md "MaxSim dispatch crossover"). Else 'routed'. Pure
+    manifest reads — zero Spark jobs, so a recurring-query service
+    can decide per batch for free."""
+    rows = store.row_count(schema, f"{name}_assign")
+    nbytes = store.table_bytes(schema, f"{name}_assign")
+    if rows <= exact_max_rows and nbytes <= exact_max_bytes:
+        return "exact"
+    if n_queries is not None:
+        n_lists = store.row_count(schema, f"{name}_centroids")
+        if n_queries * n_probe >= n_lists:
+            # probes blanket the lists: routing scans ~everything and
+            # still pays its fixed probe stages — exact wins
+            return "exact"
+    return "routed"
+
+
+def maxsim_topk_groups_auto(
+    store,
+    schema: str,
+    queries_emb: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    group_col: str = "label",
+    k: int = 3,
+    n_probe: int = 2,
+    exact_max_rows: int = MAXSIM_EXACT_MAX_ROWS,
+    exact_max_bytes: int = MAXSIM_EXACT_MAX_BYTES,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """Size-adaptive MaxSim over a persisted IVF index (r6 verdict
+    item 6): :func:`maxsim_dispatch_choice` reads the index
+    manifest's row/byte counts and picks
+
+    - **exact**: one full scan of the stored assign table against the
+      broadcast queries — bit-identical to
+      :func:`maxsim_topk_groups` on the source frame (the stored
+      ``qe`` IS the quantization), zero recall loss; right below the
+      crossover where the routed probe's fixed stages dominate.
+    - **routed**: :func:`maxsim_topk_groups_ivf`'s partition-pruned
+      n_probe-list probe — the only shape that holds at 100 TB, where
+      a full scan per query batch is the bottleneck.
+
+    Both paths read ONLY the index tables, so the dispatch never
+    changes what data must exist — just how much of it is touched.
+    ``n_queries`` feeds the probe-coverage rule; pass it when known
+    (None skips that rule rather than paying a count job)."""
+    if (
+        maxsim_dispatch_choice(
+            store, schema, name, exact_max_rows, exact_max_bytes,
+            n_queries=n_queries, n_probe=n_probe,
+        )
+        == "routed"
+    ):
+        return maxsim_topk_groups_ivf(
+            store, schema, queries_emb, name=name, id_col=id_col,
+            emb_col=emb_col, group_col=group_col, k=k, n_probe=n_probe,
+        )
+    corpus = store.read(schema, f"{name}_assign").select(
+        F.col(id_col).alias("n_id"),
+        F.col(group_col).alias("grp"),
+        F.col("qe").alias("qb"),
+    )
+    queries = quantize(queries_emb, emb_col, "qe").select(
+        F.col(id_col).alias("q_id"), F.col("qe").alias("qa")
+    )
+    pairs = (
+        F.broadcast(queries).crossJoin(corpus).filter(F.col("q_id") != F.col("n_id"))
+    )
+    scored = with_cosine(pairs).select("q_id", "grp", "cosine")
     g = scored.groupBy("q_id", "grp").agg(F.max("cosine").alias("maxsim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("grp"))
     return (

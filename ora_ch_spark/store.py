@@ -486,6 +486,30 @@ class TableStore:
         ``system.tables.total_rows`` in the reference)."""
         return self._manifest(schema, table)["rows"]
 
+    def table_bytes(self, schema: str, table: str) -> int:
+        """On-disk byte total from the manifest's per-file stats —
+        zero Spark jobs (``system.tables.total_bytes`` analogue).
+        Feeds size-adaptive dispatch (e.g. exact-scan vs IVF-routed
+        MaxSim) without touching the data."""
+        return sum(fe["bytes"] for fe in self._manifest(schema, table)["files"])
+
+    def partition_stats(
+        self, schema: str, table: str, column: str, values
+    ) -> tuple[int, int, int]:
+        """(files, rows, bytes) summed over the manifest files whose
+        hive partition directory ``column=value`` matches one of
+        ``values`` — the size of a partition-pruned read, known for
+        zero Spark jobs. Lets an index probe decide whether the
+        pruned slice is small enough to fan out across the pool."""
+        want = {f"{column}={v}" for v in values}
+        files = rows = nbytes = 0
+        for fe in self._manifest(schema, table)["files"]:
+            if any(seg in want for seg in fe["path"].split("/")):
+                files += 1
+                rows += fe["rows"]
+                nbytes += fe["bytes"]
+        return files, rows, nbytes
+
     def max_value(self, schema: str, table: str, column: str):
         """O3 watermark probe ≡ ``MaxValAndCnt``
         (jdbsChSession.scala:93-121): max over per-file footer maxima —

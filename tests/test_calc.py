@@ -362,24 +362,32 @@ def test_salted_join_rejects_small_side_preserving_modes(spark):
 
 
 def test_verbatim_6184_translates_clean():
-    """The verbatim production text (reference resource, read at run
-    time) must come out of bind_params + translate_ch_sql with every
-    placeholder bound and every CH-only function rewritten."""
+    """The verbatim production text must come out of bind_params +
+    translate_ch_sql with every placeholder bound and every CH-only
+    function rewritten. The text is vendored as a test fixture
+    (tests/fixtures/), so this can never skip; when the reference
+    checkout IS present, the vendored copy must match it byte for
+    byte (r6 verdict item 5)."""
     import os
-
-    import pytest
 
     from ora_ch_spark.catalog import (
         _V6184_PARAMS,
         _V6184_PATH,
         _V6184_VALUES,
+        _V6184_VENDORED,
         _v6184_view_body,
     )
     from ora_ch_spark.functions.dialect import translate_ch_sql
     from ora_ch_spark.functions.params import bind_params
 
-    if not os.path.exists(_V6184_PATH):
-        pytest.skip("reference checkout not present")
+    assert os.path.exists(_V6184_VENDORED)
+    if os.path.exists(_V6184_PATH):
+        with open(_V6184_PATH, encoding="utf-8") as fh:
+            ref = fh.read()
+        with open(_V6184_VENDORED, encoding="utf-8") as fh:
+            vend = fh.read()
+        # vendored = provenance header + verbatim reference bytes
+        assert vend.endswith(ref), "vendored fixture drifted from reference"
     body = _v6184_view_body()
     assert "CREATE VIEW" not in body and body.lstrip().startswith("select")
     out = translate_ch_sql(bind_params(body, _V6184_PARAMS, _V6184_VALUES))
@@ -389,3 +397,75 @@ def test_verbatim_6184_translates_clean():
         assert ch_only not in out, ch_only
     # binding is typed: the String param arrives quoted, numerics bare
     assert "'1998-02-15'" in out and "20240101" in out and "= 1997" in out
+
+
+def test_verbatim_6184_full_calc_engine_e2e(spark, sf_correct):
+    """r6 verdict item 5: the UNMODIFIED production text through the
+    FULL CalcEngine lifecycle — bind → translate → materialize into
+    the columnar store (C2) → local-cache promotion (C3) → export to
+    a LIVE Derby database (S5, playing Oracle) — and the exported
+    rows must equal the gated ``calc_verbatim_6184`` result exactly
+    (same sf, row-for-row, value-for-value). The prior coverage
+    proved bind+translate+execute only; this drives the engine."""
+    import os
+    import tempfile
+
+    from ora_ch_spark.catalog import (
+        _V6184_PARAMS,
+        _V6184_VALUES,
+        _v6184_create_fixture_views,
+        _v6184_view_body,
+        calc_verbatim_q,
+    )
+    from ora_ch_spark.plans.calc import CalcEngine
+    from ora_ch_spark.sinks.jdbc import JdbcSinkConfig, jdbc_export
+    from ora_ch_spark.specs import CalcQuery, QueryMeta
+    from ora_ch_spark.store import TableStore
+
+    _v6184_create_fixture_views(spark, sf_correct)
+    derby = "org.apache.derby.jdbc.EmbeddedDriver"
+    db = os.path.join(tempfile.mkdtemp(prefix="derby_calc6184_"), "oradb")
+    url = f"jdbc:derby:{db};create=true"
+    cfg = JdbcSinkConfig(url=url, driver=derby)
+
+    def sink(df, meta_, parts):
+        jdbc_export(df, cfg, meta_.ora_table, parts=parts)
+        return df.count()
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="calc6184_store_"))
+    meta = QueryMeta(
+        query_id=6184,
+        ch_table="ch_cache_6184",
+        ora_table="CACHE_6184_EXPORT",
+        query=_v6184_view_body(),
+        params=_V6184_PARAMS,
+        ch_schema="calcdb",
+        ora_schema="oradb",
+    )
+    engine = CalcEngine(spark, store, {6184: meta}, export_sink=sink)
+    copied = engine.run(
+        [CalcQuery(query_id=6184, copy_to_local_cache=True,
+                   params=dict(_V6184_VALUES))]
+    )
+    gated = calc_verbatim_q(spark, sf_correct)
+    exp_rows = gated.collect()
+    assert copied[6184] == len(exp_rows) > 0
+    # C3 created the stripped-prefix local cache with the same rows
+    assert store.table_exists("calcdb", "cache_6184")
+    assert store.row_count("calcdb", "cache_6184") == len(exp_rows)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "CACHE_6184_EXPORT")
+        .option("driver", derby)
+        .load()
+    )
+    cols = gated.columns
+    back = back.toDF(*[c.lower() for c in back.columns]).select(*cols)
+
+    def _key(t):  # None-safe total order
+        return tuple((v is None, v) for v in t)
+
+    assert sorted(map(tuple, exp_rows), key=_key) == sorted(
+        map(tuple, back.collect()), key=_key
+    )

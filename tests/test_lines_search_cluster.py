@@ -533,6 +533,65 @@ def test_maxsim_ivf_recall_floor_and_pruned_reads(spark, sf_smoke, tmp_path):
         assert r["maxsim"] <= full[(r["q_id"], r["label"])] + 1e-12
 
 
+def test_maxsim_size_adaptive_dispatch(spark, sf_smoke, tmp_path):
+    """r6 verdict item 6: the dispatcher picks exact vs routed from
+    the index MANIFEST (rows/bytes + probe coverage), and each branch
+    is value-identical to its dedicated twin."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+    from ora_ch_spark.store import TableStore
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    store = TableStore(spark, str(tmp_path / "msauto"))
+    store.create_database("ch")
+    S.build_ivf_index(store, "ch", emb, keep_cols=("label",))
+    n = store.row_count("ch", "ivf_assign")
+    # decision flips purely on the manifest thresholds — zero jobs
+    assert S.maxsim_dispatch_choice(store, "ch", exact_max_rows=n) == "exact"
+    assert S.maxsim_dispatch_choice(store, "ch", exact_max_rows=n - 1) == "routed"
+    # byte bound guards independently of the row bound
+    assert (
+        S.maxsim_dispatch_choice(store, "ch", exact_max_rows=n, exact_max_bytes=0)
+        == "routed"
+    )
+    # probe-coverage rule: a batch whose probes blanket the lists
+    # (n_queries*n_probe >= n_lists=16) forces exact at ANY size
+    assert (
+        S.maxsim_dispatch_choice(
+            store, "ch", exact_max_rows=0, exact_max_bytes=0, n_queries=8, n_probe=2
+        )
+        == "exact"
+    )
+    assert (
+        S.maxsim_dispatch_choice(
+            store, "ch", exact_max_rows=0, exact_max_bytes=0, n_queries=7, n_probe=2
+        )
+        == "routed"
+    )
+    # exact branch ≡ maxsim_topk_groups on the source frame
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    got_exact = sorted(
+        S.maxsim_topk_groups_auto(store, "ch", qids, exact_max_rows=n).collect(),
+        key=key,
+    )
+    twin_exact = sorted(
+        S.maxsim_topk_groups(emb, query_ids=qids).collect(), key=key
+    )
+    assert [tuple(r) for r in got_exact] == [tuple(r) for r in twin_exact]
+    # routed branch ≡ maxsim_topk_groups_ivf on the same index
+    got_routed = sorted(
+        S.maxsim_topk_groups_auto(
+            store, "ch", qids, exact_max_rows=0, exact_max_bytes=0
+        ).collect(),
+        key=key,
+    )
+    twin_routed = sorted(
+        S.maxsim_topk_groups_ivf(store, "ch", qids).collect(), key=key
+    )
+    assert [tuple(r) for r in got_routed] == [tuple(r) for r in twin_routed]
+
+
 def test_ivfadc_subset_of_pq_and_recall(spark, sf_smoke):
     """IVFADC returns pairs whose ADC distance equals the full PQ
     scan's distance for the same pair (same codebooks — routing must

@@ -450,6 +450,56 @@ def test_salted_band_self_join_equals_plain(spark):
     assert "__bi" not in plain._jdf.queryExecution().executedPlan().toString()
 
 
+def test_auto_salt_trigger_flips_on_hot_band(spark):
+    """r6 verdict item 7: ``salt_buckets="auto"`` wires the
+    key_skew_report trigger into the LSH dedup — a healthy corpus
+    must NOT salt (no replication cost paid), a PLANTED hot band must
+    flip the trigger, and the pair set is unchanged either way."""
+    from ora_ch_spark.operators.dedup import (
+        auto_salt_buckets,
+        minhash_lsh_dedup,
+        packed_band_keys,
+        rowwise_minhash_cols,
+        shingle_hash_arrays,
+    )
+    from pyspark.sql import functions as F
+
+    def band_table(docs):
+        arr = shingle_hash_arrays(docs, "doc_id", "text", 3)
+        sig = arr.select(F.col("doc_id"), *rowwise_minhash_cols("sharr", 16))
+        bb = sig.select(
+            "doc_id", F.explode(F.array(*packed_band_keys(16, 4))).alias("e")
+        ).select("doc_id", "e.band", "e.k0", "e.k1")
+        return bb, ["band", "k0", "k1"]
+
+    chatter = [
+        (i, f"unique document number {i} about topic {i * 7} and item {i * 13}")
+        for i in range(80)
+    ]
+    healthy = spark.createDataFrame(chatter, "doc_id bigint, text string")
+    bb, keys = band_table(healthy)
+    assert auto_salt_buckets(bb, keys) is None
+    # plant a hot band: 300 identical boilerplate docs share EVERY
+    # band key → cnt=300 ≥ the absolute floor, skew ratio ≫ threshold
+    boiler = [
+        (1000 + i, "terms of service apply to all content on this site")
+        for i in range(300)
+    ]
+    hot = spark.createDataFrame(boiler + chatter, "doc_id bigint, text string")
+    bbh, keysh = band_table(hot)
+    b = auto_salt_buckets(bbh, keysh)
+    assert b is not None and 2 <= b <= 16
+    # end-to-end: auto (salted) ≡ plain — the trigger changes the
+    # plan, never the result
+    plain = minhash_lsh_dedup(hot)
+    auto = minhash_lsh_dedup(hot, salt_buckets="auto")
+    p = {(r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in plain.collect()}
+    a = {(r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in auto.collect()}
+    assert p == a and len(p) >= 300 * 299 // 2
+    # the auto path really salted: block columns in the physical plan
+    assert "__bi" in auto._jdf.queryExecution().executedPlan().toString()
+
+
 def test_temperature_mixture_flattens_distribution(spark):
     """T=2 rebalancing: the minority group's share of the sample
     strictly exceeds its natural share (sqrt-proportional targets),

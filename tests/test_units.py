@@ -1734,6 +1734,38 @@ def test_gate_window_covers_unproven():
     assert [q.name for q in all_queries()] == [q.name for q in qs]
 
 
+def test_catalog_rotation_never_starves():
+    """r6 verdict item 8: under the staleness-first rotation every
+    catalog entry must re-prove within ceil(N/50) rounds — assert no
+    entry's latest green proof is older than 3 rounds, and that the
+    structural bound itself holds (growing the catalog past 150
+    entries would need a bigger window or this fails loudly)."""
+    import math
+
+    from ora_ch_spark.catalog import _gate_history, all_queries
+
+    hist = _gate_history()
+    if not hist:  # fresh checkout without committed CORRECTNESS_r*.json
+        return
+    qs = all_queries()
+    names = [q.name for q in qs]
+    latest = max(hist.values())
+    # structural: 50 slots/round must cover the catalog within 3 rounds
+    assert math.ceil(len(names) / 50) <= 3, (
+        f"{len(names)} entries no longer fit a 3-round × 50-slot rotation"
+    )
+    stale = {n: latest - hist[n] for n in names if n in hist}
+    worst = max(stale.values(), default=0)
+    starved = sorted(n for n, d in stale.items() if d > 3)
+    assert not starved, (
+        f"rotation starved {len(starved)} entries (>3 rounds without a "
+        f"green proof, worst {worst}): {starved[:10]}"
+    )
+    # never-proven entries are new additions and must sit in the gate
+    # window NOW (covered in detail by test_gate_window_covers_unproven)
+    assert all(n in hist for n in names[50:])
+
+
 def test_sequence_match_single_condition(spark):
     """CH sequenceMatch accepts one-condition patterns; the funnel's
     2-step minimum must not leak through (ADVICE r04)."""
