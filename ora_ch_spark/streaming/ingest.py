@@ -19,6 +19,9 @@ generalization of the reference's watermark-append semantics
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ora_ch_spark.store import TableStore
@@ -124,21 +127,37 @@ def stream_upsert_files(
             existing = store.read(schema, table).join(
                 F.broadcast(latest.select(*key_cols)), key_cols, "left_semi"
             ).select(*batch_df.columns)
-            # materialize winners ONCE, before any mutation — and as
-            # a BARRIER, not a cache: persist() partitions can be
-            # evicted / lost and would then recompute against the
-            # post-delete table (losing `existing` rows — a stored
-            # newer row clobbered by an older batch row, ADVICE r05).
-            # localCheckpoint truncates lineage so the merged rows
-            # can never be recomputed from the mutated source.
-            winners = pick_latest(latest.unionByName(existing)).localCheckpoint(
-                eager=True
+            # materialize winners ONCE, before any mutation — to a
+            # RELIABLE staging file under the stream checkpoint dir
+            # (ADVICE r06). A localCheckpoint barrier (the r5 fix)
+            # truncates lineage but lives in executor memory: lose an
+            # executor between delete and append and the batch fails
+            # with stored rows already deleted — and the availableNow
+            # RETRY would recompute `existing` from the mutilated
+            # table, permanently losing those rows. Staged parquet
+            # survives executor loss AND the retry: a rerun of this
+            # epoch reuses the completed stage (_SUCCESS marker)
+            # instead of recomputing from the half-mutated table.
+            stage = os.path.join(
+                checkpoint_dir, "__winners", f"epoch={epoch_id}"
             )
+            if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+                pick_latest(latest.unionByName(existing)).write.mode(
+                    "overwrite"
+                ).parquet(stage)
+            winners = spark.read.parquet(stage)
             store.delete_by_keys(schema, table, winners, key_cols)
             store.append(schema, table, winners)
         else:
             store.write(schema, table, latest)
         state.set_watermark(schema, table, EPOCH_COL, epoch_id)
+        # the epoch is committed (watermark guard skips any replay) —
+        # its stage is dead weight; drop it so the checkpoint dir
+        # doesn't grow one directory per epoch forever
+        shutil.rmtree(
+            os.path.join(checkpoint_dir, "__winners", f"epoch={epoch_id}"),
+            ignore_errors=True,
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -370,6 +370,10 @@ def test_stream_upsert_merges_by_key(spark, sf_smoke):
     # stored seq=2 row (cross-batch comparison, not just in-batch)
     land("c.parquet", [(1, "stale", 1), (4, "z", 1)])
     assert run("u4") == {1: "new", 2: "x", 3: "y", 4: "z"}
+    # the reliable winners stage (ADVICE r06) is dropped once its
+    # epoch commits — the checkpoint dir must not grow per epoch
+    winners_root = os.path.join(ckpt, "__winners")
+    assert (not os.path.exists(winners_root)) or os.listdir(winners_root) == []
 
 
 def test_snapshot_diff_changelog(spark, sf_smoke):
