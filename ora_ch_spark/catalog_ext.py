@@ -900,6 +900,129 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Dialect battery #6 — round-7 function-surface additions
+# ---------------------------------------------------------------------------
+
+# arrayFirstIndex / arrayCompact / arrayWithConstant / arrayReverseSort
+# / arrayRotate* / splitByWhitespace / substringIndex /
+# levenshteinDistance / toLastDayOfMonth / toStartOfFiveMinutes /
+# toISOWeek / monthName / dateName / moduloOrZero / IPv4* /
+# tuple+tupleElement / JSONLength — translated at runtime, replayed in
+# DuckDB below.
+_DIALECT6_CH_SQL = """
+select flag,
+       toInt64(count(*)) as n,
+       toInt64(sum(arrayFirstIndex(x -> x > 25, [p_size, p_size + 10, 60]))) as fi,
+       toInt64(sum(arraySum(arrayCompact([modulo(p_size, 3), modulo(p_size, 3),
+                                          modulo(p_size, 5)])))) as comp,
+       toInt64(sum(arraySum(arrayWithConstant(3, modulo(p_partkey, 7))))) as awc,
+       max(arrayStringConcat(arrayReverseSort(splitByChar(' ', p_name)), '-')) as rev,
+       max(arrayStringConcat(arrayRotateLeft(splitByChar(' ', p_name), 2), '|')) as rotl,
+       max(arrayStringConcat(arrayRotateRight(splitByChar(' ', p_name), 1), '|')) as rotr,
+       toInt64(sum(arrayCount(x -> x != '', splitByWhitespace(p_name)))) as wc,
+       max(substringIndex(p_type, ' ', 2)) as si,
+       toInt64(sum(levenshteinDistance(p_brand, p_type))) as lev,
+       max(toYYYYMMDD(toLastDayOfMonth(mk_date))) as ld,
+       toInt64(min(toUnixTimestamp(toStartOfFiveMinutes(ship_ts)))) as ts5,
+       toInt64(min(toUnixTimestamp(toStartOfTenMinutes(ship_ts)))) as ts10,
+       toInt64(min(toUnixTimestamp(toStartOfFifteenMinutes(ship_ts)))) as ts15,
+       toInt64(sum(toISOWeek(mk_date))) as iw,
+       max(monthName(mk_date)) as mn,
+       max(dateName('weekday', mk_date)) as dn,
+       toInt64(sum(moduloOrZero(p_partkey, modulo(p_size, 4)))) as mz,
+       max(IPv4NumToString(p_partkey * 65536 + p_size)) as ip,
+       toInt64(sum(IPv4StringToNum(concat('10.0.', toString(modulo(p_size, 256)),
+                                          '.1')))) as ipn,
+       toInt64(sum(tupleElement(tuple(p_size, p_name), 1))) as te,
+       toInt64(sum(JSONLength(if(modulo(p_size, 2) = 0, '[1,2,3]',
+                                 '{"a":1}')))) as jl
+from (
+  select p_partkey, p_name, p_brand, p_type, p_size,
+         multiIf(p_size > 25, 'H', 'L') as flag,
+         addDays(toDateOrZero('1995-01-03'), modulo(p_partkey, 500)) as mk_date,
+         addSeconds(toDateTime(toDateOrZero('1995-01-01')),
+                    modulo(p_partkey, 86399)) as ship_ts
+  from part
+  where p_partkey <= 150
+)
+group by flag
+order by flag
+"""
+
+
+def calc_dialect6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-6 dialect surface, value-gated against the DuckDB
+    replay (UTC session; DuckDB list lambdas use 1-based indices,
+    Spark's 0-based — the oracle encodes each engine's own
+    convention for the same semantics)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT6_CH_SQL)).orderBy("flag")
+
+
+DIALECT6_ORACLE = """
+SELECT flag,
+       cast(count(*) as bigint) AS n,
+       cast(sum(coalesce(list_position(list_transform(
+           [p_size, p_size + 10, 60], x -> x > 25), true), 0)) as bigint) AS fi,
+       cast(sum(list_sum(list_filter(
+           [p_size % 3, p_size % 3, p_size % 5],
+           (x, i) -> i = 1 OR x != [p_size % 3, p_size % 3, p_size % 5][i - 1]
+       ))) as bigint) AS comp,
+       cast(sum(list_sum(list_transform(range(3), x -> p_partkey % 7)))
+            as bigint) AS awc,
+       max(array_to_string(list_reverse_sort(string_split(p_name, ' ')), '-')) AS rev,
+       max(array_to_string(
+           CASE WHEN len(string_split(p_name, ' ')) <= 1
+                THEN string_split(p_name, ' ')
+                ELSE string_split(p_name, ' ')[(2 % len(string_split(p_name, ' '))) + 1:]
+                     || string_split(p_name, ' ')[1:(2 % len(string_split(p_name, ' ')))]
+           END, '|')) AS rotl,
+       max(array_to_string(
+           CASE WHEN len(string_split(p_name, ' ')) <= 1
+                THEN string_split(p_name, ' ')
+                ELSE string_split(p_name, ' ')[len(string_split(p_name, ' ')):]
+                     || string_split(p_name, ' ')[1:len(string_split(p_name, ' ')) - 1]
+           END, '|')) AS rotr,
+       cast(sum(len(list_filter(regexp_split_to_array(p_name, '\\s+'),
+                                x -> x != ''))) as bigint) AS wc,
+       max(array_to_string((string_split(p_type, ' '))[1:2], ' ')) AS si,
+       cast(sum(levenshtein(p_brand, p_type)) as bigint) AS lev,
+       max(cast(strftime(last_day(mk_date), '%Y%m%d') as int)) AS ld,
+       cast(min((epoch(ship_ts)::BIGINT // 300) * 300) as bigint) AS ts5,
+       cast(min((epoch(ship_ts)::BIGINT // 600) * 600) as bigint) AS ts10,
+       cast(min((epoch(ship_ts)::BIGINT // 900) * 900) as bigint) AS ts15,
+       cast(sum(weekofyear(mk_date)) as bigint) AS iw,
+       max(monthname(mk_date)) AS mn,
+       max(dayname(mk_date)) AS dn,
+       cast(sum(CASE WHEN p_size % 4 = 0 THEN 0
+                     ELSE p_partkey % (p_size % 4) END) as bigint) AS mz,
+       max(concat(
+           cast(((p_partkey * 65536 + p_size) // 16777216) % 256 as varchar), '.',
+           cast(((p_partkey * 65536 + p_size) // 65536) % 256 as varchar), '.',
+           cast(((p_partkey * 65536 + p_size) // 256) % 256 as varchar), '.',
+           cast((p_partkey * 65536 + p_size) % 256 as varchar))) AS ip,
+       cast(sum(list_reduce(list_transform(
+           string_split(concat('10.0.', cast(p_size % 256 as varchar), '.1'), '.'),
+           x -> x::BIGINT), (a, b) -> a * 256 + b)) as bigint) AS ipn,
+       cast(sum(p_size) as bigint) AS te,
+       cast(sum(CASE WHEN p_size % 2 = 0 THEN 3 ELSE 1 END) as bigint) AS jl
+FROM (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         CASE WHEN p_size > 25 THEN 'H' ELSE 'L' END AS flag,
+         date '1995-01-03' + (p_partkey % 500) * INTERVAL 1 DAY AS mk_date,
+         cast(date '1995-01-01' as timestamp)
+           + (p_partkey % 86399) * INTERVAL 1 SECOND AS ship_ts
+  FROM part WHERE p_partkey <= 150
+)
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+# ---------------------------------------------------------------------------
 # ASOF JOIN SQL syntax (r6 verdict item 2)
 # ---------------------------------------------------------------------------
 
@@ -4685,6 +4808,8 @@ EXT_QUERIES: list[QueryDef] = [
              "nearest as-of, ties backward (merge_asof rule) vs composed native ASOFs"),
     QueryDef("calc_dialect_battery5", calc_dialect5_q, DIALECT5_ORACLE,
              "ARRAY JOIN clause forms (zip/shadow/LEFT/inner) vs DuckDB unnest replay"),
+    QueryDef("calc_dialect_battery6", calc_dialect6_q, DIALECT6_ORACLE,
+             "batch-6 function surface (array rotate/compact, IP, tuple, dateName, JSONLength)"),
     QueryDef("calc_asof_sql", calc_asof_sql_q, ASOF_SQL_ORACLE,
              "ASOF LEFT JOIN clause syntax vs DuckDB native ASOF JOIN"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,

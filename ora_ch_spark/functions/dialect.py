@@ -2041,6 +2041,172 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             return f"({a[0]} {sg} make_interval({', '.join(parts)}))"
         out = _rewrite_calls(out, fn, _iv)
 
+    # ---- round-7 batch #6: array/string/date/IP/tuple completion.
+    # Every name is a CH-only identifier (no Spark collision) except
+    # where arity-guarded; `range` is deliberately NOT rewritten —
+    # `FROM range(10)` is valid Spark (table function) and a blanket
+    # rewrite would corrupt already-ANSI text. ----
+    # lambda-first: 1-based index of the first match, 0 when none
+    out = _rewrite_calls(
+        out,
+        "arrayFirstIndex",
+        lambda a: (
+            f"coalesce(array_position(transform({a[1]}, {a[0]}), true), 0)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # consecutive-duplicate collapse: keep element i when it differs
+    # from its predecessor (filter's index is 0-based; element_at's
+    # 1-based lookup at i IS the predecessor)
+    out = _rewrite_calls(
+        out,
+        "arrayCompact",
+        lambda a: (
+            f"filter({a[0]}, (x, i) -> i = 0 OR "
+            f"NOT (x <=> element_at({a[0]}, i)))"
+        ),
+    )
+    # CH arg order is (length, elem); array_repeat's is (elem, n)
+    out = _rewrite_calls(
+        out,
+        "arrayWithConstant",
+        lambda a: f"array_repeat({a[1]}, cast({a[0]} as int))",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayReverseSort",
+        lambda a: f"reverse(array_sort({a[0]}))" if len(a) == 1 else None,
+    )
+
+    def _rotate(left: bool):
+        def render(a: list[str]) -> str | None:
+            if len(a) != 2:
+                return None
+            arr, n = a
+            # left rotation by k ≡ slice(k+1..) ++ slice(1..k); right
+            # rotation is left by size-k; pmod normalizes negatives
+            k = (
+                f"pmod({n}, size({arr}))"
+                if left
+                else f"pmod(size({arr}) - pmod({n}, size({arr})), size({arr}))"
+            )
+            return (
+                f"(CASE WHEN size({arr}) <= 1 THEN {arr} ELSE "
+                f"concat(slice({arr}, {k} + 1, size({arr}) - {k}), "
+                f"slice({arr}, 1, {k})) END)"
+            )
+
+        return render
+
+    out = _rewrite_calls(out, "arrayRotateLeft", _rotate(True))
+    out = _rewrite_calls(out, "arrayRotateRight", _rotate(False))
+    # runs of whitespace, no empty tokens (CH contract)
+    out = _rewrite_calls(
+        out,
+        "splitByWhitespace",
+        lambda a: (
+            f"filter(split({a[0]}, {lit(chr(92) * 2 + 's+')}), "
+            f"x -> x != {lit('')})"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "substringIndex", lambda a: f"substring_index({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "levenshteinDistance", lambda a: f"levenshtein({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "editDistance", lambda a: f"levenshtein({', '.join(a)})"
+    )
+    out = _rewrite_calls(out, "generateUUIDv4", lambda a: "uuid()")
+    out = _rewrite_calls(out, "toLastDayOfMonth", lambda a: f"last_day({a[0]})")
+    for mins, nm in ((5, "toStartOfFiveMinutes"), (10, "toStartOfTenMinutes"),
+                     (15, "toStartOfFifteenMinutes")):
+        out = _rewrite_calls(
+            out,
+            nm,
+            lambda a, w=mins * 60: (
+                f"timestamp_seconds((unix_timestamp({a[0]}) div {w}) * {w})"
+            ),
+        )
+    # Spark weekofyear IS the ISO-8601 week number
+    out = _rewrite_calls(out, "toISOWeek", lambda a: f"weekofyear({a[0]})")
+    out = _rewrite_calls(
+        out, "monthName", lambda a: f"date_format({a[0]}, {lit('MMMM')})"
+    )
+
+    _DATE_NAME_FMT = {
+        "year": "yyyy", "quarter": "q", "month": "MMMM",
+        "week": "w", "day": "d", "weekday": "EEEE",
+        "hour": "H", "minute": "m", "second": "s",
+    }
+
+    def _date_name(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        part = _lit_text(a[0], lits)  # raw literal WITH quotes
+        fmt = _DATE_NAME_FMT.get((part or "").strip("'").lower())
+        if fmt is None:
+            return None
+        return f"date_format({a[1]}, {lit(fmt)})"
+
+    out = _rewrite_calls(out, "dateName", _date_name)
+    out = _rewrite_calls(
+        out,
+        "moduloOrZero",
+        lambda a: f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) % ({a[1]}) END)",
+    )
+    out = _rewrite_calls(
+        out,
+        "IPv4NumToString",
+        lambda a: (
+            f"concat(cast((({a[0]}) div 16777216) % 256 as string), {lit('.')}, "
+            f"cast((({a[0]}) div 65536) % 256 as string), {lit('.')}, "
+            f"cast((({a[0]}) div 256) % 256 as string), {lit('.')}, "
+            f"cast(({a[0]}) % 256 as string))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "IPv4StringToNum",
+        lambda a: (
+            f"aggregate(transform(split({a[0]}, {lit(chr(92) * 2 + '.')}), "
+            f"x -> cast(x as bigint)), 0L, (acc, v) -> acc * 256 + v)"
+        ),
+    )
+    # CH tuple ≡ Spark struct, with EXPLICIT positional field names:
+    # Spark's auto-naming keeps a bare column's own name (struct(x) →
+    # field "x", not col1), so tupleElement's positional access only
+    # works if the rewrite pins col1..colN itself
+    out = _rewrite_calls(
+        out,
+        "tuple",
+        lambda a: (
+            "struct("
+            + ", ".join(f"{arg} AS col{i + 1}" for i, arg in enumerate(a))
+            + ")"
+        ),
+    )
+
+    def _tuple_element(a: list[str]) -> str | None:
+        if len(a) != 2 or not re.fullmatch(r"\s*\d+\s*", a[1]):
+            return None
+        return f"({a[0]}.col{a[1].strip()})"
+
+    out = _rewrite_calls(out, "tupleElement", _tuple_element)
+    # outermost object/array cardinality
+    out = _rewrite_calls(
+        out,
+        "JSONLength",
+        lambda a: (
+            f"coalesce(json_array_length({a[0]}), "
+            f"size(json_object_keys({a[0]})))"
+            if len(a) == 1
+            else None
+        ),
+    )
+
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out
     masked = re.sub(

@@ -2493,3 +2493,56 @@ def test_dialect_asof_join_clause():
     # idempotent: the rewrite leaves no ASOF tokens behind
     once = T("SELECT l.id FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts")
     assert T(once) == once
+
+
+def test_dialect_batch6_rewrites():
+    """Round-7 batch-6 function surface: text-level pins for the
+    CH-only names added this round, plus idempotence."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert (
+        T("select arrayFirstIndex(x -> x > 1, arr) from t")
+        == "select coalesce(array_position(transform(arr, x -> x > 1), true), 0) from t"
+    )
+    assert "filter(arr, (x, i) -> i = 0 OR NOT (x <=> element_at(arr, i)))" in T(
+        "select arrayCompact(arr) from t"
+    )
+    assert T("select arrayWithConstant(3, 'x') x") == (
+        "select array_repeat('x', cast(3 as int)) x"
+    )
+    assert T("select arrayReverseSort(arr) x") == "select reverse(array_sort(arr)) x"
+    out = T("select arrayRotateLeft(arr, 2) x")
+    assert "pmod(2, size(arr))" in out and "slice(arr, 1, pmod(2, size(arr)))" in out
+    assert "split(s, '\\\\s+')" in T("select splitByWhitespace(s) x")
+    assert T("select substringIndex(s, '.', 2) x") == (
+        "select substring_index(s, '.', 2) x"
+    )
+    assert T("select levenshteinDistance(a, b) x") == "select levenshtein(a, b) x"
+    assert T("select editDistance(a, b) x") == "select levenshtein(a, b) x"
+    assert T("select generateUUIDv4() x") == "select uuid() x"
+    assert T("select toLastDayOfMonth(d) x") == "select last_day(d) x"
+    assert T("select toStartOfTenMinutes(ts) x") == (
+        "select timestamp_seconds((unix_timestamp(ts) div 600) * 600) x"
+    )
+    assert T("select toISOWeek(d) x") == "select weekofyear(d) x"
+    assert T("select monthName(d) x") == "select date_format(d, 'MMMM') x"
+    assert T("select dateName('weekday', d) x") == "select date_format(d, 'EEEE') x"
+    # non-literal / unknown part passes through whole
+    assert T("select dateName(p, d) x") == "select dateName(p, d) x"
+    assert T("select moduloOrZero(a, b) x") == (
+        "select (CASE WHEN (b) = 0 THEN 0 ELSE (a) % (b) END) x"
+    )
+    # argument parenthesized — `a + b div 256` precedence must not leak
+    assert "((a + b) div 16777216)" in T("select IPv4NumToString(a + b) x")
+    assert "acc * 256 + v" in T("select IPv4StringToNum(s) x").replace("(", "").replace(")", "")
+    # tuple pins positional names so tupleElement can resolve them
+    assert T("select tupleElement(tuple(a, b), 2) x") == (
+        "select (struct(a AS col1, b AS col2).col2) x"
+    )
+    assert T("select tupleElement(t, i) x") == "select tupleElement(t, i) x"
+    assert "json_array_length" in T("select JSONLength(j) x")
+    for q in ("select arrayCompact(arr) from t",
+              "select IPv4NumToString(a + b) x",
+              "select dateName('month', d) x"):
+        once = T(q)
+        assert T(once) == once
