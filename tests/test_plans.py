@@ -288,3 +288,31 @@ def test_ivfadc_candidates_before_adc_lookup(spark, sf_correct):
     p = _plan(ivfadc_topk(emb, query_ids=emb.filter("vec_id < 10")))
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 2  # dt lookup + routing joins
+
+
+def test_asof_sql_single_hash_join(spark, sf_correct):
+    """The ASOF JOIN clause rewrite must compile to ONE equi-hash
+    join with the interval bounds as join filters — never a
+    range-only BroadcastNestedLoopJoin or cartesian (the trap every
+    naive as-of SQL falls into)."""
+    from ora_ch_spark.catalog_ext import calc_asof_sql_q
+
+    p = _plan(calc_asof_sql_q(spark, sf_correct))
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the window that builds the adjacent-ts column partitions on the
+    # equality key — one exchange for it, not per-left-row work
+    assert "lead(" in p or "lead#" in p or "windowspecdefinition" in p.lower()
+
+
+def test_array_join_keeps_scan_pruning(spark, sf_correct):
+    """The ARRAY JOIN clause rewrite (position-exploded LATERAL VIEW)
+    must not break filter pushdown or column pruning on the source
+    scan: p_partkey <= 100 reaches PushedFilters, and untouched wide
+    columns never read."""
+    from ora_ch_spark.catalog_ext import calc_dialect5_q
+
+    p = _plan(calc_dialect5_q(spark, sf_correct))
+    assert "PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,100)" in p
+    assert "p_retailprice" not in p, "unused column must be pruned through the explode"
+    assert "Generate explode" in p or "Generate posexplode" in p
