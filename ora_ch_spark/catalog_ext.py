@@ -1023,6 +1023,178 @@ ORDER BY flag
 
 
 # ---------------------------------------------------------------------------
+# Dialect battery #7 — funnel/retention aggregates + URL family
+# ---------------------------------------------------------------------------
+
+# windowFunnel (latest-chain-start DP fold), retention (fed through
+# the ARRAY JOIN clause), the URL family, anyHeavy→mode,
+# sumCount/boundingRatio/groupArraySorted. Funnel oracle uses the
+# EXISTS-chain formulation — equivalent to the DP because the event
+# conditions are disjoint and (user_id, ts) is duplicate-free in the
+# synthetic data (both verified).
+_DIALECT7_CH_SQL = """
+select 'funnel' as tag, toString(lvl) as k, toInt64(count(*)) as n
+from (
+  select user_id,
+         windowFunnel(3600)(ts, event_type = 'view', event_type = 'click',
+                            event_type = 'purchase') as lvl
+  from events
+  group by user_id
+)
+group by lvl
+union all
+select 'retention' as tag, concat('slot', toString(i)) as k,
+       toInt64(sum(rv)) as n
+from (
+  select user_id,
+         retention(event_type = 'view', event_type = 'click',
+                   event_type = 'purchase') as r
+  from events
+  group by user_id
+)
+array join r as rv, arrayEnumerate(r) as i
+group by i
+union all
+select 'url' as tag, domainWithoutWWW(u) as k,
+       toInt64(sum(toInt32OrZero(extractURLParameter(u, 'q')))) as n
+from (
+  select concat('https://www.ex', toString(modulo(doc_id, 5)),
+                '.com/a/b?q=', toString(modulo(doc_id, 7)),
+                multiIf(modulo(doc_id, 2) = 0, '#sec', '')) as u
+  from documents
+)
+group by domainWithoutWWW(u)
+union all
+select 'cut' as tag, cutQueryString(u) as k, toInt64(count(*)) as n
+from (
+  select concat('https://ex.com/p', toString(modulo(doc_id, 2)),
+                '?q=1', multiIf(modulo(doc_id, 3) = 0, '#frag', '')) as u
+  from documents
+)
+group by cutQueryString(u)
+union all
+select 'cutf' as tag,
+       concat(cutQueryStringAndFragment(u), '|', pathFull(u), '|',
+              topLevelDomain(u), '|', cutFragment(u)) as k,
+       toInt64(count(*)) as n
+from (
+  select concat('https://ex.com/p?q=', toString(modulo(doc_id, 2)),
+                '#s') as u
+  from documents
+)
+group by 2
+union all
+select 'mode' as tag, anyHeavy(event_type) as k, toInt64(count(*)) as n
+from events
+union all
+select 'agg' as tag, arrayStringConcat(groupArraySorted(3)(event_type), ',') as k,
+       toInt64(tupleElement(sumCount(user_id), 1)
+               + tupleElement(sumCount(user_id), 2)
+               + toInt64(floor(boundingRatio(event_id, event_id * 3) * 1000))) as n
+from events
+"""
+
+
+def calc_dialect7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-7 dialect surface, value-gated: windowFunnel's
+    sorted-fold DP vs DuckDB's EXISTS-chain replay, retention through
+    the ARRAY JOIN clause, and the URL-function family."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT7_CH_SQL)).orderBy("tag", "k")
+
+
+DIALECT7_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events
+),
+users AS (SELECT DISTINCT user_id FROM e),
+lv AS (
+  SELECT u.user_id,
+    CASE
+      WHEN EXISTS (SELECT 1 FROM e a, e b, e c
+                   WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                     AND c.user_id = u.user_id
+                     AND a.event_type = 'view' AND b.event_type = 'click'
+                     AND c.event_type = 'purchase'
+                     AND a.ts <= b.ts AND b.ts <= c.ts
+                     AND c.ts <= a.ts + INTERVAL 3600 SECOND) THEN 3
+      WHEN EXISTS (SELECT 1 FROM e a, e b
+                   WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                     AND a.event_type = 'view' AND b.event_type = 'click'
+                     AND a.ts <= b.ts
+                     AND b.ts <= a.ts + INTERVAL 3600 SECOND) THEN 2
+      WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id
+                     AND a.event_type = 'view') THEN 1
+      ELSE 0 END AS lvl
+  FROM users u
+),
+ret AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+  FROM e GROUP BY user_id
+),
+urls AS (
+  SELECT concat('https://www.ex', cast(doc_id % 5 as varchar),
+                '.com/a/b?q=', cast(doc_id % 7 as varchar),
+                CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS u,
+         doc_id
+  FROM documents
+),
+cuts AS (
+  SELECT concat('https://ex.com/p', cast(doc_id % 2 as varchar), '?q=1',
+                CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS u,
+         doc_id
+  FROM documents
+)
+SELECT 'funnel' AS tag, cast(lvl as varchar) AS k,
+       cast(count(*) as bigint) AS n
+FROM lv GROUP BY lvl
+UNION ALL
+SELECT 'retention' AS tag, concat('slot', cast(i as varchar)) AS k,
+       cast(sum(rv) as bigint) AS n
+FROM (
+  SELECT unnest([r1, r1 * c2, r1 * c3]) AS rv,
+         unnest([1, 2, 3]) AS i
+  FROM ret
+) GROUP BY i
+UNION ALL
+SELECT 'url' AS tag,
+       concat('ex', cast(doc_id % 5 as varchar), '.com') AS k,
+       cast(sum(doc_id % 7) as bigint) AS n
+FROM urls GROUP BY 2
+UNION ALL
+SELECT 'cut' AS tag,
+       concat('https://ex.com/p', cast(doc_id % 2 as varchar),
+              CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS k,
+       cast(count(*) as bigint) AS n
+FROM cuts GROUP BY 2
+UNION ALL
+SELECT 'cutf' AS tag,
+       concat('https://ex.com/p', '|',
+              '/p?q=', cast(doc_id % 2 as varchar), '|com|',
+              'https://ex.com/p?q=', cast(doc_id % 2 as varchar)) AS k,
+       cast(count(*) as bigint) AS n
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'mode' AS tag, mode(event_type) AS k, cast(count(*) as bigint) AS n
+FROM e
+UNION ALL
+SELECT 'agg' AS tag,
+       array_to_string((list_sort(list(event_type)))[1:3], ',') AS k,
+       cast(sum(user_id) + count(user_id)
+            + cast(floor(cast(max(event_id * 3) - min(event_id * 3) as double)
+                         / (max(event_id) - min(event_id)) * 1000) as bigint)
+            as bigint) AS n
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
 # ASOF JOIN SQL syntax (r6 verdict item 2)
 # ---------------------------------------------------------------------------
 
@@ -4810,6 +4982,8 @@ EXT_QUERIES: list[QueryDef] = [
              "ARRAY JOIN clause forms (zip/shadow/LEFT/inner) vs DuckDB unnest replay"),
     QueryDef("calc_dialect_battery6", calc_dialect6_q, DIALECT6_ORACLE,
              "batch-6 function surface (array rotate/compact, IP, tuple, dateName, JSONLength)"),
+    QueryDef("calc_dialect_battery7", calc_dialect7_q, DIALECT7_ORACLE,
+             "windowFunnel DP fold vs EXISTS-chain oracle, retention via ARRAY JOIN, URL family"),
     QueryDef("calc_asof_sql", calc_asof_sql_q, ASOF_SQL_ORACLE,
              "ASOF LEFT JOIN clause syntax vs DuckDB native ASOF JOIN"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,

@@ -1895,14 +1895,23 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         "extractURLParameter",
         lambda a: f"parse_url({a[0]}, {lit('QUERY')}, {a[1]})",
     )
-    # CH cutQueryString drops '?query' entirely
+    # CH cutQueryString drops '?query' but KEEPS the '#fragment'
+    # (cutQueryStringAndFragment is the drop-both form) — re-append
+    # any fragment after truncating at '?'
+    out = _rewrite_calls(
+        out,
+        "cutQueryStringAndFragment",
+        lambda a: (
+            f"substring_index(substring_index({a[0]}, {lit('?')}, 1), "
+            f"{lit('#')}, 1)"
+        ),
+    )
     out = _rewrite_calls(
         out,
         "cutQueryString",
         lambda a: (
-            f"(CASE WHEN instr({a[0]}, {lit('?')}) > 0 THEN "
-            f"substring({a[0]}, 1, instr({a[0]}, {lit('?')}) - 1) "
-            f"ELSE {a[0]} END)"
+            f"concat(substring_index({a[0]}, {lit('?')}, 1), "
+            f"regexp_extract({a[0]}, {lit('#.*$')}, 0))"
         ),
     )
     # splitByRegexp(re, s[, limit]) — both engines treat the
@@ -2040,6 +2049,152 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             parts[s] = a[1]
             return f"({a[0]} {sg} make_interval({', '.join(parts)}))"
         out = _rewrite_calls(out, fn, _iv)
+
+    # ---- round-7 batch #7: funnel/retention aggregates, URL family,
+    # moment aggregates, Stable de-suffixing. ----
+
+    def _window_funnel(ps: list[str], a: list[str]) -> str | None:
+        """CH ``windowFunnel(W)(ts, c1..cN)`` → a sorted-events fold
+        (the latest-chain-start DP: state[i] = start ts of the most
+        recent chain reaching level i+1; an event extends each chain
+        at most one level, from the PRE-event state). Result = max
+        contiguous level. Window W is SECONDS (DateTime semantics);
+        the fold runs on unix micros. Same-timestamp ordering follows
+        the sorted struct (deterministic; CH leaves it undefined)."""
+        if not ps or len(a) < 2:
+            return None
+        n = len(a) - 1
+        w_us = f"(({ps[0]}) * 1000000L)"
+        conds = ", ".join(f"cast({c} as boolean)" for c in a[1:])
+        return (
+            "aggregate("
+            f"array_sort(collect_list(struct("
+            f"unix_micros(cast({a[0]} as timestamp)) AS t, "
+            f"array({conds}) AS cs))), "
+            f"array_repeat(cast(null as bigint), {n}), "
+            "(acc, e) -> transform(acc, (s, i) -> CASE "
+            "WHEN i = 0 THEN IF(element_at(e.cs, 1), "
+            "greatest(coalesce(s, e.t), e.t), s) "
+            "WHEN element_at(e.cs, i + 1) "
+            "AND element_at(acc, i) IS NOT NULL "
+            f"AND e.t - element_at(acc, i) <= {w_us} "
+            "THEN greatest(coalesce(s, element_at(acc, i)), "
+            "element_at(acc, i)) "
+            "ELSE s END), "
+            "st -> cast(size(filter(st, s -> s IS NOT NULL)) as int))"
+        )
+
+    out = _rewrite_param_calls(out, "windowFunnel", _window_funnel)
+
+    def _retention(a: list[str]) -> str | None:
+        # r[1] = c1 ever held; r[i>1] = (c1 ever) AND (ci ever)
+        if len(a) < 1:
+            return None
+        first = f"max(CASE WHEN {a[0]} THEN 1 ELSE 0 END)"
+        parts = [f"cast({first} as int)"] + [
+            f"cast({first} * max(CASE WHEN {c} THEN 1 ELSE 0 END) as int)"
+            for c in a[1:]
+        ]
+        return f"array({', '.join(parts)})"
+
+    out = _rewrite_calls(out, "retention", _retention)
+
+    def _group_array_sorted(ps: list[str], a: list[str]) -> str | None:
+        if not ps or len(a) != 1:
+            return None
+        return f"slice(array_sort(collect_list({a[0]})), 1, {ps[0]})"
+
+    out = _rewrite_param_calls(out, "groupArraySorted", _group_array_sorted)
+    # anyHeavy is CH's APPROXIMATE majority pick — mode() is the
+    # deterministic analogue (documented drift; ties differ)
+    out = _rewrite_calls(out, "anyHeavy", lambda a: f"mode({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "sumCount",
+        lambda a: f"struct(sum({a[0]}) AS col1, count({a[0]}) AS col2)",
+    )
+    # slope between the min-x and max-x points
+    out = _rewrite_calls(
+        out,
+        "boundingRatio",
+        lambda a: (
+            f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) "
+            f"/ (max({a[0]}) - min({a[0]})))"
+        ),
+    )
+    # Spark skewness/kurtosis are the POPULATION g1 / excess-g2:
+    # skewPop maps directly; CH kurtPop is NON-excess (g2 + 3); the
+    # Samp forms apply the standard bias corrections
+    out = _rewrite_calls(out, "skewPop", lambda a: f"skewness({a[0]})")
+    out = _rewrite_calls(out, "kurtPop", lambda a: f"(kurtosis({a[0]}) + 3.0)")
+    out = _rewrite_calls(
+        out,
+        "skewSamp",
+        lambda a: (
+            f"(skewness({a[0]}) * sqrt(count({a[0]}) * (count({a[0]}) - 1.0))"
+            f" / (count({a[0]}) - 2.0))"
+        ),
+    )
+    # CH simpleLinearRegression(x, y) → (k, b) of y = kx + b
+    out = _rewrite_calls(
+        out,
+        "simpleLinearRegression",
+        lambda a: (
+            f"struct(regr_slope({a[1]}, {a[0]}) AS col1, "
+            f"regr_intercept({a[1]}, {a[0]}) AS col2)"
+        ),
+    )
+    out = _rewrite_calls(out, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
+    # the *Stable suffix picks a numerically-stable algorithm in CH —
+    # same math; Spark's implementations are already compensated
+    for ch_fn, spark_fn in (
+        ("corrStable", "corr"),
+        ("covarPopStable", "covar_pop"),
+        ("covarSampStable", "covar_samp"),
+        ("stddevPopStable", "stddev_pop"),
+        ("stddevSampStable", "stddev_samp"),
+        ("varPopStable", "var_pop"),
+        ("varSampStable", "var_samp"),
+    ):
+        out = _rewrite_calls(
+            out, ch_fn, lambda a, f=spark_fn: f"{f}({', '.join(a)})"
+        )
+    # ---- URL-family completion (domain/protocol/path/queryString/
+    # extractURLParameter/cutQueryString live in the earlier URL
+    # block; these are the round-7 additions) ----
+    out = _rewrite_calls(
+        out,
+        "domainWithoutWWW",
+        lambda a: (
+            f"regexp_replace(parse_url({a[0]}, {lit('HOST')}), "
+            f"{lit('^www' + chr(92) * 2 + '.')}, {lit('')})"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "topLevelDomain",
+        lambda a: (
+            f"element_at(split(parse_url({a[0]}, {lit('HOST')}), "
+            f"{lit(chr(92) * 2 + '.')}), -1)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "pathFull",
+        lambda a: (
+            f"concat(parse_url({a[0]}, {lit('PATH')}), "
+            f"coalesce(concat({lit('?')}, parse_url({a[0]}, {lit('QUERY')})), {lit('')}))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "cutFragment", lambda a: f"substring_index({a[0]}, {lit('#')}, 1)"
+    )
+    out = _rewrite_calls(
+        out, "decodeURLComponent", lambda a: f"url_decode({a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "encodeURLComponent", lambda a: f"url_encode({a[0]})"
+    )
 
     # ---- round-7 batch #6: array/string/date/IP/tuple completion.
     # Every name is a CH-only identifier (no Spark collision) except

@@ -2546,3 +2546,72 @@ def test_dialect_batch6_rewrites():
               "select dateName('month', d) x"):
         once = T(q)
         assert T(once) == once
+
+
+def test_dialect_window_funnel_dp(spark):
+    """windowFunnel's latest-chain-start DP: a chain whose FIRST
+    start expires must still complete from a LATER start (the greedy
+    first-start fold would undercount); an event never advances two
+    levels at once; window boundary is inclusive."""
+    import datetime
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def ev(u, sec, t):
+        return (u, datetime.datetime(2024, 1, 1, 0, 0, 0)
+                + datetime.timedelta(seconds=sec), t)
+
+    rows = [
+        # user 1: first 'a' at 0 expires (w=10); restart at 9 chains
+        # through b@15, c@19 → level 3 only via the LATER start
+        ev(1, 0, "a"), ev(1, 9, "a"), ev(1, 15, "b"), ev(1, 19, "c"),
+        # user 2: b before any a → level 1 only (a@5, no later b)
+        ev(2, 0, "b"), ev(2, 5, "a"),
+        # user 3: inclusive boundary — c exactly at start + w
+        ev(3, 0, "a"), ev(3, 4, "b"), ev(3, 10, "c"),
+        # user 4: no 'a' at all → 0
+        ev(4, 0, "b"), ev(4, 1, "c"),
+    ]
+    spark.createDataFrame(rows, "u bigint, ts timestamp, et string") \
+        .createOrReplaceTempView("wf_ev")
+    got = {
+        r["u"]: r["lvl"]
+        for r in spark.sql(T(
+            "select u, windowFunnel(10)(ts, et = 'a', et = 'b', et = 'c') "
+            "as lvl from wf_ev group by u"
+        )).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 3, 4: 0}
+
+
+def test_dialect_batch7_rewrites(spark):
+    """retention / sumCount / boundingRatio / groupArraySorted /
+    Stable family / URL additions — text pins + value spots."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    out = T("select retention(a = 1, b = 2, c = 3) r from t")
+    assert "array(" in out and out.count("max(CASE WHEN") >= 3
+    assert T("select corrStable(x, y) c from t") == "select corr(x, y) c from t"
+    assert T("select varPopStable(x) v from t") == "select var_pop(x) v from t"
+    assert "skewness(x)" in T("select skewPop(x) s from t")
+    assert "(kurtosis(x) + 3.0)" in T("select kurtPop(x) s from t")
+    assert "regr_slope(y, x)" in T("select simpleLinearRegression(x, y) s from t")
+    assert T("select medianExact(x) m from t") == "select percentile(x, 0.5) m from t"
+    # cutQueryString keeps the fragment (regression: it used to drop it)
+    row = spark.sql(T(
+        "select cutQueryString('https://e.com/a?x=1#f') a, "
+        "cutQueryStringAndFragment('https://e.com/a?x=1#f') b, "
+        "pathFull('https://e.com/a/b?x=1#f') c, "
+        "topLevelDomain('https://www.e.co.uk/a') d, "
+        "domainWithoutWWW('https://www.e.com/a') e, "
+        "decodeURLComponent('a%2Fb') f"
+    )).first()
+    assert row["a"] == "https://e.com/a#f"
+    assert row["b"] == "https://e.com/a"
+    assert row["c"] == "/a/b?x=1"
+    assert row["d"] == "uk" and row["e"] == "e.com" and row["f"] == "a/b"
+    # idempotence
+    for q in ("select retention(a = 1, b = 2) r from t",
+              "select windowFunnel(60)(ts, a = 1, b = 2) w from t"):
+        once = T(q)
+        assert T(once) == once
