@@ -1195,6 +1195,56 @@ FROM e
 
 
 # ---------------------------------------------------------------------------
+# Dialect battery #8 — QUALIFY clause + CH scalar WITH
+# ---------------------------------------------------------------------------
+
+# QUALIFY (window-result filter; Spark lacks the clause → hidden-
+# column wrap) + CH's constant-expression WITH (`expr AS ident`,
+# inlined at use sites). DuckDB runs QUALIFY natively, so the oracle
+# exercises the clause itself with the constants inlined by hand.
+_DIALECT8_CH_SQL = """
+with 5 as cutoff, 'F' as fstat
+select k, toInt64(count(*)) as n, toInt64(sum(ck)) as s
+from (
+  select o_orderstatus as k, o_custkey as ck,
+         row_number() over (partition by o_orderstatus
+                            order by o_totalprice desc, o_orderkey) as rnk
+  from orders
+  where o_orderkey <= 2000
+  qualify rnk <= cutoff
+)
+where k != fstat
+group by k
+order by k
+"""
+
+
+def calc_dialect8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY + scalar WITH, value-gated vs DuckDB's native QUALIFY."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT8_CH_SQL)).orderBy("k")
+
+
+DIALECT8_ORACLE = """
+SELECT k, cast(count(*) as bigint) AS n, cast(sum(ck) as bigint) AS s
+FROM (
+  SELECT o_orderstatus AS k, o_custkey AS ck,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+  WHERE o_orderkey <= 2000
+  QUALIFY rnk <= 5
+)
+WHERE k != 'F'
+GROUP BY k
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
 # ASOF JOIN SQL syntax (r6 verdict item 2)
 # ---------------------------------------------------------------------------
 
@@ -4984,6 +5034,8 @@ EXT_QUERIES: list[QueryDef] = [
              "batch-6 function surface (array rotate/compact, IP, tuple, dateName, JSONLength)"),
     QueryDef("calc_dialect_battery7", calc_dialect7_q, DIALECT7_ORACLE,
              "windowFunnel DP fold vs EXISTS-chain oracle, retention via ARRAY JOIN, URL family"),
+    QueryDef("calc_dialect_battery8", calc_dialect8_q, DIALECT8_ORACLE,
+             "QUALIFY hidden-column wrap + CH scalar WITH inlining vs DuckDB native QUALIFY"),
     QueryDef("calc_asof_sql", calc_asof_sql_q, ASOF_SQL_ORACLE,
              "ASOF LEFT JOIN clause syntax vs DuckDB native ASOF JOIN"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,

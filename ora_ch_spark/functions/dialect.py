@@ -792,6 +792,124 @@ def _rewrite_array_join(masked: str) -> str:
         )
 
 
+_QUALIFY = re.compile(r"(?i)\bqualify\b")
+_SELECT_OR_PAREN = re.compile(r"(?i)\bselect\b|[()]")
+
+
+def _rewrite_qualify(masked: str) -> str:
+    """CH/modern-SQL ``QUALIFY <pred>`` (filter on window results) —
+    Spark has no QUALIFY, so the owning SELECT wraps: the predicate
+    becomes a hidden ``__q`` column and an outer
+    ``SELECT * EXCEPT (__q) … WHERE __q`` filters it. ORDER BY /
+    LIMIT after the clause stay OUTSIDE the wrap (they see the
+    filtered rows, like QUALIFY semantics demand). ``SELECT
+    DISTINCT`` + QUALIFY is left untouched (the hidden column would
+    change the distinct key; Spark will reject the residue loudly
+    rather than silently mis-deduplicate)."""
+    while True:
+        m = _QUALIFY.search(masked)
+        if m is None:
+            return masked
+        # owning SELECT: last same-depth `select` before the clause
+        depth = 0
+        last_sel: dict[int, int | None] = {}
+        for t in _SELECT_OR_PAREN.finditer(masked, 0, m.start()):
+            tok = t.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                last_sel[depth] = None
+                depth -= 1
+            else:
+                last_sel[depth] = t.end()
+        sel_end = last_sel.get(depth)
+        if sel_end is None:
+            raise ValueError("QUALIFY without an owning SELECT")
+        if re.match(r"(?is)\s*distinct\b", masked[sel_end:]):
+            return masked
+        pred_end, _kw = _clause_span(masked, m.end())
+        pred = masked[m.end() : pred_end].strip()
+        body = masked[sel_end : m.start()].rstrip()
+        # the hidden column joins the SELECT LIST: insert before the
+        # body's top-level FROM (append if the select has none)
+        ins = len(body)
+        depth = 0
+        for t in _FROM_OR_PAREN.finditer(body):
+            tok = t.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                ins = t.start()
+                break
+        masked = (
+            masked[: sel_end - 6]
+            + "SELECT * EXCEPT (__q) FROM (SELECT"
+            + body[:ins].rstrip()
+            + f", ({pred}) AS __q "
+            + body[ins:]
+            + ") WHERE __q "
+            + masked[pred_end:]
+        )
+
+
+_SCALAR_WITH = re.compile(r"(?i)\bwith\b")
+_ANSI_CTE_ITEM = re.compile(
+    r"(?is)^[A-Za-z_][A-Za-z0-9_]*\s+as\s*\("
+)
+_SCALAR_ITEM = re.compile(
+    r"(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)$"
+)
+
+
+def _rewrite_scalar_with(masked: str) -> str:
+    """CH's constant-expression WITH — ``WITH 3 AS k, 'x' AS s
+    SELECT k, s …`` (expression FIRST, no parenthesized subquery) —
+    inlines each named expression at its use sites, parenthesized.
+    ANSI CTEs (``name AS (SELECT …)``) are left exactly as written;
+    a mixed list keeps its ANSI items. Shadowing follows CH: the
+    alias replaces any same-named column reference in the statement."""
+    m = _SCALAR_WITH.search(masked)
+    if m is None or _inside_string(masked, m.start()):
+        return masked
+    # WITH items end at the statement's top-level SELECT
+    sel = None
+    depth = 0
+    for t in _SELECT_OR_PAREN.finditer(masked, m.end()):
+        tok = t.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            sel = t.start()
+            break
+    if sel is None:
+        return masked
+    items = _split_top(masked[m.end() : sel])
+    subs: list[tuple[str, str]] = []
+    keep: list[str] = []
+    for it in items:
+        if _ANSI_CTE_ITEM.match(it):
+            keep.append(it)
+            continue
+        sm = _SCALAR_ITEM.match(it)
+        if sm and sm.group(1).count("(") == sm.group(1).count(")"):
+            subs.append((sm.group(2), sm.group(1).strip()))
+        else:
+            keep.append(it)  # unrecognized — leave for Spark to judge
+    if not subs:
+        return masked
+    head = masked[: m.start()]
+    tail = masked[sel:]
+    for name, expr in subs:
+        tail = re.sub(rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_(])",
+                      f"({expr})", tail)
+    mid = f"WITH {', '.join(keep)} " if keep else ""
+    return head + mid + tail
+
+
 _ASOF_JOIN = re.compile(r"(?i)\basof\s+(left\s+)?join\b")
 _ON_END = re.compile(
     r"(?i)\b(where|group\s+by|order\s+by|limit|having|union|settings"
@@ -2377,10 +2495,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_prewhere(masked)
     # SAMPLE clause → TABLESAMPLE (documented nondeterminism)
     masked = _rewrite_sample_clause(masked)
+    # CH constant-expression WITH (expr AS ident) → inline at uses
+    masked = _rewrite_scalar_with(masked)
     # [LEFT] ARRAY JOIN clause → position-exploded LATERAL VIEW
     masked = _rewrite_array_join(masked)
     # ASOF [LEFT] JOIN → adjacent-ts window + interval-bounded join
     masked = _rewrite_asof_join(masked)
+    # QUALIFY <pred> → hidden-column wrap + outer WHERE
+    masked = _rewrite_qualify(masked)
     # LIMIT n BY cols → row_number window wrapper
     masked = _rewrite_limit_by(masked)
     # trailing CH output/settings clauses: `FORMAT <name>` picks a

@@ -2615,3 +2615,34 @@ def test_dialect_batch7_rewrites(spark):
               "select windowFunnel(60)(ts, a = 1, b = 2) w from t"):
         once = T(q)
         assert T(once) == once
+
+
+def test_dialect_qualify_and_scalar_with():
+    """QUALIFY → hidden-column wrap + outer WHERE; CH scalar WITH
+    (expr AS ident) inlines at use sites; ANSI CTEs and the WITH
+    TOTALS / WITH FILL keywords stay untouched."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    out = T("select g, v, row_number() over (order by v) as rn from t "
+            "qualify rn <= 2 order by g")
+    assert out.startswith("SELECT * EXCEPT (__q) FROM (SELECT")
+    assert ", (rn <= 2) AS __q from t) WHERE __q order by g" in out
+    # DISTINCT + QUALIFY untouched (the wrap would change the key)
+    dq = "select distinct g from t qualify row_number() over (order by g) = 1"
+    assert T(dq) == dq
+    # scalar WITH inlines, parenthesized; ANSI CTE survives a mix
+    assert T("with 25 as thr select v from t where v > thr") == (
+        "select v from t where v > (25)"
+    )
+    mixed = T("with 2 as k, hot as (select g from t) "
+              "select n from hot where n > k")
+    assert mixed == "WITH hot as (select g from t) select n from hot where n > (2)"
+    # a function named like the alias is NOT substituted
+    assert T("with 2 as f select f(x), f from t") == "select f(x), (2) from t"
+    # WITH TOTALS / WITH FILL keywords never parse as scalar items
+    wt = "select g, count(*) n from t group by g with totals"
+    assert "GROUPING SETS" in T(wt) or "with totals" not in T(wt).lower()
+    for q in ("select g from t qualify row_number() over (order by g) = 1",
+              "with 3 as k select k + 1 as v from t"):
+        once = T(q)
+        assert T(once) == once
