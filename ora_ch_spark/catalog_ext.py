@@ -1176,7 +1176,7 @@ FROM cuts GROUP BY 2
 UNION ALL
 SELECT 'cutf' AS tag,
        concat('https://ex.com/p', '|',
-              '/p?q=', cast(doc_id % 2 as varchar), '|com|',
+              '/p?q=', cast(doc_id % 2 as varchar), '#s|com|',
               'https://ex.com/p?q=', cast(doc_id % 2 as varchar)) AS k,
        cast(count(*) as bigint) AS n
 FROM documents GROUP BY 2

@@ -705,6 +705,37 @@ _ARRAY_JOIN = re.compile(r"(?i)\b(?:(left)\s+|inner\s+)?array\s+join\b")
 _FROM_OR_PAREN = re.compile(r"(?i)\bfrom\b|[()]")
 _AJ_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 _AJ_AS = re.compile(r"(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$")
+# item-list terminators: clause keywords, a following regular/ASOF
+# join, or a second ARRAY JOIN — `left`/`inner` alone terminate only
+# as join prefixes, so left(s, 2) in an item still parses (review r7)
+_AJ_ITEMS_END = re.compile(
+    r"(?i)\b(?:where|group\s+by|order\s+by|limit|having|union|settings"
+    r"|qualify|prewhere"
+    r"|(?:left\s+|inner\s+)?array\s+join"
+    r"|(?:(?:left|right|inner|full|cross|global|any|all|asof|semi|anti)\s+)*join"
+    r")\b|[()]"
+)
+# bare relation (with optional alias) — lets the rewrite expose the
+# source under its own name so qualified references keep resolving
+_AJ_BARE_SRC = re.compile(
+    r"(?is)^\s*([A-Za-z_][A-Za-z0-9_.]*)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s*$"
+)
+
+
+def _aj_items_span(masked: str, start: int) -> int:
+    depth = 0
+    for t in _AJ_ITEMS_END.finditer(masked, start):
+        tok = t.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+            if depth < 0:
+                return t.start()
+        elif depth == 0:
+            return t.start()
+    return len(masked)
 
 
 def _rewrite_array_join(masked: str) -> str:
@@ -754,7 +785,15 @@ def _rewrite_array_join(masked: str) -> str:
             raise ValueError("ARRAY JOIN without an owning FROM clause")
         from_start, from_end = span
         src = masked[from_end : m.start()].strip()
-        items_end, _kw = _clause_span(masked, m.end())
+        # a bare `t` / `t AS x` source keeps its name on BOTH wrap
+        # levels, so qualified references (t.k in the SELECT, t.arr
+        # as an item) still resolve (review r7); complex sources
+        # (joins, subqueries) fall back to the synthetic alias
+        srcm = _AJ_BARE_SRC.match(src)
+        relname = "__aj_l"
+        if srcm and (srcm.group(2) or "").lower() != "final":
+            relname = srcm.group(2) or srcm.group(1).split(".")[-1]
+        items_end = _aj_items_span(masked, m.end())
         items = _split_top(masked[m.end() : items_end])
         if not items:
             raise ValueError("ARRAY JOIN with no array expressions")
@@ -785,9 +824,9 @@ def _rewrite_array_join(masked: str) -> str:
         outer = "OUTER " if left else ""
         masked = (
             masked[:from_start]
-            + f"FROM (SELECT __aj_l.*{exc}, {proj_sql} "
-            + f"FROM (SELECT * FROM {src}) __aj_l "
-            + f"LATERAL VIEW {outer}explode({pos}) __aj_v AS __aj_n) "
+            + f"FROM (SELECT {relname}.*{exc}, {proj_sql} "
+            + f"FROM (SELECT * FROM {src}) {relname} "
+            + f"LATERAL VIEW {outer}explode({pos}) __aj_v AS __aj_n) {relname} "
             + masked[items_end:]
         )
 
@@ -904,7 +943,9 @@ def _rewrite_scalar_with(masked: str) -> str:
     head = masked[: m.start()]
     tail = masked[sel:]
     for name, expr in subs:
-        tail = re.sub(rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_(])",
+        # '.' excluded on BOTH sides: `t.k` is a column reference, not
+        # a use of the scalar alias k (review r7 finding)
+        tail = re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(name)}(?![A-Za-z0-9_.(])",
                       f"({expr})", tail)
     mid = f"WITH {', '.join(keep)} " if keep else ""
     return head + mid + tail
@@ -913,7 +954,7 @@ def _rewrite_scalar_with(masked: str) -> str:
 _ASOF_JOIN = re.compile(r"(?i)\basof\s+(left\s+)?join\b")
 _ON_END = re.compile(
     r"(?i)\b(where|group\s+by|order\s+by|limit|having|union|settings"
-    r"|join|left|right|inner|full|cross|asof|window)\b|[()]"
+    r"|join|left|right|inner|full|cross|asof|window|qualify)\b|[()]"
 )
 _AND_SPLIT = re.compile(r"(?i)\band\b")
 _INEQ = re.compile(r"(?<![<>!=])(>=|<=|>|<)(?![=>])")
@@ -1041,6 +1082,16 @@ def _rewrite_asof_join(masked: str) -> str:
                     c.split("=")[-1],
                 ):
                     rkeys.append(c.split("=")[-1].strip().split(".")[-1])
+                elif sm:
+                    # a conjunct touching the right relation that is
+                    # NOT a bare equality key (upper(r.k)=…, r.flag=1)
+                    # cannot partition/pre-filter the adjacency window
+                    # — silently omitting it would compute lead()
+                    # across keys and drop valid matches (review r7)
+                    raise ValueError(
+                        "ASOF JOIN: right-side conjunct must be a bare "
+                        f"equality key of {ralias!r}: {c.strip()!r}"
+                    )
         if ineq is None:
             raise ValueError("ASOF JOIN: ON clause has no timestamp inequality")
         lhs, op, rhs = ineq
@@ -2024,12 +2075,16 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             f"{lit('#')}, 1)"
         ),
     )
+    # no '?': substring_index returns the WHOLE url (fragment
+    # included) — only re-append the fragment when a query string was
+    # actually cut, else it would duplicate (review r7 finding)
     out = _rewrite_calls(
         out,
         "cutQueryString",
         lambda a: (
             f"concat(substring_index({a[0]}, {lit('?')}, 1), "
-            f"regexp_extract({a[0]}, {lit('#.*$')}, 0))"
+            f"IF(instr({a[0]}, {lit('?')}) > 0, "
+            f"regexp_extract({a[0]}, {lit('#.*$')}, 0), {lit('')}))"
         ),
     )
     # splitByRegexp(re, s[, limit]) — both engines treat the
@@ -2296,12 +2351,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             f"{lit(chr(92) * 2 + '.')}), -1)"
         ),
     )
+    # CH pathFull = path + query string + FRAGMENT (review r7)
     out = _rewrite_calls(
         out,
         "pathFull",
         lambda a: (
             f"concat(parse_url({a[0]}, {lit('PATH')}), "
-            f"coalesce(concat({lit('?')}, parse_url({a[0]}, {lit('QUERY')})), {lit('')}))"
+            f"coalesce(concat({lit('?')}, parse_url({a[0]}, {lit('QUERY')})), {lit('')}), "
+            f"regexp_extract({a[0]}, {lit('#.*$')}, 0))"
         ),
     )
     out = _rewrite_calls(
@@ -2493,6 +2550,27 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
     # PREWHERE: merge with a same-SELECT WHERE, else plain WHERE
     masked = _rewrite_prewhere(masked)
+    # trailing FORMAT / SETTINGS strip EARLY (review r7): the clause
+    # rewrites below scan forward for clause ends, and a statement
+    # tail like `… QUALIFY p FORMAT JSON` must not be swallowed into
+    # a predicate span. Both regexes anchor at end-of-statement, so
+    # running them first changes nothing else.
+    masked = re.sub(
+        # NOTE: 'null' must stay OUT of this denylist — `FORMAT Null`
+        # is a real CH wire format (discard output)
+        r"(?is)\bformat\s+"
+        r"(?!(?:asc|desc|nulls|first|last|by|from|where|and|or|not|in|is"
+        r"|as|on|limit|offset|end|then|else|when)\b)"
+        r"[A-Za-z][A-Za-z0-9]*\s*(;?\s*)$",
+        r"\1",
+        masked,
+    )
+    masked = re.sub(
+        r"(?is)\bsettings\s+[A-Za-z_][A-Za-z0-9_]*\s*=\s*[^\s,;]+"
+        r"(\s*,\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*[^\s,;]+)*\s*(;?\s*)$",
+        r"\2",
+        masked,
+    )
     # SAMPLE clause → TABLESAMPLE (documented nondeterminism)
     masked = _rewrite_sample_clause(masked)
     # CH constant-expression WITH (expr AS ident) → inline at uses
@@ -2505,28 +2583,6 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_qualify(masked)
     # LIMIT n BY cols → row_number window wrapper
     masked = _rewrite_limit_by(masked)
-    # trailing CH output/settings clauses: `FORMAT <name>` picks a
-    # client wire format and `SETTINGS k = v, …` tunes the server —
-    # neither has meaning in Spark; stripped only at the very END of
-    # the statement (identifier-shaped operands), so column names
-    # like `format` survive
-    masked = re.sub(
-        # NOTE: 'null' must stay OUT of this denylist — `FORMAT Null`
-        # is a real CH wire format (discard output)
-        r"(?is)\bformat\s+"
-        r"(?!(?:asc|desc|nulls|first|last|by|from|where|and|or|not|in|is"
-        r"|as|on|limit|offset|end|then|else|when)\b)"
-        r"[A-Za-z][A-Za-z0-9]*\s*(;?\s*)$",
-        r"\1",
-        masked,
-    )
-    # FORMAT stripped first — CH's clause order is SETTINGS … FORMAT …
-    masked = re.sub(
-        r"(?is)\bsettings\s+[A-Za-z_][A-Za-z0-9_]*\s*=\s*[^\s,;]+"
-        r"(\s*,\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*[^\s,;]+)*\s*(;?\s*)$",
-        r"\2",
-        masked,
-    )
     # GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ())
     masked = _rewrite_with_totals(masked)
     # ORDER BY c WITH FILL → sequence-spine full join

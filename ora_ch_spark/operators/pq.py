@@ -47,6 +47,25 @@ def _explode_subspaces(q: DataFrame, m: int, sub: int, id_col: str) -> DataFrame
     )
 
 
+def _centroid_mats(crows) -> dict[int, tuple]:
+    """Per-subspace (cluster ids, centroid matrix, squared norms) from
+    collected (s, cluster, cq) rows — the ONE definition of the
+    kernel-side centroid ordering (rows sorted by cluster, so argmin
+    first-min = lowest cluster id); shared by assignment and
+    training so the trajectory cannot silently diverge."""
+    import numpy as np
+
+    by_s: dict[int, tuple] = {}
+    for s in sorted({int(r["s"]) for r in crows}):
+        rows = sorted(
+            (r for r in crows if int(r["s"]) == s), key=lambda r: r["cluster"]
+        )
+        c_ids = np.array([r["cluster"] for r in rows], dtype=np.int64)
+        C = np.array([list(r["cq"]) for r in rows], dtype=np.int64)
+        by_s[s] = (c_ids, C, (C * C).sum(axis=1))
+    return by_s
+
+
 def _seed_grouped(
     q: DataFrame, k_codes: int, m: int, sub: int, id_col: str
 ) -> DataFrame:
@@ -61,15 +80,9 @@ def _seed_grouped(
         .limit(k_codes)
         .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
     )
-    return seeds.select(
-        "cluster",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}),"
-                f" t -> slice(qe, t * {sub} + 1, {sub}))"
-            )
-        ).alias("s", "cq"),
-    ).select("s", "cluster", "cq")
+    return _explode_subspaces(seeds, m, sub, "cluster").select(
+        "s", "cluster", F.col("qe").alias("cq")
+    )
 
 
 def _assign_grouped(
@@ -85,14 +98,7 @@ def _assign_grouped(
     import pandas as pdl
 
     crows = cents if isinstance(cents, list) else cents.collect()
-    by_s: dict[int, tuple] = {}
-    for s in sorted({int(r["s"]) for r in crows}):
-        rows = sorted(
-            (r for r in crows if int(r["s"]) == s), key=lambda r: r["cluster"]
-        )
-        c_ids = np.array([r["cluster"] for r in rows], dtype=np.int64)
-        C = np.array([list(r["cq"]) for r in rows], dtype=np.int64)
-        by_s[s] = (c_ids, C, (C * C).sum(axis=1))
+    by_s = _centroid_mats(crows)
 
     def batches(it):
         for pdf in it:
@@ -148,15 +154,7 @@ def _train_centroids_grouped(
     import numpy as np
     import pandas as pdl
 
-    crows = seeds.collect()
-    by_s: dict[int, tuple] = {}
-    for s in sorted({int(r["s"]) for r in crows}):
-        rows = sorted(
-            (r for r in crows if int(r["s"]) == s), key=lambda r: r["cluster"]
-        )
-        c_ids = np.array([r["cluster"] for r in rows], dtype=np.int64)
-        C = np.array([list(r["cq"]) for r in rows], dtype=np.int64)
-        by_s[s] = (c_ids, C, (C * C).sum(axis=1))
+    by_s = _centroid_mats(seeds.collect())
 
     def partials(it):
         acc: dict[tuple[int, int], list] = {}

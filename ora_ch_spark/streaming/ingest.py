@@ -20,12 +20,34 @@ generalization of the reference's watermark-append semantics
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ora_ch_spark.store import TableStore
 from ora_ch_spark.syncstate import SyncState
+
+
+def _hfs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme — local,
+    HDFS, S3A — resolved the same way Spark's own writers do."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _hfs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hfs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _hfs_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _hfs(spark, path)
+    try:
+        fs.delete(p, True)
+    except Exception:
+        # best-effort cleanup — a leftover stage is re-deleted on the
+        # next run; never fail a committed epoch over it
+        pass
 
 EPOCH_COL = "__stream_epoch"
 
@@ -141,7 +163,12 @@ def stream_upsert_files(
             stage = os.path.join(
                 checkpoint_dir, "__winners", f"epoch={epoch_id}"
             )
-            if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            # existence / cleanup go through the Hadoop FileSystem
+            # API, NOT driver-local os.path/shutil — the checkpoint
+            # dir may be HDFS/S3, where a local check is always False
+            # and the crash-safety guarantee would silently vanish
+            # (review r7)
+            if not _hfs_exists(spark, os.path.join(stage, "_SUCCESS")):
                 pick_latest(latest.unionByName(existing)).write.mode(
                     "overwrite"
                 ).parquet(stage)
@@ -154,9 +181,8 @@ def stream_upsert_files(
         # the epoch is committed (watermark guard skips any replay) —
         # its stage is dead weight; drop it so the checkpoint dir
         # doesn't grow one directory per epoch forever
-        shutil.rmtree(
-            os.path.join(checkpoint_dir, "__winners", f"epoch={epoch_id}"),
-            ignore_errors=True,
+        _hfs_delete(
+            spark, os.path.join(checkpoint_dir, "__winners", f"epoch={epoch_id}")
         )
 
     q = (

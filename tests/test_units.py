@@ -2426,10 +2426,11 @@ def test_dialect_array_join_clause():
     assert "LATERAL VIEW explode(" in out
     assert "try_element_at(arr, __aj_n) AS a" in out
     assert out.endswith("WHERE a > 1")
-    # LEFT → OUTER, unaliased bare identifier shadows the column
+    # LEFT → OUTER, unaliased bare identifier shadows the column;
+    # the source keeps its own name through the wrap (review r7)
     out = T("SELECT k, arr FROM t LEFT ARRAY JOIN arr")
     assert "LATERAL VIEW OUTER explode(" in out
-    assert "__aj_l.* EXCEPT (arr)" in out
+    assert "t.* EXCEPT (arr)" in out
     assert "AS arr" in out
     # multi-array zip: positions over greatest(sizes)
     out = T("SELECT a, b FROM t ARRAY JOIN x AS a, y AS b")
@@ -2608,7 +2609,7 @@ def test_dialect_batch7_rewrites(spark):
     )).first()
     assert row["a"] == "https://e.com/a#f"
     assert row["b"] == "https://e.com/a"
-    assert row["c"] == "/a/b?x=1"
+    assert row["c"] == "/a/b?x=1#f", "pathFull includes the fragment (CH)"
     assert row["d"] == "uk" and row["e"] == "e.com" and row["f"] == "a/b"
     # idempotence
     for q in ("select retention(a = 1, b = 2) r from t",
@@ -2646,3 +2647,56 @@ def test_dialect_qualify_and_scalar_with():
               "with 3 as k select k + 1 as v from t"):
         once = T(q)
         assert T(once) == once
+
+
+def test_dialect_review_r7_regressions(spark):
+    """Review r7 findings pinned: (1) cutQueryString without a '?'
+    must not duplicate the fragment; (2) ASOF rejects non-bare
+    right-side conjuncts loudly instead of mis-windowing; (3) ARRAY
+    JOIN keeps the source's own name for qualified references and
+    stops its item list at a following JOIN/QUALIFY; (4) scalar-WITH
+    never substitutes after a qualifier dot; (5) ASOF + QUALIFY /
+    trailing FORMAT coexist."""
+    import pytest as _pytest
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    # (1) fragment-only URL survives cutQueryString untouched
+    row = spark.sql(T(
+        "select cutQueryString('https://e.com/a#f') a, "
+        "cutQueryString('https://e.com/a') b"
+    )).first()
+    assert row["a"] == "https://e.com/a#f" and row["b"] == "https://e.com/a"
+    # (2) non-bare equality conjunct on the right relation → loud error
+    with _pytest.raises(ValueError, match="bare equality key"):
+        T("SELECT 1 FROM l ASOF JOIN r ON l.k = upper(r.k) AND l.ts >= r.ts")
+    # a right-side constant filter partitions the adjacency window
+    # (≡ filtering the rights before the as-of pick) — allowed
+    assert "PARTITION BY k, flag" in T(
+        "SELECT 1 FROM l ASOF JOIN r ON l.k = r.k AND r.flag = 1 "
+        "AND l.ts >= r.ts"
+    )
+    # left-only extra conjuncts are fine (they filter lefts, not the window)
+    assert "lead(ts)" in T(
+        "SELECT 1 FROM l ASOF JOIN r ON l.k = r.k AND l.a = 5 AND l.ts >= r.ts"
+    )
+    # (3) qualified references resolve through the ARRAY JOIN wrap
+    spark.sql("SELECT 1 AS k, array(10, 20) AS arr").createOrReplaceTempView("ajt")
+    got = spark.sql(T(
+        "SELECT ajt.k, a FROM ajt ARRAY JOIN ajt.arr AS a"
+    )).collect()
+    assert sorted((r["k"], r["a"]) for r in got) == [(1, 10), (1, 20)]
+    # item list terminates at a following JOIN (not an alias error)
+    out = T("SELECT a, u.v FROM t ARRAY JOIN arr AS a JOIN u ON u.id = a")
+    assert "JOIN u ON u.id = a" in out
+    # ... and left(...) inside an item is NOT a join terminator
+    out2 = T("SELECT s FROM t ARRAY JOIN arrayMap(x -> left(x, 2), arr) AS s "
+             "WHERE s != ''")
+    assert "transform(arr, x -> left(x, 2))" in out2
+    # (4) t.k is a column reference, never the scalar alias k
+    assert T("with 2 as k select t.k from t") == "select t.k from t"
+    # (5) ASOF + QUALIFY and trailing FORMAT both translate
+    out3 = T("SELECT l.id, row_number() over (order by l.id) as rn "
+             "FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts "
+             "QUALIFY rn <= 1 FORMAT JSON")
+    assert "__q" in out3 and "FORMAT" not in out3.upper().replace("__", "")
