@@ -1245,6 +1245,59 @@ ORDER BY k
 
 
 # ---------------------------------------------------------------------------
+# Geo mini-battery — geohashEncode closed-form bits (value-gated)
+# ---------------------------------------------------------------------------
+
+# geohashEncode's rewrite expands each interleaved bit in CLOSED FORM
+# (floor of a plain double product — engine-identical, unlike a trig
+# haversine which is deliberately NOT hash-gated). Coordinates derive
+# exactly from integers.
+_GEO_CH_SQL = """
+select gh, toInt64(count(*)) as n
+from (
+  select geohashEncode(modulo(p_partkey, 360) - 180 + p_size / 100.0,
+                       modulo(p_partkey, 180) - 90 + p_size / 200.0,
+                       6) as gh
+  from part
+  where p_partkey <= 400
+)
+group by gh
+order by gh
+"""
+
+
+def calc_dialect_geo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_GEO_CH_SQL)).orderBy("gh")
+
+
+DIALECT_GEO_ORACLE = """
+SELECT gh, cast(count(*) as bigint) AS n
+FROM (
+  SELECT array_to_string(list_transform(range(6), c ->
+    substring('0123456789bcdefghjkmnpqrstuvwxyz',
+      cast(list_sum(list_transform(range(5), b ->
+        (CASE WHEN (5 * c + b) % 2 = 0 THEN
+          cast(floor((lon + 180.0) * power(2.0, cast((5 * c + b) // 2 + 1 as double)) / 360.0) as bigint) % 2
+         ELSE
+          cast(floor((lat + 90.0) * power(2.0, cast((5 * c + b) // 2 + 1 as double)) / 180.0) as bigint) % 2
+         END) * (1 << (4 - b))
+      )) as int) + 1, 1)), '') AS gh
+  FROM (
+    SELECT p_partkey % 360 - 180 + p_size / 100.0 AS lon,
+           p_partkey % 180 - 90 + p_size / 200.0 AS lat
+    FROM part WHERE p_partkey <= 400
+  )
+)
+GROUP BY gh
+ORDER BY gh
+"""
+
+
+# ---------------------------------------------------------------------------
 # ASOF JOIN SQL syntax (r6 verdict item 2)
 # ---------------------------------------------------------------------------
 
@@ -5036,6 +5089,8 @@ EXT_QUERIES: list[QueryDef] = [
              "windowFunnel DP fold vs EXISTS-chain oracle, retention via ARRAY JOIN, URL family"),
     QueryDef("calc_dialect_battery8", calc_dialect8_q, DIALECT8_ORACLE,
              "QUALIFY hidden-column wrap + CH scalar WITH inlining vs DuckDB native QUALIFY"),
+    QueryDef("calc_dialect_geo", calc_dialect_geo_q, DIALECT_GEO_ORACLE,
+             "geohashEncode closed-form bit expansion (engine-identical doubles)"),
     QueryDef("calc_asof_sql", calc_asof_sql_q, ASOF_SQL_ORACLE,
              "ASOF LEFT JOIN clause syntax vs DuckDB native ASOF JOIN"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,

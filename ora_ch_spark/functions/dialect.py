@@ -2371,6 +2371,63 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out, "encodeURLComponent", lambda a: f"url_encode({a[0]})"
     )
 
+    # ---- round-7 geo mini-batch ----
+    # CH type names differ from Spark's (UInt32 vs int) — documented
+    # naming drift; the introspection shape is what callers need
+    out = _rewrite_calls(out, "toTypeName", lambda a: f"typeof({a[0]})")
+
+    def _haversine(radius: str):
+        # CH argument order: (lon1, lat1, lon2, lat2), meters out.
+        # Haversine on a sphere — geoDistance's WGS-84 correction is
+        # ~0.3% at most; documented approximation drift. radians()/
+        # sin/cos are libm doubles: deterministic per engine but NOT
+        # bit-identical across engines, so these are unit-tested with
+        # tolerance, never value-hash-gated.
+        def render(a: list[str]) -> str | None:
+            if len(a) != 4:
+                return None
+            lon1, lat1, lon2, lat2 = a
+            return (
+                f"(2.0 * {radius} * asin(sqrt("
+                f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+                f"cos(radians({lat1})) * cos(radians({lat2})) * "
+                f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+            )
+
+        return render
+
+    out = _rewrite_calls(out, "greatCircleDistance", _haversine("6371008.8"))
+    out = _rewrite_calls(out, "geoDistance", _haversine("6371008.8"))
+
+    def _geohash_encode(a: list[str]) -> str | None:
+        # closed-form bit expansion (no fold state): interleaved bit j
+        # is floor((coord + span/2) * 2^(k+1) / span) % 2 with k = the
+        # coordinate's own bit index — every operation is a plain
+        # IEEE double product/floor, identical across engines, so the
+        # encoding IS value-hash-gateable (unlike trig)
+        if len(a) not in (2, 3):
+            return None
+        lon, lat = a[0], a[1]
+        prec = a[2] if len(a) == 3 else "12"
+        b32 = lit("0123456789bcdefghjkmnpqrstuvwxyz")
+        bit = (
+            "CASE WHEN (5 * c + b) % 2 = 0 THEN "
+            f"cast(floor((({lon}) + 180.0D) * power(2.0D, "
+            "cast((5 * c + b) div 2 + 1 as double)) / 360.0D) as bigint) % 2 "
+            "ELSE "
+            f"cast(floor((({lat}) + 90.0D) * power(2.0D, "
+            "cast((5 * c + b) div 2 + 1 as double)) / 180.0D) as bigint) % 2 "
+            "END"
+        )
+        return (
+            f"concat_ws({lit('')}, transform(sequence(0, cast(" + prec + " as int) - 1), "
+            "c -> substring(" + b32 + ", cast(aggregate(transform(sequence(0, 4), "
+            f"b -> ({bit}) * shiftleft(1, 4 - b)), 0L, (acc, v) -> acc + v) "
+            "as int) + 1, 1)))"
+        )
+
+    out = _rewrite_calls(out, "geohashEncode", _geohash_encode)
+
     # ---- round-7 batch #6: array/string/date/IP/tuple completion.
     # Every name is a CH-only identifier (no Spark collision) except
     # where arity-guarded; `range` is deliberately NOT rewritten —

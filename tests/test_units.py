@@ -2700,3 +2700,29 @@ def test_dialect_review_r7_regressions(spark):
              "FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts "
              "QUALIFY rn <= 1 FORMAT JSON")
     assert "__q" in out3 and "FORMAT" not in out3.upper().replace("__", "")
+
+
+def test_dialect_geo_functions(spark):
+    """geohashEncode matches the canonical test vectors; the
+    haversine distances are tolerance-checked (libm trig is never
+    value-hash-gated); toTypeName maps to typeof."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    row = spark.sql(T(
+        "select geohashEncode(-5.60302734375, 42.60498046875, 5) a, "
+        "geohashEncode(10.40744, 57.64911, 11) b, "
+        "geohashEncode(0.0, 0.0, 4) c, "
+        "greatCircleDistance(-86.5813, 36.12, -118.408, 33.9425) d, "
+        "geoDistance(0.0, 0.0, 0.0, 1.0) e, "
+        "toTypeName(1) t"
+    )).first()
+    assert row["a"] == "ezs42"
+    assert row["b"] == "u4pruydqqvj"
+    assert row["c"] == "s000"
+    # BNA→LAX ≈ 2886-2895 km depending on radius model
+    assert abs(row["d"] - 2_890_000) < 10_000
+    # one degree of latitude ≈ 111.2 km on the sphere
+    assert abs(row["e"] - 111_195) < 100
+    assert row["t"] == "int"
+    q = "select geohashEncode(lon, lat, 6) g from t"
+    assert T(T(q)) == T(q)
