@@ -1323,10 +1323,20 @@ def _v6184_view_body() -> str:
     return txt[m.end():].rstrip().rstrip(";")
 
 
+# last sf_dir the fixture views were created for — the 13 CREATE OR
+# REPLACE VIEW statements cost ~1.7 s per call even warm (catalog
+# writes), which dominated repeated verbatim-entry runs; views are
+# deterministic per sf_dir, so re-creation is pure waste
+_V6184_VIEWS_STATE: dict[str, str | None] = {"sf_dir": None}
+
+
 def _v6184_create_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     """Create the production-named fixture views (metadata only, no
     data copied) so the verbatim text's qualified references resolve.
-    Shared by the gated entry and the CalcEngine e2e test."""
+    Shared by the gated entry and the CalcEngine e2e test. Memoized
+    per sf_dir — switching scale factors recreates."""
+    if _V6184_VIEWS_STATE["sf_dir"] == sf_dir:
+        return
     for (db, tbl), sel in _V6184_FIXTURES.items():
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
         body = sel.format(
@@ -1334,6 +1344,7 @@ def _v6184_create_fixture_views(spark: SparkSession, sf_dir: str) -> None:
             O=f"parquet.`{sf_dir}/orders.parquet`",
         )
         spark.sql(f"CREATE OR REPLACE VIEW {db}.{tbl} AS {body}")
+    _V6184_VIEWS_STATE["sf_dir"] = sf_dir
 
 
 def calc_verbatim_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,9 +75,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every test table as a temp view (for the SQL surface)."""
+# last (session id, sf_dir) the table views were registered for —
+# dozens of catalog entries call register_views per invocation, and
+# the schema-inference + re-registration round trip costs ~0.8 s each
+# time for identical results
+_REGISTER_STATE: dict[str, tuple | None] = {"key": None, "dfs": None}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> dict[str, DataFrame]:
+    """Register every test table as a temp view (for the SQL
+    surface). Memoized per (session, sf_dir) — nothing in the engine
+    overwrites these view names, so re-registration is pure waste;
+    ``force=True`` re-registers (e.g. after an external view drop)."""
+    key = (id(spark), sf_dir)
+    if not force and _REGISTER_STATE["key"] == key:
+        return _REGISTER_STATE["dfs"]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    _REGISTER_STATE["key"] = key
+    _REGISTER_STATE["dfs"] = dfs
     return dfs
