@@ -651,12 +651,15 @@ def connected_components_star(
         # truncate lineage EVERY round: each round references the
         # previous edge frame ~4x (sym twice, mins once, the except
         # checks twice), so an un-truncated plan grows EXPONENTIALLY —
-        # measured: a 2 GiB plan string by round ~8 on a 120-chain
-        ss = ss.localCheckpoint(eager=True)
+        # measured: a 2 GiB plan string by round ~8 on a 120-chain.
+        # LAZY checkpoint + ONE combined symmetric-difference action:
+        # the old eager checkpoint + two exceptAll counts cost three
+        # Spark jobs per round; the isEmpty below materializes the
+        # checkpoint and evaluates both set differences in one job
+        # (per-round fixed cost dominates at small edge frames)
+        ss = ss.localCheckpoint(eager=False)
         ls.unpersist()
-        converged = (
-            ss.exceptAll(e).count() == 0 and e.exceptAll(ss).count() == 0
-        )
+        converged = ss.exceptAll(e).unionByName(e.exceptAll(ss)).isEmpty()
         e.unpersist()
         e = ss
         if converged:
