@@ -1245,6 +1245,48 @@ ORDER BY k
 
 
 # ---------------------------------------------------------------------------
+# dictGet/dictHas SQL forms via the dictionary registry
+# ---------------------------------------------------------------------------
+
+_DICT_CH_SQL = """
+select dictGetOrDefault('nation', 'n_name', modulo(c_custkey, 30), 'NONE') as n,
+       toInt64(sum(if(dictHas('nation', modulo(c_custkey, 30)), 1, 0))) as n_hit,
+       toInt64(count(*)) as cnt
+from customer
+where c_custkey <= 2000
+group by n
+order by n
+"""
+
+
+def calc_dict_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH dictionary functions in SQL: the registry supplies the key
+    attribute (CH declares it in dictionary DDL the translator never
+    sees), dictGet becomes a correlated scalar subquery Catalyst
+    de-correlates into a join, dictHas a scalar-COUNT probe. Keys 25+
+    miss (25 nations) and fall to the default — the miss path is part
+    of the gate."""
+    from ora_ch_spark.functions.dialect import register_dictionary, translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    register_dictionary("nation", "n_nationkey")
+    return spark.sql(translate_ch_sql(_DICT_CH_SQL)).orderBy("n")
+
+
+DICT_LOOKUP_ORACLE = """
+SELECT coalesce(nt.n_name, 'NONE') AS n,
+       cast(sum(CASE WHEN nt.n_nationkey IS NOT NULL THEN 1 ELSE 0 END)
+            as bigint) AS n_hit,
+       cast(count(*) as bigint) AS cnt
+FROM (SELECT c_custkey % 30 AS k FROM customer WHERE c_custkey <= 2000) c
+LEFT JOIN nation nt ON nt.n_nationkey = c.k
+GROUP BY coalesce(nt.n_name, 'NONE')
+ORDER BY n
+"""
+
+
+# ---------------------------------------------------------------------------
 # Geo mini-battery — geohashEncode closed-form bits (value-gated)
 # ---------------------------------------------------------------------------
 
@@ -5091,6 +5133,8 @@ EXT_QUERIES: list[QueryDef] = [
              "QUALIFY hidden-column wrap + CH scalar WITH inlining vs DuckDB native QUALIFY"),
     QueryDef("calc_dialect_geo", calc_dialect_geo_q, DIALECT_GEO_ORACLE,
              "geohashEncode closed-form bit expansion (engine-identical doubles)"),
+    QueryDef("calc_dict_lookup", calc_dict_lookup_q, DICT_LOOKUP_ORACLE,
+             "dictGet/dictHas SQL forms via the dictionary registry (miss path gated)"),
     QueryDef("calc_asof_sql", calc_asof_sql_q, ASOF_SQL_ORACLE,
              "ASOF LEFT JOIN clause syntax vs DuckDB native ASOF JOIN"),
     QueryDef("streaming_window_agg", streaming_window_q, STREAMING_WINDOW_ORACLE,

@@ -1134,6 +1134,20 @@ def _rewrite_asof_join(masked: str) -> str:
         )
 
 
+# dictionary registry for the dictGet/dictHas SQL forms: CH
+# dictionaries declare their key attribute in DDL the translator never
+# sees, so callers register it — `register_dictionary('nation',
+# 'n_nationkey')` — and dictGet('nation', 'attr', k) becomes a
+# correlated scalar subquery (Catalyst de-correlates it into a join).
+# Unregistered names pass through untouched (loud Spark error beats a
+# silently-guessed key).
+_DICTIONARIES: dict[str, str] = {}
+
+
+def register_dictionary(name: str, key_column: str) -> None:
+    _DICTIONARIES[name] = key_column
+
+
 def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     """Rewrite ClickHouse-dialect SQL into Spark SQL (function surface
     of SURVEY.md §2.4). Idempotent on already-ANSI text.
@@ -2370,6 +2384,48 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out, "encodeURLComponent", lambda a: f"url_encode({a[0]})"
     )
+
+    # ---- dictGet family (registry-resolved) ----
+    def _dict_key(a0: str) -> tuple[str, str] | None:
+        name = _lit_text(a0, lits)
+        if name is None:
+            return None
+        name = name.strip("'")
+        key = _DICTIONARIES.get(name)
+        return (name, key) if key else None
+
+    def _dict_get(a: list[str]) -> str | None:
+        if len(a) != 3:
+            return None
+        dk = _dict_key(a[0])
+        attr = _lit_text(a[1], lits)
+        if dk is None or attr is None:
+            return None
+        name, key = dk
+        return f"(SELECT {attr.strip(chr(39))} FROM {name} WHERE {key} = ({a[2]}))"
+
+    def _dict_get_default(a: list[str]) -> str | None:
+        if len(a) != 4:
+            return None
+        inner = _dict_get(a[:3])
+        return None if inner is None else f"coalesce({inner}, {a[3]})"
+
+    def _dict_has(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        dk = _dict_key(a[0])
+        if dk is None:
+            return None
+        name, key = dk
+        # scalar COUNT subquery: usable in any expression position
+        # (EXISTS is predicate-position-only in Spark)
+        return (
+            f"((SELECT count(*) FROM {name} WHERE {key} = ({a[1]})) > 0)"
+        )
+
+    out = _rewrite_calls(out, "dictGetOrDefault", _dict_get_default)
+    out = _rewrite_calls(out, "dictGet", _dict_get)
+    out = _rewrite_calls(out, "dictHas", _dict_has)
 
     # ---- round-7 geo mini-batch ----
     # CH type names differ from Spark's (UInt32 vs int) — documented

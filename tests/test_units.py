@@ -2726,3 +2726,31 @@ def test_dialect_geo_functions(spark):
     assert row["t"] == "int"
     q = "select geohashEncode(lon, lat, 6) g from t"
     assert T(T(q)) == T(q)
+
+
+def test_dialect_dict_functions(spark, sf_correct):
+    """dictGet/dictGetOrDefault/dictHas resolve through the
+    dictionary registry; unregistered names pass through untouched
+    (loud Spark error beats a guessed key); the plan de-correlates
+    the scalar subquery into a join, never a per-row loop."""
+    from ora_ch_spark.functions.dialect import (
+        register_dictionary,
+        translate_ch_sql as T,
+    )
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_correct)
+    register_dictionary("nation", "n_nationkey")
+    out = T("select dictGet('nation', 'n_name', x) from t")
+    assert out == "select (SELECT n_name FROM nation WHERE n_nationkey = (x)) from t"
+    assert T("select dictGet('nope', 'a', x) from t") == (
+        "select dictGet('nope', 'a', x) from t"
+    )
+    df = spark.sql(T(
+        "select dictGetOrDefault('nation', 'n_name', 27, 'NONE') a, "
+        "dictGetOrDefault('nation', 'n_name', 3, 'NONE') b, "
+        "dictHas('nation', 3) c, dictHas('nation', 27) d"
+    ))
+    row = df.first()
+    assert row["a"] == "NONE" and row["b"] is not None and row["b"] != "NONE"
+    assert row["c"] is True and row["d"] is False
