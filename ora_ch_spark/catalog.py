@@ -1323,19 +1323,28 @@ def _v6184_view_body() -> str:
     return txt[m.end():].rstrip().rstrip(";")
 
 
-# last sf_dir the fixture views were created for — the 13 CREATE OR
-# REPLACE VIEW statements cost ~1.7 s per call even warm (catalog
-# writes), which dominated repeated verbatim-entry runs; views are
-# deterministic per sf_dir, so re-creation is pure waste
-_V6184_VIEWS_STATE: dict[str, str | None] = {"sf_dir": None}
+# last (session, sf_dir) the fixture views were created for — the 13
+# CREATE OR REPLACE VIEW statements cost ~1.7 s per call even warm
+# (catalog writes), which dominated repeated verbatim-entry runs;
+# views are deterministic per (session, sf_dir), so re-creation is
+# pure waste. The session is held by OBJECT and compared with ``is``:
+# the views live in a session's in-memory catalog, so a fresh session
+# (same sf_dir) must re-create them or the verbatim query fails with
+# TABLE_OR_VIEW_NOT_FOUND.
+_V6184_VIEWS_STATE: dict[str, object | None] = {
+    "spark": None, "sf_dir": None,
+}
 
 
 def _v6184_create_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     """Create the production-named fixture views (metadata only, no
     data copied) so the verbatim text's qualified references resolve.
     Shared by the gated entry and the CalcEngine e2e test. Memoized
-    per sf_dir — switching scale factors recreates."""
-    if _V6184_VIEWS_STATE["sf_dir"] == sf_dir:
+    per (session, sf_dir) — switching either recreates."""
+    if (
+        _V6184_VIEWS_STATE["spark"] is spark
+        and _V6184_VIEWS_STATE["sf_dir"] == sf_dir
+    ):
         return
     for (db, tbl), sel in _V6184_FIXTURES.items():
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
@@ -1344,6 +1353,7 @@ def _v6184_create_fixture_views(spark: SparkSession, sf_dir: str) -> None:
             O=f"parquet.`{sf_dir}/orders.parquet`",
         )
         spark.sql(f"CREATE OR REPLACE VIEW {db}.{tbl} AS {body}")
+    _V6184_VIEWS_STATE["spark"] = spark
     _V6184_VIEWS_STATE["sf_dir"] = sf_dir
 
 

@@ -2395,6 +2395,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         return (name, key) if key else None
 
     def _dict_get(a: list[str]) -> str | None:
+        # DOCUMENTED DRIFT: a key MISS yields NULL, not CH's
+        # attribute-type default ('' / 0) — the attribute's type is
+        # unknown at translate time. Callers needing the CH miss
+        # value should use dictGetOrDefault with an explicit default.
         if len(a) != 3:
             return None
         dk = _dict_key(a[0])
@@ -2407,8 +2411,21 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     def _dict_get_default(a: list[str]) -> str | None:
         if len(a) != 4:
             return None
-        inner = _dict_get(a[:3])
-        return None if inner is None else f"coalesce({inner}, {a[3]})"
+        dk = _dict_key(a[0])
+        attr = _lit_text(a[1], lits)
+        if dk is None or attr is None:
+            return None
+        name, key = dk
+        # struct-wrap the scalar subquery so a PRESENT key whose
+        # stored attribute is NULL returns that NULL (CH applies the
+        # default only on key MISS); a bare coalesce over the scalar
+        # cannot distinguish no-row from NULL-value. Still ONE
+        # subquery → one decorrelated join.
+        return (
+            f"coalesce((SELECT named_struct('v', {attr.strip(chr(39))}) "
+            f"FROM {name} WHERE {key} = ({a[2]})), "
+            f"named_struct('v', ({a[3]}))).v"
+        )
 
     def _dict_has(a: list[str]) -> str | None:
         if len(a) != 2:
@@ -2464,7 +2481,15 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         if len(a) not in (2, 3):
             return None
         lon, lat = a[0], a[1]
-        prec = a[2] if len(a) == 3 else "12"
+        # CH clamps out-of-range precision to 12 (and 0/negative
+        # would make Spark's sequence() run DESCENDING, emitting
+        # garbage bits) — clamp exactly like CH does
+        prec = (
+            f"(CASE WHEN ({a[2]}) BETWEEN 1 AND 12 "
+            f"THEN cast(({a[2]}) as int) ELSE 12 END)"
+            if len(a) == 3
+            else "12"
+        )
         b32 = lit("0123456789bcdefghjkmnpqrstuvwxyz")
         bit = (
             "CASE WHEN (5 * c + b) % 2 = 0 THEN "
@@ -2476,7 +2501,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             "END"
         )
         return (
-            f"concat_ws({lit('')}, transform(sequence(0, cast(" + prec + " as int) - 1), "
+            f"concat_ws({lit('')}, transform(sequence(0, " + prec + " - 1), "
             "c -> substring(" + b32 + ", cast(aggregate(transform(sequence(0, 4), "
             f"b -> ({bit}) * shiftleft(1, 4 - b)), 0L, (acc, v) -> acc + v) "
             "as int) + 1, 1)))"

@@ -75,11 +75,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-# last (session id, sf_dir) the table views were registered for —
+# last (session, sf_dir) the table views were registered for —
 # dozens of catalog entries call register_views per invocation, and
 # the schema-inference + re-registration round trip costs ~0.8 s each
-# time for identical results
-_REGISTER_STATE: dict[str, tuple | None] = {"key": None, "dfs": None}
+# time for identical results. The session is held by OBJECT (identity
+# compared with ``is``), not by id(): a stopped session's id can be
+# reused by CPython for the next one, which would turn a fresh
+# session into a false cache hit with views registered nowhere.
+_REGISTER_STATE: dict[str, object | None] = {
+    "spark": None, "sf_dir": None, "dfs": None,
+}
 
 
 def register_views(
@@ -88,13 +93,22 @@ def register_views(
     """Register every test table as a temp view (for the SQL
     surface). Memoized per (session, sf_dir) — nothing in the engine
     overwrites these view names, so re-registration is pure waste;
-    ``force=True`` re-registers (e.g. after an external view drop)."""
-    key = (id(spark), sf_dir)
-    if not force and _REGISTER_STATE["key"] == key:
+    ``force=True`` re-registers (e.g. after an external view drop).
+    A memo hit still re-pins load_table's documented session confs
+    (UTC timeZone, nanosAsLong) so the per-call contract holds even
+    when a driver mutated the session between catalog queries."""
+    if (
+        not force
+        and _REGISTER_STATE["spark"] is spark
+        and _REGISTER_STATE["sf_dir"] == sf_dir
+    ):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return _REGISTER_STATE["dfs"]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
-    _REGISTER_STATE["key"] = key
+    _REGISTER_STATE["spark"] = spark
+    _REGISTER_STATE["sf_dir"] = sf_dir
     _REGISTER_STATE["dfs"] = dfs
     return dfs

@@ -2724,6 +2724,15 @@ def test_dialect_geo_functions(spark):
     # one degree of latitude ≈ 111.2 km on the sphere
     assert abs(row["e"] - 111_195) < 100
     assert row["t"] == "int"
+    # out-of-range precision clamps to 12 exactly like CH (0 would
+    # otherwise make sequence() descend and emit garbage bits)
+    row2 = spark.sql(T(
+        "select geohashEncode(10.40744, 57.64911, 0) z, "
+        "geohashEncode(10.40744, 57.64911, 15) h, "
+        "geohashEncode(10.40744, 57.64911, 12) twelve"
+    )).first()
+    assert row2["z"] == row2["twelve"] and row2["h"] == row2["twelve"]
+    assert len(row2["twelve"]) == 12
     q = "select geohashEncode(lon, lat, 6) g from t"
     assert T(T(q)) == T(q)
 
@@ -2754,3 +2763,17 @@ def test_dialect_dict_functions(spark, sf_correct):
     row = df.first()
     assert row["a"] == "NONE" and row["b"] is not None and row["b"] != "NONE"
     assert row["c"] is True and row["d"] is False
+    # a PRESENT key whose stored attribute is NULL returns that NULL
+    # (CH applies the default only on key MISS) — the struct-wrap
+    # distinguishes no-row from NULL-value
+    spark.sql(
+        "select * from values (1, 'x'), (2, cast(NULL as string)) "
+        "as nulldict(k, v)"
+    ).createOrReplaceTempView("nulldict")
+    register_dictionary("nulldict", "k")
+    row3 = spark.sql(T(
+        "select dictGetOrDefault('nulldict', 'v', 2, 'DEF') a, "
+        "dictGetOrDefault('nulldict', 'v', 9, 'DEF') b, "
+        "dictGetOrDefault('nulldict', 'v', 1, 'DEF') c"
+    )).first()
+    assert row3["a"] is None and row3["b"] == "DEF" and row3["c"] == "x"
