@@ -1245,6 +1245,67 @@ ORDER BY k
 
 
 # ---------------------------------------------------------------------------
+# Batch-8 dialect surface — the silent-drift fixes are the point:
+# CH position() has REVERSED arguments vs Spark's position(), and
+# dateTrunc / two-arg CAST are CH-only spellings that previously
+# passed through (position silently wrong, the others loud errors).
+# ---------------------------------------------------------------------------
+
+_DIALECT9_CH_SQL = """
+select
+  toYear(o_orderdate) as y,
+  toInt64(sum(position(o_orderpriority, 'URGENT'))) as s_pos,
+  toInt64(sum(toRelativeDayNum(o_orderdate))) as s_rd,
+  toInt64(sum(toRelativeMonthNum(o_orderdate))) as s_rm,
+  toInt64(count(distinct dateTrunc('month', o_orderdate))) as n_mon,
+  toInt64(sum(length(extract(o_orderpriority, '([0-9]+)')))) as s_ex,
+  toInt64(sum(length(arrayStringConcat(alphaTokens(o_orderpriority), '')))) as s_at,
+  toInt64(sum(length(arrayStringConcat(ngrams(o_orderpriority, 3), '')))) as s_ng,
+  toInt64(sum(CAST(o_custkey, 'Int64'))) as s_ck,
+  toInt64(sum(if(timestampAdd(o_orderdate, INTERVAL 30 DAY)
+                 > toDate('1995-01-01'), 1, 0))) as n_ta
+from orders
+where o_orderkey <= 4000
+group by y
+order by y
+"""
+
+
+def calc_dialect9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-8 function surface, value-gated: CH-argument-order
+    position (haystack first — the reversed-args silent drift),
+    toRelative*Num epoch ordinals, dateTrunc, CH regex extract with
+    capture-group detection, alphaTokens/ngrams, two-arg CAST, and
+    timestampAdd interval arithmetic."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT9_CH_SQL)).orderBy("y")
+
+
+DIALECT9_ORACLE = """
+SELECT cast(year(o_orderdate) as bigint) AS y,
+  cast(sum(instr(o_orderpriority, 'URGENT')) as bigint) AS s_pos,
+  cast(sum(datediff('day', DATE '1970-01-01', o_orderdate)) as bigint) AS s_rd,
+  cast(sum(year(o_orderdate) * 12 + month(o_orderdate)) as bigint) AS s_rm,
+  cast(count(distinct date_trunc('month', o_orderdate)) as bigint) AS n_mon,
+  cast(sum(length(regexp_extract(o_orderpriority, '([0-9]+)', 1))) as bigint) AS s_ex,
+  cast(sum(length(array_to_string(
+    list_filter(string_split_regex(o_orderpriority, '[^A-Za-z]+'), x -> x != ''),
+    ''))) as bigint) AS s_at,
+  cast(sum(3 * greatest(length(o_orderpriority) - 2, 0)) as bigint) AS s_ng,
+  cast(sum(o_custkey) as bigint) AS s_ck,
+  cast(sum(CASE WHEN o_orderdate + INTERVAL 30 DAY > DATE '1995-01-01'
+                THEN 1 ELSE 0 END) as bigint) AS n_ta
+FROM orders
+WHERE o_orderkey <= 4000
+GROUP BY 1
+ORDER BY y
+"""
+
+
+# ---------------------------------------------------------------------------
 # dictGet/dictHas SQL forms via the dictionary registry
 # ---------------------------------------------------------------------------
 
@@ -5131,6 +5192,8 @@ EXT_QUERIES: list[QueryDef] = [
              "windowFunnel DP fold vs EXISTS-chain oracle, retention via ARRAY JOIN, URL family"),
     QueryDef("calc_dialect_battery8", calc_dialect8_q, DIALECT8_ORACLE,
              "QUALIFY hidden-column wrap + CH scalar WITH inlining vs DuckDB native QUALIFY"),
+    QueryDef("calc_dialect_battery9", calc_dialect9_q, DIALECT9_ORACLE,
+             "batch-8 surface: CH-arg-order position, toRelative*Num, dateTrunc, regex extract, ngrams, 2-arg CAST"),
     QueryDef("calc_dialect_geo", calc_dialect_geo_q, DIALECT_GEO_ORACLE,
              "geohashEncode closed-form bit expansion (engine-identical doubles)"),
     QueryDef("calc_dict_lookup", calc_dict_lookup_q, DICT_LOOKUP_ORACLE,

@@ -155,7 +155,8 @@ def _rewrite_param_calls(sql: str, fname: str, render) -> str:
     receives (params, args); the parameterless form ``fname(args)``
     calls render([], args) (CH's defaults apply). A render may
     return ``None`` to leave THAT call untouched (same contract as
-    :func:`_rewrite_calls`) — the scan continues after it."""
+    :func:`_rewrite_calls`) — the scan resumes just past the call's
+    name so nested same-name calls are still visited."""
     start = 0
     while True:
         found = _find_call(sql, fname, start)
@@ -169,13 +170,13 @@ def _rewrite_param_calls(sql: str, fname: str, render) -> str:
             end2, args = _parse_group(sql, j)
             rendered = render(first, args)
             if rendered is None:
-                start = end2
+                start = begin + 1
             else:
                 sql = sql[:begin] + rendered + sql[end2:]
         else:
             rendered = render([], first)
             if rendered is None:
-                start = end
+                start = begin + 1
             else:
                 sql = sql[:begin] + rendered + sql[end:]
 
@@ -186,7 +187,11 @@ def _rewrite_calls(sql: str, fname: str, render) -> str:
     args and are picked up on the next loop pass (no render re-emits
     its own name, so this terminates). A render may return ``None``
     to leave THAT call untouched (e.g. an arity the target dialect
-    cannot express) — the scan continues after it."""
+    cannot express) — the scan then resumes just PAST the call's
+    name, not past its closing paren, so a nested same-name call
+    inside the skipped call's arguments is still visited (e.g. a
+    2-arg CH ``CAST(x, 'T')`` nested inside an already-ANSI 1-arg
+    ``cast(… as t)``)."""
     start = 0
     while True:
         found = _find_call(sql, fname, start)
@@ -195,7 +200,7 @@ def _rewrite_calls(sql: str, fname: str, render) -> str:
         begin, end, args = found
         rendered = render(args)
         if rendered is None:
-            start = end  # skip this call, keep scanning
+            start = begin + 1  # skip this call, rescan inside it
         else:
             sql = sql[:begin] + rendered + sql[end:]
 
@@ -2674,6 +2679,209 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             else None
         ),
     )
+
+    # ---- round-7 batch #8: silent-drift fixes + string/array/cast
+    # completion. The first three are the dangerous kind: valid Spark
+    # names with DIFFERENT semantics, so pass-through ran without
+    # error and returned wrong values. ----
+    # CH position(haystack, needle[, start]) — Spark's position() has
+    # the arguments REVERSED (substr first), so pass-through silently
+    # searched the needle for the haystack. instr/locate match CH's
+    # order and 1-based/0-on-miss contract exactly.
+    for _pos in ("positionUTF8", "position"):
+        out = _rewrite_calls(
+            out,
+            _pos,
+            lambda a: (
+                f"instr({a[0]}, {a[1]})"
+                if len(a) == 2
+                else f"locate({a[1]}, {a[0]}, {a[2]})"
+                if len(a) == 3
+                else None  # `position(n IN h)` single-arg ANSI form is fine as-is
+            ),
+        )
+    # Spark has date_trunc but NOT dateTrunc — same args, rename only
+    out = _rewrite_calls(
+        out,
+        "dateTrunc",
+        lambda a: f"date_trunc({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    # CH two-arg CAST(x, 'Type'); ANSI CAST(x AS t) is ONE arg (no
+    # depth-0 comma) and passes through untouched. accurateCast is
+    # CH's checked cast — Spark ANSI-mode cast is the analogue;
+    # accurateCastOrNull ≡ try_cast.
+    _CH_TYPE_NAMES = {
+        "String": "string", "Int8": "int", "Int16": "int",
+        "Int32": "int", "Int64": "bigint", "UInt8": "int",
+        "UInt16": "int", "UInt32": "bigint", "UInt64": "bigint",
+        "Float32": "float", "Float64": "double", "Date": "date",
+        "Date32": "date", "DateTime": "timestamp",
+        "DateTime64": "timestamp", "Bool": "boolean",
+    }
+
+    def _ch_type_to_spark(name: str) -> str | None:
+        name = name.strip()
+        m = re.fullmatch(r"(?i)Nullable\s*\((.*)\)", name)
+        if m:  # Spark types are always nullable
+            name = m.group(1).strip()
+        m = re.fullmatch(r"(?i)Decimal\s*\((\s*\d+\s*,\s*\d+\s*)\)", name)
+        if m:
+            return f"decimal({m.group(1)})"
+        return _CH_TYPE_NAMES.get(name)
+
+    def _cast_fn(spark_cast: str):
+        def render(a: list[str]) -> str | None:
+            if len(a) != 2:
+                return None
+            ty_lit = _lit_text(a[1], lits)
+            if ty_lit is None:
+                return None
+            ty = _ch_type_to_spark(ty_lit.strip("'"))
+            if ty is None:
+                return None  # unknown type name: loud error beats a guess
+            return f"{spark_cast}({a[0]} as {ty})"
+
+        return render
+
+    out = _rewrite_calls(out, "accurateCastOrNull", _cast_fn("try_cast"))
+    out = _rewrite_calls(out, "accurateCast", _cast_fn("cast"))
+    out = _rewrite_calls(out, "CAST", _cast_fn("cast"))
+    # toRelative*Num: monotone epoch-relative ordinals (CH's exact
+    # fixed points: year/quarter/month are calendar ordinals,
+    # day/hour/minute/second are unix-epoch divisions). Week is
+    # deliberately omitted — CH's week ordinal has a +8-day phase
+    # constant best left untranslated until a query needs it.
+    out = _rewrite_calls(out, "toRelativeYearNum", lambda a: f"year({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "toRelativeQuarterNum",
+        lambda a: f"(year({a[0]}) * 4 + quarter({a[0]}) - 1)",
+    )
+    out = _rewrite_calls(
+        out,
+        "toRelativeMonthNum",
+        lambda a: f"(year({a[0]}) * 12 + month({a[0]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "toRelativeDayNum",
+        lambda a: f"datediff({a[0]}, cast({lit('1970-01-01')} as date))",
+    )
+    out = _rewrite_calls(
+        out,
+        "toRelativeHourNum",
+        lambda a: f"(unix_timestamp({a[0]}) div 3600)",
+    )
+    out = _rewrite_calls(
+        out,
+        "toRelativeMinuteNum",
+        lambda a: f"(unix_timestamp({a[0]}) div 60)",
+    )
+    out = _rewrite_calls(
+        out, "toRelativeSecondNum", lambda a: f"unix_timestamp({a[0]})"
+    )
+    # CH regex extract(haystack, pattern): first capture group when
+    # the pattern has one, whole match otherwise. Group presence is
+    # decidable only for a LITERAL pattern; non-literal patterns pass
+    # through (loud unresolved-function error beats guessing the
+    # group). ANSI `extract(YEAR FROM d)` is one arg → untouched.
+    def _ch_extract(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        pat_lit = _lit_text(a[1], lits)
+        if pat_lit is None:
+            return None
+        body = pat_lit.strip("'")
+        # an unescaped '(' not opening a non-capturing/lookaround
+        # group means group 1 exists
+        has_group = bool(re.search(r"(?<!\\)\((?!\?)", body))
+        return f"regexp_extract({a[0]}, {a[1]}, {1 if has_group else 0})"
+
+    out = _rewrite_calls(out, "extract", _ch_extract)
+    # typed empty-array constructors
+    for _ch_t, _sp_t in _CH_TYPE_NAMES.items():
+        out = _rewrite_calls(
+            out,
+            f"emptyArray{_ch_t}",
+            # an empty call parses as [""] (one empty arg), not []
+            lambda a, ty=_sp_t: (
+                f"cast(array() as array<{ty}>)"
+                if len(a) == 1 and not a[0]
+                else None
+            ),
+        )
+    # Nullable wrapper is a no-op in Spark (all types nullable)
+    out = _rewrite_calls(out, "toNullable", lambda a: f"({a[0]})")
+    # runs of ASCII letters / alphanumerics
+    out = _rewrite_calls(
+        out,
+        "alphaTokens",
+        lambda a: (
+            f"filter(split({a[0]}, {lit('[^A-Za-z]+')}), "
+            f"x -> x != {lit('')})"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "tokens",
+        lambda a: (
+            f"filter(split({a[0]}, {lit('[^A-Za-z0-9]+')}), "
+            f"x -> x != {lit('')})"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # character n-grams; the trailing length filter absorbs the
+    # shorter-than-n case (sequence stays ascending via greatest)
+    out = _rewrite_calls(
+        out,
+        "ngrams",
+        lambda a: (
+            f"filter(transform(sequence(1, greatest(length({a[0]}) - "
+            f"({a[1]}) + 1, 1)), i -> substring({a[0]}, i, {a[1]})), "
+            f"x -> length(x) = ({a[1]}))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # occurrence ordinal of each element among its equals so far:
+    # count of null-safe matches in the prefix INCLUDING self.
+    # O(n²) per array — same complexity CH pays with its hash map at
+    # these arity-bounded array sizes.
+    out = _rewrite_calls(
+        out,
+        "arrayEnumerateUniq",
+        lambda a: (
+            f"transform({a[0]}, (x, i) -> "
+            f"size(filter(slice({a[0]}, 1, i + 1), y -> y <=> x)))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # same documented role-drift as cityHash64/sipHash64: a 64-bit
+    # uniform hash, not CH's exact bit pattern
+    for _h in ("farmHash64", "farmFingerprint64", "metroHash64", "halfMD5"):
+        out = _rewrite_calls(
+            out, _h, lambda a: f"xxhash64({', '.join(a)})"
+        )
+    # CH timestamp_add/sub(date, INTERVAL n unit) → plain arithmetic
+    for _ts_fn, _op in (
+        ("timestampAdd", "+"), ("timestamp_add", "+"),
+        ("timestampSub", "-"), ("timestamp_sub", "-"),
+    ):
+        out = _rewrite_calls(
+            out,
+            _ts_fn,
+            lambda a, op=_op: (
+                f"(({a[0]}) {op} ({a[1]}))"
+                if len(a) == 2
+                and re.match(r"(?i)\s*interval\b", a[1]) is not None
+                else None
+            ),
+        )
+    # Spark has no UUID type — CH toUUID round-trips through the
+    # canonical string form (documented type-name drift)
+    out = _rewrite_calls(out, "toUUID", lambda a: f"cast({a[0]} as string)")
 
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out

@@ -2618,6 +2618,100 @@ def test_dialect_batch7_rewrites(spark):
         assert T(once) == once
 
 
+def test_dialect_batch8_rewrites():
+    """Round-7 batch-8 surface. The position/dateTrunc/CAST trio are
+    silent-drift fixes: valid Spark names with different semantics
+    (position has REVERSED args), so pass-through ran without error
+    and returned wrong values. Execution semantics are value-gated by
+    calc_dialect_battery9; these pin the emitted text."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    # CH position(haystack, needle) → instr keeps CH's arg order
+    assert T("select position(h, n) from t") == "select instr(h, n) from t"
+    assert T("select position(h, n, 3) from t") == (
+        "select locate(n, h, 3) from t"
+    )
+    # ANSI single-arg form untouched
+    assert T("select position('a' IN s) from t") == (
+        "select position('a' IN s) from t"
+    )
+    assert T("select dateTrunc('month', d) x") == (
+        "select date_trunc('month', d) x"
+    )
+    # two-arg CH CAST forms; ANSI cast untouched; Nullable unwraps;
+    # unknown type names stay (loud error beats a guessed type)
+    assert T("select CAST(x, 'Int64') a") == "select cast(x as bigint) a"
+    assert T("select CAST(x, 'Nullable(Float64)') a") == (
+        "select cast(x as double) a"
+    )
+    assert T("select CAST(x, 'Decimal(10, 2)') a") == (
+        "select cast(x as decimal(10, 2)) a"
+    )
+    assert T("select cast(x as bigint) a") == "select cast(x as bigint) a"
+    assert T("select CAST(x, 'AggregateFunction(sum)') a") == (
+        "select CAST(x, 'AggregateFunction(sum)') a"
+    )
+    # a 2-arg CAST NESTED inside an already-ANSI cast must still be
+    # rewritten (the None-render scan used to jump past the whole
+    # outer call, skipping the inner one)
+    assert T("select cast(sum(CAST(x, 'Int64')) as bigint) a") == (
+        "select cast(sum(cast(x as bigint)) as bigint) a"
+    )
+    assert T("select accurateCast(x, 'Int32') a") == (
+        "select cast(x as int) a"
+    )
+    assert T("select accurateCastOrNull(x, 'Int64') a") == (
+        "select try_cast(x as bigint) a"
+    )
+    # epoch-relative ordinals
+    assert T("select toRelativeDayNum(d) x") == (
+        "select datediff(d, cast('1970-01-01' as date)) x"
+    )
+    assert T("select toRelativeMonthNum(d) x") == (
+        "select (year(d) * 12 + month(d)) x"
+    )
+    assert T("select toRelativeHourNum(ts) x") == (
+        "select (unix_timestamp(ts) div 3600) x"
+    )
+    # CH regex extract: group 1 iff the literal pattern captures;
+    # ANSI EXTRACT(unit FROM expr) untouched
+    assert T("select extract(s, '[0-9]+') x") == (
+        "select regexp_extract(s, '[0-9]+', 0) x"
+    )
+    assert T("select extract(s, 'k=(.*)') x") == (
+        "select regexp_extract(s, 'k=(.*)', 1) x"
+    )
+    assert T("select extract(year from d) x") == (
+        "select extract(year from d) x"
+    )
+    assert T("select emptyArrayInt64() x") == (
+        "select cast(array() as array<bigint>) x"
+    )
+    assert T("select toNullable(v) x") == "select (v) x"
+    assert "filter(split(s, '[^A-Za-z]+')" in T("select alphaTokens(s) x")
+    assert "substring(s, i, 3)" in T("select ngrams(s, 3) x")
+    assert "slice(arr, 1, i + 1)" in T("select arrayEnumerateUniq(arr) x")
+    assert T("select farmHash64(s) x") == "select xxhash64(s) x"
+    assert T("select halfMD5(s) x") == "select xxhash64(s) x"
+    assert T("select timestampAdd(d, INTERVAL 1 DAY) x") == (
+        "select ((d) + (INTERVAL 1 DAY)) x"
+    )
+    assert T("select timestampSub(d, INTERVAL 2 HOUR) x") == (
+        "select ((d) - (INTERVAL 2 HOUR)) x"
+    )
+    assert T("select toUUID(s) x") == "select cast(s as string) x"
+    # idempotence of every batch-8 rewrite
+    for q in (
+        "select position(h, n) from t",
+        "select CAST(x, 'Int64') a",
+        "select extract(s, 'k=(.*)') x",
+        "select ngrams(s, 3) x",
+        "select arrayEnumerateUniq(arr) x",
+    ):
+        once = T(q)
+        assert T(once) == once
+
+
 def test_dialect_qualify_and_scalar_with():
     """QUALIFY → hidden-column wrap + outer WHERE; CH scalar WITH
     (expr AS ident) inlines at use sites; ANSI CTEs and the WITH
