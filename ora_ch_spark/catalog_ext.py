@@ -1306,6 +1306,199 @@ ORDER BY y
 
 
 # ---------------------------------------------------------------------------
+# Batch-9 dialect surface, part 1 — sequence-pattern + interval/ordered
+# aggregates. sequenceMatch/Count complete the CH funnel trio
+# (windowFunnel and retention shipped in batch 7): the pattern compiles
+# to a regex over a per-group time-sorted condition-tag string, with
+# LAZY runs so sequenceCount restarts right after a chain completes.
+# Doubles are round(_, 4)-stabilized on BOTH sides (libm log2 and
+# summation-order ulps must not reach the value hash).
+# ---------------------------------------------------------------------------
+
+_DIALECT10_CH_SQL = """
+select
+  user_id % 16 as ug,
+  toInt64(sequenceMatch('(?1)(?2)')(ts, event_type = 'view', event_type = 'click')) as m_vc,
+  toInt64(sequenceCount('(?1).*(?2)')(ts, event_type = 'view', event_type = 'purchase')) as c_vp,
+  toInt64(maxIntersections(value, value + 10.0)) as mi,
+  round(intervalLengthSum(value, value + 5.0), 4) as il,
+  round(deltaSumTimestamp(value, ts), 4) as dst,
+  round(entropy(event_type), 4) as h,
+  toInt64(sum(simpleJSONExtractInt(props, 'k'))) as sk
+from events
+where event_id <= 20000
+group by ug
+order by ug
+"""
+
+
+def calc_dialect10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-9 aggregate surface, value-gated: sequenceMatch/Count
+    (CH-docs adjacency + non-overlap semantics), maxIntersections
+    sweep, intervalLengthSum union length, deltaSumTimestamp positive
+    ordered deltas, entropy, and simpleJSON extraction."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT10_CH_SQL)).orderBy("ug")
+
+
+DIALECT10_ORACLE = """
+WITH ev AS (
+  SELECT user_id % 16 AS ug, ts, event_type, value, props
+  FROM events WHERE event_id <= 20000
+),
+tag AS (
+  SELECT ug,
+    coalesce(string_agg(
+      CASE WHEN event_type IN ('view', 'click') THEN
+        '<' || (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END)
+            || (CASE WHEN event_type = 'click' THEN '1' ELSE '0' END) || '>'
+      END, '' ORDER BY ts,
+        (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END)
+        || (CASE WHEN event_type = 'click' THEN '1' ELSE '0' END)), '') AS t_vc,
+    coalesce(string_agg(
+      CASE WHEN event_type IN ('view', 'purchase') THEN
+        '<' || (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END)
+            || (CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END) || '>'
+      END, '' ORDER BY ts,
+        (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END)
+        || (CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END)), '') AS t_vp
+  FROM ev GROUP BY ug
+),
+pts AS (
+  SELECT ug, value AS t, 1 AS d FROM ev
+  UNION ALL SELECT ug, value + 10.0, -1 FROM ev
+),
+mi AS (
+  SELECT ug, max(run) AS mi FROM (
+    SELECT ug, sum(d) OVER (PARTITION BY ug ORDER BY t, d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM pts) GROUP BY ug
+),
+il AS (
+  SELECT ug, sum(greatest(0.0, e - greatest(s, coalesce(hi, s)))) AS il
+  FROM (
+    SELECT ug, value AS s, value + 5.0 AS e,
+      max(value + 5.0) OVER (PARTITION BY ug ORDER BY value, value + 5.0
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+    FROM ev) GROUP BY ug
+),
+dst AS (
+  SELECT ug, sum(greatest(0.0, value - pv)) AS dst
+  FROM (
+    SELECT ug, value,
+      lag(value) OVER (PARTITION BY ug ORDER BY ts, value) AS pv
+    FROM ev) WHERE pv IS NOT NULL GROUP BY ug
+),
+agg AS (
+  SELECT ug, entropy(event_type) AS h,
+    sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sk
+  FROM ev GROUP BY ug
+)
+SELECT agg.ug AS ug,
+  cast(CASE WHEN regexp_matches(tag.t_vc, '<1[01]><[01]1>') THEN 1 ELSE 0 END as bigint) AS m_vc,
+  cast(len(regexp_extract_all(tag.t_vp, '<1[01]>(?:<[01][01]>)*?<[01]1>')) as bigint) AS c_vp,
+  cast(mi.mi as bigint) AS mi,
+  round(il.il, 4) AS il,
+  round(coalesce(dst.dst, 0.0), 4) AS dst,
+  round(agg.h, 4) AS h,
+  cast(agg.sk as bigint) AS sk
+FROM agg JOIN tag USING (ug) JOIN mi USING (ug) JOIN il USING (ug)
+  LEFT JOIN dst USING (ug)
+ORDER BY ug
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch-9 dialect surface, part 2 — bitmap algebra (sorted-distinct
+# arrays; cardinalities are bigint like CH UInt64), *Map aggregates
+# (pinned col1/col2 tuple), readable formatting (fixed %.2f, no
+# thousands separators), capture-group extraction, and the snowflake
+# epoch round-trip.
+# ---------------------------------------------------------------------------
+
+_DIALECT11_CH_SQL = """
+select
+  toYear(o_orderdate) as y,
+  toInt64(bitmapCardinality(bitmapBuild(groupArray(o_custkey % 100)))) as bc,
+  toInt64(bitmapAndCardinality(
+    bitmapBuild(groupArray(if(o_orderpriority = '1-URGENT', o_custkey % 50, null))),
+    bitmapBuild(groupArray(if(o_orderpriority = '5-LOW', o_custkey % 50, null))))) as inter,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(sumMap([o_orderstatus], [1]), 1)), ',') as mk,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(sumMap([o_orderstatus], [1]), 2)), ',') as mv,
+  formatReadableSize(toInt64(sum(o_totalprice))) as frs,
+  formatReadableQuantity(toInt64(sum(o_totalprice))) as frq,
+  min(arrayStringConcat(extractGroups(o_orderpriority, '([0-9])-([A-Z]+)'), ':')) as eg,
+  toInt64(toYYYYMMDD(snowflakeToDateTime(max(dateTimeToSnowflake(toDateTime(o_orderdate)))))) as snow
+from orders
+where o_orderkey <= 8000
+group by y
+order by y
+"""
+
+
+def calc_dialect11_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-9 bitmap/map/scalar surface, value-gated: bitmap algebra
+    over sorted-distinct arrays, sumMap tuple output, readable size/
+    quantity formatting, extractGroups, snowflake ID round-trip."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT11_CH_SQL)).orderBy("y")
+
+
+DIALECT11_ORACLE = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 8000),
+sm AS (
+  SELECT y, string_agg(k, ',' ORDER BY k) AS mk,
+         string_agg(cast(c as varchar), ',' ORDER BY k) AS mv
+  FROM (SELECT year(o_orderdate) AS y, o_orderstatus AS k,
+               cast(count(*) as bigint) AS c
+        FROM o GROUP BY 1, 2) GROUP BY y
+)
+SELECT cast(year(o_orderdate) as bigint) AS y,
+  cast(count(DISTINCT o_custkey % 100) as bigint) AS bc,
+  cast(len(list_intersect(
+    list_distinct(list(o_custkey % 50) FILTER (o_orderpriority = '1-URGENT')),
+    list_distinct(list(o_custkey % 50) FILTER (o_orderpriority = '5-LOW'))))
+    as bigint) AS inter,
+  any_value(sm.mk) AS mk,
+  any_value(sm.mv) AS mv,
+  CASE
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1024.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double)) || ' B'
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1048576.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1024.0) || ' KiB'
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1073741824.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1048576.0) || ' MiB'
+    ELSE printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1073741824.0) || ' GiB'
+  END AS frs,
+  CASE
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1000.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double))
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1000000.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1000.0) || ' thousand'
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1000000000.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1000000.0) || ' million'
+    ELSE printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1000000000.0) || ' billion'
+  END AS frq,
+  min(regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 1) || ':'
+      || regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2)) AS eg,
+  cast(strftime(epoch_ms(
+    (max((epoch_ms(cast(o_orderdate as timestamp)) - 1288834974657) * 4194304)
+     // 4194304) + 1288834974657), '%Y%m%d') as bigint) AS snow
+FROM o JOIN sm ON sm.y = year(o_orderdate)
+GROUP BY year(o_orderdate)
+ORDER BY y
+"""
+
+
+# ---------------------------------------------------------------------------
 # dictGet/dictHas SQL forms via the dictionary registry
 # ---------------------------------------------------------------------------
 
@@ -5194,6 +5387,10 @@ EXT_QUERIES: list[QueryDef] = [
              "QUALIFY hidden-column wrap + CH scalar WITH inlining vs DuckDB native QUALIFY"),
     QueryDef("calc_dialect_battery9", calc_dialect9_q, DIALECT9_ORACLE,
              "batch-8 surface: CH-arg-order position, toRelative*Num, dateTrunc, regex extract, ngrams, 2-arg CAST"),
+    QueryDef("calc_dialect_battery10", calc_dialect10_q, DIALECT10_ORACLE,
+             "sequenceMatch/Count funnel patterns + maxIntersections/intervalLengthSum/deltaSumTimestamp/entropy folds"),
+    QueryDef("calc_dialect_battery11", calc_dialect11_q, DIALECT11_ORACLE,
+             "bitmap algebra, sumMap tuple, formatReadable*, extractGroups, snowflake round-trip"),
     QueryDef("calc_dialect_geo", calc_dialect_geo_q, DIALECT_GEO_ORACLE,
              "geohashEncode closed-form bit expansion (engine-identical doubles)"),
     QueryDef("calc_dict_lookup", calc_dict_lookup_q, DICT_LOOKUP_ORACLE,

@@ -2883,6 +2883,510 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # canonical string form (documented type-name drift)
     out = _rewrite_calls(out, "toUUID", lambda a: f"cast({a[0]} as string)")
 
+    # ---- round-7 batch #9: sequence-pattern aggregates, interval
+    # sweeps, bitmap algebra, *Map aggregates, readable formatting.
+    # Reference analogue: the stored-SQL extension point
+    # (ora/jdbcSession.scala:199-247) — any CH query a user stored
+    # should translate, and these families were the widest remaining
+    # pass-through surface. ----
+
+    def _seq_pattern_regex(pat: str, k: int) -> str | None:
+        """Compile a CH sequenceMatch pattern over k conditions into a
+        Java regex over the tag string built by ``_seq_tag_expr``
+        (one ``<b1..bk>`` token per condition-matching event, time
+        order). ``(?N)`` → token with bit N set; ``.`` → any token;
+        ``.*`` → any run. Time constraints ``(?t op v)`` are NOT
+        supported — those calls pass through untranslated (loud)."""
+        toks: list[str] = []
+        i = 0
+        while i < len(pat):
+            if pat.startswith("(?", i):
+                j = pat.find(")", i)
+                body = pat[i + 2 : j] if j > 0 else ""
+                if not body.isdigit():
+                    return None  # (?t…) or malformed
+                n = int(body)
+                if not 1 <= n <= k:
+                    return None
+                toks.append(f"<[01]{{{n - 1}}}1[01]{{{k - n}}}>")
+                i = j + 1
+            elif pat.startswith(".*", i):
+                # LAZY: CH counts non-overlapping chains by restarting
+                # right after a chain COMPLETES — a greedy run would
+                # swallow the next chain's events (docs example:
+                # 1,3,2,1,3,2 under '(?1).*(?2)' counts 2, not 1)
+                toks.append(f"(?:<[01]{{{k}}}>)*?")
+                i += 2
+            elif pat[i] == ".":
+                toks.append(f"<[01]{{{k}}}>")
+                i += 1
+            else:
+                return None
+        return "".join(toks)
+
+    def _seq_tag_expr(a: list[str]) -> str:
+        """Per-group tag string for sequenceMatch/Count: events
+        matching NO condition are skipped (CH contract: 'number 3 was
+        skipped because it is not described as an event'); the rest
+        sort by time and render as ``<b1..bk>`` condition-bit tokens.
+        Same-timestamp order follows the sorted struct (deterministic;
+        CH leaves it undefined)."""
+        ts, conds = a[0], a[1:]
+        ors = " OR ".join(f"({c})" for c in conds)
+        one, zero = _emit_lit("'1'", lits), _emit_lit("'0'", lits)
+        bits = ", ".join(f"IF({c}, {one}, {zero})" for c in conds)
+        lt_, gt_ = _emit_lit("'<'", lits), _emit_lit("'>'", lits)
+        empty = _emit_lit("''", lits)
+        return (
+            f"array_join(transform(array_sort(collect_list("
+            f"CASE WHEN {ors} THEN struct("
+            f"unix_micros(cast({ts} as timestamp)) AS t, "
+            f"concat({bits}) AS g) END)), "
+            f"__sq -> concat({lt_}, __sq.g, {gt_})), {empty})"
+        )
+
+    def _sequence_match(ps: list[str], a: list[str]) -> str | None:
+        if len(ps) != 1 or len(a) < 2:
+            return None
+        pt = _lit_text(ps[0], lits)
+        if pt is None:
+            return None
+        rx = _seq_pattern_regex(pt[1:-1], len(a) - 1)
+        if rx is None:
+            return None
+        rx_lit = _emit_lit("'" + rx + "'", lits)
+        return (
+            f"(CASE WHEN {_seq_tag_expr(a)} rlike {rx_lit} "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    def _sequence_count(ps: list[str], a: list[str]) -> str | None:
+        if len(ps) != 1 or len(a) < 2:
+            return None
+        pt = _lit_text(ps[0], lits)
+        if pt is None:
+            return None
+        rx = _seq_pattern_regex(pt[1:-1], len(a) - 1)
+        if rx is None:
+            return None
+        rx_lit = _emit_lit("'" + rx + "'", lits)
+        # non-overlapping left-to-right matches — exactly what
+        # repeated regex search (regexp_extract_all) counts
+        return (
+            f"cast(size(regexp_extract_all({_seq_tag_expr(a)}, "
+            f"{rx_lit}, 0)) as bigint)"
+        )
+
+    out = _rewrite_param_calls(out, "sequenceMatch", _sequence_match)
+    out = _rewrite_param_calls(out, "sequenceCount", _sequence_count)
+
+    # maxIntersections(s, e): classic sweep as a sorted fold over
+    # ±1 endpoint events. Ties sort (t, -1) before (t, +1) — half-open
+    # [s, e) intervals, so a start meeting an end does NOT intersect
+    # (deterministic; CH's tie order is an implementation detail).
+    out = _rewrite_calls(
+        out,
+        "maxIntersections",
+        lambda a: (
+            "aggregate(array_sort(flatten(collect_list(array("
+            f"struct(cast({a[0]} as double) AS t, 1 AS d), "
+            f"struct(cast({a[1]} as double) AS t, -1 AS d))))), "
+            "struct(0 AS cur, 0 AS mx), "
+            "(__mi, __mp) -> struct(__mi.cur + __mp.d AS cur, "
+            "greatest(__mi.mx, __mi.cur + __mp.d) AS mx), "
+            "__mi -> cast(__mi.mx as bigint))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # intervalLengthSum(s, e): union length of [s, e) intervals —
+    # sort by start, fold carrying the furthest end seen; each
+    # interval contributes only its part beyond that end. DOUBLE
+    # accumulator (same documented widening as arraySum).
+    out = _rewrite_calls(
+        out,
+        "intervalLengthSum",
+        lambda a: (
+            "aggregate(array_sort(collect_list("
+            f"struct(cast({a[0]} as double) AS a, "
+            f"cast({a[1]} as double) AS b))), "
+            "struct(cast(0 as double) AS tot, "
+            "cast(null as double) AS hi), "
+            "(__il, __iv) -> struct("
+            "__il.tot + greatest(cast(0 as double), "
+            "__iv.b - greatest(__iv.a, coalesce(__il.hi, __iv.a))) AS tot, "
+            "greatest(coalesce(__il.hi, __iv.b), __iv.b) AS hi), "
+            "__il -> __il.tot)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # deltaSumTimestamp(v, ts): sum of POSITIVE consecutive deltas in
+    # ts order (the ordered sibling of deltaSum; plain deltaSum is
+    # block-order-dependent in CH itself and stays untranslated)
+    out = _rewrite_calls(
+        out,
+        "deltaSumTimestamp",
+        lambda a: (
+            "aggregate(array_sort(collect_list("
+            f"struct({a[1]} AS t, cast({a[0]} as double) AS v))), "
+            "struct(cast(0 as double) AS s, cast(null as double) AS p), "
+            "(__ds, __de) -> struct("
+            "__ds.s + greatest(cast(0 as double), "
+            "CASE WHEN __ds.p IS NULL THEN cast(0 as double) "
+            "ELSE __de.v - __ds.p END) AS s, __de.v AS p), "
+            "__ds -> __ds.s)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # entropy(x): Shannon entropy (bits) from per-value frequencies —
+    # log2(N) - Σ c·log2(c) / N, computed as a run-length fold over
+    # the sorted value list (values compare as strings: any total
+    # order groups equal values, which is all the fold needs)
+    out = _rewrite_calls(
+        out,
+        "entropy",
+        lambda a: (
+            "aggregate(array_sort(transform(collect_list("
+            f"{a[0]}), __ev -> cast(__ev as string))), "
+            "struct(cast(null as string) AS p, cast(0 as double) AS r, "
+            "cast(0 as double) AS a, cast(0 as double) AS n), "
+            "(__en, __ev) -> struct(__ev AS p, "
+            "CASE WHEN __en.p IS NULL OR __ev != __en.p "
+            "THEN cast(1 as double) ELSE __en.r + 1 END AS r, "
+            "__en.a + CASE WHEN __en.p IS NOT NULL AND __ev != __en.p "
+            "THEN __en.r * log2(__en.r) ELSE cast(0 as double) END AS a, "
+            "__en.n + 1 AS n), "
+            "__en -> CASE WHEN __en.n = 0 THEN cast(null as double) "
+            "ELSE log2(__en.n) - (__en.a + CASE WHEN __en.r > 0 "
+            "THEN __en.r * log2(__en.r) ELSE cast(0 as double) END) "
+            "/ __en.n END)"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    # ---- bitmap algebra: CH roaring bitmaps model as SORTED DISTINCT
+    # arrays (same value surface — bitmapToArray output order is
+    # ascending in CH too). Cardinalities are bigint like CH UInt64.
+    # The *State/*Merge combinator forms stay untranslated (loud). ----
+    out = _rewrite_calls(
+        out, "bitmapBuild", lambda a: f"array_sort(array_distinct({a[0]}))"
+    )
+    out = _rewrite_calls(out, "bitmapToArray", lambda a: f"({a[0]})")
+    out = _rewrite_calls(
+        out, "bitmapCardinality", lambda a: f"cast(size({a[0]}) as bigint)"
+    )
+    _BM_OPS = {
+        "bitmapAnd": "array_sort(array_intersect({0}, {1}))",
+        "bitmapOr": "array_sort(array_union({0}, {1}))",
+        "bitmapXor": (
+            "array_sort(array_union("
+            "array_except({0}, {1}), array_except({1}, {0})))"
+        ),
+        "bitmapAndnot": "array_sort(array_except({0}, {1}))",
+    }
+    for _bm, _tpl in _BM_OPS.items():
+        out = _rewrite_calls(
+            out, _bm,
+            lambda a, t=_tpl: t.format(a[0], a[1]) if len(a) == 2 else None,
+        )
+        out = _rewrite_calls(
+            out, _bm + "Cardinality",
+            lambda a, t=_tpl: (
+                f"cast(size({t.format(a[0], a[1])}) as bigint)"
+                if len(a) == 2 else None
+            ),
+        )
+    out = _rewrite_calls(
+        out, "bitmapContains", lambda a: f"array_contains({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "bitmapHasAny", lambda a: f"arrays_overlap({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "bitmapHasAll",
+        lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
+    )
+    out = _rewrite_calls(out, "bitmapMin", lambda a: f"array_min({a[0]})")
+    out = _rewrite_calls(out, "bitmapMax", lambda a: f"array_max({a[0]})")
+    out = _rewrite_calls(
+        out, "bitmapSubsetInRange",
+        lambda a: (
+            f"filter({a[0]}, __bv -> __bv >= {a[1]} AND __bv < {a[2]})"
+            if len(a) == 3 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "bitmapSubsetLimit",
+        lambda a: (
+            f"slice(filter({a[0]}, __bv -> __bv >= {a[1]}), 1, {a[2]})"
+            if len(a) == 3 else None
+        ),
+    )
+    # CH subBitmap offset is 0-based; slice() is 1-based
+    out = _rewrite_calls(
+        out, "subBitmap",
+        lambda a: (
+            f"slice({a[0]}, ({a[1]}) + 1, {a[2]})" if len(a) == 3 else None
+        ),
+    )
+    # groupBitmap(x) returns the CARDINALITY (UInt64), not the bitmap
+    out = _rewrite_calls(
+        out, "groupBitmap", lambda a: f"count(DISTINCT {a[0]})"
+    )
+    # groupBitmapOr/And over a bitmap (array) column — also return
+    # cardinality. And-fold seeds with the first collected bitmap
+    # (intersecting it with itself is identity); Catalyst dedups the
+    # two identical collect_list aggregates into one buffer.
+    out = _rewrite_calls(
+        out, "groupBitmapOr",
+        lambda a: (
+            f"cast(size(array_distinct(flatten(collect_list({a[0]})))) "
+            "as bigint)"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "groupBitmapAnd",
+        lambda a: (
+            f"cast(size(aggregate(collect_list({a[0]}), "
+            f"element_at(collect_list({a[0]}), 1), "
+            "(__ga, __gx) -> array_intersect(__ga, __gx))) as bigint)"
+        ),
+    )
+    # groupBitmapXor = keys present in an ODD number of rows: sorted
+    # run-length fold over the flattened per-row-distinct keys
+    out = _rewrite_calls(
+        out, "groupBitmapXor",
+        lambda a: (
+            "aggregate(array_sort(flatten(collect_list("
+            f"array_distinct({a[0]})))), "
+            "struct(cast(null as string) AS p, cast(0 as bigint) AS c, "
+            "cast(0 as bigint) AS odd), "
+            "(__gb, __gv) -> struct(cast(__gv as string) AS p, "
+            "CASE WHEN __gb.p IS NULL OR cast(__gv as string) != __gb.p "
+            "THEN cast(1 as bigint) ELSE __gb.c + 1 END AS c, "
+            "__gb.odd + CASE WHEN __gb.p IS NOT NULL "
+            "AND cast(__gv as string) != __gb.p THEN __gb.c % 2 "
+            "ELSE cast(0 as bigint) END AS odd), "
+            "__gb -> __gb.odd + __gb.c % 2)"
+        ),
+    )
+
+    # ---- *Map aggregates: sumMap/minMap/maxMap(keys, vals) merge
+    # parallel key/value arrays across rows into (sorted keys, merged
+    # vals) — a sorted-pair fold; returns the CH tuple as a struct
+    # with the pinned positional names col1/col2 (tupleElement
+    # contract). The array-building fold is O(k²) in the DISTINCT
+    # key count per group — the same bounded-cardinality regime CH
+    # uses these for. ----
+    def _merge_map(op_tpl: str):
+        def render(a: list[str], pre_filter: str = "") -> str | None:
+            if len(a) != 2:
+                return None
+            pairs = (
+                "array_sort(flatten(collect_list(zip_with("
+                f"{a[0]}, {a[1]}, "
+                "(__mk, __mv) -> struct(__mk AS k, __mv AS v)))))"
+            )
+            if pre_filter:
+                pairs = f"filter({pairs}, {pre_filter})"
+            merged = op_tpl.format("element_at(__ma, -1).v", "__mp.v")
+            return (
+                f"aggregate({pairs}, slice({pairs}, 1, 0), "
+                "(__ma, __mp) -> CASE WHEN size(__ma) > 0 "
+                "AND element_at(__ma, -1).k = __mp.k "
+                "THEN concat(slice(__ma, 1, size(__ma) - 1), "
+                f"array(struct(__mp.k AS k, {merged} AS v))) "
+                "ELSE concat(__ma, array(__mp)) END, "
+                "__ma -> struct(transform(__ma, __mp -> __mp.k) AS col1, "
+                "transform(__ma, __mp -> __mp.v) AS col2))"
+            )
+
+        return render
+
+    out = _rewrite_calls(out, "sumMap", _merge_map("({0} + {1})"))
+    out = _rewrite_calls(out, "minMap", _merge_map("least({0}, {1})"))
+    out = _rewrite_calls(out, "maxMap", _merge_map("greatest({0}, {1})"))
+
+    def _summap_filtered(ps: list[str], a: list[str]) -> str | None:
+        if len(ps) != 1 or len(a) != 2:
+            return None
+        flt = f"__mp -> array_contains({ps[0]}, __mp.k)"
+        return _merge_map("({0} + {1})")(a, pre_filter=flt)
+
+    out = _rewrite_param_calls(out, "sumMapFiltered", _summap_filtered)
+
+    # Map-TYPE merge (CH Map arguments): exact map_zip_with analog.
+    # The tuple-of-arrays overload reaching this rewrite fails loudly
+    # in Spark (map_zip_with rejects structs) rather than drifting.
+    def _map_add(op: str):
+        def render(a: list[str]) -> str | None:
+            if len(a) < 2:
+                return None
+            acc = a[0]
+            for nxt in a[1:]:
+                acc = (
+                    f"map_zip_with({acc}, {nxt}, (__zk, __za, __zb) -> "
+                    f"coalesce(__za, 0) {op} coalesce(__zb, 0))"
+                )
+            return acc
+
+        return render
+
+    out = _rewrite_calls(out, "mapAdd", _map_add("+"))
+    out = _rewrite_calls(out, "mapSubtract", _map_add("-"))
+
+    # ---- readable formatting (CH fixed '%.2f', no thousands
+    # separators — format_string, NOT format_number) ----
+    def _readable(units: list[tuple[str, float]], base: float):
+        def render(a: list[str]) -> str | None:
+            if len(a) != 1:
+                return None
+            fmt = _emit_lit("'%.2f'", lits)
+            x = f"cast({a[0]} as double)"
+            branches = []
+            for i, (suffix, bound) in enumerate(units[:-1]):
+                div = f" / {base ** i:.1f}" if i else ""
+                branches.append(
+                    f"WHEN abs({x}) < {bound:.1f} THEN "
+                    f"concat(format_string({fmt}, {x}{div}), "
+                    f"{_emit_lit(repr(suffix), lits)})"
+                )
+            last_sfx, _ = units[-1]
+            last_div = f" / {base ** (len(units) - 1):.1f}"
+            return (
+                "(CASE " + " ".join(branches) + " ELSE "
+                f"concat(format_string({fmt}, {x}{last_div}), "
+                f"{_emit_lit(repr(last_sfx), lits)}) END)"
+            )
+
+        return render
+
+    out = _rewrite_calls(
+        out,
+        "formatReadableSize",
+        _readable(
+            [(" B", 1024.0), (" KiB", 1024.0**2), (" MiB", 1024.0**3),
+             (" GiB", 1024.0**4), (" TiB", 1024.0**5), (" PiB", 1024.0**6),
+             (" EiB", 0.0)],
+            1024.0,
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "formatReadableQuantity",
+        _readable(
+            [("", 1e3), (" thousand", 1e6), (" million", 1e9),
+             (" billion", 1e12), (" trillion", 1e15), (" quadrillion", 0.0)],
+            1e3,
+        ),
+    )
+
+    # ---- capture-group extraction family (literal patterns only —
+    # the group COUNT must be known to splice; dynamic patterns pass
+    # through loudly). Group count = unescaped '(' not followed by
+    # '?' (same detection as extractAll). ----
+    def _n_groups(pat_arg: str) -> int | None:
+        lt = _lit_text(pat_arg, lits)
+        if lt is None:
+            return None
+        return len(re.findall(r"(?<!\\)\((?!\?)", lt[1:-1]))
+
+    def _extract_groups(a: list[str]) -> str | None:
+        g = _n_groups(a[1]) if len(a) == 2 else None
+        if not g:
+            return None
+        parts = ", ".join(
+            f"regexp_extract({a[0]}, {a[1]}, {i})" for i in range(1, g + 1)
+        )
+        return f"array({parts})"
+
+    out = _rewrite_calls(out, "extractGroups", _extract_groups)
+
+    def _extract_all_h(a: list[str]) -> str | None:
+        g = _n_groups(a[1]) if len(a) == 2 else None
+        if not g:
+            return None
+        parts = ", ".join(
+            f"regexp_extract_all({a[0]}, {a[1]}, {i})"
+            for i in range(1, g + 1)
+        )
+        return f"array({parts})"
+
+    out = _rewrite_calls(out, "extractAllGroupsHorizontal", _extract_all_h)
+
+    def _extract_all_v(a: list[str]) -> str | None:
+        # vertical: one [g1..gN] array PER MATCH — re-extract each
+        # group from the full-match substring (the pattern matched
+        # exactly that substring, so the first inner match is it)
+        g = _n_groups(a[1]) if len(a) == 2 else None
+        if not g:
+            return None
+        parts = ", ".join(
+            f"regexp_extract(__xm, {a[1]}, {i})" for i in range(1, g + 1)
+        )
+        return (
+            f"transform(regexp_extract_all({a[0]}, {a[1]}, 0), "
+            f"__xm -> array({parts}))"
+        )
+
+    out = _rewrite_calls(out, "extractAllGroupsVertical", _extract_all_v)
+    out = _rewrite_calls(out, "extractAllGroups", _extract_all_v)
+
+    # ---- epoch/snowflake conversions ----
+    out = _rewrite_calls(
+        out, "fromUnixTimestamp64Milli",
+        lambda a: f"timestamp_millis({a[0]})" if len(a) == 1 else None,
+    )
+    out = _rewrite_calls(
+        out, "fromUnixTimestamp64Micro",
+        lambda a: f"timestamp_micros({a[0]})" if len(a) == 1 else None,
+    )
+    out = _rewrite_calls(
+        out, "fromUnixTimestamp64Nano",
+        lambda a: f"timestamp_micros({a[0]} div 1000)" if len(a) == 1 else None,
+    )
+    # Twitter-epoch snowflakes: ms = (id >> 22) + 1288834974657
+    for _sf in ("snowflakeToDateTime64", "snowflakeToDateTime",
+                "snowflakeIDToDateTime"):
+        out = _rewrite_calls(
+            out, _sf,
+            lambda a: (
+                f"timestamp_millis(shiftright({a[0]}, 22) + 1288834974657)"
+                if len(a) == 1 else None
+            ),
+        )
+    for _sf in ("dateTime64ToSnowflake", "dateTimeToSnowflake"):
+        out = _rewrite_calls(
+            out, _sf,
+            lambda a: (
+                f"shiftleft(unix_millis(cast({a[0]} as timestamp)) "
+                "- 1288834974657, 22)"
+                if len(a) == 1 else None
+            ),
+        )
+    # snake-case alias of dateDiff (same literal-unit splice)
+    out = _rewrite_calls(out, "date_diff", _date_diff)
+
+    # simpleJSON* family: CH's sloppy scanner behaves like a path
+    # lookup on well-formed flat JSON (the documented drift: nested
+    # same-name keys differ). Reuses the JSONExtract path splice.
+    for ch_fn, t in (
+        ("simpleJSONExtractString", None),
+        ("simpleJSONExtractRaw", None),
+        ("simpleJSONExtractInt", "bigint"),
+        ("simpleJSONExtractUInt", "bigint"),
+        ("simpleJSONExtractFloat", "double"),
+        ("simpleJSONExtractBool", "boolean"),
+        ("visitParamExtractUInt", "bigint"),
+        ("visitParamExtractBool", "boolean"),
+        ("visitParamExtractRaw", None),
+    ):
+        out = _rewrite_calls(out, ch_fn, _json_extract(t))
+    out = _rewrite_calls(out, "simpleJSONHas", _json_has)
+
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out
     masked = re.sub(
@@ -2940,6 +3444,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # reduces step-by-step.
     masked = re.sub(r"(?i)\bglobal\s+(any\s+|all\s+)?(?=(left|right|inner|full|cross|semi|anti|join|in))", "", masked)
     masked = re.sub(r"(?i)\b(any|all)\s+(?=(left|right|inner|full)?\s*join)", "", masked)
+    # CH strictness-first spellings SEMI/ANTI LEFT JOIN → Spark's
+    # LEFT SEMI/ANTI JOIN (native). Documented drift: CH's SEMI LEFT
+    # exposes right-side columns (one arbitrary match); Spark's LEFT
+    # SEMI projects the left side only, so a query touching right
+    # columns fails LOUDLY instead of silently matching. RIGHT
+    # SEMI/ANTI have no textual Spark analog and pass through.
+    masked = re.sub(r"(?i)\bsemi\s+left\s+join\b", "LEFT SEMI JOIN", masked)
+    masked = re.sub(r"(?i)\banti\s+left\s+join\b", "LEFT ANTI JOIN", masked)
     # FROM t FINAL — merge-on-read finalization; our snapshots are
     # already final (store versions), so drop the modifier
     masked = re.sub(

@@ -2712,6 +2712,182 @@ def test_dialect_batch8_rewrites():
         assert T(once) == once
 
 
+def test_dialect_batch9_sequence_aggregates(spark):
+    """sequenceMatch/sequenceCount pattern compiler, pinned to the
+    ClickHouse documentation examples: events matching NO condition
+    are skipped from the chain; (?1)(?2) is ADJACENCY on the filtered
+    stream; .* is LAZY so sequenceCount restarts right after a chain
+    completes; (?t…) time constraints pass through untranslated."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.sql(
+        "create or replace temp view seq_t as select * from values "
+        "(1,1,1),(1,2,3),(1,3,2) as t(u, ts, n)"
+    )
+    run = lambda q: spark.sql(T(q)).collect()[0][0]
+    # CH docs: 3 skipped (not a condition) → match
+    assert run(
+        "select sequenceMatch('(?1)(?2)')(ts, n=1, n=2) from seq_t group by u"
+    ) == 1
+    # 3 IS a condition now → it breaks adjacency → no match
+    assert run(
+        "select sequenceMatch('(?1)(?2)')(ts, n=1, n=2, n=3) "
+        "from seq_t group by u"
+    ) == 0
+    assert run(
+        "select sequenceMatch('(?1).*(?2)')(ts, n=1, n=2, n=3) "
+        "from seq_t group by u"
+    ) == 1
+    # CH docs sequenceCount example: 1,3,2,1,3,2 → two chains
+    spark.sql(
+        "create or replace temp view seq_t2 as select * from values "
+        "(1,1,1),(1,2,3),(1,3,2),(1,4,1),(1,5,3),(1,6,2) as t(u, ts, n)"
+    )
+    assert run(
+        "select sequenceCount('(?1).*(?2)')(ts, n=1, n=2) "
+        "from seq_t2 group by u"
+    ) == 2
+    # non-overlap: second (?1) of [1,1,2] can't reuse the consumed 2
+    spark.sql(
+        "create or replace temp view seq_t3 as select * from values "
+        "(1,1,1),(1,2,1),(1,3,2) as t(u, ts, n)"
+    )
+    assert run(
+        "select sequenceCount('(?1)(?2)')(ts, n=1, n=2) "
+        "from seq_t3 group by u"
+    ) == 1
+    # unsupported time-constraint form stays untranslated (loud)
+    assert "sequenceMatch" in T(
+        "select sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) from t"
+    )
+
+
+def test_dialect_batch9_interval_aggregates(spark):
+    """Sorted-fold aggregates: maxIntersections (half-open sweep),
+    intervalLengthSum (union length), deltaSumTimestamp (positive
+    ts-ordered deltas), entropy (Shannon bits from value runs)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    run = lambda q: spark.sql(T(q)).collect()[0][0]
+    # CH docs example: (1,3),(1,6),(2,5),(3,7) → 3
+    spark.sql(
+        "create or replace temp view mi_t as select * from values "
+        "(1.0,3.0),(1.0,6.0),(2.0,5.0),(3.0,7.0) as t(s,e)"
+    )
+    assert run("select maxIntersections(s, e) from mi_t") == 3
+    spark.sql(
+        "create or replace temp view il_t as select * from values "
+        "(1.0,4.0),(3.0,5.0),(7.0,8.0) as t(s,e)"
+    )
+    assert run("select intervalLengthSum(s, e) from il_t") == 5.0
+    # v = 4,5,5,3,7 in ts order → +1, 0, (-2 ignored), +4 → 5
+    spark.sql(
+        "create or replace temp view ds_t as select * from values "
+        "(1,4),(2,5),(3,5),(4,3),(5,7) as t(ts,v)"
+    )
+    assert run("select deltaSumTimestamp(v, ts) from ds_t") == 5.0
+    spark.sql(
+        "create or replace temp view en_t as select * from values "
+        "('a'),('a'),('b'),('b') as t(x)"
+    )
+    assert run("select entropy(x) from en_t") == 1.0
+    assert run("select entropy(x) from (select 'z' x)") == 0.0
+
+
+def test_dialect_batch9_bitmap_and_maps(spark):
+    """Bitmap algebra over sorted-distinct arrays; groupBitmap* return
+    CARDINALITY (CH UInt64 contract); sumMap/minMap/maxMap merge
+    parallel key/value arrays into the pinned col1/col2 tuple."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    run = lambda q: spark.sql(T(q)).collect()[0][0]
+    assert run("select bitmapToArray(bitmapBuild([3,1,2,3]))") == [1, 2, 3]
+    assert run(
+        "select bitmapToArray(bitmapXor(bitmapBuild([1,2,3]), "
+        "bitmapBuild([2,3,4])))"
+    ) == [1, 4]
+    assert run(
+        "select bitmapAndCardinality(bitmapBuild([1,2,3]), "
+        "bitmapBuild([2,3,4]))"
+    ) == 2
+    assert run(
+        "select bitmapHasAll(bitmapBuild([1,2,3]), bitmapBuild([2,4]))"
+    ) is False
+    # CH subBitmap offset is 0-based
+    assert run(
+        "select bitmapToArray(subBitmap(bitmapBuild([1,2,3,4,5]), 1, 3))"
+    ) == [2, 3, 4]
+    spark.sql(
+        "create or replace temp view bm_t as select * from values "
+        "(array(1,2,3)),(array(2,3,4)) as t(b)"
+    )
+    assert run("select groupBitmapOr(b) from bm_t") == 4
+    assert run("select groupBitmapAnd(b) from bm_t") == 2
+    assert run("select groupBitmapXor(b) from bm_t") == 2
+    spark.sql(
+        "create or replace temp view sm_t as select * from values "
+        "(array(1,2),array(10,10)),(array(2,3),array(5,5)) as t(k,v)"
+    )
+    r = run("select sumMap(k, v) from sm_t")
+    assert list(r.col1) == [1, 2, 3] and list(r.col2) == [10, 15, 5]
+    r = run("select maxMap(k, v) from sm_t")
+    assert list(r.col2) == [10, 10, 5]
+    r = run("select sumMapFiltered([2,3])(k, v) from sm_t")
+    assert list(r.col1) == [2, 3] and list(r.col2) == [15, 5]
+    assert run(
+        "select mapAdd(map('a',1,'b',2), map('b',3,'c',4))"
+    ) == {"a": 1, "b": 5, "c": 4}
+
+
+def test_dialect_batch9_scalars_and_joins(spark):
+    """Readable formatting (fixed %.2f, no thousands separators),
+    capture-group extraction, snowflake round-trip, simpleJSON names,
+    and the CH strictness-first SEMI/ANTI LEFT JOIN spellings."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    run = lambda q: spark.sql(T(q)).collect()[0][0]
+    assert run("select formatReadableSize(1)") == "1.00 B"
+    assert run("select formatReadableSize(1024)") == "1.00 KiB"
+    assert run("select formatReadableSize(1073741824)") == "1.00 GiB"
+    assert run("select formatReadableQuantity(1234567)") == "1.23 million"
+    assert run("select formatReadableQuantity(123)") == "123.00"
+    assert run(
+        "select extractGroups('ab12', '([a-z]+)([0-9]+)')"
+    ) == ["ab", "12"]
+    assert run(
+        "select extractAllGroupsHorizontal('ab12cd34', '([a-z]+)([0-9]+)')"
+    ) == [["ab", "cd"], ["12", "34"]]
+    assert run(
+        "select extractAllGroups('ab12cd34', '([a-z]+)([0-9]+)')"
+    ) == [["ab", "12"], ["cd", "34"]]
+    # dynamic pattern: group count unknowable → untranslated (loud)
+    assert "extractGroups" in T("select extractGroups(s, p) from t")
+    assert str(run(
+        "select snowflakeToDateTime(dateTimeToSnowflake("
+        "timestamp'2022-01-01 00:00:00'))"
+    )) == "2022-01-01 00:00:00"
+    assert run("select fromUnixTimestamp64Milli(86400000)") is not None
+    assert run("select simpleJSONExtractInt('{\"a\": 5}', 'a')") == 5
+    assert run("select date_diff('day', date'2024-01-01', date'2024-02-01')") == 31
+    spark.sql("create or replace temp view jl_t as select * from values (1),(2) as t(k)")
+    spark.sql("create or replace temp view jr_t as select * from values (2),(3) as t(k)")
+    assert [r.k for r in spark.sql(
+        T("select jl_t.k from jl_t semi left join jr_t on jl_t.k = jr_t.k")
+    ).collect()] == [2]
+    assert [r.k for r in spark.sql(
+        T("select jl_t.k from jl_t anti left join jr_t on jl_t.k = jr_t.k")
+    ).collect()] == [1]
+    # idempotence of representative batch-9 rewrites
+    for q in (
+        "select bitmapToArray(bitmapBuild([1,2])) x",
+        "select formatReadableSize(n) x from t",
+        "select sequenceMatch('(?1)(?2)')(ts, a, b) x from t group by u",
+        "select entropy(x) h from t",
+    ):
+        once = T(q)
+        assert T(once) == once
+
+
 def test_dialect_qualify_and_scalar_with():
     """QUALIFY → hidden-column wrap + outer WHERE; CH scalar WITH
     (expr AS ident) inlines at use sites; ANSI CTEs and the WITH
