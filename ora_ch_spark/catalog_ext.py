@@ -1499,6 +1499,90 @@ ORDER BY y
 
 
 # ---------------------------------------------------------------------------
+# Batch-10 dialect surface — higher-order array completion (arrayFold/
+# Product/JaccardIndex), exact weighted top-k, pointInPolygon ray-cast
+# closed form, string similarity (char-set Jaccard vs DuckDB's native
+# jaccard(); positional Hamming vs hamming()), URL netloc/fragment,
+# parseReadableSize round-trip, toDecimalString, ISO toWeek.
+# ---------------------------------------------------------------------------
+
+_DIALECT12_CH_SQL = """
+select
+  toYear(o_orderdate) as y,
+  toInt64(arrayFold((acc, x) -> acc + x, groupArray(o_custkey % 10), toInt64(0))) as af,
+  round(sum(arrayProduct([toFloat64(1 + o_orderkey % 3), 2.0])), 4) as ap,
+  round(sum(arrayJaccardIndex([o_custkey % 5, o_custkey % 7], [o_custkey % 5, o_custkey % 11])), 4) as aj,
+  toInt64(sum(toWeek(o_orderdate, 3))) as wk,
+  arrayStringConcat(topKWeighted(2)(o_orderstatus, o_totalprice), ',') as tk,
+  round(sumKahan(o_totalprice), 2) as sk,
+  toInt64(sum(pointInPolygon((toFloat64(o_custkey % 10 * 10 + 5) / 100, toFloat64(o_orderkey % 10 * 10 + 5) / 100), [(0., 0.), (1., 0.), (0.5, 1.)]))) as pip,
+  min(netloc(concat('https://u', toString(o_custkey), '.com:88/p'))) as nl,
+  min(fragment(concat('http://a.com/p#f', toString(o_custkey % 7)))) as fr,
+  toInt64(sum(parseReadableSize(concat(toString(o_custkey % 100), ' KiB')))) as prs,
+  min(toDecimalString(o_totalprice, 2)) as tds,
+  toInt64(sum(byteHammingDistance(substring(o_orderpriority, 1, 3), substring(reverse(o_orderpriority), 1, 3)))) as bh,
+  round(sum(stringJaccardIndex(o_orderpriority, o_orderstatus)), 4) as sj
+from orders
+where o_orderkey <= 6000
+group by y
+order by y
+"""
+
+
+def calc_dialect12_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-10 function surface, value-gated: arrayFold/Product/
+    Jaccard higher-order forms, exact topKWeighted, pointInPolygon
+    even-odd ray cast (closed form, matched against an independent
+    half-plane oracle), char-set string Jaccard vs DuckDB's native
+    jaccard(), positional Hamming, URL netloc/fragment extraction,
+    parseReadableSize, toDecimalString, ISO-mode toWeek."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT12_CH_SQL)).orderBy("y")
+
+
+DIALECT12_ORACLE = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 6000),
+tk AS (
+  SELECT y, string_agg(k, ',' ORDER BY sw DESC, k) AS tk FROM (
+    SELECT year(o_orderdate) AS y, o_orderstatus AS k,
+           sum(o_totalprice) AS sw,
+           row_number() OVER (PARTITION BY year(o_orderdate)
+                              ORDER BY sum(o_totalprice) DESC, o_orderstatus) AS rn
+    FROM o GROUP BY 1, 2) WHERE rn <= 2 GROUP BY y
+)
+SELECT cast(year(o_orderdate) as bigint) AS y,
+  cast(sum(o_custkey % 10) as bigint) AS af,
+  round(sum((1 + o_orderkey % 3) * 2.0), 4) AS ap,
+  round(sum(
+    cast(len(list_intersect(list_distinct([o_custkey % 5, o_custkey % 7]),
+                            list_distinct([o_custkey % 5, o_custkey % 11]))) as double)
+    / len(list_distinct(list_cat([o_custkey % 5, o_custkey % 7],
+                                 [o_custkey % 5, o_custkey % 11])))), 4) AS aj,
+  cast(sum(weekofyear(o_orderdate)) as bigint) AS wk,
+  any_value(tk.tk) AS tk,
+  round(sum(o_totalprice), 2) AS sk,
+  cast(sum(CASE WHEN (cast(o_orderkey % 10 * 10 + 5 as double) / 100) > 0
+                 AND (cast(o_orderkey % 10 * 10 + 5 as double) / 100)
+                     < 2 * (cast(o_custkey % 10 * 10 + 5 as double) / 100)
+                 AND (cast(o_orderkey % 10 * 10 + 5 as double) / 100)
+                     < 2 * (1 - (cast(o_custkey % 10 * 10 + 5 as double) / 100))
+            THEN 1 ELSE 0 END) as bigint) AS pip,
+  min('u' || cast(o_custkey as varchar) || '.com:88') AS nl,
+  min('f' || cast(o_custkey % 7 as varchar)) AS fr,
+  cast(sum((o_custkey % 100) * 1024) as bigint) AS prs,
+  min(printf('%.2f', o_totalprice)) AS tds,
+  cast(sum(hamming(substr(o_orderpriority, 1, 3), substr(reverse(o_orderpriority), 1, 3))) as bigint) AS bh,
+  round(sum(jaccard(o_orderpriority, o_orderstatus)), 4) AS sj
+FROM o JOIN tk ON tk.y = year(o_orderdate)
+GROUP BY year(o_orderdate)
+ORDER BY y
+"""
+
+
+# ---------------------------------------------------------------------------
 # dictGet/dictHas SQL forms via the dictionary registry
 # ---------------------------------------------------------------------------
 
@@ -5391,6 +5475,8 @@ EXT_QUERIES: list[QueryDef] = [
              "sequenceMatch/Count funnel patterns + maxIntersections/intervalLengthSum/deltaSumTimestamp/entropy folds"),
     QueryDef("calc_dialect_battery11", calc_dialect11_q, DIALECT11_ORACLE,
              "bitmap algebra, sumMap tuple, formatReadable*, extractGroups, snowflake round-trip"),
+    QueryDef("calc_dialect_battery12", calc_dialect12_q, DIALECT12_ORACLE,
+             "arrayFold/Product/Jaccard, exact topKWeighted, pointInPolygon ray-cast, string Jaccard/Hamming, netloc, parseReadableSize"),
     QueryDef("calc_dialect_geo", calc_dialect_geo_q, DIALECT_GEO_ORACLE,
              "geohashEncode closed-form bit expansion (engine-identical doubles)"),
     QueryDef("calc_dict_lookup", calc_dict_lookup_q, DICT_LOOKUP_ORACLE,

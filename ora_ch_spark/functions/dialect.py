@@ -2252,12 +2252,40 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         at most one level, from the PRE-event state). Result = max
         contiguous level. Window W is SECONDS (DateTime semantics);
         the fold runs on unix micros. Same-timestamp ordering follows
-        the sorted struct (deterministic; CH leaves it undefined)."""
+        the sorted struct (deterministic; CH leaves it undefined).
+
+        Modes: ``'strict_increase'`` is supported (state widens to
+        (start, last) so each extension requires a strictly LATER
+        event). Other modes (strict_order/strict_dedup) return None —
+        the call passes through UNTRANSLATED and fails loudly, never
+        silently computing the default-mode answer."""
         if not ps or len(a) < 2:
             return None
         n = len(a) - 1
         w_us = f"(({ps[0]}) * 1000000L)"
         conds = ", ".join(f"cast({c} as boolean)" for c in a[1:])
+        if len(ps) > 1:
+            modes = [_lit_text(p, lits) for p in ps[1:]]
+            if modes != ["'strict_increase'"]:
+                return None
+            return (
+                "aggregate("
+                f"array_sort(collect_list(struct("
+                f"unix_micros(cast({a[0]} as timestamp)) AS t, "
+                f"array({conds}) AS cs))), "
+                f"array_repeat(cast(null as struct<s: bigint, l: bigint>), {n}), "
+                "(acc, e) -> transform(acc, (p, i) -> CASE "
+                "WHEN i = 0 THEN IF(element_at(e.cs, 1), "
+                "struct(e.t AS s, e.t AS l), p) "
+                "WHEN element_at(e.cs, i + 1) "
+                "AND element_at(acc, i) IS NOT NULL "
+                f"AND e.t - element_at(acc, i).s <= {w_us} "
+                "AND e.t > element_at(acc, i).l "
+                "THEN IF(p IS NULL OR element_at(acc, i).s >= p.s, "
+                "struct(element_at(acc, i).s AS s, e.t AS l), p) "
+                "ELSE p END), "
+                "st -> cast(size(filter(st, p -> p IS NOT NULL)) as int))"
+            )
         return (
             "aggregate("
             f"array_sort(collect_list(struct("
@@ -3386,6 +3414,235 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     ):
         out = _rewrite_calls(out, ch_fn, _json_extract(t))
     out = _rewrite_calls(out, "simpleJSONHas", _json_has)
+
+    # ---- round-7 batch #10: higher-order array completion, exact
+    # geometry, weighted top-k, string similarity, URL/readable-size
+    # completion. ----
+    # arrayFold(λ, arr, acc) → aggregate(arr, acc, λ): CH puts the
+    # lambda FIRST and the accumulator LAST; lambda syntax is
+    # identical. Multi-array forms need a zip and pass through.
+    out = _rewrite_calls(
+        out, "arrayFold",
+        lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})" if len(a) == 3 else None,
+    )
+    # CH arrayProduct returns Float64 — the double fold IS the contract
+    out = _rewrite_calls(
+        out, "arrayProduct",
+        lambda a: (
+            f"aggregate({a[0]}, cast(1 as double), "
+            "(__apr, __apx) -> __apr * cast(__apx as double))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "arrayJaccardIndex",
+        lambda a: (
+            f"(cast(size(array_intersect({a[0]}, {a[1]})) as double) "
+            f"/ size(array_union({a[0]}, {a[1]})))"
+            if len(a) == 2 else None
+        ),
+    )
+    # CH sorts the first n and leaves the REST unspecified — a full
+    # sort is a valid instance of that contract (documented)
+    out = _rewrite_calls(
+        out, "arrayPartialSort",
+        lambda a: f"array_sort({a[1]})" if len(a) == 2 else None,
+    )
+    # nondeterministic in CH too — same role, same nondeterminism
+    out = _rewrite_calls(
+        out, "arrayShuffle",
+        lambda a: f"shuffle({a[0]})" if len(a) == 1 else None,
+    )
+    # toWeek mode 3 ≡ ISO week ≡ Spark weekofyear; other modes have
+    # different week-start/year-split rules and pass through loudly
+    out = _rewrite_calls(
+        out, "toWeek",
+        lambda a: (
+            f"weekofyear({a[0]})"
+            if len(a) == 2 and a[1].strip() == "3"
+            else None
+        ),
+    )
+    # sweep-point where the maximum intersection count is FIRST
+    # reached (the fold's > keeps the earliest); CH's UInt64 return
+    # widens to double here (same widening note as the sweep itself)
+    out = _rewrite_calls(
+        out, "maxIntersectionsPosition",
+        lambda a: (
+            "aggregate(array_sort(flatten(collect_list(array("
+            f"struct(cast({a[0]} as double) AS t, 1 AS d), "
+            f"struct(cast({a[1]} as double) AS t, -1 AS d))))), "
+            "struct(0 AS cur, 0 AS mx, cast(null as double) AS pos), "
+            "(__mq, __mp) -> struct(__mq.cur + __mp.d AS cur, "
+            "greatest(__mq.mx, __mq.cur + __mp.d) AS mx, "
+            "CASE WHEN __mq.cur + __mp.d > __mq.mx THEN __mp.t "
+            "ELSE __mq.pos END AS pos), "
+            "__mq -> __mq.pos)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # EXACT top-k by total weight (CH topKWeighted is approximate —
+    # exact is a superset of the contract, like uniqExact vs uniq);
+    # ties break by value ascending (CH leaves them unspecified)
+    def _topk_weighted(ps: list[str], a: list[str]) -> str | None:
+        if len(ps) != 1 or len(a) != 2:
+            return None
+        pairs = (
+            f"array_sort(collect_list(struct({a[0]} AS k, "
+            f"cast({a[1]} as double) AS v)))"
+        )
+        merged = (
+            f"aggregate({pairs}, slice({pairs}, 1, 0), "
+            "(__tw, __tp) -> CASE WHEN size(__tw) > 0 "
+            "AND element_at(__tw, -1).k = __tp.k "
+            "THEN concat(slice(__tw, 1, size(__tw) - 1), "
+            "array(struct(__tp.k AS k, "
+            "element_at(__tw, -1).v + __tp.v AS v))) "
+            "ELSE concat(__tw, array(__tp)) END)"
+        )
+        return (
+            f"slice(transform(array_sort(transform({merged}, "
+            "__tp -> struct(-__tp.v AS nw, __tp.k AS k))), "
+            f"__tp -> __tp.k), 1, {ps[0]})"
+        )
+
+    out = _rewrite_param_calls(out, "topKWeighted", _topk_weighted)
+    # exactly-one-DISTINCT-value guard (NULLs don't count, like CH)
+    out = _rewrite_calls(
+        out, "singleValueOrNull",
+        lambda a: (
+            f"(CASE WHEN count(DISTINCT {a[0]}) = 1 "
+            f"THEN max({a[0]}) END)"
+        ),
+    )
+    # Spark's double sum is the plain-summation analogue (documented:
+    # no compensated accumulation, same role)
+    out = _rewrite_calls(out, "sumKahan", lambda a: f"sum({a[0]})")
+    out = _rewrite_calls(out, "initcapUTF8", lambda a: f"initcap({a[0]})")
+    out = _rewrite_calls(
+        out, "fragment", lambda a: f"parse_url({a[0]}, {_emit_lit(chr(39) + 'REF' + chr(39), lits)})"
+    )
+    # CH netloc: user:pass@host:port — everything between the
+    # optional scheme:// and the first /?#
+    out = _rewrite_calls(
+        out, "netloc",
+        lambda a: (
+            f"regexp_extract({a[0]}, "
+            + _emit_lit(r"'^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//([^/?#]*)'", lits)
+            + ", 1)"
+        ),
+    )
+
+    def _to_decimal_string(a: list[str]) -> str | None:
+        # scale must be a literal int to splice into the format string
+        if len(a) != 2 or not re.fullmatch(r"\d+", a[1].strip()):
+            return None
+        fmt = _emit_lit(f"'%.{a[1].strip()}f'", lits)
+        return f"format_string({fmt}, cast({a[0]} as double))"
+
+    out = _rewrite_calls(out, "toDecimalString", _to_decimal_string)
+    # 1-gram set Jaccard (CH is byte-based; Spark splits characters —
+    # identical on ASCII, documented drift beyond)
+    out = _rewrite_calls(
+        out, "stringJaccardIndex",
+        lambda a: (
+            "(CASE WHEN size(array_union("
+            f"filter(split({a[0]}, {_emit_lit(chr(39)*2, lits)}), __sj -> __sj != {_emit_lit(chr(39)*2, lits)}), "
+            f"filter(split({a[1]}, {_emit_lit(chr(39)*2, lits)}), __sj -> __sj != {_emit_lit(chr(39)*2, lits)}))) = 0 "
+            "THEN cast(1 as double) ELSE "
+            "cast(size(array_intersect("
+            f"filter(split({a[0]}, {_emit_lit(chr(39)*2, lits)}), __sj -> __sj != {_emit_lit(chr(39)*2, lits)}), "
+            f"filter(split({a[1]}, {_emit_lit(chr(39)*2, lits)}), __sj -> __sj != {_emit_lit(chr(39)*2, lits)}))) as double) "
+            "/ size(array_union("
+            f"filter(split({a[0]}, {_emit_lit(chr(39)*2, lits)}), __sj -> __sj != {_emit_lit(chr(39)*2, lits)}), "
+            f"filter(split({a[1]}, {_emit_lit(chr(39)*2, lits)}), __sj -> __sj != {_emit_lit(chr(39)*2, lits)}))) END)"
+            if len(a) == 2 else None
+        ),
+    )
+    # positional mismatches plus the length difference (zip_with pads
+    # the shorter side with NULLs, which count as mismatches)
+    out = _rewrite_calls(
+        out, "byteHammingDistance",
+        lambda a: (
+            "cast(size(filter(zip_with("
+            f"filter(split({a[0]}, {_emit_lit(chr(39)*2, lits)}), __bh -> __bh != {_emit_lit(chr(39)*2, lits)}), "
+            f"filter(split({a[1]}, {_emit_lit(chr(39)*2, lits)}), __bh -> __bh != {_emit_lit(chr(39)*2, lits)}), "
+            "(__bx, __by) -> CASE WHEN __bx IS NULL OR __by IS NULL "
+            "THEN true ELSE __bx != __by END), __bm -> __bm)) as bigint)"
+            if len(a) == 2 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "formatReadableDecimalSize",
+        _readable(
+            [(" B", 1e3), (" KB", 1e6), (" MB", 1e9),
+             (" GB", 1e12), (" TB", 1e15), (" PB", 1e18), (" EB", 0.0)],
+            1e3,
+        ),
+    )
+
+    def _parse_readable_size(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        num = _emit_lit(r"'^\\s*([0-9]+\\.?[0-9]*)'", lits)
+        unit = _emit_lit(r"'([A-Za-z]+)\\s*$'", lits)
+        factors = [
+            ("B", "1.0"),
+            ("KiB", "1024.0"), ("MiB", "1048576.0"),
+            ("GiB", "1073741824.0"), ("TiB", "1099511627776.0"),
+            ("KB", "1000.0"), ("MB", "1000000.0"),
+            ("GB", "1000000000.0"), ("TB", "1000000000000.0"),
+        ]
+        whens = " ".join(
+            f"WHEN {_emit_lit(repr(u), lits)} THEN {f}" for u, f in factors
+        )
+        return (
+            f"cast(ceil(cast(regexp_extract({a[0]}, {num}, 1) as double) "
+            f"* (CASE regexp_extract({a[0]}, {unit}, 1) {whens} END)) "
+            "as bigint)"
+        )
+
+    out = _rewrite_calls(out, "parseReadableSize", _parse_readable_size)
+
+    def _point_in_polygon(a: list[str]) -> str | None:
+        # even-odd ray casting over the vertex ring, closed form like
+        # geohashEncode. The point must be a parenthesized (x, y)
+        # pair; vertices are an array of 2-field tuples/structs
+        # (Spark names bare-paren tuple fields col1/col2). Boundary
+        # behavior follows the strict </> casts (CH's is unspecified).
+        if len(a) != 2:
+            return None
+        pt = a[0].strip()
+        if not pt.startswith("("):
+            return None
+        end, xy = _parse_group(pt, 0)
+        if len(xy) != 2 or pt[end:].strip():
+            return None
+        px = f"cast({xy[0]} as double)"
+        py = f"cast({xy[1]} as double)"
+        v = a[1]
+        return (
+            "cast(aggregate("
+            f"transform(sequence(1, size({v})), __pg -> struct("
+            f"element_at({v}, __pg) AS a, "
+            f"element_at({v}, CASE WHEN __pg = size({v}) THEN 1 "
+            "ELSE __pg + 1 END) AS b)), "
+            "false, "
+            "(__pi, __pe) -> CASE WHEN "
+            f"((cast(__pe.a.col2 as double) > {py}) != "
+            f"(cast(__pe.b.col2 as double) > {py})) "
+            f"AND ({px} < (cast(__pe.b.col1 as double) "
+            "- cast(__pe.a.col1 as double)) "
+            f"* ({py} - cast(__pe.a.col2 as double)) "
+            "/ (cast(__pe.b.col2 as double) "
+            f"- cast(__pe.a.col2 as double)) "
+            "+ cast(__pe.a.col1 as double)) "
+            "THEN NOT __pi ELSE __pi END, "
+            "__pi -> __pi) as int)"
+        )
+
+    out = _rewrite_calls(out, "pointInPolygon", _point_in_polygon)
 
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out

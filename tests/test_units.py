@@ -2762,6 +2762,54 @@ def test_dialect_batch9_sequence_aggregates(spark):
     )
 
 
+def test_dialect_window_funnel_strict_increase(spark):
+    """windowFunnel mode parameters: 'strict_increase' requires each
+    level's event to be strictly LATER than the previous level's;
+    unsupported modes (strict_order/strict_dedup) pass through
+    untranslated rather than silently computing the default answer
+    (the pre-fix code dropped ps[1:] on the floor — silent drift)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    run = lambda q: spark.sql(T(q)).collect()[0][0]
+    spark.sql(
+        "create or replace temp view wf_si as select * from values "
+        "(1,'A'),(1,'B') as t(ts, e)"
+    )
+    assert run(
+        "select windowFunnel(10, 'strict_increase')(ts, e='A', e='B') "
+        "from wf_si"
+    ) == 1
+    spark.sql(
+        "create or replace temp view wf_si2 as select * from values "
+        "(1,'A'),(2,'B') as t(ts, e)"
+    )
+    assert run(
+        "select windowFunnel(10, 'strict_increase')(ts, e='A', e='B') "
+        "from wf_si2"
+    ) == 2
+    # window bound still enforced from the chain START
+    spark.sql(
+        "create or replace temp view wf_si3 as select * from values "
+        "(1,'A'),(20,'B') as t(ts, e)"
+    )
+    assert run(
+        "select windowFunnel(10, 'strict_increase')(ts, e='A', e='B') "
+        "from wf_si3"
+    ) == 1
+    # latest-chain-start DP retained: restart at 5 beats start at 1
+    spark.sql(
+        "create or replace temp view wf_si4 as select * from values "
+        "(1,'A'),(5,'A'),(6,'B') as t(ts, e)"
+    )
+    assert run(
+        "select windowFunnel(3, 'strict_increase')(ts, e='A', e='B') "
+        "from wf_si4"
+    ) == 2
+    assert "windowFunnel" in T(
+        "select windowFunnel(10, 'strict_order')(ts, a, b) from t"
+    )
+
+
 def test_dialect_batch9_interval_aggregates(spark):
     """Sorted-fold aggregates: maxIntersections (half-open sweep),
     intervalLengthSum (union length), deltaSumTimestamp (positive
@@ -2883,6 +2931,75 @@ def test_dialect_batch9_scalars_and_joins(spark):
         "select formatReadableSize(n) x from t",
         "select sequenceMatch('(?1)(?2)')(ts, a, b) x from t group by u",
         "select entropy(x) h from t",
+    ):
+        once = T(q)
+        assert T(once) == once
+
+
+def test_dialect_batch10_rewrites(spark):
+    """Batch-10 surface: higher-order array completion, exact
+    geometry (pointInPolygon even-odd ray cast), exact weighted
+    top-k, string similarity, URL parts, readable-size parsing.
+    Execution semantics value-gated by calc_dialect_battery12."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    run = lambda q: spark.sql(T(q)).collect()[0][0]
+    # CH arrayFold: lambda FIRST, accumulator LAST
+    assert run(
+        "select arrayFold((acc, x) -> acc + x, [1,2,3], toInt64(10))"
+    ) == 16
+    assert run("select arrayProduct([2,3,4])") == 24.0
+    assert abs(run("select arrayJaccardIndex([1,2],[2,3])") - 1 / 3) < 1e-12
+    assert run("select arrayPartialSort(2, [3,1,2])") == [1, 2, 3]
+    assert sorted(run("select arrayShuffle([1,2,3])")) == [1, 2, 3]
+    # toWeek mode 3 = ISO week; other modes stay untranslated (loud)
+    assert run("select toWeek(toDate('2024-01-04'), 3)") == 1
+    assert "toWeek" in T("select toWeek(d) from t")
+    spark.sql(
+        "create or replace temp view mi_b10 as select * from values "
+        "(1.0,3.0),(1.0,6.0),(2.0,5.0),(3.0,7.0) as t(s,e)"
+    )
+    # max count (3) is first reached at the sweep point 2.0
+    assert run("select maxIntersectionsPosition(s, e) from mi_b10") == 2.0
+    spark.sql(
+        "create or replace temp view tw_b10 as select * from values "
+        "('a',1.0),('b',5.0),('a',2.0),('c',1.0) as t(x,w)"
+    )
+    assert run("select topKWeighted(2)(x, w) from tw_b10") == ["b", "a"]
+    assert run("select singleValueOrNull(x) from (select 1 x union all select 1 x)") == 1
+    assert run("select singleValueOrNull(x) from (select 1 x union all select 2 x)") is None
+    assert run("select fragment('http://a.com/p?q=1#frag')") == "frag"
+    assert run(
+        "select netloc('https://user:pw@host.com:8080/path?a=1')"
+    ) == "user:pw@host.com:8080"
+    assert run("select toDecimalString(3.14159, 2)") == "3.14"
+    assert run("select stringJaccardIndex('abc', 'bcd')") == 0.5
+    assert run("select stringJaccardIndex('', '')") == 1.0
+    assert run("select byteHammingDistance('abc', 'abd')") == 1
+    # length difference counts as mismatches (zip_with null pads)
+    assert run("select byteHammingDistance('abc', 'a')") == 2
+    assert run("select formatReadableDecimalSize(1500)") == "1.50 KB"
+    assert run("select parseReadableSize('1.00 KiB')") == 1024
+    assert run("select parseReadableSize('1.5 KB')") == 1500
+    # pointInPolygon: unit square and triangle, inside/outside
+    assert run(
+        "select pointInPolygon((0.5, 0.5), [(0.,0.),(1.,0.),(1.,1.),(0.,1.)])"
+    ) == 1
+    assert run(
+        "select pointInPolygon((2.0, 0.5), [(0.,0.),(1.,0.),(1.,1.),(0.,1.)])"
+    ) == 0
+    assert run(
+        "select pointInPolygon((0.5, 0.5), [(0.,0.),(1.,0.),(0.5,1.)])"
+    ) == 1
+    assert run(
+        "select pointInPolygon((0.1, 0.9), [(0.,0.),(1.,0.),(0.5,1.)])"
+    ) == 0
+    # idempotence
+    for q in (
+        "select arrayProduct([1,2]) x",
+        "select pointInPolygon((0.5, 0.5), [(0.,0.),(1.,0.),(0.5,1.)]) x",
+        "select topKWeighted(2)(x, w) x from t",
+        "select parseReadableSize(s) x from t",
     ):
         once = T(q)
         assert T(once) == once
