@@ -1583,6 +1583,79 @@ ORDER BY y
 
 
 # ---------------------------------------------------------------------------
+# Clause pass-through proof — CH spellings Spark accepts NATIVELY and
+# must keep accepting through the translator: GROUP BY … WITH ROLLUP /
+# WITH CUBE, INTERSECT / EXCEPT, UNION DISTINCT. These deliberately
+# take the no-rewrite path; the gate proves the translator neither
+# mangles them nor needs to.
+# ---------------------------------------------------------------------------
+
+_DIALECT13_CH_SQL = """
+select
+  coalesce(toString(toYear(o_orderdate)), '#all') as y,
+  coalesce(o_orderstatus, '#all') as st,
+  toInt64(count(*)) as c,
+  toInt64(sum(o_custkey % 97)) as s
+from orders
+where o_orderkey <= 4000
+group by toString(toYear(o_orderdate)), o_orderstatus with rollup
+
+union distinct
+
+select 'X' as y, v as st, toInt64(n) as c, toInt64(n) as s from (
+  select o_orderpriority as v, count(*) as n from orders
+  where o_orderkey <= 4000 group by o_orderpriority
+  intersect
+  select o_orderpriority as v, count(*) as n from orders
+  where o_orderkey <= 4000 and o_orderkey % 2 = 0 group by o_orderpriority
+)
+
+order by y, st, c
+"""
+
+
+def calc_dialect13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause pass-through, value-gated: WITH ROLLUP subtotal rows,
+    INTERSECT set semantics, UNION DISTINCT dedup — all taken by
+    Spark natively after translation (the translator must not touch
+    them; CH WITH TOTALS, by contrast, is rewritten to GROUPING
+    SETS)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT13_CH_SQL)).orderBy(
+        "y", "st", "c"
+    )
+
+
+DIALECT13_ORACLE = """
+SELECT * FROM (
+  SELECT
+    coalesce(cast(year(o_orderdate) as varchar), '#all') AS y,
+    coalesce(o_orderstatus, '#all') AS st,
+    cast(count(*) as bigint) AS c,
+    cast(sum(o_custkey % 97) as bigint) AS s
+  FROM orders
+  WHERE o_orderkey <= 4000
+  GROUP BY ROLLUP (cast(year(o_orderdate) as varchar), o_orderstatus)
+
+  UNION
+
+  SELECT 'X' AS y, v AS st, cast(n as bigint) AS c, cast(n as bigint) AS s
+  FROM (
+    SELECT o_orderpriority AS v, count(*) AS n FROM orders
+    WHERE o_orderkey <= 4000 GROUP BY o_orderpriority
+    INTERSECT
+    SELECT o_orderpriority AS v, count(*) AS n FROM orders
+    WHERE o_orderkey <= 4000 AND o_orderkey % 2 = 0 GROUP BY o_orderpriority
+  )
+)
+ORDER BY y, st, c
+"""
+
+
+# ---------------------------------------------------------------------------
 # dictGet/dictHas SQL forms via the dictionary registry
 # ---------------------------------------------------------------------------
 
@@ -5477,6 +5550,8 @@ EXT_QUERIES: list[QueryDef] = [
              "bitmap algebra, sumMap tuple, formatReadable*, extractGroups, snowflake round-trip"),
     QueryDef("calc_dialect_battery12", calc_dialect12_q, DIALECT12_ORACLE,
              "arrayFold/Product/Jaccard, exact topKWeighted, pointInPolygon ray-cast, string Jaccard/Hamming, netloc, parseReadableSize"),
+    QueryDef("calc_dialect_battery13", calc_dialect13_q, DIALECT13_ORACLE,
+             "clause pass-through proof: WITH ROLLUP subtotals, INTERSECT, UNION DISTINCT survive translation untouched"),
     QueryDef("calc_dialect_geo", calc_dialect_geo_q, DIALECT_GEO_ORACLE,
              "geohashEncode closed-form bit expansion (engine-identical doubles)"),
     QueryDef("calc_dict_lookup", calc_dict_lookup_q, DICT_LOOKUP_ORACLE,
