@@ -554,9 +554,74 @@ def _rewrite_with_totals(masked: str) -> str:
 # LIMIT. DESC / INTERPOLATE / expression keys / date-interval steps
 # pass through untranslated.
 _WITH_FILL = re.compile(
-    r"(?is)\border\s+by\s+([A-Za-z_][A-Za-z0-9_]*)\s+with\s+fill"
+    r"(?is)\border\s+by\s+"
+    r"((?:[A-Za-z_][A-Za-z0-9_]*\s*,\s*)*)"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s+with\s+fill"
     r"(?:\s+from\s+(-?\d+))?(?:\s+to\s+(-?\d+))?(?:\s+step\s+(\d+))?"
 )
+
+# identifiers allowed in an INTERPOLATE `AS expr` besides the target
+# column and function calls: SQL keywords / type names only. Any other
+# bare identifier would silently resolve against the CURRENT (filled)
+# row where CH reads the PREVIOUS row — reject those shapes (loud
+# pass-through) rather than mis-compute.
+_INTERP_KEYWORDS = frozenset(
+    "case when then else end and or not null true false is in div mod"
+    " as int integer bigint smallint tinyint double float string decimal"
+    " boolean date timestamp interval".split()
+)
+
+
+def _parse_interpolate(
+    rest: str,
+) -> tuple[list[tuple[str, str | None]], str] | None | str:
+    """Parse a leading ``INTERPOLATE (item, …)`` off ``rest``
+    (masked text). Returns (items, remainder) where each item is
+    (column, substituted-expr-or-None); the expr has the column's
+    standalone occurrences replaced by ``__wf_acc`` for the iterated
+    fold. Returns the string ``"none"`` when no INTERPOLATE clause is
+    present, or None when present but unsupported."""
+    im = re.match(r"(?is)\s*interpolate\s*\(", rest)
+    if not im:
+        return "none"
+    depth, i = 1, im.end()
+    while i < len(rest) and depth:
+        if rest[i] == "(":
+            depth += 1
+        elif rest[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    items: list[tuple[str, str | None]] = []
+    for item in _split_top(rest[im.end() : i - 1]):
+        mm = re.fullmatch(
+            r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+as\s+(.+?))?\s*", item
+        )
+        if not mm:
+            return None
+        name, expr = mm.group(1), mm.group(2)
+        if expr is None:
+            items.append((name, None))
+            continue
+        for idm in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+            w = idm.group(0).lower()
+            if w == name.lower() or w in _INTERP_KEYWORDS:
+                continue
+            if idm.start() > 0 and expr[idm.start() - 1] == ".":
+                continue  # struct-field tail of an allowed base
+            if expr[idm.end() :].lstrip().startswith("("):
+                continue  # function call
+            return None  # prev-row column reference: unsupported
+        sub = re.sub(
+            rf"(?i)(?<![\w.]){re.escape(name)}(?![\w.(])",
+            "__wf_acc",
+            expr,
+        )
+        items.append((name, sub))
+    if not items:
+        return None
+    return items, rest[i:]
 
 
 def _rewrite_with_fill(masked: str) -> str:
@@ -573,48 +638,124 @@ def _rewrite_with_fill(masked: str) -> str:
     grid survive (full join), exactly CH's behavior. Filled rows
     carry NULL in the other columns — CH fills type defaults (0,
     '') there; documented deviation (Spark SQL cannot know column
-    types at text-rewrite time). INTERPOLATE is unsupported."""
+    types at text-rewrite time).
+
+    Round-8 extensions:
+
+    * **Multi-key**: ``ORDER BY a, b WITH FILL …`` (bare preceding
+      keys, FILL on the LAST key only) — CH restarts the fill grid
+      per preceding-key group, so the spine becomes a per-group
+      ``explode(sequence(…))`` over group min/max (or the literal
+      FROM/TO bounds) full-joined USING every key.
+    * **INTERPOLATE (col [AS expr], …)**: filled rows carry the last
+      real row's value forward (plain form: group-max over the
+      carry-group window — each group holds exactly one real row),
+      or the expr applied once per filled step (``AS`` form:
+      ``aggregate(sequence(1, k), last_real, acc -> expr)`` — CH
+      evaluates the expr against the previous row, which cascades).
+      Exprs referencing OTHER prev-row columns are rejected
+      (pass-through, loud) — see ``_parse_interpolate``."""
     m = _WITH_FILL.search(masked)
     if not m:
         return masked
     pre = masked[: m.start()]
     if pre.count("(") != pre.count(")"):
         return masked  # nested in a subquery: unsupported, untouched
-    tail = masked[m.end():].strip()
-    if tail and not _TRAILING_LIMIT.match(tail):
-        return masked  # more ORDER BY keys / INTERPOLATE: untouched
-    col = m.group(1)
-    frm, to, step = m.group(2), m.group(3), m.group(4)
+    pre_keys = [k.strip() for k in m.group(1).split(",") if k.strip()]
+    col = m.group(2)
+    frm, to, step = m.group(3), m.group(4), m.group(5)
     s = int(step) if step else 1
-    if frm is not None and to is not None:
-        f_i, t_i = int(frm), int(to)
-        if t_i <= f_i:
-            # inverted bounds: CH runs the query with an EMPTY fill
-            # grid — translate to the plain ordered query (leaving
-            # WITH FILL in place would be unparseable Spark)
-            body = masked[: m.start()].strip()
-            return f"{body} ORDER BY {col}" + (f" {tail}" if tail else "")
-        f_expr = str(f_i)
-        stop_expr = str(f_i + ((t_i - f_i - 1) // s) * s)
+    parsed = _parse_interpolate(masked[m.end() :])
+    if parsed is None:
+        return masked  # INTERPOLATE present but unsupported shape
+    interp: list[tuple[str, str | None]] | None
+    if parsed == "none":
+        interp, rest = None, masked[m.end() :]
     else:
-        f_expr = frm if frm is not None else f"(SELECT min({col}) FROM __wf_src)"
-        # TO omitted → fill up to the data max (inclusive grid end)
-        stop_expr = f"(SELECT max({col}) FROM __wf_src)" if to is None else None
-        if stop_expr is None:
-            t_i = int(to)
-            stop_expr = f"(({t_i} - 1 - ({f_expr})) div {s}) * {s} + ({f_expr})"
+        interp, rest = parsed
+    tail = rest.strip()
+    if tail and not _TRAILING_LIMIT.match(tail):
+        return masked  # more ORDER BY keys: untouched
+    keys_csv = ", ".join(pre_keys + [col])
     body = masked[: m.start()].strip()
-    # inverted bounds (e.g. `TO 5` when min(col)=10) fill NOTHING in
-    # CH; an unguarded sequence(10, 4) would throw at runtime
-    spine = (
-        f"CASE WHEN ({f_expr}) <= ({stop_expr}) "
-        f"THEN sequence({f_expr}, {stop_expr}, {s}) ELSE array() END"
+    if frm is not None and to is not None and int(to) <= int(frm):
+        # inverted bounds: CH runs the query with an EMPTY fill grid
+        # (INTERPOLATE moot) — translate to the plain ordered query
+        return f"{body} ORDER BY {keys_csv}" + (f" {tail}" if tail else "")
+    if pre_keys:
+        f_expr = frm if frm is not None else "__wf_mn"
+        if to is None:
+            stop_expr = "__wf_mx"
+        else:
+            stop_expr = f"(({int(to)} - 1 - ({f_expr})) div {s}) * {s} + ({f_expr})"
+        pk = ", ".join(pre_keys)
+        spine_sel = (
+            f"SELECT {pk}, explode(CASE WHEN ({f_expr}) <= ({stop_expr}) "
+            f"THEN sequence({f_expr}, {stop_expr}, {s}) ELSE array() END) "
+            f"AS {col} FROM (SELECT {pk}, min({col}) AS __wf_mn, "
+            f"max({col}) AS __wf_mx FROM __wf_src GROUP BY {pk}) __wf_g"
+        )
+    else:
+        if frm is not None and to is not None:
+            f_i, t_i = int(frm), int(to)
+            f_expr = str(f_i)
+            stop_expr = str(f_i + ((t_i - f_i - 1) // s) * s)
+        else:
+            f_expr = (
+                frm if frm is not None else f"(SELECT min({col}) FROM __wf_src)"
+            )
+            # TO omitted → fill up to the data max (inclusive grid end)
+            if to is None:
+                stop_expr = f"(SELECT max({col}) FROM __wf_src)"
+            else:
+                stop_expr = (
+                    f"(({int(to)} - 1 - ({f_expr})) div {s}) * {s} + ({f_expr})"
+                )
+        # inverted bounds (e.g. `TO 5` when min(col)=10) fill NOTHING
+        # in CH; an unguarded sequence(10, 4) would throw at runtime
+        spine_sel = (
+            f"SELECT explode(CASE WHEN ({f_expr}) <= ({stop_expr}) "
+            f"THEN sequence({f_expr}, {stop_expr}, {s}) ELSE array() END) "
+            f"AS {col}"
+        )
+    using = ", ".join(pre_keys + [col])
+    if interp is None:
+        return (
+            f"WITH __wf_src AS ({body}) "
+            f"SELECT * FROM ({spine_sel}) __wf_spine "
+            f"FULL OUTER JOIN __wf_src USING ({using}) ORDER BY {keys_csv}"
+            + (f" {tail}" if tail else "")
+        )
+    part = f"PARTITION BY {', '.join(pre_keys)} " if pre_keys else ""
+    pgrp = (
+        f"PARTITION BY {', '.join(pre_keys + ['__wf_grp'])}"
+        if pre_keys
+        else "PARTITION BY __wf_grp"
     )
+    vals, except_cols = [], ["__wf_real", "__wf_grp", "__wf_k"]
+    for name, expr_sub in interp:
+        base = f"max(CASE WHEN __wf_real THEN {name} END) OVER ({pgrp})"
+        if expr_sub is None:
+            v = base
+        else:
+            v = (
+                f"IF(__wf_k < 1, {base}, aggregate(sequence(1, __wf_k), "
+                f"{base}, (__wf_acc, __wf_x) -> ({expr_sub})))"
+            )
+        vals.append(f"CASE WHEN __wf_real THEN {name} ELSE {v} END AS {name}")
+        except_cols.append(name)
+    grp = (
+        f"count(CASE WHEN __wf_real THEN 1 END) OVER ({part}ORDER BY {col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __wf_grp"
+    )
+    k_expr = f"(row_number() OVER ({pgrp} ORDER BY {col}) - 1) AS __wf_k"
     return (
-        f"WITH __wf_src AS ({body}) "
-        f"SELECT * FROM (SELECT explode({spine}) "
-        f"AS {col}) __wf_spine "
-        f"FULL OUTER JOIN __wf_src USING ({col}) ORDER BY {col}"
+        f"WITH __wf_src AS (SELECT *, true AS __wf_real FROM ({body}) __wf_b), "
+        f"__wf_j AS (SELECT * FROM ({spine_sel}) __wf_spine "
+        f"FULL OUTER JOIN __wf_src USING ({using})), "
+        f"__wf_m AS (SELECT *, {grp} FROM __wf_j) "
+        f"SELECT * EXCEPT ({', '.join(except_cols)}), {', '.join(vals)} "
+        f"FROM (SELECT *, {k_expr} FROM __wf_m) __wf_v ORDER BY {keys_csv}"
         + (f" {tail}" if tail else "")
     )
 
@@ -1137,6 +1278,241 @@ def _rewrite_asof_join(masked: str) -> str:
             + " "
             + masked[on_end:]
         )
+
+
+def _seq_pattern_dp(
+    pat: str, k: int
+) -> tuple[list[int], list[object]] | None:
+    """Parse a CH sequenceMatch/Count pattern CONTAINING time
+    constraints into (anchors, seps) for the DP fold below. anchors =
+    condition numbers in order; seps = one entry per anchor gap:
+    ``'adj'`` (events adjacent among filtered events), ``'dot'``
+    (exactly one event between), ``'star'`` (any run), or a tuple of
+    ``(op, micros)`` time constraints (CH: a ``(?t op v)`` gap allows
+    any events between the anchors — docs: 'an arbitrary number of
+    any events can lie between these events'). Leading/trailing
+    ``.*`` runs are vacuous under search semantics and dropped;
+    leading/trailing ``.``/``(?t…)`` and a ``.`` mixed into a
+    time-constraint gap are unsupported (None → loud pass-through)."""
+    toks: list[tuple] = []
+    i = 0
+    while i < len(pat):
+        if pat.startswith("(?t", i):
+            j = pat.find(")", i)
+            if j < 0:
+                return None
+            m = re.fullmatch(
+                r"\s*(>=|<=|==|>|<)\s*([0-9]+(?:\.[0-9]+)?)\s*",
+                pat[i + 3 : j],
+            )
+            if not m:
+                return None
+            op = "=" if m.group(1) == "==" else m.group(1)
+            toks.append(("t", op, int(round(float(m.group(2)) * 1_000_000))))
+            i = j + 1
+        elif pat.startswith("(?", i):
+            j = pat.find(")", i)
+            body = pat[i + 2 : j] if j > 0 else ""
+            if not body.isdigit() or not 1 <= int(body) <= k:
+                return None
+            toks.append(("a", int(body)))
+            i = j + 1
+        elif pat.startswith(".*", i):
+            toks.append(("star",))
+            i += 2
+        elif pat[i] == ".":
+            toks.append(("dot",))
+            i += 1
+        else:
+            return None
+    anchors: list[int] = []
+    seps: list[object] = []
+    gap: list[tuple] = []
+    for tok in toks:
+        if tok[0] != "a":
+            gap.append(tok)
+            continue
+        if not anchors:
+            if any(g[0] != "star" for g in gap):
+                return None
+        else:
+            kinds = {g[0] for g in gap}
+            if not gap:
+                seps.append("adj")
+            elif kinds == {"dot"} and len(gap) == 1:
+                seps.append("dot")
+            elif kinds <= {"star"}:
+                seps.append("star")
+            elif "t" in kinds and "dot" not in kinds:
+                seps.append(tuple((g[1], g[2]) for g in gap if g[0] == "t"))
+            else:
+                return None
+        anchors.append(tok[1])
+        gap = []
+    if not anchors or any(g[0] != "star" for g in gap):
+        return None
+    return anchors, seps
+
+
+def _seq_dp_expr(
+    ts_expr: str, conds: list[str], anchors: list[int], seps: list[object]
+) -> str:
+    """Greedy non-overlapping sequence counter as an ``aggregate()``
+    fold, for patterns with ``(?t``. Filtered events (any condition
+    true; CH skips the rest) sort by time; the fold carries, per
+    anchor position j < K, the candidate set of (event index, ts)
+    where anchors 1..j matched under the gap constraints. An event
+    completing anchor K counts one chain and resets every set — CH's
+    'starts to search for the next chain after the current chain is
+    matched'. s_K itself is never stored: it would be consumed the
+    step it first becomes non-empty. O(events²) per group worst case
+    (each step scans bounded candidate arrays) — same per-group
+    collect_list cost family as the tag-string path, bounded by
+    group size."""
+    kk = len(anchors)
+    ors = " OR ".join(f"({c})" for c in conds)
+    cs = ", ".join(f"cast({c} as boolean)" for c in conds)
+    events = (
+        f"array_sort(collect_list(CASE WHEN {ors} THEN struct("
+        f"unix_micros(cast({ts_expr} as timestamp)) AS t, "
+        f"array({cs}) AS cs) END))"
+    )
+    empty = "array_repeat(struct(0 AS idx, 0L AS t), 0)"
+
+    def ext(j: int) -> str:
+        # can the current event (index acc.i + 1) extend a chain at
+        # anchor j, drawing from candidate set s_{j-1}?
+        cond = f"element_at(e.cs, {anchors[j - 1]})"
+        if j == 1:
+            return cond
+        sep = seps[j - 2]
+        if sep == "adj":
+            p = "__sp.idx = acc.i"
+        elif sep == "dot":
+            p = "__sp.idx = acc.i - 1"
+        elif sep == "star":
+            p = "__sp.idx <= acc.i"
+        else:
+            parts = ["__sp.idx <= acc.i"] + [
+                f"(e.t - __sp.t) {op} {us}L" for op, us in sep
+            ]
+            p = " AND ".join(parts)
+        return f"{cond} AND exists(acc.s{j - 1}, __sp -> ({p}))"
+
+    grown = "concat(acc.s{j}, array(struct(acc.i + 1 AS idx, e.t AS t)))"
+    keep_fields = ", ".join(
+        f"'s{j}', IF({ext(j)}, {grown.format(j=j)}, acc.s{j})"
+        for j in range(1, kk)
+    )
+    reset_fields = ", ".join(f"'s{j}', {empty}" for j in range(1, kk))
+    keep = f"named_struct('cnt', acc.cnt, 'i', acc.i + 1" + (
+        f", {keep_fields})" if keep_fields else ")"
+    )
+    reset = f"named_struct('cnt', acc.cnt + 1L, 'i', acc.i + 1" + (
+        f", {reset_fields})" if reset_fields else ")"
+    )
+    zero = f"named_struct('cnt', 0L, 'i', 0" + (
+        f", {reset_fields})" if reset_fields else ")"
+    )
+    return (
+        f"aggregate({events}, {zero}, "
+        f"(acc, e) -> IF({ext(kk)}, {reset}, {keep}), "
+        "st -> st.cnt)"
+    )
+
+
+def _window_funnel_strict(
+    n: int,
+    w_us: str,
+    ts_expr: str,
+    conds: str,
+    *,
+    strict_order: bool,
+    strict_dedup: bool,
+    strict_increase: bool,
+) -> str:
+    """Exact replay of ClickHouse's windowFunnel event loop
+    (AggregateFunctionWindowFunnel.h ``getEventLevel``) as a Spark
+    ``aggregate()`` fold, for the strict_order / strict_dedup modes
+    (optionally combined with strict_increase).
+
+    Event model mirrors CH ``add``: each row yields one (t, level)
+    event per matched condition; under strict_order an unmatched row
+    yields a level-0 breaker event. Events sort by (t, level) — CH's
+    pair sort; CH leaves same-timestamp order undefined, this pins it.
+
+    Fold state replays CH's loop: ``ets[i]`` = (first, last) ts of the
+    window-open chain reaching level i+1, ``fe`` = a level-1 event was
+    seen, ``done`` = CH's early-``return`` value (loop frozen once
+    set). Because ``ets[i]`` is only ever set when ``ets[i-1]`` is
+    set, the non-null entries form a prefix, so "first missing level"
+    and the final answer are both ``size(filter(ets, not null))``."""
+    # CASE branch order = CH's if/else chain: frozen, level-0 breaker,
+    # level-1 (re)start, strict_dedup repeat, strict_order gap, extend.
+    branches = ["WHEN acc.done IS NOT NULL THEN acc"]
+    reached = "cast(size(filter(acc.ets, p -> p IS NOT NULL)) as int)"
+    if strict_order:
+        branches.append(
+            "WHEN e.lvl = 0 THEN IF(acc.fe, "
+            f"named_struct('done', {reached}, 'ets', acc.ets, "
+            "'fe', acc.fe), acc)"
+        )
+    branches.append(
+        "WHEN e.lvl = 1 THEN named_struct('done', acc.done, "
+        "'ets', transform(acc.ets, (p, i) -> IF(i = 0, "
+        "struct(e.t AS f, e.t AS l), p)), 'fe', true)"
+    )
+    if strict_dedup:
+        branches.append(
+            "WHEN element_at(acc.ets, e.lvl) IS NOT NULL THEN "
+            "named_struct('done', cast(e.lvl as int), 'ets', acc.ets, "
+            "'fe', acc.fe)"
+        )
+    if strict_order:
+        branches.append(
+            "WHEN acc.fe AND element_at(acc.ets, e.lvl - 1) IS NULL "
+            f"THEN named_struct('done', {reached}, 'ets', acc.ets, "
+            "'fe', acc.fe)"
+        )
+    time_ok = (
+        "element_at(acc.ets, e.lvl - 1) IS NOT NULL "
+        f"AND e.t <= element_at(acc.ets, e.lvl - 1).f + {w_us}"
+    )
+    if strict_increase:
+        time_ok += " AND element_at(acc.ets, e.lvl - 1).l < e.t"
+    branches.append(
+        f"WHEN {time_ok} THEN named_struct("
+        f"'done', IF(e.lvl = {n}, cast({n} as int), acc.done), "
+        "'ets', transform(acc.ets, (p, i) -> IF(i = e.lvl - 1, "
+        "struct(element_at(acc.ets, e.lvl - 1).f AS f, e.t AS l), p)), "
+        "'fe', acc.fe)"
+    )
+    case = "CASE " + " ".join(branches) + " ELSE acc END"
+    matched_events = (
+        f"transform(filter(sequence(1, {n}), "
+        "__wi -> element_at(r.cs, __wi)), "
+        "__wi -> struct(r.t AS t, __wi AS lvl))"
+    )
+    if strict_order:
+        events = (
+            "CASE WHEN NOT exists(r.cs, __wc -> __wc) "
+            "THEN array(struct(r.t AS t, 0 AS lvl)) "
+            f"ELSE {matched_events} END"
+        )
+    else:
+        events = matched_events
+    return (
+        "aggregate("
+        "array_sort(flatten(transform(collect_list(struct("
+        f"unix_micros(cast({ts_expr} as timestamp)) AS t, "
+        f"array({conds}) AS cs)), "
+        f"r -> {events}))), "
+        "named_struct('done', cast(null as int), "
+        f"'ets', array_repeat(cast(null as struct<f: bigint, l: bigint>), {n}), "
+        "'fe', false), "
+        f"(acc, e) -> {case}, "
+        f"acc -> coalesce(acc.done, {reached}))"
+    )
 
 
 # dictionary registry for the dictGet/dictHas SQL forms: CH
@@ -2254,11 +2630,17 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         the fold runs on unix micros. Same-timestamp ordering follows
         the sorted struct (deterministic; CH leaves it undefined).
 
-        Modes: ``'strict_increase'`` is supported (state widens to
-        (start, last) so each extension requires a strictly LATER
-        event). Other modes (strict_order/strict_dedup) return None —
-        the call passes through UNTRANSLATED and fails loudly, never
-        silently computing the default-mode answer."""
+        Modes: ``'strict_increase'`` alone keeps the (start, last) DP
+        below (each extension requires a strictly LATER event). Any
+        mode set containing ``'strict_order'`` / ``'strict_dedup'``
+        (optionally combined with ``'strict_increase'``) routes to the
+        exact ClickHouse event-loop fold (``_window_funnel_strict``):
+        rows expand to one (t, level) event per matched condition
+        (plus a level-0 breaker event for unmatched rows under
+        strict_order), events sort by (t, level), and the fold
+        replays CH's early-exit state machine. Unknown mode spellings
+        return None — the call passes through UNTRANSLATED and fails
+        loudly, never silently computing the default-mode answer."""
         if not ps or len(a) < 2:
             return None
         n = len(a) - 1
@@ -2266,8 +2648,16 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         conds = ", ".join(f"cast({c} as boolean)" for c in a[1:])
         if len(ps) > 1:
             modes = [_lit_text(p, lits) for p in ps[1:]]
-            if modes != ["'strict_increase'"]:
+            known = {"'strict_order'", "'strict_dedup'", "'strict_increase'"}
+            if any(m not in known for m in modes):
                 return None
+            if modes != ["'strict_increase'"]:
+                return _window_funnel_strict(
+                    n, w_us, a[0], conds,
+                    strict_order="'strict_order'" in modes,
+                    strict_dedup="'strict_dedup'" in modes,
+                    strict_increase="'strict_increase'" in modes,
+                )
             return (
                 "aggregate("
                 f"array_sort(collect_list(struct("
@@ -2973,6 +3363,20 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             f"__sq -> concat({lt_}, __sq.g, {gt_})), {empty})"
         )
 
+    def _seq_dp(ps: list[str], a: list[str]) -> str | None:
+        """Shared time-constraint path: patterns containing ``(?t``
+        compile to the candidate-set DP fold (``_seq_dp_expr``)
+        instead of the tag-string regex. Returns the chain-count
+        expression, or None (loud pass-through) on unsupported
+        shapes."""
+        pt = _lit_text(ps[0], lits)
+        if pt is None or "(?t" not in pt:
+            return None
+        parsed = _seq_pattern_dp(pt[1:-1], len(a) - 1)
+        if parsed is None:
+            return None
+        return _seq_dp_expr(a[0], a[1:], *parsed)
+
     def _sequence_match(ps: list[str], a: list[str]) -> str | None:
         if len(ps) != 1 or len(a) < 2:
             return None
@@ -2981,7 +3385,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             return None
         rx = _seq_pattern_regex(pt[1:-1], len(a) - 1)
         if rx is None:
-            return None
+            dp = _seq_dp(ps, a)
+            if dp is None:
+                return None
+            return f"(CASE WHEN {dp} > 0 THEN 1 ELSE 0 END)"
         rx_lit = _emit_lit("'" + rx + "'", lits)
         return (
             f"(CASE WHEN {_seq_tag_expr(a)} rlike {rx_lit} "
@@ -2996,7 +3403,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             return None
         rx = _seq_pattern_regex(pt[1:-1], len(a) - 1)
         if rx is None:
-            return None
+            dp = _seq_dp(ps, a)
+            if dp is None:
+                return None
+            return f"cast({dp} as bigint)"
         rx_lit = _emit_lit("'" + rx + "'", lits)
         # non-overlapping left-to-right matches — exactly what
         # repeated regex search (regexp_extract_all) counts
@@ -3699,7 +4109,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # first-match semantics ≈ plain join on unique keys (documented).
     # These run BEFORE the FINAL strip so `t FINAL GLOBAL ANY JOIN`
     # reduces step-by-step.
-    masked = re.sub(r"(?i)\bglobal\s+(any\s+|all\s+)?(?=(left|right|inner|full|cross|semi|anti|join|in))", "", masked)
+    masked = re.sub(r"(?i)\bglobal\s+(any\s+|all\s+)?(?=(left|right|inner|full|cross|semi|anti|join|in|not\s+in))", "", masked)
     masked = re.sub(r"(?i)\b(any|all)\s+(?=(left|right|inner|full)?\s*join)", "", masked)
     # CH strictness-first spellings SEMI/ANTI LEFT JOIN → Spark's
     # LEFT SEMI/ANTI JOIN (native). Documented drift: CH's SEMI LEFT

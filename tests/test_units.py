@@ -2163,8 +2163,12 @@ def test_dialect_batch4_weighted_maps_arrays(spark):
     assert T(tk) == tk
     rt = spark.sql(tk).collect()[0]
     assert list(rt["t2"]) == [1, 2] and list(rt["t10"]) == [1, 2]
-    src = "SELECT topKWeighted(3)(x, w) FROM t"  # no weighted analog
-    assert T(src) == src
+    # topKWeighted → exact weighted top-k (batch-10 rewrite)
+    tkw = T("SELECT topKWeighted(2)(x, w) AS tw FROM"
+            " (SELECT 1 x, 1 w UNION ALL SELECT 10 x, 3 w"
+            " UNION ALL SELECT 5 x, 2 w)")
+    assert T(tkw) == tkw
+    assert list(spark.sql(tkw).collect()[0]["tw"]) == [10, 5]
 
 
 def test_dialect_url_and_interval_batch(spark):
@@ -2266,6 +2270,73 @@ def test_dialect_with_fill(spark):
     inv = T("SELECT k FROM wf_t ORDER BY k WITH FILL FROM 5 TO 5")
     assert inv == "SELECT k FROM wf_t ORDER BY k"
     assert [r["k"] for r in spark.sql(inv).collect()] == [1, 3, 10]
+
+
+def test_dialect_with_fill_interpolate_multikey(spark):
+    """Round-8 WITH FILL extensions: INTERPOLATE (carry-forward and
+    iterated `AS expr` cascade), multi-key fill (grid restarts per
+    preceding-key group, CH behavior), and their combination.
+    Unsupported shapes (expr referencing another prev-row column)
+    still pass through untouched (loud)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def rows(src):
+        sql = T(src)
+        assert T(sql) == sql, sql
+        return sorted(tuple(r) for r in spark.sql(sql).collect())
+
+    spark.sql("SELECT * FROM (VALUES (1, 10), (4, 40)) t(k, v)"
+              ).createOrReplaceTempView("wfi_t")
+    # plain INTERPOLATE: last real value carried across fill rows
+    assert rows("SELECT k, v FROM wfi_t ORDER BY k WITH FILL"
+                " INTERPOLATE (v)") == [(1, 10), (2, 10), (3, 10), (4, 40)]
+    # AS expr: applied once per filled step, cascading (CH: expr is
+    # evaluated against the previous row)
+    assert rows("SELECT k, v FROM wfi_t ORDER BY k WITH FILL"
+                " INTERPOLATE (v AS v + 1)"
+                ) == [(1, 10), (2, 11), (3, 12), (4, 40)]
+    spark.sql("SELECT * FROM (VALUES ('x', 1, 100), ('x', 3, 300),"
+              " ('y', 5, 500), ('y', 7, 700)) t(g, k, v)"
+              ).createOrReplaceTempView("wfi_g")
+    # multi-key: fill restarts per g group over group min..max
+    assert rows("SELECT g, k FROM wfi_g ORDER BY g, k WITH FILL") == [
+        ('x', 1), ('x', 2), ('x', 3), ('y', 5), ('y', 6), ('y', 7)]
+    # multi-key with literal bounds: same grid for every group
+    assert rows("SELECT g, k FROM wfi_g ORDER BY g, k WITH FILL"
+                " FROM 1 TO 3") == [
+        ('x', 1), ('x', 2), ('x', 3), ('y', 1), ('y', 2),
+        ('y', 5), ('y', 7)]
+    # multi-key + INTERPOLATE: carry window partitions by the group
+    assert rows("SELECT g, k, v FROM wfi_g ORDER BY g, k WITH FILL"
+                " INTERPOLATE (v AS v + 5)") == [
+        ('x', 1, 100), ('x', 2, 105), ('x', 3, 300),
+        ('y', 5, 500), ('y', 6, 505), ('y', 7, 700)]
+    # expr referencing another column = prev-row read we can't
+    # express → untouched (loud)
+    src = "SELECT a, b FROM t ORDER BY a WITH FILL INTERPOLATE (b AS c + 1)"
+    assert T(src) == src
+
+
+def test_dialect_global_in(spark):
+    """GLOBAL IN / GLOBAL NOT IN — CH distribution modifiers on the
+    subquery-membership forms — strip to plain IN / NOT IN (Spark's
+    optimizer owns distribution), same as the GLOBAL JOIN family."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert T("SELECT * FROM t WHERE x GLOBAL IN (SELECT y FROM u)") == \
+        "SELECT * FROM t WHERE x IN (SELECT y FROM u)"
+    assert T("SELECT * FROM t WHERE x GLOBAL NOT IN (SELECT y FROM u)") == \
+        "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)"
+    # identifiers merely containing 'global' stay untouched
+    assert "global_flag" in T("SELECT global_flag FROM t")
+    spark.sql("SELECT * FROM (VALUES (1), (2), (3)) t(x)"
+              ).createOrReplaceTempView("gin_t")
+    spark.sql("SELECT * FROM (VALUES (2)) t(y)"
+              ).createOrReplaceTempView("gin_u")
+    got = [r["x"] for r in spark.sql(T(
+        "SELECT x FROM gin_t WHERE x GLOBAL NOT IN"
+        " (SELECT y FROM gin_u) ORDER BY x")).collect()]
+    assert got == [1, 3]
 
 
 def test_dialect_review_fixes_round5_session3(spark):
@@ -2756,9 +2827,29 @@ def test_dialect_batch9_sequence_aggregates(spark):
         "select sequenceCount('(?1)(?2)')(ts, n=1, n=2) "
         "from seq_t3 group by u"
     ) == 1
-    # unsupported time-constraint form stays untranslated (loud)
+    # time-constraint form → candidate-set DP fold (round 8); the
+    # (?t>10) gap rejects a 2s-apart pair, accepts a 20s-apart one
+    spark.sql(
+        "create or replace temp view seq_t4 as select * from values "
+        "(1, timestamp'2020-01-01 00:00:00', 1),"
+        "(1, timestamp'2020-01-01 00:00:02', 2),"
+        "(1, timestamp'2020-01-01 00:00:30', 2) as t(u, ts, n)"
+    )
+    assert run(
+        "select sequenceMatch('(?1)(?t>10)(?2)')(ts, n=1, n=2) "
+        "from seq_t4 group by u"
+    ) == 1
+    assert run(
+        "select sequenceMatch('(?1)(?t>60)(?2)')(ts, n=1, n=2) "
+        "from seq_t4 group by u"
+    ) == 0
+    assert run(
+        "select sequenceCount('(?1)(?t<10)(?2)')(ts, n=1, n=2) "
+        "from seq_t4 group by u"
+    ) == 1
+    # malformed/unsupported time shapes still pass through (loud)
     assert "sequenceMatch" in T(
-        "select sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) from t"
+        "select sequenceMatch('(?t>10)(?2)')(ts, a, b) from t"
     )
 
 
@@ -2805,8 +2896,29 @@ def test_dialect_window_funnel_strict_increase(spark):
         "select windowFunnel(3, 'strict_increase')(ts, e='A', e='B') "
         "from wf_si4"
     ) == 2
+    # strict_order / strict_dedup → CH-exact event-loop fold (r8)
+    spark.sql(
+        "create or replace temp view wf_so as select * from values "
+        "(1,'A'),(2,'B'),(3,'D'),(4,'C') as t(ts, e)"
+    )
+    assert run(
+        "select windowFunnel(100, 'strict_order')(ts, e='A', e='B', e='C') "
+        "from wf_so"
+    ) == 2  # the D event breaks the chain (CH docs example)
+    spark.sql(
+        "create or replace temp view wf_sd as select * from values "
+        "(1,'A'),(2,'B'),(3,'B'),(4,'C') as t(ts, e)"
+    )
+    assert run(
+        "select windowFunnel(100, 'strict_dedup')(ts, e='A', e='B', e='C') "
+        "from wf_sd"
+    ) == 2  # repeated B interrupts further processing
+    assert run(
+        "select windowFunnel(100)(ts, e='A', e='B', e='C') from wf_sd"
+    ) == 3  # default mode unaffected
+    # unknown mode spellings still pass through (loud)
     assert "windowFunnel" in T(
-        "select windowFunnel(10, 'strict_order')(ts, a, b) from t"
+        "select windowFunnel(10, 'strict')(ts, a, b) from t"
     )
 
 
