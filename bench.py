@@ -46,15 +46,27 @@ def main() -> None:
         # other mid-measurement (each entry measured on its own plan,
         # warm within its two passes)
         spark.catalog.clearCache()
-        best = None
         try:
+            passes: list[float] = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 df = q.spark(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[q.name] = round(best, 3)
+                passes.append(time.perf_counter() - t0)
+            # r7 post-mortem: three text_* entries read 3-6x high in
+            # the driver's bench with the operator untouched — min-of-2
+            # is blind to SUSTAINED contention spanning both passes.
+            # When the two passes disagree by >1.5x, the entry was
+            # measured under interference: take extra passes (up to 2)
+            # until two samples agree, and report the min.
+            tries = 0
+            while tries < 2 and sorted(passes)[1] > 1.5 * min(passes):
+                t0 = time.perf_counter()
+                df = q.spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                passes.append(time.perf_counter() - t0)
+                tries += 1
+            timings[q.name] = round(min(passes), 3)
         except Exception as exc:  # one broken query must not kill the run
             errors[q.name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {q.name} FAILED: {errors[q.name]}", file=sys.stderr)

@@ -939,6 +939,21 @@ def _rewrite_array_join(masked: str) -> str:
         relname = "__aj_l"
         if srcm and (srcm.group(2) or "").lower() != "final":
             relname = srcm.group(2) or srcm.group(1).split(".")[-1]
+        elif src.startswith("("):
+            # `(SELECT …) [AS] x` — reuse x on both wrap levels so
+            # x.col references keep resolving (ADVICE r7); an
+            # UNALIASED subquery keeps the synthetic __aj_l name
+            d, i = 0, 0
+            for i, ch in enumerate(src):
+                d += (ch == "(") - (ch == ")")
+                if d == 0:
+                    break
+            pm = re.fullmatch(
+                r"(?is)\s*(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*",
+                src[i + 1 :],
+            )
+            if pm:
+                relname = pm.group(1)
         items_end = _aj_items_span(masked, m.end())
         items = _split_top(masked[m.end() : items_end])
         if not items:
@@ -990,9 +1005,12 @@ def _rewrite_qualify(masked: str) -> str:
     filtered rows, like QUALIFY semantics demand). ``SELECT
     DISTINCT`` + QUALIFY is left untouched (the hidden column would
     change the distinct key; Spark will reject the residue loudly
-    rather than silently mis-deduplicate)."""
+    rather than silently mis-deduplicate) — but only THAT occurrence
+    is skipped: other QUALIFYs in the same statement (e.g. the other
+    arm of a UNION) still translate (ADVICE r7)."""
+    search_from = 0
     while True:
-        m = _QUALIFY.search(masked)
+        m = _QUALIFY.search(masked, search_from)
         if m is None:
             return masked
         # owning SELECT: last same-depth `select` before the clause
@@ -1011,7 +1029,8 @@ def _rewrite_qualify(masked: str) -> str:
         if sel_end is None:
             raise ValueError("QUALIFY without an owning SELECT")
         if re.match(r"(?is)\s*distinct\b", masked[sel_end:]):
-            return masked
+            search_from = m.end()
+            continue
         pred_end, _kw = _clause_span(masked, m.end())
         pred = masked[m.end() : pred_end].strip()
         body = masked[sel_end : m.start()].rstrip()
@@ -1046,6 +1065,41 @@ _ANSI_CTE_ITEM = re.compile(
 _SCALAR_ITEM = re.compile(
     r"(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)$"
 )
+
+
+def _lambda_shadow_spans(text: str, name: str) -> list[tuple[int, int]]:
+    """Spans of ``text`` where a lambda parameter named ``name``
+    shadows a scalar-WITH alias: each `` p -> body`` / ``(p, q) ->
+    body`` whose param list contains the name, from the param list
+    through the body's end (the enclosing group's same-depth comma or
+    close paren, or end of text)."""
+    spans: list[tuple[int, int]] = []
+    for lm in re.finditer(
+        r"(?is)(?:\b([A-Za-z_][A-Za-z0-9_]*)|\(([^()]*)\))\s*->", text
+    ):
+        params = (
+            [lm.group(1)]
+            if lm.group(1)
+            else [p.strip() for p in lm.group(2).split(",")]
+        )
+        if name.lower() not in (p.lower() for p in params if p):
+            continue
+        end = len(text)
+        d = 0
+        for i in range(lm.end(), len(text)):
+            c = text[i]
+            if c == "(":
+                d += 1
+            elif c == ")":
+                if d == 0:
+                    end = i
+                    break
+                d -= 1
+            elif c == "," and d == 0:
+                end = i
+                break
+        spans.append((lm.start(), end))
+    return spans
 
 
 def _rewrite_scalar_with(masked: str) -> str:
@@ -1090,9 +1144,28 @@ def _rewrite_scalar_with(masked: str) -> str:
     tail = masked[sel:]
     for name, expr in subs:
         # '.' excluded on BOTH sides: `t.k` is a column reference, not
-        # a use of the scalar alias k (review r7 finding)
-        tail = re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(name)}(?![A-Za-z0-9_.(])",
-                      f"({expr})", tail)
+        # a use of the scalar alias k (review r7 finding). NON-use
+        # positions are skipped (ADVICE r7): an alias-definition site
+        # (`SELECT x AS k`), a relation position (`FROM k` /
+        # `JOIN k`), and anything inside a lambda that declares the
+        # name as a parameter (the param SHADOWS the alias — params
+        # and body both stay) merely SHARE the name; inlining there
+        # yields unparseable or silently-wrong SQL.
+        shadows = _lambda_shadow_spans(tail, name)
+
+        def _sub(mm: re.Match, _e: str = expr, _sh=shadows) -> str:
+            if any(s <= mm.start() < e for s, e in _sh):
+                return mm.group(0)
+            before = tail[: mm.start()]
+            if re.search(r"(?is)\b(?:as|from|join)\s+$", before):
+                return mm.group(0)
+            return f"({_e})"
+
+        tail = re.sub(
+            rf"(?<![A-Za-z0-9_.]){re.escape(name)}(?![A-Za-z0-9_.(])",
+            _sub,
+            tail,
+        )
     mid = f"WITH {', '.join(keep)} " if keep else ""
     return head + mid + tail
 
@@ -1531,7 +1604,14 @@ def register_dictionary(name: str, key_column: str) -> None:
 
 def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     """Rewrite ClickHouse-dialect SQL into Spark SQL (function surface
-    of SURVEY.md §2.4). Idempotent on already-ANSI text.
+    of SURVEY.md §2.4). Idempotent on already-ANSI text — with one
+    documented exception: two-argument ``position(a, b)`` is ALWAYS
+    read in CH argument order (haystack, needle) and becomes
+    ``instr(a, b)``. Already-ANSI text spelled ``position(needle,
+    haystack)`` (without ``IN``) is therefore rewritten with the
+    arguments meaning the opposite of what ANSI intended — stored CH
+    queries are the input contract, and CH's order wins the tie. The
+    ANSI ``position(x IN y)`` form is untouched.
 
     String literals are masked FIRST, so every pass — call-level
     rewrites included — operates on text with no quotes in it: a bound
@@ -2470,16 +2550,22 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             f"{lit('#')}, 1)"
         ),
     )
-    # no '?': substring_index returns the WHOLE url (fragment
-    # included) — only re-append the fragment when a query string was
-    # actually cut, else it would duplicate (review r7 finding)
+    # a query string only exists when a '?' occurs BEFORE the first
+    # '#' — a '?' inside the fragment ('a#f?q') is fragment text, and
+    # the old first-'#' re-append duplicated it (ADVICE r7). When a
+    # query IS cut, everything from the first '#' is the fragment and
+    # is kept verbatim.
     out = _rewrite_calls(
         out,
         "cutQueryString",
         lambda a: (
-            f"concat(substring_index({a[0]}, {lit('?')}, 1), "
-            f"IF(instr({a[0]}, {lit('?')}) > 0, "
-            f"regexp_extract({a[0]}, {lit('#.*$')}, 0), {lit('')}))"
+            f"IF(instr({a[0]}, {lit('?')}) > 0 AND "
+            f"(instr({a[0]}, {lit('#')}) = 0 OR "
+            f"instr({a[0]}, {lit('?')}) < instr({a[0]}, {lit('#')})), "
+            f"concat(substr({a[0]}, 1, instr({a[0]}, {lit('?')}) - 1), "
+            f"IF(instr({a[0]}, {lit('#')}) > 0, "
+            f"substr({a[0]}, instr({a[0]}, {lit('#')})), {lit('')})), "
+            f"{a[0]})"
         ),
     )
     # splitByRegexp(re, s[, limit]) — both engines treat the

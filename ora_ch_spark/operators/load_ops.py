@@ -220,26 +220,63 @@ def op_update(
         )
         part_cols = store.partitioning(spec.schema, spec.name)
         total_rows = store.row_count(spec.schema, spec.name)  # manifest, no job
-        # file pruning pays off when the update set is a small slice of
-        # the table (the common incremental case: the probe finds few
-        # affected files). A large scattered update set touches ~every
-        # file, making the probe scan pure overhead — route it straight
-        # to the single-pass full merge instead (same result, one fewer
-        # table scan). Threshold: updates ≥ ¼ of table rows.
+        # Routing (r8, measured — PLANS.md crossover table): the exact
+        # semi-join probe costs one full table scan, so it must only
+        # run when it can actually prune. Two pre-checks, cheapest
+        # first:
+        #   1. updates ≥ ¼ of table rows → every file is statistically
+        #      hit; full merge, zero probe cost (r7 rule, kept).
+        #   2. manifest zone-map range check (driver-side, no table
+        #      scan — one tiny agg on the already-persisted update
+        #      set): if the update-key range overlaps > ½ of the data
+        #      files, the update is scattered and the probe would keep
+        #      ~everything — full merge. Clustered updates (the
+        #      watermark/backfill case the file-pruned path exists
+        #      for) overlap few files, and the exact probe then runs
+        #      over ONLY those candidates.
         large_update = total_rows > 0 and n_upd * 4 >= total_rows
+        candidates: list[str] | None = None
+        if not part_cols and not large_update and key_columns:
+            k0 = key_columns[0]
+            rng = upd_renamed.agg(
+                F.min(k0).alias("lo"), F.max(k0).alias("hi")
+            ).first()
+            if (
+                rng["lo"] is not None
+                and isinstance(rng["lo"], int)
+                and not isinstance(rng["lo"], bool)
+            ):
+                cand, total_files = store.prune_files(
+                    spec.schema,
+                    spec.name,
+                    f"{k0} >= {rng['lo']} AND {k0} <= {rng['hi']}",
+                )
+                if total_files and len(cand) * 2 > total_files:
+                    large_update = True  # scattered: probe can't prune
+                else:
+                    candidates = cand
         if not part_cols and not large_update:
             # FILE-PRUNED update: a key-pruned semi-join probe finds
             # the data files holding matching keys; only those are
             # rewritten (ALTER UPDATE touches only affected parts in
-            # the reference's MergeTree, jdbsChSession.scala:61-91)
-            tagged = store.read_with_file(spec.schema, spec.name)
-            affected = [
-                r["_src_file"]
-                for r in tagged.join(join_side, on=key_columns, how="left_semi")
-                .select("_src_file")
-                .distinct()
-                .collect()
-            ]
+            # the reference's MergeTree, jdbsChSession.scala:61-91).
+            # The probe reads only the zone-map candidate files when
+            # the range pre-check identified them.
+            if candidates is not None and not candidates:
+                affected = []  # zone maps prove no file holds any key
+            else:
+                tagged = store.read_with_file(
+                    spec.schema, spec.name, candidates
+                )
+                affected = [
+                    r["_src_file"]
+                    for r in tagged.join(
+                        join_side, on=key_columns, how="left_semi"
+                    )
+                    .select("_src_file")
+                    .distinct()
+                    .collect()
+                ]
             if not affected:
                 # no target rows match — nothing to rewrite, but the
                 # no-match contract must not depend on routing: the

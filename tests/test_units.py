@@ -2272,6 +2272,46 @@ def test_dialect_with_fill(spark):
     assert [r["k"] for r in spark.sql(inv).collect()] == [1, 3, 10]
 
 
+def test_dialect_advice_fixes_round8(spark):
+    """ADVICE r7 edge fixes: (1) scalar-WITH inlining skips
+    alias-definition sites, lambda params AND their bodies (the param
+    shadows), and FROM/JOIN relation names; (2) cutQueryString leaves
+    a fragment containing '?' alone ('a#f?q' used to come back with
+    the fragment duplicated); (3) ARRAY JOIN over an aliased
+    parenthesized subquery keeps the alias so x.col still resolves;
+    (4) a DISTINCT+QUALIFY occurrence no longer blocks translation of
+    other QUALIFYs in the same statement."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    # (1) shadowing positions survive; real use sites inline
+    s = T("WITH 3 AS k SELECT x AS k, transform(a, k -> k + 1) AS t,"
+          " k AS kk FROM k")
+    assert "x AS k" in s and "k -> k + 1" in s
+    assert "(3) AS kk" in s and "FROM k" in s
+    r = spark.sql(T(
+        "WITH 7 AS k SELECT k AS v, transform(array(1), k -> k + 1) AS t,"
+        " transform(array(1), (k, i) -> k + i) AS t2")).collect()[0]
+    assert (r["v"], list(r["t"]), list(r["t2"])) == (7, [2], [1])
+    # a use AFTER a lambda body still inlines
+    assert "(3) + 1 AS u" in T(
+        "WITH 3 AS k SELECT transform(a, k -> k), k + 1 AS u FROM t")
+    # (2) fragment-with-'?' is not a query string
+    r = spark.sql(T(
+        "SELECT cutQueryString('http://a/p#f?q') AS a,"
+        " cutQueryString('http://a/p?x=1#frag') AS b")).collect()[0]
+    assert (r["a"], r["b"]) == ("http://a/p#f?q", "http://a/p#frag")
+    # (3) aliased subquery source: qualified refs resolve
+    rows = sorted(tuple(t) for t in spark.sql(T(
+        "SELECT x.id, v FROM (SELECT 1 AS id, array(10, 20) AS arr) x"
+        " ARRAY JOIN arr AS v")).collect())
+    assert rows == [(1, 10), (1, 20)]
+    # (4) only the DISTINCT occurrence is skipped
+    s = T("SELECT DISTINCT g FROM t QUALIFY row_number() OVER (ORDER BY g)"
+          " = 1 UNION ALL SELECT g FROM u QUALIFY row_number() OVER"
+          " (ORDER BY g) = 1")
+    assert s.lower().count("qualify") == 1 and "__q" in s
+
+
 def test_dialect_with_fill_interpolate_multikey(spark):
     """Round-8 WITH FILL extensions: INTERPOLATE (carry-forward and
     iterated `AS expr` cascade), multi-key fill (grid restarts per
