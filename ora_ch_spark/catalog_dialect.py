@@ -1,0 +1,1315 @@
+"""Dialect-battery catalog entries: the ClickHouse-SQL surface
+driven end-to-end through ``translate_ch_sql`` and value-gated
+against DuckDB oracles (batteries 5-13, geo, dictGet, ASOF SQL,
+and the round-8 strict-funnel / time-sequence / WITH FILL
+INTERPOLATE batteries). Split out of catalog_ext.py in round 8
+(mechanical move; entry list and declaration order unchanged in
+``catalog_ext.EXT_QUERIES``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DIALECT5_CH_SQL = """
+select 'zip' as tag, w as k,
+       toInt64(count(*)) as n, toInt64(sum(i)) as s
+from (
+  select p_partkey, splitByChar(' ', p_name) as words
+  from part where p_partkey <= 100
+)
+array join words as w, arrayEnumerate(words) as i
+group by w
+union all
+select 'shadow' as tag, words as k,
+       toInt64(count(*)) as n, toInt64(0) as s
+from (
+  select p_partkey, splitByChar(' ', p_name) as words
+  from part where p_partkey <= 100
+)
+array join words
+group by words
+union all
+select 'left' as tag, coalesce(s, '(empty)') as k,
+       toInt64(count(*)) as n,
+       toInt64(sum(if(s is null, 1, 0))) as s
+from (
+  select arraySlice(splitByChar(' ', p_name), 1, modulo(p_size, 3)) as sl
+  from part where p_partkey <= 100
+)
+left array join sl as s
+group by coalesce(s, '(empty)')
+union all
+select 'inner' as tag, s as k,
+       toInt64(count(*)) as n, toInt64(0) as s
+from (
+  select arraySlice(splitByChar(' ', p_name), 1, modulo(p_size, 3)) as sl
+  from part where p_partkey <= 100
+)
+array join sl as s
+group by s
+"""
+
+
+def calc_dialect5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY JOIN clause battery, value-gated: the CH text above runs
+    through ``translate_ch_sql`` (clause → LATERAL VIEW rewrite,
+    ``dialect._rewrite_array_join``) and must match the DuckDB
+    unnest replay — DuckDB's multi-unnest zips element-wise with NULL
+    padding, the same drift contract the rewrite documents."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT5_CH_SQL)).orderBy("tag", "k")
+
+
+DIALECT5_ORACLE = """
+SELECT 'zip' AS tag, w AS k,
+       cast(count(*) as bigint) AS n, cast(sum(i) as bigint) AS s
+FROM (
+  SELECT unnest(string_split(p_name, ' ')) AS w,
+         unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS i
+  FROM part WHERE p_partkey <= 100
+) GROUP BY w
+UNION ALL
+SELECT 'shadow' AS tag, words AS k,
+       cast(count(*) as bigint) AS n, cast(0 as bigint) AS s
+FROM (
+  SELECT unnest(string_split(p_name, ' ')) AS words
+  FROM part WHERE p_partkey <= 100
+) GROUP BY words
+UNION ALL
+SELECT 'left' AS tag, coalesce(s, '(empty)') AS k,
+       cast(count(*) as bigint) AS n,
+       cast(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) as bigint) AS s
+FROM (
+  SELECT unnest(CASE WHEN len(sl) = 0 THEN [NULL] ELSE sl END) AS s
+  FROM (
+    SELECT list_slice(string_split(p_name, ' '), 1, p_size % 3) AS sl
+    FROM part WHERE p_partkey <= 100
+  )
+) GROUP BY coalesce(s, '(empty)')
+UNION ALL
+SELECT 'inner' AS tag, s AS k,
+       cast(count(*) as bigint) AS n, cast(0 as bigint) AS s
+FROM (
+  SELECT unnest(sl) AS s
+  FROM (
+    SELECT list_slice(string_split(p_name, ' '), 1, p_size % 3) AS sl
+    FROM part WHERE p_partkey <= 100
+  )
+) GROUP BY s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dialect battery #6 — round-7 function-surface additions
+# ---------------------------------------------------------------------------
+
+# arrayFirstIndex / arrayCompact / arrayWithConstant / arrayReverseSort
+# / arrayRotate* / splitByWhitespace / substringIndex /
+# levenshteinDistance / toLastDayOfMonth / toStartOfFiveMinutes /
+# toISOWeek / monthName / dateName / moduloOrZero / IPv4* /
+# tuple+tupleElement / JSONLength — translated at runtime, replayed in
+# DuckDB below.
+_DIALECT6_CH_SQL = """
+select flag,
+       toInt64(count(*)) as n,
+       toInt64(sum(arrayFirstIndex(x -> x > 25, [p_size, p_size + 10, 60]))) as fi,
+       toInt64(sum(arraySum(arrayCompact([modulo(p_size, 3), modulo(p_size, 3),
+                                          modulo(p_size, 5)])))) as comp,
+       toInt64(sum(arraySum(arrayWithConstant(3, modulo(p_partkey, 7))))) as awc,
+       max(arrayStringConcat(arrayReverseSort(splitByChar(' ', p_name)), '-')) as rev,
+       max(arrayStringConcat(arrayRotateLeft(splitByChar(' ', p_name), 2), '|')) as rotl,
+       max(arrayStringConcat(arrayRotateRight(splitByChar(' ', p_name), 1), '|')) as rotr,
+       toInt64(sum(arrayCount(x -> x != '', splitByWhitespace(p_name)))) as wc,
+       max(substringIndex(p_type, ' ', 2)) as si,
+       toInt64(sum(levenshteinDistance(p_brand, p_type))) as lev,
+       max(toYYYYMMDD(toLastDayOfMonth(mk_date))) as ld,
+       toInt64(min(toUnixTimestamp(toStartOfFiveMinutes(ship_ts)))) as ts5,
+       toInt64(min(toUnixTimestamp(toStartOfTenMinutes(ship_ts)))) as ts10,
+       toInt64(min(toUnixTimestamp(toStartOfFifteenMinutes(ship_ts)))) as ts15,
+       toInt64(sum(toISOWeek(mk_date))) as iw,
+       max(monthName(mk_date)) as mn,
+       max(dateName('weekday', mk_date)) as dn,
+       toInt64(sum(moduloOrZero(p_partkey, modulo(p_size, 4)))) as mz,
+       max(IPv4NumToString(p_partkey * 65536 + p_size)) as ip,
+       toInt64(sum(IPv4StringToNum(concat('10.0.', toString(modulo(p_size, 256)),
+                                          '.1')))) as ipn,
+       toInt64(sum(tupleElement(tuple(p_size, p_name), 1))) as te,
+       toInt64(sum(JSONLength(if(modulo(p_size, 2) = 0, '[1,2,3]',
+                                 '{"a":1}')))) as jl
+from (
+  select p_partkey, p_name, p_brand, p_type, p_size,
+         multiIf(p_size > 25, 'H', 'L') as flag,
+         addDays(toDateOrZero('1995-01-03'), modulo(p_partkey, 500)) as mk_date,
+         addSeconds(toDateTime(toDateOrZero('1995-01-01')),
+                    modulo(p_partkey, 86399)) as ship_ts
+  from part
+  where p_partkey <= 150
+)
+group by flag
+order by flag
+"""
+
+
+def calc_dialect6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-6 dialect surface, value-gated against the DuckDB
+    replay (UTC session; DuckDB list lambdas use 1-based indices,
+    Spark's 0-based — the oracle encodes each engine's own
+    convention for the same semantics)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT6_CH_SQL)).orderBy("flag")
+
+
+DIALECT6_ORACLE = """
+SELECT flag,
+       cast(count(*) as bigint) AS n,
+       cast(sum(coalesce(list_position(list_transform(
+           [p_size, p_size + 10, 60], x -> x > 25), true), 0)) as bigint) AS fi,
+       cast(sum(list_sum(list_filter(
+           [p_size % 3, p_size % 3, p_size % 5],
+           (x, i) -> i = 1 OR x != [p_size % 3, p_size % 3, p_size % 5][i - 1]
+       ))) as bigint) AS comp,
+       cast(sum(list_sum(list_transform(range(3), x -> p_partkey % 7)))
+            as bigint) AS awc,
+       max(array_to_string(list_reverse_sort(string_split(p_name, ' ')), '-')) AS rev,
+       max(array_to_string(
+           CASE WHEN len(string_split(p_name, ' ')) <= 1
+                THEN string_split(p_name, ' ')
+                ELSE string_split(p_name, ' ')[(2 % len(string_split(p_name, ' '))) + 1:]
+                     || string_split(p_name, ' ')[1:(2 % len(string_split(p_name, ' ')))]
+           END, '|')) AS rotl,
+       max(array_to_string(
+           CASE WHEN len(string_split(p_name, ' ')) <= 1
+                THEN string_split(p_name, ' ')
+                ELSE string_split(p_name, ' ')[len(string_split(p_name, ' ')):]
+                     || string_split(p_name, ' ')[1:len(string_split(p_name, ' ')) - 1]
+           END, '|')) AS rotr,
+       cast(sum(len(list_filter(regexp_split_to_array(p_name, '\\s+'),
+                                x -> x != ''))) as bigint) AS wc,
+       max(array_to_string((string_split(p_type, ' '))[1:2], ' ')) AS si,
+       cast(sum(levenshtein(p_brand, p_type)) as bigint) AS lev,
+       max(cast(strftime(last_day(mk_date), '%Y%m%d') as int)) AS ld,
+       cast(min((epoch(ship_ts)::BIGINT // 300) * 300) as bigint) AS ts5,
+       cast(min((epoch(ship_ts)::BIGINT // 600) * 600) as bigint) AS ts10,
+       cast(min((epoch(ship_ts)::BIGINT // 900) * 900) as bigint) AS ts15,
+       cast(sum(weekofyear(mk_date)) as bigint) AS iw,
+       max(monthname(mk_date)) AS mn,
+       max(dayname(mk_date)) AS dn,
+       cast(sum(CASE WHEN p_size % 4 = 0 THEN 0
+                     ELSE p_partkey % (p_size % 4) END) as bigint) AS mz,
+       max(concat(
+           cast(((p_partkey * 65536 + p_size) // 16777216) % 256 as varchar), '.',
+           cast(((p_partkey * 65536 + p_size) // 65536) % 256 as varchar), '.',
+           cast(((p_partkey * 65536 + p_size) // 256) % 256 as varchar), '.',
+           cast((p_partkey * 65536 + p_size) % 256 as varchar))) AS ip,
+       cast(sum(list_reduce(list_transform(
+           string_split(concat('10.0.', cast(p_size % 256 as varchar), '.1'), '.'),
+           x -> x::BIGINT), (a, b) -> a * 256 + b)) as bigint) AS ipn,
+       cast(sum(p_size) as bigint) AS te,
+       cast(sum(CASE WHEN p_size % 2 = 0 THEN 3 ELSE 1 END) as bigint) AS jl
+FROM (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         CASE WHEN p_size > 25 THEN 'H' ELSE 'L' END AS flag,
+         date '1995-01-03' + (p_partkey % 500) * INTERVAL 1 DAY AS mk_date,
+         cast(date '1995-01-01' as timestamp)
+           + (p_partkey % 86399) * INTERVAL 1 SECOND AS ship_ts
+  FROM part WHERE p_partkey <= 150
+)
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dialect battery #7 — funnel/retention aggregates + URL family
+# ---------------------------------------------------------------------------
+
+# windowFunnel (latest-chain-start DP fold), retention (fed through
+# the ARRAY JOIN clause), the URL family, anyHeavy→mode,
+# sumCount/boundingRatio/groupArraySorted. Funnel oracle uses the
+# EXISTS-chain formulation — equivalent to the DP because the event
+# conditions are disjoint and (user_id, ts) is duplicate-free in the
+# synthetic data (both verified).
+_DIALECT7_CH_SQL = """
+select 'funnel' as tag, toString(lvl) as k, toInt64(count(*)) as n
+from (
+  select user_id,
+         windowFunnel(3600)(ts, event_type = 'view', event_type = 'click',
+                            event_type = 'purchase') as lvl
+  from events
+  group by user_id
+)
+group by lvl
+union all
+select 'retention' as tag, concat('slot', toString(i)) as k,
+       toInt64(sum(rv)) as n
+from (
+  select user_id,
+         retention(event_type = 'view', event_type = 'click',
+                   event_type = 'purchase') as r
+  from events
+  group by user_id
+)
+array join r as rv, arrayEnumerate(r) as i
+group by i
+union all
+select 'url' as tag, domainWithoutWWW(u) as k,
+       toInt64(sum(toInt32OrZero(extractURLParameter(u, 'q')))) as n
+from (
+  select concat('https://www.ex', toString(modulo(doc_id, 5)),
+                '.com/a/b?q=', toString(modulo(doc_id, 7)),
+                multiIf(modulo(doc_id, 2) = 0, '#sec', '')) as u
+  from documents
+)
+group by domainWithoutWWW(u)
+union all
+select 'cut' as tag, cutQueryString(u) as k, toInt64(count(*)) as n
+from (
+  select concat('https://ex.com/p', toString(modulo(doc_id, 2)),
+                '?q=1', multiIf(modulo(doc_id, 3) = 0, '#frag', '')) as u
+  from documents
+)
+group by cutQueryString(u)
+union all
+select 'cutf' as tag,
+       concat(cutQueryStringAndFragment(u), '|', pathFull(u), '|',
+              topLevelDomain(u), '|', cutFragment(u)) as k,
+       toInt64(count(*)) as n
+from (
+  select concat('https://ex.com/p?q=', toString(modulo(doc_id, 2)),
+                '#s') as u
+  from documents
+)
+group by 2
+union all
+select 'mode' as tag, anyHeavy(event_type) as k, toInt64(count(*)) as n
+from events
+union all
+select 'agg' as tag, arrayStringConcat(groupArraySorted(3)(event_type), ',') as k,
+       toInt64(tupleElement(sumCount(user_id), 1)
+               + tupleElement(sumCount(user_id), 2)
+               + toInt64(floor(boundingRatio(event_id, event_id * 3) * 1000))) as n
+from events
+"""
+
+
+def calc_dialect7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-7 dialect surface, value-gated: windowFunnel's
+    sorted-fold DP vs DuckDB's EXISTS-chain replay, retention through
+    the ARRAY JOIN clause, and the URL-function family."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT7_CH_SQL)).orderBy("tag", "k")
+
+
+DIALECT7_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events
+),
+users AS (SELECT DISTINCT user_id FROM e),
+lv AS (
+  SELECT u.user_id,
+    CASE
+      WHEN EXISTS (SELECT 1 FROM e a, e b, e c
+                   WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                     AND c.user_id = u.user_id
+                     AND a.event_type = 'view' AND b.event_type = 'click'
+                     AND c.event_type = 'purchase'
+                     AND a.ts <= b.ts AND b.ts <= c.ts
+                     AND c.ts <= a.ts + INTERVAL 3600 SECOND) THEN 3
+      WHEN EXISTS (SELECT 1 FROM e a, e b
+                   WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                     AND a.event_type = 'view' AND b.event_type = 'click'
+                     AND a.ts <= b.ts
+                     AND b.ts <= a.ts + INTERVAL 3600 SECOND) THEN 2
+      WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id
+                     AND a.event_type = 'view') THEN 1
+      ELSE 0 END AS lvl
+  FROM users u
+),
+ret AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+  FROM e GROUP BY user_id
+),
+urls AS (
+  SELECT concat('https://www.ex', cast(doc_id % 5 as varchar),
+                '.com/a/b?q=', cast(doc_id % 7 as varchar),
+                CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS u,
+         doc_id
+  FROM documents
+),
+cuts AS (
+  SELECT concat('https://ex.com/p', cast(doc_id % 2 as varchar), '?q=1',
+                CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS u,
+         doc_id
+  FROM documents
+)
+SELECT 'funnel' AS tag, cast(lvl as varchar) AS k,
+       cast(count(*) as bigint) AS n
+FROM lv GROUP BY lvl
+UNION ALL
+SELECT 'retention' AS tag, concat('slot', cast(i as varchar)) AS k,
+       cast(sum(rv) as bigint) AS n
+FROM (
+  SELECT unnest([r1, r1 * c2, r1 * c3]) AS rv,
+         unnest([1, 2, 3]) AS i
+  FROM ret
+) GROUP BY i
+UNION ALL
+SELECT 'url' AS tag,
+       concat('ex', cast(doc_id % 5 as varchar), '.com') AS k,
+       cast(sum(doc_id % 7) as bigint) AS n
+FROM urls GROUP BY 2
+UNION ALL
+SELECT 'cut' AS tag,
+       concat('https://ex.com/p', cast(doc_id % 2 as varchar),
+              CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS k,
+       cast(count(*) as bigint) AS n
+FROM cuts GROUP BY 2
+UNION ALL
+SELECT 'cutf' AS tag,
+       concat('https://ex.com/p', '|',
+              '/p?q=', cast(doc_id % 2 as varchar), '#s|com|',
+              'https://ex.com/p?q=', cast(doc_id % 2 as varchar)) AS k,
+       cast(count(*) as bigint) AS n
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'mode' AS tag, mode(event_type) AS k, cast(count(*) as bigint) AS n
+FROM e
+UNION ALL
+SELECT 'agg' AS tag,
+       array_to_string((list_sort(list(event_type)))[1:3], ',') AS k,
+       cast(sum(user_id) + count(user_id)
+            + cast(floor(cast(max(event_id * 3) - min(event_id * 3) as double)
+                         / (max(event_id) - min(event_id)) * 1000) as bigint)
+            as bigint) AS n
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dialect battery #8 — QUALIFY clause + CH scalar WITH
+# ---------------------------------------------------------------------------
+
+# QUALIFY (window-result filter; Spark lacks the clause → hidden-
+# column wrap) + CH's constant-expression WITH (`expr AS ident`,
+# inlined at use sites). DuckDB runs QUALIFY natively, so the oracle
+# exercises the clause itself with the constants inlined by hand.
+_DIALECT8_CH_SQL = """
+with 5 as cutoff, 'F' as fstat
+select k, toInt64(count(*)) as n, toInt64(sum(ck)) as s
+from (
+  select o_orderstatus as k, o_custkey as ck,
+         row_number() over (partition by o_orderstatus
+                            order by o_totalprice desc, o_orderkey) as rnk
+  from orders
+  where o_orderkey <= 2000
+  qualify rnk <= cutoff
+)
+where k != fstat
+group by k
+order by k
+"""
+
+
+def calc_dialect8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY + scalar WITH, value-gated vs DuckDB's native QUALIFY."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT8_CH_SQL)).orderBy("k")
+
+
+DIALECT8_ORACLE = """
+SELECT k, cast(count(*) as bigint) AS n, cast(sum(ck) as bigint) AS s
+FROM (
+  SELECT o_orderstatus AS k, o_custkey AS ck,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+  WHERE o_orderkey <= 2000
+  QUALIFY rnk <= 5
+)
+WHERE k != 'F'
+GROUP BY k
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch-8 dialect surface — the silent-drift fixes are the point:
+# CH position() has REVERSED arguments vs Spark's position(), and
+# dateTrunc / two-arg CAST are CH-only spellings that previously
+# passed through (position silently wrong, the others loud errors).
+# ---------------------------------------------------------------------------
+
+_DIALECT9_CH_SQL = """
+select
+  toYear(o_orderdate) as y,
+  toInt64(sum(position(o_orderpriority, 'URGENT'))) as s_pos,
+  toInt64(sum(toRelativeDayNum(o_orderdate))) as s_rd,
+  toInt64(sum(toRelativeMonthNum(o_orderdate))) as s_rm,
+  toInt64(count(distinct dateTrunc('month', o_orderdate))) as n_mon,
+  toInt64(sum(length(extract(o_orderpriority, '([0-9]+)')))) as s_ex,
+  toInt64(sum(length(arrayStringConcat(alphaTokens(o_orderpriority), '')))) as s_at,
+  toInt64(sum(length(arrayStringConcat(ngrams(o_orderpriority, 3), '')))) as s_ng,
+  toInt64(sum(CAST(o_custkey, 'Int64'))) as s_ck,
+  toInt64(sum(if(timestampAdd(o_orderdate, INTERVAL 30 DAY)
+                 > toDate('1995-01-01'), 1, 0))) as n_ta
+from orders
+where o_orderkey <= 4000
+group by y
+order by y
+"""
+
+
+def calc_dialect9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-8 function surface, value-gated: CH-argument-order
+    position (haystack first — the reversed-args silent drift),
+    toRelative*Num epoch ordinals, dateTrunc, CH regex extract with
+    capture-group detection, alphaTokens/ngrams, two-arg CAST, and
+    timestampAdd interval arithmetic."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT9_CH_SQL)).orderBy("y")
+
+
+DIALECT9_ORACLE = """
+SELECT cast(year(o_orderdate) as bigint) AS y,
+  cast(sum(instr(o_orderpriority, 'URGENT')) as bigint) AS s_pos,
+  cast(sum(datediff('day', DATE '1970-01-01', o_orderdate)) as bigint) AS s_rd,
+  cast(sum(year(o_orderdate) * 12 + month(o_orderdate)) as bigint) AS s_rm,
+  cast(count(distinct date_trunc('month', o_orderdate)) as bigint) AS n_mon,
+  cast(sum(length(regexp_extract(o_orderpriority, '([0-9]+)', 1))) as bigint) AS s_ex,
+  cast(sum(length(array_to_string(
+    list_filter(string_split_regex(o_orderpriority, '[^A-Za-z]+'), x -> x != ''),
+    ''))) as bigint) AS s_at,
+  cast(sum(3 * greatest(length(o_orderpriority) - 2, 0)) as bigint) AS s_ng,
+  cast(sum(o_custkey) as bigint) AS s_ck,
+  cast(sum(CASE WHEN o_orderdate + INTERVAL 30 DAY > DATE '1995-01-01'
+                THEN 1 ELSE 0 END) as bigint) AS n_ta
+FROM orders
+WHERE o_orderkey <= 4000
+GROUP BY 1
+ORDER BY y
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch-9 dialect surface, part 1 — sequence-pattern + interval/ordered
+# aggregates. sequenceMatch/Count complete the CH funnel trio
+# (windowFunnel and retention shipped in batch 7): the pattern compiles
+# to a regex over a per-group time-sorted condition-tag string, with
+# LAZY runs so sequenceCount restarts right after a chain completes.
+# Doubles are round(_, 4)-stabilized on BOTH sides (libm log2 and
+# summation-order ulps must not reach the value hash).
+# ---------------------------------------------------------------------------
+
+_DIALECT10_CH_SQL = """
+select
+  user_id % 16 as ug,
+  toInt64(sequenceMatch('(?1)(?2)')(ts, event_type = 'view', event_type = 'click')) as m_vc,
+  toInt64(sequenceCount('(?1).*(?2)')(ts, event_type = 'view', event_type = 'purchase')) as c_vp,
+  toInt64(maxIntersections(value, value + 10.0)) as mi,
+  round(intervalLengthSum(value, value + 5.0), 4) as il,
+  round(deltaSumTimestamp(value, ts), 4) as dst,
+  round(entropy(event_type), 4) as h,
+  toInt64(sum(simpleJSONExtractInt(props, 'k'))) as sk
+from events
+where event_id <= 20000
+group by ug
+order by ug
+"""
+
+
+def calc_dialect10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-9 aggregate surface, value-gated: sequenceMatch/Count
+    (CH-docs adjacency + non-overlap semantics), maxIntersections
+    sweep, intervalLengthSum union length, deltaSumTimestamp positive
+    ordered deltas, entropy, and simpleJSON extraction."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT10_CH_SQL)).orderBy("ug")
+
+
+DIALECT10_ORACLE = """
+WITH ev AS (
+  SELECT user_id % 16 AS ug, ts, event_type, value, props
+  FROM events WHERE event_id <= 20000
+),
+tag AS (
+  SELECT ug,
+    coalesce(string_agg(
+      CASE WHEN event_type IN ('view', 'click') THEN
+        '<' || (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END)
+            || (CASE WHEN event_type = 'click' THEN '1' ELSE '0' END) || '>'
+      END, '' ORDER BY ts,
+        (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END)
+        || (CASE WHEN event_type = 'click' THEN '1' ELSE '0' END)), '') AS t_vc,
+    coalesce(string_agg(
+      CASE WHEN event_type IN ('view', 'purchase') THEN
+        '<' || (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END)
+            || (CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END) || '>'
+      END, '' ORDER BY ts,
+        (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END)
+        || (CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END)), '') AS t_vp
+  FROM ev GROUP BY ug
+),
+pts AS (
+  SELECT ug, value AS t, 1 AS d FROM ev
+  UNION ALL SELECT ug, value + 10.0, -1 FROM ev
+),
+mi AS (
+  SELECT ug, max(run) AS mi FROM (
+    SELECT ug, sum(d) OVER (PARTITION BY ug ORDER BY t, d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM pts) GROUP BY ug
+),
+il AS (
+  SELECT ug, sum(greatest(0.0, e - greatest(s, coalesce(hi, s)))) AS il
+  FROM (
+    SELECT ug, value AS s, value + 5.0 AS e,
+      max(value + 5.0) OVER (PARTITION BY ug ORDER BY value, value + 5.0
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+    FROM ev) GROUP BY ug
+),
+dst AS (
+  SELECT ug, sum(greatest(0.0, value - pv)) AS dst
+  FROM (
+    SELECT ug, value,
+      lag(value) OVER (PARTITION BY ug ORDER BY ts, value) AS pv
+    FROM ev) WHERE pv IS NOT NULL GROUP BY ug
+),
+agg AS (
+  SELECT ug, entropy(event_type) AS h,
+    sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sk
+  FROM ev GROUP BY ug
+)
+SELECT agg.ug AS ug,
+  cast(CASE WHEN regexp_matches(tag.t_vc, '<1[01]><[01]1>') THEN 1 ELSE 0 END as bigint) AS m_vc,
+  cast(len(regexp_extract_all(tag.t_vp, '<1[01]>(?:<[01][01]>)*?<[01]1>')) as bigint) AS c_vp,
+  cast(mi.mi as bigint) AS mi,
+  round(il.il, 4) AS il,
+  round(coalesce(dst.dst, 0.0), 4) AS dst,
+  round(agg.h, 4) AS h,
+  cast(agg.sk as bigint) AS sk
+FROM agg JOIN tag USING (ug) JOIN mi USING (ug) JOIN il USING (ug)
+  LEFT JOIN dst USING (ug)
+ORDER BY ug
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch-9 dialect surface, part 2 — bitmap algebra (sorted-distinct
+# arrays; cardinalities are bigint like CH UInt64), *Map aggregates
+# (pinned col1/col2 tuple), readable formatting (fixed %.2f, no
+# thousands separators), capture-group extraction, and the snowflake
+# epoch round-trip.
+# ---------------------------------------------------------------------------
+
+_DIALECT11_CH_SQL = """
+select
+  toYear(o_orderdate) as y,
+  toInt64(bitmapCardinality(bitmapBuild(groupArray(o_custkey % 100)))) as bc,
+  toInt64(bitmapAndCardinality(
+    bitmapBuild(groupArray(if(o_orderpriority = '1-URGENT', o_custkey % 50, null))),
+    bitmapBuild(groupArray(if(o_orderpriority = '5-LOW', o_custkey % 50, null))))) as inter,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(sumMap([o_orderstatus], [1]), 1)), ',') as mk,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(sumMap([o_orderstatus], [1]), 2)), ',') as mv,
+  formatReadableSize(toInt64(sum(o_totalprice))) as frs,
+  formatReadableQuantity(toInt64(sum(o_totalprice))) as frq,
+  min(arrayStringConcat(extractGroups(o_orderpriority, '([0-9])-([A-Z]+)'), ':')) as eg,
+  toInt64(toYYYYMMDD(snowflakeToDateTime(max(dateTimeToSnowflake(toDateTime(o_orderdate)))))) as snow
+from orders
+where o_orderkey <= 8000
+group by y
+order by y
+"""
+
+
+def calc_dialect11_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-9 bitmap/map/scalar surface, value-gated: bitmap algebra
+    over sorted-distinct arrays, sumMap tuple output, readable size/
+    quantity formatting, extractGroups, snowflake ID round-trip."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT11_CH_SQL)).orderBy("y")
+
+
+DIALECT11_ORACLE = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 8000),
+sm AS (
+  SELECT y, string_agg(k, ',' ORDER BY k) AS mk,
+         string_agg(cast(c as varchar), ',' ORDER BY k) AS mv
+  FROM (SELECT year(o_orderdate) AS y, o_orderstatus AS k,
+               cast(count(*) as bigint) AS c
+        FROM o GROUP BY 1, 2) GROUP BY y
+)
+SELECT cast(year(o_orderdate) as bigint) AS y,
+  cast(count(DISTINCT o_custkey % 100) as bigint) AS bc,
+  cast(len(list_intersect(
+    list_distinct(list(o_custkey % 50) FILTER (o_orderpriority = '1-URGENT')),
+    list_distinct(list(o_custkey % 50) FILTER (o_orderpriority = '5-LOW'))))
+    as bigint) AS inter,
+  any_value(sm.mk) AS mk,
+  any_value(sm.mv) AS mv,
+  CASE
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1024.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double)) || ' B'
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1048576.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1024.0) || ' KiB'
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1073741824.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1048576.0) || ' MiB'
+    ELSE printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1073741824.0) || ' GiB'
+  END AS frs,
+  CASE
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1000.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double))
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1000000.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1000.0) || ' thousand'
+    WHEN abs(cast(cast(sum(o_totalprice) as bigint) as double)) < 1000000000.0
+      THEN printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1000000.0) || ' million'
+    ELSE printf('%.2f', cast(cast(sum(o_totalprice) as bigint) as double) / 1000000000.0) || ' billion'
+  END AS frq,
+  min(regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 1) || ':'
+      || regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2)) AS eg,
+  cast(strftime(epoch_ms(
+    (max((epoch_ms(cast(o_orderdate as timestamp)) - 1288834974657) * 4194304)
+     // 4194304) + 1288834974657), '%Y%m%d') as bigint) AS snow
+FROM o JOIN sm ON sm.y = year(o_orderdate)
+GROUP BY year(o_orderdate)
+ORDER BY y
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch-10 dialect surface — higher-order array completion (arrayFold/
+# Product/JaccardIndex), exact weighted top-k, pointInPolygon ray-cast
+# closed form, string similarity (char-set Jaccard vs DuckDB's native
+# jaccard(); positional Hamming vs hamming()), URL netloc/fragment,
+# parseReadableSize round-trip, toDecimalString, ISO toWeek.
+# ---------------------------------------------------------------------------
+
+_DIALECT12_CH_SQL = """
+select
+  toYear(o_orderdate) as y,
+  toInt64(arrayFold((acc, x) -> acc + x, groupArray(o_custkey % 10), toInt64(0))) as af,
+  round(sum(arrayProduct([toFloat64(1 + o_orderkey % 3), 2.0])), 4) as ap,
+  round(sum(arrayJaccardIndex([o_custkey % 5, o_custkey % 7], [o_custkey % 5, o_custkey % 11])), 4) as aj,
+  toInt64(sum(toWeek(o_orderdate, 3))) as wk,
+  arrayStringConcat(topKWeighted(2)(o_orderstatus, o_totalprice), ',') as tk,
+  round(sumKahan(o_totalprice), 2) as sk,
+  toInt64(sum(pointInPolygon((toFloat64(o_custkey % 10 * 10 + 5) / 100, toFloat64(o_orderkey % 10 * 10 + 5) / 100), [(0., 0.), (1., 0.), (0.5, 1.)]))) as pip,
+  min(netloc(concat('https://u', toString(o_custkey), '.com:88/p'))) as nl,
+  min(fragment(concat('http://a.com/p#f', toString(o_custkey % 7)))) as fr,
+  toInt64(sum(parseReadableSize(concat(toString(o_custkey % 100), ' KiB')))) as prs,
+  min(toDecimalString(o_totalprice, 2)) as tds,
+  toInt64(sum(byteHammingDistance(substring(o_orderpriority, 1, 3), substring(reverse(o_orderpriority), 1, 3)))) as bh,
+  round(sum(stringJaccardIndex(o_orderpriority, o_orderstatus)), 4) as sj
+from orders
+where o_orderkey <= 6000
+group by y
+order by y
+"""
+
+
+def calc_dialect12_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-10 function surface, value-gated: arrayFold/Product/
+    Jaccard higher-order forms, exact topKWeighted, pointInPolygon
+    even-odd ray cast (closed form, matched against an independent
+    half-plane oracle), char-set string Jaccard vs DuckDB's native
+    jaccard(), positional Hamming, URL netloc/fragment extraction,
+    parseReadableSize, toDecimalString, ISO-mode toWeek."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT12_CH_SQL)).orderBy("y")
+
+
+DIALECT12_ORACLE = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 6000),
+tk AS (
+  SELECT y, string_agg(k, ',' ORDER BY sw DESC, k) AS tk FROM (
+    SELECT year(o_orderdate) AS y, o_orderstatus AS k,
+           sum(o_totalprice) AS sw,
+           row_number() OVER (PARTITION BY year(o_orderdate)
+                              ORDER BY sum(o_totalprice) DESC, o_orderstatus) AS rn
+    FROM o GROUP BY 1, 2) WHERE rn <= 2 GROUP BY y
+)
+SELECT cast(year(o_orderdate) as bigint) AS y,
+  cast(sum(o_custkey % 10) as bigint) AS af,
+  round(sum((1 + o_orderkey % 3) * 2.0), 4) AS ap,
+  round(sum(
+    cast(len(list_intersect(list_distinct([o_custkey % 5, o_custkey % 7]),
+                            list_distinct([o_custkey % 5, o_custkey % 11]))) as double)
+    / len(list_distinct(list_cat([o_custkey % 5, o_custkey % 7],
+                                 [o_custkey % 5, o_custkey % 11])))), 4) AS aj,
+  cast(sum(weekofyear(o_orderdate)) as bigint) AS wk,
+  any_value(tk.tk) AS tk,
+  round(sum(o_totalprice), 2) AS sk,
+  cast(sum(CASE WHEN (cast(o_orderkey % 10 * 10 + 5 as double) / 100) > 0
+                 AND (cast(o_orderkey % 10 * 10 + 5 as double) / 100)
+                     < 2 * (cast(o_custkey % 10 * 10 + 5 as double) / 100)
+                 AND (cast(o_orderkey % 10 * 10 + 5 as double) / 100)
+                     < 2 * (1 - (cast(o_custkey % 10 * 10 + 5 as double) / 100))
+            THEN 1 ELSE 0 END) as bigint) AS pip,
+  min('u' || cast(o_custkey as varchar) || '.com:88') AS nl,
+  min('f' || cast(o_custkey % 7 as varchar)) AS fr,
+  cast(sum((o_custkey % 100) * 1024) as bigint) AS prs,
+  min(printf('%.2f', o_totalprice)) AS tds,
+  cast(sum(hamming(substr(o_orderpriority, 1, 3), substr(reverse(o_orderpriority), 1, 3))) as bigint) AS bh,
+  round(sum(jaccard(o_orderpriority, o_orderstatus)), 4) AS sj
+FROM o JOIN tk ON tk.y = year(o_orderdate)
+GROUP BY year(o_orderdate)
+ORDER BY y
+"""
+
+
+# ---------------------------------------------------------------------------
+# Clause pass-through proof — CH spellings Spark accepts NATIVELY and
+# must keep accepting through the translator: GROUP BY … WITH ROLLUP /
+# WITH CUBE, INTERSECT / EXCEPT, UNION DISTINCT. These deliberately
+# take the no-rewrite path; the gate proves the translator neither
+# mangles them nor needs to.
+# ---------------------------------------------------------------------------
+
+_DIALECT13_CH_SQL = """
+select
+  coalesce(toString(toYear(o_orderdate)), '#all') as y,
+  coalesce(o_orderstatus, '#all') as st,
+  toInt64(count(*)) as c,
+  toInt64(sum(o_custkey % 97)) as s
+from orders
+where o_orderkey <= 4000
+group by toString(toYear(o_orderdate)), o_orderstatus with rollup
+
+union distinct
+
+select 'X' as y, v as st, toInt64(n) as c, toInt64(n) as s from (
+  select o_orderpriority as v, count(*) as n from orders
+  where o_orderkey <= 4000 group by o_orderpriority
+  intersect
+  select o_orderpriority as v, count(*) as n from orders
+  where o_orderkey <= 4000 and o_orderkey % 2 = 0 group by o_orderpriority
+)
+
+order by y, st, c
+"""
+
+
+def calc_dialect13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause pass-through, value-gated: WITH ROLLUP subtotal rows,
+    INTERSECT set semantics, UNION DISTINCT dedup — all taken by
+    Spark natively after translation (the translator must not touch
+    them; CH WITH TOTALS, by contrast, is rewritten to GROUPING
+    SETS)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT13_CH_SQL)).orderBy(
+        "y", "st", "c"
+    )
+
+
+DIALECT13_ORACLE = """
+SELECT * FROM (
+  SELECT
+    coalesce(cast(year(o_orderdate) as varchar), '#all') AS y,
+    coalesce(o_orderstatus, '#all') AS st,
+    cast(count(*) as bigint) AS c,
+    cast(sum(o_custkey % 97) as bigint) AS s
+  FROM orders
+  WHERE o_orderkey <= 4000
+  GROUP BY ROLLUP (cast(year(o_orderdate) as varchar), o_orderstatus)
+
+  UNION
+
+  SELECT 'X' AS y, v AS st, cast(n as bigint) AS c, cast(n as bigint) AS s
+  FROM (
+    SELECT o_orderpriority AS v, count(*) AS n FROM orders
+    WHERE o_orderkey <= 4000 GROUP BY o_orderpriority
+    INTERSECT
+    SELECT o_orderpriority AS v, count(*) AS n FROM orders
+    WHERE o_orderkey <= 4000 AND o_orderkey % 2 = 0 GROUP BY o_orderpriority
+  )
+)
+ORDER BY y, st, c
+"""
+
+
+# ---------------------------------------------------------------------------
+# dictGet/dictHas SQL forms via the dictionary registry
+# ---------------------------------------------------------------------------
+
+_DICT_CH_SQL = """
+select dictGetOrDefault('nation', 'n_name', modulo(c_custkey, 30), 'NONE') as n,
+       toInt64(sum(if(dictHas('nation', modulo(c_custkey, 30)), 1, 0))) as n_hit,
+       toInt64(count(*)) as cnt
+from customer
+where c_custkey <= 2000
+group by n
+order by n
+"""
+
+
+def calc_dict_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH dictionary functions in SQL: the registry supplies the key
+    attribute (CH declares it in dictionary DDL the translator never
+    sees), dictGet becomes a correlated scalar subquery Catalyst
+    de-correlates into a join, dictHas a scalar-COUNT probe. Keys 25+
+    miss (25 nations) and fall to the default — the miss path is part
+    of the gate."""
+    from ora_ch_spark.functions.dialect import register_dictionary, translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    register_dictionary("nation", "n_nationkey")
+    return spark.sql(translate_ch_sql(_DICT_CH_SQL)).orderBy("n")
+
+
+DICT_LOOKUP_ORACLE = """
+SELECT coalesce(nt.n_name, 'NONE') AS n,
+       cast(sum(CASE WHEN nt.n_nationkey IS NOT NULL THEN 1 ELSE 0 END)
+            as bigint) AS n_hit,
+       cast(count(*) as bigint) AS cnt
+FROM (SELECT c_custkey % 30 AS k FROM customer WHERE c_custkey <= 2000) c
+LEFT JOIN nation nt ON nt.n_nationkey = c.k
+GROUP BY coalesce(nt.n_name, 'NONE')
+ORDER BY n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Geo mini-battery — geohashEncode closed-form bits (value-gated)
+# ---------------------------------------------------------------------------
+
+# geohashEncode's rewrite expands each interleaved bit in CLOSED FORM
+# (floor of a plain double product — engine-identical, unlike a trig
+# haversine which is deliberately NOT hash-gated). Coordinates derive
+# exactly from integers.
+_GEO_CH_SQL = """
+select gh, toInt64(count(*)) as n
+from (
+  select geohashEncode(modulo(p_partkey, 360) - 180 + p_size / 100.0,
+                       modulo(p_partkey, 180) - 90 + p_size / 200.0,
+                       6) as gh
+  from part
+  where p_partkey <= 400
+)
+group by gh
+order by gh
+"""
+
+
+def calc_dialect_geo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_GEO_CH_SQL)).orderBy("gh")
+
+
+DIALECT_GEO_ORACLE = """
+SELECT gh, cast(count(*) as bigint) AS n
+FROM (
+  SELECT array_to_string(list_transform(range(6), c ->
+    substring('0123456789bcdefghjkmnpqrstuvwxyz',
+      cast(list_sum(list_transform(range(5), b ->
+        (CASE WHEN (5 * c + b) % 2 = 0 THEN
+          cast(floor((lon + 180.0) * power(2.0, cast((5 * c + b) // 2 + 1 as double)) / 360.0) as bigint) % 2
+         ELSE
+          cast(floor((lat + 90.0) * power(2.0, cast((5 * c + b) // 2 + 1 as double)) / 180.0) as bigint) % 2
+         END) * (1 << (4 - b))
+      )) as int) + 1, 1)), '') AS gh
+  FROM (
+    SELECT p_partkey % 360 - 180 + p_size / 100.0 AS lon,
+           p_partkey % 180 - 90 + p_size / 200.0 AS lat
+    FROM part WHERE p_partkey <= 400
+  )
+)
+GROUP BY gh
+ORDER BY gh
+"""
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN SQL syntax (r6 verdict item 2)
+# ---------------------------------------------------------------------------
+
+# CH ASOF LEFT JOIN clause text: rights pre-deduplicated per
+# (user_id, ts) in the subquery (every engine's ASOF precondition);
+# the inequality is the backward-inclusive form.
+_ASOF_SQL_CH = """
+select e.event_id as event_id, e.user_id as user_id,
+       p.p_id as purchase_id,
+       toInt64(toUnixTimestamp64Micro(e.ts) - toUnixTimestamp64Micro(p.ts)) as gap_us
+from events as e
+asof left join (
+  select user_id, ts, max(event_id) as p_id
+  from events
+  where event_type = 'purchase'
+  group by user_id, ts
+) as p
+on e.user_id = p.user_id and e.ts >= p.ts
+"""
+
+
+def calc_asof_sql_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN **clause syntax** (vs the composed operator entries
+    above): the CH text runs through ``translate_ch_sql``'s
+    ``_rewrite_asof_join`` (adjacent-ts window + interval-bounded
+    equi-join) and must hash-match DuckDB's NATIVE ASOF LEFT JOIN on
+    the very same shape — the clause parser is what round 6 flagged
+    missing; the semantics were already gated."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_ASOF_SQL_CH))
+
+
+ASOF_SQL_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events
+),
+p AS (
+  SELECT user_id, ts, max(event_id) AS p_id
+  FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       p.p_id AS purchase_id,
+       cast(epoch_us(e.ts) - epoch_us(p.ts) as bigint) AS gap_us
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+_FUNNEL_STRICT_CH_SQL = """
+select 'so' as tag, toString(lvl) as k, toInt64(count(*)) as n from (
+  select user_id,
+         windowFunnel(3600, 'strict_order')(ts, event_type = 'view',
+             event_type = 'click', event_type = 'purchase') as lvl
+  from events group by user_id) group by lvl
+union all
+select 'sd' as tag, toString(lvl) as k, toInt64(count(*)) as n from (
+  select user_id,
+         windowFunnel(3600, 'strict_dedup')(ts, event_type = 'view',
+             event_type = 'click', event_type = 'purchase') as lvl
+  from events group by user_id) group by lvl
+"""
+
+
+def calc_funnel_strict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel strict_order / strict_dedup through
+    ``translate_ch_sql`` — the CH event-loop fold (per-condition
+    event expansion, level-0 breakers, early-exit accumulator) gated
+    against a DuckDB recursive-CTE replay of the same loop."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_FUNNEL_STRICT_CH_SQL)).orderBy(
+        "tag", "k"
+    )
+
+
+# The replay mirrors AggregateFunctionWindowFunnel.h's getEventLevel:
+# ev_* hold one (rn, lvl, t) event per matched condition (plus lvl-0
+# breakers for strict_order), sorted (t, lvl); sim_* step the state
+# one event per recursion level. Only FIRST chain timestamps (f1..f3)
+# are carried — strict_increase is off, so last-timestamps are dead
+# state. `done` freezes the machine exactly where CH early-returns.
+FUNNEL_STRICT_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS lvl
+  FROM events
+),
+ev_so AS (
+  SELECT user_id, t, lvl,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, lvl) AS rn
+  FROM base
+),
+ev_sd AS (
+  SELECT user_id, t, lvl,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, lvl) AS rn
+  FROM base WHERE lvl > 0
+),
+sim_so AS (
+  SELECT user_id, 0 AS rn, NULL::INT AS done, false AS fe,
+         NULL::BIGINT AS f1, NULL::BIGINT AS f2, NULL::BIGINT AS f3
+  FROM (SELECT DISTINCT user_id FROM ev_so)
+  UNION ALL
+  SELECT s.user_id, s.rn + 1,
+    CASE WHEN s.done IS NOT NULL THEN s.done
+         WHEN e.lvl = 0 THEN CASE WHEN s.fe THEN
+              (s.f1 IS NOT NULL)::INT + (s.f2 IS NOT NULL)::INT
+              + (s.f3 IS NOT NULL)::INT END
+         WHEN e.lvl = 1 THEN NULL
+         WHEN s.fe AND (CASE e.lvl WHEN 2 THEN s.f1 ELSE s.f2 END)
+              IS NULL THEN
+              (s.f1 IS NOT NULL)::INT + (s.f2 IS NOT NULL)::INT
+              + (s.f3 IS NOT NULL)::INT
+         WHEN e.lvl = 3 AND s.f2 IS NOT NULL
+              AND e.t <= s.f2 + 3600000000 THEN 3
+         END,
+    s.fe OR e.lvl = 1,
+    CASE WHEN s.done IS NULL AND e.lvl = 1 THEN e.t ELSE s.f1 END,
+    CASE WHEN s.done IS NULL AND e.lvl = 2 AND s.f1 IS NOT NULL
+         AND e.t <= s.f1 + 3600000000
+         AND NOT (s.fe AND s.f1 IS NULL) THEN s.f1 ELSE s.f2 END,
+    CASE WHEN s.done IS NULL AND e.lvl = 3 AND s.f2 IS NOT NULL
+         AND e.t <= s.f2 + 3600000000 THEN s.f2 ELSE s.f3 END
+  FROM sim_so s JOIN ev_so e
+    ON e.user_id = s.user_id AND e.rn = s.rn + 1
+),
+sim_sd AS (
+  SELECT user_id, 0 AS rn, NULL::INT AS done,
+         NULL::BIGINT AS f1, NULL::BIGINT AS f2, NULL::BIGINT AS f3
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT s.user_id, s.rn + 1,
+    CASE WHEN s.done IS NOT NULL THEN s.done
+         WHEN e.lvl = 1 THEN NULL
+         WHEN (CASE e.lvl WHEN 2 THEN s.f2 ELSE s.f3 END)
+              IS NOT NULL THEN e.lvl
+         WHEN e.lvl = 3 AND s.f2 IS NOT NULL
+              AND e.t <= s.f2 + 3600000000 THEN 3
+         END,
+    CASE WHEN s.done IS NULL AND e.lvl = 1 THEN e.t ELSE s.f1 END,
+    CASE WHEN s.done IS NULL AND e.lvl = 2 AND s.f1 IS NOT NULL
+         AND e.t <= s.f1 + 3600000000 AND s.f2 IS NULL
+         THEN s.f1 ELSE s.f2 END,
+    CASE WHEN s.done IS NULL AND e.lvl = 3 AND s.f2 IS NOT NULL
+         AND e.t <= s.f2 + 3600000000 AND s.f3 IS NULL
+         THEN s.f2 ELSE s.f3 END
+  FROM sim_sd s JOIN ev_sd e
+    ON e.user_id = s.user_id AND e.rn = s.rn + 1
+),
+fin_so AS (
+  SELECT user_id, coalesce(done,
+         (f1 IS NOT NULL)::INT + (f2 IS NOT NULL)::INT
+         + (f3 IS NOT NULL)::INT) AS lvl
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY rn DESC) AS rr FROM sim_so) WHERE rr = 1
+),
+fin_sd AS (
+  SELECT u.user_id, coalesce(l.lvl, 0) AS lvl
+  FROM (SELECT DISTINCT user_id FROM base) u
+  LEFT JOIN (SELECT user_id, coalesce(done,
+         (f1 IS NOT NULL)::INT + (f2 IS NOT NULL)::INT
+         + (f3 IS NOT NULL)::INT) AS lvl
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY rn DESC) AS rr FROM sim_sd) WHERE rr = 1
+  ) l USING (user_id)
+)
+SELECT 'so' AS tag, cast(lvl as varchar) AS k,
+       cast(count(*) as bigint) AS n FROM fin_so GROUP BY lvl
+UNION ALL
+SELECT 'sd' AS tag, cast(lvl as varchar) AS k,
+       cast(count(*) as bigint) AS n FROM fin_sd GROUP BY lvl
+ORDER BY tag, k
+"""
+
+
+_SEQ_TIME_CH_SQL = """
+select 'm_gt25d' as tag, toInt64(sum(m)) as n from (
+  select user_id, sequenceMatch('(?1)(?t>2160000)(?2)')(ts,
+      event_type = 'view', event_type = 'click') as m
+  from events group by user_id)
+union all
+select 'm_lt2h' as tag, toInt64(sum(m)) as n from (
+  select user_id, sequenceMatch('(?1)(?t<7200)(?2)')(ts,
+      event_type = 'view', event_type = 'click') as m
+  from events group by user_id)
+union all
+select 'c_le1800' as tag, toInt64(sum(c)) as n from (
+  select user_id, sequenceCount('(?1)(?t<=1800)(?2)')(ts,
+      event_type = 'view', event_type = 'purchase') as c
+  from events group by user_id)
+union all
+select 'c_chain' as tag, toInt64(sum(c)) as n from (
+  select user_id, sequenceCount('(?1)(?t>60)(?t<=3600)(?2)')(ts,
+      event_type = 'click', event_type = 'purchase') as c
+  from events group by user_id)
+"""
+
+
+def calc_seq_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch/sequenceCount with ``(?t op v)`` time
+    constraints through ``translate_ch_sql`` — the candidate-set DP
+    fold gated against independent DuckDB formulations (EXISTS pair
+    search for match; greedy non-overlapping recursive replay for
+    count, including a chained two-constraint gap)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_SEQ_TIME_CH_SQL)).orderBy("tag")
+
+
+# m_*: a (?t…) gap admits ANY events between the anchors (CH docs),
+# so match == EXISTS a pair with the time bound; ties sort (t, lvl)
+# with the level-1 anchor first, so `b.t >= a.t` is exactly the
+# sorted-order constraint. c_*: greedy scan — candidate level-1
+# timestamps accumulate until a level-2 event satisfies the bound
+# against ANY of them, which counts a chain and clears the set (CH
+# restarts after each matched chain).
+SEQ_TIME_ORACLE = """
+WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t, event_type
+      FROM events),
+ev1 AS (
+  SELECT user_id, t,
+         CASE event_type WHEN 'view' THEN 1 ELSE 2 END AS lvl,
+         row_number() OVER (PARTITION BY user_id ORDER BY t,
+             CASE event_type WHEN 'view' THEN 1 ELSE 2 END) AS rn
+  FROM e WHERE event_type IN ('view', 'purchase')
+),
+sim1 AS (
+  SELECT user_id, 0 AS rn, 0 AS cnt, []::BIGINT[] AS s1 FROM u
+  UNION ALL
+  SELECT s.user_id, s.rn + 1,
+    s.cnt + (e.lvl = 2 AND len(list_filter(s.s1,
+        x -> e.t - x <= 1800000000)) > 0)::INT,
+    CASE WHEN e.lvl = 2 AND len(list_filter(s.s1,
+             x -> e.t - x <= 1800000000)) > 0 THEN []::BIGINT[]
+         WHEN e.lvl = 1 THEN list_append(s.s1, e.t)
+         ELSE s.s1 END
+  FROM sim1 s JOIN ev1 e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+),
+ev2 AS (
+  SELECT user_id, t,
+         CASE event_type WHEN 'click' THEN 1 ELSE 2 END AS lvl,
+         row_number() OVER (PARTITION BY user_id ORDER BY t,
+             CASE event_type WHEN 'click' THEN 1 ELSE 2 END) AS rn
+  FROM e WHERE event_type IN ('click', 'purchase')
+),
+sim2 AS (
+  SELECT user_id, 0 AS rn, 0 AS cnt, []::BIGINT[] AS s1 FROM u
+  UNION ALL
+  SELECT s.user_id, s.rn + 1,
+    s.cnt + (e.lvl = 2 AND len(list_filter(s.s1,
+        x -> e.t - x > 60000000 AND e.t - x <= 3600000000)) > 0)::INT,
+    CASE WHEN e.lvl = 2 AND len(list_filter(s.s1,
+             x -> e.t - x > 60000000 AND e.t - x <= 3600000000)) > 0
+         THEN []::BIGINT[]
+         WHEN e.lvl = 1 THEN list_append(s.s1, e.t)
+         ELSE s.s1 END
+  FROM sim2 s JOIN ev2 e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+),
+last1 AS (
+  SELECT user_id, cnt FROM (SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY rn DESC) AS rr FROM sim1)
+  WHERE rr = 1
+),
+last2 AS (
+  SELECT user_id, cnt FROM (SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY rn DESC) AS rr FROM sim2)
+  WHERE rr = 1
+)
+SELECT 'c_chain' AS tag, cast(sum(cnt) as bigint) AS n FROM last2
+UNION ALL
+SELECT 'c_le1800' AS tag, cast(sum(cnt) as bigint) AS n FROM last1
+UNION ALL
+SELECT 'm_gt25d' AS tag, cast(sum((EXISTS (
+    SELECT 1 FROM e a, e b
+    WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+      AND a.event_type = 'view' AND b.event_type = 'click'
+      AND b.t - a.t > 2160000000000))::INT) as bigint) AS n FROM u
+UNION ALL
+SELECT 'm_lt2h' AS tag, cast(sum((EXISTS (
+    SELECT 1 FROM e a, e b
+    WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+      AND a.event_type = 'view' AND b.event_type = 'click'
+      AND b.t >= a.t AND b.t - a.t < 7200000000))::INT) as bigint) AS n
+FROM u
+ORDER BY tag
+"""
+
+
+_WITH_FILL2_CH_SQL = """
+select pri, y, cnt from (
+  select o_orderpriority as pri, toInt64(toYear(o_orderdate)) as y,
+         toInt64(count(*)) as cnt
+  from orders
+  where o_custkey global not in
+        (select c_custkey from customer where c_acctbal < -900)
+    and toYear(o_orderdate) not in (1996, 1999)
+  group by pri, toYear(o_orderdate)
+) order by pri, y with fill interpolate (cnt as cnt + 10)
+"""
+
+
+def calc_with_fill2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 WITH FILL surface: multi-key fill (grid restarts per
+    o_orderpriority group over the group's year span), INTERPOLATE
+    with an iterated ``AS cnt + 10`` cascade on the filled rows, and
+    a GLOBAL NOT IN source filter — all through one translated
+    statement."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_WITH_FILL2_CH_SQL)).orderBy(
+        "pri", "y"
+    )
+
+
+# the interpolate cascade is linear (+10 per filled step), so the
+# closed form last_real + 10*k replaces the iterated fold; the spine
+# covers every integer year in the group span, making LEFT JOIN from
+# the spine ≡ the translator's FULL JOIN.
+WITH_FILL2_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority AS pri, cast(year(o_orderdate) as bigint) AS y,
+         cast(count(*) as bigint) AS cnt
+  FROM orders
+  WHERE o_custkey NOT IN
+        (SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+    AND year(o_orderdate) NOT IN (1996, 1999)
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT pri, unnest(generate_series(mn, mx)) AS y
+  FROM (SELECT pri, min(y) AS mn, max(y) AS mx FROM src GROUP BY pri)
+),
+j AS (
+  SELECT s.pri, s.y, src.cnt, src.cnt IS NOT NULL AS is_real
+  FROM spine s LEFT JOIN src ON src.pri = s.pri AND src.y = s.y
+),
+g AS (
+  SELECT *, count(CASE WHEN is_real THEN 1 END) OVER (
+      PARTITION BY pri ORDER BY y) AS grp
+  FROM j
+)
+SELECT pri, y,
+       CASE WHEN is_real THEN cnt ELSE
+         max(CASE WHEN is_real THEN cnt END) OVER (PARTITION BY pri, grp)
+         + 10 * (row_number() OVER (PARTITION BY pri, grp ORDER BY y) - 1)
+       END AS cnt
+FROM g ORDER BY pri, y
+"""
+
