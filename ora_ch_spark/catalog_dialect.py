@@ -1313,3 +1313,97 @@ SELECT pri, y,
 FROM g ORDER BY pri, y
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Batch-11 dialect surface (round 8) — the remaining common-function
+# sweep: deterministic subset value-gated here (any()/rand* are
+# unit-tested instead: arbitrary-value / nondeterministic results
+# cannot hash-gate).
+# ---------------------------------------------------------------------------
+
+_DIALECT14_CH_SQL = """
+select
+  toInt64(toYear(o_orderdate)) as y,
+  toInt64(sum(max2(o_custkey % 7, o_orderkey % 5))) as mx,
+  toInt64(sum(min2(o_custkey % 7, o_orderkey % 5))) as mn,
+  round(sum(exp2(o_custkey % 8)), 2) as e2,
+  toInt64(sum(intExp10(o_custkey % 4))) as e10,
+  toInt64(sum(roundToExp2(o_custkey % 100))) as r2,
+  toInt64(min(toISOYear(o_orderdate))) as iso,
+  min(formatDateTimeInJodaSyntax(toDateTime(o_orderdate), 'yyyy/MM/dd')) as joda,
+  min(reverseUTF8(o_orderpriority)) as rev,
+  toInt64(sum(if(multiSearchAnyCaseInsensitive(o_orderpriority, ['urgent', 'LOW']), 1, 0))) as msa,
+  toInt64(sum(if(notILike(o_orderstatus, '%f%'), 1, 0))) as nil,
+  toInt64(sum(arraySum(range(o_custkey % 5)))) as rg,
+  toInt64(sum(javaHash(o_orderpriority))) as jh,
+  toInt64(sum(hiveHash(o_orderstatus))) as hh,
+  min(normalizeQuery(concat('SELECT ', toString(o_orderkey % 9), ' WHERE k IN (1, 2)'))) as nq,
+  toInt64(sumWithOverflow(o_custkey % 101)) as so,
+  min(toStartOfSecond(toDateTime(o_orderdate))) as tss
+from orders
+where o_orderkey <= 6000
+group by toYear(o_orderdate)
+order by y
+"""
+
+
+def calc_dialect14_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-11 function surface, value-gated: max2/min2, exp2/
+    intExp10, roundToExp2 closed form, ISO year, Joda formatting,
+    UTF8 aliases, case-insensitive multi-search, notILike, guarded
+    range(), exact javaHash/hiveHash (32-bit wraparound fold replayed
+    by DuckDB list_reduce), normalizeQuery fingerprinting,
+    sumWithOverflow, toStartOfSecond."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT14_CH_SQL)).orderBy("y")
+
+
+DIALECT14_ORACLE = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 6000),
+jh AS (
+  SELECT o_orderkey,
+    (CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END) AS jhash,
+    (hs % 2147483648) AS hhash
+  FROM (
+    SELECT o_orderkey,
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(1, len(o_orderpriority) + 1),
+                       i -> ord(substr(o_orderpriority, i, 1))::BIGINT)),
+        (a, c) -> (a * 31 + c) % 4294967296) AS h,
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(1, len(o_orderstatus) + 1),
+                       i -> ord(substr(o_orderstatus, i, 1))::BIGINT)),
+        (a, c) -> (a * 31 + c) % 4294967296) AS hs
+    FROM o
+  )
+)
+SELECT cast(year(o_orderdate) as bigint) AS y,
+  cast(sum(greatest(o_custkey % 7, o_orderkey % 5)) as bigint) AS mx,
+  cast(sum(least(o_custkey % 7, o_orderkey % 5)) as bigint) AS mn,
+  round(sum(pow(2, o_custkey % 8)), 2) AS e2,
+  cast(sum(cast(pow(10, o_custkey % 4) as bigint)) as bigint) AS e10,
+  cast(sum(CASE WHEN o_custkey % 100 < 1 THEN 0
+           ELSE cast(pow(2, floor(log2(o_custkey % 100))) as bigint) END)
+       as bigint) AS r2,
+  cast(min(isoyear(o_orderdate)) as bigint) AS iso,
+  min(strftime(o_orderdate, '%Y/%m/%d')) AS joda,
+  min(reverse(o_orderpriority)) AS rev,
+  cast(sum(CASE WHEN contains(lower(o_orderpriority), 'urgent')
+                  OR contains(lower(o_orderpriority), 'low')
+            THEN 1 ELSE 0 END) as bigint) AS msa,
+  cast(sum(CASE WHEN NOT (o_orderstatus ILIKE '%f%') THEN 1 ELSE 0 END)
+       as bigint) AS nil,
+  cast(sum(list_sum(list_prepend(0, range(o_custkey % 5)))) as bigint) AS rg,
+  cast(sum(jh.jhash) as bigint) AS jh,
+  cast(sum(jh.hhash) as bigint) AS hh,
+  min('SELECT ? WHERE k IN (?..)') AS nq,
+  cast(sum(o_custkey % 101) as bigint) AS so,
+  min(date_trunc('second', o_orderdate::TIMESTAMP)) AS tss
+FROM o JOIN jh USING (o_orderkey)
+GROUP BY year(o_orderdate)
+ORDER BY y
+"""

@@ -1604,14 +1604,15 @@ def register_dictionary(name: str, key_column: str) -> None:
 
 def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     """Rewrite ClickHouse-dialect SQL into Spark SQL (function surface
-    of SURVEY.md §2.4). Idempotent on already-ANSI text — with one
-    documented exception: two-argument ``position(a, b)`` is ALWAYS
-    read in CH argument order (haystack, needle) and becomes
-    ``instr(a, b)``. Already-ANSI text spelled ``position(needle,
-    haystack)`` (without ``IN``) is therefore rewritten with the
-    arguments meaning the opposite of what ANSI intended — stored CH
-    queries are the input contract, and CH's order wins the tie. The
-    ANSI ``position(x IN y)`` form is untouched.
+    of SURVEY.md §2.4). Idempotent on already-ANSI text — with two
+    documented exceptions where a name is valid in both dialects with
+    DIFFERENT meanings and the stored-CH-query input contract wins
+    the tie: (1) two-argument ``position(a, b)`` is ALWAYS read in CH
+    argument order (haystack, needle) and becomes ``instr(a, b)``;
+    the ANSI ``position(x IN y)`` form is untouched. (2) one-argument
+    ``any(x)`` is read as CH's first-value aggregate and becomes
+    ``any_value(x)``; already-ANSI boolean ``any()`` must be spelled
+    ``bool_or()`` after translation.
 
     String literals are masked FIRST, so every pass — call-level
     rewrites included — operates on text with no quotes in it: a bound
@@ -4139,6 +4140,165 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         )
 
     out = _rewrite_calls(out, "pointInPolygon", _point_in_polygon)
+
+    # ---- round-8 batch #11: remaining common-function sweep (from a
+    # systematic probe of the CH function reference against the
+    # translator — everything Spark already accepts natively was left
+    # alone; only true gaps and silent-drift names are rewritten). ----
+    # CH any(x) = "first observed value", NOT boolean-or. Spark
+    # resolves bare any() as the boolean aggregate — a silently-wrong
+    # pass-through for CH text, so this is a documented CH-order
+    # exception like position(): already-ANSI boolean any() must be
+    # spelled bool_or after translation.
+    out = _rewrite_calls(out, "any", lambda a: (
+        f"any_value({a[0]})" if len(a) == 1 else None))
+    # sumWithOverflow keeps the input type and wraps on overflow in
+    # CH; Spark sum widens instead — documented drift, values equal
+    # whenever no overflow occurs
+    out = _rewrite_calls(out, "sumWithOverflow", lambda a: f"sum({a[0]})")
+    out = _rewrite_calls(out, "max2", lambda a: f"greatest({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "min2", lambda a: f"least({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "exp2", lambda a: f"power(2, {a[0]})")
+    out = _rewrite_calls(out, "exp10", lambda a: f"power(10, {a[0]})")
+    out = _rewrite_calls(
+        out, "intExp10", lambda a: f"cast(power(10, {a[0]}) as bigint)"
+    )
+    # largest power of two <= x; 0 below 1 (CH contract)
+    out = _rewrite_calls(
+        out,
+        "roundToExp2",
+        lambda a: (
+            f"IF({a[0]} < 1, 0, "
+            f"cast(power(2, floor(log2({a[0]}))) as bigint))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "toStartOfSecond", lambda a: f"date_trunc({lit('second')}, {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "toISOYear", lambda a: f"extract(YEAROFWEEK FROM {a[0]})"
+    )
+    # Spark's date_format IS the Joda-style pattern family
+    out = _rewrite_calls(
+        out,
+        "formatDateTimeInJodaSyntax",
+        lambda a: f"date_format({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    out = _rewrite_calls(out, "reverseUTF8", lambda a: f"reverse({a[0]})")
+    out = _rewrite_calls(
+        out, "translateUTF8",
+        lambda a: f"translate({a[0]}, {a[1]}, {a[2]})",
+    )
+    out = _rewrite_calls(
+        out,
+        "multiSearchAnyCaseInsensitive",
+        lambda a: (
+            f"exists({a[1]}, __ms -> instr(lower({a[0]}), lower(__ms)) > 0)"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "JSONExtractKeys", lambda a: (
+            f"json_object_keys({a[0]})" if len(a) == 1 else None)
+    )
+    out = _rewrite_calls(
+        out, "notILike", lambda a: f"(NOT ({a[0]} ilike {a[1]}))"
+    )
+
+    def _range(a: list[str]) -> str | None:
+        # CH range([start,] end[, step]) — end EXCLUSIVE, empty when
+        # the span is empty; Spark sequence is inclusive, so guard
+        if len(a) == 1:
+            lo, hi, st = "0", a[0], "1"
+        elif len(a) == 2:
+            lo, hi, st = a[0], a[1], "1"
+        elif len(a) == 3:
+            lo, hi, st = a
+        else:
+            return None
+        return (
+            f"CASE WHEN ({hi}) > ({lo}) THEN "
+            f"sequence({lo}, ({hi}) - 1, {st}) "
+            f"ELSE array() END"
+        )
+
+    # expression-position range() only: `FROM range(n)` is Spark's
+    # own table-valued generator and must survive untouched
+    _rg = 0
+    while True:
+        found = _find_call(out, "range", _rg)
+        if not found:
+            break
+        begin, end, rargs = found
+        if re.search(r"(?is)\b(?:from|join)\s+$", out[:begin]):
+            _rg = begin + 1
+            continue
+        rendered = _range(rargs)
+        if rendered is None:
+            _rg = begin + 1
+        else:
+            out = out[:begin] + rendered + out[end:]
+    out = _rewrite_calls(
+        out, "randCanonical",
+        lambda a: "rand()" if a in ([], [""]) else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "randUniform",
+        lambda a: (
+            f"(({a[0]}) + rand() * (({a[1]}) - ({a[0]})))"
+            if len(a) == 2
+            else None
+        ),
+    )
+
+    def rxlit(pat: str) -> str:
+        # register a regex pattern as a Spark string literal
+        # (backslash-escaped; Spark's default parser interprets
+        # backslash escapes in literals)
+        body = pat.replace("\\", "\\\\").replace("'", "\\'")
+        return _emit_lit(f"'{body}'", lits)
+
+    def _java_hash(a: list[str], *, positive: bool = False) -> str | None:
+        # Java String.hashCode: h = 31*h + c per character, 32-bit
+        # signed wraparound — replayed in bigint arithmetic (pmod
+        # every step, re-sign at the end). Exact for BMP text (code
+        # point == UTF-16 code unit there; CH hashes code units).
+        # hiveHash = same with the sign bit cleared.
+        if len(a) != 1:
+            return None
+        h = (
+            f"aggregate(sequence(1, char_length({a[0]})), "
+            "cast(0 as bigint), "
+            "(__jh, __ji) -> pmod(__jh * 31 + "
+            f"ascii(substr({a[0]}, __ji, 1)), 4294967296))"
+        )
+        if positive:
+            return f"(({h}) % 2147483648)"
+        return (
+            f"(CASE WHEN ({h}) >= 2147483648 "
+            f"THEN ({h}) - 4294967296 ELSE ({h}) END)"
+        )
+
+    out = _rewrite_calls(out, "javaHash", _java_hash)
+    out = _rewrite_calls(
+        out, "hiveHash", lambda a: _java_hash(a, positive=True)
+    )
+    # normalizeQuery: quoted literals and bare numbers → '?', runs of
+    # placeholders collapsed to '?..' — the CH fingerprinting
+    # contract (docs examples); whitespace kept as-is
+    _nq_str = rxlit("'(?:[^']|'')*'")
+    _nq_num = rxlit("(?<![a-zA-Z0-9_])-?[0-9]+(?:[.][0-9]+)?")
+    _nq_run = rxlit("[?](?:\\s*,\\s*[?])+")
+    out = _rewrite_calls(
+        out,
+        "normalizeQuery",
+        lambda a: (
+            f"regexp_replace(regexp_replace(regexp_replace({a[0]}, "
+            f"{_nq_str}, {lit('?')}), "
+            f"{_nq_num}, {lit('?')}), "
+            f"{_nq_run}, {lit('?..')})"
+        ),
+    )
 
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out

@@ -1498,8 +1498,10 @@ def test_dialect_aggregate_and_array_surface(spark):
         T("select arrayJoin(tags) AS tag from dlx where has(tags, 'x')")
     ).collect()
     assert sorted(r["tag"] for r in tags) == ["x", "y"]
-    # idempotence: Spark's OWN any() boolean aggregate must survive
-    assert T("select any(v > 1) from t") == "select any(v > 1) from t"
+    # r8: any() is a CH-order exception (CH any = first value) —
+    # translated to any_value, and the result is a fixed point
+    assert T("select any(v > 1) from t") == "select any_value(v > 1) from t"
+    assert T(T("select any(v > 1) from t")) == T("select any(v > 1) from t")
     dow = spark.sql(
         T("select toDayOfWeek(timestamp'2024-01-01 10:00:00') AS d, "
           "toStartOfHour(timestamp'2024-01-01 10:30:00') AS h")
@@ -1868,9 +1870,10 @@ def test_dialect_array_literals_and_round5_functions():
         == "select exists(array('a', 'b'), __ms -> instr(s, __ms) > 0) from t"
     )
     assert T("select match(s, '^a') from t") == "select (s rlike '^a') from t"
-    # `any` stays untouched (valid Spark boolean aggregate — same
-    # idempotence rule as position)
-    assert T("select any(x) from t") == "select any(x) from t"
+    # r8: `any` now reads as CH first-value and becomes any_value —
+    # a documented CH-order exception like position(); already-ANSI
+    # boolean any() must be spelled bool_or after translation
+    assert T("select any(x) from t") == "select any_value(x) from t"
     # everything above is idempotent
     for src in (
         "select [1, 2] as a",
@@ -3155,6 +3158,69 @@ def test_dialect_batch10_rewrites(spark):
     ):
         once = T(q)
         assert T(once) == once
+
+
+def test_dialect_batch11_rewrites(spark):
+    """Round-8 batch-11 sweep: any→any_value (documented CH-order
+    exception, like position), max2/min2, exp2/exp10/intExp10,
+    roundToExp2, toISOYear, Joda formatting, UTF8 aliases,
+    case-insensitive multi-search, JSON keys, notILike, guarded
+    range(), exact javaHash/hiveHash (32-bit wraparound fold),
+    normalizeQuery fingerprinting. Value-gated by
+    calc_dialect_battery14."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    import datetime
+    cases = [
+        ("max2(3, 7)", 7), ("min2(3, 7)", 3),
+        ("exp2(10)", 1024.0), ("exp10(3)", 1000.0),
+        ("intExp10(3)", 1000),
+        ("roundToExp2(100)", 64), ("roundToExp2(0.5)", 0),
+        ("toISOYear(toDate('2017-01-01'))", 2016),
+        ("formatDateTimeInJodaSyntax(toDateTime('2020-03-04 05:06:07'),"
+         " 'yyyy/MM')", "2020/03"),
+        ("reverseUTF8('abc')", "cba"),
+        ("translateUTF8('abca', 'ab', 'xy')", "xycx"),
+        ("multiSearchAnyCaseInsensitive('Hello World', ['WORLD'])", True),
+        ("notILike('ABC', '%b%')", False),
+        ("range(4)", [0, 1, 2, 3]), ("range(0)", []),
+        ("range(2, 5)", [2, 3, 4]), ("range(0, 10, 3)", [0, 3, 6, 9]),
+        # Java 'hello'.hashCode(); '' hashes to 0; sign bit exercised
+        # by a string whose running hash overflows into negative
+        ("javaHash('hello')", 99162322), ("javaHash('')", 0),
+        ("hiveHash('hello')", 99162322),
+        ("toStartOfSecond(toDateTime('2020-01-01 10:20:30'))",
+         datetime.datetime(2020, 1, 1, 10, 20, 30)),
+    ]
+    sql = T("SELECT " + ", ".join(
+        f"{s} AS c{i}" for i, (s, _) in enumerate(cases)))
+    assert T(sql) == sql
+    row = spark.sql(sql).collect()[0]
+    for i, (s, want) in enumerate(cases):
+        got = row[f"c{i}"]
+        got = list(got) if isinstance(got, list) else got
+        assert got == want, f"{s}: {got!r} != {want!r}"
+    # 32-bit wraparound: replay Java semantics in python
+    exp = 0
+    for ch in "abcdefghijklmnop":
+        exp = (exp * 31 + ord(ch)) & 0xFFFFFFFF
+    if exp >= 2 ** 31:
+        exp -= 2 ** 32
+    got = spark.sql(T("SELECT javaHash('abcdefghijklmnop') AS h")
+                    ).collect()[0]["h"]
+    assert got == exp
+    # aggregates: any = first-value (NOT boolean-or), sumWithOverflow
+    r = spark.sql(T("SELECT any(x) AS a, sumWithOverflow(x) AS s FROM"
+                    " (SELECT 5 x UNION ALL SELECT 9)")).collect()[0]
+    assert r["a"] in (5, 9) and r["s"] == 14
+    # CH query fingerprinting (docs contract)
+    nq = spark.sql(T(
+        "SELECT normalizeQuery('SELECT 1 + 2 AS x FROM t WHERE"
+        " s = \\'a\\' AND k IN (1, 2, 3)') AS q")).collect()[0]["q"]
+    assert nq == "SELECT ? + ? AS x FROM t WHERE s = ? AND k IN (?..)"
+    # Spark's own table-valued range() must survive
+    assert T("SELECT * FROM range(10)") == "SELECT * FROM range(10)"
+    assert len(spark.sql("SELECT * FROM range(3)").collect()) == 3
 
 
 def test_dialect_qualify_and_scalar_with():
