@@ -1407,3 +1407,64 @@ FROM o JOIN jh USING (o_orderkey)
 GROUP BY year(o_orderdate)
 ORDER BY y
 """
+
+
+_WITH_FILL_DATES_CH_SQL = """
+select pri, m, cnt from (
+  select o_orderpriority as pri,
+         toStartOfMonth(o_orderdate) as m,
+         toInt64(count(*)) as cnt
+  from orders
+  where o_orderkey <= 2000
+    and toMonth(o_orderdate) not in (3, 6, 9)
+  group by pri, toStartOfMonth(o_orderdate)
+) order by pri, m with fill step interval 1 month interpolate (cnt)
+"""
+
+
+def calc_with_fill_dates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 date-grid WITH FILL: per-priority monthly spine via
+    ``sequence(date, date, INTERVAL 1 MONTH)`` (month gaps planted by
+    the filter), INTERPOLATE carrying the last real count across the
+    filled months."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    out = spark.sql(translate_ch_sql(_WITH_FILL_DATES_CH_SQL))
+    # DATE → TIMESTAMP for the gate: pandas renders Spark dates as
+    # objects but DuckDB dates as datetime64, which the dtype-kind
+    # check rejects; the cast is value-preserving on both engines
+    return out.withColumn("m", F.col("m").cast("timestamp")).orderBy(
+        "pri", "m"
+    )
+
+
+WITH_FILL_DATES_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority AS pri,
+         date_trunc('month', o_orderdate)::TIMESTAMP AS m,
+         cast(count(*) as bigint) AS cnt
+  FROM orders
+  WHERE o_orderkey <= 2000 AND month(o_orderdate) NOT IN (3, 6, 9)
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT pri, unnest(generate_series(mn, mx, INTERVAL 1 MONTH))::TIMESTAMP AS m
+  FROM (SELECT pri, min(m) AS mn, max(m) AS mx FROM src GROUP BY pri)
+),
+j AS (
+  SELECT s.pri, s.m, src.cnt, src.cnt IS NOT NULL AS is_real
+  FROM spine s LEFT JOIN src ON src.pri = s.pri AND src.m = s.m
+),
+g AS (
+  SELECT *, count(CASE WHEN is_real THEN 1 END) OVER (
+      PARTITION BY pri ORDER BY m) AS grp
+  FROM j
+)
+SELECT pri, m,
+       CASE WHEN is_real THEN cnt ELSE
+         max(CASE WHEN is_real THEN cnt END) OVER (PARTITION BY pri, grp)
+       END AS cnt
+FROM g ORDER BY pri, m
+"""

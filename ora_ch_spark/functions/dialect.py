@@ -556,9 +556,56 @@ def _rewrite_with_totals(masked: str) -> str:
 _WITH_FILL = re.compile(
     r"(?is)\border\s+by\s+"
     r"((?:[A-Za-z_][A-Za-z0-9_]*\s*,\s*)*)"
-    r"([A-Za-z_][A-Za-z0-9_]*)\s+with\s+fill"
-    r"(?:\s+from\s+(-?\d+))?(?:\s+to\s+(-?\d+))?(?:\s+step\s+(\d+))?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s+with\s+fill\b"
 )
+
+_FILL_KW = re.compile(r"(?is)\s*(from|to|step)\s+")
+_FILL_CUT = {"to", "step", "interpolate", "limit"}
+
+
+def _parse_fill_bounds(rest: str) -> tuple[dict[str, str | None], int]:
+    """Parse the optional ``FROM <expr> TO <expr> STEP <expr>`` tail
+    after ``WITH FILL`` on masked text. Each value runs to the next
+    depth-0 bound keyword (to/step/interpolate/limit) or end of the
+    clause — so date expressions like ``cast(… as date)`` and
+    ``INTERVAL 1 DAY`` steps parse whole. Returns ({from,to,step},
+    chars consumed)."""
+    out: dict[str, str | None] = {"from": None, "to": None, "step": None}
+    pos = 0
+    while True:
+        m = _FILL_KW.match(rest, pos)
+        if not m or out[m.group(1).lower()] is not None:
+            break
+        kw = m.group(1).lower()
+        i = m.end()
+        depth = 0
+        val_end = len(rest)
+        while i < len(rest):
+            c = rest[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    val_end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                w = re.match(r"(?i)[a-z_][a-z0-9_]*", rest[i:])
+                if (
+                    w
+                    and w.group(0).lower() in _FILL_CUT
+                    and (i == 0 or not rest[i - 1].isalnum())
+                    and rest[i - 1] != "_"
+                ):
+                    val_end = i
+                    break
+            i += 1
+        val = rest[m.end() : val_end].strip()
+        if not val:
+            break
+        out[kw] = val
+        pos = val_end
+    return out, pos
 
 # identifiers allowed in an INTERPOLATE `AS expr` besides the target
 # column and function calls: SQL keywords / type names only. Any other
@@ -663,14 +710,24 @@ def _rewrite_with_fill(masked: str) -> str:
         return masked  # nested in a subquery: unsupported, untouched
     pre_keys = [k.strip() for k in m.group(1).split(",") if k.strip()]
     col = m.group(2)
-    frm, to, step = m.group(3), m.group(4), m.group(5)
-    s = int(step) if step else 1
-    parsed = _parse_interpolate(masked[m.end() :])
+    bounds, consumed = _parse_fill_bounds(masked[m.end() :])
+    frm, to, step = bounds["from"], bounds["to"], bounds["step"]
+    int_mode = (
+        (frm is None or re.fullmatch(r"-?\d+", frm) is not None)
+        and (to is None or re.fullmatch(r"-?\d+", to) is not None)
+        and (step is None or re.fullmatch(r"\d+", step) is not None)
+    )
+    if not int_mode and not (
+        step is None or re.fullmatch(r"(?is)interval\s+\d+\s+[a-z]+", step)
+    ):
+        return masked  # non-literal step shapes: untouched (loud)
+    s = int(step) if int_mode and step else 1
+    parsed = _parse_interpolate(masked[m.end() + consumed :])
     if parsed is None:
         return masked  # INTERPOLATE present but unsupported shape
     interp: list[tuple[str, str | None]] | None
     if parsed == "none":
-        interp, rest = None, masked[m.end() :]
+        interp, rest = None, masked[m.end() + consumed :]
     else:
         interp, rest = parsed
     tail = rest.strip()
@@ -678,46 +735,82 @@ def _rewrite_with_fill(masked: str) -> str:
         return masked  # more ORDER BY keys: untouched
     keys_csv = ", ".join(pre_keys + [col])
     body = masked[: m.start()].strip()
-    if frm is not None and to is not None and int(to) <= int(frm):
+    if int_mode and frm is not None and to is not None and int(to) <= int(frm):
         # inverted bounds: CH runs the query with an EMPTY fill grid
         # (INTERPOLATE moot) — translate to the plain ordered query
         return f"{body} ORDER BY {keys_csv}" + (f" {tail}" if tail else "")
+
+    def general_spine(f_expr: str, mx_expr: str) -> str:
+        # date/interval (or non-literal) grid: sequence() takes any
+        # orderable start/stop with an INTERVAL or numeric step; CH's
+        # exclusive TO is enforced by a filter (the closed-form STOP
+        # arithmetic below is integer-only), omitted TO fills to the
+        # data max INCLUSIVE. Inverted bounds guard to an empty array.
+        st = step if step is not None else "1"
+        if to is not None:
+            return (
+                f"CASE WHEN ({f_expr}) <= ({to}) THEN "
+                f"filter(sequence({f_expr}, {to}, {st}), "
+                f"__wf_s -> __wf_s < ({to})) ELSE array() END"
+            )
+        return (
+            f"CASE WHEN ({f_expr}) <= ({mx_expr}) THEN "
+            f"sequence({f_expr}, {mx_expr}, {st}) ELSE array() END"
+        )
+
     if pre_keys:
         f_expr = frm if frm is not None else "__wf_mn"
-        if to is None:
-            stop_expr = "__wf_mx"
-        else:
-            stop_expr = f"(({int(to)} - 1 - ({f_expr})) div {s}) * {s} + ({f_expr})"
-        pk = ", ".join(pre_keys)
-        spine_sel = (
-            f"SELECT {pk}, explode(CASE WHEN ({f_expr}) <= ({stop_expr}) "
-            f"THEN sequence({f_expr}, {stop_expr}, {s}) ELSE array() END) "
-            f"AS {col} FROM (SELECT {pk}, min({col}) AS __wf_mn, "
-            f"max({col}) AS __wf_mx FROM __wf_src GROUP BY {pk}) __wf_g"
-        )
-    else:
-        if frm is not None and to is not None:
-            f_i, t_i = int(frm), int(to)
-            f_expr = str(f_i)
-            stop_expr = str(f_i + ((t_i - f_i - 1) // s) * s)
-        else:
-            f_expr = (
-                frm if frm is not None else f"(SELECT min({col}) FROM __wf_src)"
-            )
-            # TO omitted → fill up to the data max (inclusive grid end)
+        if int_mode:
             if to is None:
-                stop_expr = f"(SELECT max({col}) FROM __wf_src)"
+                stop_expr = "__wf_mx"
             else:
                 stop_expr = (
                     f"(({int(to)} - 1 - ({f_expr})) div {s}) * {s} + ({f_expr})"
                 )
-        # inverted bounds (e.g. `TO 5` when min(col)=10) fill NOTHING
-        # in CH; an unguarded sequence(10, 4) would throw at runtime
+            arr = (
+                f"CASE WHEN ({f_expr}) <= ({stop_expr}) "
+                f"THEN sequence({f_expr}, {stop_expr}, {s}) ELSE array() END"
+            )
+        else:
+            arr = general_spine(f_expr, "__wf_mx")
+        pk = ", ".join(pre_keys)
         spine_sel = (
-            f"SELECT explode(CASE WHEN ({f_expr}) <= ({stop_expr}) "
-            f"THEN sequence({f_expr}, {stop_expr}, {s}) ELSE array() END) "
-            f"AS {col}"
+            f"SELECT {pk}, explode({arr}) "
+            f"AS {col} FROM (SELECT {pk}, min({col}) AS __wf_mn, "
+            f"max({col}) AS __wf_mx FROM __wf_src GROUP BY {pk}) __wf_g"
         )
+    else:
+        if int_mode:
+            if frm is not None and to is not None:
+                f_i, t_i = int(frm), int(to)
+                f_expr = str(f_i)
+                stop_expr = str(f_i + ((t_i - f_i - 1) // s) * s)
+            else:
+                f_expr = (
+                    frm
+                    if frm is not None
+                    else f"(SELECT min({col}) FROM __wf_src)"
+                )
+                # TO omitted → fill up to the data max (inclusive)
+                if to is None:
+                    stop_expr = f"(SELECT max({col}) FROM __wf_src)"
+                else:
+                    stop_expr = (
+                        f"(({int(to)} - 1 - ({f_expr})) div {s}) * {s}"
+                        f" + ({f_expr})"
+                    )
+            # inverted bounds (e.g. `TO 5` when min(col)=10) fill
+            # NOTHING in CH; unguarded sequence(10, 4) would throw
+            arr = (
+                f"CASE WHEN ({f_expr}) <= ({stop_expr}) "
+                f"THEN sequence({f_expr}, {stop_expr}, {s}) ELSE array() END"
+            )
+        else:
+            f_expr = (
+                frm if frm is not None else f"(SELECT min({col}) FROM __wf_src)"
+            )
+            arr = general_spine(f_expr, f"(SELECT max({col}) FROM __wf_src)")
+        spine_sel = f"SELECT explode({arr}) AS {col}"
     using = ", ".join(pre_keys + [col])
     if interp is None:
         return (

@@ -2358,6 +2358,27 @@ def test_dialect_with_fill_interpolate_multikey(spark):
     # express → untouched (loud)
     src = "SELECT a, b FROM t ORDER BY a WITH FILL INTERPOLATE (b AS c + 1)"
     assert T(src) == src
+    # --- date/interval grids (r8): STEP INTERVAL n unit, date-typed
+    # FROM/TO (exclusive TO via filter), data-driven bounds ---
+    import datetime
+    r = rows("SELECT d, n FROM (SELECT date'2020-01-01' d, 1 n"
+             " UNION ALL SELECT date'2020-01-04', 4)"
+             " ORDER BY d WITH FILL STEP INTERVAL 1 DAY")
+    assert len(r) == 4 and r[1][1] is None and r[2][1] is None
+    r = rows("SELECT d, n FROM (SELECT date'2020-01-02' d, 1 n)"
+             " ORDER BY d WITH FILL FROM toDate('2020-01-01')"
+             " TO toDate('2020-01-04') STEP INTERVAL 1 DAY")
+    assert [x[0] for x in r] == [datetime.date(2020, 1, 1),
+                                 datetime.date(2020, 1, 2),
+                                 datetime.date(2020, 1, 3)]
+    r = rows("SELECT d, v FROM (SELECT date'2020-01-01' d, 10 v"
+             " UNION ALL SELECT date'2020-01-03', 30)"
+             " ORDER BY d WITH FILL STEP INTERVAL 1 DAY"
+             " INTERPOLATE (v AS v + 1)")
+    assert r[1][1] == 11
+    # non-literal step stays untouched (loud)
+    src = "SELECT d FROM t ORDER BY d WITH FILL STEP x"
+    assert T(src) == src
 
 
 def test_dialect_global_in(spark):
