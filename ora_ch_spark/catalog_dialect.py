@@ -1468,3 +1468,106 @@ SELECT pri, m,
        END AS cnt
 FROM g ORDER BY pri, m
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch-12 dialect surface (round 8) — vector math over the embeddings
+# table (where CH-SQL meets the LLM-pipeline story), array fill/split
+# folds, arrayAUC, arrayShift, bitmask expansion.
+# ---------------------------------------------------------------------------
+
+_DIALECT15_CH_SQL = """
+select
+  toInt64(e1.vec_id) as id,
+  round(arrayDotProduct(e1.embedding, e2.embedding), 3) as dp,
+  round(arrayCosineDistance(e1.embedding, e2.embedding), 4) as cd,
+  round(arrayL1Distance(e1.embedding, e2.embedding), 3) as l1,
+  round(arrayL2Distance(e1.embedding, e2.embedding), 3) as l2,
+  round(arrayLinfDistance(e1.embedding, e2.embedding), 3) as li,
+  round(arrayNorm(e1.embedding), 3) as nrm,
+  toInt64(arraySum(arrayFill(x -> x > 0,
+    arrayMap(v -> toInt32(v * 10), arraySlice(e1.embedding, 1, 6))))) as af,
+  toInt64(arrayCount(g -> 1 = 1, arraySplit(x -> x > 0,
+    arrayMap(v -> toInt32(v * 10), arraySlice(e1.embedding, 1, 8))))) as sp,
+  toInt64(arraySum(arrayShiftLeft(
+    arrayMap(v -> toInt32(v * 100), arraySlice(e1.embedding, 1, 4)), 2, 0))) as shl,
+  round(arrayAUC(arraySlice(e1.embedding, 1, 8),
+    arrayMap(v -> if(v > 0, 1, 0), arraySlice(e2.embedding, 1, 8))), 4) as auc,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    bitPositionsToArray(e1.vec_id % 64)), ',') as bp
+from embeddings e1
+join embeddings e2 on e2.vec_id = e1.vec_id + 1
+where e1.vec_id % 37 = 0
+order by id
+"""
+
+
+def calc_dialect15_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-12 surface over REAL embedding vectors: dot/cosine/Lp
+    distances and norms (zip_with/aggregate folds — the JVM-side
+    expressions the ANN operators also rely on), arrayFill/Split
+    folds, arrayShiftLeft, arrayAUC (rank-sum closed form), bitmask
+    expansion — all value-gated against DuckDB list-lambda replays."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT15_CH_SQL)).orderBy("id")
+
+
+DIALECT15_ORACLE = """
+WITH pair AS (
+  SELECT e1.vec_id AS id, e1.embedding AS a, e2.embedding AS b
+  FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+  WHERE e1.vec_id % 37 = 0
+),
+v AS (
+  SELECT id,
+    list_sum(list_transform(range(1, len(a) + 1),
+      i -> a[i]::DOUBLE * b[i]::DOUBLE)) AS dp,
+    sqrt(list_sum(list_transform(a, x -> x::DOUBLE * x))) AS na,
+    sqrt(list_sum(list_transform(b, x -> x::DOUBLE * x))) AS nb,
+    list_sum(list_transform(range(1, len(a) + 1),
+      i -> abs(a[i]::DOUBLE - b[i]::DOUBLE))) AS l1,
+    sqrt(list_sum(list_transform(range(1, len(a) + 1),
+      i -> (a[i]::DOUBLE - b[i]::DOUBLE) * (a[i]::DOUBLE - b[i]::DOUBLE)))) AS l2,
+    list_max(list_transform(range(1, len(a) + 1),
+      i -> abs(a[i]::DOUBLE - b[i]::DOUBLE))) AS li,
+    list_transform(a[1:6], x -> cast(trunc(x::DOUBLE * 10) as int)) AS f6,
+    list_transform(a[1:8], x -> cast(trunc(x::DOUBLE * 10) as int)) AS f8,
+    list_transform(a[1:4], x -> cast(trunc(x::DOUBLE * 100) as int)) AS c4,
+    list_transform(a[1:8], x -> x::DOUBLE) AS s8,
+    list_transform(b[1:8], x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS lab
+  FROM pair
+)
+SELECT cast(id as bigint) AS id,
+  round(dp, 3) AS dp,
+  round(1.0 - dp / (na * nb), 4) AS cd,
+  round(l1, 3) AS l1,
+  round(l2, 3) AS l2,
+  round(li, 3) AS li,
+  round(na, 3) AS nrm,
+  cast(list_sum(list_transform(range(1, len(f6) + 1), i ->
+    coalesce(list_last(list_filter(f6[1:i], x -> x > 0)), f6[1])))
+    as bigint) AS af,
+  cast(len(list_distinct(list_transform(range(1, len(f8) + 1),
+    i -> len(list_filter(f8[1:i], x -> x > 0))))) as bigint) AS sp,
+  cast(c4[3] + c4[4] as bigint) AS shl,
+  round(CASE WHEN len(list_filter(lab, x -> x > 0)) = 0
+          OR len(list_filter(lab, x -> x = 0)) = 0 THEN 'NaN'::DOUBLE
+   ELSE (
+     list_sum(list_transform(range(1, len(s8) + 1), i ->
+       CASE WHEN lab[i] > 0 THEN
+         len(list_filter(s8, y -> y < s8[i]))::DOUBLE
+         + (len(list_filter(s8, y -> y = s8[i]))::DOUBLE + 1) / 2
+       ELSE 0 END))
+     - len(list_filter(lab, x -> x > 0))::DOUBLE
+       * (len(list_filter(lab, x -> x > 0)) + 1) / 2
+   ) / (len(list_filter(lab, x -> x > 0))::DOUBLE
+        * len(list_filter(lab, x -> x = 0)))
+   END, 4) AS auc,
+  coalesce(array_to_string(list_filter(range(0, 63),
+    i -> ((id % 64) // (1::BIGINT << i)) % 2 = 1), ','), '') AS bp
+FROM v
+ORDER BY id
+"""

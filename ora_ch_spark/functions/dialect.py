@@ -1959,6 +1959,45 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             else None
         ),
     )
+    # parameterized / sketch -If combinators re-emit the BASE
+    # aggregate over the conditional projection; the base rewrites
+    # below then translate them (this pass runs first)
+    out = _rewrite_calls(
+        out,
+        "uniqIf",
+        lambda a: (
+            f"uniq(CASE WHEN {a[1]} THEN {a[0]} END)" if len(a) == 2 else None
+        ),
+    )
+    out = _rewrite_param_calls(
+        out,
+        "quantileIf",
+        lambda ps, a: (
+            f"quantile({', '.join(ps)})(CASE WHEN {a[1]} THEN {a[0]} END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_param_calls(
+        out,
+        "topKIf",
+        lambda ps, a: (
+            f"topK({', '.join(ps)})(CASE WHEN {a[1]} THEN {a[0]} END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "medianIf",
+        lambda a: (
+            # consistent with bare median's pass-through to Spark's
+            # exact median (CH's is sampling-approximate; role match)
+            f"median(CASE WHEN {a[1]} THEN {a[0]} END)"
+            if len(a) == 2
+            else None
+        ),
+    )
     # bitwise aggregates (same math, snake_case names)
     out = _rewrite_calls(out, "groupBitAnd", lambda a: f"bit_and({a[0]})")
     out = _rewrite_calls(out, "groupBitOr", lambda a: f"bit_or({a[0]})")
@@ -4390,6 +4429,256 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             f"{_nq_str}, {lit('?')}), "
             f"{_nq_num}, {lit('?')}), "
             f"{_nq_run}, {lit('?..')})"
+        ),
+    )
+
+    # ---- round-8 batch #12: vector math (the embedding surface),
+    # lambda-first array fill/split folds, arrayAUC rank-sum closed
+    # form, Map-function completion, date/tz constructors, window
+    # aliases, bitmask expansions. ----
+    _DOT = (
+        "aggregate(zip_with({x}, {y}, (__va, __vb) -> "
+        "cast(__va as double) * cast(__vb as double)), "
+        "cast(0 as double), (__vs, __vv) -> __vs + __vv)"
+    )
+    for _vfn in ("arrayDotProduct", "dotProduct"):
+        out = _rewrite_calls(
+            out, _vfn,
+            lambda a: _DOT.format(x=a[0], y=a[1]) if len(a) == 2 else None,
+        )
+    _NORM2 = (
+        "sqrt(aggregate({x}, cast(0 as double), "
+        "(__vs, __vv) -> __vs + cast(__vv as double) * cast(__vv as double)))"
+    )
+    for _vfn in ("arrayNorm", "L2Norm"):
+        out = _rewrite_calls(
+            out, _vfn,
+            lambda a: _NORM2.format(x=a[0]) if len(a) == 1 else None,
+        )
+    for _vfn in ("arrayCosineDistance", "cosineDistance"):
+        out = _rewrite_calls(
+            out, _vfn,
+            lambda a: (
+                f"(1.0 - {_DOT.format(x=a[0], y=a[1])} / "
+                f"({_NORM2.format(x=a[0])} * {_NORM2.format(x=a[1])}))"
+                if len(a) == 2
+                else None
+            ),
+        )
+    for _vfn, _comb, _fin in (
+        ("arrayL1Distance", "__vs + abs(__vd)", None),
+        ("arrayL2Distance", "__vs + __vd * __vd", "sqrt"),
+        ("arrayL2SquaredDistance", "__vs + __vd * __vd", None),
+        ("arrayLinfDistance", "greatest(__vs, abs(__vd))", None),
+    ):
+        def _dist(a: list[str], _c=_comb, _f=_fin) -> str | None:
+            if len(a) != 2:
+                return None
+            body = (
+                f"aggregate(zip_with({a[0]}, {a[1]}, (__va, __vb) -> "
+                "cast(__va as double) - cast(__vb as double)), "
+                f"cast(0 as double), (__vs, __vd) -> {_c})"
+            )
+            return f"{_f}({body})" if _f else body
+        out = _rewrite_calls(out, _vfn, _dist)
+
+    # arrayFill / arrayReverseFill: carry the last element where the
+    # predicate held (CH lambda-FIRST); arraySplit/arrayReverseSplit:
+    # cut BEFORE/AFTER every element where the predicate holds.
+    def _array_fill(a: list[str], *, rev: bool = False) -> str | None:
+        if len(a) != 2:
+            return None
+        lam = a[0].strip()
+        lm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*->\s*(.+)$", lam)
+        if not lm:
+            return None
+        v, pred = lm.group(1), lm.group(2)
+        arr = f"reverse({a[1]})" if rev else a[1]
+        filled = (
+            f"aggregate({arr}, "
+            "named_struct('out', slice(array(element_at(" + arr + ", 1)), 1, 0), "
+            "'last', element_at(" + arr + ", 1)), "
+            f"(__af, {v}) -> IF({pred}, "
+            f"named_struct('out', concat(__af.out, array({v})), 'last', {v}), "
+            f"named_struct('out', concat(__af.out, array(__af.last)), "
+            "'last', __af.last)), "
+            "__af -> __af.out)"
+        )
+        return f"reverse({filled})" if rev else filled
+
+    out = _rewrite_calls(out, "arrayFill", _array_fill)
+    out = _rewrite_calls(
+        out, "arrayReverseFill", lambda a: _array_fill(a, rev=True)
+    )
+
+    def _array_split(a: list[str], *, rev: bool = False) -> str | None:
+        # cut BEFORE each element where pred holds (arraySplit); the
+        # reverse form cuts AFTER — implemented per CH docs by group
+        # labels from a running count
+        if len(a) != 2:
+            return None
+        lam = a[0].strip()
+        lm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*->\s*(.+)$", lam)
+        if not lm:
+            return None
+        v, pred = lm.group(1), lm.group(2)
+        arr = a[1]
+        # group id of element i: split-before counts matches in
+        # positions 1..i (a matching element starts its own group);
+        # split-after (reverse form) counts positions 1..i-1
+        off = "1" if rev else "0"
+        gids = (
+            f"transform(sequence(1, size({arr})), __ai -> "
+            f"size(filter(slice({arr}, 1, __ai - {off}), "
+            f"{v} -> ({pred}))))"
+        )
+        return (
+            f"IF(size({arr}) = 0, array(), "
+            f"transform(array_distinct({gids}), __ag -> "
+            f"filter(transform(sequence(1, size({arr})), __ai -> "
+            f"IF(element_at({gids}, __ai) = __ag, "
+            f"element_at({arr}, __ai), null)), __ae -> __ae IS NOT NULL)))"
+        )
+
+    out = _rewrite_calls(out, "arraySplit", _array_split)
+    out = _rewrite_calls(
+        out, "arrayReverseSplit", lambda a: _array_split(a, rev=True)
+    )
+
+    def _array_shift(a: list[str], *, left: bool = True) -> str | None:
+        if len(a) not in (2, 3):
+            return None
+        arr, n = a[0], a[1]
+        pad = a[2] if len(a) == 3 else "null"
+        keep = f"greatest(size({arr}) - ({n}), 0)"
+        padarr = f"array_repeat({pad}, least(cast({n} as int), size({arr})))"
+        if left:
+            return (
+                f"concat(slice({arr}, cast(({n}) + 1 as int), {keep}), "
+                f"{padarr})"
+            )
+        return f"concat({padarr}, slice({arr}, 1, {keep}))"
+
+    out = _rewrite_calls(out, "arrayShiftLeft", _array_shift)
+    out = _rewrite_calls(
+        out, "arrayShiftRight", lambda a: _array_shift(a, left=False)
+    )
+
+    def _array_auc(a: list[str]) -> str | None:
+        # rank-sum (Mann-Whitney) closed form with tie-averaged ranks:
+        # AUC = (Σ_pos avg_rank − P(P+1)/2) / (P·N). O(n²) folds over
+        # the bounded score arrays CH applies this to.
+        if len(a) != 2:
+            return None
+        s, l = a[0], a[1]
+        p = f"size(filter({l}, __lb -> cast(__lb as double) > 0))"
+        n = f"(size({l}) - {p})"
+        rsum = (
+            f"aggregate(sequence(1, size({s})), cast(0 as double), "
+            "(__ra, __ri) -> __ra + IF("
+            f"cast(element_at({l}, __ri) as double) > 0, "
+            f"cast(size(filter({s}, __ry -> cast(__ry as double) < "
+            f"cast(element_at({s}, __ri) as double))) as double) "
+            f"+ (cast(size(filter({s}, __ry -> cast(__ry as double) = "
+            f"cast(element_at({s}, __ri) as double))) as double) + 1) / 2, "
+            "cast(0 as double)))"
+        )
+        return (
+            f"IF({p} = 0 OR {n} = 0, cast('NaN' as double), "
+            f"({rsum} - cast({p} as double) * ({p} + 1) / 2) "
+            f"/ (cast({p} as double) * {n}))"
+        )
+
+    out = _rewrite_calls(out, "arrayAUC", _array_auc)
+
+    # Map-function completion
+    out = _rewrite_calls(
+        out, "mapFromArrays", lambda a: f"map_from_arrays({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(out, "mapFilter", lambda a: f"map_filter({a[1]}, {a[0]})")
+    # mapUpdate(m1, m2): m2 wins on key collisions — spelled via
+    # entry filtering so no mapKeyDedupPolicy session flag is needed
+    out = _rewrite_calls(
+        out,
+        "mapUpdate",
+        lambda a: (
+            f"map_from_entries(concat(filter(map_entries({a[0]}), "
+            f"__me -> NOT array_contains(map_keys({a[1]}), __me.key)), "
+            f"map_entries({a[1]})))"
+        ),
+    )
+    # date/tz constructors + aliases
+    out = _rewrite_calls(
+        out, "makeDate",
+        lambda a: f"make_date({', '.join(a)})" if len(a) == 3 else None,
+    )
+    out = _rewrite_calls(
+        out, "makeDate32",
+        lambda a: f"make_date({', '.join(a)})" if len(a) == 3 else None,
+    )
+    out = _rewrite_calls(
+        out, "makeDateTime",
+        lambda a: (
+            f"make_timestamp({', '.join(a[:6])})" if len(a) >= 6 else None
+        ),
+    )
+    for _tz in ("timezone", "serverTimezone", "timezoneOf"):
+        out = _rewrite_calls(
+            out, _tz, lambda a: "current_timezone()"
+        )
+    # per-block now() — per-query here, documented drift
+    out = _rewrite_calls(
+        out, "nowInBlock",
+        lambda a: "current_timestamp()" if a in ([], [""]) else None,
+    )
+    # window-function spelling aliases
+    out = _rewrite_calls(out, "firstValue", lambda a: f"first_value({', '.join(a)})")
+    out = _rewrite_calls(out, "lastValue", lambda a: f"last_value({', '.join(a)})")
+    out = _rewrite_calls(out, "denseRank", lambda a: "dense_rank()")
+    out = _rewrite_calls(out, "percentRank", lambda a: "percent_rank()")
+    out = _rewrite_calls(
+        out, "countDistinct", lambda a: f"count(DISTINCT {', '.join(a)})"
+    )
+    # contiguous-subsequence containment (order AND adjacency — CH
+    # contract; empty needle always matches)
+    out = _rewrite_calls(
+        out,
+        "hasSubstr",
+        lambda a: (
+            f"(size({a[1]}) = 0 OR (size({a[0]}) >= size({a[1]}) AND "
+            f"exists(sequence(1, size({a[0]}) - size({a[1]}) + 1), "
+            f"__hi -> slice({a[0]}, __hi, size({a[1]})) = {a[1]})))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # bitmask expansions over the set bits of a non-negative integer
+    out = _rewrite_calls(
+        out,
+        "bitmaskToArray",
+        lambda a: (
+            f"filter(transform(sequence(0, 62), __bi -> "
+            f"IF((cast({a[0]} as bigint) div shiftleft(1L, __bi)) % 2 = 1, "
+            f"shiftleft(1L, __bi), null)), __bv -> __bv IS NOT NULL)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "bitPositionsToArray",
+        lambda a: (
+            f"filter(transform(sequence(0, 62), __bi -> "
+            f"IF((cast({a[0]} as bigint) div shiftleft(1L, __bi)) % 2 = 1, "
+            f"__bi, null)), __bv -> __bv IS NOT NULL)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "bitmaskToList",
+        lambda a: (
+            f"array_join(filter(transform(sequence(0, 62), __bi -> "
+            f"IF((cast({a[0]} as bigint) div shiftleft(1L, __bi)) % 2 = 1, "
+            f"cast(shiftleft(1L, __bi) as string), null)), "
+            f"__bv -> __bv IS NOT NULL), {lit(',')})"
         ),
     )
 

@@ -3244,6 +3244,70 @@ def test_dialect_batch11_rewrites(spark):
     assert len(spark.sql("SELECT * FROM range(3)").collect()) == 3
 
 
+def test_dialect_batch12_rewrites(spark):
+    """Round-8 batch-12: vector math (dot/cosine/L1/L2/Linf/norm —
+    the embedding surface), lambda-first arrayFill/ReverseFill and
+    arraySplit/ReverseSplit folds, arrayShiftLeft/Right with pads,
+    arrayAUC rank-sum closed form (CH docs example = 0.75), Map
+    completion (mapFromArrays/mapFilter/mapUpdate right-bias),
+    makeDate/makeDateTime, timezone aliases, window spelling
+    aliases, countDistinct, hasSubstr adjacency, bitmask
+    expansions, and the -If combinator completion for
+    parameterized/sketch aggregates. Value-gated by
+    calc_dialect_battery15."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    import datetime
+    cases = [
+        ("arrayDotProduct([1, 2, 3], [4, 5, 6])", 32.0),
+        ("arrayNorm([3, 4])", 5.0),
+        ("round(arrayCosineDistance([1, 2], [2, 4]), 4)", 0.0),
+        ("arrayL1Distance([1, 2], [4, 6])", 7.0),
+        ("arrayL2Distance([3, 0], [0, 4])", 5.0),
+        ("arrayLinfDistance([1, 2], [4, 10])", 8.0),
+        ("arrayFill(x -> x > 0, [1, -1, 3, -2, -3])", [1, 1, 3, 3, 3]),
+        ("arrayReverseFill(x -> x > 0, [1, -1, 3, -2, 5])",
+         [1, 3, 3, 5, 5]),
+        ("arraySplit(x -> x = 1, [5, 1, 2, 1, 3])",
+         [[5], [1, 2], [1, 3]]),
+        ("arrayReverseSplit(x -> x = 1, [5, 1, 2, 1, 3])",
+         [[5, 1], [2, 1], [3]]),
+        ("arrayShiftLeft([1, 2, 3], 1, 9)", [2, 3, 9]),
+        ("arrayShiftRight([1, 2, 3], 2, 0)", [0, 0, 1]),
+        ("round(arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4)",
+         0.75),
+        ("mapUpdate(map('a', 1, 'b', 2), map('b', 9))['b']", 9),
+        ("makeDate(2020, 3, 4)", datetime.date(2020, 3, 4)),
+        ("makeDateTime(2020, 3, 4, 5, 6, 7)",
+         datetime.datetime(2020, 3, 4, 5, 6, 7)),
+        ("countDistinct(1)", 1),
+        ("hasSubstr([1, 2, 3, 4], [2, 3])", True),
+        ("hasSubstr([1, 2, 3, 4], [3, 2])", False),
+        ("bitmaskToArray(50)", [2, 16, 32]),
+        ("bitPositionsToArray(50)", [1, 4, 5]),
+        ("bitmaskToList(50)", "2,16,32"),
+    ]
+    sql = T("SELECT " + ", ".join(
+        f"{s} AS c{i}" for i, (s, _) in enumerate(cases)))
+    assert T(sql) == sql
+    row = spark.sql(sql).collect()[0]
+    for i, (s, want) in enumerate(cases):
+        got = row[f"c{i}"]
+        if isinstance(got, list):
+            got = [list(g) if isinstance(g, list) else g for g in got]
+        assert got == want, f"{s}: {got!r} != {want!r}"
+    r = spark.sql(T(
+        "SELECT uniqIf(x, x > 1) AS u, medianIf(x, x > 1) AS m,"
+        " topKIf(2)(x, x >= 2) AS t FROM (SELECT 1 x UNION ALL"
+        " SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 3)")).collect()[0]
+    assert r["u"] == 2 and r["m"] == 3.0 and list(r["t"]) == [3, 2]
+    r = spark.sql(T(
+        "SELECT firstValue(x) OVER (ORDER BY x) AS f,"
+        " denseRank() OVER (ORDER BY x) AS d FROM"
+        " (SELECT 5 x UNION ALL SELECT 7)")).collect()
+    assert r[0]["f"] == 5 and r[1]["d"] == 2
+
+
 def test_dialect_qualify_and_scalar_with():
     """QUALIFY → hidden-column wrap + outer WHERE; CH scalar WITH
     (expr AS ident) inlines at use sites; ANSI CTEs and the WITH
