@@ -1587,6 +1587,35 @@ def _seq_dp_expr(
     )
 
 
+# expression shapes that PROVE an array-typed result, for the
+# string-or-array polymorphic CH functions (length/empty/notEmpty).
+# Covers CH spellings (pre-translation) and the Spark forms earlier
+# rewrites emit (post-translation length pass). A bare column never
+# matches — the string form is kept and an array column fails loudly.
+_ARRAYISH = re.compile(
+    r"(?is)^\s*(?:\[|array\s*[(\x00]|"
+    r"(?:arraymap|arrayfilter|arrayconcat|arraysort|arrayreversesort|"
+    r"arrayslice|arraydistinct|arrayintersect|arrayexcept|arrayresize|"
+    r"arraypushback|arraypushfront|arraypopback|arraypopfront|"
+    r"arraycompact|arrayreverse|arrayenumerate|arrayenumerateuniq|"
+    r"arrayzip|arraydifference|arraycumsum|arraysplit|arrayreversesplit|"
+    r"arrayfill|arrayreversefill|arrayshiftleft|arrayshiftright|"
+    r"arraywithconstant|arrayflatten|arrayrotateleft|arrayrotateright|"
+    r"arraypartialsort|arrayshuffle|groupara|grouparray|groupuniqarray|"
+    r"splitbychar|splitbystring|splitbyregexp|splitbywhitespace|"
+    r"alphatokens|tokens|ngrams|extractall|range|sequence|transform|"
+    r"filter|slice|flatten|array_distinct|array_intersect|array_union|"
+    r"array_except|array_remove|array_repeat|array_compact|arrays_zip|"
+    r"zip_with|collect_list|collect_set|split|map_keys|map_values|"
+    r"sort_array|array_sort|json_object_keys|shuffle|emptyarray\w*)"
+    r"\s*\()"
+)
+
+
+def _arrayish(arg: str) -> bool:
+    return _ARRAYISH.match(arg) is not None
+
+
 def _window_funnel_strict(
     n: int,
     w_us: str,
@@ -1809,9 +1838,43 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "toStartOfYear", lambda a: f"trunc({a[0]}, {lit('YYYY')})")
     out = _rewrite_calls(out, "toStartOfDay", lambda a: f"date_trunc({lit('DAY')}, {a[0]})")
     out = _rewrite_calls(out, "ifNull", lambda a: f"coalesce({a[0]}, {a[1]})")
-    out = _rewrite_calls(out, "empty", lambda a: f"({a[0]} = {lit('')})")
-    out = _rewrite_calls(out, "notEmpty", lambda a: f"({a[0]} != {lit('')})")
+    # empty/notEmpty and length are STRING-or-ARRAY polymorphic in CH;
+    # Spark splits them (length/'' vs size). Textual type inference is
+    # limited to expression SHAPE: an argument spelled as an array
+    # literal or a known array-producing call gets the array form,
+    # anything else gets the string form (a string-form call on an
+    # array COLUMN then fails loudly at analysis — never silently).
+    out = _rewrite_calls(
+        out,
+        "empty",
+        lambda a: (
+            f"(size({a[0]}) = 0)"
+            if _arrayish(a[0])
+            else f"({a[0]} = {lit('')})"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "notEmpty",
+        lambda a: (
+            f"(size({a[0]}) > 0)"
+            if _arrayish(a[0])
+            else f"({a[0]} != {lit('')})"
+        ),
+    )
     out = _rewrite_calls(out, "lengthUTF8", lambda a: f"length({a[0]})")
+    # CH length() is string-or-array polymorphic too: flip
+    # provably-array-shaped arguments (CH spellings — this pass runs
+    # before the array-family rewrites) to size(); bare columns keep
+    # Spark's string length, so an array COLUMN fails loudly at
+    # analysis, never silently.
+    out = _rewrite_calls(
+        out,
+        "length",
+        lambda a: (
+            f"size({a[0]})" if len(a) == 1 and _arrayish(a[0]) else None
+        ),
+    )
     # NOTE: CH position(haystack, needle) is NOT rewritten — `position`
     # is also valid Spark SQL with the OPPOSITE argument order, so a
     # rewrite would corrupt already-ANSI text (the shim's idempotence

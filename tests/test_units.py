@@ -3308,6 +3308,39 @@ def test_dialect_batch12_rewrites(spark):
     assert r[0]["f"] == 5 and r[1]["d"] == 2
 
 
+def test_dialect_polymorphic_length_empty(spark):
+    """CH length/empty/notEmpty are string-OR-array; Spark splits
+    them. Shape inference flips provably-array arguments (literals
+    and known array-producing calls, CH or Spark spelling) to
+    size(); bare columns keep the string form — an array column then
+    fails loudly at analysis instead of silently computing."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    cases = [
+        ("length([1, 2, 3])", 3),
+        ("length(arrayMap(x -> x + 1, [1, 2]))", 2),
+        ("length(splitByChar(',', 'a,b,c'))", 3),
+        ("length(range(5))", 5),
+        ("length('hello')", 5),
+        ("empty([1])", False),
+        ("empty(arrayFilter(x -> x > 9, [1]))", True),
+        ("empty('')", True),
+        ("notEmpty([1])", True),
+        ("notEmpty('x')", True),
+    ]
+    sql = T("SELECT " + ", ".join(
+        f"{s} AS c{i}" for i, (s, _) in enumerate(cases)))
+    assert T(sql) == sql
+    row = spark.sql(sql).collect()[0]
+    for i, (s, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{s}: {row[f'c{i}']!r} != {want!r}"
+    r = spark.sql(T("SELECT length(groupArray(x)) AS n FROM"
+                    " (SELECT 1 x UNION ALL SELECT 2)")).collect()[0]
+    assert r["n"] == 2
+    # bare column stays string-length (loud on arrays, correct on text)
+    assert "length(s)" in T("select length(s) from t")
+
+
 def test_dialect_qualify_and_scalar_with():
     """QUALIFY → hidden-column wrap + outer WHERE; CH scalar WITH
     (expr AS ident) inlines at use sites; ANSI CTEs and the WITH
