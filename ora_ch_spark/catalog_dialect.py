@@ -1571,3 +1571,96 @@ SELECT cast(id as bigint) AS id,
 FROM v
 ORDER BY id
 """
+
+
+_DECAY_CH_SQL = """
+select 'eavg' as tag, round(sum(e), 3) as n from (
+  select user_id, exponentialTimeDecayedAvg(7200)(value, toUnixTimestamp(ts)) as e
+  from events group by user_id)
+union all
+select 'ecnt' as tag, round(sum(e), 3) as n from (
+  select user_id, exponentialTimeDecayedCount(7200)(toUnixTimestamp(ts)) as e
+  from events group by user_id)
+union all
+select 'ema' as tag, round(sum(e), 3) as n from (
+  select user_id, exponentialMovingAverage(3600)(value, toUnixTimestamp(ts)) as e
+  from events group by user_id)
+union all
+select 'emax' as tag, round(sum(e), 3) as n from (
+  select user_id, exponentialTimeDecayedMax(7200)(value, toUnixTimestamp(ts)) as e
+  from events group by user_id)
+union all
+select 'esum' as tag, round(sum(e), 3) as n from (
+  select user_id, exponentialTimeDecayedSum(7200)(value, toUnixTimestamp(ts)) as e
+  from events group by user_id)
+"""
+
+
+def calc_decay_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay aggregate family as sorted delta-exponent
+    folds: exponentialMovingAverage (2-base half-life, (1−2^(−1/x))
+    normalizer — pinned to the CH docs example in units) and the
+    e-base exponentialTimeDecayed{Sum,Count,Avg,Max}. Gated against
+    DuckDB closed forms (weights factored against the per-user max
+    timestamp — algebraically identical, bounded exponents)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DECAY_CH_SQL)).orderBy("tag")
+
+
+DECAY_AGG_ORACLE = """
+WITH e AS (
+  SELECT user_id, floor(epoch(ts::TIMESTAMP))::DOUBLE AS t, value::DOUBLE AS v
+  -- floor: toUnixTimestamp yields whole seconds; DuckDB epoch() keeps
+  -- the fractional microseconds
+  FROM events
+),
+pairs AS (
+  SELECT user_id, list_sort(list([t, v])) AS ps FROM e GROUP BY user_id
+),
+-- the SAME sequential fold the Spark rewrite emits (state carried as
+-- a DOUBLE[] so list_reduce type-checks): acc = [s, t_prev] (+ [w]
+-- for avg); identical op order keeps float drift at ulp level
+per AS (
+  SELECT user_id,
+    list_reduce(list_prepend([NULL, NULL]::DOUBLE[],
+      list_transform(ps, p -> [p[2], p[1]])),
+      (acc, x) -> CASE WHEN acc[2] IS NULL THEN [x[1], x[2]]
+        ELSE [acc[1] * pow(2, (acc[2] - x[2]) / 3600.0) + x[1], x[2]]
+      END)[1] * (1 - pow(2, -1.0 / 3600.0)) AS ema,
+    list_reduce(list_prepend([NULL, NULL]::DOUBLE[],
+      list_transform(ps, p -> [p[2], p[1]])),
+      (acc, x) -> CASE WHEN acc[2] IS NULL THEN [x[1], x[2]]
+        ELSE [acc[1] * exp((acc[2] - x[2]) / 7200.0) + x[1], x[2]]
+      END)[1] AS esum,
+    list_reduce(list_prepend([NULL, NULL]::DOUBLE[],
+      list_transform(ps, p -> [1.0, p[1]])),
+      (acc, x) -> CASE WHEN acc[2] IS NULL THEN [x[1], x[2]]
+        ELSE [acc[1] * exp((acc[2] - x[2]) / 7200.0) + x[1], x[2]]
+      END)[1] AS ecnt,
+    list_reduce(list_prepend([NULL, NULL, NULL]::DOUBLE[],
+      list_transform(ps, p -> [p[2], p[1], 1.0])),
+      (acc, x) -> CASE WHEN acc[3] IS NULL THEN [x[1], 1.0, x[2]]
+        ELSE [acc[1] * exp((acc[3] - x[2]) / 7200.0) + x[1],
+              acc[2] * exp((acc[3] - x[2]) / 7200.0) + 1.0, x[2]]
+      END) AS avg_state,
+    list_reduce(list_prepend([NULL, NULL]::DOUBLE[],
+      list_transform(ps, p -> [p[2], p[1]])),
+      (acc, x) -> CASE WHEN acc[2] IS NULL THEN [x[1], x[2]]
+        ELSE [greatest(acc[1] * exp((acc[2] - x[2]) / 7200.0), x[1]), x[2]]
+      END)[1] AS emax
+  FROM pairs
+)
+SELECT 'eavg' AS tag, round(sum(avg_state[1] / avg_state[2]), 3) AS n FROM per
+UNION ALL
+SELECT 'ecnt' AS tag, round(sum(ecnt), 3) AS n FROM per
+UNION ALL
+SELECT 'ema' AS tag, round(sum(ema), 3) AS n FROM per
+UNION ALL
+SELECT 'emax' AS tag, round(sum(emax), 3) AS n FROM per
+UNION ALL
+SELECT 'esum' AS tag, round(sum(esum), 3) AS n FROM per
+ORDER BY tag
+"""

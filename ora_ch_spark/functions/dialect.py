@@ -4745,6 +4745,95 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         ),
     )
 
+    # exponential-decay aggregate family: sorted (t, v) folds whose
+    # exponents are consecutive-event DELTAS (never absolute epochs —
+    # pow(2, 1.7e9) would overflow where pow(2, Δ/x) cannot).
+    # exponentialMovingAverage uses CH's 2-base half-life with the
+    # (1 − 2^(−1/x)) normalizer — pinned against the docs example
+    # (ten unit-spaced 1s at x=1 → 0.9990234375); the TimeDecayed*
+    # family uses e-base weights exp(−(t_n − t_i)/x).
+    def _decay_fold(
+        x: str, val: str, ts: str, *, base2: bool, kind: str
+    ) -> str:
+        ew = (
+            f"pow(2, (acc.t - e.t) / ({x}))"
+            if base2
+            else f"exp((acc.t - e.t) / ({x}))"
+        )
+        pairs = (
+            f"array_sort(collect_list(struct(cast({ts} as double) AS t, "
+            f"cast({val} as double) AS v)))"
+        )
+        if kind == "avg":
+            step = (
+                f"(acc, e) -> named_struct("
+                f"'s', IF(acc.t IS NULL, e.v, acc.s * {ew} + e.v), "
+                f"'w', IF(acc.t IS NULL, cast(1 as double), "
+                f"acc.w * {ew} + 1), 't', e.t)"
+            )
+            zero = (
+                "named_struct('s', cast(0 as double), "
+                "'w', cast(0 as double), 't', cast(null as double))"
+            )
+            fin = "acc -> acc.s / acc.w"
+        elif kind == "max":
+            step = (
+                f"(acc, e) -> named_struct("
+                f"'s', IF(acc.t IS NULL, e.v, "
+                f"greatest(acc.s * {ew}, e.v)), 't', e.t)"
+            )
+            zero = (
+                "named_struct('s', cast(null as double), "
+                "'t', cast(null as double))"
+            )
+            fin = "acc -> acc.s"
+        else:  # sum / count / ema share the decayed-sum fold
+            step = (
+                f"(acc, e) -> named_struct("
+                f"'s', IF(acc.t IS NULL, e.v, acc.s * {ew} + e.v), "
+                f"'t', e.t)"
+            )
+            zero = (
+                "named_struct('s', cast(0 as double), "
+                "'t', cast(null as double))"
+            )
+            fin = (
+                # cast: a bare -1.0/x is DECIMAL division in Spark,
+                # which rounds the tiny exponent to 6 digits and
+                # corrupts the 1-minus cancellation by ~1e-3
+                f"acc -> acc.s * (1 - pow(2, -cast(1 as double) / ({x})))"
+                if kind == "ema"
+                else "acc -> acc.s"
+            )
+        return f"aggregate({pairs}, {zero}, {step}, {fin})"
+
+    out = _rewrite_param_calls(
+        out,
+        "exponentialMovingAverage",
+        lambda ps, a: (
+            _decay_fold(ps[0], a[0], a[1], base2=True, kind="ema")
+            if len(ps) == 1 and len(a) == 2
+            else None
+        ),
+    )
+    for _dfn, _dkind, _dval in (
+        ("exponentialTimeDecayedSum", "sum", None),
+        ("exponentialTimeDecayedCount", "count", "1"),
+        ("exponentialTimeDecayedAvg", "avg", None),
+        ("exponentialTimeDecayedMax", "max", None),
+    ):
+        def _etd(ps, a, _k=_dkind, _v=_dval):
+            if len(ps) != 1:
+                return None
+            if _v is not None:  # count form: (x)(t) only
+                if len(a) != 1:
+                    return None
+                return _decay_fold(ps[0], _v, a[0], base2=False, kind=_k)
+            if len(a) != 2:
+                return None
+            return _decay_fold(ps[0], a[0], a[1], base2=False, kind=_k)
+        out = _rewrite_param_calls(out, _dfn, _etd)
+
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out
     masked = re.sub(

@@ -3308,6 +3308,49 @@ def test_dialect_batch12_rewrites(spark):
     assert r[0]["f"] == 5 and r[1]["d"] == 2
 
 
+def test_dialect_decay_aggregates(spark):
+    """Exponential-decay aggregate family: exponentialMovingAverage
+    (2-base half-life, (1−2^(−1/x)) normalizer — PINNED to the CH
+    docs example: ten unit-spaced 1s at x=1 → 0.9990234375) and the
+    e-base exponentialTimeDecayed{Sum,Count,Avg,Max}. The normalizer
+    division is forced to double — a bare -1.0/x is DECIMAL division
+    in Spark and rounds the tiny exponent (caught by the gate).
+    Value-gated by calc_decay_agg."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    import math
+    base = " UNION ALL ".join(
+        f"SELECT 1.0 v, {t} t" for t in range(1, 11))
+    r = spark.sql(T(
+        f"SELECT exponentialMovingAverage(1)(v, t) AS e FROM ({base})"
+    )).collect()[0]["e"]
+    assert abs(r - 0.9990234375) < 1e-12
+    # normalizer precision at a LARGE half-life (the decimal-division
+    # trap): x=3600, single point v=1 → exactly 1 - 2^(-1/3600)
+    r = spark.sql(T(
+        "SELECT exponentialMovingAverage(3600)(v, t) AS e FROM"
+        " (SELECT 1.0 v, 0 t)")).collect()[0]["e"]
+    assert abs(r - (1 - 2 ** (-1.0 / 3600))) < 1e-15
+    w0 = math.exp(-0.5)
+    r = spark.sql(T(
+        "SELECT exponentialTimeDecayedSum(2)(v, t) AS s,"
+        " exponentialTimeDecayedCount(2)(t) AS c,"
+        " exponentialTimeDecayedAvg(2)(v, t) AS a,"
+        " exponentialTimeDecayedMax(2)(v, t) AS m"
+        " FROM (SELECT 2.0 v, 0 t UNION ALL SELECT 3.0, 1)"
+    )).collect()[0]
+    assert abs(r["s"] - (2 * w0 + 3)) < 1e-12
+    assert abs(r["c"] - (w0 + 1)) < 1e-12
+    assert abs(r["a"] - (2 * w0 + 3) / (w0 + 1)) < 1e-12
+    assert abs(r["m"] - 3.0) < 1e-12
+    # max where the decayed OLD value wins
+    r = spark.sql(T(
+        "SELECT exponentialTimeDecayedMax(2)(v, t) AS m FROM"
+        " (SELECT 100.0 v, 0 t UNION ALL SELECT 1.0, 1)"
+    )).collect()[0]["m"]
+    assert abs(r - 100 * w0) < 1e-10
+
+
 def test_dialect_polymorphic_length_empty(spark):
     """CH length/empty/notEmpty are string-OR-array; Spark splits
     them. Shape inference flips provably-array arguments (literals
