@@ -2222,3 +2222,60 @@ ORDER BY q_id, rank
 # (EXISTS oracles for match; greedy-restart recursive replay for
 # count), and WITH FILL INTERPOLATE + multi-key + GLOBAL NOT IN.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filter (Rae et al. 2021 quality rules,
+# repetition-free subset — repetition rules are text_repetition)
+# ---------------------------------------------------------------------------
+
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+GOPHER_RULES_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+    string_split(text, ' ') AS ws,
+    string_split(text, chr(10)) AS ls,
+    lower(text) AS lt,
+    len(text) - len(replace(text, '#', ''))
+      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    cast(len(ws) as bigint) AS n_words,
+    cast(list_sum(list_prepend(0, list_transform(ws, x -> len(x)))) as double)
+      / len(ws) AS mean_word_len,
+    cast(n_sym as double) / len(ws) AS symbol_word_ratio,
+    cast(len(list_filter(ls, l ->
+      regexp_matches(l, '^\\s*([-*•]|[0-9]+[.)])\\s'))) as double)
+      / len(ls) AS bullet_line_frac,
+    cast(len(list_filter(ls, l ->
+      regexp_matches(l, '\\.\\.\\.\\s*$'))) as double)
+      / len(ls) AS ellipsis_line_frac,
+    cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) as double)
+      / len(ws) AS alpha_word_frac,
+    cast(
+      (regexp_matches(lt, '(^|[^a-z])the([^a-z]|$)'))::INT
+      + (regexp_matches(lt, '(^|[^a-z])be([^a-z]|$)'))::INT
+      + (regexp_matches(lt, '(^|[^a-z])to([^a-z]|$)'))::INT
+      + (regexp_matches(lt, '(^|[^a-z])of([^a-z]|$)'))::INT
+      + (regexp_matches(lt, '(^|[^a-z])and([^a-z]|$)'))::INT
+      + (regexp_matches(lt, '(^|[^a-z])that([^a-z]|$)'))::INT
+      + (regexp_matches(lt, '(^|[^a-z])have([^a-z]|$)'))::INT
+      + (regexp_matches(lt, '(^|[^a-z])with([^a-z]|$)'))::INT
+    as int) AS n_required_stops
+  FROM w
+)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND n_required_stops >= 2) AS keep
+FROM m
+"""

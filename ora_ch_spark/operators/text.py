@@ -498,3 +498,98 @@ def flagged_term_score(
         share.alias("flagged_share"),
         (share > flag_threshold).alias("flagged"),
     )
+
+
+# the Gopher rules' required-stopword set (Rae et al. 2021, table A1:
+# a document must contain at least 2 of these 8 words)
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (the published
+    repetition-free subset of Rae et al. 2021's quality rules — the
+    repetition rules live in :func:`repetition_stats`):
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [min_mean_word_len, max_mean_word_len]
+    3. symbol-to-word ratio (``#`` or ``...``) ≤ max_symbol_word_ratio
+    4. fraction of lines starting with a bullet ≤ max_bullet_line_frac
+    5. fraction of lines ending with an ellipsis ≤ max_ellipsis_line_frac
+    6. fraction of words containing an alphabetic char ≥ min_alpha_word_frac
+    7. ≥ min_required_stops of the 8 required stop words present
+
+    One map-side pass per document — integer counts + fixed double
+    ratios (engine-exact for the differential gate), no shuffle
+    beyond the source scan. At 100 TB this is a pure projection:
+    predicate-pushdown and column pruning reach the scan untouched.
+    """
+    words = F.split(F.col(text_col), " ")
+    lines = F.split(F.col(text_col), "\n")
+    lower = F.lower(F.col(text_col))
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    sum_word_len = F.expr(
+        f"aggregate(split({text_col}, ' '), 0L, (a, w) -> a + length(w))"
+    )
+    n_alpha_words = F.expr(
+        f"size(filter(split({text_col}, ' '), w -> w rlike '[A-Za-z]'))"
+    ).cast("bigint")
+    n_symbols = (
+        F.size(F.split(F.col(text_col), "#", -1)) - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    ).cast("bigint")
+    n_bullet_lines = F.expr(
+        f"size(filter(split({text_col}, '\\n'), "
+        "l -> l rlike '^\\\\s*([-*•]|[0-9]+[.)])\\\\s'))"
+    ).cast("bigint")
+    n_ellipsis_lines = F.expr(
+        f"size(filter(split({text_col}, '\\n'), "
+        "l -> l rlike '\\\\.\\\\.\\\\.\\\\s*$'))"
+    ).cast("bigint")
+    n_req_stops = sum(
+        F.when(lower.rlike(rf"(^|[^a-z]){w}([^a-z]|$)"), 1).otherwise(0)
+        for w in GOPHER_REQUIRED_STOPS
+    ).cast("int")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        (sum_word_len.cast("double") / n_words.cast("double")).alias(
+            "mean_word_len"
+        ),
+        (n_symbols.cast("double") / n_words.cast("double")).alias(
+            "symbol_word_ratio"
+        ),
+        (n_bullet_lines.cast("double") / n_lines.cast("double")).alias(
+            "bullet_line_frac"
+        ),
+        (n_ellipsis_lines.cast("double") / n_lines.cast("double")).alias(
+            "ellipsis_line_frac"
+        ),
+        (n_alpha_words.cast("double") / n_words.cast("double")).alias(
+            "alpha_word_frac"
+        ),
+        n_req_stops.alias("n_required_stops"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_required_stops") >= min_required_stops)
+    )
+    return out.withColumn("keep", keep)

@@ -801,6 +801,43 @@ def test_index_probe_rejects_mismatched_parameters(spark, sf_smoke):
         )
 
 
+def test_gopher_rules_planted_violations(spark):
+    """Each Gopher rule rejects its planted violator and the clean
+    doc passes: word-count bounds, mean word length, symbol ratio,
+    bullet-line and ellipsis-line fractions, alpha-word fraction,
+    required-stopword containment. (The synthetic documents table
+    exercises only the word-level rules — the gate covers those;
+    this covers the line rules.)"""
+    from ora_ch_spark.operators.text import gopher_rules
+
+    clean = ("the quick brown fox jumps over that lazy dog and keeps "
+             "running with great speed through fields of green grass "
+             * 5).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "too short to have enough words"),
+            (3, "the " + "# " * 80 + "of and that have with be to"),
+            (4, "\n".join(f"- bullet {i} of the that and" for i in range(10))
+                + "\n" + clean),
+            (5, "\n".join(f"line {i} of the that trails off..."
+                          for i in range(10))),
+            (6, " ".join("12345" for _ in range(100))
+                + " the of and that be"),
+            (7, " ".join(f"w{i}" for i in range(100))),  # no req. stops
+        ],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in gopher_rules(docs).collect()}
+    assert r[1]["keep"] is True
+    assert r[2]["keep"] is False and r[2]["n_words"] < 50
+    assert r[3]["keep"] is False and r[3]["symbol_word_ratio"] > 0.1
+    assert r[4]["keep"] is False and r[4]["bullet_line_frac"] > 0.9
+    assert r[5]["keep"] is False and r[5]["ellipsis_line_frac"] > 0.3
+    assert r[6]["keep"] is False and r[6]["alpha_word_frac"] < 0.8
+    assert r[7]["keep"] is False and r[7]["n_required_stops"] < 2
+
+
 def test_repetition_stats_flags_loops(spark):
     """A generation-loop doc is flagged; a diverse doc is not; a
     single-token doc gets 0.0 bigram share and no crash."""
