@@ -2279,3 +2279,85 @@ SELECT *,
    AND n_required_stops >= 2) AS keep
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 line + page filter (Raffel et al. 2020 §2.2 heuristics) — the
+# synthetic docs carry no punctuation/newlines, so the entry PLANTS
+# deterministic rule triggers on the chunked pseudo-lines (terminal
+# punctuation on ~3/4 of lines, lorem-ipsum and brace pages, a
+# javascript mention sprinkle), then runs the REAL operator; the
+# oracle replays planting + rules.
+# ---------------------------------------------------------------------------
+
+_C4_TPL = 12
+_C4_PLANT = (
+    "concat(line, CASE cast((doc_id + line_no) % 4 as int) "
+    "WHEN 0 THEN '.' WHEN 1 THEN '?' WHEN 2 THEN '!' ELSE '' END, "
+    "CASE WHEN doc_id % 53 = 0 AND line_no = 0 THEN ' lorem ipsum' "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 71 = 0 AND line_no = 1 THEN ' {' ELSE '' END, "
+    "CASE WHEN (doc_id * 7 + line_no) % 29 = 0 THEN ' javascript' "
+    "ELSE '' END)"
+)
+
+
+def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.lines import c4_line_filter, chunk_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = chunk_lines(docs, tokens_per_line=_C4_TPL).withColumn(
+        "line", F.expr(_C4_PLANT)
+    )
+    return c4_line_filter(lines)
+
+
+C4_LINE_FILTER_ORACLE = f"""
+WITH {_chunk_lines_sql(_C4_TPL)},
+pl AS (
+  SELECT doc_id, line_no,
+    line || (CASE cast((doc_id + line_no) % 4 as int)
+             WHEN 0 THEN '.' WHEN 1 THEN '?' WHEN 2 THEN '!' ELSE '' END)
+         || (CASE WHEN doc_id % 53 = 0 AND line_no = 0
+             THEN ' lorem ipsum' ELSE '' END)
+         || (CASE WHEN doc_id % 71 = 0 AND line_no = 1
+             THEN ' {{' ELSE '' END)
+         || (CASE WHEN (doc_id * 7 + line_no) % 29 = 0
+             THEN ' javascript' ELSE '' END) AS line
+  FROM l
+),
+flags AS (
+  SELECT doc_id,
+    bool_or(contains(lower(line), 'lorem ipsum')) AS has_lorem,
+    bool_or(contains(line, '{{')) AS has_brace
+  FROM pl GROUP BY 1
+),
+cand AS (
+  SELECT * FROM pl
+  WHERE regexp_matches(line, '[.!?"”]\\s*$')
+    AND len(string_split(line, ' ')) >= 5
+    AND NOT contains(lower(line), 'javascript')
+),
+pok AS (
+  SELECT f.doc_id, f.has_lorem, f.has_brace,
+    (NOT f.has_lorem AND NOT f.has_brace
+     AND coalesce(c.n, 0) >= 3) AS page_kept
+  FROM flags f LEFT JOIN
+    (SELECT doc_id, count(*) AS n FROM cand GROUP BY 1) c USING (doc_id)
+),
+kept AS (
+  SELECT cand.* FROM cand JOIN pok USING (doc_id) WHERE pok.page_kept
+),
+r AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY line_no) AS txt
+  FROM kept GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM pl GROUP BY 1)
+SELECT tot.doc_id, n_lines,
+       cast(coalesce(n_kept, 0) as bigint) AS n_kept,
+       md5(coalesce(txt, '')) AS kept_md5,
+       length(coalesce(txt, ''))::BIGINT AS kept_len,
+       pok.has_lorem, pok.has_brace, pok.page_kept
+FROM tot LEFT JOIN r USING (doc_id) JOIN pok USING (doc_id)
+"""

@@ -154,3 +154,70 @@ def strip_boilerplate(
         id_col, "line_no", "line"
     )
     return _reassemble(lines, kept, id_col, join_delim, include_text)
+
+
+def c4_line_filter(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    join_delim: str = " ",
+    min_words_per_line: int = 5,
+    min_kept_lines_per_page: int = 3,
+) -> DataFrame:
+    """C4-style line + page filtering (Raffel et al. 2020 §2.2):
+
+    line rules — keep a line only if it ends in terminal punctuation
+    (``. ! ? "`` or a closing curly quote), has at least
+    ``min_words_per_line`` whitespace words, and does not mention
+    'javascript' (case-insensitive);
+    page rules — drop the WHOLE page when any line contains
+    'lorem ipsum' (case-insensitive) or a ``{``, or when fewer than
+    ``min_kept_lines_per_page`` lines survive the line rules.
+
+    Takes an exploded (id, line_no, line) frame (``to_lines`` /
+    ``chunk_lines``); returns one row per doc: the ``_reassemble``
+    rollup (n_lines, n_kept, kept_md5, kept_len) plus the page flags
+    (has_lorem, has_brace, page_kept). Dropped pages reassemble to
+    n_kept = 0 / md5('').
+
+    Scale: two partial-agg shuffles on the doc key (page flags, kept
+    counts) + the reassembly rollup — all combiner-friendly; the line
+    rules themselves are map-side regex/size predicates."""
+    page_flags = lines.groupBy(id_col).agg(
+        F.max(
+            F.lower(F.col("line")).contains("lorem ipsum").cast("int")
+        ).cast("boolean").alias("has_lorem"),
+        F.max(
+            F.col("line").contains("{").cast("int")
+        ).cast("boolean").alias("has_brace"),
+    )
+    line_ok = (
+        F.col("line").rlike('[.!?"”]\\s*$')
+        & (F.size(F.split(F.col("line"), " ")) >= min_words_per_line)
+        & ~F.lower(F.col("line")).contains("javascript")
+    )
+    candidates = lines.filter(line_ok)
+    counts = candidates.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_ok")
+    )
+    page_ok = (
+        page_flags.join(counts, id_col, "left")
+        .select(
+            id_col,
+            "has_lorem",
+            "has_brace",
+            (
+                ~F.col("has_lorem")
+                & ~F.col("has_brace")
+                & (
+                    F.coalesce(F.col("__n_ok"), F.lit(0))
+                    >= min_kept_lines_per_page
+                )
+            ).alias("page_kept"),
+        )
+    )
+    kept = candidates.join(
+        page_ok.filter("page_kept").select(id_col), id_col, "left_semi"
+    )
+    return _reassemble(lines, kept, id_col, join_delim).join(
+        page_ok, id_col
+    )

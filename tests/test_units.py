@@ -801,6 +801,45 @@ def test_index_probe_rejects_mismatched_parameters(spark, sf_smoke):
         )
 
 
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule acts: terminal-punctuation and min-word line
+    drops, javascript-line drop, lorem-ipsum and curly-brace PAGE
+    drops, and the min-surviving-lines page rule; a clean page
+    reassembles only its passing lines in order."""
+    from ora_ch_spark.operators.lines import c4_line_filter, to_lines
+
+    good = ("Here is the first proper sentence of the page.\n"
+            "This line also ends with terminal punctuation!\n"
+            "Does this third line survive the filter as well?\n"
+            "too short.\n"
+            "no terminal punctuation on this line at all\n"
+            "Enable javascript to view this page properly please.")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nSome lorem ipsum filler text appears here."),
+            (3, good + "\nA line with a { curly brace inside it."),
+            (4, "Only one good line survives on this page here.\n"
+                "second line has no punctuation at all\n"
+                "third. "),
+        ],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row
+         for row in c4_line_filter(to_lines(docs)).collect()}
+    assert r[1]["page_kept"] is True and r[1]["n_kept"] == 3
+    assert r[1]["n_lines"] == 6
+    # kept text = the three passing lines, original order
+    import hashlib
+    want = " ".join(good.split("\n")[:3])
+    assert r[1]["kept_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert r[2]["page_kept"] is False and r[2]["has_lorem"] is True
+    assert r[2]["n_kept"] == 0
+    assert r[3]["page_kept"] is False and r[3]["has_brace"] is True
+    assert r[4]["page_kept"] is False  # only 1 line survives (< 3)
+    assert r[4]["has_lorem"] is False and r[4]["has_brace"] is False
+
+
 def test_gopher_rules_planted_violations(spark):
     """Each Gopher rule rejects its planted violator and the clean
     doc passes: word-count bounds, mean word length, symbol ratio,
