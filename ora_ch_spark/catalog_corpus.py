@@ -2361,3 +2361,62 @@ SELECT tot.doc_id, n_lines,
        pok.has_lorem, pok.has_brace, pok.page_kept
 FROM tot LEFT JOIN r USING (doc_id) JOIN pok USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring (hashed-bigram importance resampling weights)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "source IN ('src1', 'src2', 'src3')"
+_DSIR_B = 4096
+
+
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ora_ch_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(
+        load_table(spark, sf_dir, "documents"),
+        _DSIR_TARGET,
+        n_buckets=_DSIR_B,
+    ).select(
+        "doc_id", "n_bigrams", F.round(F.col("score"), 6).alias("score")
+    )
+
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest([t[i] || ' ' || t[i + 1]
+                 for i in range(1, greatest(len(t), 1))]) AS gram
+  FROM toks
+),
+dc AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % {_DSIR_B} AS bucket,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+tc AS (SELECT bucket, sum(c) AS ct FROM dc
+       WHERE {_DSIR_TARGET} GROUP BY 1),
+qc AS (SELECT bucket, sum(c) AS cq FROM dc GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS tt,
+               (SELECT coalesce(sum(cq), 0) FROM qc) AS qt),
+ratio AS (
+  SELECT qc.bucket,
+    ln((coalesce(tc.ct, 0)::DOUBLE + 1.0) / (tot.tt + 1.0 * {_DSIR_B}))
+    - ln((qc.cq::DOUBLE + 1.0) / (tot.qt + 1.0 * {_DSIR_B})) AS logratio
+  FROM qc LEFT JOIN tc USING (bucket), tot
+),
+scored AS (
+  SELECT dc.doc_id, sum(dc.c) AS n_bigrams,
+         sum(dc.c::DOUBLE * ratio.logratio) AS score
+  FROM dc JOIN ratio USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       cast(coalesce(s.n_bigrams, 0) as bigint) AS n_bigrams,
+       round(coalesce(s.score, 0.0), 6) AS score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""

@@ -456,3 +456,94 @@ def temperature_mixture_sample(
     return mixture_sample(
         df, weights, group_col=group_col, id_col=id_col, salt=salt
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_filter: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): hashed-bigram bag-of-words models
+    for the TARGET slice (rows matching ``target_filter``) and the
+    RAW corpus; each document scores
+
+        score = Σ_b c_doc(b) · (ln p̂_target(b) − ln q̂_raw(b))
+
+    with add-``smoothing`` estimates over ``n_buckets`` md5-hashed
+    bigram buckets (md5, not engine hashes — cross-engine identical,
+    ``functions/hashes.py``). High scores ≈ target-like documents;
+    compose with :func:`weighted_sample` / :func:`token_budget_select`
+    for the actual resampling step.
+
+    Scale: one explode + TWO partial-agg shuffles build the bucket
+    tables (bounded by n_buckets, broadcast back), one doc-key
+    shuffle sums scores — no global sort, no driver loop. Returns
+    (id, n_bigrams, score); score 0.0 for docs with < 2 tokens.
+    """
+    from ora_ch_spark.functions.hashes import md5_long
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            # IF guard, not greatest(n-1, 0): Spark's sequence(1, 0)
+            # DESCENDS ([1, 0]) instead of yielding an empty array
+            F.expr(
+                f"IF(size(split(lower({text_col}), ' ')) < 2, "
+                f"array(), "
+                f"transform(sequence(1, size(split(lower({text_col}), ' ')) - 1), "
+                f"__gi -> concat(element_at(split(lower({text_col}), ' '), __gi), ' ', "
+                f"element_at(split(lower({text_col}), ' '), __gi + 1))))"
+            )
+        ).alias("gram"),
+    ).withColumn("bucket", md5_long(F.col("gram"), 8) % n_buckets)
+    doc_counts = grams.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    is_target = docs.filter(target_filter).select(id_col)
+    t_counts = (
+        doc_counts.join(is_target, id_col, "left_semi")
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    q_counts = doc_counts.groupBy("bucket").agg(F.sum("c").alias("cq"))
+    t_total = t_counts.agg(F.sum("ct")).first()[0] or 0
+    q_total = q_counts.agg(F.sum("cq")).first()[0] or 0
+    s, b = float(smoothing), n_buckets
+    ratio = (
+        q_counts.join(t_counts, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(s))
+                    / F.lit(float(t_total) + s * b)
+                )
+                - F.log(
+                    (F.col("cq").cast("double") + F.lit(s))
+                    / F.lit(float(q_total) + s * b)
+                )
+            ).alias("logratio"),
+        )
+    )
+    scored = (
+        doc_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c").cast("double") * F.col("logratio")).alias(
+                "score"
+            ),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias(
+            "n_bigrams"
+        ),
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+    )

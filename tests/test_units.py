@@ -801,6 +801,34 @@ def test_index_probe_rejects_mismatched_parameters(spark, sf_smoke):
         )
 
 
+def test_dsir_importance_ranks_targetlike_docs(spark):
+    """DSIR log-ratio scores: documents sharing the target slice's
+    bigrams score above documents made of off-target bigrams; a
+    sub-2-token doc gets n_bigrams 0 / score 0.0."""
+    from ora_ch_spark.operators.sampling import dsir_importance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "wiki", "solar physics concerns plasma dynamics"),
+            (2, "wiki", "plasma dynamics shapes solar physics"),
+            (3, "web", "solar physics concerns plasma dynamics"),
+            (4, "web", "buy cheap pills online today now"),
+            (5, "web", "single"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = {row["doc_id"]: row for row in dsir_importance(
+        docs, "source = 'wiki'").collect()}
+    # RANKING is the contract (with n_buckets >> corpus counts the
+    # smoothing shifts every absolute score down): target-like
+    # content (docs 1-3 share bigrams) beats off-target content, and
+    # a non-target doc with target text scores like the target docs
+    assert r[3]["score"] > r[4]["score"]
+    assert r[1]["score"] > r[4]["score"]
+    assert abs(r[3]["score"] - r[1]["score"]) < 1e-9  # same text
+    assert r[5]["n_bigrams"] == 0 and r[5]["score"] == 0.0
+
+
 def test_c4_line_filter_rules(spark):
     """Each C4 rule acts: terminal-punctuation and min-word line
     drops, javascript-line drop, lorem-ipsum and curly-brace PAGE
