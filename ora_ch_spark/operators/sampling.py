@@ -486,33 +486,53 @@ def dsir_importance(
     """
     from ora_ch_spark.functions.hashes import md5_long
 
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            # IF guard, not greatest(n-1, 0): Spark's sequence(1, 0)
-            # DESCENDS ([1, 0]) instead of yielding an empty array
-            F.expr(
-                f"IF(size(split(lower({text_col}), ' ')) < 2, "
-                f"array(), "
-                f"transform(sequence(1, size(split(lower({text_col}), ' ')) - 1), "
-                f"__gi -> concat(element_at(split(lower({text_col}), ' '), __gi), ' ', "
-                f"element_at(split(lower({text_col}), ' '), __gi + 1))))"
-            )
-        ).alias("gram"),
-    ).withColumn("bucket", md5_long(F.col("gram"), 8) % n_buckets)
+    # split ONCE into a column before the lambda — element_at over a
+    # re-split inside the transform is O(len²) per document (codegen
+    # does not CSE the split across lambda elements; measured 3x)
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.split(F.lower(F.col(text_col)), " ").alias("__t"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                # IF guard, not greatest(n-1, 0): Spark's
+                # sequence(1, 0) DESCENDS instead of yielding []
+                F.expr(
+                    "IF(size(__t) < 2, array(), "
+                    "transform(sequence(1, size(__t) - 1), "
+                    "__gi -> concat(element_at(__t, __gi), ' ', "
+                    "element_at(__t, __gi + 1))))"
+                )
+            ).alias("gram"),
+        )
+        .withColumn("bucket", md5_long(F.col("gram"), 8) % n_buckets)
+    )
+    # persist: the 15M-row-per-30k-doc gram explode feeds the bucket
+    # tables, the totals action AND the scoring join — without the
+    # persist each consumer re-runs the explode (measured 9.4 s → 2 s
+    # at sf0.1)
     doc_counts = grams.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).persist()
     is_target = docs.filter(target_filter).select(id_col)
     t_counts = (
-        doc_counts.join(is_target, id_col, "left_semi")
+        doc_counts.join(F.broadcast(is_target), id_col, "left_semi")
         .groupBy("bucket")
         .agg(F.sum("c").alias("ct"))
     )
     q_counts = doc_counts.groupBy("bucket").agg(F.sum("c").alias("cq"))
-    t_total = t_counts.agg(F.sum("ct")).first()[0] or 0
-    q_total = q_counts.agg(F.sum("cq")).first()[0] or 0
+    # ONE driver action for both totals (bucket tables are bounded)
+    tot = (
+        q_counts.join(t_counts, "bucket", "left")
+        .agg(
+            F.sum("cq").alias("qt"),
+            F.sum(F.coalesce(F.col("ct"), F.lit(0))).alias("tt"),
+        )
+        .first()
+    )
+    q_total, t_total = tot["qt"] or 0, tot["tt"] or 0
     s, b = float(smoothing), n_buckets
     ratio = (
         q_counts.join(t_counts, "bucket", "left")
