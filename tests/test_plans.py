@@ -316,3 +316,44 @@ def test_array_join_keeps_scan_pruning(spark, sf_correct):
     assert "PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,100)" in p
     assert "p_retailprice" not in p, "unused column must be pruned through the explode"
     assert "Generate explode" in p or "Generate posexplode" in p
+
+
+def test_gopher_rules_is_pure_projection(spark, sf_correct):
+    """The Gopher filter must stay map-side: no Exchange at all —
+    every rule is a per-row expression over the scan, and column
+    pruning keeps unused doc columns out of the read."""
+    from ora_ch_spark.operators.text import gopher_rules
+
+    p = _plan(gopher_rules(load_table(spark, sf_correct, "documents")))
+    assert "Exchange" not in p, "rule filter must not shuffle"
+    assert "ReadSchema" in p and "source" not in p.split("ReadSchema")[1][:200]
+
+
+def test_c4_line_filter_partial_aggs_no_cartesian(spark, sf_correct):
+    """C4 filter: page flags and counts aggregate partially before
+    their exchanges; no cartesian/BNLJ anywhere (the page-verdict
+    joins are keyed)."""
+    from ora_ch_spark.operators.lines import c4_line_filter, chunk_lines
+
+    lines = chunk_lines(load_table(spark, sf_correct, "documents"),
+                        tokens_per_line=12)
+    p = _plan(c4_line_filter(lines))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p, "page/line counts must combine map-side"
+
+
+def test_dsir_bucket_ratio_is_broadcast(spark, sf_correct):
+    """DSIR scoring: the bounded bucket-ratio table must BROADCAST
+    back onto the doc-bucket counts (a sort-merge there would shuffle
+    the whole gram frame a second time); no cartesian products."""
+    from ora_ch_spark.operators.sampling import dsir_importance
+
+    df = dsir_importance(
+        load_table(spark, sf_correct, "documents"),
+        "source IN ('src1', 'src2', 'src3')",
+    )
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, "bucket ratio join must broadcast"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
