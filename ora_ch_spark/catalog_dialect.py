@@ -1664,3 +1664,81 @@ UNION ALL
 SELECT 'esum' AS tag, round(sum(esum), 3) AS n FROM per
 ORDER BY tag
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch-13 dialect surface (round 8) — aggregate-combinator completion
+# (-Array/-OrNull/-Distinct), CH format(), geo leftovers, JSON tails.
+# ---------------------------------------------------------------------------
+
+_DIALECT16_CH_SQL = """
+select
+  toInt64(toYear(o_orderdate)) as y,
+  round(sumArray([toFloat64(o_custkey % 7), toFloat64(o_orderkey % 5)]), 2) as sa,
+  round(avgArray([toFloat64(o_custkey % 7), toFloat64(o_orderkey % 5)]), 6) as aa,
+  toInt64(minArray([o_custkey % 7, o_orderkey % 5])) as mna,
+  toInt64(maxArray([o_custkey % 7, o_orderkey % 5])) as mxa,
+  toInt64(countArray([o_custkey % 7, o_orderkey % 5])) as ca,
+  toInt64(uniqArray([o_custkey % 11, o_orderkey % 13])) as ua,
+  toInt64(sumDistinct(o_custkey % 19)) as sd,
+  toInt64(maxOrNull(o_custkey % 23)) as mo,
+  min(format('{1}-{0}', toString(o_orderkey % 7), o_orderstatus)) as fmt,
+  toInt64(sum(countSubstringsCaseInsensitive(o_orderpriority, 'E'))) as cs,
+  min(mid(o_orderpriority, 3, 4)) as md,
+  round(sum(greatCircleAngle(toFloat64(o_custkey % 90), 0.0,
+                             toFloat64(o_orderkey % 90), 10.0)), 2) as gca,
+  toInt64(sum(pointInEllipses(toFloat64(o_custkey % 10), toFloat64(o_orderkey % 10),
+                              5.0, 5.0, 3.0, 4.0))) as pie
+from orders
+where o_orderkey <= 5000
+group by toYear(o_orderdate)
+order by y
+"""
+
+
+def calc_dialect16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-13 surface, value-gated: -Array combinator folds,
+    -OrNull/-Distinct, CH format() placeholder compilation,
+    case-insensitive substring counts, mid, greatCircleAngle
+    haversine, variadic pointInEllipses."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT16_CH_SQL)).orderBy("y")
+
+
+DIALECT16_ORACLE = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 5000),
+uq AS (
+  SELECT y, cast(count(DISTINCT x) as bigint) AS ua FROM (
+    SELECT year(o_orderdate) AS y, unnest([o_custkey % 11, o_orderkey % 13]) AS x
+    FROM o) GROUP BY y
+)
+SELECT cast(year(o_orderdate) as bigint) AS y,
+  round(sum((o_custkey % 7)::DOUBLE + (o_orderkey % 5)::DOUBLE), 2) AS sa,
+  round(sum((o_custkey % 7)::DOUBLE + (o_orderkey % 5)::DOUBLE)
+        / (2 * count(*)), 6) AS aa,
+  cast(min(least(o_custkey % 7, o_orderkey % 5)) as bigint) AS mna,
+  cast(max(greatest(o_custkey % 7, o_orderkey % 5)) as bigint) AS mxa,
+  cast(2 * count(*) as bigint) AS ca,
+  any_value(uq.ua) AS ua,
+  cast(sum(DISTINCT o_custkey % 19) as bigint) AS sd,
+  cast(max(o_custkey % 23) as bigint) AS mo,
+  min(o_orderstatus || '-' || cast(o_orderkey % 7 as varchar)) AS fmt,
+  cast(sum(len(o_orderpriority)
+       - len(replace(lower(o_orderpriority), 'e', ''))) as bigint) AS cs,
+  min(substr(o_orderpriority, 3, 4)) AS md,
+  round(sum(degrees(2.0 * asin(sqrt(
+    pow(sin(radians(10.0 - 0.0) / 2), 2) +
+    cos(radians(0.0)) * cos(radians(10.0)) *
+    pow(sin(radians((o_orderkey % 90)::DOUBLE - (o_custkey % 90)) / 2), 2)
+  )))), 2) AS gca,
+  cast(sum(CASE WHEN
+    pow(((o_custkey % 10)::DOUBLE - 5.0) / 3.0, 2)
+    + pow(((o_orderkey % 10)::DOUBLE - 5.0) / 4.0, 2) <= 1.0
+    THEN 1 ELSE 0 END) as bigint) AS pie
+FROM o JOIN uq ON uq.y = year(o_orderdate)
+GROUP BY year(o_orderdate)
+ORDER BY y
+"""

@@ -3177,6 +3177,38 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "greatCircleDistance", _haversine("6371008.8"))
     out = _rewrite_calls(out, "geoDistance", _haversine("6371008.8"))
 
+    def _great_circle_angle(a: list[str]) -> str | None:
+        # central angle in DEGREES — the same haversine with the
+        # radius factored out
+        if len(a) != 4:
+            return None
+        lon1, lat1, lon2, lat2 = a
+        return (
+            f"degrees(2.0 * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        )
+
+    out = _rewrite_calls(out, "greatCircleAngle", _great_circle_angle)
+
+    def _point_in_ellipses(a: list[str]) -> str | None:
+        # pointInEllipses(x, y, x1, y1, a1, b1, …): 1 when the point
+        # is inside ANY of the axis-aligned ellipses
+        if len(a) < 6 or (len(a) - 2) % 4 != 0:
+            return None
+        x, y = a[0], a[1]
+        terms = []
+        for i in range(2, len(a), 4):
+            xi, yi, ai, bi = a[i : i + 4]
+            terms.append(
+                f"(pow((({x}) - ({xi})) / ({ai}), 2) + "
+                f"pow((({y}) - ({yi})) / ({bi}), 2) <= 1.0)"
+            )
+        return f"(CASE WHEN {' OR '.join(terms)} THEN 1 ELSE 0 END)"
+
+    out = _rewrite_calls(out, "pointInEllipses", _point_in_ellipses)
+
     def _geohash_encode(a: list[str]) -> str | None:
         # closed-form bit expansion (no fold state): interleaved bit j
         # is floor((coord + span/2) * 2^(k+1) / span) % 2 with k = the
@@ -4833,6 +4865,115 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
                 return None
             return _decay_fold(ps[0], a[0], a[1], base2=False, kind=_k)
         out = _rewrite_param_calls(out, _dfn, _etd)
+
+    # ---- round-8 batch #13: aggregate-combinator completion
+    # (-Array, -OrNull, -Distinct), CH format(), string/JSON tails,
+    # no-op wrappers. ----
+    # -Array combinators fold the array elements of every row into
+    # the aggregate. sum/avg fold in DOUBLE (same documented widening
+    # as arraySum); uniqArray is EXACT over the flattened collect —
+    # same exact-for-approximate drift family as the topK rewrite.
+    _ASUM = (
+        "sum(aggregate({a}, cast(0 as double), (__cs, __cv) -> "
+        "__cs + __cv))"
+    )
+    out = _rewrite_calls(
+        out, "sumArray", lambda a: _ASUM.format(a=a[0])
+    )
+    out = _rewrite_calls(
+        out,
+        "avgArray",
+        lambda a: f"({_ASUM.format(a=a[0])} / sum(size({a[0]})))",
+    )
+    out = _rewrite_calls(
+        out, "minArray", lambda a: f"min(array_min({a[0]}))"
+    )
+    out = _rewrite_calls(
+        out, "maxArray", lambda a: f"max(array_max({a[0]}))"
+    )
+    out = _rewrite_calls(
+        out, "countArray", lambda a: f"sum(size({a[0]}))"
+    )
+    out = _rewrite_calls(
+        out,
+        "uniqArray",
+        lambda a: (
+            f"cast(size(array_distinct(flatten(collect_list({a[0]})))) "
+            "as bigint)"
+        ),
+    )
+    # -OrNull combinators: Spark aggregates are already NULL over an
+    # empty input set, so the base aggregate IS the OrNull form
+    for _fn, _base in (
+        ("maxOrNull", "max"), ("minOrNull", "min"), ("sumOrNull", "sum"),
+        ("avgOrNull", "avg"),
+    ):
+        out = _rewrite_calls(
+            out, _fn, lambda a, _b=_base: f"{_b}({a[0]})"
+        )
+    out = _rewrite_calls(
+        out, "anyOrNull", lambda a: f"any_value({a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "sumDistinct", lambda a: f"sum(DISTINCT {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "avgDistinct", lambda a: f"avg(DISTINCT {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "countSubstringsCaseInsensitive",
+        lambda a: (
+            f"(CASE WHEN length({a[1]}) = 0 THEN 0 "
+            f"ELSE ((length({a[0]}) - length(replace(lower({a[0]}), "
+            f"lower({a[1]}), {lit('')}))) div length({a[1]})) END)"
+        ),
+    )
+
+    def _ch_format(a: list[str]) -> str | None:
+        # CH format('{} x {}', a, b) / indexed '{0}'-style → Spark
+        # format_string('%s x %s', …) (indexed → %n$s). Literal braces
+        # '{{'/'}}' unescape; a '%' in the pattern must escape to '%%'
+        fmt = _lit_text(a[0], lits)
+        if fmt is None or len(a) < 2:
+            return None
+        body = fmt[1:-1].replace("%", "%%")
+        # brace escapes lift out BEFORE placeholder substitution —
+        # '{{}}' contains a literal-brace pair, not a placeholder
+        body = body.replace("{{", "\x01").replace("}}", "\x02")
+
+        def _ph(m: re.Match) -> str:
+            ix = m.group(1)
+            return f"%{int(ix) + 1}$s" if ix else "%s"
+
+        body = re.sub(r"\{(\d*)\}", _ph, body)
+        body = body.replace("\x01", "{").replace("\x02", "}")
+        new_fmt = _emit_lit("'" + body.replace("'", "''") + "'", lits)
+        args = ", ".join(f"cast({x} as string)" for x in a[1:])
+        return f"format_string({new_fmt}, {args})"
+
+    out = _rewrite_calls(out, "format", _ch_format)
+    out = _rewrite_calls(
+        out, "mid", lambda a: f"substring({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "JSON_VALUE", lambda a: f"get_json_object({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "JSONArrayLength", lambda a: f"json_array_length({a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "toStringCutToZero",
+        lambda a: f"substring_index({a[0]}, chr(0), 1)",
+    )
+    out = _rewrite_calls(
+        out, "concatAssumeInjective", lambda a: f"concat({', '.join(a)})"
+    )
+    # no-op wrappers: block/materialization hints with no Spark analog
+    for _noop in ("identity", "materialize"):
+        out = _rewrite_calls(out, _noop, lambda a: f"({a[0]})")
+    out = _rewrite_calls(out, "ignore", lambda a: "0")
 
     # ---- statement-level CH constructs (still on masked text) ----
     masked = out

@@ -2586,7 +2586,10 @@ def test_dialect_strips_format_and_settings():
         ("select x from t SETTINGS max_threads = 4", "select x from t"),
         ("select x from t SETTINGS max_threads=4, join_use_nulls = 1"
          " FORMAT CSV", "select x from t"),
-        ("select format('{}', x) from t", "select format('{}', x) from t"),
+        # a format(...) CALL is not the FORMAT clause — and since r8's
+        # batch 13 it translates to format_string
+        ("select format('{}', x) from t",
+         "select format_string('%s', cast(x as string)) from t"),
         ("select format from t", "select format from t"),
         ("select x from t where settings = 2",
          "select x from t where settings = 2"),
@@ -3453,6 +3456,48 @@ def test_dialect_decay_aggregates(spark):
         " (SELECT 100.0 v, 0 t UNION ALL SELECT 1.0, 1)"
     )).collect()[0]["m"]
     assert abs(r - 100 * w0) < 1e-10
+
+
+def test_dialect_batch13_rewrites(spark):
+    """Round-8 batch-13: -Array combinators (fold the array elements
+    of every row into the aggregate), -OrNull (Spark aggregates are
+    already NULL over empty sets), -Distinct, case-insensitive
+    substring counting, CH format() ({} / {n} / {{}} escapes / %),
+    mid, JSON_VALUE/JSONArrayLength, identity/materialize/ignore
+    no-ops, greatCircleAngle, variadic pointInEllipses. Value-gated
+    by calc_dialect_battery16."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "SELECT sumArray(a) AS s, avgArray(a) AS av, minArray(a) AS mn,"
+        " maxArray(a) AS mx, countArray(a) AS c, uniqArray(a) AS u,"
+        " sumDistinct(x) AS sd, maxOrNull(x) AS mo FROM"
+        " (SELECT array(1, 2) a, 5 x UNION ALL SELECT array(2, 3, 4), 5)"
+    )).collect()[0]
+    assert (r["s"], r["av"], r["mn"], r["mx"], r["c"], r["u"],
+            r["sd"], r["mo"]) == (12.0, 2.4, 1, 4, 5, 4, 5, 5)
+    r = spark.sql(T("SELECT sumOrNull(x) AS s FROM (SELECT 1 x)"
+                    " WHERE x > 9")).collect()[0]
+    assert r["s"] is None
+    cases = [
+        ("countSubstringsCaseInsensitive('aBab', 'AB')", 2),
+        ("format('{} x {}', 3, 'y')", "3 x y"),
+        ("format('{1} {0}', 'a', 'b')", "b a"),
+        ("format('{{}} {}', 7)", "{} 7"),
+        ("format('50% {}', 1)", "50% 1"),
+        ("mid('hello', 2, 3)", "ell"),
+        ("JSONArrayLength('[1, 2, 3]')", 3),
+        ("identity(7)", 7), ("ignore(9)", 0),
+        ("round(greatCircleAngle(0., 0., 90., 0.), 4)", 90.0),
+        ("pointInEllipses(1., 1., 0., 0., 2., 2.)", 1),
+        ("pointInEllipses(5., 5., 0., 0., 1., 1., 5., 5., 1., 1.)", 1),
+    ]
+    sql = T("SELECT " + ", ".join(
+        f"{s} AS c{i}" for i, (s, _) in enumerate(cases)))
+    assert T(sql) == sql
+    row = spark.sql(sql).collect()[0]
+    for i, (s, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{s}: {row[f'c{i}']!r} != {want!r}"
 
 
 def test_dialect_polymorphic_length_empty(spark):
