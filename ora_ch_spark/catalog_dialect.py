@@ -1672,6 +1672,7 @@ ORDER BY tag
 # ---------------------------------------------------------------------------
 
 _DIALECT16_CH_SQL = """
+select * replace(y + 1000 as y) from (
 select
   toInt64(toYear(o_orderdate)) as y,
   round(sumArray([toFloat64(o_custkey % 7), toFloat64(o_orderkey % 5)]), 2) as sa,
@@ -1692,7 +1693,7 @@ select
 from orders
 where o_orderkey <= 5000
 group by toYear(o_orderdate)
-order by y
+) order by y
 """
 
 
@@ -1700,7 +1701,9 @@ def calc_dialect16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-13 surface, value-gated: -Array combinator folds,
     -OrNull/-Distinct, CH format() placeholder compilation,
     case-insensitive substring counts, mid, greatCircleAngle
-    haversine, variadic pointInEllipses."""
+    haversine, variadic pointInEllipses — wrapped in a
+    ``* REPLACE(y + 1000 AS y)`` column transformer so the r8 star
+    rewrite is driver-gated too."""
     from ora_ch_spark.functions.dialect import translate_ch_sql
     from ora_ch_spark.io import register_views
 
@@ -1715,7 +1718,7 @@ uq AS (
     SELECT year(o_orderdate) AS y, unnest([o_custkey % 11, o_orderkey % 13]) AS x
     FROM o) GROUP BY y
 )
-SELECT cast(year(o_orderdate) as bigint) AS y,
+SELECT cast(year(o_orderdate) as bigint) + 1000 AS y,
   round(sum((o_custkey % 7)::DOUBLE + (o_orderkey % 5)::DOUBLE), 2) AS sa,
   round(sum((o_custkey % 7)::DOUBLE + (o_orderkey % 5)::DOUBLE)
         / (2 * count(*)), 6) AS aa,

@@ -1195,6 +1195,84 @@ def _lambda_shadow_spans(text: str, name: str) -> list[tuple[int, int]]:
     return spans
 
 
+_AS_ITEM = re.compile(r"(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)$")
+
+
+def _rewrite_star_replace(masked: str) -> str:
+    """CH column transformer ``[t.]* [EXCEPT (cols)] REPLACE(expr AS
+    col, …)`` — Spark has ``* EXCEPT`` natively but no REPLACE, so
+    the star expands to ``* EXCEPT (<except cols> ∪ <replaced cols>),
+    expr AS col, …``. Documented drift: the replaced columns move to
+    the END of the projection (CH keeps their position) — irrelevant
+    to name-addressed consumers. A ``replace(`` that is the string
+    FUNCTION (not preceded by ``*`` / ``* EXCEPT (…)``) is never
+    touched; malformed items (no ``AS``) leave the occurrence alone
+    (loud)."""
+    pos = 0
+    while True:
+        m = re.compile(r"(?i)\breplace\s*\(").search(masked, pos)
+        if not m:
+            return masked
+        start = m.start()
+        j = start - 1
+        while j >= 0 and masked[j].isspace():
+            j -= 1
+        exc_names: list[str] = []
+        if j >= 0 and masked[j] == ")":
+            depth, k = 0, j
+            while k >= 0:
+                if masked[k] == ")":
+                    depth += 1
+                elif masked[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            m2 = re.search(r"(?is)\bexcept\s*$", masked[:k])
+            if m2 is None:
+                pos = start + 1
+                continue
+            exc_names = [i.strip() for i in _split_top(masked[k + 1 : j])]
+            j2 = m2.start() - 1
+            while j2 >= 0 and masked[j2].isspace():
+                j2 -= 1
+            if j2 < 0 or masked[j2] != "*":
+                pos = start + 1
+                continue
+            star = j2
+        elif j >= 0 and masked[j] == "*":
+            star = j
+        else:
+            pos = start + 1
+            continue
+        qual = ""
+        qb = star
+        if qb >= 1 and masked[qb - 1] == ".":
+            mq = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\.$", masked[:qb])
+            if mq:
+                qual = mq.group(1) + "."
+                qb = mq.start(1)
+        paren = masked.index("(", m.start())
+        gend, items = _parse_group(masked, paren)
+        parsed: list[tuple[str, str]] = []
+        for it in items:
+            am = _AS_ITEM.match(it.strip())
+            if am is None or am.group(1).count("(") != am.group(1).count(")"):
+                parsed = []
+                break
+            parsed.append((am.group(1).strip(), am.group(2)))
+        if not parsed:
+            pos = start + 1
+            continue
+        all_exc = exc_names + [n for _, n in parsed]
+        repl = (
+            f"{qual}* EXCEPT ({', '.join(all_exc)}), "
+            + ", ".join(f"{e} AS {n}" for e, n in parsed)
+        )
+        masked = masked[:qb] + repl + masked[gend:]
+        pos = qb + len(repl)
+
+
 def _rewrite_scalar_with(masked: str) -> str:
     """CH's constant-expression WITH — ``WITH 3 AS k, 'x' AS s
     SELECT k, s …`` (expression FIRST, no parenthesized subquery) —
@@ -5013,6 +5091,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_sample_clause(masked)
     # CH constant-expression WITH (expr AS ident) → inline at uses
     masked = _rewrite_scalar_with(masked)
+    # [t.]* [EXCEPT(...)] REPLACE(expr AS col, …) → EXCEPT + re-add
+    masked = _rewrite_star_replace(masked)
     # [LEFT] ARRAY JOIN clause → position-exploded LATERAL VIEW
     masked = _rewrite_array_join(masked)
     # ASOF [LEFT] JOIN → adjacent-ts window + interval-bounded join

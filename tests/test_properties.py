@@ -98,6 +98,9 @@ _TRIGGER_SNIPPETS = [
     "prewhere x final sample 0.5",
     "with 3 as k select k",
     "[1, 2, 3]",
+    "* replace(x + 1 as x)",
+    "format('{} {}', a, b)",
+    "exponentialMovingAverage(10)(v, t)",
 ]
 
 

@@ -3458,6 +3458,39 @@ def test_dialect_decay_aggregates(spark):
     assert abs(r - 100 * w0) < 1e-10
 
 
+def test_dialect_star_replace(spark):
+    """CH column transformer ``* REPLACE(expr AS col)`` (optionally
+    after ``EXCEPT (…)``, optionally qualified ``t.*``) expands to
+    Spark's native ``* EXCEPT`` + re-added expressions; the string
+    FUNCTION replace() is never touched; malformed items pass
+    through loudly. Documented drift: replaced columns move to the
+    end of the projection."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.sql("SELECT 1 a, 2 b, 3 c").createOrReplaceTempView("srx_t")
+    r = spark.sql(T("SELECT * REPLACE(a * 10 AS a) FROM srx_t")
+                  ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (10, 2, 3)
+    r = spark.sql(T("SELECT * EXCEPT (c) REPLACE(b + 1 AS b) FROM srx_t")
+                  ).collect()[0]
+    assert r.asDict() == {"a": 1, "b": 3}
+    r = spark.sql(T("SELECT t.* REPLACE(a - 1 AS a) FROM srx_t t")
+                  ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (0, 2, 3)
+    # nested + idempotent
+    src = ("SELECT * REPLACE(a+1 AS a) FROM"
+           " (SELECT * REPLACE(b*2 AS b) FROM srx_t)")
+    once = T(src)
+    assert T(once) == once
+    r = spark.sql(once).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (2, 4, 3)
+    # the string function survives; malformed REPLACE passes through
+    assert spark.sql(T("SELECT replace('abc', 'b', 'x') AS r"
+                       " FROM srx_t")).collect()[0]["r"] == "axc"
+    src = "SELECT * REPLACE(a + 1) FROM srx_t"
+    assert T(src) == src
+
+
 def test_dialect_batch13_rewrites(spark):
     """Round-8 batch-13: -Array combinators (fold the array elements
     of every row into the aggregate), -OrNull (Spark aggregates are
