@@ -1197,6 +1197,35 @@ def _lambda_shadow_spans(text: str, name: str) -> list[tuple[int, int]]:
 
 _AS_ITEM = re.compile(r"(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)$")
 
+_WITH_TIES = re.compile(
+    r"(?is)\border\s+by\s+(.+?)\s+limit\s+(\d+)\s+with\s+ties\s*(;?\s*)$"
+)
+
+
+def _rewrite_with_ties(masked: str) -> str:
+    """``ORDER BY keys LIMIT n WITH TIES`` (statement tail) → a
+    ``rank()`` window wrapper: rows with rank ≤ n keep every row tied
+    with the n-th on the sort keys — exactly CH's WITH TIES. Only the
+    top-level tail form rewrites; an owning ORDER BY that is not the
+    final clause (subquery spellings) passes through loudly."""
+    m = _WITH_TIES.search(masked)
+    if m is None:
+        return masked
+    pre = masked[: m.start()]
+    keys = m.group(1).strip()
+    if (
+        pre.count("(") != pre.count(")")
+        or keys.count("(") != keys.count(")")
+        or re.search(r"(?i)\b(select|from|limit|union|by)\b", keys)
+    ):
+        return masked
+    n = int(m.group(2))
+    return (
+        f"SELECT * EXCEPT (__wt_r) FROM (SELECT *, rank() OVER "
+        f"(ORDER BY {keys}) AS __wt_r FROM ({pre.strip()}) __wt_b) "
+        f"WHERE __wt_r <= {n} ORDER BY {keys}{m.group(3)}"
+    )
+
 
 def _rewrite_star_replace(masked: str) -> str:
     """CH column transformer ``[t.]* [EXCEPT (cols)] REPLACE(expr AS
@@ -5101,6 +5130,17 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_qualify(masked)
     # LIMIT n BY cols → row_number window wrapper
     masked = _rewrite_limit_by(masked)
+    # CH comma offset form LIMIT off, n → LIMIT n OFFSET off (the
+    # BY forms were consumed above, the lookahead keeps any residue
+    # untouched)
+    masked = re.sub(
+        r"(?i)\blimit\s+(\d+)\s*,\s*(\d+)(?!\s*by\b)",
+        r"LIMIT \2 OFFSET \1",
+        masked,
+    )
+    # ORDER BY … LIMIT n WITH TIES → rank() wrapper (ties at the
+    # boundary survive, exactly rank <= n)
+    masked = _rewrite_with_ties(masked)
     # GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ())
     masked = _rewrite_with_totals(masked)
     # ORDER BY c WITH FILL → sequence-spine full join

@@ -3458,6 +3458,30 @@ def test_dialect_decay_aggregates(spark):
     assert abs(r - 100 * w0) < 1e-10
 
 
+def test_dialect_limit_ties_and_comma(spark):
+    """``LIMIT n WITH TIES`` → rank() wrapper (boundary ties
+    survive); CH comma form ``LIMIT off, n`` → LIMIT n OFFSET off.
+    LIMIT BY's own comma form is consumed by its rewrite first, and
+    a WITH TIES inside a subquery passes through loudly."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.sql("SELECT * FROM (VALUES (1), (2), (2), (2), (5)) v(x)"
+              ).createOrReplaceTempView("lt_t")
+    s = T("SELECT x FROM lt_t ORDER BY x LIMIT 2 WITH TIES")
+    assert T(s) == s
+    assert [r["x"] for r in spark.sql(s).collect()] == [1, 2, 2, 2]
+    assert [r["x"] for r in spark.sql(T(
+        "SELECT x FROM lt_t ORDER BY x DESC LIMIT 2 WITH TIES"
+    )).collect()] == [5, 2, 2, 2]
+    s = T("SELECT x FROM lt_t ORDER BY x LIMIT 1, 2")
+    assert s == "SELECT x FROM lt_t ORDER BY x LIMIT 2 OFFSET 1"
+    assert [r["x"] for r in spark.sql(s).collect()] == [2, 2]
+    # subquery WITH TIES: untouched (loud)
+    sub = ("SELECT * FROM (SELECT x FROM t ORDER BY x LIMIT 2 WITH"
+           " TIES) q JOIN u ON q.x = u.x")
+    assert "WITH" in T(sub) and "TIES" in T(sub)
+
+
 def test_dialect_star_replace(spark):
     """CH column transformer ``* REPLACE(expr AS col)`` (optionally
     after ``EXCEPT (…)``, optionally qualified ``t.*``) expands to
