@@ -39,6 +39,8 @@ def main() -> None:
     # swing ±30%, which is noise against the 2x regression bar — the
     # min is the steady-state cost of the plan
     timings: dict[str, float] = {}
+    pass_vectors: dict[str, list[float]] = {}
+    contended: list[str] = []
     errors: dict[str, str] = {}
     for q in all_queries():
         # operators persist intermediates internally; drop the PREVIOUS
@@ -67,6 +69,17 @@ def main() -> None:
                 passes.append(time.perf_counter() - t0)
                 tries += 1
             timings[q.name] = round(min(passes), 3)
+            # r8 post-mortem: min-of-N is blind to UNIFORM slowdowns
+            # (every pass contended → min is still inflated, and the
+            # re-sample guard never fires). Record the full pass
+            # vector so a cross-round drift on untouched code is
+            # diagnosable post-hoc (tight vector + inflated min =
+            # machine contention, not a plan change), and flag
+            # entries where the re-sample loop exhausted without two
+            # agreeing samples.
+            pass_vectors[q.name] = [round(p, 3) for p in passes]
+            if sorted(passes)[1] > 1.5 * min(passes):
+                contended.append(q.name)
         except Exception as exc:  # one broken query must not kill the run
             errors[q.name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {q.name} FAILED: {errors[q.name]}", file=sys.stderr)
@@ -94,6 +107,8 @@ def main() -> None:
         # truncates long lines head-first (r4's line lost its head),
         # so the scalar summary fields must sit at the TAIL to survive
         "queries": timings,
+        "passes": pass_vectors,
+        "contended": contended,
         "errors": errors,
         "partial": bool(errors),
         "sf": sf,

@@ -516,9 +516,24 @@ def dsir_importance(
     doc_counts = grams.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("c")
     ).persist()
+    # Broadcast GATE (not a blind hint): the target slice is bounded
+    # only by the user's filter — a permissive filter at 100 TB would
+    # OOM executors under a forced broadcast. Count it first (cheap:
+    # filter + projection on the id column) and only hint when it is
+    # genuinely small; otherwise take a plain left_semi and let AQE
+    # pick the strategy (same discipline as op_update's
+    # BROADCAST_UPDATES_MAX_ROWS gate, load_ops.py).
+    from ora_ch_spark.operators.load_ops import BROADCAST_UPDATES_MAX_ROWS
+
     is_target = docs.filter(target_filter).select(id_col)
+    n_target = is_target.count()
+    target_side = (
+        F.broadcast(is_target)
+        if n_target <= BROADCAST_UPDATES_MAX_ROWS
+        else is_target
+    )
     t_counts = (
-        doc_counts.join(F.broadcast(is_target), id_col, "left_semi")
+        doc_counts.join(target_side, id_col, "left_semi")
         .groupBy("bucket")
         .agg(F.sum("c").alias("ct"))
     )

@@ -357,3 +357,35 @@ def test_dsir_bucket_ratio_is_broadcast(spark, sf_correct):
     assert "BroadcastHashJoin" in p, "bucket ratio join must broadcast"
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dsir_target_broadcast_is_gated(spark, sf_correct, monkeypatch):
+    """The target-slice semi-join broadcast is COUNT-GATED, not a
+    blind hint (a permissive target_filter at 100 TB would OOM
+    executors under a forced broadcast). With the threshold forced to
+    0 the large-slice path must plan WITHOUT the target hint — the
+    analyzed plan carries exactly one broadcast hint (the bounded
+    bucket-ratio table) instead of two — and the result values must
+    not change."""
+    import ora_ch_spark.operators.load_ops as load_ops
+    from ora_ch_spark.operators.sampling import dsir_importance
+
+    docs = load_table(spark, sf_correct, "documents")
+
+    def n_hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "strategy=broadcast"
+        )
+
+    gated = dsir_importance(docs, "source = 'src1'")
+    assert n_hints(gated) == 2, "small slice: target + ratio hints"
+    monkeypatch.setattr(load_ops, "BROADCAST_UPDATES_MAX_ROWS", 0)
+    ungated = dsir_importance(docs, "source = 'src1'")
+    assert n_hints(ungated) == 1, "large slice: only the ratio hint"
+    a = {r["doc_id"]: r["score"]
+         for r in gated.filter("doc_id < 50").collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in ungated.filter("doc_id < 50").collect()}
+    assert a.keys() == b.keys() and a
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
