@@ -1157,6 +1157,112 @@ select 'c_chain' as tag, toInt64(sum(c)) as n from (
 """
 
 
+_SEQ_TIME2_CH_SQL = """
+select 'c_mixed' as tag, toInt64(sum(c)) as n from (
+  select user_id, sequenceCount('(?1).(?t<=1800)(?2)')(ts,
+      event_type = 'view', event_type = 'purchase') as c
+  from events group by user_id)
+union all
+select 'm_mixed' as tag, toInt64(sum(m)) as n from (
+  select user_id, sequenceMatch('(?1).(?t>60)(?t<=7200)(?2)')(ts,
+      event_type = 'click', event_type = 'purchase') as m
+  from events group by user_id)
+"""
+
+
+def calc_seq_time2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch/Count with a ``.`` MIXED into a ``(?t op v)``
+    gap (VERDICT r8 missing #2): ``(?1).(?t<=1800)(?2)`` = anchor 1,
+    exactly one filtered event (the dot), then anchor 2 any number of
+    events later with the bound measured from the DOT's event — CH's
+    matcher keeps ``base_it`` at the last consumed event
+    (AggregateFunctionsSequenceMatch.h), so after a ``.`` the
+    constraint anchors there, not at condition 1. The DP candidates
+    carry the anchor's next-event timestamp (``nt``) for this. Gated
+    against an independent DuckDB recursive-CTE replay of the same
+    machine."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_SEQ_TIME2_CH_SQL)).orderBy("tag")
+
+
+# greedy non-overlapping replay with the dot state: s1d = dot-event
+# timestamps (one appended each time the PREVIOUS event was an
+# anchor-1 match — pa flag), completion when a level-2 event sits
+# within the bound of any accumulated dot time (checked BEFORE this
+# event's own dot append, so the dot and the completer are distinct
+# events); a completed chain resets the whole state (CH restarts
+# after each matched chain).
+SEQ_TIME2_ORACLE = """
+WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t, event_type
+      FROM events),
+ev1 AS (
+  SELECT user_id, t,
+         CASE event_type WHEN 'view' THEN 1 ELSE 2 END AS lvl,
+         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+  FROM e WHERE event_type IN ('view', 'purchase')
+),
+sim1 AS (
+  SELECT user_id, 0 AS rn, 0 AS cnt, []::BIGINT[] AS s1d, false AS pa
+  FROM u
+  UNION ALL
+  SELECT s.user_id, s.rn + 1,
+    s.cnt + (e.lvl = 2 AND len(list_filter(s.s1d,
+        x -> e.t - x <= 1800000000)) > 0)::INT,
+    CASE WHEN e.lvl = 2 AND len(list_filter(s.s1d,
+             x -> e.t - x <= 1800000000)) > 0 THEN []::BIGINT[]
+         WHEN s.pa THEN list_append(s.s1d, e.t)
+         ELSE s.s1d END,
+    CASE WHEN e.lvl = 2 AND len(list_filter(s.s1d,
+             x -> e.t - x <= 1800000000)) > 0 THEN false
+         ELSE e.lvl = 1 END
+  FROM sim1 s JOIN ev1 e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+),
+ev2 AS (
+  SELECT user_id, t,
+         CASE event_type WHEN 'click' THEN 1 ELSE 2 END AS lvl,
+         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+  FROM e WHERE event_type IN ('click', 'purchase')
+),
+sim2 AS (
+  SELECT user_id, 0 AS rn, 0 AS cnt, []::BIGINT[] AS s1d, false AS pa
+  FROM u
+  UNION ALL
+  SELECT s.user_id, s.rn + 1,
+    s.cnt + (e.lvl = 2 AND len(list_filter(s.s1d,
+        x -> e.t - x > 60000000 AND e.t - x <= 7200000000)) > 0)::INT,
+    CASE WHEN e.lvl = 2 AND len(list_filter(s.s1d,
+             x -> e.t - x > 60000000 AND e.t - x <= 7200000000)) > 0
+         THEN []::BIGINT[]
+         WHEN s.pa THEN list_append(s.s1d, e.t)
+         ELSE s.s1d END,
+    CASE WHEN e.lvl = 2 AND len(list_filter(s.s1d,
+             x -> e.t - x > 60000000 AND e.t - x <= 7200000000)) > 0
+         THEN false
+         ELSE e.lvl = 1 END
+  FROM sim2 s JOIN ev2 e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+),
+last1 AS (
+  SELECT user_id, cnt FROM (SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY rn DESC) AS rr FROM sim1)
+  WHERE rr = 1
+),
+last2 AS (
+  SELECT user_id, cnt FROM (SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY rn DESC) AS rr FROM sim2)
+  WHERE rr = 1
+)
+SELECT 'c_mixed' AS tag, cast(sum(cnt) as bigint) AS n FROM last1
+UNION ALL
+SELECT 'm_mixed' AS tag, cast(sum((cnt > 0)::INT) as bigint) AS n
+FROM last2
+ORDER BY tag
+"""
+
+
 def calc_seq_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sequenceMatch/sequenceCount with ``(?t op v)`` time
     constraints through ``translate_ch_sql`` — the candidate-set DP
@@ -1467,6 +1573,85 @@ SELECT pri, m,
          max(CASE WHEN is_real THEN cnt END) OVER (PARTITION BY pri, grp)
        END AS cnt
 FROM g ORDER BY pri, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 WITH FILL INTERPOLATE, cross-column form (VERDICT r8 missing
+# #1): exprs reference OTHER interpolated columns' previous-row values
+# — CH evaluates every INTERPOLATE expr against the previous output
+# row simultaneously, which the translator now compiles to a single
+# struct-valued fold (see dialect._rewrite_with_fill).
+# ---------------------------------------------------------------------------
+
+_WITH_FILL3_CH_SQL = """
+select n, inter, inter2
+from (
+  select toInt64(o_orderkey % 40) as n,
+         toInt64(min(o_orderkey) % 7 + 10) as inter,
+         toInt64(min(o_orderkey) % 11 + 100) as inter2
+  from orders
+  where o_orderkey % 40 in (2, 9, 17, 33)
+  group by n
+)
+order by n with fill from 0 to 21 step 3
+interpolate (inter as inter + 1, inter2 as inter2 + inter)
+"""
+
+
+def calc_with_fill3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column INTERPOLATE (the CH-docs two-column shape:
+    ``inter AS inter + 1, inter2 AS inter2 + inter``): each filled
+    row's ``inter2`` reads the PREVIOUS row's ``inter`` — per-column
+    carries cannot express this; the translation folds one struct of
+    all interpolated columns per filled step. Grid 0..21 step 3 with
+    real rows both on- and off-grid and one beyond the grid; leading
+    filled rows (no previous real row) carry NULL on both engines."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_WITH_FILL3_CH_SQL)).orderBy("n")
+
+
+# the fold is linear, so the k-th filled step after base (b1, b2) has
+# the closed form inter = b1 + k, inter2 = b2 + k*b1 + k(k-1)/2
+# (inter on the previous row is b1 + (k-1); summing the arithmetic
+# series replaces the iterated struct fold)
+WITH_FILL3_ORACLE = """
+WITH src AS (
+  SELECT cast(o_orderkey % 40 as bigint) AS n,
+         cast(min(o_orderkey) % 7 + 10 as bigint) AS inter,
+         cast(min(o_orderkey) % 11 + 100 as bigint) AS inter2
+  FROM orders WHERE o_orderkey % 40 IN (2, 9, 17, 33)
+  GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, 18, 3)) AS n),
+j AS (
+  SELECT coalesce(s.n, r.n) AS n, r.inter AS b_inter,
+         r.inter2 AS b_inter2, r.n IS NOT NULL AS is_real
+  FROM spine s FULL JOIN src r ON s.n = r.n
+),
+m AS (
+  SELECT *, count(CASE WHEN is_real THEN 1 END) OVER (
+      ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM j
+),
+v AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n) - 1 AS k,
+         max(CASE WHEN is_real THEN b_inter END)
+             OVER (PARTITION BY grp) AS b1,
+         max(CASE WHEN is_real THEN b_inter2 END)
+             OVER (PARTITION BY grp) AS b2
+  FROM m
+)
+SELECT n,
+       cast(CASE WHEN is_real THEN b_inter ELSE b1 + k END as bigint)
+         AS inter,
+       cast(CASE WHEN is_real THEN b_inter2
+                 ELSE b2 + k * b1 + (k * (k - 1)) // 2 END as bigint)
+         AS inter2
+FROM v ORDER BY n
 """
 
 

@@ -621,13 +621,18 @@ _INTERP_KEYWORDS = frozenset(
 
 def _parse_interpolate(
     rest: str,
-) -> tuple[list[tuple[str, str | None]], str] | None | str:
+) -> tuple[list[tuple[str, str | None]], str, bool] | None | str:
     """Parse a leading ``INTERPOLATE (item, …)`` off ``rest``
-    (masked text). Returns (items, remainder) where each item is
-    (column, substituted-expr-or-None); the expr has the column's
-    standalone occurrences replaced by ``__wf_acc`` for the iterated
-    fold. Returns the string ``"none"`` when no INTERPOLATE clause is
-    present, or None when present but unsupported."""
+    (masked text). Returns (items, remainder, cross) where each item
+    is (column, raw-expr-or-None) and ``cross`` is True when any expr
+    references ANOTHER interpolated column's previous-row value (the
+    struct-fold path). Exprs referencing a column that is NOT in the
+    interpolate list are rejected (None → loud pass-through): CH
+    reads the PREVIOUS row there, and a non-interpolated column
+    carries a type default on filled rows — no faithful rewrite
+    exists at text level. Returns the string ``"none"`` when no
+    INTERPOLATE clause is present, or None when present but
+    unsupported."""
     im = re.match(r"(?is)\s*interpolate\s*\(", rest)
     if not im:
         return "none"
@@ -640,16 +645,20 @@ def _parse_interpolate(
         i += 1
     if depth:
         return None
-    items: list[tuple[str, str | None]] = []
+    raw_items: list[tuple[str, str | None]] = []
     for item in _split_top(rest[im.end() : i - 1]):
         mm = re.fullmatch(
             r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+as\s+(.+?))?\s*", item
         )
         if not mm:
             return None
-        name, expr = mm.group(1), mm.group(2)
+        raw_items.append((mm.group(1), mm.group(2)))
+    if not raw_items:
+        return None
+    names = {n.lower() for n, _ in raw_items}
+    cross = False
+    for name, expr in raw_items:
         if expr is None:
-            items.append((name, None))
             continue
         for idm in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", expr):
             w = idm.group(0).lower()
@@ -659,16 +668,11 @@ def _parse_interpolate(
                 continue  # struct-field tail of an allowed base
             if expr[idm.end() :].lstrip().startswith("("):
                 continue  # function call
-            return None  # prev-row column reference: unsupported
-        sub = re.sub(
-            rf"(?i)(?<![\w.]){re.escape(name)}(?![\w.(])",
-            "__wf_acc",
-            expr,
-        )
-        items.append((name, sub))
-    if not items:
-        return None
-    return items, rest[i:]
+            if w in names:
+                cross = True  # prev-row ref to another INTERPOLATED col
+                continue
+            return None  # prev-row ref to a non-interpolated column
+    return raw_items, rest[i:], cross
 
 
 def _rewrite_with_fill(masked: str) -> str:
@@ -726,10 +730,11 @@ def _rewrite_with_fill(masked: str) -> str:
     if parsed is None:
         return masked  # INTERPOLATE present but unsupported shape
     interp: list[tuple[str, str | None]] | None
+    cross = False
     if parsed == "none":
         interp, rest = None, masked[m.end() + consumed :]
     else:
-        interp, rest = parsed
+        interp, rest, cross = parsed
     tail = rest.strip()
     if tail and not _TRAILING_LIMIT.match(tail):
         return masked  # more ORDER BY keys: untouched
@@ -826,17 +831,61 @@ def _rewrite_with_fill(masked: str) -> str:
         else "PARTITION BY __wf_grp"
     )
     vals, except_cols = [], ["__wf_real", "__wf_grp", "__wf_k"]
-    for name, expr_sub in interp:
-        base = f"max(CASE WHEN __wf_real THEN {name} END) OVER ({pgrp})"
-        if expr_sub is None:
-            v = base
-        else:
-            v = (
-                f"IF(__wf_k < 1, {base}, aggregate(sequence(1, __wf_k), "
-                f"{base}, (__wf_acc, __wf_x) -> ({expr_sub})))"
+
+    def base_of(name: str) -> str:
+        return f"max(CASE WHEN __wf_real THEN {name} END) OVER ({pgrp})"
+
+    def sub_refs(expr: str, mapping: dict[str, str]) -> str:
+        # standalone occurrences only: not struct tails, not calls
+        def repl(mm: re.Match) -> str:
+            return mapping.get(mm.group(0).lower(), mm.group(0))
+
+        return re.sub(r"(?<![\w.])[A-Za-z_][A-Za-z0-9_]*(?![\w(])", repl, expr)
+
+    if not cross:
+        for name, expr in interp:
+            base = base_of(name)
+            if expr is None:
+                v = base
+            else:
+                expr_sub = sub_refs(expr, {name.lower(): "__wf_acc"})
+                v = (
+                    f"IF(__wf_k < 1, {base}, aggregate(sequence(1, __wf_k), "
+                    f"{base}, (__wf_acc, __wf_x) -> ({expr_sub})))"
+                )
+            vals.append(
+                f"CASE WHEN __wf_real THEN {name} ELSE {v} END AS {name}"
             )
-        vals.append(f"CASE WHEN __wf_real THEN {name} ELSE {v} END AS {name}")
-        except_cols.append(name)
+            except_cols.append(name)
+        st_sel = ""
+    else:
+        # Cross-column prev-row references (CH evaluates every
+        # INTERPOLATE expr against the PREVIOUS output row
+        # simultaneously): a SINGLE struct-valued fold carries all
+        # interpolated columns together — per-column folds would read
+        # each column's own carry instead of the previous row's
+        # neighbours. Plain (AS-less) items ride along as identity
+        # fields so exprs can reference them.
+        mapping = {n.lower(): f"__wf_acc.{n}" for n, _ in interp}
+        init = ", ".join(f"'{n}', {base_of(n)}" for n, _ in interp)
+        step = ", ".join(
+            f"'{n}', "
+            + (f"__wf_acc.{n}" if e is None else f"({sub_refs(e, mapping)})")
+            for n, e in interp
+        )
+        st = (
+            f"IF(__wf_k < 1, named_struct({init}), "
+            f"aggregate(sequence(1, __wf_k), named_struct({init}), "
+            f"(__wf_acc, __wf_x) -> named_struct({step})))"
+        )
+        st_sel = f", {st} AS __wf_st"
+        except_cols.append("__wf_st")
+        for name, _ in interp:
+            vals.append(
+                f"CASE WHEN __wf_real THEN {name} "
+                f"ELSE __wf_st.{name} END AS {name}"
+            )
+            except_cols.append(name)
     grp = (
         f"count(CASE WHEN __wf_real THEN 1 END) OVER ({part}ORDER BY {col} "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __wf_grp"
@@ -848,7 +897,9 @@ def _rewrite_with_fill(masked: str) -> str:
         f"FULL OUTER JOIN __wf_src USING ({using})), "
         f"__wf_m AS (SELECT *, {grp} FROM __wf_j) "
         f"SELECT * EXCEPT ({', '.join(except_cols)}), {', '.join(vals)} "
-        f"FROM (SELECT *, {k_expr} FROM __wf_m) __wf_v ORDER BY {keys_csv}"
+        f"FROM (SELECT *{st_sel} FROM "
+        f"(SELECT *, {k_expr} FROM __wf_m) __wf_v0) __wf_v "
+        f"ORDER BY {keys_csv}"
         + (f" {tail}" if tail else "")
     )
 
@@ -1560,13 +1611,20 @@ def _seq_pattern_dp(
     constraints into (anchors, seps) for the DP fold below. anchors =
     condition numbers in order; seps = one entry per anchor gap:
     ``'adj'`` (events adjacent among filtered events), ``'dot'``
-    (exactly one event between), ``'star'`` (any run), or a tuple of
+    (exactly one event between), ``'star'`` (any run), a tuple of
     ``(op, micros)`` time constraints (CH: a ``(?t op v)`` gap allows
     any events between the anchors — docs: 'an arbitrary number of
-    any events can lie between these events'). Leading/trailing
-    ``.*`` runs are vacuous under search semantics and dropped;
-    leading/trailing ``.``/``(?t…)`` and a ``.`` mixed into a
-    time-constraint gap are unsupported (None → loud pass-through)."""
+    any events can lie between these events'), or ``('dott',
+    constraints)`` for the mixed ``.(?t op v)`` gap: the ``.``
+    consumes exactly one filtered event, and CH's matcher measures a
+    time constraint against the LAST consumed event
+    (AggregateFunctionsSequenceMatch.h keeps ``base_it`` at the most
+    recently matched SpecificEvent/Any action), so the bound applies
+    between the DOT's event and the next anchor, with any events
+    between them. Leading/trailing ``.``/``(?t…)``, a ``.`` AFTER a
+    time constraint in the same gap (the bound would select which
+    event the dot consumes), and multi-dot time gaps are unsupported
+    (None → loud pass-through)."""
     toks: list[tuple] = []
     i = 0
     while i < len(pat):
@@ -1618,6 +1676,15 @@ def _seq_pattern_dp(
                 seps.append("star")
             elif "t" in kinds and "dot" not in kinds:
                 seps.append(tuple((g[1], g[2]) for g in gap if g[0] == "t"))
+            elif (
+                "t" in kinds
+                and "star" not in kinds
+                and gap[0][0] == "dot"
+                and sum(1 for g in gap if g[0] == "dot") == 1
+            ):
+                seps.append(
+                    ("dott", tuple((g[1], g[2]) for g in gap if g[0] == "t"))
+                )
             else:
                 return None
         anchors.append(tok[1])
@@ -1643,6 +1710,9 @@ def _seq_dp_expr(
     collect_list cost family as the tag-string path, bounded by
     group size."""
     kk = len(anchors)
+    has_dott = any(
+        isinstance(s, tuple) and s and s[0] == "dott" for s in seps
+    )
     ors = " OR ".join(f"({c})" for c in conds)
     cs = ", ".join(f"cast({c} as boolean)" for c in conds)
     events = (
@@ -1650,7 +1720,12 @@ def _seq_dp_expr(
         f"unix_micros(cast({ts_expr} as timestamp)) AS t, "
         f"array({cs}) AS cs) END))"
     )
-    empty = "array_repeat(struct(0 AS idx, 0L AS t), 0)"
+    # with a dot+time gap the candidate struct also carries nt — the
+    # timestamp of the event FOLLOWING the anchor (the dot's event,
+    # which CH's base_it points at when the constraint is checked);
+    # nt is NULL until that next event is processed
+    ntf = ", cast(null as bigint) AS nt" if has_dott else ""
+    empty = f"array_repeat(struct(0 AS idx, 0L AS t{ntf}), 0)"
 
     def ext(j: int) -> str:
         # can the current event (index acc.i + 1) extend a chain at
@@ -1665,6 +1740,14 @@ def _seq_dp_expr(
             p = "__sp.idx = acc.i - 1"
         elif sep == "star":
             p = "__sp.idx <= acc.i"
+        elif isinstance(sep, tuple) and sep and sep[0] == "dott":
+            # anchor at idx, dot at idx+1 (time nt), current event at
+            # acc.i + 1 must sit at idx+2 or later with the bound
+            # measured from the dot's event
+            parts = ["__sp.idx <= acc.i - 1", "__sp.nt IS NOT NULL"] + [
+                f"(e.t - __sp.nt) {op} {us}L" for op, us in sep[1]
+            ]
+            p = " AND ".join(parts)
         else:
             parts = ["__sp.idx <= acc.i"] + [
                 f"(e.t - __sp.t) {op} {us}L" for op, us in sep
@@ -1672,9 +1755,22 @@ def _seq_dp_expr(
             p = " AND ".join(parts)
         return f"{cond} AND exists(acc.s{j - 1}, __sp -> ({p}))"
 
-    grown = "concat(acc.s{j}, array(struct(acc.i + 1 AS idx, e.t AS t)))"
+    if has_dott:
+        # fill in nt for candidates appended at the previous event
+        # (their next event is the current one); persisted so later
+        # steps' dott checks read it
+        held = (
+            "transform(acc.s{j}, __sp -> IF(__sp.idx = acc.i AND "
+            "__sp.nt IS NULL, named_struct('idx', __sp.idx, 't', "
+            "__sp.t, 'nt', e.t), __sp))"
+        )
+    else:
+        held = "acc.s{j}"
+    grown = (
+        f"concat({held}, array(struct(acc.i + 1 AS idx, e.t AS t{ntf})))"
+    )
     keep_fields = ", ".join(
-        f"'s{j}', IF({ext(j)}, {grown.format(j=j)}, acc.s{j})"
+        f"'s{j}', IF({ext(j)}, {grown.format(j=j)}, {held.format(j=j)})"
         for j in range(1, kk)
     )
     reset_fields = ", ".join(f"'s{j}', {empty}" for j in range(1, kk))

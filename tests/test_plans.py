@@ -389,3 +389,51 @@ def test_dsir_target_broadcast_is_gated(spark, sf_correct, monkeypatch):
     assert a.keys() == b.keys() and a
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_tpch_suite_plans_have_no_cartesians(spark, sf_correct):
+    """The 19 stored-CH-SQL TPC-H entries (catalog_tpch.py) must all
+    plan without cartesian products or nested-loop joins — the
+    correlated EXISTS / NOT EXISTS / scalar subqueries must decorrelate
+    into hash joins (Catalyst rewrites them to semi/anti/aggregate
+    joins), and the comma joins must resolve to equi-joins from the
+    WHERE clause. At 100 TB a BNLJ on any of these shapes is a
+    non-starter."""
+    from ora_ch_spark.catalog_tpch import TPCH_QUERIES
+
+    for q in TPCH_QUERIES:
+        p = _plan(q.spark(spark, sf_correct))
+        assert "CartesianProduct" not in p, q.name
+        assert "BroadcastNestedLoopJoin" not in p, q.name
+
+
+def test_tpch_q6_pushdown(spark, sf_correct):
+    """Q6 is the pushdown canary: the date/discount/quantity filters
+    must reach the parquet scan, and the single-value aggregate must
+    partial-combine map-side."""
+    from ora_ch_spark.catalog_tpch import TPCH_QUERIES
+
+    q6 = next(q for q in TPCH_QUERIES if q.name == "q6_revenue_change")
+    p = _plan(q6.spark(spark, sf_correct))
+    assert "PushedFilters:" in p and "l_shipdate" in p.split("PushedFilters:")[1][:200]
+    assert "partial" in p, "map-side partial aggregation missing"
+    assert "Exchange" in p  # one final single-partition gather
+
+
+def test_tpch_param_splice_binds_typed_literals(spark, sf_correct):
+    """q3 (String) / q20 (UInt32) run through the SAME bind_params
+    contract as the reference's stored calc queries
+    (jdbsChSession.scala:712-743): the placeholder must be gone from
+    the translated text and an undeclared param must bind to the
+    ***** sentinel, not raise."""
+    from ora_ch_spark.functions.params import bind_params
+    from ora_ch_spark.specs import ParamType, QueryParam
+    import ora_ch_spark.catalog_tpch as T
+
+    bound = bind_params(T._Q3_CH, (QueryParam("seg", ParamType.STRING, 1),),
+                        {"seg": "BUILDING"})
+    assert "{seg:String}" not in bound and "'BUILDING'" in bound
+    bound20 = bind_params(T._Q20_CH, (QueryParam("minq", ParamType.UINT32, 1),),
+                          {"minq": "400"})
+    assert "> 400" in bound20
+    assert "*****" in bind_params(T._Q3_CH, (), {})
