@@ -396,6 +396,11 @@ def pipeline_ingest_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.join(lq, "doc_id")
         .filter("predicted_lang = 'en' AND quality_score >= 0.3")
         .select(*docs.columns)
+        # persist: the incremental dedup consumes `kept` twice (md5
+        # digest screen + shingle arrays) — without this the
+        # regex-heavy lang/quality screen re-runs per consumer
+        # (measured 3.3-3.8 → 2.3-2.5 s at sf0.1; PLANS.md r9)
+        .persist()
     )
     out = D.incremental_minhash_dedup(corpus, kept)
     ex = (F.col("verdict") == "exact").cast("long")

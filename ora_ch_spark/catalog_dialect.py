@@ -1656,6 +1656,178 @@ FROM v ORDER BY n
 
 
 # ---------------------------------------------------------------------------
+# Battery 17 (round 9) — calendar-irregular date folds + optional-
+# lambda aggregates (VERDICT r8 missing #3/#4): toStartOfInterval on
+# month/quarter/year grids (epoch-anchored), age() complete calendar
+# months (the Jan-31 → Feb-28 ≠ 1 month trap), dateDiff as BOUNDARY
+# CROSSINGS for every unit (the r9 fix — timestampdiff silently
+# under-counted), arrayMin/Max/Sum/Avg(f, arr). The 1996-01-31
+# reference date plants the end-of-month boundary traps; orders span
+# 1995–2001 so both argument orders (negative ages) occur.
+# ---------------------------------------------------------------------------
+
+_DIALECT17_CH_SQL = """
+select grp,
+  toInt64(count(*)) as n,
+  toDateTime(min(toStartOfInterval(o_orderdate, INTERVAL 2 MONTH))) as grid2m,
+  toDateTime(max(toStartOfInterval(o_orderdate, INTERVAL 1 QUARTER))) as gridq,
+  toDateTime(max(toStartOfInterval(o_orderdate, INTERVAL 2 YEAR))) as grid2y,
+  toInt64(sum(age('month', toDateTime('1996-01-31 00:00:00'), o_orderdate))) as age_m,
+  toInt64(sum(age('quarter', toDateTime('1996-01-31 00:00:00'), o_orderdate))) as age_q,
+  toInt64(sum(age('year', toDateTime('1996-06-15 00:00:00'), o_orderdate))) as age_y,
+  toInt64(sum(dateDiff('month', toDateTime('1996-01-31 00:00:00'), o_orderdate))) as dd_m,
+  toInt64(sum(dateDiff('quarter', toDateTime('1996-01-31 00:00:00'), o_orderdate))) as dd_q,
+  toInt64(sum(dateDiff('year', toDateTime('1996-01-31 00:00:00'), o_orderdate))) as dd_y,
+  toInt64(sum(dateDiff('week', toDateTime('1996-01-31 00:00:00'), o_orderdate))) as dd_w,
+  toInt64(sum(dateDiff('day', toDateTime('1996-01-31 00:00:00'), o_orderdate))) as dd_d,
+  toInt64(min(arrayMin(x -> x * 2 + 1, [o_orderkey % 7, o_orderkey % 5, 3]))) as am,
+  toInt64(max(arrayMax(x -> x % 4, [o_orderkey % 9, o_orderkey % 6]))) as ax,
+  round(sum(arraySum(x -> x * 0.5, [o_orderkey % 3, 2])), 2) as asum,
+  round(sum(arrayAvg(x -> x + 2, [o_orderkey % 5, o_orderkey % 7])), 2) as aavg
+from (
+  select o_orderkey, o_orderdate,
+         multiIf(o_orderkey % 2 = 0, 'E', 'O') as grp
+  from orders
+)
+group by grp
+order by grp
+"""
+
+
+def calc_dialect17_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 17, value-gated: calendar-grid toStartOfInterval,
+    complete-calendar-month age(), boundary-crossing dateDiff, and
+    the optional-lambda aggregate forms — against DuckDB's NATIVE
+    date_diff (itself boundary-crossing with Monday weeks) and an
+    explicit day-and-time replay of CH's age()."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT17_CH_SQL)).orderBy("grp")
+
+
+# age replay: complete months = Δcalendar-months minus one when the
+# end's day-of-month precedes the start's (all order dates are
+# midnight so day comparison suffices), sign via argument swap,
+# quarter/year = months // k (DuckDB // truncates toward zero like
+# Spark div). date_diff is DuckDB-native boundary crossings.
+DIALECT17_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, o_orderdate,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'E' ELSE 'O' END AS grp,
+         CASE WHEN DATE '1996-01-31' <= o_orderdate
+              THEN (year(o_orderdate) - 1996) * 12 + month(o_orderdate) - 1
+                   - CASE WHEN day(o_orderdate) < 31 THEN 1 ELSE 0 END
+              ELSE -((1996 - year(o_orderdate)) * 12 + 1 - month(o_orderdate)
+                   - CASE WHEN 31 < day(o_orderdate) THEN 1 ELSE 0 END)
+         END AS fm_jan,
+         CASE WHEN DATE '1996-06-15' <= o_orderdate
+              THEN (year(o_orderdate) - 1996) * 12 + month(o_orderdate) - 6
+                   - CASE WHEN day(o_orderdate) < 15 THEN 1 ELSE 0 END
+              ELSE -((1996 - year(o_orderdate)) * 12 + 6 - month(o_orderdate)
+                   - CASE WHEN 15 < day(o_orderdate) THEN 1 ELSE 0 END)
+         END AS fm_jun
+  FROM orders
+)
+SELECT grp,
+  cast(count(*) as bigint) AS n,
+  cast(min(DATE '1970-01-01' + to_months(cast(
+      ((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1)
+      // 2 * 2 as int))) as timestamp) AS grid2m,
+  cast(max(DATE '1970-01-01' + to_months(cast(
+      ((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1)
+      // 3 * 3 as int))) as timestamp) AS gridq,
+  cast(max(DATE '1970-01-01' + to_months(cast(
+      ((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1)
+      // 24 * 24 as int))) as timestamp) AS grid2y,
+  cast(sum(fm_jan) as bigint) AS age_m,
+  cast(sum(fm_jan // 3) as bigint) AS age_q,
+  cast(sum(fm_jun // 12) as bigint) AS age_y,
+  cast(sum(date_diff('month', DATE '1996-01-31', o_orderdate)) as bigint)
+    AS dd_m,
+  cast(sum(date_diff('quarter', DATE '1996-01-31', o_orderdate)) as bigint)
+    AS dd_q,
+  cast(sum(date_diff('year', DATE '1996-01-31', o_orderdate)) as bigint)
+    AS dd_y,
+  cast(sum(date_diff('week', DATE '1996-01-31', o_orderdate)) as bigint)
+    AS dd_w,
+  cast(sum(date_diff('day', DATE '1996-01-31', o_orderdate)) as bigint)
+    AS dd_d,
+  cast(min(list_min(list_transform([o_orderkey % 7, o_orderkey % 5, 3],
+      x -> x * 2 + 1))) as bigint) AS am,
+  cast(max(list_max(list_transform([o_orderkey % 9, o_orderkey % 6],
+      x -> x % 4))) as bigint) AS ax,
+  round(sum(list_sum(list_transform([o_orderkey % 3, 2],
+      x -> x * 0.5))), 2) AS asum,
+  round(sum(list_sum(list_transform([o_orderkey % 5, o_orderkey % 7],
+      x -> cast(x + 2 as double))) / 2), 2) AS aavg
+FROM src
+GROUP BY grp
+ORDER BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 JSON path completion (VERDICT r8 missing #5): NON-literal
+# top-level keys in JSONExtract*/JSONHas (→ from_json map form) and
+# the multi-key NESTED literal path (JSONExtract*(j, 'a', 'b') used
+# to silently drop 'b').
+# ---------------------------------------------------------------------------
+
+_JSON_DYNAMIC_CH_SQL = """
+select kg,
+       toInt64(countIf(JSONHas(props, kk))) as n_has,
+       toInt64(max(JSONExtractInt(props, kk))) as mx,
+       max(JSONExtractString(props, kk)) as mxs,
+       toInt64(max(JSONExtractInt(concat('{"w":', props, '}'), 'w', 'k')))
+         as nested_mx
+from (
+  select props,
+         if(event_id % 3 = 0, 'k', 'missing') as kk,
+         if(event_id % 3 = 0, 'hit', 'miss') as kg
+  from events
+)
+group by kg
+order by kg
+"""
+
+
+def calc_json_dynamic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON keys: the key argument is a COLUMN (if-derived),
+    so the $-path cannot splice at translate time — the map form
+    ``element_at(from_json(j, 'map<string,string>'), k)`` takes over
+    (value rendering verified identical to get_json_object for
+    top-level keys). The nested_mx column pins the r9 multi-key
+    literal fix ('w', 'k' → $.w.k — formerly dropped the tail)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_JSON_DYNAMIC_CH_SQL)).orderBy("kg")
+
+
+JSON_DYNAMIC_ORACLE = """
+SELECT kg,
+  cast(count(CASE WHEN json_extract(props, '$.' || kk) IS NOT NULL
+             THEN 1 END) as bigint) AS n_has,
+  cast(max(cast(json_extract_string(props, '$.' || kk) as bigint))
+       as bigint) AS mx,
+  max(json_extract_string(props, '$.' || kk)) AS mxs,
+  cast(max(cast(json_extract_string('{"w":' || props || '}', '$.w.k')
+                as bigint)) as bigint) AS nested_mx
+FROM (
+  SELECT props,
+         CASE WHEN event_id % 3 = 0 THEN 'k' ELSE 'missing' END AS kk,
+         CASE WHEN event_id % 3 = 0 THEN 'hit' ELSE 'miss' END AS kg
+  FROM events
+)
+GROUP BY kg
+ORDER BY kg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Batch-12 dialect surface (round 8) — vector math over the embeddings
 # table (where CH-SQL meets the LLM-pipeline story), array fill/split
 # folds, arrayAUC, arrayShift, bitmask expansion.

@@ -2368,23 +2368,54 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # ---- array aggregates (the lambda-first higher-order family —
     # arrayExists/arrayAll/arrayCount/arrayMap/arrayFilter — is
     # handled further down by the pre-existing arity-guarded block).
-    # CH's optional-lambda forms (arrayMin(f, arr) etc.) pass through
-    # untouched: only the plain unary aggregate rewrites. ----
+    # CH's optional-lambda forms (r9): ``arrayMin(f, arr)`` applies f
+    # to every element first — rewrite as the plain aggregate over
+    # ``transform(arr, f)``; the lambda arrives verbatim (CH and
+    # Spark share the ``x -> expr`` lambda syntax). ----
     out = _rewrite_calls(
-        out, "arrayMin", lambda a: f"array_min({a[0]})" if len(a) == 1 else None
+        out,
+        "arrayMin",
+        lambda a: (
+            f"array_min({a[0]})"
+            if len(a) == 1
+            else (
+                f"array_min(transform({a[1]}, {a[0]}))"
+                if len(a) == 2 and "->" in a[0]
+                else None
+            )
+        ),
     )
     out = _rewrite_calls(
-        out, "arrayMax", lambda a: f"array_max({a[0]})" if len(a) == 1 else None
+        out,
+        "arrayMax",
+        lambda a: (
+            f"array_max({a[0]})"
+            if len(a) == 1
+            else (
+                f"array_max(transform({a[1]}, {a[0]}))"
+                if len(a) == 2 and "->" in a[0]
+                else None
+            )
+        ),
     )
+
     # NOTE: arraySum/arrayAvg fold in DOUBLE (Spark's aggregate needs
     # one accumulator type; CH keeps integer sums integer) — documented
     # numeric-widening drift
+    def _arr_sum_src(a: list[str]) -> str | None:
+        if len(a) == 1:
+            return a[0]
+        if len(a) == 2 and "->" in a[0]:
+            return f"transform({a[1]}, {a[0]})"
+        return None
+
     out = _rewrite_calls(
         out,
         "arraySum",
         lambda a: (
-            f"aggregate({a[0]}, cast(0 as double), (__as, __av) -> __as + __av)"
-            if len(a) == 1
+            f"aggregate({_arr_sum_src(a)}, cast(0 as double), "
+            f"(__as, __av) -> __as + __av)"
+            if _arr_sum_src(a) is not None
             else None
         ),
     )
@@ -2392,9 +2423,10 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out,
         "arrayAvg",
         lambda a: (
-            f"(aggregate({a[0]}, cast(0 as double), (__as, __av) -> __as + __av)"
-            f" / size({a[0]}))"
-            if len(a) == 1
+            f"(aggregate({_arr_sum_src(a)}, cast(0 as double), "
+            f"(__as, __av) -> __as + __av)"
+            f" / size({a[0] if len(a) == 1 else a[1]}))"
+            if _arr_sum_src(a) is not None
             else None
         ),
     )
@@ -2475,21 +2507,49 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "caseWithExpression", _case_with_expr)
 
     # ---- JSON extraction (CH JSONExtract* / visitParam* → Spark
-    # get_json_object with a $-path; key argument must be a literal
-    # for the path splice — non-literal keys pass through unrewritten
-    # rather than emit wrong paths) ----
+    # get_json_object with a $-path). Literal keys splice into the
+    # path — ALL trailing keys, not just the first (r9 fix: the
+    # multi-key nested form JSONExtract*(j, 'a', 'b') used to drop
+    # 'b' silently); literal integer args are CH's 1-based array
+    # indices → 0-based JSONPath brackets (negative/0 indices have no
+    # JSONPath analogue → pass through). A single NON-literal key
+    # (r9, VERDICT r8 missing #5) rewrites to the map form
+    # ``element_at(from_json(j, 'map<string,string>'), k)`` — for
+    # top-level keys from_json's value rendering matches
+    # get_json_object exactly (verified: strings unquoted, numbers
+    # verbatim, nested objects/arrays as raw JSON text, NULL on
+    # malformed input); multi-part dynamic paths stay loud. ----
     def _json_path(a: list[str]) -> str | None:
-        lt = _lit_text(a[1], lits) if len(a) >= 2 else None
-        if lt is None:
+        if len(a) < 2:
             return None
-        return _emit_lit("'$." + lt[1:-1] + "'", lits)
+        parts: list[str] = []
+        for arg in a[1:]:
+            lt = _lit_text(arg, lits)
+            if lt is not None:
+                parts.append("." + lt[1:-1])
+                continue
+            mi = re.fullmatch(r"\s*(\d+)\s*", arg)
+            if mi and int(mi.group(1)) > 0:  # CH 1-based index
+                parts.append(f"[{int(mi.group(1)) - 1}]")
+                continue
+            return None
+        return _emit_lit("'$" + "".join(parts) + "'", lits)
+
+    def _dyn_json_value(a: list[str]) -> str:
+        return (
+            f"element_at(from_json({a[0]}, 'map<string,string>'), "
+            f"cast({a[1]} as string))"
+        )
 
     def _json_extract(cast_to: str | None):
         def render(a: list[str]) -> str | None:
             p = _json_path(a)
-            if p is None:  # dynamic key: leave the call unrewritten
-                return None
-            g = f"get_json_object({a[0]}, {p})"
+            if p is None:
+                if len(a) != 2 or re.fullmatch(r"\s*-?\d+\s*", a[1]):
+                    return None  # multi-part dynamic path: loud
+                g = _dyn_json_value(a)
+            else:
+                g = f"get_json_object({a[0]}, {p})"
             return f"cast({g} as {cast_to})" if cast_to else g
 
         return render
@@ -2507,7 +2567,12 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     def _json_has(a: list[str]) -> str | None:
         p = _json_path(a)
         if p is None:
-            return None  # dynamic key: unrewritten
+            if len(a) != 2 or re.fullmatch(r"\s*-?\d+\s*", a[1]):
+                return None  # multi-part dynamic path: loud
+            return (
+                f"coalesce(map_contains_key(from_json({a[0]}, "
+                f"'map<string,string>'), cast({a[1]} as string)), false)"
+            )
         return f"(get_json_object({a[0]}, {p}) IS NOT NULL)"
 
     out = _rewrite_calls(out, "JSONHas", _json_has)
@@ -2543,16 +2608,63 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "fromUnixTimestamp", lambda a: f"from_unixtime({', '.join(a)})")
 
     def _date_diff(a: list[str]) -> str:
-        # CH dateDiff('unit', start, end) → Spark timestampdiff(UNIT,
-        # start, end); the unit must be a literal to splice as a
-        # keyword (Spark's first arg is an identifier, not a string)
+        # CH dateDiff('unit', start, end) counts unit-BOUNDARY
+        # CROSSINGS (docs: "count of the specified unit boundaries
+        # crossed"), NOT complete elapsed units — Spark's
+        # timestampdiff is the complete-units fold (the old mapping
+        # silently under-counted every boundary-without-full-unit
+        # case, e.g. dateDiff('day', '23:00', next day '01:00') = 1
+        # in CH, 0 via timestampdiff; r9 fix). Uniform units floor
+        # each side to the unit grid (epoch micros — CH DateTime is
+        # 1970+, so div's toward-zero truncation never sees a
+        # negative); day/week truncate calendar-side (week = Monday
+        # boundaries, CH's toRelativeWeekNum convention);
+        # month/quarter/year count calendar positions. The unit must
+        # be a literal to fold at translate time.
         lt = _lit_text(a[0], lits)
         if lt is None or len(a) != 3:
             # leave unrewritten — MUST return None (not re-emit the
             # call text) so the scanner advances past it; re-emitting
             # 'dateDiff(...)' would loop forever (ADVICE r04)
             return None
-        return f"timestampdiff({lt[1:-1].upper()}, {a[1]}, {a[2]})"
+        unit = lt[1:-1].lower()
+        ts_a, ts_b = (f"cast({a[1]} as timestamp)", f"cast({a[2]} as timestamp)")
+        grids_us = {
+            "microsecond": 1, "microseconds": 1,
+            "millisecond": 1_000, "milliseconds": 1_000,
+            "second": 1_000_000, "seconds": 1_000_000,
+            "minute": 60_000_000, "minutes": 60_000_000,
+            "hour": 3_600_000_000, "hours": 3_600_000_000,
+        }
+        if unit in grids_us:
+            g = grids_us[unit]
+            return (
+                f"((unix_micros({ts_b}) div {g})"
+                f" - (unix_micros({ts_a}) div {g}))"
+            )
+        if unit in ("day", "days"):
+            return (
+                f"cast(datediff(cast({a[2]} as date), "
+                f"cast({a[1]} as date)) as bigint)"
+            )
+        if unit in ("week", "weeks"):
+            return (
+                f"(cast(datediff(date_trunc('WEEK', {ts_b}), "
+                f"date_trunc('WEEK', {ts_a})) as bigint) div 7)"
+            )
+        if unit in ("month", "months"):
+            return (
+                f"cast((year({ts_b}) - year({ts_a})) * 12"
+                f" + (month({ts_b}) - month({ts_a})) as bigint)"
+            )
+        if unit in ("quarter", "quarters"):
+            return (
+                f"cast((year({ts_b}) - year({ts_a})) * 4"
+                f" + (quarter({ts_b}) - quarter({ts_a})) as bigint)"
+            )
+        if unit in ("year", "years"):
+            return f"cast(year({ts_b}) - year({ts_a}) as bigint)"
+        return None
 
     out = _rewrite_calls(out, "dateDiff", _date_diff)
 
@@ -3009,33 +3121,53 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
 
     def _start_of_interval(a: list[str]) -> str | None:
-        # toStartOfInterval(ts, INTERVAL n unit) → epoch-grid floor.
-        # UNIFORM units only (second…week); month/year grids are
-        # calendar-irregular and pass through. Accepts both the raw
+        # toStartOfInterval(ts, INTERVAL n unit) → grid floor.
+        # Uniform units (second…week) floor on the epoch-seconds
+        # grid; calendar-irregular units (month/quarter/year, r9)
+        # floor on the months-since-epoch grid — CH anchors BOTH at
+        # the 1970-01-01 epoch, so an n-month grid is
+        # add_months(epoch, (monthsSinceEpoch div (n·unit_months)) ·
+        # n·unit_months), returned as a DATE exactly like CH's Date
+        # result for month-or-coarser intervals. Accepts both the raw
         # INTERVAL literal and the already-rewritten toIntervalX form
-        # (make_interval with a single non-calendar slot).
+        # (make_interval with a single slot).
         if len(a) != 2:
             return None
         iv = a[1].strip()
         secs = None
+        months = None
         m2 = re.match(
-            r"(?is)^interval\s+(\d+)\s+(second|minute|hour|day|week)s?$", iv
+            r"(?is)^interval\s+(\d+)\s+"
+            r"(second|minute|hour|day|week|month|quarter|year)s?$",
+            iv,
         )
         if m2:
-            n = int(m2.group(1))
-            secs = n * {
-                "second": 1, "minute": 60, "hour": 3600,
-                "day": 86400, "week": 604800,
-            }[m2.group(2).lower()]
+            n, unit = int(m2.group(1)), m2.group(2).lower()
+            if unit in ("month", "quarter", "year"):
+                months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+            else:
+                secs = n * {
+                    "second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 604800,
+                }[unit]
         else:
             m3 = re.match(
-                r"(?is)^make_interval\(\s*0\s*,\s*0\s*,\s*(\d+)\s*,\s*(\d+)"
-                r"\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)$",
+                r"(?is)^make_interval\(\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)"
+                r"\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)$",
                 iv,
             )
             if m3:
-                w, d, h, mi, s = (int(g) for g in m3.groups())
-                secs = w * 604800 + d * 86400 + h * 3600 + mi * 60 + s
+                y, mo, w, d, h, mi, s = (int(g) for g in m3.groups())
+                if (y or mo) and not (w or d or h or mi or s):
+                    months = y * 12 + mo
+                elif not (y or mo):
+                    secs = w * 604800 + d * 86400 + h * 3600 + mi * 60 + s
+        if months:
+            return (
+                f"add_months(date'1970-01-01', "
+                f"(((year({a[0]}) - 1970) * 12 + month({a[0]}) - 1)"
+                f" div {months}) * {months})"
+            )
         if not secs:
             return None
         return f"timestamp_seconds((unix_timestamp({a[0]}) div {secs}) * {secs})"
@@ -3043,16 +3175,46 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "toStartOfInterval", _start_of_interval)
 
     def _age(a: list[str]) -> str | None:
-        # CH age('unit', a, b) counts FULL elapsed units (truncating),
-        # unlike dateDiff's boundary crossings. Exact for the uniform
-        # units via epoch-second division; month/quarter/year grids
-        # are calendar-irregular and pass through.
+        # CH age('unit', a, b) counts FULL elapsed units (truncating
+        # toward zero), unlike dateDiff's boundary crossings. Exact
+        # for the uniform units via epoch-micros division;
+        # month/quarter/year (r9) count complete CALENDAR months —
+        # months_between() is NOT usable (its both-last-day rule
+        # calls Jan 31 → Feb 28 a full month; CH compares
+        # day-and-time lexicographically and says 0), so the fold is
+        # (Δyear·12 + Δmonth) minus one when the end's
+        # (day, time-of-day) tuple sits before the start's, computed
+        # on |a ≤ b| order and sign-flipped for reversed arguments
+        # (truncation toward zero either way, CH's convention).
         if len(a) != 3:
             return None
         lt = _lit_text(a[0].strip(), lits)
         if lt is None:
             return None
         unit = lt[1:-1].lower()
+        if unit in ("month", "quarter", "year"):
+            div = {"month": 1, "quarter": 3, "year": 12}[unit]
+            lo, hi = (f"cast({a[1]} as timestamp)", f"cast({a[2]} as timestamp)")
+
+            def tod(x: str) -> str:
+                # (day, time-of-day) folded to one comparable micros
+                # count inside the month
+                return (
+                    f"(day({x}) * 86400000000 + unix_micros({x})"
+                    f" - unix_micros(date_trunc('DAY', {x})))"
+                )
+
+            def full_months(x: str, y: str) -> str:  # x <= y
+                return (
+                    f"((year({y}) - year({x})) * 12"
+                    f" + month({y}) - month({x})"
+                    f" - IF({tod(y)} < {tod(x)}, 1, 0))"
+                )
+
+            return (
+                f"(cast(IF({lo} <= {hi}, {full_months(lo, hi)}, "
+                f"-{full_months(hi, lo)}) as bigint) div {div})"
+            )
         secs = {
             "second": 1, "minute": 60, "hour": 3600,
             "day": 86400, "week": 604800,

@@ -1663,7 +1663,10 @@ def test_dialect_json_and_datetime_surface(spark, sf_smoke):
         T("select JSONExtractInt(props, 'n') + 1 from t")
         == "select cast(get_json_object(props, '$.n') as bigint) + 1 from t"
     )
-    assert T("select dateDiff('day', a, b) from t") == "select timestampdiff(DAY, a, b) from t"
+    assert T("select dateDiff('day', a, b) from t") == (
+        "select cast(datediff(cast(b as date), "
+        "cast(a as date)) as bigint) from t"
+    )  # boundary crossings (CH), not complete units (timestampdiff)
     assert (
         T("select addDays(d, 3) from t")
         == "select (d + make_interval(0, 0, 0, 3, 0, 0, 0)) from t"
@@ -1908,7 +1911,8 @@ def test_translate_ch_sql_datediff_nonliteral_unit_terminates():
     assert translate_ch_sql(srcv) == srcv
     assert (
         translate_ch_sql("SELECT dateDiff('day', a, b) FROM t")
-        == "SELECT timestampdiff(DAY, a, b) FROM t"
+        == "SELECT cast(datediff(cast(b as date), "
+        "cast(a as date)) as bigint) FROM t"
     )
 
 
@@ -2102,21 +2106,29 @@ def test_dialect_round5_advice_regressions():
 
 
 def test_dialect_round5_review_regressions():
-    """r5 review findings pinned: optional-lambda array forms pass
-    through, backtick indexing untouched, rational/whole-table/
-    aliased SAMPLE forms, quoted + non-keyword dateAdd units."""
+    """r5 review findings pinned: unary/multi-array arrayExists forms
+    pass through, backtick indexing untouched, rational/whole-table/
+    aliased SAMPLE forms, quoted + non-keyword dateAdd units. The
+    optional-lambda aggregate forms GRADUATED from pass-through in r9
+    (VERDICT r8 missing #4) — pinned to their transform rewrites."""
     from ora_ch_spark.functions.dialect import translate_ch_sql as T
 
     passthrough = (
         "select arrayExists(arr) from t",
         "select arrayExists((x,y) -> x > y, a, b) from t",
-        "select arrayMin(x -> -x, arr) from t",
-        "select arraySum(x -> x*2, arr) from t",
         "select `arr`[1] from t",
         "select dateAdd(u, 3, d) from t",
     )
     for src in passthrough:
         assert T(src) == src, src
+    assert (
+        T("select arrayMin(x -> -x, arr) from t")
+        == "select array_min(transform(arr, x -> -x)) from t"
+    )
+    assert T("select arraySum(x -> x*2, arr) from t") == (
+        "select aggregate(transform(arr, x -> x*2), cast(0 as double), "
+        "(__as, __av) -> __as + __av) from t"
+    )
     assert (
         T("select x from t sample 1/10")
         == "select x from t TABLESAMPLE (10 PERCENT)"
@@ -2314,9 +2326,13 @@ def test_dialect_url_and_interval_batch(spark):
         assert got == want, f"{s}: {got!r} != {want!r}"
     n = T("SELECT now64() AS a, now64(3) AS b")
     assert "now()" in n and "now64" not in n and T(n) == n
-    # month grid is calendar-irregular: untouched
+    # month grid graduated from pass-through in r9: epoch-anchored
+    # months-since-epoch floor, returned as a DATE like CH
     src = "SELECT toStartOfInterval(ts, INTERVAL 2 month) FROM t"
-    assert T(src) == src
+    assert T(src) == (
+        "SELECT add_months(date'1970-01-01', "
+        "(((year(ts) - 1970) * 12 + month(ts) - 1) div 2) * 2) FROM t"
+    )
     # age() full-elapsed-unit counting (uniform units only) + cumsum
     s2 = T("SELECT age('day', toDateTime('2020-01-01 12:00:00'),"
            " toDateTime('2020-01-03 11:59:59')) AS d,"
@@ -2324,8 +2340,12 @@ def test_dialect_url_and_interval_batch(spark):
     assert T(s2) == s2
     r2 = spark.sql(s2).collect()[0]
     assert r2["d"] == 1 and list(r2["cs"]) == [1, 3, 6]
-    src2 = "SELECT age('month', a, b) FROM t"  # calendar unit: untouched
-    assert T(src2) == src2
+    # calendar-unit age graduated from pass-through in r9: complete
+    # calendar months with day-and-time comparison (value behavior
+    # pinned in battery17 + the probe below)
+    a2 = T("SELECT age('month', toDateTime('2020-01-31 00:00:00'),"
+           " toDateTime('2020-02-28 00:00:00')) AS m")
+    assert spark.sql(a2).collect()[0]["m"] == 0  # not a full month
 
 
 def test_dialect_transform_remap(spark):
@@ -3752,3 +3772,31 @@ def test_dialect_dict_functions(spark, sf_correct):
         "dictGetOrDefault('nulldict', 'v', 1, 'DEF') c"
     )).first()
     assert row3["a"] is None and row3["b"] == "DEF" and row3["c"] == "x"
+
+
+def test_json_dynamic_key_and_nested_paths():
+    """r9 JSON completion: a non-literal top-level key rewrites to
+    the from_json map form; multi-key literal paths splice EVERY key
+    (the old code silently dropped the tail); CH 1-based integer
+    indices become 0-based JSONPath brackets; dynamic MULTI-part
+    paths stay loudly unrewritten."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    assert T("select JSONExtractInt(j, k) from t") == (
+        "select cast(element_at(from_json(j, 'map<string,string>'), "
+        "cast(k as string)) as bigint) from t"
+    )
+    assert T("select JSONHas(j, k) from t") == (
+        "select coalesce(map_contains_key(from_json(j, "
+        "'map<string,string>'), cast(k as string)), false) from t"
+    )
+    assert T("select JSONExtractString(j, 'a', 'b') from t") == (
+        "select get_json_object(j, '$.a.b') from t"
+    )
+    assert T("select JSONExtractInt(j, 'a', 'c', 2) from t") == (
+        "select cast(get_json_object(j, '$.a.c[1]') as bigint) from t"
+    )
+    src = "select JSONExtractInt(j, k, 'b') from t"
+    assert T(src) == src  # dynamic multi-part: loud pass-through
+    src0 = "select JSONExtractInt(j, 0) from t"
+    assert T(src0) == src0  # 0/negative index: no JSONPath analogue
