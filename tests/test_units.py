@@ -3800,3 +3800,24 @@ def test_json_dynamic_key_and_nested_paths():
     assert T(src) == src  # dynamic multi-part: loud pass-through
     src0 = "select JSONExtractInt(j, 0) from t"
     assert T(src0) == src0  # 0/negative index: no JSONPath analogue
+
+
+def test_with_fill_nested_subquery(spark, sf_correct):
+    """r9: WITH FILL inside a subquery rewrites in place (the spine
+    CTE scopes to the subquery); unsupported nested shapes (DESC
+    fill) stay untouched; doubly-nested INTERPOLATE folds apply."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_correct)
+    r = spark.sql(T("""
+        select max(v) as mx, toInt64(count(*)) as n from (
+          select n, v from (
+            select 2 as n, 10 as v union all select 6 as n, 40 as v
+          ) order by n with fill from 0 to 8 interpolate (v as v + 1)
+        )""")).collect()[0]
+    # grid 0..7 plus off-grid real rows 2,6 already on grid → 8 rows;
+    # v carries 40+1 at n=7
+    assert r["mx"] == 41 and r["n"] == 8
+    src3 = "select * from (select 1 as n order by n desc with fill)"
+    assert T(src3) == src3
