@@ -1768,6 +1768,90 @@ ORDER BY grp
 """
 
 
+# ---------------------------------------------------------------------------
+# Battery 18 (round 9) — common-function sweep leftovers: Date32/
+# DateTime64 casts, toYearWeek mode 3, toStartOfWeek both week-start
+# modes, bare arrayCount, bitTestAny/All, toTime, negate, notLike,
+# 128-bit casts (decimal(38,0)), toward-zero truncate.
+# ---------------------------------------------------------------------------
+
+_DIALECT18_CH_SQL = """
+select grp,
+  toDateTime(max(toDate32(toString(toDate(o_orderdate))))) as d32,
+  toDateTime(max(toDateTime64(o_orderdate, 3))) as dt64,
+  toInt64(sum(toYearWeek(o_orderdate, 3))) as yw,
+  toDateTime(min(toStartOfWeek(o_orderdate))) as w0,
+  toDateTime(min(toStartOfWeek(o_orderdate, 1))) as w1,
+  toInt64(sum(arrayCount([o_orderkey % 2, o_orderkey % 3, 1]))) as ac,
+  toInt64(countIf(bitTestAny(o_orderkey, 0, 1))) as bta,
+  toInt64(countIf(bitTestAll(o_orderkey, 0, 1))) as btl,
+  toDateTime(max(toTime(o_orderdate + toIntervalSecond(o_orderkey % 86399))))
+    as tt,
+  toInt64(sum(negate(o_orderkey % 5))) as ng,
+  toInt64(countIf(notLike(o_orderpriority, '%H%'))) as nl,
+  toFloat64(max(toInt128(o_orderkey) * 2)) as i128,
+  toFloat64(sum(toDecimal64(truncate(o_totalprice / 1000, 2), 2))) as tr
+from (
+  select o_orderkey, o_orderdate, o_totalprice, o_orderpriority,
+         multiIf(o_orderkey % 2 = 0, 'E', 'O') as grp
+  from orders
+)
+group by grp
+order by grp
+"""
+
+
+def calc_dialect18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 18, value-gated vs DuckDB: week-start mode semantics
+    (Sunday default / Monday mode 1), ISO toYearWeek, time-of-day
+    extraction onto the CH 1970-01-02 anchor, bit tests, toward-zero
+    numeric truncation (decimal-summed for order independence), and
+    the Date32/DateTime64/Int128 type casts."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT18_CH_SQL)).orderBy("grp")
+
+
+DIALECT18_ORACLE = """
+SELECT grp,
+  cast(max(cast(cast(cast(o_orderdate as date) as varchar) as date))
+       as timestamp) AS d32,
+  cast(max(cast(o_orderdate as timestamp)) as timestamp) AS dt64,
+  cast(sum(isoyear(o_orderdate) * 100 + weekofyear(o_orderdate))
+       as bigint) AS yw,
+  cast(min(cast(o_orderdate as date)
+           - to_days(cast(dayofweek(o_orderdate) as int)))
+       as timestamp) AS w0,
+  cast(min(date_trunc('week', o_orderdate)) as timestamp) AS w1,
+  cast(sum(len(list_filter([o_orderkey % 2, o_orderkey % 3, 1],
+                           x -> x <> 0))) as bigint) AS ac,
+  cast(count(CASE WHEN ((o_orderkey >> 0) & 1) = 1
+                    OR ((o_orderkey >> 1) & 1) = 1 THEN 1 END)
+       as bigint) AS bta,
+  cast(count(CASE WHEN ((o_orderkey >> 0) & 1) = 1
+                   AND ((o_orderkey >> 1) & 1) = 1 THEN 1 END)
+       as bigint) AS btl,
+  cast(max(make_timestamp(86400000000 +
+      epoch_us(o_orderdate + to_seconds(cast(o_orderkey % 86399 as int)))
+      % 86400000000)) as timestamp) AS tt,
+  cast(sum(-(o_orderkey % 5)) as bigint) AS ng,
+  cast(count(CASE WHEN o_orderpriority NOT LIKE '%H%' THEN 1 END)
+       as bigint) AS nl,
+  cast(max(cast(o_orderkey as decimal(38,0)) * 2) as double) AS i128,
+  cast(sum(cast(trunc(o_totalprice / 1000 * 100)
+                / 100 as decimal(18,2))) as double) AS tr
+FROM (
+  SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'E' ELSE 'O' END AS grp
+  FROM orders
+)
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 _WITH_FILL4_CH_SQL = """
 select toInt64(count(*)) as n, toInt64(sum(cnt)) as s,
        toInt64(min(y)) as y0, toInt64(max(y)) as y1

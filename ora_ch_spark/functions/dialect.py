@@ -3277,6 +3277,114 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         )
 
     out = _rewrite_calls(out, "age", _age)
+
+    # ---- batch 18 (r9): common-function sweep leftovers. Spark
+    # resolves startsWith/endsWith/ilike/isnull/floor(x, n)/e()/pi()/
+    # hex/isNaN/… natively (case-insensitive), so only the genuinely
+    # missing names rewrite here. ----
+    out = _rewrite_calls(out, "toDate32", lambda a: f"cast({a[0]} as date)")
+    # scale is irrelevant (Spark timestamps are micros); a trailing
+    # timezone literal follows CH's toDateTime convention elsewhere
+    out = _rewrite_calls(
+        out, "toDateTime64", lambda a: f"cast({a[0]} as timestamp)"
+    )
+    out = _rewrite_param_calls(
+        out,
+        "quantileBFloat16",
+        lambda ps, a: f"approx_percentile({a[0]}, {ps[0] if ps else '0.5'})",
+    )
+    # toYearWeek mode 3 = ISO year*100 + ISO week (Spark YEAROFWEEK /
+    # weekofyear are both ISO); other modes use Sunday-start weeks
+    # with CH's own first-week rules — no Spark analogue, loud
+    out = _rewrite_calls(
+        out,
+        "toYearWeek",
+        lambda a: (
+            f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + weekofyear({a[0]}))"
+            if len(a) == 2 and a[1].strip() == "3"
+            else None
+        ),
+    )
+    # toStartOfWeek: mode 0 (default) = Sunday start (Spark dayofweek
+    # is 1=Sunday), mode 1/3 = Monday start (date_trunc week)
+    out = _rewrite_calls(
+        out,
+        "toStartOfWeek",
+        lambda a: (
+            f"date_sub(cast({a[0]} as date), dayofweek({a[0]}) - 1)"
+            if len(a) == 1 or (len(a) == 2 and a[1].strip() == "0")
+            else (
+                f"cast(date_trunc('WEEK', {a[0]}) as date)"
+                if len(a) == 2 and a[1].strip() in ("1", "3")
+                else None
+            )
+        ),
+    )
+    # bare arrayCount = count of non-zero/true elements (the
+    # lambda-first form is handled by the higher-order block)
+    out = _rewrite_calls(
+        out,
+        "arrayCount",
+        lambda a: (
+            f"size(filter({a[0]}, __ac -> cast(__ac as boolean)))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "bitTestAny",
+        lambda a: (
+            "(" + " OR ".join(
+                f"(shiftright({a[0]}, {p}) & 1) = 1" for p in a[1:]
+            ) + ")"
+            if len(a) >= 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "bitTestAll",
+        lambda a: (
+            "(" + " AND ".join(
+                f"(shiftright({a[0]}, {p}) & 1) = 1" for p in a[1:]
+            ) + ")"
+            if len(a) >= 2
+            else None
+        ),
+    )
+    # CH toTime: same time-of-day moved onto 1970-01-02 (UTC session)
+    out = _rewrite_calls(
+        out,
+        "toTime",
+        lambda a: (
+            f"timestamp_micros(86400000000 + "
+            f"unix_micros(cast({a[0]} as timestamp)) % 86400000000)"
+        ),
+    )
+    out = _rewrite_calls(out, "negate", lambda a: f"(-({a[0]}))")
+    out = _rewrite_calls(
+        out, "notLike", lambda a: f"({a[0]} NOT LIKE {a[1]})"
+    )
+    # 128/256-bit integer casts → decimal(38,0): Spark's widest exact
+    # integer type (documented width drift beyond 38 digits)
+    for _wide in ("toInt128", "toUInt128", "toInt256", "toUInt256"):
+        out = _rewrite_calls(
+            out, _wide, lambda a: f"cast({a[0]} as decimal(38,0))"
+        )
+
+    def _truncate_num(a: list[str]) -> str | None:
+        # CH truncate(x[, n]): round toward zero to n decimals —
+        # bigint cast truncates toward zero on both engines
+        if len(a) == 1:
+            return f"cast(cast({a[0]} as bigint) as double)"
+        if len(a) == 2 and re.fullmatch(r"\s*\d+\s*", a[1]):
+            p = 10 ** int(a[1])
+            return f"(cast(cast(({a[0]}) * {p} as bigint) as double) / {p})"
+        return None
+
+    out = _rewrite_calls(out, "truncate", _truncate_num)
+
     # arrayCumSum: O(n²) prefix re-aggregation — fine for the bounded
     # arrays CH uses it on. Folds in DOUBLE like arraySum above
     # (aggregate() pins one accumulator type; int/decimal element

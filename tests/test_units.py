@@ -1782,9 +1782,9 @@ def test_dialect_second_review_fixes(spark):
     assert r["c"] == "one"
     assert r["r1"] == "a-a.a"  # FIRST literal occurrence only
     assert str(r["ad"]) == "2024-01-02 10:30:00"  # time preserved
-    # dynamic JSON key stays unrewritten (no wrong bare-key path)
-    src = "select JSONExtractInt(j, key_col) from t"
-    assert T(src) == src
+    # dynamic JSON key graduated in r9: the from_json map form takes
+    # over (detailed pins in test_json_dynamic_key_and_nested_paths)
+    assert "from_json" in T("select JSONExtractInt(j, key_col) from t")
 
 
 def test_sequence_match_emits_false_for_uncovered_users(spark):
@@ -3821,3 +3821,39 @@ def test_with_fill_nested_subquery(spark, sf_correct):
     assert r["mx"] == 41 and r["n"] == 8
     src3 = "select * from (select 1 as n order by n desc with fill)"
     assert T(src3) == src3
+
+
+def test_dialect_batch18(spark):
+    """r9 batch 18: Date32/DateTime64 casts, ISO toYearWeek, week-
+    start modes, bare arrayCount, bit tests, CH toTime anchor,
+    negate/notLike, decimal(38,0) wide casts, toward-zero truncate —
+    live value vectors; unsupported toYearWeek modes stay loud."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "select toDate32('2020-02-03') as a,"
+        " toDateTime64('2020-02-03 04:05:06', 3) as b,"
+        " toYearWeek(toDate('2020-01-01'), 3) as c,"
+        " toStartOfWeek(toDate('2020-01-01')) as d,"
+        " toStartOfWeek(toDate('2020-01-01'), 1) as e,"
+        " arrayCount([1, 0, 3, 0]) as f,"
+        " bitTestAny(5, 1, 2) as g, bitTestAll(5, 0, 1) as h,"
+        " toTime(toDateTime('2023-04-05 06:07:08')) as i,"
+        " negate(7) as j, notLike('abc', '%b%') as k,"
+        " toInt128('123') as l, truncate(-1.987, 2) as m,"
+        " truncate(9.99) as n"
+    )).collect()[0]
+    assert str(r["a"]) == "2020-02-03"
+    assert str(r["b"]) == "2020-02-03 04:05:06"
+    assert r["c"] == 202001
+    assert str(r["d"]) == "2019-12-29" and str(r["e"]) == "2019-12-30"
+    assert r["f"] == 2 and r["g"] is True and r["h"] is False
+    assert str(r["i"]) == "1970-01-02 06:07:08"
+    assert r["j"] == -7 and r["k"] is False
+    assert int(r["l"]) == 123
+    assert r["m"] == -1.98 and r["n"] == 9.0
+    # unsupported toYearWeek modes / bad arities stay loud
+    src = "select toYearWeek(d) from t"
+    assert T(src) == src
+    src2 = "select toYearWeek(d, 0) from t"
+    assert T(src2) == src2
