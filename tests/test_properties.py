@@ -101,6 +101,18 @@ _TRIGGER_SNIPPETS = [
     "* replace(x + 1 as x)",
     "format('{} {}', a, b)",
     "exponentialMovingAverage(10)(v, t)",
+    # r9 triggers
+    "dateDiff('month', a, b)",
+    "age('quarter', a, b)",
+    "toStartOfInterval(ts, INTERVAL 2 month)",
+    "toStartOfWeek(d, 1)",
+    "arrayMin(x -> x + 1, arr)",
+    "JSONExtractInt(j, k)",
+    "JSONExtractString(j, 'a', 'b')",
+    "sequenceCount('(?1).(?t<5)(?2)')(ts, a, b)",
+    "order by k with fill from 0 to 9 step 3 interpolate (y as y + z, z as z)",
+    "truncate(x, 2)",
+    "bitTestAll(x, 0, 3)",
 ]
 
 
@@ -634,3 +646,68 @@ def test_temperature_mixture_flattens_distribution(spark):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
     with pytest.raises(ValueError):
         temperature_mixture_sample(docs, temperature=0)
+
+
+def test_datediff_age_differential_vs_duckdb(spark):
+    """r9 boundary-crossing dateDiff + complete-calendar age: 2,000
+    deterministic pseudo-random timestamp pairs (second granularity,
+    1995-2005, both argument orders) run through translate_ch_sql on
+    Spark AND natively on DuckDB (whose date_diff is itself
+    boundary-crossing with Monday weeks, and whose datesub-style
+    complete-month fold replays age) — every unit, exact equality."""
+    import duckdb
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    gen = """
+      SELECT id,
+             timestamp '1995-01-01 00:00:00'
+               + make_interval(0, 0, 0, 0, 0, 0, (id * 2654435761) % 315360000) AS a,
+             timestamp '1995-01-01 00:00:00'
+               + make_interval(0, 0, 0, 0, 0, 0, (id * 40503 + 7919) % 315360000) AS b
+      FROM range(2000) r(id)
+    """
+    units = ["second", "minute", "hour", "day", "week",
+             "month", "quarter", "year"]
+    ch_cols = ", ".join(
+        f"dateDiff('{u}', a, b) as dd_{u}" for u in units
+    ) + ", " + ", ".join(f"age('{u}', a, b) as age_{u}" for u in units)
+    sdf = {r["id"]: r for r in spark.sql(
+        T(f"SELECT id, {ch_cols} FROM ({gen.replace('make_interval(0, 0, 0, 0, 0, 0,', 'make_interval(0, 0, 0, 0, 0, 0,')}) s")
+    ).collect()}
+
+    con = duckdb.connect()
+    dk_gen = """
+      SELECT r.range AS id,
+             timestamp '1995-01-01 00:00:00'
+               + to_seconds(cast((r.range * 2654435761) % 315360000 as bigint)) AS a,
+             timestamp '1995-01-01 00:00:00'
+               + to_seconds(cast((r.range * 40503 + 7919) % 315360000 as bigint)) AS b
+      FROM range(2000) r
+    """
+    dd_cols = ", ".join(
+        f"date_diff('{u}', a, b) as dd_{u}" for u in units
+    )
+    # age replay: uniform units = epoch-second grid of COMPLETE units;
+    # month family = complete calendar months with (day, time) compare
+    fm = ("(CASE WHEN a <= b THEN (year(b)-year(a))*12 + month(b)-month(a)"
+          " - (CASE WHEN (day(b), b::time) < (day(a), a::time) THEN 1 ELSE 0 END)"
+          " ELSE -((year(a)-year(b))*12 + month(a)-month(b)"
+          " - (CASE WHEN (day(a), a::time) < (day(b), b::time) THEN 1 ELSE 0 END)) END)")
+    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+            "week": 604800}
+    age_cols = ", ".join(
+        f"cast(trunc((epoch(b) - epoch(a)) / {s}.0) as bigint) as age_{u}"
+        for u, s in secs.items()
+    ) + (f", {fm} as age_month, cast(trunc({fm} / 3.0) as bigint) as age_quarter,"
+         f" cast(trunc({fm} / 12.0) as bigint) as age_year")
+    ddf = {r[0]: r for r in con.execute(
+        f"SELECT id, {dd_cols}, {age_cols} FROM ({dk_gen}) s"
+    ).fetchall()}
+    cols = [f"dd_{u}" for u in units] + [f"age_{u}" for u in units]
+    for i in sdf:
+        srow, drow = sdf[i], ddf[i]
+        for j, c in enumerate(cols, start=1):
+            assert int(srow[c]) == int(drow[j]), (
+                f"id={i} {c}: spark {srow[c]} vs duckdb {drow[j]}"
+            )
