@@ -791,3 +791,131 @@ TPCH_QUERIES: list[QueryDef] = [
     QueryDef("q22_dormant_customers", _tpch_runner(_Q22_CH), Q22_ORACLE,
              "TPC-H Q22 as stored CH SQL: scalar threshold + NOT EXISTS + substring key"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Window-analytics suite (r9): the OTHER dominant shape of stored CH
+# analytics — window functions over frames, LIMIT BY, WITH CUBE —
+# again as externally-shaped stored text through the translator.
+# ---------------------------------------------------------------------------
+
+_QW1_CH = """
+select o_custkey, toInt64(o_orderkey) as okey,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))
+         over (partition by o_custkey order by o_orderdate, o_orderkey
+               rows between unbounded preceding and current row)) as cum,
+       toFloat64(lagInFrame(toDecimal64(o_totalprice, 2), 1, 0)
+         over (partition by o_custkey order by o_orderdate, o_orderkey
+               rows between unbounded preceding and current row)) as prev
+from orders
+order by o_custkey, okey
+limit 2 by o_custkey
+"""
+
+QW1_ORACLE = """
+SELECT o_custkey, cast(o_orderkey as bigint) AS okey,
+       cast(sum(cast(o_totalprice as decimal(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         as double) AS cum,
+       cast(lag(cast(o_totalprice as decimal(18,2)), 1, 0)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         as double) AS prev
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderkey) <= 2
+ORDER BY o_custkey, okey
+"""
+
+_QW2_CH = """
+select st, toDateTime(m) as m, toFloat64(rev) as rev,
+       toFloat64(sum(rev) over w3) / toInt64(count(*) over w3) as mov3,
+       toFloat64(rev - lagInFrame(rev, 1, toDecimal64(0, 2))
+         over (partition by st order by m
+               rows between unbounded preceding and current row)) as delta
+from (
+  select o_orderstatus as st, toStartOfMonth(o_orderdate) as m,
+         sum(toDecimal64(o_totalprice, 2)) as rev
+  from orders group by st, m
+)
+window w3 as (partition by st order by m
+              rows between 2 preceding and current row)
+order by st, m
+"""
+
+QW2_ORACLE = """
+SELECT st, cast(m as timestamp) AS m, cast(rev as double) AS rev,
+       cast(sum(rev) OVER w3 as double)
+         / cast(count(*) OVER w3 as bigint) AS mov3,
+       cast(rev - lag(rev, 1, cast(0 as decimal(18,2)))
+         OVER (PARTITION BY st ORDER BY m) as double) AS delta
+FROM (
+  SELECT o_orderstatus AS st, date_trunc('month', o_orderdate) AS m,
+         sum(cast(o_totalprice as decimal(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+WINDOW w3 AS (PARTITION BY st ORDER BY m
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY st, m
+"""
+
+_QW3_CH = """
+select coalesce(o_orderstatus, 'ALL') as st,
+       coalesce(o_orderpriority, 'ALL') as pri,
+       toInt64(count(*)) as n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) as rev
+from orders
+group by o_orderstatus, o_orderpriority with cube
+order by st, pri
+"""
+
+QW3_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS st,
+       coalesce(o_orderpriority, 'ALL') AS pri,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS rev
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY st, pri
+"""
+
+_QW4_CH = """
+select n_name, s_name, toInt64(rnk) as rnk
+from (
+  select n_name, s_name,
+         rank() over (partition by n_name order by bal desc, s_name) as rnk
+  from (
+    select n_name, s_name, max(toDecimal64(s_acctbal, 2)) as bal
+    from supplier join nation on s_nationkey = n_nationkey
+    group by n_name, s_name
+  )
+)
+where rnk <= 3
+order by n_name, rnk, s_name
+"""
+
+QW4_ORACLE = """
+SELECT n_name, s_name, cast(rnk as bigint) AS rnk
+FROM (
+  SELECT n_name, s_name,
+         rank() OVER (PARTITION BY n_name ORDER BY bal DESC, s_name) AS rnk
+  FROM (
+    SELECT n_name, s_name, max(cast(s_acctbal as decimal(18,2))) AS bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, s_name
+  )
+)
+WHERE rnk <= 3
+ORDER BY n_name, rnk, s_name
+"""
+
+WINDOW_QUERIES: list[QueryDef] = [
+    QueryDef("qw1_cumulative_revenue", _tpch_runner(_QW1_CH), QW1_ORACLE,
+             "cumulative window + lagInFrame (frame-stripped) + LIMIT BY"),
+    QueryDef("qw2_moving_stats", _tpch_runner(_QW2_CH), QW2_ORACLE,
+             "named WINDOW clause, decimal moving sum/count, lag delta"),
+    QueryDef("qw3_cube_totals", _tpch_runner(_QW3_CH), QW3_ORACLE,
+             "GROUP BY … WITH CUBE pass-through vs native CUBE"),
+    QueryDef("qw4_rank_topk", _tpch_runner(_QW4_CH), QW4_ORACLE,
+             "rank-per-partition top-k via derived subquery"),
+]

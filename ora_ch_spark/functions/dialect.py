@@ -675,6 +675,57 @@ def _parse_interpolate(
     return raw_items, rest[i:], cross
 
 
+def _strip_lag_lead_frames(masked: str) -> str:
+    """Remove ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW``
+    from the OVER clause directly following a ``lag(…)``/``lead(…)``
+    call (balanced-paren scan on masked text). That frame is exactly
+    the whole-ordered-prefix under which CH's lagInFrame equals plain
+    lag — and Spark's analyzer rejects ANY explicit frame on
+    lag/lead, so the spelled-out form must drop it. Other frames are
+    deliberately kept (they change InFrame semantics) and fail loudly
+    downstream."""
+    pat = re.compile(r"(?is)\b(lag|lead)\s*\(")
+    parts: list[str] = []
+    i = 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            parts.append(masked[i:])
+            return "".join(parts)
+        depth, j = 1, m.end()
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        mo = re.match(r"(?is)\s*over\s*\(", masked[j:]) if not depth else None
+        if not mo:
+            parts.append(masked[i:j] if not depth else masked[i : m.end()])
+            i = j if not depth else m.end()
+            continue
+        k0 = j + mo.end()
+        depth, k = 1, k0
+        while k < len(masked) and depth:
+            if masked[k] == "(":
+                depth += 1
+            elif masked[k] == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            parts.append(masked[i:j])
+            i = j
+            continue
+        body = re.sub(
+            r"(?is)\s+rows\s+between\s+unbounded\s+preceding"
+            r"\s+and\s+current\s+row\s*$",
+            "",
+            masked[k0 : k - 1],
+        )
+        parts.append(masked[i:k0] + body + ")")
+        i = k
+
+
 def _rewrite_with_fill(masked: str) -> str:
     """WITH FILL driver: rewrite a statement-level ``ORDER BY … WITH
     FILL`` via :func:`_rewrite_with_fill_stmt`, then walk NESTED
@@ -2080,6 +2131,12 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # frameless corner is a documented deviation
     out = _rewrite_calls(out, "lagInFrame", lambda a: f"lag({', '.join(a)})")
     out = _rewrite_calls(out, "leadInFrame", lambda a: f"lead({', '.join(a)})")
+    # Spark REJECTS an explicit frame on lag/lead while CH *requires*
+    # one on the InFrame forms — strip the standard whole-prefix
+    # frame (under which lagInFrame ≡ lag) from lag/lead OVER
+    # clauses; any NARROWER frame is left in place and fails loudly
+    # in Spark's analyzer (its semantics genuinely differ). r9.
+    out = _strip_lag_lead_frames(out)
     out = _rewrite_calls(out, "toMonth", lambda a: f"month({a[0]})")
     out = _rewrite_calls(out, "toDayOfMonth", lambda a: f"dayofmonth({a[0]})")
     out = _rewrite_calls(out, "toHour", lambda a: f"hour({a[0]})")

@@ -113,6 +113,7 @@ _TRIGGER_SNIPPETS = [
     "order by k with fill from 0 to 9 step 3 interpolate (y as y + z, z as z)",
     "truncate(x, 2)",
     "bitTestAll(x, 0, 3)",
+    "lagInFrame(v, 1, 0) over (order by t rows between unbounded preceding and current row)",
 ]
 
 

@@ -3857,3 +3857,28 @@ def test_dialect_batch18(spark):
     assert T(src) == src
     src2 = "select toYearWeek(d, 0) from t"
     assert T(src2) == src2
+
+
+def test_laginframe_frame_strip(spark):
+    """r9: lagInFrame/leadInFrame rename to lag/lead and the standard
+    whole-prefix frame is STRIPPED from their OVER clause (Spark
+    rejects any explicit frame on lag/lead; under that frame the CH
+    semantics coincide). Narrower frames are kept — loud analyzer
+    failure — and frames on OTHER window functions are untouched."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    t = T("select lagInFrame(x, 1, 0) over (partition by g order by x"
+          " rows between unbounded preceding and current row) from t")
+    assert "lag(x, 1, 0) over (partition by g order by x)" in t
+    t2 = T("select sum(x) over (order by x rows between unbounded"
+           " preceding and current row) from t")
+    assert "rows between unbounded" in t2  # non-lag frames untouched
+    t3 = T("select leadInFrame(x) over (order by x rows between"
+           " 2 preceding and current row) from t")
+    assert "2 preceding" in t3  # narrower frame kept (fails loudly)
+    r = spark.sql(T(
+        "select max(v) as m from (select lagInFrame(n, 1, -1) over"
+        " (order by n rows between unbounded preceding and current row)"
+        " as v from (select 1 as n union all select 2 as n))"
+    )).collect()[0]
+    assert r["m"] == 1
