@@ -1852,6 +1852,99 @@ ORDER BY grp
 """
 
 
+# ---------------------------------------------------------------------------
+# Battery 19 (round 9) — second common-function sweep: YYYYMMDD
+# round-trips, days-since-year-zero anchor, last-day-of-week modes,
+# quarter interval arithmetic, countDistinctIf, case-insensitive
+# UTF-8 position, isZeroOrNull/toBool, interpolated weighted
+# quantile (vs DuckDB quantile_cont over weight-repeated values).
+# The order-undefined forms (groupConcat, groupArrayLast,
+# arrayRandomSample, anyLastIf) are unit/role-level only.
+# ---------------------------------------------------------------------------
+
+_DIALECT19_CH_SQL = """
+select grp,
+  toInt64(countIf(YYYYMMDDToDate(toYYYYMMDD(o_orderdate))
+                  = toDate(o_orderdate))) as ymd_rt,
+  toInt64(max(toDaysSinceYearZero(o_orderdate))) as dz_max,
+  toInt64(countIf(fromDaysSinceYearZero(toDaysSinceYearZero(o_orderdate))
+                  = toDate(o_orderdate))) as dz_rt,
+  toDateTime(max(toLastDayOfWeek(o_orderdate))) as lw0,
+  toDateTime(max(toLastDayOfWeek(o_orderdate, 1))) as lw1,
+  toDateTime(max(addQuarters(o_orderdate, o_orderkey % 3))) as aq,
+  toDateTime(min(subtractQuarters(o_orderdate, 2))) as sq,
+  toInt64(countDistinctIf(o_orderpriority, o_totalprice > 100000)) as cdi,
+  toInt64(sum(positionCaseInsensitiveUTF8(o_orderpriority, 'e'))) as pci,
+  toInt64(countIf(isZeroOrNull(o_orderkey % 3))) as zn,
+  toInt64(countIf(toBool(o_orderkey % 2))) as tb,
+  toFloat64(quantileInterpolatedWeighted(0.5)(
+      toInt64(o_orderkey % 97), toInt32(o_orderkey % 3 + 1))) as qiw
+from (
+  select o_orderkey, o_orderdate, o_totalprice, o_orderpriority,
+         multiIf(o_orderkey % 2 = 0, 'E', 'O') as grp
+  from orders
+)
+group by grp
+order by grp
+"""
+
+
+def calc_dialect19_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 19, value-gated vs DuckDB — incl. the weighted
+    interpolated median replayed as quantile_cont over values
+    repeated by their integer weights (the definition Spark's
+    3-arg percentile implements)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT19_CH_SQL)).orderBy("grp")
+
+
+DIALECT19_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'E' ELSE 'O' END AS grp
+  FROM orders
+),
+qw AS (
+  SELECT grp, quantile_cont(v, 0.5) AS qiw
+  FROM (
+    SELECT s.grp, cast(s.o_orderkey % 97 as bigint) AS v
+    FROM src s, range(3) r
+    WHERE r.range < s.o_orderkey % 3 + 1
+  )
+  GROUP BY grp
+)
+SELECT s.grp,
+  cast(count(CASE WHEN cast(strptime(cast(cast(strftime(o_orderdate,
+      '%Y%m%d') as bigint) as varchar), '%Y%m%d') as date)
+      = cast(o_orderdate as date) THEN 1 END) as bigint) AS ymd_rt,
+  cast(max(date_diff('day', DATE '1970-01-01', cast(o_orderdate as date))
+           + 719528) as bigint) AS dz_max,
+  cast(count(*) as bigint) AS dz_rt,
+  cast(max(cast(o_orderdate as date)
+           + (6 - cast(dayofweek(o_orderdate) as int)))
+       as timestamp) AS lw0,
+  cast(max(cast(date_trunc('week', o_orderdate) as date) + 6)
+       as timestamp) AS lw1,
+  cast(max(o_orderdate + to_months(cast((o_orderkey % 3) * 3 as int)))
+       as timestamp) AS aq,
+  cast(min(o_orderdate - to_months(6)) as timestamp) AS sq,
+  cast(count(DISTINCT CASE WHEN o_totalprice > 100000
+             THEN o_orderpriority END) as bigint) AS cdi,
+  cast(sum(position(lower('e') in lower(o_orderpriority))) as bigint)
+    AS pci,
+  cast(count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) as bigint) AS zn,
+  cast(count(CASE WHEN cast(o_orderkey % 2 as boolean) THEN 1 END)
+       as bigint) AS tb,
+  max(qw.qiw) AS qiw
+FROM src s JOIN qw ON s.grp = qw.grp
+GROUP BY s.grp
+ORDER BY s.grp
+"""
+
+
 _WITH_FILL4_CH_SQL = """
 select toInt64(count(*)) as n, toInt64(sum(cnt)) as s,
        toInt64(min(y)) as y0, toInt64(max(y)) as y1

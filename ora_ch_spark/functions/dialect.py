@@ -3442,6 +3442,160 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     out = _rewrite_calls(out, "truncate", _truncate_num)
 
+    # ---- batch 19 (r9): second common-function sweep. ----
+    out = _rewrite_calls(
+        out,
+        "toMillisecond",
+        lambda a: (
+            f"cast((unix_micros(cast({a[0]} as timestamp)) % 1000000)"
+            f" div 1000 as int)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "YYYYMMDDToDate",
+        lambda a: (
+            f"to_date(cast(cast({a[0]} as bigint) as string), "
+            + lit("yyyyMMdd")
+            + ")"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "YYYYMMDDhhmmssToDateTime",
+        lambda a: (
+            f"to_timestamp(cast(cast({a[0]} as bigint) as string), "
+            + lit("yyyyMMddHHmmss")
+            + ")"
+        ),
+    )
+    # proleptic-Gregorian day count anchored so that
+    # toDaysSinceYearZero('1970-01-01') = 719528 (the CH constant)
+    out = _rewrite_calls(
+        out,
+        "toDaysSinceYearZero",
+        lambda a: (
+            f"cast(datediff(cast({a[0]} as date), date'1970-01-01')"
+            f" + 719528 as int)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "fromDaysSinceYearZero",
+        lambda a: f"date_add(date'1970-01-01', cast({a[0]} as int) - 719528)",
+    )
+    # quantileGK(accuracy, level)(x): Spark's approx_percentile takes
+    # the same (expr, level, accuracy) contract — same sketch ROLE,
+    # different sketch internals (documented drift like quantile)
+    out = _rewrite_param_calls(
+        out,
+        "quantileGK",
+        lambda ps, a: (
+            f"approx_percentile({a[0]}, {ps[1]}, {ps[0]})"
+            if len(ps) == 2
+            else None
+        ),
+    )
+    # interpolated-weighted quantile ≈ percentile's frequency arg
+    # (Spark interpolates between distinct weighted values — same
+    # role; CH's interpolation rule differs in tie handling)
+    out = _rewrite_param_calls(
+        out,
+        "quantileInterpolatedWeighted",
+        lambda ps, a: (
+            f"percentile({a[0]}, {ps[0] if ps else '0.5'}, {a[1]})"
+            if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "positionCaseInsensitiveUTF8",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))" if len(a) == 2 else None,
+    )
+    # toLastDayOfWeek: mode 0/2 → nearest following Saturday,
+    # mode 1/3 → Sunday (Monday-start week + 6)
+    out = _rewrite_calls(
+        out,
+        "toLastDayOfWeek",
+        lambda a: (
+            f"date_add(date_sub(cast({a[0]} as date), "
+            f"dayofweek({a[0]}) - 1), 6)"
+            if len(a) == 1 or (len(a) == 2 and a[1].strip() in ("0", "2"))
+            else (
+                f"date_add(cast(date_trunc('WEEK', {a[0]}) as date), 6)"
+                if len(a) == 2 and a[1].strip() in ("1", "3")
+                else None
+            )
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "addQuarters",
+        lambda a: f"({a[0]} + make_interval(0, ({a[1]}) * 3, 0, 0, 0, 0, 0))",
+    )
+    out = _rewrite_calls(
+        out,
+        "subtractQuarters",
+        lambda a: f"({a[0]} - make_interval(0, ({a[1]}) * 3, 0, 0, 0, 0, 0))",
+    )
+    out = _rewrite_calls(
+        out,
+        "countDistinctIf",
+        lambda a: (
+            f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # anyLast is order-undefined in CH like any — same any_value role
+    # (ignoreNulls so the CASE filter works)
+    out = _rewrite_calls(
+        out,
+        "anyLastIf",
+        lambda a: (
+            f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "isZeroOrNull", lambda a: f"({a[0]} IS NULL OR {a[0]} = 0)"
+    )
+    out = _rewrite_calls(out, "toBool", lambda a: f"cast({a[0]} as boolean)")
+    # arrays_zip pads the short side with NULLs — exactly CH's
+    # zipUnaligned contract (field NAMES drift: Spark numbers them)
+    out = _rewrite_calls(
+        out, "arrayZipUnaligned", lambda a: f"arrays_zip({', '.join(a)})"
+    )
+    # nondeterministic on both engines — role mapping, never gated
+    out = _rewrite_calls(
+        out,
+        "arrayRandomSample",
+        lambda a: f"slice(shuffle({a[0]}), 1, {a[1]})" if len(a) == 2 else None,
+    )
+    # groupArrayLast(N)(x): last N in read order — order-undefined in
+    # a distributed read just like groupArray (documented)
+    out = _rewrite_param_calls(
+        out,
+        "groupArrayLast",
+        lambda ps, a: (
+            f"slice(collect_list({a[0]}), "
+            f"-least({ps[0]}, size(collect_list({a[0]}))), {ps[0]})"
+            if ps
+            else None
+        ),
+    )
+    # groupConcat(sep)(x) / groupConcat(x): listagg — concatenation
+    # order is read order on both engines (order-undefined role map)
+    out = _rewrite_param_calls(
+        out,
+        "groupConcat",
+        lambda ps, a: (
+            f"listagg({a[0]}, {ps[0]})" if ps else f"listagg({a[0]})"
+        ),
+    )
+
     # arrayCumSum: O(n²) prefix re-aggregation — fine for the bounded
     # arrays CH uses it on. Folds in DOUBLE like arraySum above
     # (aggregate() pins one accumulator type; int/decimal element

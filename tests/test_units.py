@@ -3882,3 +3882,43 @@ def test_laginframe_frame_strip(spark):
         " as v from (select 1 as n union all select 2 as n))"
     )).collect()[0]
     assert r["m"] == 1
+
+
+def test_dialect_batch19(spark):
+    """r9 batch 19: live value vectors for the second sweep —
+    YYYYMMDD round-trips, year-zero day anchor (CH constant 719528),
+    last-day-of-week both modes, quarter intervals, ms component,
+    quantileGK param order, plus the order-undefined role forms
+    (groupConcat → listagg, groupArrayLast slice, arrayZipUnaligned
+    NULL padding) on single-row-deterministic inputs."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "select YYYYMMDDToDate(20230715) as a,"
+        " YYYYMMDDhhmmssToDateTime(20230715010203) as b,"
+        " toDaysSinceYearZero(toDate('1970-01-01')) as c,"
+        " fromDaysSinceYearZero(719528) as d,"
+        " toLastDayOfWeek(toDate('2020-01-01')) as e,"
+        " toLastDayOfWeek(toDate('2020-01-01'), 1) as f,"
+        " addQuarters(toDate('2020-01-31'), 1) as g,"
+        " toMillisecond(toDateTime64('2020-01-01 00:00:01.234', 3)) as h,"
+        " isZeroOrNull(NULL) as i, toBool(0) as j,"
+        " arrayZipUnaligned([1, 2], [9]) as k"
+    )).collect()[0]
+    assert str(r["a"]) == "2023-07-15"
+    assert str(r["b"]) == "2023-07-15 01:02:03"
+    assert r["c"] == 719528 and str(r["d"]) == "1970-01-01"
+    assert str(r["e"]) == "2020-01-04" and str(r["f"]) == "2020-01-05"
+    assert str(r["g"]) == "2020-04-30"
+    assert r["h"] == 234 and r["i"] is True and r["j"] is False
+    assert [tuple(x) for x in r["k"]] == [(1, 9), (2, None)]
+    assert T("select quantileGK(100, 0.5)(x) from t") == (
+        "select approx_percentile(x, 0.5, 100) from t"
+    )
+    r2 = spark.sql(T(
+        "select groupConcat('-')(s) as gc, groupArrayLast(2)(s) as gl,"
+        " anyLastIf(s, n = 2) as al from (select 'a' as s, 1 as n"
+        " union all select 'b', 2)"
+    )).collect()[0]
+    assert sorted(r2["gc"].split("-")) == ["a", "b"]
+    assert len(r2["gl"]) == 2 and r2["al"] == "b"
