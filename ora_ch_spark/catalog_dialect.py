@@ -1945,6 +1945,99 @@ ORDER BY s.grp
 """
 
 
+# ---------------------------------------------------------------------------
+# Battery 20 (round 9) — third sweep: HTML text extraction, token
+# matching, dense enumeration, first-significant-subdomain URL rule,
+# width_bucket, OrNull array picks.
+# ---------------------------------------------------------------------------
+
+_DIALECT20_CH_SQL = """
+select grp,
+  toInt64(sum(length(extractTextFromHTML(concat('<p>', o_orderpriority,
+      '</p><script>var x = 1;</script><!-- note -->'))))) as html_len,
+  toInt64(sum(arraySum(arrayEnumerateDense(
+      [o_orderkey % 5, o_orderkey % 3, o_orderkey % 5])))) as ed,
+  toInt64(sum(length(splitByNonAlpha(o_orderpriority)))) as spl,
+  toInt64(countIf(hasToken(o_orderpriority, 'URGENT'))) as tok,
+  toInt64(countIf(hasTokenCaseInsensitive(o_orderpriority, 'urgent')))
+    as tokci,
+  toInt64(sum(countSubstringsCaseInsensitiveUTF8(o_orderpriority, 'e')))
+    as css,
+  toInt64(max(arrayFirstOrNull(x -> x > 2, [o_orderkey % 5, 4]))) as afo,
+  toInt64(min(arrayLastOrNull(x -> x < 3, [o_orderkey % 5, 1]))) as alo,
+  toInt64(sum(widthBucket(o_totalprice, 0, 600000, 6))) as wb,
+  max(firstSignificantSubdomain(concat('https://www.ex',
+      toString(o_orderkey % 3), '.com.tr/p'))) as fss,
+  max(cutToFirstSignificantSubdomain(concat('https://a.ex',
+      toString(o_orderkey % 3), '.org/p'))) as cfss,
+  toInt64(sum(toInt32OrZero(regexpExtract(o_orderpriority,
+      '^([0-9])', 1)))) as rex
+from (
+  select o_orderkey, o_totalprice, o_orderpriority,
+         multiIf(o_orderkey % 2 = 0, 'E', 'O') as grp
+  from orders
+)
+group by grp
+order by grp
+"""
+
+
+def calc_dialect20_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 20, value-gated vs DuckDB (whose RE2 lacks
+    backreferences, so the oracle's HTML strip spells script/style as
+    two literal patterns; arrayEnumerateDense replays as the closed
+    form since DuckDB's list_distinct does not pin first-occurrence
+    order; width_bucket replays as the floor formula)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT20_CH_SQL)).orderBy("grp")
+
+
+DIALECT20_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'E' ELSE 'O' END AS grp,
+         '<p>' || o_orderpriority ||
+         '</p><script>var x = 1;</script><!-- note -->' AS html
+  FROM orders
+)
+SELECT grp,
+  cast(sum(length(trim(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(html,
+          '(?is)<script\\b.*?</script\\s*>', ' ', 'g'),
+          '(?is)<style\\b.*?</style\\s*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+          '\\s+', ' ', 'g')))) as bigint) AS html_len,
+  cast(sum(CASE WHEN o_orderkey % 5 = o_orderkey % 3
+                THEN 3 ELSE 4 END) as bigint) AS ed,
+  cast(sum(len(list_filter(regexp_split_to_array(o_orderpriority,
+      '[^0-9A-Za-z]+'), x -> x <> ''))) as bigint) AS spl,
+  cast(count(CASE WHEN regexp_matches(o_orderpriority,
+      '(^|[^0-9A-Za-z_])URGENT([^0-9A-Za-z_]|$)') THEN 1 END)
+      as bigint) AS tok,
+  cast(count(CASE WHEN regexp_matches(o_orderpriority,
+      '(?i)(^|[^0-9A-Za-z_])urgent([^0-9A-Za-z_]|$)') THEN 1 END)
+      as bigint) AS tokci,
+  cast(sum((length(o_orderpriority) - length(replace(
+      lower(o_orderpriority), 'e', ''))) // 1) as bigint) AS css,
+  cast(max(CASE WHEN o_orderkey % 5 > 2 THEN o_orderkey % 5
+                ELSE 4 END) as bigint) AS afo,
+  cast(min(CASE WHEN 1 < 3 THEN 1 END) as bigint) AS alo,
+  cast(sum(least(cast(floor(o_totalprice / 100000) as bigint) + 1, 7))
+      as bigint) AS wb,
+  max('ex' || cast(o_orderkey % 3 as varchar)) AS fss,
+  max('ex' || cast(o_orderkey % 3 as varchar) || '.org') AS cfss,
+  cast(sum(cast(regexp_extract(o_orderpriority, '^([0-9])', 1)
+      as int)) as bigint) AS rex
+FROM src
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 _WITH_FILL4_CH_SQL = """
 select toInt64(count(*)) as n, toInt64(sum(cnt)) as s,
        toInt64(min(y)) as y0, toInt64(max(y)) as y1

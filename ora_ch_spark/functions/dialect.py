@@ -1901,6 +1901,7 @@ _ARRAYISH = re.compile(
     r"arrayzip|arraydifference|arraycumsum|arraysplit|arrayreversesplit|"
     r"arrayfill|arrayreversefill|arrayshiftleft|arrayshiftright|"
     r"arraywithconstant|arrayflatten|arrayrotateleft|arrayrotateright|"
+    r"arrayenumeratedense|arrayzipunaligned|splitbynonalpha|"
     r"arraypartialsort|arrayshuffle|groupara|grouparray|groupuniqarray|"
     r"splitbychar|splitbystring|splitbyregexp|splitbywhitespace|"
     r"alphatokens|tokens|ngrams|extractall|range|sequence|transform|"
@@ -3595,6 +3596,136 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             f"listagg({a[0]}, {ps[0]})" if ps else f"listagg({a[0]})"
         ),
     )
+
+    # ---- batch 20 (r9): third sweep — text/URL/array leftovers. ----
+    # CH positions are 1-based and assigned by FIRST OCCURRENCE order
+    # (array_distinct preserves it)
+    out = _rewrite_calls(
+        out,
+        "arrayEnumerateDense",
+        lambda a: (
+            f"transform({a[0]}, __ed -> "
+            f"cast(array_position(array_distinct({a[0]}), __ed) as int))"
+        ),
+    )
+    # simplified contract (documented drift): strips script/style
+    # blocks, comments and tags, collapses whitespace — CH's version
+    # additionally decodes entities and handles CDATA
+    out = _rewrite_calls(
+        out,
+        "extractTextFromHTML",
+        lambda a: (
+            "trim(regexp_replace(regexp_replace(regexp_replace("
+            f"regexp_replace({a[0]}, "
+            + lit(r"(?is)<(script|style)\\b.*?</\\1\\s*>") + ", " + lit(" ")
+            + "), " + lit(r"(?s)<!--.*?-->") + ", " + lit(" ")
+            + "), " + lit(r"<[^>]*>") + ", " + lit(" ")
+            + "), " + lit(r"\\s+") + ", " + lit(" ") + "))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "splitByNonAlpha",
+        lambda a: (
+            f"filter(split({a[0]}, " + lit("[^0-9A-Za-z]+")
+            + "), __sp -> __sp != " + lit("") + ")"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "regexpExtract",
+        lambda a: f"regexp_extract({', '.join(a)})",
+    )
+
+    def _has_token(ci: bool):
+        # CH hasToken requires a CONSTANT token of token chars only —
+        # the same restriction keeps the regex splice safe (loud
+        # pass-through otherwise)
+        def render(a: list[str]) -> str | None:
+            if len(a) != 2:
+                return None
+            lt = _lit_text(a[1], lits)
+            if lt is None or not re.fullmatch(r"[0-9A-Za-z_]+", lt[1:-1]):
+                return None
+            tok = lt[1:-1]
+            flags = "(?i)" if ci else ""
+            pat = f"{flags}(^|[^0-9A-Za-z_]){tok}([^0-9A-Za-z_]|$)"
+            return f"({a[0]} rlike " + lit(pat) + ")"
+
+        return render
+
+    out = _rewrite_calls(out, "hasTokenCaseInsensitive", _has_token(True))
+    out = _rewrite_calls(out, "hasToken", _has_token(False))
+    out = _rewrite_calls(
+        out,
+        "countSubstringsCaseInsensitiveUTF8",
+        lambda a: (
+            f"(CASE WHEN length({a[1]}) = 0 THEN 0 "
+            f"ELSE ((length({a[0]}) - length(replace(lower({a[0]}), "
+            f"lower({a[1]}), {lit('')}))) div length({a[1]})) END)"
+        ),
+    )
+    # get() is NULL out-of-bounds even under ANSI (element_at throws)
+    out = _rewrite_calls(
+        out,
+        "arrayFirstOrNull",
+        lambda a: (
+            f"get(filter({a[1]}, {a[0]}), 0)"
+            if len(a) == 2 and "->" in a[0]
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayLastOrNull",
+        lambda a: (
+            f"get(filter({a[1]}, {a[0]}), "
+            f"size(filter({a[1]}, {a[0]})) - 1)"
+            if len(a) == 2 and "->" in a[0]
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "widthBucket", lambda a: f"width_bucket({', '.join(a)})"
+    )
+    # CH's first-significant-subdomain rule (FirstSignificantSubdomain
+    # uses the short built-in list com/net/org/co): with ≥3 host parts
+    # and a listed second-level suffix, take the third-from-last part,
+    # else the second-from-last
+    _FSS_COND = (
+        "size({p}) >= 3 AND element_at({p}, size({p}) - 1) IN "
+        "({com}, {net}, {org}, {co})"
+    )
+
+    def _fss_parts(u: str) -> str:
+        return f"split(parse_url({u}, {lit('HOST')}), " + lit(r"\\.") + ")"
+
+    def _fss(a: list[str]) -> str:
+        p = _fss_parts(a[0])
+        cond = _FSS_COND.format(
+            p=p, com=lit("com"), net=lit("net"), org=lit("org"),
+            co=lit("co"),
+        )
+        return (
+            f"IF(size({p}) <= 1, element_at({p}, 1), "
+            f"IF({cond}, element_at({p}, size({p}) - 2), "
+            f"element_at({p}, size({p}) - 1)))"
+        )
+
+    def _cut_fss(a: list[str]) -> str:
+        p = _fss_parts(a[0])
+        cond = _FSS_COND.format(
+            p=p, com=lit("com"), net=lit("net"), org=lit("org"),
+            co=lit("co"),
+        )
+        return (
+            f"IF(size({p}) <= 1, element_at({p}, 1), "
+            f"array_join(slice({p}, IF({cond}, size({p}) - 2, "
+            f"size({p}) - 1), IF({cond}, 3, 2)), {lit('.')}))"
+        )
+
+    out = _rewrite_calls(out, "cutToFirstSignificantSubdomain", _cut_fss)
+    out = _rewrite_calls(out, "firstSignificantSubdomain", _fss)
 
     # arrayCumSum: O(n²) prefix re-aggregation — fine for the bounded
     # arrays CH uses it on. Folds in DOUBLE like arraySum above

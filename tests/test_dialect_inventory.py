@@ -45,6 +45,14 @@ TRANSLATED = [
     "arrayStringConcat(a, ',')", "positionUTF8(s, 'a')",
     "lagInFrame(x, 1)", "multiIf(c, 1, 2)", "toMonday(d)",
     "covarPop(a, b)", "anyHeavy(x)", "medianExact(x)",
+    # r9 batch 20
+    "arrayEnumerateDense(a)", "extractTextFromHTML(s)",
+    "splitByNonAlpha(s)", "regexpExtract(s, 'p', 1)",
+    "hasToken(s, 'tok')", "hasTokenCaseInsensitive(s, 'tok')",
+    "countSubstringsCaseInsensitiveUTF8(s, 'a')",
+    "arrayFirstOrNull(f -> f > 1, a)", "arrayLastOrNull(f -> f > 1, a)",
+    "widthBucket(x, 0, 10, 5)", "firstSignificantSubdomain(u)",
+    "cutToFirstSignificantSubdomain(u)",
 ]
 
 NATIVE = [
@@ -67,6 +75,7 @@ LOUD = [
     # unsupported parameter shapes (supported shapes translate)
     "toYearWeek(d)", "toYearWeek(d, 0)", "JSONExtractInt(j, k, 'b')",
     "dateDiff(u, a, b)", "age('fortnight', a, b)",
+    "hasToken(s, tok_col)", "hasToken(s, 'has space')",
 ]
 
 

@@ -3922,3 +3922,37 @@ def test_dialect_batch19(spark):
     )).collect()[0]
     assert sorted(r2["gc"].split("-")) == ["a", "b"]
     assert len(r2["gl"]) == 2 and r2["al"] == "b"
+
+
+def test_dialect_batch20(spark):
+    """r9 batch 20: HTML text extraction (script/style/comment/tag
+    strip + whitespace collapse), token-boundary matching (literal
+    token only — dynamic stays loud), dense enumeration, significant-
+    subdomain rule (CH's com/net/org/co second-level list),
+    get()-backed OrNull array picks, width_bucket."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "select extractTextFromHTML('<script>x=1</script><p>Hi <b>there"
+        "</b></p><!-- c -->') as a,"
+        " arrayEnumerateDense([10, 20, 10, 30]) as b,"
+        " splitByNonAlpha('ab, cd! 12') as c,"
+        " hasToken('the quick fox', 'quick') as d,"
+        " hasToken('the quickest fox', 'quick') as e,"
+        " hasTokenCaseInsensitive('the QUICK fox', 'quick') as f,"
+        " arrayFirstOrNull(x -> x > 50, [1, 7]) as g,"
+        " arrayLastOrNull(x -> x > 5, [1, 7, 9]) as h,"
+        " widthBucket(5.5, 0, 10, 5) as i,"
+        " firstSignificantSubdomain('https://news.ch.com.tr/p') as j,"
+        " cutToFirstSignificantSubdomain('https://www.example.org/x') as k,"
+        " length(splitByNonAlpha('a b c')) as l"
+    )).collect()[0]
+    assert r["a"] == "Hi there"
+    assert list(r["b"]) == [1, 2, 1, 3]
+    assert list(r["c"]) == ["ab", "cd", "12"]
+    assert r["d"] is True and r["e"] is False and r["f"] is True
+    assert r["g"] is None and r["h"] == 9 and r["i"] == 3
+    assert r["j"] == "ch" and r["k"] == "example.org"
+    assert r["l"] == 3  # polymorphic length sees the array shape
+    src = "select hasToken(s, tok_col) from t"
+    assert T(src) == src  # non-literal token: loud
