@@ -399,9 +399,9 @@ def test_tpch_suite_plans_have_no_cartesians(spark, sf_correct):
     joins), and the comma joins must resolve to equi-joins from the
     WHERE clause. At 100 TB a BNLJ on any of these shapes is a
     non-starter."""
-    from ora_ch_spark.catalog_tpch import TPCH_QUERIES
+    from ora_ch_spark.catalog_tpch import TPCH_QUERIES, WINDOW_QUERIES
 
-    for q in TPCH_QUERIES:
+    for q in TPCH_QUERIES + WINDOW_QUERIES:
         p = _plan(q.spark(spark, sf_correct))
         assert "CartesianProduct" not in p, q.name
         assert "BroadcastNestedLoopJoin" not in p, q.name

@@ -712,3 +712,20 @@ def test_datediff_age_differential_vs_duckdb(spark):
             assert int(srow[c]) == int(drow[j]), (
                 f"id={i} {c}: spark {srow[c]} vs duckdb {drow[j]}"
             )
+
+
+def test_stored_suite_texts_reach_fixed_point():
+    """Every stored CH text in the TPC-H + window suites is
+    translation-idempotent (T∘T = T) and paren-balanced after one
+    application — the invariant that keeps re-translation of an
+    already-translated stored query harmless."""
+    import ora_ch_spark.catalog_tpch as M
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    texts = [v for k, v in vars(M).items()
+             if k.startswith("_Q") and isinstance(v, str)]
+    assert len(texts) >= 23
+    for sql in texts:
+        once = T(sql)
+        assert T(once) == once
+        assert _paren_balance_outside_literals(once) == 0
