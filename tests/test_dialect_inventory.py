@@ -107,3 +107,15 @@ def test_inventory_native_passthrough(call, spark):
 def test_inventory_loud_passthrough(call):
     src = f"select {call} from t"
     assert T(src) == src, f"documented-loud form was rewritten: {call}"
+
+
+def test_inventory_translated_output_parses(spark):
+    """Every translated emission must be SYNTACTICALLY valid Spark
+    SQL — parsed with the session's parser (no resolution, so missing
+    tables/columns don't matter). Catches malformed rewrite output
+    (unbalanced parens, stray keywords, bad literals) across the
+    whole pinned surface in one pass."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for call in TRANSLATED:
+        out = T(f"select {call} from t")
+        parser.parsePlan(out)  # raises ParseException on bad syntax
