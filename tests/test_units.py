@@ -3956,3 +3956,25 @@ def test_dialect_batch20(spark):
     assert r["l"] == 3  # polymorphic length sees the array shape
     src = "select hasToken(s, tok_col) from t"
     assert T(src) == src  # non-literal token: loud
+
+
+def test_sequence_mixed_gap_three_anchors(spark):
+    """The dott gap composes with longer chains: a 3-anchor pattern
+    with the mixed gap in first or middle position keeps per-gap
+    semantics (dot consumes one filtered event; the bound measures
+    from the dot's event; other gaps keep their own kinds)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def cnt(pat, rows):
+        vals = ", ".join(f"({t}, '{k}')" for t, k in rows)
+        sql = (f"select sequenceCount('{pat}')(cast(t as timestamp), "
+               f"k = 'A', k = 'B', k = 'C') as c from (select "
+               f"timestamp_seconds(x.t) as t, x.k from (values {vals}) "
+               f"as x(t, k))")
+        return spark.sql(T(sql)).collect()[0]["c"]
+
+    ev = [(1, 'A'), (2, 'A'), (6, 'B'), (7, 'C')]
+    assert cnt("(?1).(?t<=5)(?2)(?3)", ev) == 1  # 6-2=4 within bound
+    assert cnt("(?1).(?t<=3)(?2)(?3)", ev) == 0  # 4 > 3
+    assert cnt("(?1)(?2).(?t>1)(?3)",
+               [(1, 'A'), (2, 'B'), (3, 'A'), (6, 'C')]) == 1
