@@ -2094,9 +2094,57 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     for fn, prec in (("toDecimal128", 38), ("toDecimal64", 18), ("toDecimal32", 9)):
         out = _rewrite_calls(out, fn, lambda a, p=prec: _to_decimal(a, p))
 
+    # timezone-argument forms (r9 — the generic loop used to DROP the
+    # tz silently). CH DateTime columns are instants, so under the
+    # UTC session: toString(x, tz) renders the instant in tz wall
+    # time; toDate(x, tz) picks the calendar day in tz; toDateTime(x,
+    # tz) over a STRING LITERAL parses it as tz wall time (for
+    # non-literal args the instant is kept and the display tz is
+    # dropped — correct for DateTime/epoch inputs, undecidable for
+    # string columns at text level; documented).
+    def _to_string_tz(a: list[str]) -> str | None:
+        if len(a) == 1:
+            return f"cast({a[0]} as string)"
+        if len(a) == 2:
+            return (
+                f"date_format(from_utc_timestamp(cast({a[0]} as timestamp), "
+                f"{a[1]}), {lit('yyyy-MM-dd HH:mm:ss')})"
+            )
+        return None
+
+    def _to_date_tz(a: list[str]) -> str | None:
+        if len(a) == 1:
+            return f"cast({a[0]} as date)"
+        if len(a) == 2:
+            return (
+                f"cast(from_utc_timestamp(cast({a[0]} as timestamp), "
+                f"{a[1]}) as date)"
+            )
+        return None
+
+    def _to_datetime_tz(a: list[str]) -> str | None:
+        if len(a) == 1:
+            return f"cast({a[0]} as timestamp)"
+        if len(a) == 2:
+            if _lit_text(a[0], lits) is not None:
+                return f"to_utc_timestamp(cast({a[0]} as timestamp), {a[1]})"
+            return f"cast({a[0]} as timestamp)"
+        return None
+
+    out = _rewrite_calls(out, "toString", _to_string_tz)
+    out = _rewrite_calls(out, "toDate", _to_date_tz)
+    out = _rewrite_calls(out, "toDateTime", _to_datetime_tz)
     for ch_fn, spark_type in _CAST_FNS.items():
+        if ch_fn in ("toString", "toDate", "toDateTime"):
+            continue
+        # arity-strict: an unexpected extra argument passes through
+        # LOUDLY instead of being silently discarded
         out = _rewrite_calls(
-            out, ch_fn, lambda a, t=spark_type: f"cast({a[0]} as {t})"
+            out,
+            ch_fn,
+            lambda a, t=spark_type: (
+                f"cast({a[0]} as {t})" if len(a) == 1 else None
+            ),
         )
 
     def _fixed(a: list[str]) -> str:

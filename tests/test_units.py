@@ -3978,3 +3978,30 @@ def test_sequence_mixed_gap_three_anchors(spark):
     assert cnt("(?1).(?t<=3)(?2)(?3)", ev) == 0  # 4 > 3
     assert cnt("(?1)(?2).(?t>1)(?3)",
                [(1, 'A'), (2, 'B'), (3, 'A'), (6, 'C')]) == 1
+
+
+def test_cast_timezone_argument_forms(spark):
+    """r9: the tz-argument cast forms used to DROP the timezone
+    silently. Under the UTC session: toString(x, tz) renders the
+    instant in tz wall time; toDate(x, tz) picks tz's calendar day;
+    toDateTime(lit, tz) parses the literal as tz wall time;
+    toDateTime(col, tz) keeps the instant (display-only tz); any
+    OTHER cast fn with an extra arg passes through loudly."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "select toString(toDateTime('2020-06-01 12:00:00'),"
+        " 'Europe/Moscow') as a,"
+        " toDate(toDateTime('2020-06-01 23:00:00'), 'Europe/Moscow') as b,"
+        " toDateTime('2020-06-01 12:00:00', 'Europe/Moscow') as c,"
+        " toString(42) as d"
+    )).collect()[0]
+    assert r["a"] == "2020-06-01 15:00:00"
+    assert str(r["b"]) == "2020-06-02"
+    assert str(r["c"]) == "2020-06-01 09:00:00"
+    assert r["d"] == "42"
+    assert "cast(ts_col as timestamp)" in T(
+        "select toDateTime(ts_col, 'Europe/Moscow') from t"
+    )
+    src = "select toInt32(x, 'oops') from t"
+    assert T(src) == src
