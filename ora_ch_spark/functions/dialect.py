@@ -2055,11 +2055,44 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # '[1, 2]' (the comma would split it into two args)
     out = _rewrite_array_literals(out)
 
-    out = _rewrite_calls(out, "toYear", lambda a: f"year({a[0]})")
+    # ---- optional-timezone pre-pass (r9): most CH date functions
+    # accept a trailing constant timezone; the per-function rewrites
+    # are unary and used to DROP it silently. This pass folds the tz
+    # into the argument — fn(x, 'tz') → fn(wall-clock-in-tz) via
+    # from_utc_timestamp (the session is UTC) — and lets the later
+    # unary rewrite fire on the emitted inner call. Convention: the
+    # result is the tz WALL-CLOCK value, consistent with
+    # toString(x, tz)/toDate(x, tz); for the toStartOf* family CH
+    # returns the tz-midnight INSTANT instead — a documented
+    # deviation (naive-UTC storage has no display zone to carry).
+    # Only a STRING-LITERAL second argument is folded (an integer is
+    # a mode argument, e.g. toDayOfWeek/toWeek — left to the
+    # function's own rewrite). ----
+    for _tzfn in (
+        "toYear", "toQuarter", "toMonth", "toDayOfYear", "toDayOfMonth",
+        "toDayOfWeek", "toHour", "toMinute", "toSecond", "toMonday",
+        "toStartOfDay", "toStartOfHour", "toStartOfMinute",
+        "toStartOfFiveMinutes", "toStartOfTenMinutes",
+        "toStartOfFifteenMinutes", "toStartOfMonth", "toStartOfQuarter",
+        "toStartOfYear", "toLastDayOfMonth", "toISOWeek", "toISOYear",
+        "toYYYYMMDD", "toYYYYMMDDhhmmss", "monthName", "toMillisecond",
+    ):
+        def _fold(a: list[str], fn=_tzfn) -> str | None:
+            if len(a) != 2 or _lit_text(a[1], lits) is None:
+                return None  # unary (later pass) / mode arg / dynamic
+            return (
+                f"{fn}(from_utc_timestamp(cast({a[0]} as timestamp), "
+                f"{a[1]}))"
+            )
+
+        out = _rewrite_calls(out, _tzfn, _fold)
+
+    out = _rewrite_calls(out, "toYear", lambda a: f"year({a[0]})" if len(a) == 1 else None)
     out = _rewrite_calls(
         out,
         "toYYYYMMDD",
-        lambda a: f"cast(date_format({a[0]}, {lit('yyyyMMdd')}) as int)",
+        lambda a: (f"cast(date_format({a[0]}, {lit('yyyyMMdd')}) as int)"
+                   if len(a) == 1 else None),
     )
 
     def _parse_dt(a: list[str]) -> str:
@@ -2186,12 +2219,12 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # clauses; any NARROWER frame is left in place and fails loudly
     # in Spark's analyzer (its semantics genuinely differ). r9.
     out = _strip_lag_lead_frames(out)
-    out = _rewrite_calls(out, "toMonth", lambda a: f"month({a[0]})")
-    out = _rewrite_calls(out, "toDayOfMonth", lambda a: f"dayofmonth({a[0]})")
-    out = _rewrite_calls(out, "toHour", lambda a: f"hour({a[0]})")
-    out = _rewrite_calls(out, "toStartOfMonth", lambda a: f"trunc({a[0]}, {lit('MM')})")
-    out = _rewrite_calls(out, "toStartOfYear", lambda a: f"trunc({a[0]}, {lit('YYYY')})")
-    out = _rewrite_calls(out, "toStartOfDay", lambda a: f"date_trunc({lit('DAY')}, {a[0]})")
+    out = _rewrite_calls(out, "toMonth", lambda a: f"month({a[0]})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toDayOfMonth", lambda a: f"dayofmonth({a[0]})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toHour", lambda a: f"hour({a[0]})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toStartOfMonth", lambda a: f"trunc({a[0]}, {lit('MM')})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toStartOfYear", lambda a: f"trunc({a[0]}, {lit('YYYY')})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toStartOfDay", lambda a: f"date_trunc({lit('DAY')}, {a[0]})" if len(a) == 1 else None)
     out = _rewrite_calls(out, "ifNull", lambda a: f"coalesce({a[0]}, {a[1]})")
     # empty/notEmpty and length are STRING-or-ARRAY polymorphic in CH;
     # Spark splits them (length/'' vs size). Textual type inference is
@@ -2476,10 +2509,13 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out,
         "toMonday",
-        lambda a: f"cast(date_trunc({lit('WEEK')}, {a[0]}) as date)",
+        lambda a: (f"cast(date_trunc({lit('WEEK')}, {a[0]}) as date)"
+                   if len(a) == 1 else None),
     )
     out = _rewrite_calls(
-        out, "toStartOfMinute", lambda a: f"date_trunc({lit('MINUTE')}, {a[0]})"
+        out, "toStartOfMinute",
+        lambda a: (f"date_trunc({lit('MINUTE')}, {a[0]})"
+                   if len(a) == 1 else None),
     )
     # toIntervalX(n) → make_interval slot (CH interval constructors)
     for fn, slot in (
@@ -2931,10 +2967,28 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "arrayDistinct", lambda a: f"array_distinct({a[0]})")
     out = _rewrite_calls(out, "arraySort", lambda a: f"array_sort({a[0]})")
     out = _rewrite_calls(out, "arrayConcat", lambda a: f"concat({', '.join(a)})")
-    out = _rewrite_calls(out, "toStartOfHour", lambda a: f"date_trunc({lit('HOUR')}, {a[0]})")
-    out = _rewrite_calls(out, "toStartOfQuarter", lambda a: f"trunc({a[0]}, {lit('QUARTER')})")
-    out = _rewrite_calls(out, "toQuarter", lambda a: f"quarter({a[0]})")
-    out = _rewrite_calls(out, "toDayOfWeek", lambda a: f"(weekday({a[0]}) + 1)")
+    out = _rewrite_calls(out, "toStartOfHour", lambda a: f"date_trunc({lit('HOUR')}, {a[0]})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toStartOfQuarter", lambda a: f"trunc({a[0]}, {lit('QUARTER')})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toQuarter", lambda a: f"quarter({a[0]})" if len(a) == 1 else None)
+    def _to_day_of_week(a: list[str]) -> str | None:
+        # CH modes (docs): 0 -> Mon=1..Sun=7 (default), 1 -> Mon=0..Sun=6,
+        # 2 -> Sun=1..Sat=7, 3 -> Sun=0..Sat=6 (Spark weekday: Mon=0;
+        # dayofweek: Sun=1)
+        if len(a) == 1:
+            return f"(weekday({a[0]}) + 1)"
+        if len(a) == 2:
+            m = a[1].strip()
+            if m == "0":
+                return f"(weekday({a[0]}) + 1)"
+            if m == "1":
+                return f"weekday({a[0]})"
+            if m == "2":
+                return f"dayofweek({a[0]})"
+            if m == "3":
+                return f"(dayofweek({a[0]}) - 1)"
+        return None
+
+    out = _rewrite_calls(out, "toDayOfWeek", _to_day_of_week)
 
     # ---- round-5 batch #3: array / string / bit / cast-variant /
     # datetime-completion surface. Every name here is a CH-only
@@ -3257,13 +3311,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out, "now64", lambda a: "now()" if len(a) == 1 else None
     )
-    out = _rewrite_calls(out, "toMinute", lambda a: f"minute({a[0]})")
-    out = _rewrite_calls(out, "toSecond", lambda a: f"second({a[0]})")
-    out = _rewrite_calls(out, "toDayOfYear", lambda a: f"dayofyear({a[0]})")
+    out = _rewrite_calls(out, "toMinute", lambda a: f"minute({a[0]})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toSecond", lambda a: f"second({a[0]})" if len(a) == 1 else None)
+    out = _rewrite_calls(out, "toDayOfYear", lambda a: f"dayofyear({a[0]})" if len(a) == 1 else None)
     out = _rewrite_calls(
         out,
         "toYYYYMMDDhhmmss",
-        lambda a: f"cast(date_format({a[0]}, {lit('yyyyMMddHHmmss')}) as bigint)",
+        lambda a: (f"cast(date_format({a[0]}, {lit('yyyyMMddHHmmss')}) as bigint)"
+                   if len(a) == 1 else None),
     )
     # 30-minute slot floor (CH's fixed 1800 s grid)
     out = _rewrite_calls(
@@ -4234,7 +4289,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out, "editDistance", lambda a: f"levenshtein({', '.join(a)})"
     )
     out = _rewrite_calls(out, "generateUUIDv4", lambda a: "uuid()")
-    out = _rewrite_calls(out, "toLastDayOfMonth", lambda a: f"last_day({a[0]})")
+    out = _rewrite_calls(out, "toLastDayOfMonth", lambda a: f"last_day({a[0]})" if len(a) == 1 else None)
     for mins, nm in ((5, "toStartOfFiveMinutes"), (10, "toStartOfTenMinutes"),
                      (15, "toStartOfFifteenMinutes")):
         out = _rewrite_calls(
@@ -4242,12 +4297,15 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             nm,
             lambda a, w=mins * 60: (
                 f"timestamp_seconds((unix_timestamp({a[0]}) div {w}) * {w})"
+                if len(a) == 1 else None
             ),
         )
     # Spark weekofyear IS the ISO-8601 week number
-    out = _rewrite_calls(out, "toISOWeek", lambda a: f"weekofyear({a[0]})")
+    out = _rewrite_calls(out, "toISOWeek", lambda a: f"weekofyear({a[0]})" if len(a) == 1 else None)
     out = _rewrite_calls(
-        out, "monthName", lambda a: f"date_format({a[0]}, {lit('MMMM')})"
+        out, "monthName",
+        lambda a: (f"date_format({a[0]}, {lit('MMMM')})"
+                   if len(a) == 1 else None),
     )
 
     _DATE_NAME_FMT = {
@@ -5312,7 +5370,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out, "toStartOfSecond", lambda a: f"date_trunc({lit('second')}, {a[0]})"
     )
     out = _rewrite_calls(
-        out, "toISOYear", lambda a: f"extract(YEAROFWEEK FROM {a[0]})"
+        out, "toISOYear",
+        lambda a: (f"extract(YEAROFWEEK FROM {a[0]})"
+                   if len(a) == 1 else None),
     )
     # Spark's date_format IS the Joda-style pattern family
     out = _rewrite_calls(

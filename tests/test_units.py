@@ -4005,3 +4005,34 @@ def test_cast_timezone_argument_forms(spark):
     )
     src = "select toInt32(x, 'oops') from t"
     assert T(src) == src
+
+
+def test_date_family_timezone_fold_and_arity(spark):
+    """r9: the optional trailing CONSTANT timezone on the date-part /
+    date-floor family folds into a from_utc_timestamp wall-clock
+    shift (tz-argument forms used to drop the tz silently); extra
+    non-literal/unknown args now pass through LOUDLY; toDayOfWeek
+    implements all four CH modes."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "select toYear(toDateTime('2019-12-31 23:00:00'),"
+        " 'Europe/Moscow') as y,"
+        " toMonth(toDateTime('2019-12-31 23:00:00'), 'Europe/Moscow') as m,"
+        " toHour(toDateTime('2019-12-31 23:00:00'), 'Europe/Moscow') as h,"
+        " toYYYYMMDD(toDateTime('2019-12-31 23:00:00'),"
+        " 'Europe/Moscow') as ymd,"
+        " toMonday(toDateTime('2020-01-05 22:00:00'),"
+        " 'Europe/Moscow') as mon,"
+        " toDayOfWeek(toDate('2020-01-05')) as d0,"
+        " toDayOfWeek(toDate('2020-01-05'), 1) as d1,"
+        " toDayOfWeek(toDate('2020-01-05'), 2) as d2,"
+        " toDayOfWeek(toDate('2020-01-05'), 3) as d3"
+    )).collect()[0]
+    assert (r["y"], r["m"], r["h"], r["ymd"]) == (2020, 1, 2, 20200101)
+    assert str(r["mon"]) == "2020-01-06"
+    assert (r["d0"], r["d1"], r["d2"], r["d3"]) == (7, 6, 1, 0)
+    for src in ("select toYear(ts, tz_col) from t",
+                "select toSecond(t1, 9) from t",
+                "select toMonday(d, x) from t"):
+        assert T(src) == src, src
