@@ -53,6 +53,10 @@ TRANSLATED = [
     "arrayFirstOrNull(f -> f > 1, a)", "arrayLastOrNull(f -> f > 1, a)",
     "widthBucket(x, 0, 10, 5)", "firstSignificantSubdomain(u)",
     "cutToFirstSignificantSubdomain(u)",
+    # r9 tz-argument forms (used to drop the tz silently)
+    "toString(ts, 'Europe/Moscow')", "toDate(ts, 'Europe/Moscow')",
+    "toYear(ts, 'Europe/Moscow')", "toStartOfMonth(ts, 'UTC')",
+    "toDayOfWeek(d, 1)", "toDayOfWeek(d, 3)",
 ]
 
 NATIVE = [
@@ -76,6 +80,9 @@ LOUD = [
     "toYearWeek(d)", "toYearWeek(d, 0)", "JSONExtractInt(j, k, 'b')",
     "dateDiff(u, a, b)", "age('fortnight', a, b)",
     "hasToken(s, tok_col)", "hasToken(s, 'has space')",
+    # extra args on arity-strict rewrites (r9): loud, never dropped
+    "toYear(ts, tz_col)", "toSecond(t1, 9)", "toMonday(d, x)",
+    "toInt32(x, 'oops')", "toDayOfWeek(d, 9)",
 ]
 
 
