@@ -2087,6 +2087,20 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
         out = _rewrite_calls(out, _tzfn, _fold)
 
+    # trailing-tz fold for the forms whose LAST argument is the tz
+    # after mode/interval args (toWeek(d, mode, tz) etc.)
+    for _tzfn3 in ("toStartOfWeek", "toWeek", "toDayOfWeek",
+                   "toStartOfInterval", "toLastDayOfWeek"):
+        def _fold3(a: list[str], fn=_tzfn3) -> str | None:
+            if len(a) != 3 or _lit_text(a[2], lits) is None:
+                return None
+            return (
+                f"{fn}(from_utc_timestamp(cast({a[0]} as timestamp), "
+                f"{a[2]}), {a[1]})"
+            )
+
+        out = _rewrite_calls(out, _tzfn3, _fold3)
+
     out = _rewrite_calls(out, "toYear", lambda a: f"year({a[0]})" if len(a) == 1 else None)
     out = _rewrite_calls(
         out,
@@ -2792,7 +2806,40 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         # digits are zeros after a cast, so ×1000 is exact
         lambda a: f"(unix_micros({a[0]}) * 1000)",
     )
-    out = _rewrite_calls(out, "toUnixTimestamp", lambda a: f"unix_timestamp({', '.join(a)})")
+    def _to_unix_ts(a: list[str]) -> str | None:
+        # CH toUnixTimestamp(str, tz): the second argument is ALWAYS
+        # a timezone (never a format) — parse the string as tz wall
+        # time → epoch. The old splice passed the tz into Spark's
+        # FORMAT slot, silently mis-parsing (r9 fix). Non-literal
+        # second args stay loud (CH requires a constant tz).
+        if len(a) == 1:
+            return f"unix_timestamp({a[0]})"
+        if len(a) == 2 and _lit_text(a[1], lits) is not None:
+            return (
+                f"unix_timestamp(to_utc_timestamp("
+                f"cast({a[0]} as timestamp), {a[1]}))"
+            )
+        return None
+
+    out = _rewrite_calls(out, "toUnixTimestamp", _to_unix_ts)
+    out = _rewrite_calls(
+        out,
+        "now",
+        lambda a: (
+            f"from_utc_timestamp(current_timestamp(), {a[0]})"
+            if len(a) == 1 and a[0].strip()
+            else None  # bare now() is handled by its own rewrite
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "today",
+        lambda a: (
+            f"cast(from_utc_timestamp(current_timestamp(), {a[0]}) as date)"
+            if len(a) == 1 and a[0].strip()
+            else None
+        ),
+    )
     out = _rewrite_calls(out, "fromUnixTimestamp", lambda a: f"from_unixtime({', '.join(a)})")
 
     def _date_diff(a: list[str]) -> str:

@@ -4036,3 +4036,28 @@ def test_date_family_timezone_fold_and_arity(spark):
                 "select toSecond(t1, 9) from t",
                 "select toMonday(d, x) from t"):
         assert T(src) == src, src
+
+
+def test_trailing_timezone_and_now_today_forms(spark):
+    """r9 tail: tz after mode/interval args (toWeek/toStartOfWeek/
+    toDayOfWeek/toStartOfInterval 3-arg), now(tz)/today(tz), and
+    toUnixTimestamp's tz-only second argument (it was spliced into
+    Spark's FORMAT slot — silent mis-parse)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "select toWeek(toDateTime('2019-12-31 23:00:00'), 3,"
+        " 'Europe/Moscow') as w,"
+        " toDayOfWeek(toDateTime('2020-01-05 22:00:00'), 1,"
+        " 'Europe/Moscow') as dw,"
+        " toUnixTimestamp('2020-06-01 12:00:00', 'Europe/Moscow') as ut,"
+        " toUnixTimestamp(toDateTime('2020-06-01 12:00:00')) as ut1"
+    )).collect()[0]
+    assert r["w"] == 1      # Moscow already in ISO week 1 of 2020
+    assert r["dw"] == 0     # Moscow Monday, mode 1 (0-based)
+    assert r["ut"] == 1591002000   # 09:00Z == 12:00 Moscow (UTC+3)
+    assert r["ut1"] == 1591012800  # naive-UTC instant
+    t = T("select now('Europe/Moscow') as a, today('UTC') as b")
+    assert "from_utc_timestamp(current_timestamp(), 'Europe/Moscow')" in t
+    src = "select toUnixTimestamp(s, tz_col) from t"
+    assert T(src) == src  # non-constant tz: loud
