@@ -3129,6 +3129,18 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
     out = _rewrite_calls(out, "base64Encode", lambda a: f"base64({a[0]})")
     out = _rewrite_calls(
+        out,
+        "tryBase64Decode",
+        # CH returns the EMPTY STRING on invalid input (not NULL)
+        lambda a: (
+            f"coalesce(cast(try_to_binary({a[0]}, "
+            + lit("base64")
+            + ") as string), "
+            + lit("")
+            + ")"
+        ),
+    )
+    out = _rewrite_calls(
         out, "base64Decode", lambda a: f"cast(unbase64({a[0]}) as string)"
     )
     out = _rewrite_calls(

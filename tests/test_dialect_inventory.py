@@ -57,6 +57,8 @@ TRANSLATED = [
     "toString(ts, 'Europe/Moscow')", "toDate(ts, 'Europe/Moscow')",
     "toYear(ts, 'Europe/Moscow')", "toStartOfMonth(ts, 'UTC')",
     "toDayOfWeek(d, 1)", "toDayOfWeek(d, 3)",
+    "tryBase64Decode(s)", "toUnixTimestamp(s, 'Europe/Moscow')",
+    "now('Europe/Moscow')", "toWeek(d, 3, 'UTC')",
 ]
 
 NATIVE = [
