@@ -2810,15 +2810,22 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         # CH toUnixTimestamp(str, tz): the second argument is ALWAYS
         # a timezone (never a format) — parse the string as tz wall
         # time → epoch. The old splice passed the tz into Spark's
-        # FORMAT slot, silently mis-parsing (r9 fix). Non-literal
-        # second args stay loud (CH requires a constant tz).
+        # FORMAT slot, silently mis-parsing (r9 fix). The tz only
+        # affects STRING parsing in CH: for a DateTime argument the
+        # epoch is tz-invariant (tz is display-only), so the wall-time
+        # reinterpretation applies ONLY to string literals — non-
+        # literal first args keep the instant, mirroring
+        # _to_datetime_tz's literal-only gate (r10 ADVICE fix).
+        # Non-literal second args stay loud (CH requires a constant tz).
         if len(a) == 1:
             return f"unix_timestamp({a[0]})"
         if len(a) == 2 and _lit_text(a[1], lits) is not None:
-            return (
-                f"unix_timestamp(to_utc_timestamp("
-                f"cast({a[0]} as timestamp), {a[1]}))"
-            )
+            if _lit_text(a[0], lits) is not None:
+                return (
+                    f"unix_timestamp(to_utc_timestamp("
+                    f"cast({a[0]} as timestamp), {a[1]}))"
+                )
+            return f"unix_timestamp({a[0]})"
         return None
 
     out = _rewrite_calls(out, "toUnixTimestamp", _to_unix_ts)
@@ -3018,9 +3025,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "toStartOfQuarter", lambda a: f"trunc({a[0]}, {lit('QUARTER')})" if len(a) == 1 else None)
     out = _rewrite_calls(out, "toQuarter", lambda a: f"quarter({a[0]})" if len(a) == 1 else None)
     def _to_day_of_week(a: list[str]) -> str | None:
-        # CH modes (docs): 0 -> Mon=1..Sun=7 (default), 1 -> Mon=0..Sun=6,
-        # 2 -> Sun=1..Sat=7, 3 -> Sun=0..Sat=6 (Spark weekday: Mon=0;
-        # dayofweek: Sun=1)
+        # CH modes (docs / DateLUTImpl WeekDayMode): 0 -> Mon=1..Sun=7
+        # (default), 1 -> Mon=0..Sun=6, 2 -> Sun=0..Sat=6,
+        # 3 -> Sun=1..Sat=7 (Spark weekday: Mon=0; dayofweek: Sun=1)
         if len(a) == 1:
             return f"(weekday({a[0]}) + 1)"
         if len(a) == 2:
@@ -3030,9 +3037,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             if m == "1":
                 return f"weekday({a[0]})"
             if m == "2":
-                return f"dayofweek({a[0]})"
-            if m == "3":
                 return f"(dayofweek({a[0]}) - 1)"
+            if m == "3":
+                return f"dayofweek({a[0]})"
         return None
 
     out = _rewrite_calls(out, "toDayOfWeek", _to_day_of_week)
@@ -3131,13 +3138,16 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out,
         "tryBase64Decode",
-        # CH returns the EMPTY STRING on invalid input (not NULL)
+        # CH returns the EMPTY STRING on invalid NON-NULL input; a
+        # Nullable NULL input stays NULL (r10 ADVICE fix — the bare
+        # coalesce turned NULL into '')
         lambda a: (
-            f"coalesce(cast(try_to_binary({a[0]}, "
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"ELSE coalesce(cast(try_to_binary({a[0]}, "
             + lit("base64")
             + ") as string), "
             + lit("")
-            + ")"
+            + ") END)"
         ),
     )
     out = _rewrite_calls(
@@ -3742,9 +3752,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_param_calls(
         out,
         "groupArrayLast",
+        # start index via greatest(size-N+1, 1): never 0, so an
+        # all-NULL group (empty collect_list) yields [] instead of a
+        # runtime slice error (r10 ADVICE fix); identical collect_list
+        # aggregates are deduplicated by Spark's physical planner
         lambda ps, a: (
             f"slice(collect_list({a[0]}), "
-            f"-least({ps[0]}, size(collect_list({a[0]}))), {ps[0]})"
+            f"greatest(size(collect_list({a[0]})) - ({ps[0]}) + 1, 1), "
+            f"{ps[0]})"
             if ps
             else None
         ),
@@ -3806,12 +3821,17 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         def render(a: list[str]) -> str | None:
             if len(a) != 2:
                 return None
+            # CH's SplitTokenExtractor splits on EVERY non-alphanumeric
+            # ASCII char including '_' — so '_' is a separator in the
+            # haystack and an error in the needle (r10 ADVICE fix; the
+            # old [0-9A-Za-z_] classes made hasToken('foo_bar','bar')
+            # false and silently accepted '_'-bearing needles)
             lt = _lit_text(a[1], lits)
-            if lt is None or not re.fullmatch(r"[0-9A-Za-z_]+", lt[1:-1]):
+            if lt is None or not re.fullmatch(r"[0-9A-Za-z]+", lt[1:-1]):
                 return None
             tok = lt[1:-1]
             flags = "(?i)" if ci else ""
-            pat = f"{flags}(^|[^0-9A-Za-z_]){tok}([^0-9A-Za-z_]|$)"
+            pat = f"{flags}(^|[^0-9A-Za-z]){tok}([^0-9A-Za-z]|$)"
             return f"({a[0]} rlike " + lit(pat) + ")"
 
         return render
