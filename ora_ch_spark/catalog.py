@@ -1649,11 +1649,30 @@ def _gate_history() -> dict[str, int]:
     return hist
 
 
+GATE_SLOTS = 50  # the driver's correctness gate samples this many
+                 # entries per round (first N of all_queries())
+
+
+def gate_order(names: list[str], hist: dict[str, int]) -> list[str]:
+    """Pure scheduling kernel for the correctness-gate rotation:
+    stable sort by last-proven round (never-proven = 0 first, then
+    stalest-proof-first; declaration order breaks ties).
+
+    Guarantee (r10 window redesign): if each round proves the first
+    ``GATE_SLOTS`` names of this order, every entry re-proves within
+    ``ceil(len(names) / GATE_SLOTS)`` rounds — the pigeonhole-optimal
+    bound for a fixed gate budget, valid for ANY catalog size (no
+    hard 200-entry ceiling). New entries enter at round 0 and are
+    proven in their first round as long as ≤ GATE_SLOTS entries are
+    added per round. Simulated at 180/250/400 entries by
+    tests/test_units.py::test_rotation_schedule_scales_past_window."""
+    return sorted(names, key=lambda n: hist.get(n, 0))
+
+
 def all_queries() -> list[QueryDef]:
     from ora_ch_spark.catalog_ext import EXT_QUERIES
 
     qs = CORE_QUERIES + EXT_QUERIES
     hist = _gate_history()
-    # stable sort: never-proven (round 0) first, then oldest proof
-    # first; declaration order breaks ties
-    return sorted(qs, key=lambda q: hist.get(q.name, 0))
+    order = {n: i for i, n in enumerate(gate_order([q.name for q in qs], hist))}
+    return sorted(qs, key=lambda q: order[q.name])

@@ -1844,16 +1844,17 @@ def test_gate_window_covers_unproven():
 
 
 def test_catalog_rotation_never_starves():
-    """r6 verdict item 8: under the staleness-first rotation every
-    catalog entry must re-prove within ceil(N/50) rounds — the
-    staleness tolerance DERIVES from the catalog size (r9 grew the
-    catalog past 150 entries — 21 new TPC-H/dialect entries — so the
-    full rotation now takes 4 driver rounds); a hard ceiling of 4
-    rounds stops the catalog from ballooning past 200 entries without
-    a deliberate window redesign."""
+    """r6 verdict item 8, redesigned r10 (verdict item 1): under the
+    staleness-first rotation every catalog entry must re-prove within
+    the DERIVED pigeonhole bound ceil(N / GATE_SLOTS) — there is no
+    hard entry ceiling any more; the bound widens with the catalog and
+    the schedule provably achieves it at any size (simulation test
+    below). A soft advisory cap of 8 rounds (400 entries) remains so
+    ballooning past a two-month re-proof latency stays a deliberate
+    decision."""
     import math
 
-    from ora_ch_spark.catalog import _gate_history, all_queries
+    from ora_ch_spark.catalog import GATE_SLOTS, _gate_history, all_queries
 
     hist = _gate_history()
     if not hist:  # fresh checkout without committed CORRECTNESS_r*.json
@@ -1861,10 +1862,10 @@ def test_catalog_rotation_never_starves():
     qs = all_queries()
     names = [q.name for q in qs]
     latest = max(hist.values())
-    window = math.ceil(len(names) / 50)
-    # structural: 50 slots/round must cover the catalog within 4 rounds
-    assert window <= 4, (
-        f"{len(names)} entries no longer fit a 4-round × 50-slot rotation"
+    window = math.ceil(len(names) / GATE_SLOTS)
+    assert window <= 8, (
+        f"{len(names)} entries push re-proof latency past 8 rounds — "
+        "widen GATE_SLOTS (driver) or split the catalog deliberately"
     )
     stale = {n: latest - hist[n] for n in names if n in hist}
     worst = max(stale.values(), default=0)
@@ -1875,7 +1876,46 @@ def test_catalog_rotation_never_starves():
     )
     # never-proven entries are new additions and must sit in the gate
     # window NOW (covered in detail by test_gate_window_covers_unproven)
-    assert all(n in hist for n in names[50:])
+    assert all(n in hist for n in names[GATE_SLOTS:])
+
+
+def test_rotation_schedule_scales_past_window():
+    """r10 verdict item 1: the stalest-first kernel achieves the
+    pigeonhole-optimal staleness bound ceil(N / GATE_SLOTS) at ANY
+    catalog size — simulated at 180 / 250 / 400 entries over three
+    full cycles, including mid-simulation growth (new entries must be
+    proven in their first round after addition when ≤ GATE_SLOTS are
+    added per round)."""
+    import math
+
+    from ora_ch_spark.catalog import GATE_SLOTS, gate_order
+
+    for n_entries in (180, 250, 400):
+        names = [f"entry{i:03d}" for i in range(n_entries)]
+        hist: dict[str, int] = {}
+        bound = math.ceil(n_entries / GATE_SLOTS)
+        grown = False
+        rnd = 0
+        for _ in range(3 * bound + 2):
+            rnd += 1
+            for n in gate_order(names, hist)[:GATE_SLOTS]:
+                hist[n] = rnd
+            if rnd > bound:  # warm-up done: invariant must hold
+                worst = max(rnd - hist.get(n, 0) for n in names)
+                assert worst <= bound, (
+                    f"N={n_entries}: staleness {worst} > bound {bound} "
+                    f"at round {rnd}"
+                )
+            if rnd == bound + 1 and not grown:
+                # grow by 30 mid-flight; they are never-proven (0) so
+                # they sort first and must be green next round
+                fresh = [f"late{i:02d}" for i in range(30)]
+                names += fresh
+                bound = math.ceil(len(names) / GATE_SLOTS)
+                grown = True
+                head = set(gate_order(names, hist)[:GATE_SLOTS])
+                assert set(fresh) <= head, "new entries not gate-first"
+        assert grown and all(n in hist for n in names)
 
 
 def test_sequence_match_single_condition(spark):
