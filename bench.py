@@ -26,6 +26,54 @@ from ora_ch_spark.catalog import all_queries  # noqa: E402
 from ora_ch_spark.session import get_spark  # noqa: E402
 
 
+# Canary normalization (r9 verdict item 2): five plan-diverse, code-
+# stable entries whose quiet-box min-of-4 pass times are PINNED below.
+# After each run the canary factor = median(current_min / pinned) over
+# the canaries; cross-round drift on any entry should be graded on
+# canary-normalized numbers (raw_sec / canary_factor) — a factor well
+# above 1.0 says the HOST was slow, not the plan. Pinned on the r10
+# quiet box; re-pin deliberately if a canary's code ever changes.
+CANARY_BASELINE: dict[float, dict[str, float]] = {
+    0.1: {
+        "q1_pricing_summary": 0.765,   # scan + wide agg
+        "grouped_zscore": 0.456,       # window functions
+        "sim_lsh_bucket": 0.254,       # hash project + light shuffle
+        "text_fingerprint": 0.762,     # scan-bound text kernel
+        "dedup_simhash": 1.351,        # bit-kernel + groupBy
+    },
+    0.01: {
+        "q1_pricing_summary": 0.304,
+        "grouped_zscore": 0.239,
+        "sim_lsh_bucket": 0.201,
+        "text_fingerprint": 0.285,
+        "dedup_simhash": 0.555,
+    },
+}
+
+
+def canary_factor(
+    timings: dict[str, float], sf: float
+) -> tuple[float | None, dict[str, list[float]]]:
+    """Median current/pinned ratio over the canary set (None when the
+    sf has no pinned baseline or no canary ran)."""
+    base = CANARY_BASELINE.get(sf)
+    if not base:
+        return None, {}
+    detail = {
+        n: [timings[n], b] for n, b in base.items() if n in timings
+    }
+    ratios = sorted(cur / pin for cur, pin in detail.values() if pin > 0)
+    if not ratios:
+        return None, detail
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return round(med, 3), detail
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -102,6 +150,7 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * 4
         + spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     )
+    factor, canary_detail = canary_factor(timings, sf)
     result = {
         # the long per-query dict goes FIRST: the driver artifact
         # truncates long lines head-first (r4's line lost its head),
@@ -112,6 +161,13 @@ def main() -> None:
         "errors": errors,
         "partial": bool(errors),
         "sf": sf,
+        # host-speed normalization: grade cross-round drift on
+        # raw_sec / canary_factor (see CANARY_BASELINE)
+        "canary_factor": factor,
+        "canary": {n: v for n, v in sorted(canary_detail.items())},
+        "value_canary_normalized": (
+            round(total / factor, 3) if factor else None
+        ),
         "speed_rows_sec": (
             round(fact_rows / op_secs) if op_secs and ops_complete else None
         ),
