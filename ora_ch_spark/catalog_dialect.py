@@ -2016,10 +2016,10 @@ SELECT grp,
   cast(sum(len(list_filter(regexp_split_to_array(o_orderpriority,
       '[^0-9A-Za-z]+'), x -> x <> ''))) as bigint) AS spl,
   cast(count(CASE WHEN regexp_matches(o_orderpriority,
-      '(^|[^0-9A-Za-z_])URGENT([^0-9A-Za-z_]|$)') THEN 1 END)
+      '(^|[^0-9A-Za-z])URGENT([^0-9A-Za-z]|$)') THEN 1 END)
       as bigint) AS tok,
   cast(count(CASE WHEN regexp_matches(o_orderpriority,
-      '(?i)(^|[^0-9A-Za-z_])urgent([^0-9A-Za-z_]|$)') THEN 1 END)
+      '(?i)(^|[^0-9A-Za-z])urgent([^0-9A-Za-z]|$)') THEN 1 END)
       as bigint) AS tokci,
   cast(sum((length(o_orderpriority) - length(replace(
       lower(o_orderpriority), 'e', ''))) // 1) as bigint) AS css,
@@ -2417,4 +2417,100 @@ SELECT cast(year(o_orderdate) as bigint) + 1000 AS y,
 FROM o JOIN uq ON uq.y = year(o_orderdate)
 GROUP BY year(o_orderdate)
 ORDER BY y
+"""
+
+
+# ---------------------------------------------------------------------------
+# Battery 21 (round 10) — block-order-dependent family under an
+# explicit defining ORDER BY: runningDifference / neighbor /
+# runningAccumulate translate to window functions, groupArrayMovingSum
+# and groupArrayMovingAvg to sorted prefix folds (reference parity:
+# these CH functions read block order, which a stored query makes
+# deterministic with an inner-subquery ORDER BY — the only order CH
+# guarantees; orderless calls stay loud, pinned in
+# tests/test_dialect_inventory.py).
+# ---------------------------------------------------------------------------
+
+_DIALECT21_CH_SQL = """
+select k, g, rd, nx, pv, ra, rm, ms_total, ms_last, ma_last
+from (
+  select k, g,
+    runningDifference(v) as rd,
+    neighbor(v, 1, -1.0) as nx,
+    neighbor(v, -2) as pv,
+    round(runningAccumulate(sumState(v)), 2) as ra,
+    runningAccumulate(maxState(v), g) as rm
+  from (
+    select toInt64(o_orderkey) as k,
+           multiIf(o_orderkey % 2 = 0, 'E', 'O') as g,
+           toFloat64(o_totalprice) as v
+    from orders
+    where o_orderkey % 200 = 7
+    order by k
+  )
+) w
+cross join (
+  select round(arraySum(groupArrayMovingSum(3)(v2)), 4) as ms_total,
+         round(arrayLast(x -> 1 = 1, groupArrayMovingSum(3)(v2)), 4) as ms_last,
+         round(arrayLast(x -> 1 = 1, groupArrayMovingAvg(v2)), 6) as ma_last
+  from (
+    select toFloat64(o_orderkey % 7) as v2, o_orderkey as kk
+    from orders
+    where o_orderkey % 500 = 13
+    order by kk
+  )
+) m
+order by k
+"""
+
+
+def calc_dialect21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 21: the block-order family as STORED CH-dialect text.
+    The window forms replay in DuckDB as lag/lead/running aggregates;
+    the moving-sum folds replay as ROWS-frame window sums (CH sums
+    widen to double here — documented in the rewrite)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT21_CH_SQL)).orderBy("k")
+
+
+DIALECT21_ORACLE = """
+WITH src AS (
+  SELECT cast(o_orderkey as bigint) AS k,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'E' ELSE 'O' END AS g,
+         cast(o_totalprice as double) AS v
+  FROM orders WHERE o_orderkey % 200 = 7
+),
+w AS (
+  SELECT k, g,
+    v - lag(v, 1, v) OVER (ORDER BY k) AS rd,
+    lead(v, 1, -1.0) OVER (ORDER BY k) AS nx,
+    lag(v, 2) OVER (ORDER BY k) AS pv,
+    round(sum(v) OVER (ORDER BY k
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ra,
+    max(v) OVER (PARTITION BY g ORDER BY k
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+  FROM src
+),
+mv AS (
+  SELECT
+    sum(cast(o_orderkey % 7 as double)) OVER (ORDER BY o_orderkey
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms_i,
+    avg(cast(o_orderkey % 7 as double)) OVER (ORDER BY o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ma_i,
+    row_number() OVER (ORDER BY o_orderkey) AS rn,
+    count(*) OVER () AS n
+  FROM orders WHERE o_orderkey % 500 = 13
+),
+m AS (
+  SELECT round(sum(ms_i), 4) AS ms_total,
+         round(max(CASE WHEN rn = n THEN ms_i END), 4) AS ms_last,
+         round(max(CASE WHEN rn = n THEN ma_i END), 6) AS ma_last
+  FROM mv
+)
+SELECT k, g, rd, nx, pv, ra, rm, ms_total, ms_last, ma_last
+FROM w CROSS JOIN m
+ORDER BY k
 """

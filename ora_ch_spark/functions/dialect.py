@@ -495,6 +495,220 @@ def _rewrite_limit_by(masked: str) -> str:
         masked = head + wrapped + rest
 
 
+# ---- block-order-dependent function family (r10 verdict item 3) ----
+# CH's runningDifference / neighbor / runningAccumulate /
+# groupArrayMovingSum(Avg) read rows in BLOCK order — undefined in a
+# distributed engine, so they stayed loud. But when the query carries
+# an explicit defining ORDER BY they have exact window equivalents
+# (CH's own docs deprecate them in favor of window functions). The
+# defining order is searched in CH-semantics priority:
+#   1. the immediate FROM subquery's top-level ORDER BY (the idiomatic
+#      `SELECT runningDifference(x) FROM (SELECT … ORDER BY k)` — the
+#      only order CH actually guarantees single-threaded), else
+#   2. the same SELECT's own ORDER BY (the "intent" reading used by
+#      CH's documented window-function replacements).
+# Without either, the call passes through LOUDLY as before.
+# groupArrayMovingSum/Avg are aggregates (arrays per group), so only
+# form 1 defines their within-group order; they sort collected
+# (order-key, value) structs and fold prefix windows (sums widen to
+# double — documented, exact to 2^53). neighbor's out-of-block default
+# is NULL here: our store columns are Nullable (parquet), where CH
+# also returns NULL; non-Nullable CH columns would return the type
+# default — documented drift.
+_BLOCK_ORDER_CALL = re.compile(
+    r"(?i)(?<![A-Za-z0-9_])"
+    r"(runningDifference|runningAccumulate|neighbor|"
+    r"groupArrayMovingSum|groupArrayMovingAvg)\s*\("
+)
+_FROM_KW = re.compile(r"(?i)\bfrom\b")
+_STATE_CALL = re.compile(
+    r"(?is)^\s*(sum|count|min|max|avg)State\s*\((.*)\)\s*$"
+)
+
+
+def _strip_fill(order_txt: str) -> str:
+    """Drop per-key WITH FILL tails from an ORDER BY key list (the
+    fill rewrite runs later; window specs must not carry it)."""
+    return re.sub(
+        r"(?is)\bwith\s+fill\b(\s+from\s+\S+)?(\s+to\s+\S+)?"
+        r"(\s+step\s+\S+)?",
+        "",
+        order_txt,
+    ).strip().rstrip(",")
+
+
+def _region_order_keys(masked: str, sel_start: int, region_end: int) -> str | None:
+    """The region's own depth-0 ORDER BY key list, fill-stripped."""
+    for om in _ORDER_BY.finditer(masked, sel_start, region_end):
+        seg = masked[sel_start:om.start()]
+        if seg.count("(") == seg.count(")"):
+            o_end, _kw = _clause_span(masked, om.end())
+            txt = _strip_fill(masked[om.end():o_end])
+            # bare positional keys (ORDER BY 1) are constants inside an
+            # OVER clause — cannot be carried into a window spec
+            if any(
+                re.fullmatch(r"\d+(\s+(asc|desc))?", k.strip(), re.I)
+                for k in txt.split(",")
+            ):
+                return None
+            return txt or None
+    return None
+
+
+def _from_subquery_order(masked: str, sel_start: int, region_end: int) -> str | None:
+    """If the region's depth-0 FROM is a parenthesized subquery with
+    its own top-level ORDER BY, return those keys (the CH-guaranteed
+    defining order)."""
+    for fm in _FROM_KW.finditer(masked, sel_start, region_end):
+        seg = masked[sel_start:fm.start()]
+        if seg.count("(") != seg.count(")"):
+            continue
+        j = fm.end()
+        while j < len(masked) and masked[j].isspace():
+            j += 1
+        if j >= len(masked) or masked[j] != "(":
+            return None
+        end2, _parts = _parse_group(masked, j)
+        inner = masked[j + 1:end2 - 1]
+        return _region_order_keys(inner, 0, len(inner))
+    return None
+
+
+def _enclosing_select(masked: str, pos: int) -> tuple[int, int]:
+    """(sel_start, region_end) of the nearest enclosing paren group
+    whose content begins with SELECT/WITH — walking OUTWARD past
+    ordinary function-call parens (a call nested in ``round(…)`` must
+    still see its SELECT's clauses) — else the whole statement."""
+    search = pos
+    while True:
+        depth = 0
+        sel_start = 0
+        found = False
+        for i in range(search - 1, -1, -1):
+            c = masked[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    sel_start = i + 1
+                    found = True
+                    break
+                depth -= 1
+        region_end = len(masked)
+        depth = 0
+        for i in range(sel_start, len(masked)):
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    region_end = i
+                    break
+        if not found:
+            return sel_start, region_end
+        if re.match(r"(?i)\s*(select|with)\b", masked[sel_start:region_end]):
+            return sel_start, region_end
+        search = sel_start - 1  # plain function-call group: keep walking
+
+
+def _rewrite_block_order(masked: str) -> str:
+    start = 0
+    while True:
+        m = _BLOCK_ORDER_CALL.search(masked, start)
+        if not m:
+            return masked
+        fname = m.group(1)
+        begin = m.start()
+        sel_start, region_end = _enclosing_select(masked, begin)
+        inner_keys = _from_subquery_order(masked, sel_start, region_end)
+        self_keys = _region_order_keys(masked, sel_start, region_end)
+        keys = inner_keys or self_keys
+        agg_fn = fname.lower().startswith("grouparraymoving")
+        if keys is None or (agg_fn and inner_keys is None):
+            start = begin + 1  # no defining order: stays loud
+            continue
+        # parse the call (and a possible parameterized (N)(x) tail)
+        paren = masked.index("(", m.end() - 1)
+        end1, args = _parse_group(masked, paren)
+        params: list[str] = []
+        call_end = end1
+        if agg_fn:
+            j = end1
+            while j < len(masked) and masked[j].isspace():
+                j += 1
+            if j < len(masked) and masked[j] == "(":
+                call_end, args2 = _parse_group(masked, j)
+                params, args = args, args2
+        rendered = _render_block_order(fname, params, args, keys)
+        if rendered is None:
+            start = begin + 1
+            continue
+        masked = masked[:begin] + rendered + masked[call_end:]
+        start = begin + 1
+
+
+def _render_block_order(
+    fname: str, params: list[str], args: list[str], keys: str
+) -> str | None:
+    f = fname.lower()
+    over = f"OVER (ORDER BY {keys})"
+    if f == "runningdifference":
+        if len(args) != 1:
+            return None
+        x = args[0]
+        # lag default = x itself → first row yields x - x = 0, exactly
+        # CH's first-row contract, with natural NULL propagation
+        return f"({x} - lag({x}, 1, {x}) {over})"
+    if f == "neighbor":
+        if len(args) not in (2, 3):
+            return None
+        x, off = args[0], args[1].strip()
+        nm = re.fullmatch(r"-?\d+", off)
+        if not nm:
+            return None  # CH requires a constant offset
+        n = int(off)
+        dflt = f", {args[2]}" if len(args) == 3 else ""
+        if n >= 0:
+            return f"lead({x}, {n}{dflt}) {over}"
+        return f"lag({x}, {-n}{dflt}) {over}"
+    if f == "runningaccumulate":
+        if len(args) not in (1, 2):
+            return None
+        sm = _STATE_CALL.match(args[0])
+        if not sm:
+            return None
+        agg, inner = sm.group(1).lower(), sm.group(2).strip()
+        if agg == "count" and not inner:
+            inner = "1"
+        part = f"PARTITION BY {args[1]} " if len(args) == 2 else ""
+        return (
+            f"{agg}({inner}) OVER ({part}ORDER BY {keys} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    # groupArrayMovingSum / groupArrayMovingAvg — aggregate position:
+    # sort collected (order-key, value) structs, fold prefix windows
+    if len(args) != 1:
+        return None
+    # multi-key or DESC order keys cannot drive a struct sort — loud
+    if "," in keys or re.search(r"(?i)\b(desc|nulls)\b", keys):
+        return None
+    n_param = params[0].strip() if params else None
+    if n_param is not None and not re.fullmatch(r"\d+", n_param):
+        return None
+    x = args[0]
+    cl = f"array_sort(collect_list(struct({keys} as __o, {x} as __v)))"
+    lo = f"greatest(i - {n_param} + 1, 1)" if n_param else "1"
+    width = f"i - {lo} + 1"
+    fold = (
+        f"aggregate(slice({cl}, {lo}, {width}), "
+        f"cast(0 as double), (s, v) -> s + v.__v)"
+    )
+    if f == "grouparraymovingavg":
+        fold = f"({fold} / ({width}))"
+    return f"transform(sequence(1, size({cl})), i -> {fold})"
+
+
 # CH `GROUP BY cols WITH TOTALS` — append one all-data totals row.
 # Spark expresses the same aggregate union as GROUPING SETS
 # ((cols), ()): per-group rows plus the grand total, computed in one
@@ -6063,6 +6277,11 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_scalar_with(masked)
     # [t.]* [EXCEPT(...)] REPLACE(expr AS col, …) → EXCEPT + re-add
     masked = _rewrite_star_replace(masked)
+    # runningDifference / neighbor / runningAccumulate /
+    # groupArrayMovingSum under an explicit defining ORDER BY →
+    # window equivalents (before QUALIFY/LIMIT BY/WITH FILL restructure
+    # the clause text); orderless calls stay loud
+    masked = _rewrite_block_order(masked)
     # [LEFT] ARRAY JOIN clause → position-exploded LATERAL VIEW
     masked = _rewrite_array_join(masked)
     # ASOF [LEFT] JOIN → adjacent-ts window + interval-bounded join

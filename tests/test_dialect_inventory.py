@@ -72,7 +72,8 @@ NATIVE = [
 ]
 
 LOUD = [
-    # block-order-undefined (no faithful text rewrite exists)
+    # block-order-dependent WITHOUT a defining ORDER BY (the ordered
+    # forms translate to windows — test_inventory_block_order_family)
     "runningDifference(x)", "neighbor(x, 1)", "runningAccumulate(st)",
     "groupArrayMovingSum(3)(x)",
     # needs infrastructure absent at text level
@@ -128,3 +129,48 @@ def test_inventory_translated_output_parses(spark):
     for call in TRANSLATED:
         out = T(f"select {call} from t")
         parser.parsePlan(out)  # raises ParseException on bad syntax
+
+
+ORDERED_TRANSLATED = [
+    # (call template under a defining ORDER BY, fragment the window
+    # rewrite must emit)
+    ("select k, runningDifference(x) from t order by k", "lag(x, 1, x)"),
+    ("select k, runningDifference(x) from (select k, x from t order by k)",
+     "lag(x, 1, x)"),
+    ("select k, neighbor(x, 1) from t order by k", "lead(x, 1)"),
+    ("select k, neighbor(x, -2, 0) from t order by k", "lag(x, 2, 0)"),
+    ("select k, runningAccumulate(sumState(x)) from t order by k",
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"),
+    ("select k, runningAccumulate(countState(), g) from t order by k",
+     "PARTITION BY g"),
+    ("select g, groupArrayMovingSum(3)(x) from"
+     " (select g, k, x from t order by k) group by g", "array_sort"),
+    ("select g, groupArrayMovingAvg(x) from"
+     " (select g, k, x from t order by k) group by g", "array_sort"),
+]
+
+ORDERED_STILL_LOUD = [
+    # unsupported shapes stay loud even WITH an order
+    "select k, neighbor(x, w) from t order by k",          # non-const offset
+    "select k, runningAccumulate(uniqState(x)) from t order by k",
+    # aggregates need the INNER-subquery order (the only one CH
+    # guarantees); a same-level ORDER BY does not define group order
+    "select g, groupArrayMovingSum(3)(x) from t group by g order by g",
+    # positional order keys cannot enter a window spec
+    "select runningDifference(x) from t order by 1",
+]
+
+
+@pytest.mark.parametrize("src,frag", ORDERED_TRANSLATED)
+def test_inventory_block_order_family(src, frag):
+    """r10 verdict item 3: the block-order family translates to window
+    equivalents when a defining ORDER BY exists (inner subquery first,
+    then the same SELECT's own)."""
+    out = T(src)
+    assert out != src, f"ordered form did not translate: {src}"
+    assert frag in out, f"expected {frag!r} in {out}"
+
+
+@pytest.mark.parametrize("src", ORDERED_STILL_LOUD)
+def test_inventory_block_order_still_loud(src):
+    assert T(src) == src, f"unsupported ordered shape was rewritten: {src}"

@@ -4145,3 +4145,44 @@ def test_r10_advice_fixes(spark):
         " (select cast(NULL as int) as v union all select NULL)"
     )).collect()[0]
     assert list(r2["gl"]) == []
+
+
+def test_block_order_family_values(spark):
+    """r10 verdict item 3, live values: the block-order family under a
+    defining ORDER BY. runningDifference first row = 0 (lag default =
+    x); neighbor out-of-block = NULL (Nullable mapping, documented) or
+    the explicit default; runningAccumulate = running window agg;
+    groupArrayMovingSum/Avg fold sorted prefix windows (double
+    widening, documented)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.sql(
+        "select * from values (1, 1, 10.0), (1, 2, 25.0), (1, 3, 11.0),"
+        " (2, 1, 5.0), (2, 2, 8.0) as t(g, k, x)"
+    ).createOrReplaceTempView("__bo_t")
+    rows = spark.sql(T(
+        "select k, runningDifference(x) as rd,"
+        " neighbor(x, 1) as nx, neighbor(x, -1, -1.0) as px,"
+        " runningAccumulate(sumState(x)) as ra,"
+        " runningAccumulate(countState(), g) as rc"
+        " from (select g, k, x from __bo_t order by g, k)"
+    )).collect()
+    got = [(r["rd"], r["nx"], r["px"], r["ra"], r["rc"]) for r in rows]
+    assert got == [
+        (0.0, 25.0, -1.0, 10.0, 1),
+        (15.0, 11.0, 10.0, 35.0, 2),
+        (-14.0, 5.0, 25.0, 46.0, 3),
+        (-6.0, 8.0, 11.0, 51.0, 1),
+        (3.0, None, 5.0, 59.0, 2),
+    ]
+    r2 = spark.sql(T(
+        "select g, groupArrayMovingSum(2)(x) as ms,"
+        " groupArrayMovingAvg(x) as ma"
+        " from (select g, k, x from __bo_t order by k) group by g"
+        " order by g"
+    )).collect()
+    assert [list(r["ms"]) for r in r2] == [[10.0, 35.0, 36.0], [5.0, 13.0]]
+    assert [[round(v, 6) for v in r["ma"]] for r in r2] == [
+        [10.0, 17.5, round(46.0 / 3, 6)],
+        [5.0, 6.5],
+    ]
