@@ -6,8 +6,10 @@ text (``ora/jdbcSession.scala:199-247`` reads the query body from a
 table; ``clickhouse/jdbsChSession.scala:712-743`` splices typed
 ``{name:Type}`` params) — so the translator must hold up on query
 shapes its author did NOT write. This module ports the classic TPC-H
-query suite (adapted to the synthetic schema: no partsupp table, no
-l_commitdate/l_receiptdate/l_shipmode columns) as externally-shaped
+query suite (adapted to the synthetic schema: no
+l_commitdate/l_receiptdate/l_shipmode columns; q2/q11 and the true
+q16/q20 forms run over a deterministically SYNTHESIZED partsupp CTE —
+see the partsupp suite section below) as externally-shaped
 CH-dialect text: correlated EXISTS / NOT EXISTS pairs, correlated
 scalar subqueries, IN over GROUP BY … HAVING subqueries, nested IN,
 comma joins, CTE + scalar-over-CTE, LIKE, sumIf/countIf, toYear /
@@ -919,3 +921,238 @@ WINDOW_QUERIES: list[QueryDef] = [
     QueryDef("qw4_rank_topk", _tpch_runner(_QW4_CH), QW4_ORACLE,
              "rank-per-partition top-k via derived subquery"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Synthetic partsupp suite (round 10, verdict item 4): the classic
+# q2/q11 shapes (and the true-form q16/q20) were unportable because
+# the synthetic schema has no partsupp — so partsupp is SYNTHESIZED
+# deterministically inside each query as a CTE over part × 4 supplier
+# slots with seeded integer arithmetic (no RNG), expressed identically
+# in CH dialect and the DuckDB oracle; both engines derive the same
+# rows from the same parquet inputs. Supplier assignment follows
+# dbgen's stride shape ((p + i*(S/4 + p/S) + i) mod S) with S FIXED at
+# the prime 199 rather than count(supplier): a count-derived modulus
+# makes ps_suppkey non-foldable, which blocks hash joins on the
+# supplier key and nests lineitem in a BroadcastNestedLoopJoin — fatal
+# at scale. With a constant S the key is a pure part-side expression
+# (hash-joinable); suppkeys beyond the supplier table simply dangle,
+# identically in both engines. Supply cost is
+# cents-exact: (p*7 + i*13) % 99900 + 100 cents, so money aggregates
+# recompute the integer cents and divide once at the end.
+# ---------------------------------------------------------------------------
+
+_PS_CH = """partsupp as (
+  select p_partkey as ps_partkey,
+         (p_partkey + i * (49 + intDiv(p_partkey, 199)) + i) % 199
+           as ps_suppkey,
+         (p_partkey * 47 + i * 31) % 9999 + 1 as ps_availqty,
+         toFloat64((p_partkey * 7 + i * 13) % 99900 + 100) / 100
+           as ps_supplycost
+  from (select p_partkey, arrayJoin([0, 1, 2, 3]) as i from part)
+)"""
+
+_PS_DK = """partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + i * (49 + p_partkey // 199) + i) % 199
+           AS ps_suppkey,
+         (p_partkey * 47 + i * 31) % 9999 + 1 AS ps_availqty,
+         cast((p_partkey * 7 + i * 13) % 99900 + 100 as double) / 100
+           AS ps_supplycost
+  FROM (SELECT p_partkey, unnest([0, 1, 2, 3]) AS i FROM part)
+)"""
+
+
+# Q2 — min-cost supplier: correlated MIN over a 4-way join (the
+# translator shape nothing else exercises: a scalar subquery
+# correlated on the outer part key, over the same CTE)
+_Q2_CH = f"""
+with {_PS_CH}
+select s_acctbal, s_name, n_name, toInt64(p_partkey) as p_partkey, p_brand
+from part, supplier, partsupp, nation, region
+where p_partkey = ps_partkey
+  and s_suppkey = ps_suppkey
+  and p_size = {{psize:UInt32}}
+  and p_type = 'LARGE'
+  and s_nationkey = n_nationkey
+  and n_regionkey = r_regionkey
+  and r_name = 'EUROPE'
+  and ps_supplycost = (
+    select min(ps_supplycost)
+    from partsupp, supplier, nation, region
+    where p_partkey = ps_partkey
+      and s_suppkey = ps_suppkey
+      and s_nationkey = n_nationkey
+      and n_regionkey = r_regionkey
+      and r_name = 'EUROPE')
+order by s_acctbal desc, n_name, s_name, p_partkey
+limit 100
+"""
+
+Q2_ORACLE = f"""
+WITH {_PS_DK}
+SELECT s_acctbal, s_name, n_name,
+       cast(p_partkey as bigint) AS p_partkey, p_brand
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_size = 3
+  AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps_supplycost)
+    FROM partsupp, supplier, nation, region
+    WHERE p_partkey = ps_partkey
+      AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# Q11 — important stock: HAVING over a scalar subquery of the SAME
+# aggregate (cents-exact money math in both engines)
+_Q11_CH = f"""
+with {_PS_CH}
+select toInt64(ps_partkey) as ps_partkey,
+       toFloat64(sum(toInt64(round(ps_supplycost * 100)) * ps_availqty))
+         / 100 as val
+from partsupp, supplier, nation
+where ps_suppkey = s_suppkey
+  and s_nationkey = n_nationkey
+  and n_name = {{nat:String}}
+group by ps_partkey
+having sum(toInt64(round(ps_supplycost * 100)) * ps_availqty) > (
+    select sum(toInt64(round(ps_supplycost * 100)) * ps_availqty) * 0.001
+    from partsupp, supplier, nation
+    where ps_suppkey = s_suppkey
+      and s_nationkey = n_nationkey
+      and n_name = {{nat:String}})
+order by val desc, ps_partkey
+limit 30
+"""
+
+Q11_ORACLE = f"""
+WITH {_PS_DK}
+SELECT cast(ps_partkey as bigint) AS ps_partkey,
+       cast(sum(cast(round(ps_supplycost * 100) as bigint)
+                * ps_availqty) as double) / 100 AS val
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY ps_partkey
+HAVING sum(cast(round(ps_supplycost * 100) as bigint) * ps_availqty) > (
+    SELECT sum(cast(round(ps_supplycost * 100) as bigint)
+               * ps_availqty) * 0.001
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7')
+ORDER BY val DESC, ps_partkey
+LIMIT 30
+"""
+
+
+# Q16 true form — partsupp-side distinct supplier count (the adapted
+# q16_parts_supplier counts via lineitem; this one exercises the real
+# partsupp shape)
+_Q16T_CH = f"""
+with {_PS_CH}
+select p_brand, p_type, p_size, toInt64(uniqExact(ps_suppkey)) as supplier_cnt
+from partsupp, part
+where p_partkey = ps_partkey
+  and p_brand <> 'Brand#1'
+  and p_type not like 'PROMO%'
+  and p_size in (1, 5, 10, 15, 20, 25, 30, 35)
+  and ps_suppkey not in (select s_suppkey from supplier
+                         where s_name like '%07')
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand, p_type, p_size
+limit 20
+"""
+
+Q16T_ORACLE = f"""
+WITH {_PS_DK}
+SELECT p_brand, p_type, p_size,
+       cast(count(DISTINCT ps_suppkey) as bigint) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_name LIKE '%07')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
+# Q20 true form — nested IN over partsupp with a scalar subquery
+# correlated on TWO partsupp columns against lineitem
+_Q20T_CH = f"""
+with {_PS_CH}
+select s_name, toInt64(s_suppkey) as s_suppkey
+from supplier, nation
+where s_suppkey in (
+    select ps_suppkey from partsupp
+    where ps_partkey in (select p_partkey from part
+                         where p_name like 'small%')
+      and ps_availqty > (
+        select 0.5 * sum(l_quantity) from lineitem
+        where l_partkey = ps_partkey
+          and l_suppkey = ps_suppkey
+          and l_shipdate >= toDate('1997-01-01')
+          and l_shipdate < toDate('1998-01-01')))
+  and s_nationkey = n_nationkey
+  and n_name = {{nat:String}}
+order by s_name
+"""
+
+Q20T_ORACLE = f"""
+WITH {_PS_DK}
+SELECT s_name, cast(s_suppkey as bigint) AS s_suppkey
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'small%')
+      AND ps_availqty > (
+        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey
+          AND l_suppkey = ps_suppkey
+          AND l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'))
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_6'
+ORDER BY s_name
+"""
+
+
+TPCH_QUERIES.extend([
+    QueryDef("q2_min_cost_supplier",
+             _tpch_runner(_Q2_CH,
+                          (QueryParam("psize", ParamType.UINT32, 1),),
+                          {"psize": "3"}),
+             Q2_ORACLE,
+             "TPC-H Q2 over synthesized partsupp: correlated MIN over a 4-way join"),
+    QueryDef("q11_important_stock",
+             _tpch_runner(_Q11_CH,
+                          (QueryParam("nat", ParamType.STRING, 1),),
+                          {"nat": "NATION_7"}),
+             Q11_ORACLE,
+             "TPC-H Q11 over synthesized partsupp: HAVING vs scalar subquery of same agg"),
+    QueryDef("q16_true_partsupp", _tpch_runner(_Q16T_CH), Q16T_ORACLE,
+             "TPC-H Q16 true form: distinct partsupp suppliers + NOT IN"),
+    QueryDef("q20_true_partsupp",
+             _tpch_runner(_Q20T_CH,
+                          (QueryParam("nat", ParamType.STRING, 1),),
+                          {"nat": "NATION_6"}),
+             Q20T_ORACLE,
+             "TPC-H Q20 true form: nested IN over partsupp + 2-column correlated scalar"),
+])
