@@ -2097,10 +2097,17 @@ select kg,
        toInt64(max(JSONExtractInt(props, kk))) as mx,
        max(JSONExtractString(props, kk)) as mxs,
        toInt64(max(JSONExtractInt(concat('{"w":', props, '}'), 'w', 'k')))
-         as nested_mx
+         as nested_mx,
+       toInt64(max(JSONExtractInt(concat('{"w":', props, '}'), 'w', kk)))
+         as dyn_tail_mx,
+       toInt64(max(JSONExtractInt(concat('{"q":', props, '}'), kq, 'k')))
+         as dyn_head_mx,
+       toInt64(countIf(JSONHas(concat('{"w":', props, '}'), 'w', kk)))
+         as dyn_has
 from (
   select props,
          if(event_id % 3 = 0, 'k', 'missing') as kk,
+         if(event_id % 4 = 0, 'q', 'absent') as kq,
          if(event_id % 3 = 0, 'hit', 'miss') as kg
   from events
 )
@@ -2115,7 +2122,11 @@ def calc_json_dynamic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``element_at(from_json(j, 'map<string,string>'), k)`` takes over
     (value rendering verified identical to get_json_object for
     top-level keys). The nested_mx column pins the r9 multi-key
-    literal fix ('w', 'k' → $.w.k — formerly dropped the tail)."""
+    literal fix ('w', 'k' → $.w.k — formerly dropped the tail); the
+    dyn_tail/dyn_head/dyn_has columns pin the r10 chained rewrite for
+    dynamic NESTED paths (literal prefix → dynamic tail and dynamic
+    head → literal tail, each resolving through
+    element_at(from_json(…)) per dynamic segment)."""
     from ora_ch_spark.functions.dialect import translate_ch_sql
     from ora_ch_spark.io import register_views
 
@@ -2131,10 +2142,17 @@ SELECT kg,
        as bigint) AS mx,
   max(json_extract_string(props, '$.' || kk)) AS mxs,
   cast(max(cast(json_extract_string('{"w":' || props || '}', '$.w.k')
-                as bigint)) as bigint) AS nested_mx
+                as bigint)) as bigint) AS nested_mx,
+  cast(max(cast(json_extract_string('{"w":' || props || '}',
+                '$.w.' || kk) as bigint)) as bigint) AS dyn_tail_mx,
+  cast(max(cast(json_extract_string('{"q":' || props || '}',
+                '$.' || kq || '.k') as bigint)) as bigint) AS dyn_head_mx,
+  cast(count(CASE WHEN json_extract('{"w":' || props || '}',
+                '$.w.' || kk) IS NOT NULL THEN 1 END) as bigint) AS dyn_has
 FROM (
   SELECT props,
          CASE WHEN event_id % 3 = 0 THEN 'k' ELSE 'missing' END AS kk,
+         CASE WHEN event_id % 4 = 0 THEN 'q' ELSE 'absent' END AS kq,
          CASE WHEN event_id % 3 = 0 THEN 'hit' ELSE 'miss' END AS kg
   FROM events
 )
@@ -2432,9 +2450,12 @@ ORDER BY y
 # ---------------------------------------------------------------------------
 
 _DIALECT21_CH_SQL = """
-select k, g, rd, nx, pv, ra, rm, ms_total, ms_last, ma_last
+select k, g, rd, nx, pv, ra, rm, ddu, ms_total, ms_last, ma_last
 from (
   select k, g,
+    dateDiff(if(k % 2 = 0, 'day', 'month'),
+             toDateTime('2020-01-15 12:00:00'),
+             toDateTime('2021-03-20 01:00:00')) as ddu,
     runningDifference(v) as rd,
     neighbor(v, 1, -1.0) as nx,
     neighbor(v, -2) as pv,
@@ -2468,7 +2489,9 @@ def calc_dialect21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Battery 21: the block-order family as STORED CH-dialect text.
     The window forms replay in DuckDB as lag/lead/running aggregates;
     the moving-sum folds replay as ROWS-frame window sums (CH sums
-    widen to double here — documented in the rewrite)."""
+    widen to double here — documented in the rewrite). The ddu column
+    pins the r10 NON-CONSTANT dateDiff unit (CASE expansion over all
+    supported units, boundary-crossing arms)."""
     from ora_ch_spark.functions.dialect import translate_ch_sql
     from ora_ch_spark.io import register_views
 
@@ -2485,6 +2508,11 @@ WITH src AS (
 ),
 w AS (
   SELECT k, g,
+    CASE WHEN k % 2 = 0 THEN date_diff('day',
+           TIMESTAMP '2020-01-15 12:00:00', TIMESTAMP '2021-03-20 01:00:00')
+         ELSE date_diff('month',
+           TIMESTAMP '2020-01-15 12:00:00', TIMESTAMP '2021-03-20 01:00:00')
+    END AS ddu,
     v - lag(v, 1, v) OVER (ORDER BY k) AS rd,
     lead(v, 1, -1.0) OVER (ORDER BY k) AS nx,
     lag(v, 2) OVER (ORDER BY k) AS pv,
@@ -2510,7 +2538,7 @@ m AS (
          round(max(CASE WHEN rn = n THEN ma_i END), 6) AS ma_last
   FROM mv
 )
-SELECT k, g, rd, nx, pv, ra, rm, ms_total, ms_last, ma_last
+SELECT k, g, rd, nx, pv, ra, rm, ddu, ms_total, ms_last, ma_last
 FROM w CROSS JOIN m
 ORDER BY k
 """

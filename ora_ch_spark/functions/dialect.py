@@ -2951,21 +2951,58 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             return None
         return _emit_lit("'$" + "".join(parts) + "'", lits)
 
-    def _dyn_json_value(a: list[str]) -> str:
-        return (
-            f"element_at(from_json({a[0]}, 'map<string,string>'), "
-            f"cast({a[1]} as string))"
-        )
+    def _json_chain(a: list[str]) -> str | None:
+        """Chained extraction across MIXED literal and dynamic path
+        segments (r10, verdict item 5): maximal literal runs splice
+        into one get_json_object path; each dynamic segment resolves
+        through ``element_at(from_json(cur, 'map<string,string>'), k)``
+        — from_json renders nested objects/arrays as raw JSON text
+        (verified r9), so every step's output feeds the next parser.
+        Dynamic integer-literal-looking segments (0/negative, or a
+        numeric where a key is expected) stay loud as before."""
+        cur = a[0]
+        i, n = 1, len(a)
+        while i < n:
+            parts: list[str] = []
+            while i < n:
+                arg = a[i]
+                lt = _lit_text(arg, lits)
+                if lt is not None:
+                    parts.append("." + lt[1:-1])
+                    i += 1
+                    continue
+                mi = re.fullmatch(r"\s*(\d+)\s*", arg)
+                if mi:
+                    if int(mi.group(1)) <= 0:
+                        return None  # no JSONPath analogue
+                    parts.append(f"[{int(mi.group(1)) - 1}]")
+                    i += 1
+                    continue
+                break
+            if parts:
+                cur = (
+                    f"get_json_object({cur}, "
+                    + _emit_lit("'$" + "".join(parts) + "'", lits)
+                    + ")"
+                )
+            else:
+                arg = a[i]
+                if re.fullmatch(r"\s*-?\d+\s*", arg):
+                    return None
+                cur = (
+                    f"element_at(from_json({cur}, 'map<string,string>'), "
+                    f"cast({arg} as string))"
+                )
+                i += 1
+        return cur
 
     def _json_extract(cast_to: str | None):
         def render(a: list[str]) -> str | None:
-            p = _json_path(a)
-            if p is None:
-                if len(a) != 2 or re.fullmatch(r"\s*-?\d+\s*", a[1]):
-                    return None  # multi-part dynamic path: loud
-                g = _dyn_json_value(a)
-            else:
-                g = f"get_json_object({a[0]}, {p})"
+            if len(a) < 2:
+                return None
+            g = _json_chain(a)
+            if g is None:
+                return None
             return f"cast({g} as {cast_to})" if cast_to else g
 
         return render
@@ -2981,15 +3018,33 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     ):
         out = _rewrite_calls(out, ch_fn, _json_extract(t))
     def _json_has(a: list[str]) -> str | None:
-        p = _json_path(a)
-        if p is None:
-            if len(a) != 2 or re.fullmatch(r"\s*-?\d+\s*", a[1]):
-                return None  # multi-part dynamic path: loud
-            return (
-                f"coalesce(map_contains_key(from_json({a[0]}, "
-                f"'map<string,string>'), cast({a[1]} as string)), false)"
-            )
-        return f"(get_json_object({a[0]}, {p}) IS NOT NULL)"
+        if len(a) < 2:
+            return None
+        # resolve the PREFIX (all but the last segment) via the chain,
+        # then probe the final segment for existence
+        if len(a) == 2:
+            cur = a[0]
+        else:
+            cur = _json_chain(a[:-1])
+            if cur is None:
+                return None
+        last = a[-1]
+        lt = _lit_text(last, lits)
+        if lt is not None:
+            p = _emit_lit("'$." + lt[1:-1] + "'", lits)
+            return f"(get_json_object({cur}, {p}) IS NOT NULL)"
+        mi = re.fullmatch(r"\s*(\d+)\s*", last)
+        if mi:
+            if int(mi.group(1)) <= 0:
+                return None
+            p = _emit_lit(f"'$[{int(mi.group(1)) - 1}]'", lits)
+            return f"(get_json_object({cur}, {p}) IS NOT NULL)"
+        if re.fullmatch(r"\s*-?\d+\s*", last):
+            return None
+        return (
+            f"coalesce(map_contains_key(from_json({cur}, "
+            f"'map<string,string>'), cast({last} as string)), false)"
+        )
 
     out = _rewrite_calls(out, "JSONHas", _json_has)
 
@@ -3077,12 +3132,36 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         # boundaries, CH's toRelativeWeekNum convention);
         # month/quarter/year count calendar positions. The unit must
         # be a literal to fold at translate time.
-        lt = _lit_text(a[0], lits)
-        if lt is None or len(a) != 3:
-            # leave unrewritten — MUST return None (not re-emit the
-            # call text) so the scanner advances past it; re-emitting
-            # 'dateDiff(...)' would loop forever (ADVICE r04)
+        if len(a) != 3:
             return None
+        lt = _lit_text(a[0], lits)
+        if lt is None:
+            # r10 (verdict item 6): NON-CONSTANT unit expands to a
+            # CASE over every supported unit, each arm the same
+            # boundary-crossing rewrite; an unknown unit value raises
+            # at runtime (raise_error) — loud, like CH's own error
+            arms = []
+            for names in (
+                ("microsecond", "microseconds"),
+                ("millisecond", "milliseconds"),
+                ("second", "seconds"),
+                ("minute", "minutes"),
+                ("hour", "hours"),
+                ("day", "days"),
+                ("week", "weeks"),
+                ("month", "months"),
+                ("quarter", "quarters"),
+                ("year", "years"),
+            ):
+                expr = _date_diff([_emit_lit(f"'{names[0]}'", lits),
+                                   a[1], a[2]])
+                in_list = ", ".join(_emit_lit(f"'{n}'", lits) for n in names)
+                arms.append(f"WHEN lower({a[0]}) IN ({in_list}) THEN {expr}")
+            err = _emit_lit("'dateDiff: unsupported unit '", lits)
+            return (
+                "(CASE " + " ".join(arms)
+                + f" ELSE raise_error(concat({err}, {a[0]})) END)"
+            )
         unit = lt[1:-1].lower()
         ts_a, ts_b = (f"cast({a[1]} as timestamp)", f"cast({a[2]} as timestamp)")
         grids_us = {

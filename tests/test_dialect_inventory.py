@@ -36,10 +36,14 @@ TRANSLATED = [
     "arrayZipUnaligned(a, b)", "arrayRandomSample(a, 2)",
     "groupArrayLast(3)(x)", "groupConcat(',')(s)",
     "arrayMin(f -> f + 1, a)", "arraySum(f -> f * 2, a)",
-    "dateDiff('month', a, b)", "age('quarter', a, b)",
+    "dateDiff('month', a, b)", "dateDiff(u, a, b)",
+    "age('quarter', a, b)",
     "toStartOfInterval(ts, INTERVAL 2 month)",
     "JSONExtractInt(j, k)", "JSONExtractString(j, 'a', 'b')",
     "quantileBFloat16(0.5)(x)",
+    # r10: dynamic NESTED JSON paths (chained per-segment)
+    "JSONExtractInt(j, k, 'b')", "JSONExtractString(j, 'a', k)",
+    "JSONHas(j, 'a', k)", "JSONHas(j, k, 'b')",
     # long-standing spot checks (one per earlier batch family)
     "toYear(d)", "cityHash64(x)", "sumIf(x, c)", "uniqExact(x)",
     "arrayStringConcat(a, ',')", "positionUTF8(s, 'a')",
@@ -80,8 +84,8 @@ LOUD = [
     "byteSwap(x)", "bitSlice(s, 1, 4)", "defaultValueOfTypeName('Int32')",
     "reinterpretAsUInt64(s)", "tupleConcat(t1, t2)",
     # unsupported parameter shapes (supported shapes translate)
-    "toYearWeek(d)", "toYearWeek(d, 0)", "JSONExtractInt(j, k, 'b')",
-    "dateDiff(u, a, b)", "age('fortnight', a, b)",
+    "toYearWeek(d)", "toYearWeek(d, 0)", "JSONExtractInt(j, k, 0)",
+    "age('fortnight', a, b)",
     "hasToken(s, tok_col)", "hasToken(s, 'has space')",
     # extra args on arity-strict rewrites (r9): loud, never dropped
     "toYear(ts, tz_col)", "toSecond(t1, 9)", "toMonday(d, x)",

@@ -1947,8 +1947,11 @@ def test_translate_ch_sql_datediff_nonliteral_unit_terminates():
 
     src4 = "SELECT dateDiff('day', a, b, 'UTC') FROM t"
     assert translate_ch_sql(src4) == src4
+    # r10: a non-literal unit now expands to a CASE over all supported
+    # units (no longer loud) — still must terminate
     srcv = "SELECT dateDiff(u, a, b) FROM t"
-    assert translate_ch_sql(srcv) == srcv
+    outv = translate_ch_sql(srcv)
+    assert "CASE WHEN lower(u) IN" in outv and "raise_error" in outv
     assert (
         translate_ch_sql("SELECT dateDiff('day', a, b) FROM t")
         == "SELECT cast(datediff(cast(b as date), "
@@ -3836,8 +3839,11 @@ def test_json_dynamic_key_and_nested_paths():
     assert T("select JSONExtractInt(j, 'a', 'c', 2) from t") == (
         "select cast(get_json_object(j, '$.a.c[1]') as bigint) from t"
     )
-    src = "select JSONExtractInt(j, k, 'b') from t"
-    assert T(src) == src  # dynamic multi-part: loud pass-through
+    # r10: dynamic multi-part paths CHAIN per segment (no longer loud)
+    assert T("select JSONExtractInt(j, k, 'b') from t") == (
+        "select cast(get_json_object(element_at(from_json(j, "
+        "'map<string,string>'), cast(k as string)), '$.b') as bigint) from t"
+    )
     src0 = "select JSONExtractInt(j, 0) from t"
     assert T(src0) == src0  # 0/negative index: no JSONPath analogue
 
@@ -4186,3 +4192,36 @@ def test_block_order_family_values(spark):
         [10.0, 17.5, round(46.0 / 3, 6)],
         [5.0, 6.5],
     ]
+
+
+def test_r10_dynamic_json_and_datediff_unit(spark):
+    """r10 verdict items 5/6, live values: chained dynamic nested JSON
+    paths (literal prefix -> dynamic tail, dynamic head -> literal
+    tail, dynamic JSONHas) and the non-constant dateDiff unit (CASE
+    expansion, boundary-crossing arms, loud on unknown units)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        """select JSONExtractInt(j, 'a', kk) as t1,
+                  JSONExtractString(j, kh, 'b') as t2,
+                  JSONHas(j, 'a', kk) as h1,
+                  JSONHas(j, 'a', km) as h2,
+                  JSONExtractInt(j, 'a', 'x', 2) as idx
+           from (select '{"a": {"n": 42, "x": [7, 8], "b": "hi"}}' as j,
+                        'n' as kk, 'a' as kh, 'zz' as km)"""
+    )).collect()[0]
+    assert r["t1"] == 42  # literal prefix -> dynamic tail
+    assert r["t2"] == "hi" and r["h1"] is True and r["h2"] is False
+    assert r["idx"] == 8  # CH 1-based index 2 -> JSONPath [1]
+    d = spark.sql(T(
+        "select dateDiff(u, toDateTime('2021-12-31 23:59:59'),"
+        " toDateTime('2022-01-01 00:00:01')) as d"
+        " from (select explode(array('second', 'DAY', 'Year')) as u)"
+    )).collect()
+    assert [row["d"] for row in d] == [2, 1, 1]  # boundary crossings
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unsupported unit"):
+        spark.sql(T(
+            "select dateDiff(concat('for', 'tnight'),"
+            " toDate('2020-01-01'), toDate('2020-01-02'))"
+        )).collect()
