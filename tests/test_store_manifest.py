@@ -999,3 +999,74 @@ def test_update_and_cluster_preserve_bloom_index(spark, tmp_path):
     m = store._manifest("ch", "ev2")
     assert m.get("bloom_columns") == ["event_type"]
     assert all(set(fe.get("bloom", [])) == {"event_type"} for fe in m["files"])
+
+
+def test_manifest_commit_latency_bound_at_1e5_files(spark, tmp_path):
+    """r9 verdict design-watch → r10 measured guarantee: the driver-
+    side JSON manifest must stay usable at 10^5 file entries (a table
+    auto-compaction would never let grow this far — compact_small
+    bounds real tables orders of magnitude below). Measures the three
+    driver-side paths that scale with the file count — commit
+    (serialize + atomic publish + GC scan), manifest read, zone-map
+    prune over every entry — and pins generous wall bounds so a
+    complexity regression (anything super-linear) fails loudly. The
+    measured curve (1e4 vs 1e5 ≈ linear) is recorded in PLANS.md."""
+    import json as _json
+    import time as _time
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "big"))
+    store.create_database("ch")
+    seed = load_table(spark, "/root/testdata/sf0.001", "region")
+    store.write("ch", "t", seed)
+
+    base = store._manifest("ch", "t")
+    real = base["files"][0]
+    timings: dict[int, dict[str, float]] = {}
+    for n in (10_000, 100_000):
+        files = []
+        for i in range(n):
+            fe = dict(real)
+            fe["path"] = f"data/g0/part-{i:06d}.parquet"
+            fe["rows"] = 1000
+            fe["bytes"] = 1 << 20
+            fe["stats"] = {
+                "k": {"min": [i * 1000, "int"], "max": [i * 1000 + 999, "int"],
+                       "nulls": 0},
+                "v": {"min": [0.0, "float"], "max": [1.0, "float"], "nulls": 0},
+            }
+            files.append(fe)
+        m = dict(base)
+        m["files"] = files
+        t0 = _time.perf_counter()
+        store._commit("ch", "t", m)
+        t_commit = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        m2 = store._manifest("ch", "t")
+        t_read = _time.perf_counter() - t0
+        assert len(m2["files"]) == n and m2["rows"] == n * 1000
+        t0 = _time.perf_counter()
+        keep, total = store.prune_files("ch", "t", "k = 12345678")
+        t_prune = _time.perf_counter() - t0
+        assert total == n and len(keep) <= 1
+        timings[n] = {
+            "commit": t_commit, "read": t_read, "prune": t_prune,
+        }
+    big = timings[100_000]
+    # generous CI-safe ceilings; the point is catching super-linear
+    # regressions (real measurements are ~10x under these)
+    assert big["commit"] < 15.0, big
+    assert big["read"] < 5.0, big
+    assert big["prune"] < 10.0, big
+    # rough linearity: 10x the entries must stay within ~40x the time
+    # (JSON parse constants dominate at 1e4, so allow generous slack)
+    small = timings[10_000]
+    for k in ("commit", "read", "prune"):
+        assert big[k] < max(40 * small[k], 1.0), (k, timings)
+    # manifest size itself stays bounded (~30 MB at 1e5 entries)
+    mdir = tmp_path / "big" / "ch" / "t" / "manifests"
+    sizes = sorted(p.stat().st_size for p in mdir.iterdir())
+    assert sizes[-1] < 120 * (1 << 20)
+    print("manifest-scale timings:", _json.dumps(timings))
