@@ -2542,3 +2542,94 @@ SELECT k, g, rd, nx, pv, ra, rm, ddu, ms_total, ms_last, ma_last
 FROM w CROSS JOIN m
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# Battery 22 (round 10) — MySQL week modes 0/1/2 for toWeek/toYearWeek
+# (CH follows MySQL WEEK()/YEARWEEK() exactly; mode 3 = ISO shipped in
+# batch 18, modes 4-9 stay loud), constant defaultValueOfTypeName, and
+# RUNTIME hasToken needles (row-level alphanumeric guard, CH exception
+# contract on invalid needles). Reference parity: these are ClickHouse
+# scalar functions the stored production queries can legally contain.
+# ---------------------------------------------------------------------------
+
+_DIALECT22_CH_SQL = """
+select k,
+  toWeek(d) as w0, toWeek(d, 1) as w1, toWeek(d, 2) as w2,
+  toYearWeek(d) as yw0, toYearWeek(d, 1) as yw1, toYearWeek(d, 2) as yw2,
+  defaultValueOfTypeName('Int32') as dv_i,
+  defaultValueOfTypeName('Nullable(String)') as dv_ns,
+  toFloat64(defaultValueOfTypeName('Decimal(12,3)')) as dv_d,
+  hasToken(s, tok) as ht, hasTokenCaseInsensitive(s, tok) as hti
+from (
+  select o_orderkey as k,
+         toDate(o_orderdate) as d,
+         concat('alpha_', o_orderstatus, ' beta') as s,
+         multiIf(o_orderkey % 3 = 0, 'zz',
+                 o_orderkey % 3 = 1, o_orderstatus,
+                 lower(o_orderstatus)) as tok
+  from orders
+  where o_orderkey % 97 = 11
+)
+order by k
+"""
+
+
+def calc_dialect22_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 22 as STORED CH-dialect text through translate_ch_sql.
+
+    Week modes replay in DuckDB as explicit first-Sunday / ISO-Monday
+    anchor arithmetic (the same definitions MySQL documents); the
+    hasToken oracle is a CLOSED FORM (statuses are single uppercase
+    letters, so token presence is decided by which multiIf arm built
+    the needle) — independent of the regex the rewrite emits."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT22_CH_SQL)).orderBy("k")
+
+
+DIALECT22_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderdate::date AS d,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'zz'
+              WHEN o_orderkey % 3 = 1 THEN o_orderstatus
+              ELSE lower(o_orderstatus) END AS tok
+  FROM orders WHERE o_orderkey % 97 = 11
+),
+anch AS (
+  SELECT *,
+    (make_date(year(d), 1, 1)
+      + ((7 - dayofweek(make_date(year(d), 1, 1))) % 7)
+        * INTERVAL 1 DAY)::date AS fs,
+    (make_date(year(d) - 1, 1, 1)
+      + ((7 - dayofweek(make_date(year(d) - 1, 1, 1))) % 7)
+        * INTERVAL 1 DAY)::date AS fsp,
+    date_trunc('week', make_date(year(d), 1, 4))::date AS m1
+  FROM src
+)
+SELECT k,
+  CAST(CASE WHEN d >= fs THEN date_diff('day', fs, d) // 7 + 1
+       ELSE 0 END AS int) AS w0,
+  CAST(CASE WHEN d >= m1 THEN date_diff('day', m1, d) // 7 + 1
+       ELSE 0 END AS int) AS w1,
+  CAST(CASE WHEN d >= fs THEN date_diff('day', fs, d) // 7 + 1
+       ELSE date_diff('day', fsp, d) // 7 + 1 END AS int) AS w2,
+  CAST(CASE WHEN d >= fs
+       THEN year(d) * 100 + date_diff('day', fs, d) // 7 + 1
+       ELSE (year(d) - 1) * 100 + date_diff('day', fsp, d) // 7 + 1
+       END AS int) AS yw0,
+  CAST(isoyear(d) * 100 + week(d) AS int) AS yw1,
+  CAST(CASE WHEN d >= fs
+       THEN year(d) * 100 + date_diff('day', fs, d) // 7 + 1
+       ELSE (year(d) - 1) * 100 + date_diff('day', fsp, d) // 7 + 1
+       END AS int) AS yw2,
+  CAST(0 AS int) AS dv_i,
+  CAST(NULL AS varchar) AS dv_ns,
+  CAST(0.0 AS double) AS dv_d,
+  (k % 3 = 1) AS ht,
+  (k % 3 IN (1, 2)) AS hti
+FROM anch
+ORDER BY k
+"""

@@ -4120,10 +4120,28 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             # old [0-9A-Za-z_] classes made hasToken('foo_bar','bar')
             # false and silently accepted '_'-bearing needles)
             lt = _lit_text(a[1], lits)
-            if lt is None or not re.fullmatch(r"[0-9A-Za-z]+", lt[1:-1]):
+            flags = "(?i)" if ci else ""
+            if lt is None:
+                # batch 22 (r10): RUNTIME needle — the alphanumeric
+                # gate moves to a row-level guard (alphanumerics are
+                # regex-safe, so the validated needle splices into the
+                # pattern without escaping); invalid needles raise,
+                # matching CH's exception contract instead of
+                # silently matching/missing
+                needle = a[1]
+                return (
+                    f"(CASE WHEN {needle} IS NULL THEN NULL "
+                    f"WHEN {needle} rlike " + lit("^[0-9A-Za-z]+$")
+                    + f" THEN ({a[0]} rlike concat("
+                    + lit(f"{flags}(^|[^0-9A-Za-z])")
+                    + f", {needle}, " + lit("([^0-9A-Za-z]|$)")
+                    + ")) ELSE raise_error(concat("
+                    + lit("hasToken: needle must be alphanumeric, got: ")
+                    + f", {needle})) END)"
+                )
+            if not re.fullmatch(r"[0-9A-Za-z]+", lt[1:-1]):
                 return None
             tok = lt[1:-1]
-            flags = "(?i)" if ci else ""
             pat = f"{flags}(^|[^0-9A-Za-z]){tok}([^0-9A-Za-z]|$)"
             return f"({a[0]} rlike " + lit(pat) + ")"
 
@@ -4235,6 +4253,145 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             parts[s] = a[1]
             return f"({a[0]} {sg} make_interval({', '.join(parts)}))"
         out = _rewrite_calls(out, fn, _iv)
+
+    # ---- batch 22 (r10): MySQL week modes 0/1/2 for toWeek /
+    # toYearWeek, constant defaultValueOfTypeName, runtime hasToken
+    # needles. CH's toWeek/toYearWeek modes follow MySQL WEEK()
+    # exactly (DateLUTImpl week mode table); mode 3 (ISO) translated
+    # earlier, modes 0/1/2 close here. ----
+
+    def _wk_fs(d: str, yoff: int = 0) -> str:
+        # first Sunday of year(d)+yoff: next_day is strictly-after,
+        # so anchor on Dec 31 of the prior year
+        y = f"year({d})" if yoff == 0 else f"(year({d}) + {yoff})"
+        return f"next_day(date_sub(make_date({y}, 1, 1), 1), {lit('SU')})"
+
+    def _wk_m1(d: str) -> str:
+        # Monday starting ISO week 1 = the Monday of Jan-4's week
+        return (
+            f"cast(date_trunc({lit('WEEK')}, "
+            f"make_date(year({d}), 1, 4)) as date)"
+        )
+
+    def _wk_num(d: str, anchor: str) -> str:
+        return f"(cast(datediff({d}, {anchor}) div 7 as int) + 1)"
+
+    def _to_week(a: list[str]) -> str | None:
+        # mode 3 (ISO) already rewrote in batch 18; tz forms folded
+        # to 2-arg upstream. Sunday-first weeks: week 1 starts at the
+        # year's first Sunday (mode 0: earlier days are week 0;
+        # mode 2: earlier days take the PREVIOUS year's number).
+        # Monday-first mode 1: week 1 starts at ISO-week-1's Monday,
+        # earlier days are week 0. No with-year rollover in 0/1 —
+        # late-December weeks count up to 53 (MySQL WEEK contract).
+        if len(a) not in (1, 2):
+            return None
+        mode = a[1].strip() if len(a) == 2 else "0"
+        d = f"cast({a[0]} as date)"
+        if mode in ("0", "2"):
+            fs = _wk_fs(d)
+            this = _wk_num(d, fs)
+            prev = (
+                "0" if mode == "0" else _wk_num(d, _wk_fs(d, -1))
+            )
+            return f"IF({d} >= {fs}, {this}, {prev})"
+        if mode == "1":
+            m1 = _wk_m1(d)
+            return f"IF({d} >= {m1}, {_wk_num(d, m1)}, 0)"
+        return None
+
+    out = _rewrite_calls(out, "toWeek", _to_week)
+
+    def _to_yearweek(a: list[str]) -> str | None:
+        # YEARWEEK semantics: the result never carries week 0 — the
+        # year adjusts instead (toYearWeek('2000-01-01') = 199952
+        # while toWeek = 0). Even modes share one with-year shape;
+        # mode 1 ≡ mode 3 ≡ ISO (rewrote in batch 18).
+        if len(a) not in (1, 2):
+            return None
+        mode = a[1].strip() if len(a) == 2 else "0"
+        d = f"cast({a[0]} as date)"
+        if mode in ("0", "2"):
+            fs = _wk_fs(d)
+            this = f"(year({d}) * 100 + {_wk_num(d, fs)})"
+            prev = (
+                f"((year({d}) - 1) * 100 + {_wk_num(d, _wk_fs(d, -1))})"
+            )
+            return f"IF({d} >= {fs}, {this}, {prev})"
+        if mode == "1":
+            return (
+                f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + "
+                f"weekofyear({a[0]}))"
+            )
+        return None
+
+    out = _rewrite_calls(out, "toYearWeek", _to_yearweek)
+
+    # defaultValueOfTypeName: CONSTANT type names only (the value is
+    # a property of the type, so a non-literal argument has no static
+    # translation — loud). Scalar map mirrors _CAST_FNS' widths;
+    # Nullable(T) is a typed NULL; Decimal carries its declared
+    # precision/scale. Composite types (Array/Tuple/Map) stay loud.
+    _DEFAULT_OF_TYPE = {
+        "int8": ("0", "int"), "int16": ("0", "int"),
+        "int32": ("0", "int"), "int64": ("0", "bigint"),
+        "uint8": ("0", "int"), "uint16": ("0", "int"),
+        "uint32": ("0", "bigint"), "uint64": ("0", "bigint"),
+        "float32": ("0", "float"), "float64": ("0", "double"),
+        "string": (None, "string"),
+        "date": (None, "date"), "date32": (None, "date"),
+        "datetime": (None, "timestamp"),
+    }
+
+    def _default_of_type(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        lt = _lit_text(a[0], lits)
+        if lt is None:
+            return None
+        tname = lt[1:-1].strip()
+        nullable = False
+        m = re.fullmatch(r"(?i)Nullable\s*\(\s*(.*?)\s*\)", tname)
+        if m:
+            nullable, tname = True, m.group(1)
+        if tname.lower() == "uuid":
+            # UUIDs land as strings (no Spark uuid type)
+            if nullable:
+                return "cast(null as string)"
+            return lit("00000000-0000-0000-0000-000000000000")
+        m = re.fullmatch(
+            r"(?i)(Decimal)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)"
+            r"|(Decimal32|Decimal64|Decimal128)\s*\(\s*(\d+)\s*\)"
+            r"|(DateTime64)\s*\(\s*\d+\s*\)",
+            tname,
+        )
+        if m:
+            if m.group(1):
+                spark_t = f"decimal({m.group(2)},{m.group(3)})"
+            elif m.group(4):
+                prec = {"decimal32": 9, "decimal64": 18,
+                        "decimal128": 38}[m.group(4).lower()]
+                spark_t = f"decimal({prec},{m.group(5)})"
+            else:
+                spark_t = "timestamp"
+            zero = "0" if spark_t != "timestamp" else None
+        else:
+            ent = _DEFAULT_OF_TYPE.get(tname.lower())
+            if ent is None:
+                return None
+            zero, spark_t = ent
+        if nullable:
+            return f"cast(null as {spark_t})"
+        if zero is not None:
+            return f"cast({zero} as {spark_t})"
+        # non-numeric zeros: CH epoch / empty-string / nil-UUID
+        if spark_t == "string":
+            return lit("")
+        if spark_t == "date":
+            return f"cast({lit('1970-01-01')} as date)"
+        return f"cast({lit('1970-01-01 00:00:00')} as timestamp)"
+
+    out = _rewrite_calls(out, "defaultValueOfTypeName", _default_of_type)
 
     # ---- round-7 batch #7: funnel/retention aggregates, URL family,
     # moment aggregates, Stable de-suffixing. ----

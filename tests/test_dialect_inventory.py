@@ -63,6 +63,15 @@ TRANSLATED = [
     "toDayOfWeek(d, 1)", "toDayOfWeek(d, 3)",
     "tryBase64Decode(s)", "toUnixTimestamp(s, 'Europe/Moscow')",
     "now('Europe/Moscow')", "toWeek(d, 3, 'UTC')",
+    # r10 batch 22: MySQL week modes 0/1/2, constant type defaults,
+    # runtime hasToken needles (guard + raise on invalid, CH contract)
+    "toWeek(d)", "toWeek(d, 0)", "toWeek(d, 1)", "toWeek(d, 2)",
+    "toYearWeek(d)", "toYearWeek(d, 0)", "toYearWeek(d, 1)",
+    "toYearWeek(d, 2)", "defaultValueOfTypeName('Int32')",
+    "defaultValueOfTypeName('Nullable(String)')",
+    "defaultValueOfTypeName('Decimal(10,2)')",
+    "defaultValueOfTypeName('UUID')",
+    "hasToken(s, tok_col)", "hasTokenCaseInsensitive(s, tok_col)",
 ]
 
 NATIVE = [
@@ -81,12 +90,14 @@ LOUD = [
     "runningDifference(x)", "neighbor(x, 1)", "runningAccumulate(st)",
     "groupArrayMovingSum(3)(x)",
     # needs infrastructure absent at text level
-    "byteSwap(x)", "bitSlice(s, 1, 4)", "defaultValueOfTypeName('Int32')",
+    "byteSwap(x)", "bitSlice(s, 1, 4)",
     "reinterpretAsUInt64(s)", "tupleConcat(t1, t2)",
     # unsupported parameter shapes (supported shapes translate)
-    "toYearWeek(d)", "toYearWeek(d, 0)", "JSONExtractInt(j, k, 0)",
+    "toYearWeek(d, 8)", "toWeek(d, 8)", "JSONExtractInt(j, k, 0)",
     "age('fortnight', a, b)",
-    "hasToken(s, tok_col)", "hasToken(s, 'has space')",
+    "defaultValueOfTypeName('Array(Int32)')",
+    "defaultValueOfTypeName(type_col)",
+    "hasToken(s, 'has space')",
     # extra args on arity-strict rewrites (r9): loud, never dropped
     "toYear(ts, tz_col)", "toSecond(t1, 9)", "toMonday(d, x)",
     "toInt32(x, 'oops')", "toDayOfWeek(d, 9)",

@@ -3898,11 +3898,65 @@ def test_dialect_batch18(spark):
     assert r["j"] == -7 and r["k"] is False
     assert int(r["l"]) == 123
     assert r["m"] == -1.98 and r["n"] == 9.0
-    # unsupported toYearWeek modes / bad arities stay loud
-    src = "select toYearWeek(d) from t"
+    # unsupported toYearWeek modes / bad arities stay loud (modes
+    # 0/1/2 translate since batch 22; 4-9 remain loud)
+    src = "select toYearWeek(d, 8) from t"
     assert T(src) == src
-    src2 = "select toYearWeek(d, 0) from t"
+    src2 = "select toYearWeek(d, 0, 'UTC', 1) from t"
     assert T(src2) == src2
+
+
+def test_dialect_batch22(spark):
+    """r10 batch 22: MySQL week modes 0/1/2 for toWeek/toYearWeek
+    (value vectors are the MySQL WEEK()/YEARWEEK() doc examples — CH
+    follows MySQL exactly), constant defaultValueOfTypeName, and
+    RUNTIME hasToken needles (row-level alphanumeric guard; invalid
+    needles raise like CH, NULL needles stay NULL)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "select toWeek(toDate('2000-01-01')) as w0a,"
+        " toWeek(toDate('2000-01-06')) as w0b,"
+        " toWeek(toDate('2008-02-20'), 1) as w1a,"
+        " toWeek(toDate('2008-12-31'), 1) as w1b,"
+        " toWeek(toDate('2023-01-01'), 1) as w1c,"
+        " toWeek(toDate('2000-01-01'), 2) as w2a,"
+        " toYearWeek(toDate('2000-01-01')) as yw0,"
+        " toYearWeek(toDate('1987-01-01')) as yw0b,"
+        " toYearWeek(toDate('2000-01-06'), 0) as yw0c,"
+        " toYearWeek(toDate('2008-02-20'), 1) as yw1,"
+        " toYearWeek(toDate('2019-12-30'), 1) as yw1b,"
+        " defaultValueOfTypeName('Int32') as dv_i,"
+        " defaultValueOfTypeName('Nullable(Int64)') as dv_n,"
+        " defaultValueOfTypeName('String') as dv_s,"
+        " defaultValueOfTypeName('UUID') as dv_u,"
+        " defaultValueOfTypeName('Decimal(10,2)') as dv_d,"
+        " defaultValueOfTypeName('Date') as dv_dt,"
+        " hasToken('foo bar baz', concat('ba', 'r')) as h1,"
+        " hasToken('foo_bar', concat('ba', 'r')) as h2,"
+        " hasToken('foobar', concat('ba', 'r')) as h3,"
+        " hasTokenCaseInsensitive('foo BAR', concat('ba', 'r')) as h4,"
+        " hasToken('x', cast(null as string)) as h5"
+    )).collect()[0]
+    assert (r["w0a"], r["w0b"], r["w1a"], r["w1b"], r["w1c"],
+            r["w2a"]) == (0, 1, 8, 53, 0, 52)
+    assert (r["yw0"], r["yw0b"], r["yw0c"], r["yw1"], r["yw1b"]) == (
+        199952, 198652, 200001, 200808, 202001)
+    assert r["dv_i"] == 0 and r["dv_n"] is None and r["dv_s"] == ""
+    assert r["dv_u"] == "00000000-0000-0000-0000-000000000000"
+    assert float(r["dv_d"]) == 0.0 and str(r["dv_dt"]) == "1970-01-01"
+    assert (r["h1"], r["h2"], r["h3"], r["h4"], r["h5"]) == (
+        True, True, False, True, None)
+    # invalid runtime needle RAISES (CH exception contract)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="alphanumeric"):
+        spark.sql(T("select hasToken('x', concat('a ', 'b')) as e")
+                  ).collect()
+    # composite / non-literal type names and week modes 4-9 stay loud
+    for src in ("select defaultValueOfTypeName('Array(Int32)') from t",
+                "select defaultValueOfTypeName(c) from t",
+                "select toWeek(d, 8) from t"):
+        assert T(src) == src
 
 
 def test_laginframe_frame_strip(spark):
