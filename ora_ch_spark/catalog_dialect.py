@@ -2633,3 +2633,93 @@ SELECT k,
 FROM anch
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# Battery 23 (round 10) — CH BYTE string semantics on non-ASCII data:
+# bare length/position/left/right count BYTES, upper/lower fold ASCII
+# only (UTF8-suffixed forms are the character/Unicode ones). The rows
+# carry mixed ASCII + Cyrillic text so the byte/char distinction is
+# load-bearing, not coincidental; byte cut points land on ASCII
+# regions so both engines decode cleanly (mid-codepoint cuts are
+# pinned as documented drift in unit tests, not here).
+# ---------------------------------------------------------------------------
+
+_DIALECT23_CH_SQL = """
+select k,
+  length(s) as blen, lengthUTF8(s) as clen,
+  position(s, 'ы') as bpos, positionUTF8(s, 'ы') as cpos,
+  position(s, '-', 5) as bpos3,
+  positionCaseInsensitive(s, 'QT') as cipos,
+  upper(s) as aup,
+  lower(upperUTF8(s)) as alow,
+  left(s, 5) as bleft, right(s, 4) as bright,
+  leftUTF8(s, -2) as cleftn, rightUTF8(s, -2) as crightn
+from (
+  select o_orderkey as k,
+         concat('Qty-', toString(o_orderkey % 50), '-зыбь-',
+                o_orderpriority) as s
+  from orders
+  where o_orderkey % 131 = 17
+)
+order by k
+"""
+
+
+def calc_dialect23_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 23 as STORED CH-dialect text through translate_ch_sql.
+
+    The DuckDB oracle computes byte semantics explicitly —
+    octet_length over encode(), byte positions via encoded prefixes,
+    byte slices decoded back — and ASCII-only folds via translate();
+    DuckDB's native length/strpos/upper are the character/Unicode
+    forms, so agreement is a genuine two-implementation check of the
+    byte arithmetic, not an echo."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT23_CH_SQL)).orderBy("k")
+
+
+DIALECT23_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         'Qty-' || cast(o_orderkey % 50 as varchar) || '-зыбь-'
+           || o_orderpriority AS s
+  FROM orders WHERE o_orderkey % 131 = 17
+)
+SELECT k,
+  cast(octet_length(encode(s)) as bigint) AS blen,
+  cast(length(s) as int) AS clen,
+  CAST(CASE WHEN strpos(s, 'ы') = 0 THEN 0
+       ELSE octet_length(encode(substring(s, 1, strpos(s, 'ы') - 1))) + 1
+       END AS int) AS bpos,
+  cast(strpos(s, 'ы') as int) AS cpos,
+  CAST(CASE WHEN strpos(decode(unhex(substring(hex(encode(s)), 9,
+              2 * octet_length(encode(s))))), '-') = 0 THEN 0
+       ELSE 4 + octet_length(encode(substring(
+              decode(unhex(substring(hex(encode(s)), 9,
+                     2 * octet_length(encode(s))))),
+              1,
+              strpos(decode(unhex(substring(hex(encode(s)), 9,
+                     2 * octet_length(encode(s))))), '-') - 1))) + 1
+       END AS int) AS bpos3,
+  CAST(CASE WHEN strpos(translate(s,
+            'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+            'qt') = 0 THEN 0
+       ELSE octet_length(encode(substring(s, 1, strpos(translate(s,
+            'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+            'qt') - 1))) + 1 END AS int) AS cipos,
+  translate(s, 'abcdefghijklmnopqrstuvwxyz',
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS aup,
+  translate(upper(s), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                      'abcdefghijklmnopqrstuvwxyz') AS alow,
+  decode(unhex(substring(hex(encode(s)), 1, 10))) AS bleft,
+  decode(unhex(substring(hex(encode(s)),
+               2 * octet_length(encode(s)) - 7, 8))) AS bright,
+  substring(s, 1, length(s) - 2) AS cleftn,
+  substring(s, 3) AS crightn
+FROM src
+ORDER BY k
+"""

@@ -25,6 +25,21 @@ This shim rewrites the function surface that file exercises (SURVEY.md
 ``rpad(x, n, chr(0))`` — we deliberately keep plain string semantics
 (SURVEY §2.4) unless ``fixed_string_pad=True``.
 
+Byte-vs-character semantics (batch 23): ClickHouse's bare string
+functions operate on BYTES (``length``/``position``/``left``/
+``right``) and its bare ``upper``/``lower``/``…CaseInsensitive`` fold
+ASCII only; the ``…UTF8`` forms are the character/Unicode ones. The
+translator reproduces both families exactly (octet_length, encoded
+prefixes, binary slices, translate() ASCII folds). Two documented
+residual drifts, both ASCII-coincident: ``substring``/``substr`` stays
+Spark-native (characters) where CH slices bytes — rewriting the single
+most common ANSI function to binary slicing was judged higher-risk
+than the drift, which vanishes on ASCII; and ``reverse`` stays
+character-based where CH byte-reverses (multi-byte CH output is
+invalid UTF-8 garbage no query can rely on). A byte slice or byte
+start that lands INSIDE a code point decodes lossily here where CH
+emits raw partial bytes — degenerate inputs only.
+
 Nested-call safe: arguments are matched with a balanced-paren scanner,
 not a regex over the whole call.
 """
@@ -204,6 +219,12 @@ def _rewrite_calls(sql: str, fname: str, render) -> str:
         else:
             sql = sql[:begin] + rendered + sql[end:]
 
+
+# CH upper/lower/…CaseInsensitive fold ASCII ONLY (UTF8-suffixed
+# variants do full Unicode) — Spark's upper/lower fold full Unicode,
+# so exact parity routes through translate() over these maps
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 _CAST_FNS = {
     "toString": "string",
@@ -2478,17 +2499,22 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             else f"({a[0]} != {lit('')})"
         ),
     )
-    out = _rewrite_calls(out, "lengthUTF8", lambda a: f"length({a[0]})")
-    # CH length() is string-or-array polymorphic too: flip
-    # provably-array-shaped arguments (CH spellings — this pass runs
-    # before the array-family rewrites) to size(); bare columns keep
-    # Spark's string length, so an array COLUMN fails loudly at
-    # analysis, never silently.
+    out = _rewrite_calls(out, "lengthUTF8", lambda a: f"char_length({a[0]})")
+    # CH length() is string-or-array polymorphic: provably-array-shaped
+    # arguments (CH spellings — this pass runs before the array-family
+    # rewrites) flip to size(). Everything else gets CH's BYTE
+    # semantics (batch 23): CH length(String) counts bytes, Spark's
+    # length counts characters — pass-through silently under-counted
+    # every non-ASCII string (lengthUTF8 above is the character form).
+    # octet_length rejects array columns at analysis, so an un-flagged
+    # array argument still fails loudly, never silently.
     out = _rewrite_calls(
         out,
         "length",
         lambda a: (
-            f"size({a[0]})" if len(a) == 1 and _arrayish(a[0]) else None
+            (f"size({a[0]})" if _arrayish(a[0])
+             else f"octet_length({a[0]})")
+            if len(a) == 1 else None
         ),
     )
     # NOTE: CH position(haystack, needle) is NOT rewritten — `position`
@@ -2888,7 +2914,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         return (
             f"(CASE WHEN locate({pat}, {s}) > 0 THEN "
             f"concat(substr({s}, 1, locate({pat}, {s}) - 1), {rep}, "
-            f"substr({s}, locate({pat}, {s}) + length({pat}))) "
+            f"substr({s}, locate({pat}, {s}) + char_length({pat}))) "
             f"ELSE {s} END)"
         )
 
@@ -3156,7 +3182,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
                 expr = _date_diff([_emit_lit(f"'{names[0]}'", lits),
                                    a[1], a[2]])
                 in_list = ", ".join(_emit_lit(f"'{n}'", lits) for n in names)
-                arms.append(f"WHEN lower({a[0]}) IN ({in_list}) THEN {expr}")
+                arms.append(f"WHEN lcase({a[0]}) IN ({in_list}) THEN {expr}")
             err = _emit_lit("'dateDiff: unsupported unit '", lits)
             return (
                 "(CASE " + " ".join(arms)
@@ -3406,10 +3432,75 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out, "concatWithSeparator", lambda a: f"concat_ws({', '.join(a)})"
     )
     out = _rewrite_calls(out, "substringUTF8", lambda a: f"substring({', '.join(a)})")
-    out = _rewrite_calls(out, "lowerUTF8", lambda a: f"lower({a[0]})")
-    out = _rewrite_calls(out, "upperUTF8", lambda a: f"upper({a[0]})")
-    out = _rewrite_calls(out, "leftUTF8", lambda a: f"left({a[0]}, {a[1]})")
-    out = _rewrite_calls(out, "rightUTF8", lambda a: f"right({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "lowerUTF8", lambda a: f"lcase({a[0]})")
+    out = _rewrite_calls(out, "upperUTF8", lambda a: f"ucase({a[0]})")
+    # CH left/right accept NEGATIVE offsets (all-but-last / all-but-
+    # first |n| units) — Spark's left/right return '' there, so the
+    # UTF8 forms route through substring (batch 23). Bare left/right
+    # are the BYTE forms: slice the binary encoding and decode (a cut
+    # inside a code point decodes lossily where CH emits the raw
+    # partial bytes — same degenerate-input note as position).
+    out = _rewrite_calls(
+        out,
+        "leftUTF8",
+        lambda a: (
+            f"substring({a[0]}, 1, IF(({a[1]}) >= 0, ({a[1]}), "
+            f"greatest(char_length({a[0]}) + ({a[1]}), 0)))"
+            if len(a) == 2 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "rightUTF8",
+        lambda a: (
+            f"substring({a[0]}, IF(({a[1]}) >= 0, "
+            f"greatest(char_length({a[0]}) - ({a[1]}) + 1, 1), 1 - ({a[1]})))"
+            if len(a) == 2 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "left",
+        lambda a: (
+            f"cast(substring(cast({a[0]} as binary), 1, "
+            f"IF(({a[1]}) >= 0, ({a[1]}), "
+            f"greatest(octet_length({a[0]}) + ({a[1]}), 0))) as string)"
+            if len(a) == 2 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "right",
+        lambda a: (
+            f"cast(substring(cast({a[0]} as binary), "
+            f"IF(({a[1]}) >= 0, "
+            f"greatest(octet_length({a[0]}) - ({a[1]}) + 1, 1), "
+            f"1 - ({a[1]})), 2147483647) as string)"
+            if len(a) == 2 else None
+        ),
+    )
+    # CH upper/lower fold ASCII ONLY (upperUTF8/lowerUTF8 above are
+    # the full-Unicode forms) — Spark's native upper/lower fold full
+    # Unicode, silently changing non-ASCII group keys / comparisons
+    # (batch 23). translate() over the ASCII maps is exact parity.
+    out = _rewrite_calls(
+        out,
+        "upper",
+        lambda a: (
+            f"translate({a[0]}, " + lit(_ASCII_LO) + ", "
+            + lit(_ASCII_UP) + ")"
+            if len(a) == 1 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "lower",
+        lambda a: (
+            f"translate({a[0]}, " + lit(_ASCII_UP) + ", "
+            + lit(_ASCII_LO) + ")"
+            if len(a) == 1 else None
+        ),
+    )
     # unary forms trim whitespace in both dialects; CH's custom-char
     # variants use non-call syntax (TRIM(LEADING 'x' FROM s)) — ANSI
     # in both engines, passes through untouched
@@ -3419,14 +3510,29 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out, "trimRight", lambda a: f"rtrim({a[0]})" if len(a) == 1 else None
     )
-    # positionUTF8 has CH's (haystack, needle) order and no Spark
-    # name-collision (unlike bare `position` — see note above)
-    out = _rewrite_calls(out, "positionUTF8", lambda a: f"instr({a[0]}, {a[1]})")
-    out = _rewrite_calls(
-        out,
-        "positionCaseInsensitive",
-        lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
-    )
+    # positionUTF8 rewrites in the batch-8 block below (2- and 3-arg;
+    # an unguarded duplicate here used to DROP the 3-arg start
+    # argument before that block could see it — batch 23 fix)
+    # positionCaseInsensitive is the BYTE variant with CH's ASCII-only
+    # case folding (batch 23): fold through translate() — Spark's
+    # lower() would also fold non-ASCII (full Unicode) and the char
+    # instr under-counted multi-byte prefixes. The prefix is sliced
+    # from the ORIGINAL haystack: ASCII folding preserves per-char
+    # byte widths, so its octet_length equals the folded prefix's.
+    def _pos_ci_bytes(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        fh = (f"translate({a[0]}, " + lit(_ASCII_UP) + ", "
+              + lit(_ASCII_LO) + ")")
+        fn_ = (f"translate({a[1]}, " + lit(_ASCII_UP) + ", "
+               + lit(_ASCII_LO) + ")")
+        hit = f"instr({fh}, {fn_})"
+        return (
+            f"(CASE WHEN {hit} = 0 THEN 0 ELSE "
+            f"octet_length(substring({a[0]}, 1, {hit} - 1)) + 1 END)"
+        )
+
+    out = _rewrite_calls(out, "positionCaseInsensitive", _pos_ci_bytes)
     out = _rewrite_calls(out, "base64Encode", lambda a: f"base64({a[0]})")
     out = _rewrite_calls(
         out,
@@ -3450,9 +3556,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out,
         "countSubstrings",
         lambda a: (
-            f"(CASE WHEN length({a[1]}) = 0 THEN 0 "
-            f"ELSE ((length({a[0]}) - length(replace({a[0]}, {a[1]}, {lit('')})))"
-            f" div length({a[1]})) END)"
+            f"(CASE WHEN char_length({a[1]}) = 0 THEN 0 "
+            f"ELSE ((char_length({a[0]}) - char_length(replace({a[0]}, {a[1]}, {lit('')})))"
+            f" div char_length({a[1]})) END)"
         ),
     )
 
@@ -3977,7 +4083,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out,
         "positionCaseInsensitiveUTF8",
-        lambda a: f"locate(lower({a[1]}), lower({a[0]}))" if len(a) == 2 else None,
+        lambda a: f"locate(lcase({a[1]}), lcase({a[0]}))" if len(a) == 2 else None,
     )
     # toLastDayOfWeek: mode 0/2 → nearest following Saturday,
     # mode 1/3 → Sunday (Monday-start week + 6)
@@ -4153,9 +4259,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out,
         "countSubstringsCaseInsensitiveUTF8",
         lambda a: (
-            f"(CASE WHEN length({a[1]}) = 0 THEN 0 "
-            f"ELSE ((length({a[0]}) - length(replace(lower({a[0]}), "
-            f"lower({a[1]}), {lit('')}))) div length({a[1]})) END)"
+            f"(CASE WHEN char_length({a[1]}) = 0 THEN 0 "
+            f"ELSE ((char_length({a[0]}) - char_length(replace(lcase({a[0]}), "
+            f"lcase({a[1]}), {lit('')}))) div char_length({a[1]})) END)"
         ),
     )
     # get() is NULL out-of-bounds even under ANSI (element_at throws)
@@ -4914,20 +5020,50 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # error and returned wrong values. ----
     # CH position(haystack, needle[, start]) — Spark's position() has
     # the arguments REVERSED (substr first), so pass-through silently
-    # searched the needle for the haystack. instr/locate match CH's
-    # order and 1-based/0-on-miss contract exactly.
-    for _pos in ("positionUTF8", "position"):
-        out = _rewrite_calls(
-            out,
-            _pos,
-            lambda a: (
-                f"instr({a[0]}, {a[1]})"
-                if len(a) == 2
-                else f"locate({a[1]}, {a[0]}, {a[2]})"
-                if len(a) == 3
-                else None  # `position(n IN h)` single-arg ANSI form is fine as-is
-            ),
+    # searched the needle for the haystack. positionUTF8 counts CODE
+    # POINTS → instr/locate match its order and 1-based/0-on-miss
+    # contract exactly. Bare position counts BYTES (batch 23): the
+    # char hit converts to a byte index via the prefix's octet_length
+    # (first occurrence by chars == first by bytes — UTF-8 positions
+    # are monotone). The 3-arg byte start slices the byte tail through
+    # a binary substring; a start that splits a code point decodes
+    # lossily here where CH searches raw bytes — documented drift on a
+    # degenerate input (CH itself returns garbage-prefixed matches).
+    out = _rewrite_calls(
+        out,
+        "positionUTF8",
+        lambda a: (
+            f"instr({a[0]}, {a[1]})"
+            if len(a) == 2
+            else f"locate({a[1]}, {a[0]}, {a[2]})"
+            if len(a) == 3
+            else None
+        ),
+    )
+
+    def _pos_bytes_expr(h: str, n: str) -> str:
+        hit = f"instr({h}, {n})"
+        return (
+            f"(CASE WHEN {hit} = 0 THEN 0 ELSE "
+            f"octet_length(substring({h}, 1, {hit} - 1)) + 1 END)"
         )
+
+    def _pos_bytes(a: list[str]) -> str | None:
+        if len(a) == 2:
+            return _pos_bytes_expr(a[0], a[1])
+        if len(a) == 3:
+            tail = (
+                f"cast(substring(cast({a[0]} as binary), {a[2]}, "
+                f"2147483647) as string)"
+            )
+            inner = _pos_bytes_expr(tail, a[1])
+            return (
+                f"(CASE WHEN {inner} = 0 THEN 0 "
+                f"ELSE cast({a[2]} as int) - 1 + {inner} END)"
+            )
+        return None  # `position(n IN h)` single-arg ANSI form is fine as-is
+
+    out = _rewrite_calls(out, "position", _pos_bytes)
     # Spark has date_trunc but NOT dateTrunc — same args, rename only
     out = _rewrite_calls(
         out,
@@ -5065,9 +5201,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out,
         "ngrams",
         lambda a: (
-            f"filter(transform(sequence(1, greatest(length({a[0]}) - "
+            f"filter(transform(sequence(1, greatest(char_length({a[0]}) - "
             f"({a[1]}) + 1, 1)), i -> substring({a[0]}, i, {a[1]})), "
-            f"x -> length(x) = ({a[1]}))"
+            f"x -> char_length(x) = ({a[1]}))"
             if len(a) == 2
             else None
         ),
@@ -5917,8 +6053,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out,
         "multiSearchAnyCaseInsensitive",
+        # ASCII-only fold via translate() — CH's non-UTF8 CI variants
+        # do not fold non-ASCII (batch 23; Spark lower() would)
         lambda a: (
-            f"exists({a[1]}, __ms -> instr(lower({a[0]}), lower(__ms)) > 0)"
+            f"exists({a[1]}, __ms -> instr("
+            f"translate({a[0]}, " + lit(_ASCII_UP) + ", "
+            + lit(_ASCII_LO) + "), "
+            f"translate(__ms, " + lit(_ASCII_UP) + ", "
+            + lit(_ASCII_LO) + ")) > 0)"
         ),
     )
     out = _rewrite_calls(
@@ -6421,10 +6563,15 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out,
         "countSubstringsCaseInsensitive",
+        # ASCII-only fold (batch 23): CH's non-UTF8 CI count does not
+        # fold non-ASCII; the count itself is fold-width-invariant
         lambda a: (
-            f"(CASE WHEN length({a[1]}) = 0 THEN 0 "
-            f"ELSE ((length({a[0]}) - length(replace(lower({a[0]}), "
-            f"lower({a[1]}), {lit('')}))) div length({a[1]})) END)"
+            f"(CASE WHEN char_length({a[1]}) = 0 THEN 0 "
+            f"ELSE ((char_length({a[0]}) - char_length(replace("
+            f"translate({a[0]}, " + lit(_ASCII_UP) + ", "
+            + lit(_ASCII_LO) + "), "
+            f"translate({a[1]}, " + lit(_ASCII_UP) + ", "
+            + lit(_ASCII_LO) + f"), {lit('')}))) div char_length({a[1]})) END)"
         ),
     )
 

@@ -72,6 +72,14 @@ TRANSLATED = [
     "defaultValueOfTypeName('Decimal(10,2)')",
     "defaultValueOfTypeName('UUID')",
     "hasToken(s, tok_col)", "hasTokenCaseInsensitive(s, tok_col)",
+    # r10 batch 23: CH BYTE semantics for bare string functions
+    # (length/position/left/right count bytes; upper/lower fold ASCII
+    # only — the UTF8-suffixed forms are the character/Unicode ones)
+    "length(s)", "position(h, 'n')", "position(h, 'n', 3)",
+    "positionCaseInsensitive(h, 'n')", "upper(s)", "lower(s)",
+    "left(s, 2)", "right(s, 2)", "leftUTF8(s, -2)", "rightUTF8(s, -2)",
+    "multiSearchAnyCaseInsensitive(s, ['a'])",
+    "countSubstringsCaseInsensitive(s, 'a')",
 ]
 
 NATIVE = [

@@ -1951,7 +1951,7 @@ def test_translate_ch_sql_datediff_nonliteral_unit_terminates():
     # units (no longer loud) — still must terminate
     srcv = "SELECT dateDiff(u, a, b) FROM t"
     outv = translate_ch_sql(srcv)
-    assert "CASE WHEN lower(u) IN" in outv and "raise_error" in outv
+    assert "CASE WHEN lcase(u) IN" in outv and "raise_error" in outv
     assert (
         translate_ch_sql("SELECT dateDiff('day', a, b) FROM t")
         == "SELECT cast(datediff(cast(b as date), "
@@ -2934,11 +2934,14 @@ def test_dialect_batch8_rewrites():
     calc_dialect_battery9; these pin the emitted text."""
     from ora_ch_spark.functions.dialect import translate_ch_sql as T
 
-    # CH position(haystack, needle) → instr keeps CH's arg order
-    assert T("select position(h, n) from t") == "select instr(h, n) from t"
-    assert T("select position(h, n, 3) from t") == (
-        "select locate(n, h, 3) from t"
-    )
+    # CH position(haystack, needle) counts BYTES (batch 23): the char
+    # instr hit converts via the prefix's octet_length; 3-arg searches
+    # the byte tail and re-offsets
+    out2 = T("select position(h, n) from t")
+    assert "instr(h, n)" in out2 and "octet_length" in out2
+    out3 = T("select position(h, n, 3) from t")
+    assert "cast(substring(cast(h as binary), 3" in out3
+    assert "octet_length" in out3
     # ANSI single-arg form untouched
     assert T("select position('a' IN s) from t") == (
         "select position('a' IN s) from t"
@@ -3301,9 +3304,10 @@ def test_dialect_batch10_rewrites(spark):
     assert abs(run("select arrayJaccardIndex([1,2],[2,3])") - 1 / 3) < 1e-12
     assert run("select arrayPartialSort(2, [3,1,2])") == [1, 2, 3]
     assert sorted(run("select arrayShuffle([1,2,3])")) == [1, 2, 3]
-    # toWeek mode 3 = ISO week; other modes stay untranslated (loud)
+    # toWeek mode 3 = ISO week; modes 0/1/2 translate in batch 22,
+    # modes 4-9 stay untranslated (loud)
     assert run("select toWeek(toDate('2024-01-04'), 3)") == 1
-    assert "toWeek" in T("select toWeek(d) from t")
+    assert "toWeek" in T("select toWeek(d, 8) from t")
     spark.sql(
         "create or replace temp view mi_b10 as select * from values "
         "(1.0,3.0),(1.0,6.0),(2.0,5.0),(3.0,7.0) as t(s,e)"
@@ -3652,8 +3656,9 @@ def test_dialect_polymorphic_length_empty(spark):
     r = spark.sql(T("SELECT length(groupArray(x)) AS n FROM"
                     " (SELECT 1 x UNION ALL SELECT 2)")).collect()[0]
     assert r["n"] == 2
-    # bare column stays string-length (loud on arrays, correct on text)
-    assert "length(s)" in T("select length(s) from t")
+    # bare column takes CH's BYTE semantics (batch 23); still loud on
+    # un-flagged array columns (octet_length rejects arrays)
+    assert "octet_length(s)" in T("select length(s) from t")
 
 
 def test_dialect_qualify_and_scalar_with():
@@ -3727,10 +3732,11 @@ def test_dialect_review_r7_regressions(spark):
     # item list terminates at a following JOIN (not an alias error)
     out = T("SELECT a, u.v FROM t ARRAY JOIN arr AS a JOIN u ON u.id = a")
     assert "JOIN u ON u.id = a" in out
-    # ... and left(...) inside an item is NOT a join terminator
+    # ... and left(...) inside an item is NOT a join terminator (the
+    # byte-form left rewrite of batch 23 lands inside the transform)
     out2 = T("SELECT s FROM t ARRAY JOIN arrayMap(x -> left(x, 2), arr) AS s "
              "WHERE s != ''")
-    assert "transform(arr, x -> left(x, 2))" in out2
+    assert "transform(arr, x -> cast(substring(cast(x as binary)" in out2
     # (4) t.k is a column reference, never the scalar alias k
     assert T("with 2 as k select t.k from t") == "select t.k from t"
     # (5) ASOF + QUALIFY and trailing FORMAT both translate
@@ -3959,6 +3965,56 @@ def test_dialect_batch22(spark):
         assert T(src) == src
 
 
+def test_dialect_batch23_byte_semantics(spark):
+    """r10 batch 23: CH's bare string functions count BYTES and fold
+    ASCII only — Spark's natives count characters and fold Unicode,
+    so pass-through silently mis-computed on every non-ASCII string
+    (the reference moves Russian-language Oracle data). UTF8-suffixed
+    forms keep character/Unicode semantics; left/right gain CH's
+    negative offsets; the unguarded positionUTF8 duplicate that
+    DROPPED the 3-arg start is gone."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    sql = T(
+        "select length('привет') as l1, length('abc') as l2,"
+        " lengthUTF8('привет') as l3,"
+        " position('xyпривет', 'вет') as p1,"
+        " position('abcabc', 'bc', 4) as p2,"
+        " position('abc', 'zz') as p3,"
+        " positionUTF8('xyпривет', 'вет') as p4,"
+        " positionUTF8('abcabc', 'bc', 4) as p5,"
+        " positionCaseInsensitive('тестABc', 'aB') as p6,"
+        " positionCaseInsensitive('ТЕСТ', 'тест') as p7,"
+        " upper('Приfooвет') as u1, lower('ПриFOOвет') as u2,"
+        " upperUTF8('привет') as u3, lowerUTF8('ПРИВЕТ') as u4,"
+        " left('aпривет', 3) as lf1, left('hello', -2) as lf2,"
+        " right('привет', 4) as r1, right('hello', -2) as r2,"
+        " leftUTF8('привет', -2) as lf3, rightUTF8('привет', -2) as r3,"
+        " leftUTF8('hello', 2) as lf4, rightUTF8('hello', 2) as r4,"
+        " multiSearchAnyCaseInsensitive('hay СТОГ', ['sto', 'HAY']) as m1,"
+        " multiSearchAnyCaseInsensitive('СТОГ', ['стог']) as m2,"
+        " countSubstringsCaseInsensitive('aAbAa', 'a') as c1,"
+        " countSubstringsCaseInsensitive('ППпп', 'п') as c2,"
+        " countSubstringsCaseInsensitiveUTF8('ППпп', 'п') as c3,"
+        " countSubstrings('aXaXa', 'X') as c4,"
+        " replaceOne('hello', 'l', 'L') as rp1,"
+        " ngrams('abcd', 2) as ng1"
+    )
+    r = spark.sql(sql).collect()[0]
+    exp = dict(l1=12, l2=3, l3=6, p1=9, p2=5, p3=0, p4=6, p5=5, p6=9,
+               p7=0, u1="ПриFOOвет", u2="Приfooвет", u3="ПРИВЕТ",
+               u4="привет", lf1="aп", lf2="hel", r1="ет", r2="llo",
+               lf3="прив", r3="ивет", lf4="he", r4="lo", m1=True,
+               m2=False, c1=4, c2=2, c3=4, c4=2, rp1="heLlo",
+               ng1=["ab", "bc", "cd"])
+    for k, v in exp.items():
+        got = list(r[k]) if isinstance(v, list) else r[k]
+        assert got == v, f"{k}: {got!r} != {v!r}"
+    # the whole emission is a fixed point (emitted char_length/lcase/
+    # ucase are NOT rewrite targets — bare length/lower/upper are)
+    assert T(sql) == sql
+
+
 def test_laginframe_frame_strip(spark):
     """r9: lagInFrame/leadInFrame rename to lag/lead and the standard
     whole-prefix frame is STRIPPED from their OVER clause (Spark
@@ -4054,8 +4110,11 @@ def test_dialect_batch20(spark):
     assert r["g"] is None and r["h"] == 9 and r["i"] == 3
     assert r["j"] == "ch" and r["k"] == "example.org"
     assert r["l"] == 3  # polymorphic length sees the array shape
-    src = "select hasToken(s, tok_col) from t"
-    assert T(src) == src  # non-literal token: loud
+    # non-literal tokens translate since batch 22 (row-level guard +
+    # raise); literal needles with non-token chars stay loud
+    assert "raise_error" in T("select hasToken(s, tok_col) from t")
+    src = "select hasToken(s, 'has space') from t"
+    assert T(src) == src
 
 
 def test_sequence_mixed_gap_three_anchors(spark):
