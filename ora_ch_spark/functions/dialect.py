@@ -38,7 +38,11 @@ than the drift, which vanishes on ASCII; and ``reverse`` stays
 character-based where CH byte-reverses (multi-byte CH output is
 invalid UTF-8 garbage no query can rely on). A byte slice or byte
 start that lands INSIDE a code point decodes lossily here where CH
-emits raw partial bytes — degenerate inputs only.
+emits raw partial bytes — degenerate inputs only. ``locate`` (CH's
+deprecated needle-first alias of position) passes through to Spark's
+locate — same argument order, character return units where CH counts
+bytes (ASCII-coincident; our own rewrites emit locate() meaning
+characters, so byte-ifying the name would corrupt them).
 
 Nested-call safe: arguments are matched with a balanced-paren scanner,
 not a regex over the whole call.
@@ -2753,8 +2757,38 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out, "intDivOrZero",
         lambda a: f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]} div {a[1]}) END)",
     )
-    out = _rewrite_calls(out, "leftPad", lambda a: f"lpad({', '.join(a)})")
-    out = _rewrite_calls(out, "rightPad", lambda a: f"rpad({', '.join(a)})")
+    # CH leftPad/rightPad measure BYTES and truncate an overlong input
+    # to n bytes (batch 23); Spark's lpad/rpad count characters. The
+    # pad prefix/suffix slices the repeated pad's bytes (a multi-byte
+    # pad cut mid-codepoint decodes lossily — degenerate; real pads
+    # are ' '/'0'). The UTF8 forms are exactly Spark's lpad/rpad
+    # (both count code points and truncate overlong input).
+    def _byte_pad(left: bool):
+        def render(a: list[str]) -> str | None:
+            if len(a) not in (2, 3):
+                return None
+            s, n = a[0], a[1]
+            p = a[2] if len(a) == 3 else lit(" ")
+            fill = (
+                f"cast(substring(cast(repeat({p}, "
+                f"greatest(cast(({n}) as int), 1)) as binary), 1, "
+                f"({n}) - octet_length({s})) as string)"
+            )
+            kept = f"cast(substring(cast({s} as binary), 1, ({n})) as string)"
+            grown = (
+                f"concat({fill}, {s})" if left else f"concat({s}, {fill})"
+            )
+            return (
+                f"(CASE WHEN octet_length({s}) >= ({n}) THEN {kept} "
+                f"ELSE {grown} END)"
+            )
+
+        return render
+
+    out = _rewrite_calls(out, "leftPadUTF8", lambda a: f"lpad({', '.join(a)})")
+    out = _rewrite_calls(out, "rightPadUTF8", lambda a: f"rpad({', '.join(a)})")
+    out = _rewrite_calls(out, "leftPad", _byte_pad(True))
+    out = _rewrite_calls(out, "rightPad", _byte_pad(False))
     out = _rewrite_calls(out, "assumeNotNull", lambda a: f"({a[0]})")
     out = _rewrite_calls(out, "match", lambda a: f"({a[0]} rlike {a[1]})")
     # same documented role-drift as cityHash64: a 64-bit hash of the

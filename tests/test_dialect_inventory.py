@@ -80,6 +80,8 @@ TRANSLATED = [
     "left(s, 2)", "right(s, 2)", "leftUTF8(s, -2)", "rightUTF8(s, -2)",
     "multiSearchAnyCaseInsensitive(s, ['a'])",
     "countSubstringsCaseInsensitive(s, 'a')",
+    "leftPad(s, 7)", "leftPad(s, 7, '*')", "rightPad(s, 7, '*')",
+    "leftPadUTF8(s, 7, '*')", "rightPadUTF8(s, 7)",
 ]
 
 NATIVE = [

@@ -4013,6 +4013,20 @@ def test_dialect_batch23_byte_semantics(spark):
     # the whole emission is a fixed point (emitted char_length/lcase/
     # ucase are NOT rewrite targets — bare length/lower/upper are)
     assert T(sql) == sql
+    # leftPad/rightPad: BYTE targets, overlong input truncates to n
+    # bytes (Spark lpad counts chars); UTF8 forms are Spark's lpad
+    sql2 = T(
+        "select leftPad('abc', 7, '*') as a, rightPad('abc', 7, '*') as b,"
+        " leftPad('зыбь', 10, '-') as c, rightPad('зыбь', 10, '-') as d,"
+        " leftPad('зыбь', 4) as e, leftPadUTF8('зыбь', 6, '-') as f,"
+        " rightPadUTF8('зыбь', 2) as g, leftPad('abcdef', 3) as h"
+    )
+    r2 = spark.sql(sql2).collect()[0]
+    exp2 = dict(a="****abc", b="abc****", c="--зыбь", d="зыбь--",
+                e="зы", f="--зыбь", g="зы", h="abc")
+    for k, v in exp2.items():
+        assert r2[k] == v, f"{k}: {r2[k]!r} != {v!r}"
+    assert T(sql2) == sql2
 
 
 def test_laginframe_frame_strip(spark):
