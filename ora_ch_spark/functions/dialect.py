@@ -44,6 +44,19 @@ locate — same argument order, character return units where CH counts
 bytes (ASCII-coincident; our own rewrites emit locate() meaning
 characters, so byte-ifying the name would corrupt them).
 
+Numeric residuals audited in r10, deliberately left native (changing
+them without a live ClickHouse to differential against risks
+introducing the very silent-wrong class this translator hunts):
+``intDiv`` on NEGATIVE operands — CH docs say the quotient rounds
+down while the C++ implementation path is plain integer division
+(truncation); Spark's ``div`` truncates, matching the implementation
+reading. ``round()`` at exact halves — CH uses banker's rounding for
+Float inputs and half-away for Decimal; the input type is unknowable
+at text level, so the native half-away applies (CH's explicit
+``roundBankers`` maps to ``bround``). Float division by zero — CH
+yields ±Inf/NaN, Spark yields NULL (``intDivOrZero``/``moduloOrZero``
+are translated exactly).
+
 Nested-call safe: arguments are matched with a balanced-paren scanner,
 not a regex over the whole call.
 """
