@@ -729,3 +729,159 @@ def test_stored_suite_texts_reach_fixed_point():
         once = T(sql)
         assert T(once) == once
         assert _paren_balance_outside_literals(once) == 0
+
+
+def test_week_modes_differential_vs_python(spark):
+    """r10 batch 22: toWeek/toYearWeek modes 0/1/2 across 40 years of
+    year-boundary dates (every Dec 26 – Jan 8) plus a pseudo-random
+    mid-year sample, against an independent Python implementation of
+    the MySQL WEEK()/YEARWEEK() rules (first-Sunday / ISO-Monday
+    anchors, never-week-0 year adjustment). The MySQL doc examples in
+    test_units pin absolute truth on the tricky constants; this pins
+    the anchor arithmetic everywhere else (leap years, Jan-1-on-Sunday
+    years, the previous-year fallback)."""
+    import datetime as dt
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def fs(y):
+        jan1 = dt.date(y, 1, 1)
+        return jan1 + dt.timedelta((6 - jan1.weekday()) % 7)
+
+    def m1(y):
+        j4 = dt.date(y, 1, 4)
+        return j4 - dt.timedelta(j4.weekday())
+
+    def w0(d):
+        f = fs(d.year)
+        return (d - f).days // 7 + 1 if d >= f else 0
+
+    def w1(d):
+        m = m1(d.year)
+        return (d - m).days // 7 + 1 if d >= m else 0
+
+    def w2(d):
+        f = fs(d.year)
+        if d >= f:
+            return (d - f).days // 7 + 1
+        return (d - fs(d.year - 1)).days // 7 + 1
+
+    def y0(d):
+        f = fs(d.year)
+        if d >= f:
+            return d.year * 100 + (d - f).days // 7 + 1
+        return (d.year - 1) * 100 + (d - fs(d.year - 1)).days // 7 + 1
+
+    def y1(d):
+        iso = d.isocalendar()
+        return iso[0] * 100 + iso[1]
+
+    dates = []
+    for y in range(1970, 2010):
+        for day in list(range(26, 32)) + list(range(1, 9)):
+            m = 12 if day >= 26 else 1
+            yy = y if day >= 26 else y + 1
+            dates.append(dt.date(yy, m, day))
+    for i in range(400):  # deterministic mid-year scatter
+        dates.append(dt.date(1970, 1, 1)
+                     + dt.timedelta((i * 2654435761) % 25000))
+    dates = sorted(set(dates))
+
+    rows = [(i, d) for i, d in enumerate(dates)]
+    spark.createDataFrame(rows, "i int, d date").createOrReplaceTempView(
+        "wk_fuzz"
+    )
+    got = {r["i"]: r for r in spark.sql(T(
+        "select i, toWeek(d) w0, toWeek(d, 1) w1, toWeek(d, 2) w2, "
+        "toYearWeek(d) y0, toYearWeek(d, 1) y1, toYearWeek(d, 2) y2 "
+        "from wk_fuzz"
+    )).collect()}
+    for i, d in rows:
+        r = got[i]
+        exp = (w0(d), w1(d), w2(d), y0(d), y1(d), y0(d))
+        act = (r["w0"], r["w1"], r["w2"], r["y0"], r["y1"], r["y2"])
+        assert act == exp, f"{d}: {act} != {exp}"
+
+
+def test_byte_string_semantics_differential_vs_python(spark):
+    """r10 batch 23: length/position/left/right/pads in BYTES and
+    ASCII-only upper/lower, against Python's own UTF-8 byte ops — a
+    fully independent oracle. Strings mix 1-, 2-, 3- and 4-byte code
+    points; byte cut points are CHOSEN on code-point boundaries (the
+    mid-codepoint decode drift is documented, not contract)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    samples = [
+        "hello world", "Привет мир", "aПбРв", "日本語テキスト",
+        "mix日ed Тext", "emoji 🎉 tail", "x", "", "ASCII-only-123",
+        "ЁёЙй тест", "tab\tand space", "ПРИВЕТ WORLD привет world",
+    ]
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    up = lo.upper()
+    a_upper = lambda s: "".join(
+        c.upper() if c in lo else c for c in s)
+    a_lower = lambda s: "".join(
+        c.lower() if c in up else c for c in s)
+
+    def bpos(s, n, start=1):
+        b, nb = s.encode(), n.encode()
+        i = b.find(nb, start - 1)
+        return 0 if i < 0 else i + 1
+
+    def bleft(s, n):
+        b = s.encode()
+        keep = n if n >= 0 else max(len(b) + n, 0)
+        return b[:keep].decode()
+
+    def bright(s, n):
+        b = s.encode()
+        return (b[max(len(b) - n, 0):] if n >= 0 else b[-n:]).decode()
+
+    def bpad(s, n, p, left):
+        b, pb = s.encode(), p.encode()
+        if len(b) >= n:
+            return b[:n].decode()
+        fill = (pb * n)[: n - len(b)]
+        return (fill + b).decode() if left else (b + fill).decode()
+
+    rows, exp = [], []
+    for i, s in enumerate(samples):
+        blen = len(s.encode())
+        # boundary-aligned byte counts: prefix lengths of the string
+        cuts = sorted({len(s[:k].encode()) for k in range(len(s) + 1)})
+        nl = cuts[len(cuts) // 2]          # a mid boundary
+        nr = cuts[max(len(cuts) - 2, 0)]   # near-full boundary
+        needle = s[len(s) // 3: len(s) // 3 + 2] or "z"
+        rows.append((i, s, needle, nl, nr))
+        e = {
+            "blen": blen,
+            "p1": bpos(s, needle),
+            "p2": bpos(s, needle, nl + 1) if nl < blen else 0,
+            "up": a_upper(s), "lo": a_lower(s),
+            "lf": bleft(s, nl), "lfn": bleft(s, nl - blen),
+            "rt": bright(s, blen - nl), "rtn": bright(s, -nl),
+        }
+        if blen <= 20 or 20 in cuts:
+            # pad truncation at byte 20 only asserted when it lands
+            # on a code-point boundary (mid-codepoint decode is the
+            # DOCUMENTED drift, not contract)
+            e["lp"] = bpad(s, 20, "*", True)
+            e["rp"] = bpad(s, 20, "*", False)
+        exp.append(e)
+
+    spark.createDataFrame(
+        rows, "i int, s string, n string, nl int, nr int"
+    ).createOrReplaceTempView("bs_fuzz")
+    got = {r["i"]: r for r in spark.sql(T(
+        "select i, length(s) blen, position(s, n) p1, "
+        "if(nl < length(s), position(s, n, nl + 1), 0) p2, "
+        "upper(s) up, lower(s) lo, "
+        "left(s, nl) lf, left(s, nl - length(s)) lfn, "
+        "right(s, length(s) - nl) rt, right(s, -nl) rtn, "
+        "leftPad(s, 20, '*') lp, rightPad(s, 20, '*') rp "
+        "from bs_fuzz"
+    )).collect()}
+    for i, s in enumerate(samples):
+        r = got[i]
+        for k, v in exp[i].items():
+            assert r[k] == v, f"{s!r}.{k}: {r[k]!r} != {v!r}"
