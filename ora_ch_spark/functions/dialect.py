@@ -2541,16 +2541,28 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # CH splitByChar(sep, s) — reversed argument order, and Spark
     # split()'s separator is a REGEX: a literal single-char sep like
     # '.' or '|' must be escaped or it matches everything
+    def _split_cap(base: str, n: str | None) -> str:
+        """CH max_substrings caps the ELEMENT COUNT and DROPS the
+        remainder (default since the splitby_max_substrings_includes_
+        remaining_string setting landed, 0 = drop) — Spark's split
+        limit keeps the remainder in the last element, so the cap is
+        a full split + slice. max_substrings = 0 means unlimited."""
+        if n is None:
+            return base
+        ns = n.strip()
+        if re.fullmatch(r"\d+", ns):
+            return base if ns == "0" else f"slice({base}, 1, {ns})"
+        return f"IF(({ns}) > 0, slice({base}, 1, {ns}), {base})"
+
     def _split_by_char(a: list[str]) -> str:
         sep = a[0].strip()
         lt = _lit_text(sep, lits)
         if lt is not None and len(lt) == 3:
             esc = re.escape(lt[1]).replace("\\", "\\\\")
             sep = _emit_lit(f"'{esc}'", lits)
-        # CH's optional max_substrings ≡ Spark's limit (both keep the
-        # unsplit remainder in the last element)
-        limit = f", {a[2]}" if len(a) > 2 else ""
-        return f"split({a[1]}, {sep}{limit})"
+        return _split_cap(
+            f"split({a[1]}, {sep})", a[2] if len(a) > 2 else None
+        )
 
     out = _rewrite_calls(out, "splitByChar", _split_by_char)
 
@@ -2945,8 +2957,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         if lt is not None:
             esc = re.escape(lt[1:-1]).replace("\\", "\\\\")
             sep = _emit_lit(f"'{esc}'", lits)
-        limit = f", {a[2]}" if len(a) > 2 else ""
-        return f"split({a[1]}, {sep}{limit})"
+        return _split_cap(
+            f"split({a[1]}, {sep})", a[2] if len(a) > 2 else None
+        )
 
     out = _rewrite_calls(out, "splitByString", _split_by_string)
     out = _rewrite_calls(
@@ -3800,12 +3813,15 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             f"{a[0]})"
         ),
     )
-    # splitByRegexp(re, s[, limit]) — both engines treat the
-    # separator as a regex, only the argument order differs
+    # splitByRegexp(re, s[, max]) — both engines treat the separator
+    # as a regex, only the argument order differs; the CH max drops
+    # the remainder (see _split_cap)
     out = _rewrite_calls(
         out,
         "splitByRegexp",
-        lambda a: f"split({a[1]}, {a[0]}{', ' + a[2] if len(a) > 2 else ''})",
+        lambda a: _split_cap(
+            f"split({a[1]}, {a[0]})", a[2] if len(a) > 2 else None
+        ),
     )
     # arrayDifference: [0, a2-a1, …] — zip against the 1-shifted
     # array (first slot pairs with itself → 0); empty-array guard
@@ -4952,13 +4968,19 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     out = _rewrite_calls(out, "arrayRotateLeft", _rotate(True))
     out = _rewrite_calls(out, "arrayRotateRight", _rotate(False))
-    # runs of whitespace, no empty tokens (CH contract)
+    # runs of whitespace, no empty tokens (CH contract); the optional
+    # max_substrings used to be silently DROPPED (batch 23 fix) — it
+    # caps the token count after empty-filtering, remainder dropped
     out = _rewrite_calls(
         out,
         "splitByWhitespace",
         lambda a: (
-            f"filter(split({a[0]}, {lit(chr(92) * 2 + 's+')}), "
-            f"x -> x != {lit('')})"
+            _split_cap(
+                f"filter(split({a[0]}, {lit(chr(92) * 2 + 's+')}), "
+                f"x -> x != {lit('')})",
+                a[1] if len(a) > 1 else None,
+            )
+            if len(a) in (1, 2) else None
         ),
     )
     out = _rewrite_calls(
@@ -5227,9 +5249,15 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out,
         "alphaTokens",
+        # optional max_substrings caps the token count (was silently
+        # dropped — batch 23 fix)
         lambda a: (
-            f"filter(split({a[0]}, {lit('[^A-Za-z]+')}), "
-            f"x -> x != {lit('')})"
+            _split_cap(
+                f"filter(split({a[0]}, {lit('[^A-Za-z]+')}), "
+                f"x -> x != {lit('')})",
+                a[1] if len(a) > 1 else None,
+            )
+            if len(a) in (1, 2) else None
         ),
     )
     out = _rewrite_calls(

@@ -82,6 +82,9 @@ TRANSLATED = [
     "countSubstringsCaseInsensitive(s, 'a')",
     "leftPad(s, 7)", "leftPad(s, 7, '*')", "rightPad(s, 7, '*')",
     "leftPadUTF8(s, 7, '*')", "rightPadUTF8(s, 7)",
+    "splitByChar(',', s, 2)", "splitByString('--', s, 2)",
+    "splitByRegexp('[0-9]+', s, 2)", "splitByWhitespace(s, 2)",
+    "alphaTokens(s, 2)",
 ]
 
 NATIVE = [

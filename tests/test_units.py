@@ -782,7 +782,9 @@ def test_dialect_three_arg_forms(spark):
         " formatDateTime(timestamp'2024-01-01 23:30:00', '%Y-%m-%d', 'Asia/Tokyo') as tok"
     )
     r = spark.sql(sql).first()
-    assert list(r.parts) == ["a", "b,c"]  # limit keeps remainder in last
+    # CH max_substrings caps the element count and DROPS the remainder
+    # (batch 23 fix — the old Spark-limit mapping kept 'b,c')
+    assert list(r.parts) == ["a", "b"]
     assert r.tok == "2024-01-02"  # UTC 23:30 is next day in Tokyo
 
 
@@ -4027,6 +4029,24 @@ def test_dialect_batch23_byte_semantics(spark):
     for k, v in exp2.items():
         assert r2[k] == v, f"{k}: {r2[k]!r} != {v!r}"
     assert T(sql2) == sql2
+    # splitBy* max_substrings caps the element count and DROPS the
+    # remainder (CH default); 0 = unlimited; non-literal caps guard
+    sql3 = T(
+        "select splitByChar('=', 'a=b=c', 2) as a,"
+        " splitByChar('=', 'a=b=c', 0) as b,"
+        " splitByString('--', 'x--y--z', 2) as c,"
+        " splitByRegexp('[0-9]+', 'a1b22c3d', 3) as d,"
+        " splitByWhitespace(' one two three ', 2) as e,"
+        " alphaTokens('ab1cd2ef', 2) as f,"
+        " splitByChar('=', 'a=b=c', n) as g from (select 2 as n)"
+    )
+    r3 = spark.sql(sql3).collect()[0]
+    exp3 = dict(a=["a", "b"], b=["a", "b", "c"], c=["x", "y"],
+                d=["a", "b", "c"], e=["one", "two"], f=["ab", "cd"],
+                g=["a", "b"])
+    for k, v in exp3.items():
+        assert list(r3[k]) == v, f"{k}: {list(r3[k])!r} != {v!r}"
+    assert T(sql3) == sql3
 
 
 def test_laginframe_frame_strip(spark):
