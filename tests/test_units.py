@@ -1998,7 +1998,9 @@ def test_dialect_array_literals_and_round5_functions():
         T("select intDivOrZero(a, b) from t")
         == "select (CASE WHEN (b) = 0 THEN 0 ELSE (a div b) END) from t"
     )
-    assert T("select leftPad(s, 3, '0') from t") == "select lpad(s, 3, '0') from t"
+    # leftPad is BYTE-based since batch 23 (truncate-to-n-bytes rule)
+    outp = T("select leftPad(s, 3, '0') from t")
+    assert "octet_length(s)" in outp and "repeat('0'" in outp
     assert (
         T("select d + toIntervalDay(3) from t")
         == "select d + make_interval(0, 0, 0, 3, 0, 0, 0) from t"
