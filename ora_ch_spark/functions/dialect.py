@@ -4076,6 +4076,77 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         return None
 
     out = _rewrite_calls(out, "truncate", _truncate_num)
+    # CH trunc is truncate's alias — but bare `trunc` is ALSO Spark's
+    # DATE truncation (trunc(d, 'MM')), so only the unambiguous
+    # numeric shapes rewrite: 1-arg, or 2-arg with an integer-literal
+    # scale (the date form's second arg is a format string)
+    out = _rewrite_calls(
+        out,
+        "trunc",
+        lambda a: _truncate_num(a) if len(a) == 1 or (
+            len(a) == 2 and re.fullmatch(r"\s*\d+\s*", a[1])
+        ) else None,
+    )
+
+    # ---- batch 24 (r10): name-collision audit — valid Spark names
+    # whose CH semantics differ, so pass-through ran WITHOUT error and
+    # returned wrong values (the `position` class). ----
+    # CH rand() is a uniform UInt32 (0..2^32-1), rand64() a UInt64;
+    # Spark's rand() is a double in [0,1) — `rand() % 10` silently
+    # became 0 for every row. rand(x) ignores its dummy argument (it
+    # only defeats common-subexpression elimination in CH).
+    out = _rewrite_calls(
+        out,
+        "rand",
+        lambda a: (
+            "cast(floor(random() * 4294967296.0) as bigint)"
+            if len(a) <= 1 else None
+        ),
+    )
+    # full-width 64-bit uniform incl. negatives (Spark bigint is
+    # signed where CH is UInt64 — same 2^64 value set, two's
+    # complement reading; documented in COVERAGE)
+    out = _rewrite_calls(
+        out,
+        "rand64",
+        lambda a: "xxhash64(uuid())" if len(a) <= 1 else None,
+    )
+    # CH MD5/SHA* return the RAW digest bytes (FixedString) — Spark's
+    # md5/sha1/sha2 return lowercase hex STRINGS, so the idiomatic CH
+    # spelling lower(hex(MD5(s))) was hex-of-hex garbage. unhex()
+    # restores byte-exact parity (hex/compare/concat all line up).
+    # md5/sha1 keep their own names inside the emission, so the plain
+    # rewriter would re-match what it just emitted (names match
+    # case-insensitively) — this scanner skips any call already
+    # preceded by unhex( (which also makes T idempotent; CH text never
+    # spells unhex(MD5(..)) since unhex takes a hex STRING there)
+    def _digest_raw(txt: str, name: str, tmpl: str) -> str:
+        start = 0
+        while True:
+            found = _find_call(txt, name, start)
+            if not found:
+                return txt
+            begin, end, args = found
+            if (len(args) != 1
+                    or txt[max(0, begin - 6):begin].lower() == "unhex("):
+                start = begin + 1
+                continue
+            txt = txt[:begin] + tmpl.format(a=args[0]) + txt[end:]
+
+    out = _digest_raw(out, "MD5", "unhex(md5({a}))")
+    out = _digest_raw(out, "SHA1", "unhex(sha1({a}))")
+    out = _rewrite_calls(
+        out, "SHA224", lambda a: f"unhex(sha2({a[0]}, 224))" if len(a) == 1 else None
+    )
+    out = _rewrite_calls(
+        out, "SHA256", lambda a: f"unhex(sha2({a[0]}, 256))" if len(a) == 1 else None
+    )
+    out = _rewrite_calls(
+        out, "SHA384", lambda a: f"unhex(sha2({a[0]}, 384))" if len(a) == 1 else None
+    )
+    out = _rewrite_calls(
+        out, "SHA512", lambda a: f"unhex(sha2({a[0]}, 512))" if len(a) == 1 else None
+    )
 
     # ---- batch 19 (r9): second common-function sweep. ----
     out = _rewrite_calls(
@@ -6181,13 +6252,13 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             out = out[:begin] + rendered + out[end:]
     out = _rewrite_calls(
         out, "randCanonical",
-        lambda a: "rand()" if a in ([], [""]) else None,
+        lambda a: "random()" if a in ([], [""]) else None,
     )
     out = _rewrite_calls(
         out,
         "randUniform",
         lambda a: (
-            f"(({a[0]}) + rand() * (({a[1]}) - ({a[0]})))"
+            f"(({a[0]}) + random() * (({a[1]}) - ({a[0]})))"
             if len(a) == 2
             else None
         ),

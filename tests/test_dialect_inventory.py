@@ -85,6 +85,10 @@ TRANSLATED = [
     "splitByChar(',', s, 2)", "splitByString('--', s, 2)",
     "splitByRegexp('[0-9]+', s, 2)", "splitByWhitespace(s, 2)",
     "alphaTokens(s, 2)",
+    # r10 batch 24: valid-Spark names with different CH semantics
+    # (the `position` class — pass-through ran and was wrong)
+    "rand()", "rand(1)", "rand64()", "MD5(s)", "SHA1(s)", "SHA224(s)",
+    "SHA256(s)", "SHA384(s)", "SHA512(s)", "trunc(1.98)", "trunc(x, 2)",
 ]
 
 NATIVE = [

@@ -4051,6 +4051,41 @@ def test_dialect_batch23_byte_semantics(spark):
     assert T(sql3) == sql3
 
 
+def test_dialect_batch24_name_collisions(spark):
+    """r10 batch 24: valid-Spark names whose CH semantics differ, so
+    pass-through ran WITHOUT error and returned wrong values — CH
+    rand() is a uniform UInt32 (Spark: double in [0,1), so rand()%10
+    was always 0), CH MD5/SHA* return RAW digest bytes (Spark: hex
+    strings, so hex(MD5(s)) was hex-of-hex garbage), CH trunc is
+    numeric truncation (Spark: date truncation). Digest parity is
+    pinned against hashlib; emissions spell random() so the rand
+    rewrite never re-matches them (idempotence)."""
+    import hashlib
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    sql = T(
+        "select lower(hex(MD5('hello'))) as m5, hex(SHA1('x')) as s1,"
+        " hex(SHA256('x')) as s256, hex(SHA512('x')) as s512,"
+        " length(MD5('abc')) as ln, rand() as r1, rand(1) as r1a,"
+        " rand64() as r64, trunc(-1.987, 2) as t2, trunc(9.99) as t1"
+    )
+    r = spark.sql(sql).collect()[0]
+    assert r["m5"] == hashlib.md5(b"hello").hexdigest()
+    assert r["s1"] == hashlib.sha1(b"x").hexdigest().upper()
+    assert r["s256"] == hashlib.sha256(b"x").hexdigest().upper()
+    assert r["s512"] == hashlib.sha512(b"x").hexdigest().upper()
+    assert r["ln"] == 16  # byte length of the raw digest
+    for v in (r["r1"], r["r1a"]):
+        assert isinstance(v, int) and 0 <= v < 2**32
+    assert isinstance(r["r64"], int)
+    assert r["t2"] == -1.98 and r["t1"] == 9.0
+    assert T(sql) == sql  # fixed point
+    # the date form of trunc is untouched (format-string second arg)
+    src = "select trunc(d, 'MM') from t"
+    assert T(src) == src
+
+
 def test_laginframe_frame_strip(spark):
     """r9: lagInFrame/leadInFrame rename to lag/lead and the standard
     whole-prefix frame is STRIPPED from their OVER clause (Spark
