@@ -55,7 +55,11 @@ Float inputs and half-away for Decimal; the input type is unknowable
 at text level, so the native half-away applies (CH's explicit
 ``roundBankers`` maps to ``bround``). Float division by zero — CH
 yields ±Inf/NaN, Spark yields NULL (``intDivOrZero``/``moduloOrZero``
-are translated exactly).
+are translated exactly). ``least``/``greatest``/``min2``/``max2`` on
+NULL inputs — CH propagates NULL (ordinary-function rule), Spark
+skips NULLs; rewriting would corrupt this translator's own ~30
+greatest()/least() emissions or break the T∘T fixed point, so the
+NULL edge stays a documented drift.
 
 Nested-call safe: arguments are matched with a balanced-paren scanner,
 not a regex over the whole call.
@@ -4147,6 +4151,13 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out, "SHA512", lambda a: f"unhex(sha2({a[0]}, 512))" if len(a) == 1 else None
     )
+    # least/greatest/min2/max2 stay native — audited, NOT rewritten:
+    # CH's are NULL-PROPAGATING (ordinary-function rule) where Spark's
+    # least/greatest SKIP NULLs; but ~30 of this translator's own
+    # emissions spell greatest(/least( meaning the skip form, and the
+    # names match case-insensitively, so a rewrite would either
+    # corrupt those emissions or break the T∘T fixed-point invariant.
+    # Drift is confined to NULL inputs (documented residual).
 
     # ---- batch 19 (r9): second common-function sweep. ----
     out = _rewrite_calls(
