@@ -560,7 +560,7 @@ def _rewrite_limit_by(masked: str) -> str:
 _BLOCK_ORDER_CALL = re.compile(
     r"(?i)(?<![A-Za-z0-9_])"
     r"(runningDifference|runningAccumulate|neighbor|"
-    r"groupArrayMovingSum|groupArrayMovingAvg)\s*\("
+    r"groupArrayMovingSum|groupArrayMovingAvg|deltaSum)\s*\("
 )
 _FROM_KW = re.compile(r"(?i)\bfrom\b")
 _STATE_CALL = re.compile(
@@ -666,7 +666,8 @@ def _rewrite_block_order(masked: str) -> str:
         inner_keys = _from_subquery_order(masked, sel_start, region_end)
         self_keys = _region_order_keys(masked, sel_start, region_end)
         keys = inner_keys or self_keys
-        agg_fn = fname.lower().startswith("grouparraymoving")
+        agg_fn = (fname.lower().startswith("grouparraymoving")
+                  or fname.lower() == "deltasum")
         if keys is None or (agg_fn and inner_keys is None):
             start = begin + 1  # no defining order: stays loud
             continue
@@ -728,13 +729,32 @@ def _render_block_order(
             f"{agg}({inner}) OVER ({part}ORDER BY {keys} "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-    # groupArrayMovingSum / groupArrayMovingAvg — aggregate position:
-    # sort collected (order-key, value) structs, fold prefix windows
+    # groupArrayMovingSum / groupArrayMovingAvg / deltaSum — aggregate
+    # position: sort collected (order-key, value) structs, fold
     if len(args) != 1:
         return None
     # multi-key or DESC order keys cannot drive a struct sort — loud
     if "," in keys or re.search(r"(?i)\b(desc|nulls)\b", keys):
         return None
+    if f == "deltasum":
+        # sum of POSITIVE adjacent deltas in the defining order (CH
+        # counter-reset semantics: negative steps ignored, first row
+        # contributes nothing); folds in double like the other
+        # collected aggregates (documented widening)
+        if params:
+            return None
+        x = args[0]
+        cl = f"array_sort(collect_list(struct({keys} as __o, {x} as __v)))"
+        pairs = (
+            f"zip_with(slice({cl}, 1, greatest(size({cl}) - 1, 0)), "
+            f"slice({cl}, 2, greatest(size({cl}) - 1, 0)), "
+            f"(__da, __db) -> greatest(cast(__db.__v as double) - "
+            f"cast(__da.__v as double), cast(0 as double)))"
+        )
+        return (
+            f"aggregate({pairs}, cast(0 as double), "
+            f"(__ds, __dv) -> __ds + __dv)"
+        )
     n_param = params[0].strip() if params else None
     if n_param is not None and not re.fullmatch(r"\d+", n_param):
         return None
@@ -4150,6 +4170,13 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
     out = _rewrite_calls(
         out, "SHA512", lambda a: f"unhex(sha2({a[0]}, 512))" if len(a) == 1 else None
+    )
+    # Spark strings are VALIDATED UTF-16 internally — invalid UTF-8
+    # cannot reach a string column, so CH's replace-invalid-sequences
+    # pass is the identity here
+    out = _rewrite_calls(
+        out, "toValidUTF8",
+        lambda a: f"({a[0]})" if len(a) == 1 else None,
     )
     # least/greatest/min2/max2 stay native — audited, NOT rewritten:
     # CH's are NULL-PROPAGATING (ordinary-function rule) where Spark's

@@ -89,6 +89,7 @@ TRANSLATED = [
     # (the `position` class — pass-through ran and was wrong)
     "rand()", "rand(1)", "rand64()", "MD5(s)", "SHA1(s)", "SHA224(s)",
     "SHA256(s)", "SHA384(s)", "SHA512(s)", "trunc(1.98)", "trunc(x, 2)",
+    "toValidUTF8(s)",
 ]
 
 NATIVE = [
@@ -105,7 +106,7 @@ LOUD = [
     # block-order-dependent WITHOUT a defining ORDER BY (the ordered
     # forms translate to windows — test_inventory_block_order_family)
     "runningDifference(x)", "neighbor(x, 1)", "runningAccumulate(st)",
-    "groupArrayMovingSum(3)(x)",
+    "groupArrayMovingSum(3)(x)", "deltaSum(x)",
     # needs infrastructure absent at text level
     "byteSwap(x)", "bitSlice(s, 1, 4)",
     "reinterpretAsUInt64(s)", "tupleConcat(t1, t2)",
@@ -179,6 +180,8 @@ ORDERED_TRANSLATED = [
      " (select g, k, x from t order by k) group by g", "array_sort"),
     ("select g, groupArrayMovingAvg(x) from"
      " (select g, k, x from t order by k) group by g", "array_sort"),
+    ("select deltaSum(v) from (select k, v from t order by k)",
+     "zip_with"),
 ]
 
 ORDERED_STILL_LOUD = [
