@@ -5412,10 +5412,12 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         out = _rewrite_calls(
             out, _h, lambda a: f"xxhash64({', '.join(a)})"
         )
-    # CH timestamp_add/sub(date, INTERVAL n unit) → plain arithmetic
+    # CH timestamp_add/sub(date, INTERVAL n unit) → plain arithmetic;
+    # addDate/subDate are the same shape (r10 — were loud)
     for _ts_fn, _op in (
         ("timestampAdd", "+"), ("timestamp_add", "+"),
         ("timestampSub", "-"), ("timestamp_sub", "-"),
+        ("addDate", "+"), ("subDate", "-"),
     ):
         out = _rewrite_calls(
             out,
@@ -5427,6 +5429,24 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
                 else None
             ),
         )
+    # timeSlots(start, duration[, size=1800]): grid of moments from
+    # floor(start/size) to floor((start+duration)/size), step size —
+    # second-granular like CH DateTime (r10 — was loud)
+    def _time_slots(a: list[str]) -> str | None:
+        if len(a) not in (2, 3):
+            return None
+        st, dur = a[0], a[1]
+        sz = a[2] if len(a) == 3 else "1800"
+        lo = f"timestamp_seconds((unix_timestamp({st}) div ({sz})) * ({sz}))"
+        hi = (
+            f"timestamp_seconds(((unix_timestamp({st}) + ({dur})) "
+            f"div ({sz})) * ({sz}))"
+        )
+        return (
+            f"sequence({lo}, {hi}, make_interval(0, 0, 0, 0, 0, 0, {sz}))"
+        )
+
+    out = _rewrite_calls(out, "timeSlots", _time_slots)
     # Spark has no UUID type — CH toUUID round-trips through the
     # canonical string form (documented type-name drift)
     out = _rewrite_calls(out, "toUUID", lambda a: f"cast({a[0]} as string)")

@@ -90,6 +90,8 @@ TRANSLATED = [
     "rand()", "rand(1)", "rand64()", "MD5(s)", "SHA1(s)", "SHA224(s)",
     "SHA256(s)", "SHA384(s)", "SHA512(s)", "trunc(1.98)", "trunc(x, 2)",
     "toValidUTF8(s)",
+    "addDate(d, INTERVAL 1 MONTH)", "subDate(d, INTERVAL 3 DAY)",
+    "timeSlots(t1, 600)", "timeSlots(t1, 600, 299)",
 ]
 
 NATIVE = [

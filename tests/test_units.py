@@ -4084,6 +4084,16 @@ def test_dialect_batch24_name_collisions(spark):
     # the date form of trunc is untouched (format-string second arg)
     src = "select trunc(d, 'MM') from t"
     assert T(src) == src
+    # addDate/subDate interval arithmetic; timeSlots epoch grid (the
+    # size-1800 vector is the CH docs example, UTC session)
+    r2 = spark.sql(T(
+        "select timeSlots(toDateTime('2012-01-01 12:20:00'), 600) as a,"
+        " addDate(toDate('2020-01-01'), INTERVAL 1 MONTH) as c,"
+        " subDate(toDate('2020-01-01'), INTERVAL 3 DAY) as d"
+    )).collect()[0]
+    assert [str(x) for x in r2["a"]] == [
+        "2012-01-01 12:00:00", "2012-01-01 12:30:00"]
+    assert str(r2["c"]) == "2020-02-01" and str(r2["d"]) == "2019-12-29"
 
 
 def test_laginframe_frame_strip(spark):
