@@ -2723,3 +2723,91 @@ SELECT k,
 FROM src
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# Battery 24 (round 10) — name-collision audit surface, value-gated:
+# raw-byte digests via hex round-trips (CH MD5/SHA* return FixedString
+# bytes; the idiomatic lower(hex(MD5(s))) must equal the engine's hex
+# digest), numeric trunc, interval addDate/subDate, timeSlots epoch
+# grids, and deltaSum under a defining ORDER BY (positive-delta fold,
+# CH counter-reset semantics). rand()/rand64() are nondeterministic by
+# contract and stay unit-pinned (range checks) rather than hash-gated.
+# ---------------------------------------------------------------------------
+
+_DIALECT24_CH_SQL = """
+select k,
+  lower(hex(MD5(s))) as m5,
+  hex(SHA256(s)) as s256,
+  length(MD5(s)) as dlen,
+  trunc(o_totalprice / 7, 2) as tr,
+  toDateTime(addDate(d, INTERVAL 1 MONTH)) as ad,
+  toDateTime(subDate(d, INTERVAL 3 DAY)) as sd,
+  arrayStringConcat(arrayMap(x -> toString(x),
+      timeSlots(toDateTime(d), 3600, 1800)), '|') as slots,
+  ds
+from (
+  select o_orderkey as k,
+         concat(o_orderpriority, '-', toString(o_orderkey)) as s,
+         toDate(o_orderdate) as d,
+         o_totalprice
+  from orders where o_orderkey % 151 = 19
+)
+cross join (
+  select round(deltaSum(v), 4) as ds
+  from (
+    select toFloat64(o_totalprice % 997) as v, o_orderkey as kk
+    from orders where o_orderkey % 211 = 5
+    order by kk
+  )
+) m
+order by k
+"""
+
+
+def calc_dialect24_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 24 as STORED CH-dialect text through translate_ch_sql.
+
+    The digest columns replay natively in DuckDB (its md5()/sha256()
+    return hex strings — exactly what hex(raw digest) must equal);
+    deltaSum replays as a lag window (sum of positive adjacent
+    deltas); timeSlots as a generate_series epoch grid."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT24_CH_SQL)).orderBy("k")
+
+
+DIALECT24_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         o_orderpriority || '-' || cast(o_orderkey as varchar) AS s,
+         o_orderdate::date AS d,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 151 = 19
+),
+delta_src AS (
+  SELECT cast(o_totalprice % 997 as double) AS v, o_orderkey AS kk
+  FROM orders WHERE o_orderkey % 211 = 5
+),
+m AS (
+  SELECT round(cast(sum(greatest(v - pv, 0)) as double), 4) AS ds
+  FROM (SELECT v, lag(v) OVER (ORDER BY kk) AS pv FROM delta_src)
+  WHERE pv IS NOT NULL
+)
+SELECT k,
+  md5(s) AS m5,
+  upper(sha256(s)) AS s256,
+  cast(16 as bigint) AS dlen,
+  cast(trunc(o_totalprice / 7 * 100) / 100 as double) AS tr,
+  (d + INTERVAL 1 MONTH)::timestamp AS ad,
+  (d - INTERVAL 3 DAY)::timestamp AS sd,
+  array_to_string(list_transform(generate_series(
+      d::timestamp, d::timestamp + INTERVAL 60 MINUTE,
+      INTERVAL 30 MINUTE),
+      x -> strftime(x, '%Y-%m-%d %H:%M:%S')), '|') AS slots,
+  ds
+FROM src CROSS JOIN m
+ORDER BY k
+"""
