@@ -2425,3 +2425,83 @@ SELECT d.doc_id,
        round(coalesce(s.score, 0.0), 6) AS score
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# One-pass linear quality model (round 10) — normal-equations fit over
+# EXACT integer Gram sums (operators/regress.py). The oracle replays
+# the identical pipeline in DuckDB: same integral features, same exact
+# hugeint Gram sums, the SAME fixed-order Cramer expansion in doubles
+# — weights agree bitwise before the shared half-up round(…, 6).
+# ---------------------------------------------------------------------------
+
+def quality_linear_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit y(count of 'e') ≈ w0 + w1·n_chars + w2·space_count over
+    documents in ONE aggregation pass; returns the weight row. The
+    whole model state is k²/2 decimal sums — partial-aggregable, so
+    the plan is scan → partial agg → single final row at any scale."""
+    from ora_ch_spark.operators.regress import linear_fit_normal_eq
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("n_chars").cast("long").alias("x1"),
+        F.expr("length(text) - length(replace(text, ' ', ''))")
+         .cast("long").alias("x2"),
+        F.expr("length(text) - length(replace(text, 'e', ''))")
+         .cast("long").alias("y"),
+    )
+    fit = linear_fit_normal_eq(feats, ["x1", "x2"], "y", ridge=1)
+    raw = spark.createDataFrame(
+        [(fit["n"], fit["weights"][0], fit["weights"][1],
+          fit["weights"][2])],
+        "n bigint, w0 double, w1 double, w2 double",
+    )
+    # round in SQL on BOTH engines (identical half-up rule on
+    # bit-identical doubles)
+    return raw.select(
+        "n",
+        F.round("w0", 6).alias("w0"),
+        F.round("w1", 6).alias("w1"),
+        F.round("w2", 6).alias("w2"),
+    )
+
+
+QUALITY_LINEAR_FIT_ORACLE = """
+WITH f AS (
+  SELECT n_chars::bigint AS x1,
+         (length(text) - length(replace(text, ' ', '')))::bigint AS x2,
+         (length(text) - length(replace(text, 'e', '')))::bigint AS y
+  FROM documents
+),
+g AS (
+  SELECT count(*)::bigint AS n,
+         sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS r0, sum(x1 * y) AS r1, sum(x2 * y) AS r2
+  FROM f
+),
+m AS (
+  -- A = [[n+1, s1, s2], [s1, s11+1, s12], [s2, s12, s22+1]] (ridge=1
+  -- on every diagonal entry, added while still exact integers)
+  SELECT n,
+         (n + 1)::double AS a, s1::double AS b, s2::double AS c,
+         s1::double AS d, (s11 + 1)::double AS e, s12::double AS f,
+         s2::double AS gg, s12::double AS h, (s22 + 1)::double AS i,
+         r0::double AS r0, r1::double AS r1, r2::double AS r2
+  FROM g
+),
+dets AS (
+  -- the same fixed-order 3x3 expansion regress._det3 uses
+  SELECT n,
+    a*(e*i - f*h) - b*(d*i - f*gg) + c*(d*h - e*gg) AS det,
+    r0*(e*i - f*h) - b*(r1*i - f*r2) + c*(r1*h - e*r2) AS det0,
+    a*(r1*i - f*r2) - r0*(d*i - f*gg) + c*(d*r2 - r1*gg) AS det1,
+    a*(e*r2 - r1*h) - b*(d*r2 - r1*gg) + r0*(d*h - e*gg) AS det2
+  FROM m
+)
+SELECT n,
+       round(det0 / det, 6) AS w0,
+       round(det1 / det, 6) AS w1,
+       round(det2 / det, 6) AS w2
+FROM dets
+"""

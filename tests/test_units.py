@@ -4419,3 +4419,46 @@ def test_r10_dynamic_json_and_datediff_unit(spark):
             "select dateDiff(concat('for', 'tnight'),"
             " toDate('2020-01-01'), toDate('2020-01-02'))"
         )).collect()
+
+
+def test_linear_fit_normal_eq(spark):
+    """r10 regress operator: one-pass normal-equations fit. An exact
+    noiseless relation is recovered (ridge=0); the Cramer (k=3) and
+    Gaussian-elimination paths agree; scoring is a pure projection;
+    and the single aggregation is partial-aggregable (two
+    HashAggregate levels around one exchange — the shape that scales
+    to any data size with k-sized combine state)."""
+    from ora_ch_spark.operators.regress import (
+        _solve_cramer3,
+        _solve_gauss,
+        linear_fit_normal_eq,
+        score_linear,
+    )
+
+    rows = [(i, 2 + 3 * i + 5 * (i % 7)) for i in range(1, 40)]
+    df = spark.createDataFrame(
+        [(x, x % 7, y) for x, (_, y) in zip(range(1, 40), rows)],
+        "x1 long, x2 long, y long",
+    )
+    fit = linear_fit_normal_eq(df, ["x1", "x2"], "y", ridge=0)
+    assert fit["n"] == 39
+    w0, w1, w2 = fit["weights"]
+    assert abs(w0 - 2) < 1e-8 and abs(w1 - 3) < 1e-8 and abs(w2 - 5) < 1e-8
+    # cramer and gauss agree on the same system
+    A = [[4.0, 2.0, 1.0], [2.0, 5.0, 2.0], [1.0, 2.0, 6.0]]
+    rhs = [7.0, 11.0, 13.0]
+    wc, wg = _solve_cramer3(A, rhs), _solve_gauss(A, rhs)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(wc, wg))
+    # scoring: exact reconstruction of the noiseless relation
+    scored = score_linear(df, ["x1", "x2"], fit["weights"], "pred")
+    bad = scored.filter("abs(pred - y) > 1e-6").count()
+    assert bad == 0
+    # plan shape: partial + final aggregate around ONE exchange
+    from pyspark.sql import functions as F
+    base = df.select(
+        F.lit(1).alias("__one"), "x1", "x2", F.col("y").alias("__y"))
+    agg = base.agg(F.sum(
+        (F.col("x1").cast("decimal(19,0)") * F.col("x2").cast(
+            "decimal(19,0)")).cast("decimal(38,0)")))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
