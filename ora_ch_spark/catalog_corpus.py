@@ -2505,3 +2505,71 @@ SELECT n,
        round(det2 / det, 6) AS w2
 FROM dets
 """
+
+
+def quality_linear_score_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → score → select: the fitted weights (bitwise-exact, see
+    quality_linear_fit) drive a pure-projection score over the corpus;
+    top-10 by (rounded score, doc_id). Two passes total — the Gram
+    aggregation and the scoring scan — both embarrassingly parallel."""
+    from ora_ch_spark.operators.regress import (
+        linear_fit_normal_eq,
+        score_linear,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x1"),
+        F.expr("length(text) - length(replace(text, ' ', ''))")
+         .cast("long").alias("x2"),
+        F.expr("length(text) - length(replace(text, 'e', ''))")
+         .cast("long").alias("y"),
+    )
+    fit = linear_fit_normal_eq(feats, ["x1", "x2"], "y", ridge=1)
+    scored = score_linear(feats, ["x1", "x2"], fit["weights"], "score")
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+QUALITY_LINEAR_SCORE_TOPK_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         n_chars::bigint AS x1,
+         (length(text) - length(replace(text, ' ', '')))::bigint AS x2,
+         (length(text) - length(replace(text, 'e', '')))::bigint AS y
+  FROM documents
+),
+g AS (
+  SELECT count(*)::bigint AS n,
+         sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS r0, sum(x1 * y) AS r1, sum(x2 * y) AS r2
+  FROM f
+),
+m AS (
+  SELECT (n + 1)::double AS a, s1::double AS b, s2::double AS c,
+         s1::double AS d, (s11 + 1)::double AS e, s12::double AS f,
+         s2::double AS gg, s12::double AS h, (s22 + 1)::double AS i,
+         r0::double AS r0, r1::double AS r1, r2::double AS r2
+  FROM g
+),
+w AS (
+  SELECT
+    (r0*(e*i - f*h) - b*(r1*i - f*r2) + c*(r1*h - e*r2))
+      / (a*(e*i - f*h) - b*(d*i - f*gg) + c*(d*h - e*gg)) AS w0,
+    (a*(r1*i - f*r2) - r0*(d*i - f*gg) + c*(d*r2 - r1*gg))
+      / (a*(e*i - f*h) - b*(d*i - f*gg) + c*(d*h - e*gg)) AS w1,
+    (a*(e*r2 - r1*h) - b*(d*r2 - r1*gg) + r0*(d*h - e*gg))
+      / (a*(e*i - f*h) - b*(d*i - f*gg) + c*(d*h - e*gg)) AS w2
+  FROM m
+)
+SELECT doc_id,
+       round(w0 + w1 * x1::double + w2 * x2::double, 6) AS score
+FROM f CROSS JOIN w
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
