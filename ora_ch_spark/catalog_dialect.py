@@ -2811,3 +2811,46 @@ SELECT k,
 FROM src CROSS JOIN m
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# NULLS-LAST ordering entry (round 10) — the CH ORDER BY default
+# (values, then NULL) drives a LIMIT: without the translated NULLS
+# LAST modifier, Spark's ASC NULLS-FIRST default returns the NULL-key
+# rows instead of the smallest values. DuckDB's own default matches
+# ClickHouse (NULL largest), so the oracle is the untouched query.
+# ---------------------------------------------------------------------------
+
+_NULLS_ORDER_CH_SQL = """
+select k, nk
+from (
+  select o_orderkey as k,
+         if(o_orderkey % 7 = 0, NULL, o_orderkey % 100) as nk
+  from orders
+  where o_orderkey % 13 = 3
+)
+order by nk, k
+limit 25
+"""
+
+
+def calc_nulls_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH NULLS-LAST ordering under LIMIT as STORED text."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_NULLS_ORDER_CH_SQL))
+
+
+NULLS_ORDER_ORACLE = """
+SELECT k, nk
+FROM (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_orderkey % 100 END AS nk
+  FROM orders WHERE o_orderkey % 13 = 3
+)
+ORDER BY nk, k
+LIMIT 25
+"""

@@ -1002,6 +1002,84 @@ def _strip_lag_lead_frames(masked: str) -> str:
         i = k
 
 
+_ORDER_BY_KW = re.compile(r"(?i)\border\s+by\b")
+_ORDER_STOP = re.compile(
+    r"(?i)\b(limit|offset|settings|format|union|except|intersect|"
+    r"window|rows|range|groups|fetch|interpolate)\b"
+)
+_HAS_NULLS_MOD = re.compile(r"(?i)\bnulls\s+(first|last)\b")
+_ENDS_DESC = re.compile(r"(?i)\bdesc\s*$")
+_KEY_SKIP = re.compile(r"(?i)\b(with\s+fill|collate)\b|^\s*all\s*$")
+
+
+def _order_by_nulls_last(masked: str) -> str:
+    """ClickHouse sorts NULLs LAST by default in EVERY direction
+    (ORDER BY docs: values, then NaN, then NULL) — Spark's ASC default
+    is NULLS FIRST, so `ORDER BY x LIMIT n` over a nullable key
+    silently returned different rows. Every ascending sort key without
+    an explicit NULLS modifier gets NULLS LAST appended (top-level
+    ORDER BY and window-spec ORDER BY alike); DESC keys already match
+    (Spark DESC default is NULLS LAST). Keys carrying residual WITH
+    FILL / COLLATE text or the ALL shorthand are left untouched.
+    Residual drift (documented): NaN under DESC — CH keeps NaN just
+    before NULL at the end, Spark sorts NaN as the largest value."""
+    out = []
+    pos = 0
+    while True:
+        m = _ORDER_BY_KW.search(masked, pos)
+        if not m:
+            out.append(masked[pos:])
+            return "".join(out)
+        out.append(masked[pos:m.end()])
+        i = m.end()
+        keys: list[str] = []
+        cur_start = i
+        depth = 0
+        end = len(masked)
+        while i < len(masked):
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                keys.append(masked[cur_start:i])
+                cur_start = i + 1
+            elif depth == 0 and c.isalpha():
+                sm = _ORDER_STOP.match(masked, i)
+                if sm and re.search(r"[\s,()]", masked[i - 1]):
+                    end = i
+                    break
+                # skip the rest of this word
+                j = i
+                while j < len(masked) and (masked[j].isalnum()
+                                           or masked[j] == "_"):
+                    j += 1
+                i = j
+                continue
+            i += 1
+        else:
+            end = len(masked)
+        keys.append(masked[cur_start:end])
+
+        fixed = []
+        for k in keys:
+            body = k.rstrip()
+            pad = k[len(body):]
+            if (not body.strip()
+                    or _HAS_NULLS_MOD.search(body)
+                    or _ENDS_DESC.search(body)
+                    or _KEY_SKIP.search(body)):
+                fixed.append(k)
+            else:
+                fixed.append(body + " NULLS LAST" + pad)
+        out.append(",".join(fixed))
+        pos = end
+
+
 def _rewrite_with_fill(masked: str) -> str:
     """WITH FILL driver: rewrite a statement-level ``ORDER BY … WITH
     FILL`` via :func:`_rewrite_with_fill_stmt`, then walk NESTED
@@ -6892,6 +6970,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_with_totals(masked)
     # ORDER BY c WITH FILL → sequence-spine full join
     masked = _rewrite_with_fill(masked)
+    # CH NULLS-LAST default on every ascending sort key (runs after
+    # all ORDER-BY-consuming rewrites so they parse clean text)
+    masked = _order_by_nulls_last(masked)
     # GLOBAL join / IN distribution modifier and ANY/ALL join
     # strictness: Spark's optimizer owns distribution; ANY JOIN's
     # first-match semantics ≈ plain join on unique keys (documented).

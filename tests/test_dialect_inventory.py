@@ -210,4 +210,16 @@ def test_inventory_block_order_family(src, frag):
 
 @pytest.mark.parametrize("src", ORDERED_STILL_LOUD)
 def test_inventory_block_order_still_loud(src):
-    assert T(src) == src, f"unsupported ordered shape was rewritten: {src}"
+    # the block-order CALL must survive untranslated (loud); the
+    # ORDER BY itself may legally gain the CH NULLS-LAST default (r10)
+    out = T(src)
+    name = re.search(
+        r"(runningDifference|runningAccumulate|neighbor|"
+        r"groupArrayMovingSum|groupArrayMovingAvg|deltaSum)", src
+    ).group(0)
+    assert re.search(rf"(?<![\w.]){name}\s*\(", out), (
+        f"unsupported ordered shape was rewritten: {src} -> {out}"
+    )
+    assert out.replace(" NULLS LAST", "") == src, (
+        f"unexpected rewrite beyond the NULLS default: {src} -> {out}"
+    )

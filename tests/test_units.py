@@ -1760,7 +1760,7 @@ def test_dialect_window_and_date_siblings(spark):
     )
     assert (
         T("select lagInFrame(v, 1) OVER (ORDER BY ts) from t")
-        == "select lag(v, 1) OVER (ORDER BY ts) from t"
+        == "select lag(v, 1) OVER (ORDER BY ts NULLS LAST) from t"
     )
     r = spark.sql(
         T("select toYYYYMM(date'2024-03-05') AS ym, "
@@ -2439,13 +2439,16 @@ def test_dialect_with_fill(spark):
     full = T("SELECT k, v FROM wf_t ORDER BY k WITH FILL")
     assert len(spark.sql(full).collect()) == 10  # data min..max inclusive
     # unsupported shapes pass through
-    for src in ("SELECT k FROM wf_t ORDER BY k DESC WITH FILL",
-                "SELECT k, v FROM wf_t ORDER BY k WITH FILL, v"):
-        assert T(src) == src
+    # unsupported fill shapes keep the FILL text; the plain trailing
+    # key still gains the CH NULLS-LAST default (r10)
+    assert T("SELECT k FROM wf_t ORDER BY k DESC WITH FILL") == (
+        "SELECT k FROM wf_t ORDER BY k DESC WITH FILL")
+    assert T("SELECT k, v FROM wf_t ORDER BY k WITH FILL, v") == (
+        "SELECT k, v FROM wf_t ORDER BY k WITH FILL, v NULLS LAST")
     # inverted LITERAL bounds: CH fills nothing but still runs —
     # translate to the plain ordered query (review fix)
     inv = T("SELECT k FROM wf_t ORDER BY k WITH FILL FROM 5 TO 5")
-    assert inv == "SELECT k FROM wf_t ORDER BY k"
+    assert inv == "SELECT k FROM wf_t ORDER BY k NULLS LAST"
     assert [r["k"] for r in spark.sql(inv).collect()] == [1, 3, 10]
 
 
@@ -2600,7 +2603,9 @@ def test_dialect_review_fixes_round5_session3(spark):
     s2 = T("SELECT g, sum(v) AS s FROM rf_t GROUP BY g WITH TOTALS"
            " HAVING sum(v) < 4 ORDER BY g")
     rows = [tuple(r) for r in spark.sql(s2).collect()]
-    assert rows == [(None, 6), ('a', 3), ('b', 3)]
+    # r10 NULLS-LAST default: the totals row (NULL group) sorts last,
+    # matching CH's totals-after-data presentation
+    assert rows == [('a', 3), ('b', 3), (None, 6)]
     # (3) inverted single-bound fill grids are empty, not a crash
     s3 = T("SELECT v FROM rf_t WHERE v >= 2 ORDER BY v WITH FILL TO 1")
     assert [r["v"] for r in spark.sql(s3).collect()] == [2, 3]
@@ -2680,8 +2685,9 @@ def test_dialect_with_totals(spark):
               ).createOrReplaceTempView("wt_t")
     s = T("select g, sum(v) as s from wt_t group by g with totals order by g")
     assert "GROUPING SETS ((g), ())" in s and T(s) == s
+    # r10 NULLS-LAST default: totals row sorts after the data rows
     assert [tuple(r) for r in spark.sql(s).collect()] == [
-        (None, 8), ('a', 3), ('b', 5)]
+        ('a', 3), ('b', 5), (None, 8)]
     s2 = T("select g, sum(v) as s from wt_t group by g with totals"
            " having sum(v) > 3")
     assert [tuple(r) for r in spark.sql(T(s2)).collect()] == [(None, 8), ('b', 5)]
@@ -2770,7 +2776,7 @@ def test_dialect_asof_join_clause():
     import pytest as _pytest
 
     out = T("SELECT l.id, r.v FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts")
-    assert "lead(ts) OVER (PARTITION BY k ORDER BY ts)" in out
+    assert "lead(ts) OVER (PARTITION BY k ORDER BY ts NULLS LAST)" in out
     assert "AND (r.__asof_adj IS NULL OR (l.ts) < r.__asof_adj)" in out
     assert " JOIN (" in out and "LEFT JOIN" not in out
     # LEFT form + flipped operands canonicalize to the same bound
@@ -3548,7 +3554,7 @@ def test_dialect_limit_ties_and_comma(spark):
         "SELECT x FROM lt_t ORDER BY x DESC LIMIT 2 WITH TIES"
     )).collect()] == [5, 2, 2, 2]
     s = T("SELECT x FROM lt_t ORDER BY x LIMIT 1, 2")
-    assert s == "SELECT x FROM lt_t ORDER BY x LIMIT 2 OFFSET 1"
+    assert s == "SELECT x FROM lt_t ORDER BY x NULLS LAST LIMIT 2 OFFSET 1"
     assert [r["x"] for r in spark.sql(s).collect()] == [2, 2]
     # subquery WITH TIES: untouched (loud)
     sub = ("SELECT * FROM (SELECT x FROM t ORDER BY x LIMIT 2 WITH"
@@ -3677,7 +3683,7 @@ def test_dialect_qualify_and_scalar_with():
     assert ", (rn <= 2) AS __q from t) WHERE __q order by g" in out
     # DISTINCT + QUALIFY untouched (the wrap would change the key)
     dq = "select distinct g from t qualify row_number() over (order by g) = 1"
-    assert T(dq) == dq
+    assert T(dq) == dq.replace("order by g", "order by g NULLS LAST")
     # scalar WITH inlines, parenthesized; ANSI CTE survives a mix
     assert T("with 25 as thr select v from t where v > thr") == (
         "select v from t where v > (25)"
@@ -4106,7 +4112,7 @@ def test_laginframe_frame_strip(spark):
 
     t = T("select lagInFrame(x, 1, 0) over (partition by g order by x"
           " rows between unbounded preceding and current row) from t")
-    assert "lag(x, 1, 0) over (partition by g order by x)" in t
+    assert "lag(x, 1, 0) over (partition by g order by x NULLS LAST)" in t
     t2 = T("select sum(x) over (order by x rows between unbounded"
            " preceding and current row) from t")
     assert "rows between unbounded" in t2  # non-lag frames untouched
@@ -4462,3 +4468,34 @@ def test_linear_fit_normal_eq(spark):
             "decimal(19,0)")).cast("decimal(38,0)")))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_order_by_nulls_last_default(spark):
+    """r10: CH sorts NULLs LAST by default (values, NaN, NULL) in any
+    direction; Spark's ASC default is NULLS FIRST, so `ORDER BY x
+    LIMIT n` over a nullable key returned different rows. Every
+    ascending key without an explicit modifier now gains NULLS LAST —
+    top-level, subquery, and window-spec ORDER BY alike; explicit
+    modifiers and DESC keys (Spark already NULLS LAST there) are
+    untouched."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.sql(
+        "select * from values (1),(cast(null as int)),(3),(2) t(x)"
+    ).createOrReplaceTempView("nl_t")
+    assert [r.x for r in spark.sql(
+        T("select x from nl_t order by x")).collect()] == [1, 2, 3, None]
+    # the LIMIT case that silently returned the NULL row first
+    assert [r.x for r in spark.sql(
+        T("select x from nl_t order by x limit 2")).collect()] == [1, 2]
+    # explicit modifier wins; DESC untouched (already NULLS LAST)
+    assert [r.x for r in spark.sql(
+        T("select x from nl_t order by x nulls first limit 1")
+    ).collect()] == [None]
+    assert [r.x for r in spark.sql(
+        T("select x from nl_t order by x desc")).collect()] == [3, 2, 1, None]
+    # window spec: the NULL row ranks last, not first
+    out = T("select x, row_number() over (order by x) as rn from nl_t")
+    rn = {r.x: r.rn for r in spark.sql(out).collect()}
+    assert rn[None] == 4 and rn[1] == 1
+    assert T(out) == out  # fixed point
