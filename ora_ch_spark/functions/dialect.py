@@ -59,7 +59,13 @@ are translated exactly). ``least``/``greatest``/``min2``/``max2`` on
 NULL inputs — CH propagates NULL (ordinary-function rule), Spark
 skips NULLs; rewriting would corrupt this translator's own ~30
 greatest()/least() emissions or break the T∘T fixed point, so the
-NULL edge stays a documented drift.
+NULL edge stays a documented drift. Bare ``INTERSECT``/``EXCEPT``
+— CH keeps duplicates via a right-side hash-set filter; Spark's
+default deduplicates and ANSI ALL is min-multiplicity, neither of
+which reproduces the filter on duplicate-carrying branches; exact
+parity needs a null-safe semi/anti join over the full column list
+(unknowable at text level), so bare spellings pass through and
+DISTINCT spellings are exact.
 
 Nested-call safe: arguments are matched with a balanced-paren scanner,
 not a regex over the whole call.
@@ -6970,6 +6976,15 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_with_totals(masked)
     # ORDER BY c WITH FILL → sequence-spine full join
     masked = _rewrite_with_fill(masked)
+    # INTERSECT/EXCEPT duplicate semantics — audited in r10, left as
+    # pass-through (documented residual): CH's bare forms keep
+    # duplicates via a right-side hash-set FILTER (all left
+    # duplicates kept / dropped on membership), which matches NEITHER
+    # Spark's DISTINCT default NOR ANSI ALL's min-multiplicity. An
+    # exact translation needs a null-safe semi/anti join over the
+    # full column list, which the text level cannot enumerate.
+    # Duplicate-free branches (every current catalog use) coincide
+    # under all three readings; explicit DISTINCT spellings are exact.
     # CH NULLS-LAST default on every ascending sort key (runs after
     # all ORDER-BY-consuming rewrites so they parse clean text)
     masked = _order_by_nulls_last(masked)
