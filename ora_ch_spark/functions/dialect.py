@@ -65,7 +65,14 @@ default deduplicates and ANSI ALL is min-multiplicity, neither of
 which reproduces the filter on duplicate-carrying branches; exact
 parity needs a null-safe semi/anti join over the full column list
 (unknowable at text level), so bare spellings pass through and
-DISTINCT spellings are exact.
+DISTINCT spellings are exact. ``-If`` combinators on zero-match
+groups — CH's empty aggregate state yields the type default (0 for
+non-Nullable sumIf/minIf, NaN for avgIf) but NULL when the argument
+column is Nullable (the internal Null-combinator wrapper); the result
+is INPUT-TYPE-dependent, unknowable at text level, so the translated
+``sum(CASE WHEN …)`` keeps Spark's NULL (the Nullable reading — the
+right one for this engine, where parquet columns are nullable);
+``countIf`` → count_if is exactly 0 either way.
 
 Nested-call safe: arguments are matched with a balanced-paren scanner,
 not a regex over the whole call.
