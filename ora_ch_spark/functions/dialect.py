@@ -1025,6 +1025,32 @@ _ENDS_DESC = re.compile(r"(?i)\bdesc\s*$")
 _KEY_SKIP = re.compile(r"(?i)\b(with\s+fill|collate)\b|^\s*all\s*$")
 
 
+def _comment_spans(txt: str) -> list[tuple[int, int]]:
+    """(start, end) spans of -- line and /* */ block comments. String
+    literals are already masked, so comment markers inside them can't
+    appear here."""
+    spans = []
+    i = 0
+    n = len(txt)
+    while i < n - 1:
+        if txt[i] == "-" and txt[i + 1] == "-":
+            j = txt.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        elif txt[i] == "/" and txt[i + 1] == "*":
+            j = txt.find("*/", i)
+            j = n if j < 0 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+_KEY_COMMENT = re.compile(r"--|/\*")
+
+
 def _order_by_nulls_last(masked: str) -> str:
     """ClickHouse sorts NULLs LAST by default in EVERY direction
     (ORDER BY docs: values, then NaN, then NULL) — Spark's ASC default
@@ -1038,11 +1064,20 @@ def _order_by_nulls_last(masked: str) -> str:
     before NULL at the end, Spark sorts NaN as the largest value."""
     out = []
     pos = 0
+    comments = _comment_spans(masked)
+
+    def _in_comment(p: int) -> bool:
+        return any(a <= p < b for a, b in comments)
+
     while True:
         m = _ORDER_BY_KW.search(masked, pos)
         if not m:
             out.append(masked[pos:])
             return "".join(out)
+        if _in_comment(m.start()):
+            out.append(masked[pos:m.end()])
+            pos = m.end()
+            continue
         out.append(masked[pos:m.end()])
         i = m.end()
         keys: list[str] = []
@@ -1080,15 +1115,21 @@ def _order_by_nulls_last(masked: str) -> str:
 
         fixed = []
         for k in keys:
+            # a trailing comment inside the key: place the modifier
+            # BEFORE the comment (appending would swallow it)
+            tail = ""
+            cm = _KEY_COMMENT.search(k)
+            if cm:
+                k, tail = k[:cm.start()], k[cm.start():]
             body = k.rstrip()
             pad = k[len(body):]
             if (not body.strip()
                     or _HAS_NULLS_MOD.search(body)
                     or _ENDS_DESC.search(body)
                     or _KEY_SKIP.search(body)):
-                fixed.append(k)
+                fixed.append(k + tail)
             else:
-                fixed.append(body + " NULLS LAST" + pad)
+                fixed.append(body + " NULLS LAST" + pad + tail)
         out.append(",".join(fixed))
         pos = end
 

@@ -4499,3 +4499,44 @@ def test_order_by_nulls_last_default(spark):
     rn = {r.x: r.rn for r in spark.sql(out).collect()}
     assert rn[None] == 4 and rn[1] == 1
     assert T(out) == out  # fixed point
+
+
+def test_order_by_nulls_last_comment_safety(spark):
+    """The NULLS-LAST scanner must ignore ORDER BY text inside -- and
+    /* */ comments and place the modifier BEFORE a trailing comment in
+    a key (appending after would swallow it into the comment). Every
+    output must still parse as Spark SQL."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    cases = {
+        "select x, -- order by note\n y from t":
+            "select x, -- order by note\n y from t",
+        "select x from t order by x -- note\nlimit 5":
+            "select x from t order by x NULLS LAST -- note\nlimit 5",
+        "select x /* order by z */ from t order by x":
+            "select x /* order by z */ from t order by x NULLS LAST",
+        "select x from t -- order by y\norder by x":
+            "select x from t -- order by y\norder by x NULLS LAST",
+        "select x from t order by x /* c */, y desc":
+            "select x from t order by x NULLS LAST /* c */, y desc",
+    }
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for src, want in cases.items():
+        got = T(src)
+        assert got == want, (src, got)
+        assert T(got) == got
+        parser.parsePlan(got)
+    # shape sweep: nested calls, ordinals, frames, fill — all parse
+    shapes = [
+        "select x from t order by coalesce(f(a, b), g(c)), 2 desc,"
+        " h(x) asc limit 3",
+        "select sum(v) over (partition by g order by k, j desc"
+        " rows between 2 preceding and current row) from t",
+        "select x from (select x from t order by struct(a, b)) u"
+        " order by x nulls first",
+        "select g from t group by g order by count(*), g desc",
+    ]
+    for src in shapes:
+        got = T(src)
+        parser.parsePlan(got)
+        assert T(got) == got
