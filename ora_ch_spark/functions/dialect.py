@@ -3861,6 +3861,38 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         return acc
 
     out = _rewrite_calls(out, "arrayIntersect", _array_intersect)
+
+    def _array_union(a: list[str]) -> str:
+        # n-ary distinct union, folded like arrayIntersect (r10)
+        acc = a[0]
+        for nxt in a[1:]:
+            acc = f"array_union({acc}, {nxt})"
+        return acc
+
+    out = _rewrite_calls(out, "arrayUnion", _array_union)
+    # mapContainsKeyLike: any key matching the SQL LIKE pattern (r10)
+    out = _rewrite_calls(
+        out,
+        "mapContainsKeyLike",
+        lambda a: (
+            f"exists(map_keys({a[0]}), __mk -> __mk like {a[1]})"
+            if len(a) == 2 else None
+        ),
+    )
+    # port(url[, default=0]): Spark's parse_url(HOST) strips the port,
+    # so it is lifted straight off the authority (userinfo skipped);
+    # absent port -> the default, like CH (r10)
+    out = _rewrite_calls(
+        out,
+        "port",
+        lambda a: (
+            f"coalesce(cast(nullif(regexp_extract({a[0]}, "
+            + lit("://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)")
+            + f", 1), {lit('')}) as int), "
+            f"{a[1] if len(a) == 2 else '0'})"
+            if len(a) in (1, 2) else None
+        ),
+    )
     out = _rewrite_calls(
         out,
         "arrayResize",

@@ -92,6 +92,8 @@ TRANSLATED = [
     "toValidUTF8(s)",
     "addDate(d, INTERVAL 1 MONTH)", "subDate(d, INTERVAL 3 DAY)",
     "timeSlots(t1, 600)", "timeSlots(t1, 600, 299)",
+    "arrayUnion(a, b)", "mapContainsKeyLike(m, 'a%')",
+    "port(u)", "port(u, 443)",
 ]
 
 NATIVE = [

@@ -4100,6 +4100,17 @@ def test_dialect_batch24_name_collisions(spark):
     assert [str(x) for x in r2["a"]] == [
         "2012-01-01 12:00:00", "2012-01-01 12:30:00"]
     assert str(r2["c"]) == "2020-02-01" and str(r2["d"]) == "2019-12-29"
+    # arrayUnion / mapContainsKeyLike / port (r10 tail batch)
+    r3 = spark.sql(T(
+        "select arrayUnion([1,2], [2,3], [3,4]) as u,"
+        " mapContainsKeyLike(map('abc', 1, 'xy', 2), 'a%') as m1,"
+        " port('https://u:p@example.com:8443/p?x=1') as p1,"
+        " port('https://example.com/p') as p2,"
+        " port('https://example.com/p', 443) as p3"
+    )).collect()[0]
+    assert sorted(r3["u"]) == [1, 2, 3, 4]
+    assert r3["m1"] is True
+    assert (r3["p1"], r3["p2"], r3["p3"]) == (8443, 0, 443)
 
 
 def test_laginframe_frame_strip(spark):
