@@ -2783,6 +2783,25 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         return f"count_if({a[0]})"
 
     out = _rewrite_calls(out, "countIf", _count_if)
+    # bare count() is CH's count(*) (Spark rejects zero-arg count);
+    # any-arg forms pass through untouched (r10)
+    out = _rewrite_calls(
+        out, "count",
+        lambda a: "count(*)" if a in ([], [""]) else None,
+    )
+    # numbers(N) / numbers(offset, N) table function → range() with
+    # CH's column name `number` (Spark's range exposes `id`) (r10)
+    out = _rewrite_calls(
+        out, "numbers",
+        lambda a: (
+            f"(select id as number from range({a[0]}))"
+            if len(a) == 1
+            else f"(select id as number from range({a[0]}, "
+                 f"({a[0]}) + ({a[1]})))"
+            if len(a) == 2
+            else None
+        ),
+    )
     out = _rewrite_calls(
         out, "sumIf", lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)"
     )

@@ -4111,6 +4111,17 @@ def test_dialect_batch24_name_collisions(spark):
     assert sorted(r3["u"]) == [1, 2, 3, 4]
     assert r3["m1"] is True
     assert (r3["p1"], r3["p2"], r3["p3"]) == (8443, 0, 443)
+    # bare count() and the numbers() table function (r10 tail)
+    r4 = spark.sql(T(
+        "select count() as c, sum(number) as s from numbers(10)"
+    )).collect()[0]
+    assert (r4["c"], r4["s"]) == (10, 45)
+    r5 = spark.sql(T(
+        "select min(number) as lo, max(number) as hi from numbers(5, 3)"
+    )).collect()[0]
+    assert (r5["lo"], r5["hi"]) == (5, 7)
+    assert T("select count(x), count(*) from t") == (
+        "select count(x), count(*) from t")
 
 
 def test_laginframe_frame_strip(spark):
