@@ -1005,9 +1005,19 @@ def _strip_lag_lead_frames(masked: str) -> str:
             parts.append(masked[i:j])
             i = j
             continue
+        # frames under which the InFrame forms equal plain lag/lead:
+        # the FULL frame works for both directions; the whole-PREFIX
+        # frame only for lag — CH's leadInFrame cannot look past the
+        # frame end (current row), it returns the default there, so a
+        # lead keeps that frame and fails loudly (r10 fix: the strip
+        # used to silently turn it into a forward-looking lead)
+        if m.group(1).lower() == "lag":
+            frame_tail = r"(current\s+row|unbounded\s+following)"
+        else:
+            frame_tail = r"unbounded\s+following"
         body = re.sub(
             r"(?is)\s+rows\s+between\s+unbounded\s+preceding"
-            r"\s+and\s+current\s+row\s*$",
+            r"\s+and\s+" + frame_tail + r"\s*$",
             "",
             masked[k0 : k - 1],
         )

@@ -4135,6 +4135,22 @@ def test_laginframe_frame_strip(spark):
     t = T("select lagInFrame(x, 1, 0) over (partition by g order by x"
           " rows between unbounded preceding and current row) from t")
     assert "lag(x, 1, 0) over (partition by g order by x NULLS LAST)" in t
+    # r10: the FULL frame also coincides for BOTH directions; the
+    # whole-prefix frame coincides only for lag — CH leadInFrame
+    # cannot look past the frame end (returns the default), so a
+    # lead KEEPS that frame and fails loudly instead of silently
+    # becoming a forward-looking lead
+    t_full = T("select leadInFrame(x, 1) over (order by k rows"
+               " between unbounded preceding and unbounded following)"
+               " from t")
+    assert "lead(x, 1) over (order by k NULLS LAST)" in t_full
+    t_bad = T("select leadInFrame(x, 1) over (order by k rows"
+              " between unbounded preceding and current row) from t")
+    assert "rows between unbounded preceding and current row" in t_bad
+    t_lag_full = T("select lagInFrame(x) over (order by k rows"
+                   " between unbounded preceding and unbounded"
+                   " following) from t")
+    assert "lag(x) over (order by k NULLS LAST)" in t_lag_full
     t2 = T("select sum(x) over (order by x rows between unbounded"
            " preceding and current row) from t")
     assert "rows between unbounded" in t2  # non-lag frames untouched
