@@ -2854,3 +2854,103 @@ FROM (
 ORDER BY nk, k
 LIMIT 25
 """
+
+
+# ---------------------------------------------------------------------------
+# Battery 25 (round 10) — alias visibility + raw-byte reinterpret:
+# (1) ClickHouse resolves SELECT-list aliases in WHERE and GROUP BY
+#     with alias-over-column preference (prefer_column_name_to_alias
+#     = 0). Spark can't resolve an alias in WHERE at all, and in
+#     GROUP BY a conflicted name binds the SOURCE column — grouping
+#     at raw grain instead of alias grain, silently. The translator
+#     inlines the aliased expressions; this battery value-gates both
+#     clauses, including the same-name shadow (`intDiv(o_orderkey,
+#     1000) AS o_orderkey … WHERE o_orderkey % 3 = 1 GROUP BY
+#     o_orderkey` must see ~tens of bucket groups, not thousands of
+#     raw keys).
+# (2) reinterpretAs[U]Int{8,16,64} little-endian byte reads. The
+#     DuckDB oracle folds hex byte pairs with list_reduce — genuinely
+#     independent arithmetic from the emitted conv(reversed-hex) path.
+# ---------------------------------------------------------------------------
+
+_DIALECT25_CH_SQL = """
+select b.k as k, b.p as p,
+  reinterpretAsUInt64(b.p) as r64,
+  reinterpretAsUInt16(b.p) as r16,
+  reinterpretAsInt8(b.c) as r8,
+  a.ngroups as ngroups, a.gsum as gsum
+from (
+  select o_orderkey as k, o_orderpriority as p, o_orderstatus as c,
+         substring(o_orderpriority, 3, 1) as tag
+  from orders
+  where o_orderkey % 97 = 11 and tag in ('U', 'H', 'M')
+) b
+cross join (
+  select count() as ngroups, toFloat64(round(sum(tp), 2)) as gsum
+  from (
+    select intDiv(o_orderkey, 1000) as o_orderkey,
+           sum(o_totalprice) as tp
+    from orders
+    where o_orderkey % 3 = 1
+    group by o_orderkey
+  )
+) a
+order by k
+"""
+
+
+def calc_dialect25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 25 as STORED CH-dialect text through translate_ch_sql."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT25_CH_SQL))
+
+
+DIALECT25_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_orderpriority AS p, o_orderstatus AS c
+  FROM orders
+  WHERE o_orderkey % 97 = 11
+    AND substring(o_orderpriority, 3, 1) IN ('U', 'H', 'M')
+),
+a AS (
+  SELECT count(*) AS ngroups,
+         CAST(round(sum(tp), 2) AS DOUBLE) AS gsum
+  FROM (
+    SELECT (o_orderkey // 1000) AS g, sum(o_totalprice) AS tp
+    FROM orders
+    WHERE (o_orderkey // 1000) % 3 = 1
+    GROUP BY g
+  )
+),
+bytesrc AS (
+  SELECT k, p, c,
+    [((strpos('0123456789ABCDEF', substr(hp, 2*i-1, 1)) - 1) * 16
+      + strpos('0123456789ABCDEF', substr(hp, 2*i, 1)) - 1)::HUGEINT
+     FOR i IN range(1, 9)] AS pl,
+    ((strpos('0123456789ABCDEF', substr(hc, 1, 1)) - 1) * 16
+      + strpos('0123456789ABCDEF', substr(hc, 2, 1)) - 1)::BIGINT AS cb1
+  FROM (
+    SELECT k, p, c,
+      rpad(substring(hex(encode(p)), 1, 16), 16, '0') AS hp,
+      rpad(substring(hex(encode(c)), 1, 2), 2, '0') AS hc
+    FROM b
+  )
+)
+SELECT k, p,
+  CASE WHEN u >= 9223372036854775808::HUGEINT
+       THEN (u - 18446744073709551616::HUGEINT)::BIGINT
+       ELSE u::BIGINT END AS r64,
+  (pb2 * 256 + pb1)::INT AS r16,
+  (CASE WHEN cb1 >= 128 THEN cb1 - 256 ELSE cb1 END)::INT AS r8,
+  a.ngroups AS ngroups, a.gsum AS gsum
+FROM (
+  SELECT k, p, cb1,
+    list_reduce(list_reverse(pl), (acc, x) -> acc * 256 + x) AS u,
+    pl[1]::BIGINT AS pb1, pl[2]::BIGINT AS pb2
+  FROM bytesrc
+) CROSS JOIN a
+ORDER BY k
+"""

@@ -72,7 +72,29 @@ column is Nullable (the internal Null-combinator wrapper); the result
 is INPUT-TYPE-dependent, unknowable at text level, so the translated
 ``sum(CASE WHEN …)`` keeps Spark's NULL (the Nullable reading — the
 right one for this engine, where parquet columns are nullable);
-``countIf`` → count_if is exactly 0 either way.
+``countIf`` → count_if is exactly 0 either way. ``toInt32``-family
+casts of a NON-NUMERIC string — CH throws (the OrZero/OrNull variants
+are the non-throwing ones, both translated exactly via try_cast);
+Spark's cast yields NULL, i.e. the bare form silently behaves like
+OrNull on invalid data. A per-row raise_error guard on every numeric
+cast was judged too costly for the hot path; drift only exists on
+data CH would refuse to process at all.
+
+Alias visibility (batch 25): ClickHouse resolves SELECT-list aliases
+in WHERE and GROUP BY, preferring the alias over a same-named source
+column (``prefer_column_name_to_alias = 0``). Spark cannot resolve an
+alias in WHERE and binds the SOURCE column in GROUP BY — grouping
+``toStartOfDay(ts) AS ts … GROUP BY ts`` at raw grain, silently.
+``_inline_select_aliases_in_where`` inlines the aliased expressions
+into both clauses per scope, plus the three window forms Spark
+rejects with LATERAL_COLUMN_ALIAS_IN_WINDOW: OVER (…) specs, the
+window function's own argument list, and named WINDOW clauses
+(HAVING/ORDER BY already bind the output alias in Spark, matching
+CH). Never inlined: aggregate/window-valued
+aliases (CH errors on those in WHERE/GROUP BY anyway) and names with
+a SECOND depth-0 ``AS name`` definition (table/ARRAY JOIN alias —
+real CH throws "multiple expressions for alias"; the column binding
+is kept).
 
 Nested-call safe: arguments are matched with a balanced-paren scanner,
 not a regex over the whole call.
@@ -1936,6 +1958,434 @@ def _rewrite_scalar_with(masked: str) -> str:
     return head + mid + tail
 
 
+# select-list alias visibility in WHERE (batch 25). Tokens that end a
+# WHERE clause at its own paren depth; parens tracked alongside.
+_WHERE_END = re.compile(
+    r"(?i)\b(group\s+by|having|order\s+by|limit|qualify|window|union"
+    r"|intersect|except|settings|format|into)\b|[()]"
+)
+_SET_OP = re.compile(r"(?i)\b(union(\s+(all|distinct))?|intersect"
+                     r"(\s+(all|distinct))?|except(\s+(all|distinct))?)\b|[()]")
+_KW = re.compile(r"(?i)\bselect\b|\bfrom\b|\bwhere\b|[()]")
+
+
+def _top_spans(
+    text: str,
+    pattern: re.Pattern,
+    skip: tuple[tuple[int, int], ...] = (),
+) -> list[tuple[int, int, str]]:
+    """(start, end, token) of every depth-0 match of ``pattern`` in
+    ``text`` (``pattern`` must also match the parens it tracks).
+    Matches starting inside a ``skip`` span (comments) are ignored
+    entirely — keywords AND parens."""
+    depth = 0
+    hits: list[tuple[int, int, str]] = []
+    for t in pattern.finditer(text):
+        if any(a <= t.start() < b for a, b in skip):
+            continue
+        tok = t.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            hits.append((t.start(), t.end(), tok))
+    return hits
+
+
+def _subst_name(
+    text: str,
+    name: str,
+    repl: str,
+    protected: tuple[tuple[int, int], ...] = (),
+) -> str:
+    """Replace bare, case-sensitive references to ``name`` in an
+    expression/predicate ``text`` with ``repl`` — skipping qualified
+    refs (``t.name`` / ``name.x``), call positions (``name(``),
+    alias-definition sites (``AS name``), interval-unit positions, an
+    ``extract``/``substring`` keyword slot (``name FROM/FOR``),
+    caller-``protected`` spans, and spans where a lambda parameter
+    shadows the name. Case-sensitive on purpose: ClickHouse
+    identifiers are."""
+    shadows = _lambda_shadow_spans(text, name)
+
+    def _sub(mm: re.Match) -> str:
+        if any(s <= mm.start() < e for s, e in shadows):
+            return mm.group(0)
+        if any(s <= mm.start() < e for s, e in protected):
+            return mm.group(0)
+        before = text[: mm.start()]
+        if re.search(r"(?is)\b(as|interval)\s+$", before):
+            return mm.group(0)
+        if re.match(r"(?is)\s+(from|for)\b", text[mm.end():]):
+            return mm.group(0)
+        return repl
+
+    return re.sub(
+        rf"(?<![A-Za-z0-9_.]){re.escape(name)}(?![A-Za-z0-9_.(])",
+        _sub,
+        text,
+    )
+
+
+def _where_subquery_spans(where: str) -> list[tuple[int, int]]:
+    """Spans of parenthesized SUBQUERIES inside a WHERE predicate —
+    a ``(`` whose first token is SELECT/WITH, through its matching
+    ``)``. Alias references inside keep their own (inner) scope;
+    ordinary paren groups are NOT excluded."""
+    spans: list[tuple[int, int]] = []
+    i = 0
+    while i < len(where):
+        if where[i] == "(" and re.match(r"(?is)\(\s*(select|with)\b",
+                                        where[i:]):
+            d = 0
+            for j in range(i, len(where)):
+                if where[j] == "(":
+                    d += 1
+                elif where[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        spans.append((i, j + 1))
+                        i = j
+                        break
+        i += 1
+    return spans
+
+
+def _find_inlined_spans(
+    chunk: str, tgt: str, lits: list[str]
+) -> list[tuple[int, int]]:
+    """Occurrences of ``tgt`` in ``chunk``, where two string-literal
+    MASK tokens (``\\x00<i>\\x00``) are equal iff their underlying
+    literals are — a re-translation pass re-masks the same literal
+    text under fresh indices, and exact find() would miss it."""
+    segs = re.split("\x00(\\d+)\x00", tgt)
+    if len(segs) == 1:
+        spans = []
+        p = chunk.find(tgt)
+        while p != -1:
+            spans.append((p, p + len(tgt)))
+            p = chunk.find(tgt, p + 1)
+        return spans
+    pat = ""
+    idxs: list[int] = []
+    for i, s in enumerate(segs):
+        if i % 2 == 0:
+            pat += re.escape(s)
+        else:
+            pat += "\x00(\\d+)\x00"
+            idxs.append(int(s))
+    return [
+        (m.start(), m.end())
+        for m in re.finditer(pat, chunk)
+        if all(
+            lits[int(g)] == lits[j] for g, j in zip(m.groups(), idxs)
+        )
+    ]
+
+
+_CLAUSE_TOK = re.compile(
+    r"(?i)\b(where|group\s+by|having|order\s+by|limit|qualify|window"
+    r"|union|intersect|except|settings|format|into|with)\b|[()]"
+)
+# aggregate/window-valued select aliases are NEVER inlined: CH itself
+# errors on an aggregate in WHERE or GROUP BY, and a same-named
+# SOURCE column (battery-5's ARRAY JOIN `… AS s` + `sum(…) AS s`)
+# must keep its column binding. Combinator suffixes (-If/-Array/
+# -OrNull/…) are covered; names that merely START with an aggregate
+# name (min2, minus, counter) are not.
+_AGG_CALL = re.compile(
+    r"(?i)\b(sum|count|min|max|avg|any|anyLast|anyHeavy|uniq|uniqExact"
+    r"|median|quantile|quantiles|groupArray|groupUniqArray|groupBitmap"
+    r"|groupBitAnd|groupBitOr|groupBitXor|corr|covarPop|covarSamp"
+    r"|stddevPop|stddevSamp|varPop|varSamp|topK|topKWeighted|argMin"
+    r"|argMax|first_value|last_value|any_value|row_number|rank"
+    r"|dense_rank|percent_rank|cume_dist|lag|lead|ntile|entropy"
+    r"|deltaSum|deltaSumTimestamp|histogram|sumMap|minMap|maxMap"
+    r"|skewPop|skewSamp|kurtPop|kurtSamp|sumKahan|sumWithOverflow"
+    r"|avgWeighted|boundingRatio|maxIntersections|intervalLengthSum"
+    r"|exponentialMovingAverage|sequenceMatch|sequenceCount"
+    r"|windowFunnel|retention|sumCount|studentTTest|welchTTest"
+    r"|rankCorr|listagg|collect_list|collect_set|grouping)"
+    r"(If|Array|ArrayIf|OrNull|OrDefault|Distinct|State|Merge|Exact"
+    r"|Weighted|ForEach|Resample|SimpleState)*\s*\(|\bover\s*\("
+)
+
+
+def _inline_into_clause(
+    clause: str, aliases: list[tuple[str, str]], lits: list[str]
+) -> str:
+    """Inline select-list ``aliases`` into one clause body
+    (WHERE predicate / GROUP BY key list): simultaneous one-pass
+    substitution — inserted expressions are never re-scanned, spans
+    already holding an inlined alias expression are left alone (a
+    bare name INSIDE one is the self-reference CH binds to the
+    source column — this keeps T∘T = T), and subqueries keep their
+    own scope."""
+    if not any(
+        re.search(
+            rf"(?<![A-Za-z0-9_.]){re.escape(n)}(?![A-Za-z0-9_.(])", clause
+        )
+        for n, _ in aliases
+    ):
+        return clause
+    excl = _where_subquery_spans(clause)
+    parts: list[tuple[str, str]] = []
+    prev = 0
+    for s, e in excl:
+        parts.append(("t", clause[prev:s]))
+        parts.append(("x", clause[s:e]))
+        prev = e
+    parts.append(("t", clause[prev:]))
+    rebuilt: list[str] = []
+    for kind, chunk in parts:
+        if kind == "t":
+            for n, ex in aliases:
+                prot: list[tuple[int, int]] = list(_comment_spans(chunk))
+                for _n2, ex2 in aliases:
+                    prot.extend(
+                        _find_inlined_spans(chunk, f"({ex2})", lits)
+                    )
+                chunk = _subst_name(chunk, n, f"({ex})", tuple(prot))
+        rebuilt.append(chunk)
+    return "".join(rebuilt)
+
+
+def _inline_select_aliases_in_where(masked: str, lits: list[str]) -> str:
+    """ClickHouse lets a SELECT-list alias be referenced anywhere in
+    its statement — including WHERE/PREWHERE, which Spark cannot
+    resolve (filters bind before projection). Each bare reference to
+    a select-list ``expr AS name`` inside that SELECT's own WHERE is
+    inlined as ``(expr)`` — and so is each GROUP BY key, where the
+    stakes are higher: Spark resolves a conflicted name to the
+    SOURCE column, so ``SELECT toStartOfDay(ts) AS ts … GROUP BY
+    ts`` — the single most common CH rollup idiom — silently grouped
+    at raw-timestamp grain instead of day grain (verified live:
+    ``id%2 AS id … GROUP BY id`` makes 10 groups in Spark, 2 in CH).
+
+    This is CH's alias-shadows-column default
+    (``prefer_column_name_to_alias = 0``): ``SELECT upper(c) AS c …
+    WHERE c = 'x'`` filters on ``upper(c)`` in CH while Spark bound
+    the RAW column — the silently-wrong case, vs the merely-loud
+    missing-column case. HAVING / ORDER BY alias refs already bind
+    the output alias in Spark (verified live), matching CH, and are
+    untouched. Chained aliases
+    pre-expand (a bounded fixpoint; self-references stay — CH binds
+    the inner ref to the source column). References inside WHERE-level
+    subqueries keep their own scope; each subquery is then processed
+    recursively as its own segment.
+    """
+
+    def _segment(seg: str) -> str:
+        comments = tuple(_comment_spans(seg))
+
+        def _commented(p: int) -> bool:
+            return any(a <= p < b for a, b in comments)
+
+        # set-operation branches are independent scopes
+        ops = [h for h in _top_spans(seg, _SET_OP, comments) if h[2]]
+        if ops:
+            out_parts = []
+            prev = 0
+            for s, e, tok in ops:
+                out_parts.append(_segment(seg[prev:s]))
+                out_parts.append(seg[s:e])
+                prev = e
+            out_parts.append(_segment(seg[prev:]))
+            return "".join(out_parts)
+
+        kws = _top_spans(seg, _KW, comments)
+        sel = next((h for h in kws if h[2].lower() == "select"), None)
+        new_seg = seg
+        if sel is not None:
+            frm = next((h for h in kws if h[0] > sel[1]
+                        and h[2].lower() == "from"), None)
+            if frm:
+                sel_list = re.sub(r"(?is)^\s*distinct\b", "",
+                                  seg[sel[1]:frm[0]])
+                aliases: list[tuple[str, str]] = []
+                # depth-0 text with paren interiors blanked: a second
+                # `AS name` definition at this depth (table alias,
+                # ARRAY JOIN alias, join alias) makes the name
+                # ambiguous — real CH throws "multiple expressions for
+                # alias"; the FROM-side column binding is kept here
+                # (battery-5's ARRAY JOIN `… AS s` + `toInt64(0) AS s`)
+                d0 = []
+                _d = 0
+                for ch in seg:
+                    if ch == "(":
+                        _d += 1
+                        d0.append(ch)
+                    elif ch == ")":
+                        _d -= 1
+                        d0.append(ch)
+                    else:
+                        d0.append(ch if _d <= 0 else " ")
+                depth0_text = "".join(d0)
+                for item in _split_top(sel_list):
+                    am = _AJ_AS.match(item)
+                    if (
+                        am
+                        and am.group(1).count("(") == am.group(1).count(")")
+                        and not _AGG_CALL.search(am.group(1))
+                        and len(re.findall(
+                            r"(?i:\bas)\s+" + re.escape(am.group(2))
+                            + r"(?![A-Za-z0-9_])",
+                            depth0_text,
+                        )) == 1
+                    ):
+                        aliases.append((am.group(2), am.group(1).strip()))
+                # clause spans at this depth after FROM: WHERE and
+                # GROUP BY keys take alias inlining (Spark binds the
+                # SOURCE column there — HAVING/ORDER BY already bind
+                # the output alias, matching CH). A GROUP BY span ends
+                # at `WITH` too (WITH TOTALS / ROLLUP / CUBE suffix).
+                spans: list[tuple[int, int, str]] = []
+                depth = 0
+                open_kind: str | None = None
+                open_at = 0
+                for t in _CLAUSE_TOK.finditer(seg, frm[1]):
+                    if _commented(t.start()):
+                        continue
+                    tok = t.group(0)
+                    if tok == "(":
+                        depth += 1
+                        continue
+                    if tok == ")":
+                        depth -= 1
+                        if depth < 0:
+                            if open_kind:
+                                spans.append((open_at, t.start(), open_kind))
+                            open_kind = None
+                            break
+                        continue
+                    if depth:
+                        continue
+                    low = " ".join(tok.lower().split())
+                    if open_kind:
+                        spans.append((open_at, t.start(), open_kind))
+                        open_kind = None
+                    if low in ("where", "group by", "window"):
+                        # the named-WINDOW clause takes inlining too:
+                        # its `name AS (partition by …)` definitions
+                        # reference select aliases in CH; the AS-site
+                        # guard protects the window names themselves
+                        open_kind = low
+                        open_at = t.end()
+                if open_kind:
+                    spans.append((open_at, len(seg), open_kind))
+                # OVER (…) specs inside the select list: CH resolves
+                # select aliases there; Spark raises
+                # LATERAL_COLUMN_ALIAS_IN_WINDOW (verified live), so
+                # inline into each spec's interior
+                for om in re.finditer(r"(?i)\bover\s*[(\w]", seg):
+                    if not (sel[1] <= om.start() < frm[0]):
+                        continue
+                    if _commented(om.start()):
+                        continue
+                    if om.group(0)[-1] == "(":
+                        d = 1
+                        for j in range(om.end(), frm[0]):
+                            if seg[j] == "(":
+                                d += 1
+                            elif seg[j] == ")":
+                                d -= 1
+                                if d == 0:
+                                    spans.append((om.end(), j, "window"))
+                                    break
+                    # the window FUNCTION's argument list is lateral
+                    # too (`sum(k) over …` with alias k) — walk back
+                    # over the balanced arg group directly before OVER
+                    p = om.start() - 1
+                    while p >= 0 and seg[p].isspace():
+                        p -= 1
+                    if p >= 0 and seg[p] == ")":
+                        d = 1
+                        for j in range(p - 1, sel[1] - 1, -1):
+                            if seg[j] == ")":
+                                d += 1
+                            elif seg[j] == "(":
+                                d -= 1
+                                if d == 0:
+                                    spans.append((j + 1, p, "window"))
+                                    break
+                spans.sort()
+                if aliases and spans:
+                    # pre-expand alias-over-alias chains (never into
+                    # the alias's own expr — CH binds that to the
+                    # source column); bounded fixpoint
+                    for _ in range(len(aliases)):
+                        changed = False
+                        for i, (n, ex) in enumerate(aliases):
+                            for m2, ex2 in aliases:
+                                if m2 == n:
+                                    continue
+                                nx = _subst_name(ex, m2, f"({ex2})")
+                                if nx != ex:
+                                    ex = nx
+                                    changed = True
+                            aliases[i] = (n, ex)
+                        if not changed:
+                            break
+                    # window forms exclude SELF-REFERENTIAL aliases
+                    # (`toDateTime(m) AS m`): the name demonstrably
+                    # exists as a source column, Spark's column
+                    # binding succeeds, and real-CH behavior for a
+                    # shadowed window ref is undocumented — the
+                    # conservative column reading is kept (qw2's
+                    # decimal frames). WHERE/GROUP BY keep the
+                    # documented alias-shadows-column gotcha.
+                    win_aliases = [
+                        (n, ex) for n, ex in aliases
+                        if not re.search(
+                            rf"(?<![A-Za-z0-9_.]){re.escape(n)}"
+                            rf"(?![A-Za-z0-9_.(])", ex)
+                    ]
+                    # right-to-left so earlier spans' offsets hold
+                    for cs, ce, kind in reversed(spans):
+                        use = win_aliases if kind == "window" else aliases
+                        if not use:
+                            continue
+                        clause = new_seg[cs:ce]
+                        rewritten = _inline_into_clause(
+                            clause, use, lits
+                        )
+                        if rewritten != clause:
+                            new_seg = new_seg[:cs] + rewritten + new_seg[ce:]
+
+        # recurse into every top-level paren group (subqueries in
+        # FROM/WHERE/select list — including exprs just inlined)
+        out: list[str] = []
+        i = 0
+        depth = 0
+        start = None
+        new_comments = (
+            tuple(_comment_spans(new_seg)) if new_seg is not seg
+            else comments
+        )
+        for j, c in enumerate(new_seg):
+            if any(a <= j < b for a, b in new_comments):
+                continue
+            if c == "(":
+                if depth == 0:
+                    out.append(new_seg[i:j + 1])
+                    i = j + 1
+                    start = j + 1
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append(_segment(new_seg[start:j]))
+                    i = j
+                    start = None
+        # trailing text — including the interior of an unclosed '('
+        # (unbalanced input passes through verbatim)
+        out.append(new_seg[i:])
+        return "".join(out)
+
+    return _segment(masked)
+
+
 _ASOF_JOIN = re.compile(r"(?i)\basof\s+(left\s+)?join\b")
 _ON_END = re.compile(
     r"(?i)\b(where|group\s+by|order\s+by|limit|having|union|settings"
@@ -3724,6 +4174,56 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             if len(a) == 2 else None
         ),
     )
+
+    # ---- reinterpretAs[U]Int{8,16,32,64} (batch 25) ----
+    # CH reads the argument's RAW BYTES little-endian, zero-padding a
+    # short string and ignoring extra bytes. For a string argument
+    # that is fully expressible: hex() the w-byte binary prefix,
+    # flip the byte pairs (little→big endian), conv() back. Int64/
+    # UInt64 read the 64-bit pattern via conv(…, 16, -10) — the
+    # UInt64 case is the same two's-complement reading documented on
+    # rand64(). Narrower signed widths sign-extend in a closed form.
+    # Non-string arguments (CH also reinterprets numerics/dates) fail
+    # LOUDLY: Spark cannot cast a number to binary, so the emitted
+    # cast raises at analysis instead of silently mis-reading.
+    def _reinterpret_int(w: int, signed: bool):
+        bits = 8 * w
+        # Int8/16/32 and UInt8/16 fit int; UInt32 (max 2^32-1) and
+        # both 64-bit forms are bigint
+        ty = "int" if (w <= 2 or (signed and w <= 4)) else "bigint"
+
+        def render(a: list[str]) -> str | None:
+            if len(a) != 1:
+                return None
+            hx = (
+                f"rpad(hex(substring(cast({a[0]} as binary), 1, {w})),"
+                f" {2 * w}, '0')"
+            )
+            rev = (
+                f"array_join(reverse(transform(sequence(1, {w}),"
+                f" __rb -> substring({hx}, 2 * __rb - 1, 2))), '')"
+            )
+            if w == 8:
+                # signed and unsigned read the same 64 bits
+                return f"cast(conv({rev}, 16, -10) as bigint)"
+            u = f"cast(conv({rev}, 16, 10) as bigint)"
+            if not signed:
+                return f"cast({u} as {ty})"
+            return (
+                f"cast(IF({u} >= {1 << (bits - 1)},"
+                f" {u} - {1 << bits}, {u}) as {ty})"
+            )
+
+        return render
+
+    for _w in (1, 2, 4, 8):
+        out = _rewrite_calls(
+            out, f"reinterpretAsUInt{8 * _w}", _reinterpret_int(_w, False)
+        )
+        out = _rewrite_calls(
+            out, f"reinterpretAsInt{8 * _w}", _reinterpret_int(_w, True)
+        )
+
     # CH upper/lower fold ASCII ONLY (upperUTF8/lowerUTF8 above are
     # the full-Unicode forms) — Spark's native upper/lower fold full
     # Unicode, silently changing non-ASCII group keys / comparisons
@@ -7055,6 +7555,9 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     masked = _rewrite_sample_clause(masked)
     # CH constant-expression WITH (expr AS ident) → inline at uses
     masked = _rewrite_scalar_with(masked)
+    # CH select-list alias visibility: bare alias refs in WHERE inline
+    # as their expressions (Spark filters bind before projection)
+    masked = _inline_select_aliases_in_where(masked, lits)
     # [t.]* [EXCEPT(...)] REPLACE(expr AS col, …) → EXCEPT + re-add
     masked = _rewrite_star_replace(masked)
     # runningDifference / neighbor / runningAccumulate /

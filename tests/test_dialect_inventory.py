@@ -94,6 +94,11 @@ TRANSLATED = [
     "timeSlots(t1, 600)", "timeSlots(t1, 600, 299)",
     "arrayUnion(a, b)", "mapContainsKeyLike(m, 'a%')",
     "port(u)", "port(u, 443)", "numbers(10)", "numbers(5, 3)",
+    # r10 batch 25: little-endian byte reads (string args; numeric
+    # args fail loudly at the emitted cast-to-binary)
+    "reinterpretAsUInt64(s)", "reinterpretAsInt64(s)",
+    "reinterpretAsUInt32(s)", "reinterpretAsInt8(s)",
+    "reinterpretAsUInt16(s)",
     # count() -> count(*) keeps its own name (pinned by value in
     # test_units instead of the name-gone check here)
 ]
@@ -113,9 +118,12 @@ LOUD = [
     # forms translate to windows — test_inventory_block_order_family)
     "runningDifference(x)", "neighbor(x, 1)", "runningAccumulate(st)",
     "groupArrayMovingSum(3)(x)", "deltaSum(x)",
-    # needs infrastructure absent at text level
+    # needs infrastructure absent at text level (byteSwap/
+    # reinterpretAsFloat are input-TYPE-width-dependent, unknowable
+    # from text; the [U]IntN reads on strings translate — batch 25)
     "byteSwap(x)", "bitSlice(s, 1, 4)",
-    "reinterpretAsUInt64(s)", "tupleConcat(t1, t2)",
+    "reinterpretAsFloat64(x)", "reinterpretAsUInt128(x)",
+    "tupleConcat(t1, t2)",
     # unsupported parameter shapes (supported shapes translate)
     "toYearWeek(d, 8)", "toWeek(d, 8)", "JSONExtractInt(j, k, 0)",
     "age('fortnight', a, b)",

@@ -4578,3 +4578,124 @@ def test_order_by_nulls_last_comment_safety(spark):
         got = T(src)
         parser.parsePlan(got)
         assert T(got) == got
+
+
+def test_alias_visibility_where_and_groupby(spark):
+    """Batch 25: ClickHouse resolves a SELECT-list alias anywhere in
+    its statement with alias-over-column preference
+    (prefer_column_name_to_alias = 0). Spark cannot resolve an alias
+    in WHERE at all, and in GROUP BY a name that is ALSO a source
+    column binds the RAW column — `id%2 AS id … GROUP BY id` makes 10
+    groups instead of 2, silently. The translator inlines the aliased
+    expression into WHERE predicates and GROUP BY keys; HAVING and
+    ORDER BY already bind the output alias in Spark (verified live
+    here), matching CH, and stay untouched."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    # WHERE: alias is not a source column — Spark alone would throw
+    r = spark.sql(T("select id + 1 as k from range(5) where k > 2"))
+    assert sorted(x["k"] for x in r.collect()) == [3, 4, 5]
+    # WHERE: alias SHADOWS the source column (the silent-wrong case:
+    # un-translated Spark binds raw `c`, returns the 'x' row)
+    r = spark.sql(T(
+        "select upper(c) as c from (select 'x' as c) where c = 'X'"
+    )).collect()
+    assert [x["c"] for x in r] == ["X"]
+    # GROUP BY: same-named alias must group at ALIAS grain (2 groups),
+    # not source grain (10 groups)
+    r = spark.sql(T(
+        "select id % 2 as id, count() as c from range(10) group by id"
+    )).collect()
+    assert sorted((x["id"], x["c"]) for x in r) == [(0, 5), (1, 5)]
+    # chained aliases pre-expand; HAVING stays alias-bound natively
+    r = spark.sql(T(
+        "select id % 2 as g, g + 10 as gg, sum(id) as s from range(10)"
+        " group by g, gg having s > 21"
+    )).collect()
+    assert [(x["g"], x["gg"], x["s"]) for x in r] == [(1, 11, 25)]
+    # subquery scopes stay independent; lambda params shadow
+    r = spark.sql(T(
+        "select x as k from (select id as x, id as j from range(4)"
+        " where j >= 1) where k < 3 and exists(array(9), k -> k > 2)"
+    )).collect()
+    assert sorted(x["k"] for x in r) == [1, 2]
+    # text pins: untouched clauses, comments, set-op branches
+    assert T("select sum(x) as s from t where y > 0") == (
+        "select sum(x) as s from t where y > 0")
+    assert T("select a as b from t -- where b\nwhere b > 0") == (
+        "select a as b from t -- where b\nwhere (a) > 0")
+    assert T(
+        "select a as b from t where b > 0"
+        " union all select c as d from u where d < 0"
+    ) == (
+        "select a as b from t where (a) > 0"
+        " union all select c as d from u where (c) < 0")
+    # self-reference binds the INNER name to the source column and
+    # re-translation is a fixed point
+    t1 = T("select substring(name, 1, 2) as name from t where name = 'ab'")
+    assert t1 == ("select substring(name, 1, 2) as name from t"
+                  " where (substring(name, 1, 2)) = 'ab'")
+    assert T(t1) == t1
+    # window specs and window-function ARGUMENTS are lateral in CH
+    # too — Spark raises LATERAL_COLUMN_ALIAS_IN_WINDOW without the
+    # inline (verified live); named WINDOW clauses included
+    r = spark.sql(T(
+        "select id % 2 as g, id + 1 as k,"
+        " sum(k) over (partition by g order by k) as rs from range(6)"
+    )).collect()
+    assert sorted((x["g"], x["k"], x["rs"]) for x in r) == [
+        (0, 1, 1), (0, 3, 4), (0, 5, 9), (1, 2, 2), (1, 4, 6), (1, 6, 12)]
+    r = spark.sql(T(
+        "select id % 3 as g, count() over w as c from range(6)"
+        " window w as (partition by g)"
+    )).collect()
+    assert all(x["c"] == 2 for x in r) and len(r) == 6
+    # a second depth-0 `AS name` definition (table/ARRAY JOIN alias)
+    # keeps the column binding — real CH throws "multiple expressions
+    # for alias"; aggregate-valued aliases never inline
+    src = ("select s as k, toInt64(0) as s from t"
+           " array join sl as s group by s")
+    assert "group by s" in T(src)
+    # window forms keep the COLUMN binding for self-referential
+    # aliases (`toFloat64(rev) AS rev` + `sum(rev) OVER …` must keep
+    # summing the source decimal — qw2's shape); non-self-referential
+    # aliases still inline into specs
+    t2 = T("select toFloat64(rev) as rev, k % 2 as g,"
+           " sum(rev) over (partition by g) as s from t")
+    assert "sum(rev) over (partition by (k % 2))" in t2
+
+
+def test_reinterpret_as_int_family(spark):
+    """Batch 25: reinterpretAs[U]Int{8,16,32,64} read the argument's
+    raw bytes little-endian (short strings zero-pad, extra bytes are
+    ignored — ClickHouse docs/Impl). Emission: hex() of the w-byte
+    binary prefix, byte-pair flip, conv() back; 64-bit forms read the
+    bit pattern via conv(…, 16, -10) (the UInt64 two's-complement
+    reading documented on rand64). Oracle: Python struct.unpack on
+    the same UTF-8 bytes. Numeric args fail loudly (no numeric→binary
+    cast in Spark)."""
+    import struct
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    r = spark.sql(T(
+        "select reinterpretAsUInt64('abcdefgh') as a,"
+        " reinterpretAsUInt64('') as b, reinterpretAsUInt64('ab') as c,"
+        " reinterpretAsInt64('abcdefgh') as d,"
+        " reinterpretAsUInt16('я') as e, reinterpretAsUInt8('я') as f,"
+        " reinterpretAsInt8('я') as g, reinterpretAsUInt32('abcd') as h,"
+        " reinterpretAsInt32('zzzz') as i, reinterpretAsInt16('abc') as j,"
+        " reinterpretAsInt8(unbase64('/w==')) as k"
+    )).collect()[0]
+    ya = "я".encode("utf8")
+    assert r["a"] == struct.unpack("<Q", b"abcdefgh")[0]
+    assert r["b"] == 0
+    assert r["c"] == struct.unpack("<Q", b"ab" + b"\0" * 6)[0]
+    assert r["d"] == struct.unpack("<q", b"abcdefgh")[0]
+    assert r["e"] == struct.unpack("<H", ya)[0]
+    assert r["f"] == ya[0]
+    assert r["g"] == struct.unpack("<b", ya[:1])[0]
+    assert r["h"] == struct.unpack("<I", b"abcd")[0]
+    assert r["i"] == struct.unpack("<i", b"zzzz")[0]
+    assert r["j"] == struct.unpack("<h", b"ab")[0]
+    assert r["k"] == -1  # 0xff high-bit byte sign-extends
