@@ -1960,10 +1960,6 @@ def _rewrite_scalar_with(masked: str) -> str:
 
 # select-list alias visibility in WHERE (batch 25). Tokens that end a
 # WHERE clause at its own paren depth; parens tracked alongside.
-_WHERE_END = re.compile(
-    r"(?i)\b(group\s+by|having|order\s+by|limit|qualify|window|union"
-    r"|intersect|except|settings|format|into)\b|[()]"
-)
 _SET_OP = re.compile(r"(?i)\b(union(\s+(all|distinct))?|intersect"
                      r"(\s+(all|distinct))?|except(\s+(all|distinct))?)\b|[()]")
 _KW = re.compile(r"(?i)\bselect\b|\bfrom\b|\bwhere\b|[()]")

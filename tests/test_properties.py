@@ -68,6 +68,12 @@ def test_dialect_idempotent_on_arbitrary_text_without_ch_calls(sql):
         # r5: array-literal brackets and the SAMPLE clause are CH
         # constructs with translations of their own
         return
+    if re.search(r"(?is)\bselect\b.*\bas\b.*\bfrom\b", sql):
+        # r10 batch 25: a select-list `AS name` whose name recurs in
+        # WHERE/GROUP BY/window forms legitimately inlines (CH alias
+        # visibility), so texts shaped like a SELECT with aliases are
+        # out of the identity property's scope
+        return
     # unbalanced parens inside actual calls can legitimately raise —
     # but with no CH call present, output must equal input
     assert translate_ch_sql(sql) == sql
@@ -885,3 +891,44 @@ def test_byte_string_semantics_differential_vs_python(spark):
         r = got[i]
         for k, v in exp[i].items():
             assert r[k] == v, f"{s!r}.{k}: {r[k]!r} != {v!r}"
+
+
+def test_alias_visibility_differential_vs_duckdb(spark):
+    """Batch 25 differential: DuckDB natively resolves SELECT-list
+    aliases in WHERE and GROUP BY (when no source column conflicts),
+    so on conflict-free names the UNTRANSLATED text runs there while
+    Spark needs the inlining pass — both must produce identical rows.
+    A bounded grid of alias expressions × clause shapes over a tiny
+    integer table; exact value equality."""
+    import duckdb
+
+    exprs = [
+        "id % 4", "id + 7", "cast(id as double) / 2",
+        "abs(id - 9)", "(id * 3) % 5",
+    ]
+    shapes = [
+        # (suffix template, needs_group)
+        ("where k > 2", False),
+        ("where k > 1 and k < 9", False),
+        ("group by k", True),
+        ("where k > 0 group by k", True),
+    ]
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    con = duckdb.connect()
+    for ex in exprs:
+        for suffix, grouped in shapes:
+            if grouped:
+                sql = (f"select {ex} as k, cast(count(*) as bigint) as n"
+                       f" from range(20) {suffix} order by k")
+            else:
+                sql = (f"select {ex} as k from range(20) {suffix}"
+                       f" order by k")
+            t = T(sql)
+            assert T(t) == t, ("fixed point", sql, t)
+            got = [tuple(r) for r in spark.sql(t).collect()]
+            want = con.execute(sql.replace(
+                "range(20)",
+                "(select unnest(range(0, 20)) as id)",
+            )).fetchall()
+            assert got == want, (sql, t, got[:5], want[:5])
