@@ -5240,6 +5240,21 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             f"make_date(year({d}), 1, 4)) as date)"
         )
 
+    def _wk_sun4(d: str, yoff: int = 0) -> str:
+        # Sunday starting the week that contains Jan 4 — the
+        # Sunday-first "week 1 has 4+ days this year" anchor
+        # (modes 4/6; validated against MySQL calc_week in
+        # tests/test_properties.py)
+        y = f"year({d})" if yoff == 0 else f"(year({d}) + {yoff})"
+        j4 = f"make_date({y}, 1, 4)"
+        return f"date_sub({j4}, dayofweek({j4}) - 1)"
+
+    def _wk_fm(d: str, yoff: int = 0) -> str:
+        # first Monday of the year — the "week 1 contains a Monday"
+        # anchor (modes 5/7)
+        y = f"year({d})" if yoff == 0 else f"(year({d}) + {yoff})"
+        return f"next_day(date_sub(make_date({y}, 1, 1), 1), {lit('MO')})"
+
     def _wk_num(d: str, anchor: str) -> str:
         return f"(cast(datediff({d}, {anchor}) div 7 as int) + 1)"
 
@@ -5251,6 +5266,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         # Monday-first mode 1: week 1 starts at ISO-week-1's Monday,
         # earlier days are week 0. No with-year rollover in 0/1 —
         # late-December weeks count up to 53 (MySQL WEEK contract).
+        # Modes 4-7 (batch 26) swap the anchors: 4/6 use the
+        # Sunday-start-of-Jan-4's-week (4+ days rule), 5/7 the first
+        # Monday; 6 additionally rolls late-December FORWARD into
+        # next year's week 1 when next year's anchor has arrived
+        # (mode 7's forward branch can never fire: a first-Monday
+        # anchor is always >= Jan 1). Every formula is pinned against
+        # an independent port of MySQL's calc_week in
+        # tests/test_properties.py. Modes 8+ stay loud.
         if len(a) not in (1, 2):
             return None
         mode = a[1].strip() if len(a) == 2 else "0"
@@ -5265,6 +5288,23 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         if mode == "1":
             m1 = _wk_m1(d)
             return f"IF({d} >= {m1}, {_wk_num(d, m1)}, 0)"
+        if mode in ("4", "6"):
+            a4 = _wk_sun4(d)
+            this = _wk_num(d, a4)
+            if mode == "4":
+                return f"IF({d} >= {a4}, {this}, 0)"
+            prev = _wk_num(d, _wk_sun4(d, -1))
+            return (
+                f"IF({d} >= {_wk_sun4(d, 1)}, 1, "
+                f"IF({d} >= {a4}, {this}, {prev}))"
+            )
+        if mode in ("5", "7"):
+            fm = _wk_fm(d)
+            this = _wk_num(d, fm)
+            if mode == "5":
+                return f"IF({d} >= {fm}, {this}, 0)"
+            prev = _wk_num(d, _wk_fm(d, -1))
+            return f"IF({d} >= {fm}, {this}, {prev})"
         return None
 
     out = _rewrite_calls(out, "toWeek", _to_week)
@@ -5290,6 +5330,26 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
                 f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + "
                 f"weekofyear({a[0]}))"
             )
+        if mode in ("4", "6"):
+            # YEARWEEK always year-adjusts (mode 4 ≡ 6), incl. the
+            # forward roll into next year's week 1
+            a4 = _wk_sun4(d)
+            this = f"(year({d}) * 100 + {_wk_num(d, a4)})"
+            prev = (
+                f"((year({d}) - 1) * 100 + "
+                f"{_wk_num(d, _wk_sun4(d, -1))})"
+            )
+            return (
+                f"IF({d} >= {_wk_sun4(d, 1)}, (year({d}) + 1) * 100 + 1, "
+                f"IF({d} >= {a4}, {this}, {prev}))"
+            )
+        if mode in ("5", "7"):
+            fm = _wk_fm(d)
+            this = f"(year({d}) * 100 + {_wk_num(d, fm)})"
+            prev = (
+                f"((year({d}) - 1) * 100 + {_wk_num(d, _wk_fm(d, -1))})"
+            )
+            return f"IF({d} >= {fm}, {this}, {prev})"
         return None
 
     out = _rewrite_calls(out, "toYearWeek", _to_yearweek)

@@ -67,7 +67,12 @@ TRANSLATED = [
     # runtime hasToken needles (guard + raise on invalid, CH contract)
     "toWeek(d)", "toWeek(d, 0)", "toWeek(d, 1)", "toWeek(d, 2)",
     "toYearWeek(d)", "toYearWeek(d, 0)", "toYearWeek(d, 1)",
-    "toYearWeek(d, 2)", "defaultValueOfTypeName('Int32')",
+    "toYearWeek(d, 2)",
+    # r10 batch 26: MySQL week modes 4-7 (validated against an
+    # independent port of MySQL's calc_week in test_properties)
+    "toWeek(d, 4)", "toWeek(d, 5)", "toWeek(d, 6)", "toWeek(d, 7)",
+    "toYearWeek(d, 4)", "toYearWeek(d, 5)", "toYearWeek(d, 6)",
+    "toYearWeek(d, 7)", "defaultValueOfTypeName('Int32')",
     "defaultValueOfTypeName('Nullable(String)')",
     "defaultValueOfTypeName('Decimal(10,2)')",
     "defaultValueOfTypeName('UUID')",

@@ -793,13 +793,69 @@ def test_week_modes_differential_vs_python(spark):
                      + dt.timedelta((i * 2654435761) % 25000))
     dates = sorted(set(dates))
 
+    def calc_week(d, mode):
+        # independent port of MySQL my-time.cc calc_week() + the
+        # week_mode() FIRST_WEEKDAY flip for Sunday-first modes —
+        # the actual engine algorithm, vs the translator's
+        # anchor-date formulas (r10 batch 26: modes 4-7)
+        wb = mode & 7
+        if not (wb & 1):
+            wb ^= 4
+        monday_first = wb & 1
+        week_year = bool(wb & 2)
+        first_weekday = wb & 4
+        daynr = d.toordinal()
+        first_daynr = dt.date(d.year, 1, 1).toordinal()
+        wd_mon = dt.date(d.year, 1, 1).weekday()
+        weekday = wd_mon if monday_first else (wd_mon + 1) % 7
+        year = d.year
+
+        def diy(y):
+            return 366 if (y % 4 == 0 and (y % 100 or y % 400 == 0)
+                           ) else 365
+
+        if d.month == 1 and d.day <= 7 - weekday:
+            if not week_year and (
+                (first_weekday and weekday != 0)
+                or (not first_weekday and weekday >= 4)
+            ):
+                return year, 0
+            week_year = True
+            year -= 1
+            days = diy(year)
+            first_daynr -= days
+            weekday = (weekday + 53 * 7 - days) % 7
+        if (first_weekday and weekday != 0) or (
+            not first_weekday and weekday >= 4
+        ):
+            days = daynr - (first_daynr + (7 - weekday))
+        else:
+            days = daynr - (first_daynr - weekday)
+        if week_year and days >= 52 * 7:
+            weekday = (weekday + diy(year)) % 7
+            if (not first_weekday and weekday < 4) or (
+                first_weekday and weekday == 0
+            ):
+                return year + 1, 1
+        return year, days // 7 + 1
+
+    def wk(d, mode):
+        return calc_week(d, mode)[1]
+
+    def yw(d, mode):
+        y, w = calc_week(d, (mode & 7) | 2)
+        return y * 100 + w
+
     rows = [(i, d) for i, d in enumerate(dates)]
     spark.createDataFrame(rows, "i int, d date").createOrReplaceTempView(
         "wk_fuzz"
     )
     got = {r["i"]: r for r in spark.sql(T(
         "select i, toWeek(d) w0, toWeek(d, 1) w1, toWeek(d, 2) w2, "
-        "toYearWeek(d) y0, toYearWeek(d, 1) y1, toYearWeek(d, 2) y2 "
+        "toYearWeek(d) y0, toYearWeek(d, 1) y1, toYearWeek(d, 2) y2, "
+        "toWeek(d, 4) w4, toWeek(d, 5) w5, toWeek(d, 6) w6, "
+        "toWeek(d, 7) w7, toYearWeek(d, 4) y4, toYearWeek(d, 5) y5, "
+        "toYearWeek(d, 6) y6, toYearWeek(d, 7) y7 "
         "from wk_fuzz"
     )).collect()}
     for i, d in rows:
@@ -807,6 +863,14 @@ def test_week_modes_differential_vs_python(spark):
         exp = (w0(d), w1(d), w2(d), y0(d), y1(d), y0(d))
         act = (r["w0"], r["w1"], r["w2"], r["y0"], r["y1"], r["y2"])
         assert act == exp, f"{d}: {act} != {exp}"
+        # the anchor-formula refs above double-check calc_week on
+        # modes 0-2; calc_week alone is the reference for 4-7
+        assert (w0(d), w1(d), w2(d)) == (wk(d, 0), wk(d, 1), wk(d, 2))
+        exp47 = (wk(d, 4), wk(d, 5), wk(d, 6), wk(d, 7),
+                 yw(d, 4), yw(d, 5), yw(d, 6), yw(d, 7))
+        act47 = (r["w4"], r["w5"], r["w6"], r["w7"],
+                 r["y4"], r["y5"], r["y6"], r["y7"])
+        assert act47 == exp47, f"{d}: {act47} != {exp47}"
 
 
 def test_byte_string_semantics_differential_vs_python(spark):
