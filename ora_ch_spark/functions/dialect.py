@@ -6157,9 +6157,116 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     )
     # same documented role-drift as cityHash64/sipHash64: a 64-bit
     # uniform hash, not CH's exact bit pattern
-    for _h in ("farmHash64", "farmFingerprint64", "metroHash64", "halfMD5"):
+    for _h in ("farmHash64", "farmFingerprint64", "metroHash64", "halfMD5",
+               "murmurHash2_64", "murmurHash3_64", "gccMurmurHash",
+               "intHash64"):
         out = _rewrite_calls(
             out, _h, lambda a: f"xxhash64({', '.join(a)})"
+        )
+    # 32-bit variants keep the UInt32 RANGE (their common use is
+    # modulo bucketing): uniform fold of the 64-bit hash
+    for _h in ("murmurHash2_32", "murmurHash3_32", "intHash32"):
+        out = _rewrite_calls(
+            out, _h,
+            lambda a: f"pmod(xxhash64({', '.join(a)}), 4294967296)",
+        )
+
+    # ---- batch 27 (r10 sweep closures) ----
+    # positiveModulo ≡ pmod exactly (result sign follows the divisor
+    # magnitude, always non-negative)
+    for _pm in ("positiveModulo", "positive_modulo"):
+        out = _rewrite_calls(
+            out, _pm,
+            lambda a: f"pmod({a[0]}, {a[1]})" if len(a) == 2 else None,
+        )
+    out = _rewrite_calls(
+        out, "nanIfNull",
+        lambda a: (
+            f"IF({a[0]} IS NULL, cast({lit('NaN')} as double), {a[0]})"
+            if len(a) == 1 else None
+        ),
+    )
+    # case-insensitive countMatches: the (?i) inline flag; constant
+    # patterns fold, non-constant ones fail loudly (Spark requires a
+    # foldable regexp) — same contract as the base form
+    out = _rewrite_calls(
+        out, "countMatchesCaseInsensitive",
+        lambda a: (
+            f"size(regexp_extract_all({a[0]}, "
+            f"concat({lit('(?i)')}, {a[1]}), 0))"
+            if len(a) == 2 else None
+        ),
+    )
+    # substringIndexUTF8 ≡ Spark's substring_index (code-point units)
+    out = _rewrite_calls(
+        out, "substringIndexUTF8",
+        lambda a: (
+            f"substring_index({', '.join(a)})" if len(a) == 3 else None
+        ),
+    )
+    # LowCardinality is a storage-encoding annotation — identity here
+    out = _rewrite_calls(
+        out, "toLowCardinality",
+        lambda a: f"({a[0]})" if len(a) == 1 else None,
+    )
+    # Spark strings are validated on read (invalid bytes already
+    # replaced), so every non-NULL string IS valid UTF-8 — the same
+    # reasoning as the toValidUTF8 identity
+    out = _rewrite_calls(
+        out, "isValidUTF8",
+        lambda a: (
+            f"IF({a[0]} IS NULL, cast(NULL as int), 1)"
+            if len(a) == 1 else None
+        ),
+    )
+    # UTCTimestamp(): the current instant as a UTC wall clock
+    out = _rewrite_calls(
+        out, "UTCTimestamp",
+        lambda a: (
+            "to_utc_timestamp(current_timestamp(), current_timezone())"
+            if not any(x.strip() for x in a) else None
+        ),
+    )
+    # timeDiff(a, b) ≡ dateDiff('second', a, b): second-boundary
+    # difference, b minus a
+    out = _rewrite_calls(
+        out, "timeDiff",
+        lambda a: (
+            f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))"
+            if len(a) == 2 else None
+        ),
+    )
+    # ULID: first 10 chars are the Crockford-base32 48-bit unix
+    # millisecond timestamp (tz display arg stays loud; invalid
+    # alphabet chars are undefined — CH throws)
+    out = _rewrite_calls(
+        out, "ULIDStringToDateTime",
+        lambda a: (
+            f"timestamp_millis(aggregate(sequence(1, 10), 0L, "
+            f"(__ua, __ui) -> __ua * 32 + locate(substring(ucase({a[0]}),"
+            f" __ui, 1), "
+            + lit("0123456789ABCDEFGHJKMNPQRSTVWXYZ")
+            + ") - 1))"
+            if len(a) == 1 else None
+        ),
+    )
+    # quoteMeta/regexpQuoteMeta: backslash before CH's exact meta set
+    # \ | ( ) ^ $ . [ ] ? * + { : -  (the \0 byte can't appear in a
+    # validated Spark string). The regex and replacement are built as
+    # raw Java-level strings and SQL-escaped programmatically — the
+    # double-escaping layers (Python → SQL literal → regex engine)
+    # are exactly the batch-20 backslash trap.
+    _qm_regex_java = r"([\\\[\]|()^$.?*+{:-])"
+    _qm_sql = _qm_regex_java.replace("\\", "\\\\")
+    _qm_repl_sql = r"\\$1".replace("\\", "\\\\")
+    for _qm in ("regexpQuoteMeta", "quoteMeta"):
+        out = _rewrite_calls(
+            out, _qm,
+            lambda a: (
+                f"regexp_replace({a[0]}, "
+                + lit(_qm_sql) + ", " + lit(_qm_repl_sql) + ")"
+                if len(a) == 1 else None
+            ),
         )
     # CH timestamp_add/sub(date, INTERVAL n unit) → plain arithmetic;
     # addDate/subDate are the same shape (r10 — were loud)

@@ -104,6 +104,14 @@ TRANSLATED = [
     "reinterpretAsUInt64(s)", "reinterpretAsInt64(s)",
     "reinterpretAsUInt32(s)", "reinterpretAsInt8(s)",
     "reinterpretAsUInt16(s)",
+    # r10 batch 27 sweep closures
+    "positiveModulo(a, b)", "nanIfNull(x)",
+    "countMatchesCaseInsensitive(s, 'p')",
+    "substringIndexUTF8(s, '.', 2)", "toLowCardinality(x)",
+    "isValidUTF8(s)", "UTCTimestamp()", "timeDiff(a, b)",
+    "ULIDStringToDateTime(s)", "regexpQuoteMeta(s)", "quoteMeta(s)",
+    "murmurHash2_64(x)", "murmurHash3_32(x)", "intHash32(x)",
+    "intHash64(x)", "gccMurmurHash(x)",
     # count() -> count(*) keeps its own name (pinned by value in
     # test_units instead of the name-gone check here)
 ]

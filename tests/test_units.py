@@ -4699,3 +4699,78 @@ def test_reinterpret_as_int_family(spark):
     assert r["i"] == struct.unpack("<i", b"zzzz")[0]
     assert r["j"] == struct.unpack("<h", b"ab")[0]
     assert r["k"] == -1  # 0xff high-bit byte sign-extends
+
+
+def test_dialect_batch27(spark):
+    """r10 batch 27 — sweep closures: positiveModulo ≡ pmod;
+    nanIfNull; case-insensitive countMatches via the (?i) flag;
+    substringIndexUTF8 (code-point units = Spark native);
+    toLowCardinality identity (storage annotation); isValidUTF8 ≡ 1
+    on validated Spark strings (toValidUTF8 reasoning); timeDiff =
+    second-boundary difference; ULID timestamp decode (Crockford
+    base32 48-bit ms — vs an independent Python fold); quoteMeta
+    with ClickHouse's exact meta set; murmur/intHash role-drift to
+    xxhash64 (documented non-bit-identical, 32-bit forms keep the
+    UInt32 range)."""
+    import datetime as dt
+    import math
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def one(sql):
+        out = T(sql)
+        assert T(out) == out, out
+        return spark.sql(out).collect()[0]
+
+    r = one(
+        "select positiveModulo(-5, 3) as pm, positiveModulo(7, -3) as pm2,"
+        " nanIfNull(cast(NULL as double)) as nn, nanIfNull(2.5) as nn2,"
+        " countMatchesCaseInsensitive('AbaBa', 'b') as cm,"
+        " substringIndexUTF8('жж.yy.zz', '.', 2) as si,"
+        " toLowCardinality('x') as lc, isValidUTF8('ok') as v1,"
+        " isValidUTF8(cast(NULL as string)) as v2,"
+        " timeDiff(toDateTime('2020-01-01 00:00:01'),"
+        "          toDateTime('2020-01-01 00:02:03')) as td,"
+        " murmurHash2_64('x') as h64, intHash32(5) as h32,"
+        " murmurHash3_32('y') as m32"
+    )
+    assert (r["pm"], r["pm2"]) == (1, 1)
+    assert math.isnan(r["nn"]) and r["nn2"] == 2.5
+    assert r["cm"] == 2
+    assert r["si"] == "жж.yy"
+    assert r["lc"] == "x" and r["v1"] == 1 and r["v2"] is None
+    assert r["td"] == 122
+    assert isinstance(r["h64"], int)
+    assert 0 <= r["h32"] < 2**32 and 0 <= r["m32"] < 2**32
+
+    alpha = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+    def ulid_ms(s):
+        v = 0
+        for c in s[:10].upper():
+            v = v * 32 + alpha.index(c)
+        return v
+
+    for ulid in ("01AN4Z07BY79KA1307SR9X4MV3",
+                 "01ARZ3NDEKTSV4RRFFQ69G5FAV",
+                 "00000000010000000000000000"):
+        got = one(f"select ULIDStringToDateTime('{ulid}') as t")["t"]
+        exp = dt.datetime.utcfromtimestamp(ulid_ms(ulid) / 1000.0)
+        assert abs((got - exp).total_seconds()) < 0.001, (ulid, got, exp)
+
+    meta = set("\\|()^$.[]?*+{:-")
+
+    def ch_quote_meta(s):
+        return "".join(("\\" + c) if c in meta else c for c in s)
+
+    tests = ["a.b", "x|y(z)", "[set]^$", "plain", "a{2}", "t:-m",
+             "q?*+", "b\\s", "mix\\[a]{b}"]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tests)], "i int, s string"
+    ).createOrReplaceTempView("qm27")
+    t27 = T("select i, regexpQuoteMeta(s) as q, quoteMeta(s) as q2"
+            " from qm27")
+    assert T(t27) == t27
+    got = {x["i"]: (x["q"], x["q2"]) for x in spark.sql(t27).collect()}
+    for i, s in enumerate(tests):
+        assert got[i] == (ch_quote_meta(s), ch_quote_meta(s)), (s, got[i])
