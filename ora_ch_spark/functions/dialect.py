@@ -54,8 +54,9 @@ reading. ``round()`` at exact halves — CH uses banker's rounding for
 Float inputs and half-away for Decimal; the input type is unknowable
 at text level, so the native half-away applies (CH's explicit
 ``roundBankers`` maps to ``bround``). Float division by zero — CH
-yields ±Inf/NaN, Spark yields NULL (``intDivOrZero``/``moduloOrZero``
-are translated exactly). ``least``/``greatest``/``min2``/``max2`` on
+yields ±Inf/NaN; under this engine's ANSI mode Spark raises
+DIVIDE_BY_ZERO, a loud-not-silent drift (``intDivOrZero``/
+``moduloOrZero`` are translated exactly). ``least``/``greatest``/``min2``/``max2`` on
 NULL inputs — CH propagates NULL (ordinary-function rule), Spark
 skips NULLs; rewriting would corrupt this translator's own ~30
 greatest()/least() emissions or break the T∘T fixed point, so the
@@ -73,12 +74,12 @@ is INPUT-TYPE-dependent, unknowable at text level, so the translated
 ``sum(CASE WHEN …)`` keeps Spark's NULL (the Nullable reading — the
 right one for this engine, where parquet columns are nullable);
 ``countIf`` → count_if is exactly 0 either way. ``toInt32``-family
-casts of a NON-NUMERIC string — CH throws (the OrZero/OrNull variants
-are the non-throwing ones, both translated exactly via try_cast);
-Spark's cast yields NULL, i.e. the bare form silently behaves like
-OrNull on invalid data. A per-row raise_error guard on every numeric
-cast was judged too costly for the hot path; drift only exists on
-data CH would refuse to process at all.
+casts of a NON-NUMERIC string: this engine runs ANSI mode, so the
+emitted cast THROWS exactly like CH does (verified live:
+CAST_INVALID_INPUT); the OrZero/OrNull variants are the non-throwing
+ones, both translated via try_cast. On OVERFLOW of a wider integer
+CH wraps silently while the ANSI cast raises CAST_OVERFLOW — a drift
+in the loud direction.
 
 Alias visibility (batch 25): ClickHouse resolves SELECT-list aliases
 in WHERE and GROUP BY, preferring the alias over a same-named source
@@ -5603,11 +5604,71 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(
         out, "cutFragment", lambda a: f"substring_index({a[0]}, {lit('#')}, 1)"
     )
+    # URL codecs (batch 28 fixed a silent drift here): Spark's
+    # url_encode/url_decode are Java FORM codecs — space↔'+', '*'
+    # kept, '~' encoded — while CH's Component forms are RFC-3986
+    # percent codecs (space→%20, '+' literal, unreserved -_.~ kept).
+    # Every delta is patched char-exactly; pinned against Python's
+    # urllib.parse.quote/quote_plus/unquote in test_units.
     out = _rewrite_calls(
-        out, "decodeURLComponent", lambda a: f"url_decode({a[0]})"
+        out, "decodeURLComponent",
+        # '+' must SURVIVE (CH leaves it); protect before url_decode
+        lambda a: (
+            f"url_decode(replace({a[0]}, " + lit("+") + ", "
+            + lit("%2B") + "))"
+        ),
     )
     out = _rewrite_calls(
-        out, "encodeURLComponent", lambda a: f"url_encode({a[0]})"
+        out, "decodeURLFormComponent",
+        lambda a: f"url_decode({a[0]})",
+    )
+    out = _rewrite_calls(
+        out, "encodeURLComponent",
+        lambda a: (
+            "replace(replace(replace(url_encode(" + a[0] + "), "
+            + lit("+") + ", " + lit("%20") + "), "
+            + lit("*") + ", " + lit("%2A") + "), "
+            + lit("%7E") + ", " + lit("~") + ")"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "encodeURLFormComponent",
+        lambda a: (
+            "replace(replace(url_encode(" + a[0] + "), "
+            + lit("*") + ", " + lit("%2A") + "), "
+            + lit("%7E") + ", " + lit("~") + ")"
+        ),
+    )
+    # cutWWW: at most one leading 'www.' comes off the domain
+    out = _rewrite_calls(
+        out, "cutWWW",
+        lambda a: (
+            f"regexp_replace({a[0]}, "
+            + lit("^((?:[A-Za-z][A-Za-z0-9+.-]*://)?)www\\\\.")
+            + ", " + lit("$1") + ")"
+            if len(a) == 1 else None
+        ),
+    )
+    # URL parameter lists from the query string ('' query → empty
+    # array, matching CH)
+    out = _rewrite_calls(
+        out, "extractURLParameters",
+        lambda a: (
+            f"filter(split(coalesce(parse_url({a[0]}, "
+            + lit("QUERY") + "), " + lit("") + "), " + lit("&")
+            + "), __p -> __p != " + lit("") + ")"
+            if len(a) == 1 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "extractURLParameterNames",
+        lambda a: (
+            f"transform(filter(split(coalesce(parse_url({a[0]}, "
+            + lit("QUERY") + "), " + lit("") + "), " + lit("&")
+            + "), __p -> __p != " + lit("") + "), "
+            + "__p -> substring_index(__p, " + lit("=") + ", 1))"
+            if len(a) == 1 else None
+        ),
     )
 
     # ---- dictGet family (registry-resolved) ----
@@ -6267,6 +6328,154 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
                 + lit(_qm_sql) + ", " + lit(_qm_repl_sql) + ")"
                 if len(a) == 1 else None
             ),
+        )
+
+    # ---- batch 28 (r10 sweep wave 2) ----
+    # arrayReduce over a CONSTANT aggregate name: per-row closed
+    # forms. NULL elements are skipped (CH aggregate rule); sum/avg
+    # carry the -Array combinators' documented double-widening; avg
+    # of an all-NULL/empty array is NaN (CH's empty avg state).
+    # Unknown aggregate names stay loud.
+    def _array_reduce(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        agg = _lit_text(a[0], lits)
+        if agg is None:
+            return None
+        agg = agg[1:-1].strip()
+        arr = a[1]
+        nn = f"filter({arr}, __ar -> __ar IS NOT NULL)"
+        s = (
+            f"aggregate({nn}, cast(0 as double), "
+            f"(__aa, __ar) -> __aa + cast(__ar as double))"
+        )
+        cnt = f"size({nn})"
+        forms = {
+            "min": f"array_min({arr})",
+            "max": f"array_max({arr})",
+            "sum": s,
+            "count": f"cast({cnt} as bigint)",
+            "avg": (
+                f"IF({cnt} = 0, cast({lit('NaN')} as double), "
+                f"{s} / {cnt})"
+            ),
+            "any": f"try_element_at({nn}, 1)",
+            "anyLast": f"try_element_at({nn}, -1)",
+            "uniqExact": f"cast(size(array_distinct({nn})) as bigint)",
+            "groupArray": nn,
+        }
+        return forms.get(agg)
+
+    out = _rewrite_calls(out, "arrayReduce", _array_reduce)
+    out = _rewrite_calls(
+        out, "sigmoid",
+        lambda a: (
+            f"(1.0 / (1.0 + exp(-({a[0]}))))" if len(a) == 1 else None
+        ),
+    )
+    # Spark timestamps are microsecond-grained, so the micro floor is
+    # the identity and the nano floor coincides with it (documented
+    # precision bound: DateTime64(9) inputs arrive already truncated)
+    for _tsid in ("toStartOfMicrosecond", "toStartOfNanosecond"):
+        out = _rewrite_calls(
+            out, _tsid,
+            lambda a: (
+                f"cast({a[0]} as timestamp)" if len(a) == 1 else None
+            ),
+        )
+    # median sketch aliases: same role rule as quantileTDigest/Timing
+    for _md in ("medianTiming", "medianTDigest", "medianBFloat16",
+                "medianDeterministic"):
+        out = _rewrite_calls(
+            out, _md,
+            lambda a: f"approx_percentile({a[0]}, 0.5)",
+        )
+    out = _rewrite_calls(
+        out, "currentDatabase",
+        lambda a: (
+            "current_database()" if not any(x.strip() for x in a)
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "currentUser",
+        lambda a: (
+            "current_user()" if not any(x.strip() for x in a) else None
+        ),
+    )
+
+    # multiSearch position family: bare forms return BYTE positions
+    # (batch-23 rule — octet_length of the matched char prefix), UTF8
+    # forms return code-point positions, CaseInsensitive forms fold
+    # ASCII only (translate maps) and the UTF8 CI forms fold Unicode
+    # (lcase). FirstPosition = min nonzero, FirstIndex = 1-based
+    # needle index of the leftmost match (position ties resolve to
+    # the earlier needle via array_position on the positions array).
+    def _ms_positions(
+        hay: str, needles: str, ci_ascii: bool, ci_utf8: bool,
+        byte_units: bool,
+    ) -> str:
+        h, n = hay, "__mn"
+        if ci_ascii:
+            fold_h = (
+                f"translate({h}, " + lit(_ASCII_UP) + ", "
+                + lit(_ASCII_LO) + ")"
+            )
+            fold_n = (
+                f"translate({n}, " + lit(_ASCII_UP) + ", "
+                + lit(_ASCII_LO) + ")"
+            )
+        elif ci_utf8:
+            fold_h, fold_n = f"lcase({h})", f"lcase({n})"
+        else:
+            fold_h, fold_n = h, n
+        cp = f"locate({fold_n}, {fold_h})"
+        if byte_units:
+            pos = (
+                f"IF({cp} = 0, 0, octet_length(substring({fold_h}, 1, "
+                f"{cp} - 1)) + 1)"
+            )
+        else:
+            pos = cp
+        return f"transform({needles}, {n} -> {pos})"
+
+    def _multi_search(kind: str, ci_ascii: bool, ci_utf8: bool,
+                      byte_units: bool):
+        def render(a: list[str]) -> str | None:
+            if len(a) != 2:
+                return None
+            ps = _ms_positions(a[0], a[1], ci_ascii, ci_utf8, byte_units)
+            nz = f"array_min(filter({ps}, __mp -> __mp > 0))"
+            if kind == "all":
+                return ps
+            if kind == "first_pos":
+                return f"coalesce({nz}, 0)"
+            return (
+                f"coalesce(array_position({ps}, {nz}), 0)"
+            )
+
+        return render
+
+    for _base, _kind in (
+        ("multiSearchAllPositions", "all"),
+        ("multiSearchFirstPosition", "first_pos"),
+        ("multiSearchFirstIndex", "first_idx"),
+    ):
+        out = _rewrite_calls(
+            out, _base + "CaseInsensitiveUTF8",
+            _multi_search(_kind, False, True, False),
+        )
+        out = _rewrite_calls(
+            out, _base + "CaseInsensitive",
+            _multi_search(_kind, True, False, _kind != "first_idx"),
+        )
+        out = _rewrite_calls(
+            out, _base + "UTF8",
+            _multi_search(_kind, False, False, False),
+        )
+        out = _rewrite_calls(
+            out, _base,
+            _multi_search(_kind, False, False, _kind != "first_idx"),
         )
     # CH timestamp_add/sub(date, INTERVAL n unit) → plain arithmetic;
     # addDate/subDate are the same shape (r10 — were loud)

@@ -112,6 +112,18 @@ TRANSLATED = [
     "ULIDStringToDateTime(s)", "regexpQuoteMeta(s)", "quoteMeta(s)",
     "murmurHash2_64(x)", "murmurHash3_32(x)", "intHash32(x)",
     "intHash64(x)", "gccMurmurHash(x)",
+    # r10 batch 28 sweep wave 2
+    "arrayReduce('sum', a)", "arrayReduce('avg', a)",
+    "encodeURLComponent(u)", "encodeURLFormComponent(u)",
+    "decodeURLFormComponent(u)", "cutWWW(u)",
+    "extractURLParameters(u)", "extractURLParameterNames(u)",
+    "sigmoid(x)", "toStartOfMicrosecond(t)", "toStartOfNanosecond(t)",
+    "medianTiming(x)", "medianTDigest(x)", "currentDatabase()",
+    "currentUser()", "multiSearchAllPositions(s, ['a'])",
+    "multiSearchFirstPosition(s, ['a'])",
+    "multiSearchFirstIndex(s, ['a'])",
+    "multiSearchAllPositionsUTF8(s, ['a'])",
+    "multiSearchFirstIndexCaseInsensitive(s, ['a'])",
     # count() -> count(*) keeps its own name (pinned by value in
     # test_units instead of the name-gone check here)
 ]
@@ -143,6 +155,7 @@ LOUD = [
     "defaultValueOfTypeName('Array(Int32)')",
     "defaultValueOfTypeName(type_col)",
     "hasToken(s, 'has space')",
+    "arrayReduce('medianExact', a)", "arrayReduce(agg_col, a)",
     # extra args on arity-strict rewrites (r9): loud, never dropped
     "toYear(ts, tz_col)", "toSecond(t1, 9)", "toMonday(d, x)",
     "toInt32(x, 'oops')", "toDayOfWeek(d, 9)",

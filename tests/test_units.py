@@ -4774,3 +4774,101 @@ def test_dialect_batch27(spark):
     got = {x["i"]: (x["q"], x["q2"]) for x in spark.sql(t27).collect()}
     for i, s in enumerate(tests):
         assert got[i] == (ch_quote_meta(s), ch_quote_meta(s)), (s, got[i])
+
+
+def test_dialect_batch28(spark):
+    """r10 batch 28 — sweep wave 2: arrayReduce over constant
+    aggregate names (NULL-skipping closed forms, double-widened
+    sum/avg, NaN empty avg); RFC-3986 vs form URL codecs — Spark's
+    url_encode/url_decode are Java FORM codecs, so the Component
+    forms patch space/'+'/'*'/'~' char-exactly (pinned against
+    urllib.parse.quote/unquote — the old direct mapping silently
+    turned spaces into '+' and decoded literal '+' as space); cutWWW;
+    extractURLParameters/Names; sigmoid; micro/nano floors as the
+    microsecond-grained identity; median sketch aliases;
+    currentDatabase/currentUser; the multiSearch position family in
+    all four case/unit variants (byte positions on bare forms,
+    code-point on UTF8, ASCII fold on CI)."""
+    import math
+    import urllib.parse as up
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def one(sql):
+        out = T(sql)
+        assert T(out) == out, out
+        return spark.sql(out).collect()[0]
+
+    tests = ["hello world", "a+b c", "x*y~z", "тест 1", "a&b=c?d#e",
+             "%41"]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tests)], "i int, s string"
+    ).createOrReplaceTempView("uc28")
+    t1 = T("select i, encodeURLComponent(s) as ec,"
+           " encodeURLFormComponent(s) as ef from uc28")
+    got = {x["i"]: (x["ec"], x["ef"]) for x in spark.sql(t1).collect()}
+    for i, s in enumerate(tests):
+        assert got[i] == (up.quote(s, safe=""), up.quote_plus(s, safe="")), s
+    enc = [up.quote(s, safe="") for s in tests] + ["a+b%20c", "%2B+"]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(enc)], "i int, s string"
+    ).createOrReplaceTempView("ud28")
+    t2 = T("select i, decodeURLComponent(s) as dc,"
+           " decodeURLFormComponent(s) as df from ud28")
+    got = {x["i"]: (x["dc"], x["df"]) for x in spark.sql(t2).collect()}
+    for i, s in enumerate(enc):
+        assert got[i] == (up.unquote(s), up.unquote_plus(s)), s
+
+    r = one("select cutWWW('https://www.example.com/a') as a,"
+            " cutWWW('www.ex.com/p') as b,"
+            " cutWWW('https://sub.www.com/') as c,"
+            " extractURLParameters('http://e.com/?a=1&b=2&c') as ps,"
+            " extractURLParameterNames('http://e.com/?a=1&b=2&c') as ns,"
+            " extractURLParameters('http://e.com/plain') as nops")
+    assert r["a"] == "https://example.com/a" and r["b"] == "ex.com/p"
+    assert r["c"] == "https://sub.www.com/"
+    assert r["ps"] == ["a=1", "b=2", "c"]
+    assert r["ns"] == ["a", "b", "c"] and r["nops"] == []
+
+    r2 = one(
+        "select arrayReduce('sum', [1, 2, 3]) as s,"
+        " arrayReduce('max', [1, 5, 2]) as mx,"
+        " arrayReduce('count', [1, NULL, 2]) as c,"
+        " arrayReduce('avg', [1, 2]) as av,"
+        " arrayReduce('avg', [NULL]) as avn,"
+        " arrayReduce('any', [NULL, 7, 8]) as an,"
+        " arrayReduce('anyLast', [1, 2, NULL]) as al,"
+        " arrayReduce('uniqExact', [1, 1, 2, NULL]) as ue,"
+        " sigmoid(0) as sg,"
+        " toStartOfMicrosecond(toDateTime('2020-01-01 00:00:01')) as us,"
+        " medianTiming(x) as mt from (select 5 as x)"
+    )
+    assert r2["s"] == 6.0 and r2["mx"] == 5 and r2["c"] == 2
+    assert r2["av"] == 1.5 and math.isnan(r2["avn"])
+    assert (r2["an"], r2["al"], r2["ue"]) == (7, 2, 2)
+    assert r2["sg"] == 0.5 and r2["mt"] == 5
+    assert str(r2["us"]) == "2020-01-01 00:00:01"
+    # unknown aggregate names stay loud
+    src = "select arrayReduce('medianExact', a) from t"
+    assert T(src) == src
+
+    s = "пример abc ПРИМЕР xyz"
+
+    def bytepos(hay, needle):
+        i = hay.find(needle)
+        return 0 if i < 0 else len(hay[:i].encode()) + 1
+
+    r3 = one(
+        f"select multiSearchAllPositions('{s}', ['abc', 'xyz', 'zz']) as ap,"
+        f" multiSearchAllPositionsUTF8('{s}', ['abc', 'xyz', 'zz']) as au,"
+        f" multiSearchFirstPosition('{s}', ['xyz', 'abc']) as fp,"
+        f" multiSearchFirstIndex('{s}', ['xyz', 'abc']) as fi,"
+        f" multiSearchFirstIndex('{s}', ['zz', 'qq']) as fi0,"
+        f" multiSearchAllPositionsCaseInsensitive('{s}', ['ABC']) as ci,"
+        f" multiSearchFirstIndexCaseInsensitiveUTF8('{s}', ['ПрИмЕр']) as cu8"
+    )
+    assert r3["ap"] == [bytepos(s, "abc"), bytepos(s, "xyz"), 0]
+    assert r3["au"] == [s.find("abc") + 1, s.find("xyz") + 1, 0]
+    assert r3["fp"] == bytepos(s, "abc")
+    assert (r3["fi"], r3["fi0"]) == (2, 0)
+    assert r3["ci"] == [bytepos(s, "abc")] and r3["cu8"] == 1
