@@ -2954,3 +2954,94 @@ FROM (
 ) CROSS JOIN a
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# Battery 26 (round 10) — batches 26-28 through the driver gate:
+# MySQL week modes 4/6/7 (+ YEARWEEK 4/7) against a DuckDB replay of
+# the anchor arithmetic (Sunday-start-of-Jan-4's-week / first-Monday
+# anchors, mode-6 forward roll — the formulas themselves are
+# validated against an independent port of MySQL's calc_week in
+# test_properties); the multiSearch position family; RFC-3986 URL
+# codecs (DuckDB oracle uses closed-form replaces — the inputs'
+# only non-unreserved char is the space); arrayReduce closed forms;
+# quoteMeta (only '-' is meta in the priority strings).
+# ---------------------------------------------------------------------------
+
+_DIALECT26_CH_SQL = """
+select k,
+  toWeek(d, 4) as w4, toWeek(d, 6) as w6, toWeek(d, 7) as w7,
+  toYearWeek(d, 4) as yw4, toYearWeek(d, 7) as yw7,
+  multiSearchFirstIndex(p,
+    ['URGENT', 'HIGH', 'MEDIUM', 'LOW', 'NOT SPECIFIED']) as msi,
+  multiSearchFirstPosition(p, ['GE', 'IG', 'OW']) as msp,
+  encodeURLComponent(concat('q ', p)) as enc,
+  decodeURLComponent('a%2Bb%20c') as dec,
+  arrayReduce('uniqExact', splitByChar('-', p)) as ue,
+  arrayReduce('sum', [toInt64(k % 7), 2, 3]) as ars,
+  quoteMeta(p) as qm
+from (
+  select o_orderkey as k, toDate(o_orderdate) as d, o_orderpriority as p
+  from orders where o_orderkey % 131 = 7
+)
+order by k
+"""
+
+
+def calc_dialect26_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 26 as STORED CH-dialect text through translate_ch_sql."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT26_CH_SQL))
+
+
+DIALECT26_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderdate::date AS d, o_orderpriority AS p,
+         year(o_orderdate::date) AS y
+  FROM orders WHERE o_orderkey % 131 = 7
+),
+a AS (
+  SELECT *,
+    (make_date(y, 1, 4) - dayofweek(make_date(y, 1, 4))::int) AS s4,
+    (make_date(y + 1, 1, 4)
+       - dayofweek(make_date(y + 1, 1, 4))::int) AS s4n,
+    (make_date(y - 1, 1, 4)
+       - dayofweek(make_date(y - 1, 1, 4))::int) AS s4p,
+    (make_date(y, 1, 1)
+       + ((8 - isodow(make_date(y, 1, 1))) % 7)::int) AS fm,
+    (make_date(y - 1, 1, 1)
+       + ((8 - isodow(make_date(y - 1, 1, 1))) % 7)::int) AS fmp,
+    [strpos(p, 'URGENT'), strpos(p, 'HIGH'), strpos(p, 'MEDIUM'),
+     strpos(p, 'LOW'), strpos(p, 'NOT SPECIFIED')] AS msl,
+    [strpos(p, 'GE'), strpos(p, 'IG'), strpos(p, 'OW')] AS mpl
+  FROM src
+)
+SELECT k,
+  (CASE WHEN d >= s4 THEN datediff('day', s4, d) // 7 + 1
+        ELSE 0 END)::INT AS w4,
+  (CASE WHEN d >= s4n THEN 1
+        WHEN d >= s4 THEN datediff('day', s4, d) // 7 + 1
+        ELSE datediff('day', s4p, d) // 7 + 1 END)::INT AS w6,
+  (CASE WHEN d >= fm THEN datediff('day', fm, d) // 7 + 1
+        ELSE datediff('day', fmp, d) // 7 + 1 END)::INT AS w7,
+  (CASE WHEN d >= s4n THEN (y + 1) * 100 + 1
+        WHEN d >= s4 THEN y * 100 + datediff('day', s4, d) // 7 + 1
+        ELSE (y - 1) * 100 + datediff('day', s4p, d) // 7 + 1
+        END)::INT AS yw4,
+  (CASE WHEN d >= fm THEN y * 100 + datediff('day', fm, d) // 7 + 1
+        ELSE (y - 1) * 100 + datediff('day', fmp, d) // 7 + 1
+        END)::INT AS yw7,
+  coalesce(list_position(msl,
+      list_min(list_filter(msl, x -> x > 0))), 0)::BIGINT AS msi,
+  coalesce(list_min(list_filter(mpl, x -> x > 0)), 0)::INT AS msp,
+  replace('q ' || p, ' ', '%20') AS enc,
+  'a+b c' AS dec,
+  len(list_distinct(string_split(p, '-')))::BIGINT AS ue,
+  ((k % 7) + 5)::DOUBLE AS ars,
+  replace(p, '-', '\\-') AS qm
+FROM a
+ORDER BY k
+"""
