@@ -6456,6 +6456,87 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
         return render
 
+    # ---- encrypt/decrypt/tryDecrypt (batch 28) ----
+    # CH: encrypt('aes-<len>-<mode>', plain, key[, iv[, aad]]) returns
+    # ciphertext (+16-byte tag for GCM) with the IV passed SEPARATELY;
+    # Spark's aes_encrypt PREPENDS its IV (12 bytes GCM / 16 CBC), so
+    # the emission slices it off, and decrypt re-prepends it. GCM's
+    # tag authenticates the exact byte layout, so the round trip
+    # proves the slicing (unit-pinned). PKCS padding matches CH's
+    # PKCS7. The key LENGTH is enforced by Spark at runtime against
+    # the key itself; CH additionally cross-checks it against the
+    # mode string — a wrong-length key that CH would refuse can run
+    # here under the key's own AES variant (documented; CH errors,
+    # degenerate input). CTR/OFB/CFB and the *_mysql forms stay loud.
+    def _aes(fn: str):
+        def render(a: list[str]) -> str | None:
+            if len(a) < 3:
+                return None
+            m = _lit_text(a[0], lits)
+            if m is None:
+                return None
+            mm = re.fullmatch(
+                r"(?i)'aes-(128|192|256)-(gcm|cbc|ecb)'", m.strip()
+            )
+            if not mm:
+                return None
+            mode = mm.group(2).lower()
+            if mode == "ecb":
+                if len(a) != 3:
+                    return None
+                if fn == "enc":
+                    return (
+                        f"aes_encrypt(cast({a[1]} as binary), "
+                        f"cast({a[2]} as binary), "
+                        + lit("ECB") + ", " + lit("PKCS") + ")"
+                    )
+                d = "aes_decrypt" if fn == "dec" else "try_aes_decrypt"
+                return (
+                    f"cast({d}(cast({a[1]} as binary), "
+                    f"cast({a[2]} as binary), "
+                    + lit("ECB") + ", " + lit("PKCS") + ") as string)"
+                )
+            if mode == "cbc":
+                if len(a) != 4:
+                    return None
+                if fn == "enc":
+                    return (
+                        f"cast(substring(aes_encrypt(cast({a[1]} as "
+                        f"binary), cast({a[2]} as binary), "
+                        + lit("CBC") + ", " + lit("PKCS")
+                        + f", cast({a[3]} as binary)), 17) as binary)"
+                    )
+                d = "aes_decrypt" if fn == "dec" else "try_aes_decrypt"
+                return (
+                    f"cast({d}(concat(cast({a[3]} as binary), "
+                    f"cast({a[1]} as binary)), cast({a[2]} as binary), "
+                    + lit("CBC") + ", " + lit("PKCS") + ") as string)"
+                )
+            # gcm: optional aad
+            if len(a) not in (4, 5):
+                return None
+            aad = f", cast({a[4]} as binary)" if len(a) == 5 else ""
+            if fn == "enc":
+                return (
+                    f"cast(substring(aes_encrypt(cast({a[1]} as binary),"
+                    f" cast({a[2]} as binary), " + lit("GCM") + ", "
+                    + lit("DEFAULT") + f", cast({a[3]} as binary)"
+                    + aad + "), 13) as binary)"
+                )
+            d = "aes_decrypt" if fn == "dec" else "try_aes_decrypt"
+            return (
+                f"cast({d}(concat(cast({a[3]} as binary), "
+                f"cast({a[1]} as binary)), cast({a[2]} as binary), "
+                + lit("GCM") + ", " + lit("DEFAULT") + aad
+                + ") as string)"
+            )
+
+        return render
+
+    out = _rewrite_calls(out, "encrypt", _aes("enc"))
+    out = _rewrite_calls(out, "tryDecrypt", _aes("try"))
+    out = _rewrite_calls(out, "decrypt", _aes("dec"))
+
     for _base, _kind in (
         ("multiSearchAllPositions", "all"),
         ("multiSearchFirstPosition", "first_pos"),

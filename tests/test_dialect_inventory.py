@@ -124,6 +124,10 @@ TRANSLATED = [
     "multiSearchFirstIndex(s, ['a'])",
     "multiSearchAllPositionsUTF8(s, ['a'])",
     "multiSearchFirstIndexCaseInsensitive(s, ['a'])",
+    "encrypt('aes-256-gcm', p, k, iv)",
+    "decrypt('aes-128-cbc', c, k, iv)",
+    "tryDecrypt('aes-256-gcm', c, k, iv, aad)",
+    "encrypt('aes-128-ecb', p, k)",
     # count() -> count(*) keeps its own name (pinned by value in
     # test_units instead of the name-gone check here)
 ]
@@ -156,6 +160,8 @@ LOUD = [
     "defaultValueOfTypeName(type_col)",
     "hasToken(s, 'has space')",
     "arrayReduce('medianExact', a)", "arrayReduce(agg_col, a)",
+    "encrypt('aes-128-ctr', p, k, iv)", "encrypt(mode_col, p, k)",
+    "aes_encrypt_mysql('aes-128-ecb', p, k)",
     # extra args on arity-strict rewrites (r9): loud, never dropped
     "toYear(ts, tz_col)", "toSecond(t1, 9)", "toMonday(d, x)",
     "toInt32(x, 'oops')", "toDayOfWeek(d, 9)",

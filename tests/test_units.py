@@ -4872,3 +4872,43 @@ def test_dialect_batch28(spark):
     assert r3["fp"] == bytepos(s, "abc")
     assert (r3["fi"], r3["fi0"]) == (2, 0)
     assert r3["ci"] == [bytepos(s, "abc")] and r3["cu8"] == 1
+
+
+def test_dialect_aes_encrypt_decrypt(spark):
+    """Batch 28: CH encrypt/decrypt/tryDecrypt for constant
+    aes-{128,192,256}-{gcm,cbc,ecb} mode strings. CH returns
+    ciphertext(+GCM tag) with the IV passed separately; Spark
+    prepends its IV, so encrypt slices it off and decrypt re-prepends
+    it. GCM's tag authenticates the exact byte layout, so these round
+    trips prove the slice arithmetic; the ciphertext length pin
+    (plaintext + 16-byte tag, NO IV prefix) pins the CH layout.
+    Unsupported modes (ctr/ofb/cfb, *_mysql, runtime mode strings)
+    stay loud."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    k16, k32 = "0123456789abcdef", "0123456789abcdef0123456789abcdef"
+    iv12, iv16 = "0123456789ab", "0123456789abcdef"
+    out = T(
+        f"select decrypt('aes-256-gcm', encrypt('aes-256-gcm', 'secret',"
+        f" '{k32}', '{iv12}'), '{k32}', '{iv12}') as g,"
+        f" decrypt('aes-256-gcm', encrypt('aes-256-gcm', 'secret',"
+        f" '{k32}', '{iv12}', 'aad'), '{k32}', '{iv12}', 'aad') as ga,"
+        f" decrypt('aes-128-cbc', encrypt('aes-128-cbc', 'msg',"
+        f" '{k16}', '{iv16}'), '{k16}', '{iv16}') as c,"
+        f" decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'msg',"
+        f" '{k16}'), '{k16}') as e,"
+        f" length(encrypt('aes-256-gcm', 'secret', '{k32}', '{iv12}'))"
+        f" as glen,"
+        f" tryDecrypt('aes-256-gcm', encrypt('aes-256-gcm', 'x',"
+        f" '{k32}', '{iv12}', 'aad'), '{k32}', '{iv12}', 'WRONG') as bad"
+    )
+    assert T(out) == out
+    r = spark.sql(out).collect()[0]
+    assert (r["g"], r["ga"], r["c"], r["e"]) == (
+        "secret", "secret", "msg", "msg")
+    assert r["glen"] == 6 + 16
+    assert r["bad"] is None
+    for loud in ("select encrypt('aes-128-ctr', x, k, iv) from t",
+                 "select aes_encrypt_mysql('aes-128-ecb', x, k) from t",
+                 "select encrypt(mode_col, x, k) from t"):
+        assert T(loud) == loud
