@@ -996,3 +996,80 @@ def test_alias_visibility_differential_vs_duckdb(spark):
                 "(select unnest(range(0, 20)) as id)",
             )).fetchall()
             assert got == want, (sql, t, got[:5], want[:5])
+
+
+def test_multisearch_differential_vs_python(spark):
+    """Batch 28: the 12-form multiSearch position family against a
+    Python reference — byte positions on bare forms (UTF-8 encode),
+    code-point positions on UTF8 forms, ASCII-only fold on the
+    CaseInsensitive forms, full casefold on CaseInsensitiveUTF8.
+    Deterministic pseudo-random haystacks mixing 1- and 2-byte code
+    points with needle sets that hit, miss, tie and overlap."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def a_lower(s):
+        return "".join(
+            (c.lower() if "A" <= c <= "Z" else c) for c in s)
+
+    def char_pos(h, n):
+        i = h.find(n)
+        return 0 if i < 0 else i + 1
+
+    def byte_pos(h, n):
+        i = h.find(n)
+        return 0 if i < 0 else len(h[:i].encode()) + 1
+
+    def ref(h, needles, fold, units):
+        if fold == "ascii":
+            fh, fns = a_lower(h), [a_lower(n) for n in needles]
+        elif fold == "utf8":
+            fh, fns = h.lower(), [n.lower() for n in needles]
+        else:
+            fh, fns = h, list(needles)
+        pos = byte_pos if units == "byte" else char_pos
+        ps = [pos(fh, n) for n in fns]
+        nz = [p for p in ps if p > 0]
+        first_pos = min(nz) if nz else 0
+        first_idx = (ps.index(min(nz)) + 1) if nz else 0
+        return ps, first_pos, first_idx
+
+    alphabet = "abcABCпПрР .,x"
+    seeds = [(i * 2654435761) % 997 for i in range(12)]
+    hays = [
+        "".join(alphabet[(s + j * 7) % len(alphabet)] for j in range(24))
+        for s in seeds
+    ]
+    needles = ["ab", "AB", "пр", "ПР", "x", "zz", "c ", "рР"]
+    nlist = "[" + ", ".join(f"'{n}'" for n in needles) + "]"
+    rows = [(i, h) for i, h in enumerate(hays)]
+    spark.createDataFrame(rows, "i int, h string").createOrReplaceTempView(
+        "ms_fuzz"
+    )
+    q = T(
+        f"select i, multiSearchAllPositions(h, {nlist}) ap,"
+        f" multiSearchAllPositionsUTF8(h, {nlist}) au,"
+        f" multiSearchAllPositionsCaseInsensitive(h, {nlist}) ac,"
+        f" multiSearchAllPositionsCaseInsensitiveUTF8(h, {nlist}) acu,"
+        f" multiSearchFirstPosition(h, {nlist}) fp,"
+        f" multiSearchFirstPositionUTF8(h, {nlist}) fu,"
+        f" multiSearchFirstPositionCaseInsensitive(h, {nlist}) fc,"
+        f" multiSearchFirstIndex(h, {nlist}) xi,"
+        f" multiSearchFirstIndexUTF8(h, {nlist}) xu,"
+        f" multiSearchFirstIndexCaseInsensitiveUTF8(h, {nlist}) xcu"
+        f" from ms_fuzz"
+    )
+    got = {r["i"]: r for r in spark.sql(q).collect()}
+    for i, h in enumerate(hays):
+        r = got[i]
+        ps_b, fp_b, fi_b = ref(h, needles, None, "byte")
+        ps_c, _, fi_c = ref(h, needles, None, "char")
+        ps_ab, _, _ = ref(h, needles, "ascii", "byte")
+        ps_uc, fp_uc, fi_uc = ref(h, needles, "utf8", "char")
+        assert r["ap"] == ps_b, (h, r["ap"], ps_b)
+        assert r["au"] == ps_c
+        assert r["ac"] == ps_ab
+        assert r["acu"] == ps_uc
+        assert r["fp"] == fp_b
+        assert r["fu"] == ref(h, needles, None, "char")[1]
+        assert r["fc"] == ref(h, needles, "ascii", "byte")[1]
+        assert (r["xi"], r["xu"], r["xcu"]) == (fi_b, fi_c, fi_uc)
