@@ -2983,8 +2983,44 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             fmt = _emit_lit("'" + _convert_fmt(lt[1:-1]) + "'", lits)
         return f"to_timestamp({a[0]}, {fmt})"
 
-    out = _rewrite_calls(out, "parseDateTimeBestEffort", lambda a: f"to_timestamp({a[0]})")
+    # BestEffort family (batch 29 made these arity-strict and closed
+    # the variants): the optional trailing CONSTANT timezone means
+    # "parse the string as wall time in that zone" — it was silently
+    # DROPPED before (the r9 bug class). OrNull → try_to_timestamp;
+    # OrZero → the CH zero DateTime (1970-01-01). The US/32/64
+    # spellings share the emission: Spark's formatless parser is
+    # ISO-shaped, where the month-first ambiguity the US variant
+    # resolves cannot arise (documented).
+    def _best_effort(wrap: str):
+        def render(a: list[str]) -> str | None:
+            if len(a) == 1:
+                base = f"to_timestamp({a[0]})"
+            elif len(a) == 2 and _lit_text(a[1], lits) is not None:
+                base = f"to_utc_timestamp(to_timestamp({a[0]}), {a[1]})"
+            else:
+                return None
+            if wrap == "null":
+                return base.replace("to_timestamp(", "try_to_timestamp(", 1)
+            if wrap == "zero":
+                tz = base.replace("to_timestamp(", "try_to_timestamp(", 1)
+                return (
+                    f"coalesce({tz}, cast("
+                    + lit("1970-01-01 00:00:00") + " as timestamp))"
+                )
+            return base
+
+        return render
+
+    for _bex in ("parseDateTimeBestEffort", "parseDateTime32BestEffort",
+                 "parseDateTime64BestEffort", "parseDateTimeBestEffortUS"):
+        out = _rewrite_calls(out, _bex + "OrNull", _best_effort("null"))
+        out = _rewrite_calls(out, _bex + "OrZero", _best_effort("zero"))
+        out = _rewrite_calls(out, _bex, _best_effort(""))
     out = _rewrite_calls(out, "parseDateTime", _parse_dt)
+    out = _rewrite_calls(
+        out, "toDate32OrNull",
+        lambda a: f"try_cast({a[0]} as date)" if len(a) == 1 else None,
+    )
 
     # toDecimal{32,64,128}(x[, scale]) — the CH scale argument picks
     # the Spark decimal scale; arity-1 keeps the reference's
@@ -3940,6 +3976,50 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     def _qs_approx(ps: list[str], a: list[str]) -> str:
         return f"approx_percentile({a[0]}, array({', '.join(ps)}))"
 
+    # exact quantile interpolation variants (batch 29):
+    # ExactInclusive ≡ PERCENTILE.INC ≡ R-7 ≡ Spark's percentile()
+    # exactly; ExactLow/High take the sorted element at
+    # floor/ceil(level·(n−1)) (numpy 'lower'/'higher');
+    # ExactExclusive ≡ PERCENTILE.EXC (R-6) for a LITERAL level in
+    # (0,1) — out-of-range h yields NULL where CH raises (documented;
+    # degenerate level/row-count only)
+    def _q_sorted_pick(rounder: str):
+        def render(ps: list[str], a: list[str]) -> str:
+            p = ps[0] if ps else "0.5"
+            s = f"array_sort(collect_list({a[0]}))"
+            return (
+                f"try_element_at({s}, cast({rounder}(({p}) * "
+                f"(size({s}) - 1)) as int) + 1)"
+            )
+
+        return render
+
+    out = _rewrite_param_calls(
+        out, "quantileExactInclusive", _q_exact
+    )
+    out = _rewrite_param_calls(
+        out, "quantilesExactInclusive", _qs_exact
+    )
+    out = _rewrite_param_calls(out, "quantileExactLow", _q_sorted_pick("floor"))
+    out = _rewrite_param_calls(out, "quantileExactHigh", _q_sorted_pick("ceil"))
+
+    def _q_exclusive(ps: list[str], a: list[str]) -> str | None:
+        p = (ps[0] if ps else "0.5").strip()
+        try:
+            pv = float(p)
+        except ValueError:
+            return None
+        if not (0.0 < pv < 1.0):
+            return None
+        s = f"array_sort(collect_list({a[0]}))"
+        h = f"(({p}) * (size({s}) + 1))"
+        fl = f"cast(floor{h} as int)"
+        lo = f"cast(try_element_at({s}, {fl}) as double)"
+        hi = f"cast(try_element_at({s}, {fl} + 1) as double)"
+        return f"({lo} + ({h} - {fl}) * ({hi} - {lo}))"
+
+    out = _rewrite_param_calls(out, "quantileExactExclusive", _q_exclusive)
+
     # uniqUpTo(N)(x): exact distinct when ≤ N, else N+1 — the capped
     # form maps exactly (least of exact distinct and N+1)
     out = _rewrite_param_calls(
@@ -4262,17 +4342,29 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # from the ORIGINAL haystack: ASCII folding preserves per-char
     # byte widths, so its octet_length equals the folded prefix's.
     def _pos_ci_bytes(a: list[str]) -> str | None:
-        if len(a) != 2:
+        if len(a) not in (2, 3):
             return None
-        fh = (f"translate({a[0]}, " + lit(_ASCII_UP) + ", "
+        hay = a[0]
+        if len(a) == 3:
+            # byte START (batch 29): slice the binary tail and search
+            # there; a start inside a code point decodes lossily where
+            # CH scans raw bytes (same degenerate note as position)
+            hay = (
+                f"cast(substring(cast({a[0]} as binary), {a[2]}) "
+                f"as string)"
+            )
+        fh = (f"translate({hay}, " + lit(_ASCII_UP) + ", "
               + lit(_ASCII_LO) + ")")
         fn_ = (f"translate({a[1]}, " + lit(_ASCII_UP) + ", "
                + lit(_ASCII_LO) + ")")
         hit = f"instr({fh}, {fn_})"
-        return (
+        inner = (
             f"(CASE WHEN {hit} = 0 THEN 0 ELSE "
-            f"octet_length(substring({a[0]}, 1, {hit} - 1)) + 1 END)"
+            f"octet_length(substring({hay}, 1, {hit} - 1)) + 1 END)"
         )
+        if len(a) == 2:
+            return inner
+        return f"(CASE WHEN {inner} = 0 THEN 0 ELSE ({a[2]}) - 1 + {inner} END)"
 
     out = _rewrite_calls(out, "positionCaseInsensitive", _pos_ci_bytes)
     out = _rewrite_calls(out, "base64Encode", lambda a: f"base64({a[0]})")
@@ -6536,6 +6628,91 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "encrypt", _aes("enc"))
     out = _rewrite_calls(out, "tryDecrypt", _aes("try"))
     out = _rewrite_calls(out, "decrypt", _aes("dec"))
+
+    # ---- batch 29 (r10 sweep wave 3) ----
+    # mapSort by key: struct sort on entries orders by the first
+    # field (the key); keys are unique so no tiebreak is needed
+    out = _rewrite_calls(
+        out, "mapSort",
+        lambda a: (
+            f"map_from_entries(array_sort(map_entries({a[0]})))"
+            if len(a) == 1 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "isNotDistinctFrom",
+        lambda a: f"({a[0]} <=> {a[1]})" if len(a) == 2 else None,
+    )
+    # last 1-based index where the lambda holds, 0 when none
+    out = _rewrite_calls(
+        out, "arrayLastIndex",
+        lambda a: (
+            f"(CASE WHEN coalesce(array_position(reverse(transform("
+            f"{a[1]}, {a[0]})), true), 0) = 0 THEN 0 ELSE "
+            f"size({a[1]}) - array_position(reverse(transform("
+            f"{a[1]}, {a[0]})), true) + 1 END)"
+            if len(a) == 2 else None
+        ),
+    )
+    # *_respect_nulls spellings: Spark's any_value/first_value/
+    # last_value default ignoreNulls=false — already respecting
+    for _rn, _tgt in (
+        ("any_respect_nulls", "any_value"),
+        ("anyRespectNulls", "any_value"),
+        ("first_value_respect_nulls", "first_value"),
+        ("firstValueRespectNulls", "first_value"),
+        ("last_value_respect_nulls", "last_value"),
+        ("lastValueRespectNulls", "last_value"),
+    ):
+        out = _rewrite_calls(
+            out, _rn,
+            lambda a, _t=_tgt: f"{_t}({a[0]})" if len(a) == 1 else None,
+        )
+    # sub-second interval arithmetic at the engine's µs grain
+    # (nanosecond forms stay loud — precision)
+    for _ms, _sign in (("addMilliseconds", "+"),
+                       ("subtractMilliseconds", "-")):
+        out = _rewrite_calls(
+            out, _ms,
+            lambda a, _s=_sign: (
+                f"(cast({a[0]} as timestamp) {_s} make_interval("
+                f"0, 0, 0, 0, 0, 0, ({a[1]}) / 1000.0))"
+                if len(a) == 2 else None
+            ),
+        )
+    for _us, _sign in (("addMicroseconds", "+"),
+                       ("subtractMicroseconds", "-")):
+        out = _rewrite_calls(
+            out, _us,
+            lambda a, _s=_sign: (
+                f"(cast({a[0]} as timestamp) {_s} make_interval("
+                f"0, 0, 0, 0, 0, 0, ({a[1]}) / 1000000.0))"
+                if len(a) == 2 else None
+            ),
+        )
+
+    # makeDateTime64(y, m, d, h, mi, s[, fraction[, scale]]): the
+    # fraction is in units of 10^-scale seconds (scale defaults 3);
+    # non-literal scales and the 9-arg tz form stay loud
+    def _make_dt64(a: list[str]) -> str | None:
+        if len(a) == 6:
+            return f"make_timestamp({', '.join(a)})"
+        if len(a) == 7:
+            return (
+                f"make_timestamp({', '.join(a[:5])}, "
+                f"({a[5]}) + ({a[6]}) / 1000.0)"
+            )
+        if len(a) == 8:
+            sc = a[7].strip()
+            if not re.fullmatch(r"\d+", sc) or int(sc) > 9:
+                return None
+            return (
+                f"make_timestamp({', '.join(a[:5])}, "
+                f"({a[5]}) + ({a[6]}) / {10 ** int(sc)}.0)"
+            )
+        return None
+
+    out = _rewrite_calls(out, "makeDateTime64", _make_dt64)
 
     for _base, _kind in (
         ("multiSearchAllPositions", "all"),

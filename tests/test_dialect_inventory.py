@@ -128,6 +128,18 @@ TRANSLATED = [
     "decrypt('aes-128-cbc', c, k, iv)",
     "tryDecrypt('aes-256-gcm', c, k, iv, aad)",
     "encrypt('aes-128-ecb', p, k)",
+    # r10 batch 29 sweep wave 3
+    "parseDateTimeBestEffort(s, 'UTC')",
+    "parseDateTimeBestEffortOrNull(s)",
+    "parseDateTimeBestEffortOrZero(s)",
+    "parseDateTime64BestEffort(s)", "parseDateTimeBestEffortUS(s)",
+    "toDate32OrNull(s)", "mapSort(m)", "isNotDistinctFrom(a, b)",
+    "arrayLastIndex(f -> f, a)", "any_respect_nulls(x)",
+    "first_value_respect_nulls(x)", "addMilliseconds(t1, 5)",
+    "subtractMicroseconds(t1, 5)", "makeDateTime64(y, 1, 2, 3, 4, 5)",
+    "positionCaseInsensitive(h, 'n', 3)",
+    "quantileExactInclusive(0.5)(x)", "quantileExactLow(0.5)(x)",
+    "quantileExactHigh(0.5)(x)", "quantileExactExclusive(0.25)(x)",
     # count() -> count(*) keeps its own name (pinned by value in
     # test_units instead of the name-gone check here)
 ]
@@ -162,6 +174,8 @@ LOUD = [
     "arrayReduce('medianExact', a)", "arrayReduce(agg_col, a)",
     "encrypt('aes-128-ctr', p, k, iv)", "encrypt(mode_col, p, k)",
     "aes_encrypt_mysql('aes-128-ecb', p, k)",
+    "addNanoseconds(t1, 5)", "quantileExactExclusive(p)(x)",
+    "parseDateTimeBestEffort(s, tz_col)", "toDate32OrZero(s)",
     # extra args on arity-strict rewrites (r9): loud, never dropped
     "toYear(ts, tz_col)", "toSecond(t1, 9)", "toMonday(d, x)",
     "toInt32(x, 'oops')", "toDayOfWeek(d, 9)",

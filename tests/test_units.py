@@ -4912,3 +4912,88 @@ def test_dialect_aes_encrypt_decrypt(spark):
                  "select aes_encrypt_mysql('aes-128-ecb', x, k) from t",
                  "select encrypt(mode_col, x, k) from t"):
         assert T(loud) == loud
+
+
+def test_dialect_batch29(spark):
+    """r10 batch 29 — sweep wave 3: the BestEffort parse family made
+    arity-strict (a trailing constant tz was silently DROPPED — the
+    r9 bug class; it means "parse as wall time in that zone") with
+    OrNull/OrZero/US/32/64 variants; toDate32OrNull; mapSort;
+    isNotDistinctFrom ≡ <=>; arrayLastIndex; *_respect_nulls
+    spellings (Spark defaults already respect); milli/micro interval
+    arithmetic at µs grain; makeDateTime64 with fraction+scale;
+    3-arg byte-start positionCaseInsensitive; exact quantile
+    interpolation variants vs numpy (Inclusive=R-7=percentile,
+    Low/High=floor/ceil picks, Exclusive=R-6 for literal levels)."""
+    import numpy as np
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def one(sql):
+        out = T(sql)
+        assert T(out) == out, out
+        return spark.sql(out).collect()[0]
+
+    r = one(
+        "select parseDateTimeBestEffort('2020-03-01 10:00:00',"
+        " 'Europe/Moscow') as tz,"
+        " parseDateTimeBestEffortOrNull('garbage') as pn,"
+        " parseDateTimeBestEffortOrZero('garbage') as pz,"
+        " parseDateTime64BestEffort('2020-01-02 03:04:05.678') as p64,"
+        " toDate32OrNull('bad') as d32,"
+        " mapSort(map('b', 2, 'a', 1)) as ms,"
+        " isNotDistinctFrom(NULL, NULL) as nd,"
+        " isNotDistinctFrom(1, 2) as nd2,"
+        " arrayLastIndex(x -> x > 1, [3, 1, 5, 0]) as ali,"
+        " arrayLastIndex(x -> x > 9, [1]) as ali0,"
+        " any_respect_nulls(v) as arn,"
+        " addMilliseconds(toDateTime('2020-01-01 00:00:00'), 1500) as ams,"
+        " subtractMicroseconds(toDateTime('2020-01-01 00:00:00'), 250)"
+        " as sus,"
+        " makeDateTime64(2020, 1, 2, 3, 4, 5) as mk6,"
+        " makeDateTime64(2020, 1, 2, 3, 4, 5, 123) as mk7,"
+        " makeDateTime64(2020, 1, 2, 3, 4, 5, 45, 6) as mk8,"
+        " positionCaseInsensitive('xxABcd', 'bc', 3) as pci3,"
+        " positionCaseInsensitive('ппABcd', 'bc', 5) as pci3b"
+        " from (select cast(null as int) as v)"
+    )
+    assert str(r["tz"]) == "2020-03-01 07:00:00"
+    assert r["pn"] is None and str(r["pz"]) == "1970-01-01 00:00:00"
+    assert str(r["p64"]) == "2020-01-02 03:04:05.678000"
+    assert r["d32"] is None
+    assert list(r["ms"].items()) == [("a", 1), ("b", 2)]
+    assert r["nd"] is True and r["nd2"] is False
+    assert (r["ali"], r["ali0"]) == (3, 0)
+    assert r["arn"] is None
+    assert str(r["ams"]) == "2020-01-01 00:00:01.500000"
+    assert str(r["sus"]) == "2019-12-31 23:59:59.999750"
+    assert str(r["mk6"]) == "2020-01-02 03:04:05"
+    assert str(r["mk7"]) == "2020-01-02 03:04:05.123000"
+    assert str(r["mk8"]) == "2020-01-02 03:04:05.000045"
+    # byte starts: 'xx' = 2 bytes → hit at byte 4; 'пп' = 4 bytes,
+    # 'A' at 5 → 'Bc' at byte 6
+    assert (r["pci3"], r["pci3b"]) == (4, 6)
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    spark.createDataFrame(
+        [(v,) for v in vals], "x int"
+    ).createOrReplaceTempView("qv29")
+    r2 = one(
+        "select quantileExactInclusive(0.35)(x) as qi,"
+        " quantileExactLow(0.5)(x) as ql,"
+        " quantileExactHigh(0.5)(x) as qh,"
+        " quantileExactExclusive(0.25)(x) as qe from qv29"
+    )
+    s = sorted(vals)
+    n = len(s)
+    assert abs(r2["qi"] - np.quantile(s, 0.35, method="linear")) < 1e-9
+    assert r2["ql"] == np.quantile(s, 0.5, method="lower")
+    assert r2["qh"] == np.quantile(s, 0.5, method="higher")
+    h = 0.25 * (n + 1)
+    fl = int(h)
+    assert abs(r2["qe"] - (s[fl - 1] + (h - fl) * (s[fl] - s[fl - 1]))) < 1e-9
+    # nanosecond arithmetic and non-literal Exclusive levels stay loud
+    for loud in ("select addNanoseconds(t, 5) from t",
+                 "select quantileExactExclusive(p)(x) from t",
+                 "select parseDateTimeBestEffort(s, tz_col) from t"):
+        assert T(loud) == loud
