@@ -1073,3 +1073,49 @@ def test_multisearch_differential_vs_python(spark):
         assert r["fu"] == ref(h, needles, None, "char")[1]
         assert r["fc"] == ref(h, needles, "ascii", "byte")[1]
         assert (r["xi"], r["xu"], r["xcu"]) == (fi_b, fi_c, fi_uc)
+
+
+def test_url_codec_differential_vs_urllib(spark):
+    """Batch 28 URL codecs against Python's urllib.parse on
+    deterministic pseudo-random strings over a hostile alphabet
+    (unreserved chars, every patched delta char, unicode, percent
+    signs): encodeURLComponent ≡ quote(safe=''),
+    encodeURLFormComponent ≡ quote_plus(safe=''),
+    decodeURLComponent ≡ unquote ('+' survives),
+    decodeURLFormComponent ≡ unquote_plus, and the CH-side
+    encode→decode round trip is the identity."""
+    import urllib.parse as up
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    alphabet = "aZ9 +*~%-_.!/?&=#тя"
+    strs = [
+        "".join(alphabet[(s + j * 11) % len(alphabet)]
+                for j in range(1 + (s % 17)))
+        for s in [(i * 2654435761) % 991 for i in range(40)]
+    ]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(strs)], "i int, s string"
+    ).createOrReplaceTempView("url_fuzz")
+    q = T(
+        "select i, encodeURLComponent(s) ec, encodeURLFormComponent(s) ef,"
+        " decodeURLComponent(encodeURLComponent(s)) rt,"
+        " decodeURLFormComponent(encodeURLFormComponent(s)) rtf"
+        " from url_fuzz"
+    )
+    got = {r["i"]: r for r in spark.sql(q).collect()}
+    for i, s in enumerate(strs):
+        r = got[i]
+        assert r["ec"] == up.quote(s, safe=""), (s, r["ec"])
+        assert r["ef"] == up.quote_plus(s, safe=""), (s, r["ef"])
+        assert r["rt"] == s and r["rtf"] == s, s
+    # decode of raw '+' and mixed escapes
+    spark.createDataFrame(
+        [(0, "a+b%20c%2B+"), (1, "%D1%82est+x")], "i int, s string"
+    ).createOrReplaceTempView("url_dec")
+    q2 = T("select i, decodeURLComponent(s) dc, decodeURLFormComponent(s)"
+           " df from url_dec")
+    got2 = {r["i"]: r for r in spark.sql(q2).collect()}
+    for i, s in ((0, "a+b%20c%2B+"), (1, "%D1%82est+x")):
+        assert got2[i]["dc"] == up.unquote(s), s
+        assert got2[i]["df"] == up.unquote_plus(s), s
