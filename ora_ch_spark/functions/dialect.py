@@ -7644,6 +7644,48 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             else None
         ),
     )
+    # distributional randoms (batch 30) — role parity like rand():
+    # same distribution, different stream. CH's second argument is
+    # the VARIANCE (docs), hence the sqrt; randExponential inverts
+    # over (0,1] so ln(0) can't occur; randBernoulli returns CH's
+    # UInt64 0/1. Poisson/Binomial/ChiSquared/StudentT/FisherF need
+    # iterative sampling and stay loud; randomString emits raw bytes
+    # (invalid UTF-8) and stays loud.
+    out = _rewrite_calls(
+        out, "randNormal",
+        lambda a: (
+            f"(({a[0]}) + sqrt({a[1]}) * randn())" if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "randLogNormal",
+        lambda a: (
+            f"exp(({a[0]}) + sqrt({a[1]}) * randn())" if len(a) == 2
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "randExponential",
+        lambda a: (
+            f"(-ln(1.0 - random()) / ({a[0]}))" if len(a) == 1 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "randBernoulli",
+        lambda a: (
+            f"cast(IF(random() < ({a[0]}), 1, 0) as bigint)"
+            if len(a) == 1 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "randomPrintableASCII",
+        lambda a: (
+            f"concat_ws('', transform(sequence(1, {a[0]}), "
+            f"__rp -> char(cast(32 + floor(random() * 95) as int))))"
+            if len(a) == 1 else None
+        ),
+    )
 
     def rxlit(pat: str) -> str:
         # register a regex pattern as a Spark string literal
@@ -7703,7 +7745,7 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         "cast(__va as double) * cast(__vb as double)), "
         "cast(0 as double), (__vs, __vv) -> __vs + __vv)"
     )
-    for _vfn in ("arrayDotProduct", "dotProduct"):
+    for _vfn in ("arrayDotProduct", "dotProduct", "scalarProduct"):
         out = _rewrite_calls(
             out, _vfn,
             lambda a: _DOT.format(x=a[0], y=a[1]) if len(a) == 2 else None,
@@ -7717,6 +7759,45 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             out, _vfn,
             lambda a: _NORM2.format(x=a[0]) if len(a) == 1 else None,
         )
+    # remaining norm family (batch 30) — array reading; the tuple
+    # forms (L1Normalize/L2Normalize) stay loud
+    out = _rewrite_calls(
+        out, "L1Norm",
+        lambda a: (
+            f"aggregate({a[0]}, cast(0 as double), "
+            f"(__vs, __vv) -> __vs + abs(cast(__vv as double)))"
+            if len(a) == 1 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "L2SquaredNorm",
+        lambda a: (
+            f"aggregate({a[0]}, cast(0 as double), (__vs, __vv) -> "
+            f"__vs + cast(__vv as double) * cast(__vv as double))"
+            if len(a) == 1 else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "LinfNorm",
+        lambda a: (
+            f"aggregate({a[0]}, cast(0 as double), (__vs, __vv) -> "
+            f"greatest(__vs, abs(cast(__vv as double))))"
+            if len(a) == 1 else None
+        ),
+    )
+
+    def _lp_norm(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        p = a[1].strip()
+        if not re.fullmatch(r"\d+(\.\d+)?", p) or float(p) <= 0:
+            return None
+        return (
+            f"pow(aggregate({a[0]}, cast(0 as double), (__vs, __vv) -> "
+            f"__vs + pow(abs(cast(__vv as double)), {p})), 1.0 / {p})"
+        )
+
+    out = _rewrite_calls(out, "LpNorm", _lp_norm)
     for _vfn in ("arrayCosineDistance", "cosineDistance"):
         out = _rewrite_calls(
             out, _vfn,

@@ -140,6 +140,11 @@ TRANSLATED = [
     "positionCaseInsensitive(h, 'n', 3)",
     "quantileExactInclusive(0.5)(x)", "quantileExactLow(0.5)(x)",
     "quantileExactHigh(0.5)(x)", "quantileExactExclusive(0.25)(x)",
+    # r10 batch 30
+    "scalarProduct(a, b)", "L1Norm(a)", "L2SquaredNorm(a)",
+    "LinfNorm(a)", "LpNorm(a, 3)", "randNormal(0, 1)",
+    "randLogNormal(0, 1)", "randExponential(2)", "randBernoulli(0.5)",
+    "randomPrintableASCII(10)",
     # count() -> count(*) keeps its own name (pinned by value in
     # test_units instead of the name-gone check here)
 ]
@@ -176,6 +181,8 @@ LOUD = [
     "aes_encrypt_mysql('aes-128-ecb', p, k)",
     "addNanoseconds(t1, 5)", "quantileExactExclusive(p)(x)",
     "parseDateTimeBestEffort(s, tz_col)", "toDate32OrZero(s)",
+    "randPoisson(10)", "L2Normalize(t1)", "LpNorm(a, p)",
+    "randomString(10)",
     # extra args on arity-strict rewrites (r9): loud, never dropped
     "toYear(ts, tz_col)", "toSecond(t1, 9)", "toMonday(d, x)",
     "toInt32(x, 'oops')", "toDayOfWeek(d, 9)",

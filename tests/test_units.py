@@ -4997,3 +4997,46 @@ def test_dialect_batch29(spark):
                  "select quantileExactExclusive(p)(x) from t",
                  "select parseDateTimeBestEffort(s, tz_col) from t"):
         assert T(loud) == loud
+
+
+def test_dialect_batch30(spark):
+    """r10 batch 30 — norm-family completion (scalarProduct alias,
+    L1Norm/L2SquaredNorm/LinfNorm, LpNorm for literal p; the tuple
+    Normalize forms stay loud) and distributional randoms with role
+    parity like rand(): randNormal/randLogNormal take the VARIANCE
+    (CH docs — hence the sqrt), randExponential inverts over (0,1],
+    randBernoulli returns UInt64 0/1, randomPrintableASCII emits
+    space..tilde. Distribution checked over 20k samples."""
+    import statistics
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def one(sql):
+        out = T(sql)
+        assert T(out) == out, out
+        return spark.sql(out).collect()
+
+    r = one("select scalarProduct([1.0, 2.0], [3.0, 4.0]) as dp,"
+            " L1Norm([3, -4]) as l1, L2SquaredNorm([3, 4]) as l2s,"
+            " LinfNorm([-7, 5]) as li, LpNorm([3, 4], 2) as lp"
+            " from (select 1)")[0]
+    assert (r["dp"], r["l1"], r["l2s"], r["li"]) == (11.0, 7.0, 25.0, 7.0)
+    assert abs(r["lp"] - 5.0) < 1e-9
+    rows = one(
+        "select randNormal(10, 4) as n, randExponential(2) as e,"
+        " randBernoulli(0.3) as b, length(randomPrintableASCII(12)) as l"
+        " from range(20000)")
+    ns = [x["n"] for x in rows]
+    es = [x["e"] for x in rows]
+    bs = [x["b"] for x in rows]
+    assert abs(statistics.fmean(ns) - 10) < 0.15
+    assert abs(statistics.stdev(ns) - 2) < 0.1
+    assert abs(statistics.fmean(es) - 0.5) < 0.03
+    assert abs(statistics.fmean(bs) - 0.3) < 0.03 and set(bs) <= {0, 1}
+    assert all(x["l"] == 12 for x in rows) and all(x["e"] > 0 for x in rows)
+    s = one("select randomPrintableASCII(50) as s from (select 1)")[0]["s"]
+    assert len(s) == 50 and all(32 <= ord(c) <= 126 for c in s)
+    for loud in ("select randPoisson(10) from t",
+                 "select L2Normalize(t1) from t",
+                 "select LpNorm(a, p) from t"):
+        assert T(loud) == loud
