@@ -2105,7 +2105,9 @@ _AGG_CALL = re.compile(
     r"|windowFunnel|retention|sumCount|studentTTest|welchTTest"
     r"|rankCorr|listagg|collect_list|collect_set|grouping)"
     r"(If|Array|ArrayIf|OrNull|OrDefault|Distinct|State|Merge|Exact"
-    r"|Weighted|ForEach|Resample|SimpleState)*\s*\(|\bover\s*\("
+    r"|Weighted|ForEach|Resample|SimpleState|Low|High|Inclusive"
+    r"|Exclusive|Timing|TDigest|BFloat16|GK|Deterministic"
+    r"|Interpolated)*\s*\(|\bover\s*\("
 )
 
 
