@@ -4112,7 +4112,59 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     out = _rewrite_calls(out, "has", lambda a: f"array_contains({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "indexOf", lambda a: f"array_position({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "arrayDistinct", lambda a: f"array_distinct({a[0]})")
-    out = _rewrite_calls(out, "arraySort", lambda a: f"array_sort({a[0]})")
+    # arraySort/arrayReverseSort (batch 31 fixed the lambda form —
+    # it used to emit array_sort(<lambda>) with the ARRAY dropped):
+    # the key lambda is parsed (param -> body) and substituted into
+    # a comparator; CH sorts NULL keys LAST in both directions
+    def _array_sort_ch(rev: bool):
+        def render(a: list[str]) -> str | None:
+            if len(a) == 1:
+                return (
+                    f"reverse(array_sort({a[0]}))" if rev
+                    else f"array_sort({a[0]})"
+                )
+            if len(a) != 2:
+                return None
+            lm = re.match(
+                r"(?s)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*->\s*(.*\S)\s*$",
+                a[0],
+            )
+            if not lm:
+                return None
+            param, body = lm.group(1), lm.group(2)
+            bl = "(" + _subst_name(body, param, "__sl") + ")"
+            br = "(" + _subst_name(body, param, "__sr") + ")"
+            lt, gt = ("1", "-1") if rev else ("-1", "1")
+            return (
+                f"array_sort({a[1]}, (__sl, __sr) -> "
+                f"CASE WHEN {bl} IS NULL AND {br} IS NULL THEN 0 "
+                f"WHEN {bl} IS NULL THEN 1 WHEN {br} IS NULL THEN -1 "
+                f"WHEN {bl} < {br} THEN {lt} "
+                f"WHEN {bl} > {br} THEN {gt} ELSE 0 END)"
+            )
+
+        return render
+
+    out = _rewrite_calls(out, "arraySort", _array_sort_ch(False))
+    out = _rewrite_calls(out, "arrayReverseSort", _array_sort_ch(True))
+    # arrayPartialSort(n)(arr): CH leaves the tail in UNSPECIFIED
+    # order, so a full sort is a conforming implementation
+    out = _rewrite_param_calls(
+        out, "arrayPartialSort",
+        lambda ps, a: f"array_sort({a[0]})" if len(a) == 1 else None,
+    )
+    out = _rewrite_param_calls(
+        out, "arrayPartialReverseSort",
+        lambda ps, a: (
+            f"reverse(array_sort({a[0]}))" if len(a) == 1 else None
+        ),
+    )
+    # indexHint(cond): CH uses the condition ONLY for index-granule
+    # selection — with no index (this store) it selects everything,
+    # which `true` reproduces exactly
+    out = _rewrite_calls(
+        out, "indexHint", lambda a: "true" if len(a) >= 1 else None
+    )
     out = _rewrite_calls(out, "arrayConcat", lambda a: f"concat({', '.join(a)})")
     out = _rewrite_calls(out, "toStartOfHour", lambda a: f"date_trunc({lit('HOUR')}, {a[0]})" if len(a) == 1 else None)
     out = _rewrite_calls(out, "toStartOfQuarter", lambda a: f"trunc({a[0]}, {lit('QUARTER')})" if len(a) == 1 else None)
@@ -5953,11 +6005,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         "arrayWithConstant",
         lambda a: f"array_repeat({a[1]}, cast({a[0]} as int))",
     )
-    out = _rewrite_calls(
-        out,
-        "arrayReverseSort",
-        lambda a: f"reverse(array_sort({a[0]}))" if len(a) == 1 else None,
-    )
+    # (arrayReverseSort — incl. the lambda-key form — rewrites in the
+    # arraySort block, batch 31)
 
     def _rotate(left: bool):
         def render(a: list[str]) -> str | None:

@@ -141,6 +141,9 @@ TRANSLATED = [
     "quantileExactInclusive(0.5)(x)", "quantileExactLow(0.5)(x)",
     "quantileExactHigh(0.5)(x)", "quantileExactExclusive(0.25)(x)",
     # r10 batch 30
+    "arraySort(f -> -f, a)", "arrayReverseSort(f -> f, a)",
+    "arrayPartialSort(3)(a)", "arrayPartialReverseSort(3)(a)",
+    "indexHint(x)",
     "scalarProduct(a, b)", "L1Norm(a)", "L2SquaredNorm(a)",
     "LinfNorm(a)", "LpNorm(a, 3)", "randNormal(0, 1)",
     "randLogNormal(0, 1)", "randExponential(2)", "randBernoulli(0.5)",

@@ -5040,3 +5040,38 @@ def test_dialect_batch30(spark):
                  "select L2Normalize(t1) from t",
                  "select LpNorm(a, p) from t"):
         assert T(loud) == loud
+
+
+def test_dialect_batch31(spark):
+    """r10 batch 31 — sorting closures: the LAMBDA-key arraySort form
+    used to emit array_sort(<lambda>) with the ARRAY argument dropped
+    (malformed SQL); the key lambda is now parsed and substituted
+    into an array_sort comparator, NULL keys last in both directions
+    (CH rule). arrayPartialSort's unspecified-tail contract admits a
+    full sort; indexHint(cond) selects everything on an index-less
+    store — exactly CH without an index."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def one(sql):
+        out = T(sql)
+        assert T(out) == out, out
+        return spark.sql(out).collect()[0]
+
+    r = one(
+        "select arraySort([3, 1, 2]) as s,"
+        " arraySort(x -> -x, [3, 1, 2]) as sk,"
+        " arrayReverseSort([3, 1, 2]) as rs,"
+        " arrayReverseSort(x -> x % 3, [4, 5, 3]) as rk,"
+        " arrayPartialSort(2)([5, 1, 4]) as ps,"
+        " arrayPartialReverseSort(2)([5, 1, 4]) as prs,"
+        " arraySort(x -> if(x = 0, NULL, x), [0, 2, 1]) as nl"
+        " from (select 1)"
+    )
+    assert r["s"] == [1, 2, 3] and r["sk"] == [3, 2, 1]
+    assert r["rs"] == [3, 2, 1] and r["rk"] == [5, 4, 3]
+    assert r["ps"] == [1, 4, 5] and r["prs"] == [5, 4, 1]
+    assert r["nl"] == [1, 2, 0]
+    r2 = one("select count(*) as c from range(10) where indexHint(id > 5)")
+    assert r2["c"] == 10
+    src = "select arraySort((x, y) -> x + y, a, b) from t"
+    assert T(src) == src
