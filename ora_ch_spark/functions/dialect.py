@@ -105,25 +105,71 @@ from __future__ import annotations
 
 import re
 
-# CH strftime-ish tokens → Spark datetime pattern tokens
+# CH strftime-ish tokens → Spark datetime pattern tokens (batch 31
+# rebuilt the converter as a WALKER: the old token-replace left every
+# unknown %-token raw inside the pattern, where a letter that happens
+# to be a VALID Spark pattern char silently mis-formats — %y became
+# '%' + full year, %a became '%' + AM/PM, %p threw. Unknown tokens
+# now make the whole call pass through LOUDLY, and literal letters
+# between tokens are pattern-quoted). %M keeps the reference-era CH
+# reading (MINUTE — modern CH defaults %M to the month NAME via
+# formatdatetime_parsedatetime_m_is_month_name; documented drift for
+# post-23.3 stored queries). Unmappable: %e/%l space-padded fields,
+# ISO week-based %G/%g/%V (Spark 3+ bans week-based patterns),
+# weekday numbers %u/%w, century %C.
 _FMT_TOKENS = {
-    "%Y": "yyyy",
-    "%m": "MM",
-    "%d": "dd",
-    "%H": "HH",
-    "%i": "mm",
-    "%M": "mm",
-    "%S": "ss",
-    "%F": "yyyy-MM-dd",
-    "%T": "HH:mm:ss",
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "MM", "d": "dd",
+    "D": "MM/dd/yy", "H": "HH", "k": "HH", "h": "hh", "I": "hh",
+    "i": "mm", "M": "mm", "S": "ss", "s": "ss", "f": "SSSSSS",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm",
+    "r": "hh:mm:ss a", "p": "a", "j": "DDD", "Q": "Q",
+    "a": "EEE", "b": "MMM", "W": "EEEE", "z": "xx",
+    "n": "\n", "t": "\t", "%": "%",
 }
 
 
-def _convert_fmt(fmt: str) -> str:
-    out = fmt
-    for ch_tok, spark_tok in _FMT_TOKENS.items():
-        out = out.replace(ch_tok, spark_tok)
-    return out
+def _convert_fmt(fmt: str) -> str | None:
+    """CH %-format → Spark datetime pattern, or None when a token has
+    no faithful Spark equivalent (the caller then leaves the call
+    untranslated — loud). Literal LETTERS are pattern-quoted (Spark
+    reserves every unquoted letter) and single quotes doubled for
+    both the pattern layer and the enclosing SQL literal."""
+    out: list[str] = []
+    lit_run: list[str] = []
+
+    def flush() -> None:
+        if lit_run:
+            out.append("''" + "".join(lit_run) + "''")
+            lit_run.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                return None
+            tok = _FMT_TOKENS.get(fmt[i + 1])
+            if tok is None:
+                return None
+            flush()
+            out.append(tok)
+            i += 2
+            continue
+        if c.isalpha():
+            lit_run.append(c)
+        elif c == "'":
+            # the text is the SQL-ESCAPED literal body: '' is one
+            # logical quote. Emit it pattern-escaped AND SQL-escaped
+            # (four quotes)
+            flush()
+            out.append("''''")
+            i += 1 if i + 1 < len(fmt) and fmt[i + 1] == "'" else 0
+        else:
+            flush()
+            out.append(c)
+        i += 1
+    flush()
+    return "".join(out)
 
 
 def _inside_string(sql: str, pos: int) -> bool:
@@ -2976,13 +3022,16 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
                    if len(a) == 1 else None),
     )
 
-    def _parse_dt(a: list[str]) -> str:
+    def _parse_dt(a: list[str]) -> str | None:
         if len(a) == 1:
             return f"to_timestamp({a[0]})"
         fmt = a[1].strip()
         lt = _lit_text(fmt, lits)
         if lt is not None:
-            fmt = _emit_lit("'" + _convert_fmt(lt[1:-1]) + "'", lits)
+            conv = _convert_fmt(lt[1:-1])
+            if conv is None:
+                return None  # unmappable token — loud
+            fmt = _emit_lit("'" + conv + "'", lits)
         return f"to_timestamp({a[0]}, {fmt})"
 
     # BestEffort family (batch 29 made these arity-strict and closed
@@ -3253,11 +3302,14 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
 
     out = _rewrite_calls(out, "transform", _transform_map)
 
-    def _format_dt(a: list[str]) -> str:
+    def _format_dt(a: list[str]) -> str | None:
         fmt = a[1].strip()
         lt = _lit_text(fmt, lits)
         if lt is not None:
-            fmt = _emit_lit("'" + _convert_fmt(lt[1:-1]) + "'", lits)
+            conv = _convert_fmt(lt[1:-1])
+            if conv is None:
+                return None  # unmappable token — loud
+            fmt = _emit_lit("'" + conv + "'", lits)
         ts = a[0]
         if len(a) > 2:
             # CH's optional timezone: format the instant in that zone

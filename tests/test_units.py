@@ -5075,3 +5075,44 @@ def test_dialect_batch31(spark):
     assert r2["c"] == 10
     src = "select arraySort((x, y) -> x + y, a, b) from t"
     assert T(src) == src
+
+
+def test_format_datetime_token_walker(spark):
+    """Batch 31: _convert_fmt rebuilt as a walker. The old
+    token-replace left unknown %-tokens RAW in the pattern, where a
+    letter that is a valid Spark pattern char silently mis-formats
+    (%y rendered '%'+full year, %a rendered '%'+AM/PM). Now: full
+    token map (%a/%b/%c/%D/%h/%j/%k/%p/%Q/%r/%R/%W/%y/…), literal
+    letters pattern-quoted (so %Y-%m-%dT%H works), SQL-escaped
+    quotes handled, and unmappable tokens (%V/%u/%w/%e/%G — ISO
+    week-based patterns are banned in Spark 3+) leave the whole call
+    untranslated, loudly. %M stays MINUTE (the reference-era CH
+    reading; modern CH defaults it to month name — documented)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def one(sql):
+        out = T(sql)
+        assert T(out) == out, out
+        return spark.sql(out).collect()[0]
+
+    r = one(
+        "select formatDateTime(toDateTime('2020-02-03 14:05:06'),"
+        " '%a %b %d %Y %H:%M:%S %p') as a,"
+        " formatDateTime(toDate('2020-02-03'), '%D') as d,"
+        " formatDateTime(toDateTime('2020-02-03 14:05:06'),"
+        " '%Y-%m-%dT%H:%i:%S') as isot,"
+        " formatDateTime(toDateTime('2020-02-03 14:05:06'),"
+        " '%j %Q %W %k %I %r %R') as misc,"
+        " formatDateTime(toDate('2020-02-03'), 'd''%Y') as q,"
+        " parseDateTime('03 Feb 2020', '%d %b %Y') as pb"
+        " from (select 1)"
+    )
+    assert r["a"] == "Mon Feb 03 2020 14:05:06 PM"
+    assert r["d"] == "02/03/20"
+    assert r["isot"] == "2020-02-03T14:05:06"
+    assert r["misc"] == "034 1 Monday 14 02 02:05:06 PM 14:05"
+    assert r["q"] == "d'2020"
+    assert str(r["pb"]) == "2020-02-03 00:00:00"
+    for loud in ("%V", "%u", "%w", "%e", "%G", "%g", "%C"):
+        src = f"select formatDateTime(t1, '{loud}') from t"
+        assert T(src) == src, loud
