@@ -3045,3 +3045,52 @@ SELECT k,
 FROM a
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# Battery 27 (round 10) — the formatDateTime token walker against
+# DuckDB's strftime: the SAME %-token semantics implemented by an
+# independent engine (C-locale English names, zero-padded %j, %p
+# markers). Tokens restricted to the C-strftime intersection; CH's
+# %i (minute) maps to DuckDB's %M. A timestamp with second grain is
+# synthesized per row so the time-of-day tokens vary.
+# ---------------------------------------------------------------------------
+
+_DIALECT27_CH_SQL = """
+select k,
+  formatDateTime(ts, '%a %b %d %Y %H:%i:%S %p %j %y %I %m') as f1,
+  formatDateTime(ts, '%Y-%m-%dT%H:%i:%S') as f2,
+  formatDateTime(ts, '%T / %F / %R') as f3,
+  parseDateTime(formatDateTime(ts, '%d %b %Y'), '%d %b %Y') as rt
+from (
+  select o_orderkey as k,
+         addSeconds(toDateTime(o_orderdate), o_orderkey % 86399) as ts
+  from orders where o_orderkey % 149 = 11
+)
+order by k
+"""
+
+
+def calc_dialect27_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 27 as STORED CH-dialect text through translate_ch_sql."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT27_CH_SQL))
+
+
+DIALECT27_ORACLE = """
+SELECT o_orderkey AS k,
+  strftime(ts, '%a %b %d %Y %H:%M:%S %p %j %y %I %m') AS f1,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS f2,
+  strftime(ts, '%H:%M:%S / %Y-%m-%d / %H:%M') AS f3,
+  date_trunc('day', ts)::timestamp AS rt
+FROM (
+  SELECT o_orderkey,
+         o_orderdate::timestamp
+           + (o_orderkey % 86399) * INTERVAL 1 SECOND AS ts
+  FROM orders WHERE o_orderkey % 149 = 11
+)
+ORDER BY k
+"""
