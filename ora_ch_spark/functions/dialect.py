@@ -3025,6 +3025,8 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     def _parse_dt(a: list[str]) -> str | None:
         if len(a) == 1:
             return f"to_timestamp({a[0]})"
+        if len(a) > 3:
+            return None  # over-arity — loud
         fmt = a[1].strip()
         lt = _lit_text(fmt, lits)
         if lt is not None:
@@ -3032,7 +3034,15 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
             if conv is None:
                 return None  # unmappable token — loud
             fmt = _emit_lit("'" + conv + "'", lits)
-        return f"to_timestamp({a[0]}, {fmt})"
+        base = f"to_timestamp({a[0]}, {fmt})"
+        if len(a) == 3:
+            # 3-arg tz form: parse as wall time IN that zone (same
+            # emission as the BestEffort family's trailing-tz form).
+            # Dynamic tz stays loud — r11 closes the silent-drop.
+            if _lit_text(a[2], lits) is None:
+                return None
+            return f"to_utc_timestamp({base}, {a[2]})"
+        return base
 
     # BestEffort family (batch 29 made these arity-strict and closed
     # the variants): the optional trailing CONSTANT timezone means
@@ -4030,20 +4040,23 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     def _qs_approx(ps: list[str], a: list[str]) -> str:
         return f"approx_percentile({a[0]}, array({', '.join(ps)}))"
 
-    # exact quantile interpolation variants (batch 29):
+    # exact quantile interpolation variants (batch 29; r11 clamps):
     # ExactInclusive ≡ PERCENTILE.INC ≡ R-7 ≡ Spark's percentile()
     # exactly; ExactLow/High take the sorted element at
-    # floor/ceil(level·(n−1)) (numpy 'lower'/'higher');
-    # ExactExclusive ≡ PERCENTILE.EXC (R-6) for a LITERAL level in
-    # (0,1) — out-of-range h yields NULL where CH raises (documented;
-    # degenerate level/row-count only)
+    # floor/ceil(level·(n−1)) (numpy 'lower'/'higher') — the index is
+    # clamped to ≥1 so an empty group yields NULL (CH returns NaN for
+    # an empty state; NULL is our empty-aggregate convention) instead
+    # of an INVALID_INDEX_OF_ZERO error; ExactExclusive ≡
+    # PERCENTILE.EXC (R-6) for a LITERAL level in (0,1), with CH's
+    # boundary clamp (QuantileExactExclusive: floor(h)<1 → first
+    # element, floor(h)≥n → last element) for small groups
     def _q_sorted_pick(rounder: str):
         def render(ps: list[str], a: list[str]) -> str:
             p = ps[0] if ps else "0.5"
             s = f"array_sort(collect_list({a[0]}))"
             return (
-                f"try_element_at({s}, cast({rounder}(({p}) * "
-                f"(size({s}) - 1)) as int) + 1)"
+                f"try_element_at({s}, greatest(1, cast({rounder}(({p}) * "
+                f"(size({s}) - 1)) as int) + 1))"
             )
 
         return render
@@ -4070,7 +4083,13 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
         fl = f"cast(floor{h} as int)"
         lo = f"cast(try_element_at({s}, {fl}) as double)"
         hi = f"cast(try_element_at({s}, {fl} + 1) as double)"
-        return f"({lo} + ({h} - {fl}) * ({hi} - {lo}))"
+        return (
+            f"(case when size({s}) = 0 then cast(null as double)"
+            f" when {fl} < 1 then cast(try_element_at({s}, 1) as double)"
+            f" when {fl} >= size({s})"
+            f" then cast(try_element_at({s}, size({s})) as double)"
+            f" else ({lo} + ({h} - {fl}) * ({hi} - {lo})) end)"
+        )
 
     out = _rewrite_param_calls(out, "quantileExactExclusive", _q_exclusive)
 

@@ -5116,3 +5116,67 @@ def test_format_datetime_token_walker(spark):
     for loud in ("%V", "%u", "%w", "%e", "%G", "%g", "%C"):
         src = f"select formatDateTime(t1, '{loud}') from t"
         assert T(src) == src, loud
+
+
+def test_dialect_r11_advice_quantile_clamps(spark):
+    """r11 ADVICE fixes — quantileExactExclusive clamps like CH's
+    QuantileExactExclusive (floor(h)<1 → first element, floor(h)≥n →
+    last element; the old form returned NULL or raised on small
+    groups), quantileExactLow/High guard the empty-state index
+    (INVALID_INDEX_OF_ZERO → NULL; CH returns NaN for an empty
+    state — NULL is our empty-aggregate convention), and
+    parseDateTime's 3-arg constant-tz form parses as wall time in
+    that zone instead of silently dropping it (the r9 bug class)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def one(sql):
+        out = T(sql)
+        assert T(out) == out, out
+        return spark.sql(out).collect()[0]
+
+    # 1-row group, level ≥ 0.5 → h = level*2 ≥ 1 → fl ≥ 1 = size →
+    # last element; level < 0.5 → fl = 0 < 1 → first element.
+    r = one(
+        "select quantileExactExclusive(0.75)(x) as hi1,"
+        " quantileExactExclusive(0.25)(x) as lo1"
+        " from (select 42 as x)"
+    )
+    assert (r["hi1"], r["lo1"]) == (42.0, 42.0)
+    # 2-row group, level 2/3: h = 2, fl = 2 = size → last element
+    r = one(
+        "select quantileExactExclusive(0.7)(x) as hi2,"
+        " quantileExactExclusive(0.2)(x) as lo2"
+        " from (select explode(array(10, 20)) as x)"
+    )
+    assert (r["hi2"], r["lo2"]) == (20.0, 10.0)
+    # interior h unchanged (n=3, p=0.5 → h=2 exactly → fl=2, but
+    # fl<size → interpolate with weight 0 = element 2)
+    r = one(
+        "select quantileExactExclusive(0.5)(x) as mid,"
+        " quantileExactExclusive(0.4)(x) as q4"
+        " from (select explode(array(1, 2, 3)) as x)"
+    )
+    assert r["mid"] == 2.0
+    assert abs(r["q4"] - (1 + 0.6 * 1)) < 1e-9  # h=1.6 → 1 + .6*(2-1)
+    # empty global aggregate: Low/High/Exclusive all NULL, no error
+    r = one(
+        "select quantileExactLow(0.5)(x) as ql,"
+        " quantileExactHigh(0.5)(x) as qh,"
+        " quantileExactExclusive(0.3)(x) as qe"
+        " from (select 1 as x) where x > 9"
+    )
+    assert (r["ql"], r["qh"], r["qe"]) == (None, None, None)
+
+    # parseDateTime 3-arg constant tz: wall time in Moscow → UTC-3
+    r = one(
+        "select parseDateTime('2020-03-01 10:00:00',"
+        " '%Y-%m-%d %H:%i:%S', 'Europe/Moscow') as p3"
+        " from (select 1)"
+    )
+    assert str(r["p3"]) == "2020-03-01 07:00:00"
+    # dynamic tz / over-arity stay loud
+    for loud in (
+        "select parseDateTime(s, '%Y', tz_col) from t",
+        "select parseDateTime(s, '%Y', 'UTC', 4) from t",
+    ):
+        assert T(loud) == loud, loud
