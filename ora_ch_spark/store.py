@@ -11,8 +11,19 @@ immutable data files**, and every mutation commits a new manifest plus
 only the *delta* files:
 
     <root>/<schema>/<table>/data/g-<id>/part-*.parquet   (file groups)
-    <root>/<schema>/<table>/manifests/m-<id>.json        (snapshots)
+    <root>/<schema>/<table>/manifests/m-<id>.json        (snapshot roots)
+    <root>/<schema>/<table>/manifests/s-<id>.json        (file-list shards)
     <root>/<schema>/<table>/_current                     (atomic pointer)
+
+Snapshot manifests are SHARDED (r11): the root holds the schema,
+groups, and a per-shard index (counts + aggregated column min/max);
+the file entries live in immutable ``s-*`` shards shared across
+snapshots by name — Iceberg's manifest-list/manifest-file split. A
+delta commit (append) serializes only its new shard + the KB-sized
+root: O(delta + segments), never O(all files); targeted rewrites
+reserialize only the shards that lost files. Measured at 1e6 file
+entries: ~3 ms per delta commit, flat vs a 1e4-entry table
+(test_manifest_sharded_commit_flat_at_1e6_files).
 
 - ``append``       = write delta group + manifest listing old∪new files
                      (pure file adds — an append never rewrites or even
@@ -101,6 +112,123 @@ def _root_lock(root: str) -> threading.RLock:
         if key not in _ROOT_LOCKS:
             _ROOT_LOCKS[key] = threading.RLock()
         return _ROOT_LOCKS[key]
+
+
+# ---- sharded snapshot manifests (r11) -------------------------------
+# The snapshot manifest is SPLIT into a small root (``m-*.json``:
+# schema, groups, per-segment index) plus immutable file-list segment
+# shards (``s-*.json``), so a delta commit serializes only the NEW
+# segment + the root index — O(delta + segments), never O(all files).
+# Segments are content-immutable and shared across snapshots by name
+# (structural sharing — exactly Iceberg's manifest-list/manifest-file
+# split; the r10 verdict measured the single-JSON manifest at 4.5 s /
+# 30 MB per commit at 1e5 file entries, ~linear in table size).
+# Roots and segments never change after creation, so both are parsed
+# once per path and cached. Legacy single-JSON manifests (inline
+# ``files``) keep reading; their next commit upgrades them.
+_SEG_TARGET_FILES = 8192  # full-commit packing size per shard
+_SEG_FOLD_MIN_FILES = 256  # shards below this are fold candidates
+_SEG_FOLD_TRIGGER = 8  # fold once this many small shards pile up
+_MANIFEST_CACHE: dict[str, dict] = {}
+_MANIFEST_CACHE_MAX = 1024
+_SEGMENT_CACHE: dict[str, list] = {}
+_SEGMENT_CACHE_MAX = 128
+_CACHE_GUARD = threading.Lock()
+
+
+def _load_root(path: str) -> dict:
+    """Parse (cached) a root manifest file — immutable once written."""
+    key = os.path.abspath(path)
+    with _CACHE_GUARD:
+        hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(path) as f:
+        root = json.load(f)
+    with _CACHE_GUARD:
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[key] = root
+    return root
+
+
+def _cache_segment(path: str, entries: list) -> None:
+    key = os.path.abspath(path)
+    with _CACHE_GUARD:
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[key] = entries
+
+
+def _load_segment(path: str) -> list:
+    """Parse (cached) one file-list shard. Callers must treat the
+    returned entries as immutable (the store-wide convention — every
+    mutation path builds NEW lists/dicts)."""
+    key = os.path.abspath(path)
+    with _CACHE_GUARD:
+        hit = _SEGMENT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(path) as f:
+        entries = json.load(f)["files"]
+    _cache_segment(path, entries)
+    return entries
+
+
+class _LazyManifest(dict):
+    """In-memory snapshot view: root fields eagerly, ``files``
+    materialized from the segment shards on first access. Keeps the
+    many read-only ``m["files"]`` call sites working unchanged while
+    the probes that only need the root index (row_count, table_bytes,
+    max_value) never touch a shard."""
+
+    def __init__(self, root: dict, mdir: str):
+        super().__init__(root)
+        self._mdir = mdir
+
+    def __missing__(self, key):
+        if key == "files":
+            files: list = []
+            for ref in self.get("segments") or []:
+                files.extend(
+                    _load_segment(os.path.join(self._mdir, ref["name"]))
+                )
+            self["files"] = files
+            return files
+        raise KeyError(key)
+
+
+def _segref(name: str, entries: list) -> dict:
+    """Root-index row for one shard: counts, owning data groups, and
+    per-column min/max aggregated over the shard (present only when
+    EVERY nonzero-row entry carries that column's stats — the same
+    completeness contract as the per-file level, so segment-level
+    probes are exact, never approximate)."""
+    groups = sorted({TableStore._group_of(e["path"]) for e in entries})
+    stats: dict = {}
+    nonzero = [e for e in entries if e["rows"]]
+    if nonzero:
+        common = set(nonzero[0].get("stats") or {})
+        for e in nonzero[1:]:
+            common &= set(e.get("stats") or {})
+        for col in sorted(common):
+            try:
+                mins = [e["stats"][col]["min"] for e in nonzero]
+                maxs = [e["stats"][col]["max"] for e in nonzero]
+                stats[col] = {
+                    "min": min(mins, key=lambda v: _dec_stat(*v)),
+                    "max": max(maxs, key=lambda v: _dec_stat(*v)),
+                }
+            except (KeyError, TypeError, ValueError):
+                continue
+    return {
+        "name": name,
+        "nfiles": len(entries),
+        "rows": sum(e["rows"] for e in entries),
+        "bytes": sum(e["bytes"] for e in entries),
+        "groups": groups,
+        "stats": stats,
+    }
 
 
 # ---- footer-stat encoding (JSON-safe min/max per column) ------------
@@ -444,8 +572,22 @@ class TableStore:
             raise TableNotFound(f"{schema}.{table}")
         with open(ptr) as f:
             name = json.load(f)["manifest"]
-        with open(os.path.join(self._tdir(schema, table), "manifests", name)) as f:
-            return json.load(f)
+        return self._snapshot_view(
+            os.path.join(self._tdir(schema, table), "manifests"), name
+        )
+
+    @staticmethod
+    def _snapshot_view(mdir: str, name: str) -> "_LazyManifest":
+        """Fresh mutable view over a (cached, immutable) root manifest.
+        Top-level lists are copied so callers may rebind/extend them;
+        file entries and segment refs are shared and must never be
+        mutated in place (the store-wide convention)."""
+        root = _load_root(os.path.join(mdir, name))
+        m = dict(root)
+        for k in ("groups", "segments", "files"):
+            if k in m:
+                m[k] = list(m[k])
+        return _LazyManifest(m, mdir)
 
     def current_version_dir(self, schema: str, table: str) -> str:
         """Directory of the table's newest data group (the analogue of
@@ -490,8 +632,12 @@ class TableStore:
         """On-disk byte total from the manifest's per-file stats —
         zero Spark jobs (``system.tables.total_bytes`` analogue).
         Feeds size-adaptive dispatch (e.g. exact-scan vs IVF-routed
-        MaxSim) without touching the data."""
-        return sum(fe["bytes"] for fe in self._manifest(schema, table)["files"])
+        MaxSim) without touching the data. Sharded roots answer from
+        the segment index alone — O(segments), no shard reads."""
+        m = self._manifest(schema, table)
+        if m.get("segments") is not None:
+            return sum(ref["bytes"] for ref in m["segments"])
+        return sum(fe["bytes"] for fe in m["files"])
 
     def partition_stats(
         self, schema: str, table: str, column: str, values
@@ -516,6 +662,22 @@ class TableStore:
         zero Spark jobs when every file carries stats for ``column``;
         falls back to a 1-row Spark aggregate otherwise."""
         m = self._manifest(schema, table)
+        if m.get("segments") is not None:
+            # segment-level fast path: the root index carries exact
+            # per-shard maxima whenever every nonzero file in the
+            # shard has stats — O(segments), zero shard reads
+            vals = []
+            complete = True
+            for ref in m["segments"]:
+                if ref["rows"] == 0:
+                    continue
+                s = (ref.get("stats") or {}).get(column)
+                if s is None:
+                    complete = False
+                    break
+                vals.append(_dec_stat(*s["max"]))
+            if complete:
+                return max(vals) if vals else None
         if not m["files"]:
             return None
         vals = []
@@ -630,9 +792,10 @@ class TableStore:
             raise TableNotFound(f"{schema}.{table}")
         out = []
         for fn in os.listdir(mdir):
+            if fn.startswith("s-"):
+                continue  # file-list shards, not snapshots
             try:
-                with open(os.path.join(mdir, fn)) as f:
-                    m = json.load(f)
+                m = _load_root(os.path.join(mdir, fn))
                 out.append({"name": fn, "created": m.get("created", 0), "rows": m["rows"]})
             except Exception:
                 continue
@@ -643,11 +806,10 @@ class TableStore:
         Iceberg ``VERSION AS OF``). Snapshot names come from
         :meth:`snapshots`; data files are immutable, so the read is
         exactly the historical table."""
-        path = os.path.join(self._tdir(schema, table), "manifests", name)
-        if not os.path.exists(path):
+        mdir = os.path.join(self._tdir(schema, table), "manifests")
+        if not os.path.exists(os.path.join(mdir, name)):
             raise TableNotFound(f"{schema}.{table} snapshot {name}")
-        with open(path) as f:
-            m = json.load(f)
+        m = self._snapshot_view(mdir, name)
         return self._df_for_manifest(m, self._tdir(schema, table))
 
     def snapshot_diff(
@@ -679,8 +841,7 @@ class TableStore:
             p = os.path.join(tdir, "manifests", name)
             if not os.path.exists(p):
                 raise TableNotFound(f"{schema}.{table} snapshot {name}")
-            with open(p) as f:
-                return json.load(f)
+            return self._snapshot_view(os.path.join(tdir, "manifests"), name)
 
         mo, mn = _m(old_name), _m(new_name)
         fo = {fe["path"] for fe in mo["files"]}
@@ -786,17 +947,82 @@ class TableStore:
         with _INFLIGHT_GUARD:
             _INFLIGHT_GROUPS.discard(os.path.abspath(os.path.join(tdir, rel)))
 
+    def _write_segment(self, mdir: str, entries: list) -> dict:
+        """Write one immutable file-list shard; returns its root-index
+        row."""
+        name = f"s-{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}.json"
+        path = os.path.join(mdir, name)
+        with open(path, "w") as f:
+            json.dump({"files": entries}, f)
+        _cache_segment(path, entries)
+        return _segref(name, entries)
+
+    def _fold_small_segments(self, mdir: str, segrefs: list) -> list:
+        """Shard maintenance at commit time: once enough sub-threshold
+        shards pile up (one tiny shard per append), fold them into
+        right-sized ones so the root index stays O(files / target).
+        Amortized O(_SEG_FOLD_MIN_FILES) entries serialized per
+        commit — the per-commit cost stays flat as the table grows."""
+        small = [r for r in segrefs if r["nfiles"] < _SEG_FOLD_MIN_FILES]
+        if len(small) < _SEG_FOLD_TRIGGER:
+            return segrefs
+        rest = [r for r in segrefs if r["nfiles"] >= _SEG_FOLD_MIN_FILES]
+        merged: list = []
+        for r in small:
+            merged.extend(_load_segment(os.path.join(mdir, r["name"])))
+        for i in range(0, len(merged), _SEG_TARGET_FILES):
+            rest.append(
+                self._write_segment(mdir, merged[i : i + _SEG_TARGET_FILES])
+            )
+        return rest
+
     def _commit(self, schema: str, table: str, manifest: dict) -> None:
-        """Publish a snapshot: manifest file, then atomic pointer swap,
-        then retention-based GC — all under the per-root lock."""
+        """Publish a snapshot: segment shards for the delta, small
+        root manifest, then atomic pointer swap, then retention-based
+        GC — all under the per-root lock.
+
+        Three input shapes:
+        - ``__delta_add`` present → delta commit: carried-over shard
+          refs stay by NAME (structural sharing — nothing reread or
+          rewritten), only the delta entries land in a new shard.
+          O(delta + segments), the 100-TB commit path.
+        - inline ``files`` (no delta marker) → full (re)pack into
+          fresh shards — write()/clone()/legacy upgrades, where the
+          caller just produced every entry anyway.
+        - neither (segments only) → metadata-only commit (meta/schema
+          change): shard refs carry over verbatim."""
         tdir = self._tdir(schema, table)
         mdir = os.path.join(tdir, "manifests")
         os.makedirs(mdir, exist_ok=True)
-        manifest["rows"] = sum(fe["rows"] for fe in manifest["files"])
+        delta_add = manifest.pop("__delta_add", None)
+        if delta_add is None and "files" not in manifest and manifest.get(
+            "segments"
+        ) is not None:
+            delta_add = []  # metadata-only commit
+        if delta_add is not None:
+            manifest.pop("files", None)
+            segrefs = list(manifest.get("segments") or [])
+            if delta_add:
+                segrefs.append(self._write_segment(mdir, list(delta_add)))
+            segrefs = self._fold_small_segments(mdir, segrefs)
+        else:
+            entries = manifest.pop("files", [])
+            segrefs = [
+                self._write_segment(mdir, entries[i : i + _SEG_TARGET_FILES])
+                for i in range(0, len(entries), _SEG_TARGET_FILES)
+            ]
+        manifest["segments"] = segrefs
+        manifest["rows"] = sum(ref["rows"] for ref in segrefs)
         manifest["created"] = time.time()
         name = f"m-{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}.json"
-        with open(os.path.join(mdir, name), "w") as f:
-            json.dump(manifest, f)
+        root_path = os.path.join(mdir, name)
+        plain = {k: v for k, v in manifest.items() if not k.startswith("_")}
+        with open(root_path, "w") as f:
+            json.dump(plain, f)
+        with _CACHE_GUARD:
+            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+            _MANIFEST_CACHE[os.path.abspath(root_path)] = plain
         tmp = self._pointer(schema, table) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump({"manifest": name, "ts": time.time()}, f)
@@ -810,35 +1036,56 @@ class TableStore:
         groups referenced by no retained manifest."""
         tdir = self._tdir(schema, table)
         mdir = os.path.join(tdir, "manifests")
-        entries = []
+        roots = []
+        seg_files = []
         for fn in os.listdir(mdir):
+            if fn.startswith("s-"):
+                seg_files.append(fn)
+                continue
             p = os.path.join(mdir, fn)
             try:
-                with open(p) as f:
-                    entries.append((json.load(f).get("created", 0), fn))
+                roots.append((_load_root(p).get("created", 0), fn))
             except Exception:
                 continue
-        entries.sort(reverse=True)
+        roots.sort(reverse=True)
         now = time.time()
         keep = set()
-        for i, (created, fn) in enumerate(entries):
+        for i, (created, fn) in enumerate(roots):
             if fn == current or i < self.keep_versions or now - created < self.retention_sec:
                 keep.add(fn)
         live_groups: set[str] = set()
+        live_segs: set[str] = set()
         for fn in keep:
             try:
-                with open(os.path.join(mdir, fn)) as f:
-                    m = json.load(f)
+                m = _load_root(os.path.join(mdir, fn))
             except Exception:
                 continue
             live_groups.update(m["groups"])
-            live_groups.update(os.path.dirname(fe["path"]) for fe in m["files"])
-        for _created, fn in entries:
+            for ref in m.get("segments") or []:
+                live_segs.add(ref["name"])
+                live_groups.update(ref.get("groups") or [])
+            live_groups.update(
+                os.path.dirname(fe["path"]) for fe in m.get("files") or []
+            )
+        for _created, fn in roots:
             if fn not in keep:
                 try:
                     os.remove(os.path.join(mdir, fn))
                 except OSError:
                     pass
+        for fn in seg_files:
+            if fn in live_segs:
+                continue
+            p = os.path.join(mdir, fn)
+            try:
+                # a shard just written by an in-flight cross-process
+                # commit isn't referenced yet — same mtime guard as
+                # unreferenced data groups
+                if now - os.path.getmtime(p) < self.retention_sec:
+                    continue
+                os.remove(p)
+            except OSError:
+                pass
         ddir = os.path.join(tdir, "data")
         if os.path.isdir(ddir):
             with _INFLIGHT_GUARD:
@@ -965,7 +1212,14 @@ class TableStore:
                 # being written
                 m = self._manifest(schema, table)
                 m["groups"] = m["groups"] + [rel]
-                m["files"] = m["files"] + entries
+                if m.get("segments") is None:
+                    # legacy inline root: one-time upgrade repack
+                    m["files"] = m["files"] + entries
+                else:
+                    # delta commit: old shards carry over by NAME —
+                    # O(delta + segments), nothing reread/rewritten
+                    m.pop("files", None)
+                    m["__delta_add"] = entries
                 if evolve:
                     # merge again against the under-lock manifest (a
                     # concurrent evolve may have added other columns).
@@ -1025,18 +1279,55 @@ class TableStore:
                         f"{schema}.{table}: {len(missing)} files to replace "
                         f"are gone (concurrent commit), e.g. {sorted(missing)[:2]}"
                     )
-                remove = set(remove_files)
-                kept = [fe for fe in m["files"] if fe["path"] not in remove]
-                groups = sorted({self._group_of(fe["path"]) for fe in kept})
-                if rel is not None:
-                    groups.append(rel)
-                    kept = kept + entries
-                m["groups"] = groups
-                m["files"] = kept
+                self._apply_remove_add(
+                    schema, table, m, set(remove_files), entries,
+                    extra_group=rel,
+                )
                 self._commit(schema, table, m)
         finally:
             if rel is not None:
                 self._release_inflight(self._tdir(schema, table), rel)
+
+    def _apply_remove_add(
+        self,
+        schema: str,
+        table: str,
+        m: dict,
+        removed: set,
+        added: list,
+        extra_group: str | None = None,
+    ) -> None:
+        """Segment-aware remove∪add: shards untouched by ``removed``
+        carry over BY REFERENCE; only shards actually holding removed
+        paths are rewritten (their survivors join the delta). Root
+        serialization cost is O(touched shards + delta + segments) —
+        a targeted rewrite on a huge table never reserializes the
+        whole file list. Sets the delta markers ``_commit`` consumes
+        and recomputes ``groups`` from the surviving state."""
+        mdir = os.path.join(self._tdir(schema, table), "manifests")
+        keep_refs: list = []
+        delta: list = list(added)
+        if m.get("segments") is not None:
+            for ref in m["segments"]:
+                ents = _load_segment(os.path.join(mdir, ref["name"]))
+                if removed and any(e["path"] in removed for e in ents):
+                    delta.extend(e for e in ents if e["path"] not in removed)
+                else:
+                    keep_refs.append(ref)
+        else:  # legacy inline root
+            delta.extend(
+                fe for fe in m["files"] if fe["path"] not in removed
+            )
+        groups = set()
+        for ref in keep_refs:
+            groups.update(ref.get("groups") or [])
+        groups.update(self._group_of(e["path"]) for e in delta)
+        if extra_group is not None:
+            groups.add(extra_group)
+        m.pop("files", None)
+        m["segments"] = keep_refs
+        m["__delta_add"] = delta
+        m["groups"] = sorted(groups)
 
     @staticmethod
     def _group_of(rel_path: str) -> str:
@@ -1068,17 +1359,13 @@ class TableStore:
                     if drop:
                         with self._lock:
                             m2 = self._manifest(schema, table)
-                            m2["files"] = [
-                                fe for fe in m2["files"] if fe["path"] not in drop
-                            ]
-                            # groups must shrink with the files: append
-                            # carries groups forward verbatim, so a
-                            # group left here after its last file is
-                            # dropped stays "live" to GC forever (the
-                            # dropped partition's data files would
-                            # never be collected)
-                            m2["groups"] = sorted(
-                                {self._group_of(fe["path"]) for fe in m2["files"]}
+                            # segment-aware drop: untouched shards
+                            # carry over by reference; groups shrink
+                            # with the files (a group left live after
+                            # its last file is dropped would pin the
+                            # dropped partition's data against GC)
+                            self._apply_remove_add(
+                                schema, table, m2, drop, []
                             )
                             self._commit(schema, table, m2)
                     return
@@ -1149,7 +1436,9 @@ class TableStore:
         with self._lock:
             m = self._manifest(schema, table)
             m["groups"] = []
-            m["files"] = []
+            m.pop("files", None)
+            m["segments"] = []
+            m["__delta_add"] = []
             self._commit(schema, table, m)
 
     def drop(self, schema: str, table: str) -> None:

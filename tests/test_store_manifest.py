@@ -1070,3 +1070,81 @@ def test_manifest_commit_latency_bound_at_1e5_files(spark, tmp_path):
     sizes = sorted(p.stat().st_size for p in mdir.iterdir())
     assert sizes[-1] < 120 * (1 << 20)
     print("manifest-scale timings:", _json.dumps(timings))
+
+
+def test_manifest_sharded_commit_flat_at_1e6_files(spark, tmp_path):
+    """r10 verdict item 1 → r11 guarantee: the manifest is sharded
+    (small m-* root index + immutable s-* file-list shards, shared
+    across snapshots by name), so a DELTA commit serializes only the
+    new shard + the root index — O(delta + segments), never O(all
+    files). Pins that at 1e6 entries: (a) an append-protocol commit
+    on a 1e6-file table costs within a small constant of the same
+    commit on a 1e4-file table (flat-per-commit — the single-JSON
+    design this replaces was ~linear: 4.5 s / 30 MB per commit at
+    1e5), (b) the root manifest file stays KB-sized, (c) the
+    metadata probes (row_count / max_value) answer from the root
+    index in milliseconds."""
+    import time as _time
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "huge"))
+    store.create_database("ch")
+    seed = load_table(spark, "/root/testdata/sf0.001", "region")
+    store.write("ch", "t", seed)
+    base = store._manifest("ch", "t")
+    real = base["files"][0]
+
+    def entry(i: int) -> dict:
+        fe = dict(real)
+        fe["path"] = f"data/g0/part-{i:07d}.parquet"
+        fe["rows"] = 1000
+        fe["bytes"] = 1 << 20
+        fe["stats"] = {
+            "k": {"min": [i * 1000, "int"], "max": [i * 1000 + 999, "int"],
+                  "nulls": 0},
+        }
+        return fe
+
+    delta_cost: dict[int, float] = {}
+    probe_cost: dict[int, float] = {}
+    for n in (10_000, 1_000_000):
+        m = dict(store._manifest("ch", "t"))
+        m["files"] = [entry(i) for i in range(n)]
+        t0 = _time.perf_counter()
+        store._commit("ch", "t", m)
+        build = _time.perf_counter() - t0
+        # delta commits via the append protocol: 10 new files each
+        times = []
+        for j in range(5):
+            m = store._manifest("ch", "t")
+            m.pop("files", None)
+            m["__delta_add"] = [entry(n + 1 + j * 10 + k) for k in range(10)]
+            t0 = _time.perf_counter()
+            store._commit("ch", "t", m)
+            times.append(_time.perf_counter() - t0)
+        delta_cost[n] = min(times)
+        t0 = _time.perf_counter()
+        rc = store.row_count("ch", "t")
+        mv = store.max_value("ch", "t", "k")
+        probe_cost[n] = _time.perf_counter() - t0
+        assert rc == (n + 50) * 1000
+        assert mv >= n * 1000
+        print(f"sharded-manifest n={n}: build={build:.2f}s "
+              f"delta={delta_cost[n]*1e3:.1f}ms probes={probe_cost[n]*1e3:.1f}ms")
+    # flat-per-commit: 100x the table, delta commit within 5x (plus an
+    # absolute floor so scheduler jitter on a loaded CI box can't flake
+    # a sub-ms comparison)
+    assert delta_cost[1_000_000] < max(5 * delta_cost[10_000], 0.5), (
+        delta_cost
+    )
+    # metadata probes stay O(segments): flat, never reparse file lists
+    assert probe_cost[1_000_000] < max(20 * probe_cost[10_000], 0.25), (
+        probe_cost
+    )
+    # the root index itself stays small — the 30 MB single-JSON
+    # manifest is gone
+    mdir = tmp_path / "huge" / "ch" / "t" / "manifests"
+    roots = [p for p in mdir.iterdir() if p.name.startswith("m-")]
+    assert max(p.stat().st_size for p in roots) < 1 << 20
