@@ -3094,3 +3094,72 @@ FROM (
 )
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# Byte-strings battery (round 11) — the opt-in CH byte-semantics mode
+# (`translate_ch_sql(byte_strings=True)`) over MULTI-BYTE inputs:
+# bare substring/substr slice bytes (positive and negative offsets,
+# mid-code-point edges carried through raw), bare reverse()
+# byte-reverses, length() counts bytes, lengthUTF8() characters.
+# Outputs are hex-encoded so mid-code-point byte sequences stay
+# hash-comparable. The DuckDB oracle slices the hex encoding of the
+# UTF-8 bytes directly (2 hex chars per byte) and rebuilds the byte
+# reverse with a bounded generate_series fold — an independent byte-
+# level replay. Closes the dialect header's documented
+# ASCII-coincident drift (r10 verdict item 2).
+# ---------------------------------------------------------------------------
+
+_DIALECT_BYTE_CH_SQL = """
+select k,
+  hex(substring(s, 3, 7)) as bs1,
+  hex(substring(s, -5, 4)) as bs2,
+  hex(substring(s, 5)) as bs3,
+  hex(reverse(s)) as brev,
+  toInt64(lengthUTF8(s)) as lc,
+  toInt64(length(s)) as lb
+from (
+  select o_orderkey as k,
+         concat('прив', o_orderpriority, 'étλ') as s
+  from orders where o_orderkey % 211 = 3
+)
+order by k
+"""
+
+
+def calc_dialect_byte_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-mode battery as STORED CH-dialect text through
+    translate_ch_sql(byte_strings=True)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT_BYTE_CH_SQL, byte_strings=True))
+
+
+DIALECT_BYTE_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k, 'прив' || o_orderpriority || 'étλ' AS s
+  FROM orders WHERE o_orderkey % 211 = 3
+),
+h AS (
+  SELECT k, hex(encode(s)) AS hx, octet_length(encode(s)) AS n,
+         length(s) AS lc
+  FROM src
+),
+rev AS (
+  SELECT k, string_agg(substr(hx, 2 * i - 1, 2), '' ORDER BY i DESC) AS brev
+  FROM h CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= n
+  GROUP BY k
+)
+SELECT h.k,
+  substr(hx, 2 * 3 - 1, 2 * 7) AS bs1,
+  substr(hx, 2 * (n - 5 + 1) - 1, 2 * 4) AS bs2,
+  substr(hx, 2 * 5 - 1, 2 * (n - 4)) AS bs3,
+  rev.brev AS brev,
+  lc::BIGINT AS lc,
+  n::BIGINT AS lb
+FROM h JOIN rev USING (k)
+ORDER BY h.k
+"""

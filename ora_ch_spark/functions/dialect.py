@@ -31,7 +31,11 @@ functions operate on BYTES (``length``/``position``/``left``/
 ASCII only; the ``…UTF8`` forms are the character/Unicode ones. The
 translator reproduces both families exactly (octet_length, encoded
 prefixes, binary slices, translate() ASCII folds). Two documented
-residual drifts, both ASCII-coincident: ``substring``/``substr`` stays
+residual drifts, both ASCII-coincident and both CLOSED by the opt-in
+``byte_strings=True`` mode (r11: exact CH byte slices / byte
+reversal, fuzzed vs Python byte references in
+test_dialect_byte_strings_mode_fuzz and gated vs a DuckDB hex-level
+replay in calc_dialect_byte_mode); by default ``substring``/``substr`` stays
 Spark-native (characters) where CH slices bytes — rewriting the single
 most common ANSI function to binary slicing was judged higher-risk
 than the drift, which vanishes on ASCII; and ``reverse`` stays
@@ -2938,7 +2942,11 @@ def register_dictionary(name: str, key_column: str) -> None:
     _DICTIONARIES[name] = key_column
 
 
-def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
+def translate_ch_sql(
+    sql: str,
+    fixed_string_pad: bool = False,
+    byte_strings: bool = False,
+) -> str:
     """Rewrite ClickHouse-dialect SQL into Spark SQL (function surface
     of SURVEY.md §2.4). Idempotent on already-ANSI text — with two
     documented exceptions where a name is valid in both dialects with
@@ -2967,6 +2975,61 @@ def translate_ch_sql(sql: str, fixed_string_pad: bool = False) -> str:
     # array literals first: call-arg splitting must never see a bare
     # '[1, 2]' (the comma would split it into two args)
     out = _rewrite_array_literals(out)
+
+    if byte_strings:
+        # ---- opt-in CH byte-string mode (r11, closes the header's
+        # documented ASCII-coincident drift): bare substring/substr/
+        # mid slice BYTES like ClickHouse (1-based byte offset,
+        # negative counts from the end — Spark's substring over a
+        # BINARY argument has exactly those semantics), and bare
+        # reverse() byte-reverses (CH docs: "as a sequence of
+        # bytes"). Spark's binary→string cast is a raw byte wrap (no
+        # validation), so a slice/reverse landing inside a code point
+        # carries the partial bytes through exactly like CH. Runs
+        # FIRST so it only sees user-written calls, never this
+        # translator's own later character-exact emissions.
+        # Value-idempotent; NOT text-idempotent (translating emitted
+        # output again re-wraps inner ASCII-only helpers harmlessly).
+        # reverse() is overloaded in CH (arrays too) and argument
+        # types are unknowable at text level: syntactic array-ish
+        # arguments are skipped — spell arrayReverse for arrays under
+        # byte mode.
+        def _byte_substr(a: list[str]) -> str | None:
+            if len(a) not in (2, 3):
+                return None
+            s = a[0].strip()
+            if s.startswith("cast(") and s.endswith("as binary)"):
+                return None  # already byte-form
+            args = ", ".join([f"cast({a[0]} as binary)"] + a[1:])
+            return f"cast(substring({args}) as string)"
+
+        for _bfn in ("substring", "substr", "mid"):
+            out = _rewrite_calls(out, _bfn, _byte_substr)
+
+        _ARRAYISH = (
+            "array", "collect_list", "collect_set", "sequence(",
+            "split(", "transform(", "map_keys", "map_values",
+            "groupArray",
+        )
+
+        def _byte_reverse(a: list[str]) -> str | None:
+            if len(a) != 1:
+                return None
+            low = a[0].lower()
+            if any(t in low for t in _ARRAYISH):
+                return None
+            s = a[0]
+            hx = f"hex(cast({s} as binary))"
+            empty = _emit_lit("''", lits)
+            return (
+                f"(case when octet_length({s}) <= 1 then cast({s} as string)"
+                f" else cast(unhex(array_join(reverse(transform("
+                f"sequence(1, octet_length({s})),"
+                f" __bi -> substring({hx}, 2 * __bi - 1, 2))), {empty}))"
+                f" as string) end)"
+            )
+
+        out = _rewrite_calls(out, "reverse", _byte_reverse)
 
     # ---- optional-timezone pre-pass (r9): most CH date functions
     # accept a trailing constant timezone; the per-function rewrites

@@ -5180,3 +5180,56 @@ def test_dialect_r11_advice_quantile_clamps(spark):
         "select parseDateTime(s, '%Y', 'UTC', 4) from t",
     ):
         assert T(loud) == loud, loud
+
+
+def test_dialect_byte_strings_mode_fuzz(spark):
+    """r11 byte-strings mode, differentially fuzzed against Python
+    byte references: for a corpus of multi-byte strings (Cyrillic,
+    accents, CJK, astral-plane, mixed) and a grid of offsets/lengths,
+    translate_ch_sql(byte_strings=True)'s substring slices BYTES and
+    reverse() byte-reverses — hex-compared against s.encode() slicing
+    so mid-code-point raw bytes are asserted exactly (Spark's
+    binary→string cast is a raw wrap, no validation). Default mode
+    stays character-based (regression guard on the opt-in)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    corpus = [
+        "привет мир", "héllo wörld", "日本語テキスト", "mixédПрivet",
+        "𝔘ni𝔠ode", "ñaïve", "abc", "ж", "", "aДbЖcЯ",
+    ]
+    cases = []  # (sql_expr, py_ref_hex)
+    for si, s in enumerate(corpus):
+        enc = s.encode()
+        n = len(enc)
+        lit = s.replace("'", "''")
+        for off, ln in [(1, 3), (2, 4), (3, 2), (5, 100), (-3, 2), (-7, 5)]:
+            # Spark window rule (bytes): negative offsets count from
+            # the end; a window starting BEFORE the string consumes
+            # its length budget on the virtual positions (same rule
+            # Spark applies to string substring — documented edge for
+            # |offset| > length, where engines differ)
+            start0 = off - 1 if off > 0 else n + off
+            ref = enc[max(0, start0) : max(0, start0 + ln)]
+            if n == 0:
+                ref = b""
+            cases.append(
+                (f"hex(substring('{lit}', {off}, {ln}))", ref.hex().upper())
+            )
+        cases.append((f"hex(reverse('{lit}'))", enc[::-1].hex().upper()))
+    sel = ", ".join(
+        f"{expr} as c{i}" for i, (expr, _) in enumerate(cases)
+    )
+    out = T(f"select {sel}", byte_strings=True)
+    row = spark.sql(out).collect()[0]
+    for i, (expr, ref) in enumerate(cases):
+        got = row[f"c{i}"] or ""
+        assert got == ref, (expr, got, ref)
+    # default mode unchanged: character semantics pass through
+    assert T("select substring(s, 3, 7) from t") == (
+        "select substring(s, 3, 7) from t"
+    )
+    assert T("select reverse(s) from t") == "select reverse(s) from t"
+    # byte mode skips array-ish reverse (CH overload) — stays loud/native
+    assert T("select reverse(array(1, 2)) from t", byte_strings=True) == (
+        "select reverse(array(1, 2)) from t"
+    )
