@@ -819,11 +819,12 @@ order by y, st, c
 
 
 def calc_dialect13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clause pass-through, value-gated: WITH ROLLUP subtotal rows,
-    INTERSECT set semantics, UNION DISTINCT dedup — all taken by
-    Spark natively after translation (the translator must not touch
-    them; CH WITH TOTALS, by contrast, is rewritten to GROUPING
-    SETS)."""
+    """Clause handling, value-gated: WITH ROLLUP subtotal rows and
+    UNION DISTINCT dedup pass through to Spark natively; bare
+    INTERSECT takes the r11 hash-set-filter rewrite (values coincide
+    here — grouped branches are duplicate-free; calc_set_ops_dup
+    gates the duplicate-bearing arithmetic). CH WITH TOTALS, by
+    contrast, is rewritten to GROUPING SETS."""
     from ora_ch_spark.functions.dialect import translate_ch_sql
     from ora_ch_spark.io import register_views
 
@@ -3162,4 +3163,76 @@ SELECT h.k,
   n::BIGINT AS lb
 FROM h JOIN rev USING (k)
 ORDER BY h.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bare INTERSECT/EXCEPT duplicate semantics (round 11) — CH's bare
+# forms are a right-side hash-set FILTER over the left branch (left
+# multiplicity preserved on membership, NULLs compare equal), which
+# matches neither Spark's DISTINCT default nor ANSI ALL's
+# min-multiplicity. The translator rewrites them onto a positional
+# 96-bit row fingerprint (_rewrite_bare_set_ops); this battery proves
+# the multiplicity arithmetic on duplicate-bearing, NULL-bearing
+# branches with DIFFERENT column names (positional matching), vs a
+# DuckDB replay of the filter via IS NOT DISTINCT FROM EXISTS.
+# ---------------------------------------------------------------------------
+
+_SET_OPS_DUP_CH_SQL = """
+select 'i' as op, p, st, toInt64(count(*)) as n from (
+  select o_orderpriority as p,
+         if(o_orderkey % 7 = 0, NULL, o_orderstatus) as st
+  from orders where o_orderkey % 13 < 4
+  intersect
+  select o_orderpriority as p2,
+         if(o_orderkey % 5 = 0, NULL, o_orderstatus) as st2
+  from orders where o_orderkey % 17 < 3
+) group by p, st
+union all
+select 'e' as op, p, st, toInt64(count(*)) as n from (
+  select o_orderpriority as p,
+         if(o_orderkey % 7 = 0, NULL, o_orderstatus) as st
+  from orders where o_orderkey % 13 < 4
+  except
+  select o_orderpriority as p2,
+         if(o_orderkey % 5 = 0, NULL, o_orderstatus) as st2
+  from orders where o_orderkey % 17 < 3
+) group by p, st
+order by op, p, st
+"""
+
+
+def calc_set_ops_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare-set-op battery as STORED CH-dialect text through
+    translate_ch_sql."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_SET_OPS_DUP_CH_SQL))
+
+
+SET_OPS_DUP_ORACLE = """
+WITH A AS (
+  SELECT o_orderpriority AS p,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS st
+  FROM orders WHERE o_orderkey % 13 < 4
+),
+B AS (
+  SELECT o_orderpriority AS p,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS st
+  FROM orders WHERE o_orderkey % 17 < 3
+)
+SELECT 'i' AS op, p, st, count(*)::BIGINT AS n
+FROM A WHERE EXISTS (
+  SELECT 1 FROM B WHERE B.p IS NOT DISTINCT FROM A.p
+                    AND B.st IS NOT DISTINCT FROM A.st)
+GROUP BY p, st
+UNION ALL
+SELECT 'e' AS op, p, st, count(*)::BIGINT AS n
+FROM A WHERE NOT EXISTS (
+  SELECT 1 FROM B WHERE B.p IS NOT DISTINCT FROM A.p
+                    AND B.st IS NOT DISTINCT FROM A.st)
+GROUP BY p, st
+ORDER BY op, p, st
 """

@@ -623,6 +623,124 @@ def _rewrite_limit_by(masked: str) -> str:
         masked = head + wrapped + rest
 
 
+def _setop_is_operator(region: str, sm: "re.Match") -> bool:
+    """True when a _UNION_SEP hit is a real set-operation keyword
+    (UNION always; EXCEPT/INTERSECT only when ALL/DISTINCT or a
+    SELECT/WITH branch follows — ``* EXCEPT(col)`` is the
+    column-exclusion modifier, not a boundary)."""
+    if sm.group(0).lower().startswith("union"):
+        return True
+    rest = region[sm.end():]
+    if re.match(r"(?is)\s*(all|distinct)\b", rest):
+        return True
+    rest = rest.lstrip()
+    while rest.startswith("("):
+        rest = rest[1:].lstrip()
+    return bool(re.match(r"(?i)(select|with)\b", rest))
+
+
+def _rewrite_bare_set_ops(masked: str) -> str:
+    """CH bare ``INTERSECT``/``EXCEPT`` duplicate semantics (r11,
+    closes the r10 residual): ClickHouse's bare forms are a
+    right-side hash-set FILTER over the left branch — every left
+    duplicate is kept (INTERSECT) or dropped (EXCEPT) on membership
+    (``Interpreters/InterpreterSelectIntersectExceptQuery``), which
+    matches NEITHER Spark's DISTINCT default NOR ANSI ALL's
+    min-multiplicity. The branch column list is unknowable at text
+    level, so membership is keyed on a 96-bit POSITIONAL value
+    fingerprint of the whole row — ``(xxhash64(struct(*)),
+    hash(struct(*)))``: Spark's hash functions ignore struct field
+    names (verified), so the branches' differing column names don't
+    matter, and NULLs hash deterministically — matching the CH
+    hash-set's NULL-equality, which no join/=-based rewrite gives.
+
+    Scope: exactly one depth-0 set keyword in the enclosing region
+    and a plain SELECT on each side. Chains (precedence differs
+    between engines), WITH-headed regions (a CTE wrapped into the
+    left branch would fall out of scope for the right) and explicit
+    ALL/DISTINCT spellings pass through — DISTINCT is exact already,
+    and pass-through coincides for duplicate-free branches."""
+    pos = 0
+    while True:
+        m = re.compile(r"(?i)\b(intersect|except)\b").search(masked, pos)
+        if not m:
+            return masked
+        rest = masked[m.end():]
+        if re.match(r"(?is)\s*(all|distinct)\b", rest):
+            pos = m.end()
+            continue
+        na = rest.lstrip()
+        while na.startswith("("):
+            na = na[1:].lstrip()
+        if not re.match(r"(?i)select\b", na):
+            pos = m.end()
+            continue
+        # enclosing region: nearest paren group (or whole statement)
+        depth = 0
+        start = 0
+        for i in range(m.start() - 1, -1, -1):
+            c = masked[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    start = i + 1
+                    break
+                depth -= 1
+        depth = 0
+        end = len(masked)
+        for i in range(m.end(), len(masked)):
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+        region = masked[start:end]
+        if re.match(r"(?is)\s*with\b", region):
+            pos = m.end()
+            continue
+        ops = [
+            sm
+            for sm in _UNION_SEP.finditer(region)
+            if region[: sm.start()].count("(")
+            == region[: sm.start()].count(")")
+            and _setop_is_operator(region, sm)
+        ]
+        if len(ops) != 1 or ops[0].start() != m.start() - start:
+            pos = m.end()
+            continue
+        # depth-0 tail (ORDER BY/LIMIT/OFFSET after the keyword binds
+        # to the whole set expression, per the standard)
+        krel = m.end() - start
+        tail_at = len(region)
+        for tm in re.finditer(
+            r"(?i)\border\s+by\b|\blimit\b|\boffset\b", region
+        ):
+            if tm.start() <= krel:
+                continue
+            seg = region[: tm.start()]
+            if seg.count("(") == seg.count(")"):
+                tail_at = tm.start()
+                break
+        a_txt = region[: m.start() - start].strip()
+        b_txt = region[krel:tail_at].strip()
+        tail = region[tail_at:].strip()
+        neg = "NOT " if m.group(1).lower() == "except" else ""
+        wrapped = (
+            f"SELECT * EXCEPT(__ch_sh1, __ch_sh2) FROM (SELECT *, "
+            f"xxhash64(struct(*)) AS __ch_sh1, hash(struct(*)) AS "
+            f"__ch_sh2 FROM ({a_txt}) __ch_setl) WHERE "
+            f"(__ch_sh1, __ch_sh2) {neg}IN (SELECT xxhash64(struct(*)), "
+            f"hash(struct(*)) FROM ({b_txt}) __ch_setr)"
+            + (f" {tail}" if tail else "")
+        )
+        masked = masked[:start] + wrapped + masked[end:]
+        pos = start  # rescan: nested bare forms inside the branches
+
+
 # ---- block-order-dependent function family (r10 verdict item 3) ----
 # CH's runningDifference / neighbor / runningAccumulate /
 # groupArrayMovingSum(Avg) read rows in BLOCK order — undefined in a
@@ -8484,15 +8602,11 @@ def translate_ch_sql(
     masked = _rewrite_with_totals(masked)
     # ORDER BY c WITH FILL → sequence-spine full join
     masked = _rewrite_with_fill(masked)
-    # INTERSECT/EXCEPT duplicate semantics — audited in r10, left as
-    # pass-through (documented residual): CH's bare forms keep
-    # duplicates via a right-side hash-set FILTER (all left
-    # duplicates kept / dropped on membership), which matches NEITHER
-    # Spark's DISTINCT default NOR ANSI ALL's min-multiplicity. An
-    # exact translation needs a null-safe semi/anti join over the
-    # full column list, which the text level cannot enumerate.
-    # Duplicate-free branches (every current catalog use) coincide
-    # under all three readings; explicit DISTINCT spellings are exact.
+    # bare INTERSECT/EXCEPT → CH hash-set filter semantics via a
+    # positional row fingerprint (r11; chains/WITH-headed regions and
+    # explicit ALL/DISTINCT spellings still pass through — see
+    # _rewrite_bare_set_ops)
+    masked = _rewrite_bare_set_ops(masked)
     # CH NULLS-LAST default on every ascending sort key (runs after
     # all ORDER-BY-consuming rewrites so they parse clean text)
     masked = _order_by_nulls_last(masked)
