@@ -40,6 +40,28 @@ from ora_ch_spark.store import TableStore
 
 BROADCAST_UPDATES_MAX_ROWS = 10_000_000  # ~hundreds of MB of keys; beyond → shuffle merge
 
+# O5 probe guard (r11): hard ceiling on the affected-file list the
+# file-pruned path may collect on the driver. The range pre-check
+# already routes scattered updates to the full merge, but a probe
+# running WITHOUT zone-map candidates (non-integer keys) can touch
+# every file of a huge table — beyond the cap the probe abandons
+# pruning and falls through to the full merge (which is cheaper than
+# rewriting more than half the table file-by-file anyway).
+AFFECTED_FILES_ABS_MAX = 100_000
+
+# test hook: when True, op_update records the physical plan of its
+# merge DataFrame (broadcast vs sort-merge shape assertions)
+_DEBUG_CAPTURE_PLAN = False
+_last_merge_plan: str | None = None
+
+
+def _capture_plan(df: DataFrame) -> None:
+    global _last_merge_plan
+    if _DEBUG_CAPTURE_PLAN:
+        _last_merge_plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
 
 def shape_source(df: DataFrame, spec: TableSpec) -> DataFrame:
     """Apply the spec's source-side shaping, mirroring the SELECT the
@@ -265,6 +287,14 @@ def op_update(
             if candidates is not None and not candidates:
                 affected = []  # zone maps prove no file holds any key
             else:
+                # bounded collect (r11): cap at half the table's files
+                # (rewriting more is worse than one full merge) and an
+                # absolute driver ceiling; limit(cap+1) detects
+                # overflow WITHOUT materializing the pathological list
+                n_files = len(
+                    store._manifest(spec.schema, spec.name)["files"]
+                )
+                cap = min(max(64, n_files // 2), AFFECTED_FILES_ABS_MAX)
                 tagged = store.read_with_file(
                     spec.schema, spec.name, candidates
                 )
@@ -275,9 +305,12 @@ def op_update(
                     )
                     .select("_src_file")
                     .distinct()
+                    .limit(cap + 1)
                     .collect()
                 ]
-            if not affected:
+                if len(affected) > cap:
+                    large_update = True  # scattered after all → merge
+            if not large_update and not affected:
                 # no target rows match — nothing to rewrite, but the
                 # no-match contract must not depend on routing: the
                 # full-merge path below advances the watermark in the
@@ -289,17 +322,20 @@ def op_update(
                 if wm_col and new_mark is not None:
                     sync_state.set_watermark(spec.schema, spec.name, wm_col, new_mark)
                 return n_upd
+        if not part_cols and not large_update:
             subset = store.read_files(spec.schema, spec.name, affected)
             merged = subset.join(join_side, on=key_columns, how="left")
             for f in fields:
                 merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
             merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*subset.columns)
+            _capture_plan(merged)
             store.replace_files(spec.schema, spec.name, affected, merged)
         else:
             merged = target.join(join_side, on=key_columns, how="left")
             for f in fields:
                 merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
             merged = merged.drop(*[f"__upd_{f}" for f in fields]).select(*target.columns)
+            _capture_plan(merged)
             store.write(
                 spec.schema,
                 spec.name,

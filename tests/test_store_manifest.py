@@ -1148,3 +1148,91 @@ def test_manifest_sharded_commit_flat_at_1e6_files(spark, tmp_path):
     mdir = tmp_path / "huge" / "ch" / "t" / "manifests"
     roots = [p for p in mdir.iterdir() if p.name.startswith("m-")]
     assert max(p.stat().st_size for p in roots) < 1 << 20
+
+
+def test_op_update_sort_merge_fallback_plan(spark):
+    """r10 verdict item 4: force BROADCAST_UPDATES_MAX_ROWS below the
+    update size so O5's beyond-broadcast path runs, and plan-assert
+    the merge is a shuffle join with NO broadcast node (Spark's own
+    size-based auto-broadcast disabled for the assertion), with the
+    merged values still exact."""
+    import ora_ch_spark.operators.load_ops as LO
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_smj_"))
+    store.create_database("s")
+    store.write(
+        "s", "t",
+        spark.range(0, 2000).selectExpr("id as k", "id * 2 as v").coalesce(2),
+    )
+    spec = TableSpec(
+        schema="s", name="t", operation=Operation.UPDATE, update_fields=["v"]
+    )
+    # large update (>= 1/4 of rows) routes to the full-merge branch
+    updates = spark.range(0, 1500).selectExpr(
+        "id as k", "cast(-1 as bigint) as v"
+    )
+    old_thr = LO.BROADCAST_UPDATES_MAX_ROWS
+    old_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    LO.BROADCAST_UPDATES_MAX_ROWS = 0
+    LO._DEBUG_CAPTURE_PLAN = True
+    LO._last_merge_plan = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n = LO.op_update(store, spec, updates, key_columns=["k"])
+    finally:
+        LO.BROADCAST_UPDATES_MAX_ROWS = old_thr
+        LO._DEBUG_CAPTURE_PLAN = False
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
+    assert n == 1500
+    plan = LO._last_merge_plan or ""
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert store.read("s", "t").filter("v = -1").count() == 1500
+    assert store.read("s", "t").filter("k >= 1500 and v = k * 2").count() == 500
+
+
+def test_op_update_affected_files_cap_falls_back_to_merge(spark):
+    """r10 verdict item 6: a pathological scattered-key update (string
+    keys → no zone-map pre-route) whose probe would touch more files
+    than the cap must abandon the file-pruned path and run ONE full
+    merge instead of collecting an unbounded affected list — asserted
+    by spying that replace_files is never called, with exact values."""
+    import ora_ch_spark.operators.load_ops as LO
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_cap_"))
+    store.create_database("s")
+    # 8 files, string keys spread across all of them
+    df = spark.range(0, 800).selectExpr(
+        "concat('key-', cast(id as string)) as k", "id as v"
+    )
+    store.write("s", "t", df.repartition(8))
+    spec = TableSpec(
+        schema="s", name="t", operation=Operation.UPDATE, update_fields=["v"]
+    )
+    # small update (passes the 1/4 rule) but scattered over every file
+    updates = spark.sql(
+        "select concat('key-', cast(id * 7 as string)) as k, "
+        "cast(-1 as bigint) as v from range(0, 100)"
+    )
+    calls = {"replace": 0}
+    orig_replace = store.replace_files
+
+    def spy_replace(*a, **kw):
+        calls["replace"] += 1
+        return orig_replace(*a, **kw)
+
+    store.replace_files = spy_replace
+    old_cap = LO.AFFECTED_FILES_ABS_MAX
+    LO.AFFECTED_FILES_ABS_MAX = 2  # cap below the 8 files the probe hits
+    try:
+        n = LO.op_update(store, spec, updates, key_columns=["k"])
+    finally:
+        LO.AFFECTED_FILES_ABS_MAX = old_cap
+        store.replace_files = orig_replace
+    assert n == 100
+    assert calls["replace"] == 0  # fell back to full merge
+    assert store.read("s", "t").filter("v = -1").count() == 100
+    # untouched rows keep their values
+    assert (
+        store.read("s", "t").filter("k = 'key-1' and v = 1").count() == 1
+    )
