@@ -74,15 +74,11 @@ def canary_factor(
     return round(med, 3), detail
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
-    spark = get_spark(app_name="ora_ch_spark_bench")
-    # warm up the JVM + parquet reader so startup cost isn't billed to
-    # the first query
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-
+def measure(
+    spark, sf_dir: str, qdefs
+) -> tuple[dict, dict, list, dict]:
+    """Measurement loop over ``qdefs`` (min-of-2 with contention
+    re-sampling — see inline history notes)."""
     # min of 2 passes per query: single-pass numbers on a shared box
     # swing ±30%, which is noise against the 2x regression bar — the
     # min is the steady-state cost of the plan
@@ -90,7 +86,7 @@ def main() -> None:
     pass_vectors: dict[str, list[float]] = {}
     contended: list[str] = []
     errors: dict[str, str] = {}
-    for q in all_queries():
+    for q in qdefs:
         # operators persist intermediates internally; drop the PREVIOUS
         # entry's leftovers so 40+ queries' caches don't evict each
         # other mid-measurement (each entry measured on its own plan,
@@ -131,6 +127,89 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the run
             errors[q.name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {q.name} FAILED: {errors[q.name]}", file=sys.stderr)
+    return timings, pass_vectors, contended, errors
+
+
+def _run_fresh(sf_dir: str, group_size: int) -> tuple[dict, dict, list, dict]:
+    """--fresh mode (r10 verdict item 5): run the catalog in GROUPS,
+    each in a freshly-forked JVM/driver process, so suite-position
+    effects (JIT state, shuffle-dir residue, block-manager memory of
+    180+ earlier entries) stop contaminating in-suite numbers —
+    dedup_ngram_jaccard measured 1.46 s standalone vs 2.6 s in-suite
+    on identical code (PLANS.md r10). Each child prints one
+    'BENCH_SLICE <json>' line; the parent merges and summarizes."""
+    import subprocess
+
+    n = len(all_queries())
+    timings: dict = {}
+    passes: dict = {}
+    contended: list = []
+    errors: dict = {}
+    for lo in range(0, n, group_size):
+        hi = min(n, lo + group_size)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--slice", f"{lo}:{hi}"],
+            capture_output=True,
+            text=True,
+            env=dict(os.environ),
+        )
+        got = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_SLICE "):
+                got = json.loads(line[len("BENCH_SLICE "):])
+        if got is None:
+            errors[f"slice_{lo}_{hi}"] = (
+                f"child exited {proc.returncode}: {proc.stderr[-300:]}"
+            )
+            print(
+                f"bench: slice {lo}:{hi} produced no result", file=sys.stderr
+            )
+            continue
+        timings.update(got["queries"])
+        passes.update(got["passes"])
+        contended.extend(got["contended"])
+        errors.update(got["errors"])
+    return timings, passes, contended, errors
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    args = sys.argv[1:]
+
+    if "--slice" in args:  # child of --fresh: measure one group
+        lo, hi = map(int, args[args.index("--slice") + 1].split(":"))
+        spark = get_spark(app_name=f"ora_ch_spark_bench_slice_{lo}")
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        t, pv, c, e = measure(spark, sf_dir, all_queries()[lo:hi])
+        print(
+            "BENCH_SLICE "
+            + json.dumps(
+                {"queries": t, "passes": pv, "contended": c, "errors": e}
+            )
+        )
+        return
+
+    fresh = "--fresh" in args
+    if fresh:
+        group_size = 24
+        fi = args.index("--fresh")
+        if fi + 1 < len(args) and args[fi + 1].isdigit():
+            group_size = int(args[fi + 1])
+        timings, pass_vectors, contended, errors = _run_fresh(
+            sf_dir, group_size
+        )
+        # canary/throughput probes need a local session too
+        spark = get_spark(app_name="ora_ch_spark_bench_fresh")
+    else:
+        spark = get_spark(app_name="ora_ch_spark_bench")
+        # warm up the JVM + parquet reader so startup cost isn't billed
+        # to the first query
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        timings, pass_vectors, contended, errors = measure(
+            spark, sf_dir, all_queries()
+        )
 
     total = round(sum(timings.values()), 3)
     # the reference's own throughput metric (speed_rows_sec =
@@ -152,6 +231,7 @@ def main() -> None:
     )
     factor, canary_detail = canary_factor(timings, sf)
     result = {
+        "mode": "fresh_jvm" if fresh else "in_suite",
         # the long per-query dict goes FIRST: the driver artifact
         # truncates long lines head-first (r4's line lost its head),
         # so the scalar summary fields must sit at the TAIL to survive
@@ -176,10 +256,14 @@ def main() -> None:
         "unit": "sec",
     }
     # durable copy: per-query history must survive even if the stdout
-    # line is truncated in the driver artifact
+    # line is truncated in the driver artifact (--fresh snapshots go
+    # to their own file; the driver's in-suite contract is unchanged)
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FRESH.json" if fresh else "BENCH.json",
+            ),
             "w",
         ) as fh:
             json.dump(result, fh, indent=1)

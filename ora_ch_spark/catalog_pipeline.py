@@ -2322,3 +2322,94 @@ _HLL_KEY_SQL = (
     "cast(user_id as varchar) || ':' || cast(cast(ts as date) as varchar)"
 )
 
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report (round 11, verdict item 7) — recall@5 of every
+# ANN variant vs the exact brute-force top-5, emitted as CATALOG DATA
+# so a recall regression hash-mismatches the gate exactly like a
+# correctness bug. Both sides compute hits = |ANN top-5 ∩ exact
+# top-5| over the 10 query rows: Spark runs the real operators, the
+# oracle composes the existing DuckDB replays of the SAME algorithms
+# (each one already independently hash-gated), so the recall numbers
+# are derived twice from independent engines — not pinned constants.
+# recall = hits/total is an exact small rational → identical doubles.
+# ---------------------------------------------------------------------------
+
+def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = (
+        S.cosine_topk_bruteforce(emb, query_ids=queries)
+        .select("q_id", "n_id")
+        .persist()
+    )
+    methods = {
+        "ivf": S.ivf_topk(emb, query_ids=queries),
+        "ivfadc": ivfadc_topk(emb, query_ids=queries),
+        "lsh": S.cosine_topk_lsh(
+            emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS
+        ),
+        "lsh_multiprobe": S.cosine_topk_lsh_multiprobe(
+            emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS
+        ),
+        "pq": pq_topk(emb, query_ids=queries),
+        "sq8": sq8_topk(emb, query_ids=queries),
+    }
+    per_method = [
+        df.select("q_id", "n_id")
+        .join(exact, ["q_id", "n_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.lit(name).alias("method"), F.col("hits").cast("bigint"))
+        for name, df in sorted(methods.items())
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), per_method)
+    total = exact.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        union.crossJoin(F.broadcast(total))
+        .select(
+            "method",
+            "hits",
+            "total",
+            (F.col("hits") / F.col("total")).cast("double").alias("recall_at_5"),
+        )
+        .orderBy("method")
+    )
+
+
+def _recall_report_oracle() -> str:
+    from ora_ch_spark.catalog_corpus import (
+        SIM_SQ8_ORACLE,
+        _ivfadc_oracle,
+        _pq_oracle,
+    )
+
+    variants = [
+        ("ivf", SIM_IVF_ORACLE),
+        ("ivfadc", _ivfadc_oracle()),
+        ("lsh", _lsh_topk_oracle()),
+        ("lsh_multiprobe", _lsh_multiprobe_oracle()),
+        ("pq", _pq_oracle()),
+        ("sq8", SIM_SQ8_ORACLE),
+    ]
+    parts = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS method,
+  (SELECT count(*) FROM (SELECT q_id, n_id FROM ({sql}) t_{name}) m
+   JOIN exact USING (q_id, n_id))::BIGINT AS hits
+""" for name, sql in variants
+    )
+    return f"""
+WITH exact AS (SELECT q_id, n_id FROM ({SIM_TOPK_ORACLE}) ex),
+per_method AS (
+{parts}
+)
+SELECT method, hits,
+  (SELECT count(*) FROM exact)::BIGINT AS total,
+  hits::DOUBLE / (SELECT count(*) FROM exact) AS recall_at_5
+FROM per_method
+ORDER BY method
+"""
