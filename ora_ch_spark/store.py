@@ -752,10 +752,33 @@ class TableStore:
         just unpruned). Skipping on min/max is NULL-safe here because
         a comparison predicate is never satisfied by NULL."""
         m = self._manifest(schema, table)
-        total = len(m["files"])
         conds = _parse_simple_conjunction(predicate)
         if conds is None:
-            return [fe["path"] for fe in m["files"]], total
+            return [fe["path"] for fe in m["files"]], len(m["files"])
+        segs = m.get("segments")
+        if segs is not None and "files" not in m and not m.get("partition_by"):
+            # shard-level pre-skip (r11): the root index carries exact
+            # aggregated min/max per shard, so a shard whose range
+            # proves 'none' is dropped WITHOUT even parsing its file
+            # list — planning cost scales with the matching shards,
+            # not the table (clustered layouts put a key range in few
+            # shards). 'all' never short-circuits here (the shard
+            # stats carry no null counts) — per-file verdicts decide.
+            mdir = os.path.join(self._tdir(schema, table), "manifests")
+            total = sum(ref["nfiles"] for ref in segs)
+            keep = []
+            for ref in segs:
+                if (
+                    ref.get("stats")
+                    and _classify_file({"stats": ref["stats"]}, conds)
+                    == "none"
+                ):
+                    continue
+                for fe in _load_segment(os.path.join(mdir, ref["name"])):
+                    if _classify_file(fe, conds) != "none":
+                        keep.append(fe["path"])
+            return keep, total
+        total = len(m["files"])
         keep = []
         for fe in m["files"]:
             if m.get("partition_by"):

@@ -1236,3 +1236,42 @@ def test_op_update_affected_files_cap_falls_back_to_merge(spark):
     assert (
         store.read("s", "t").filter("k = 'key-1' and v = 1").count() == 1
     )
+
+
+def test_prune_files_skips_whole_shards(spark):
+    """r11: prune_files drops shards whose ROOT-INDEX min/max prove
+    'none' without loading the shard at all — planning cost scales
+    with the matching shards, not the table."""
+    import ora_ch_spark.store as ST
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_segprune_"))
+    store.create_database("s")
+    store.write(
+        "s", "t",
+        spark.range(0, 1000).selectExpr("id as k", "id * 2 as v").coalesce(1),
+    )
+    store.append(
+        "s", "t",
+        spark.range(10_000, 11_000).selectExpr("id as k", "id * 2 as v").coalesce(1),
+    )
+    m = store._manifest("s", "t")
+    assert len(m["segments"]) == 2  # write shard + append delta shard
+    loaded: list[str] = []
+    orig = ST._load_segment
+
+    def spy(path):
+        loaded.append(os.path.basename(path))
+        return orig(path)
+
+    ST._load_segment = spy
+    try:
+        keep, total = store.prune_files("s", "t", "k >= 10500")
+    finally:
+        ST._load_segment = orig
+    assert total == 2
+    assert len(keep) == 1
+    # only the high-range shard was parsed; the low shard was skipped
+    # on the root index alone
+    high = m["segments"][1]["name"]
+    low = m["segments"][0]["name"]
+    assert high in loaded and low not in loaded
