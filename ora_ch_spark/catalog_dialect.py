@@ -911,7 +911,12 @@ ORDER BY n
 # haversine which is deliberately NOT hash-gated). Coordinates derive
 # exactly from integers.
 _GEO_CH_SQL = """
-select gh, toInt64(count(*)) as n
+select gh, toInt64(count(*)) as n,
+       tupleElement(geohashDecode(gh), 1) as clon,
+       tupleElement(geohashDecode(gh), 2) as clat,
+       toInt64(if(geohashEncode(tupleElement(geohashDecode(gh), 1),
+                                tupleElement(geohashDecode(gh), 2),
+                                6) = gh, 1, 0)) as rt
 from (
   select geohashEncode(modulo(p_partkey, 360) - 180 + p_size / 100.0,
                        modulo(p_partkey, 180) - 90 + p_size / 200.0,
@@ -933,8 +938,7 @@ def calc_dialect_geo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DIALECT_GEO_ORACLE = """
-SELECT gh, cast(count(*) as bigint) AS n
-FROM (
+WITH enc AS (
   SELECT array_to_string(list_transform(range(6), c ->
     substring('0123456789bcdefghjkmnpqrstuvwxyz',
       cast(list_sum(list_transform(range(5), b ->
@@ -949,8 +953,29 @@ FROM (
            p_partkey % 180 - 90 + p_size / 200.0 AS lat
     FROM part WHERE p_partkey <= 400
   )
+),
+g AS (SELECT gh, cast(count(*) as bigint) AS n FROM enc GROUP BY gh),
+-- decode replay: de-interleave the 30 bits of the 6-char geohash
+-- (even global positions -> lon, odd -> lat), fold each to an
+-- integer, cell center = lo + span * (v + 0.5) / 2^15
+decv AS (
+  SELECT gh,
+    sum(CASE WHEN j % 2 = 0 THEN
+      ((((strpos('0123456789bcdefghjkmnpqrstuvwxyz', gh[(j // 5) + 1]) - 1)
+         // (1 << (4 - (j % 5)))) % 2)::BIGINT << (14 - j // 2))
+      ELSE 0 END) AS lonv,
+    sum(CASE WHEN j % 2 = 1 THEN
+      ((((strpos('0123456789bcdefghjkmnpqrstuvwxyz', gh[(j // 5) + 1]) - 1)
+         // (1 << (4 - (j % 5)))) % 2)::BIGINT << (14 - (j - 1) // 2))
+      ELSE 0 END) AS latv
+  FROM g CROSS JOIN generate_series(0, 29) t(j)
+  GROUP BY gh
 )
-GROUP BY gh
+SELECT g.gh, g.n,
+  -180.0 + 360.0 * (lonv + 0.5) / power(2.0, 15.0) AS clon,
+  -90.0 + 180.0 * (latv + 0.5) / power(2.0, 15.0) AS clat,
+  1::BIGINT AS rt
+FROM g JOIN decv USING (gh)
 ORDER BY gh
 """
 

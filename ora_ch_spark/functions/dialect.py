@@ -6225,6 +6225,47 @@ def translate_ch_sql(
 
     out = _rewrite_calls(out, "geohashEncode", _geohash_encode)
 
+    def _geohash_decode(a: list[str]) -> str | None:
+        # r11 (was documented-loud): inverse of the closed-form
+        # encoder — de-interleave the 5·len base32 bits (even global
+        # positions → longitude, odd → latitude), fold each bit
+        # string to an integer, return the CELL CENTER like CH:
+        # coord = lo + span · (value + 0.5) / 2^nbits. Every op is
+        # integer folds + one IEEE divide — value-hash-gateable.
+        # Tuple result follows the struct(col1, col2) convention.
+        if len(a) != 1:
+            return None
+        s = a[0]
+        b32 = lit("0123456789bcdefghjkmnpqrstuvwxyz")
+        bit = (
+            f"(instr({b32}, substring({s}, cast(j div 5 as int) + 1, 1))"
+            f" - 1) div shiftleft(1, 4 - cast(j % 5 as int)) % 2"
+        )
+
+        def fold(par: int) -> str:
+            return (
+                f"aggregate(filter(sequence(0, 5 * char_length({s}) - 1),"
+                f" j -> j % 2 = {par}), 0L, (acc, j) -> acc * 2 + ({bit}))"
+            )
+
+        nlon = f"cast((5 * char_length({s}) + 1) div 2 as double)"
+        nlat = f"cast((5 * char_length({s})) div 2 as double)"
+        lon = (
+            f"(-180.0D + 360.0D * (cast({fold(0)} as double) + 0.5D)"
+            f" / power(2.0D, {nlon}))"
+        )
+        lat = (
+            f"(-90.0D + 180.0D * (cast({fold(1)} as double) + 0.5D)"
+            f" / power(2.0D, {nlat}))"
+        )
+        return (
+            f"(CASE WHEN char_length({s}) = 0"
+            f" THEN struct(0.0D AS col1, 0.0D AS col2)"
+            f" ELSE struct({lon} AS col1, {lat} AS col2) END)"
+        )
+
+    out = _rewrite_calls(out, "geohashDecode", _geohash_decode)
+
     # ---- round-7 batch #6: array/string/date/IP/tuple completion.
     # Every name is a CH-only identifier (no Spark collision) except
     # where arity-guarded; `range` is deliberately NOT rewritten —

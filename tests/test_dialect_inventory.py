@@ -150,6 +150,8 @@ TRANSLATED = [
     "randomPrintableASCII(10)",
     # count() -> count(*) keeps its own name (pinned by value in
     # test_units instead of the name-gone check here)
+    # r11: decode joins the closed-form geohash pair
+    "geohashDecode(g)",
 ]
 
 NATIVE = [

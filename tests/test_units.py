@@ -5233,3 +5233,38 @@ def test_dialect_byte_strings_mode_fuzz(spark):
     assert T("select reverse(array(1, 2)) from t", byte_strings=True) == (
         "select reverse(array(1, 2)) from t"
     )
+
+
+def test_dialect_geohash_decode(spark):
+    """r11 — geohashDecode (was documented-loud) via closed-form bit
+    de-interleave: cell CENTER like CH, bit-identical to a Python
+    reference (integer folds + one IEEE divide), round-trips through
+    the existing geohashEncode, tuple convention (col1=lon,
+    col2=lat), empty string → (0, 0)."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    def pydecode(g):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        bits = "".join(format(b32.index(c), "05b") for c in g)
+        lonb, latb = bits[0::2], bits[1::2]
+        return (
+            -180 + 360 * (int(lonb, 2) + 0.5) / 2 ** len(lonb),
+            -90 + 180 * (int(latb, 2) + 0.5) / 2 ** len(latb),
+        )
+
+    hashes = ["ezs42", "u4pruydqqvj", "0", "zzzzzz", "gbsuv7z"]
+    sel = ", ".join(
+        f"tupleElement(geohashDecode('{g}'), 1) as lon{i},"
+        f" tupleElement(geohashDecode('{g}'), 2) as lat{i},"
+        f" geohashEncode(tupleElement(geohashDecode('{g}'), 1),"
+        f" tupleElement(geohashDecode('{g}'), 2), {len(g)}) as rt{i}"
+        for i, g in enumerate(hashes)
+    )
+    out = T(f"select {sel}, geohashDecode('') as empty from (select 1)")
+    assert T(out) == out
+    r = spark.sql(out).collect()[0]
+    for i, g in enumerate(hashes):
+        lon, lat = pydecode(g)
+        assert r[f"lon{i}"] == lon and r[f"lat{i}"] == lat, g
+        assert r[f"rt{i}"] == g
+    assert (r["empty"]["col1"], r["empty"]["col2"]) == (0.0, 0.0)
