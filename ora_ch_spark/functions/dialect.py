@@ -3263,6 +3263,16 @@ def translate_ch_sql(
         out, "toDate32OrNull",
         lambda a: f"try_cast({a[0]} as date)" if len(a) == 1 else None,
     )
+    # Date32's "zero" is its MIN (1900-01-01), not the Date epoch —
+    # r11, was documented-loud
+    out = _rewrite_calls(
+        out, "toDate32OrZero",
+        lambda a: (
+            f"coalesce(try_cast({a[0]} as date), "
+            f"cast({lit('1900-01-01')} as date))"
+            if len(a) == 1 else None
+        ),
+    )
 
     # toDecimal{32,64,128}(x[, scale]) — the CH scale argument picks
     # the Spark decimal scale; arity-1 keeps the reference's

@@ -150,8 +150,9 @@ TRANSLATED = [
     "randomPrintableASCII(10)",
     # count() -> count(*) keeps its own name (pinned by value in
     # test_units instead of the name-gone check here)
-    # r11: decode joins the closed-form geohash pair
-    "geohashDecode(g)",
+    # r11: decode joins the closed-form geohash pair; Date32 zero is
+    # the type MIN (1900-01-01)
+    "geohashDecode(g)", "toDate32OrZero(s)",
 ]
 
 NATIVE = [
@@ -185,7 +186,7 @@ LOUD = [
     "encrypt('aes-128-ctr', p, k, iv)", "encrypt(mode_col, p, k)",
     "aes_encrypt_mysql('aes-128-ecb', p, k)",
     "addNanoseconds(t1, 5)", "quantileExactExclusive(p)(x)",
-    "parseDateTimeBestEffort(s, tz_col)", "toDate32OrZero(s)",
+    "parseDateTimeBestEffort(s, tz_col)",
     "randPoisson(10)", "L2Normalize(t1)", "LpNorm(a, p)",
     "randomString(10)",
     # extra args on arity-strict rewrites (r9): loud, never dropped
