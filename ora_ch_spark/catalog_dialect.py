@@ -3223,6 +3223,20 @@ select 'e' as op, p, st, toInt64(count(*)) as n from (
          if(o_orderkey % 5 = 0, NULL, o_orderstatus) as st2
   from orders where o_orderkey % 17 < 3
 ) group by p, st
+union all
+select 'c' as op, p, st, toInt64(count(*)) as n from (
+  select o_orderpriority as p,
+         if(o_orderkey % 7 = 0, NULL, o_orderstatus) as st
+  from orders where o_orderkey % 13 < 4
+  intersect
+  select o_orderpriority as p2,
+         if(o_orderkey % 5 = 0, NULL, o_orderstatus) as st2
+  from orders where o_orderkey % 17 < 3
+  except
+  select o_orderpriority as p3,
+         if(o_orderkey % 11 = 0, NULL, o_orderstatus) as st3
+  from orders where o_orderkey % 23 < 2
+) group by p, st
 order by op, p, st
 """
 
@@ -3247,6 +3261,11 @@ B AS (
   SELECT o_orderpriority AS p,
          CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS st
   FROM orders WHERE o_orderkey % 17 < 3
+),
+C AS (
+  SELECT o_orderpriority AS p,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS st
+  FROM orders WHERE o_orderkey % 23 < 2
 )
 SELECT 'i' AS op, p, st, count(*)::BIGINT AS n
 FROM A WHERE EXISTS (
@@ -3258,6 +3277,17 @@ SELECT 'e' AS op, p, st, count(*)::BIGINT AS n
 FROM A WHERE NOT EXISTS (
   SELECT 1 FROM B WHERE B.p IS NOT DISTINCT FROM A.p
                     AND B.st IS NOT DISTINCT FROM A.st)
+GROUP BY p, st
+UNION ALL
+-- chain arm: A INTERSECT B EXCEPT C under CH precedence =
+-- (A ∩filter B) \filter C, left multiplicity preserved throughout
+SELECT 'c' AS op, p, st, count(*)::BIGINT AS n
+FROM A WHERE EXISTS (
+  SELECT 1 FROM B WHERE B.p IS NOT DISTINCT FROM A.p
+                    AND B.st IS NOT DISTINCT FROM A.st)
+  AND NOT EXISTS (
+  SELECT 1 FROM C WHERE C.p IS NOT DISTINCT FROM A.p
+                    AND C.st IS NOT DISTINCT FROM A.st)
 GROUP BY p, st
 ORDER BY op, p, st
 """

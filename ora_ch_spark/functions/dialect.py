@@ -709,26 +709,47 @@ def _rewrite_bare_set_ops(masked: str) -> str:
             == region[: sm.start()].count(")")
             and _setop_is_operator(region, sm)
         ]
-        if len(ops) != 1 or ops[0].start() != m.start() - start:
+
+        def _bare(sm: "re.Match") -> bool:
+            tok = sm.group(0).lower()
+            return tok in ("intersect", "except") and not re.match(
+                r"(?is)\s*(all|distinct)\b", region[sm.end():]
+            )
+
+        # chains handled ONLY when every depth-0 op is a bare
+        # intersect/except: CH precedence (INTERSECT binds tighter,
+        # then left-assoc) reduces one op per pass — intermediate
+        # reductions are parenthesized operands of the remainder.
+        # Mixed chains with UNION or explicit ALL/DISTINCT keep the
+        # documented pass-through.
+        if not ops or not all(_bare(sm) for sm in ops):
             pos = m.end()
             continue
-        # depth-0 tail (ORDER BY/LIMIT/OFFSET after the keyword binds
-        # to the whole set expression, per the standard)
-        krel = m.end() - start
+        pick = next(
+            (i for i, sm in enumerate(ops)
+             if sm.group(0).lower() == "intersect"),
+            0,
+        )
+        op = ops[pick]
+        # depth-0 tail (ORDER BY/LIMIT/OFFSET after the LAST operand
+        # binds to the whole set expression, per the standard)
         tail_at = len(region)
         for tm in re.finditer(
             r"(?i)\border\s+by\b|\blimit\b|\boffset\b", region
         ):
-            if tm.start() <= krel:
+            if tm.start() <= ops[-1].end():
                 continue
             seg = region[: tm.start()]
             if seg.count("(") == seg.count(")"):
                 tail_at = tm.start()
                 break
-        a_txt = region[: m.start() - start].strip()
-        b_txt = region[krel:tail_at].strip()
-        tail = region[tail_at:].strip()
-        neg = "NOT " if m.group(1).lower() == "except" else ""
+        lo = ops[pick - 1].end() if pick > 0 else 0
+        hi = ops[pick + 1].start() if pick + 1 < len(ops) else tail_at
+        a_txt = region[lo:op.start()].strip()
+        b_txt = region[op.end():hi].strip()
+        last = len(ops) == 1
+        tail = region[tail_at:].strip() if last else ""
+        neg = "NOT " if op.group(0).lower() == "except" else ""
         wrapped = (
             f"SELECT * EXCEPT(__ch_sh1, __ch_sh2) FROM (SELECT *, "
             f"xxhash64(struct(*)) AS __ch_sh1, hash(struct(*)) AS "
@@ -737,8 +758,13 @@ def _rewrite_bare_set_ops(masked: str) -> str:
             f"hash(struct(*)) FROM ({b_txt}) __ch_setr)"
             + (f" {tail}" if tail else "")
         )
-        masked = masked[:start] + wrapped + masked[end:]
-        pos = start  # rescan: nested bare forms inside the branches
+        if not last:
+            wrapped = f"({wrapped})"
+            masked = masked[: start + lo] + wrapped + masked[start + hi:]
+        else:
+            # the tail (if any) is already embedded in the emission
+            masked = masked[:start] + wrapped + masked[end:]
+        pos = start  # rescan: reduced chains + nested bare forms
 
 
 # ---- block-order-dependent function family (r10 verdict item 3) ----
