@@ -2596,9 +2596,15 @@ def test_dialect_review_fixes_round5_session3(spark):
         ('a', 2), ('b', 3)] or [tuple(r) for r in spark.sql(s).collect()] == [
         ('b', 3), ('a', 2)]
     # a REAL set op before LIMIT BY still scopes to the last branch
+    # (r11: the bare EXCEPT itself now rewrites to the CH hash-set
+    # filter, so assert the SCOPING by value + emission shape instead
+    # of pass-through text: LIMIT BY landed inside the right branch)
     u = T("SELECT g, v FROM rf_t EXCEPT (SELECT g, v FROM rf_t WHERE v = 9)"
           " ORDER BY v LIMIT 1 BY g")
-    assert u.startswith("SELECT g, v FROM rf_t EXCEPT ")
+    assert "__ch_sh1" in u and "__lbsrc" in u
+    assert u.index("__ch_setr") > u.index("__lbsrc")  # LIMIT BY in B
+    assert [tuple(r) for r in spark.sql(u).collect()] == [
+        ('a', 1), ('a', 2), ('b', 3)]
     # (2) HAVING keeps the totals row
     s2 = T("SELECT g, sum(v) AS s FROM rf_t GROUP BY g WITH TOTALS"
            " HAVING sum(v) < 4 ORDER BY g")
@@ -2618,12 +2624,20 @@ def test_dialect_review_fixes_round5_session3(spark):
     # (5) FORMAT Null is a real CH wire format — stripped
     assert T("SELECT v FROM rf_t FORMAT Null").strip() == "SELECT v FROM rf_t"
     # (6) EXCEPT ALL / parenthesized branches still count as set ops:
-    # the wrapper scopes to the LAST branch and the result executes
+    # the LIMIT BY wrapper scopes to the LAST branch and the result
+    # executes. The explicit-ALL spelling passes through; bare
+    # parenthesized forms take the r11 hash-set-filter rewrite (same
+    # values here — B's limited row is dropped from A either way).
     for mid in ("EXCEPT ALL SELECT g, v FROM rf_t WHERE v = 1",
                 "EXCEPT (SELECT g, v FROM rf_t WHERE v = 1)",
                 "EXCEPT ((SELECT g, v FROM rf_t WHERE v = 1))"):
         u = T(f"SELECT g, v FROM rf_t {mid} ORDER BY v LIMIT 1 BY g")
-        assert u.startswith("SELECT g, v FROM rf_t EXCEPT"), u
+        if mid.startswith("EXCEPT ALL"):
+            assert u.startswith("SELECT g, v FROM rf_t EXCEPT"), u
+        else:
+            assert "__ch_sh1" in u and u.index("__ch_setr") > u.index(
+                "__lbsrc"
+            ), u
         assert "row_number() OVER (PARTITION BY g" in u
         assert sorted(tuple(r) for r in spark.sql(u).collect()) == [
             ('a', 2), ('b', 3)]
