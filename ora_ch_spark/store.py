@@ -1277,17 +1277,21 @@ class TableStore:
         table: str,
         remove_files: list[str],
         replacement: DataFrame | None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Targeted rewrite: drop ``remove_files`` (manifest-relative
         paths) from the snapshot and add ``replacement`` as a new
         group. The primitive behind file-pruned DELETE and keyed
-        UPDATE — untouched files carry over by reference."""
+        UPDATE — untouched files carry over by reference.
+        ``partition_by`` lays the replacement group out hive-style
+        (the partitioned compact_small path — ``replacement`` must
+        carry the partition columns)."""
         m = self._manifest(schema, table)
         rel, entries = None, []
         if replacement is not None:
             cols = StructType.fromJson(json.loads(m["schema"])).fieldNames()
             rel, entries = self._write_group(
-                schema, table, replacement.select(*cols), None
+                schema, table, replacement.select(*cols), partition_by
             )
         try:
             with self._lock:
@@ -1480,8 +1484,6 @@ class TableStore:
         if not thr:
             return
         m = self._manifest(schema, table)
-        if m.get("partition_by"):
-            return  # hive-partitioned groups keep their dirs; use compact()
         small = [fe for fe in m["files"] if fe["bytes"] < self.auto_compact_min_bytes]
         if len(small) >= thr:
             try:
@@ -1495,19 +1497,70 @@ class TableStore:
         already at target size carry over by reference (ClickHouse
         merges small parts the same way — big parts are left alone,
         ``jdbsChSession.scala:387-398`` only forces the final merge).
-        Returns the number of files folded."""
+        Returns the number of files folded.
+
+        Hive-partitioned tables fold PER PARTITION DIRECTORY (r11 —
+        MergeTree merges parts within a partition, never across):
+        each dir's slivers are read bare (partition values restored
+        from the dir name, typed by the manifest schema) and rewritten
+        into that dir in the replacement group; dirs with a single
+        small file and every full-size file carry over by reference.
+        Without this, streaming appends to a hive layout accumulate
+        slivers forever (compact() was the only folding path and it
+        rewrites the whole table)."""
         m = self._manifest(schema, table)
-        if m.get("partition_by"):
-            return 0
         small = [fe for fe in m["files"] if fe["bytes"] < self.auto_compact_min_bytes]
-        if len(small) < 2:
+        part_cols = list(m.get("partition_by") or [])
+        if not part_cols:
+            if len(small) < 2:
+                return 0
+            paths = [fe["path"] for fe in small]
+            total = sum(fe["bytes"] for fe in small)
+            df = self.read_files(schema, table, paths).coalesce(
+                int(max(1, total // (128 << 20) + 1))
+            )
+            self.replace_files(schema, table, paths, df)
+            return len(paths)
+        by_dir: dict[str, list[dict]] = {}
+        for fe in small:
+            by_dir.setdefault(os.path.dirname(fe["path"]), []).append(fe)
+        fold = {d: fes for d, fes in by_dir.items() if len(fes) >= 2}
+        if not fold:
             return 0
-        paths = [fe["path"] for fe in small]
-        total = sum(fe["bytes"] for fe in small)
-        df = self.read_files(schema, table, paths).coalesce(
-            int(max(1, total // (128 << 20) + 1))
+        st = StructType.fromJson(json.loads(m["schema"]))
+        file_st = StructType([f for f in st.fields if f.name not in part_cols])
+        tdir = self._tdir(schema, table)
+        dfs = []
+        paths: list[str] = []
+        for d, fes in sorted(fold.items()):
+            vals = _hive_values(fes[0]["path"])
+            total = sum(fe["bytes"] for fe in fes)
+            df = self.spark.read.schema(file_st).parquet(
+                *[os.path.join(tdir, fe["path"]) for fe in fes]
+            )
+            for f in st.fields:
+                if f.name in part_cols:
+                    raw = vals.get(f.name)
+                    lit_v = (
+                        None
+                        if raw in (None, "__HIVE_DEFAULT_PARTITION__")
+                        else urllib.parse.unquote(raw)
+                    )
+                    df = df.withColumn(
+                        f.name, F.lit(lit_v).cast(f.dataType)
+                    )
+            dfs.append(
+                df.select(*st.fieldNames()).coalesce(
+                    int(max(1, total // (128 << 20) + 1))
+                )
+            )
+            paths.extend(fe["path"] for fe in fes)
+        repl = dfs[0]
+        for d2 in dfs[1:]:
+            repl = repl.unionByName(d2)
+        self.replace_files(
+            schema, table, paths, repl, partition_by=part_cols
         )
-        self.replace_files(schema, table, paths, df)
         return len(paths)
 
     def compact(

@@ -1275,3 +1275,46 @@ def test_prune_files_skips_whole_shards(spark):
     high = m["segments"][1]["name"]
     low = m["segments"][0]["name"]
     assert high in loaded and low not in loaded
+
+
+def test_compact_small_folds_hive_partitions(spark):
+    """r11: compact_small on a hive-partitioned table folds slivers
+    PER PARTITION DIRECTORY (partition values restored from the dir
+    names), leaving full-size files and single-sliver dirs by
+    reference — the MergeTree within-partition merge. Previously
+    partitioned tables never folded (only full compact())."""
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="manifest_hivefold_"),
+        auto_compact_min_bytes=1 << 20,
+    )
+    store.create_database("s")
+    base = spark.range(0, 300).selectExpr(
+        "id as k", "cast(id % 3 as string) as part", "id * 2 as v"
+    )
+    store.write("s", "t", base, partition_by=["part"])
+    # three sliver appends, each landing one file per partition dir
+    for i in range(3):
+        store.append(
+            "s", "t",
+            spark.range(1000 + i * 10, 1010 + i * 10).selectExpr(
+                "id as k", "cast(id % 3 as string) as part", "id * 2 as v"
+            ).coalesce(1),
+        )
+    m0 = store._manifest("s", "t")
+    n_files0 = len(m0["files"])
+    before = store.read("s", "t").orderBy("k").collect()
+    folded = store.compact_small("s", "t")
+    assert folded >= 6  # >= 2 slivers in each of 3 dirs (base incl.)
+    m1 = store._manifest("s", "t")
+    assert len(m1["files"]) < n_files0
+    # every file still lives under a hive dir of its partition value
+    assert all("part=" in fe["path"] for fe in m1["files"])
+    after = store.read("s", "t").orderBy("k").collect()
+    assert after == before
+    # partition-column values survived the bare-file fold
+    assert store.read("s", "t").filter("part = '1'").count() == sum(
+        1 for r in before if r["part"] == "1"
+    )
+    # hive partition pruning still applies after the fold
+    pruned = store.read("s", "t").filter("part = '2'")
+    assert pruned.count() == sum(1 for r in before if r["part"] == "2")
