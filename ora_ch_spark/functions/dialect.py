@@ -653,6 +653,11 @@ def _rewrite_bare_set_ops(masked: str) -> str:
     names (verified), so the branches' differing column names don't
     matter, and NULLs hash deterministically — matching the CH
     hash-set's NULL-equality, which no join/=-based rewrite gives.
+    The fingerprint is probabilistic by construction: two DISTINCT
+    rows collide with probability ~2^-96 per pair (~1e-5 across 1e12
+    rows) — documented, the same class of tradeoff as cityHash64→
+    xxhash64 partitioning, chosen over a names-dependent struct
+    comparison that Spark's analyzer rejects across branches.
 
     Scope: exactly one depth-0 set keyword in the enclosing region
     and a plain SELECT on each side. Chains (precedence differs

@@ -291,8 +291,11 @@ def op_update(
                 # (rewriting more is worse than one full merge) and an
                 # absolute driver ceiling; limit(cap+1) detects
                 # overflow WITHOUT materializing the pathological list
-                n_files = len(
-                    store._manifest(spec.schema, spec.name)["files"]
+                mf = store._manifest(spec.schema, spec.name)
+                n_files = (
+                    sum(ref["nfiles"] for ref in mf["segments"])
+                    if mf.get("segments") is not None
+                    else len(mf["files"])
                 )
                 cap = min(max(64, n_files // 2), AFFECTED_FILES_ABS_MAX)
                 tagged = store.read_with_file(
