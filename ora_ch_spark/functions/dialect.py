@@ -3115,6 +3115,13 @@ def translate_ch_sql(
     (format strings, split separators) go through ``_lit_text`` /
     ``_emit_lit``."""
     out, lits = _mask_strings(sql)
+    # trailing statement semicolons (CH clients send them; real ';'
+    # inside string literals are already masked): every clause-level
+    # rewrite assumes none — the NULLS-LAST pass emitted
+    # 'ORDER BY v; NULLS LAST' and the r11 set-op wrapper would splice
+    # one into a subquery. Spark accepts the statement without it.
+    # Anchored on an actual ';' so whitespace-only text stays identity.
+    out = re.sub(r"\s*;[\s;]*$", "", out)
 
     def lit(text: str) -> str:
         # every literal a rewrite EMITS is registered as a mask too —
