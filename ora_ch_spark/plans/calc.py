@@ -53,7 +53,10 @@ class CalcEngine:
 
     # ---- C1 + dialect ---------------------------------------------
     def bound_sql(self, meta: QueryMeta, q: CalcQuery) -> str:
-        return translate_ch_sql(bind_params(meta.query, meta.params, q.params))
+        return translate_ch_sql(
+            bind_params(meta.query, meta.params, q.params),
+            byte_strings=meta.byte_strings,
+        )
 
     # ---- C2: materialize into the cache table ---------------------
     def materialize(self, meta: QueryMeta, q: CalcQuery) -> DataFrame:

@@ -158,6 +158,11 @@ class QueryMeta:
     # (reference: the (datecalc_cache, date_cache) pair,
     # jdbsChSession.scala:452-464); None → whole-table replace
     local_cache_keys: tuple[str, ...] | None = None
+    # opt-in CH byte-string semantics for this stored query's bare
+    # substring/substr/reverse surface (r11 —
+    # translate_ch_sql(byte_strings=True)); default keeps the
+    # ASCII-coincident character reading
+    byte_strings: bool = False
 
 
 @dataclass(frozen=True)

@@ -469,3 +469,23 @@ def test_verbatim_6184_full_calc_engine_e2e(spark, sf_correct):
     assert sorted(map(tuple, exp_rows), key=_key) == sorted(
         map(tuple, back.collect()), key=_key
     )
+
+
+def test_calc_meta_byte_strings_opt_in(spark):
+    """r11: QueryMeta.byte_strings routes the stored query through
+    translate_ch_sql(byte_strings=True) — bare substring slices bytes
+    for that query only; the default meta keeps character slices."""
+    from ora_ch_spark.plans.calc import CalcEngine
+    from ora_ch_spark.specs import CalcQuery, QueryMeta
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="calc_bytes_"))
+    sql = "select substring('привет', 3, 4) as s"
+    mb = QueryMeta(query_id=1, ch_table="ch_b", ora_table="b",
+                   query=sql, byte_strings=True)
+    mc = QueryMeta(query_id=2, ch_table="ch_c", ora_table="c", query=sql)
+    engine = CalcEngine(spark, store, {1: mb, 2: mc})
+    rb = spark.sql(engine.bound_sql(mb, CalcQuery(query_id=1))).collect()[0]
+    rc = spark.sql(engine.bound_sql(mc, CalcQuery(query_id=2))).collect()[0]
+    assert rb["s"] == "ри"   # bytes 3..6 of the UTF-8 encoding
+    assert rc["s"] == "ивет"  # characters 3..6
