@@ -1318,3 +1318,26 @@ def test_compact_small_folds_hive_partitions(spark):
     # hive partition pruning still applies after the fold
     pruned = store.read("s", "t").filter("part = '2'")
     assert pruned.count() == sum(1 for r in before if r["part"] == "2")
+
+
+def test_time_travel_survives_shard_folding(spark):
+    """r11: snapshot roots share shards BY NAME, and GC keeps every
+    shard referenced by a retained root — so time travel to a snapshot
+    taken before many delta appends (and the small-shard folding they
+    trigger) still reads the exact historical table."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="manifest_tt_"))
+    store.create_database("s")
+    store.write("s", "t", spark.range(0, 100).selectExpr("id as k"))
+    snap0 = store.snapshots("s", "t")[-1]["name"]
+    # enough tiny appends to trip _SEG_FOLD_TRIGGER folding
+    for i in range(10):
+        store.append(
+            "s", "t",
+            spark.range(1000 + i * 10, 1010 + i * 10).selectExpr("id as k").coalesce(1),
+        )
+    m = store._manifest("s", "t")
+    assert len(m["segments"]) < 11  # folding actually happened
+    assert store.row_count("s", "t") == 200
+    old = store.read_snapshot("s", "t", snap0)
+    assert old.count() == 100
+    assert old.agg({"k": "max"}).first()[0] == 99
