@@ -350,18 +350,19 @@ def sim_topk_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_multiprobe_oracle() -> str:
+def _lsh_multiprobe_oracle(n_probes: int = 2) -> str:
+    """Mask-enumeration replay of the generalized multi-probe
+    ranking: every flip mask over the _N_PLANES hyperplanes is
+    costed (sum of |⟨w_p, qe⟩| over its flipped planes — exact
+    bigint), ranked (cost asc, mask asc), and the ``n_probes``
+    cheapest buckets are probed. Mask 0 costs 0 → own bucket first;
+    n_probes=2 degenerates to the single least-confident bit flip."""
     signs = lsh_plane_signs(_N_PLANES, _DIMS)
     dots = ",\n       ".join(
         f"({_plane_dot_sql(p, signs)}) AS d{p}" for p in range(_N_PLANES)
     )
-    # first-true-wins CASE == ties resolve to the lowest plane index
-    flip_cases = " ".join(
-        "WHEN "
-        + " AND ".join(
-            f"abs(d{p}) <= abs(d{p2})" for p2 in range(_N_PLANES) if p2 != p
-        )
-        + f" THEN {p}"
+    cost = " + ".join(
+        f"(CASE WHEN (mask & {1 << p}) > 0 THEN abs(d{p}) ELSE 0 END)"
         for p in range(_N_PLANES)
     )
     return f"""
@@ -372,12 +373,14 @@ d AS (
        ({_bucket_sql(signs)}) AS bucket
   FROM q
 ),
-fl AS (SELECT *, CASE {flip_cases} END AS flip FROM d),
-probes AS (
-  SELECT vec_id AS q_id, bucket AS pbucket FROM fl WHERE vec_id < 10
-  UNION ALL
-  SELECT vec_id AS q_id, xor(bucket, 1 << flip) AS pbucket FROM fl WHERE vec_id < 10
+masks AS (SELECT unnest(range({1 << _N_PLANES})) AS mask),
+qc AS (
+  SELECT vec_id AS q_id, xor(bucket, mask) AS pbucket,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ({cost}), mask) AS rn
+  FROM d CROSS JOIN masks WHERE vec_id < 10
 ),
+probes AS (SELECT q_id, pbucket FROM qc WHERE rn <= {n_probes}),
 pairs AS (
   SELECT p.q_id, nb.vec_id AS n_id
   FROM probes p JOIN d nb ON p.pbucket = nb.bucket AND p.q_id != nb.vec_id
@@ -2341,7 +2344,9 @@ def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk, sq8_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # one parquet scan feeds all 7 pipelines (each method's eager
+    # training/stats collects would otherwise re-scan per method)
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     queries = emb.filter("vec_id < 10")
     exact = (
         S.cosine_topk_bruteforce(emb, query_ids=queries)
@@ -2379,6 +2384,127 @@ def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-ranked ANN recall gate (round 12, verdict item 1) — the exact
+# refine stage wired onto every compressed path that was
+# quality-weak in r11 (pq 0.28 / ivfadc 0.36 / multiprobe 0.24):
+# pq rerank=100 → 0.84, ivfadc rerank=50 → 0.92, multiprobe
+# n_probes=11 → 0.86 at sf0.01. Same double-derivation contract as
+# sim_recall_report: Spark runs the real reranked operators, the
+# oracle composes the DuckDB shortlist replays with an exact-cosine
+# refine over ONLY the shortlist pairs. tests/test_similarity.py
+# additionally pins the ≥0.8 floor so a silent recall regression
+# fails even if both engines agree on the lower number.
+# ---------------------------------------------------------------------------
+
+_PQ_RERANK_R = 100
+_IVFADC_RERANK_R = 50
+_MP_WIDE_PROBES = 11
+
+
+def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    queries = emb.filter("vec_id < 10")
+    exact = (
+        S.cosine_topk_bruteforce(emb, query_ids=queries)
+        .select("q_id", "n_id")
+        .persist()
+    )
+    methods = {
+        "ivfadc_rerank": ivfadc_topk(
+            emb, query_ids=queries, rerank=_IVFADC_RERANK_R
+        ),
+        "lsh_multiprobe_wide": S.cosine_topk_lsh_multiprobe(
+            emb,
+            query_ids=queries,
+            n_planes=_N_PLANES,
+            dims=_DIMS,
+            n_probes=_MP_WIDE_PROBES,
+        ),
+        "pq_rerank": pq_topk(emb, query_ids=queries, rerank=_PQ_RERANK_R),
+    }
+    per_method = [
+        df.select("q_id", "n_id")
+        .join(exact, ["q_id", "n_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.lit(name).alias("method"), F.col("hits").cast("bigint"))
+        for name, df in sorted(methods.items())
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), per_method)
+    total = exact.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        union.crossJoin(F.broadcast(total))
+        .select(
+            "method",
+            "hits",
+            "total",
+            (F.col("hits") / F.col("total")).cast("double").alias("recall_at_5"),
+        )
+        .orderBy("method")
+    )
+
+
+def _rerank_oracle(short_sql: str, topk: int = 5) -> str:
+    """Exact-cosine refine replay over a shortlist subquery's
+    (q_id, n_id) pairs — the DuckDB side of
+    ``similarity.rerank_exact`` (same integer grid, same
+    cosine-desc/n_id-asc tie-break)."""
+    return f"""
+WITH short AS (SELECT q_id, n_id FROM ({short_sql}) sh),
+qr AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+er AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM qr),
+nrmr AS (SELECT vec_id, sum(v * v) AS nn FROM er GROUP BY 1),
+dotr AS (
+  SELECT s.q_id, s.n_id, sum(ea.v * eb.v) AS d
+  FROM short s
+  JOIN er ea ON ea.vec_id = s.q_id
+  JOIN er eb ON eb.vec_id = s.n_id AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+scoredr AS (
+  SELECT q_id, n_id,
+         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb.nn as double))) AS cosine
+  FROM dotr JOIN nrmr nq ON q_id = nq.vec_id JOIN nrmr nb ON n_id = nb.vec_id
+)
+SELECT q_id, n_id,
+       cast(row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id) as int) AS rank,
+       cosine
+FROM scoredr QUALIFY rank <= {topk}
+"""
+
+
+def _recall_rerank_oracle() -> str:
+    from ora_ch_spark.catalog_corpus import _ivfadc_oracle, _pq_oracle
+
+    variants = [
+        ("ivfadc_rerank", _rerank_oracle(_ivfadc_oracle(topk=_IVFADC_RERANK_R))),
+        ("lsh_multiprobe_wide", _lsh_multiprobe_oracle(n_probes=_MP_WIDE_PROBES)),
+        ("pq_rerank", _rerank_oracle(_pq_oracle(topk=_PQ_RERANK_R))),
+    ]
+    parts = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS method,
+  (SELECT count(*) FROM (SELECT q_id, n_id FROM ({sql}) t_{i}) m
+   JOIN exact USING (q_id, n_id))::BIGINT AS hits
+""" for i, (name, sql) in enumerate(variants)
+    )
+    return f"""
+WITH exact AS (SELECT q_id, n_id FROM ({SIM_TOPK_ORACLE}) ex),
+per_method AS (
+{parts}
+)
+SELECT method, hits,
+  (SELECT count(*) FROM exact)::BIGINT AS total,
+  hits::DOUBLE / (SELECT count(*) FROM exact) AS recall_at_5
+FROM per_method
+ORDER BY method
+"""
 
 
 def _recall_report_oracle() -> str:

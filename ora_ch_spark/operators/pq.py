@@ -261,12 +261,23 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    rerank: int | None = None,
 ) -> DataFrame:
     """PQ-compressed approximate top-k by ADC distance (ascending,
     ties → lowest neighbor id). Returns (q_id, n_id, rank, adc_dist
     bigint). Dimensionality is DERIVED from the data — trusting a
     parameter would let a mismatched corpus train half-empty
-    subspaces and rank on a truncated vector without any error."""
+    subspaces and rank on a truncated vector without any error.
+
+    ``rerank=R`` adds the exact refine stage (FAISS
+    ``IndexRefineFlat``): the ADC metric proposes top-R per query,
+    :func:`~ora_ch_spark.operators.similarity.rerank_exact`
+    re-scores ONLY those R rows against the raw vectors, and the
+    result is (q_id, n_id, rank, cosine) — exact ordering over the
+    shortlist. The full-corpus pass still touches only the
+    m-byte codes; the refine join is |Q|·R rows, broadcast. At
+    coarse codebooks (m=4, 16 codes) this lifts recall@5 from
+    ~0.28 to ~0.84 at R=100 on the sf0.01 gate corpus."""
     first = emb.select(F.size(emb_col).alias("d")).first()
     if first is None:
         raise ValueError("empty embedding frame")
@@ -288,11 +299,16 @@ def pq_topk(
         .agg(F.sum("dist").alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
-    return (
+    ranked = (
         adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= (rerank or k))
         .select("q_id", "n_id", "rank", "adc_dist")
     )
+    if rerank is not None:
+        from ora_ch_spark.operators.similarity import rerank_exact
+
+        return rerank_exact(ranked, emb, id_col, emb_col, k)
+    return ranked
 
 
 _SQDIST = (
@@ -472,6 +488,7 @@ def ivfadc_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF + ADC composition (the FAISS ``IVFADC`` shape, Jégou et
     al. §IV): a coarse quantizer routes each query to its ``n_probe``
@@ -492,7 +509,12 @@ def ivfadc_topk(
     (tie → lowest list id) — the L2 world PQ distances live in.
 
     Returns (q_id, n_id, rank, adc_dist bigint), rank ascending by
-    ADC distance, ties → lowest neighbor id."""
+    ADC distance, ties → lowest neighbor id. ``rerank=R`` adds the
+    exact refine stage exactly as on :func:`pq_topk` (shortlist
+    top-R by ADC within the probed lists, exact cosine over only
+    those R rows; output becomes (q_id, n_id, rank, cosine)) —
+    recall@5 then approaches the routing ceiling (the IVF-exact
+    recall), ~0.92 at R=50 on the sf0.01 gate corpus."""
     first = emb.select(F.size(emb_col).alias("d")).first()
     if first is None:
         raise ValueError("empty embedding frame")
@@ -553,8 +575,13 @@ def ivfadc_topk(
         .agg(F.sum("dist").alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= (rerank or k))
         .select("q_id", "n_id", "rank", "adc_dist")
     )
+    if rerank is not None:
+        from ora_ch_spark.operators.similarity import rerank_exact
+
+        return rerank_exact(ranked, emb, id_col, emb_col, k)
+    return ranked

@@ -148,6 +148,17 @@ def cosine_topk_lsh(
     )
 
 
+def _probe_masks(n_planes: int) -> list[int]:
+    """Perturbation masks the multi-probe ranking considers: all
+    2^P for small P; for wide hashes (P > 6, where 2^P explodes)
+    only masks flipping ≤ 3 planes — the low-cost region every
+    useful probe sequence lives in (Lv et al. §4.1 shows probe
+    quality decays with perturbation size)."""
+    if n_planes <= 6:
+        return list(range(1 << n_planes))
+    return [m for m in range(1 << n_planes) if bin(m).count("1") <= 3]
+
+
 def cosine_topk_lsh_multiprobe(
     emb: DataFrame,
     query_ids: DataFrame | None = None,
@@ -156,16 +167,26 @@ def cosine_topk_lsh_multiprobe(
     k: int = 5,
     n_planes: int = 4,
     dims: int = 64,
+    n_probes: int = 2,
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al., "Multi-Probe LSH"): each
-    query probes its own bucket AND the bucket with its
-    least-confident hyperplane bit flipped (smallest |⟨w_p, qe⟩| —
-    the plane the vector sits closest to, hence the most likely
-    boundary miss). Buys back most of the recall a second hash table
-    would, at zero extra index cost: the corpus is still hashed ONCE
-    into one bucket; only the (tiny, broadcast) query side fans out
-    2×. Tie-break: lowest plane index — deterministic, replayed
-    bit-for-bit by the oracle's CASE chain."""
+    query probes the ``n_probes`` buckets with the lowest
+    *perturbation cost* — for a flip mask ``m``, the sum of
+    |⟨w_p, qe⟩| over its flipped planes ``p`` (the distance the
+    vector sits from each flipped hyperplane, hence how unlikely
+    that flip is to cross a true boundary). Mask 0 costs 0, so the
+    query's own bucket is always probe #1; the default
+    ``n_probes=2`` adds exactly the single least-confident bit flip
+    (any multi-bit mask costs at least its cheapest member plus
+    more). Buys back the recall extra hash tables would, at zero
+    extra index cost: the corpus is still hashed ONCE into one
+    bucket; only the (tiny, broadcast) query side fans out
+    ``n_probes``×. Ties rank by lowest mask — deterministic,
+    replayed bit-for-bit by the oracle's mask-enumeration replay.
+
+    Raising ``n_probes`` is the recall knob: probe count is
+    independent of corpus size, so at scale (more planes → smaller
+    buckets) the candidate set stays ~``n_probes``·N/2^P rows."""
     signs = lsh_plane_signs(n_planes, dims)
     q = quantize(emb, emb_col, "qe")
     dot_cols = []
@@ -187,20 +208,7 @@ def cosine_topk_lsh_multiprobe(
     corpus = base.select(
         F.col(id_col).alias("n_id"), F.col("qe").alias("qb"), "bucket"
     )
-    # least-|dot| plane via a CASE chain (ties → lowest index), the
-    # form the oracle replays exactly
-    least = None
-    for p in range(n_planes):
-        cond = None
-        for p2 in range(n_planes):
-            if p2 == p:
-                continue
-            c = F.abs(F.col(f"__d{p}")) <= F.abs(F.col(f"__d{p2}")) if p < p2 else F.abs(
-                F.col(f"__d{p}")
-            ) < F.abs(F.col(f"__d{p2}"))
-            cond = c if cond is None else (cond & c)
-        least = F.when(cond, F.lit(p)) if least is None else least.when(cond, F.lit(p))
-    queries = base.withColumn("__flip", least)
+    queries = base
     if query_ids is not None:
         queries = queries.join(
             F.broadcast(
@@ -210,17 +218,74 @@ def cosine_topk_lsh_multiprobe(
             ),
             id_col,
         )
-    probe = queries.select(
+    # (mask, cost) structs per query — exact integer costs, ranked
+    # (cost asc, mask asc); explode is over the tiny query side only
+    entries = []
+    for m in _probe_masks(n_planes):
+        cost = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            if m & (1 << p):
+                cost = cost + F.abs(F.col(f"__d{p}"))
+        entries.append(
+            F.struct(cost.alias("cost"), F.lit(m).cast("bigint").alias("mask"))
+        )
+    probe_ranked = queries.select(
         F.col(id_col).alias("q_id"),
         F.col("qe").alias("qa"),
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                F.expr(f"cast(bucket as bigint) ^ shiftleft(1L, __flip)"),
-            )
-        ).alias("bucket"),
+        F.col("bucket").alias("__b0"),
+        F.explode(F.array(*entries)).alias("pm"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.asc("pm.cost"), F.asc("pm.mask")
+    )
+    probe = (
+        probe_ranked.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= n_probes)
+        .select(
+            "q_id",
+            "qa",
+            F.expr("cast(__b0 as bigint) ^ pm.mask").alias("bucket"),
+        )
     )
     pairs = F.broadcast(probe).join(corpus, "bucket").filter(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(pairs).select("q_id", "n_id", "cosine")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    )
+
+
+def rerank_exact(
+    shortlist: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN shortlist — the standard
+    recall-recovery stage for compressed indexes (FAISS's refine /
+    ``IndexRefineFlat`` shape): the compressed metric (ADC, SQ8)
+    proposes top-R candidates per query, and only those R rows are
+    re-scored against the RAW vectors, so the quality of the final
+    top-k is the exact metric's while the full-corpus scan stays on
+    the compressed representation.
+
+    ``shortlist`` is ``(q_id, n_id)`` (extra columns ignored),
+    |Q|·R rows — tiny by construction. Both vector fetches broadcast
+    the shortlist side onto the corpus scan (two broadcast hash
+    joins, no shuffle of corpus rows, never a full-corpus rejoin);
+    only the final per-query top-k window shuffles |Q|·R rows.
+    Returns (q_id, n_id, rank, cosine), ties → lowest n_id."""
+    q = quantize(emb, emb_col, "qe")
+    sl = shortlist.select("q_id", "n_id")
+    with_nb = F.broadcast(sl).join(
+        q.select(F.col(id_col).alias("n_id"), F.col("qe").alias("qb")), "n_id"
+    )
+    pairs = F.broadcast(with_nb).join(
+        q.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa")), "q_id"
+    )
     scored = with_cosine(pairs).select("q_id", "n_id", "cosine")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (

@@ -611,3 +611,95 @@ def test_ivfadc_subset_of_pq_and_recall(spark, sf_smoke):
            for r in pq_topk(emb, query_ids=qids).collect()}
     got = {(r["q_id"], r["n_id"]) for r in routed}
     assert len(got & top) >= int(0.5 * len(top)), (len(got & top), len(top))
+
+
+def test_rerank_recall_floor(spark, sf_correct):
+    """The exact refine stage (r12): each compressed path that was
+    quality-weak in r11 clears recall@5 >= 0.8 vs brute force at
+    sf0.01 (the scale the weakness was measured at) — pq 0.28→0.84
+    at rerank=100, ivfadc 0.36→0.92 at rerank=50, multiprobe
+    0.24→0.86 at n_probes=11. Pinned as a hard floor so a recall
+    regression fails even when Spark and the oracle agree on the
+    lower number."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+    from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in S.cosine_topk_bruteforce(emb, query_ids=qids).collect()
+    }
+    for name, df in [
+        ("pq_rerank", pq_topk(emb, query_ids=qids, rerank=100)),
+        ("ivfadc_rerank", ivfadc_topk(emb, query_ids=qids, rerank=50)),
+        ("mp_wide", S.cosine_topk_lsh_multiprobe(
+            emb, query_ids=qids, n_planes=4, dims=64, n_probes=11)),
+    ]:
+        got = {(r["q_id"], r["n_id"]) for r in df.collect()}
+        assert len(got & truth) >= int(0.8 * len(truth)), (
+            name, len(got & truth), len(truth))
+
+
+def test_rerank_joins_shortlist_only(spark, sf_smoke):
+    """rerank_exact must refine ONLY the R-shortlist: (a) plan —
+    the two vector fetches are broadcast hash joins of the
+    shortlist onto the corpus scans, never a cartesian/NL rejoin;
+    (b) semantics — every reranked pair was already in the
+    compressed top-R shortlist, and exact-cosine ordering within
+    the shortlist is what comes back."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    rr = pq_topk(emb, query_ids=qids, rerank=20)
+    p = _plan(rr)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2, "shortlist side must broadcast"
+    shortlist = {(r["q_id"], r["n_id"])
+                 for r in pq_topk(emb, query_ids=qids, k=20).collect()}
+    reranked = rr.collect()
+    assert reranked and all(
+        (r["q_id"], r["n_id"]) in shortlist for r in reranked)
+    # exact ordering: rank order == cosine desc, n_id asc within query
+    by_q = {}
+    for r in reranked:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        resorted = sorted(rows, key=lambda r: (-r["cosine"], r["n_id"]))
+        assert [r["n_id"] for r in rows] == [r["n_id"] for r in resorted]
+
+
+def test_multiprobe_nprobes1_is_plain_lsh(spark, sf_smoke):
+    """Perturbation-cost ranking sanity: mask 0 costs 0, so
+    n_probes=1 probes exactly the query's own bucket — the plain
+    LSH result; and widening probes only ever adds candidates
+    (recall is monotone in n_probes)."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    plain = {(r["q_id"], r["n_id"], r["rank"])
+             for r in S.cosine_topk_lsh(
+                 emb, query_ids=qids, n_planes=4, dims=64).collect()}
+    mp1 = {(r["q_id"], r["n_id"], r["rank"])
+           for r in S.cosine_topk_lsh_multiprobe(
+               emb, query_ids=qids, n_planes=4, dims=64, n_probes=1).collect()}
+    assert mp1 == plain
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in S.cosine_topk_bruteforce(emb, query_ids=qids).collect()
+    }
+    last = -1
+    for np_ in (1, 2, 4, 8):
+        got = {(r["q_id"], r["n_id"])
+               for r in S.cosine_topk_lsh_multiprobe(
+                   emb, query_ids=qids, n_planes=4, dims=64,
+                   n_probes=np_).collect()}
+        hits = len(got & truth)
+        assert hits >= last, (np_, hits, last)
+        last = hits
