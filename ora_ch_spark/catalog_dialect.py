@@ -3237,6 +3237,34 @@ select 'c' as op, p, st, toInt64(count(*)) as n from (
          if(o_orderkey % 11 = 0, NULL, o_orderstatus) as st3
   from orders where o_orderkey % 23 < 2
 ) group by p, st
+union all
+select 'u' as op, p, st, toInt64(count(*)) as n from (
+  select o_orderpriority as p,
+         if(o_orderkey % 7 = 0, NULL, o_orderstatus) as st
+  from orders where o_orderkey % 13 < 4
+  intersect
+  select o_orderpriority as p2,
+         if(o_orderkey % 5 = 0, NULL, o_orderstatus) as st2
+  from orders where o_orderkey % 17 < 3
+  union all
+  select o_orderpriority as p3,
+         if(o_orderkey % 11 = 0, NULL, o_orderstatus) as st3
+  from orders where o_orderkey % 23 < 2
+) group by p, st
+union all
+select 'x' as op, p, st, toInt64(count(*)) as n from (
+  select o_orderpriority as p,
+         if(o_orderkey % 7 = 0, NULL, o_orderstatus) as st
+  from orders where o_orderkey % 13 < 4
+  intersect all
+  select o_orderpriority as p2,
+         if(o_orderkey % 5 = 0, NULL, o_orderstatus) as st2
+  from orders where o_orderkey % 17 < 3
+  except
+  select o_orderpriority as p3,
+         if(o_orderkey % 11 = 0, NULL, o_orderstatus) as st3
+  from orders where o_orderkey % 23 < 2
+) group by p, st
 order by op, p, st
 """
 
@@ -3288,6 +3316,31 @@ FROM A WHERE EXISTS (
   AND NOT EXISTS (
   SELECT 1 FROM C WHERE C.p IS NOT DISTINCT FROM A.p
                     AND C.st IS NOT DISTINCT FROM A.st)
+GROUP BY p, st
+UNION ALL
+-- mixed-chain arm (r12): A INTERSECT B UNION ALL C — bare INTERSECT
+-- binds tighter, so (A ∩filter B) ∪all C; the UNION leg is native
+SELECT 'u' AS op, p, st, count(*)::BIGINT AS n
+FROM (
+  SELECT p, st FROM A WHERE EXISTS (
+    SELECT 1 FROM B WHERE B.p IS NOT DISTINCT FROM A.p
+                      AND B.st IS NOT DISTINCT FROM A.st)
+  UNION ALL
+  SELECT p, st FROM C
+) u
+GROUP BY p, st
+UNION ALL
+-- mixed-chain arm (r12): A INTERSECT ALL B EXCEPT C — the explicit
+-- ALL leg keeps ANSI min-multiplicity (native both engines), then
+-- the bare EXCEPT hash-set-filters the whole prefix
+SELECT 'x' AS op, p, st, count(*)::BIGINT AS n
+FROM (
+  SELECT * FROM
+    (SELECT p, st FROM A INTERSECT ALL SELECT p, st FROM B) iab
+  WHERE NOT EXISTS (
+    SELECT 1 FROM C WHERE C.p IS NOT DISTINCT FROM iab.p
+                      AND C.st IS NOT DISTINCT FROM iab.st)
+) x
 GROUP BY p, st
 ORDER BY op, p, st
 """

@@ -659,12 +659,14 @@ def _rewrite_bare_set_ops(masked: str) -> str:
     xxhash64 partitioning, chosen over a names-dependent struct
     comparison that Spark's analyzer rejects across branches.
 
-    Scope: exactly one depth-0 set keyword in the enclosing region
-    and a plain SELECT on each side. Chains (precedence differs
-    between engines), WITH-headed regions (a CTE wrapped into the
-    left branch would fall out of scope for the right) and explicit
-    ALL/DISTINCT spellings pass through — DISTINCT is exact already,
-    and pass-through coincides for duplicate-free branches."""
+    Scope: any depth-0 chain mixing bare INTERSECT/EXCEPT with
+    UNION or explicit ALL/DISTINCT legs (r12) — CH and Spark agree
+    on precedence (INTERSECT tighter; UNION/EXCEPT equal,
+    left-assoc), so the bare legs reduce one per pass under that
+    grouping while the explicit/UNION legs stay Spark-native
+    (identical semantics: ANSI ALL = CH ALL, DISTINCT exact).
+    WITH-headed regions still pass through (a CTE wrapped into the
+    left branch would fall out of scope for the right)."""
     pos = 0
     while True:
         m = re.compile(r"(?i)\b(intersect|except)\b").search(masked, pos)
@@ -721,19 +723,31 @@ def _rewrite_bare_set_ops(masked: str) -> str:
                 r"(?is)\s*(all|distinct)\b", region[sm.end():]
             )
 
-        # chains handled ONLY when every depth-0 op is a bare
-        # intersect/except: CH precedence (INTERSECT binds tighter,
-        # then left-assoc) reduces one op per pass — intermediate
-        # reductions are parenthesized operands of the remainder.
-        # Mixed chains with UNION or explicit ALL/DISTINCT keep the
-        # documented pass-through.
-        if not ops or not all(_bare(sm) for sm in ops):
+        def _is_intersect(sm: "re.Match") -> bool:
+            return sm.group(0).lower().startswith("intersect")
+
+        def _opnd_start(sm: "re.Match") -> int:
+            # operand text begins after the op token AND its explicit
+            # ALL/DISTINCT modifier (UNION's rides inside the token
+            # match; INTERSECT/EXCEPT's does not)
+            mm = re.match(r"(?is)\s*(all|distinct)\b", region[sm.end():])
+            return sm.end() + (mm.end() if mm else 0)
+
+        # mixed chains (r12, closes the r11 finding): CH and Spark
+        # AGREE on set-op precedence (INTERSECT binds tighter;
+        # UNION/EXCEPT equal, left-assoc), so only the BARE
+        # intersect/except legs need the hash-set rewrite — explicit
+        # ALL/DISTINCT legs and UNION are Spark-native with identical
+        # semantics and stay in place. One bare op reduces per pass,
+        # bare INTERSECTs first (they bind first); the reduction is
+        # parenthesized back in as an operand of the remainder.
+        bare = [i for i, sm in enumerate(ops) if _bare(sm)]
+        if not ops or not bare:
             pos = m.end()
             continue
         pick = next(
-            (i for i, sm in enumerate(ops)
-             if sm.group(0).lower() == "intersect"),
-            0,
+            (i for i in bare if _is_intersect(ops[i])),
+            bare[0],
         )
         op = ops[pick]
         # depth-0 tail (ORDER BY/LIMIT/OFFSET after the LAST operand
@@ -748,11 +762,29 @@ def _rewrite_bare_set_ops(masked: str) -> str:
             if seg.count("(") == seg.count(")"):
                 tail_at = tm.start()
                 break
-        lo = ops[pick - 1].end() if pick > 0 else 0
-        hi = ops[pick + 1].start() if pick + 1 < len(ops) else tail_at
+        if _is_intersect(op):
+            # left operand: the run of intersect-class atoms bound to
+            # this op, back to the nearest union-level op; right
+            # operand: the next atom (anything further binds later)
+            lo = 0
+            for j in range(pick - 1, -1, -1):
+                if not _is_intersect(ops[j]):
+                    lo = _opnd_start(ops[j])
+                    break
+            hi = ops[pick + 1].start() if pick + 1 < len(ops) else tail_at
+        else:
+            # bare EXCEPT sits at union level: left operand is the
+            # whole depth-0 prefix (left-assoc); right operand is the
+            # next atom plus any tighter-binding intersect-class run
+            lo = 0
+            hi = tail_at
+            for j in range(pick + 1, len(ops)):
+                if not _is_intersect(ops[j]):
+                    hi = ops[j].start()
+                    break
         a_txt = region[lo:op.start()].strip()
         b_txt = region[op.end():hi].strip()
-        last = len(ops) == 1
+        last = lo == 0 and hi == tail_at
         tail = region[tail_at:].strip() if last else ""
         neg = "NOT " if op.group(0).lower() == "except" else ""
         wrapped = (

@@ -5284,3 +5284,53 @@ def test_dialect_geohash_decode(spark):
         assert r[f"lon{i}"] == lon and r[f"lat{i}"] == lat, g
         assert r[f"rt{i}"] == g
     assert (r["empty"]["col1"], r["empty"]["col2"]) == (0.0, 0.0)
+
+
+def test_bare_set_op_mixed_chains(spark):
+    """Mixed depth-0 chains (r12): bare INTERSECT/EXCEPT legs get the
+    CH hash-set-filter rewrite while UNION / explicit ALL legs stay
+    Spark-native, grouped under the shared precedence (INTERSECT
+    tighter, then left-assoc). Multiplicities hand-computed:
+    A = [1,1,2,3], B = [1,2,2], C = [2,4]."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    spark.sql(
+        "create or replace temp view soA as "
+        "select explode(array(1,1,2,3)) as v"
+    )
+    spark.sql(
+        "create or replace temp view soB as "
+        "select explode(array(1,2,2)) as w"
+    )
+    spark.sql(
+        "create or replace temp view soC as "
+        "select explode(array(2,4)) as x"
+    )
+
+    def run(ch_sql):
+        return sorted(
+            r[0] for r in spark.sql(T(ch_sql)).collect()
+        )
+
+    # (A ∩bare B) ∪all C: filter keeps [1,1,2], union all appends [2,4]
+    assert run(
+        "select v from soA intersect select w from soB "
+        "union all select x from soC"
+    ) == [1, 1, 2, 2, 4]
+    # (A ∩all B) −bare C: ANSI min-multiplicity gives [1,2], filter drops 2
+    assert run(
+        "select v from soA intersect all select w from soB "
+        "except select x from soC"
+    ) == [1]
+    # A −bare (B ∩bare C): intersect binds tighter → filter B by C
+    # membership = [2,2]; bare except drops every A-row in {2} → [1,1,3]
+    assert run(
+        "select v from soA except select w from soB "
+        "intersect select x from soC"
+    ) == [1, 1, 3]
+    # (A ∪all C) −bare B: left-assoc at union level; prefix is the
+    # whole A∪C multiset [1,1,2,3,2,4]; membership drop {1,2} → [3,4]
+    assert run(
+        "select v from soA union all select x from soC "
+        "except select w from soB"
+    ) == [3, 4]
