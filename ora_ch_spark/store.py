@@ -953,7 +953,14 @@ class TableStore:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(gdir)
+        try:
+            writer.parquet(gdir)
+        except BaseException:
+            # a failed write must not pin its half-written group in
+            # the in-flight registry forever — release it so vacuum()
+            # can reclaim the debris after the grace period
+            self._release_inflight(tdir, rel)
+            raise
         entries = []
         for dirpath, _dirs, files in os.walk(gdir):
             for fn in sorted(files):
@@ -1052,11 +1059,57 @@ class TableStore:
         os.replace(tmp, self._pointer(schema, table))  # atomic publish
         self._gc(schema, table, current=name)
 
-    def _gc(self, schema: str, table: str, current: str) -> None:
+    def vacuum(
+        self,
+        schema: str,
+        table: str,
+        older_than_sec: float | None = None,
+    ) -> dict:
+        """Crash-recovery garbage collection: remove ``g-*`` data
+        groups and ``s-*`` manifest shards referenced by NO retained
+        manifest — the debris a writer dying between data-file land
+        and pointer publish leaves behind (data always lands fully
+        BEFORE any manifest references it, so a crash can only orphan
+        files, never corrupt a published snapshot). The retention-GC
+        that runs on every commit collects the same debris, but only
+        when the table is written again; ``vacuum`` is the explicit
+        path for tables that went quiet.
+
+        Reader safety: liveness is computed from EVERY manifest the
+        retention policy keeps (newest ``keep_versions`` + anything
+        younger than ``retention_sec``), so readers of any retained
+        snapshot — including time-travel readers — never lose files.
+        Still-in-flight writers are protected twice: the in-process
+        registry (never collected) and the ``older_than_sec`` mtime
+        grace (default ``retention_sec``) for writers in OTHER
+        processes, whose half-written groups are younger than any
+        sane grace. Returns ``{"groups": n, "segments": n,
+        "manifests": n}`` removed."""
+        with self._lock:
+            ptr = self._pointer(schema, table)
+            if not os.path.exists(ptr):
+                raise TableNotFound(f"{schema}.{table}")
+            with open(ptr) as f:
+                current = json.load(f)["manifest"]
+            return self._gc(schema, table, current, grace=older_than_sec)
+
+    def _gc(
+        self,
+        schema: str,
+        table: str,
+        current: str,
+        grace: float | None = None,
+    ) -> dict:
         """Retention-based GC: keep the newest ``keep_versions``
         manifests plus anything younger than ``retention_sec`` (so
         in-flight readers of recent snapshots stay valid); delete data
-        groups referenced by no retained manifest."""
+        groups referenced by no retained manifest. ``grace`` overrides
+        ``retention_sec`` as the age floor for UNREFERENCED debris
+        only (crash orphans); retained-manifest liveness always uses
+        the retention policy. Returns removal counts."""
+        if grace is None:
+            grace = self.retention_sec
+        removed = {"groups": 0, "segments": 0, "manifests": 0}
         tdir = self._tdir(schema, table)
         mdir = os.path.join(tdir, "manifests")
         roots = []
@@ -1094,6 +1147,7 @@ class TableStore:
             if fn not in keep:
                 try:
                     os.remove(os.path.join(mdir, fn))
+                    removed["manifests"] += 1
                 except OSError:
                     pass
         for fn in seg_files:
@@ -1104,9 +1158,10 @@ class TableStore:
                 # a shard just written by an in-flight cross-process
                 # commit isn't referenced yet — same mtime guard as
                 # unreferenced data groups
-                if now - os.path.getmtime(p) < self.retention_sec:
+                if now - os.path.getmtime(p) < grace:
                     continue
                 os.remove(p)
+                removed["segments"] += 1
             except OSError:
                 pass
         ddir = os.path.join(tdir, "data")
@@ -1124,11 +1179,13 @@ class TableStore:
                 if os.path.abspath(gpath) in inflight:
                     continue
                 try:
-                    if now - os.path.getmtime(gpath) < self.retention_sec:
+                    if now - os.path.getmtime(gpath) < grace:
                         continue
                 except OSError:
                     pass
                 shutil.rmtree(gpath, ignore_errors=True)
+                removed["groups"] += 1
+        return removed
 
     # ---- write operations ------------------------------------------
     def write(

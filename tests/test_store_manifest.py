@@ -1341,3 +1341,100 @@ def test_time_travel_survives_shard_folding(spark):
     old = store.read_snapshot("s", "t", snap0)
     assert old.count() == 100
     assert old.agg({"k": "max"}).first()[0] == 99
+
+
+def test_vacuum_reclaims_crash_orphans(spark, sf_smoke):
+    """A writer dying between data-file land and pointer publish
+    (r12 verdict item 3) leaves an orphaned g-* group and an s-*
+    shard that no manifest references. Readers never see them (data
+    lands before any manifest points at it); vacuum() reclaims both
+    once they age past the grace, reports counts, and leaves every
+    retained snapshot readable."""
+    region = load_table(spark, sf_smoke, "region")
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="manifest_vac_"), retention_sec=300
+    )
+    store.create_database("s")
+    store.write("s", "t", region)
+    store.append("s", "t", region.limit(2))
+    tdir = store._tdir("s", "t")
+    # simulate the crash: data group + file-list shard landed, no
+    # root manifest / pointer publish ever happened (a dead process
+    # holds no in-flight registry entries — the registry is cleared
+    # by simply not registering these)
+    orphan_g = os.path.join(tdir, "data", "g-deadbeef-crashed")
+    os.makedirs(orphan_g)
+    with open(os.path.join(orphan_g, "part-0.parquet"), "w") as f:
+        f.write("x")
+    orphan_s = os.path.join(tdir, "manifests", "s-deadbeef-crashed.json")
+    with open(orphan_s, "w") as f:
+        f.write('{"files": []}')
+    before = store.read("s", "t").count()
+    # young debris survives the default grace (could be another
+    # process's in-flight write)...
+    res = store.vacuum("s", "t")
+    assert res["groups"] == 0 and res["segments"] == 0
+    assert os.path.isdir(orphan_g) and os.path.exists(orphan_s)
+    # ...and is reclaimed once the caller asserts it is stale
+    res = store.vacuum("s", "t", older_than_sec=0)
+    assert res["groups"] == 1 and res["segments"] == 1
+    assert not os.path.isdir(orphan_g) and not os.path.exists(orphan_s)
+    assert store.read("s", "t").count() == before
+    from ora_ch_spark.store import TableNotFound
+
+    with pytest.raises(TableNotFound):
+        store.vacuum("s", "missing")
+
+
+def test_vacuum_keeps_retained_snapshots_readable(spark, sf_smoke):
+    """Concurrent-reader safety: vacuum(older_than_sec=0) computes
+    liveness from EVERY retained manifest, so a time-travel reader
+    holding a lazy plan on an older retained snapshot still collects
+    fine after the vacuum removed genuine orphans next to it."""
+    region = load_table(spark, sf_smoke, "region")
+    store = TableStore(
+        spark,
+        tempfile.mkdtemp(prefix="manifest_vac2_"),
+        keep_versions=3,
+        retention_sec=300,
+    )
+    store.create_database("s")
+    store.write("s", "t", region)
+    v1 = store.snapshots("s", "t")[-1]["name"]
+    store.append("s", "t", region.limit(3))
+    old_reader = store.read_snapshot("s", "t", v1)  # lazy plan
+    orphan_g = os.path.join(store._tdir("s", "t"), "data", "g-dead-2")
+    os.makedirs(orphan_g)
+    with open(os.path.join(orphan_g, "p.parquet"), "w") as f:
+        f.write("x")
+    res = store.vacuum("s", "t", older_than_sec=0)
+    assert res["groups"] == 1
+    assert old_reader.count() == region.count()  # v1 files intact
+    assert store.read("s", "t").count() == region.count() + 3
+
+
+def test_failed_write_releases_inflight_and_vacuums(spark, sf_smoke):
+    """A write that THROWS mid-materialization (executor failure)
+    must not pin its half-written group in the in-flight registry —
+    otherwise vacuum could never reclaim it within the process's
+    lifetime."""
+    from ora_ch_spark.store import _INFLIGHT_GROUPS
+
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="manifest_vac3_"), retention_sec=300
+    )
+    store.create_database("s")
+    region = load_table(spark, sf_smoke, "region")
+    store.write("s", "t", region)
+    bad = spark.range(3).selectExpr(
+        "assert_true(id < 2, 'boom') as chk", "id"
+    )
+    n_before = len(_INFLIGHT_GROUPS)
+    with pytest.raises(Exception):
+        store.append("s", "t", bad.select("id"))
+    assert len(_INFLIGHT_GROUPS) == n_before, "failed write leaked inflight"
+    # the half-written debris is now reclaimable
+    store.vacuum("s", "t", older_than_sec=0)
+    data_dirs = os.listdir(os.path.join(store._tdir("s", "t"), "data"))
+    assert len(data_dirs) == 1  # only the committed group remains
+    assert store.read("s", "t").count() == region.count()
