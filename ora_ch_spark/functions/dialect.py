@@ -3179,9 +3179,10 @@ def translate_ch_sql(
         # Value-idempotent; NOT text-idempotent (translating emitted
         # output again re-wraps inner ASCII-only helpers harmlessly).
         # reverse() is overloaded in CH (arrays too) and argument
-        # types are unknowable at text level: syntactic array-ish
-        # arguments are skipped — spell arrayReverse for arrays under
-        # byte mode.
+        # types are unknowable at text level: syntactically array-ish
+        # arguments raise LOUDLY (r12 — the mode's contract is byte
+        # semantics or an error, never a silent Spark-semantics
+        # passthrough): spell arrayReverse for arrays under byte mode.
         def _byte_substr(a: list[str]) -> str | None:
             if len(a) not in (2, 3):
                 return None
@@ -3205,15 +3206,23 @@ def translate_ch_sql(
                 return None
             low = a[0].lower()
             if any(t in low for t in _ARRAYISH):
-                return None
+                raise NotImplementedError(
+                    "byte_strings mode: reverse() argument looks "
+                    f"array-typed ({a[0][:60]!r}) — byte-reversal is "
+                    "undefined for arrays; spell arrayReverse(...) "
+                    "for array arguments under byte mode"
+                )
             s = a[0]
             hx = f"hex(cast({s} as binary))"
             empty = _emit_lit("''", lits)
+            # the byte order is reversed by a DESCENDING sequence —
+            # emitting an array reverse() here would trip this very
+            # pass's array-ish loudness on its own output
             return (
                 f"(case when octet_length({s}) <= 1 then cast({s} as string)"
-                f" else cast(unhex(array_join(reverse(transform("
-                f"sequence(1, octet_length({s})),"
-                f" __bi -> substring({hx}, 2 * __bi - 1, 2))), {empty}))"
+                f" else cast(unhex(array_join(transform("
+                f"sequence(octet_length({s}), 1, -1),"
+                f" __bi -> substring({hx}, 2 * __bi - 1, 2)), {empty}))"
                 f" as string) end)"
             )
 

@@ -5245,9 +5245,14 @@ def test_dialect_byte_strings_mode_fuzz(spark):
         "select substring(s, 3, 7) from t"
     )
     assert T("select reverse(s) from t") == "select reverse(s) from t"
-    # byte mode skips array-ish reverse (CH overload) — stays loud/native
-    assert T("select reverse(array(1, 2)) from t", byte_strings=True) == (
-        "select reverse(array(1, 2)) from t"
+    # byte mode is loud on array-ish reverse (CH overload, r12):
+    # byte-reversal is undefined for arrays — never a silent
+    # Spark-semantics passthrough; arrayReverse is the spelling
+    with pytest.raises(NotImplementedError, match="arrayReverse"):
+        T("select reverse(array(1, 2)) from t", byte_strings=True)
+    # ...and arrayReverse itself stays available under byte mode
+    assert "reverse" in T(
+        "select arrayReverse(array(1, 2)) from t", byte_strings=True
     )
 
 
