@@ -3347,6 +3347,60 @@ ORDER BY op, p, st
 
 
 # ---------------------------------------------------------------------------
+# Dynamic (per-row) timezone forms (round 12, verdict item 7) — the
+# tz argument of parseDateTime / parseDateTimeBestEffort /
+# formatDateTime as a COLUMN, not a constant. Spark's
+# to_utc_timestamp / convert_timezone accept per-row zone expressions
+# (SPARK-23715), so the constant-tz emissions generalize verbatim;
+# the oracle replays via DuckDB's timezone() with epoch()/strftime
+# projections, which are session-timezone-independent on both sides.
+# ---------------------------------------------------------------------------
+
+_DIALECT_TZ_DYNAMIC_CH_SQL = """
+select k, tz,
+  toInt64(toUnixTimestamp(parseDateTime('2020-03-01 10:00:00',
+      '%Y-%m-%d %H:%i:%S', tz))) as p_epoch,
+  toInt64(toUnixTimestamp(parseDateTimeBestEffort('2021-07-15 08:30:00',
+      tz))) as be_epoch,
+  formatDateTime(toDateTime('2020-03-01 10:00:00'), '%Y-%m-%d %H:%i', tz) as f
+from (
+  select o_orderkey as k,
+         if(o_orderkey % 3 = 0, 'Europe/Moscow',
+            if(o_orderkey % 3 = 1, 'UTC', 'Asia/Tokyo')) as tz
+  from orders where o_orderkey % 97 = 0
+)
+order by k
+"""
+
+
+def calc_dialect_tz_dynamic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-tz battery as STORED CH-dialect text through
+    translate_ch_sql."""
+    from ora_ch_spark.functions.dialect import translate_ch_sql
+    from ora_ch_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(translate_ch_sql(_DIALECT_TZ_DYNAMIC_CH_SQL))
+
+
+DIALECT_TZ_DYNAMIC_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'Europe/Moscow'
+              WHEN o_orderkey % 3 = 1 THEN 'UTC'
+              ELSE 'Asia/Tokyo' END AS tz
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT k, tz,
+  epoch(timezone(tz, TIMESTAMP '2020-03-01 10:00:00'))::BIGINT AS p_epoch,
+  epoch(timezone(tz, TIMESTAMP '2021-07-15 08:30:00'))::BIGINT AS be_epoch,
+  strftime(timezone(tz, timezone('UTC', TIMESTAMP '2020-03-01 10:00:00')),
+           '%Y-%m-%d %H:%M') AS f
+FROM src ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
 # Parse-once JSON companion (round 11, verdict item 9) — the SAME
 # result table as calc_json_dynamic, written the way a user SHOULD at
 # scale: ONE from_json(props, 'map<string,string>') per row, reused

@@ -3298,9 +3298,12 @@ def translate_ch_sql(
         if len(a) == 3:
             # 3-arg tz form: parse as wall time IN that zone (same
             # emission as the BestEffort family's trailing-tz form).
-            # Dynamic tz stays loud — r11 closes the silent-drop.
-            if _lit_text(a[2], lits) is None:
-                return None
+            # r12: the tz may be DYNAMIC (a column) — Spark's
+            # to_utc_timestamp accepts a per-row zone expression
+            # (SPARK-23715), and an invalid zone name fails loudly in
+            # both engines. The 3rd position is unambiguously a tz in
+            # CH, so no literal check is needed here (unlike the
+            # BestEffort 64 spelling, whose 2nd arg is a precision).
             return f"to_utc_timestamp({base}, {a[2]})"
         return base
 
@@ -3312,11 +3315,18 @@ def translate_ch_sql(
     # spellings share the emission: Spark's formatless parser is
     # ISO-shaped, where the month-first ambiguity the US variant
     # resolves cannot arise (documented).
-    def _best_effort(wrap: str):
+    def _best_effort(wrap: str, dynamic_tz: bool = True):
         def render(a: list[str]) -> str | None:
+            # the 2nd arg is a tz for the plain/US spellings; a
+            # dynamic (column) zone is allowed there (r12) unless it
+            # is a bare number — the 64 spelling's 2nd arg is a
+            # PRECISION, so that family keeps the constant-tz rule
+            tz_ok = _lit_text(a[1], lits) is not None if len(a) == 2 else False
+            if len(a) == 2 and not tz_ok and dynamic_tz:
+                tz_ok = not re.fullmatch(r"[\d.]+", a[1].strip())
             if len(a) == 1:
                 base = f"to_timestamp({a[0]})"
-            elif len(a) == 2 and _lit_text(a[1], lits) is not None:
+            elif len(a) == 2 and tz_ok:
                 base = f"to_utc_timestamp(to_timestamp({a[0]}), {a[1]})"
             else:
                 return None
@@ -3334,9 +3344,10 @@ def translate_ch_sql(
 
     for _bex in ("parseDateTimeBestEffort", "parseDateTime32BestEffort",
                  "parseDateTime64BestEffort", "parseDateTimeBestEffortUS"):
-        out = _rewrite_calls(out, _bex + "OrNull", _best_effort("null"))
-        out = _rewrite_calls(out, _bex + "OrZero", _best_effort("zero"))
-        out = _rewrite_calls(out, _bex, _best_effort(""))
+        _dyn = "64" not in _bex
+        out = _rewrite_calls(out, _bex + "OrNull", _best_effort("null", _dyn))
+        out = _rewrite_calls(out, _bex + "OrZero", _best_effort("zero", _dyn))
+        out = _rewrite_calls(out, _bex, _best_effort("", _dyn))
     out = _rewrite_calls(out, "parseDateTime", _parse_dt)
     out = _rewrite_calls(
         out, "toDate32OrNull",

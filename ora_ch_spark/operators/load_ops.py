@@ -205,7 +205,6 @@ def op_update(
     from ora_ch_spark.syncstate import SyncState
 
     fields = list(spec.update_fields)
-    target = store.read(spec.schema, spec.name)
     if spec.where_filter:
         updates = updates.filter(spec.where_filter)
     if spec.ch_datetime_clamp:
@@ -334,6 +333,10 @@ def op_update(
             _capture_plan(merged)
             store.replace_files(spec.schema, spec.name, affected, merged)
         else:
+            # the full-table frame is built ONLY on this branch — on a
+            # million-file table the pruned path must never pay the
+            # driver-side source listing of every file (r12)
+            target = store.read(spec.schema, spec.name)
             merged = target.join(join_side, on=key_columns, how="left")
             for f in fields:
                 merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))

@@ -130,6 +130,8 @@ TRANSLATED = [
     "encrypt('aes-128-ecb', p, k)",
     # r10 batch 29 sweep wave 3
     "parseDateTimeBestEffort(s, 'UTC')",
+    "parseDateTimeBestEffort(s, tz_col)",
+    "parseDateTime(s, '%Y-%m-%d', tz_col)",
     "parseDateTimeBestEffortOrNull(s)",
     "parseDateTimeBestEffortOrZero(s)",
     "parseDateTime64BestEffort(s)", "parseDateTimeBestEffortUS(s)",
@@ -186,7 +188,10 @@ LOUD = [
     "encrypt('aes-128-ctr', p, k, iv)", "encrypt(mode_col, p, k)",
     "aes_encrypt_mysql('aes-128-ecb', p, k)",
     "addNanoseconds(t1, 5)", "quantileExactExclusive(p)(x)",
-    "parseDateTimeBestEffort(s, tz_col)",
+    # r12: parseDateTimeBestEffort(s, tz_col) moved to TRANSLATED —
+    # dynamic per-row timezones now emit; the 64 spelling stays loud
+    # (its 2nd arg is a precision, not a tz)
+    "parseDateTime64BestEffort(s, p)",
     "randPoisson(10)", "L2Normalize(t1)", "LpNorm(a, p)",
     "randomString(10)",
     # extra args on arity-strict rewrites (r9): loud, never dropped

@@ -5190,12 +5190,25 @@ def test_dialect_r11_advice_quantile_clamps(spark):
         " from (select 1)"
     )
     assert str(r["p3"]) == "2020-03-01 07:00:00"
-    # dynamic tz / over-arity stay loud
-    for loud in (
-        "select parseDateTime(s, '%Y', tz_col) from t",
-        "select parseDateTime(s, '%Y', 'UTC', 4) from t",
-    ):
-        assert T(loud) == loud, loud
+    # r12: dynamic (column) tz now emits — Spark's to_utc_timestamp
+    # takes a per-row zone (SPARK-23715); over-arity stays loud
+    assert "to_utc_timestamp" in T("select parseDateTime(s, '%Y', tz_col) from t")
+    loud = "select parseDateTime(s, '%Y', 'UTC', 4) from t"
+    assert T(loud) == loud, loud
+    # per-row zones, both parse directions, exact instants
+    r = one(
+        "select min(toString(parseDateTime('2020-03-01 10:00:00',"
+        " '%Y-%m-%d %H:%i:%S', tz))) as pmin,"
+        " max(toString(parseDateTimeBestEffort('2020-03-01 10:00:00',"
+        " tz))) as pmax"
+        " from (select explode(array('Europe/Moscow', 'Asia/Tokyo')) as tz)"
+    )
+    assert r["pmin"] == "2020-03-01 01:00:00"  # Tokyo wall → UTC-9
+    assert r["pmax"] == "2020-03-01 07:00:00"  # Moscow wall → UTC-3
+    # the 64 spelling's 2nd arg is a precision, NOT a tz — it keeps
+    # the constant rule and a dynamic 2nd arg stays loud
+    loud64 = "select parseDateTime64BestEffort(s, p) from t"
+    assert T(loud64) == loud64
 
 
 def test_dialect_byte_strings_mode_fuzz(spark):
