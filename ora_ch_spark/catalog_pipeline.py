@@ -2339,14 +2339,39 @@ _HLL_KEY_SQL = (
 # recall = hits/total is an exact small rational → identical doubles.
 # ---------------------------------------------------------------------------
 
+# Recall is ESTIMATED on a deterministic corpus prefix: the gate's
+# exact baseline is O(|Q|·N) by construction (that quadratic is the
+# whole reason ANN indexes exist), so a recall gate must bound N or
+# its cost grows with the corpus while its statistical value does
+# not — the 100-TB shape is always a sampled recall audit. 2000 ≥
+# every sf the correctness gate runs at (sf0.01 has 500 vectors), so
+# gate hashes are unchanged; at bench scale the entry is O(1) in sf.
+_RECALL_CORPUS_CAP = 2000
+
+
+def _cap_embeddings(sql: str) -> str:
+    """Apply the recall-corpus prefix cap inside a composed DuckDB
+    replay (every embeddings reference in the recall oracles)."""
+    return sql.replace(
+        "FROM embeddings",
+        f"FROM (SELECT * FROM embeddings WHERE vec_id < "
+        f"{_RECALL_CORPUS_CAP}) embeddings",
+    )
+
+
 def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk, sq8_topk
 
     # one parquet scan feeds all 7 pipelines (each method's eager
-    # training/stats collects would otherwise re-scan per method)
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    # training/stats collects would otherwise re-scan per method);
+    # the prefix cap keeps the exact-baseline quadratic bounded
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id < {_RECALL_CORPUS_CAP}")
+        .persist()
+    )
     queries = emb.filter("vec_id < 10")
     exact = (
         S.cosine_topk_bruteforce(emb, query_ids=queries)
@@ -2409,7 +2434,11 @@ def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id < {_RECALL_CORPUS_CAP}")
+        .persist()
+    )
     queries = emb.filter("vec_id < 10")
     exact = (
         S.cosine_topk_bruteforce(emb, query_ids=queries)
@@ -2490,12 +2519,12 @@ def _recall_rerank_oracle() -> str:
     ]
     parts = "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS method,
-  (SELECT count(*) FROM (SELECT q_id, n_id FROM ({sql}) t_{i}) m
+  (SELECT count(*) FROM (SELECT q_id, n_id FROM ({_cap_embeddings(sql)}) t_{i}) m
    JOIN exact USING (q_id, n_id))::BIGINT AS hits
 """ for i, (name, sql) in enumerate(variants)
     )
     return f"""
-WITH exact AS (SELECT q_id, n_id FROM ({SIM_TOPK_ORACLE}) ex),
+WITH exact AS (SELECT q_id, n_id FROM ({_cap_embeddings(SIM_TOPK_ORACLE)}) ex),
 per_method AS (
 {parts}
 )
@@ -2524,12 +2553,12 @@ def _recall_report_oracle() -> str:
     ]
     parts = "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS method,
-  (SELECT count(*) FROM (SELECT q_id, n_id FROM ({sql}) t_{name}) m
+  (SELECT count(*) FROM (SELECT q_id, n_id FROM ({_cap_embeddings(sql)}) t_{name}) m
    JOIN exact USING (q_id, n_id))::BIGINT AS hits
 """ for name, sql in variants
     )
     return f"""
-WITH exact AS (SELECT q_id, n_id FROM ({SIM_TOPK_ORACLE}) ex),
+WITH exact AS (SELECT q_id, n_id FROM ({_cap_embeddings(SIM_TOPK_ORACLE)}) ex),
 per_method AS (
 {parts}
 )
