@@ -2432,7 +2432,7 @@ _MP_WIDE_PROBES = 11
 def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk
+    from ora_ch_spark.operators.pq import ivf_sq8_topk, ivfadc_topk, pq_topk
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -2446,6 +2446,10 @@ def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     methods = {
+        # routing x SQ8 needs NO refine stage — near-exact per-dim
+        # decode under the same 2-probe routing; its presence here is
+        # the control showing WHERE the other paths' recall went
+        "ivf_sq8": ivf_sq8_topk(emb, query_ids=queries),
         "ivfadc_rerank": ivfadc_topk(
             emb, query_ids=queries, rerank=_IVFADC_RERANK_R
         ),
@@ -2512,7 +2516,10 @@ FROM scoredr QUALIFY rank <= {topk}
 def _recall_rerank_oracle() -> str:
     from ora_ch_spark.catalog_corpus import _ivfadc_oracle, _pq_oracle
 
+    from ora_ch_spark.catalog_corpus import _ivf_sq8_oracle
+
     variants = [
+        ("ivf_sq8", _ivf_sq8_oracle()),
         ("ivfadc_rerank", _rerank_oracle(_ivfadc_oracle(topk=_IVFADC_RERANK_R))),
         ("lsh_multiprobe_wide", _lsh_multiprobe_oracle(n_probes=_MP_WIDE_PROBES)),
         ("pq_rerank", _rerank_oracle(_pq_oracle(topk=_PQ_RERANK_R))),

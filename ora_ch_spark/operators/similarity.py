@@ -20,6 +20,18 @@ Scale design:
   array functions (zip_with/aggregate) — no Python in the loop.
 - ``embedding_near_dup_pairs``: all-pairs near-dup gated by LSH
   bucket equality (never a full cross join at scale).
+
+Recall ladder (r12): candidates from sign-LSH are scored EXACTLY, so
+an exact re-rank cannot help them — their recall knob is CANDIDATE
+generation: ``cosine_topk_lsh`` (one bucket) → ``…_multiprobe``
+(``n_probes`` cost-ranked buckets; ~0.86 recall@5 at 11 probes on
+the gate corpus) → ``banded_lsh_buckets`` (OR of tables). The
+COMPRESSED paths (PQ/ADC distances) lose recall in SCORING instead —
+their knob is :func:`rerank_exact` (``rerank=R`` on ``pq_topk`` /
+``ivfadc_topk``): shortlist by the compressed metric, exact-refine
+only those R rows. ``ivf_sq8_topk`` needs neither — per-dimension
+decode is near-exact, so routing is its only loss. The
+``sim_recall_rerank`` catalog entry gates all of this as data.
 """
 
 from __future__ import annotations

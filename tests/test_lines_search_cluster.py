@@ -631,11 +631,14 @@ def test_rerank_recall_floor(spark, sf_correct):
         (r["q_id"], r["n_id"])
         for r in S.cosine_topk_bruteforce(emb, query_ids=qids).collect()
     }
+    from ora_ch_spark.operators.pq import ivf_sq8_topk
+
     for name, df in [
         ("pq_rerank", pq_topk(emb, query_ids=qids, rerank=100)),
         ("ivfadc_rerank", ivfadc_topk(emb, query_ids=qids, rerank=50)),
         ("mp_wide", S.cosine_topk_lsh_multiprobe(
             emb, query_ids=qids, n_planes=4, dims=64, n_probes=11)),
+        ("ivf_sq8", ivf_sq8_topk(emb, query_ids=qids)),
     ]:
         got = {(r["q_id"], r["n_id"]) for r in df.collect()}
         assert len(got & truth) >= int(0.8 * len(truth)), (
