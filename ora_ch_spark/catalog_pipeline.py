@@ -1604,6 +1604,28 @@ FROM sc
 """
 
 
+def sim_topk_ivfadc_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index form of sim_topk_ivfadc (r12): build the
+    IVFADC index into a TableStore (coarse quantizer + PQ codebooks +
+    list-partitioned code table), then answer the SAME query batch
+    from the index — hash-gated against the SAME full
+    training/encode/ADC replay oracle, proving the train-once index
+    round-trip changes nothing."""
+    from ora_ch_spark.catalog import _tmp_store
+    from ora_ch_spark.operators.pq import (
+        build_ivfadc_index,
+        ivfadc_topk_from_index,
+    )
+
+    store = _tmp_store(spark)
+    store.create_database("ch")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivfadc_index(store, "ch", emb)
+    return ivfadc_topk_from_index(
+        store, "ch", emb.filter("vec_id < 10")
+    ).orderBy("q_id", "rank")
+
+
 def sim_topk_ivf_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index form of sim_topk_ivf: build the IVF index
     into a TableStore (centroids table + centroid-partitioned

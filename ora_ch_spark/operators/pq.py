@@ -585,3 +585,222 @@ def ivfadc_topk(
 
         return rerank_exact(ranked, emb, id_col, emb_col, k)
     return ranked
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFADC index (r12) — the serving shape of ivfadc_topk.
+# ivfadc_topk trains coarse quantizer + codebooks PER CALL, which is
+# right for one-shot analytics but wrong for a recurring query
+# service: at 100 TB the training/encode pass over the corpus is the
+# expensive part and must be paid once, not per batch. Same lifecycle
+# as similarity.build_ivf_index / dedup.build_dedup_index.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfadc_index(
+    store,
+    schema: str,
+    emb: DataFrame,
+    name: str = "ivfadc",
+    m: int = 4,
+    k_codes: int = 16,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the IVFADC index into store tables:
+
+    - ``{name}_coarse``: (list, cq) — the coarse quantizer (same
+      deterministic first-``n_lists``-by-id seeding and argmin-sqdist
+      trajectory as :func:`ivfadc_topk`, so index answers are
+      IDENTICAL to the in-memory operator — equivalence-tested).
+    - ``{name}_codebooks``: (s, code, cq) — the m per-subspace PQ
+      codebooks (tiny: m × k_codes rows).
+    - ``{name}_codes``: (n_id, s, code), hive-PARTITIONED BY
+      ``list`` — the m-byte-per-vector compressed corpus. A probe of
+      ``n_probe`` lists reads only those partition directories; the
+      raw vectors are NOT duplicated here (compression is the point —
+      the exact-refine stage joins the caller's base table instead).
+
+    Dimensionality derives from the data like :func:`pq_topk`;
+    ``m``/``sub`` are recoverable from the codebooks at query time,
+    so a query can never rank on a truncated vector."""
+    first = emb.select(F.size(emb_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding frame")
+    dims = first["d"]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    sub = dims // m
+    q = quantize(emb, emb_col, "qe").select(id_col, "qe").persist()
+    coarse = seed_centroids(q, n_lists, id_col)
+    store.write(
+        schema, f"{name}_coarse",
+        coarse.select(F.col("cluster").alias("list"), "cq"),
+    )
+    lists = _assign(q, coarse, id_col).select(
+        F.col(id_col).alias("n_id"), F.col("cluster").alias("list")
+    )
+    qsub = _explode_subspaces(q, m, sub, id_col)
+    seeds = _seed_grouped(q, k_codes, m, sub, id_col)
+    crows = _train_centroids_grouped(qsub, seeds, id_col)
+    store.write(
+        schema, f"{name}_codebooks",
+        q.sparkSession.createDataFrame(
+            [(int(r["s"]), int(r["cluster"]), list(r["cq"])) for r in crows],
+            "s int, code int, cq array<bigint>",
+        ),
+    )
+    enc = _assign_grouped(qsub, crows, id_col).select(
+        F.col(id_col).alias("n_id"), "s", F.col("cluster").alias("code")
+    )
+    codes = enc.join(lists, "n_id")
+    # one contiguous file region per inverted list (same layout note
+    # as build_ivf_index: without the repartition every upstream task
+    # writes a sliver into every list dir)
+    store.write(
+        schema, f"{name}_codes",
+        codes.repartition(n_lists, "list"),
+        partition_by=["list"],
+    )
+    q.unpersist()
+
+
+def ivfadc_index_append(
+    store,
+    schema: str,
+    new_emb: DataFrame,
+    name: str = "ivfadc",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incrementally encode a batch into a persisted IVFADC index:
+    the FROZEN coarse quantizer routes and the FROZEN codebooks
+    encode only the new vectors — O(batch), never a corpus re-train.
+    With fixed quantizers the result is IDENTICAL to rebuilding over
+    the union (equivalence-tested); codebook drift under heavy growth
+    is the signal to re-train and rebuild."""
+    coarse = store.read(schema, f"{name}_coarse").select(
+        F.col("list").alias("cluster"), "cq"
+    )
+    cb = store.read(schema, f"{name}_codebooks")
+    crows = [
+        {"s": r["s"], "cluster": r["code"], "cq": list(r["cq"])}
+        for r in cb.collect()
+    ]
+    m = 1 + max(int(r["s"]) for r in crows)
+    sub = len(crows[0]["cq"])
+    q = quantize(new_emb, emb_col, "qe").select(id_col, "qe").persist()
+    lists = _assign(q, coarse, id_col).select(
+        F.col(id_col).alias("n_id"), F.col("cluster").alias("list")
+    )
+    qsub = _explode_subspaces(q, m, sub, id_col)
+    enc = _assign_grouped(qsub, crows, id_col).select(
+        F.col(id_col).alias("n_id"), "s", F.col("cluster").alias("code")
+    )
+    n_lists = store.row_count(schema, f"{name}_coarse")  # manifest, no job
+    store.append(
+        schema, f"{name}_codes",
+        enc.join(lists, "n_id").repartition(int(n_lists), "list"),
+    )
+    q.unpersist()
+
+
+def ivfadc_topk_from_index(
+    store,
+    schema: str,
+    queries_emb: DataFrame,
+    name: str = "ivfadc",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int | None = None,
+    rerank_from: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivfadc_index` index —
+    output contract identical to :func:`ivfadc_topk` with the same
+    parameters (equivalence-tested). Per query batch the corpus-side
+    work is gone: the coarse quantizer and codebooks broadcast from
+    the store (both tiny), the ADC distance table is built from the
+    query rows alone, and the code table loads PARTITION-PRUNED via
+    the IN-filter on ``list`` — a batch touches n_probe/n_lists of
+    the index bytes, the plan shape that holds at 100 TB.
+
+    ``rerank=R`` adds the exact refine stage; ``rerank_from`` is the
+    raw-vector frame to refine against (the base table the index was
+    built from — the index itself stores only codes). The refine
+    joins only the |Q|·R shortlist."""
+    if rerank is not None and rerank_from is None:
+        raise ValueError(
+            "rerank requires rerank_from: the index stores only codes; "
+            "pass the raw-vector frame the index was built from"
+        )
+    cb = store.read(schema, f"{name}_codebooks")
+    crows = cb.collect()  # m × k_codes rows — driver-tiny
+    m = 1 + max(int(r["s"]) for r in crows)
+    sub = len(crows[0]["cq"])
+    cents = F.broadcast(
+        cb.select("s", F.col("code").alias("cluster"), "cq")
+    )
+    q = quantize(queries_emb, emb_col, "qe").select(id_col, "qe")
+    # ---- coarse probe: argmin sqdist, ties -> lowest list ----
+    coarse = F.broadcast(store.read(schema, f"{name}_coarse"))
+    qdist = (
+        q.crossJoin(coarse)
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(qe, cq, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .select(F.col(id_col).alias("q_id"), "list", "dist")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("list"))
+    probes = (
+        qdist.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= n_probe)
+        .select("q_id", "list")
+    ).localCheckpoint(eager=True)
+    probe_lists = [
+        r["list"] for r in probes.select("list").distinct().collect()
+    ]
+    # ---- per-query ADC table from the query rows alone ----
+    qsub = _explode_subspaces(q, m, sub, id_col)
+    dt = (
+        qsub.join(cents, "s")
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(qe, cq, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .select(
+            F.col(id_col).alias("q_id"), "s",
+            F.col("cluster").alias("code"), "dist",
+        )
+    )
+    # ---- candidates: partition-pruned code scan over probed lists --
+    codes = store.read(schema, f"{name}_codes").filter(
+        F.col("list").isin(probe_lists)
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "list")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .join(F.broadcast(dt), ["q_id", "s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank or k))
+        .select("q_id", "n_id", "rank", "adc_dist")
+    )
+    if rerank is not None:
+        from ora_ch_spark.operators.similarity import rerank_exact
+
+        return rerank_exact(ranked, rerank_from, id_col, emb_col, k)
+    return ranked

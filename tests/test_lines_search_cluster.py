@@ -706,3 +706,101 @@ def test_multiprobe_nprobes1_is_plain_lsh(spark, sf_smoke):
         hits = len(got & truth)
         assert hits >= last, (np_, hits, last)
         last = hits
+
+
+def test_ivfadc_index_equivalence_pruning_and_rerank(spark, sf_smoke, tmp_path):
+    """Persisted IVFADC index (r12): (a) answers are IDENTICAL to the
+    in-memory ivfadc_topk (same coarse/codebook trajectories, just
+    paid once); (b) the probe's code scan is PARTITION-PRUNED to the
+    probed lists; (c) the refine stage composes: from-index rerank
+    equals the in-memory rerank."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import (
+        build_ivfadc_index,
+        ivfadc_topk,
+        ivfadc_topk_from_index,
+    )
+    from ora_ch_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "ivfadc_idx"))
+    store.create_database("ch")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    build_ivfadc_index(store, "ch", emb)
+    got = ivfadc_topk_from_index(store, "ch", qids)
+    want = ivfadc_topk(emb, query_ids=qids)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
+    # partition pruning: the code-table scan must carry a partition
+    # filter on `list` (IN over the probed lists), not read all dirs
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list" in plan.split(
+        "PartitionFilters: ["
+    )[1][:120]
+    # refine composes: index shortlist + exact rerank == in-memory
+    got_rr = ivfadc_topk_from_index(
+        store, "ch", qids, rerank=20, rerank_from=emb)
+    want_rr = ivfadc_topk(emb, query_ids=qids, rerank=20)
+    assert as_set(got_rr) == as_set(want_rr)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rerank_from"):
+        ivfadc_topk_from_index(store, "ch", qids, rerank=20)
+
+
+def test_ivfadc_index_append_split_invariant_and_covers(spark, sf_smoke, tmp_path):
+    """Frozen-quantizer incremental encode. Unlike the IVF index
+    (whose only training is seed selection), PQ codebooks train on
+    the whole build corpus, so append-vs-rebuild bit-equality cannot
+    hold; the invariants that CAN are pinned instead: (a) appending a
+    batch in one call equals appending it in two (the encode is a
+    pure per-row function of the frozen quantizers); (b) appended
+    vectors fully participate — a query finds its exact-duplicate
+    neighbor that only exists in the appended batch."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import (
+        build_ivfadc_index,
+        ivfadc_index_append,
+        ivfadc_topk_from_index,
+    )
+    from ora_ch_spark.store import TableStore
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    old = emb.filter("vec_id % 5 != 4")
+    new = emb.filter("vec_id % 5 = 4")
+    qids = emb.filter("vec_id < 10")
+
+    s1 = TableStore(spark, str(tmp_path / "one"))
+    s1.create_database("ch")
+    build_ivfadc_index(s1, "ch", old)
+    ivfadc_index_append(s1, "ch", new)
+
+    s2 = TableStore(spark, str(tmp_path / "two"))
+    s2.create_database("ch")
+    build_ivfadc_index(s2, "ch", old)
+    ivfadc_index_append(s2, "ch", new.filter("vec_id % 10 = 4"))
+    ivfadc_index_append(s2, "ch", new.filter("vec_id % 10 = 9"))
+
+    ca = {tuple(r) for r in s1.read("ch", "ivfadc_codes").collect()}
+    cb = {tuple(r) for r in s2.read("ch", "ivfadc_codes").collect()}
+    assert ca == cb
+    a = {tuple(r) for r in ivfadc_topk_from_index(s1, "ch", qids).collect()}
+    b = {tuple(r) for r in ivfadc_topk_from_index(s2, "ch", qids).collect()}
+    assert a == b
+    # coverage: plant an exact duplicate of query 0 as an appended-only
+    # vector; with rerank the refine must surface it at rank 1
+    dup = emb.filter("vec_id = 0").select(
+        F.lit(990001).cast(dict(emb.dtypes)["vec_id"]).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    ivfadc_index_append(s1, "ch", dup)
+    full = emb.unionByName(dup)
+    got = ivfadc_topk_from_index(
+        s1, "ch", emb.filter("vec_id = 0"), rerank=20, rerank_from=full
+    ).collect()
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["n_id"] == 990001 and abs(top["cosine"] - 1.0) < 1e-12
