@@ -2505,6 +2505,26 @@ def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_topk_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine stage's exact OUTPUT gate (the recall entry gates
+    only hit counts): pq_topk(rerank=100) — ADC shortlist, exact
+    cosine over only those rows — hash-matched against the composed
+    DuckDB replay (full PQ training replay at topk=100 + the
+    shortlist-refine ranking)."""
+    from ora_ch_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, query_ids=emb.filter("vec_id < 10"), rerank=_PQ_RERANK_R
+    ).orderBy("q_id", "rank")
+
+
+def _pq_rerank_oracle() -> str:
+    from ora_ch_spark.catalog_corpus import _pq_oracle
+
+    return _rerank_oracle(_pq_oracle(topk=_PQ_RERANK_R))
+
+
 def _rerank_oracle(short_sql: str, topk: int = 5) -> str:
     """Exact-cosine refine replay over a shortlist subquery's
     (q_id, n_id) pairs — the DuckDB side of
