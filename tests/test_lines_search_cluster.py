@@ -804,3 +804,36 @@ def test_ivfadc_index_append_split_invariant_and_covers(spark, sf_smoke, tmp_pat
     ).collect()
     top = [r for r in got if r["rank"] == 1][0]
     assert top["n_id"] == 990001 and abs(top["cosine"] - 1.0) < 1e-12
+
+
+def test_multiprobe_wide_hash_mask_path(spark, sf_smoke):
+    """n_planes > 6 takes the bounded mask set (popcount ≤ 3) — the
+    2^P enumeration would explode on wide hashes. The probe ranking
+    still yields own-bucket-first (mask 0 costs 0), results stay
+    deterministic, and recall is monotone in n_probes on the wide
+    hash too."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+    from ora_ch_spark.operators.similarity import _probe_masks
+
+    masks = _probe_masks(8)
+    assert 0 in masks and len(masks) == 1 + 8 + 28 + 56  # ≤3 of 8 bits
+    assert _probe_masks(4) == list(range(16))  # small P: full set
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 10")
+    one = S.cosine_topk_lsh_multiprobe(
+        emb, query_ids=qids, n_planes=8, dims=64, n_probes=1)
+    plain = S.cosine_topk_lsh(emb, query_ids=qids, n_planes=8, dims=64)
+    t = lambda df: {(r["q_id"], r["n_id"], r["rank"]) for r in df.collect()}  # noqa: E731
+    assert t(one) == t(plain)
+    truth = {(r["q_id"], r["n_id"])
+             for r in S.cosine_topk_bruteforce(emb, query_ids=qids).collect()}
+    last = -1
+    for np_ in (1, 8, 32):
+        got = {(r["q_id"], r["n_id"])
+               for r in S.cosine_topk_lsh_multiprobe(
+                   emb, query_ids=qids, n_planes=8, dims=64,
+                   n_probes=np_).collect()}
+        hits = len(got & truth)
+        assert hits >= last, (np_, hits, last)
+        last = hits
