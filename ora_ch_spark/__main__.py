@@ -62,6 +62,17 @@ def main(argv: list[str] | None = None) -> int:
                        help="ISO timestamp cutoff, e.g. 2024-01-11T00:00:00")
     p_ttl.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
 
+    p_vac = sub.add_parser(
+        "vacuum",
+        help="reclaim crash orphans (unreferenced data groups / "
+             "manifest shards) of a store table",
+    )
+    p_vac.add_argument("table", help="SCHEMA.TABLE")
+    p_vac.add_argument("--older-than-sec", type=float, default=None,
+                       help="age floor for unreferenced debris "
+                            "(default: the store retention window)")
+    p_vac.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
+
     p_dd = sub.add_parser("deduplicate",
                           help="OPTIMIZE DEDUPLICATE: drop duplicate rows")
     p_dd.add_argument("table", help="SCHEMA.TABLE")
@@ -119,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
         m = store._manifest(schema, table)
         print(json.dumps({"table": args.table, "files": len(m["files"]),
                           "rows": m["rows"], "clustered_by": cluster}))
+        return 0
+
+    if args.cmd == "vacuum":
+        schema, table = args.table.split(".", 1)
+        removed = store.vacuum(schema, table,
+                               older_than_sec=args.older_than_sec)
+        print(json.dumps({"table": args.table, "removed": removed}))
         return 0
 
     if args.cmd == "ttl":

@@ -79,3 +79,28 @@ def test_gate_window_invariants():
             f"green CORRECTNESS row"
         )
     assert len(qs) >= 50
+
+
+def test_cli_vacuum(tmp_path, capsys, spark):
+    import os
+
+    from ora_ch_spark.store import TableStore
+
+    wh = str(tmp_path / "cliwh_vac")
+    store = TableStore(spark, wh)
+    store.create_database("ch")
+    store.write(
+        "ch", "t",
+        spark.createDataFrame([(1, 2.0)], "id bigint, v double"),
+    )
+    orphan = os.path.join(store._tdir("ch", "t"), "data", "g-crash")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "p.parquet"), "w") as f:
+        f.write("x")
+    assert main([
+        "vacuum", "ch.t", "--older-than-sec", "0", "--warehouse", wh,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"]["groups"] == 1
+    assert not os.path.isdir(orphan)
+    assert store.read("ch", "t").count() == 1
