@@ -5010,9 +5010,11 @@ def test_dialect_batch29(spark):
     assert abs(r2["qe"] - (s[fl - 1] + (h - fl) * (s[fl] - s[fl - 1]))) < 1e-9
     # nanosecond arithmetic and non-literal Exclusive levels stay loud
     for loud in ("select addNanoseconds(t, 5) from t",
-                 "select quantileExactExclusive(p)(x) from t",
-                 "select parseDateTimeBestEffort(s, tz_col) from t"):
+                 "select quantileExactExclusive(p)(x) from t"):
         assert T(loud) == loud
+    # r12: dynamic tz on the non-64 BestEffort spellings now emits
+    assert "to_utc_timestamp" in T(
+        "select parseDateTimeBestEffort(s, tz_col) from t")
 
 
 def test_dialect_batch30(spark):
