@@ -2384,7 +2384,12 @@ def _cap_embeddings(sql: str) -> str:
 def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk, sq8_topk
+    from ora_ch_spark.operators.pq import (
+        ivfadc_topk,
+        pq_topk,
+        pq_train,
+        sq8_topk,
+    )
 
     # one parquet scan feeds all 7 pipelines (each method's eager
     # training/stats collects would otherwise re-scan per method);
@@ -2395,6 +2400,9 @@ def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     queries = emb.filter("vec_id < 10")
+    # pq and ivfadc share the identical training trajectory — run it
+    # once (the training collects are the report's dominant jobs)
+    trained = pq_train(emb, query_ids=queries)
     exact = (
         S.cosine_topk_bruteforce(emb, query_ids=queries)
         .select("q_id", "n_id")
@@ -2402,14 +2410,14 @@ def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     methods = {
         "ivf": S.ivf_topk(emb, query_ids=queries),
-        "ivfadc": ivfadc_topk(emb, query_ids=queries),
+        "ivfadc": ivfadc_topk(emb, query_ids=queries, trained=trained),
         "lsh": S.cosine_topk_lsh(
             emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS
         ),
         "lsh_multiprobe": S.cosine_topk_lsh_multiprobe(
             emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS
         ),
-        "pq": pq_topk(emb, query_ids=queries),
+        "pq": pq_topk(emb, query_ids=queries, trained=trained),
         "sq8": sq8_topk(emb, query_ids=queries),
     }
     per_method = [
@@ -2454,7 +2462,12 @@ _MP_WIDE_PROBES = 11
 def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    from ora_ch_spark.operators.pq import ivf_sq8_topk, ivfadc_topk, pq_topk
+    from ora_ch_spark.operators.pq import (
+        ivf_sq8_topk,
+        ivfadc_topk,
+        pq_topk,
+        pq_train,
+    )
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -2467,13 +2480,14 @@ def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id")
         .persist()
     )
+    trained = pq_train(emb, query_ids=queries)  # shared: pq + ivfadc
     methods = {
         # routing x SQ8 needs NO refine stage — near-exact per-dim
         # decode under the same 2-probe routing; its presence here is
         # the control showing WHERE the other paths' recall went
         "ivf_sq8": ivf_sq8_topk(emb, query_ids=queries),
         "ivfadc_rerank": ivfadc_topk(
-            emb, query_ids=queries, rerank=_IVFADC_RERANK_R
+            emb, query_ids=queries, rerank=_IVFADC_RERANK_R, trained=trained
         ),
         "lsh_multiprobe_wide": S.cosine_topk_lsh_multiprobe(
             emb,
@@ -2482,7 +2496,9 @@ def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims=_DIMS,
             n_probes=_MP_WIDE_PROBES,
         ),
-        "pq_rerank": pq_topk(emb, query_ids=queries, rerank=_PQ_RERANK_R),
+        "pq_rerank": pq_topk(
+            emb, query_ids=queries, rerank=_PQ_RERANK_R, trained=trained
+        ),
     }
     per_method = [
         df.select("q_id", "n_id")

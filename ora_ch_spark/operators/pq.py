@@ -253,6 +253,35 @@ def _train_encode_grouped(
     return enc, dt
 
 
+def pq_train(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Run the shared PQ training/encode pipeline once and return the
+    opaque (enc, dt) pair both :func:`pq_topk` and
+    :func:`ivfadc_topk` accept via ``trained=`` — the call-site
+    sharing hook for reports that score the SAME corpus with several
+    PQ-backed methods (training is the expensive part and is
+    identical across them by the determinism contract)."""
+    first = emb.select(F.size(emb_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding frame")
+    dims = first["d"]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    q = quantize(emb, emb_col, "qe").select(id_col, "qe").persist()
+    qids = (
+        F.broadcast(query_ids.select(F.col(id_col).alias("__qid")))
+        if query_ids is not None
+        else None
+    )
+    return _train_encode_grouped(q, qids, m, dims // m, k_codes, id_col)
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: DataFrame | None = None,
@@ -262,6 +291,7 @@ def pq_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     rerank: int | None = None,
+    trained=None,
 ) -> DataFrame:
     """PQ-compressed approximate top-k by ADC distance (ascending,
     ties → lowest neighbor id). Returns (q_id, n_id, rank, adc_dist
@@ -278,20 +308,10 @@ def pq_topk(
     m-byte codes; the refine join is |Q|·R rows, broadcast. At
     coarse codebooks (m=4, 16 codes) this lifts recall@5 from
     ~0.28 to ~0.84 at R=100 on the sf0.01 gate corpus."""
-    first = emb.select(F.size(emb_col).alias("d")).first()
-    if first is None:
-        raise ValueError("empty embedding frame")
-    dims = first["d"]
-    if dims % m:
-        raise ValueError(f"dims {dims} not divisible by m {m}")
-    sub = dims // m
-    q = quantize(emb, emb_col, "qe").select(id_col, "qe").persist()
-    qids = (
-        F.broadcast(query_ids.select(F.col(id_col).alias("__qid")))
-        if query_ids is not None
-        else None
-    )
-    enc, dt = _train_encode_grouped(q, qids, m, sub, k_codes, id_col)
+    if trained is not None:
+        enc, dt = trained
+    else:
+        enc, dt = pq_train(emb, query_ids, m, k_codes, id_col, emb_col)
     allp = enc.join(F.broadcast(dt), ["s", "code"]).select("q_id", "n_id", "dist")
     adc = (
         allp.filter(F.col("q_id") != F.col("n_id"))
@@ -489,6 +509,7 @@ def ivfadc_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     rerank: int | None = None,
+    trained=None,
 ) -> DataFrame:
     """IVF + ADC composition (the FAISS ``IVFADC`` shape, Jégou et
     al. §IV): a coarse quantizer routes each query to its ``n_probe``
@@ -562,8 +583,13 @@ def ivfadc_topk(
         .select("q_id", "n_id")
     )
     # ---- PQ training + encoding (identical trajectory to pq_topk,
-    # folded into ONE grouped job — r6 verdict item 3) --
-    enc_all, dt_all = _train_encode_grouped(q, qids, m, sub, k_codes, id_col)
+    # folded into ONE grouped job — r6 verdict item 3; a caller
+    # scoring several PQ methods over the same corpus passes the
+    # shared pq_train() result instead) --
+    if trained is not None:
+        enc_all, dt_all = trained
+    else:
+        enc_all, dt_all = _train_encode_grouped(q, qids, m, sub, k_codes, id_col)
     # ---- ADC over candidates only: (q,n) → m code rows → broadcast
     # lookup → partial-agg sum. pq_topk instead expands dt against
     # the FULL code table — correct, but O(|Q|·N·m); here the
