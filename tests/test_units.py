@@ -5354,3 +5354,80 @@ def test_bare_set_op_mixed_chains(spark):
         "select v from soA union all select x from soC "
         "except select w from soB"
     ) == [3, 4]
+
+
+def test_bare_set_op_chain_fuzz(spark):
+    """Differential fuzz of the mixed set-op chain rewrite (r12): 40
+    seeded random chains of 3-4 branches mixing bare INTERSECT/EXCEPT
+    with explicit ALL/DISTINCT and UNION legs, evaluated by Spark
+    through translate_ch_sql vs an independent Python multiset
+    reference implementing CH precedence (INTERSECT tighter, then
+    left-assoc) and CH semantics (bare = right-side hash-set filter,
+    NULL-equal; explicit = ANSI). Branch column names differ to
+    exercise positional matching; values collide heavily and include
+    NULLs."""
+    import random
+    from collections import Counter
+
+    from ora_ch_spark.functions.dialect import translate_ch_sql as T
+
+    POOLS = [
+        [0, 1, 1, 2, None],
+        [1, 2, 2, None, None, 3],
+        [0, 2, 3, 3],
+        [1, None, 4],
+    ]
+    for i, pool in enumerate(POOLS):
+        vals = ", ".join("NULL" if v is None else str(v) for v in pool)
+        spark.sql(
+            f"create or replace temp view fz{i} as "
+            f"select explode(array({vals})) as c{i}"
+        )
+
+    OPS = {
+        "intersect": lambda a, b: [x for x in a if x in set(b)],
+        "except": lambda a, b: [x for x in a if x not in set(b)],
+        "intersect all": lambda a, b: sum(
+            ([x] * min(n, Counter(b)[x]) for x, n in Counter(a).items()), []),
+        "except all": lambda a, b: sum(
+            ([x] * max(0, n - Counter(b)[x]) for x, n in Counter(a).items()),
+            []),
+        "intersect distinct": lambda a, b: list(set(a) & set(b)),
+        "except distinct": lambda a, b: list(set(a) - set(b)),
+        "union all": lambda a, b: list(a) + list(b),
+        "union distinct": lambda a, b: list(set(a) | set(b)),
+    }
+
+    def reference(tokens):
+        # tokens = [operand, op, operand, ...]; CH precedence:
+        # intersect-class first (left-assoc), then union-level
+        toks = list(tokens)
+        while True:
+            idx = next((j for j in range(1, len(toks), 2)
+                        if toks[j].startswith("intersect")), None)
+            if idx is None:
+                break
+            merged = OPS[toks[idx]](toks[idx - 1], toks[idx + 1])
+            toks[idx - 1:idx + 2] = [merged]
+        out = toks[0]
+        for j in range(1, len(toks), 2):
+            out = OPS[toks[j]](out, toks[j + 1])
+        return Counter(out)
+
+    rng = random.Random(1212)
+    op_names = list(OPS)
+    for case in range(40):
+        n_branch = rng.choice([3, 3, 4])
+        branches = [rng.randrange(len(POOLS)) for _ in range(n_branch)]
+        ops = [rng.choice(op_names) for _ in range(n_branch - 1)]
+        sql_parts = [f"select c{b} from fz{b}" for b in branches]
+        ch_sql = (" " + " ".join(
+            p if j == 0 else f"{ops[j - 1]} {p}"
+            for j, p in enumerate(sql_parts)
+        ))
+        tokens = [POOLS[branches[0]]]
+        for j in range(1, n_branch):
+            tokens += [ops[j - 1], POOLS[branches[j]]]
+        want = reference(tokens)
+        got = Counter(r[0] for r in spark.sql(T(ch_sql)).collect())
+        assert got == want, (case, ch_sql, dict(got), dict(want))
