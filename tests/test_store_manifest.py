@@ -1555,3 +1555,49 @@ def test_op_update_routing_on_1e6_file_manifest(spark, tmp_path):
     # pin the order of magnitude (shard skip ⇒ narrow ≪ wide)
     assert prune_narrow_wall < 2.0, prune_narrow_wall
     assert prune_wall < 60.0, prune_wall
+
+
+def test_vacuum_concurrent_with_writers_and_readers(spark, sf_smoke):
+    """vacuum racing live commits and reads must never break either
+    side: the in-flight registry protects uncommitted groups from the
+    0-grace vacuum, readers never hit a missing file, and the final
+    state is consistent."""
+    import threading
+
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="manifest_vacrace_"),
+        retention_sec=300,
+    )
+    store.create_database("s")
+    region = load_table(spark, sf_smoke, "region")
+    store.write("s", "t", region)
+    errors = []
+
+    def writer():
+        try:
+            for _ in range(5):
+                store.append("s", "t", region.limit(1))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def vacuumer():
+        try:
+            for _ in range(8):
+                store.vacuum("s", "t", older_than_sec=0)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(8):
+                store.read("s", "t").count()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=f) for f in (writer, vacuumer, reader)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert store.read("s", "t").count() == region.count() + 5
