@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     p_vac.add_argument("--older-than-sec", type=float, default=None,
                        help="age floor for unreferenced debris "
                             "(default: the store retention window)")
+    p_vac.add_argument("--force", action="store_true",
+                       help="allow --older-than-sec below 60: writers in "
+                            "OTHER processes are only mtime-protected, so "
+                            "a tiny grace can delete their in-flight groups")
     p_vac.add_argument("--warehouse", default="/tmp/ora_ch_spark_warehouse")
 
     p_dd = sub.add_parser("deduplicate",
@@ -134,6 +138,16 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "vacuum":
         schema, table = args.table.split(".", 1)
+        if (args.older_than_sec is not None and args.older_than_sec < 60
+                and not args.force):
+            # the in-flight registry protects only THIS process's
+            # writers; cross-process in-flight groups have nothing but
+            # the mtime grace, which a near-zero floor disables
+            print("vacuum: --older-than-sec below 60 can delete another "
+                  "process's in-flight write (only the mtime grace "
+                  "protects cross-process writers); pass --force to "
+                  "proceed", file=sys.stderr)
+            return 2
         removed = store.vacuum(schema, table,
                                older_than_sec=args.older_than_sec)
         print(json.dumps({"table": args.table, "removed": removed}))

@@ -62,6 +62,7 @@ Reference operations mapped here:
 from __future__ import annotations
 
 import base64
+import contextlib
 import datetime
 import decimal
 import hashlib
@@ -73,6 +74,11 @@ import threading
 import time
 import urllib.parse
 import uuid
+
+try:  # POSIX only — the cross-process commit lock (r13); absent on
+    import fcntl  # Windows, where commits degrade to in-process safety
+except ImportError:  # pragma: no cover
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,6 +118,52 @@ def _root_lock(root: str) -> threading.RLock:
         if key not in _ROOT_LOCKS:
             _ROOT_LOCKS[key] = threading.RLock()
         return _ROOT_LOCKS[key]
+
+
+# ---- cross-process commit lock (r13) ---------------------------------
+# The per-root RLock serializes commit metadata within ONE process; two
+# PROCESSES appending to the same table would each read the same base
+# manifest and the second pointer swap silently discard the first's
+# delta (a classic lost update — at multi-job scale concurrent writers
+# are the norm; the reference only serializes within its single server
+# via the busy guard, ``server/WServer.scala:38-52``, but this store is
+# a library used beyond that scheduler). Commits therefore also hold an
+# ``fcntl.flock`` on ``<root>/<schema>/.locks/<table>.lock`` — a
+# PER-TABLE advisory lock the kernel releases automatically on process
+# death (no stale-lock recovery needed, unlike O_EXCL lockfiles). The
+# lockfile lives OUTSIDE the table directory so ``drop`` can't delete
+# it from under blocked waiters. Reentrancy within a process is
+# tracked explicitly: flock conflicts BETWEEN fds of the same process,
+# so a second acquisition while the root RLock is already held must
+# not re-flock. With the file lock held, every mutation path re-reads
+# the pointer before committing, so delta commits land on the true
+# current base (both appends survive) and targeted rewrites detect the
+# moved base and raise ``StoreConflict`` loudly — never a silent loss.
+_COMMIT_LOCK_DIR = ".locks"
+_FLOCK_HELD: dict[str, list] = {}  # lock path -> [fd, reentry depth]
+_FLOCK_GUARD = threading.Lock()
+
+
+def _flock_open(path: str) -> int:
+    """Open+flock ``path``, robust to the file being unlinked while we
+    waited (re-stat the inode after acquiring; retry on mismatch)."""
+    while True:
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o666)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            st_fd = os.fstat(fd)
+            try:
+                st_path = os.stat(path)
+            except OSError:
+                os.close(fd)
+                continue  # unlinked while we waited — lock the new file
+            if (st_fd.st_ino, st_fd.st_dev) != (st_path.st_ino, st_path.st_dev):
+                os.close(fd)
+                continue
+            return fd
+        except OSError:
+            os.close(fd)
+            raise
 
 
 # ---- sharded snapshot manifests (r11) -------------------------------
@@ -559,6 +611,45 @@ class TableStore:
         self._lock = _root_lock(root)
         os.makedirs(root, exist_ok=True)
 
+    @contextlib.contextmanager
+    def _publish_lock(self, schema: str, table: str):
+        """Commit-critical section: per-root RLock (threads) + per-table
+        ``fcntl.flock`` (PROCESSES — see module notes at
+        ``_COMMIT_LOCK_DIR``). Every manifest mutation re-reads the
+        pointer inside this scope, so concurrent cross-process appends
+        serialize and both land; ``_commit`` additionally verifies the
+        base manifest is still current and raises ``StoreConflict``
+        otherwise (belt and braces for any future call site that
+        forgets the re-read). Reentrant: nested acquisitions by the
+        RLock-holding thread bump a depth counter instead of
+        re-flocking (same-process flocks on distinct fds CONFLICT)."""
+        with self._lock:
+            if fcntl is None:  # pragma: no cover — non-POSIX fallback
+                yield
+                return
+            ldir = os.path.join(self.root, schema, _COMMIT_LOCK_DIR)
+            os.makedirs(ldir, exist_ok=True)
+            path = os.path.abspath(os.path.join(ldir, f"{table}.lock"))
+            with _FLOCK_GUARD:
+                ent = _FLOCK_HELD.get(path)
+                if ent is not None:
+                    ent[1] += 1
+            if ent is None:
+                fd = _flock_open(path)
+                ent = [fd, 1]
+                with _FLOCK_GUARD:
+                    _FLOCK_HELD[path] = ent
+            try:
+                yield
+            finally:
+                with _FLOCK_GUARD:
+                    ent[1] -= 1
+                    last = ent[1] == 0
+                    if last:
+                        _FLOCK_HELD.pop(path, None)
+                if last:
+                    os.close(ent[0])
+
     # ---- paths -----------------------------------------------------
     def _tdir(self, schema: str, table: str) -> str:
         return os.path.join(self.root, schema, table)
@@ -572,9 +663,14 @@ class TableStore:
             raise TableNotFound(f"{schema}.{table}")
         with open(ptr) as f:
             name = json.load(f)["manifest"]
-        return self._snapshot_view(
+        m = self._snapshot_view(
             os.path.join(self._tdir(schema, table), "manifests"), name
         )
+        # record the base snapshot this view was derived from —
+        # ``_commit`` verifies it is still current at publish time
+        # (underscore keys never reach the serialized root)
+        m["_base"] = name
+        return m
 
     @staticmethod
     def _snapshot_view(mdir: str, name: str) -> "_LazyManifest":
@@ -1024,6 +1120,25 @@ class TableStore:
         tdir = self._tdir(schema, table)
         mdir = os.path.join(tdir, "manifests")
         os.makedirs(mdir, exist_ok=True)
+        base = manifest.pop("_base", None)
+        if base is not None:
+            # compare-and-swap: the manifest view this commit mutated
+            # must still be the published snapshot. Mutation paths
+            # re-read the pointer under ``_publish_lock`` so this holds
+            # by construction; a mismatch means some caller committed a
+            # view taken OUTSIDE the lock — publishing it would silently
+            # discard the interleaved commit's rows. Fail loudly.
+            cur = None
+            ptr = self._pointer(schema, table)
+            if os.path.exists(ptr):
+                with open(ptr) as f:
+                    cur = json.load(f)["manifest"]
+            if cur != base:
+                raise StoreConflict(
+                    f"{schema}.{table}: commit built from snapshot {base} "
+                    f"but {cur} is now current (concurrent commit) — "
+                    f"re-read under the publish lock and retry"
+                )
         delta_add = manifest.pop("__delta_add", None)
         if delta_add is None and "files" not in manifest and manifest.get(
             "segments"
@@ -1085,7 +1200,7 @@ class TableStore:
         processes, whose half-written groups are younger than any
         sane grace. Returns ``{"groups": n, "segments": n,
         "manifests": n}`` removed."""
-        with self._lock:
+        with self._publish_lock(schema, table):
             ptr = self._pointer(schema, table)
             if not os.path.exists(ptr):
                 raise TableNotFound(f"{schema}.{table}")
@@ -1184,7 +1299,10 @@ class TableStore:
                 except OSError:
                     pass
                 shutil.rmtree(gpath, ignore_errors=True)
-                removed["groups"] += 1
+                # a failed deletion (e.g. permissions) must not be
+                # reported as removed — mirror the OSError-guarded paths
+                if not os.path.exists(gpath):
+                    removed["groups"] += 1
         return removed
 
     # ---- write operations ------------------------------------------
@@ -1196,6 +1314,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         meta: dict | None = None,
         bloom_columns: list[str] | None = None,
+        _if_absent: bool = False,
     ) -> str:
         """Full snapshot (recreate/overwrite): one new group holding
         all data; previous snapshot stays readable until GC retention
@@ -1217,7 +1336,16 @@ class TableStore:
             schema, table, df, partition_by, bloom_columns or []
         )
         try:
-            with self._lock:
+            with self._publish_lock(schema, table):
+                if _if_absent and os.path.exists(self._pointer(schema, table)):
+                    # this write is append's create-fallback and another
+                    # process created the table while our data files were
+                    # landing — overwriting would silently discard its
+                    # rows; the caller retries as a true append
+                    raise StoreConflict(
+                        f"{schema}.{table}: created concurrently during "
+                        f"append's create-fallback"
+                    )
                 self._commit(
                     schema,
                     table,
@@ -1256,7 +1384,10 @@ class TableStore:
         contract holds: extra df columns are dropped, missing ones
         raise. Type CHANGES are refused either way — only adds."""
         if not self.table_exists(schema, table):
-            return self.write(schema, table, df)
+            try:
+                return self.write(schema, table, df, _if_absent=True)
+            except StoreConflict:
+                pass  # raced a concurrent create — append for real below
         m = self._manifest(schema, table)
         st = StructType.fromJson(json.loads(m["schema"]))
         if evolve:
@@ -1286,47 +1417,63 @@ class TableStore:
             schema, table, df, m.get("partition_by") or None
         )
         try:
-            with self._lock:
-                # re-read under the lock: another commit may have
-                # advanced the snapshot while our delta files were
-                # being written
-                m = self._manifest(schema, table)
-                m["groups"] = m["groups"] + [rel]
-                if m.get("segments") is None:
-                    # legacy inline root: one-time upgrade repack
-                    m["files"] = m["files"] + entries
-                else:
-                    # delta commit: old shards carry over by NAME —
-                    # O(delta + segments), nothing reread/rewritten
-                    m.pop("files", None)
-                    m["__delta_add"] = entries
-                if evolve:
-                    # merge again against the under-lock manifest (a
-                    # concurrent evolve may have added other columns).
-                    # Same-named column with a DIFFERENT type means a
-                    # racing evolve won with an incompatible add — our
-                    # already-written parquet files would contradict
-                    # the manifest schema; abort loudly instead of
-                    # committing a table every read would choke on.
-                    cur = StructType.fromJson(json.loads(m["schema"]))
-                    by_name2 = {f.name: f for f in cur.fields}
-                    for f in st.fields:
-                        have = by_name2.get(f.name)
-                        if have is None:
-                            cur = cur.add(f)
-                        elif have.dataType != f.dataType:
-                            raise StoreConflict(
-                                f"{schema}.{table}.{f.name}: concurrent "
-                                f"schema evolution committed type "
-                                f"{have.dataType.simpleString()}, this append "
-                                f"wrote {f.dataType.simpleString()}"
-                            )
-                    m["schema"] = cur.json()
-                self._commit(schema, table, m)
+            self._commit_delta(
+                schema, table, rel, entries, evolved=st if evolve else None
+            )
         finally:
             self._release_inflight(self._tdir(schema, table), rel)
         self._maybe_compact_small(schema, table)
         return os.path.join(self._tdir(schema, table), rel)
+
+    def _commit_delta(
+        self,
+        schema: str,
+        table: str,
+        rel: str,
+        entries: list,
+        evolved: StructType | None = None,
+    ) -> None:
+        """Metadata half of an append: under the publish lock, re-read
+        the CURRENT snapshot — another commit, in THIS process or any
+        other, may have advanced it while the delta files were being
+        written — and commit old ∪ delta. Factored from :meth:`append`
+        so the commit protocol is exercisable without a SparkSession
+        (the cross-process lost-update test drives it from bare-Python
+        subprocesses against pre-landed group files)."""
+        with self._publish_lock(schema, table):
+            m = self._manifest(schema, table)
+            m["groups"] = m["groups"] + [rel]
+            if m.get("segments") is None:
+                # legacy inline root: one-time upgrade repack
+                m["files"] = m["files"] + entries
+            else:
+                # delta commit: old shards carry over by NAME —
+                # O(delta + segments), nothing reread/rewritten
+                m.pop("files", None)
+                m["__delta_add"] = entries
+            if evolved is not None:
+                # merge again against the under-lock manifest (a
+                # concurrent evolve may have added other columns).
+                # Same-named column with a DIFFERENT type means a
+                # racing evolve won with an incompatible add — our
+                # already-written parquet files would contradict
+                # the manifest schema; abort loudly instead of
+                # committing a table every read would choke on.
+                cur = StructType.fromJson(json.loads(m["schema"]))
+                by_name2 = {f.name: f for f in cur.fields}
+                for f in evolved.fields:
+                    have = by_name2.get(f.name)
+                    if have is None:
+                        cur = cur.add(f)
+                    elif have.dataType != f.dataType:
+                        raise StoreConflict(
+                            f"{schema}.{table}.{f.name}: concurrent "
+                            f"schema evolution committed type "
+                            f"{have.dataType.simpleString()}, this append "
+                            f"wrote {f.dataType.simpleString()}"
+                        )
+                m["schema"] = cur.json()
+            self._commit(schema, table, m)
 
     def replace_files(
         self,
@@ -1351,7 +1498,7 @@ class TableStore:
                 schema, table, replacement.select(*cols), partition_by
             )
         try:
-            with self._lock:
+            with self._publish_lock(schema, table):
                 m = self._manifest(schema, table)
                 present = {fe["path"] for fe in m["files"]}
                 missing = set(remove_files) - present
@@ -1441,7 +1588,7 @@ class TableStore:
                 if all(v is not None for v, _ in verdicts):
                     drop = {p for v, p in verdicts if v == "all"}
                     if drop:
-                        with self._lock:
+                        with self._publish_lock(schema, table):
                             m2 = self._manifest(schema, table)
                             # segment-aware drop: untouched shards
                             # carry over by reference; groups shrink
@@ -1517,7 +1664,7 @@ class TableStore:
     def truncate(self, schema: str, table: str) -> None:
         """truncate table (jdbsChSession.scala:693-700) — empty
         manifest, schema retained, no data written at all."""
-        with self._lock:
+        with self._publish_lock(schema, table):
             m = self._manifest(schema, table)
             m["groups"] = []
             m.pop("files", None)
@@ -1527,7 +1674,7 @@ class TableStore:
 
     def drop(self, schema: str, table: str) -> None:
         """drop table if exists (jdbsChSession.scala:238-263)."""
-        with self._lock:
+        with self._publish_lock(schema, table):
             tdir = self._tdir(schema, table)
             if os.path.isdir(tdir):
                 shutil.rmtree(tdir)
@@ -1695,7 +1842,7 @@ class TableStore:
             if not os.path.exists(dst_p):
                 os.link(src_p, dst_p)
             entries.append(dict(fe))
-        with self._lock:
+        with self._publish_lock(dst_schema, dst_table):
             self._commit(
                 dst_schema,
                 dst_table,

@@ -97,8 +97,16 @@ def test_cli_vacuum(tmp_path, capsys, spark):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "p.parquet"), "w") as f:
         f.write("x")
+    # a sub-60s grace disables the only cross-process in-flight
+    # protection (mtime) — the CLI refuses it without --force (r13)
     assert main([
         "vacuum", "ch.t", "--older-than-sec", "0", "--warehouse", wh,
+    ]) == 2
+    assert os.path.isdir(orphan)
+    capsys.readouterr()
+    assert main([
+        "vacuum", "ch.t", "--older-than-sec", "0", "--force",
+        "--warehouse", wh,
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["removed"]["groups"] == 1

@@ -1038,7 +1038,10 @@ def test_manifest_commit_latency_bound_at_1e5_files(spark, tmp_path):
                 "v": {"min": [0.0, "float"], "max": [1.0, "float"], "nulls": 0},
             }
             files.append(fe)
-        m = dict(base)
+        # re-read per iteration: _commit CAS-verifies the base snapshot
+        # (r13) — committing a view taken before the previous loop's
+        # commit is exactly the stale-write it exists to reject
+        m = dict(store._manifest("ch", "t"))
         m["files"] = files
         t0 = _time.perf_counter()
         store._commit("ch", "t", m)

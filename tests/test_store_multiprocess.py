@@ -1,0 +1,220 @@
+"""Cross-PROCESS safety of the TableStore commit protocol (r13).
+
+The per-root RLock only serializes threads; at multi-job scale two
+drivers append to the same table concurrently, and before r13 the
+second pointer swap silently discarded the first's delta (both
+manifests stayed on disk — the rows just vanished from the current
+snapshot). These tests spawn real subprocesses (bare Python — the
+commit protocol deliberately needs no SparkSession, see
+``TableStore._commit_delta``) and prove:
+
+- concurrent appenders from separate processes ALL land (no lost
+  update), serialized by the per-table ``fcntl.flock``;
+- the flock actually excludes across processes (LOCK_NB from a second
+  process fails while the first holds the publish lock);
+- a commit built from a stale snapshot view fails loudly with
+  ``StoreConflict`` instead of silently discarding interleaved rows;
+- a second process's time-travel reader survives a vacuum in the
+  first, as long as its snapshot is retained (verdict r12 item 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import pytest
+
+from ora_ch_spark.io import load_table
+from ora_ch_spark.store import StoreConflict, TableStore
+
+pytestmark = pytest.mark.skipif(
+    not hasattr(os, "fork"), reason="POSIX-only cross-process tests"
+)
+
+_ENV = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+
+
+def _run(script: str, *args: str) -> subprocess.Popen:
+    return subprocess.Popen(
+        [sys.executable, "-c", script, *args],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=_ENV,
+    )
+
+
+# each subprocess lands K delta groups: write a parquet file with
+# pyarrow (no Spark), register nothing in-process, then run the real
+# append commit protocol (_commit_delta → _publish_lock → _commit)
+_APPENDER = """
+import os, sys, time
+import pyarrow as pa
+import pyarrow.parquet as pq
+from ora_ch_spark.store import TableStore, _file_entry
+
+root, tag, k, rows = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+store = TableStore(None, root)
+go = os.path.join(root, "_go")
+while not os.path.exists(go):
+    time.sleep(0.005)
+tdir = store._tdir("s", "t")
+for j in range(k):
+    rel = f"data/g-{tag}-{j}"
+    gdir = os.path.join(tdir, rel)
+    os.makedirs(gdir, exist_ok=True)
+    fp = os.path.join(gdir, "part-0.parquet")
+    base = (hash(tag) % 1000) * 1000000 + j * rows
+    pq.write_table(
+        pa.table({"k": list(range(base, base + rows)), "who": [tag] * rows}),
+        fp,
+    )
+    entry = _file_entry(fp, os.path.relpath(fp, tdir))
+    store._commit_delta("s", "t", rel, [entry])
+print("done", tag)
+"""
+
+
+def test_crossprocess_concurrent_appends_no_lost_update(spark):
+    """The r12 verdict's lost-update scenario, for real: three
+    PROCESSES each commit 6 append deltas to one table, started
+    simultaneously off a sentinel barrier. Every delta must land —
+    under the pre-r13 in-process-lock-only protocol the interleaved
+    pointer swaps silently dropped most of them."""
+    root = tempfile.mkdtemp(prefix="store_mp_append_")
+    store = TableStore(spark, root)
+    store.create_database("s")
+    seed = spark.range(0, 10).selectExpr("id as k", "'seed' as who")
+    store.write("s", "t", seed)
+
+    k, rows = 6, 50
+    procs = [_run(_APPENDER, root, tag, str(k), str(rows)) for tag in ("a", "b", "c")]
+    with open(os.path.join(root, "_go"), "w") as f:
+        f.write("go")
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, (out, err)
+
+    # zero lost updates: every process's every delta is in the snapshot
+    assert store.row_count("s", "t") == 10 + 3 * k * rows
+    df = store.read("s", "t")
+    counts = {r["who"]: r["n"] for r in df.groupBy("who").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"seed": 10, "a": k * rows, "b": k * rows, "c": k * rows}
+    # and the manifest references all 18 delta groups
+    m = store._manifest("s", "t")
+    assert sum(1 for g in m["groups"] if g.startswith("data/g-")) >= 3 * k
+
+
+_NB_PROBE = """
+import fcntl, os, sys
+path = sys.argv[1]
+fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o666)
+try:
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    print("ACQUIRED")
+except BlockingIOError:
+    print("BLOCKED")
+"""
+
+
+def test_crossprocess_publish_lock_excludes(spark):
+    """The per-table flock is visible across processes: while this
+    process holds ``_publish_lock``, a subprocess's non-blocking
+    attempt fails; after release, it succeeds."""
+    root = tempfile.mkdtemp(prefix="store_mp_lock_")
+    store = TableStore(spark, root)
+    store.create_database("s")
+    store.write("s", "t", spark.range(3).selectExpr("id as k"))
+    lock_path = os.path.join(root, "s", ".locks", "t.lock")
+
+    with store._publish_lock("s", "t"):
+        assert os.path.exists(lock_path)
+        p = _run(_NB_PROBE, lock_path)
+        out, _ = p.communicate(timeout=30)
+        assert out.strip() == "BLOCKED"
+    p = _run(_NB_PROBE, lock_path)
+    out, _ = p.communicate(timeout=30)
+    assert out.strip() == "ACQUIRED"
+
+
+def test_stale_snapshot_commit_fails_loudly(spark):
+    """_commit's compare-and-swap: committing a manifest view taken
+    BEFORE an interleaved commit raises StoreConflict — the silent
+    lost update is structurally impossible even for a caller that
+    skips the under-lock re-read."""
+    root = tempfile.mkdtemp(prefix="store_mp_cas_")
+    store = TableStore(spark, root)
+    store.create_database("s")
+    store.write("s", "t", spark.range(5).selectExpr("id as k"))
+    stale = store._manifest("s", "t")  # view of snapshot v1
+    store.append("s", "t", spark.range(5, 8).selectExpr("id as k"))  # v2
+    stale["meta"] = {"overwrite": True}
+    with pytest.raises(StoreConflict, match="concurrent commit"):
+        store._commit("s", "t", stale)
+    # the interleaved append's rows are intact
+    assert store.row_count("s", "t") == 8
+
+
+_READER = """
+import json, os, sys, time
+import pyarrow.parquet as pq
+from ora_ch_spark.store import TableStore
+
+root, name = sys.argv[1], sys.argv[2]
+store = TableStore(None, root)
+mdir = os.path.join(store._tdir("s", "t"), "manifests")
+m = store._snapshot_view(mdir, name)
+files = list(m["files"])
+open(os.path.join(root, "_reader_ready"), "w").write("r")
+while not os.path.exists(os.path.join(root, "_reader_go")):
+    time.sleep(0.005)
+total = 0
+for fe in files:
+    total += pq.read_table(os.path.join(store._tdir("s", "t"), fe["path"])).num_rows
+print(json.dumps({"rows": total, "files": len(files)}))
+"""
+
+
+def test_crossprocess_timetravel_reader_survives_vacuum(spark):
+    """Verdict r12 item 6: a SECOND process resolves an old snapshot's
+    file list, then this process overwrites the table twice and runs a
+    0-grace vacuum. The old snapshot is inside the retention window
+    (keep_versions=3), so the reader's files must all still be
+    readable — while the vacuum demonstrably collected genuine debris
+    (an old orphaned group)."""
+    root = tempfile.mkdtemp(prefix="store_mp_vac_")
+    store = TableStore(spark, root, keep_versions=3, retention_sec=300)
+    store.create_database("s")
+    store.write("s", "t", spark.range(0, 1000).selectExpr("id as k"))
+    v1 = store.snapshots("s", "t")[-1]["name"]
+
+    p = _run(_READER, root, v1)
+    deadline = time.time() + 60
+    while not os.path.exists(os.path.join(root, "_reader_ready")):
+        assert time.time() < deadline, p.communicate()
+        time.sleep(0.01)
+
+    store.write("s", "t", spark.range(0, 10).selectExpr("id as k"))
+    store.write("s", "t", spark.range(0, 20).selectExpr("id as k"))
+    # plant collectable debris AFTER the writes (their commit-time GC
+    # would have swept it already): an orphaned group, old mtime
+    ddir = os.path.join(store._tdir("s", "t"), "data", "g-orphan")
+    os.makedirs(ddir)
+    with open(os.path.join(ddir, "junk"), "w") as f:
+        f.write("x")
+    old = time.time() - 3600
+    os.utime(ddir, (old, old))
+    removed = store.vacuum("s", "t", older_than_sec=0)
+    assert removed["groups"] >= 1  # the planted orphan was collected
+
+    with open(os.path.join(root, "_reader_go"), "w") as f:
+        f.write("go")
+    out, err = p.communicate(timeout=60)
+    assert p.returncode == 0, (out, err)
+    result = json.loads(out.strip().splitlines()[-1])
+    assert result["rows"] == 1000, result
