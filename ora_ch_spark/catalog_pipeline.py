@@ -344,9 +344,16 @@ _DIMS = 64
 
 
 def sim_topk_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_probes pinned to 2 (the single least-confident bit flip) —
+    # this entry gates the perturbation-cost RANKING itself; the
+    # elbow-default probe count is gated by lsh_multiprobe_wide
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh_multiprobe(
-        emb, query_ids=emb.filter("vec_id < 10"), n_planes=_N_PLANES, dims=_DIMS
+        emb,
+        query_ids=emb.filter("vec_id < 10"),
+        n_planes=_N_PLANES,
+        dims=_DIMS,
+        n_probes=2,
     )
 
 
@@ -365,6 +372,10 @@ def _lsh_multiprobe_oracle(n_probes: int = 2) -> str:
         f"(CASE WHEN (mask & {1 << p}) > 0 THEN abs(d{p}) ELSE 0 END)"
         for p in range(_N_PLANES)
     )
+    # enumerate exactly the masks the Spark side considers — for wide
+    # hashes (>6 planes) _probe_masks caps at popcount ≤ 3, and a
+    # full range() here would silently diverge from it (ADVICE r12)
+    mask_list = ", ".join(str(m) for m in S._probe_masks(_N_PLANES))
     return f"""
 WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
 d AS (
@@ -373,7 +384,7 @@ d AS (
        ({_bucket_sql(signs)}) AS bucket
   FROM q
 ),
-masks AS (SELECT unnest(range({1 << _N_PLANES})) AS mask),
+masks AS (SELECT unnest([{mask_list}]) AS mask),
 qc AS (
   SELECT vec_id AS q_id, xor(bucket, mask) AS pbucket,
          row_number() OVER (PARTITION BY vec_id
@@ -433,43 +444,18 @@ SELECT vec_id, ({_bucket_sql(signs)}) AS bucket FROM q
 
 
 def sim_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the recall ladder's bottom rung (single own-bucket probe),
+    # expressed through the one surviving entry point (r13): the
+    # dedicated single-bucket implementation is gone —
+    # ``n_probes=1`` reproduces its candidate set bit-for-bit
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_topk_lsh(
-        emb, query_ids=emb.filter("vec_id < 10"), n_planes=_N_PLANES, dims=_DIMS
+    return S.cosine_topk_lsh_multiprobe(
+        emb,
+        query_ids=emb.filter("vec_id < 10"),
+        n_planes=_N_PLANES,
+        dims=_DIMS,
+        n_probes=1,
     )
-
-
-def _lsh_topk_oracle() -> str:
-    signs = lsh_plane_signs(_N_PLANES, _DIMS)
-    return f"""
-WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
-b AS (SELECT vec_id, qe, ({_bucket_sql(signs)}) AS bucket FROM q),
-e AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
-nrm AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
-pairs AS (
-  SELECT qa.vec_id AS q_id, qa.bucket, nb.vec_id AS n_id
-  FROM b qa JOIN b nb ON qa.bucket = nb.bucket AND qa.vec_id != nb.vec_id
-  WHERE qa.vec_id < 10
-),
-dot AS (
-  SELECT p.q_id, p.bucket, p.n_id, sum(ea.v * eb.v) AS d
-  FROM pairs p
-  JOIN e ea ON ea.vec_id = p.q_id
-  JOIN e eb ON eb.vec_id = p.n_id AND eb.i = ea.i
-  GROUP BY 1, 2, 3
-),
-scored AS (
-  SELECT q_id, bucket, n_id,
-         cast(d as double) / (sqrt(cast(nq.nn as double)) * sqrt(cast(nb2.nn as double))) AS cosine
-  FROM dot JOIN nrm nq ON q_id = nq.vec_id JOIN nrm nb2 ON n_id = nb2.vec_id
-),
-ranked AS (
-  SELECT q_id, bucket, n_id, cosine,
-         cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) as int) AS rank
-  FROM scored
-)
-SELECT q_id, bucket, n_id, rank, cosine FROM ranked WHERE rank <= 5
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -2411,11 +2397,11 @@ def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "ivf": S.ivf_topk(emb, query_ids=queries),
         "ivfadc": ivfadc_topk(emb, query_ids=queries, trained=trained),
-        "lsh": S.cosine_topk_lsh(
-            emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS
+        "lsh": S.cosine_topk_lsh_multiprobe(
+            emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS, n_probes=1
         ),
         "lsh_multiprobe": S.cosine_topk_lsh_multiprobe(
-            emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS
+            emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS, n_probes=2
         ),
         "pq": pq_topk(emb, query_ids=queries, trained=trained),
         "sq8": sq8_topk(emb, query_ids=queries),
@@ -2611,8 +2597,8 @@ def _recall_report_oracle() -> str:
     variants = [
         ("ivf", SIM_IVF_ORACLE),
         ("ivfadc", _ivfadc_oracle()),
-        ("lsh", _lsh_topk_oracle()),
-        ("lsh_multiprobe", _lsh_multiprobe_oracle()),
+        ("lsh", _lsh_multiprobe_oracle(n_probes=1)),
+        ("lsh_multiprobe", _lsh_multiprobe_oracle(n_probes=2)),
         ("pq", _pq_oracle()),
         ("sq8", SIM_SQ8_ORACLE),
     ]

@@ -21,11 +21,16 @@ Scale design:
 - ``embedding_near_dup_pairs``: all-pairs near-dup gated by LSH
   bucket equality (never a full cross join at scale).
 
-Recall ladder (r12): candidates from sign-LSH are scored EXACTLY, so
-an exact re-rank cannot help them — their recall knob is CANDIDATE
-generation: ``cosine_topk_lsh`` (one bucket) → ``…_multiprobe``
-(``n_probes`` cost-ranked buckets; ~0.86 recall@5 at 11 probes on
-the gate corpus) → ``banded_lsh_buckets`` (OR of tables). The
+Recall ladder (r12/r13): candidates from sign-LSH are scored EXACTLY,
+so an exact re-rank cannot help them — their recall knob is CANDIDATE
+generation, carried by ONE entry point:
+``cosine_topk_lsh_multiprobe`` with its explicit ``n_probes`` knob
+(``n_probes=1`` = the old single-bucket probe, recall@5 ~0.08 at 4
+planes on the gate corpus; the default ``LSH_DEFAULT_PROBES`` sits at
+the measured recall-ladder elbow, ~0.86 recall@5) →
+``banded_lsh_buckets`` (OR of tables). ``cosine_topk_lsh`` is a
+deprecated alias of the same function — it no longer silently probes
+a single bucket. The
 COMPRESSED paths (PQ/ADC distances) lose recall in SCORING instead —
 their knob is :func:`rerank_exact` (``rerank=R`` on ``pq_topk`` /
 ``ivfadc_topk``): shortlist by the compressed metric, exact-refine
@@ -36,12 +41,20 @@ decode is near-exact, so routing is its only loss. The
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ora_ch_spark.functions.hashes import lsh_plane_signs
 
 QUANT = 10000
+
+# default probe count for the LSH top-k entry point: the measured
+# recall-ladder elbow (recall@5 0.24 @ 2 probes → 0.86 @ 11 on the
+# gate corpus, r12) — a caller who doesn't think about probes gets
+# useful neighbors, not the 0.08-recall single bucket
+LSH_DEFAULT_PROBES = 11
 
 
 def quantize(df: DataFrame, emb_col: str = "embedding", out_col: str = "qe") -> DataFrame:
@@ -137,26 +150,33 @@ def cosine_topk_lsh(
     k: int = 5,
     n_planes: int = 4,
     dims: int = 64,
+    n_probes: int = LSH_DEFAULT_PROBES,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket (equi-join on bucket id — shuffle on a small uniform key
-    instead of a cross join)."""
-    # one bucket-assignment pass feeds both join sides — persist so
-    # the plane dot-products aren't recomputed per branch
-    b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims).persist()
-    corpus = b.select(F.col(id_col).alias("n_id"), F.col("qe").alias("qb"), "bucket")
-    queries = b.select(F.col(id_col).alias("q_id"), F.col("qe").alias("qa"), "bucket")
-    if query_ids is not None:
-        queries = queries.join(
-            F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))), "q_id"
-        )
-    pairs = F.broadcast(queries).join(corpus, "bucket").filter(F.col("q_id") != F.col("n_id"))
-    scored = with_cosine(pairs).select("q_id", "bucket", "n_id", "cosine")
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "bucket", "n_id", "rank", "cosine")
+    """Deprecated alias of :func:`cosine_topk_lsh_multiprobe` (r13).
+
+    Historically this probed ONLY the query's own bucket — recall@5
+    ~0.08 at its 4-plane default, guarded by nothing but a module
+    docstring. It now forwards to the multiprobe machinery, whose
+    ``n_probes=1`` reproduces the old candidate set bit-for-bit
+    (``test_multiprobe_nprobes1_is_plain_lsh``) minus the redundant
+    ``bucket`` output column; without an explicit ``n_probes`` the
+    caller gets the recall-ladder-elbow default instead of the
+    silent bottom rung."""
+    warnings.warn(
+        "cosine_topk_lsh is deprecated; call cosine_topk_lsh_multiprobe "
+        "(n_probes=1 reproduces the old single-bucket probe)",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return cosine_topk_lsh_multiprobe(
+        emb,
+        query_ids=query_ids,
+        id_col=id_col,
+        emb_col=emb_col,
+        k=k,
+        n_planes=n_planes,
+        dims=dims,
+        n_probes=n_probes,
     )
 
 
@@ -179,7 +199,7 @@ def cosine_topk_lsh_multiprobe(
     k: int = 5,
     n_planes: int = 4,
     dims: int = 64,
-    n_probes: int = 2,
+    n_probes: int = LSH_DEFAULT_PROBES,
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al., "Multi-Probe LSH"): each
     query probes the ``n_probes`` buckets with the lowest
@@ -187,10 +207,11 @@ def cosine_topk_lsh_multiprobe(
     |⟨w_p, qe⟩| over its flipped planes ``p`` (the distance the
     vector sits from each flipped hyperplane, hence how unlikely
     that flip is to cross a true boundary). Mask 0 costs 0, so the
-    query's own bucket is always probe #1; the default
-    ``n_probes=2`` adds exactly the single least-confident bit flip
-    (any multi-bit mask costs at least its cheapest member plus
-    more). Buys back the recall extra hash tables would, at zero
+    query's own bucket is always probe #1; ``n_probes=2`` adds
+    exactly the single least-confident bit flip (any multi-bit mask
+    costs at least its cheapest member plus more), and the default
+    ``LSH_DEFAULT_PROBES`` sits at the measured recall-ladder elbow.
+    Buys back the recall extra hash tables would, at zero
     extra index cost: the corpus is still hashed ONCE into one
     bucket; only the (tiny, broadcast) query side fans out
     ``n_probes``×. Ties rank by lowest mask — deterministic,

@@ -3,6 +3,7 @@ k-means operators (round-4 additions)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ora_ch_spark.operators.cluster import kmeans_assign
@@ -613,6 +614,39 @@ def test_ivfadc_subset_of_pq_and_recall(spark, sf_smoke):
     assert len(got & top) >= int(0.5 * len(top)), (len(got & top), len(top))
 
 
+def test_rerank_recall_floor_sf01(spark):
+    """r12 verdict item 4: the same >= 0.8 recall@5 floor at the
+    sf0.1 corpus (2,000 vectors — 4x the sf0.01 one), so corpus-size
+    sensitivity of the reranked/multiprobe paths can't regress
+    silently. NOTES r12 recorded these verified by hand; this pins
+    them in CI."""
+    import os as _os
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators import similarity as S
+    from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not _os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    qids = emb.filter("vec_id < 10")
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in S.cosine_topk_bruteforce(emb, query_ids=qids).collect()
+    }
+    for name, df in [
+        ("pq_rerank", pq_topk(emb, query_ids=qids, rerank=100)),
+        ("ivfadc_rerank", ivfadc_topk(emb, query_ids=qids, rerank=50)),
+        ("mp_wide", S.cosine_topk_lsh_multiprobe(
+            emb, query_ids=qids, n_planes=4, dims=64, n_probes=11)),
+    ]:
+        got = {(r["q_id"], r["n_id"]) for r in df.collect()}
+        assert len(got & truth) >= int(0.8 * len(truth)), (
+            name, len(got & truth), len(truth))
+    emb.unpersist()
+
+
 def test_rerank_recall_floor(spark, sf_correct):
     """The exact refine stage (r12): each compressed path that was
     quality-weak in r11 clears recall@5 >= 0.8 vs brute force at
@@ -679,20 +713,37 @@ def test_rerank_joins_shortlist_only(spark, sf_smoke):
 def test_multiprobe_nprobes1_is_plain_lsh(spark, sf_smoke):
     """Perturbation-cost ranking sanity: mask 0 costs 0, so
     n_probes=1 probes exactly the query's own bucket — the plain
-    LSH result; and widening probes only ever adds candidates
-    (recall is monotone in n_probes)."""
+    (pre-r13 single-bucket) LSH result; widening probes only ever
+    adds candidates (recall is monotone in n_probes); and the
+    deprecated alias warns and forwards with the elbow default —
+    never the silent single-bucket probe."""
+    import warnings as _warnings
+
     from ora_ch_spark.io import load_table
     from ora_ch_spark.operators import similarity as S
 
     emb = load_table(spark, sf_smoke, "embeddings")
     qids = emb.filter("vec_id < 10")
-    plain = {(r["q_id"], r["n_id"], r["rank"])
-             for r in S.cosine_topk_lsh(
-                 emb, query_ids=qids, n_planes=4, dims=64).collect()}
+    with pytest.warns(DeprecationWarning, match="cosine_topk_lsh"):
+        plain = {(r["q_id"], r["n_id"], r["rank"])
+                 for r in S.cosine_topk_lsh(
+                     emb, query_ids=qids, n_planes=4, dims=64,
+                     n_probes=1).collect()}
     mp1 = {(r["q_id"], r["n_id"], r["rank"])
            for r in S.cosine_topk_lsh_multiprobe(
                emb, query_ids=qids, n_planes=4, dims=64, n_probes=1).collect()}
     assert mp1 == plain
+    # alias default == the elbow, bit-for-bit the multiprobe default
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        dflt = {(r["q_id"], r["n_id"], r["rank"])
+                for r in S.cosine_topk_lsh(
+                    emb, query_ids=qids, n_planes=4, dims=64).collect()}
+    elbow = {(r["q_id"], r["n_id"], r["rank"])
+             for r in S.cosine_topk_lsh_multiprobe(
+                 emb, query_ids=qids, n_planes=4, dims=64,
+                 n_probes=S.LSH_DEFAULT_PROBES).collect()}
+    assert dflt == elbow and S.LSH_DEFAULT_PROBES >= 11
     truth = {
         (r["q_id"], r["n_id"])
         for r in S.cosine_topk_bruteforce(emb, query_ids=qids).collect()
@@ -823,7 +874,9 @@ def test_multiprobe_wide_hash_mask_path(spark, sf_smoke):
     qids = emb.filter("vec_id < 10")
     one = S.cosine_topk_lsh_multiprobe(
         emb, query_ids=qids, n_planes=8, dims=64, n_probes=1)
-    plain = S.cosine_topk_lsh(emb, query_ids=qids, n_planes=8, dims=64)
+    with pytest.warns(DeprecationWarning):
+        plain = S.cosine_topk_lsh(
+            emb, query_ids=qids, n_planes=8, dims=64, n_probes=1)
     t = lambda df: {(r["q_id"], r["n_id"], r["rank"]) for r in df.collect()}  # noqa: E731
     assert t(one) == t(plain)
     truth = {(r["q_id"], r["n_id"])
