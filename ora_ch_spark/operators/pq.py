@@ -24,6 +24,8 @@ per-query distance table (m × k rows per query) and partial-agg sums
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -253,6 +255,37 @@ def _train_encode_grouped(
     return enc, dt
 
 
+class PQTrained(NamedTuple):
+    """Opaque result of :func:`pq_train` — carries the training
+    hyperparameters so a consumer can verify the pair matches its own
+    ``m`` / ``k_codes`` arguments instead of silently ranking on
+    codebooks trained for a different geometry (ADVICE r12)."""
+
+    enc: DataFrame  # (n_id, s, code)
+    dt: DataFrame  # (q_id, s, code, dist)
+    m: int
+    k_codes: int
+
+
+def _unpack_trained(trained, m: int, k_codes: int):
+    """Validate a ``trained=`` pair against the call's hyperparameters
+    and return (enc, dt). Bare 2-tuples are rejected: a pair stripped
+    of its hyperparameters cannot be checked, which was the silent
+    acceptance this guard exists to close."""
+    if not isinstance(trained, PQTrained):
+        raise TypeError(
+            "trained= expects the PQTrained result of pq_train(); a bare "
+            "(enc, dt) pair carries no hyperparameters to validate against"
+        )
+    if (trained.m, trained.k_codes) != (m, k_codes):
+        raise ValueError(
+            f"trained PQ pair was built with m={trained.m}, "
+            f"k_codes={trained.k_codes}; this call asked for m={m}, "
+            f"k_codes={k_codes} — retrain or pass matching arguments"
+        )
+    return trained.enc, trained.dt
+
+
 def pq_train(
     emb: DataFrame,
     query_ids: DataFrame | None = None,
@@ -260,9 +293,9 @@ def pq_train(
     k_codes: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-):
+) -> PQTrained:
     """Run the shared PQ training/encode pipeline once and return the
-    opaque (enc, dt) pair both :func:`pq_topk` and
+    :class:`PQTrained` pair both :func:`pq_topk` and
     :func:`ivfadc_topk` accept via ``trained=`` — the call-site
     sharing hook for reports that score the SAME corpus with several
     PQ-backed methods (training is the expensive part and is
@@ -279,7 +312,8 @@ def pq_train(
         if query_ids is not None
         else None
     )
-    return _train_encode_grouped(q, qids, m, dims // m, k_codes, id_col)
+    enc, dt = _train_encode_grouped(q, qids, m, dims // m, k_codes, id_col)
+    return PQTrained(enc, dt, m, k_codes)
 
 
 def pq_topk(
@@ -309,9 +343,9 @@ def pq_topk(
     coarse codebooks (m=4, 16 codes) this lifts recall@5 from
     ~0.28 to ~0.84 at R=100 on the sf0.01 gate corpus."""
     if trained is not None:
-        enc, dt = trained
+        enc, dt = _unpack_trained(trained, m, k_codes)
     else:
-        enc, dt = pq_train(emb, query_ids, m, k_codes, id_col, emb_col)
+        enc, dt, _, _ = pq_train(emb, query_ids, m, k_codes, id_col, emb_col)
     allp = enc.join(F.broadcast(dt), ["s", "code"]).select("q_id", "n_id", "dist")
     adc = (
         allp.filter(F.col("q_id") != F.col("n_id"))
@@ -587,7 +621,7 @@ def ivfadc_topk(
     # scoring several PQ methods over the same corpus passes the
     # shared pq_train() result instead) --
     if trained is not None:
-        enc_all, dt_all = trained
+        enc_all, dt_all = _unpack_trained(trained, m, k_codes)
     else:
         enc_all, dt_all = _train_encode_grouped(q, qids, m, sub, k_codes, id_col)
     # ---- ADC over candidates only: (q,n) → m code rows → broadcast
@@ -677,10 +711,18 @@ def build_ivfadc_index(
             "s int, code int, cq array<bigint>",
         ),
     )
-    enc = _assign_grouped(qsub, crows, id_col).select(
+    assigned = _assign_grouped(qsub, crows, id_col)
+    enc = assigned.select(
         F.col(id_col).alias("n_id"), "s", F.col("cluster").alias("code")
     )
     codes = enc.join(lists, "n_id")
+    # training-time quantization error, committed ATOMICALLY with the
+    # codes (snapshot meta): the baseline :func:`index_drift_report`
+    # compares appended batches against — one extra sum over the
+    # already-computed per-subspace assignment distances
+    stat = assigned.agg(
+        F.sum("dist").alias("e"), F.countDistinct(id_col).alias("n")
+    ).first()
     # one contiguous file region per inverted list (same layout note
     # as build_ivf_index: without the repartition every upstream task
     # writes a sliver into every list dir)
@@ -688,6 +730,10 @@ def build_ivfadc_index(
         schema, f"{name}_codes",
         codes.repartition(n_lists, "list"),
         partition_by=["list"],
+        meta={
+            "train_mqe": float(stat["e"]) / max(1, int(stat["n"])),
+            "train_rows": int(stat["n"]),
+        },
     )
     q.unpersist()
 
@@ -730,6 +776,76 @@ def ivfadc_index_append(
         enc.join(lists, "n_id").repartition(int(n_lists), "list"),
     )
     q.unpersist()
+
+
+# documented retrain threshold for index_drift_report: an appended
+# batch whose mean quantization error exceeds the training-time error
+# by this factor is drawn from a distribution the frozen codebooks no
+# longer cover well — re-train and rebuild the index (the FAISS
+# operational guidance for IVF/PQ under distribution shift)
+DRIFT_RETRAIN_RATIO = 1.5
+
+
+def index_drift_report(
+    store,
+    schema: str,
+    batch_emb: DataFrame,
+    name: str = "ivfadc",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    retrain_ratio: float = DRIFT_RETRAIN_RATIO,
+) -> dict:
+    """Codebook-drift metric for a persisted IVFADC index (r12
+    verdict item 5): encode ``batch_emb`` with the FROZEN codebooks —
+    exactly what :func:`ivfadc_index_append` does — and compare its
+    mean per-vector quantization error (sum over the m subspaces of
+    the squared distance to the assigned code centroid) against the
+    training-time error recorded in the index meta at build time.
+
+    An unshifted batch lands near ratio 1.0; a distribution-shifted
+    batch pushes the ratio up because the frozen centroids sit far
+    from where its vectors live. ``retrain`` flips at
+    ``retrain_ratio`` (default :data:`DRIFT_RETRAIN_RATIO`) — the
+    "codebook drift is the signal to re-train" sentence of
+    :func:`ivfadc_index_append`, now measured instead of aspirational.
+
+    O(batch): one frozen-codebook assignment pass over the new rows
+    plus a metadata read; the corpus is never touched. Returns
+    ``{"train_mqe", "batch_mqe", "drift_ratio", "batch_rows",
+    "retrain"}``."""
+    meta = store.table_meta(schema, f"{name}_codes")
+    train_mqe = meta.get("train_mqe")
+    if train_mqe is None:
+        raise ValueError(
+            f"{schema}.{name}_codes carries no train_mqe meta — the index "
+            f"predates the drift metric; rebuild with build_ivfadc_index"
+        )
+    cb = store.read(schema, f"{name}_codebooks")
+    crows = [
+        {"s": r["s"], "cluster": r["code"], "cq": list(r["cq"])}
+        for r in cb.collect()
+    ]
+    m = 1 + max(int(r["s"]) for r in crows)
+    sub = len(crows[0]["cq"])
+    q = quantize(batch_emb, emb_col, "qe").select(id_col, "qe")
+    qsub = _explode_subspaces(q, m, sub, id_col)
+    stat = (
+        _assign_grouped(qsub, crows, id_col)
+        .agg(F.sum("dist").alias("e"), F.countDistinct(id_col).alias("n"))
+        .first()
+    )
+    n = int(stat["n"] or 0)
+    if n == 0:
+        raise ValueError("empty drift batch")
+    batch_mqe = float(stat["e"]) / n
+    ratio = batch_mqe / train_mqe if train_mqe > 0 else float("inf")
+    return {
+        "train_mqe": train_mqe,
+        "batch_mqe": batch_mqe,
+        "drift_ratio": ratio,
+        "batch_rows": n,
+        "retrain": ratio > retrain_ratio,
+    }
 
 
 def ivfadc_topk_from_index(

@@ -857,6 +857,85 @@ def test_ivfadc_index_append_split_invariant_and_covers(spark, sf_smoke, tmp_pat
     assert top["n_id"] == 990001 and abs(top["cosine"] - 1.0) < 1e-12
 
 
+def test_pq_trained_hyperparameter_validation(spark, sf_smoke):
+    """ADVICE r12: a trained= pair carries its (m, k_codes) and a
+    consumer call with different hyperparameters is rejected — before
+    this the mismatched pair was silently accepted and ranked on
+    codebooks trained for a different geometry. Bare (enc, dt)
+    2-tuples are rejected outright (nothing to validate against)."""
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import ivfadc_topk, pq_topk, pq_train
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qids = emb.filter("vec_id < 3")
+    trained = pq_train(emb, query_ids=qids, m=4, k_codes=16)
+    with pytest.raises(ValueError, match="m=8"):
+        pq_topk(emb, query_ids=qids, m=8, trained=trained)
+    with pytest.raises(ValueError, match="k_codes=32"):
+        ivfadc_topk(emb, query_ids=qids, k_codes=32, trained=trained)
+    with pytest.raises(TypeError, match="PQTrained"):
+        pq_topk(emb, query_ids=qids, trained=(trained.enc, trained.dt))
+    # matching hyperparameters pass through unchanged
+    assert pq_topk(emb, query_ids=qids, trained=trained).count() > 0
+
+
+def test_ivfadc_index_drift_report(spark, sf_smoke, tmp_path):
+    """r12 verdict item 5: the codebook-drift metric moves under a
+    distribution-shifted append and stays put under an unshifted one.
+    (a) a batch drawn from the training distribution (held-out corpus
+    rows) sits near drift_ratio 1 and does NOT flag retrain; (b) a
+    shifted batch (embeddings displaced far outside the trained
+    cells) pushes the ratio past the retrain threshold; (c) the meta
+    baseline survives ivfadc_index_append commits; (d) a pre-metric
+    index (no meta) fails loudly."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import (
+        build_ivfadc_index,
+        index_drift_report,
+        ivfadc_index_append,
+    )
+    from ora_ch_spark.store import TableStore
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    train = emb.filter("vec_id % 5 != 4")
+    held_out = emb.filter("vec_id % 5 = 4")
+    shifted = emb.filter("vec_id % 5 = 4").withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> cast(x * 7 + 13 as float))"),
+    )
+    store = TableStore(spark, str(tmp_path / "drift"))
+    store.create_database("ch")
+    build_ivfadc_index(store, "ch", train)
+
+    same = index_drift_report(store, "ch", held_out)
+    assert same["batch_rows"] == held_out.count()
+    assert 0.5 < same["drift_ratio"] < 1.5 and not same["retrain"], same
+
+    moved = index_drift_report(store, "ch", shifted)
+    assert moved["drift_ratio"] > 1.5 and moved["retrain"], moved
+    assert moved["train_mqe"] == same["train_mqe"]
+
+    # the baseline rides the snapshot meta through append commits
+    ivfadc_index_append(store, "ch", held_out.withColumn(
+        "vec_id", (F.col("vec_id") + 900000).cast(dict(emb.dtypes)["vec_id"])
+    ))
+    again = index_drift_report(store, "ch", held_out)
+    assert again["train_mqe"] == same["train_mqe"]
+
+    # pre-metric index: loud, never a silent ratio over garbage
+    legacy = TableStore(spark, str(tmp_path / "legacy"))
+    legacy.create_database("ch")
+    build_ivfadc_index(legacy, "ch", train)
+    with legacy._publish_lock("ch", "ivfadc_codes"):
+        m = legacy._manifest("ch", "ivfadc_codes")
+        m["meta"] = {}
+        legacy._commit("ch", "ivfadc_codes", m)
+    with pytest.raises(ValueError, match="train_mqe"):
+        index_drift_report(legacy, "ch", held_out)
+
+
 def test_multiprobe_wide_hash_mask_path(spark, sf_smoke):
     """n_planes > 6 takes the bounded mask set (popcount ≤ 3) — the
     2^P enumeration would explode on wide hashes. The probe ranking
