@@ -26,13 +26,20 @@ from ora_ch_spark.catalog import all_queries  # noqa: E402
 from ora_ch_spark.session import get_spark  # noqa: E402
 
 
-# Canary normalization (r9 verdict item 2): five plan-diverse, code-
-# stable entries whose quiet-box min-of-4 pass times are PINNED below.
-# After each run the canary factor = median(current_min / pinned) over
-# the canaries; cross-round drift on any entry should be graded on
-# canary-normalized numbers (raw_sec / canary_factor) — a factor well
-# above 1.0 says the HOST was slow, not the plan. Pinned on the r10
-# quiet box; re-pin deliberately if a canary's code ever changes.
+# Canary normalization (r9 verdict item 2, hardened r13): NINE plan-
+# diverse, code-stable entries whose quiet-box pass times are PINNED
+# below. After each run the canary factor = TRIMMED median
+# (highest+lowest ratio dropped once the set is >=5) of current/pinned
+# over the canaries; cross-round drift on any entry should be graded
+# on canary-normalized numbers (raw_sec / canary_factor) — a factor
+# well above 1.0 says the HOST was slow, not the plan. A canary
+# measured >3x its pin is RE-RUN once before it enters the median
+# (2 of the old 5 canaries were 19-30x contended in the r12 driver
+# run — one bad scheduling decision away from a corrupted factor);
+# BENCH.json records per-canary accepted/retried so a bad factor is
+# diagnosable post-hoc. First five pinned on the r10 quiet box; the
+# four r13 additions on the r12 close box (canary-normalized) — re-pin
+# deliberately if a canary's code ever changes.
 CANARY_BASELINE: dict[float, dict[str, float]] = {
     0.1: {
         "q1_pricing_summary": 0.765,   # scan + wide agg
@@ -40,6 +47,10 @@ CANARY_BASELINE: dict[float, dict[str, float]] = {
         "sim_lsh_bucket": 0.254,       # hash project + light shuffle
         "text_fingerprint": 0.762,     # scan-bound text kernel
         "dedup_simhash": 1.351,        # bit-kernel + groupBy
+        "string_functions": 0.181,     # expression-only projection
+        "events_hourly": 0.239,        # timestamp bucketing agg
+        "q6_revenue_change": 0.239,    # pushed-filter scan + scalar agg
+        "qw4_rank_topk": 0.334,        # rank window + filter
     },
     0.01: {
         "q1_pricing_summary": 0.304,
@@ -47,31 +58,80 @@ CANARY_BASELINE: dict[float, dict[str, float]] = {
         "sim_lsh_bucket": 0.201,
         "text_fingerprint": 0.285,
         "dedup_simhash": 0.555,
+        "string_functions": 0.202,
+        "events_hourly": 0.180,
+        "q6_revenue_change": 0.218,
+        "qw4_rank_topk": 0.432,
     },
 }
 
+# re-run a canary whose suite measurement exceeds its pin by this
+# factor before letting it vote — a single contended canary must not
+# drag the median
+CANARY_RETRY_RATIO = 3.0
+
+
+def _median(vals: list[float]) -> float:
+    vals = sorted(vals)
+    mid = len(vals) // 2
+    return vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+
 
 def canary_factor(
-    timings: dict[str, float], sf: float
-) -> tuple[float | None, dict[str, list[float]]]:
-    """Median current/pinned ratio over the canary set (None when the
-    sf has no pinned baseline or no canary ran)."""
+    canary_secs: dict[str, float], sf: float
+) -> float | None:
+    """Trimmed-median current/pinned ratio over the canary set (None
+    when the sf has no pinned baseline or no canary ran). With >=5
+    canaries the single highest and lowest ratios are dropped, so one
+    contended (or one suspiciously fast) canary never moves the
+    factor at all."""
     base = CANARY_BASELINE.get(sf)
     if not base:
-        return None, {}
-    detail = {
-        n: [timings[n], b] for n, b in base.items() if n in timings
-    }
-    ratios = sorted(cur / pin for cur, pin in detail.values() if pin > 0)
-    if not ratios:
-        return None, detail
-    mid = len(ratios) // 2
-    med = (
-        ratios[mid]
-        if len(ratios) % 2
-        else (ratios[mid - 1] + ratios[mid]) / 2
+        return None
+    ratios = sorted(
+        canary_secs[n] / p for n, p in base.items()
+        if n in canary_secs and p > 0
     )
-    return round(med, 3), detail
+    if not ratios:
+        return None
+    if len(ratios) >= 5:
+        ratios = ratios[1:-1]
+    return round(_median(ratios), 3)
+
+
+def resolve_canaries(
+    spark, sf_dir: str, timings: dict[str, float], sf: float
+) -> tuple[float | None, dict[str, dict]]:
+    """Per-canary acceptance (r12 verdict item 2): a canary whose
+    suite measurement exceeds CANARY_RETRY_RATIO x its pin is re-run
+    once — dedicated min-of-2, right now, outside the suite's
+    scheduling storm — and the better (min) measurement votes. The
+    returned detail records suite_sec / used_sec / pin / ratio /
+    status per canary, so a corrupted factor is diagnosable from
+    BENCH.json alone."""
+    base = CANARY_BASELINE.get(sf) or {}
+    by_name = {q.name: q for q in all_queries()}
+    detail: dict[str, dict] = {}
+    secs: dict[str, float] = {}
+    for name, pin in sorted(base.items()):
+        if name not in timings:
+            continue
+        suite_sec = timings[name]
+        used, status = suite_sec, "accepted"
+        if pin > 0 and suite_sec > CANARY_RETRY_RATIO * pin and name in by_name:
+            redo, _, _, err = measure(spark, sf_dir, [by_name[name]])
+            if name in redo:
+                used = min(suite_sec, redo[name])
+                status = "retried"
+        secs[name] = used
+        detail[name] = {
+            "suite_sec": suite_sec,
+            "used_sec": used,
+            "pin": pin,
+            "ratio": round(used / pin, 3) if pin > 0 else None,
+            "status": status,
+        }
+    return canary_factor(secs, sf), detail
 
 
 def measure(
@@ -229,7 +289,7 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * 4
         + spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     )
-    factor, canary_detail = canary_factor(timings, sf)
+    factor, canary_detail = resolve_canaries(spark, sf_dir, timings, sf)
     result = {
         "mode": "fresh_jvm" if fresh else "in_suite",
         # the long per-query dict goes FIRST: the driver artifact
@@ -242,9 +302,10 @@ def main() -> None:
         "partial": bool(errors),
         "sf": sf,
         # host-speed normalization: grade cross-round drift on
-        # raw_sec / canary_factor (see CANARY_BASELINE)
+        # raw_sec / canary_factor (see CANARY_BASELINE; trimmed
+        # median over 9 canaries, >3x-of-pin outliers re-run once)
         "canary_factor": factor,
-        "canary": {n: v for n, v in sorted(canary_detail.items())},
+        "canary": canary_detail,
         "value_canary_normalized": (
             round(total / factor, 3) if factor else None
         ),
@@ -257,13 +318,17 @@ def main() -> None:
     }
     # durable copy: per-query history must survive even if the stdout
     # line is truncated in the driver artifact (--fresh snapshots go
-    # to their own file; the driver's in-suite contract is unchanged)
+    # to their own file; the driver's in-suite contract is unchanged).
+    # Smoke runs at other scale factors land in BENCH_SMOKE.json —
+    # an sf0.01 iteration loop must never clobber the committed sf0.1
+    # snapshot (this exact accident happened in r12 and r13)
+    if sf == 0.1:
+        durable = "BENCH_FRESH.json" if fresh else "BENCH.json"
+    else:
+        durable = "BENCH_SMOKE.json"
     try:
         with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_FRESH.json" if fresh else "BENCH.json",
-            ),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), durable),
             "w",
         ) as fh:
             json.dump(result, fh, indent=1)

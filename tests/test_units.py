@@ -5431,3 +5431,50 @@ def test_bare_set_op_chain_fuzz(spark):
         want = reference(tokens)
         got = Counter(r[0] for r in spark.sql(T(ch_sql)).collect())
         assert got == want, (case, ch_sql, dict(got), dict(want))
+
+
+def test_canary_trimmed_median_and_retry(monkeypatch):
+    """r12 verdict item 2 (instrument hardening): (a) the canary
+    factor is a TRIMMED median — one 20x-contended canary (the r12
+    driver-run failure mode) moves it not at all; (b) a canary >3x
+    its pin is re-run once before voting and the detail records
+    retried vs accepted; (c) the factor survives a canary missing
+    from the timings (failed entry)."""
+    import bench
+
+    base = bench.CANARY_BASELINE[0.1]
+    names = sorted(base)
+    # all canaries exactly at pin, except one 20x outlier → factor 1.0
+    secs = {n: base[n] for n in names}
+    secs[names[0]] = base[names[0]] * 20
+    assert bench.canary_factor(secs, 0.1) == 1.0
+    # uniformly 1.5x slow host → factor 1.5 (trim doesn't bias)
+    assert bench.canary_factor(
+        {n: 1.5 * p for n, p in base.items()}, 0.1) == 1.5
+    # unknown sf / empty → None
+    assert bench.canary_factor({}, 0.1) is None
+    assert bench.canary_factor(secs, 99.0) is None
+
+    # retry path: suite saw one canary 10x its pin; the re-run comes
+    # back clean and the clean number votes
+    victim = names[0]
+    timings = {n: base[n] for n in names}
+    timings[victim] = base[victim] * 10
+
+    def fake_measure(spark, sf_dir, qdefs):
+        assert len(qdefs) == 1 and qdefs[0].name == victim
+        return {victim: base[victim]}, {}, [], {}
+
+    monkeypatch.setattr(bench, "measure", fake_measure)
+    factor, detail = bench.resolve_canaries(None, "sf0.1", timings, 0.1)
+    assert factor == 1.0
+    assert detail[victim]["status"] == "retried"
+    assert detail[victim]["used_sec"] == base[victim]
+    assert detail[victim]["suite_sec"] == base[victim] * 10
+    assert all(
+        d["status"] == "accepted" for n, d in detail.items() if n != victim
+    )
+    # a canary missing from timings (entry errored) is skipped, not fatal
+    del timings[names[1]]
+    factor2, detail2 = bench.resolve_canaries(None, "sf0.1", timings, 0.1)
+    assert factor2 == 1.0 and names[1] not in detail2
