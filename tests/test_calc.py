@@ -489,3 +489,99 @@ def test_calc_meta_byte_strings_opt_in(spark):
     rc = spark.sql(engine.bound_sql(mc, CalcQuery(query_id=2))).collect()[0]
     assert rb["s"] == "ри"   # bytes 3..6 of the UTF-8 encoding
     assert rc["s"] == "ивет"  # characters 3..6
+
+
+def test_calc_export_fault_error_state_and_busy_release(spark, sf_smoke):
+    """r12 verdict item 8 — runlog fault-injection e2e: a CalcEngine
+    run whose JDBC export throws MID-COPY against a live Derby target
+    (the table pre-exists with a hostile schema; truncate keeps it, the
+    insert dies) must (a) land the query-log row in state='error' with
+    the truncated message (saveCalcError parity,
+    ora/jdbcSession.scala:84-99), (b) release the /calc single-flight
+    busy guard so the next POST /calc is accepted, and (c) leave the
+    materialized cache table intact (the fault hit the copy stage, not
+    the calc stage)."""
+    import os
+
+    from ora_ch_spark.api import OraChSparkService
+    from ora_ch_spark.plans.scheduler import TaskScheduler
+    from ora_ch_spark.runlog import ERROR_MSG_LIMIT
+    from ora_ch_spark.sinks.jdbc import JdbcSinkConfig, jdbc_export
+    from ora_ch_spark.sources.parquet import parquet_source
+
+    register_views(spark, sf_smoke)
+    store = _store(spark)
+    derby = "org.apache.derby.jdbc.EmbeddedDriver"
+    db = os.path.join(tempfile.mkdtemp(prefix="derby_calcfault_"), "oradb")
+    url = f"jdbc:derby:{db};create=true"
+    # hostile pre-existing target: one column where the export writes
+    # two — TRUNCATE succeeds (schema kept), the INSERT throws
+    (
+        spark.createDataFrame([(1,)], "n int")
+        .write.format("jdbc").mode("overwrite")
+        .option("url", url).option("dbtable", "REV_EXPORT")
+        .option("driver", derby).save()
+    )
+    cfg = JdbcSinkConfig(url=url, driver=derby)
+
+    def sink(df, meta_, parts):
+        jdbc_export(df, cfg, meta_.ora_table, parts=parts)
+        return df.count()
+
+    meta = QueryMeta(
+        query_id=42,
+        ch_table="ch_rev",
+        ora_table="REV_EXPORT",
+        query=(
+            "select o_orderstatus, count(*) as n from orders "
+            "group by o_orderstatus"
+        ),
+        ch_schema="ch",
+        ora_schema="ora",
+    )
+    sched = TaskScheduler(
+        spark, store, source_loader=parquet_source(spark, sf_smoke)
+    )
+    engine = CalcEngine(spark, store, {42: meta}, runlog=sched.runlog,
+                        export_sink=sink)
+    svc = OraChSparkService(sched, engine)
+
+    resp = svc.start_calc({"queries": [{"query_id": 42}]})
+    assert resp.get("state") == "executing"
+    # the run happens on the service's daemon thread — wait for the
+    # runlog row to reach a terminal state
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        q = sched.runlog.snapshot()[2].get(42)
+        if q is not None and q.state in ("finished", "error"):
+            break
+        _time.sleep(0.2)
+    q = sched.runlog.snapshot()[2].get(42)
+    assert q is not None and q.state == "error", q and q.state
+    assert q.error_msg and len(q.error_msg) <= ERROR_MSG_LIMIT
+    # the fault hit the copy stage: the calc result table exists
+    assert store.table_exists("ch", "ch_rev")
+    assert store.row_count("ch", "ch_rev") > 0
+    # busy guard released: a second POST /calc is accepted, and with a
+    # compatible target (dropped hostile table) it finishes clean
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("DROP TABLE REV_EXPORT")
+    st.close()
+    conn.close()
+    resp2 = svc.start_calc({"queries": [{"query_id": 42}]})
+    assert resp2.get("state") == "executing"
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        q2 = sched.runlog.snapshot()[2].get(42)
+        if q2 is not None and q2.state in ("finished", "error"):
+            break
+        _time.sleep(0.2)
+    q2 = sched.runlog.snapshot()[2].get(42)
+    assert q2 is not None and q2.state == "finished", (q2.state, q2.error_msg)
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "REV_EXPORT").option("driver", derby).load()
+    )
+    assert back.count() == store.row_count("ch", "ch_rev")
