@@ -5772,7 +5772,8 @@ def translate_ch_sql(
         # (mode 7's forward branch can never fire: a first-Monday
         # anchor is always >= Jan 1). Every formula is pinned against
         # an independent port of MySQL's calc_week in
-        # tests/test_properties.py. Modes 8+ stay loud.
+        # tests/test_properties.py. Modes 8/9 (CH-only NEWYEAR_DAY
+        # flag, no MySQL counterpart) closed r13 — see _wk_ny.
         if len(a) not in (1, 2):
             return None
         mode = a[1].strip() if len(a) == 2 else "0"
@@ -5804,7 +5805,23 @@ def translate_ch_sql(
                 return f"IF({d} >= {fm}, {this}, 0)"
             prev = _wk_num(d, _wk_fm(d, -1))
             return f"IF({d} >= {fm}, {this}, {prev})"
+        if mode in ("8", "9"):
+            return _wk_num(d, _wk_ny(d, mode))
         return None
+
+    def _wk_ny(d: str, mode: str) -> str:
+        # CH-specific NEWYEAR_DAY modes (closed r13; ClickHouse
+        # DateLUTImpl::toYearWeekOfNewyearMode): week 1 is the week
+        # CONTAINING January 1 — 8 Sunday-first, 9 Monday-first,
+        # range 1-53, and the year NEVER adjusts (the source takes
+        # toYear(d) verbatim), so no week-0/rollover branches: the
+        # anchor is the start of the week holding this year's Jan 1,
+        # which is always <= d. Pinned against an independent port
+        # of the source formula in tests/test_properties.py.
+        jan1 = f"make_date(year({d}), 1, 1)"
+        if mode == "9":  # Monday-first: floor Jan 1 to its Monday
+            return f"date_sub({jan1}, (dayofweek({jan1}) + 5) % 7)"
+        return f"date_sub({jan1}, dayofweek({jan1}) - 1)"
 
     out = _rewrite_calls(out, "toWeek", _to_week)
 
@@ -5849,6 +5866,11 @@ def translate_ch_sql(
                 f"((year({d}) - 1) * 100 + {_wk_num(d, _wk_fm(d, -1))})"
             )
             return f"IF({d} >= {fm}, {this}, {prev})"
+        if mode in ("8", "9"):
+            # NEWYEAR_DAY modes carry the calendar year verbatim
+            # (toYearWeekOfNewyearMode constructs YearWeek(toYear(d),
+            # week) — no adjustment even in the Jan/Dec edge weeks)
+            return f"(year({d}) * 100 + {_wk_num(d, _wk_ny(d, mode))})"
         return None
 
     out = _rewrite_calls(out, "toYearWeek", _to_yearweek)

@@ -71,6 +71,7 @@ TRANSLATED = [
     # r10 batch 26: MySQL week modes 4-7 (validated against an
     # independent port of MySQL's calc_week in test_properties)
     "toWeek(d, 4)", "toWeek(d, 5)", "toWeek(d, 6)", "toWeek(d, 7)",
+    "toWeek(d, 8)", "toWeek(d, 9)", "toYearWeek(d, 8)", "toYearWeek(d, 9)",
     "toYearWeek(d, 4)", "toYearWeek(d, 5)", "toYearWeek(d, 6)",
     "toYearWeek(d, 7)", "defaultValueOfTypeName('Int32')",
     "defaultValueOfTypeName('Nullable(String)')",
@@ -178,8 +179,9 @@ LOUD = [
     "byteSwap(x)", "bitSlice(s, 1, 4)",
     "reinterpretAsFloat64(x)", "reinterpretAsUInt128(x)",
     "tupleConcat(t1, t2)",
-    # unsupported parameter shapes (supported shapes translate)
-    "toYearWeek(d, 8)", "toWeek(d, 8)", "JSONExtractInt(j, k, 0)",
+    # unsupported parameter shapes (supported shapes translate;
+    # week modes 8/9 closed r13 — see TRANSLATED)
+    "toYearWeek(d, 10)", "toWeek(d, mode_col)", "JSONExtractInt(j, k, 0)",
     "age('fortnight', a, b)",
     "defaultValueOfTypeName('Array(Int32)')",
     "defaultValueOfTypeName(type_col)",

@@ -851,6 +851,17 @@ def test_week_modes_differential_vs_python(spark):
         y, w = calc_week(d, (mode & 7) | 2)
         return y * 100 + w
 
+    def nym(d, monday_first):
+        # independent port of ClickHouse DateLUTImpl::
+        # toYearWeekOfNewyearMode (modes 8/9, closed r13): week 1 is
+        # the week containing Jan 1; year is the calendar year,
+        # never adjusted
+        jan1 = dt.date(d.year, 1, 1)
+        wd = jan1.weekday()  # Mon=0..Sun=6
+        off = wd if monday_first else (wd + 1) % 7
+        anchor = jan1 - dt.timedelta(off)
+        return d.year, (d - anchor).days // 7 + 1
+
     rows = [(i, d) for i, d in enumerate(dates)]
     spark.createDataFrame(rows, "i int, d date").createOrReplaceTempView(
         "wk_fuzz"
@@ -860,7 +871,9 @@ def test_week_modes_differential_vs_python(spark):
         "toYearWeek(d) y0, toYearWeek(d, 1) y1, toYearWeek(d, 2) y2, "
         "toWeek(d, 4) w4, toWeek(d, 5) w5, toWeek(d, 6) w6, "
         "toWeek(d, 7) w7, toYearWeek(d, 4) y4, toYearWeek(d, 5) y5, "
-        "toYearWeek(d, 6) y6, toYearWeek(d, 7) y7 "
+        "toYearWeek(d, 6) y6, toYearWeek(d, 7) y7, "
+        "toWeek(d, 8) w8, toWeek(d, 9) w9, "
+        "toYearWeek(d, 8) y8, toYearWeek(d, 9) y9 "
         "from wk_fuzz"
     )).collect()}
     for i, d in rows:
@@ -876,6 +889,16 @@ def test_week_modes_differential_vs_python(spark):
         act47 = (r["w4"], r["w5"], r["w6"], r["w7"],
                  r["y4"], r["y5"], r["y6"], r["y7"])
         assert act47 == exp47, f"{d}: {act47} != {exp47}"
+        y8, w8 = nym(d, False)
+        y9, w9 = nym(d, True)
+        act89 = (r["w8"], r["w9"], r["y8"], r["y9"])
+        assert act89 == (w8, w9, y8 * 100 + w8, y9 * 100 + w9), (
+            f"{d}: {act89}"
+        )
+        # docs say 1-53, the source formula yields 54 for Dec 29-31
+        # of a leap year starting Saturday (anchor Dec 26 + 371
+        # days) — the port and the translator agree on the source
+        assert 1 <= w8 <= 54 and 1 <= w9 <= 54
 
 
 def test_byte_string_semantics_differential_vs_python(spark):
