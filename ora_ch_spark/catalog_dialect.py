@@ -2983,12 +2983,14 @@ ORDER BY k
 
 
 # ---------------------------------------------------------------------------
-# Battery 26 (round 10) — batches 26-28 through the driver gate:
-# MySQL week modes 4/6/7 (+ YEARWEEK 4/7) against a DuckDB replay of
-# the anchor arithmetic (Sunday-start-of-Jan-4's-week / first-Monday
-# anchors, mode-6 forward roll — the formulas themselves are
-# validated against an independent port of MySQL's calc_week in
-# test_properties); the multiSearch position family; RFC-3986 URL
+# Battery 26 (round 10; modes 8/9 added r13) — batches 26-28 through
+# the driver gate: MySQL week modes 4/6/7 (+ YEARWEEK 4/7) and the
+# CH-only NEWYEAR_DAY modes 8/9 against a DuckDB replay of the
+# anchor arithmetic (Sunday-start-of-Jan-4's-week / first-Monday /
+# week-containing-Jan-1 anchors, mode-6 forward roll — the formulas
+# themselves are validated against independent ports of MySQL's
+# calc_week and CH's toYearWeekOfNewyearMode in test_properties);
+# the multiSearch position family; RFC-3986 URL
 # codecs (DuckDB oracle uses closed-form replaces — the inputs'
 # only non-unreserved char is the space); arrayReduce closed forms;
 # quoteMeta (only '-' is meta in the priority strings).
@@ -2997,7 +2999,9 @@ ORDER BY k
 _DIALECT26_CH_SQL = """
 select k,
   toWeek(d, 4) as w4, toWeek(d, 6) as w6, toWeek(d, 7) as w7,
+  toWeek(d, 8) as w8, toWeek(d, 9) as w9,
   toYearWeek(d, 4) as yw4, toYearWeek(d, 7) as yw7,
+  toYearWeek(d, 8) as yw8, toYearWeek(d, 9) as yw9,
   multiSearchFirstIndex(p,
     ['URGENT', 'HIGH', 'MEDIUM', 'LOW', 'NOT SPECIFIED']) as msi,
   multiSearchFirstPosition(p, ['GE', 'IG', 'OW']) as msp,
@@ -3040,6 +3044,10 @@ a AS (
        + ((8 - isodow(make_date(y, 1, 1))) % 7)::int) AS fm,
     (make_date(y - 1, 1, 1)
        + ((8 - isodow(make_date(y - 1, 1, 1))) % 7)::int) AS fmp,
+    (make_date(y, 1, 1)
+       - dayofweek(make_date(y, 1, 1))::int) AS ny8,
+    (make_date(y, 1, 1)
+       - (isodow(make_date(y, 1, 1)) - 1)::int) AS ny9,
     [strpos(p, 'URGENT'), strpos(p, 'HIGH'), strpos(p, 'MEDIUM'),
      strpos(p, 'LOW'), strpos(p, 'NOT SPECIFIED')] AS msl,
     [strpos(p, 'GE'), strpos(p, 'IG'), strpos(p, 'OW')] AS mpl
@@ -3053,6 +3061,10 @@ SELECT k,
         ELSE datediff('day', s4p, d) // 7 + 1 END)::INT AS w6,
   (CASE WHEN d >= fm THEN datediff('day', fm, d) // 7 + 1
         ELSE datediff('day', fmp, d) // 7 + 1 END)::INT AS w7,
+  (datediff('day', ny8, d) // 7 + 1)::INT AS w8,
+  (datediff('day', ny9, d) // 7 + 1)::INT AS w9,
+  (y * 100 + datediff('day', ny8, d) // 7 + 1)::INT AS yw8,
+  (y * 100 + datediff('day', ny9, d) // 7 + 1)::INT AS yw9,
   (CASE WHEN d >= s4n THEN (y + 1) * 100 + 1
         WHEN d >= s4 THEN y * 100 + datediff('day', s4, d) // 7 + 1
         ELSE (y - 1) * 100 + datediff('day', s4p, d) // 7 + 1
