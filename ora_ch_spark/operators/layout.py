@@ -94,14 +94,19 @@ def cluster_table(
         raise ValueError("cluster_table targets unpartitioned tables; "
                          "hive layouts already prune on their partition dirs")
     n = num_files or max(1, len(m["files"]))
-    df = zorder_value(store.read(schema, table), cols, bits)
+    # rewrite input pinned to the same snapshot as the CAS base (r13)
+    df = zorder_value(
+        store._df_for_manifest(m, store._tdir(schema, table)), cols, bits
+    )
     clustered = (
         df.repartitionByRange(n, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    # layout-only rewrite: carry the Bloom index setting through
+    # layout-only rewrite: carry the Bloom index setting through;
+    # publish CAS-checked against the snapshot the rewrite read
     store.write(
         schema, table, clustered,
         bloom_columns=m.get("bloom_columns") or [],
+        _expect_base=m.get("_base"),
     )

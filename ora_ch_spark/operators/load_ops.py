@@ -335,8 +335,15 @@ def op_update(
         else:
             # the full-table frame is built ONLY on this branch — on a
             # million-file table the pruned path must never pay the
-            # driver-side source listing of every file (r12)
-            target = store.read(spec.schema, spec.name)
+            # driver-side source listing of every file (r12). One
+            # manifest read feeds the frame, the Bloom carry-over AND
+            # the publish-time CAS base (r13): a commit landing while
+            # the merge runs makes the write fail loudly instead of
+            # silently discarding its rows.
+            mfull = store._manifest(spec.schema, spec.name)
+            target = store._df_for_manifest(
+                mfull, store._tdir(spec.schema, spec.name)
+            )
             merged = target.join(join_side, on=key_columns, how="left")
             for f in fields:
                 merged = merged.withColumn(f, F.coalesce(F.col(f"__upd_{f}"), F.col(f)))
@@ -348,10 +355,8 @@ def op_update(
                 merged,
                 partition_by=part_cols or None,
                 # maintenance rewrite, not DDL: keep the Bloom index
-                bloom_columns=store._manifest(spec.schema, spec.name).get(
-                    "bloom_columns"
-                )
-                or [],
+                bloom_columns=mfull.get("bloom_columns") or [],
+                _expect_base=mfull.get("_base"),
             )
         if wm_col and new_mark is not None:
             # advance the high-water mark only after a successful write

@@ -1315,6 +1315,7 @@ class TableStore:
         meta: dict | None = None,
         bloom_columns: list[str] | None = None,
         _if_absent: bool = False,
+        _expect_base: str | None = None,
     ) -> str:
         """Full snapshot (recreate/overwrite): one new group holding
         all data; previous snapshot stays readable until GC retention
@@ -1324,6 +1325,15 @@ class TableStore:
         is readable via :meth:`table_meta` — state that must commit
         ATOMICALLY with the data (e.g. the incremental-view refresh
         watermark) belongs here, not in a second file.
+
+        ``_expect_base`` (internal): the snapshot name this rewrite
+        was COMPUTED from — maintenance rewrites (compact /
+        deduplicate / the partitioned full-rewrite delete paths) pass
+        it so ``_commit`` rejects the publish with ``StoreConflict``
+        if another commit (this process or any other) landed since
+        the snapshot was read. Without it a full rewrite would
+        silently discard the interleaved commit's rows. Plain
+        user-facing overwrites (recreate) keep last-writer-wins.
 
         The (possibly long) Spark data write runs OUTSIDE the commit
         lock — parallel table loads don't serialize on each other;
@@ -1346,18 +1356,17 @@ class TableStore:
                         f"{schema}.{table}: created concurrently during "
                         f"append's create-fallback"
                     )
-                self._commit(
-                    schema,
-                    table,
-                    {
-                        "schema": df.schema.json(),
-                        "partition_by": partition_by or [],
-                        "bloom_columns": bloom_columns or [],
-                        "groups": [rel],
-                        "files": entries,
-                        "meta": meta or {},
-                    },
-                )
+                manifest = {
+                    "schema": df.schema.json(),
+                    "partition_by": partition_by or [],
+                    "bloom_columns": bloom_columns or [],
+                    "groups": [rel],
+                    "files": entries,
+                    "meta": meta or {},
+                }
+                if _expect_base is not None:
+                    manifest["_base"] = _expect_base
+                self._commit(schema, table, manifest)
         finally:
             self._release_inflight(tdir, rel)
         return os.path.join(tdir, rel)
@@ -1604,8 +1613,9 @@ class TableStore:
                 schema,
                 table,
                 # DELETE keeps rows where the predicate is NULL, not
-                # just false — survivors are "predicate IS NOT TRUE"
-                self.read(schema, table).filter(
+                # just false — survivors are "predicate IS NOT TRUE";
+                # input pinned to the CAS-base snapshot
+                self._df_for_manifest(m, self._tdir(schema, table)).filter(
                     f"NOT coalesce(({predicate}), false)"
                 ),
                 partition_by=m["partition_by"],
@@ -1613,6 +1623,7 @@ class TableStore:
                 # (write(None) means "drop index" — a DDL reset this
                 # path must not imply; ADVICE r04)
                 bloom_columns=m.get("bloom_columns") or [],
+                _expect_base=m.get("_base"),  # loud on concurrent commit
             )
             return
         # zone-map pruning: classify files against the predicate using
@@ -1796,7 +1807,8 @@ class TableStore:
                 "MORE small files, and read_pruned prunes hive layouts on "
                 "their partition dirs already)"
             )
-        df = self.read(schema, table)
+        # rewrite input pinned to the SAME snapshot as the CAS base
+        df = self._df_for_manifest(m, self._tdir(schema, table))
         if target_partitions is None:
             total = sum(fe["bytes"] for fe in m["files"])
             target_partitions = max(1, total // (128 << 20))
@@ -1818,6 +1830,10 @@ class TableStore:
             partition_by=m.get("partition_by") or None,
             # compaction preserves the per-file Bloom value index
             bloom_columns=m.get("bloom_columns") or [],
+            # maintenance rewrite: publishing over a snapshot that
+            # moved since we read it would silently discard the
+            # interleaved commit — fail loudly instead (r13)
+            _expect_base=m.get("_base"),
         )
 
     def clone(
@@ -1875,15 +1891,16 @@ class TableStore:
             # (partition columns live in the DIRECTORY names, not the
             # files) and lose those values — full filtered rewrite
             # instead, same guard as the keyed-update path
-            survivors = self.read(schema, table).join(
-                F.broadcast(keys), on=key_cols, how="left_anti"
-            )
+            survivors = self._df_for_manifest(
+                m, self._tdir(schema, table)
+            ).join(F.broadcast(keys), on=key_cols, how="left_anti")
             self.write(
                 schema,
                 table,
                 survivors,
                 partition_by=m["partition_by"],
                 bloom_columns=m.get("bloom_columns") or [],
+                _expect_base=m.get("_base"),  # loud on concurrent commit
             )
             return len(m["files"])
         tagged = self.read_with_file(schema, table)
@@ -1923,7 +1940,11 @@ class TableStore:
         winner: min of the remaining columns). Like CH, this is an
         O(table) rewrite — routine dedup belongs at ingest
         (``operators/dedup.py``); this is the repair tool."""
-        df = self.read(schema, table)
+        # one manifest read feeds BOTH the rewrite input and the CAS
+        # base — reading them separately would let an interleaved
+        # commit slip between and record a base newer than the data
+        m = self._manifest(schema, table)
+        df = self._df_for_manifest(m, self._tdir(schema, table))
         if by:
             others = [c for c in df.columns if c not in by]
             # deterministic winner: min(struct(others)) per key group
@@ -1934,11 +1955,11 @@ class TableStore:
                 .select(*df.columns)
         else:
             df = df.dropDuplicates()
-        m = self._manifest(schema, table)
         return self.write(
             schema,
             table,
             df,
             partition_by=m.get("partition_by") or None,
             bloom_columns=m.get("bloom_columns") or [],
+            _expect_base=m.get("_base"),  # maintenance rewrite (r13)
         )

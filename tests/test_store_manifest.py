@@ -1604,3 +1604,54 @@ def test_vacuum_concurrent_with_writers_and_readers(spark, sf_smoke):
         t.join()
     assert not errors, errors
     assert store.read("s", "t").count() == region.count() + 5
+
+
+def test_full_rewrite_detects_interleaved_commit(spark, tmp_path):
+    """r13: maintenance FULL rewrites (compact / deduplicate / the
+    partitioned delete paths) publish with a compare-and-swap on the
+    snapshot they were computed from. An append landing between the
+    rewrite's snapshot read and its pointer swap must make the
+    publish fail LOUDLY (StoreConflict) — before r13 the rewrite
+    silently discarded the appended rows — and the append survives."""
+    import pytest as _pytest
+
+    from ora_ch_spark.store import StoreConflict
+
+    store = TableStore(spark, str(tmp_path / "casrw"))
+    store.create_database("s")
+    store.write("s", "t", spark.range(0, 100).selectExpr("id as k"))
+
+    orig = store._write_group
+    fired = {"done": False}
+
+    def sneaky(schema, table, df, partition_by, bloom_columns=None):
+        # interleave a real append while the compact's data files are
+        # being written (i.e. after its snapshot read, before publish)
+        if not fired["done"]:
+            fired["done"] = True
+            store.append("s", "t", spark.range(100, 110).selectExpr("id as k"))
+        return orig(schema, table, df, partition_by, bloom_columns)
+
+    store._write_group = sneaky
+    try:
+        with _pytest.raises(StoreConflict, match="concurrent commit"):
+            store.compact("s", "t")
+    finally:
+        store._write_group = orig
+    # the interleaved append's rows are intact, nothing lost
+    assert store.row_count("s", "t") == 110
+
+    # same guard on deduplicate
+    fired["done"] = False
+    store._write_group = sneaky
+    try:
+        with _pytest.raises(StoreConflict, match="concurrent commit"):
+            store.deduplicate("s", "t")
+    finally:
+        store._write_group = orig
+    assert store.row_count("s", "t") == 120
+    # and with no interference the maintenance rewrites succeed
+    store.deduplicate("s", "t")
+    assert store.row_count("s", "t") == 110  # dups from the two appends
+    store.compact("s", "t")
+    assert store.row_count("s", "t") == 110
