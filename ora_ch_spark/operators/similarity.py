@@ -645,6 +645,10 @@ def build_ivf_index(
         q, F.broadcast(seeds), id_col, impl=assign_impl, carry_cols=keep_cols
     )
     store.write(schema, f"{name}_centroids", seeds)
+    # training-time routing quality, committed atomically with the
+    # assign snapshot: baseline for ivf_index_drift_report (one extra
+    # broadcast-centroids pass over the build corpus, build-time only)
+    stat = _routing_error(q, seeds, id_col)
     # cluster rows by list BEFORE the hive write: without this every
     # upstream partition writes a sliver into every centroid dir
     # (P×n_lists files — measured 512 files / 512-task probe scans at
@@ -656,8 +660,33 @@ def build_ivf_index(
         f"{name}_assign",
         assign.repartition(n_lists, "centroid"),
         partition_by=["centroid"],
+        meta={"train_route_err": stat[0], "train_rows": stat[1]},
     )
     q.unpersist()
+
+
+def _routing_error(q: DataFrame, cents: DataFrame, id_col: str) -> tuple:
+    """Mean routing error (1 - best-centroid cosine) over ``q`` —
+    the list-geometry quality number behind the IVF drift metric.
+    Broadcast centroids x one narrow pass; no shuffle beyond the
+    scalar aggregate."""
+    scored = q.crossJoin(
+        F.broadcast(cents.select("c_id", F.col("qc").alias("qb")))
+    ).withColumn(
+        "cosine",
+        (_dot("qe", "qb").cast("double"))
+        / (F.sqrt(_norm2("qe").cast("double")) * F.sqrt(_norm2("qb").cast("double"))),
+    )
+    row = (
+        scored.groupBy(id_col)
+        .agg(F.max("cosine").alias("best"))
+        .agg(
+            F.avg(F.lit(1.0) - F.col("best")).alias("err"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    return float(row["err"]), int(row["n"])
 
 
 def ivf_index_append(
@@ -677,7 +706,8 @@ def ivf_index_append(
     continuously-ingesting corpus keeps its ANN index current; with
     fixed centroids the result is IDENTICAL to rebuilding over the
     union (equivalence-tested), and list-geometry drift under heavy
-    growth is the signal to re-train seeds and rebuild."""
+    growth is the signal to re-train seeds and rebuild — measured by
+    :func:`ivf_index_drift_report` (r13), not left to intuition."""
     cents = store.read(schema, f"{name}_centroids")
     q = quantize(new_emb, emb_col, "qe")
     assign = _argmax_centroid(
@@ -690,6 +720,55 @@ def ivf_index_append(
         f"{name}_assign",
         assign.repartition(int(n_lists), "centroid"),
     )
+
+
+# retrain threshold for ivf_index_drift_report — same rationale as
+# pq.DRIFT_RETRAIN_RATIO: a batch whose mean routing error exceeds
+# the training-time error by this factor lives in a region the frozen
+# list geometry no longer covers well
+IVF_DRIFT_RETRAIN_RATIO = 1.5
+
+
+def ivf_index_drift_report(
+    store,
+    schema: str,
+    batch_emb: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    retrain_ratio: float = IVF_DRIFT_RETRAIN_RATIO,
+) -> dict:
+    """List-geometry drift metric for a persisted IVF index (the
+    centroid twin of ``pq.index_drift_report``): route ``batch_emb``
+    with the FROZEN centroids and compare its mean routing error
+    (1 - best-centroid cosine) against the training-time error
+    recorded in the assign-table snapshot meta at build. Cosine
+    routing is scale-invariant, so the metric responds to
+    DIRECTIONAL shift — exactly what invalidates inverted lists.
+    O(batch): broadcast centroids x one pass over the new rows."""
+    meta = store.table_meta(schema, f"{name}_assign")
+    train_err = meta.get("train_route_err")
+    if train_err is None:
+        raise ValueError(
+            f"{schema}.{name}_assign carries no train_route_err meta — the "
+            f"index predates the drift metric; rebuild with build_ivf_index"
+        )
+    cents = store.read(schema, f"{name}_centroids")
+    q = quantize(batch_emb, emb_col, "qe").select(id_col, "qe")
+    batch_err, n = _routing_error(q, cents, id_col)
+    if n == 0:
+        raise ValueError("empty drift batch")
+    if train_err > 0:
+        ratio = batch_err / train_err
+    else:  # degenerate training set (every vector is a centroid)
+        ratio = 1.0 if batch_err <= 0 else float("inf")
+    return {
+        "train_route_err": train_err,
+        "batch_route_err": batch_err,
+        "drift_ratio": ratio,
+        "batch_rows": n,
+        "retrain": ratio > retrain_ratio,
+    }
 
 
 _FANOUT_MAX_BYTES = 512 << 20  # redistribute only sub-512 MiB slices

@@ -936,6 +936,79 @@ def test_ivfadc_index_drift_report(spark, sf_smoke, tmp_path):
         index_drift_report(legacy, "ch", held_out)
 
 
+def test_ivf_index_drift_report(spark, sf_smoke, tmp_path):
+    """Centroid twin of the IVFADC drift metric (r13): routing error
+    (1 - best-centroid cosine) of a batch under the FROZEN centroids
+    vs the training-time error in the assign-table meta. Cosine
+    routing is scale-invariant, so the shifted batch must be a
+    DIRECTIONAL shift — negation flips every vector to the far side
+    of the centroid fan. Unshifted held-out rows stay near ratio 1;
+    negated rows blow past the retrain threshold; the baseline rides
+    appends; a pre-metric index is loud."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_drift_report,
+    )
+    from ora_ch_spark.store import TableStore
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    # a drift metric needs a TRAINED distribution: cluster the build
+    # corpus tightly around the 16 seed centroids (random vectors are
+    # directionally symmetric — any batch routes equally badly, so
+    # nothing could drift). Deterministic small angular noise per id.
+    bank = emb.filter("vec_id < 16").select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("ce")
+    )
+
+    def clustered(lo, hi, seed):
+        ids = spark.range(lo, hi).select(
+            F.col("id").cast(dict(emb.dtypes)["vec_id"]).alias("vec_id"),
+            (F.col("id") % 16).cast("int").alias("c"),
+        )
+        return ids.join(F.broadcast(bank), "c").select(
+            "vec_id",
+            F.expr(
+                f"transform(ce, (x, i) -> cast(x + "
+                f"((vec_id * 31 + i * 7 + {seed}) % 11 - 5) * 0.02 "
+                f"as float))"
+            ).alias("embedding"),
+        )
+
+    train = clustered(0, 400, 1)
+    held_out = clustered(1000, 1100, 2)  # same distribution, new rows
+    shifted = emb.filter("vec_id >= 100 and vec_id < 200")  # random
+    store = TableStore(spark, str(tmp_path / "ivfdrift"))
+    store.create_database("ch")
+    build_ivf_index(store, "ch", train)
+
+    same = ivf_index_drift_report(store, "ch", held_out)
+    assert same["batch_rows"] == 100
+    assert same["drift_ratio"] < 1.5 and not same["retrain"], same
+
+    moved = ivf_index_drift_report(store, "ch", shifted)
+    assert moved["drift_ratio"] > 1.5 and moved["retrain"], moved
+
+    ivf_index_append(store, "ch", held_out.withColumn(
+        "vec_id", (F.col("vec_id") + 900000).cast(dict(emb.dtypes)["vec_id"])
+    ))
+    again = ivf_index_drift_report(store, "ch", held_out)
+    assert again["train_route_err"] == same["train_route_err"]
+
+    legacy = TableStore(spark, str(tmp_path / "ivflegacy"))
+    legacy.create_database("ch")
+    build_ivf_index(legacy, "ch", train)
+    with legacy._publish_lock("ch", "ivf_assign"):
+        m = legacy._manifest("ch", "ivf_assign")
+        m["meta"] = {}
+        legacy._commit("ch", "ivf_assign", m)
+    with pytest.raises(ValueError, match="train_route_err"):
+        ivf_index_drift_report(legacy, "ch", held_out)
+
+
 def test_multiprobe_wide_hash_mask_path(spark, sf_smoke):
     """n_planes > 6 takes the bounded mask set (popcount ≤ 3) — the
     2^P enumeration would explode on wide hashes. The probe ranking

@@ -3330,10 +3330,13 @@ def test_dialect_batch10_rewrites(spark):
     assert abs(run("select arrayJaccardIndex([1,2],[2,3])") - 1 / 3) < 1e-12
     assert run("select arrayPartialSort(2, [3,1,2])") == [1, 2, 3]
     assert sorted(run("select arrayShuffle([1,2,3])")) == [1, 2, 3]
-    # toWeek mode 3 = ISO week; modes 0/1/2 translate in batch 22,
-    # modes 4-9 stay untranslated (loud)
+    # toWeek mode 3 = ISO week; modes 0-2 translate in batch 22,
+    # 4-7 in batch 26, 8/9 (NEWYEAR_DAY) in r13; dynamic modes loud
     assert run("select toWeek(toDate('2024-01-04'), 3)") == 1
-    assert "toWeek" in T("select toWeek(d, 8) from t")
+    assert "toWeek" not in T("select toWeek(d, 8) from t")
+    assert run("select toWeek(toDate('2023-01-01'), 8)") == 1
+    assert run("select toWeek(toDate('2023-12-31'), 8)") == 53
+    assert "toWeek" in T("select toWeek(d, mode_col) from t")
     spark.sql(
         "create or replace temp view mi_b10 as select * from values "
         "(1.0,3.0),(1.0,6.0),(2.0,5.0),(3.0,7.0) as t(s,e)"
@@ -3931,8 +3934,8 @@ def test_dialect_batch18(spark):
     assert int(r["l"]) == 123
     assert r["m"] == -1.98 and r["n"] == 9.0
     # unsupported toYearWeek modes / bad arities stay loud (modes
-    # 0/1/2 translate since batch 22; 4-9 remain loud)
-    src = "select toYearWeek(d, 8) from t"
+    # 0/1/2 translate since batch 22, 4-7 batch 26, 8/9 r13)
+    src = "select toYearWeek(d, 10) from t"
     assert T(src) == src
     src2 = "select toYearWeek(d, 0, 'UTC', 1) from t"
     assert T(src2) == src2
@@ -3984,10 +3987,11 @@ def test_dialect_batch22(spark):
     with _pytest.raises(Exception, match="alphanumeric"):
         spark.sql(T("select hasToken('x', concat('a ', 'b')) as e")
                   ).collect()
-    # composite / non-literal type names and week modes 4-9 stay loud
+    # composite / non-literal type names and unknown week modes stay
+    # loud (8/9 translate since r13)
     for src in ("select defaultValueOfTypeName('Array(Int32)') from t",
                 "select defaultValueOfTypeName(c) from t",
-                "select toWeek(d, 8) from t"):
+                "select toWeek(d, 10) from t"):
         assert T(src) == src
 
 
