@@ -2367,6 +2367,130 @@ def _cap_embeddings(sql: str) -> str:
     )
 
 
+def sim_index_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook drift as GATED DATA (r13): build the persisted IVFADC
+    index on a train split (vec_id % 5 != 4 of the capped corpus),
+    then measure the frozen-codebook mean quantization error of an
+    in-distribution held-out batch and of a 64x scale-shifted batch.
+    x*64 is EXACT in float (exponent shift), so the oracle replays
+    the shifted quantization bit-for-bit; the oracle re-runs the full
+    two-step Lloyd on the train split plus all three encodes, making
+    the drift baseline AND direction regression-gated values, not
+    just pytest thresholds."""
+    from ora_ch_spark.catalog import _tmp_store
+    from ora_ch_spark.operators.pq import (
+        build_ivfadc_index,
+        index_drift_report,
+    )
+
+    store = _tmp_store(spark)
+    store.create_database("ch")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        f"vec_id < {_RECALL_CORPUS_CAP}"
+    )
+    train = emb.filter("vec_id % 5 != 4")
+    held = emb.filter("vec_id % 5 = 4")
+    shifted = held.withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x * 64 as float))")
+    )
+    build_ivfadc_index(store, "ch", train)
+    rows = []
+    for split, batch in (("held_out", held), ("shifted", shifted)):
+        r = index_drift_report(store, "ch", batch)
+        rows.append(
+            (split, float(r["train_mqe"]), float(r["batch_mqe"]),
+             bool(r["retrain"]))
+        )
+    return spark.createDataFrame(
+        rows, "split string, train_mqe double, batch_mqe double, retrain boolean"
+    ).orderBy("split")
+
+
+def _index_drift_oracle(m: int = 4, k: int = 16, sub: int = 16) -> str:
+    """Full replay of sim_index_drift: per-subspace two-step Lloyd on
+    the TRAIN split (same init/update as _pq_oracle), then min-dist
+    encodes of train / held-out / 64x-shifted batches against the
+    final codebooks; mqe = sum of per-(vector, subspace) min dists /
+    n_vectors, drift flag at the documented 1.5x threshold."""
+    cap = _RECALL_CORPUS_CAP
+    blocks = []
+    mins = {"t": [], "h": [], "x": []}
+    for s in range(m):
+        lo = s * sub
+        blocks.append(f"""
+tsub{s} AS (SELECT vec_id, v, i - {lo} AS j FROM te WHERE i > {lo} AND i <= {lo + sub}),
+c0_{s} AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS code, vec_id
+  FROM (SELECT vec_id FROM tq ORDER BY vec_id LIMIT {k})
+),
+ce0_{s} AS (SELECT c0_{s}.code, s.j, s.v FROM c0_{s} JOIN tsub{s} s USING (vec_id)),
+d1_{s} AS (
+  SELECT s.vec_id, ce.code, sum((s.v - ce.v) * (s.v - ce.v)) AS dist
+  FROM tsub{s} s JOIN ce0_{s} ce ON s.j = ce.j GROUP BY 1, 2
+),
+a1_{s} AS (
+  SELECT vec_id, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+    FROM d1_{s}) WHERE rn = 1
+),
+ce1_{s} AS (
+  SELECT a1.code, s.j,
+         cast(floor(cast(sum(s.v) as double) / count(*)) as bigint) AS v
+  FROM a1_{s} a1 JOIN tsub{s} s USING (vec_id) GROUP BY 1, 2
+),
+tmin{s} AS (
+  SELECT s.vec_id, min(d) AS md FROM (
+    SELECT s.vec_id, ce.code, sum((s.v - ce.v) * (s.v - ce.v)) AS d
+    FROM tsub{s} s JOIN ce1_{s} ce ON s.j = ce.j GROUP BY 1, 2
+  ) s GROUP BY 1
+),
+hsub{s} AS (SELECT vec_id, v, i - {lo} AS j FROM he WHERE i > {lo} AND i <= {lo + sub}),
+hmin{s} AS (
+  SELECT s.vec_id, min(d) AS md FROM (
+    SELECT s.vec_id, ce.code, sum((s.v - ce.v) * (s.v - ce.v)) AS d
+    FROM hsub{s} s JOIN ce1_{s} ce ON s.j = ce.j GROUP BY 1, 2
+  ) s GROUP BY 1
+),
+xsub{s} AS (SELECT vec_id, v, i - {lo} AS j FROM xe WHERE i > {lo} AND i <= {lo + sub}),
+xmin{s} AS (
+  SELECT s.vec_id, min(d) AS md FROM (
+    SELECT s.vec_id, ce.code, sum((s.v - ce.v) * (s.v - ce.v)) AS d
+    FROM xsub{s} s JOIN ce1_{s} ce ON s.j = ce.j GROUP BY 1, 2
+  ) s GROUP BY 1
+)""")
+        for b in ("t", "h", "x"):
+            mins[b].append(f"SELECT vec_id, md FROM {b}min{s}")
+    unions = {b: "\n    UNION ALL\n    ".join(v) for b, v in mins.items()}
+    return f"""
+WITH tq AS (SELECT vec_id, {_QE} AS qe FROM embeddings
+            WHERE vec_id < {cap} AND vec_id % 5 != 4),
+te AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM tq),
+hq AS (SELECT vec_id, {_QE} AS qe FROM embeddings
+       WHERE vec_id < {cap} AND vec_id % 5 = 4),
+he AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM hq),
+xq AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[],
+                             x -> cast(floor(x * 64 * 10000) as bigint)) AS qe
+       FROM embeddings WHERE vec_id < {cap} AND vec_id % 5 = 4),
+xe AS (SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM xq),
+{",".join(blocks)},
+tmqe AS (SELECT cast(sum(md) as double) / count(DISTINCT vec_id) AS mqe
+         FROM ({unions["t"]})),
+hmqe AS (SELECT cast(sum(md) as double) / count(DISTINCT vec_id) AS mqe
+         FROM ({unions["h"]})),
+xmqe AS (SELECT cast(sum(md) as double) / count(DISTINCT vec_id) AS mqe
+         FROM ({unions["x"]}))
+SELECT * FROM (
+  SELECT 'held_out' AS split, t.mqe AS train_mqe, h.mqe AS batch_mqe,
+         (h.mqe / t.mqe) > 1.5 AS retrain
+  FROM tmqe t, hmqe h
+  UNION ALL
+  SELECT 'shifted', t.mqe, x.mqe, (x.mqe / t.mqe) > 1.5
+  FROM tmqe t, xmqe x
+) ORDER BY split
+"""
+
+
 def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
