@@ -629,7 +629,12 @@ class TableStore:
                 return
             ldir = os.path.join(self.root, schema, _COMMIT_LOCK_DIR)
             os.makedirs(ldir, exist_ok=True)
-            path = os.path.abspath(os.path.join(ldir, f"{table}.lock"))
+            # realpath, not abspath: flock excludes by INODE, so two
+            # spellings of one symlinked root already exclude across
+            # processes — but the in-process reentrancy dict must see
+            # them as ONE key or a same-thread reacquire via the other
+            # spelling would flock a second fd and self-deadlock
+            path = os.path.realpath(os.path.join(ldir, f"{table}.lock"))
             with _FLOCK_GUARD:
                 ent = _FLOCK_HELD.get(path)
                 if ent is not None:
