@@ -134,6 +134,31 @@ def resolve_canaries(
     return canary_factor(secs, sf), detail
 
 
+def warm_jvm(spark, sf_dir: str) -> None:
+    """Tier up the JVM before measuring (r13): the first ~25 entries
+    of an unwarmed suite measured 1.7x their steady state with TIGHT
+    pass vectors — both passes ran on C1/interpreted whole-stage
+    codegen, so min-of-N couldn't see it. Three plan-diverse throwaway
+    executions (scan+agg, window, shuffle join) cost ~4 s and take the
+    JIT penalty off whichever entries the gate ordering happens to
+    put first."""
+    import contextlib
+
+    li = f"{sf_dir}/lineitem.parquet"
+    od = f"{sf_dir}/orders.parquet"
+    with contextlib.suppress(Exception):
+        for sql in (
+            f"select l_returnflag, count(*) n, sum(l_extendedprice) s "
+            f"from parquet.`{li}` group by 1",
+            f"select l_orderkey, row_number() over (partition by "
+            f"l_returnflag order by l_extendedprice) rn from parquet.`{li}`",
+            f"select o.o_orderstatus, count(*) n from parquet.`{li}` l "
+            f"join parquet.`{od}` o on l.l_orderkey = o.o_orderkey "
+            f"group by 1",
+        ):
+            spark.sql(sql).write.format("noop").mode("overwrite").save()
+
+
 def measure(
     spark, sf_dir: str, qdefs
 ) -> tuple[dict, dict, list, dict]:
@@ -242,6 +267,7 @@ def main() -> None:
         lo, hi = map(int, args[args.index("--slice") + 1].split(":"))
         spark = get_spark(app_name=f"ora_ch_spark_bench_slice_{lo}")
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        warm_jvm(spark, sf_dir)
         t, pv, c, e = measure(spark, sf_dir, all_queries()[lo:hi])
         print(
             "BENCH_SLICE "
@@ -267,6 +293,7 @@ def main() -> None:
         # warm up the JVM + parquet reader so startup cost isn't billed
         # to the first query
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        warm_jvm(spark, sf_dir)
         timings, pass_vectors, contended, errors = measure(
             spark, sf_dir, all_queries()
         )

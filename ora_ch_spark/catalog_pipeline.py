@@ -2367,6 +2367,13 @@ def _cap_embeddings(sql: str) -> str:
     )
 
 
+# the drift entry gates the drift MATH, not index scale (the index
+# lifecycle is gated by sim_topk_ivfadc_index); its own corpus cap
+# equals the sf0.01 vector count so gate hashes are unchanged while
+# the sf0.1 bench cost stays O(1) in sf
+_DRIFT_CORPUS_CAP = 500
+
+
 def sim_index_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook drift as GATED DATA (r13): build the persisted IVFADC
     index on a train split (vec_id % 5 != 4 of the capped corpus),
@@ -2386,7 +2393,7 @@ def sim_index_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _tmp_store(spark)
     store.create_database("ch")
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        f"vec_id < {_RECALL_CORPUS_CAP}"
+        f"vec_id < {_DRIFT_CORPUS_CAP}"
     )
     train = emb.filter("vec_id % 5 != 4")
     held = emb.filter("vec_id % 5 = 4")
@@ -2412,7 +2419,7 @@ def _index_drift_oracle(m: int = 4, k: int = 16, sub: int = 16) -> str:
     encodes of train / held-out / 64x-shifted batches against the
     final codebooks; mqe = sum of per-(vector, subspace) min dists /
     n_vectors, drift flag at the documented 1.5x threshold."""
-    cap = _RECALL_CORPUS_CAP
+    cap = _DRIFT_CORPUS_CAP
     blocks = []
     mins = {"t": [], "h": [], "x": []}
     for s in range(m):

@@ -220,6 +220,34 @@ def cosine_topk_lsh_multiprobe(
     Raising ``n_probes`` is the recall knob: probe count is
     independent of corpus size, so at scale (more planes → smaller
     buckets) the candidate set stays ~``n_probes``·N/2^P rows."""
+    if n_probes <= 1:
+        # single probe degenerates to the query's own bucket: mask 0
+        # costs 0 and ties rank by lowest mask, so it always wins —
+        # skip the per-plane dot columns, mask enumeration and probe
+        # rank entirely (bit-equal output; the shape of the pre-r13
+        # single-bucket entry point, now a fast path of the one API)
+        b = lsh_bucket_assign(emb, id_col, emb_col, n_planes, dims).persist()
+        corpus1 = b.select(
+            F.col(id_col).alias("n_id"), F.col("qe").alias("qb"), "bucket"
+        )
+        probe = b.select(
+            F.col(id_col).alias("q_id"), F.col("qe").alias("qa"), "bucket"
+        )
+        if query_ids is not None:
+            probe = probe.join(
+                F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))),
+                "q_id",
+            )
+        pairs = F.broadcast(probe).join(corpus1, "bucket").filter(
+            F.col("q_id") != F.col("n_id")
+        )
+        scored = with_cosine(pairs).select("q_id", "n_id", "cosine")
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "cosine")
+        )
     signs = lsh_plane_signs(n_planes, dims)
     q = quantize(emb, emb_col, "qe")
     dot_cols = []
