@@ -711,7 +711,9 @@ def build_ivfadc_index(
             "s int, code int, cq array<bigint>",
         ),
     )
-    assigned = _assign_grouped(qsub, crows, id_col)
+    # persisted: BOTH the code write and the drift-baseline stat read
+    # this — without the persist the encode mapInPandas pass runs twice
+    assigned = _assign_grouped(qsub, crows, id_col).persist()
     enc = assigned.select(
         F.col(id_col).alias("n_id"), "s", F.col("cluster").alias("code")
     )
@@ -735,6 +737,7 @@ def build_ivfadc_index(
             "train_rows": int(stat["n"]),
         },
     )
+    assigned.unpersist()
     q.unpersist()
 
 

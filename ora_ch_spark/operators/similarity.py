@@ -669,14 +669,17 @@ def build_ivf_index(
         seeds = q.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
         )
+    # persisted: the hive write AND the drift-baseline stat read this
     assign = _argmax_centroid(
         q, F.broadcast(seeds), id_col, impl=assign_impl, carry_cols=keep_cols
-    )
+    ).persist()
     store.write(schema, f"{name}_centroids", seeds)
     # training-time routing quality, committed atomically with the
-    # assign snapshot: baseline for ivf_index_drift_report (one extra
-    # broadcast-centroids pass over the build corpus, build-time only)
-    stat = _routing_error(q, seeds, id_col)
+    # assign snapshot: baseline for ivf_index_drift_report. The
+    # assigned centroid IS the argmax-cosine winner, so the error
+    # comes from ONE cosine per row against the already-computed
+    # assignment — no corpus x centroids pass at build time
+    stat = _routing_error_from_assign(assign, seeds, id_col)
     # cluster rows by list BEFORE the hive write: without this every
     # upstream partition writes a sliver into every centroid dir
     # (P×n_lists files — measured 512 files / 512-task probe scans at
@@ -690,6 +693,7 @@ def build_ivf_index(
         partition_by=["centroid"],
         meta={"train_route_err": stat[0], "train_rows": stat[1]},
     )
+    assign.unpersist()
     q.unpersist()
 
 
@@ -714,6 +718,30 @@ def _routing_error(q: DataFrame, cents: DataFrame, id_col: str) -> tuple:
         )
         .first()
     )
+    return float(row["err"]), int(row["n"])
+
+
+def _routing_error_from_assign(
+    assign: DataFrame, cents: DataFrame, id_col: str
+) -> tuple:
+    """Same number as :func:`_routing_error` when ``assign`` is the
+    argmax-cosine assignment of the corpus (the winner's cosine IS
+    the best cosine) — one cosine per ROW instead of per
+    row x centroid. Value-equality is pinned by the drift test."""
+    scored = assign.join(
+        F.broadcast(
+            cents.select(F.col("c_id").alias("centroid"), F.col("qc").alias("qb"))
+        ),
+        "centroid",
+    ).withColumn(
+        "cosine",
+        (_dot("qe", "qb").cast("double"))
+        / (F.sqrt(_norm2("qe").cast("double")) * F.sqrt(_norm2("qb").cast("double"))),
+    )
+    row = scored.agg(
+        F.avg(F.lit(1.0) - F.col("cosine")).alias("err"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
     return float(row["err"]), int(row["n"])
 
 

@@ -989,6 +989,17 @@ def test_ivf_index_drift_report(spark, sf_smoke, tmp_path):
     assert same["batch_rows"] == 100
     assert same["drift_ratio"] < 1.5 and not same["retrain"], same
 
+    # the build-time baseline (one cosine per assigned row) equals the
+    # exhaustive best-cosine form up to double-summation order
+    from ora_ch_spark.operators.similarity import _routing_error, quantize
+
+    cents = store.read("ch", "ivf_centroids")
+    qtr = quantize(train).select("vec_id", "qe")
+    full_err, full_n = _routing_error(qtr, cents, "vec_id")
+    assert full_n == 400
+    assert abs(full_err - same["train_route_err"]) < 1e-9, (
+        full_err, same["train_route_err"])
+
     moved = ivf_index_drift_report(store, "ch", shifted)
     assert moved["drift_ratio"] > 1.5 and moved["retrain"], moved
 
