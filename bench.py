@@ -171,12 +171,18 @@ def measure(
     pass_vectors: dict[str, list[float]] = {}
     contended: list[str] = []
     errors: dict[str, str] = {}
+    import gc
+
     for q in qdefs:
         # operators persist intermediates internally; drop the PREVIOUS
         # entry's leftovers so 40+ queries' caches don't evict each
         # other mid-measurement (each entry measured on its own plan,
-        # warm within its two passes)
+        # warm within its two passes). gc.collect() releases lingering
+        # DataFrame refs so the ContextCleaner can reclaim their
+        # broadcast / localCheckpoint blocks — 200 entries of residue
+        # in one JVM otherwise drags the tail of the suite (r13)
         spark.catalog.clearCache()
+        gc.collect()
         try:
             passes: list[float] = []
             for _ in range(2):
