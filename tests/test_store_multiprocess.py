@@ -218,3 +218,101 @@ def test_crossprocess_timetravel_reader_survives_vacuum(spark):
     assert p.returncode == 0, (out, err)
     result = json.loads(out.strip().splitlines()[-1])
     assert result["rows"] == 1000, result
+
+
+def test_concurrent_mixed_mutation_conservation_fuzz(spark):
+    """Row conservation under a concurrent mixed workload (r13): three
+    writer threads each run a deterministic-random schedule of appends
+    and keyed deletes over their OWN key range while a maintenance
+    thread runs compact_small / compact / deduplicate / vacuum,
+    retrying on StoreConflict (the contract for full rewrites losing a
+    race). Invariant: the final table holds EXACTLY the union of every
+    writer's ledger — no lost updates, no resurrected rows, no
+    duplicates — regardless of interleaving."""
+    import random
+    import threading
+
+    from ora_ch_spark.store import StoreConflict
+
+    root = tempfile.mkdtemp(prefix="store_fuzz_")
+    store = TableStore(spark, root, retention_sec=300)
+    store.create_database("s")
+    store.write("s", "t", spark.range(0).selectExpr("id as k", "'seed' as who"))
+
+    ledgers: dict[str, set[int]] = {}
+    errors: list = []
+
+    def writer(wid: int):
+        tag = f"w{wid}"
+        base = wid * 1_000_000
+        rng = random.Random(1300 + wid)
+        mine: set[int] = set()
+        try:
+            batches = []
+            for b in range(5):
+                keys = list(range(base + b * 100, base + b * 100 + 40))
+                df = spark.createDataFrame(
+                    [(k, tag) for k in keys], "k bigint, who string"
+                )
+                store.append("s", "t", df)
+                mine.update(keys)
+                batches.append(keys)
+                if batches and rng.random() < 0.5:
+                    victim = rng.choice(batches)
+                    doomed = victim[: rng.randrange(1, len(victim))]
+                    kdf = spark.createDataFrame(
+                        [(k,) for k in doomed], "k bigint"
+                    )
+                    for _ in range(6):  # retry full-rewrite conflicts
+                        try:
+                            store.delete_by_keys("s", "t", kdf, ["k"])
+                            mine.difference_update(doomed)
+                            break
+                        except StoreConflict:
+                            continue
+                    else:
+                        raise AssertionError("delete retries exhausted")
+            ledgers[tag] = mine
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def maintenance():
+        rng = random.Random(7)
+        try:
+            for _ in range(8):
+                op = rng.choice(["small", "compact", "dedup", "vacuum"])
+                try:
+                    if op == "small":
+                        store.compact_small("s", "t")
+                    elif op == "compact":
+                        store.compact("s", "t")
+                    elif op == "dedup":
+                        store.deduplicate("s", "t")
+                    else:
+                        store.vacuum("s", "t")
+                except StoreConflict:
+                    pass  # lost the race to a writer — correct outcome
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    threads.append(threading.Thread(target=maintenance))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    got: dict[str, set[int]] = {}
+    rows = store.read("s", "t").collect()
+    assert len(rows) == len({(r["k"], r["who"]) for r in rows}), "duplicates"
+    for r in rows:
+        got.setdefault(r["who"], set()).add(r["k"])
+    want = {tag: keys for tag, keys in ledgers.items() if keys}
+    assert got == want, {
+        t: (len(got.get(t, set())), len(want.get(t, set()))) for t in set(got) | set(want)
+    }
+    # and a final maintenance pass converges cleanly
+    store.deduplicate("s", "t")
+    store.compact("s", "t")
+    assert store.row_count("s", "t") == sum(len(v) for v in want.values())
