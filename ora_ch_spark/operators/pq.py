@@ -851,6 +851,50 @@ def index_drift_report(
     }
 
 
+def ivfadc_ingest_with_drift_guard(
+    store,
+    schema: str,
+    corpus_emb: DataFrame,
+    batch_emb: DataFrame,
+    name: str = "ivfadc",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    retrain_ratio: float = DRIFT_RETRAIN_RATIO,
+    **build_kwargs,
+) -> dict:
+    """The drift number driving the index lifecycle (r13): measure the
+    incoming batch against the frozen codebooks, then either APPEND
+    (in-distribution — O(batch), :func:`ivfadc_index_append`) or
+    REBUILD over ``corpus_emb`` (the caller's current base table,
+    which must already INCLUDE the batch rows — the index stores only
+    codes, so raw vectors come from the caller either way). This is
+    the continuous-ingestion loop a 100-TB corpus runs: cheap appends
+    while the distribution holds, one re-train when the measured
+    quantization error says the codebooks stopped covering new data.
+    Returns the drift report plus ``{"action": "appended"|"rebuilt"}``.
+
+    The ratio is meaningful for PER-SOURCE batches: after a rebuild
+    over a heterogeneous corpus, a high-magnitude subpopulation still
+    measures above the GLOBAL mean error (that is arithmetic, not
+    drift) — what the rebuild buys is a hard drop in that
+    population's ABSOLUTE error, which the lifecycle test pins. Feed
+    the guard batches from one ingestion source at a time, not a mix
+    of sources with wildly different scales."""
+    report = index_drift_report(
+        store, schema, batch_emb, name, id_col, emb_col, retrain_ratio
+    )
+    if report["retrain"]:
+        build_ivfadc_index(
+            store, schema, corpus_emb, name, id_col=id_col,
+            emb_col=emb_col, **build_kwargs,
+        )
+        report["action"] = "rebuilt"
+    else:
+        ivfadc_index_append(store, schema, batch_emb, name, id_col, emb_col)
+        report["action"] = "appended"
+    return report
+
+
 def ivfadc_topk_from_index(
     store,
     schema: str,

@@ -936,6 +936,68 @@ def test_ivfadc_index_drift_report(spark, sf_smoke, tmp_path):
         index_drift_report(legacy, "ch", held_out)
 
 
+def test_ivfadc_ingest_with_drift_guard(spark, sf_smoke, tmp_path):
+    """The drift number driving the lifecycle (r13): an
+    in-distribution batch APPENDS (O(batch), baseline untouched,
+    appended rows served); a shifted batch REBUILDS over the caller's
+    union corpus — and after the rebuild the previously-drifting
+    distribution measures in-distribution (ratio near 1), closing the
+    loop the 'drift means re-train' docstring promises."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.io import load_table
+    from ora_ch_spark.operators.pq import (
+        build_ivfadc_index,
+        index_drift_report,
+        ivfadc_ingest_with_drift_guard,
+        ivfadc_topk_from_index,
+    )
+    from ora_ch_spark.store import TableStore
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    train = emb.filter("vec_id % 5 != 4")
+    held = emb.filter("vec_id % 5 = 4")
+    idt = dict(emb.dtypes)["vec_id"]
+    shifted = (
+        emb.filter("vec_id % 5 = 4")
+        .withColumn("vec_id", (F.col("vec_id") + 800000).cast(idt))
+        .withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> cast(x * 7 + 13 as float))"),
+        )
+    )
+    store = TableStore(spark, str(tmp_path / "guard"))
+    store.create_database("ch")
+    build_ivfadc_index(store, "ch", train)
+    base_mqe = store.table_meta("ch", "ivfadc_codes")["train_mqe"]
+
+    # in-distribution: append path, baseline untouched, rows served
+    r1 = ivfadc_ingest_with_drift_guard(
+        store, "ch", train.unionByName(held), held
+    )
+    assert r1["action"] == "appended" and not r1["retrain"]
+    assert store.table_meta("ch", "ivfadc_codes")["train_mqe"] == base_mqe
+    probe = held.limit(1)
+    got = ivfadc_topk_from_index(store, "ch", probe)
+    assert got.count() > 0
+
+    # shifted: rebuild over the union; baseline re-trains, and the
+    # retrained codebooks cover the shifted population — its absolute
+    # quantization error drops hard. (Its ratio vs the GLOBAL mean
+    # stays >1: a high-magnitude subpopulation in a heterogeneous
+    # corpus always sits above the corpus-mean error — the guard's
+    # docstring documents that per-source batches are the unit the
+    # ratio is meaningful for.)
+    union = train.unionByName(held).unionByName(shifted)
+    r2 = ivfadc_ingest_with_drift_guard(store, "ch", union, shifted)
+    assert r2["action"] == "rebuilt" and r2["retrain"]
+    new_mqe = store.table_meta("ch", "ivfadc_codes")["train_mqe"]
+    assert new_mqe != base_mqe
+    after = index_drift_report(store, "ch", shifted)
+    assert after["batch_mqe"] < r2["batch_mqe"] / 2, (
+        r2["batch_mqe"], after["batch_mqe"])
+
+
 def test_ivf_index_drift_report(spark, sf_smoke, tmp_path):
     """Centroid twin of the IVFADC drift metric (r13): routing error
     (1 - best-centroid cosine) of a batch under the FROZEN centroids
