@@ -119,7 +119,7 @@ def resolve_canaries(
         suite_sec = timings[name]
         used, status = suite_sec, "accepted"
         if pin > 0 and suite_sec > CANARY_RETRY_RATIO * pin and name in by_name:
-            redo, _, _, err = measure(spark, sf_dir, [by_name[name]])
+            redo, _, _, _err, _ = measure(spark, sf_dir, [by_name[name]])
             if name in redo:
                 used = min(suite_sec, redo[name])
                 status = "retried"
@@ -159,11 +159,22 @@ def warm_jvm(spark, sf_dir: str) -> None:
             spark.sql(sql).write.format("noop").mode("overwrite").save()
 
 
+# every N entries the in-suite loop re-measures one canary as a
+# dedicated single-pass PROBE (round-robin, excluded from totals):
+# the canary ENTRIES cluster wherever gate ordering puts them
+# (positions 11-103 in the r13 order), so the factor alone cannot see
+# a drag that builds over the suite — the probe trace makes
+# position-dependent host/residue inflation diagnosable post-hoc
+PROBE_EVERY = 25
+
+
 def measure(
-    spark, sf_dir: str, qdefs
-) -> tuple[dict, dict, list, dict]:
+    spark, sf_dir: str, qdefs, probe_base: dict | None = None
+) -> tuple[dict, dict, list, dict, list]:
     """Measurement loop over ``qdefs`` (min-of-2 with contention
-    re-sampling — see inline history notes)."""
+    re-sampling — see inline history notes). ``probe_base`` (the
+    sf's canary pins) enables the interleaved probe trace (fifth
+    return value; empty list without it)."""
     # min of 2 passes per query: single-pass numbers on a shared box
     # swing ±30%, which is noise against the 2x regression bar — the
     # min is the steady-state cost of the plan
@@ -171,9 +182,13 @@ def measure(
     pass_vectors: dict[str, list[float]] = {}
     contended: list[str] = []
     errors: dict[str, str] = {}
+    probes: list[dict] = []
+    probe_defs = (
+        [q for q in qdefs if q.name in probe_base] if probe_base else []
+    )
     import gc
 
-    for q in qdefs:
+    for i, q in enumerate(qdefs):
         # operators persist intermediates internally; drop the PREVIOUS
         # entry's leftovers so 40+ queries' caches don't evict each
         # other mid-measurement (each entry measured on its own plan,
@@ -218,7 +233,29 @@ def measure(
         except Exception as exc:  # one broken query must not kill the run
             errors[q.name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {q.name} FAILED: {errors[q.name]}", file=sys.stderr)
-    return timings, pass_vectors, contended, errors
+        if probe_defs and (i + 1) % PROBE_EVERY == 0:
+            # interleaved canary probe: one dedicated pass of one
+            # canary (round-robin), EXCLUDED from totals — the
+            # position-tagged ratio trace shows where in the suite
+            # host/residue drag builds up
+            pq = probe_defs[((i + 1) // PROBE_EVERY - 1) % len(probe_defs)]
+            try:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                pq.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = time.perf_counter() - t0
+                pin = probe_base[pq.name]
+                probes.append({
+                    "pos": i + 1,
+                    "name": pq.name,
+                    "sec": round(sec, 3),
+                    "ratio": round(sec / pin, 3) if pin > 0 else None,
+                })
+            except Exception:  # noqa: BLE001 — diagnostics must not kill
+                pass
+    return timings, pass_vectors, contended, errors, probes
 
 
 def _run_fresh(sf_dir: str, group_size: int) -> tuple[dict, dict, list, dict]:
@@ -274,7 +311,7 @@ def main() -> None:
         spark = get_spark(app_name=f"ora_ch_spark_bench_slice_{lo}")
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
         warm_jvm(spark, sf_dir)
-        t, pv, c, e = measure(spark, sf_dir, all_queries()[lo:hi])
+        t, pv, c, e, _ = measure(spark, sf_dir, all_queries()[lo:hi])
         print(
             "BENCH_SLICE "
             + json.dumps(
@@ -292,6 +329,9 @@ def main() -> None:
         timings, pass_vectors, contended, errors = _run_fresh(
             sf_dir, group_size
         )
+        # fresh mode restarts the JVM per group, so there is no
+        # accumulated residue for a probe trace to expose
+        probe_trace = []
         # canary/throughput probes need a local session too
         spark = get_spark(app_name="ora_ch_spark_bench_fresh")
     else:
@@ -300,8 +340,8 @@ def main() -> None:
         # to the first query
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
         warm_jvm(spark, sf_dir)
-        timings, pass_vectors, contended, errors = measure(
-            spark, sf_dir, all_queries()
+        timings, pass_vectors, contended, errors, probe_trace = measure(
+            spark, sf_dir, all_queries(), probe_base=CANARY_BASELINE.get(sf)
         )
 
     total = round(sum(timings.values()), 3)
@@ -339,6 +379,9 @@ def main() -> None:
         # median over 9 canaries, >3x-of-pin outliers re-run once)
         "canary_factor": factor,
         "canary": canary_detail,
+        # position-tagged single-pass canary ratios taken every
+        # PROBE_EVERY entries — diagnostics only, excluded from totals
+        "canary_probes": probe_trace,
         "value_canary_normalized": (
             round(total / factor, 3) if factor else None
         ),

@@ -5465,9 +5465,9 @@ def test_canary_trimmed_median_and_retry(monkeypatch):
     timings = {n: base[n] for n in names}
     timings[victim] = base[victim] * 10
 
-    def fake_measure(spark, sf_dir, qdefs):
+    def fake_measure(spark, sf_dir, qdefs, probe_base=None):
         assert len(qdefs) == 1 and qdefs[0].name == victim
-        return {victim: base[victim]}, {}, [], {}
+        return {victim: base[victim]}, {}, [], {}, []
 
     monkeypatch.setattr(bench, "measure", fake_measure)
     factor, detail = bench.resolve_canaries(None, "sf0.1", timings, 0.1)
