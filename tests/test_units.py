@@ -5482,3 +5482,37 @@ def test_canary_trimmed_median_and_retry(monkeypatch):
     del timings[names[1]]
     factor2, detail2 = bench.resolve_canaries(None, "sf0.1", timings, 0.1)
     assert factor2 == 1.0 and names[1] not in detail2
+
+
+def test_bench_measure_probe_trace(spark):
+    """r13 instrument: measure() fires a position-tagged canary probe
+    every PROBE_EVERY entries (round-robin over the canaries present
+    in qdefs, excluded from totals), and warm_jvm runs clean."""
+    import bench
+
+    class Q:
+        def __init__(self, name):
+            self.name = name
+
+        def spark(self, s, sf_dir):
+            return s.range(5)
+
+    names = [f"e{i}" for i in range(bench.PROBE_EVERY * 2)]
+    names[3] = "c_a"
+    names[7] = "c_b"
+    qdefs = [Q(n) for n in names]
+    base = {"c_a": 0.5, "c_b": 0.25}
+    t, pv, cont, err, probes = bench.measure(spark, "unused", qdefs,
+                                             probe_base=base)
+    assert not err and len(t) == len(names)
+    assert [p["pos"] for p in probes] == [bench.PROBE_EVERY,
+                                          bench.PROBE_EVERY * 2]
+    assert [p["name"] for p in probes] == ["c_a", "c_b"]  # round-robin
+    for p in probes:
+        assert p["sec"] > 0 and p["ratio"] == round(p["sec"] / base[p["name"]], 3)
+    # probes are diagnostics: totals come only from the entries
+    assert set(t) == set(names)
+    # and without probe_base the trace is empty
+    *_, none = bench.measure(spark, "unused", qdefs[:3])
+    assert none == []
+    bench.warm_jvm(spark, "/root/testdata/sf0.001")  # no raise
