@@ -245,12 +245,14 @@ def measure(
                 pq.spark(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                sec = time.perf_counter() - t0
+                sec = round(time.perf_counter() - t0, 3)
                 pin = probe_base[pq.name]
                 probes.append({
                     "pos": i + 1,
                     "name": pq.name,
-                    "sec": round(sec, 3),
+                    "sec": sec,
+                    # from the ROUNDED sec, so the artifact's two
+                    # numbers are mutually consistent
                     "ratio": round(sec / pin, 3) if pin > 0 else None,
                 })
             except Exception:  # noqa: BLE001 — diagnostics must not kill
