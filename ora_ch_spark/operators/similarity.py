@@ -827,6 +827,39 @@ def ivf_index_drift_report(
     }
 
 
+def ivf_ingest_with_drift_guard(
+    store,
+    schema: str,
+    corpus_emb: DataFrame,
+    batch_emb: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    retrain_ratio: float = IVF_DRIFT_RETRAIN_RATIO,
+    **build_kwargs,
+) -> dict:
+    """IVF twin of ``pq.ivfadc_ingest_with_drift_guard``: route the
+    incoming batch against the frozen centroids and either APPEND
+    (in-distribution — O(batch)) or REBUILD over ``corpus_emb``
+    (which must already include the batch rows). Same per-source
+    batch caveat as the IVFADC guard: the ratio compares against the
+    corpus-mean routing error. Returns the drift report plus
+    ``{"action": "appended"|"rebuilt"}``."""
+    report = ivf_index_drift_report(
+        store, schema, batch_emb, name, id_col, emb_col, retrain_ratio
+    )
+    if report["retrain"]:
+        build_ivf_index(
+            store, schema, corpus_emb, name, id_col=id_col,
+            emb_col=emb_col, **build_kwargs,
+        )
+        report["action"] = "rebuilt"
+    else:
+        ivf_index_append(store, schema, batch_emb, name, id_col, emb_col)
+        report["action"] = "appended"
+    return report
+
+
 _FANOUT_MAX_BYTES = 512 << 20  # redistribute only sub-512 MiB slices
 
 

@@ -1081,6 +1081,31 @@ def test_ivf_index_drift_report(spark, sf_smoke, tmp_path):
     with pytest.raises(ValueError, match="train_route_err"):
         ivf_index_drift_report(legacy, "ch", held_out)
 
+    # ---- lifecycle guard (IVF twin of the IVFADC guard) ----
+    from ora_ch_spark.operators.similarity import (
+        ivf_ingest_with_drift_guard,
+        ivf_topk_from_index,
+    )
+
+    g = TableStore(spark, str(tmp_path / "ivfguard"))
+    g.create_database("ch")
+    build_ivf_index(g, "ch", train)
+    base_err = g.table_meta("ch", "ivf_assign")["train_route_err"]
+    r1 = ivf_ingest_with_drift_guard(
+        g, "ch", clustered(0, 500, 1), held_out
+    )
+    assert r1["action"] == "appended" and not r1["retrain"]
+    assert g.table_meta("ch", "ivf_assign")["train_route_err"] == base_err
+    assert ivf_topk_from_index(g, "ch", held_out.limit(1)).count() > 0
+    union = clustered(0, 400, 1).unionByName(
+        shifted.select("vec_id", "embedding")
+    )
+    r2 = ivf_ingest_with_drift_guard(g, "ch", union, shifted)
+    assert r2["action"] == "rebuilt" and r2["retrain"]
+    after = ivf_index_drift_report(g, "ch", shifted)
+    assert after["batch_route_err"] < r2["batch_route_err"], (
+        r2["batch_route_err"], after["batch_route_err"])
+
 
 def test_multiprobe_wide_hash_mask_path(spark, sf_smoke):
     """n_planes > 6 takes the bounded mask set (popcount ≤ 3) — the
