@@ -2503,6 +2503,213 @@ SELECT * FROM (
 """
 
 
+def sim_ivf_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-vs-rebuild LIFECYCLE of the persisted IVF index as
+    gated data (r14): the drift metric alone is gated by
+    sim_index_drift; this entry gates the DECISION the guard makes
+    with it and the geometry change a drift-triggered rebuild
+    produces. A drift metric needs a trained distribution (random
+    vectors are directionally symmetric), so the corpus is built the
+    way the pytest lifecycle test builds it: 8 bank directions
+    (vec_id < 8) plus deterministic per-(id, dim) angular noise.
+
+    Phase 1: an in-distribution batch → guard APPENDS, frozen
+    baseline rides. Phase 2: a batch of raw (random-direction)
+    corpus vectors → routing error blows past 1.5× → guard REBUILDS
+    with TRAINED centroids (kmeans k=n_lists, iters=3) over the full
+    union — the r13 no-op-rebuild bug is exactly what the phase-3
+    row pins: the retrained baseline/batch errors must match the
+    oracle's full Lloyd replay, which a bit-identical re-seed of the
+    stale centroids cannot."""
+    from ora_ch_spark.catalog import _tmp_store
+    from ora_ch_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_drift_report,
+        ivf_ingest_with_drift_guard,
+    )
+
+    store = _tmp_store(spark)
+    store.create_database("ch")
+    emb = load_table(spark, sf_dir, "embeddings")
+    idt = dict(emb.dtypes)["vec_id"]
+    bank = emb.filter("vec_id < 8").select(
+        F.col("vec_id").cast("int").alias("c"), F.col("embedding").alias("ce")
+    )
+
+    def clustered(lo, hi, seed):
+        ids = spark.range(lo, hi).select(
+            F.col("id").cast(idt).alias("vec_id"),
+            (F.col("id") % 8).cast("int").alias("c"),
+        )
+        return ids.join(F.broadcast(bank), "c").select(
+            "vec_id",
+            F.expr(
+                f"transform(ce, (x, i) -> cast(x + "
+                f"cast((vec_id * 31 + i * 7 + {seed}) % 11 - 5 as double) "
+                f"* cast(0.02 as double) as float))"
+            ).alias("embedding"),
+        )
+
+    train = clustered(0, 200, 1)
+    held = clustered(1000, 1050, 2)
+    # directional drift: raw random-direction corpus rows the
+    # clustered centroid fan never points at; ids remapped clear of
+    # the union
+    drifted = emb.filter("vec_id >= 100 and vec_id < 150").select(
+        (F.col("vec_id") + 5000).cast(idt).alias("vec_id"), "embedding"
+    )
+
+    build_ivf_index(store, "ch", train, n_lists=8)
+    r1 = ivf_ingest_with_drift_guard(
+        store, "ch", train.unionByName(held), held, n_lists=8
+    )
+    union = train.unionByName(held).unionByName(drifted)
+    r2 = ivf_ingest_with_drift_guard(store, "ch", union, drifted, n_lists=8)
+    post = ivf_index_drift_report(store, "ch", drifted)
+    rows = [
+        ("1_in_distribution", r1["action"],
+         r1["train_route_err"], r1["batch_route_err"], r1["retrain"]),
+        ("2_drifted", r2["action"],
+         r2["train_route_err"], r2["batch_route_err"], r2["retrain"]),
+        ("3_post_rebuild", "report",
+         post["train_route_err"], post["batch_route_err"], post["retrain"]),
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "phase string, action string, train_route_err double, "
+            "batch_route_err double, retrain boolean",
+        )
+        .select(
+            "phase",
+            "action",
+            F.round("train_route_err", 6).alias("train_route_err"),
+            F.round("batch_route_err", 6).alias("batch_route_err"),
+            "retrain",
+        )
+        .orderBy("phase")
+    )
+
+
+def _ivf_lifecycle_oracle(k: int = 8) -> str:
+    """Full replay of sim_ivf_lifecycle: clustered-corpus
+    construction (bank + angular noise, float-cast then the 1e4
+    quantize grid), frozen first-k routing errors for the build /
+    held-out / drifted batches, the 1.5× decisions, then the
+    drift-triggered rebuild — two-update Lloyd (iters=3) over the
+    union with lowest-id init, floor-mean updates, (dist, cluster)
+    tie-break — and the retrained baseline + batch errors."""
+
+    def err(batch: str, cents: str, prefix: str) -> str:
+        # mean routing error (1 - best cosine) of exploded batch
+        # (vec_id, i, qv) against exploded centroids (c_id, i, cv)
+        return f"""
+{prefix}_bn AS (SELECT vec_id, sum(qv * qv) AS nn FROM {batch} GROUP BY 1),
+{prefix}_cn AS (SELECT c_id, sum(cv * cv) AS nn FROM {cents} GROUP BY 1),
+{prefix}_dot AS (
+  SELECT b.vec_id, c.c_id, sum(b.qv * c.cv) AS d
+  FROM {batch} b JOIN {cents} c ON b.i = c.i GROUP BY 1, 2
+),
+{prefix}_best AS (
+  SELECT d.vec_id,
+         max(cast(d.d as double) /
+             (sqrt(cast(bn.nn as double)) * sqrt(cast(cn.nn as double)))) AS best
+  FROM {prefix}_dot d
+  JOIN {prefix}_bn bn USING (vec_id) JOIN {prefix}_cn cn USING (c_id)
+  GROUP BY 1
+),
+{prefix}_err AS (SELECT avg(1.0 - best) AS err FROM {prefix}_best)"""
+
+    return f"""
+WITH bank AS (
+  SELECT vec_id AS c, unnest(embedding) AS bv,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings WHERE vec_id < 8
+),
+clspec AS (
+  SELECT * FROM (VALUES ('train', 0, 200, 1), ('held', 1000, 1050, 2))
+  s(tag, lo, hi, seed)
+),
+clids AS (SELECT tag, unnest(range(lo, hi)) AS vec_id, seed FROM clspec),
+cle AS (
+  SELECT tag, ids.vec_id, b.i,
+         cast(floor(cast(cast(
+             b.bv + cast((ids.vec_id * 31 + (b.i - 1) * 7 + ids.seed) % 11 - 5
+                         as double) * cast(0.02 as double)
+         as float) as double) * 10000) as bigint) AS qv
+  FROM clids ids JOIN bank b ON b.c = ids.vec_id % 8
+),
+dre AS (
+  SELECT vec_id + 5000 AS vec_id, i, qv FROM (
+    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           unnest(list_transform(embedding::DOUBLE[],
+                                 x -> cast(floor(x * 10000) as bigint))) AS qv
+    FROM embeddings WHERE vec_id >= 100 AND vec_id < 150)
+),
+tre AS (SELECT vec_id, i, qv FROM cle WHERE tag = 'train'),
+hee AS (SELECT vec_id, i, qv FROM cle WHERE tag = 'held'),
+uq AS (
+  SELECT vec_id, i, qv FROM cle
+  UNION ALL SELECT vec_id, i, qv FROM dre
+),
+cent0 AS (SELECT vec_id AS c_id, i, qv AS cv FROM tre WHERE vec_id < {k}),
+{err("tre", "cent0", "t0")[1:]},
+{err("hee", "cent0", "h0")[1:]},
+{err("dre", "cent0", "d0")[1:]},
+c0 AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS cluster, vec_id
+  FROM (SELECT DISTINCT vec_id FROM uq ORDER BY vec_id LIMIT {k})
+),
+kce0 AS (SELECT c0.cluster, u.i, u.qv AS cv FROM c0 JOIN uq u USING (vec_id)),
+kd1 AS (
+  SELECT u.vec_id, ce.cluster, sum((u.qv - ce.cv) * (u.qv - ce.cv)) AS dist
+  FROM uq u JOIN kce0 ce ON u.i = ce.i GROUP BY 1, 2
+),
+ka1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rn FROM kd1
+  ) WHERE rn = 1
+),
+kce1 AS (
+  SELECT a.cluster, u.i,
+         cast(floor(cast(sum(u.qv) as double) / count(*)) as bigint) AS cv
+  FROM ka1 a JOIN uq u USING (vec_id) GROUP BY 1, 2
+),
+kd2 AS (
+  SELECT u.vec_id, ce.cluster, sum((u.qv - ce.cv) * (u.qv - ce.cv)) AS dist
+  FROM uq u JOIN kce1 ce ON u.i = ce.i GROUP BY 1, 2
+),
+ka2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rn FROM kd2
+  ) WHERE rn = 1
+),
+cent2 AS (
+  SELECT a.cluster AS c_id, u.i,
+         cast(floor(cast(sum(u.qv) as double) / count(*)) as bigint) AS cv
+  FROM ka2 a JOIN uq u USING (vec_id) GROUP BY 1, 2
+),
+{err("uq", "cent2", "u2")[1:]},
+{err("dre", "cent2", "d2")[1:]}
+SELECT * FROM (
+  SELECT '1_in_distribution' AS phase, 'appended' AS action,
+         round(t.err, 6) AS train_route_err, round(h.err, 6) AS batch_route_err,
+         (h.err / t.err) > 1.5 AS retrain
+  FROM t0_err t, h0_err h
+  UNION ALL
+  SELECT '2_drifted', 'rebuilt', round(t.err, 6), round(d.err, 6),
+         (d.err / t.err) > 1.5
+  FROM t0_err t, d0_err d
+  UNION ALL
+  SELECT '3_post_rebuild', 'report', round(u.err, 6), round(d.err, 6),
+         (d.err / u.err) > 1.5
+  FROM u2_err u, d2_err d
+) ORDER BY phase
+"""
+
+
 def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 

@@ -150,25 +150,27 @@ def cosine_topk_lsh(
     k: int = 5,
     n_planes: int = 4,
     dims: int = 64,
-    n_probes: int = LSH_DEFAULT_PROBES,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Deprecated alias of :func:`cosine_topk_lsh_multiprobe` (r13).
-
-    Historically this probed ONLY the query's own bucket — recall@5
-    ~0.08 at its 4-plane default, guarded by nothing but a module
-    docstring. It now forwards to the multiprobe machinery, whose
-    ``n_probes=1`` reproduces the old candidate set bit-for-bit
-    (``test_multiprobe_nprobes1_is_plain_lsh``) minus the redundant
-    ``bucket`` output column; without an explicit ``n_probes`` the
-    caller gets the recall-ladder-elbow default instead of the
-    silent bottom rung."""
+    """Deprecated alias of :func:`cosine_topk_lsh_multiprobe` (r13;
+    r14 restores the legacy contract per ADVICE): the default stays
+    the historical single-bucket probe (``n_probes=1`` — bit-for-bit
+    the old candidate set, ``test_multiprobe_nprobes1_is_plain_lsh``)
+    and the legacy output schema ``(q_id, bucket, n_id, rank,
+    cosine)`` is preserved — a DeprecationWarning is hidden by
+    default outside tests, so the alias must not silently change
+    rows or columns under existing callers. The single-bucket
+    probe's recall@5 is ~0.08 at the 4-plane default: callers who
+    want the recall-ladder elbow switch to
+    :func:`cosine_topk_lsh_multiprobe` (default ``n_probes=11``)."""
     warnings.warn(
         "cosine_topk_lsh is deprecated; call cosine_topk_lsh_multiprobe "
-        "(n_probes=1 reproduces the old single-bucket probe)",
+        "(its n_probes=11 default is the measured recall elbow; "
+        "n_probes=1 reproduces this alias's single-bucket probe)",
         DeprecationWarning,
         stacklevel=2,
     )
-    return cosine_topk_lsh_multiprobe(
+    out = cosine_topk_lsh_multiprobe(
         emb,
         query_ids=query_ids,
         id_col=id_col,
@@ -177,6 +179,20 @@ def cosine_topk_lsh(
         n_planes=n_planes,
         dims=dims,
         n_probes=n_probes,
+    )
+    # legacy ``bucket`` column = the query's own bucket (the old
+    # plan's equi-join key). Restricted to the query side, so with
+    # ``query_ids`` it's a broadcast-sized join, not a corpus pass
+    src = emb if query_ids is None else emb.join(
+        F.broadcast(query_ids.select(id_col)), id_col
+    )
+    qb = lsh_bucket_assign(src, id_col, emb_col, n_planes, dims).select(
+        F.col(id_col).alias("q_id"), "bucket"
+    )
+    if query_ids is not None:
+        qb = F.broadcast(qb)
+    return out.join(qb, "q_id").select(
+        "q_id", "bucket", "n_id", "rank", "cosine"
     )
 
 
@@ -849,6 +865,27 @@ def ivf_ingest_with_drift_guard(
         store, schema, batch_emb, name, id_col, emb_col, retrain_ratio
     )
     if report["retrain"]:
+        if "seeds" not in build_kwargs:
+            # The default first-n-by-id seed pick would reproduce the
+            # STALE centroids bit-for-bit whenever the low-id rows
+            # aren't the ones that drifted — a "rebuilt" action that
+            # changes nothing is the worst lifecycle failure mode. A
+            # drift-triggered rebuild therefore defaults to TRAINED
+            # centroids over the full corpus (deterministic Lloyd,
+            # same trajectory the sim_topk_ivf_kmeans gate replays)
+            # so the retrain genuinely moves the list geometry.
+            from ora_ch_spark.operators.cluster import kmeans_centroids
+
+            n_lists = build_kwargs.get("n_lists", 16)
+            build_kwargs = dict(
+                build_kwargs,
+                seeds=kmeans_centroids(
+                    corpus_emb, k=n_lists, iters=3,
+                    id_col=id_col, emb_col=emb_col,
+                ).select(
+                    F.col("cluster").alias("c_id"), F.col("cq").alias("qc")
+                ),
+            )
         build_ivf_index(
             store, schema, corpus_emb, name, id_col=id_col,
             emb_col=emb_col, **build_kwargs,
