@@ -2987,7 +2987,9 @@ ORDER BY k
 # the driver gate: MySQL week modes 4/6/7 (+ YEARWEEK 4/7) and the
 # CH-only NEWYEAR_DAY modes 8/9 against a DuckDB replay of the
 # anchor arithmetic (Sunday-start-of-Jan-4's-week / first-Monday /
-# week-containing-Jan-1 anchors, mode-6 forward roll — the formulas
+# week-containing-Jan-1 anchors, mode-6 forward roll, and the
+# modes-8/9 forward roll into next year's week 1 (r14: the source's
+# yw.first year reassignment) — the formulas
 # themselves are validated against independent ports of MySQL's
 # calc_week and CH's toYearWeekOfNewyearMode in test_properties);
 # the multiSearch position family; RFC-3986 URL
@@ -3048,6 +3050,10 @@ a AS (
        - dayofweek(make_date(y, 1, 1))::int) AS ny8,
     (make_date(y, 1, 1)
        - (isodow(make_date(y, 1, 1)) - 1)::int) AS ny9,
+    (make_date(y + 1, 1, 1)
+       - dayofweek(make_date(y + 1, 1, 1))::int) AS ny8n,
+    (make_date(y + 1, 1, 1)
+       - (isodow(make_date(y + 1, 1, 1)) - 1)::int) AS ny9n,
     [strpos(p, 'URGENT'), strpos(p, 'HIGH'), strpos(p, 'MEDIUM'),
      strpos(p, 'LOW'), strpos(p, 'NOT SPECIFIED')] AS msl,
     [strpos(p, 'GE'), strpos(p, 'IG'), strpos(p, 'OW')] AS mpl
@@ -3061,10 +3067,14 @@ SELECT k,
         ELSE datediff('day', s4p, d) // 7 + 1 END)::INT AS w6,
   (CASE WHEN d >= fm THEN datediff('day', fm, d) // 7 + 1
         ELSE datediff('day', fmp, d) // 7 + 1 END)::INT AS w7,
-  (datediff('day', ny8, d) // 7 + 1)::INT AS w8,
-  (datediff('day', ny9, d) // 7 + 1)::INT AS w9,
-  (y * 100 + datediff('day', ny8, d) // 7 + 1)::INT AS yw8,
-  (y * 100 + datediff('day', ny9, d) // 7 + 1)::INT AS yw9,
+  (CASE WHEN d >= ny8n THEN 1
+        ELSE datediff('day', ny8, d) // 7 + 1 END)::INT AS w8,
+  (CASE WHEN d >= ny9n THEN 1
+        ELSE datediff('day', ny9, d) // 7 + 1 END)::INT AS w9,
+  (CASE WHEN d >= ny8n THEN (y + 1) * 100 + 1
+        ELSE y * 100 + datediff('day', ny8, d) // 7 + 1 END)::INT AS yw8,
+  (CASE WHEN d >= ny9n THEN (y + 1) * 100 + 1
+        ELSE y * 100 + datediff('day', ny9, d) // 7 + 1 END)::INT AS yw9,
   (CASE WHEN d >= s4n THEN (y + 1) * 100 + 1
         WHEN d >= s4 THEN y * 100 + datediff('day', s4, d) // 7 + 1
         ELSE (y - 1) * 100 + datediff('day', s4p, d) // 7 + 1

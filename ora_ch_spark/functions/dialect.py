@@ -5806,19 +5806,29 @@ def translate_ch_sql(
             prev = _wk_num(d, _wk_fm(d, -1))
             return f"IF({d} >= {fm}, {this}, {prev})"
         if mode in ("8", "9"):
-            return _wk_num(d, _wk_ny(d, mode))
+            return (
+                f"IF({d} >= {_wk_ny(d, mode, 1)}, 1, "
+                f"{_wk_num(d, _wk_ny(d, mode))})"
+            )
         return None
 
-    def _wk_ny(d: str, mode: str) -> str:
-        # CH-specific NEWYEAR_DAY modes (closed r13; ClickHouse
-        # DateLUTImpl::toYearWeekOfNewyearMode): week 1 is the week
-        # CONTAINING January 1 — 8 Sunday-first, 9 Monday-first,
-        # range 1-53, and the year NEVER adjusts (the source takes
-        # toYear(d) verbatim), so no week-0/rollover branches: the
-        # anchor is the start of the week holding this year's Jan 1,
-        # which is always <= d. Pinned against an independent port
-        # of the source formula in tests/test_properties.py.
-        jan1 = f"make_date(year({d}), 1, 1)"
+    def _wk_ny(d: str, mode: str, yoff: int = 0) -> str:
+        # CH-specific NEWYEAR_DAY modes (closed r13, year roll fixed
+        # r14; ClickHouse DateLUTImpl::toYearWeekOfNewyearMode):
+        # week 1 is the week CONTAINING January 1 — 8 Sunday-first,
+        # 9 Monday-first, range 1-53. The source DOES reassign the
+        # year to the year of the week's LAST day ("Checking the
+        # week across the year": yw.first = toYear(d + 7 -
+        # toDayOfWeek(d + offset))), so a late-December date whose
+        # week holds next Jan 1 is week 1 of the NEXT year — the
+        # callers emit that as d >= next year's anchor (the start of
+        # the week holding next Jan 1; equivalent because both dates
+        # floor to the same week). Early-January dates never roll
+        # backward: the week's last day is always >= Jan 1. Pinned
+        # against an independent port of the source formula in
+        # tests/test_properties.py.
+        y = f"year({d})" if yoff == 0 else f"(year({d}) + {yoff})"
+        jan1 = f"make_date({y}, 1, 1)"
         if mode == "9":  # Monday-first: floor Jan 1 to its Monday
             return f"date_sub({jan1}, (dayofweek({jan1}) + 5) % 7)"
         return f"date_sub({jan1}, dayofweek({jan1}) - 1)"
@@ -5867,10 +5877,16 @@ def translate_ch_sql(
             )
             return f"IF({d} >= {fm}, {this}, {prev})"
         if mode in ("8", "9"):
-            # NEWYEAR_DAY modes carry the calendar year verbatim
-            # (toYearWeekOfNewyearMode constructs YearWeek(toYear(d),
-            # week) — no adjustment even in the Jan/Dec edge weeks)
-            return f"(year({d}) * 100 + {_wk_num(d, _wk_ny(d, mode))})"
+            # NEWYEAR_DAY modes: the year is the year of the week's
+            # LAST day (toYearWeekOfNewyearMode's yw.first), so a
+            # late-December date whose week holds next Jan 1 rolls
+            # FORWARD to week 1 of the next year (e.g.
+            # toYearWeek('2000-12-31', 8) = 200101)
+            return (
+                f"IF({d} >= {_wk_ny(d, mode, 1)}, "
+                f"(year({d}) + 1) * 100 + 1, "
+                f"(year({d}) * 100 + {_wk_num(d, _wk_ny(d, mode))}))"
+            )
         return None
 
     out = _rewrite_calls(out, "toYearWeek", _to_yearweek)

@@ -853,14 +853,20 @@ def test_week_modes_differential_vs_python(spark):
 
     def nym(d, monday_first):
         # independent port of ClickHouse DateLUTImpl::
-        # toYearWeekOfNewyearMode (modes 8/9, closed r13): week 1 is
-        # the week containing Jan 1; year is the calendar year,
-        # never adjusted
-        jan1 = dt.date(d.year, 1, 1)
-        wd = jan1.weekday()  # Mon=0..Sun=6
-        off = wd if monday_first else (wd + 1) % 7
+        # toYearWeekOfNewyearMode (modes 8/9; r14 adds the source's
+        # year reassignment): week 1 is the week containing Jan 1,
+        # and the YEAR is the year of the week's LAST day (yw.first
+        # = toYear(d + 7 - toDayOfWeek(d + offset))) — a
+        # late-December date whose week holds next Jan 1 is week 1
+        # of the next year
+        wd = d.weekday()  # Mon=0..Sun=6
+        last = d + dt.timedelta((6 - wd) if monday_first else (5 - wd) % 7)
+        year = last.year
+        jan1 = dt.date(year, 1, 1)
+        wd1 = jan1.weekday()
+        off = wd1 if monday_first else (wd1 + 1) % 7
         anchor = jan1 - dt.timedelta(off)
-        return d.year, (d - anchor).days // 7 + 1
+        return year, (d - anchor).days // 7 + 1
 
     rows = [(i, d) for i, d in enumerate(dates)]
     spark.createDataFrame(rows, "i int, d date").createOrReplaceTempView(
@@ -895,10 +901,11 @@ def test_week_modes_differential_vs_python(spark):
         assert act89 == (w8, w9, y8 * 100 + w8, y9 * 100 + w9), (
             f"{d}: {act89}"
         )
-        # docs say 1-53, the source formula yields 54 for Dec 29-31
-        # of a leap year starting Saturday (anchor Dec 26 + 371
-        # days) — the port and the translator agree on the source
-        assert 1 <= w8 <= 54 and 1 <= w9 <= 54
+        # with the year roll the documented 1-53 range holds: the
+        # dates that would hit 54 under a never-rolling anchor
+        # (Dec 29-31 of a leap year starting Saturday) are exactly
+        # the ones whose week holds next Jan 1 → week 1
+        assert 1 <= w8 <= 53 and 1 <= w9 <= 53
 
 
 def test_byte_string_semantics_differential_vs_python(spark):

@@ -3335,7 +3335,13 @@ def test_dialect_batch10_rewrites(spark):
     assert run("select toWeek(toDate('2024-01-04'), 3)") == 1
     assert "toWeek" not in T("select toWeek(d, 8) from t")
     assert run("select toWeek(toDate('2023-01-01'), 8)") == 1
-    assert run("select toWeek(toDate('2023-12-31'), 8)") == 53
+    # 2023-12-31 is a Sunday: its Sun-Sat week holds 2024-01-01, so
+    # mode 8 rolls forward to week 1 (r14 year-roll fix); the
+    # Monday-first week Dec 25-31 stays in 2023 → week 53
+    assert run("select toWeek(toDate('2023-12-31'), 8)") == 1
+    assert run("select toWeek(toDate('2023-12-31'), 9)") == 53
+    assert run("select toYearWeek(toDate('2000-12-31'), 8)") == 200101
+    assert run("select toYearWeek(toDate('2023-12-31'), 9)") == 202353
     assert "toWeek" in T("select toWeek(d, mode_col) from t")
     spark.sql(
         "create or replace temp view mi_b10 as select * from values "
