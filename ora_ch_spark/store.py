@@ -113,7 +113,13 @@ _INFLIGHT_GUARD = threading.Lock()
 
 
 def _root_lock(root: str) -> threading.RLock:
-    key = os.path.abspath(root)
+    # realpath, not abspath: two spellings of a symlinked root must
+    # share ONE RLock, or both threads enter the commit-critical
+    # section together (the flock layer below additionally keys its
+    # reentrancy by owning thread, so even an aliased root that
+    # realpath cannot unify — bind mounts, hardlinked dirs — blocks
+    # rather than being admitted as a false re-entry)
+    key = os.path.realpath(root)
     with _ROOT_LOCKS_GUARD:
         if key not in _ROOT_LOCKS:
             _ROOT_LOCKS[key] = threading.RLock()
@@ -140,7 +146,7 @@ def _root_lock(root: str) -> threading.RLock:
 # current base (both appends survive) and targeted rewrites detect the
 # moved base and raise ``StoreConflict`` loudly — never a silent loss.
 _COMMIT_LOCK_DIR = ".locks"
-_FLOCK_HELD: dict[str, list] = {}  # lock path -> [fd, reentry depth]
+_FLOCK_HELD: dict[str, list] = {}  # lock path -> [fd, depth, owner tid]
 _FLOCK_GUARD = threading.Lock()
 
 
@@ -635,13 +641,22 @@ class TableStore:
             # them as ONE key or a same-thread reacquire via the other
             # spelling would flock a second fd and self-deadlock
             path = os.path.realpath(os.path.join(ldir, f"{table}.lock"))
+            me = threading.get_ident()
             with _FLOCK_GUARD:
                 ent = _FLOCK_HELD.get(path)
-                if ent is not None:
+                # re-entry is only the SAME thread taking the lock it
+                # already holds — a different thread reaching here
+                # (possible only via aliased roots whose RLocks
+                # differ) must fall through to _flock_open and BLOCK
+                # on the OS lock, not ride the depth counter into the
+                # critical section
+                if ent is not None and ent[2] == me:
                     ent[1] += 1
+                else:
+                    ent = None
             if ent is None:
                 fd = _flock_open(path)
-                ent = [fd, 1]
+                ent = [fd, 1, me]
                 with _FLOCK_GUARD:
                     _FLOCK_HELD[path] = ent
             try:

@@ -715,8 +715,10 @@ def test_multiprobe_nprobes1_is_plain_lsh(spark, sf_smoke):
     n_probes=1 probes exactly the query's own bucket — the plain
     (pre-r13 single-bucket) LSH result; widening probes only ever
     adds candidates (recall is monotone in n_probes); and the
-    deprecated alias warns and forwards with the elbow default —
-    never the silent single-bucket probe."""
+    deprecated alias warns but DEFAULTS to the legacy single-bucket
+    rows and legacy (q_id, bucket, n_id, rank, cosine) schema — the
+    warning is invisible outside tests, so the alias must not change
+    results under existing callers (ADVICE r14)."""
     import warnings as _warnings
 
     from ora_ch_spark.io import load_table
@@ -725,25 +727,27 @@ def test_multiprobe_nprobes1_is_plain_lsh(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     qids = emb.filter("vec_id < 10")
     with pytest.warns(DeprecationWarning, match="cosine_topk_lsh"):
-        plain = {(r["q_id"], r["n_id"], r["rank"])
-                 for r in S.cosine_topk_lsh(
-                     emb, query_ids=qids, n_planes=4, dims=64,
-                     n_probes=1).collect()}
+        plain_rows = S.cosine_topk_lsh(
+            emb, query_ids=qids, n_planes=4, dims=64, n_probes=1).collect()
+    plain = {(r["q_id"], r["n_id"], r["rank"]) for r in plain_rows}
     mp1 = {(r["q_id"], r["n_id"], r["rank"])
            for r in S.cosine_topk_lsh_multiprobe(
                emb, query_ids=qids, n_planes=4, dims=64, n_probes=1).collect()}
     assert mp1 == plain
-    # alias default == the elbow, bit-for-bit the multiprobe default
+    # alias default == the LEGACY single-bucket rows with the legacy
+    # schema, bucket = the query's own bucket
     with _warnings.catch_warnings():
         _warnings.simplefilter("ignore", DeprecationWarning)
-        dflt = {(r["q_id"], r["n_id"], r["rank"])
-                for r in S.cosine_topk_lsh(
-                    emb, query_ids=qids, n_planes=4, dims=64).collect()}
-    elbow = {(r["q_id"], r["n_id"], r["rank"])
-             for r in S.cosine_topk_lsh_multiprobe(
-                 emb, query_ids=qids, n_planes=4, dims=64,
-                 n_probes=S.LSH_DEFAULT_PROBES).collect()}
-    assert dflt == elbow and S.LSH_DEFAULT_PROBES >= 11
+        dflt_df = S.cosine_topk_lsh(emb, query_ids=qids, n_planes=4, dims=64)
+        assert dflt_df.columns == ["q_id", "bucket", "n_id", "rank", "cosine"]
+        dflt_rows = dflt_df.collect()
+    assert {(r["q_id"], r["n_id"], r["rank"]) for r in dflt_rows} == plain
+    qbuck = {r["vec_id"]: r["bucket"]
+             for r in S.lsh_bucket_assign(
+                 emb.join(qids.select("vec_id"), "vec_id"),
+                 n_planes=4, dims=64).collect()}
+    assert all(r["bucket"] == qbuck[r["q_id"]] for r in dflt_rows)
+    assert S.LSH_DEFAULT_PROBES >= 11
     truth = {
         (r["q_id"], r["n_id"])
         for r in S.cosine_topk_bruteforce(emb, query_ids=qids).collect()

@@ -316,3 +316,58 @@ def test_concurrent_mixed_mutation_conservation_fuzz(spark):
     store.deduplicate("s", "t")
     store.compact("s", "t")
     assert store.row_count("s", "t") == sum(len(v) for v in want.values())
+
+
+def test_publish_lock_excludes_aliased_root_threads(tmp_path):
+    """ADVICE r14: flock reentrancy is keyed by OWNING THREAD, not
+    just lock-file realpath. Two threads whose TableStore roots alias
+    the same directory but (by construction here) hold DIFFERENT
+    per-root RLocks must still exclude each other in the commit
+    critical section — the second thread blocks on the OS flock
+    instead of riding the depth counter in. Also pins the realpath
+    RLock keying: symlink spellings of one root share the RLock."""
+    import threading
+
+    from ora_ch_spark import store as st
+
+    real = tmp_path / "wh"
+    real.mkdir()
+    alias = tmp_path / "alias"
+    alias.symlink_to(real)
+    assert st._root_lock(str(real)) is st._root_lock(str(alias))
+
+    a = st.TableStore(None, str(real))
+    b = st.TableStore(None, str(alias))
+    # simulate an alias realpath cannot unify (bind mount, hardlinked
+    # dir): give b a private RLock so only the flock layer stands
+    # between the threads
+    b._lock = threading.RLock()
+    order: list[str] = []
+    inside = threading.Event()
+    release = threading.Event()
+    got = threading.Event()
+
+    def hold():
+        with a._publish_lock("ch", "t"):
+            order.append("a_in")
+            inside.set()
+            release.wait(10)
+            order.append("a_out")
+
+    def contend():
+        with b._publish_lock("ch", "t"):
+            order.append("b_in")
+            got.set()
+
+    t1 = threading.Thread(target=hold)
+    t1.start()
+    assert inside.wait(10)
+    t2 = threading.Thread(target=contend)
+    t2.start()
+    # b must NOT be admitted as a re-entry of a's flock
+    assert not got.wait(1.0), "second thread entered a held critical section"
+    release.set()
+    assert got.wait(10)
+    t1.join(10)
+    t2.join(10)
+    assert order == ["a_in", "a_out", "b_in"]
