@@ -147,6 +147,13 @@ def _root_lock(root: str) -> threading.RLock:
 # moved base and raise ``StoreConflict`` loudly — never a silent loss.
 _COMMIT_LOCK_DIR = ".locks"
 _FLOCK_HELD: dict[str, list] = {}  # lock path -> [fd, depth, owner tid]
+
+# commit-path GC amortization state: (root, schema, table) ->
+# (commits since last scan, last scan time) — process-local by
+# design; each process amortizes its own commit latency and debris
+# stays bounded per process (see TableStore.__init__ gc_every)
+_GC_AMORT: dict[tuple, tuple] = {}
+_GC_AMORT_GUARD = threading.Lock()
 _FLOCK_GUARD = threading.Lock()
 
 
@@ -603,11 +610,24 @@ class TableStore:
         retention_sec: float = 300.0,
         auto_compact_small_files: int = 128,
         auto_compact_min_bytes: int = 32 << 20,
+        gc_every: int = 8,
     ):
         self.spark = spark
         self.root = root
         self.keep_versions = keep_versions
         self.retention_sec = retention_sec
+        # commit-path GC amortization (r14): the retention scan walks
+        # the whole manifests dir, and at history depth it DOMINATES
+        # commit latency (measured: 8-writer mean 148 ms / p99 326 ms
+        # over a 300+-commit dir, PLANS.md). Debris is bounded by
+        # retention anyway, so the scan runs every ``gc_every``-th
+        # commit per table (process-local counter) or when
+        # ``retention_sec`` has elapsed since the table's last scan —
+        # EXCEPT under a zero-retention policy (keep_versions=0 or
+        # retention_sec<=0), where callers rely on the very next
+        # commit collecting eagerly. ``gc_every=1`` restores the
+        # every-commit scan; ``vacuum()`` remains the explicit hook.
+        self.gc_every = max(1, int(gc_every))
         # background-merge policy: once a table accumulates this many
         # sub-``auto_compact_min_bytes`` data files, the next append
         # folds them (and only them) into one right-sized group.
@@ -1192,7 +1212,40 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump({"manifest": name, "ts": time.time()}, f)
         os.replace(tmp, self._pointer(schema, table))  # atomic publish
-        self._gc(schema, table, current=name)
+        self._maybe_gc(schema, table, current=name)
+
+    def _maybe_gc(self, schema: str, table: str, current: str) -> None:
+        """Amortized commit-path GC (r14): run the full retention
+        scan only on the gc_every-th commit of this table (counted
+        per process) or once retention_sec has passed since this
+        process last scanned it; zero-retention stores keep the
+        eager every-commit scan their tests and callers contract on.
+        Skipped scans leave debris that is (a) bounded — at most
+        gc_every-1 commits' worth per process — and (b) still
+        subject to the same retention policy when the next scan or
+        an explicit vacuum() runs."""
+        eager = self.keep_versions == 0 or self.retention_sec <= 0
+        key = (os.path.realpath(self.root), schema, table)
+        now = time.time()
+        if not eager:
+            with _GC_AMORT_GUARD:
+                # cold state counts as freshly scanned: a fleet of
+                # writer processes barrier-starting on one table must
+                # not each walk a deep manifests dir on their first
+                # commit (measured: the simultaneous cold scans were
+                # the 8-writer p99); a process that commits fewer
+                # than gc_every times leaves debris bounded by the
+                # retention policy and reclaimed by any peer's next
+                # scan or an explicit vacuum()
+                cnt, last = _GC_AMORT.get(key, (0, now))
+                cnt += 1
+                if cnt < self.gc_every and now - last < self.retention_sec:
+                    _GC_AMORT[key] = (cnt, last)
+                    return
+            # fall through: scan now, reset below on completion
+        self._gc(schema, table, current=current)
+        with _GC_AMORT_GUARD:
+            _GC_AMORT[key] = (0, now)
 
     def vacuum(
         self,

@@ -1655,3 +1655,58 @@ def test_full_rewrite_detects_interleaved_commit(spark, tmp_path):
     assert store.row_count("s", "t") == 110  # dups from the two appends
     store.compact("s", "t")
     assert store.row_count("s", "t") == 110
+
+
+def test_commit_gc_amortized_cadence(spark, tmp_path):
+    """r14 (verdict item 4): the retention-GC scan is OFF the
+    per-commit path — it runs on the first commit of a table (cold
+    state), then every gc_every-th commit (or after retention_sec,
+    not reachable in this fast test), so commit latency at history
+    depth is no longer dominated by the manifests-dir walk. Cold
+    state counts as freshly scanned (barrier-starting writer fleets
+    must not all walk a deep dir on their first commit). Policy
+    unchanged: zero-retention stores keep the eager every-commit
+    scan (their callers contract on the very next commit
+    collecting — pinned by test_gc_respects_retention_grace and the
+    partition-drop test)."""
+    from ora_ch_spark.store import TableStore
+
+    def spy(store):
+        calls = []
+        orig = store._gc
+
+        def wrapped(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        store._gc = wrapped
+        return calls
+
+    store = TableStore(spark, str(tmp_path / "am"), gc_every=4)
+    calls = spy(store)
+    store.create_database("s")
+    df = spark.range(5).selectExpr("id as k")
+    store.write("s", "t", df)          # commit 1: cold -> counted, no scan
+    for _ in range(2):
+        store.append("s", "t", df)     # commits 2-3: amortized away
+    assert calls == []
+    store.append("s", "t", df)         # commit 4: gc_every-th -> scan
+    assert len(calls) == 1
+    for _ in range(3):
+        store.append("s", "t", df)     # commits 5-7: amortized away
+    assert len(calls) == 1
+    store.append("s", "t", df)         # commit 8: scan again
+    assert len(calls) == 2
+    # nothing lost while scans were skipped
+    assert store.row_count("s", "t") == 40
+
+    eager = TableStore(
+        spark, str(tmp_path / "ez"), keep_versions=0, retention_sec=0.0,
+        gc_every=8,
+    )
+    ecalls = spy(eager)
+    eager.create_database("s")
+    eager.write("s", "t", df)
+    eager.append("s", "t", df)
+    eager.append("s", "t", df)
+    assert len(ecalls) == 3, "zero-retention store must scan every commit"
