@@ -1653,7 +1653,120 @@ GATE_SLOTS = 50  # the driver's correctness gate samples this many
                  # entries per round (first N of all_queries())
 
 
-def gate_order(names: list[str], hist: dict[str, int]) -> list[str]:
+_CHANGED_SINCE_CACHE: dict[int, frozenset] = {}
+
+
+def _impl_files(fn) -> frozenset:
+    """Repo-relative source files implementing a catalog entry, one
+    dependency level deep: the defining module plus every
+    ora_ch_spark module/function the query function references
+    (module-level aliases resolve through ``__globals__``;
+    function-level ``from ... import`` shows its dotted module name
+    in ``co_names``). Approximation by design — deeper transitive
+    operator-to-operator calls are not chased; the r13 risk case
+    (an operator rewritten in the module the entry directly calls)
+    is exactly one level."""
+    import importlib.util
+    import inspect
+    import sys
+    import types
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def rel(path):
+        if not path:
+            return None
+        try:
+            r = os.path.relpath(os.path.abspath(path), root)
+        except ValueError:
+            return None
+        return None if r.startswith("..") else r
+
+    files = set()
+    target = getattr(fn, "func", fn)  # unwrap functools.partial
+    mod = sys.modules.get(getattr(target, "__module__", ""), None)
+    if mod is not None:
+        files.add(rel(getattr(mod, "__file__", None)))
+    code = getattr(target, "__code__", None)
+    gl = getattr(target, "__globals__", {})
+    for name in getattr(code, "co_names", ()):
+        if name.startswith("ora_ch_spark"):
+            try:
+                spec = importlib.util.find_spec(name)
+                files.add(rel(spec.origin if spec else None))
+            except (ImportError, AttributeError, ValueError):
+                pass
+            continue
+        obj = gl.get(name)
+        if isinstance(obj, types.ModuleType):
+            if getattr(obj, "__name__", "").startswith("ora_ch_spark"):
+                files.add(rel(getattr(obj, "__file__", None)))
+        elif callable(obj) and getattr(obj, "__module__", "").startswith(
+            "ora_ch_spark"
+        ):
+            m2 = sys.modules.get(obj.__module__)
+            if m2 is not None:
+                files.add(rel(getattr(m2, "__file__", None)))
+    files.discard(None)
+    return frozenset(files)
+
+
+def _changed_since(rnd: int) -> frozenset:
+    """Repo-relative engine files changed (committed or not) since
+    the commit that recorded round ``rnd``'s driver gate — the
+    CORRECTNESS_r{rnd}.json artifact commit, whose tree carries the
+    exact code that round's driver run proved (the driver commits
+    artifacts on top of the end-of-round snapshot without touching
+    source). Any git failure degrades to "nothing changed" so a
+    gitless checkout keeps the plain staleness order."""
+    if rnd in _CHANGED_SINCE_CACHE:
+        return _CHANGED_SINCE_CACHE[rnd]
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    changed: frozenset = frozenset()
+    try:
+        art = f"CORRECTNESS_r{rnd:02d}.json"
+        commit = subprocess.run(
+            ["git", "log", "--format=%H", "-n", "1", "--", art],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if commit:
+            out = subprocess.run(
+                ["git", "diff", "--name-only", commit, "--",
+                 "ora_ch_spark", "__spark_entry__.py"],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            )
+            if out.returncode == 0:
+                changed = frozenset(
+                    ln.strip() for ln in out.stdout.splitlines() if ln.strip()
+                )
+    except (OSError, subprocess.SubprocessError):
+        pass
+    _CHANGED_SINCE_CACHE[rnd] = changed
+    return changed
+
+
+def changed_entries(qs, hist: dict[str, int]) -> set:
+    """Names of proven entries whose implementing files (one level,
+    :func:`_impl_files`) changed since the round that last proved
+    them — the riskiest slot in the rotation (r13: sim_topk_lsh was
+    rewritten but sat stale-green for 3 rounds on its r10 proof).
+    ``gate_order`` schedules these right after never-proven
+    entries."""
+    out = set()
+    for q in qs:
+        rnd = hist.get(q.name, 0)
+        if rnd <= 0:
+            continue  # never-proven entries already sort first
+        if _impl_files(q.spark) & _changed_since(rnd):
+            out.add(q.name)
+    return out
+
+
+def gate_order(
+    names: list[str], hist: dict[str, int], changed: set | None = None
+) -> list[str]:
     """Pure scheduling kernel for the correctness-gate rotation:
     stable sort by last-proven round (never-proven = 0 first, then
     stalest-proof-first; declaration order breaks ties).
@@ -1665,8 +1778,38 @@ def gate_order(names: list[str], hist: dict[str, int]) -> list[str]:
     hard 200-entry ceiling). New entries enter at round 0 and are
     proven in their first round as long as ≤ GATE_SLOTS entries are
     added per round. Simulated at 180/250/400 entries by
-    tests/test_units.py::test_rotation_schedule_scales_past_window."""
-    return sorted(names, key=lambda n: hist.get(n, 0))
+    tests/test_units.py::test_rotation_schedule_scales_past_window.
+
+    ``changed`` (r14, verdict item 5) names proven entries whose
+    implementing files changed since their last proof: they schedule
+    directly after the never-proven block (stalest-first among
+    themselves), so freshly changed code waits at most ONE round for
+    a driver re-proof instead of riding a stale green to the
+    pigeonhole bound — whenever the boost fits the window. A round
+    that edits central modules (dialect/store/similarity) can mark
+    far more entries than one gate can prove, so the boost is CAPPED
+    at GATE_SLOTS // 2 (stalest-first among the changed): changed
+    code drains through half of every window while the other half
+    keeps serving the plain staleness rotation, bounding worst-case
+    unchanged-entry staleness at 2·ceil(N / GATE_SLOTS). Entries
+    leave the boost set the moment they re-prove."""
+    changed = changed or set()
+    if changed:
+        boosted = set(
+            sorted(
+                (n for n in names if n in changed and hist.get(n, 0) > 0),
+                key=lambda n: hist.get(n, 0),
+            )[: GATE_SLOTS // 2]
+        )
+    else:
+        boosted = set()
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if hist.get(n, 0) == 0 else (1 if n in boosted else 2),
+            hist.get(n, 0),
+        ),
+    )
 
 
 def all_queries() -> list[QueryDef]:
@@ -1674,5 +1817,10 @@ def all_queries() -> list[QueryDef]:
 
     qs = CORE_QUERIES + EXT_QUERIES
     hist = _gate_history()
-    order = {n: i for i, n in enumerate(gate_order([q.name for q in qs], hist))}
+    order = {
+        n: i
+        for i, n in enumerate(
+            gate_order([q.name for q in qs], hist, changed_entries(qs, hist))
+        )
+    }
     return sorted(qs, key=lambda q: order[q.name])

@@ -1879,6 +1879,28 @@ def test_catalog_rotation_never_starves():
     # never-proven entries are new additions and must sit in the gate
     # window NOW (covered in detail by test_gate_window_covers_unproven)
     assert all(n in hist for n in names[GATE_SLOTS:])
+    # r14 (verdict item 5): entries whose implementing files changed
+    # since their last proof schedule ahead of unchanged ones — the
+    # stalest GATE_SLOTS//2 of the live changed set must sit in the
+    # current gate window, i.e. freshly changed code goes at most
+    # ONE round unchecked (the boost is capped so a central-module
+    # round can't starve the plain staleness rotation)
+    from ora_ch_spark.catalog import changed_entries
+
+    changed = {n for n in changed_entries(qs, hist) if hist.get(n, 0) > 0}
+    head = set(names[:GATE_SLOTS])
+    if changed:
+        got = len(changed & head)
+        assert got >= min(len(changed), GATE_SLOTS // 2), (
+            f"only {got} changed-code entries scheduled in the gate "
+            f"window (boost cap {GATE_SLOTS // 2}, {len(changed)} changed)"
+        )
+        # and the boost picks the STALEST changed entries: no changed
+        # entry outside the window may be staler than one inside it
+        out_min = min((hist[n] for n in changed - head), default=None)
+        in_max = max((hist[n] for n in changed & head), default=None)
+        if out_min is not None and in_max is not None:
+            assert out_min >= in_max - 0, (out_min, in_max)
 
 
 def test_rotation_schedule_scales_past_window():
@@ -1918,6 +1940,61 @@ def test_rotation_schedule_scales_past_window():
                 head = set(gate_order(names, hist)[:GATE_SLOTS])
                 assert set(fresh) <= head, "new entries not gate-first"
         assert grown and all(n in hist for n in names)
+
+
+def test_rotation_changed_code_resurfaces_within_one_round():
+    """r14 kernel property (verdict item 5): a proven entry whose
+    implementing files change re-proves in the NEXT round when the
+    changed set fits the GATE_SLOTS//2 boost cap; when a
+    central-module edit marks more entries than the cap, the boost
+    drains stalest-first through half of every window while
+    unchanged entries keep a 2x-pigeonhole staleness bound."""
+    import math
+
+    from ora_ch_spark.catalog import GATE_SLOTS, gate_order
+
+    n_entries = 200
+    names = [f"e{i:03d}" for i in range(n_entries)]
+    hist: dict[str, int] = {}
+    # warm up: plain rotation proves everyone at least once
+    bound = math.ceil(n_entries / GATE_SLOTS)
+    rnd = 0
+    for _ in range(bound):
+        rnd += 1
+        for n in gate_order(names, hist)[:GATE_SLOTS]:
+            hist[n] = rnd
+
+    # small change set (fits the cap): re-proven in the very next round
+    changed = {f"e{i:03d}" for i in range(0, 100, 10)}  # 10 entries
+    assert len(changed) <= GATE_SLOTS // 2
+    head = gate_order(names, hist, changed)[:GATE_SLOTS]
+    assert changed <= set(head), "changed entries must be gate-first"
+    rnd += 1
+    for n in head:
+        hist[n] = rnd
+    assert all(hist[n] == rnd for n in changed)
+
+    # saturating change set: 120 entries marked at once
+    changed = {f"e{i:03d}" for i in range(120)}
+    marked_round = rnd
+    max_unchanged_stale = 0
+    while changed:
+        rnd += 1
+        head = gate_order(names, hist, changed)[:GATE_SLOTS]
+        # boost occupies exactly half the window (plus any staleness
+        # overlap) — at least GATE_SLOTS//2 changed entries per round
+        assert len(changed & set(head)) >= min(len(changed), GATE_SLOTS // 2)
+        for n in head:
+            hist[n] = rnd
+            changed.discard(n)  # re-proven -> leaves the boost set
+        max_unchanged_stale = max(
+            max_unchanged_stale,
+            max(rnd - hist[n] for n in names),
+        )
+    # the whole 120-entry backlog drains in <= ceil(120 / (S//2)) rounds
+    assert rnd - marked_round <= math.ceil(120 / (GATE_SLOTS // 2))
+    # and unchanged entries never starved past the 2x-pigeonhole bound
+    assert max_unchanged_stale <= 2 * math.ceil(n_entries / GATE_SLOTS)
 
 
 def test_sequence_match_single_condition(spark):
