@@ -754,6 +754,139 @@ def build_dedup_index(
         F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e"),
     ).select(id_col, "e.band", *[F.col(f"e.k{j}").alias(f"k{j}") for j in range(n_keys)])
     store.write(schema, "dedup_bands", bandsdf)
+    # band-load baseline for dedup_index_health_report (r14, same
+    # lifecycle idea as the ANN indexes' train_route_err/train_mqe):
+    # the screen's join cost concentrates in the heaviest band
+    # buckets, so record the build-time load shape to compare
+    # against as appends accumulate. One partial-aggregable count
+    # pass over the freshly written band table.
+    stats = _band_load_stats(
+        store.read(schema, "dedup_bands"), _band_key_cols(num_hashes, bands)
+    )
+    store.write(
+        schema,
+        "dedup_band_stats",
+        corpus.sparkSession.createDataFrame(
+            [stats],
+            "band_rows bigint, band_ndv bigint, max_bucket bigint, "
+            "pair_weight bigint",
+        ),
+    )
+
+
+def _band_key_cols(num_hashes: int, bands: int) -> list:
+    rows = num_hashes // bands
+    return ["band"] + [f"k{j}" for j in range((rows + 1) // 2)]
+
+
+def _band_load_stats(bandsdf: DataFrame, key_cols: list) -> tuple:
+    """(rows, distinct band keys, heaviest bucket, Σ cnt² over
+    buckets) — all exact bigints. ``pair_weight`` is proportional to
+    the candidate pairs the band equi-join materializes, i.e. the
+    actual cost driver of the screen at scale."""
+    per = bandsdf.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    row = per.agg(
+        F.sum("cnt").alias("rows"),
+        F.count(F.lit(1)).alias("ndv"),
+        F.max("cnt").alias("mx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("pw"),
+    ).first()
+    return (
+        int(row["rows"] or 0), int(row["ndv"] or 0),
+        int(row["mx"] or 0), int(row["pw"] or 0),
+    )
+
+
+# re-salt/rebuild threshold for dedup_index_health_report: uniform
+# corpus growth g multiplies every bucket by ~g and the band-join
+# pair weight by ~g² — a pair weight more than this factor beyond
+# the uniform-growth expectation means load is CONCENTRATING in hot
+# buckets (adversarial/templated content), and the screen's
+# candidate join will stall on those reducers long before the
+# corpus itself is large. Remedy: re-salt the probe's hot bands
+# (auto_salt_buckets machinery) or rebuild with more bands.
+DEDUP_RESALT_FACTOR = 2.0
+
+
+def dedup_index_health_report(
+    store,
+    schema: str,
+    resalt_factor: float = DEDUP_RESALT_FACTOR,
+) -> dict:
+    """Band-load drift metric for a :func:`build_dedup_index` index —
+    the MinHash twin of ``similarity.ivf_index_drift_report``
+    (MinHash needs no training, but band-bucket LOAD skews as the
+    corpus grows). Compares the current band table's pair weight
+    (Σ bucket²) against the build-time baseline, normalized by the
+    uniform-growth expectation g²; ``resalt`` trips when hot-bucket
+    concentration exceeds ``resalt_factor``. Cost: one count pass
+    over the band table (the same shuffle key the screen joins on),
+    zero reads of arrays/digests. A pre-metric index (no
+    ``dedup_band_stats`` table) raises loudly — rebuild to adopt the
+    baseline."""
+    meta = store.read(schema, "dedup_meta").first()
+    try:
+        base = store.read(schema, "dedup_band_stats").first()
+    except Exception as exc:
+        raise ValueError(
+            f"{schema}: no dedup_band_stats baseline — the index "
+            f"predates the health metric; rebuild with "
+            f"build_dedup_index"
+        ) from exc
+    key_cols = _band_key_cols(meta["num_hashes"], meta["bands"])
+    cur = _band_load_stats(store.read(schema, "dedup_bands"), key_cols)
+    rows, ndv, mx, pw = cur
+    growth = rows / base["band_rows"] if base["band_rows"] else float("inf")
+    pair_ratio = (
+        pw / base["pair_weight"] if base["pair_weight"] else float("inf")
+    )
+    expected = growth * growth
+    skew_factor = pair_ratio / expected if expected > 0 else float("inf")
+    return {
+        "build_rows": int(base["band_rows"]),
+        "rows": rows,
+        "growth": growth,
+        "build_max_bucket": int(base["max_bucket"]),
+        "max_bucket": mx,
+        "build_pair_weight": int(base["pair_weight"]),
+        "pair_weight": pw,
+        "pair_ratio": pair_ratio,
+        "skew_factor": skew_factor,
+        "resalt": skew_factor > resalt_factor,
+    }
+
+
+def dedup_index_append(
+    store,
+    schema: str,
+    accepted: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append ACCEPTED batch docs to a :func:`build_dedup_index`
+    index — the documented incremental half of the lifecycle as a
+    helper: digests/arrays/bands computed for the batch only (hash
+    parameters read from the index meta, so they can never drift
+    from the build) and appended as pure file adds. O(batch); the
+    baseline in ``dedup_band_stats`` intentionally rides — that is
+    what :func:`dedup_index_health_report` measures drift against."""
+    meta = store.read(schema, "dedup_meta").first()
+    shingle_n, num_hashes, bands = (
+        meta["shingle_n"], meta["num_hashes"], meta["bands"],
+    )
+    digests = accepted.select(F.md5(F.col(text_col)).alias("dig")).distinct()
+    store.append(schema, "dedup_digests", digests)
+    arr = shingle_hash_arrays(accepted, id_col, text_col, shingle_n)
+    store.append(schema, "dedup_arrays", arr)
+    sig = arr.select(F.col(id_col), *rowwise_minhash_cols("sharr", num_hashes))
+    n_keys = (num_hashes // bands + 1) // 2
+    bandsdf = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*packed_band_keys(num_hashes, bands))).alias("e"),
+    ).select(
+        id_col, "e.band", *[F.col(f"e.k{j}").alias(f"k{j}") for j in range(n_keys)]
+    )
+    store.append(schema, "dedup_bands", bandsdf)
 
 
 def incremental_dedup_against_index(

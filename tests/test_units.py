@@ -5599,3 +5599,71 @@ def test_bench_measure_probe_trace(spark):
     *_, none = bench.measure(spark, "unused", qdefs[:3])
     assert none == []
     bench.warm_jvm(spark, "/root/testdata/sf0.001")  # no raise
+
+
+def test_dedup_index_health_planted_growth(spark, sf_smoke):
+    """r14 (verdict item 6): the dedup index's band-load health
+    metric. Same-distribution growth keeps skew_factor ~1 (pair
+    weight tracks the uniform-growth g² expectation); a planted
+    templated batch (hundreds of near-identical docs collapsing
+    into the same band buckets) blows pair weight past g² and trips
+    the documented re-salt threshold. A pre-metric index (no
+    dedup_band_stats baseline) is loud. Appends go through
+    dedup_index_append, which reads hash parameters from the index
+    meta so they can never drift from the build."""
+    from pyspark.sql import functions as F
+
+    from ora_ch_spark.operators.dedup import (
+        DEDUP_RESALT_FACTOR,
+        build_dedup_index,
+        dedup_index_append,
+        dedup_index_health_report,
+        incremental_dedup_against_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="dedup_health_"))
+    build_dedup_index(store, "idx", corpus)
+
+    fresh = dedup_index_health_report(store, "idx")
+    assert fresh["growth"] == 1.0 and fresh["pair_ratio"] == 1.0
+    assert fresh["skew_factor"] == 1.0 and not fresh["resalt"]
+    assert fresh["rows"] == fresh["build_rows"] > 0
+
+    # same-distribution growth: append the odd half — bucket loads
+    # grow roughly uniformly, skew_factor stays ~1
+    dedup_index_append(store, "idx", docs.filter("doc_id % 2 = 1"))
+    grown = dedup_index_health_report(store, "idx")
+    assert grown["growth"] > 1.5
+    assert grown["skew_factor"] < DEDUP_RESALT_FACTOR, grown
+    assert not grown["resalt"]
+
+    # planted hot-bucket growth: 400 near-identical templated docs
+    # land in the same band buckets; pair weight goes quadratic in
+    # the planted count while g barely moves
+    planted = spark.range(400).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("lorem ipsum dolor sit amet consectetur adipiscing "
+                  "elit sed do eiusmod tempor incididunt ut labore "),
+            (F.col("id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    dedup_index_append(store, "idx", planted)
+    hot = dedup_index_health_report(store, "idx")
+    assert hot["skew_factor"] > DEDUP_RESALT_FACTOR, hot
+    assert hot["resalt"] and hot["max_bucket"] >= 100
+
+    # the screen still works against the appended index
+    probe = docs.filter("doc_id % 2 = 0").limit(5)
+    v = {r.verdict for r in
+         incremental_dedup_against_index(store, "idx", probe).collect()}
+    assert v <= {"exact", "near"}
+
+    # pre-metric index: baseline table missing -> loud
+    legacy = TableStore(spark, tempfile.mkdtemp(prefix="dedup_legacy_"))
+    build_dedup_index(legacy, "idx", corpus.limit(20))
+    legacy.drop("idx", "dedup_band_stats")
+    with pytest.raises(ValueError, match="dedup_band_stats"):
+        dedup_index_health_report(legacy, "idx")
