@@ -26,6 +26,26 @@ from ora_ch_spark.catalog import all_queries  # noqa: E402
 from ora_ch_spark.session import get_spark  # noqa: E402
 
 
+def bench_queries() -> list:
+    """Measurement order (r14 instrument fix, documented in
+    OPTIMIZATION_r14.md): DECLARATION order, not the gate-rotation
+    order ``all_queries()`` returns. The rotation front-loads entries
+    whose implementing files changed since their last driver proof —
+    after a round that edits similarity/dedup/pipeline modules, every
+    heavy ANN/store entry lands in the suite's first ~50 positions,
+    inside the JVM's JIT tier-up and ContextCleaner ramp, and measures
+    1.7-2x its quiet cost (r14 baseline probe trace: positions 25-100
+    at ratio 1.7-2.0, positions 125+ at 0.5-1.1 on one run). Pinning
+    the measurement to declaration order makes per-entry numbers
+    comparable across rounds regardless of what the rotation is doing;
+    the rotation keeps governing ONLY the driver's correctness
+    sampling (all_queries() itself is unchanged)."""
+    from ora_ch_spark.catalog import CORE_QUERIES
+    from ora_ch_spark.catalog_ext import EXT_QUERIES
+
+    return list(CORE_QUERIES) + list(EXT_QUERIES)
+
+
 # Canary normalization (r9 verdict item 2, hardened r13): NINE plan-
 # diverse, code-stable entries whose quiet-box pass times are PINNED
 # below. After each run the canary factor = TRIMMED median
@@ -110,7 +130,7 @@ def resolve_canaries(
     status per canary, so a corrupted factor is diagnosable from
     BENCH.json alone."""
     base = CANARY_BASELINE.get(sf) or {}
-    by_name = {q.name: q for q in all_queries()}
+    by_name = {q.name: q for q in bench_queries()}
     detail: dict[str, dict] = {}
     secs: dict[str, float] = {}
     for name, pin in sorted(base.items()):
@@ -270,7 +290,7 @@ def _run_fresh(sf_dir: str, group_size: int) -> tuple[dict, dict, list, dict]:
     'BENCH_SLICE <json>' line; the parent merges and summarizes."""
     import subprocess
 
-    n = len(all_queries())
+    n = len(bench_queries())
     timings: dict = {}
     passes: dict = {}
     contended: list = []
@@ -313,7 +333,7 @@ def main() -> None:
         spark = get_spark(app_name=f"ora_ch_spark_bench_slice_{lo}")
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
         warm_jvm(spark, sf_dir)
-        t, pv, c, e, _ = measure(spark, sf_dir, all_queries()[lo:hi])
+        t, pv, c, e, _ = measure(spark, sf_dir, bench_queries()[lo:hi])
         print(
             "BENCH_SLICE "
             + json.dumps(
@@ -343,7 +363,7 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
         warm_jvm(spark, sf_dir)
         timings, pass_vectors, contended, errors, probe_trace = measure(
-            spark, sf_dir, all_queries(), probe_base=CANARY_BASELINE.get(sf)
+            spark, sf_dir, bench_queries(), probe_base=CANARY_BASELINE.get(sf)
         )
 
     total = round(sum(timings.values()), 3)
