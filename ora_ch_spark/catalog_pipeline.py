@@ -2537,7 +2537,12 @@ def sim_ivf_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def clustered(lo, hi, seed):
-        ids = spark.range(lo, hi).select(
+        # bounded-width range: these synthetic frames are 50-200 rows
+        # by construction (not sf-scaled); the default range width
+        # (defaultParallelism = 32 locally) would push every
+        # downstream quantize/assign/collect job through 32 near-empty
+        # tasks — measured per-job overhead dominates this entry
+        ids = spark.range(lo, hi, 1, 8).select(
             F.col("id").cast(idt).alias("vec_id"),
             (F.col("id") % 8).cast("int").alias("c"),
         )
@@ -2574,8 +2579,11 @@ def sim_ivf_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("3_post_rebuild", "report",
          post["train_route_err"], post["batch_route_err"], post["retrain"]),
     ]
+    from ora_ch_spark.io import local_df
+
     return (
-        spark.createDataFrame(
+        local_df(
+            spark,
             rows,
             "phase string, action string, train_route_err double, "
             "batch_route_err double, retrain boolean",

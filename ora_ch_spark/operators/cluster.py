@@ -130,13 +130,22 @@ def seed_centroids(q: DataFrame, k: int, id_col: str) -> DataFrame:
 
 
 def _fit(
-    emb: DataFrame, k: int, iters: int, id_col: str, emb_col: str
+    emb: DataFrame, k: int, iters: int, id_col: str, emb_col: str,
+    par: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(persisted quantized corpus, centroids after iters-1 Lloyd
     updates) — the centroids the final assignment runs against."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # ``par`` (guide §2, scale-adaptive width): callers that KNOW the
+    # corpus is small (e.g. the IVF drift guard, which has manifest
+    # row counts for free) pass a bounded width so a few-hundred-row
+    # retrain stops paying iters × conf-width near-empty Python tasks;
+    # default stays the conf value — correct for real corpora, where
+    # the assign matmul wants the full pool. Result-invariant either
+    # way: assignment is per-row, updates are exact integer sums.
+    if not par:
+        par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     q = quantize(emb.repartition(par), emb_col, "qe").select(id_col, "qe").persist()
     cents = seed_centroids(q, k, id_col)
     for _ in range(iters - 1):
@@ -150,11 +159,12 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    par: int | None = None,
 ) -> DataFrame:
     """The trained (integer-grid) centroids: (cluster int, cq
     array<bigint>) after ``iters-1`` Lloyd updates — the coarse
     quantizer an IVF index plugs in as its seed set."""
-    _, cents = _fit(emb, k, iters, id_col, emb_col)
+    _, cents = _fit(emb, k, iters, id_col, emb_col, par=par)
     return cents
 
 

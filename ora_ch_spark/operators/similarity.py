@@ -685,17 +685,32 @@ def build_ivf_index(
         seeds = q.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
         )
+    # Collect the quantizer ONCE (k×dims ints — tiny by contract) and
+    # re-expose it as a ONE-slice LOCAL relation: the assignment's
+    # pandas path collects seeds anyway, and the centroids write +
+    # routing-stat join would otherwise each re-run the full seeds
+    # lineage (a trained-seed rebuild chains the whole Lloyd
+    # trajectory) as their own Spark jobs. Same rows, same schema —
+    # one lineage run instead of three (guide §1.2: remove work
+    # before tuning it).
+    from ora_ch_spark.io import local_df
+
+    seeds_local = local_df(
+        q.sparkSession, seeds.collect(), seeds.schema
+    )
     # persisted: the hive write AND the drift-baseline stat read this
     assign = _argmax_centroid(
-        q, F.broadcast(seeds), id_col, impl=assign_impl, carry_cols=keep_cols
+        q, F.broadcast(seeds_local), id_col, impl=assign_impl,
+        carry_cols=keep_cols,
     ).persist()
-    store.write(schema, f"{name}_centroids", seeds)
+    # k rows — one file keeps every later read/collect a single task
+    store.write(schema, f"{name}_centroids", seeds_local)
     # training-time routing quality, committed atomically with the
     # assign snapshot: baseline for ivf_index_drift_report. The
     # assigned centroid IS the argmax-cosine winner, so the error
     # comes from ONE cosine per row against the already-computed
     # assignment — no corpus x centroids pass at build time
-    stat = _routing_error_from_assign(assign, seeds, id_col)
+    stat = _routing_error_from_assign(assign, seeds_local, id_col)
     # cluster rows by list BEFORE the hive write: without this every
     # upstream partition writes a sliver into every centroid dir
     # (P×n_lists files — measured 512 files / 512-task probe scans at
@@ -877,11 +892,26 @@ def ivf_ingest_with_drift_guard(
             from ora_ch_spark.operators.cluster import kmeans_centroids
 
             n_lists = build_kwargs.get("n_lists", 16)
+            # scale-adaptive retrain width from MANIFEST row counts
+            # (zero Spark jobs): corpus ≈ indexed rows + batch rows —
+            # a few-hundred-row drill corpus retrains on a couple of
+            # tasks instead of iters × conf-width near-empty Python
+            # workers; a real corpus saturates the conf cap unchanged
+            conf_par = int(
+                corpus_emb.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "32"
+                )
+            )
+            approx_rows = (
+                store.row_count(schema, f"{name}_assign")
+                + report["batch_rows"]
+            )
+            par = max(1, min(conf_par, (approx_rows + 4095) // 4096))
             build_kwargs = dict(
                 build_kwargs,
                 seeds=kmeans_centroids(
                     corpus_emb, k=n_lists, iters=3,
-                    id_col=id_col, emb_col=emb_col,
+                    id_col=id_col, emb_col=emb_col, par=par,
                 ).select(
                     F.col("cluster").alias("c_id"), F.col("cq").alias("qc")
                 ),
