@@ -2451,7 +2451,10 @@ def quality_linear_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("y"),
     )
     fit = linear_fit_normal_eq(feats, ["x1", "x2"], "y", ridge=1)
-    raw = spark.createDataFrame(
+    from ora_ch_spark.io import local_df
+
+    raw = local_df(
+        spark,
         [(fit["n"], fit["weights"][0], fit["weights"][1],
           fit["weights"][2])],
         "n bigint, w0 double, w1 double, w2 double",

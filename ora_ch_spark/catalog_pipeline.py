@@ -2413,8 +2413,11 @@ def sim_index_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (split, float(r["train_mqe"]), float(r["batch_mqe"]),
              bool(r["retrain"]))
         )
-    return spark.createDataFrame(
-        rows, "split string, train_mqe double, batch_mqe double, retrain boolean"
+    from ora_ch_spark.io import local_df
+
+    return local_df(
+        spark, rows,
+        "split string, train_mqe double, batch_mqe double, retrain boolean",
     ).orderBy("split")
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ora_ch_spark.io import local_df
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content digest: one row per distinct content,
@@ -735,7 +737,8 @@ def build_dedup_index(
     # record the hash parameters: a probe with mismatched parameters
     # computes band keys from different hash slots and silently
     # matches nothing — the probe asserts against this row
-    meta = corpus.sparkSession.createDataFrame(
+    meta = local_df(
+        corpus.sparkSession,
         [(shingle_n, num_hashes, bands)],
         "shingle_n int, num_hashes int, bands int",
     )
@@ -766,7 +769,8 @@ def build_dedup_index(
     store.write(
         schema,
         "dedup_band_stats",
-        corpus.sparkSession.createDataFrame(
+        local_df(
+            corpus.sparkSession,
             [stats],
             "band_rows bigint, band_ndv bigint, max_bucket bigint, "
             "pair_weight bigint",

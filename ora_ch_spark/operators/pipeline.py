@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ora_ch_spark.io import local_df
+
 from ora_ch_spark.operators.dedup import exact_dedup_groups, minhash_lsh_dedup
 
 
@@ -37,7 +39,7 @@ def _fused_lang_quality(docs: DataFrame) -> DataFrame:
     )
     # lang: lexicon hits → argmax (exact lang_id algorithm)
     lex_rows = [(lang, w) for lang, words in sorted(LANG_LEXICON.items()) for w in words]
-    lex = docs.sparkSession.createDataFrame(lex_rows, ["cand_lang", "tok"])
+    lex = local_df(docs.sparkSession, lex_rows, "cand_lang string, tok string")
     hits = (
         toks.join(F.broadcast(lex), "tok")
         .groupBy("doc_id", "cand_lang")

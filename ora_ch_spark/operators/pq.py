@@ -29,6 +29,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ora_ch_spark.io import local_df
 from ora_ch_spark.operators.cluster import _assign, seed_centroids
 from ora_ch_spark.operators.similarity import quantize
 
@@ -226,7 +227,11 @@ def _train_encode_grouped(
     qsub = _explode_subspaces(q, m, sub, id_col)
     seeds = _seed_grouped(q, k_codes, m, sub, id_col)
     crows = _train_centroids_grouped(qsub, seeds, id_col)
-    cents = q.sparkSession.createDataFrame(
+    # one-slice local relation (io.local_df): the codebook is k·m rows
+    # and is broadcast below — a defaultParallelism-sliced parallelize
+    # pays 32 near-empty Python-worker tasks per broadcast build
+    cents = local_df(
+        q.sparkSession,
         [(int(r["s"]), int(r["cluster"]), list(r["cq"])) for r in crows],
         "s int, cluster int, cq array<bigint>",
     )
@@ -704,9 +709,13 @@ def build_ivfadc_index(
     qsub = _explode_subspaces(q, m, sub, id_col)
     seeds = _seed_grouped(q, k_codes, m, sub, id_col)
     crows = _train_centroids_grouped(qsub, seeds, id_col)
+    # one-slice local relation: 1 task, 1 output file (instead of up
+    # to 32 near-empty files for a k·m-row codebook table), and every
+    # later read/collect of the codebooks is a single task
     store.write(
         schema, f"{name}_codebooks",
-        q.sparkSession.createDataFrame(
+        local_df(
+            q.sparkSession,
             [(int(r["s"]), int(r["cluster"]), list(r["cq"])) for r in crows],
             "s int, code int, cq array<bigint>",
         ),

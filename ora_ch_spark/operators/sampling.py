@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ora_ch_spark.io import local_df
+
 SAMPLE_DENOM = 10_000  # rate resolution: 1/10000
 
 
@@ -52,8 +54,8 @@ def stratified_sample(
     # explicit schema: an empty rates dict (default_rate-only sampling)
     # must build an empty frame, not fail schema inference
     group_type = dict(df.dtypes).get(group_col, "string")
-    rates_df = spark.createDataFrame(
-        rate_rows, f"{group_col} {group_type}, __thr int"
+    rates_df = local_df(
+        spark, rate_rows, f"{group_col} {group_type}, __thr int"
     )
     thr = F.coalesce(F.col("__thr"), F.lit(int(round(default_rate * SAMPLE_DENOM))))
     return (
@@ -160,8 +162,8 @@ def mixture_sample(
     spark = df.sparkSession
     total_w = sum(weights.values())
     group_type = dict(df.dtypes).get(group_col, "string")
-    wdf = spark.createDataFrame(
-        sorted(weights.items()), f"{group_col} {group_type}, __w bigint"
+    wdf = local_df(
+        spark, sorted(weights.items()), f"{group_col} {group_type}, __w bigint"
     )
     in_mix = df.join(F.broadcast(wdf), group_col)
     # counts built FROM THE WEIGHTS SIDE (left join): a weighted group

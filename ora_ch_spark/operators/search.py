@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
+from ora_ch_spark.io import local_df
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -68,9 +70,13 @@ def bm25_topk(
     """
     spark = docs.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    qterms = spark.createDataFrame(
+    # one-slice local relation: the query-term list is a handful of
+    # rows; defaultParallelism slicing costs 32 near-empty Python
+    # tasks every time the join re-evaluates it
+    qterms = local_df(
+        spark,
         [(qid, t) for qid, terms in queries for t in terms],
-        ["query_id", "term"],
+        "query_id bigint, term string",
     )
     toks = docs.repartition(par).select(
         F.col(id_col),

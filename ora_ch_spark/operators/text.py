@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ora_ch_spark.io import local_df
+
 # Tiny per-language stopword lexicons for the n-gram/stopword language
 # heuristic. Deliberately small and inline (a production pipeline
 # would broadcast a real lexicon table — the plan shape is identical:
@@ -46,7 +48,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         (lang, w) for lang, words in sorted(LANG_LEXICON.items()) for w in words
     ]
     spark = df.sparkSession
-    lex = spark.createDataFrame(lex_rows, ["cand_lang", "tok"])
+    lex = local_df(spark, lex_rows, "cand_lang string, tok string")
     toks = _tokens(df, id_col, text_col)
     hits = (
         toks.join(F.broadcast(lex), "tok")
