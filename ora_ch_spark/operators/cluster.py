@@ -144,7 +144,7 @@ def _fit(
     # default stays the conf value — correct for real corpora, where
     # the assign matmul wants the full pool. Result-invariant either
     # way: assignment is per-row, updates are exact integer sums.
-    if not par:
+    if par is None:  # 0 is not a valid width — None is the contract
         par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     q = quantize(emb.repartition(par), emb_col, "qe").select(id_col, "qe").persist()
     cents = seed_centroids(q, k, id_col)
