@@ -632,13 +632,23 @@ def connected_components_star(
             sym.groupBy("c").agg(F.min("p").alias("mv"))
             .select("c", F.least(F.col("c"), F.col("mv")).alias("m"))
         )
-        # large-star: (v, m(u)) for every neighbor v > u
+        # large-star: (v, m(u)) for every neighbor v > u. NO distinct
+        # here (r15, guide §2.4): duplicate (c, p) rows are harmless
+        # to the min-aggregate below and to the ss construction (the
+        # trailing ss.distinct() collapses them), so the dedup
+        # exchange was a whole AQE query stage per round spent on
+        # rows bounded by |sym| anyway. LAZY-checkpointed instead of
+        # persisted: the two consumers (g and the join) otherwise
+        # duplicate the whole mins subtree in the small-star plan
+        # (measured 12 Exchange / 8 BroadcastExchange per round —
+        # each one an AQE stage job), and a persist's cache write +
+        # InMemoryRelation scan measured slower than the checkpoint
+        # (0.90 vs 0.75 s/round warm at sf0.1).
         ls = (
             sym.join(mins, "c")
             .filter(F.col("p") > F.col("c"))
             .select(F.col("p").alias("c"), F.col("m").alias("p"))
-            .distinct()
-            .persist()
+            .localCheckpoint(eager=False)
         )
         # small-star over child→parent edges (p < c by construction)
         g = ls.groupBy("c").agg(F.min("p").alias("m"))
@@ -651,17 +661,34 @@ def connected_components_star(
             .distinct()
         )
         # truncate lineage EVERY round: each round references the
-        # previous edge frame ~4x (sym twice, mins once, the except
-        # checks twice), so an un-truncated plan grows EXPONENTIALLY —
-        # measured: a 2 GiB plan string by round ~8 on a 120-chain.
-        # LAZY checkpoint + ONE combined symmetric-difference action:
-        # the old eager checkpoint + two exceptAll counts cost three
-        # Spark jobs per round; the isEmpty below materializes the
-        # checkpoint and evaluates both set differences in one job
-        # (per-round fixed cost dominates at small edge frames)
+        # previous edge frame ~4x (sym twice, mins once, the
+        # convergence check twice), so an un-truncated plan grows
+        # EXPONENTIALLY — measured: a 2 GiB plan string by round ~8
+        # on a 120-chain. LAZY checkpoint: the convergence action
+        # below materializes it (and round 1 without a check is
+        # materialized by round 2's action).
         ss = ss.localCheckpoint(eager=False)
-        ls.unpersist()
-        converged = ss.exceptAll(e).unionByName(e.exceptAll(ss)).isEmpty()
+        converged = False
+        if _rnd > 0:
+            # set-equality check as ONE aggregate (r15, guide §2.3):
+            # both frames are distinct row sets, so tagging e with +1
+            # and ss with -1 and summing per (c, p) leaves a nonzero
+            # sum iff the sets differ — one exchange + isEmpty,
+            # replacing the two exceptAll scans (each its own
+            # shuffle of both frames). Round 1 skips the check: a
+            # non-fixpoint input always changes in round 1, and a
+            # fixpoint input merely pays one idempotent extra round
+            # (large/small-star are stable at the fixpoint), so
+            # correctness is unchanged while the common case saves a
+            # whole action.
+            converged = (
+                e.withColumn("__s", F.lit(1))
+                .unionByName(ss.withColumn("__s", F.lit(-1)))
+                .groupBy("c", "p")
+                .agg(F.sum("__s").alias("__d"))
+                .filter(F.col("__d") != 0)
+                .isEmpty()
+            )
         e.unpersist()
         e = ss
         if converged:

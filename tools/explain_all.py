@@ -68,7 +68,9 @@ def main() -> None:
         write_suffix = args[1]
         names = set(args[2:])
     spark = get_spark(app_name="ora_ch_explain")
-    outdir = os.path.join(REPO, "plans", "r14")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(outdir, exist_ok=True)
     for q in all_queries():
         if names is not None and q.name not in names:

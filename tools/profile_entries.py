@@ -53,18 +53,32 @@ def main() -> None:
         for _ in range(n_pass):
             spark.catalog.clearCache()
             gc.collect()
+            # job-count instrumentation (guide §1): a per-entry job
+            # group lets the status tracker report how many Spark
+            # jobs the entry launched — composites whose cost is
+            # job COUNT (eager store/collect round-trips) show a
+            # high count with construct-dominated wall
+            group = f"profile:{nm}:{time.monotonic_ns()}"
+            spark.sparkContext.setJobGroup(group, nm)
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
-            cur = (t1 - t0, t2 - t1, t2 - t0)
+            try:
+                n_jobs = len(
+                    spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+                )
+            except Exception:  # noqa: BLE001 — diagnostics only
+                n_jobs = -1
+            spark.sparkContext.setJobGroup(None, None)
+            cur = (t1 - t0, t2 - t1, t2 - t0, n_jobs)
             if best is None or cur[2] < best[2]:
                 best = cur
         out[nm] = best
         print(
             f"{nm}: total {best[2]:.2f}s = construct {best[0]:.2f}s"
-            f" + exec {best[1]:.2f}s"
+            f" + exec {best[1]:.2f}s  [{best[3]} jobs]"
         )
     print(json.dumps({k: [round(x, 3) for x in v] for k, v in out.items()}))
 
