@@ -31,19 +31,50 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
-    """Small driver-side row set as a ONE-partition DataFrame.
+    """Small driver-side row set as a single-task DataFrame.
 
-    ``spark.createDataFrame(rows, ...)`` slices local data
-    defaultParallelism ways (32 near-empty tasks per downstream job
-    for a k-row table), and ``.coalesce(1)`` over that parallelized
-    relation measures ~5 s per collect on Spark 4.1 (each coalesced
-    task re-opens every parent slice through a Python worker).
-    Parallelizing to a single slice up front avoids both — measured
-    0.2 s collect vs 5 s. Use for bounded tables only (centroid sets,
-    quantizer codebooks, report rows)."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
+    r15 (guide §4 — eliminate the Python boundary): Arrow
+    ``createDataFrame(pandas)`` builds a pure-JVM **LocalRelation**
+    (plans as ``LocalTableScan``), so downstream jobs never spawn a
+    Python worker to re-unpickle the rows — the previous
+    ``parallelize(rows, 1)`` form paid that round trip on EVERY
+    action touching the frame (measured 0.175 → 0.056 s per noop on
+    an 8-row frame; ~10 operators consume such frames 1-3× each).
+    Broadcasts of a LocalRelation build driver-side without a
+    separate job. ``dtype=object`` keeps ``None`` out of pandas'
+    NaN-coercion for numeric columns; ``coalesce(1)`` pins writes to
+    one task / one file (the JVM-only coalesce is free — the ~5 s
+    coalesce pathology documented in earlier rounds was specific to
+    coalescing a *Python-RDD-backed* relation). Arrow fallback is
+    DISABLED for the conversion so anything Arrow can't convert
+    raises and lands in the explicit one-slice parallelize fallback
+    (the silent non-Arrow pandas path would re-slice
+    defaultParallelism ways). Use for bounded tables only (centroid
+    sets, quantizer codebooks, report rows)."""
+    try:
+        import pandas as pd
+
+        if hasattr(schema, "fieldNames"):
+            names = schema.fieldNames()
+        else:
+            from pyspark.sql.types import _parse_datatype_string
+
+            names = [f.name for f in _parse_datatype_string(schema).fields]
+        pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
+        fb_key = "spark.sql.execution.arrow.pyspark.fallback.enabled"
+        prev = spark.conf.get(fb_key, None)
+        spark.conf.set(fb_key, "false")
+        try:
+            return spark.createDataFrame(pdf, schema).coalesce(1)
+        finally:
+            if prev is None:
+                spark.conf.unset(fb_key)
+            else:
+                spark.conf.set(fb_key, prev)
+    except Exception:  # noqa: BLE001 — any conversion gap
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
 
 
 def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -526,6 +526,7 @@ def _argmax_centroid(
     id_col: str,
     impl: str = "pandas",
     carry_cols: tuple[str, ...] = (),
+    carry_cosine: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment (argmax cosine, tie → lowest
     c_id). Two value-identical implementations (asserted equal by
@@ -568,6 +569,14 @@ def _argmax_centroid(
                 for cc in carry_cols:
                     out[cc] = pdf[cc]
                 out["qe"] = pdf["qe"]
+                if carry_cosine:
+                    # the winner's cosine IS the row's best cosine —
+                    # same doubles the JVM with_cosine fold produces
+                    # (bit-equality asserted by the dual-impl tests);
+                    # carrying it out makes the build-time routing
+                    # stat a plain aggregate instead of a
+                    # centroids join (r15, guide §2.4)
+                    out["cosine"] = cos[np.arange(len(best)), best]
                 yield pdl.DataFrame(out)
 
         # id type taken from the frame (ids are not always bigint),
@@ -576,10 +585,11 @@ def _argmax_centroid(
         # shuffle this path exists to avoid
         dtypes = dict(q.dtypes)
         carry_schema = "".join(f", {cc} {dtypes[cc]}" for cc in carry_cols)
+        cos_schema = ", cosine double" if carry_cosine else ""
         return q.select(id_col, *carry_cols, "qe").mapInPandas(
             batches,
             schema=f"{id_col} {dtypes[id_col]}, centroid bigint"
-                   f"{carry_schema}, qe array<bigint>",
+                   f"{carry_schema}, qe array<bigint>{cos_schema}",
         )
     scored = with_cosine(
         q.select(F.col(id_col), F.col("qe")).crossJoin(seeds), qa="qe", qb="qc"
@@ -588,11 +598,16 @@ def _argmax_centroid(
     resolved = (
         scored.join(best, [id_col, "cosine"])
         .groupBy(id_col)
-        .agg(F.min("c_id").alias("centroid"))
+        .agg(
+            F.min("c_id").alias("centroid"),
+            # cosine is a join key here — constant within the group
+            F.min("cosine").alias("cosine"),
+        )
     )
-    return resolved.join(q, id_col).select(
-        id_col, "centroid", *carry_cols, "qe"
-    )
+    out_cols = [id_col, "centroid", *carry_cols, "qe"]
+    if carry_cosine:
+        out_cols.append("cosine")
+    return resolved.join(q, id_col).select(*out_cols)
 
 
 def ivf_topk(
@@ -661,6 +676,7 @@ def build_ivf_index(
     seeds: DataFrame | None = None,
     assign_impl: str = "pandas",
     keep_cols: tuple[str, ...] = (),
+    _prequantized: DataFrame | None = None,
 ) -> None:
     """Materialize an IVF index into store tables so recurring query
     batches never re-quantize or re-assign the corpus (same lifecycle
@@ -679,8 +695,19 @@ def build_ivf_index(
     ``keep_cols`` rides extra source columns into the assign table
     (e.g. the group/label column :func:`maxsim_topk_groups_ivf`
     ranks on) — carried through the assignment batch, never a
-    corpus join-back."""
-    q = quantize(emb, emb_col, "qe").persist()
+    corpus join-back.
+
+    ``_prequantized`` (internal, r15 guide §1.2): a caller that has
+    ALREADY quantized+persisted the corpus as (id_col, qe) — the
+    drift guard's retrain, whose kmeans ``_fit`` holds exactly that
+    frame — passes it here so the rebuild does not re-run the full
+    corpus lineage through a second quantize pass. Only valid with
+    empty ``keep_cols`` (the frame carries no extra columns); the
+    caller owns its persist/unpersist."""
+    owns_q = _prequantized is None
+    if not owns_q and keep_cols:
+        raise ValueError("_prequantized is (id, qe)-only — no keep_cols")
+    q = quantize(emb, emb_col, "qe").persist() if owns_q else _prequantized
     if seeds is None:
         seeds = q.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("qe").alias("qc")
@@ -698,19 +725,29 @@ def build_ivf_index(
     seeds_local = local_df(
         q.sparkSession, seeds.collect(), seeds.schema
     )
-    # persisted: the hive write AND the drift-baseline stat read this
+    # persisted: the hive write AND the drift-baseline stat read this.
+    # carry_cosine: the winner's cosine rides out of the assignment
+    # batch, so the routing stat below is a plain aggregate — the
+    # previous centroids join (broadcast build + join stage per
+    # build) is gone (r15, guide §2.4); the write projects it off.
     assign = _argmax_centroid(
         q, F.broadcast(seeds_local), id_col, impl=assign_impl,
-        carry_cols=keep_cols,
+        carry_cols=keep_cols, carry_cosine=True,
     ).persist()
     # k rows — one file keeps every later read/collect a single task
     store.write(schema, f"{name}_centroids", seeds_local)
     # training-time routing quality, committed atomically with the
     # assign snapshot: baseline for ivf_index_drift_report. The
     # assigned centroid IS the argmax-cosine winner, so the error
-    # comes from ONE cosine per row against the already-computed
-    # assignment — no corpus x centroids pass at build time
-    stat = _routing_error_from_assign(assign, seeds_local, id_col)
+    # comes from the carried per-row cosine — no corpus x centroids
+    # pass at build time (partial sums stay per-assign-partition in
+    # row order, exactly as the broadcast-join form aggregated them)
+    srow = assign.agg(
+        F.avg(F.lit(1.0) - F.col("cosine")).alias("err"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    stat = (float(srow["err"]), int(srow["n"]))
+    assign_out = assign.select(id_col, "centroid", *keep_cols, "qe")
     # cluster rows by list BEFORE the hive write: without this every
     # upstream partition writes a sliver into every centroid dir
     # (P×n_lists files — measured 512 files / 512-task probe scans at
@@ -720,19 +757,41 @@ def build_ivf_index(
     store.write(
         schema,
         f"{name}_assign",
-        assign.repartition(n_lists, "centroid"),
+        assign_out.repartition(n_lists, "centroid"),
         partition_by=["centroid"],
         meta={"train_route_err": stat[0], "train_rows": stat[1]},
     )
     assign.unpersist()
-    q.unpersist()
+    if owns_q:
+        q.unpersist()
 
 
-def _routing_error(q: DataFrame, cents: DataFrame, id_col: str) -> tuple:
+def _routing_error(
+    q: DataFrame, cents: DataFrame, id_col: str, impl: str = "pandas"
+) -> tuple:
     """Mean routing error (1 - best-centroid cosine) over ``q`` —
     the list-geometry quality number behind the IVF drift metric.
-    Broadcast centroids x one narrow pass; no shuffle beyond the
-    scalar aggregate."""
+
+    ``pandas`` (default, r15): one Arrow-batched argmax pass — the
+    winner's cosine is the best cosine, so the error is a plain
+    aggregate over the batch output; no crossJoin, no broadcast, no
+    per-id max exchange (the JVM form shuffled |batch| best-rows by
+    id before the scalar agg). Per-value bit-equality of the two
+    cosine paths is asserted by the dual-impl tests and the 1e-9
+    full-vs-meta check in test_lines_search_cluster.
+
+    ``jvm``: the original broadcast crossJoin + per-id max — the
+    no-numpy fallback."""
+    if impl == "pandas":
+        assign = _argmax_centroid(
+            q.select(id_col, "qe"), cents.select("c_id", "qc"), id_col,
+            carry_cosine=True,
+        )
+        row = assign.agg(
+            F.avg(F.lit(1.0) - F.col("cosine")).alias("err"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return float(row["err"]), int(row["n"])
     scored = q.crossJoin(
         F.broadcast(cents.select("c_id", F.col("qc").alias("qb")))
     ).withColumn(
@@ -785,6 +844,7 @@ def ivf_index_append(
     emb_col: str = "embedding",
     assign_impl: str = "pandas",
     keep_cols: tuple[str, ...] = (),
+    _cents: DataFrame | None = None,
 ) -> None:
     """Incrementally add a batch to a persisted IVF index: the FROZEN
     coarse quantizer (``{name}_centroids``) assigns only the new
@@ -794,8 +854,15 @@ def ivf_index_append(
     fixed centroids the result is IDENTICAL to rebuilding over the
     union (equivalence-tested), and list-geometry drift under heavy
     growth is the signal to re-train seeds and rebuild — measured by
-    :func:`ivf_index_drift_report` (r13), not left to intuition."""
-    cents = store.read(schema, f"{name}_centroids")
+    :func:`ivf_index_drift_report` (r13), not left to intuition.
+
+    ``_cents`` (internal): the centroids table already loaded — the
+    drift guard collects it ONCE as a local relation and shares it
+    across its report + append/rebuild phases (r15, extending the
+    r14 collected-quantizer pattern)."""
+    cents = _cents if _cents is not None else store.read(
+        schema, f"{name}_centroids"
+    )
     q = quantize(new_emb, emb_col, "qe")
     assign = _argmax_centroid(
         q, F.broadcast(cents), id_col, impl=assign_impl, carry_cols=keep_cols
@@ -824,6 +891,7 @@ def ivf_index_drift_report(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     retrain_ratio: float = IVF_DRIFT_RETRAIN_RATIO,
+    _cents: DataFrame | None = None,
 ) -> dict:
     """List-geometry drift metric for a persisted IVF index (the
     centroid twin of ``pq.index_drift_report``): route ``batch_emb``
@@ -832,7 +900,9 @@ def ivf_index_drift_report(
     recorded in the assign-table snapshot meta at build. Cosine
     routing is scale-invariant, so the metric responds to
     DIRECTIONAL shift — exactly what invalidates inverted lists.
-    O(batch): broadcast centroids x one pass over the new rows."""
+    O(batch): broadcast centroids x one pass over the new rows.
+    ``_cents`` (internal): pre-loaded centroids — see
+    :func:`ivf_index_append`."""
     meta = store.table_meta(schema, f"{name}_assign")
     train_err = meta.get("train_route_err")
     if train_err is None:
@@ -840,7 +910,9 @@ def ivf_index_drift_report(
             f"{schema}.{name}_assign carries no train_route_err meta — the "
             f"index predates the drift metric; rebuild with build_ivf_index"
         )
-    cents = store.read(schema, f"{name}_centroids")
+    cents = _cents if _cents is not None else store.read(
+        schema, f"{name}_centroids"
+    )
     q = quantize(batch_emb, emb_col, "qe").select(id_col, "qe")
     batch_err, n = _routing_error(q, cents, id_col)
     if n == 0:
@@ -876,10 +948,23 @@ def ivf_ingest_with_drift_guard(
     batch caveat as the IVFADC guard: the ratio compares against the
     corpus-mean routing error. Returns the drift report plus
     ``{"action": "appended"|"rebuilt"}``."""
+    # Collect the frozen quantizer ONCE as a local relation (r15,
+    # extending the r14 build-time pattern): the report's routing
+    # pass AND the append's pandas assignment both need the k×dims
+    # centroid rows — loading them per phase re-ran the parquet read
+    # (one broadcast/collect job each) per store round-trip.
+    from ora_ch_spark.io import local_df
+
+    cents_df = store.read(schema, f"{name}_centroids")
+    cents = local_df(
+        corpus_emb.sparkSession, cents_df.collect(), cents_df.schema
+    )
     report = ivf_index_drift_report(
-        store, schema, batch_emb, name, id_col, emb_col, retrain_ratio
+        store, schema, batch_emb, name, id_col, emb_col, retrain_ratio,
+        _cents=cents,
     )
     if report["retrain"]:
+        retrain_q = None
         if "seeds" not in build_kwargs:
             # The default first-n-by-id seed pick would reproduce the
             # STALE centroids bit-for-bit whenever the low-id rows
@@ -889,7 +974,7 @@ def ivf_ingest_with_drift_guard(
             # centroids over the full corpus (deterministic Lloyd,
             # same trajectory the sim_topk_ivf_kmeans gate replays)
             # so the retrain genuinely moves the list geometry.
-            from ora_ch_spark.operators.cluster import kmeans_centroids
+            from ora_ch_spark.operators.cluster import _fit
 
             n_lists = build_kwargs.get("n_lists", 16)
             # scale-adaptive retrain width from MANIFEST row counts
@@ -907,22 +992,35 @@ def ivf_ingest_with_drift_guard(
                 + report["batch_rows"]
             )
             par = max(1, min(conf_par, (approx_rows + 4095) // 4096))
+            # _fit (not kmeans_centroids) so the quantized+persisted
+            # corpus it builds is SHARED with the rebuild below —
+            # build_ivf_index otherwise re-quantizes the same corpus
+            # lineage a second time (r15, guide §1.2). Same
+            # trajectory, same centroids.
+            retrain_q, cents_trained = _fit(
+                corpus_emb, n_lists, 3, id_col, emb_col, par=par
+            )
             build_kwargs = dict(
                 build_kwargs,
-                seeds=kmeans_centroids(
-                    corpus_emb, k=n_lists, iters=3,
-                    id_col=id_col, emb_col=emb_col, par=par,
-                ).select(
+                seeds=cents_trained.select(
                     F.col("cluster").alias("c_id"), F.col("cq").alias("qc")
                 ),
             )
+            if not build_kwargs.get("keep_cols"):
+                build_kwargs["_prequantized"] = retrain_q.select(
+                    F.col(id_col), "qe"
+                )
         build_ivf_index(
             store, schema, corpus_emb, name, id_col=id_col,
             emb_col=emb_col, **build_kwargs,
         )
+        if retrain_q is not None:
+            retrain_q.unpersist()
         report["action"] = "rebuilt"
     else:
-        ivf_index_append(store, schema, batch_emb, name, id_col, emb_col)
+        ivf_index_append(
+            store, schema, batch_emb, name, id_col, emb_col, _cents=cents
+        )
         report["action"] = "appended"
     return report
 
