@@ -20,68 +20,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ora_ch_spark.io import local_df
-
 from ora_ch_spark.operators.dedup import exact_dedup_groups, minhash_lsh_dedup
 
 
 def _fused_lang_quality(docs: DataFrame) -> DataFrame:
-    """lang_id + quality_score over ONE shared token explode (each
-    operator alone re-explodes; the pipeline fuses them — identical
-    values, half the token work)."""
+    """lang_id + quality_score as ONE narrow row-wise projection (r15,
+    guide §2.4 — remove shuffles outright): every number here is a
+    per-document function of the token array, so the previous
+    explode → lexicon-join → two groupBys → rank-window plan (three
+    exchanges plus a persisted token table per call) is computable
+    with higher-order functions at the scan, zero shuffles. Exact
+    value parity with the exploded form (and the standalone
+    operators) by construction:
+
+    - hit counts per candidate language = size(filter(toks, in
+      lexicon)) — occurrences, like the join+count;
+    - argmax with ties to the LOWEST cand_lang = array_min over
+      (-hits, lang) structs; zero total hits → 'und' (the exploded
+      form produced no hit rows → left-join null → 'und');
+    - docs with NULL text vanish entirely (split→NULL → the old
+      explode emitted no rows and the inner agg join dropped the
+      doc) — replicated with an explicit filter;
+    - n_tokens/n_stop/sum_tok_len are the same exact integers, and
+      the score expression is unchanged double arithmetic."""
     from ora_ch_spark.operators.text import LANG_LEXICON, STOPWORDS_EN
 
-    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    toks = (
-        docs.repartition(par)
-        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
-        .persist()
+    toks = F.split(F.lower(F.col("text")), " ")
+    t = docs.select("doc_id", toks.alias("__toks")).filter(
+        F.col("__toks").isNotNull()
     )
-    # lang: lexicon hits → argmax (exact lang_id algorithm)
-    lex_rows = [(lang, w) for lang, words in sorted(LANG_LEXICON.items()) for w in words]
-    lex = local_df(docs.sparkSession, lex_rows, "cand_lang string, tok string")
-    hits = (
-        toks.join(F.broadcast(lex), "tok")
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
-    )
-    # quality: exact quality_score formula over the same tokens
-    stop_set = ",".join(f"'{s}'" for s in STOPWORDS_EN)
-    agg = (
-        toks.withColumn("is_stop", F.expr(f"tok in ({stop_set})").cast("int"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("is_stop").alias("n_stop"),
-            F.sum(F.length("tok")).alias("sum_tok_len"),
+    lang_structs = [
+        F.struct(
+            (-F.size(F.filter(F.col("__toks"), lambda x: x.isin(*words))))
+            .cast("bigint")
+            .alias("nh"),
+            F.lit(lang).alias("lang"),
         )
+        for lang, words in sorted(LANG_LEXICON.items())
+    ]
+    best = F.array_min(F.array(*lang_structs))
+    predicted = F.when(best["nh"] == 0, F.lit("und")).otherwise(best["lang"])
+    n_tokens = F.size("__toks").cast("bigint")
+    n_stop = F.size(
+        F.filter(F.col("__toks"), lambda x: x.isin(*STOPWORDS_EN))
+    ).cast("bigint")
+    sum_tok_len = F.aggregate(
+        "__toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
     )
     score = (
-        F.lit(0.4) * (F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"))
+        F.lit(0.4) * (n_stop.cast("double") / n_tokens.cast("double"))
         + F.lit(0.3)
         * F.least(
-            F.col("sum_tok_len").cast("double") / F.col("n_tokens").cast("double") / F.lit(10.0),
+            sum_tok_len.cast("double") / n_tokens.cast("double") / F.lit(10.0),
             F.lit(1.0),
         )
-        + F.lit(0.3) * F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
     )
-    return (
-        docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .join(agg.select("doc_id", score.alias("quality_score")), "doc_id")
-        .select(
-            "doc_id",
-            F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"),
-            "quality_score",
-        )
+    return t.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        score.alias("quality_score"),
     )
 
 

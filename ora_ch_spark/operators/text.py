@@ -13,8 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ora_ch_spark.io import local_df
-
 # Tiny per-language stopword lexicons for the n-gram/stopword language
 # heuristic. Deliberately small and inline (a production pipeline
 # would broadcast a real lexicon table — the plan shape is identical:
@@ -30,45 +28,43 @@ LANG_LEXICON: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = LANG_LEXICON["en"]
 
 
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    # spread across the pool — small corpora arrive as one parquet split
-    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartition(par).select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
-    )
-
-
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID: predicted language = argmax over
     candidate languages of lexicon token hits (ties break on language
     code ascending — deterministic). Docs with zero hits in every
-    lexicon predict 'und' (undetermined)."""
-    lex_rows = [
-        (lang, w) for lang, words in sorted(LANG_LEXICON.items()) for w in words
-    ]
-    spark = df.sparkSession
-    lex = local_df(spark, lex_rows, "cand_lang string, tok string")
-    toks = _tokens(df, id_col, text_col)
-    hits = (
-        toks.join(F.broadcast(lex), "tok")
-        .groupBy(id_col, "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("cand_lang"))
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("cand_lang").alias("predicted_lang"), F.col("hits").alias("lex_hits"))
-    )
-    return (
-        df.select(id_col)
-        .join(best, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("predicted_lang"), F.lit("und")).alias("predicted_lang"),
-            F.coalesce(F.col("lex_hits"), F.lit(0).cast("bigint")).alias("lex_hits"),
+    lexicon predict 'und' (undetermined).
+
+    r15 (guide §2.4): computed as ONE row-wise projection — per-lang
+    hit counts are size(filter(tokens, in lexicon)) and the argmax is
+    array_min over (-hits, lang) structs, so the previous explode →
+    broadcast-lexicon-join → groupBy → rank-window plan (two
+    exchanges per call) is shuffle-free. Value-identical by
+    construction: occurrence counts (not distinct), ties to the
+    lowest language code, zero total hits → 'und', NULL text → 'und'
+    with 0 hits (the old left join). The join form remains the right
+    shape for a REAL (unbounded) lexicon table; these inline lexicons
+    are literal-sized by design."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    lang_structs = [
+        F.struct(
+            (-F.size(F.filter(F.col("__toks"), lambda x: x.isin(*words))))
+            .cast("bigint")
+            .alias("nh"),
+            F.lit(lang).alias("lang"),
         )
+        for lang, words in sorted(LANG_LEXICON.items())
+    ]
+    best = F.array_min(F.array(*lang_structs))
+    return df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.when(
+            F.col("__toks").isNull() | (best["nh"] == 0), F.lit("und")
+        )
+        .otherwise(best["lang"])
+        .alias("predicted_lang"),
+        F.when(F.col("__toks").isNull(), F.lit(0).cast("bigint"))
+        .otherwise(-best["nh"])
+        .alias("lex_hits"),
     )
 
 
@@ -89,25 +85,39 @@ def quality_score(
     plan — downstream group-wise consumers (e.g. the per-language
     quantile filter) get their key without a second corpus join.
     """
-    toks = _tokens(df, id_col, text_col)
-    stop_set = ",".join(f"'{w}'" for w in STOPWORDS_EN)
-    per_tok = toks.withColumn("is_stop", F.expr(f"tok in ({stop_set})").cast("int")).withColumn(
-        "tok_len", F.length("tok")
+    # r15 (guide §2.4): every aggregate here is a per-document
+    # function of the token array — size / filtered size / summed
+    # lengths — so the previous explode → groupBy → join-back plan
+    # (one exchange + a corpus self-join per call) collapses into a
+    # row-wise projection with higher-order functions. Exact parity:
+    # integer counts are identical, the score stays one double
+    # expression over them, and NULL-text docs disappear exactly as
+    # the old inner agg join dropped them (explicit filter).
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    out = (
+        df.repartition(par)  # small corpora arrive as one parquet split
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+            (
+                F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z]", ""))
+            ).cast("bigint").alias("n_nonalpha"),
+            toks.alias("__toks"),
+        )
+        .filter(F.col("__toks").isNotNull())
+        .select(
+            "*",
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.size(F.filter(F.col("__toks"), lambda x: x.isin(*STOPWORDS_EN)))
+            .cast("bigint")
+            .alias("n_stop"),
+            F.aggregate(
+                "__toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ).alias("sum_tok_len"),
+        )
     )
-    agg = per_tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("is_stop").alias("n_stop"),
-        F.sum("tok_len").alias("sum_tok_len"),
-    )
-    base = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
-        (
-            F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z]", ""))
-        ).cast("bigint").alias("n_nonalpha"),
-    )
-    out = base.join(agg, id_col)
     # n_tokens ≥ 1 always (split of "" yields [""]), but n_chars can be 0
     # for empty docs — guard the ratio (ANSI mode makes /0 an error)
     avg_len = F.col("sum_tok_len").cast("double") / F.col("n_tokens").cast("double")
@@ -145,19 +155,34 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     pre-tokenizer count (word/number/punct runs with leading-space
     merge, à la GPT-2), a ⌈len/4⌉ subword estimate, and
     distinct-token count. All integers."""
-    toks = _tokens(df, id_col, text_col)
-    agg = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
-        F.sum(F.expr("cast(ceil(length(tok) / 4.0) as bigint)")).alias("n_subword_est"),
+    # r15 (guide §2.4): same row-wise collapse as quality_score — the
+    # distinct-token count is size(array_distinct(tokens)), so the
+    # explode + groupBy(+count_distinct Expand) + self-join plan is a
+    # shuffle-free projection. NULL-text docs drop exactly as the old
+    # inner join dropped them.
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    return (
+        df.repartition(par)
+        .select(F.col(id_col), toks.alias("__toks"), F.col(text_col))
+        .filter(F.col("__toks").isNotNull())
+        .select(
+            id_col,
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("__toks"))
+            .cast("bigint")
+            .alias("n_distinct_tokens"),
+            F.aggregate(
+                "__toks",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + F.ceil(F.length(x).cast("double") / F.lit(4.0)).cast("bigint"),
+            ).alias("n_subword_est"),
+            F.size(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_REGEX}', 0)")
+            ).cast("bigint").alias("n_bpe_tokens"),
+        )
     )
-    regex_cnt = df.select(
-        F.col(id_col),
-        F.size(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_REGEX}', 0)")
-        ).cast("bigint").alias("n_bpe_tokens"),
-    )
-    return agg.join(regex_cnt, id_col)
 
 
 ROLLING_PRIME = 2147483647  # 2^31 - 1; keeps acc*31 + x inside int64
