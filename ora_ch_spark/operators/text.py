@@ -281,50 +281,69 @@ def repetition_stats(
     - ``repetitive`` — top_bigram_frac > ``max_top_bigram_frac`` OR
       distinct_frac < ``min_distinct_frac``
 
-    Scale shape: two explode→groupBy passes (tokens, bigrams), each
-    map-side combinable on (doc, term) then reduced per doc by one
-    window — all integer counts plus final double divisions, engine-
-    exact. No UDFs; both explodes stay in whole-stage codegen.
+    Scale shape (r15, guide §2.4): the frequency table of a SINGLE
+    document is a per-row computation, so both explode→groupBy→
+    rank-window passes collapse into one row-wise projection — the
+    mode (tie → lexicographically lowest) is a linear run-scan over
+    the SORTED term array: runs of equal terms are adjacent, a
+    strictly-longer run replaces the best (so ties keep the earlier
+    = smaller term, exactly the old (c DESC, term ASC) row_number).
+    All integer counts plus final double divisions, engine-exact. No
+    UDFs; everything stays in whole-stage codegen, zero exchanges
+    beyond the fan-out repartition.
     """
+
+    def _mode(arr: str):
+        # run-scan over array_sort(arr): (best term, its count)
+        run = "IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L)"
+        return F.expr(
+            f"aggregate(array_sort({arr}), "
+            f"struct(cast(null as string) as prev, 0L as run, "
+            f"cast(null as string) as best, 0L as bestc), "
+            f"(a, x) -> named_struct("
+            f"'prev', x, "
+            f"'run', {run}, "
+            f"'best', IF({run} > a.bestc, x, a.best), "
+            f"'bestc', greatest({run}, a.bestc)), "
+            f"a -> struct(a.best as term, a.bestc as c))"
+        )
+
     par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = df.repartition(par).select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__toks")
-    )
-    tok_counts = (
-        d.select(F.col(id_col), F.explode("__toks").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("term"))
-    tok_top = (
-        tok_counts.withColumn("rn", F.row_number().over(w))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct_tokens"),
-            F.max(F.when(F.col("rn") == 1, F.col("term"))).alias("top_token"),
-            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_token_c"),
+    d = (
+        df.repartition(par)
+        .select(
+            F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__toks")
         )
+        .filter(F.col("__toks").isNotNull())
     )
+    # IF guard, not greatest(n-1, 0): Spark's sequence(1, 0) DESCENDS
+    # instead of yielding [] (same gotcha dsir_importance documents)
     bigrams = F.expr(
-        "transform(sequence(1, size(__toks) - 1), i -> concat_ws(' ', slice(__toks, i, 2)))"
+        "IF(size(__toks) < 2, array(), "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat_ws(' ', slice(__toks, i, 2))))"
     )
-    bg_counts = (
-        d.filter(F.size("__toks") >= 2)
-        .select(F.col(id_col), F.explode(bigrams).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bg_top = (
-        bg_counts.withColumn("rn", F.row_number().over(w))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.max(F.when(F.col("rn") == 1, F.col("term"))).alias("top_bigram"),
-            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_bigram_c"),
+    out = (
+        d.select(F.col(id_col), F.col("__toks"), bigrams.alias("__bg"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("__toks"))
+            .cast("bigint")
+            .alias("n_distinct_tokens"),
+            _mode("__toks")["term"].alias("top_token"),
+            _mode("__toks")["c"].alias("top_token_c"),
+            F.when(
+                F.size("__toks") >= 2, (F.size("__toks") - 1).cast("bigint")
+            ).alias("n_bigrams"),
+            F.when(F.size("__toks") >= 2, _mode("__bg")["term"]).alias(
+                "top_bigram"
+            ),
+            F.when(F.size("__toks") >= 2, _mode("__bg")["c"]).alias(
+                "top_bigram_c"
+            ),
         )
     )
-    out = tok_top.join(bg_top, id_col, "left")
     distinct_frac = (
         F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
     )
