@@ -2743,11 +2743,20 @@ def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pq and ivfadc share the identical training trajectory — run it
     # once (the training collects are the report's dominant jobs)
     trained = pq_train(emb, query_ids=queries)
-    exact = (
+    # the exact baseline is |Q|·k rows (50) BY CONSTRUCTION — collect
+    # it once into a LocalRelation so the six per-method semi-joins
+    # broadcast it driver-side instead of each launching a broadcast
+    # build over the persisted frame, and `total` is its length (r15,
+    # guide §5: the per-method probe cost is all that remains)
+    from ora_ch_spark.io import local_df
+
+    idt = dict(emb.dtypes)["vec_id"]
+    exact_rows = (
         S.cosine_topk_bruteforce(emb, query_ids=queries)
         .select("q_id", "n_id")
-        .persist()
+        .collect()
     )
+    exact = local_df(spark, exact_rows, f"q_id {idt}, n_id {idt}")
     methods = {
         "ivf": S.ivf_topk(emb, query_ids=queries),
         "ivfadc": ivfadc_topk(emb, query_ids=queries, trained=trained),
@@ -2768,9 +2777,10 @@ def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, df in sorted(methods.items())
     ]
     union = reduce(lambda a, b: a.unionByName(b), per_method)
-    total = exact.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
     return (
-        union.crossJoin(F.broadcast(total))
+        union.withColumn(
+            "total", F.lit(len(exact_rows)).cast("bigint")
+        )
         .select(
             "method",
             "hits",
@@ -2815,11 +2825,17 @@ def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     queries = emb.filter("vec_id < 10")
-    exact = (
+    # exact baseline as a collected LocalRelation — same rationale as
+    # sim_recall_report (|Q|·k = 50 rows by construction)
+    from ora_ch_spark.io import local_df
+
+    idt = dict(emb.dtypes)["vec_id"]
+    exact_rows = (
         S.cosine_topk_bruteforce(emb, query_ids=queries)
         .select("q_id", "n_id")
-        .persist()
+        .collect()
     )
+    exact = local_df(spark, exact_rows, f"q_id {idt}, n_id {idt}")
     trained = pq_train(emb, query_ids=queries)  # shared: pq + ivfadc
     methods = {
         # routing x SQ8 needs NO refine stage — near-exact per-dim
@@ -2848,9 +2864,10 @@ def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, df in sorted(methods.items())
     ]
     union = reduce(lambda a, b: a.unionByName(b), per_method)
-    total = exact.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
     return (
-        union.crossJoin(F.broadcast(total))
+        union.withColumn(
+            "total", F.lit(len(exact_rows)).cast("bigint")
+        )
         .select(
             "method",
             "hits",
