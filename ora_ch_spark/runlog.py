@@ -159,10 +159,12 @@ class RunLog:
              t.begin_ts, t.end_ts, t.error_msg)
             for t in tasks.values()
         ]
+        from ora_ch_spark.io import local_df
+
         store.write(
             schema, "ora_to_ch_tasks",
-            spark.createDataFrame(
-                task_rows,
+            local_df(
+                spark, task_rows,
                 "id long, state string, begin_datetime double, "
                 "end_datetime double, error_msg string",
             ),
@@ -176,8 +178,8 @@ class RunLog:
         ]
         store.write(
             schema, "ora_to_ch_tasks_tables",
-            spark.createDataFrame(
-                table_rows,
+            local_df(
+                spark, table_rows,
                 "id long, id_task long, schema_name string, table_name string, "
                 "operation string, state string, begin_datetime double, "
                 "end_datetime double, copied_records_count long, "
@@ -192,8 +194,8 @@ class RunLog:
         ]
         store.write(
             schema, "ora_to_ch_query_log",
-            spark.createDataFrame(
-                query_rows,
+            local_df(
+                spark, query_rows,
                 "id_query long, state string, begin_calc double, end_calc double, "
                 "begin_copy double, end_copy double, begin_local_copy double, "
                 "end_local_copy double, copied_rows long, par_degree int, "
