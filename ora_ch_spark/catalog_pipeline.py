@@ -2740,35 +2740,59 @@ def sim_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     queries = emb.filter("vec_id < 10")
-    # pq and ivfadc share the identical training trajectory — run it
-    # once (the training collects are the report's dominant jobs)
-    trained = pq_train(emb, query_ids=queries)
+    # fill the cache ONCE before fanning out (concurrent first-touch
+    # would compute the scan per thread until one wins the cache slot)
+    emb.count()
     # the exact baseline is |Q|·k rows (50) BY CONSTRUCTION — collect
     # it once into a LocalRelation so the six per-method semi-joins
     # broadcast it driver-side instead of each launching a broadcast
     # build over the persisted frame, and `total` is its length (r15,
     # guide §5: the per-method probe cost is all that remains)
+    from concurrent.futures import ThreadPoolExecutor
+
     from ora_ch_spark.io import local_df
 
     idt = dict(emb.dtypes)["vec_id"]
-    exact_rows = (
-        S.cosine_topk_bruteforce(emb, query_ids=queries)
-        .select("q_id", "n_id")
-        .collect()
-    )
+    # the per-method construction phases each run eager driver
+    # actions (training collects, per-dim stats, seed/plane builds) —
+    # all INDEPENDENT given the cached corpus, so overlap them from a
+    # small thread pool (guide §2.6: FAIR scheduler is on; actions
+    # are only sequential because the driver calls them sequentially).
+    # pq and ivfadc share the identical training trajectory — run it
+    # once and fan both out after it resolves.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        exact_rows_f = pool.submit(
+            lambda: S.cosine_topk_bruteforce(emb, query_ids=queries)
+            .select("q_id", "n_id")
+            .collect()
+        )
+        trained_f = pool.submit(lambda: pq_train(emb, query_ids=queries))
+        futs = {
+            "ivf": pool.submit(lambda: S.ivf_topk(emb, query_ids=queries)),
+            "lsh": pool.submit(
+                lambda: S.cosine_topk_lsh_multiprobe(
+                    emb, query_ids=queries, n_planes=_N_PLANES,
+                    dims=_DIMS, n_probes=1,
+                )
+            ),
+            "lsh_multiprobe": pool.submit(
+                lambda: S.cosine_topk_lsh_multiprobe(
+                    emb, query_ids=queries, n_planes=_N_PLANES,
+                    dims=_DIMS, n_probes=2,
+                )
+            ),
+            "sq8": pool.submit(lambda: sq8_topk(emb, query_ids=queries)),
+        }
+        trained = trained_f.result()
+        futs["ivfadc"] = pool.submit(
+            lambda: ivfadc_topk(emb, query_ids=queries, trained=trained)
+        )
+        futs["pq"] = pool.submit(
+            lambda: pq_topk(emb, query_ids=queries, trained=trained)
+        )
+        exact_rows = exact_rows_f.result()
+        methods = {name: f.result() for name, f in futs.items()}
     exact = local_df(spark, exact_rows, f"q_id {idt}, n_id {idt}")
-    methods = {
-        "ivf": S.ivf_topk(emb, query_ids=queries),
-        "ivfadc": ivfadc_topk(emb, query_ids=queries, trained=trained),
-        "lsh": S.cosine_topk_lsh_multiprobe(
-            emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS, n_probes=1
-        ),
-        "lsh_multiprobe": S.cosine_topk_lsh_multiprobe(
-            emb, query_ids=queries, n_planes=_N_PLANES, dims=_DIMS, n_probes=2
-        ),
-        "pq": pq_topk(emb, query_ids=queries, trained=trained),
-        "sq8": sq8_topk(emb, query_ids=queries),
-    }
     per_method = [
         df.select("q_id", "n_id")
         .join(exact, ["q_id", "n_id"], "left_semi")
@@ -2825,37 +2849,58 @@ def sim_recall_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     queries = emb.filter("vec_id < 10")
+    emb.count()  # single cache fill before the thread fan-out
     # exact baseline as a collected LocalRelation — same rationale as
-    # sim_recall_report (|Q|·k = 50 rows by construction)
+    # sim_recall_report (|Q|·k = 50 rows by construction); the
+    # independent eager build phases overlap from a thread pool
+    # (guide §2.6), same structure as sim_recall_report
+    from concurrent.futures import ThreadPoolExecutor
+
     from ora_ch_spark.io import local_df
 
     idt = dict(emb.dtypes)["vec_id"]
-    exact_rows = (
-        S.cosine_topk_bruteforce(emb, query_ids=queries)
-        .select("q_id", "n_id")
-        .collect()
-    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        exact_rows_f = pool.submit(
+            lambda: S.cosine_topk_bruteforce(emb, query_ids=queries)
+            .select("q_id", "n_id")
+            .collect()
+        )
+        trained_f = pool.submit(  # shared: pq + ivfadc
+            lambda: pq_train(emb, query_ids=queries)
+        )
+        futs = {
+            # routing x SQ8 needs NO refine stage — near-exact per-dim
+            # decode under the same 2-probe routing; its presence here
+            # is the control showing WHERE the other paths' recall went
+            "ivf_sq8": pool.submit(
+                lambda: ivf_sq8_topk(emb, query_ids=queries)
+            ),
+            "lsh_multiprobe_wide": pool.submit(
+                lambda: S.cosine_topk_lsh_multiprobe(
+                    emb,
+                    query_ids=queries,
+                    n_planes=_N_PLANES,
+                    dims=_DIMS,
+                    n_probes=_MP_WIDE_PROBES,
+                )
+            ),
+        }
+        trained = trained_f.result()
+        futs["ivfadc_rerank"] = pool.submit(
+            lambda: ivfadc_topk(
+                emb, query_ids=queries, rerank=_IVFADC_RERANK_R,
+                trained=trained,
+            )
+        )
+        futs["pq_rerank"] = pool.submit(
+            lambda: pq_topk(
+                emb, query_ids=queries, rerank=_PQ_RERANK_R,
+                trained=trained,
+            )
+        )
+        exact_rows = exact_rows_f.result()
+        methods = {name: f.result() for name, f in futs.items()}
     exact = local_df(spark, exact_rows, f"q_id {idt}, n_id {idt}")
-    trained = pq_train(emb, query_ids=queries)  # shared: pq + ivfadc
-    methods = {
-        # routing x SQ8 needs NO refine stage — near-exact per-dim
-        # decode under the same 2-probe routing; its presence here is
-        # the control showing WHERE the other paths' recall went
-        "ivf_sq8": ivf_sq8_topk(emb, query_ids=queries),
-        "ivfadc_rerank": ivfadc_topk(
-            emb, query_ids=queries, rerank=_IVFADC_RERANK_R, trained=trained
-        ),
-        "lsh_multiprobe_wide": S.cosine_topk_lsh_multiprobe(
-            emb,
-            query_ids=queries,
-            n_planes=_N_PLANES,
-            dims=_DIMS,
-            n_probes=_MP_WIDE_PROBES,
-        ),
-        "pq_rerank": pq_topk(
-            emb, query_ids=queries, rerank=_PQ_RERANK_R, trained=trained
-        ),
-    }
     per_method = [
         df.select("q_id", "n_id")
         .join(exact, ["q_id", "n_id"], "left_semi")

@@ -64,30 +64,36 @@ def pagerank(
     ew = e.join(outdeg, "src").persist()
     ranks = nodes.withColumn("rank", F.lit(SCALE).cast("bigint"))
     teleport = (100 - damping_pct) * SCALE // 100
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
             .select("dst", F.expr("rank div odeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        # EAGER checkpoint: materializes this round (so the persisted
-        # edge/node frames actually populate on round 1 and every
-        # round reuses them) and truncates lineage — with lazy
-        # checkpoints nothing would run inside the loop and the
-        # persists would be dead weight recomputed at the caller's
-        # first action
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport).cast("bigint")
-                    + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        # NO per-round checkpoint (r15, guide §1.2 #1 / §2.4): the
+        # loop is bounded with no convergence probe, so nothing needs
+        # to run per round — the rounds nest into ONE lineage (depth
+        # grows linearly in `iters`: one join+agg+join per round, no
+        # self-referencing blowup like star-CC's) and the single
+        # eager checkpoint after the loop executes them all as one
+        # fused query. Per-round checkpoints paid a driver-sequenced
+        # job cycle each — eager measured 24 jobs / 5.65 s, and even
+        # lazy localCheckpoint still ran the rounds at call time (AQE
+        # finalizes its stages when the plan compiles to an RDD:
+        # 22 jobs). Callers that need very large `iters` should
+        # truncate every ~10 rounds; at the catalog's bounded depths
+        # the fused plan is strictly cheaper.
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(teleport).cast("bigint")
+                + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")
+            ).alias("rank"),
         )
+    # ONE action materializes the whole loop; the checkpoint blocks
+    # then back the returned frame without the persisted inputs
+    ranks = ranks.localCheckpoint(eager=True)
     # the final ranks are materialized checkpoint blocks — they no
     # longer reference the persisted inputs, so release all three
     e.unpersist()
