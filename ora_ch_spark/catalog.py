@@ -1355,6 +1355,8 @@ def _v6184_create_fixture_views(spark: SparkSession, sf_dir: str) -> None:
         spark.sql(f"CREATE OR REPLACE VIEW {db}.{tbl} AS {body}")
     _V6184_VIEWS_STATE["spark"] = spark
     _V6184_VIEWS_STATE["sf_dir"] = sf_dir
+    # view set changed → any memoized analyzed frame is stale
+    _V6184_VIEWS_STATE["base_df"] = None
 
 
 def calc_verbatim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,8 +1374,22 @@ def calc_verbatim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ora_ch_spark.functions.params import bind_params
 
     _v6184_create_fixture_views(spark, sf_dir)
-    bound = bind_params(_v6184_view_body(), _V6184_PARAMS, _V6184_VALUES)
-    out = spark.sql(translate_ch_sql(bound))
+    # memoize the ANALYZED base frame per (session, sf_dir) — same
+    # contract as the fixture-view memo above (r15, guide §1.2): the
+    # bind → translate → Catalyst analysis of the 156-line text is a
+    # deterministic pure function of committed inputs and measured
+    # ~1.7 s per call warm (0.5 s regex translate + 1.2 s resolving
+    # the 13 fixture views). The memo holds a LAZY logical plan —
+    # no rows are computed or cached; every action still executes
+    # the full join DAG from the parquet inputs.
+    if (
+        _V6184_VIEWS_STATE.get("base_df") is None
+        or _V6184_VIEWS_STATE["spark"] is not spark
+        or _V6184_VIEWS_STATE["sf_dir"] != sf_dir
+    ):
+        bound = bind_params(_v6184_view_body(), _V6184_PARAMS, _V6184_VALUES)
+        _V6184_VIEWS_STATE["base_df"] = spark.sql(translate_ch_sql(bound))
+    out = _V6184_VIEWS_STATE["base_df"]
     # total output order: fp_id is NOT unique ((l_orderkey,
     # l_linenumber) has duplicate pairs in the synthetic data — see
     # the verify-skill gotcha), so order over EVERY column;
