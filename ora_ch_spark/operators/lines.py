@@ -143,17 +143,53 @@ def strip_boilerplate(
 ) -> DataFrame:
     """Boilerplate removal: any line appearing in ≥ ``min_docs``
     distinct documents is removed from ALL of them. Returns one row
-    per doc: (id, n_lines, n_kept, kept_md5, kept_len[, kept_text])."""
+    per doc: (id, n_lines, n_kept, kept_md5, kept_len[, kept_text]).
+
+    Shape (r15, guide §2.4 — the lines frame is usually an
+    UNPERSISTED explode, so every extra consumer re-runs it): one
+    pass builds the (small, distinct) boiler set, then ONE rollup
+    pass over lines MARKS boiler membership with a left join and
+    folds totals + kept counts + reassembly into a single aggregate —
+    the previous anti-join + separate totals pass + totals⋈rebuilt
+    join re-ran the explode three times. Identical output by
+    construction: the left join against the distinct boiler keys
+    multiplies nothing, ``collect_list``/``count`` skip the NULL
+    branch of the kept marker exactly as the anti-join dropped those
+    rows, and an all-boiler doc reassembles to '' either way."""
     boiler = (
         lines.groupBy("line")
         .agg(F.countDistinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
-        .select("line")
+        .select("line", F.lit(1).alias("__b"))
     )
-    kept = lines.join(boiler, "line", "left_anti").select(
-        id_col, "line_no", "line"
+    marked = lines.join(boiler, "line", "left")
+    keep = F.col("__b").isNull()
+    text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("line_no", "line")))
+            ),
+            lambda s: s["line"],
+        ),
+        join_delim,
     )
-    return _reassemble(lines, kept, id_col, join_delim, include_text)
+    out = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            text.alias("__text"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_kept",
+            F.md5(F.col("__text")).alias("kept_md5"),
+            F.length(F.col("__text")).cast("bigint").alias("kept_len"),
+            F.col("__text").alias("kept_text"),
+        )
+    )
+    return out if include_text else out.drop("kept_text")
 
 
 def c4_line_filter(
@@ -179,45 +215,59 @@ def c4_line_filter(
     (has_lorem, has_brace, page_kept). Dropped pages reassemble to
     n_kept = 0 / md5('').
 
-    Scale: two partial-agg shuffles on the doc key (page flags, kept
-    counts) + the reassembly rollup — all combiner-friendly; the line
-    rules themselves are map-side regex/size predicates."""
-    page_flags = lines.groupBy(id_col).agg(
+    Scale (r15, guide §2.4): ONE partial-agg shuffle on the doc key —
+    page flags, candidate counts and the reassembly fold into a
+    single aggregate over the exploded frame (the previous
+    flags/counts/rebuilt/totals plan re-ran the unpersisted explode
+    four times and paid two joins). Identical output by construction:
+    the line rules are the same map-side predicates (as a conditional
+    aggregate branch instead of a filter), ``page_kept`` is the same
+    expression over the per-doc aggregates, and a dropped page's
+    reassembly nulls to '' exactly as the semi-join excluded it. The
+    candidate lines of dropped pages are collected then discarded —
+    bounded by document size, the same bound the kept-page collect
+    already has."""
+    line_ok = (
+        F.col("line").rlike('[.!?"”]\\s*$')
+        & (F.size(F.split(F.col("line"), " ")) >= min_words_per_line)
+        & ~F.lower(F.col("line")).contains("javascript")
+    )
+    text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(line_ok, F.struct("line_no", "line")))
+            ),
+            lambda s: s["line"],
+        ),
+        join_delim,
+    )
+    agg = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
         F.max(
             F.lower(F.col("line")).contains("lorem ipsum").cast("int")
         ).cast("boolean").alias("has_lorem"),
         F.max(
             F.col("line").contains("{").cast("int")
         ).cast("boolean").alias("has_brace"),
+        F.count(F.when(line_ok, 1)).alias("__n_ok"),
+        text.alias("__text"),
     )
-    line_ok = (
-        F.col("line").rlike('[.!?"”]\\s*$')
-        & (F.size(F.split(F.col("line"), " ")) >= min_words_per_line)
-        & ~F.lower(F.col("line")).contains("javascript")
+    page_kept = (
+        ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & (F.col("__n_ok") >= min_kept_lines_per_page)
     )
-    candidates = lines.filter(line_ok)
-    counts = candidates.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_ok")
-    )
-    page_ok = (
-        page_flags.join(counts, id_col, "left")
-        .select(
-            id_col,
-            "has_lorem",
-            "has_brace",
-            (
-                ~F.col("has_lorem")
-                & ~F.col("has_brace")
-                & (
-                    F.coalesce(F.col("__n_ok"), F.lit(0))
-                    >= min_kept_lines_per_page
-                )
-            ).alias("page_kept"),
-        )
-    )
-    kept = candidates.join(
-        page_ok.filter("page_kept").select(id_col), id_col, "left_semi"
-    )
-    return _reassemble(lines, kept, id_col, join_delim).join(
-        page_ok, id_col
+    kept_text = F.when(page_kept, F.col("__text")).otherwise(F.lit(""))
+    return agg.select(
+        id_col,
+        "n_lines",
+        F.when(page_kept, F.col("__n_ok"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(kept_text).alias("kept_md5"),
+        F.length(kept_text).cast("bigint").alias("kept_len"),
+        "has_lorem",
+        "has_brace",
+        page_kept.alias("page_kept"),
     )
