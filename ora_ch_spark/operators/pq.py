@@ -698,42 +698,61 @@ def build_ivfadc_index(
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub = dims // m
     q = quantize(emb, emb_col, "qe").select(id_col, "qe").persist()
+    # fill the corpus cache once before the thread overlap below — the
+    # coarse write, the PQ training and the assignment all scan it
+    q.count()
     coarse = seed_centroids(q, n_lists, id_col)
-    store.write(
-        schema, f"{name}_coarse",
-        coarse.select(F.col("cluster").alias("list"), "cq"),
-    )
-    lists = _assign(q, coarse, id_col).select(
-        F.col(id_col).alias("n_id"), F.col("cluster").alias("list")
-    )
-    qsub = _explode_subspaces(q, m, sub, id_col)
-    seeds = _seed_grouped(q, k_codes, m, sub, id_col)
-    crows = _train_centroids_grouped(qsub, seeds, id_col)
-    # one-slice local relation: 1 task, 1 output file (instead of up
-    # to 32 near-empty files for a k·m-row codebook table), and every
-    # later read/collect of the codebooks is a single task
-    store.write(
-        schema, f"{name}_codebooks",
-        local_df(
-            q.sparkSession,
-            [(int(r["s"]), int(r["cluster"]), list(r["cq"])) for r in crows],
-            "s int, code int, cq array<bigint>",
-        ),
-    )
-    # persisted: BOTH the code write and the drift-baseline stat read
-    # this — without the persist the encode mapInPandas pass runs twice
-    assigned = _assign_grouped(qsub, crows, id_col).persist()
-    enc = assigned.select(
-        F.col(id_col).alias("n_id"), "s", F.col("cluster").alias("code")
-    )
-    codes = enc.join(lists, "n_id")
-    # training-time quantization error, committed ATOMICALLY with the
-    # codes (snapshot meta): the baseline :func:`index_drift_report`
-    # compares appended batches against — one extra sum over the
-    # already-computed per-subspace assignment distances
-    stat = assigned.agg(
-        F.sum("dist").alias("e"), F.countDistinct(id_col).alias("n")
-    ).first()
+    # the coarse-quantizer and codebook writes are independent of the
+    # training/encode chain that follows each of them — overlap them
+    # (guide §2.6; store data writes run outside the commit lock, and
+    # the writes land in DIFFERENT tables). The pool joins before the
+    # final codes write returns, so the index is never published
+    # partially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        coarse_write = pool.submit(
+            store.write, schema, f"{name}_coarse",
+            coarse.select(F.col("cluster").alias("list"), "cq"),
+        )
+        lists = _assign(q, coarse, id_col).select(
+            F.col(id_col).alias("n_id"), F.col("cluster").alias("list")
+        )
+        qsub = _explode_subspaces(q, m, sub, id_col)
+        seeds = _seed_grouped(q, k_codes, m, sub, id_col)
+        crows = _train_centroids_grouped(qsub, seeds, id_col)
+        # one-slice local relation: 1 task, 1 output file (instead of
+        # up to 32 near-empty files for a k·m-row codebook table), and
+        # every later read/collect of the codebooks is a single task
+        cb_write = pool.submit(
+            store.write, schema, f"{name}_codebooks",
+            local_df(
+                q.sparkSession,
+                [
+                    (int(r["s"]), int(r["cluster"]), list(r["cq"]))
+                    for r in crows
+                ],
+                "s int, code int, cq array<bigint>",
+            ),
+        )
+        # persisted: BOTH the code write and the drift-baseline stat
+        # read this — without the persist the encode mapInPandas pass
+        # runs twice
+        assigned = _assign_grouped(qsub, crows, id_col).persist()
+        enc = assigned.select(
+            F.col(id_col).alias("n_id"), "s", F.col("cluster").alias("code")
+        )
+        codes = enc.join(lists, "n_id")
+        # training-time quantization error, committed ATOMICALLY with
+        # the codes (snapshot meta): the baseline
+        # :func:`index_drift_report` compares appended batches against
+        # — one extra sum over the already-computed per-subspace
+        # assignment distances
+        stat = assigned.agg(
+            F.sum("dist").alias("e"), F.countDistinct(id_col).alias("n")
+        ).first()
+        coarse_write.result()
+        cb_write.result()
     # one contiguous file region per inverted list (same layout note
     # as build_ivf_index: without the repartition every upstream task
     # writes a sliver into every list dir)

@@ -734,18 +734,30 @@ def build_ivf_index(
         q, F.broadcast(seeds_local), id_col, impl=assign_impl,
         carry_cols=keep_cols, carry_cosine=True,
     ).persist()
-    # k rows — one file keeps every later read/collect a single task
-    store.write(schema, f"{name}_centroids", seeds_local)
-    # training-time routing quality, committed atomically with the
-    # assign snapshot: baseline for ivf_index_drift_report. The
-    # assigned centroid IS the argmax-cosine winner, so the error
-    # comes from the carried per-row cosine — no corpus x centroids
-    # pass at build time (partial sums stay per-assign-partition in
-    # row order, exactly as the broadcast-join form aggregated them)
-    srow = assign.agg(
-        F.avg(F.lit(1.0) - F.col("cosine")).alias("err"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
+    # k rows — one file keeps every later read/collect a single task.
+    # The write is a LOCAL relation (no corpus scan), independent of
+    # the assignment chain → overlap it with the stat action (guide
+    # §2.6; store data writes run outside the commit lock) and join
+    # before the assign-table write so the index never publishes
+    # partially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        cents_write = pool.submit(
+            store.write, schema, f"{name}_centroids", seeds_local
+        )
+        # training-time routing quality, committed atomically with the
+        # assign snapshot: baseline for ivf_index_drift_report. The
+        # assigned centroid IS the argmax-cosine winner, so the error
+        # comes from the carried per-row cosine — no corpus x
+        # centroids pass at build time (partial sums stay
+        # per-assign-partition in row order, exactly as the
+        # broadcast-join form aggregated them)
+        srow = assign.agg(
+            F.avg(F.lit(1.0) - F.col("cosine")).alias("err"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        cents_write.result()
     stat = (float(srow["err"]), int(srow["n"]))
     assign_out = assign.select(id_col, "centroid", *keep_cols, "qe")
     # cluster rows by list BEFORE the hive write: without this every
