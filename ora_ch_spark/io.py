@@ -50,7 +50,14 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     raises and lands in the explicit one-slice parallelize fallback
     (the silent non-Arrow pandas path would re-slice
     defaultParallelism ways). Use for bounded tables only (centroid
-    sets, quantizer codebooks, report rows)."""
+    sets, quantizer codebooks, report rows).
+
+    Classic-deployment note (r14 advice): the fallback path touches
+    ``spark.sparkContext``, which Spark Connect does not expose — on
+    Connect the Arrow path (session-level API only) is the one that
+    runs; the fallback would raise. Fine for the current classic
+    deployment; a Connect port would swap the fallback for
+    ``createDataFrame(rows, schema)`` and accept the slicing."""
     try:
         import pandas as pd
 

@@ -67,6 +67,11 @@ def bm25_topk(
     with idf(t) = (N - df + 0.5) / (df + 0.5) by default (rational —
     engine-exact, see module docstring for the rank trade-off), or the
     classic ln of that ratio when ``idf_log=True``.
+
+    ``queries`` ids are INT-ONLY: the query-term relation is built
+    with a pinned ``query_id bigint`` schema (one-slice local
+    relation), so string ids fail at construction — callers with
+    non-int ids must map them to ints first (r14 advice note).
     """
     spark = docs.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -48,6 +48,11 @@ from pyspark.sql import functions as F
 
 from ora_ch_spark.functions.hashes import lsh_plane_signs
 
+# hard cap on driver-collected coarse quantizers (64k centroid rows ≈
+# a few MB at typical dims — far above any sane n_lists, far below
+# driver-OOM territory)
+_SEEDS_COLLECT_MAX = 65_536
+
 QUANT = 10000
 
 # default probe count for the LSH top-k entry point: the measured
@@ -722,9 +727,18 @@ def build_ivf_index(
     # before tuning it).
     from ora_ch_spark.io import local_df
 
-    seeds_local = local_df(
-        q.sparkSession, seeds.collect(), seeds.schema
-    )
+    # bounded collect (r14 advice): the quantizer is k×dims by
+    # contract, but ``seeds`` is caller-supplied — limit(cap+1)
+    # detects an oversized seed frame WITHOUT materializing it on the
+    # driver, failing loudly instead of risking a silent driver OOM
+    seed_rows = seeds.limit(_SEEDS_COLLECT_MAX + 1).collect()
+    if len(seed_rows) > _SEEDS_COLLECT_MAX:
+        raise ValueError(
+            f"build_ivf_index seeds exceed {_SEEDS_COLLECT_MAX} rows — "
+            "a coarse quantizer this large should be a distributed "
+            "table, not a driver-collected local relation"
+        )
+    seeds_local = local_df(q.sparkSession, seed_rows, seeds.schema)
     # persisted: the hive write AND the drift-baseline stat read this.
     # carry_cosine: the winner's cosine rides out of the assignment
     # batch, so the routing stat below is a plain aggregate — the
